@@ -1,38 +1,324 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps every
+implemented operator of SURVEY.md §2 (plus north-star extensions) to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-runnable ANSI-SQL twin of each query. Column names/aliases match
+exactly between the two sides (the driver sorts columns by name before
+value-hashing).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark import keys
+from dataset_grouper_spark.functions import textanalysis, textstats
+from dataset_grouper_spark.operators import group_counts as gc
+from dataset_grouper_spark.operators import packing
+from dataset_grouper_spark.sources import read_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+# DuckDB-side dtype listings for SQL twin generation (must mirror the
+# parquet schemas in TESTDATA.md).
+EVENTS_SCHEMA = [
+    ("event_id", "bigint"),
+    ("ts", "timestamp"),
+    ("user_id", "bigint"),
+    ("event_type", "string"),
+    ("value", "double"),
+    ("props", "string"),
+]
+EVENTS_STRINGS = ["event_type", "props"]
+DOCUMENTS_SCHEMA = [
+    ("doc_id", "bigint"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+]
+DOCUMENTS_STRINGS = ["text", "lang", "source"]
+LINEITEM_SCHEMA = [
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_tax", "double"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+LINEITEM_STRINGS = ["l_returnflag", "l_linestatus"]
+
+DOC_BYTES_SQL = textstats.row_bytes_sql(DOCUMENTS_SCHEMA)
+DOC_WORDS_SQL = textstats.row_words_sql(DOCUMENTS_STRINGS)
+EVT_BYTES_SQL = textstats.row_bytes_sql(EVENTS_SCHEMA)
+EVT_WORDS_SQL = textstats.row_words_sql(EVENTS_STRINGS)
+
+# Dirichlet keyer configuration (embeddings: labels 0..9).
+DIR_LABELS, DIR_GROUPS, DIR_ALPHA, DIR_SEED = 10, 8, 0.5, 7
+
+PACK_LIMIT = 4000  # bytes per group for the sf-scale packing demo
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# ---------------------------------------------------------------- queries
+
+def q_group_counts_events_by_user(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "events")
+    return gc.compute_group_counts(df, keys.by_feature("user_id"))
+
+
+def q_group_counts_documents_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    return gc.compute_group_counts(df, keys.by_feature("source"))
+
+
+def q_group_counts_lineitem_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "lineitem")
+    key = F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus"))
+    return gc.compute_group_counts(df, key)
+
+
+def q_format_group_counts(spark: SparkSession, sf: str) -> DataFrame:
+    counts = q_group_counts_documents_by_source(spark, sf)
+    return gc.format_group_counts(counts, ",")
+
+
+def q_key_random_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "lineitem")
+    rowid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    keyed = keys.with_group_key(df, keys.random(rowid, 16))
+    return keyed.groupBy(keys.GROUP_COL).agg(
+        F.count(F.lit(1)).alias("num_examples"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_key_url_domain(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    keyed = keys.with_group_key(df, keys.url_domain("url"))
+    return keyed.groupBy(keys.GROUP_COL).agg(
+        F.count(F.lit(1)).alias("num_examples")
+    )
+
+
+def q_key_dirichlet_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "embeddings")
+    keyed = keys.dirichlet(
+        spark, df, "label", "vec_id", DIR_LABELS, DIR_GROUPS, DIR_ALPHA, DIR_SEED
+    )
+    return keyed.groupBy(keys.GROUP_COL).agg(
+        F.count(F.lit(1)).alias("num_examples"),
+        F.countDistinct("label").alias("num_labels"),
+    )
+
+
+def q_pack_bytecap_documents(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    keyed = keys.with_group_key(df, keys.by_feature("source"))
+    capped = packing.cap_prefix(
+        keyed, "doc_id", textstats.row_bytes_expr(df), PACK_LIMIT
+    )
+    return capped.groupBy(keys.GROUP_COL).agg(
+        F.count(F.lit(1)).alias("num_examples"),
+        F.sum(textstats.row_bytes_expr(df)).alias("num_bytes"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("doc_id"))), ","
+        ).alias("packed_ids"),
+    )
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "lineitem")
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique_texts"),
+    )
+
+
+def q_text_analysis_documents(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    feats = textanalysis.quality_features(F.col("text"))
+    return df.select(
+        "doc_id",
+        textanalysis.lang_id(F.col("text")).alias("pred_lang"),
+        textanalysis.token_count(F.col("text")).alias("n_tokens"),
+        textanalysis.fingerprint(F.col("text")).alias("fp"),
+        feats["n_words"].alias("n_words"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "group_counts_events_by_user": q_group_counts_events_by_user,
+        "group_counts_documents_by_source": q_group_counts_documents_by_source,
+        "group_counts_lineitem_by_flag": q_group_counts_lineitem_by_flag,
+        "format_group_counts": q_format_group_counts,
+        "key_random_lineitem": q_key_random_lineitem,
+        "key_url_domain": q_key_url_domain,
+        "key_dirichlet_embeddings": q_key_dirichlet_embeddings,
+        "pack_bytecap_documents": q_pack_bytecap_documents,
+        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "text_analysis_documents": q_text_analysis_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ----------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    doc_counts = f"""
+        SELECT source AS group_id,
+               count(*) AS num_examples,
+               CAST(sum({DOC_BYTES_SQL}) AS BIGINT) AS num_bytes,
+               CAST(sum({DOC_WORDS_SQL}) AS BIGINT) AS num_words
+        FROM documents GROUP BY source
     """
-    return {}
+    dirichlet_values = keys.dirichlet_interval_values_sql(
+        DIR_LABELS, DIR_GROUPS, DIR_ALPHA, DIR_SEED
+    )
+    return {
+        "group_counts_events_by_user": f"""
+            SELECT CAST(user_id AS VARCHAR) AS group_id,
+                   count(*) AS num_examples,
+                   CAST(sum({EVT_BYTES_SQL}) AS BIGINT) AS num_bytes,
+                   CAST(sum({EVT_WORDS_SQL}) AS BIGINT) AS num_words
+            FROM events GROUP BY user_id
+        """,
+        "group_counts_documents_by_source": doc_counts,
+        "group_counts_lineitem_by_flag": f"""
+            SELECT concat_ws('|', l_returnflag, l_linestatus) AS group_id,
+                   count(*) AS num_examples,
+                   CAST(sum({textstats.row_bytes_sql(LINEITEM_SCHEMA)}) AS BIGINT) AS num_bytes,
+                   CAST(sum({textstats.row_words_sql(LINEITEM_STRINGS)}) AS BIGINT) AS num_words
+            FROM lineitem GROUP BY 1
+        """,
+        "format_group_counts": f"""
+            SELECT concat_ws(',', group_id, CAST(num_examples AS VARCHAR),
+                             CAST(num_bytes AS VARCHAR),
+                             CAST(num_words AS VARCHAR)) AS line
+            FROM ({doc_counts})
+        """,
+        "key_random_lineitem": """
+            SELECT CAST(((l_orderkey * 8 + l_linenumber) * 2654435761)
+                        % 4294967296 % 16 AS VARCHAR) AS group_id,
+                   count(*) AS num_examples,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "key_url_domain": """
+            SELECT regexp_extract(
+                     'https://' || source || '.example.com/doc/' ||
+                     CAST(doc_id AS VARCHAR),
+                     '^[a-z]+://([^/]+)', 1) AS group_id,
+                   count(*) AS num_examples
+            FROM documents GROUP BY 1
+        """,
+        "key_dirichlet_embeddings": f"""
+            WITH intervals(label_key, dp_group, cum_lo, cum_hi) AS (
+                VALUES {dirichlet_values}
+            ), keyed AS (
+                SELECT e.label, CAST(i.dp_group AS VARCHAR) AS group_id
+                FROM embeddings e
+                JOIN intervals i
+                  ON e.label = i.label_key
+                 AND ((e.vec_id * 2654435761) % 4294967296) / 4294967296.0
+                     >= i.cum_lo
+                 AND ((e.vec_id * 2654435761) % 4294967296) / 4294967296.0
+                     < i.cum_hi
+            )
+            SELECT group_id, count(*) AS num_examples,
+                   count(DISTINCT label) AS num_labels
+            FROM keyed GROUP BY group_id
+        """,
+        "pack_bytecap_documents": f"""
+            WITH sized AS (
+                SELECT source AS group_id, doc_id, {DOC_BYTES_SQL} AS sz
+                FROM documents
+            ), cum AS (
+                SELECT group_id, doc_id, sz,
+                       sum(sz) OVER (PARTITION BY group_id ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_sz
+                FROM sized
+            )
+            SELECT group_id, count(*) AS num_examples, CAST(sum(sz) AS BIGINT) AS num_bytes,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS packed_ids
+            FROM cum WHERE cum_sz < {PACK_LIMIT} GROUP BY group_id
+        """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact_documents": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique_texts
+            FROM documents GROUP BY source
+        """,
+        "text_analysis_documents": f"""
+            SELECT doc_id,
+                   {textanalysis.lang_id_sql('text')} AS pred_lang,
+                   {textanalysis.token_count_sql('text')} AS n_tokens,
+                   {textanalysis.fingerprint_sql('text')} AS fp,
+                   {textanalysis.quality_sql('text')['n_words']} AS n_words,
+                   {textanalysis.quality_sql('text')['avg_word_len']}
+                     AS avg_word_len,
+                   {textanalysis.quality_sql('text')['punct_ratio']}
+                     AS punct_ratio,
+                   {textanalysis.quality_sql('text')['stopword_ratio']}
+                     AS stopword_ratio
+            FROM documents
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the reference's group-counts pipeline (beam_transforms
+    .py:112-131) over documents grouped by source at sf0.001."""
+    return q_group_counts_documents_by_source(spark, SF0001)

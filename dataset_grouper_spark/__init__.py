@@ -1,0 +1,41 @@
+"""dataset_grouper_spark — a PySpark-native group-partitioning engine.
+
+A from-scratch re-expression of the capabilities of
+google-parfait/dataset_grouper (reference: /root/reference, v0.3.0) on
+Apache Spark DataFrames, extended with the operators a large-scale
+training-data pipeline needs (dedup, similarity search, multimodal
+columns, text analysis).
+
+Design stance (SURVEY.md §7): data stays relational end-to-end. A
+"partitioned dataset" is a Parquet table keyed by a ``group_id``
+column, not proto blobs; all reference semantics are reproduced with
+declarative DataFrame ops so Catalyst plans the physical execution
+(partial aggregation, pushdown, AQE) for free.
+
+Reference surface covered (citations are file:line in the reference):
+- group keying           -> keys.py        (types.py:31, examples/datasets/*)
+- group counts pipeline  -> operators/group_counts.py (beam_transforms.py:112-131)
+- byte-capped packing    -> operators/packing.py      (beam_transforms.py:31-109)
+- partitioned write      -> sinks/         (tfds_pipelines.py:25-78)
+- group-stream loading   -> loader.py      (data_loaders.py:70-125)
+- byte/word scalar fns   -> functions/textstats.py    (tf_utils.py:20-60)
+"""
+
+from dataset_grouper_spark import keys
+from dataset_grouper_spark.functions import textstats
+from dataset_grouper_spark.loader import PartitionedDataset
+from dataset_grouper_spark.operators.group_counts import compute_group_counts
+from dataset_grouper_spark.operators.packing import pack_groups
+from dataset_grouper_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "keys",
+    "textstats",
+    "PartitionedDataset",
+    "compute_group_counts",
+    "pack_groups",
+    "get_spark",
+    "__version__",
+]

@@ -1,0 +1,71 @@
+"""Deterministic, engine-portable hashing primitives.
+
+All dedup/similarity operators hash strings through md5 and take the
+first 15 hex digits as a 60-bit non-negative bigint. md5 is available
+and bit-identical in every engine (Spark, DuckDB, Trino, ...), unlike
+engine-native hash functions (xxhash64 seeds and variants differ), so
+every derived signature — minhash, simhash, LSH band keys, fingerprints
+— is reproducible cross-engine and can be oracle-checked in SQL.
+
+Universal-hash family for minhash: h_i(x) = (a_i * x + b_i) mod p with
+p = 2^31 - 1 (Mersenne prime) — the standard construction (Broder
+1997, "On the resemblance and containment of documents"). p is kept at
+31 bits so a_i * x stays within int64 in any SQL engine; a 31-bit
+minhash space is ample for signature comparison (collision probability
+~n/2^31 per permutation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def md5_long(c: Column) -> Column:
+    """60-bit bigint from md5 — deterministic cross-engine string hash."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB twin of md5_long."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """Word-level n-gram shingles of a text column as array<string>.
+
+    Split on single spaces (the corpus' tokenization; see textstats word
+    semantics), then join each sliding window of n tokens with a space.
+    Pure Catalyst: transform over a sequence of start offsets.
+    """
+    toks = F.split(F.regexp_replace(F.coalesce(c, F.lit("")), r"^\s+|\s+$", ""), " ", -1)
+    num = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), num),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs for the universal-hash family, seeded."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE31, size=num_perm, dtype=np.int64)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def perm_hash(h: Column, a: int, b: int) -> Column:
+    """(a * (h mod p) + b) mod p, p = 2^31-1. a,b < p and h mod p < p,
+    so the product stays < 2^62 — safe int64 arithmetic everywhere.
+    """
+    p = MERSENNE31
+    return F.pmod(F.lit(a) * F.pmod(h, F.lit(p)) + F.lit(b), F.lit(p))
+
+
+def perm_hash_sql(h_expr: str, a: int, b: int) -> str:
+    """DuckDB twin of perm_hash (h_expr must be non-negative)."""
+    p = MERSENNE31
+    return f"(({a} * (({h_expr}) % {p}) + {b}) % {p})"

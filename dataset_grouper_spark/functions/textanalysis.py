@@ -1,0 +1,137 @@
+"""Text-analysis column functions for training-data pipelines.
+
+North-star extensions beyond the reference's surface (SURVEY §2.8):
+language-ID (stopword-marker heuristic), quality scoring, token
+counting (BPE-ish regex), and document fingerprinting. All pure
+Catalyst expressions with DuckDB SQL twins for oracle checking —
+no Python in the row path, so they vectorize at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.functions.hashing import md5_long, md5_long_sql
+
+# Tiny marker-word lists per language. A real pipeline plugs in a
+# proper model (fastText etc.) behind the same column contract; the
+# heuristic itself is the classic stopword-profile method.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_regex(words: list[str]) -> str:
+    alts = "|".join(words)
+    return rf"\b({alts})\b"
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    return {
+        lang: F.size(F.regexp_extract_all(c, F.lit(_marker_regex(words)), 0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(c: Column) -> Column:
+    """Predicted language = argmax marker count, ties broken by language
+    code order, 'und' when no marker hits at all.
+    """
+    scores = lang_scores(c)
+    # Deterministic argmax: fold over sorted language codes keeping the
+    # strictly-greater winner, so earlier codes win ties.
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_sql(expr: str) -> str:
+    """DuckDB twin of lang_id (same fold, same tie-break)."""
+    out_lang = "'und'"
+    out_score = "0"
+    for lang in sorted(LANG_MARKERS):
+        pat = _marker_regex(LANG_MARKERS[lang])
+        score = f"len(regexp_extract_all({expr}, '{pat}'))"
+        out_lang = f"CASE WHEN {score} > {out_score} THEN '{lang}' ELSE {out_lang} END"
+        out_score = f"CASE WHEN {score} > {out_score} THEN {score} ELSE {out_score} END"
+    return out_lang
+
+
+def token_count(c: Column) -> Column:
+    """BPE-ish token count: alnum runs + single punctuation marks."""
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+        " AS BIGINT)"
+    )
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Quality-signal columns: char/word counts, mean word length,
+    punctuation and stopword ratios (all x1e4-rounded for stable
+    cross-engine comparison).
+    """
+    stripped = F.regexp_replace(F.coalesce(c, F.lit("")), r"^\s+|\s+$", "")
+    words = F.split(stripped, " ", -1)
+    n_words = F.size(words)
+    n_chars = F.octet_length(stripped)
+    n_punct = F.size(F.regexp_extract_all(stripped, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(stripped, F.lit(_marker_regex(LANG_MARKERS["en"])), 0)
+    )
+    avg_wl = F.round(n_chars / F.greatest(n_words, F.lit(1)), 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 4)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "avg_word_len": avg_wl,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def quality_sql(expr: str) -> dict[str, str]:
+    stripped = f"regexp_replace(coalesce({expr}, ''), '^\\s+|\\s+$', '', 'g')"
+    n_words = f"len(string_split({stripped}, ' '))"
+    n_chars = f"strlen({stripped})"
+    n_punct = f"len(regexp_extract_all({stripped}, '[^A-Za-z0-9\\s]'))"
+    en_pat = _marker_regex(LANG_MARKERS["en"])
+    n_stop = f"len(regexp_extract_all({stripped}, '{en_pat}'))"
+    return {
+        "n_chars": f"CAST({n_chars} AS BIGINT)",
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "avg_word_len": f"round({n_chars} / greatest({n_words}, 1), 4)",
+        "punct_ratio": f"round({n_punct} / greatest({n_chars}, 1), 4)",
+        "stopword_ratio": f"round({n_stop} / greatest({n_words}, 1), 4)",
+    }
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized,
+    lowercased text. Stable under reformatting; cross-engine exact.
+    """
+    norm = F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")
+    return md5_long(F.regexp_replace(norm, r"^\s+|\s+$", ""))
+
+
+def fingerprint_sql(expr: str) -> str:
+    norm = f"regexp_replace(lower(coalesce({expr}, '')), '\\s+', ' ', 'g')"
+    stripped = f"regexp_replace({norm}, '^\\s+|\\s+$', '', 'g')"
+    return md5_long_sql(stripped)

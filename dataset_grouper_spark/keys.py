@@ -1,0 +1,161 @@
+"""Group keyers — every example gets a ``group_id`` column.
+
+The reference models keying as ``GetKeyFn = Callable[[Example], bytes]``
+(reference ``dataset_grouper/types.py:31``) applied per example via a
+Beam Map (``beam_transforms.py:103``). Here a keyer is a Catalyst
+``Column`` expression — JVM-side, codegen'd, no Python in the hot path.
+``group_id`` is StringType (the reference's raw ``bytes`` keys are all
+utf-8 text in practice; see SURVEY §7 "Hard parts").
+
+Keyers mirrored from the reference's example zoo:
+- ``by_feature``   <- examples/datasets/group_by_feature.py:75-81
+- ``url_domain``   <- examples/datasets/group_c4.py:79-83
+- ``random``       <- examples/datasets/group_randomly.py:75-79
+- ``dirichlet``    <- examples/datasets/group_by_dirichlet_process.py:130-145
+                      (scheme of arXiv:1909.06335)
+
+Determinism: the reference's random/Dirichlet keyers are unseeded and
+order-dependent. Ours are pure functions of row content (multiplicative
+hashing), so the same row always lands in the same group on any cluster
+size — required for the correctness oracle and for reproducible
+repartitions at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GROUP_COL = "group_id"
+
+# Knuth's multiplicative constant; x * KNUTH mod 2^32 scrambles an
+# integer id into a uniform 32-bit value identically in any SQL engine
+# (pure int64 arithmetic — no engine-specific hash function).
+_KNUTH = 2654435761
+_M32 = 4294967296  # 2^32
+
+
+def with_group_key(df: DataFrame, key: Column) -> DataFrame:
+    """Attach the group key (== KeyExamples, beam_transforms.py:103)."""
+    return df.withColumn(GROUP_COL, key.cast("string"))
+
+
+def by_feature(col: str | Column) -> Column:
+    """Key = a feature's value, stringified.
+
+    Mirrors group_by_feature.py:75-81 (string features used raw, other
+    dtypes str()-ed).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")
+
+
+def constant(value: str) -> Column:
+    """Single-group keyer (the reference's test default key)."""
+    return F.lit(value)
+
+
+def scramble(id_col: str | Column) -> Column:
+    """Deterministic uniform 32-bit scramble of an integer id column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(c.cast("long") * F.lit(_KNUTH), F.lit(_M32))
+
+
+def random(id_col: str | Column, num_groups: int) -> Column:
+    """Uniform-random group in [0, num_groups), deterministic per row.
+
+    Mirrors group_randomly.py:75-79 (``random.randint(0, N-1)`` per
+    example) but seeded by row identity instead of RNG state, so the
+    assignment is reproducible and SQL-expressible.
+    """
+    return F.pmod(scramble(id_col), F.lit(num_groups)).cast("string")
+
+
+def url_domain(url_col: str | Column) -> Column:
+    """Key = URL host. Mirrors group_c4.py:79-83 (urlparse().netloc).
+
+    ``parse_url`` is a built-in Catalyst expression — no UDF.
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def uniform01(id_col: str | Column) -> Column:
+    """Deterministic uniform double in [0,1) from an integer id."""
+    return scramble(id_col) / F.lit(float(_M32))
+
+
+def dirichlet_matrix(
+    num_labels: int, num_groups: int, alpha: float, seed: int
+) -> np.ndarray:
+    """The (num_labels x num_groups) categorical matrix of the
+    Dirichlet-process keyer, cumulatively summed per label row.
+
+    Mirrors group_by_dirichlet_process.py:130-137: one Dirichlet(alpha)
+    draw per label giving that label's distribution over groups.
+    """
+    rng = np.random.default_rng(seed)
+    probs = rng.dirichlet([alpha] * num_groups, size=num_labels)
+    return np.cumsum(probs, axis=1)
+
+
+def dirichlet(
+    spark: SparkSession,
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    num_labels: int,
+    num_groups: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Dirichlet-process keyer: sample each row's group from its label's
+    categorical distribution (group_by_dirichlet_process.py:138-145).
+
+    Implementation: broadcast-join the tiny (label, group, cum_lo,
+    cum_hi) table and pick the interval containing the row's
+    deterministic uniform — an inverse-CDF sample with zero Python in
+    the row path. The prob matrix is O(labels*groups) and broadcast;
+    the join never shuffles the fact table.
+    """
+    cum = dirichlet_matrix(num_labels, num_groups, alpha, seed)
+    rows = []
+    for lbl in range(num_labels):
+        lo = 0.0
+        for g in range(num_groups):
+            hi = float(cum[lbl, g])
+            rows.append((lbl, g, lo, hi))
+            lo = hi
+    intervals = spark.createDataFrame(
+        rows, "label_key int, dp_group int, cum_lo double, cum_hi double"
+    )
+    u = uniform01(id_col)
+    joined = df.withColumn("_u", u).join(
+        F.broadcast(intervals),
+        (F.col(label_col).cast("int") == F.col("label_key"))
+        & (F.col("_u") >= F.col("cum_lo"))
+        & (F.col("_u") < F.col("cum_hi")),
+        "inner",
+    )
+    return joined.withColumn(GROUP_COL, F.col("dp_group").cast("string")).drop(
+        "label_key", "dp_group", "cum_lo", "cum_hi", "_u"
+    )
+
+
+def dirichlet_interval_values_sql(
+    num_labels: int, num_groups: int, alpha: float, seed: int
+) -> str:
+    """The same (label, group, lo, hi) intervals as a SQL VALUES list,
+    printed with full double precision — lets an external SQL oracle
+    reproduce the keyer bit-for-bit.
+    """
+    cum = dirichlet_matrix(num_labels, num_groups, alpha, seed)
+    parts = []
+    for lbl in range(num_labels):
+        lo = 0.0
+        for g in range(num_groups):
+            hi = float(cum[lbl, g])
+            parts.append(f"({lbl}, {g}, {lo!r}, {hi!r})")
+            lo = hi
+    return ", ".join(parts)

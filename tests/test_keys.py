@@ -1,0 +1,52 @@
+"""Keyer semantics: determinism, range, distribution sanity."""
+
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark import keys
+
+
+def test_by_feature_stringifies(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, s: string")
+    out = keys.with_group_key(df, keys.by_feature("id")).collect()
+    assert {r.group_id for r in out} == {"1", "2"}
+
+
+def test_random_deterministic_and_in_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id: long")
+    a = keys.with_group_key(df, keys.random("id", 16)).collect()
+    b = keys.with_group_key(df, keys.random("id", 16)).collect()
+    assert {r.id: r.group_id for r in a} == {r.id: r.group_id for r in b}
+    groups = {int(r.group_id) for r in a}
+    assert groups <= set(range(16))
+    # uniform-ish: every bucket hit with 1000 rows over 16 buckets
+    assert len(groups) == 16
+
+
+def test_url_domain(spark):
+    df = spark.createDataFrame(
+        [("https://sub.example.com/x?q=1",), ("http://other.org/",)], "url: string"
+    )
+    out = keys.with_group_key(df, keys.url_domain("url")).collect()
+    assert {r.group_id for r in out} == {"sub.example.com", "other.org"}
+
+
+def test_dirichlet_respects_label_distribution(spark):
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(2000)], "vec_id: long, label: int"
+    )
+    keyed = keys.dirichlet(spark, df, "label", "vec_id", 4, 6, alpha=0.5, seed=3)
+    rows = keyed.collect()
+    assert len(rows) == 2000  # exactly one interval matched per row
+    gs = {int(r.group_id) for r in rows}
+    assert gs <= set(range(6))
+    # determinism
+    again = keys.dirichlet(spark, df, "label", "vec_id", 4, 6, alpha=0.5, seed=3)
+    assert {(r.vec_id, r.group_id) for r in again.collect()} == {
+        (r.vec_id, r.group_id) for r in rows
+    }
+
+
+def test_constant_single_group(spark):
+    df = spark.createDataFrame([(i,) for i in range(5)], "id: long")
+    out = keys.with_group_key(df, keys.constant("test_client"))
+    assert out.select(F.countDistinct("group_id")).collect()[0][0] == 1

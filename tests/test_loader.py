@@ -1,0 +1,100 @@
+"""Write -> load -> group-stream roundtrip (integration_test.py:26-59
+analogue): schema equality, group listing, seeded shuffle, pruning,
+cohort batching, resume-by-skip."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark import keys, sinks
+from dataset_grouper_spark.loader import PartitionedDataset
+
+
+@pytest.fixture(scope="module")
+def written(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pds"))
+    df = spark.createDataFrame(
+        [(i, i % 10, f"row {i}") for i in range(200)],
+        "id: long, label: long, text: string",
+    )
+    sinks.write_partitioned(df, keys.by_feature("label"), path, order_col="id")
+    return path
+
+
+def test_roundtrip_schema_and_rows(spark, written):
+    pds = PartitionedDataset(spark, written)
+    df = pds.dataframe()
+    assert df.count() == 200
+    assert set(df.columns) == {"id", "label", "text", "group_id"}
+
+
+def test_group_index_no_scan(spark, written):
+    pds = PartitionedDataset(spark, written)
+    idx = {r.group_id: r.num_examples for r in pds.group_index().collect()}
+    assert len(idx) == 10
+    assert all(v == 20 for v in idx.values())
+
+
+def test_group_pruned_read(spark, written):
+    pds = PartitionedDataset(spark, written)
+    g = pds.group("3")
+    assert g.count() == 20
+    assert set(r.label for r in g.collect()) == {3}
+
+
+def test_seeded_shuffle_deterministic(spark, written):
+    pds = PartitionedDataset(spark, written)
+    a = pds.list_groups(shuffle=True, seed=7)
+    b = pds.list_groups(shuffle=True, seed=7)
+    c = pds.list_groups(shuffle=True, seed=8)
+    assert a == b
+    assert sorted(a) == sorted(c)
+    assert a != c  # overwhelmingly likely with 10 groups
+
+
+def test_group_stream_cohorts_and_resume(spark, written):
+    pds = PartitionedDataset(spark, written)
+    cohorts = list(pds.group_stream(batch_groups=3))
+    assert [len(c) for c in cohorts] == [3, 3, 3, 1]
+    flat = [g for c in cohorts for g, _ in c]
+    resumed = list(pds.group_stream(batch_groups=3, skip=6))
+    assert [g for c in resumed for g, _ in c] == flat[6:]
+    gid, pdf = cohorts[0][0]
+    assert isinstance(pdf, pd.DataFrame)
+    assert len(pdf) == 20
+
+
+def test_for_each_group_distributed(spark, written):
+    pds = PartitionedDataset(spark, written)
+    out = pds.for_each_group(
+        lambda pdf: pd.DataFrame({"n": [len(pdf)]}), schema="n long"
+    )
+    assert [r.n for r in out.collect()] == [20] * 10
+
+
+def test_bucketed_layout_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "bucketed")
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 50}.com") for i in range(500)], "id: long, domain: string"
+    )
+    sinks.write_partitioned(
+        df, keys.by_feature("domain"), path, order_col="id",
+        layout="bucketed", num_buckets=8,
+    )
+    pds = PartitionedDataset(spark, path)
+    assert len(pds.list_groups()) == 50
+    g = pds.group("dom7.com")
+    assert g.count() == 10
+
+
+def test_bytecap_write(spark, tmp_path):
+    path = str(tmp_path / "capped")
+    df = spark.createDataFrame(
+        [(i, "g", "x" * 100) for i in range(10)], "id: long, k: string, s: string"
+    )
+    # row bytes = 8 + 1 + 100 = 109; cap 500 keeps 4 rows (436 < 500 < 545)
+    sinks.write_partitioned(
+        df, keys.by_feature("k"), path, order_col="id", limit=500
+    )
+    pds = PartitionedDataset(spark, path)
+    assert pds.dataframe().count() == 4

@@ -16,8 +16,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataset_grouper_spark import keys
+from dataset_grouper_spark import keys, oracles
 from dataset_grouper_spark.functions import textanalysis, textstats
+from dataset_grouper_spark.operators import dedup, multimodal, similarity
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
 from dataset_grouper_spark.sources import read_table
@@ -185,6 +186,52 @@ def q_text_analysis_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Shared parameters for dedup/similarity (Spark side and oracle side
+# must use identical values).
+NGRAM_N, JACCARD_T = 3, 0.8
+MH_PERM, MH_BANDS, MH_SEED = 16, 4, 42
+SIMHASH_BITS = 16
+TOPK_K, TOPK_QFILTER = 5, "vec_id < 8"
+
+
+def q_dedup_exact_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    out = dedup.exact_dedup(df, "text", "doc_id")
+    return out.select("doc_id", "source", "dup_count")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(df, "text", "doc_id", NGRAM_N, JACCARD_T)
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    sigs = dedup.minhash_signatures(df, "text", "doc_id", NGRAM_N, MH_PERM, MH_SEED)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", MH_PERM, MH_BANDS)
+
+
+def q_simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    return dedup.simhash(df, "text", "doc_id", SIMHASH_BITS)
+
+
+def q_cosine_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "embeddings")
+    qs = df.filter(F.expr(TOPK_QFILTER))
+    return similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", TOPK_K)
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # documents.text stands in for binary media payloads: encode to
+    # binary, then run the (stubbed) decode through real mapInPandas
+    # plumbing — schema, Arrow batching, partition behavior all live.
+    df = read_table(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return multimodal.decode_image_meta(df, "content", "doc_id", fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_counts_events_by_user": q_group_counts_events_by_user,
@@ -198,6 +245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_analysis_documents": q_text_analysis_documents,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash_documents": q_simhash_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "multimodal_image_meta": q_multimodal_image_meta,
     }
 
 
@@ -301,6 +354,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(text)) AS n_unique_texts
             FROM documents GROUP BY source
         """,
+        "dedup_exact_survivors": oracles.exact_dedup_sql(
+            "documents", "text", "doc_id", "doc_id, source"
+        ),
+        "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(
+            "documents", "text", "doc_id", NGRAM_N, JACCARD_T
+        ),
+        "minhash_lsh_candidates": oracles.lsh_pairs_sql(
+            "documents", "text", "doc_id", NGRAM_N, MH_PERM, MH_BANDS, MH_SEED
+        ),
+        "simhash_documents": oracles.simhash_sql(
+            "documents", "text", "doc_id", SIMHASH_BITS
+        ),
+        "cosine_topk_embeddings": oracles.cosine_topk_sql(
+            "embeddings", "embedding", "vec_id", TOPK_QFILTER, TOPK_K
+        ),
+        "multimodal_image_meta": oracles.image_meta_sql(
+            "documents", "text", "doc_id"
+        ),
         "text_analysis_documents": f"""
             SELECT doc_id,
                    {textanalysis.lang_id_sql('text')} AS pred_lang,

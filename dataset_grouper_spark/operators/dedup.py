@@ -1,0 +1,240 @@
+"""Deduplication operators — north-star extensions (SURVEY §2.8).
+
+Four tiers, each a standard technique re-expressed as declarative
+DataFrame ops so Catalyst plans the shuffles:
+
+- exact:        content hash -> groupBy -> keep canonical row
+- ngram-jaccard: shingle self-join -> exact pairwise Jaccard
+- minhash-LSH:  seeded universal-hash signatures -> banded bucket
+                join -> candidate pairs (approx Jaccard at scale)
+- simhash:      per-token hash bit-voting -> near-identical buckets
+
+All hashing goes through functions/hashing.py (md5-based) so results
+are engine-portable and oracle-checkable in SQL.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle; the LSH path is
+the scalable near-dup join — candidate generation is |bands| narrow
+shuffles on band keys instead of an O(n^2) cross join; the exact
+jaccard path is for verification / small corpora (its shingle join
+explodes on common shingles — cap via distinct shingles per doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.functions.hashing import (
+    MERSENNE31,
+    md5_long,
+    minhash_params,
+    perm_hash,
+    word_ngrams,
+)
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Keep one canonical row (min id) per exact content value.
+
+    One shuffle on the 128-bit content hash; ties broken by id so the
+    survivor set is deterministic. Returns the df filtered to
+    survivors, plus a ``dup_count`` column (1 = unique).
+    """
+    h = F.md5(F.col(content_col)).alias("_h")
+    w = Window.partitionBy("_h")
+    ranked = (
+        df.withColumn("_h", F.md5(F.col(content_col)))
+        .withColumn("_rn", F.row_number().over(w.orderBy(F.col(id_col))))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_h", "_rn")
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per doc.
+
+    Tokenization is projected into a column BEFORE the n-gram
+    higher-order function so the split/regexp runs once per doc, not
+    once per shingle (see hashing.ngrams_of_tokens).
+    """
+    from dataset_grouper_spark.functions.hashing import ngrams_of_tokens, tokens
+
+    return (
+        df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
+        .select("_id", F.explode(ngrams_of_tokens(F.col("_t"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard similarity over word n-gram sets.
+
+    intersection via shingle self-join; union = |A| + |B| - inter.
+    Emits (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
+    for stable cross-engine comparison. O(sum_sh freq^2) — use the
+    minhash path at scale, this one to verify it.
+    """
+    # The shingle frame feeds three subplans (two join sides + sizes);
+    # persist it so the explode+distinct shuffle runs once, spilling to
+    # disk when it outgrows memory.
+    sh = shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc minhash signature columns m0..m{k-1}.
+
+    min over shingles of h_i(md5_long(shingle)) — one aggregation, all
+    Catalyst min()s, partial-aggregated map-side. Docs with no shingle
+    get the empty-set sentinel p (MERSENNE31).
+    """
+    params = minhash_params(num_perm, seed)
+    sh = shingles(df, text_col, id_col, n).withColumn(
+        "_h", md5_long(F.col("shingle"))
+    )
+    aggs = [
+        F.coalesce(F.min(perm_hash(F.col("_h"), a, b)), F.lit(MERSENNE31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any band of the
+    signature. rows_per_band = num_perm // bands; collision prob for
+    jaccard s is 1-(1-s^r)^b (the S-curve).
+
+    One narrow shuffle per band on the band key — no cross join.
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    r = num_perm // bands
+    # One row per (doc, band) with the band key embedding the band
+    # index — so ALL bands join in a single equijoin on one shuffle,
+    # instead of `bands` separate self-joins each recomputing the
+    # signature subplan. At 100 TB this is the difference between 1
+    # and `2*bands` passes over the corpus.
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), F.explode(band_keys).alias("_band")
+    ).persist()
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x._band") == F.col("y._band"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates ->
+    (optional) exact-jaccard verification of candidates only.
+
+    With ``verify_threshold`` set, candidates are re-scored with exact
+    n-gram Jaccard (join back to shingles) — the classic
+    candidate-then-verify shape that keeps the exact computation off
+    the full corpus.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    if verify_threshold is None:
+        return cands
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, verify_threshold)
+    return cands.join(exact, ["id_a", "id_b"], "inner")
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-doc simhash: each token votes +1/-1 on each bit of its hash;
+    bit = 1 where the vote sum is positive (Charikar 2002).
+
+    Shape: explode (token, bit) pairs -> two-level aggregation — all
+    built-in, partial-aggregated. Near-identical docs share simhash
+    values; group on it for near-dup buckets.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(
+                F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"^\s+|\s+$", ""),
+                " ",
+                -1,
+            )
+        ).alias("_tok"),
+    ).withColumn("_h", md5_long(F.col("_tok")))
+    # One aggregate column per bit (literal shifts keep everything in
+    # int64 — no float pow, no per-row Python). Partial aggregation
+    # means each map task ships `bits` longs per doc, not tokens.
+    votes = [
+        F.sum(
+            F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_s{i}")
+        for i in range(bits)
+    ]
+    per_doc = toks.groupBy(F.col("_id").alias(id_col)).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"_s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns — north-star extension.
+
+Two paths (SURVEY §2.8):
+
+- ``cosine_topk``: brute-force exact top-k. Query set is broadcast
+  (small dim table), the corpus scan stays distributed; dot products
+  are Catalyst ``aggregate``/``zip_with`` folds — JVM-side, no Python.
+  O(|queries| * |corpus|) work but one pass over the corpus, no
+  shuffle until the final per-query top-k (a windowed rank over
+  |queries| * k candidates).
+- ``random_hyperplane_lsh``: sign-random-projection buckets (Charikar
+  2002). Vectors sharing the b-bit signature land in one bucket;
+  candidate join is bucket-equijoin — the 100 TB path where the cross
+  product is impossible. Probe multiplicity via band repetition.
+
+Both operate on ``array<float>`` columns; norms are precomputed once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold dot product — deterministic summation order
+    (cross-engine reproducible, unlike a parallel reduction)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
+    return df.withColumn(out, _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k, cosine
+    rounded for stable comparison, ties broken by neighbor id. Queries
+    are broadcast — never shuffle the corpus to meet them.
+    """
+    c = with_norm(corpus, vec_col, "_cn").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_cn"
+    )
+    q = with_norm(queries, vec_col, "_qn").select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_qn"
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_cv"), F.col("_qv"))
+                / (F.col("_cn") * F.col("_qn")),
+                round_digits,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Seeded random hyperplane normals for sign-projection LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def signature_expr(vec_col: str | Column, planes: list[list[float]]) -> Column:
+    """b-bit sign signature of a vector as a bigint bucket id."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = _dot(v, arr)
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+signature_expr_col = signature_expr
+
+
+def random_hyperplane_lsh_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-neighbor pairs: same b-bit sign signature in any
+    of ``tables`` independent hash tables.
+
+    Per table: one narrow projection pass + an equijoin on the bucket
+    id. Bucket sizes concentrate around n/2^bits — pick bits so
+    buckets fit comfortably in a task (AQE skew-split covers stragglers).
+    """
+    # One row per (vector, table) with a table-tagged bucket key: all
+    # tables join in a single equijoin (one shuffle, one corpus pass)
+    # instead of `tables` separate self-joins.
+    buckets = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(t)),
+                signature_expr(vec_col, hyperplanes(dim, bits, seed + t)).cast(
+                    "string"
+                ),
+            )
+            for t in range(tables)
+        ]
+    )
+    bucketed = df.select(
+        F.col(id_col).alias("_id"), F.explode(buckets).alias("_bucket")
+    ).persist()
+    x, y = bucketed.alias("x"), bucketed.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x._bucket") == F.col("y._bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: LSH-bucket candidates, exact cosine re-rank.
+
+    The scale path: corpus and queries are bucketed by the same
+    signatures; only same-bucket pairs get the exact cosine. Recall
+    tunes with bits/tables; the re-rank is exact over candidates.
+    """
+    def tagged_buckets(vc: Column) -> Column:
+        return F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(str(t)),
+                    signature_expr_col(vc, hyperplanes(dim, bits, seed + t)).cast(
+                        "string"
+                    ),
+                )
+                for t in range(tables)
+            ]
+        )
+
+    # Single corpus pass: every table's bucket key is computed in one
+    # projection and exploded; the (tiny) query side is broadcast.
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode(tagged_buckets(F.col(vec_col))).alias("_bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(tagged_buckets(F.col(vec_col))).alias("_bucket"),
+    )
+    cands = (
+        cb.join(F.broadcast(qb), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_cv", "_qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_cv"), F.col("_qv"))
+            / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+            6,
+        ),
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

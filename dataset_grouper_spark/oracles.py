@@ -1,0 +1,193 @@
+"""DuckDB oracle-SQL twins for the non-trivial operators.
+
+Each generator emits ANSI-ish SQL computing exactly what the Spark
+operator computes — same md5-based hashing (functions/hashing.py), same
+seeded parameters — so the driver's side-by-side hash comparison is
+exact. These twins exist for correctness checking only; they are not
+an execution path of the engine.
+"""
+
+from __future__ import annotations
+
+from dataset_grouper_spark.functions.hashing import (
+    MERSENNE31,
+    md5_long_sql,
+    minhash_params,
+    perm_hash_sql,
+)
+
+STRIP = "regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+
+
+def shingle_cte(table: str, text_col: str, id_col: str, n: int) -> str:
+    """CTE body producing DISTINCT (doc_id, shingle) word n-grams."""
+    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    stripped = STRIP.format(col=text_col)
+    return f"""
+      toks AS (
+        SELECT {id_col} AS _id, string_split({stripped}, ' ') AS t
+        FROM {table}
+      ),
+      sh AS (
+        SELECT DISTINCT _id, {terms} AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0)))
+             AS g(i)
+      )"""
+
+
+def ngram_jaccard_sql(
+    table: str, text_col: str, id_col: str, n: int, threshold: float
+) -> str:
+    return f"""
+      WITH {shingle_cte(table, text_col, id_col, n)},
+      sz AS (SELECT _id, count(*) AS s FROM sh GROUP BY _id),
+      inter AS (
+        SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a._id < b._id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+             round(i * 1.0 / (x.s + y.s - i), 6) AS jaccard
+      FROM inter
+      JOIN sz x ON id_a = x._id
+      JOIN sz y ON id_b = y._id
+      WHERE round(i * 1.0 / (x.s + y.s - i), 6) >= {threshold}
+    """
+
+
+def minhash_sig_cte(
+    table: str, text_col: str, id_col: str, n: int, num_perm: int, seed: int
+) -> str:
+    params = minhash_params(num_perm, seed)
+    h = md5_long_sql("shingle")
+    mins = ",\n               ".join(
+        f"coalesce(min({perm_hash_sql('hs', a, b)}), {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+      {shingle_cte(table, text_col, id_col, n)},
+      hs_t AS (SELECT _id, {h} AS hs FROM sh),
+      sig AS (
+        SELECT _id, {mins}
+        FROM hs_t GROUP BY _id
+      )"""
+
+
+def lsh_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+    seed: int,
+) -> str:
+    r = num_perm // bands
+    unions = []
+    for b in range(bands):
+        conds = " AND ".join(
+            f"x.m{b * r + j} = y.m{b * r + j}" for j in range(r)
+        )
+        unions.append(
+            f"SELECT x._id AS id_a, y._id AS id_b FROM sig x "
+            f"JOIN sig y ON {conds} AND x._id < y._id"
+        )
+    u = "\n        UNION\n        ".join(unions)
+    return f"""
+      WITH {minhash_sig_cte(table, text_col, id_col, n, num_perm, seed)}
+      SELECT DISTINCT id_a, id_b FROM (
+        {u}
+      )
+    """
+
+
+def simhash_sql(table: str, text_col: str, id_col: str, bits: int) -> str:
+    stripped = STRIP.format(col=text_col)
+    h = md5_long_sql("tok")
+    votes = ",\n               ".join(
+        f"sum(((hv >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(bits)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT {id_col} AS _id,
+               unnest(string_split({stripped}, ' ')) AS tok
+        FROM {table}
+      ),
+      hs_t AS (SELECT _id, {h} AS hv FROM toks),
+      v AS (SELECT _id, {votes} FROM hs_t GROUP BY _id)
+      SELECT _id AS {id_col}, CAST({recon} AS BIGINT) AS simhash FROM v
+    """
+
+
+def cosine_topk_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query_filter: str,
+    k: int,
+    round_digits: int = 6,
+) -> str:
+    return f"""
+      WITH c AS (
+        SELECT {id_col} AS nid,
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv
+        FROM {table}
+      ),
+      q AS (
+        SELECT {id_col} AS qid,
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qv
+        FROM {table} WHERE {query_filter}
+      ),
+      s AS (
+        SELECT qid AS query_id, nid AS neighbor_id,
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))), {round_digits}) AS cosine
+        FROM q, c WHERE nid != qid
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        FROM s
+      )
+      SELECT * FROM ranked WHERE rank <= {k}
+    """
+
+
+def exact_dedup_sql(table: str, content_col: str, id_col: str, keep_cols: str) -> str:
+    return f"""
+      WITH ranked AS (
+        SELECT {keep_cols},
+               row_number() OVER (PARTITION BY md5({content_col})
+                                  ORDER BY {id_col}) AS _rn,
+               CAST(count(*) OVER (PARTITION BY md5({content_col})) AS BIGINT)
+                 AS dup_count
+        FROM {table}
+      )
+      SELECT {keep_cols}, dup_count FROM ranked WHERE _rn = 1
+    """
+
+
+def image_meta_sql(table: str, text_col: str, id_col: str) -> str:
+    """Twin of the deterministic fake image decoder
+    (operators/multimodal.py:_fake_decode): metadata derived from the
+    sha256 of the payload bytes."""
+    sha = f"sha256({text_col})"  # DuckDB hashes the VARCHAR's utf-8 bytes
+    b0 = f"(('0x' || substr({sha}, 1, 2))::INT)"
+    b1 = f"(('0x' || substr({sha}, 3, 2))::INT)"
+    b2 = f"(('0x' || substr({sha}, 5, 2))::INT)"
+    return f"""
+      SELECT {id_col} AS id,
+             CAST(strlen({text_col}) AS BIGINT) AS n_bytes,
+             CASE {b0} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'webp' END AS format,
+             CAST(16 + {b1} % 241 AS INT) AS width,
+             CAST(16 + {b2} % 241 AS INT) AS height,
+             {sha} AS sha
+      FROM {table}
+    """

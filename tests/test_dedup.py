@@ -1,0 +1,66 @@
+"""Dedup operator semantics on small literal corpora."""
+
+import pytest
+
+from dataset_grouper_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "completely different text with no overlap here at all"),
+        (5, "another unrelated document full of other words entirely"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    rows = {r.doc_id: r.dup_count for r in out.collect()}
+    assert 1 in rows and 2 not in rows
+    assert rows[1] == 2
+    assert rows[3] == rows[4] == rows[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_recalls_exact_dup(docs):
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3, num_perm=16, seed=1)
+    srows = {r.doc_id: [r[f"m{i}"] for i in range(16)] for r in sigs.collect()}
+    assert srows[1] == srows[2]  # identical text -> identical signature
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=4)
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in got
+
+
+def test_minhash_verify_filters_false_positives(docs):
+    out = dedup.minhash_lsh_dedup(
+        docs, "text", "doc_id", n=3, num_perm=16, bands=8, seed=1,
+        verify_threshold=0.9,
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(1, 2)}  # only the exact dup survives verification
+
+
+def test_simhash_identical_and_different(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << 16)
+    assert out[1] != out[4]
+
+
+def test_simhash_near_dup_close(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    ham = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham < ham_far

@@ -1,0 +1,69 @@
+"""Similarity-search operators: exact top-k vs numpy oracle, LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((60, 8)).astype("float32")
+    # plant a near-duplicate of vector 0
+    m[59] = m[0] + rng.standard_normal(8).astype("float32") * 0.01
+    rows = [(i, [float(x) for x in m[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    return df, m
+
+
+def np_topk(m, qi, k):
+    sims = (m @ m[qi]) / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[qi]))
+    order = sorted(
+        (i for i in range(len(m)) if i != qi),
+        key=lambda i: (-round(float(sims[i]), 6), i),
+    )
+    return order[:k]
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    df, m = vecs
+    qs = df.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid in range(3):
+        nbrs = [n for _, n in sorted(got[qid])]
+        assert nbrs == np_topk(m.astype("float64"), qid, 5)
+
+
+def test_cosine_topk_finds_planted_dup(vecs):
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", k=1)
+    row = out.collect()[0]
+    assert row.neighbor_id == 59
+    assert row.cosine > 0.99
+
+
+def test_lsh_pairs_find_planted_dup(vecs):
+    df, _ = vecs
+    pairs = similarity.random_hyperplane_lsh_pairs(
+        df, "embedding", "vec_id", dim=8, bits=6, tables=6, seed=5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 59) in got
+    # and it's far from exhaustive: candidates << all pairs
+    assert len(got) < 60 * 59 / 2 / 2
+
+
+def test_lsh_topk_recovers_exact_top1(vecs):
+    df, m = vecs
+    qs = df.filter(F.col("vec_id") == 0)
+    out = similarity.lsh_topk(
+        df, qs, "embedding", "vec_id", "vec_id", dim=8, k=1,
+        bits=4, tables=8, seed=5,
+    )
+    assert out.collect()[0].neighbor_id == 59

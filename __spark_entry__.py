@@ -232,6 +232,85 @@ def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_image_meta(df, "content", "doc_id", fake=True)
 
 
+COSINE_PAIR_T = 0.45
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "embeddings")
+    return similarity.cosine_pairs(df, "embedding", "vec_id", COSINE_PAIR_T)
+
+
+def q_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Full storage lifecycle (write partitioned -> group index -> read
+    pruned): returns the group index. Not SQL-expressible (filesystem
+    side effects) -> rows-only driver check."""
+    import tempfile
+
+    from dataset_grouper_spark import sinks
+    from dataset_grouper_spark.loader import PartitionedDataset
+
+    df = read_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="pds_rt_")
+    sinks.write_partitioned(df, keys.by_feature("source"), path, order_col="doc_id")
+    return PartitionedDataset(spark, path).group_index()
+
+
+def q_tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack documents per source into SequenceExamples, write sharded
+    TFRecords (pure-python proto+crc codec), read back and count —
+    byte-level storage parity with the reference. Rows-only check."""
+    import tempfile
+
+    from pyspark.sql.types import BinaryType
+    from pyspark.sql.functions import udf
+
+    from dataset_grouper_spark.compat import tfexample, tfrecord
+
+    df = read_table(spark, sf, "documents")
+    enc = udf(
+        lambda i, t: tfexample.encode_example({"doc_id": i, "text": t}),
+        BinaryType(),
+    )
+    ser = df.withColumn("ex", enc("doc_id", "text"))
+    packed = packing.pack_groups(
+        ser, keys.by_feature("source"), "doc_id", payload_col="ex",
+        size_cols=["doc_id", "text"],
+    )
+    prefix = tempfile.mkdtemp(prefix="tfr_rt_") + "/docs.tfrecord"
+    paths = tfrecord.write_grouped_tfrecords(
+        packed, "group_id", "packed", prefix, num_shards=2
+    )
+    counts = [
+        (len(group),) for group in tfrecord.read_grouped_tfrecords(paths)
+    ]
+    return spark.createDataFrame(counts, "examples_in_group: long")
+
+
+def q_group_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-stream consumption (build_group_stream analogue): write,
+    stream groups in seeded order, report per-cohort sizes. Rows-only."""
+    import tempfile
+
+    from dataset_grouper_spark import sinks
+    from dataset_grouper_spark.loader import PartitionedDataset
+
+    df = read_table(spark, sf, "events")
+    path = tempfile.mkdtemp(prefix="pds_gs_")
+    sinks.write_partitioned(
+        df, keys.by_feature("event_type"), path, order_col="event_id"
+    )
+    pds = PartitionedDataset(spark, path)
+    rows = []
+    for cohort_idx, cohort in enumerate(
+        pds.group_stream(shuffle=True, seed=7, batch_groups=2)
+    ):
+        for gid, pdf in cohort:
+            rows.append((cohort_idx, gid, len(pdf)))
+    return spark.createDataFrame(
+        rows, "cohort: long, group_id: string, n_rows: long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_counts_events_by_user": q_group_counts_events_by_user,
@@ -251,6 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "group_stream": q_group_stream,
     }
 
 
@@ -372,6 +455,24 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": oracles.image_meta_sql(
             "documents", "text", "doc_id"
         ),
+        "embedding_cosine_pairs": f"""
+            WITH n AS (
+              SELECT vec_id AS _id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), m AS (
+              SELECT _id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+            )
+            SELECT x._id AS id_a, y._id AS id_b,
+                   round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+                     AS cosine
+            FROM m x JOIN m y ON x._id < y._id
+            WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+                  >= {COSINE_PAIR_T}
+        """,
+        # partitioned_roundtrip / tfrecord_roundtrip / group_stream:
+        # filesystem-lifecycle operators, not SQL-expressible -> the
+        # driver records rows-only checks for them.
         "text_analysis_documents": f"""
             SELECT doc_id,
                    {textanalysis.lang_id_sql('text')} AS pred_lang,

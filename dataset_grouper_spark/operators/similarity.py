@@ -87,6 +87,43 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs with cosine >= threshold — brute force O(n^2).
+
+    The exact/verification path (embedding-cosine near-dup dedup). At
+    scale use random_hyperplane_lsh_pairs to generate candidates and
+    re-score only those; this operator is for modest corpora and for
+    oracle-checking the LSH path.
+    """
+    n = with_norm(df, vec_col, "_n").select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_n"
+    ).persist()
+    x, y = n.alias("x"), n.alias("y")
+    return (
+        x.join(y, F.col("x._id") < F.col("y._id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("x._v"), F.col("y._v"))
+                / (F.col("x._n") * F.col("y._n")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Seeded random hyperplane normals for sign-projection LSH."""
     rng = np.random.default_rng(seed)

@@ -36,7 +36,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        # noop sink materializes EVERY output column (count() would let
+        # Catalyst prune the projections we're trying to measure).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

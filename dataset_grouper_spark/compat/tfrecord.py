@@ -118,6 +118,72 @@ def write_grouped_tfrecords(
     return sorted(target.rdd.mapPartitionsWithIndex(write_shard).collect())
 
 
+def read_tfrecord_dataframe(
+    spark,
+    paths: list[str],
+    key: str | None = None,
+) -> DataFrame:
+    """Distributed read of TFRecord shards into a DataFrame of packed
+    groups: one row per SequenceExample record, (shard string, record_idx
+    long, payloads array<binary>). The native replacement for the
+    spark-tensorflow connector — shards are parallelized across tasks,
+    each task streams its file (data_loaders.py:116-122's parallel
+    interleaved read, as Spark task parallelism)."""
+    from dataset_grouper_spark.compat.tfexample import (
+        SERIALIZED_BYTES_KEY,
+        parse_sequence_example,
+    )
+
+    k = key or SERIALIZED_BYTES_KEY
+
+    def read_shard(path: str):
+        for i, rec in enumerate(read_records(path)):
+            yield (path, i, parse_sequence_example(rec, k))
+
+    rdd = spark.sparkContext.parallelize(paths, max(len(paths), 1)).flatMap(
+        read_shard
+    )
+    return spark.createDataFrame(
+        rdd, "shard string, record_idx long, payloads array<binary>"
+    )
+
+
+def decode_examples_dataframe(packed: DataFrame, schema: str) -> DataFrame:
+    """Explode packed groups and decode each Example blob into typed
+    columns (the features_dict.deserialize_example step,
+    data_loaders.py:110-113). ``schema`` names the output columns, e.g.
+    ``"id long, text string"``; scalar features are unwrapped from
+    their single-element lists."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_schema = _parse_datatype_string(schema)
+
+    from dataset_grouper_spark.compat.tfexample import decode_example
+
+    def decode_rows(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            rows = []
+            for blobs in pdf["payloads"]:
+                for blob in blobs:
+                    feats = decode_example(bytes(blob))
+                    row = {}
+                    for f in out_schema.fields:
+                        vals = feats.get(f.name, [])
+                        v = vals[0] if len(vals) == 1 else vals
+                        if isinstance(v, (bytes, bytearray)) and (
+                            f.dataType.typeName() == "string"
+                        ):
+                            v = bytes(v).decode()
+                        row[f.name] = v
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return packed.select("payloads").mapInPandas(decode_rows, schema=out_schema)
+
+
 def read_grouped_tfrecords(pattern_paths: list[str]) -> Iterator[list[bytes]]:
     """Read back shard files, yielding each group's packed example
     blobs (the load path, data_loaders.py:102-114)."""

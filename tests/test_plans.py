@@ -1,0 +1,56 @@
+"""Physical-plan quality guards — the 100 TB checklist as assertions.
+
+These tests pin the plan shapes that matter at scale: shuffle counts,
+predicate pushdown reaching the scan, broadcasts where a small side
+exists, and no accidental cartesian products.
+"""
+
+import pytest
+
+import __spark_entry__ as e
+from dataset_grouper_spark.plans import assert_no_cartesian, count_exchanges, plan_text
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_group_counts_single_shuffle(spark):
+    df = e.q_group_counts_documents_by_source(spark, SF)
+    assert count_exchanges(df) == 1  # partial agg -> one exchange -> final
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = e.q_tpch_q1_pricing_summary(spark, SF)
+    txt = plan_text(df, "formatted")
+    assert "LessThanOrEqual(l_shipdate" in txt  # filter reached the scan
+    # column pruning: unused columns never read
+    assert "l_partkey" not in txt.split("ReadSchema")[1][:400]
+    assert count_exchanges(df) == 1
+
+
+def test_dirichlet_broadcasts_intervals(spark):
+    df = e.q_key_dirichlet_embeddings(spark, SF)
+    txt = plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    assert_no_cartesian(df)
+
+
+def test_packing_single_shuffle(spark):
+    df = e.q_pack_bytecap_documents(spark, SF)
+    # window + groupBy share the hash partitioning on group_id
+    assert count_exchanges(df) == 1
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    df = e.q_cosine_topk_embeddings(spark, SF)
+    txt = plan_text(df, "simple")
+    # non-equi self-pair join must broadcast the (tiny) query side,
+    # never shuffle the corpus against it
+    assert "BroadcastNestedLoopJoin" in txt
+
+
+def test_lsh_is_equijoin_not_cartesian(spark):
+    df = e.q_minhash_lsh_candidates(spark, SF)
+    assert_no_cartesian(df)
+    txt = plan_text(df, "simple")
+    assert "Join" in txt

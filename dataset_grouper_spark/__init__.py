@@ -22,20 +22,24 @@ Reference surface covered (citations are file:line in the reference):
 """
 
 from dataset_grouper_spark import keys
-from dataset_grouper_spark.functions import textstats
+from dataset_grouper_spark.functions import textanalysis, textstats
 from dataset_grouper_spark.loader import PartitionedDataset
 from dataset_grouper_spark.operators.group_counts import compute_group_counts
-from dataset_grouper_spark.operators.packing import pack_groups
+from dataset_grouper_spark.operators.packing import BYTES_LIMIT, pack_groups
 from dataset_grouper_spark.session import get_spark
+from dataset_grouper_spark.test_utils import prepare_test_tfrecord_dataset
 
 __version__ = "0.1.0"
 
 __all__ = [
     "keys",
     "textstats",
+    "textanalysis",
     "PartitionedDataset",
     "compute_group_counts",
     "pack_groups",
+    "BYTES_LIMIT",
     "get_spark",
+    "prepare_test_tfrecord_dataset",
     "__version__",
 ]

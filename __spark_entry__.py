@@ -311,6 +311,61 @@ def q_group_stream(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PIPE_MIN_WORDS = 40
+
+
+def q_group_counts_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical group stats via rollup — a capability the reference
+    lacks entirely (SURVEY §2.8: no grouping sets)."""
+    df = read_table(spark, sf, "lineitem")
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("num_examples"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "num_examples",
+            "sum_price",
+        )
+    )
+
+
+def q_pipeline_c4_style(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data cleaning pass (the C4 recipe shape):
+    quality filter -> exact dedup (keep min doc_id) -> group by URL
+    domain -> group counts. One declarative plan, one shuffle per
+    stage boundary."""
+    from pyspark.sql import Window
+
+    df = read_table(spark, sf, "documents")
+    feats = textanalysis.quality_features(F.col("text"))
+    filtered = df.withColumn("_nw", feats["n_words"]).filter(
+        F.col("_nw") >= PIPE_MIN_WORDS
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/doc/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+    )
+    keyed = keys.with_group_key(deduped, keys.url_domain("url"))
+    return keyed.groupBy(keys.GROUP_COL).agg(
+        F.count(F.lit(1)).alias("num_docs"),
+        F.sum("_nw").alias("num_words"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_counts_events_by_user": q_group_counts_events_by_user,
@@ -334,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "group_stream": q_group_stream,
+        "group_counts_rollup": q_group_counts_rollup,
+        "pipeline_c4_style": q_pipeline_c4_style,
     }
 
 
@@ -473,6 +530,38 @@ def oracle_sql() -> dict[str, str]:
         # partitioned_roundtrip / tfrecord_roundtrip / group_stream:
         # filesystem-lifecycle operators, not SQL-expressible -> the
         # driver records rows-only checks for them.
+        "group_counts_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS num_examples,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pipeline_c4_style": f"""
+            WITH quality AS (
+              SELECT doc_id, text, source,
+                     CAST(len(string_split(regexp_replace(coalesce(text, ''),
+                       '^\\s+|\\s+$', '', 'g'), ' ')) AS BIGINT) AS _nw
+              FROM documents
+            ), filtered AS (
+              SELECT * FROM quality WHERE _nw >= {PIPE_MIN_WORDS}
+            ), deduped AS (
+              SELECT doc_id, source, _nw FROM (
+                SELECT doc_id, source, _nw,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS _rn
+                FROM filtered
+              ) WHERE _rn = 1
+            )
+            SELECT regexp_extract(
+                     'https://' || source || '.example.com/doc/' ||
+                     CAST(doc_id AS VARCHAR),
+                     '^[a-z]+://([^/]+)', 1) AS group_id,
+                   count(*) AS num_docs,
+                   CAST(sum(_nw) AS BIGINT) AS num_words
+            FROM deduped GROUP BY 1
+        """,
         "text_analysis_documents": f"""
             SELECT doc_id,
                    {textanalysis.lang_id_sql('text')} AS pred_lang,

@@ -30,8 +30,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/session so the first measured query doesn't pay
-    # one-time startup costs.
+    # one-time startup costs (codegen, Hadoop FS init, parquet footer
+    # reader classes).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

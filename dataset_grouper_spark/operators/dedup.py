@@ -53,17 +53,24 @@ def exact_dedup(
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs — distinct word n-grams per doc.
+    """(id, shingle-hash) pairs — distinct word n-grams per doc, hashed
+    to 60-bit longs BEFORE the distinct/shuffle.
 
-    Tokenization is projected into a column BEFORE the n-gram
-    higher-order function so the split/regexp runs once per doc, not
-    once per shingle (see hashing.ngrams_of_tokens).
+    Two deliberate choices for scale:
+    - Tokenization is projected into a column before the n-gram
+      higher-order function so the split/regexp runs once per doc, not
+      once per shingle (see hashing.ngrams_of_tokens).
+    - Shingles shuffle as 8-byte hashes, not ~30-byte strings: the
+      dedup semantics only need equality, and a 60-bit md5-derived
+      space makes collisions negligible (~n^2/2^61) while cutting
+      shuffle volume and join key comparisons several-fold.
     """
     from dataset_grouper_spark.functions.hashing import ngrams_of_tokens, tokens
 
     return (
         df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
-        .select("_id", F.explode(ngrams_of_tokens(F.col("_t"), n)).alias("shingle"))
+        .select("_id", F.explode(ngrams_of_tokens(F.col("_t"), n)).alias("_sh"))
+        .select("_id", md5_long(F.col("_sh")).alias("shingle_h"))
         .distinct()
     )
 
@@ -90,7 +97,7 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
@@ -124,11 +131,11 @@ def minhash_signatures(
     get the empty-set sentinel p (MERSENNE31).
     """
     params = minhash_params(num_perm, seed)
-    sh = shingles(df, text_col, id_col, n).withColumn(
-        "_h", md5_long(F.col("shingle"))
-    )
+    sh = shingles(df, text_col, id_col, n)  # already 60-bit hashed
     aggs = [
-        F.coalesce(F.min(perm_hash(F.col("_h"), a, b)), F.lit(MERSENNE31)).alias(f"m{i}")
+        F.coalesce(
+            F.min(perm_hash(F.col("shingle_h"), a, b)), F.lit(MERSENNE31)
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
     return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)

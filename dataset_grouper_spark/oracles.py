@@ -20,16 +20,18 @@ STRIP = "regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
 
 
 def shingle_cte(table: str, text_col: str, id_col: str, n: int) -> str:
-    """CTE body producing DISTINCT (doc_id, shingle) word n-grams."""
+    """CTE body producing DISTINCT (doc_id, shingle_h) hashed word
+    n-grams — the 60-bit md5 hashing matches operators/dedup.shingles."""
     terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
     stripped = STRIP.format(col=text_col)
+    h = md5_long_sql(terms)
     return f"""
       toks AS (
         SELECT {id_col} AS _id, string_split({stripped}, ' ') AS t
         FROM {table}
       ),
       sh AS (
-        SELECT DISTINCT _id, {terms} AS shingle
+        SELECT DISTINCT _id, {h} AS shingle_h
         FROM toks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0)))
              AS g(i)
       )"""
@@ -43,7 +45,7 @@ def ngram_jaccard_sql(
       sz AS (SELECT _id, count(*) AS s FROM sh GROUP BY _id),
       inter AS (
         SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a._id < b._id
+        FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a._id < b._id
         GROUP BY 1, 2
       )
       SELECT id_a, id_b,
@@ -59,17 +61,15 @@ def minhash_sig_cte(
     table: str, text_col: str, id_col: str, n: int, num_perm: int, seed: int
 ) -> str:
     params = minhash_params(num_perm, seed)
-    h = md5_long_sql("shingle")
     mins = ",\n               ".join(
-        f"coalesce(min({perm_hash_sql('hs', a, b)}), {MERSENNE31}) AS m{i}"
+        f"coalesce(min({perm_hash_sql('shingle_h', a, b)}), {MERSENNE31}) AS m{i}"
         for i, (a, b) in enumerate(params)
     )
     return f"""
       {shingle_cte(table, text_col, id_col, n)},
-      hs_t AS (SELECT _id, {h} AS hs FROM sh),
       sig AS (
         SELECT _id, {mins}
-        FROM hs_t GROUP BY _id
+        FROM sh GROUP BY _id
       )"""
 
 

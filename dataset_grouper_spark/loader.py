@@ -31,12 +31,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_grouper_spark import keys
-from dataset_grouper_spark.sinks import DATA_DIR, GROUP_INDEX_DIR
+from dataset_grouper_spark.sinks import BUCKET_COL, DATA_DIR, GROUP_INDEX_DIR, META_DIR
 
 
 def _shuffle_rank(group_id: str, seed: int) -> str:
     """Deterministic seeded shuffle key for group ordering."""
     return hashlib.md5(f"{seed}:{group_id}".encode()).hexdigest()
+
+
+def _bucket_of(group_id: str, num_buckets: int) -> int:
+    """Python twin of sinks.bucket_expr (zlib.crc32 == Spark crc32)."""
+    import zlib
+
+    return zlib.crc32(group_id.encode()) % num_buckets
 
 
 class PartitionedDataset:
@@ -46,6 +53,17 @@ class PartitionedDataset:
         self.spark = spark
         self.path = path
         self.data_path = f"{path}/{DATA_DIR}"
+        self._meta: tuple[str, int] | None = None
+
+    def layout(self) -> tuple[str, int]:
+        """(layout, num_buckets) from the _meta descriptor."""
+        if self._meta is None:
+            try:
+                row = self.spark.read.parquet(f"{self.path}/{META_DIR}").collect()[0]
+                self._meta = (row.layout, row.num_buckets)
+            except Exception:
+                self._meta = ("partitioned", 0)
+        return self._meta
 
     def dataframe(self) -> DataFrame:
         """The whole dataset as one relation."""
@@ -68,9 +86,21 @@ class PartitionedDataset:
         return ids
 
     def group(self, group_id: str) -> DataFrame:
-        """One group's rows — a pruned scan (`group_id = X` reaches the
-        Parquet reader as a partition filter / pushed predicate)."""
-        return self.dataframe().filter(F.col(keys.GROUP_COL) == group_id)
+        """One group's rows — a pruned scan.
+
+        Directory layout: `group_id = X` is a partition filter (reads
+        exactly one directory). Bucketed layout: the bucket is
+        recomputed from the group id, pruning to one bucket directory,
+        then parquet row-group stats on the sorted group_id skip to the
+        group's contiguous run. Either way the scan volume is bounded
+        by the group, not the dataset."""
+        df = self.dataframe()
+        layout, num_buckets = self.layout()
+        if layout == "bucketed" and num_buckets > 0:
+            df = df.filter(
+                F.col(BUCKET_COL) == _bucket_of(group_id, num_buckets)
+            ).drop(BUCKET_COL)
+        return df.filter(F.col(keys.GROUP_COL) == group_id)
 
     def group_stream(
         self,
@@ -93,7 +123,8 @@ class PartitionedDataset:
             ids = ids[:take]
         cohort: list[tuple[str, pd.DataFrame]] = []
         for gid in ids:
-            cohort.append((gid, self.group(gid).drop(keys.GROUP_COL).toPandas()))
+            g = self.group(gid).drop(keys.GROUP_COL, BUCKET_COL)
+            cohort.append((gid, g.toPandas()))
             if len(cohort) == batch_groups:
                 yield cohort
                 cohort = []
@@ -105,6 +136,9 @@ class PartitionedDataset:
     ) -> DataFrame:
         """Distributed per-group compute: groupBy(group_id).applyInPandas.
         The in-cluster analogue of iterating the group stream."""
-        return self.dataframe().groupBy(keys.GROUP_COL).applyInPandas(
+        df = self.dataframe()
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        return df.groupBy(keys.GROUP_COL).applyInPandas(
             lambda pdf: fn(pdf), schema=schema
         )

@@ -28,6 +28,17 @@ from dataset_grouper_spark.operators.packing import BYTES_LIMIT, cap_prefix
 
 GROUP_INDEX_DIR = "_group_index"
 DATA_DIR = "data"
+META_DIR = "_meta"
+BUCKET_COL = "bucket_id"
+
+
+def bucket_expr(num_buckets: int) -> Column:
+    """Deterministic bucket of a group id — engine-portable (crc32 of
+    the utf-8 bytes, mod buckets), so ANY reader can recompute the
+    bucket from the group id without Spark internals."""
+    return F.pmod(F.crc32(F.encode(F.col(keys.GROUP_COL), "utf-8")), F.lit(num_buckets)).cast(
+        "int"
+    )
 
 
 def write_partitioned(
@@ -65,12 +76,24 @@ def write_partitioned(
             .parquet(data_path)
         )
     elif layout == "bucketed":
-        out = keyed.repartition(num_buckets, keys.GROUP_COL)
+        # Explicit computed bucket column, written as a partition dir:
+        # millions of groups collapse into `num_buckets` directories,
+        # and a single-group read prunes to exactly one directory
+        # (bucket is recomputable from the group id) and then to the
+        # group's contiguous sorted run via parquet row-group stats on
+        # the sorted group_id. Bounded listing + exact pruning at any
+        # cardinality.
+        out = keyed.withColumn(BUCKET_COL, bucket_expr(num_buckets))
+        out = out.repartition(num_buckets, F.col(BUCKET_COL))
         if order_col is not None:
             out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
         else:
             out = out.sortWithinPartitions(keys.GROUP_COL)
-        out.write.mode("overwrite").parquet(data_path)
+        (
+            out.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(data_path)
+        )
     else:
         raise ValueError(f"unknown layout: {layout}")
 
@@ -78,7 +101,8 @@ def write_partitioned(
     # data in one pass. Readers (loader.py) list groups here instead of
     # scanning the dataset (the reference must scan all shards to find
     # a group — data_loaders.py:98-100; SURVEY §4).
-    written = keyed.sparkSession.read.parquet(data_path)
+    spark = keyed.sparkSession
+    written = spark.read.parquet(data_path)
     (
         written.groupBy(keys.GROUP_COL)
         .agg(F.count(F.lit(1)).alias("num_examples"))
@@ -86,3 +110,8 @@ def write_partitioned(
         .write.mode("overwrite")
         .parquet(f"{path}/{GROUP_INDEX_DIR}")
     )
+    # Layout descriptor so readers can recompute bucket pruning.
+    spark.createDataFrame(
+        [(layout, num_buckets if layout == "bucketed" else 0)],
+        "layout string, num_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{META_DIR}")

@@ -82,9 +82,19 @@ def test_bucketed_layout_roundtrip(spark, tmp_path):
         layout="bucketed", num_buckets=8,
     )
     pds = PartitionedDataset(spark, path)
+    assert pds.layout() == ("bucketed", 8)
     assert len(pds.list_groups()) == 50
     g = pds.group("dom7.com")
     assert g.count() == 10
+    # the bucket recomputed from the group id prunes to ONE directory
+    from dataset_grouper_spark.plans import plan_text
+
+    txt = plan_text(g, "formatted")
+    assert "PartitionFilters" in txt
+    assert "bucket_id" in txt.split("PartitionFilters")[1][:200]
+    # group stream must not leak the bucket column
+    _, pdf = next(iter(pds.group_stream(take=1)))[0]
+    assert "bucket_id" not in pdf.columns
 
 
 def test_bytecap_write(spark, tmp_path):

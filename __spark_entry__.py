@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from dataset_grouper_spark import keys, oracles
 from dataset_grouper_spark.functions import textanalysis, textstats
-from dataset_grouper_spark.operators import dedup, multimodal, similarity
+from dataset_grouper_spark.operators import chunking, dedup, multimodal, similarity
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
 from dataset_grouper_spark.sources import read_table
@@ -366,6 +366,17 @@ def q_pipeline_c4_style(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CHUNK_LEN = 128
+
+
+def q_chunk_tokens_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from dataset_grouper_spark.operators import chunking
+
+    df = read_table(spark, sf, "documents")
+    keyed = keys.with_group_key(df, keys.by_feature("source"))
+    return chunking.chunk_tokens(keyed, "text", "doc_id", CHUNK_LEN)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_counts_events_by_user": q_group_counts_events_by_user,
@@ -391,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_stream": q_group_stream,
         "group_counts_rollup": q_group_counts_rollup,
         "pipeline_c4_style": q_pipeline_c4_style,
+        "chunk_tokens_documents": q_chunk_tokens_documents,
     }
 
 
@@ -530,6 +542,9 @@ def oracle_sql() -> dict[str, str]:
         # partitioned_roundtrip / tfrecord_roundtrip / group_stream:
         # filesystem-lifecycle operators, not SQL-expressible -> the
         # driver records rows-only checks for them.
+        "chunk_tokens_documents": chunking.chunk_tokens_sql(
+            "documents", "text", "doc_id", "source", CHUNK_LEN
+        ),
         "group_counts_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -1,0 +1,112 @@
+"""Token chunking — the reference's training-side preprocessing.
+
+The reference's training examples tokenize each group's documents,
+concatenate the token stream, and reshape it into fixed-length training
+chunks (examples/training/dataset_utils.py:85-148: tokenize ->
+concat-then-reshape into ``sequence_length`` windows). There it happens
+per group inside tf.data after loading; here it is a declarative
+DataFrame transform that runs distributed BEFORE the write, so chunking
+100 TB is a Spark job, not a training-loop bottleneck.
+
+Shape: per-doc token counts -> window running offset per group (one
+shuffle, same group partitioning the write reuses) -> posexplode tokens
+-> global index = offset + position -> chunk = idx div chunk_len. All
+Catalyst; deterministic given the order column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.functions.hashing import tokens
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    order_col: str,
+    chunk_len: int,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Fixed-length token chunks per group.
+
+    Returns one row per (group, chunk_id) with ``n_tokens`` (== chunk_len
+    except the tail chunk) and ``chunk_hash`` (md5 of the
+    space-joined tokens in stream order — a compact, order-sensitive
+    content witness usable for oracle checks and dedup).
+    """
+    toks = df.select(
+        F.col(group_col),
+        F.col(order_col).alias("_ord"),
+        tokens(F.col(text_col)).alias("_t"),
+    ).withColumn("_nt", F.size("_t"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = toks.withColumn("_off", F.sum("_nt").over(w) - F.col("_nt"))
+    exploded = with_off.select(
+        F.col(group_col),
+        F.col("_off"),
+        F.posexplode(F.col("_t")).alias("_i", "_tok"),
+    ).select(
+        group_col,
+        (F.col("_off") + F.col("_i")).alias("_gidx"),
+        "_tok",
+    )
+    chunked = exploded.withColumn(
+        "chunk_id", F.floor(F.col("_gidx") / chunk_len).cast("long")
+    )
+    return (
+        chunked.groupBy(group_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("_gidx"), F.col("_tok")))
+                        ),
+                        lambda s: s["_tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_tokens_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    group_expr: str,
+    chunk_len: int,
+) -> str:
+    """DuckDB twin of chunk_tokens over ``table`` grouped by
+    ``group_expr`` ordered by ``id_col``."""
+    stripped = f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
+    return f"""
+      WITH toks AS (
+        SELECT {group_expr} AS group_id, {id_col} AS _ord,
+               string_split({stripped}, ' ') AS t, len(string_split({stripped}, ' ')) AS nt
+        FROM {table}
+      ), off AS (
+        SELECT group_id, _ord, t,
+               sum(nt) OVER (PARTITION BY group_id ORDER BY _ord
+                             ROWS UNBOUNDED PRECEDING) - nt AS o
+        FROM toks
+      ), exploded AS (
+        SELECT group_id, o + i - 1 AS gidx, t[i] AS tok
+        FROM off, unnest(generate_series(1, len(t))) AS g(i)
+      ), chunked AS (
+        SELECT group_id, CAST(floor(gidx / {chunk_len}) AS BIGINT) AS chunk_id,
+               gidx, tok
+        FROM exploded
+      )
+      SELECT group_id, chunk_id, count(*) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY gidx)) AS chunk_hash
+      FROM chunked GROUP BY group_id, chunk_id
+    """

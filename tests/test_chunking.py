@@ -1,0 +1,37 @@
+"""Token-chunking semantics (dataset_utils.py:85-148 contract)."""
+
+import hashlib
+
+from dataset_grouper_spark import keys
+from dataset_grouper_spark.operators import chunking
+
+
+def test_chunks_concat_across_docs(spark):
+    # group g: doc0 '"a b c", doc1 "d e" -> stream a b c d e
+    # chunk_len=2 -> [a b][c d][e]
+    df = spark.createDataFrame(
+        [("g", 0, "a b c"), ("g", 1, "d e"), ("h", 0, "x y z w")],
+        "group_id: string, ord: long, text: string",
+    )
+    out = chunking.chunk_tokens(df, "text", "ord", chunk_len=2)
+    rows = {(r.group_id, r.chunk_id): (r.n_tokens, r.chunk_hash) for r in out.collect()}
+    assert rows[("g", 0)][0] == 2
+    assert rows[("g", 1)][0] == 2
+    assert rows[("g", 2)][0] == 1  # tail chunk
+    assert rows[("h", 0)] == (2, hashlib.md5(b"x y").hexdigest())
+    assert rows[("h", 1)] == (2, hashlib.md5(b"z w").hexdigest())
+    # chunk crossing the doc boundary: c (doc0) + d (doc1)
+    assert rows[("g", 1)][1] == hashlib.md5(b"c d").hexdigest()
+
+
+def test_chunking_deterministic_under_order(spark):
+    df = spark.createDataFrame(
+        [("g", i, f"tok{i} tok{i}b") for i in range(50)],
+        "group_id: string, ord: long, text: string",
+    )
+    a = {(r.group_id, r.chunk_id): r.chunk_hash
+         for r in chunking.chunk_tokens(df, "text", "ord", 7).collect()}
+    b = {(r.group_id, r.chunk_id): r.chunk_hash
+         for r in chunking.chunk_tokens(
+             df.orderBy("ord", ascending=False), "text", "ord", 7).collect()}
+    assert a == b  # input order never changes the chunk stream

@@ -143,6 +143,73 @@ def cosine_pairs(
     )
 
 
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k, scale variant: numpy block scoring + two-level
+    top-k. Each corpus partition computes its (batch x queries)
+    similarity block with BLAS and keeps only its local top-k per
+    query; a final window rank merges partials. Shuffle volume is
+    O(partitions * k * |queries|) instead of O(|corpus| * |queries|).
+    Results are identical to cosine_topk (exact; same rounding and
+    tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    q_mat = np.array([r[1] for r in qrows], dtype="float64")
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    b = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def block(pdf_iter):
+        qi_ids, qi_mat, qi_norm = b.value
+        for pdf in pdf_iter:
+            c_ids = pdf[id_col].to_numpy(dtype="int64")
+            c_mat = np.array(list(pdf[vec_col]), dtype="float64")
+            sims = np.round(
+                (c_mat @ qi_mat.T)
+                / np.outer(np.linalg.norm(c_mat, axis=1), qi_norm),
+                round_digits,
+            )
+            frames = []
+            for j, qid in enumerate(qi_ids):
+                col = sims[:, j]
+                mask = c_ids != qid
+                cand_ids, cand_sims = c_ids[mask], col[mask]
+                # local top-k with the SAME order as the final rank:
+                # (-cosine, neighbor_id) lexicographic
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            "cosine": cand_sims[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        block, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Seeded random hyperplane normals for sign-projection LSH."""
     rng = np.random.default_rng(seed)

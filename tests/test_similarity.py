@@ -48,6 +48,18 @@ def test_cosine_topk_finds_planted_dup(vecs):
     assert row.cosine > 0.99
 
 
+def test_blocked_topk_identical_to_catalyst(vecs):
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") < 4)
+    a = similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", k=6)
+    b = similarity.cosine_topk_blocked(
+        df.repartition(5), qs, "embedding", "vec_id", "vec_id", k=6
+    )
+    ka = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in a.collect()}
+    kb = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in b.collect()}
+    assert ka == kb
+
+
 def test_lsh_pairs_find_planted_dup(vecs):
     df, _ = vecs
     pairs = similarity.random_hyperplane_lsh_pairs(

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_grouper_spark import keys
-from dataset_grouper_spark.sinks import BUCKET_COL, DATA_DIR, GROUP_INDEX_DIR, META_DIR
+from dataset_grouper_spark.sinks import BUCKET_COL, DATA_DIR, GROUP_INDEX_DIR
 
 
 def _shuffle_rank(group_id: str, seed: int) -> str:
@@ -54,24 +54,34 @@ class PartitionedDataset:
         self.path = path
         self.data_path = f"{path}/{DATA_DIR}"
         self._meta: tuple[str, int] | None = None
+        self._df: DataFrame | None = None
+        self._idx: DataFrame | None = None
 
     def layout(self) -> tuple[str, int]:
-        """(layout, num_buckets) from the _meta descriptor."""
+        """(layout, num_buckets) from the group-index sidecar."""
         if self._meta is None:
             try:
-                row = self.spark.read.parquet(f"{self.path}/{META_DIR}").collect()[0]
+                row = self._index_df().select("layout", "num_buckets").first()
                 self._meta = (row.layout, row.num_buckets)
             except Exception:
                 self._meta = ("partitioned", 0)
         return self._meta
 
+    def _index_df(self) -> DataFrame:
+        if self._idx is None:
+            self._idx = self.spark.read.parquet(f"{self.path}/{GROUP_INDEX_DIR}")
+        return self._idx
+
     def dataframe(self) -> DataFrame:
-        """The whole dataset as one relation."""
-        return self.spark.read.parquet(self.data_path)
+        """The whole dataset as one relation (reader reused — repeated
+        per-group reads must not re-list the dataset every call)."""
+        if self._df is None:
+            self._df = self.spark.read.parquet(self.data_path)
+        return self._df
 
     def group_index(self) -> DataFrame:
         """(group_id, num_examples) from the sidecar index — no scan."""
-        return self.spark.read.parquet(f"{self.path}/{GROUP_INDEX_DIR}")
+        return self._index_df().select(keys.GROUP_COL, "num_examples")
 
     def list_groups(
         self, shuffle: bool = False, seed: int = 0

@@ -28,7 +28,6 @@ from dataset_grouper_spark.operators.packing import BYTES_LIMIT, cap_prefix
 
 GROUP_INDEX_DIR = "_group_index"
 DATA_DIR = "data"
-META_DIR = "_meta"
 BUCKET_COL = "bucket_id"
 
 
@@ -101,17 +100,19 @@ def write_partitioned(
     # data in one pass. Readers (loader.py) list groups here instead of
     # scanning the dataset (the reference must scan all shards to find
     # a group — data_loaders.py:98-100; SURVEY §4).
+    # The layout descriptor rides along as literal columns — one
+    # sidecar write, no separate metadata job.
     spark = keyed.sparkSession
     written = spark.read.parquet(data_path)
     (
         written.groupBy(keys.GROUP_COL)
         .agg(F.count(F.lit(1)).alias("num_examples"))
+        .withColumn("layout", F.lit(layout))
+        .withColumn(
+            "num_buckets",
+            F.lit(num_buckets if layout == "bucketed" else 0),
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/{GROUP_INDEX_DIR}")
     )
-    # Layout descriptor so readers can recompute bucket pruning.
-    spark.createDataFrame(
-        [(layout, num_buckets if layout == "bucketed" else 0)],
-        "layout string, num_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{META_DIR}")

@@ -84,8 +84,9 @@ def q_group_counts_documents_by_source(spark: SparkSession, sf: str) -> DataFram
 
 def q_group_counts_lineitem_by_flag(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "lineitem")
-    key = F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus"))
-    return gc.compute_group_counts(df, key)
+    return gc.compute_group_counts(
+        df, keys.composite("l_returnflag", "l_linestatus")
+    )
 
 
 def q_format_group_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -369,6 +370,17 @@ def q_pipeline_c4_style(spark: SparkSession, sf: str) -> DataFrame:
 CHUNK_LEN = 128
 
 
+def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate distinct-group cardinality (HLL sketch) per event
+    type — the constant-memory path for counting groups at 100 TB.
+    Sketches are engine-specific, so this is a rows-only check; the
+    pytest suite asserts accuracy against the exact count."""
+    df = read_table(spark, sf, "events")
+    return df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
 def q_chunk_tokens_documents(spark: SparkSession, sf: str) -> DataFrame:
     from dataset_grouper_spark.operators import chunking
 
@@ -403,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_counts_rollup": q_group_counts_rollup,
         "pipeline_c4_style": q_pipeline_c4_style,
         "chunk_tokens_documents": q_chunk_tokens_documents,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 

@@ -94,8 +94,12 @@ def encode_feature(value: Any) -> bytes:
         bs = [v.encode() if isinstance(v, str) else bytes(v) for v in vals]
         return _len_delim(1, encode_bytes_list(bs))
     if isinstance(first, bool) or isinstance(first, int):
+        if not all(isinstance(v, (bool, int)) for v in vals):
+            raise TypeError("heterogeneous feature list")
         return _len_delim(3, encode_int64_list([int(v) for v in vals]))
     if isinstance(first, float):
+        if not all(isinstance(v, (int, float)) for v in vals):
+            raise TypeError("heterogeneous feature list")
         return _len_delim(2, encode_float_list([float(v) for v in vals]))
     raise TypeError(f"unsupported feature element: {type(first)}")
 

@@ -56,6 +56,14 @@ def constant(value: str) -> Column:
     return F.lit(value)
 
 
+def composite(*cols: str | Column, sep: str = "|") -> Column:
+    """Multi-feature key: features joined with a separator (the
+    reference's GetKeyFn can close over several features; relationally
+    this is just concat_ws)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.concat_ws(sep, *[c.cast("string") for c in cs])
+
+
 def scramble(id_col: str | Column) -> Column:
     """Deterministic uniform 32-bit scramble of an integer id column."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col

@@ -1,0 +1,40 @@
+"""Composite keyer, approx distinct accuracy, codec error paths,
+nested-struct byte sizing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark import keys
+from dataset_grouper_spark.compat import tfexample
+from dataset_grouper_spark.functions import textstats
+
+
+def test_composite_key(spark):
+    df = spark.createDataFrame([("A", "F", 1)], "x: string, y: string, z: int")
+    out = keys.with_group_key(df, keys.composite("x", "y", "z"))
+    assert out.collect()[0].group_id == "A|F|1"
+
+
+def test_approx_distinct_close_to_exact(spark):
+    df = spark.createDataFrame(
+        [(i, i % 97) for i in range(10000)], "id: long, user: long"
+    )
+    approx = df.agg(F.approx_count_distinct("user", 0.02)).collect()[0][0]
+    assert abs(approx - 97) / 97 < 0.05
+
+
+def test_encode_example_rejects_unsupported():
+    with pytest.raises(TypeError):
+        tfexample.encode_example({"bad": {"nested": "dict"}})
+    with pytest.raises(TypeError):
+        tfexample.encode_example({"bad": [1.0, "mixed"]})
+
+
+def test_nested_struct_byte_sizing(spark):
+    df = spark.createDataFrame(
+        [((3, "ab"), "xyz")],
+        "s: struct<i: int, t: string>, plain: string",
+    )
+    total = df.select(textstats.row_bytes_expr(df).alias("b")).collect()[0].b
+    # struct: 4 (int) + 2 (string 'ab'); plain: 3
+    assert total == 4 + 2 + 3

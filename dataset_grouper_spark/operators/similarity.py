@@ -210,6 +210,85 @@ def cosine_topk_blocked(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus with KMeans,
+    probe only the ``nprobe`` centroids nearest each query, exact-rerank
+    within the probed cells (the inverted-file index of Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", §IV-A, minus
+    the PQ compression).
+
+    Scale shape: one KMeans fit (Spark ML, sampled corpus is fine), one
+    cluster-assignment pass, then the search touches ~nprobe/num_centroids
+    of the corpus per query via a broadcast (query_id, cluster) probe
+    join. Written-to-disk variants would partition the corpus by
+    cluster id so probes prune at the scan (same trick as
+    sinks.write_partitioned bucketing).
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col).alias("_cid"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=num_centroids, seed=seed, featuresCol="features").fit(train)
+    assigned = (
+        model.transform(train)
+        .select(F.col("_cid"), F.col("prediction").alias("_cluster"))
+        .join(
+            corpus.select(
+                F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+            ),
+            "_cid",
+        )
+    )
+    centroids = np.array(model.clusterCenters())
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    qvecs = {}
+    for r in qrows:
+        qv = np.array(r[1], dtype="float64")
+        qvecs[r[0]] = qv
+        d = np.linalg.norm(centroids - qv, axis=1)
+        for c in np.argsort(d)[:nprobe]:
+            probe_rows.append((r[0], int(c), [float(x) for x in qv]))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, _cluster int, _qv array<double>"
+    )
+    cands = assigned.join(F.broadcast(probes), "_cluster").filter(
+        F.col("_cid") != F.col("query_id")
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_cv"), F.col("_qv"))
+            / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+            round_digits,
+        ),
+    ).select("query_id", F.col("_cid").alias("neighbor_id"), "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Seeded random hyperplane normals for sign-projection LSH."""
     rng = np.random.default_rng(seed)

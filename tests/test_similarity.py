@@ -71,6 +71,28 @@ def test_lsh_pairs_find_planted_dup(vecs):
     assert len(got) < 60 * 59 / 2 / 2
 
 
+def test_ivf_topk_recall(vecs):
+    df, m = vecs
+    qs = df.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", k=3)
+    ivf = similarity.ivf_topk(
+        df, qs, "embedding", "vec_id", "vec_id", k=3,
+        num_centroids=8, nprobe=4, seed=3,
+    )
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    iv = {}
+    for r in ivf.collect():
+        iv.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # probing half the cells must recover most of the exact top-3
+    hits = sum(len(ex[q] & iv.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.6
+    # and the planted near-dup of query 0 must be found
+    assert 59 in iv[0]
+
+
 def test_lsh_topk_recovers_exact_top1(vecs):
     df, m = vecs
     qs = df.filter(F.col("vec_id") == 0)

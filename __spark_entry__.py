@@ -370,6 +370,34 @@ def q_pipeline_c4_style(spark: SparkSession, sf: str) -> DataFrame:
 CHUNK_LEN = 128
 
 
+SESSION_GAP_US = 30 * 60 * 10**6  # 30 minutes in micros
+SAMPLE_PCT = 20
+
+
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    from dataset_grouper_spark.operators import sessions
+
+    # ts arrives as int64 nanos (nanosAsLong); work in MICROSECONDS
+    # because DuckDB timestamps are micro-precision — the oracle could
+    # never see the last three nano digits.
+    # integer DIV, not / — float64 can't represent epoch-nanos exactly
+    df = read_table(spark, sf, "events").withColumn(
+        "ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    )
+    return sessions.sessionize(df, "user_id", "ts_us", SESSION_GAP_US)
+
+
+def q_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from dataset_grouper_spark.operators import sessions
+
+    df = read_table(spark, sf, "documents")
+    kept = sessions.sample_groups(df, "doc_id", SAMPLE_PCT)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate distinct-group cardinality (HLL sketch) per event
     type — the constant-memory path for counting groups at 100 TB.
@@ -416,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_c4_style": q_pipeline_c4_style,
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "approx_distinct_users": q_approx_distinct_users,
+        "sessionize_events": q_sessionize_events,
+        "sample_documents": q_sample_documents,
     }
 
 
@@ -558,6 +588,34 @@ def oracle_sql() -> dict[str, str]:
         "chunk_tokens_documents": chunking.chunk_tokens_sql(
             "documents", "text", "doc_id", "source", CHUNK_LEN
         ),
+        "sessionize_events": f"""
+            WITH flagged AS (
+              SELECT user_id, epoch_us(ts) AS tus,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY epoch_us(ts))
+                            > {SESSION_GAP_US}
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), sess AS (
+              SELECT user_id, tus,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(max(tus) - min(tus) AS BIGINT) AS duration,
+                   CAST(min(tus) AS BIGINT) AS t_first,
+                   CAST(max(tus) AS BIGINT) AS t_last
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "sample_documents": f"""
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM documents
+            WHERE ((doc_id + 0) * 2654435761) % 4294967296 % 100
+                  < {SAMPLE_PCT}
+            GROUP BY source
+        """,
         "group_counts_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -1,0 +1,62 @@
+"""Sessionization — gap-based event sessions per user.
+
+A training-data-pipeline staple the reference cannot express (no
+window functions at all, SURVEY §2.8): split each user's event stream
+into sessions wherever the inter-event gap exceeds a threshold, with
+the classic two-window formulation (lag -> new-session flag -> running
+sum as session id). One hash partitioning on the user serves both
+windows and the final aggregation — a single shuffle end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: int,
+) -> DataFrame:
+    """Per (user, session): session_id (0-based per user), n_events,
+    duration (same unit as ts_col), first/last event time.
+
+    ``ts_col`` must be a monotonic numeric time (e.g. epoch nanos);
+    ``gap`` is the session-breaking silence in the same unit.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    flagged = df.withColumn(
+        "_new",
+        F.when(
+            F.col(ts_col) - F.lag(F.col(ts_col)).over(w) > gap, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration"),
+        F.min(ts_col).alias("t_first"),
+        F.max(ts_col).alias("t_last"),
+    )
+
+
+def sample_groups(
+    df: DataFrame,
+    id_col: str | Column,
+    fraction_pct: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic row sampling: keep ~fraction_pct% of rows, chosen
+    by a content hash of the id (engine-portable, reproducible on any
+    cluster size — the property Spark's sample() lacks). Used for
+    train/eval splits and corpus downsampling; the complement
+    (>= fraction_pct) is the exact remainder."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.pmod((c.cast("long") + salt) * 2654435761, F.lit(4294967296)) % 100
+    return df.filter(bucket < fraction_pct)

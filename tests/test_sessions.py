@@ -1,0 +1,37 @@
+"""Sessionization and deterministic sampling semantics."""
+
+from dataset_grouper_spark.operators import sessions
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        ("u1", 0), ("u1", 10), ("u1", 100), ("u1", 105),   # gap>30 at 100
+        ("u2", 50),
+    ]
+    df = spark.createDataFrame(rows, "user: string, t: long")
+    out = sessions.sessionize(df, "user", "t", gap=30)
+    got = {(r.user, r.session_id): (r.n_events, r.duration) for r in out.collect()}
+    assert got[("u1", 0)] == (2, 10)
+    assert got[("u1", 1)] == (2, 5)
+    assert got[("u2", 0)] == (1, 0)
+
+
+def test_sessionize_single_shuffle(spark):
+    from dataset_grouper_spark.plans import count_exchanges
+
+    df = spark.createDataFrame([("u", i) for i in range(10)], "user: string, t: long")
+    out = sessions.sessionize(df, "user", "t", gap=3)
+    # lag window + cumsum window + groupBy all share hash(user)
+    assert count_exchanges(out) == 1
+
+
+def test_sample_groups_deterministic_partition(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id: long")
+    kept = sessions.sample_groups(df, "id", 20)
+    kept_again = sessions.sample_groups(df, "id", 20)
+    a = {r.id for r in kept.collect()}
+    assert a == {r.id for r in kept_again.collect()}
+    assert 100 < len(a) < 300  # ~20%
+    # complements partition the corpus exactly
+    rest = {r.id for r in sessions.sample_groups(df, "id", 100).collect()}
+    assert rest == set(range(1000))

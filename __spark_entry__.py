@@ -220,7 +220,11 @@ def q_simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
 def q_cosine_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "embeddings")
     qs = df.filter(F.expr(TOPK_QFILTER))
-    return similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", TOPK_K)
+    # blocked variant: exact, identical output to cosine_topk (tested),
+    # BLAS block scoring + partial top-k instead of a per-pair fold
+    return similarity.cosine_topk_blocked(
+        df, qs, "embedding", "vec_id", "vec_id", TOPK_K
+    )
 
 
 def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:

@@ -94,8 +94,20 @@ def ngram_jaccard_pairs(
     # disk when it outgrows memory.
     sh = shingles(df, text_col, id_col, n).persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # A shingle held by a single doc can never witness a pair — drop it
+    # from BOTH join sides before the self-join (set sizes above are
+    # already fixed from the full sets, so Jaccard is unchanged). In a
+    # real corpus most shingles are unique, so this shrinks the join
+    # input by far more than the extra freq aggregation costs.
+    shared = (
+        sh.groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .filter(F.col("_f") >= 2)
+        .select("shingle_h")
+    )
+    sh_join = sh.join(shared, "shingle_h")
+    a = sh_join.alias("a")
+    b = sh_join.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))

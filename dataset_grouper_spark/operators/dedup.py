@@ -139,8 +139,9 @@ def minhash_signatures(
     """Per-doc minhash signature columns m0..m{k-1}.
 
     min over shingles of h_i(md5_long(shingle)) — one aggregation, all
-    Catalyst min()s, partial-aggregated map-side. Docs with no shingle
-    get the empty-set sentinel p (MERSENNE31).
+    Catalyst min()s, partial-aggregated map-side. Docs with no shingles
+    (fewer than n words) have no rows here and are absent from the
+    output — they cannot near-duplicate anything under this measure.
     """
     params = minhash_params(num_perm, seed)
     sh = shingles(df, text_col, id_col, n)  # already 60-bit hashed

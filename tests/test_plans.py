@@ -42,11 +42,25 @@ def test_packing_single_shuffle(spark):
 
 
 def test_cosine_topk_broadcasts_queries(spark):
-    df = e.q_cosine_topk_embeddings(spark, SF)
+    from pyspark.sql import functions as F
+
+    from dataset_grouper_spark.operators import similarity
+    from dataset_grouper_spark.sources import read_table
+
+    corpus = read_table(spark, SF, "embeddings")
+    qs = corpus.filter(F.col("vec_id") < 8)
+    df = similarity.cosine_topk(corpus, qs, "embedding", "vec_id", "vec_id", 5)
     txt = plan_text(df, "simple")
     # non-equi self-pair join must broadcast the (tiny) query side,
     # never shuffle the corpus against it
     assert "BroadcastNestedLoopJoin" in txt
+
+
+def test_blocked_topk_single_exchange(spark):
+    # the contract query (blocked variant): corpus scan -> mapInPandas
+    # -> one exchange for the final per-query rank
+    df = e.q_cosine_topk_embeddings(spark, SF)
+    assert count_exchanges(df) == 1
 
 
 def test_lsh_is_equijoin_not_cartesian(spark):

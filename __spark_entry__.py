@@ -378,6 +378,11 @@ SESSION_GAP_US = 30 * 60 * 10**6  # 30 minutes in micros
 SAMPLE_PCT = 20
 
 
+def q_repetition_documents(spark: SparkSession, sf: str) -> DataFrame:
+    df = read_table(spark, sf, "documents")
+    return textanalysis.repetition_features(df, "text", "doc_id", n=2)
+
+
 def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     from dataset_grouper_spark.operators import sessions
 
@@ -450,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "sessionize_events": q_sessionize_events,
         "sample_documents": q_sample_documents,
+        "repetition_documents": q_repetition_documents,
     }
 
 
@@ -612,6 +618,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(tus) AS BIGINT) AS t_last
             FROM sess GROUP BY user_id, session_id
         """,
+        "repetition_documents": textanalysis.repetition_sql(
+            "documents", "text", "doc_id", 2
+        ),
         "sample_documents": f"""
             SELECT source, count(*) AS n_kept,
                    CAST(sum(n_chars) AS BIGINT) AS chars_kept

@@ -139,6 +139,67 @@ def quality_sql(expr: str) -> dict[str, str]:
     }
 
 
+def repetition_features(
+    df, text_col: str, id_col: str, n: int = 2
+):
+    """Gopher-style repetition signals per doc (Rae et al. 2021,
+    "Scaling Language Models", Table A1): the fraction of all word
+    n-grams taken up by the single most frequent n-gram. High values
+    flag boilerplate/spam for corpus filtering.
+
+    Returns (id, n_ngrams, top_ngram_count, top_ngram_frac). Docs with
+    fewer than n words are absent (no n-grams to judge).
+    Shape: explode n-grams -> count per (doc, gram) -> max+sum per doc;
+    two partial-aggregated groupBys on the same doc key, one shuffle
+    chain, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    from dataset_grouper_spark.functions.hashing import ngrams_of_tokens, tokens
+
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+        )
+        .select("_id", F.explode(ngrams_of_tokens(F.col("_t"), n)).alias("_g"))
+    )
+    per_gram = grams.groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_gram.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("_c").alias("n_ngrams"),
+            F.max("_c").alias("top_ngram_count"),
+        )
+        .withColumn(
+            "top_ngram_frac",
+            F.round(F.col("top_ngram_count") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def repetition_sql(table: str, text_col: str, id_col: str, n: int = 2) -> str:
+    """DuckDB twin of repetition_features."""
+    stripped = f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
+    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+      WITH toks AS (
+        SELECT {id_col} AS _id, string_split({stripped}, ' ') AS t
+        FROM {table}
+      ), grams AS (
+        SELECT _id, {terms} AS g
+        FROM toks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0)))
+             AS u(i)
+      ), per_gram AS (
+        SELECT _id, g, count(*) AS c FROM grams GROUP BY _id, g
+      )
+      SELECT _id AS {id_col},
+             CAST(sum(c) AS BIGINT) AS n_ngrams,
+             CAST(max(c) AS BIGINT) AS top_ngram_count,
+             round(max(c) * 1.0 / sum(c), 6) AS top_ngram_frac
+      FROM per_gram GROUP BY _id
+    """
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lowercased text. Stable under reformatting; cross-engine exact.

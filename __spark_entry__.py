@@ -378,6 +378,19 @@ SESSION_GAP_US = 30 * 60 * 10**6  # 30 minutes in micros
 SAMPLE_PCT = 20
 
 
+def q_json_props_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured handling: extract a JSON field from the props
+    column and aggregate per event type — get_json_object is a
+    Catalyst expression, no UDF."""
+    df = read_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
 def q_repetition_documents(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "documents")
     return textanalysis.repetition_features(df, "text", "doc_id", n=2)
@@ -456,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "sample_documents": q_sample_documents,
         "repetition_documents": q_repetition_documents,
+        "json_props_events": q_json_props_events,
     }
 
 
@@ -621,6 +635,14 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": textanalysis.repetition_sql(
             "documents", "text", "doc_id", 2
         ),
+        "json_props_events": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                         4) AS avg_k
+            FROM events GROUP BY event_type
+        """,
         "sample_documents": f"""
             SELECT source, count(*) AS n_kept,
                    CAST(sum(n_chars) AS BIGINT) AS chars_kept

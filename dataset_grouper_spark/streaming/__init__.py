@@ -7,8 +7,13 @@ event-time windows and late-data handling.
 """
 
 from dataset_grouper_spark.streaming.group_counts import (
+    session_group_counts,
     streaming_group_counts,
     windowed_group_counts,
 )
 
-__all__ = ["streaming_group_counts", "windowed_group_counts"]
+__all__ = [
+    "streaming_group_counts",
+    "windowed_group_counts",
+    "session_group_counts",
+]

@@ -28,6 +28,27 @@ def streaming_group_counts(
     )
 
 
+def session_group_counts(
+    stream: DataFrame,
+    key: Column,
+    time_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window group counts on a stream: per (group, session)
+    where a session closes after ``gap`` of silence. Spark's native
+    session_window state merges windows as events arrive; the watermark
+    bounds state. The streaming twin of operators/sessions.sessionize.
+    """
+    keyed = keys.with_group_key(stream, key).withWatermark(time_col, watermark)
+    return keyed.groupBy(
+        keys.GROUP_COL,
+        F.session_window(F.col(time_col), gap).alias("session"),
+    ).agg(
+        F.count(F.lit(1)).alias("num_examples"),
+    )
+
+
 def windowed_group_counts(
     stream: DataFrame,
     key: Column,

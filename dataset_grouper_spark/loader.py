@@ -69,14 +69,22 @@ class PartitionedDataset:
 
     def _index_df(self) -> DataFrame:
         if self._idx is None:
-            self._idx = self.spark.read.parquet(f"{self.path}/{GROUP_INDEX_DIR}")
+            self._idx = self.spark.read.parquet(
+                f"{self.path}/{GROUP_INDEX_DIR}"
+            ).withColumn(keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string"))
         return self._idx
 
     def dataframe(self) -> DataFrame:
         """The whole dataset as one relation (reader reused — repeated
-        per-group reads must not re-list the dataset every call)."""
+        per-group reads must not re-list the dataset every call).
+
+        group_id is normalized back to string: parquet partition-column
+        type inference would otherwise turn numeric-looking group
+        directories into ints."""
         if self._df is None:
-            self._df = self.spark.read.parquet(self.data_path)
+            self._df = self.spark.read.parquet(self.data_path).withColumn(
+                keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+            )
         return self._df
 
     def group_index(self) -> DataFrame:
@@ -140,6 +148,39 @@ class PartitionedDataset:
                 cohort = []
         if cohort:
             yield cohort
+
+    def iter_groups_bulk(
+        self, order_col: str | None = None
+    ) -> Iterator[tuple[str, pd.DataFrame]]:
+        """Stream EVERY group in one Spark job (group-major order).
+
+        ``group_stream`` launches one pruned read per group — right for
+        sampling a few groups; wrong for a full epoch over millions of
+        them. Here the dataset is hash-partitioned on group_id and
+        sorted within partitions, so each group arrives contiguously in
+        ``toLocalIterator``'s partition-ordered row stream and can be
+        cut at group boundaries — the reference's sequential group
+        stream (data_loaders.py:123-125) at one-full-scan cost.
+        Group order is deterministic per layout but not globally
+        sorted; use group_stream() when order matters.
+        """
+        df = self.dataframe()
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        sort_cols = [keys.GROUP_COL] + ([order_col] if order_col else [])
+        arranged = df.repartition(keys.GROUP_COL).sortWithinPartitions(*sort_cols)
+        data_cols = [c for c in arranged.columns if c != keys.GROUP_COL]
+        current_gid = None
+        buf: list = []
+        for row in arranged.toLocalIterator(prefetchPartitions=True):
+            gid = row[keys.GROUP_COL]
+            if gid != current_gid:
+                if current_gid is not None:
+                    yield current_gid, pd.DataFrame(buf, columns=data_cols)
+                current_gid, buf = gid, []
+            buf.append([row[c] for c in data_cols])
+        if current_gid is not None:
+            yield current_gid, pd.DataFrame(buf, columns=data_cols)
 
     def for_each_group(
         self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str

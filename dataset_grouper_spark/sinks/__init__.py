@@ -40,6 +40,38 @@ def bucket_expr(num_buckets: int) -> Column:
     )
 
 
+def append_partitioned(
+    df: DataFrame,
+    key: Column,
+    path: str,
+    order_col: str | Column | None = None,
+) -> None:
+    """Incrementally add rows to an existing partitioned dataset
+    (directory layout): append the new rows under their group
+    directories and rebuild the sidecar index. Existing data files are
+    untouched — growth is O(new data) plus one index pass.
+    """
+    keyed = keys.with_group_key(df, key)
+    data_path = f"{path}/{DATA_DIR}"
+    out = keyed.repartition(keys.GROUP_COL)
+    if order_col is not None:
+        out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
+    out.write.mode("append").partitionBy(keys.GROUP_COL).parquet(data_path)
+    spark = keyed.sparkSession
+    written = spark.read.parquet(data_path).withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
+    (
+        written.groupBy(keys.GROUP_COL)
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+        .withColumn("layout", F.lit("partitioned"))
+        .withColumn("num_buckets", F.lit(0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{GROUP_INDEX_DIR}")
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     key: Column,
@@ -103,7 +135,9 @@ def write_partitioned(
     # The layout descriptor rides along as literal columns — one
     # sidecar write, no separate metadata job.
     spark = keyed.sparkSession
-    written = spark.read.parquet(data_path)
+    written = spark.read.parquet(data_path).withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
     (
         written.groupBy(keys.GROUP_COL)
         .agg(F.count(F.lit(1)).alias("num_examples"))

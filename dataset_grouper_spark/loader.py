@@ -127,6 +127,7 @@ class PartitionedDataset:
         skip: int = 0,
         take: int | None = None,
         batch_groups: int = 1,
+        columns: list[str] | None = None,
     ) -> Iterator[list[tuple[str, pd.DataFrame]]]:
         """Stream of cohorts of (group_id, pandas DataFrame).
 
@@ -134,6 +135,9 @@ class PartitionedDataset:
         batching (train_tff.py:124-126 window) and resume-by-skip
         (train_jax.py:172) the training examples layer on top.
         ``batch_groups=1`` yields singleton cohorts (plain stream).
+        ``columns`` projects the per-group frames — the projection
+        reaches the Parquet scan, so consumers that only need metadata
+        never pay for the wide columns.
         """
         ids = self.list_groups(shuffle=shuffle, seed=seed)
         ids = ids[skip:]
@@ -142,6 +146,8 @@ class PartitionedDataset:
         cohort: list[tuple[str, pd.DataFrame]] = []
         for gid in ids:
             g = self.group(gid).drop(keys.GROUP_COL, BUCKET_COL)
+            if columns is not None:
+                g = g.select(*columns)
             cohort.append((gid, g.toPandas()))
             if len(cohort) == batch_groups:
                 yield cohort

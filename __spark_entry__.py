@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_grouper_spark import keys, oracles
-from dataset_grouper_spark.functions import textanalysis, textstats
+from dataset_grouper_spark.functions import featurize, textanalysis, textstats
 from dataset_grouper_spark.operators import chunking, dedup, multimodal, similarity
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
@@ -378,6 +378,19 @@ SESSION_GAP_US = 30 * 60 * 10**6  # 30 minutes in micros
 SAMPLE_PCT = 20
 
 
+TF_DIM, TF_COSINE_T = 64, 0.9
+
+
+def q_text_hashed_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Text -> hashed-TF vectors -> near-dup pairs by cosine, computed
+    relationally (bucket equijoin). End-to-end text-similarity without
+    precomputed embeddings."""
+    df = read_table(spark, sf, "documents")
+    return featurize.sparse_cosine_pairs(
+        df, "text", "doc_id", TF_DIM, TF_COSINE_T
+    )
+
+
 def q_json_props_events(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured handling: extract a JSON field from the props
     column and aggregate per event type — get_json_object is a
@@ -470,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "repetition_documents": q_repetition_documents,
         "json_props_events": q_json_props_events,
+        "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
     }
 
 
@@ -634,6 +648,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_documents": textanalysis.repetition_sql(
             "documents", "text", "doc_id", 2
+        ),
+        "text_hashed_cosine_pairs": featurize.sparse_cosine_sql(
+            "documents", "text", "doc_id", TF_DIM, TF_COSINE_T
         ),
         "json_props_events": """
             SELECT event_type, count(*) AS n,

@@ -1,3 +1,8 @@
-from dataset_grouper_spark.functions import hashing, textanalysis, textstats
+from dataset_grouper_spark.functions import (
+    featurize,
+    hashing,
+    textanalysis,
+    textstats,
+)
 
-__all__ = ["textstats", "textanalysis", "hashing"]
+__all__ = ["textstats", "textanalysis", "hashing", "featurize"]

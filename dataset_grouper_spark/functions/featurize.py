@@ -1,0 +1,136 @@
+"""Text featurization — hashing-trick term-frequency vectors.
+
+Turns a text column into a dense ``array<double>`` embedding without
+any ML dependency: token -> md5-derived bucket in [0, dim), value =
+term count, L2-normalized (the classic hashing trick / feature
+hashing, Weinberger et al. 2009). Because the hash is the engine-
+portable md5_long, the same vectors are computable in any SQL engine —
+which makes downstream similarity oracle-checkable.
+
+Two forms:
+- ``hashed_tf``: dense vectors for the array-based similarity ops
+  (cosine_topk / cosine_pairs / LSH).
+- ``hashed_tf_sparse``: the (id, bucket, count) relation — cosine over
+  it is a bucket equijoin (sum cu*cv / norms), the shape that scales
+  and the shape the SQL oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.functions.hashing import md5_long, md5_long_sql, tokens
+
+
+def hashed_tf_sparse(
+    df: DataFrame, text_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """(id, bucket, cnt) sparse term-frequency relation."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    )
+    return (
+        toks.withColumn("bucket", F.pmod(md5_long(F.col("_tok")), F.lit(dim)))
+        .groupBy(F.col("_id").alias(id_col), "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hashed_tf(
+    df: DataFrame, text_col: str, id_col: str, dim: int, normalize: bool = True
+) -> DataFrame:
+    """(id, vector array<double>) dense hashed-TF embedding."""
+    sparse = hashed_tf_sparse(df, text_col, id_col, dim)
+    per_doc = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("cnt")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    out = per_doc.withColumn("_v", vec)
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        out = out.withColumn(
+            "_v", F.transform(F.col("_v"), lambda x: x / norm)
+        )
+    return out.select(F.col(id_col), F.col("_v").alias("vector"))
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All doc pairs with hashed-TF cosine >= threshold, computed
+    relationally: dot products via a bucket equijoin, norms via
+    per-doc sums. Scales like the jaccard join (shuffle on bucket)
+    and never materializes dense vectors."""
+    sp = hashed_tf_sparse(df, text_col, id_col, dim).persist()
+    norms = sp.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("_n")
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("_dot"))
+    )
+    na = norms.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "_na")
+    nb = norms.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "_nb")
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine", F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), round_digits)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def sparse_cosine_sql(
+    table: str, text_col: str, id_col: str, dim: int, threshold: float
+) -> str:
+    """DuckDB twin of sparse_cosine_pairs."""
+    stripped = (
+        f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
+    )
+    h = md5_long_sql("tok")
+    return f"""
+      WITH toks AS (
+        SELECT {id_col} AS _id,
+               unnest(string_split({stripped}, ' ')) AS tok
+        FROM {table}
+      ), sp AS (
+        SELECT _id, ({h}) % {dim} AS bucket, count(*) AS cnt
+        FROM toks GROUP BY _id, bucket
+      ), norms AS (
+        SELECT _id, sqrt(sum(cnt * cnt)) AS n FROM sp GROUP BY _id
+      ), dots AS (
+        SELECT a._id AS id_a, b._id AS id_b, sum(a.cnt * b.cnt) AS d
+        FROM sp a JOIN sp b ON a.bucket = b.bucket AND a._id < b._id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b, round(d / (x.n * y.n), 6) AS cosine
+      FROM dots JOIN norms x ON id_a = x._id JOIN norms y ON id_b = y._id
+      WHERE round(d / (x.n * y.n), 6) >= {threshold}
+    """

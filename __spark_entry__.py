@@ -391,6 +391,29 @@ def q_text_hashed_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_moving_avg_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user analytic window: 3-event moving average and running
+    max of value in time order (capabilities the reference lacks
+    entirely — SURVEY §2.8: no window/analytic functions)."""
+    from pyspark.sql import Window
+
+    df = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return df.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.avg("value").over(w.rowsBetween(-2, 0)), 4
+        ).alias("mov_avg_3"),
+        F.round(
+            F.max("value").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_max"),
+    )
+
+
 def q_json_props_events(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured handling: extract a JSON field from the props
     column and aggregate per event type — get_json_object is a
@@ -484,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "json_props_events": q_json_props_events,
         "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
+        "moving_avg_events": q_moving_avg_events,
     }
 
 
@@ -652,6 +676,17 @@ def oracle_sql() -> dict[str, str]:
         "text_hashed_cosine_pairs": featurize.sparse_cosine_sql(
             "documents", "text", "doc_id", TF_DIM, TF_COSINE_T
         ),
+        "moving_avg_events": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                     AS mov_avg_3,
+                   round(max(value) OVER (PARTITION BY user_id
+                         ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING), 2) AS running_max
+            FROM events
+        """,
         "json_props_events": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -382,13 +382,16 @@ TF_DIM, TF_COSINE_T = 64, 0.9
 
 
 def q_text_hashed_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Text -> hashed-TF vectors -> near-dup pairs by cosine, computed
-    relationally (bucket equijoin). End-to-end text-similarity without
-    precomputed embeddings."""
+    """Text -> hashed-TF vectors -> near-dup pairs by cosine.
+
+    Dense path: at dim=64 every doc fills most buckets, so the sparse
+    bucket equijoin degenerates toward all-pairs (measured 25s); the
+    blocked-matmul cosine over dense vectors does the same exact math
+    in under a second. ``normalize=False`` keeps the arithmetic
+    identical to the oracle's integer-count formulation."""
     df = read_table(spark, sf, "documents")
-    return featurize.sparse_cosine_pairs(
-        df, "text", "doc_id", TF_DIM, TF_COSINE_T
-    )
+    vecs = featurize.hashed_tf(df, "text", "doc_id", TF_DIM, normalize=False)
+    return similarity.cosine_pairs(vecs, "vector", "doc_id", TF_COSINE_T)
 
 
 def q_moving_avg_events(spark: SparkSession, sf: str) -> DataFrame:

@@ -75,8 +75,13 @@ def sparse_cosine_pairs(
 ) -> DataFrame:
     """All doc pairs with hashed-TF cosine >= threshold, computed
     relationally: dot products via a bucket equijoin, norms via
-    per-doc sums. Scales like the jaccard join (shuffle on bucket)
-    and never materializes dense vectors."""
+    per-doc sums. Never materializes dense vectors.
+
+    Use when vectors are SPARSE relative to dim (dim >> distinct terms
+    per doc), so buckets are selective. When docs fill most buckets
+    (small dim), the equijoin degenerates toward all-pairs — use the
+    dense form + operators.similarity.cosine_pairs instead (measured
+    25x faster at dim=64 over 5k docs)."""
     sp = hashed_tf_sparse(df, text_col, id_col, dim).persist()
     norms = sp.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("_n")

@@ -242,7 +242,11 @@ COSINE_PAIR_T = 0.45
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "embeddings")
-    return similarity.cosine_pairs(df, "embedding", "vec_id", COSINE_PAIR_T)
+    # explicit num_blocks skips the count-derivation job; pair values
+    # are independent of the blocking factor
+    return similarity.cosine_pairs(
+        df, "embedding", "vec_id", COSINE_PAIR_T, num_blocks=4
+    )
 
 
 def q_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -391,7 +395,11 @@ def q_text_hashed_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     identical to the oracle's integer-count formulation."""
     df = read_table(spark, sf, "documents")
     vecs = featurize.hashed_tf(df, "text", "doc_id", TF_DIM, normalize=False)
-    return similarity.cosine_pairs(vecs, "vector", "doc_id", TF_COSINE_T)
+    # explicit num_blocks: deriving it would count() through the whole
+    # hashed_tf aggregation a second time
+    return similarity.cosine_pairs(
+        vecs, "vector", "doc_id", TF_COSINE_T, num_blocks=4
+    )
 
 
 def q_moving_avg_events(spark: SparkSession, sf: str) -> DataFrame:

@@ -93,53 +93,98 @@ def cosine_pairs(
     id_col: str,
     threshold: float,
     round_digits: int = 6,
+    num_blocks: int | None = None,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold — exact, blocked matmul.
+    """All pairs with cosine >= threshold — exact, blocked pair join.
 
-    Dense all-pairs similarity is the one workload where an Arrow-
-    batched numpy kernel beats Catalyst expressions outright (a
-    per-element fold over O(n^2) pairs is interpreted per element;
-    BLAS does the same work vectorized — measured 20x). Shape: the
-    corpus matrix is broadcast once; each Arrow batch of rows computes
-    its (batch x corpus) similarity block and emits only pairs above
-    threshold with id_a < id_b. The scan side stays fully distributed.
+    Fully distributed: no driver collect, no whole-corpus broadcast.
+    Rows are hashed into ``B`` blocks; each row is replicated into the
+    block-pairs it participates in (side A of pairs ``(b, j >= b)``,
+    side B of pairs ``(i <= b, b)``), then one shuffle groups each
+    block-pair and a BLAS kernel scores its |A| x |B| similarity tile,
+    emitting only pairs above threshold with ``id_a < id_b``. No
+    single task ever holds more than two blocks (~2 * target_block_rows
+    vectors); the triangle of B*(B+1)/2 tiles spreads across the
+    cluster. Data replication is B+1 per row — the standard triangle-
+    join tradeoff for exact all-pairs (O(n^2) work is inherent; for
+    corpora where that is impossible, use random_hyperplane_lsh_pairs
+    for candidates + exact re-score).
 
-    Fits-in-memory broadcast is the right call up to ~1e6 x 1e3 dims;
-    beyond that use random_hyperplane_lsh_pairs for candidates and
-    re-score only those.
+    Dense tiles use numpy because a per-element Catalyst fold over
+    O(n^2) pairs is interpreted per element; BLAS does the same work
+    vectorized — measured 20x.
+
+    ``num_blocks=None`` derives B from a distributed count (one cheap
+    aggregate job, never a data collect).
     """
-    import numpy as np
+    import math
+
     import pandas as pd
 
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype="int64")
-    mat = np.array([r[1] for r in rows], dtype="float64")
-    norms = np.linalg.norm(mat, axis=1)
-    spark = df.sparkSession
-    b = spark.sparkContext.broadcast((ids, mat, norms))
+    if num_blocks is None:
+        n = df.count()
+        num_blocks = max(1, math.ceil(n / target_block_rows))
+    B = int(num_blocks)
 
-    def block(pdf_iter):
-        c_ids, c_mat, c_norms = b.value
-        for pdf in pdf_iter:
-            q_ids = pdf[id_col].to_numpy(dtype="int64")
-            q_mat = np.array(list(pdf[vec_col]), dtype="float64")
-            sims = (q_mat @ c_mat.T) / np.outer(
-                np.linalg.norm(q_mat, axis=1), c_norms
-            )
-            sims = np.round(sims, round_digits)
-            qi, ci = np.nonzero(
-                (sims >= threshold) & (q_ids[:, None] < c_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": q_ids[qi],
-                    "id_b": c_ids[ci],
-                    "cosine": sims[qi, ci],
-                }
-            )
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    a_side = blocked.select(
+        "_id",
+        "_vec",
+        F.col("_blk").alias("_pi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(B - 1))).alias("_pj"),
+        F.lit(0).alias("_side"),
+    )
+    b_side = blocked.select(
+        "_id",
+        "_vec",
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_pi"),
+        F.col("_blk").alias("_pj"),
+        F.lit(1).alias("_side"),
+    )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        block, schema="id_a long, id_b long, cosine double"
+    def tile(key, pdf):
+        pi, pj = key
+        a = pdf[pdf["_side"] == 0]
+        bb = pdf[pdf["_side"] == 1]
+        if a.empty or bb.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        a_ids = a["_id"].to_numpy(dtype="int64")
+        b_ids = bb["_id"].to_numpy(dtype="int64")
+        a_mat = np.array(list(a["_vec"]), dtype="float64")
+        b_mat = np.array(list(bb["_vec"]), dtype="float64")
+        sims = np.round(
+            (a_mat @ b_mat.T)
+            / np.outer(
+                np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
+            ),
+            round_digits,
+        )
+        mask = sims >= threshold
+        if pi == pj:
+            # diagonal tile: A and B are the same block; strict id
+            # order keeps each unordered pair exactly once
+            mask &= a_ids[:, None] < b_ids[None, :]
+            ai, bi = np.nonzero(mask)
+            id_a, id_b = a_ids[ai], b_ids[bi]
+        else:
+            # off-diagonal: each unordered pair appears in exactly one
+            # tile; normalize the id order on emit
+            ai, bi = np.nonzero(mask)
+            x, y = a_ids[ai], b_ids[bi]
+            id_a, id_b = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bi]})
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("_pi", "_pj")
+        .applyInPandas(tile, schema="id_a long, id_b long, cosine double")
     )
 
 

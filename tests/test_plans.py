@@ -63,6 +63,21 @@ def test_blocked_topk_single_exchange(spark):
     assert count_exchanges(df) == 1
 
 
+def test_cosine_pairs_queries_build_without_collect(spark, monkeypatch):
+    # VERDICT r1 #1: the two contract queries riding cosine_pairs must
+    # construct their plans with zero driver-side materialization
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side corpus materialization")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    for q in (e.q_embedding_cosine_pairs, e.q_text_hashed_cosine_pairs):
+        df = q(spark, SF)
+        assert {"id_a", "id_b", "cosine"} <= set(df.columns)
+
+
 def test_lsh_is_equijoin_not_cartesian(spark):
     df = e.q_minhash_lsh_candidates(spark, SF)
     assert_no_cartesian(df)

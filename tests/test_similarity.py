@@ -60,6 +60,47 @@ def test_blocked_topk_identical_to_catalyst(vecs):
     assert ka == kb
 
 
+def test_cosine_pairs_matches_numpy_all_blockings(vecs):
+    df, m = vecs
+    md = m.astype("float64")
+    sims = (md @ md.T) / np.outer(
+        np.linalg.norm(md, axis=1), np.linalg.norm(md, axis=1)
+    )
+    expected = {
+        (i, j, round(float(sims[i, j]), 6))
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if round(float(sims[i, j]), 6) >= 0.3
+    }
+    # pair set must be identical for any blocking factor (1 = single
+    # tile, 7 = uneven blocks, default = count-derived)
+    for nb in (1, 7, None):
+        out = similarity.cosine_pairs(
+            df, "embedding", "vec_id", 0.3, num_blocks=nb
+        )
+        got = {(r.id_a, r.id_b, r.cosine) for r in out.collect()}
+        assert got == expected, f"num_blocks={nb}"
+
+
+def test_cosine_pairs_never_collects_corpus(vecs, monkeypatch):
+    # 100 TB guard: building the pair plan must not pull rows to the
+    # driver (VERDICT r1 #1) — collect/toPandas/broadcast are banned
+    # during plan construction
+    from pyspark.sql import DataFrame
+
+    df, _ = vecs
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side corpus materialization")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    plan = similarity.cosine_pairs(
+        df, "embedding", "vec_id", 0.9, num_blocks=4
+    )
+    assert "id_a" in plan.columns
+
+
 def test_lsh_pairs_find_planted_dup(vecs):
     df, _ = vecs
     pairs = similarity.random_hyperplane_lsh_pairs(

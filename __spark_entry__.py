@@ -89,6 +89,30 @@ def q_group_counts_lineitem_by_flag(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_group_counts_tensors(spark: SparkSession, sf: str) -> DataFrame:
+    """Multidim-tensor byte sizing — the reference's image-dataset path
+    (uint8[28,28,1] tensors, data_loaders_test.py:25-34; sizing =
+    prod(shape) x dtype.size, tf_utils.py:26-38). Each embedding is
+    chunked into a 4-wide 2-d tensor (array<array<float>>) plus a
+    struct-of-array metadata column; group counts by label then size
+    the nested structure."""
+    df = read_table(spark, sf, "embeddings")
+    nrows = F.ceil(F.size("embedding") / F.lit(4)).cast("int")
+    tensor = F.transform(
+        F.sequence(F.lit(1), nrows),
+        lambda r: F.slice(F.col("embedding"), (r - 1) * 4 + 1, F.lit(4)),
+    )
+    t = df.select(
+        F.col("label"),
+        tensor.alias("tensor"),
+        F.struct(
+            F.slice(F.col("embedding"), 1, 8).alias("head"),
+            F.col("vec_id").alias("id"),
+        ).alias("meta"),
+    )
+    return gc.compute_group_counts(t, keys.by_feature("label"))
+
+
 def q_format_group_counts(spark: SparkSession, sf: str) -> DataFrame:
     counts = q_group_counts_documents_by_source(spark, sf)
     return gc.format_group_counts(counts, ",")
@@ -491,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_counts_events_by_user": q_group_counts_events_by_user,
         "group_counts_documents_by_source": q_group_counts_documents_by_source,
         "group_counts_lineitem_by_flag": q_group_counts_lineitem_by_flag,
+        "group_counts_tensors": q_group_counts_tensors,
         "format_group_counts": q_format_group_counts,
         "key_random_lineitem": q_key_random_lineitem,
         "key_url_domain": q_key_url_domain,
@@ -550,6 +575,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum({textstats.row_bytes_sql(LINEITEM_SCHEMA)}) AS BIGINT) AS num_bytes,
                    CAST(sum({textstats.row_words_sql(LINEITEM_STRINGS)}) AS BIGINT) AS num_words
             FROM lineitem GROUP BY 1
+        """,
+        "group_counts_tensors": """
+            SELECT CAST(label AS VARCHAR) AS group_id,
+                   count(*) AS num_examples,
+                   CAST(sum(
+                     (CASE WHEN label IS NULL THEN 0 ELSE 4 END)
+                     + coalesce(len(embedding), 0) * 4
+                     + coalesce(least(len(embedding), 8), 0) * 4
+                     + (CASE WHEN vec_id IS NULL THEN 0 ELSE 8 END)
+                   ) AS BIGINT) AS num_bytes,
+                   CAST(sum(0) AS BIGINT) AS num_words
+            FROM embeddings GROUP BY label
         """,
         "format_group_counts": f"""
             SELECT concat_ws(',', group_id, CAST(num_examples AS VARCHAR),

@@ -77,39 +77,45 @@ def words_sql(col: str) -> str:
     )
 
 
-def _field_bytes_expr(field: T.StructField) -> Column:
-    dt = field.dataType
-    c = F.col(field.name)
-    if isinstance(dt, T.StringType):
-        return F.coalesce(F.octet_length(c), F.lit(0)).cast("long")
-    if isinstance(dt, T.BinaryType):
+def _bytes_of(c: Column, dt: T.DataType) -> Column:
+    """Byte size of one value expression — recursive over arbitrary
+    nesting, matching the reference's flatten-then-sum tensor sizing
+    (``prod(shape) x dtype.size``, tf_utils.py:26-28; nested structures
+    accumulate via tf.nest, tf_utils.py:33-38). A multidim tensor
+    stored as array<array<...>> therefore sizes as total element count
+    x element width."""
+    if isinstance(dt, (T.StringType, T.BinaryType)):
         return F.coalesce(F.octet_length(c), F.lit(0)).cast("long")
     if isinstance(dt, T.ArrayType):
         elem_w = _WIDTHS.get(type(dt.elementType))
         if elem_w is not None:
             return (F.coalesce(F.size(c), F.lit(0)) * elem_w).cast("long")
-        if isinstance(dt.elementType, T.StringType):
-            return F.coalesce(
-                F.aggregate(
-                    c, F.lit(0).cast("long"), lambda acc, x: acc + F.octet_length(x)
-                ),
-                F.lit(0),
-            )
-        raise TypeError(f"unsupported array element type: {dt.elementType}")
+        # nested arrays / strings / structs: fold over elements, each
+        # sized recursively; null elements contribute 0
+        elem_dt = dt.elementType
+        return F.coalesce(
+            F.aggregate(
+                c,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + _bytes_of(x, elem_dt),
+            ),
+            F.lit(0).cast("long"),
+        )
     if isinstance(dt, T.StructType):
         # Nested dicts accumulate recursively (tf_utils.py:33-38).
-        inner = [
-            _field_bytes_expr(T.StructField(f"{field.name}.{sub.name}", sub.dataType))
-            for sub in dt.fields
-        ]
-        out = inner[0]
-        for e in inner[1:]:
-            out = out + e
-        return out
+        out = None
+        for sub in dt.fields:
+            e = _bytes_of(c.getField(sub.name), sub.dataType)
+            out = e if out is None else out + e
+        return out if out is not None else F.lit(0).cast("long")
     w = _WIDTHS.get(type(dt))
     if w is None:
         raise TypeError(f"unsupported type for byte sizing: {dt}")
     return F.when(c.isNull(), F.lit(0)).otherwise(F.lit(w)).cast("long")
+
+
+def _field_bytes_expr(field: T.StructField) -> Column:
+    return _bytes_of(F.col(field.name), field.dataType)
 
 
 def row_bytes_expr(df: DataFrame, cols: list[str] | None = None) -> Column:
@@ -141,6 +147,12 @@ def row_bytes_sql(schema: list[tuple[str, str]]) -> str:
             parts.append(f"CAST(coalesce(strlen({name}), 0) AS BIGINT)")
         elif k in ("blob", "binary"):
             parts.append(f"CAST(coalesce(octet_length({name}), 0) AS BIGINT)")
+        elif k.startswith("list:list:"):
+            # 2-d tensor: flatten then count (total elements x width)
+            w = _SQL_WIDTHS[k.split(":", 2)[2]]
+            parts.append(
+                f"CAST(coalesce(len(flatten({name})), 0) * {w} AS BIGINT)"
+            )
         elif k.startswith("list:"):
             w = _SQL_WIDTHS[k.split(":", 1)[1]]
             parts.append(f"CAST(coalesce(len({name}), 0) * {w} AS BIGINT)")

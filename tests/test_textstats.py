@@ -67,6 +67,41 @@ def test_f5_fixed_width_and_arrays(spark):
     assert row.words == 2
 
 
+def test_multidim_tensor_bytes_nested_structure(spark):
+    # tf_utils_test.py:51-68 mirror: {'a': {'a0': int32[3,4],
+    # 'a1': uint8[5]}, 'b': string[7]} => 12*4 + 5*1 + 7 = 60 bytes.
+    # The 3x4 tensor is stored as array<array<int>>.
+    df = spark.createDataFrame(
+        [(([[1, 2, 3, 4]] * 3, list(range(5))), "a" * 7)],
+        "a: struct<a0: array<array<int>>, a1: array<tinyint>>, b: string",
+    )
+    row = df.select(textstats.row_bytes_expr(df).alias("bytes")).collect()[0]
+    assert row.bytes == 12 * 4 + 5 * 1 + 7
+
+
+def test_multidim_tensor_bytes_nulls_and_ragged(spark):
+    df = spark.createDataFrame(
+        [
+            ([[1.0, 2.0], [3.0]],),  # ragged 2-d: 3 doubles
+            ([[], [1.0]],),  # empty inner row: 1 double
+            ([None, [1.0, 2.0]],),  # null inner row contributes 0
+            (None,),  # null tensor contributes 0
+        ],
+        "t: array<array<double>>",
+    )
+    got = [r.b for r in df.select(textstats.row_bytes_expr(df).alias("b")).collect()]
+    assert got == [24, 8, 16, 0]
+
+
+def test_three_dim_tensor_and_nested_strings(spark):
+    df = spark.createDataFrame(
+        [([[["ab", "c"]], [["defg"]]], [[1, 2], [3]])],
+        "s: array<array<array<string>>>, t: array<array<int>>",
+    )
+    row = df.select(textstats.row_bytes_expr(df).alias("b")).collect()[0]
+    assert row.b == (2 + 1 + 4) + 3 * 4
+
+
 def test_format_group_count(spark):
     df = spark.createDataFrame(
         [("g", 3, 21, 6)], "group_id: string, num_examples: long, num_bytes: long, num_words: long"

@@ -251,6 +251,36 @@ def q_cosine_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+LSH_BITS, LSH_TABLES, LSH_SEED = 8, 4, 42
+IVF_CENTROIDS, IVF_NPROBE = 16, 4
+EMB_DIM = 64
+
+
+def q_lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets + exact rerank —
+    seeded planes make the candidate set deterministic, so the whole
+    path is value-hashable against the DuckDB twin (VERDICT r1 #3)."""
+    df = read_table(spark, sf, "embeddings")
+    qs = df.filter(F.expr(TOPK_QFILTER))
+    return similarity.lsh_topk(
+        df, qs, "embedding", "vec_id", "vec_id",
+        dim=EMB_DIM, k=TOPK_K, bits=LSH_BITS, tables=LSH_TABLES,
+        seed=LSH_SEED,
+    )
+
+
+def q_ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k via a deterministic inverted-file index (hash-sampled
+    centroids, nprobe cells, exact rerank) — the oracle-checkable twin
+    of the KMeans ivf_topk."""
+    df = read_table(spark, sf, "embeddings")
+    qs = df.filter(F.expr(TOPK_QFILTER))
+    return similarity.ivf_topk_flat(
+        df, qs, "embedding", "vec_id", "vec_id",
+        k=TOPK_K, num_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+    )
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
     # documents.text stands in for binary media payloads: encode to
     # binary, then run the (stubbed) decode through real mapInPandas
@@ -529,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_image_meta": q_multimodal_image_meta,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -673,6 +705,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk_embeddings": oracles.cosine_topk_sql(
             "embeddings", "embedding", "vec_id", TOPK_QFILTER, TOPK_K
+        ),
+        "lsh_topk_embeddings": oracles.lsh_topk_sql(
+            "embeddings", "embedding", "vec_id", TOPK_QFILTER,
+            EMB_DIM, TOPK_K, LSH_BITS, LSH_TABLES, LSH_SEED,
+        ),
+        "ivf_topk_embeddings": oracles.ivf_topk_flat_sql(
+            "embeddings", "embedding", "vec_id", TOPK_QFILTER,
+            TOPK_K, IVF_CENTROIDS, IVF_NPROBE,
         ),
         "multimodal_image_meta": oracles.image_meta_sql(
             "documents", "text", "doc_id"

@@ -334,6 +334,102 @@ def ivf_topk(
     )
 
 
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk_flat(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic IVF top-k — the oracle-checkable twin of
+    ``ivf_topk``.
+
+    Same inverted-file mechanism (coarse cells, probe ``nprobe`` cells
+    per query, exact rerank within probed cells) but the coarse
+    quantizer is a *hash-sampled flat index* instead of KMeans: the
+    centroids are the ``num_centroids`` corpus vectors with the
+    smallest engine-portable md5 hash of their id. No ML fit, and the
+    entire index — centroid pick, cell assignment (argmin L2, ties to
+    the smaller centroid id), probes, rerank — is reproducible in any
+    SQL engine, which makes the whole ANN path value-hashable against
+    a DuckDB oracle (VERDICT r1 #3).
+
+    Scale shape: top-C-by-hash is a TakeOrdered (no full sort);
+    assignment is a broadcast of C centroid rows against the corpus
+    with a map-side partial ``min(struct)`` argmin — one corpus
+    shuffle; probing joins a broadcast (query x cell) list.
+    """
+    from dataset_grouper_spark.functions.hashing import md5_long
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("_cent_id"),
+            F.col(vec_col).alias("_cent_v"),
+            md5_long(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_cent_id")
+        .limit(num_centroids)
+        .select("_cent_id", "_cent_v")
+    )
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", _dist2(F.col("_cv"), F.col("_cent_v")))
+        .groupBy("_cid")
+        .agg(F.min(F.struct(F.col("_d2"), F.col("_cent_id"))).alias("_m"))
+        .select("_cid", F.col("_m._cent_id").alias("_cluster"))
+        .join(c, "_cid")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("_cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", _dist2(F.col("_qv"), F.col("_cent_v")))
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", F.col("_cent_id").alias("_cluster"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "_cluster")
+        .filter(F.col("_cid") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_cv"), F.col("_qv"))
+                / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+                round_digits,
+            ),
+        )
+        .select("query_id", F.col("_cid").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Seeded random hyperplane normals for sign-projection LSH."""
     rng = np.random.default_rng(seed)

@@ -159,6 +159,148 @@ def cosine_topk_sql(
     """
 
 
+def _dbl(vec_expr: str) -> str:
+    return f"list_transform({vec_expr}, x -> CAST(x AS DOUBLE))"
+
+
+def _cos(a: str, b: str, round_digits: int = 6) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b}))), {round_digits})"
+    )
+
+
+def lsh_signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """b-bit sign signature — twin of similarity.signature_expr. The
+    plane constants are the exact same Python floats the Spark side
+    embeds as literals (repr round-trips float64 exactly)."""
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query_filter: str,
+    dim: int,
+    k: int,
+    bits: int,
+    tables: int,
+    seed: int,
+    round_digits: int = 6,
+) -> str:
+    """Twin of similarity.lsh_topk: table-tagged bucket equijoin for
+    candidates, exact cosine rerank, row_number top-k."""
+    from dataset_grouper_spark.operators.similarity import hyperplanes
+
+    def buckets(vec_var: str) -> str:
+        return ", ".join(
+            f"('{t}_' || CAST("
+            + lsh_signature_sql(vec_var, hyperplanes(dim, bits, seed + t))
+            + " AS VARCHAR))"
+            for t in range(tables)
+        )
+
+    return f"""
+      WITH c AS (
+        SELECT {id_col} AS neighbor_id, {_dbl(vec_col)} AS cv FROM {table}
+      ),
+      q AS (
+        SELECT {id_col} AS query_id, {_dbl(vec_col)} AS qv
+        FROM {table} WHERE {query_filter}
+      ),
+      cb AS (SELECT neighbor_id, unnest([{buckets('cv')}]) AS bucket FROM c),
+      qb AS (SELECT query_id, unnest([{buckets('qv')}]) AS bucket FROM q),
+      cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM cb JOIN qb USING (bucket)
+        WHERE neighbor_id != query_id
+      ),
+      s AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_cos('c.cv', 'q.qv', round_digits)} AS cosine
+        FROM cand
+        JOIN c ON cand.neighbor_id = c.neighbor_id
+        JOIN q ON cand.query_id = q.query_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        FROM s
+      )
+      SELECT * FROM ranked WHERE rank <= {k}
+    """
+
+
+def ivf_topk_flat_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query_filter: str,
+    k: int,
+    num_centroids: int,
+    nprobe: int,
+    round_digits: int = 6,
+) -> str:
+    """Twin of similarity.ivf_topk_flat: hash-sampled centroids,
+    argmin-L2 cell assignment (ties to smaller centroid id), nprobe
+    cells per query, exact cosine rerank."""
+    h = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+      WITH cents AS (
+        SELECT {id_col} AS cent_id, {_dbl(vec_col)} AS cent_v
+        FROM {table}
+        ORDER BY {h}, {id_col}
+        LIMIT {num_centroids}
+      ),
+      c AS (SELECT {id_col} AS _cid, {_dbl(vec_col)} AS cv FROM {table}),
+      assigned AS (
+        SELECT _cid, cv, cluster FROM (
+          SELECT c._cid, c.cv, ct.cent_id AS cluster,
+                 row_number() OVER (PARTITION BY c._cid
+                   ORDER BY list_distance(c.cv, ct.cent_v), ct.cent_id) AS r
+          FROM c CROSS JOIN cents ct
+        ) WHERE r = 1
+      ),
+      q AS (
+        SELECT {id_col} AS query_id, {_dbl(vec_col)} AS qv
+        FROM {table} WHERE {query_filter}
+      ),
+      probes AS (
+        SELECT query_id, qv, cluster FROM (
+          SELECT q.query_id, q.qv, ct.cent_id AS cluster,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_distance(q.qv, ct.cent_v), ct.cent_id) AS r
+          FROM q CROSS JOIN cents ct
+        ) WHERE r <= {nprobe}
+      ),
+      s AS (
+        SELECT p.query_id, a._cid AS neighbor_id,
+               {_cos('a.cv', 'p.qv', round_digits)} AS cosine
+        FROM assigned a JOIN probes p USING (cluster)
+        WHERE a._cid != p.query_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        FROM s
+      )
+      SELECT * FROM ranked WHERE rank <= {k}
+    """
+
+
 def exact_dedup_sql(table: str, content_col: str, id_col: str, keep_cols: str) -> str:
     return f"""
       WITH ranked AS (

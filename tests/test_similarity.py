@@ -134,6 +134,32 @@ def test_ivf_topk_recall(vecs):
     assert 59 in iv[0]
 
 
+def test_ivf_topk_flat_full_probe_is_exact(vecs):
+    # probing every cell must reduce the flat IVF to exact top-k
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", k=3)
+    ivf = similarity.ivf_topk_flat(
+        df, qs, "embedding", "vec_id", "vec_id", k=3,
+        num_centroids=8, nprobe=8,
+    )
+    ke = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact.collect()}
+    ki = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in ivf.collect()}
+    assert ke == ki
+
+
+def test_ivf_topk_flat_finds_planted_dup(vecs):
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_topk_flat(
+        df, qs, "embedding", "vec_id", "vec_id", k=1,
+        num_centroids=6, nprobe=3,
+    )
+    rows = out.collect()
+    # near-dup 59 is ~identical to query 0 → same cell → found
+    assert rows and rows[0].neighbor_id == 59
+
+
 def test_lsh_topk_recovers_exact_top1(vecs):
     df, m = vecs
     qs = df.filter(F.col("vec_id") == 0)

@@ -52,3 +52,29 @@ def test_tfrecord_roundtrip(tmp_path_factory, recs):
     path = str(tmp_path_factory.mktemp("tfr") / "f.tfrecord")
     tfrecord.write_records(path, recs)
     assert list(tfrecord.read_records(path)) == recs
+
+
+@given(st.binary(min_size=0, max_size=10_000))
+@settings(max_examples=100, deadline=None)
+def test_crc32c_numpy_matches_bytewise(data):
+    # the vectorized chunk+GF(2)-combine path must agree with the
+    # byte-at-a-time register on any input (both sides of the 2048
+    # fast-path threshold)
+    assert tfrecord.crc32c(data) == tfrecord._crc32c_py(data) ^ 0xFFFFFFFF
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 B.4 test vectors for CRC32C (Castagnoli)
+    assert tfrecord.crc32c(b"") == 0
+    assert tfrecord.crc32c(b"123456789") == 0xE3069283
+    assert tfrecord.crc32c(bytes(32)) == 0x8A9136AA
+    assert tfrecord.crc32c(bytes([0xFF] * 32)) == 0x62A8AB43
+
+
+def test_crc32c_large_buffer_paths():
+    import random
+
+    rng = random.Random(7)
+    for n in (2048, 2049, 65537, (1 << 20) + 123):
+        data = rng.randbytes(n)
+        assert tfrecord.crc32c(data) == tfrecord._crc32c_py(data) ^ 0xFFFFFFFF

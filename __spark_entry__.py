@@ -641,7 +641,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({doc_counts})
         """,
         "key_random_lineitem": """
-            SELECT CAST(((l_orderkey * 8 + l_linenumber) * 2654435761)
+            SELECT CAST((CAST((l_orderkey * 8 + l_linenumber) % 4294967296 AS HUGEINT)
+                        * 2654435761)
                         % 4294967296 % 16 AS VARCHAR) AS group_id,
                    count(*) AS num_examples,
                    round(sum(l_quantity), 2) AS sum_qty
@@ -663,10 +664,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e
                 JOIN intervals i
                   ON e.label = i.label_key
-                 AND ((e.vec_id * 2654435761) % 4294967296) / 4294967296.0
-                     >= i.cum_lo
-                 AND ((e.vec_id * 2654435761) % 4294967296) / 4294967296.0
-                     < i.cum_hi
+                 AND ((CAST(e.vec_id % 4294967296 AS HUGEINT) * 2654435761)
+                     % 4294967296) / 4294967296.0 >= i.cum_lo
+                 AND ((CAST(e.vec_id % 4294967296 AS HUGEINT) * 2654435761)
+                     % 4294967296) / 4294967296.0 < i.cum_hi
             )
             SELECT group_id, count(*) AS num_examples,
                    count(DISTINCT label) AS num_labels
@@ -801,8 +802,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_kept,
                    CAST(sum(n_chars) AS BIGINT) AS chars_kept
             FROM documents
-            WHERE ((doc_id + 0) * 2654435761) % 4294967296 % 100
-                  < {SAMPLE_PCT}
+            WHERE (CAST((doc_id + 0) % 4294967296 AS HUGEINT) * 2654435761)
+                  % 4294967296 % 100 < {SAMPLE_PCT}
             GROUP BY source
         """,
         "group_counts_rollup": """

@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from dataset_grouper_spark.cache import release_intermediates
 from dataset_grouper_spark.session import get_spark
 
 
@@ -42,6 +43,9 @@ def main() -> None:
         # Catalyst prune the projections we're trying to measure).
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop operator-persisted intermediates so cached partitions
+        # don't accumulate across the query loop (long-lived session)
+        release_intermediates()
 
     total = round(sum(timings.values()), 3)
     print(

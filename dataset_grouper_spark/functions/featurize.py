@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.cache import persist_tracked
+
 from dataset_grouper_spark.functions.hashing import md5_long, md5_long_sql, tokens
 
 
@@ -82,7 +84,7 @@ def sparse_cosine_pairs(
     (small dim), the equijoin degenerates toward all-pairs — use the
     dense form + operators.similarity.cosine_pairs instead (measured
     25x faster at dim=64 over 5k docs)."""
-    sp = hashed_tf_sparse(df, text_col, id_col, dim).persist()
+    sp = persist_tracked(hashed_tf_sparse(df, text_col, id_col, dim))
     norms = sp.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("_n")
     )

@@ -34,9 +34,12 @@ def _marker_regex(words: list[str]) -> str:
 
 
 def lang_scores(c: Column) -> dict[str, Column]:
-    """Per-language marker-hit counts."""
+    """Per-language marker-hit counts. NULL text coalesces to '' (like
+    tokens/quality_features) so every score is 0 and lang_id falls
+    through to 'und' instead of NULL-poisoning the argmax."""
+    safe = F.coalesce(c, F.lit(""))
     return {
-        lang: F.size(F.regexp_extract_all(c, F.lit(_marker_regex(words)), 0))
+        lang: F.size(F.regexp_extract_all(safe, F.lit(_marker_regex(words)), 0))
         for lang, words in LANG_MARKERS.items()
     }
 

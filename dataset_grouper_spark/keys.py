@@ -65,9 +65,22 @@ def composite(*cols: str | Column, sep: str = "|") -> Column:
 
 
 def scramble(id_col: str | Column) -> Column:
-    """Deterministic uniform 32-bit scramble of an integer id column."""
+    """Deterministic uniform 32-bit scramble of an integer id column.
+
+    Computes ``(id mod 2^32) * KNUTH mod 2^32`` overflow-safely for any
+    int64 id via a 16-bit split multiply — ``a*K mod 2^32 =
+    (a0*K + ((a1*K) mod 2^16) * 2^16) mod 2^32`` with ``a = a1*2^16 +
+    a0`` — every intermediate stays under 2^48, so no silent wraparound
+    (non-ANSI) or overflow error (ANSI / Spark 4 default) at scale, and
+    results are identical in any SQL engine (the DuckDB twins compute
+    the same value in HUGEINT)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(c.cast("long") * F.lit(_KNUTH), F.lit(_M32))
+    a = F.pmod(c.cast("long"), F.lit(_M32))
+    a0 = a.bitwiseAND(F.lit(0xFFFF))
+    a1 = F.shiftright(a, 16)
+    low = a0 * F.lit(_KNUTH)
+    high = F.pmod(a1 * F.lit(_KNUTH), F.lit(1 << 16)) * F.lit(1 << 16)
+    return F.pmod(low + high, F.lit(_M32))
 
 
 def random(id_col: str | Column, num_groups: int) -> Column:

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.cache import persist_tracked
+
 from dataset_grouper_spark.functions.hashing import (
     MERSENNE31,
     md5_long,
@@ -92,7 +94,7 @@ def ngram_jaccard_pairs(
     # The shingle frame feeds three subplans (two join sides + sizes);
     # persist it so the explode+distinct shuffle runs once, spilling to
     # disk when it outgrows memory.
-    sh = shingles(df, text_col, id_col, n).persist()
+    sh = persist_tracked(shingles(df, text_col, id_col, n))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     # A shingle held by a single doc can never witness a pair — drop it
     # from BOTH join sides before the self-join (set sizes above are
@@ -183,9 +185,11 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        F.col(id_col).alias("_id"), F.explode(band_keys).alias("_band")
-    ).persist()
+    banded = persist_tracked(
+        sigs.select(
+            F.col(id_col).alias("_id"), F.explode(band_keys).alias("_band")
+        )
+    )
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(

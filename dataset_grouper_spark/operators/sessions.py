@@ -57,6 +57,9 @@ def sample_groups(
     cluster size — the property Spark's sample() lacks). Used for
     train/eval splits and corpus downsampling; the complement
     (>= fraction_pct) is the exact remainder."""
+    from dataset_grouper_spark import keys
+
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    bucket = F.pmod((c.cast("long") + salt) * 2654435761, F.lit(4294967296)) % 100
+    # keys.scramble is overflow-safe for any int64 id (split multiply)
+    bucket = F.pmod(keys.scramble(c.cast("long") + salt), F.lit(100))
     return df.filter(bucket < fraction_pct)

@@ -481,9 +481,13 @@ def random_hyperplane_lsh_pairs(
             for t in range(tables)
         ]
     )
-    bucketed = df.select(
-        F.col(id_col).alias("_id"), F.explode(buckets).alias("_bucket")
-    ).persist()
+    from dataset_grouper_spark.cache import persist_tracked
+
+    bucketed = persist_tracked(
+        df.select(
+            F.col(id_col).alias("_id"), F.explode(buckets).alias("_bucket")
+        )
+    )
     x, y = bucketed.alias("x"), bucketed.alias("y")
     return (
         x.join(

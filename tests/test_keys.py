@@ -50,3 +50,15 @@ def test_constant_single_group(spark):
     df = spark.createDataFrame([(i,) for i in range(5)], "id: long")
     out = keys.with_group_key(df, keys.constant("test_client"))
     assert out.select(F.countDistinct("group_id")).collect()[0][0] == 1
+
+
+def test_scramble_no_overflow_for_large_ids(spark):
+    from dataset_grouper_spark import keys
+
+    big = 3_500_000_000  # above the old int64-overflow threshold
+    df = spark.createDataFrame([(big,), (7,)], "id: long")
+    got = {r.id: r.s for r in df.select(
+        "id", keys.scramble("id").alias("s")).collect()}
+    # python ground truth: (id mod 2^32) * KNUTH mod 2^32
+    for i in (big, 7):
+        assert got[i] == ((i % 2**32) * 2654435761) % 2**32

@@ -38,3 +38,18 @@ def test_nested_struct_byte_sizing(spark):
     total = df.select(textstats.row_bytes_expr(df).alias("b")).collect()[0].b
     # struct: 4 (int) + 2 (string 'ab'); plain: 3
     assert total == 4 + 2 + 3
+
+
+def test_release_intermediates_unpersists(spark):
+    from dataset_grouper_spark import cache
+    from dataset_grouper_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id: long, text: string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=2)
+    pairs.count()
+    assert cache.release_intermediates() >= 1
+    # idempotent: everything already released
+    assert cache.release_intermediates() == 0

@@ -56,3 +56,12 @@ def test_quality_features(spark):
     assert row.avg_word_len == round(11 / 3, 4)
     assert row.punct_ratio == 0.0
     assert row.stopword_ratio == round(1 / 3, 4)
+
+
+def test_lang_id_null_text_is_und(spark):
+    from dataset_grouper_spark.functions import textanalysis
+
+    df = spark.createDataFrame([(None,), ("the of and",)], "t: string")
+    got = [r.l for r in df.select(
+        textanalysis.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["und", "en"]

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 GROUP_COL = "group_id"
+GROUP_BYTES_COL = "group_key_bytes"
 
 # Knuth's multiplicative constant; x * KNUTH mod 2^32 scrambles an
 # integer id into a uniform 32-bit value identically in any SQL engine
@@ -36,9 +37,48 @@ _KNUTH = 2654435761
 _M32 = 4294967296  # 2^32
 
 
-def with_group_key(df: DataFrame, key: Column) -> DataFrame:
-    """Attach the group key (== KeyExamples, beam_transforms.py:103)."""
+def with_group_key(df: DataFrame, key: Column, binary: bool = False) -> DataFrame:
+    """Attach the group key (== KeyExamples, beam_transforms.py:103).
+
+    With ``binary=True`` the key expression must be BinaryType and is
+    kept byte-exact in ``group_key_bytes`` (the reference's ``GetKeyFn
+    -> bytes`` contract, types.py:31 — non-utf8 keys representable),
+    while ``group_id`` carries the injective escaped-string twin
+    (:func:`escape_bytes_key`) used for layout/partitioning.
+    """
+    if binary:
+        return df.withColumn(GROUP_BYTES_COL, key).withColumn(
+            GROUP_COL, escape_bytes_key(F.col(GROUP_BYTES_COL))
+        )
     return df.withColumn(GROUP_COL, key.cast("string"))
+
+
+def escape_bytes_key(b: Column) -> Column:
+    """Injective BinaryType -> StringType escaping for layout.
+
+    Valid-utf8 byte keys that are filesystem/CSV-safe (printable, no
+    ``/``, separators, or the escape marker) pass through verbatim —
+    so text keys keep the exact layout of the string path. Anything
+    else (invalid utf-8, control bytes, collision with the marker)
+    becomes ``%x:`` + uppercase hex. Pure Catalyst; reversible via
+    :func:`unescape_bytes_key`.
+    """
+    # try_validate_utf8: NULL for invalid byte sequences (ANSI decode()
+    # would throw, plain cast would silently substitute U+FFFD)
+    s = F.try_validate_utf8(b)
+    safe = (
+        s.isNotNull()
+        & ~s.rlike(r"[\x00-\x1f\x7f/\\,|]")
+        & ~s.startswith("%x:")
+    )
+    return F.when(safe, s).otherwise(F.concat(F.lit("%x:"), F.hex(b)))
+
+
+def unescape_bytes_key(s: Column) -> Column:
+    """StringType -> BinaryType inverse of escape_bytes_key."""
+    return F.when(
+        s.startswith("%x:"), F.unhex(F.substring(s, 4, 2**30))
+    ).otherwise(F.encode(s, "UTF-8"))
 
 
 def by_feature(col: str | Column) -> Column:

@@ -62,3 +62,50 @@ def test_scramble_no_overflow_for_large_ids(spark):
     # python ground truth: (id mod 2^32) * KNUTH mod 2^32
     for i in (big, 7):
         assert got[i] == ((i % 2**32) * 2654435761) % 2**32
+
+
+def test_binary_group_keys_roundtrip(spark):
+    # types.py:31 parity: GetKeyFn -> bytes; non-utf8 keys representable
+    from dataset_grouper_spark import keys
+
+    raw = [
+        (1, bytes([0xFF, 0xFE, 0x01])),  # invalid utf-8
+        (2, b"plain-text-key"),           # safe utf-8 -> verbatim layout
+        (3, "café".encode()),        # multibyte utf-8, safe
+        (4, b"%x:DEAD"),                  # collides with escape marker
+        (5, b"a/b,c|d"),                  # unsafe separators
+        (6, b""),                         # empty key
+    ]
+    df = spark.createDataFrame(raw, "id: long, k: binary")
+    keyed = keys.with_group_key(df, F.col("k"), binary=True)
+    assert dict(keyed.dtypes)[keys.GROUP_BYTES_COL] == "binary"
+    assert dict(keyed.dtypes)[keys.GROUP_COL] == "string"
+    rows = {r.id: r for r in keyed.collect()}
+    assert rows[2][keys.GROUP_COL] == "plain-text-key"  # readable layout
+    assert rows[3][keys.GROUP_COL] == "café"
+    assert rows[1][keys.GROUP_COL].startswith("%x:")
+    assert rows[4][keys.GROUP_COL].startswith("%x:")  # marker escaped
+    assert rows[5][keys.GROUP_COL].startswith("%x:")
+    # escape is injective and reversible
+    back = keyed.select(
+        "id", keys.unescape_bytes_key(F.col(keys.GROUP_COL)).alias("b")
+    )
+    got = {r.id: bytes(r.b) for r in back.collect()}
+    assert got == {i: k for i, k in raw}
+    ids = keyed.select(keys.GROUP_COL).distinct().count()
+    assert ids == len(raw)
+
+
+def test_binary_group_keys_partitioned_write_roundtrip(spark, tmp_path):
+    from dataset_grouper_spark import keys
+
+    raw = [(1, bytes([0x80, 0x81])), (2, b"ok"), (3, bytes([0x80, 0x81]))]
+    df = spark.createDataFrame(raw, "id: long, k: binary")
+    keyed = keys.with_group_key(df, F.col("k"), binary=True)
+    out = str(tmp_path / "bykey")
+    keyed.write.partitionBy(keys.GROUP_COL).mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).select(
+        "id", keys.unescape_bytes_key(F.col(keys.GROUP_COL)).alias("b")
+    )
+    got = {r.id: bytes(r.b) for r in back.collect()}
+    assert got == {i: k for i, k in raw}

@@ -19,9 +19,11 @@ Reference surface covered (citations are file:line in the reference):
 - partitioned write      -> sinks/         (tfds_pipelines.py:25-78)
 - group-stream loading   -> loader.py      (data_loaders.py:70-125)
 - byte/word scalar fns   -> functions/textstats.py    (tf_utils.py:20-60)
+- one-call pipelines     -> pipelines.py   (tfds_pipelines.py:25-141)
 """
 
-from dataset_grouper_spark import keys
+from dataset_grouper_spark import keys, pipelines
+from dataset_grouper_spark.pipelines import tfds_group_counts, tfds_to_tfrecords
 from dataset_grouper_spark.functions import textanalysis, textstats
 from dataset_grouper_spark.loader import PartitionedDataset
 from dataset_grouper_spark.operators.group_counts import compute_group_counts
@@ -33,6 +35,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "keys",
+    "pipelines",
+    "tfds_to_tfrecords",
+    "tfds_group_counts",
     "textstats",
     "textanalysis",
     "PartitionedDataset",

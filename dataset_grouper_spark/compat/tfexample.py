@@ -119,6 +119,24 @@ def encode_example(features: dict[str, Any]) -> bytes:
     return _len_delim(1, feats)
 
 
+def encode_example_checked(
+    features: dict[str, Any], schema_keys: "set[str] | frozenset[str]"
+) -> bytes:
+    """encode_example with the reference's schema-mismatch behavior:
+    raises KeyError when the example's keys do not exactly match the
+    declared feature schema (serialize_tfds_example,
+    serialization.py:40-48; tested at serialization_test.py:33-43)."""
+    got = set(features)
+    if got != set(schema_keys):
+        raise KeyError(
+            "Found a mismatch between the provided features_dict and an"
+            " example. Please make sure that features_dict matches the"
+            f" structure of *all* examples being serialized."
+            f" (example keys={sorted(got)}, schema keys={sorted(schema_keys)})"
+        )
+    return encode_example(features)
+
+
 def create_sequence_example(
     serialized: list[bytes], key: str = SERIALIZED_BYTES_KEY
 ) -> bytes:

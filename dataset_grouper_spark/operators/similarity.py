@@ -196,6 +196,9 @@ def cosine_topk_blocked(
     query_id_col: str,
     k: int = 10,
     round_digits: int = 6,
+    max_collect_queries: int = 65536,
+    query_block_rows: int = 4096,
+    corpus_block_rows: int = 65536,
 ) -> DataFrame:
     """Exact top-k, scale variant: numpy block scoring + two-level
     top-k. Each corpus partition computes its (batch x queries)
@@ -203,9 +206,32 @@ def cosine_topk_blocked(
     query; a final window rank merges partials. Shuffle volume is
     O(partitions * k * |queries|) instead of O(|corpus| * |queries|).
     Results are identical to cosine_topk (exact; same rounding and
-    tie-break)."""
+    tie-break).
+
+    The query set is collected + broadcast only while its row count is
+    at most ``max_collect_queries`` (dim-table-sized). Above that the
+    operator switches to a fully distributed 2-D tiled join — corpus
+    hashed into row blocks, queries into query blocks, each (corpus
+    block x query block) tile scored with BLAS in its own task and
+    reduced to per-tile top-k before the same global rank merge — so
+    no single process ever holds the query set. Same exact results;
+    extra cost is the tile replication (corpus rows x query blocks).
+    """
     import numpy as np
     import pandas as pd
+
+    if queries.count() > max_collect_queries:
+        return _cosine_topk_tiled(
+            corpus,
+            queries,
+            vec_col,
+            id_col,
+            query_id_col,
+            k,
+            round_digits,
+            query_block_rows,
+            corpus_block_rows,
+        )
 
     qrows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype="int64")
@@ -255,6 +281,99 @@ def cosine_topk_blocked(
     )
 
 
+def _cosine_topk_tiled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    round_digits: int,
+    query_block_rows: int,
+    corpus_block_rows: int,
+) -> DataFrame:
+    """Large-Q exact top-k: 2-D tiled corpus x query join, no collect.
+
+    Both sides are hashed into blocks; every (corpus block, query
+    block) tile is a groupBy key scored by one BLAS task that keeps
+    its local per-query top-k (same (-cosine, neighbor_id) order as
+    the final rank, so the global merge is exact). No driver collect,
+    no query broadcast — this is ``cosine_pairs``' triangle-join
+    pattern applied to a rectangular corpus x queries product.
+    """
+    import math
+
+    import pandas as pd
+
+    n_q = queries.count()
+    n_c = corpus.count()
+    QB = max(1, math.ceil(n_q / query_block_rows))
+    CB = max(1, math.ceil(n_c / corpus_block_rows))
+
+    c_side = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(CB)).cast("int").alias("_cb"),
+        F.explode(F.sequence(F.lit(0), F.lit(QB - 1))).alias("_qb"),
+        F.lit(0).alias("_side"),
+    )
+    q_side = queries.select(
+        F.col(query_id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(F.sequence(F.lit(0), F.lit(CB - 1))).alias("_cb"),
+        F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(QB)).cast("int").alias("_qb"),
+        F.lit(1).alias("_side"),
+    )
+
+    def tile(key, pdf):
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        cp = pdf[pdf["_side"] == 0]
+        qp = pdf[pdf["_side"] == 1]
+        if cp.empty or qp.empty:
+            return empty
+        c_ids = cp["_id"].to_numpy(dtype="int64")
+        q_ids = qp["_id"].to_numpy(dtype="int64")
+        c_mat = np.array(list(cp["_vec"]), dtype="float64")
+        q_mat = np.array(list(qp["_vec"]), dtype="float64")
+        sims = np.round(
+            (c_mat @ q_mat.T)
+            / np.outer(
+                np.linalg.norm(c_mat, axis=1), np.linalg.norm(q_mat, axis=1)
+            ),
+            round_digits,
+        )
+        frames = []
+        for j, qid in enumerate(q_ids):
+            col = sims[:, j]
+            mask = c_ids != qid
+            cand_ids, cand_sims = c_ids[mask], col[mask]
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[order],
+                        "cosine": cand_sims[order],
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else empty
+
+    partial = (
+        c_side.unionByName(q_side)
+        .groupBy("_cb", "_qb")
+        .applyInPandas(tile, schema="query_id long, neighbor_id long, cosine double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -266,6 +385,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     round_digits: int = 6,
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus with KMeans,
     probe only the ``nprobe`` centroids nearest each query, exact-rerank
@@ -279,6 +399,11 @@ def ivf_topk(
     join. Written-to-disk variants would partition the corpus by
     cluster id so probes prune at the scan (same trick as
     sinks.write_partitioned bucketing).
+
+    Query sets above ``max_collect_queries`` rows are never collected:
+    probe assignment moves to the executors (only the tiny centroid
+    table is broadcast) and the probe join runs as a regular shuffle
+    join. Results are identical either way.
     """
     import numpy as np
 
@@ -301,23 +426,52 @@ def ivf_topk(
         )
     )
     centroids = np.array(model.clusterCenters())
-
-    qrows = queries.select(query_id_col, vec_col).collect()
-    probe_rows = []
-    qvecs = {}
-    for r in qrows:
-        qv = np.array(r[1], dtype="float64")
-        qvecs[r[0]] = qv
-        d = np.linalg.norm(centroids - qv, axis=1)
-        for c in np.argsort(d)[:nprobe]:
-            probe_rows.append((r[0], int(c), [float(x) for x in qv]))
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id long, _cluster int, _qv array<double>"
-    )
-    cands = assigned.join(F.broadcast(probes), "_cluster").filter(
-        F.col("_cid") != F.col("query_id")
-    )
+
+    if queries.count() > max_collect_queries:
+        # Large Q: the centroid table (num_centroids x dim) is the only
+        # thing broadcast; probe assignment runs on the executors and
+        # the probe join is a plain shuffle join AQE can plan.
+        import pandas as pd
+
+        cent_b = spark.sparkContext.broadcast(centroids)
+
+        def probe_fn(pdf_iter):
+            cents = cent_b.value
+            for pdf in pdf_iter:
+                out_q, out_c, out_v = [], [], []
+                for qid, vec in zip(pdf[query_id_col], pdf[vec_col]):
+                    qv = np.array(vec, dtype="float64")
+                    d = np.linalg.norm(cents - qv, axis=1)
+                    lv = [float(x) for x in qv]
+                    for c in np.argsort(d)[:nprobe]:
+                        out_q.append(qid)
+                        out_c.append(int(c))
+                        out_v.append(lv)
+                yield pd.DataFrame(
+                    {"query_id": out_q, "_cluster": out_c, "_qv": out_v}
+                )
+
+        probes = queries.select(query_id_col, vec_col).mapInPandas(
+            probe_fn, "query_id long, _cluster int, _qv array<double>"
+        )
+        cands = assigned.join(probes, "_cluster").filter(
+            F.col("_cid") != F.col("query_id")
+        )
+    else:
+        qrows = queries.select(query_id_col, vec_col).collect()
+        probe_rows = []
+        for r in qrows:
+            qv = np.array(r[1], dtype="float64")
+            d = np.linalg.norm(centroids - qv, axis=1)
+            for c in np.argsort(d)[:nprobe]:
+                probe_rows.append((r[0], int(c), [float(x) for x in qv]))
+        probes = spark.createDataFrame(
+            probe_rows, "query_id long, _cluster int, _qv array<double>"
+        )
+        cands = assigned.join(F.broadcast(probes), "_cluster").filter(
+            F.col("_cid") != F.col("query_id")
+        )
     scored = cands.withColumn(
         "cosine",
         F.round(

@@ -1,0 +1,49 @@
+"""Giant-group stress: one >=2 GB group through the cap_prefix window.
+
+The reference truncates oversized groups at a protobuf limit
+(beam_transforms.py:26-27) but has no skew story (SURVEY §4); our
+packing path keeps rows flat through a running-sum window so Tungsten's
+external sorter spills instead of materializing a 2 GB accumulator.
+This test pins that claim (VERDICT r1 #7): a single group holding
+~2.2 GB of payload must sort, cumulate, and cap-filter to the exact
+prefix row count with no OOM on default test memory.
+
+Run explicitly: python -m pytest tests/ -m slow -q
+Measured curve lives in PERF.md ("giant-group window-sort cost").
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark import keys
+from dataset_grouper_spark.operators.packing import cap_prefix
+
+PAYLOAD_BYTES = 1000
+ROWS = 2_200_000  # ~2.2 GB of payload in ONE group
+LIMIT = 1_000_000_000  # cap the prefix at ~1 GB
+
+
+@pytest.mark.slow
+def test_two_gb_single_group_cap_prefix_completes(spark):
+    # payload must depend on the row — a constant literal would be
+    # const-folded by Catalyst and never actually cross the exchange
+    df = (
+        spark.range(ROWS)
+        .withColumn(keys.GROUP_COL, F.lit("giant"))
+        .withColumn(
+            "payload",
+            F.concat(
+                F.repeat(F.lit("x"), PAYLOAD_BYTES - 8),
+                F.format_string("%08d", F.col("id")),
+            ),
+        )
+    )
+    capped = cap_prefix(
+        df, "id", F.length("payload") + F.lit(8), limit=LIMIT
+    )
+    # running sum at row k (1-based) is k * 1008; keep while < LIMIT
+    expected = (LIMIT - 1) // (PAYLOAD_BYTES + 8)
+    assert capped.count() == expected
+    # boundary exactness: the last kept row is the prefix edge
+    top = capped.agg(F.max("id").alias("m")).collect()[0].m
+    assert top == expected - 1

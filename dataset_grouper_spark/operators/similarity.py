@@ -604,6 +604,69 @@ def signature_expr(vec_col: str | Column, planes: list[list[float]]) -> Column:
 signature_expr_col = signature_expr
 
 
+def _bucket_frame(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    id_alias: str,
+    vec_alias: str | None,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """One row per (vector, table): table-tagged LSH bucket keys,
+    computed in a single Arrow-batched numpy pass.
+
+    Numerically identical to exploding ``signature_expr`` per table —
+    the accumulation loops over dimensions in index order, so every
+    (row, bit) partial sum reproduces the Catalyst fold's left-to-right
+    float addition exactly (same bucket ids, same oracle hashes) — but
+    ~bits*tables Catalyst HOF folds per row become ``dim`` vectorized
+    adds per batch (the HOF-no-CSE cost documented in PERF.md).
+    ``vec_alias=None`` drops the vector from the output (pairs path).
+    """
+    import pandas as pd
+
+    planes = np.array(
+        [hyperplanes(dim, bits, seed + t) for t in range(tables)]
+    )  # (tables, bits, dim)
+    carry = vec_alias is not None
+    cols = [id_col, vec_col]
+    src = df.select(*cols)
+    id_dt = src.schema[id_col].dataType.simpleString()
+    vec_dt = src.schema[vec_col].dataType.simpleString()
+    out_cols = [id_alias] + ([vec_alias] if carry else []) + ["_bucket"]
+    schema = ", ".join(
+        [f"{id_alias} {id_dt}"]
+        + ([f"{vec_alias} {vec_dt}"] if carry else [])
+        + ["_bucket string"]
+    )
+    weights = 1 << np.arange(bits, dtype="int64")
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype="float64")
+            n = len(pdf)
+            frames = []
+            for t in range(tables):
+                P = planes[t]
+                acc = np.zeros((n, bits))
+                for i in range(dim):
+                    acc += m[:, i : i + 1] * P[:, i][None, :]
+                sig = (acc > 0).astype("int64") @ weights
+                out = pd.DataFrame({id_alias: pdf[id_col].to_numpy()})
+                if carry:
+                    out[vec_alias] = pdf[vec_col].values
+                out["_bucket"] = [f"{t}_{s}" for s in sig]
+                frames.append(out[out_cols])
+            yield pd.concat(frames)
+
+    return src.mapInPandas(fn, schema)
+
+
 def random_hyperplane_lsh_pairs(
     df: DataFrame,
     vec_col: str,
@@ -622,25 +685,13 @@ def random_hyperplane_lsh_pairs(
     """
     # One row per (vector, table) with a table-tagged bucket key: all
     # tables join in a single equijoin (one shuffle, one corpus pass)
-    # instead of `tables` separate self-joins.
-    buckets = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(t)),
-                signature_expr(vec_col, hyperplanes(dim, bits, seed + t)).cast(
-                    "string"
-                ),
-            )
-            for t in range(tables)
-        ]
-    )
+    # instead of `tables` separate self-joins. Keys come from the
+    # numpy signature pass (_bucket_frame, bit-exact with
+    # signature_expr).
     from dataset_grouper_spark.cache import persist_tracked
 
     bucketed = persist_tracked(
-        df.select(
-            F.col(id_col).alias("_id"), F.explode(buckets).alias("_bucket")
-        )
+        _bucket_frame(df, vec_col, id_col, "_id", None, dim, bits, tables, seed)
     )
     x, y = bucketed.alias("x"), bucketed.alias("y")
     return (
@@ -672,31 +723,14 @@ def lsh_topk(
     signatures; only same-bucket pairs get the exact cosine. Recall
     tunes with bits/tables; the re-rank is exact over candidates.
     """
-    def tagged_buckets(vc: Column) -> Column:
-        return F.array(
-            *[
-                F.concat_ws(
-                    "_",
-                    F.lit(str(t)),
-                    signature_expr_col(vc, hyperplanes(dim, bits, seed + t)).cast(
-                        "string"
-                    ),
-                )
-                for t in range(tables)
-            ]
-        )
-
     # Single corpus pass: every table's bucket key is computed in one
-    # projection and exploded; the (tiny) query side is broadcast.
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.explode(tagged_buckets(F.col(vec_col))).alias("_bucket"),
+    # Arrow-batched numpy projection (see _bucket_frame — bit-exact
+    # with signature_expr); the (tiny) query side is broadcast.
+    cb = _bucket_frame(
+        corpus, vec_col, id_col, "neighbor_id", "_cv", dim, bits, tables, seed
     )
-    qb = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(tagged_buckets(F.col(vec_col))).alias("_bucket"),
+    qb = _bucket_frame(
+        queries, vec_col, query_id_col, "query_id", "_qv", dim, bits, tables, seed
     )
     cands = (
         cb.join(F.broadcast(qb), "_bucket")

@@ -236,6 +236,17 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, "doc_id", MH_PERM, MH_BANDS)
 
 
+def q_neardup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Production dedup shape: LSH candidate edges -> connected
+    components -> per-doc cluster id (min doc id of the component;
+    singletons cluster to themselves). Survivors = rows where
+    doc_id == cluster_id."""
+    df = read_table(spark, sf, "documents")
+    return dedup.cluster_near_dups(
+        df, "text", "doc_id", NGRAM_N, MH_PERM, MH_BANDS, MH_SEED
+    )
+
+
 def q_simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "documents")
     return dedup.simhash(df, "text", "doc_id", SIMHASH_BITS)
@@ -571,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "neardup_clusters_documents": q_neardup_clusters_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -713,6 +725,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", NGRAM_N, JACCARD_T
         ),
         "minhash_lsh_candidates": oracles.lsh_pairs_sql(
+            "documents", "text", "doc_id", NGRAM_N, MH_PERM, MH_BANDS, MH_SEED
+        ),
+        "neardup_clusters_documents": oracles.neardup_clusters_sql(
             "documents", "text", "doc_id", NGRAM_N, MH_PERM, MH_BANDS, MH_SEED
         ),
         "simhash_documents": oracles.simhash_sql(

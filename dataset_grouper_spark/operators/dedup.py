@@ -262,3 +262,99 @@ def simhash(
     for i in range(bits):
         sim = sim + F.when(F.col(f"_s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node starts labeled with its own id; each round
+    it takes the min of its own and its neighbors' labels, until a
+    round changes nothing. Returns (id, component) for every node WITH
+    at least one edge — component is the min node id of its component.
+
+    Rounds needed = graph diameter. Near-dup graphs are dense little
+    cliques (diameter 1-2, so 2-3 rounds); this is NOT the right
+    algorithm for long-chain graphs — for those, large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    converges in O(log n) rounds with the same per-round join shape.
+
+    Each round is one shuffle join + one aggregation, driver-side only
+    the 1-row convergence count. Labels persist per round and release
+    on the next (bounded storage).
+    """
+    sym = persist_tracked(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    )
+    labels = persist_tracked(
+        sym.select(F.col("a").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = persist_tracked(
+            labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def cluster_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    verify_threshold: float | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Assign every document a near-dup cluster id (the min doc id of
+    its connected component in the candidate graph); docs with no
+    near-dup edge are their own singleton cluster.
+
+    This is the standard production dedup shape (e.g. the RefinedWeb /
+    SlimPajama pipelines): MinHash -> banded LSH candidates ->
+    (optional) exact-Jaccard verify -> connected components ->
+    keep one survivor per cluster (``cluster_id == id`` rows).
+    Returns (id_col, cluster_id).
+    """
+    edges = minhash_lsh_dedup(
+        df, text_col, id_col, n, num_perm, bands, seed, verify_threshold
+    )
+    comp = connected_components(
+        edges.select("id_a", "id_b"), "id_a", "id_b", max_iter
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )

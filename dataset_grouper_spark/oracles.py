@@ -333,3 +333,51 @@ def image_meta_sql(table: str, text_col: str, id_col: str) -> str:
              {sha} AS sha
       FROM {table}
     """
+
+
+def neardup_clusters_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+    seed: int,
+) -> str:
+    """Twin of dedup.cluster_near_dups: same banded-LSH candidate
+    edges, then connected components as a recursive CTE — labels
+    propagate along (symmetric) edges and each node takes the MIN
+    reachable id, exactly the fixpoint min-label propagation computes.
+    """
+    r = num_perm // bands
+    unions = []
+    for b in range(bands):
+        conds = " AND ".join(
+            f"x.m{b * r + j} = y.m{b * r + j}" for j in range(r)
+        )
+        unions.append(
+            f"SELECT x._id AS id_a, y._id AS id_b FROM sig x "
+            f"JOIN sig y ON {conds} AND x._id < y._id"
+        )
+    u = "\n        UNION\n        ".join(unions)
+    return f"""
+      WITH RECURSIVE {minhash_sig_cte(table, text_col, id_col, n, num_perm, seed)},
+      cand AS (
+        SELECT DISTINCT id_a, id_b FROM (
+          {u}
+        )
+      ),
+      e AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION SELECT id_b, id_a FROM cand
+      ),
+      reach(id, lbl) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+      ),
+      comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+      SELECT d.{id_col},
+             COALESCE(c.component, d.{id_col}) AS cluster_id
+      FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.id
+    """

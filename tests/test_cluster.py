@@ -1,0 +1,48 @@
+"""Near-dup clustering: connected components + full cluster pipeline."""
+
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.operators import dedup
+
+
+def test_connected_components_chain_triangle_islands(spark):
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)],
+        "id_a: long, id_b: long",
+    )
+    got = {
+        r.id: r.component
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_converges_early(spark):
+    # single clique: must converge in 2 rounds regardless of max_iter
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        "id_a: long, id_b: long",
+    )
+    got = {r.id: r.component for r in dedup.connected_components(edges, max_iter=3).collect()}
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_cluster_near_dups_planted(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again!"),  # near-dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning parquet files and arrow"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cluster_near_dups(df, "text", "doc_id").collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4 and got[5] == 5
+    # survivors = one per cluster
+    survivors = {d for d, c in got.items() if d == c}
+    assert survivors == {1, 4, 5}

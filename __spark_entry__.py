@@ -236,6 +236,18 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, "doc_id", MH_PERM, MH_BANDS)
 
 
+CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
+
+
+def q_contamination_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination scan: the 'eval set' is every 50th
+    doc; per-doc distinct-5-gram overlap counts against it. Clean docs
+    report zeros (500 rows either way)."""
+    df = read_table(spark, sf, "documents")
+    bench = df.filter(F.expr(CONTAM_BENCH_FILTER))
+    return dedup.contamination(df, bench, "text", "doc_id", CONTAM_N)
+
+
 def q_neardup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Production dedup shape: LSH candidate edges -> connected
     components -> per-doc cluster id (min doc id of the component;
@@ -583,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "neardup_clusters_documents": q_neardup_clusters_documents,
+        "contamination_documents": q_contamination_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -729,6 +742,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "neardup_clusters_documents": oracles.neardup_clusters_sql(
             "documents", "text", "doc_id", NGRAM_N, MH_PERM, MH_BANDS, MH_SEED
+        ),
+        "contamination_documents": oracles.contamination_sql(
+            "documents", "text", "doc_id", CONTAM_BENCH_FILTER, CONTAM_N
         ),
         "simhash_documents": oracles.simhash_sql(
             "documents", "text", "doc_id", SIMHASH_BITS

@@ -358,3 +358,74 @@ def cluster_near_dups(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination scan (the GPT-3 appendix-C shape):
+    per training doc, how many of its distinct word n-grams appear in
+    ANY benchmark/eval doc, and how many benchmark docs it hits.
+
+    Returns one row per doc: (id_col, total_ngrams,
+    contaminated_ngrams, bench_docs_hit) — all counts, zero for clean
+    docs, so thresholding (drop if contaminated_ngrams > 0, or by
+    ratio) is the caller's one filter.
+
+    Scale shape: the corpus side is one shingle pass; the benchmark
+    side (eval sets are ~1e3-1e6 n-grams, tiny vs a 100 TB corpus) is
+    broadcast, so the contamination join never shuffles the corpus.
+    n=13 is the canonical contamination gram size; lower it for short
+    texts.
+    """
+    d = shingles(docs, text_col, id_col, n)
+    b = shingles(bench, text_col, id_col, n).select(
+        F.col("_id").alias("_bid"), "shingle_h"
+    )
+    tot = d.groupBy(F.col("_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("total_ngrams")
+    )
+    hits = (
+        d.join(F.broadcast(b), "shingle_h")
+        .groupBy(F.col("_id").alias("id"))
+        .agg(
+            F.countDistinct("shingle_h").alias("contaminated_ngrams"),
+            F.countDistinct("_bid").alias("bench_docs_hit"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(tot, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias(
+                "contaminated_ngrams"
+            ),
+            F.coalesce("bench_docs_hit", F.lit(0)).alias("bench_docs_hit"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    max_contaminated_ngrams: int = 0,
+) -> DataFrame:
+    """Filter ``docs`` to rows whose benchmark n-gram overlap is at
+    most ``max_contaminated_ngrams`` (default: any overlap drops the
+    doc). Schema-preserving."""
+    bad = (
+        contamination(docs, bench, text_col, id_col, n)
+        .filter(F.col("contaminated_ngrams") > max_contaminated_ngrams)
+        .select(F.col(id_col))
+    )
+    return docs.join(bad, id_col, "left_anti")

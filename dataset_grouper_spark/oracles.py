@@ -381,3 +381,54 @@ def neardup_clusters_sql(
              COALESCE(c.component, d.{id_col}) AS cluster_id
       FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.id
     """
+
+
+def contamination_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    bench_filter: str,
+    n: int,
+) -> str:
+    """Twin of dedup.contamination with the benchmark side defined as
+    ``table WHERE bench_filter`` (the driver harness has one corpus, so
+    the eval set is carved from it by filter)."""
+    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    stripped = STRIP.format(col=text_col)
+    h = md5_long_sql(terms)
+    return f"""
+      WITH toks AS (
+        SELECT {id_col} AS _id, string_split({stripped}, ' ') AS t
+        FROM {table}
+      ),
+      sh AS (
+        SELECT DISTINCT _id, {h} AS shingle_h
+        FROM toks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0)))
+             AS g(i)
+      ),
+      btoks AS (
+        SELECT {id_col} AS _bid, string_split({stripped}, ' ') AS t
+        FROM {table} WHERE {bench_filter}
+      ),
+      bsh AS (
+        SELECT DISTINCT _bid, {h} AS shingle_h
+        FROM btoks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0)))
+             AS g(i)
+      ),
+      tot AS (SELECT _id, count(*) AS total_ngrams FROM sh GROUP BY _id),
+      hit AS (
+        SELECT s._id,
+               count(DISTINCT s.shingle_h) AS contaminated_ngrams,
+               count(DISTINCT b._bid) AS bench_docs_hit
+        FROM sh s JOIN bsh b USING (shingle_h)
+        GROUP BY s._id
+      )
+      SELECT d.{id_col},
+             CAST(COALESCE(t.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+             CAST(COALESCE(h.contaminated_ngrams, 0) AS BIGINT)
+               AS contaminated_ngrams,
+             CAST(COALESCE(h.bench_docs_hit, 0) AS BIGINT) AS bench_docs_hit
+      FROM {table} d
+      LEFT JOIN tot t ON d.{id_col} = t._id
+      LEFT JOIN hit h ON d.{id_col} = h._id
+    """

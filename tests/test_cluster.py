@@ -46,3 +46,35 @@ def test_cluster_near_dups_planted(spark):
     # survivors = one per cluster
     survivors = {d for d, c in got.items() if d == c}
     assert survivors == {1, 4, 5}
+
+
+def test_contamination_counts_and_filter(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),       # contains bench 13-gram? n=3 here
+            (2, "alpha beta gamma completely different tail"),
+            (3, "nothing in common with the benchmark set"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id: long, text: string"
+    )
+    out = {
+        r.doc_id: (r.total_ngrams, r.contaminated_ngrams, r.bench_docs_hit)
+        for r in dedup.contamination(docs, bench, "text", "doc_id", n=3).collect()
+    }
+    # doc 1: 4 total 3-grams, 3 shared with bench; doc 2 shares 1; doc 3 none
+    assert out[1] == (4, 3, 1)
+    assert out[2] == (4, 1, 1)
+    assert out[3] == (5, 0, 0)
+
+    kept = {
+        r.doc_id
+        for r in dedup.decontaminate(docs, bench, "text", "doc_id", n=3).collect()
+    }
+    assert kept == {3}
+    # benchmark side must be broadcast — the corpus never shuffles to
+    # meet an eval set
+    plan = dedup.contamination(docs, bench, "text", "doc_id", n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

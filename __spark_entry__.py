@@ -239,6 +239,33 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+def q_pii_redact_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub audit: synthesize an email / IPv4 / phone per doc
+    (deterministic from doc_id+source), then count and redact with the
+    Catalyst-only regex cascade. Output hashes the redacted text, so
+    the oracle verifies replacement byte-for-byte."""
+    from dataset_grouper_spark.functions import redact
+
+    df = read_table(spark, sf, "documents")
+    synth = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("t"),
+    )
+    return redact.redact_table(synth, "t", out_col="redacted").drop("t")
+
+
 def q_contamination_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination scan: the 'eval set' is every 50th
     doc; per-doc distinct-5-gram overlap counts against it. Clean docs
@@ -596,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "neardup_clusters_documents": q_neardup_clusters_documents,
         "contamination_documents": q_contamination_documents,
+        "pii_redact_documents": q_pii_redact_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -745,6 +773,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contamination_documents": oracles.contamination_sql(
             "documents", "text", "doc_id", CONTAM_BENCH_FILTER, CONTAM_N
+        ),
+        "pii_redact_documents": oracles.pii_redact_sql(
+            "documents", "text", "doc_id"
         ),
         "simhash_documents": oracles.simhash_sql(
             "documents", "text", "doc_id", SIMHASH_BITS

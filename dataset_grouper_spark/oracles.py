@@ -432,3 +432,47 @@ def contamination_sql(
       LEFT JOIN tot t ON d.{id_col} = t._id
       LEFT JOIN hit h ON d.{id_col} = h._id
     """
+
+
+def pii_redact_sql(table: str, text_col: str, id_col: str) -> str:
+    """Twin of functions/redact.redact_table over synthesized PII
+    (same concat as the Spark query). Patterns live in redact.py and
+    are written in the Java-regex/RE2 common subset, so 'g'-flagged
+    DuckDB regexp_replace is byte-identical."""
+    from dataset_grouper_spark.functions.redact import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    synth = (
+        f"{text_col} || ' contact user' || CAST({id_col} AS VARCHAR)"
+        f" || '@' || source || '.example.com from 10.'"
+        f" || CAST({id_col} % 200 AS VARCHAR) || '.0.'"
+        f" || CAST({id_col} % 250 AS VARCHAR)"
+        f" || ' call +1 555-01' || lpad(CAST({id_col} % 100 AS VARCHAR), 2, '0')"
+    )
+    return f"""
+      WITH base AS (SELECT {id_col}, {synth} AS t FROM {table}),
+      s1 AS (
+        SELECT {id_col}, t,
+               regexp_replace(t, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1
+        FROM base
+      ),
+      s2 AS (
+        SELECT {id_col}, t, t1,
+               regexp_replace(t1, '{IPV4_RE}', '{IPV4_TOKEN}', 'g') AS t2
+        FROM s1
+      )
+      SELECT {id_col},
+             CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted
+      FROM s2
+    """

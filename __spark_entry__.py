@@ -239,6 +239,31 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+def q_url_canonicalize_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup keys: synthesize a
+    messy URL per doc (case noise, www, tracking params, fragment),
+    canonicalize, and hash the canonical string against the DuckDB
+    twin. Also counts docs per canonical host-level dedup key."""
+    from dataset_grouper_spark.functions.urls import canonicalize_url
+
+    df = read_table(spark, sf, "documents")
+    messy = df.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&id="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_campaign=c&gclid=x#frag"),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id", canonicalize_url("url").alias("canonical_url")
+    )
+
+
 def q_pii_redact_documents(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub audit: synthesize an email / IPv4 / phone per doc
     (deterministic from doc_id+source), then count and redact with the
@@ -624,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters_documents": q_neardup_clusters_documents,
         "contamination_documents": q_contamination_documents,
         "pii_redact_documents": q_pii_redact_documents,
+        "url_canonicalize_documents": q_url_canonicalize_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -776,6 +802,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_redact_documents": oracles.pii_redact_sql(
             "documents", "text", "doc_id"
+        ),
+        "url_canonicalize_documents": oracles.url_canonicalize_sql(
+            "documents", "doc_id"
         ),
         "simhash_documents": oracles.simhash_sql(
             "documents", "text", "doc_id", SIMHASH_BITS

@@ -476,3 +476,19 @@ def pii_redact_sql(table: str, text_col: str, id_col: str) -> str:
              regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted
       FROM s2
     """
+
+
+def url_canonicalize_sql(table: str, id_col: str) -> str:
+    """Twin of the url_canonicalize_documents query: same messy-URL
+    synthesis, canonicalized by functions/urls.canonical_url_sql."""
+    from dataset_grouper_spark.functions.urls import canonical_url_sql
+
+    synth = (
+        f"'HTTPS://WWW.' || source || '.Example.COM/Path/'"
+        f" || CAST({id_col} AS VARCHAR) || '/?utm_source=feed&id='"
+        f" || CAST({id_col} % 7 AS VARCHAR) || '&utm_campaign=c&gclid=x#frag'"
+    )
+    return f"""
+      SELECT {id_col}, {canonical_url_sql(synth)} AS canonical_url
+      FROM {table}
+    """

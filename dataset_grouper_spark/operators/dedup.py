@@ -302,22 +302,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("_nl"))
         )
-        new_labels = persist_tracked(
+        # carry old + new label in ONE persisted frame: the convergence
+        # count doubles as the materializing action, and no extra
+        # old-vs-new join runs per round
+        step = persist_tracked(
             labels.join(nbr, labels["id"] == nbr["a"], "left").select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = step.filter(F.col("label") != F.col("_old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = step.select("id", "label")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))

@@ -239,6 +239,38 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+def q_asof_purchase_click_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join: each purchase picks up the latest same-user
+    click at or before it (event feature lookup). Single-shuffle
+    union+window as-of — no range-join explosion; the DuckDB twin is a
+    native ASOF LEFT JOIN. Right side deduped on (user, ts) so tie
+    resolution is engine-independent."""
+    from pyspark.sql import Window
+
+    from dataset_grouper_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf, "events").withColumn(
+        "ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    wdedup = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc()
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts_us", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return asof_join(
+        left, right, "ts_us", ["user_id"], ["event_id", "value"],
+        suffix="_click",
+    )
+
+
 def q_url_canonicalize_documents(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization for web-corpus dedup keys: synthesize a
     messy URL per doc (case noise, www, tracking params, fragment),
@@ -650,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": q_contamination_documents,
         "pii_redact_documents": q_pii_redact_documents,
         "url_canonicalize_documents": q_url_canonicalize_documents,
+        "asof_purchase_click_events": q_asof_purchase_click_events,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -806,6 +839,25 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize_documents": oracles.url_canonicalize_sql(
             "documents", "doc_id"
         ),
+        "asof_purchase_click_events": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+              FROM events WHERE event_type = 'click'
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC
+              ) = 1
+            )
+            SELECT l.event_id, l.user_id, l.ts_us,
+                   r.ts_us AS ts_us_click,
+                   r.event_id AS event_id_click,
+                   r.value AS value_click
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        """,
         "simhash_documents": oracles.simhash_sql(
             "documents", "text", "doc_id", SIMHASH_BITS
         ),

@@ -220,7 +220,14 @@ def cosine_topk_blocked(
     import numpy as np
     import pandas as pd
 
-    if queries.count() > max_collect_queries:
+    # guard + fetch in ONE bounded job: the limit caps what can ever
+    # reach the driver, and an overflow row reroutes to the tiled path
+    qrows = (
+        queries.select(query_id_col, vec_col)
+        .limit(max_collect_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_collect_queries:
         return _cosine_topk_tiled(
             corpus,
             queries,
@@ -232,8 +239,6 @@ def cosine_topk_blocked(
             query_block_rows,
             corpus_block_rows,
         )
-
-    qrows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype="int64")
     q_mat = np.array([r[1] for r in qrows], dtype="float64")
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -428,7 +433,13 @@ def ivf_topk(
     centroids = np.array(model.clusterCenters())
     spark = corpus.sparkSession
 
-    if queries.count() > max_collect_queries:
+    # guard + fetch in ONE bounded job (see cosine_topk_blocked)
+    qrows = (
+        queries.select(query_id_col, vec_col)
+        .limit(max_collect_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_collect_queries:
         # Large Q: the centroid table (num_centroids x dim) is the only
         # thing broadcast; probe assignment runs on the executors and
         # the probe join is a plain shuffle join AQE can plan.
@@ -459,7 +470,6 @@ def ivf_topk(
             F.col("_cid") != F.col("query_id")
         )
     else:
-        qrows = queries.select(query_id_col, vec_col).collect()
         probe_rows = []
         for r in qrows:
             qv = np.array(r[1], dtype="float64")

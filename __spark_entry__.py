@@ -239,6 +239,16 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+def q_vocabulary_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary with term/doc frequencies, min-count pruned
+    and rank-truncated — tokenizer-training prep over the shared
+    single-space tokenizer."""
+    from dataset_grouper_spark.functions.vocab import vocabulary
+
+    df = read_table(spark, sf, "documents")
+    return vocabulary(df, "text", "doc_id", min_count=2, top_k=100)
+
+
 def q_asof_purchase_click_events(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time join: each purchase picks up the latest same-user
     click at or before it (event feature lookup). Single-shuffle
@@ -683,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_documents": q_pii_redact_documents,
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
+        "vocabulary_documents": q_vocabulary_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -839,6 +850,27 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize_documents": oracles.url_canonicalize_sql(
             "documents", "doc_id"
         ),
+        "vocabulary_documents": r"""
+            WITH tok AS (
+              SELECT doc_id AS _id,
+                     unnest(string_split(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), ' '
+                     )) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT token,
+                     CAST(count(*) AS BIGINT) AS term_freq,
+                     CAST(count(DISTINCT _id) AS BIGINT) AS doc_freq
+              FROM tok WHERE token != '' GROUP BY token
+            )
+            SELECT token, term_freq, doc_freq,
+                   row_number() OVER (ORDER BY term_freq DESC, token)
+                     AS rank
+            FROM c
+            WHERE term_freq >= 2
+            QUALIFY rank <= 100
+        """,
         "asof_purchase_click_events": """
             WITH l AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us

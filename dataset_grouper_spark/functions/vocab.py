@@ -1,0 +1,59 @@
+"""Corpus vocabulary statistics — tokenizer-training prep.
+
+Every tokenizer/vocab pipeline starts from corpus-wide token counts:
+term frequency (total occurrences) and document frequency (docs
+containing the token), pruned by min-count and truncated to a ranked
+top-k. One explode + one two-level aggregation — partial aggregation
+means map tasks ship per-token partial counts, not token streams, so
+the shuffle is bounded by |vocab| per partition, not corpus size.
+
+Tokenization is the shared single-space splitter
+(functions/hashing.tokens), keeping vocab rows consistent with
+shingles, simhash, and textstats word counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.functions.hashing import tokens
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-token (token, term_freq, doc_freq). Empty-string tokens
+    (from empty/NULL text) are excluded."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("_id").alias("doc_freq"),
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Ranked vocabulary: tokens with ``term_freq >= min_count``,
+    ranked by (term_freq desc, token asc) — the deterministic
+    tie-break makes the cut reproducible on any engine — optionally
+    truncated to the top ``top_k``.
+
+    The global row_number sorts ONE partition, but its input is the
+    aggregated vocabulary (|distinct tokens|, millions at most), not
+    the corpus — the count aggregation above it is what scales with
+    the 100 TB input."""
+    counts = token_counts(df, text_col, id_col).filter(
+        F.col("term_freq") >= min_count
+    )
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        ranked = ranked.filter(F.col("rank") <= top_k)
+    return ranked

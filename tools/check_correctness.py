@@ -55,6 +55,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
             continue
+        finally:
+            # pair-op intermediates persist per invocation; a 39-query
+            # session must not accumulate dead cached partitions
+            from dataset_grouper_spark.cache import release_intermediates
+
+            release_intermediates()
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(spark_pdf)})")
             continue

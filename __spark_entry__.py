@@ -239,6 +239,15 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+def q_group_profile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-slice numeric profile (count/min/max/mean + exact
+    interpolated percentiles) — the pipeline-QA distribution gate."""
+    from dataset_grouper_spark.operators.profile import group_numeric_profile
+
+    df = read_table(spark, sf, "events")
+    return group_numeric_profile(df, ["event_type"], "value")
+
+
 def q_vocabulary_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary with term/doc frequencies, min-count pruned
     and rank-truncated — tokenizer-training prep over the shared
@@ -694,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
         "vocabulary_documents": q_vocabulary_documents,
+        "group_profile_events": q_group_profile_events,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -850,6 +860,19 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize_documents": oracles.url_canonicalize_sql(
             "documents", "doc_id"
         ),
+        "group_profile_events": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(value), 6) AS min_v,
+                   round(max(value), 6) AS max_v,
+                   round(avg(value), 6) AS mean_v,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
         "vocabulary_documents": r"""
             WITH tok AS (
               SELECT doc_id AS _id,

@@ -93,3 +93,92 @@ def sample_frames(
             )
         ).alias("frame_idx", "frame_bytes"),
     )
+
+
+RESIZED_SCHEMA = "id long, width int, height int, content binary"
+
+
+def resize_images(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    width: int,
+    height: int,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize plumbing: binary in -> binary out at (width, height),
+    Arrow-batched per executor. A real pipeline swaps the kernel for
+    PIL/opencv; the stub emits a deterministic payload (content-hash
+    seeded, sized width*height) so downstream schema/partition behavior
+    is exercised for real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codec libraries are not available in this environment; "
+            "pass fake=True to run the deterministic stub resizer"
+        )
+
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf[content_col]:
+                b = bytes(p)
+                seed = hashlib.sha256(b).digest()
+                reps = target // len(seed) + 1
+                out.append((seed * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+def image_embeddings(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    dim: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Feature extraction plumbing: binary -> ``array<float>``
+    embedding, Arrow-batched. The stub embeds via a normalized byte
+    histogram folded to ``dim`` (deterministic); a real pipeline runs
+    its vision encoder on the same batch iterator. Output plugs
+    straight into the similarity tier (cosine_topk / lsh_topk /
+    cluster pipelines) — binary column in, ANN search out.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "vision encoder not available in this environment; "
+            "pass fake=True to run the deterministic stub embedder"
+        )
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for p in pdf[content_col]:
+                counts = np.bincount(
+                    np.frombuffer(bytes(p), dtype=np.uint8), minlength=256
+                ).astype("float64")
+                folded = counts.reshape(dim, -1).sum(axis=1) if 256 % dim == 0 else np.resize(counts, dim)
+                norm = np.linalg.norm(folded)
+                vecs.append(
+                    [float(x) for x in (folded / norm if norm else folded)]
+                )
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "embedding": vecs}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema="id long, embedding array<float>"
+    )

@@ -239,6 +239,15 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+def q_tfidf_top_terms_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by TF-IDF with deterministic
+    tie-break — keyword extraction over the shared tokenizer."""
+    from dataset_grouper_spark.functions.vocab import top_terms
+
+    df = read_table(spark, sf, "documents")
+    return top_terms(df, "text", "doc_id", k=3)
+
+
 def q_group_profile_events(spark: SparkSession, sf: str) -> DataFrame:
     """Per-slice numeric profile (count/min/max/mean + exact
     interpolated percentiles) — the pipeline-QA distribution gate."""
@@ -704,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click_events": q_asof_purchase_click_events,
         "vocabulary_documents": q_vocabulary_documents,
         "group_profile_events": q_group_profile_events,
+        "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -860,6 +870,33 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize_documents": oracles.url_canonicalize_sql(
             "documents", "doc_id"
         ),
+        "tfidf_top_terms_documents": r"""
+            WITH tok AS (
+              SELECT doc_id AS _id,
+                     unnest(string_split(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), ' '
+                     )) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT _id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok WHERE token != '' GROUP BY _id, token
+            ),
+            dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+            n AS (SELECT count(DISTINCT doc_id) AS _n FROM documents),
+            scored AS (
+              SELECT tf._id AS doc_id, tf.token, tf.tf,
+                     round(tf.tf * ln((n._n + 1.0) / (dfreq.doc_freq + 1.0)), 6)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, tf, tfidf,
+                   row_number() OVER (
+                     PARTITION BY doc_id ORDER BY tfidf DESC, token
+                   ) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
         "group_profile_events": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n,

@@ -57,3 +57,45 @@ def vocabulary(
     if top_k is not None:
         ranked = ranked.filter(F.col("rank") <= top_k)
     return ranked
+
+
+def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-(doc, token) TF-IDF: ``tf * ln((N+1)/(df+1))``, rounded for
+    cross-engine hashability (ln is libm-double in Spark and DuckDB
+    alike). N and the doc-frequency table are aggregates joined back —
+    the N scalar rides a broadcast, doc_freq a token-key shuffle."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.select(F.countDistinct(id_col).alias("_n"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("_id").alias(id_col),
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + 1) / (F.col("doc_freq") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per doc by (tfidf desc, token) —
+    the deterministic tie-break keeps the cut engine-reproducible."""
+    scored = tf_idf(df, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -239,6 +239,18 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+def q_cap_per_source_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain balancing: deterministically cap each source's
+    contribution at 10 docs (md5-order keep — engine-portable, no RNG
+    state), the corpus-mixing primitive."""
+    from dataset_grouper_spark.operators import sessions
+
+    df = read_table(spark, sf, "documents")
+    return sessions.cap_per_group(df, "source", "doc_id", 10).select(
+        "doc_id", "source"
+    )
+
+
 def q_tfidf_top_terms_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 characteristic terms per doc by TF-IDF with deterministic
     tie-break — keyword extraction over the shared tokenizer."""
@@ -714,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_documents": q_vocabulary_documents,
         "group_profile_events": q_group_profile_events,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
+        "cap_per_source_documents": q_cap_per_source_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -870,6 +883,13 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize_documents": oracles.url_canonicalize_sql(
             "documents", "doc_id"
         ),
+        "cap_per_source_documents": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 10
+        """,
         "tfidf_top_terms_documents": r"""
             WITH tok AS (
               SELECT doc_id AS _id,

@@ -63,3 +63,28 @@ def sample_groups(
     # keys.scramble is overflow-safe for any int64 id (split multiply)
     bucket = F.pmod(keys.scramble(c.cast("long") + salt), F.lit(100))
     return df.filter(bucket < fraction_pct)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str | Column,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group row cap — domain/source balancing.
+
+    Corpus mixing caps how much any one source contributes. Rows are
+    kept per group in md5(id) order (an engine-portable shuffle of the
+    ids: unbiased, reproducible anywhere, no RNG state), truncated at
+    ``k``. One window shuffle on the group key; output drops the helper
+    rank. The complement (rank > k) is the exact overflow set.
+    """
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    w = Window.partitionBy(gc).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

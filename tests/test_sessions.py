@@ -35,3 +35,22 @@ def test_sample_groups_deterministic_partition(spark):
     # complements partition the corpus exactly
     rest = {r.id for r in sessions.sample_groups(df, "id", 100).collect()}
     assert rest == set(range(1000))
+
+
+def test_cap_per_group_deterministic(spark):
+    from dataset_grouper_spark.operators import sessions
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "id: long, g: string"
+    )
+    out = sessions.cap_per_group(df, "g", "id", 4)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.g, set()).add(r.id)
+    assert all(len(v) == 4 for v in per.values())
+    # deterministic across invocations
+    again = {(r.g, r.id) for r in sessions.cap_per_group(df, "g", "id", 4).collect()}
+    assert {(r.g, r.id) for r in rows} == again
+    # cap larger than group keeps everything
+    assert sessions.cap_per_group(df, "g", "id", 99).count() == 30

@@ -64,11 +64,18 @@ def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     cross-engine hashability (ln is libm-double in Spark and DuckDB
     alike). N and the doc-frequency table are aggregates joined back —
     the N scalar rides a broadcast, doc_freq a token-key shuffle."""
+    from dataset_grouper_spark.cache import persist_tracked
+
     tok = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the score row set and the doc-frequency aggregate;
+    # without a persist the whole tokenize+aggregate subtree runs twice
+    # (no exchange reuse across the two consumers — plan-audited)
+    tf = persist_tracked(
+        tok.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = df.select(F.countDistinct(id_col).alias("_n"))
     return (

@@ -375,31 +375,30 @@ def contamination(
     docs, so thresholding (drop if contaminated_ngrams > 0, or by
     ratio) is the caller's one filter.
 
-    Scale shape: the corpus side is one shingle pass; the benchmark
-    side (eval sets are ~1e3-1e6 n-grams, tiny vs a 100 TB corpus) is
-    broadcast, so the contamination join never shuffles the corpus.
-    n=13 is the canonical contamination gram size; lower it for short
-    texts.
+    Scale shape: ONE corpus shingle pass — a left broadcast join
+    against the benchmark shingles (eval sets are ~1e3-1e6 n-grams,
+    tiny vs a 100 TB corpus) marks contaminated shingles in place, and
+    a single conditional aggregation produces all three counts, so the
+    corpus is never tokenized or shuffled twice (a separate total/hit
+    branch pair would re-run the whole shingle subtree — no exchange
+    reuse across groupBys). n=13 is the canonical contamination gram
+    size; lower it for short texts.
     """
     d = shingles(docs, text_col, id_col, n)
     b = shingles(bench, text_col, id_col, n).select(
         F.col("_id").alias("_bid"), "shingle_h"
     )
-    tot = d.groupBy(F.col("_id").alias("id")).agg(
-        F.count(F.lit(1)).alias("total_ngrams")
-    )
-    hits = (
-        d.join(F.broadcast(b), "shingle_h")
-        .groupBy(F.col("_id").alias("id"))
-        .agg(
-            F.countDistinct("shingle_h").alias("contaminated_ngrams"),
-            F.countDistinct("_bid").alias("bench_docs_hit"),
-        )
+    marked = d.join(F.broadcast(b), "shingle_h", "left")
+    stats = marked.groupBy(F.col("_id").alias("id")).agg(
+        F.countDistinct("shingle_h").alias("total_ngrams"),
+        F.countDistinct(
+            F.when(F.col("_bid").isNotNull(), F.col("shingle_h"))
+        ).alias("contaminated_ngrams"),
+        F.countDistinct("_bid").alias("bench_docs_hit"),
     )
     return (
         docs.select(F.col(id_col).alias("id"))
-        .join(tot, "id", "left")
-        .join(hits, "id", "left")
+        .join(stats, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),

@@ -239,6 +239,14 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+def q_dup_ngram_fraction_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span signal: fraction of each doc's distinct 3-grams
+    that appear in any other doc (relational stand-in for suffix-array
+    substring dedup, Lee et al. 2022)."""
+    df = read_table(spark, sf, "documents")
+    return dedup.duplicate_ngram_fraction(df, "text", "doc_id", NGRAM_N)
+
+
 def q_cap_per_source_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Domain balancing: deterministically cap each source's
     contribution at 10 docs (md5-order keep — engine-portable, no RNG
@@ -727,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_profile_events": q_group_profile_events,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
+        "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -883,6 +892,25 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize_documents": oracles.url_canonicalize_sql(
             "documents", "doc_id"
         ),
+        "dup_ngram_fraction_documents": f"""
+            WITH {oracles.shingle_cte("documents", "text", "doc_id", NGRAM_N)},
+            freq AS (
+              SELECT shingle_h, count(*) AS _df FROM sh GROUP BY shingle_h
+            ),
+            stats AS (
+              SELECT _id,
+                     CAST(count(*) AS BIGINT) AS total_ngrams,
+                     CAST(sum(CASE WHEN _df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_ngrams
+              FROM sh JOIN freq USING (shingle_h) GROUP BY _id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+                   CAST(COALESCE(s.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+                   round(COALESCE(s.dup_ngrams * 1.0 / s.total_ngrams, 0.0), 6)
+                     AS dup_frac
+            FROM documents d LEFT JOIN stats s ON d.doc_id = s._id
+        """,
         "cap_per_source_documents": """
             SELECT doc_id, source FROM documents
             QUALIFY row_number() OVER (

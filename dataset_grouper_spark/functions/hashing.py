@@ -48,14 +48,21 @@ def ngrams_of_tokens(toks: Column, n: int) -> Column:
     subexpressions inside higher-order-function lambdas, so embedding
     the split() here re-evaluates it per shingle (measured 10x slower).
     element_at is used instead of slice for the same reason.
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array — guarded
+    explicitly because Spark's ``sequence(1, 0)`` counts DOWN (unlike
+    DuckDB's empty ``generate_series``), which would feed ANSI-strict
+    ``element_at`` out-of-bounds indices and throw.
     """
-    num = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), num),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(c: Column, n: int) -> Column:

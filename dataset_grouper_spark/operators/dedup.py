@@ -427,3 +427,45 @@ def decontaminate(
         .select(F.col(id_col))
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc duplicated-span signal: the fraction of a doc's distinct
+    word n-grams that also appear in ANY other doc ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022 — the
+    cheap relational stand-in for their suffix-array substring dedup).
+    High-fraction docs are boilerplate/template suspects even when no
+    single near-dup partner exists.
+
+    One shingle pass + one n-gram-key aggregation joined back: a
+    shingle is duplicated iff its doc-frequency > 1. Returns
+    (id_col, total_ngrams, dup_ngrams, dup_frac), dup_frac rounded for
+    cross-engine hashing; docs with no n-grams report zeros.
+    """
+    d = shingles(df, text_col, id_col, n)
+    freq = d.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("_df"))
+    stats = (
+        d.join(freq, "shingle_h")
+        .groupBy(F.col("_id").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.sum((F.col("_df") > 1).cast("long")).alias("dup_ngrams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_ngrams") / F.col("total_ngrams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -78,3 +78,23 @@ def test_contamination_counts_and_filter(spark):
     # meet an eval set
     plan = dedup.contamination(docs, bench, "text", "doc_id", n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_ngram_fraction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # 3 trigrams, all shared with doc 2
+            (2, "a b c d e f"),        # 4 trigrams, 3 shared
+            (3, "q r s t"),            # 2 trigrams, unique
+            (4, "x"),                  # too short: no trigrams
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: (r.total_ngrams, r.dup_ngrams, r.dup_frac)
+        for r in dedup.duplicate_ngram_fraction(docs, "text", "doc_id", 3).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (4, 3, 0.75)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)

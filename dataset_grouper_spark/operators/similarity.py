@@ -41,6 +41,14 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _cosine_expr(dot: Column, norm_prod: Column, round_digits: int) -> Column:
+    """Rounded cosine; NULL when either norm is zero (cosine undefined
+    for zero vectors — a raw division would throw DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode). Scored paths filter the NULLs, so
+    zero vectors simply never match."""
+    return F.round(dot / F.nullif(norm_prod, F.lit(0.0)), round_digits)
+
+
 def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
     return df.withColumn(out, _norm(F.col(vec_col)))
 
@@ -70,12 +78,13 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                _dot(F.col("_cv"), F.col("_qv"))
-                / (F.col("_cn") * F.col("_qn")),
+            _cosine_expr(
+                _dot(F.col("_cv"), F.col("_qv")),
+                F.col("_cn") * F.col("_qn"),
                 round_digits,
             ),
         )
+        .filter(F.col("cosine").isNotNull())
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -482,14 +491,18 @@ def ivf_topk(
         cands = assigned.join(F.broadcast(probes), "_cluster").filter(
             F.col("_cid") != F.col("query_id")
         )
-    scored = cands.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("_cv"), F.col("_qv"))
-            / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
-            round_digits,
-        ),
-    ).select("query_id", F.col("_cid").alias("neighbor_id"), "cosine")
+    scored = (
+        cands.withColumn(
+            "cosine",
+            _cosine_expr(
+                _dot(F.col("_cv"), F.col("_qv")),
+                _norm(F.col("_cv")) * _norm(F.col("_qv")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine").isNotNull())
+        .select("query_id", F.col("_cid").alias("neighbor_id"), "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -578,12 +591,13 @@ def ivf_topk_flat(
         .filter(F.col("_cid") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                _dot(F.col("_cv"), F.col("_qv"))
-                / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+            _cosine_expr(
+                _dot(F.col("_cv"), F.col("_qv")),
+                _norm(F.col("_cv")) * _norm(F.col("_qv")),
                 round_digits,
             ),
         )
+        .filter(F.col("cosine").isNotNull())
         .select("query_id", F.col("_cid").alias("neighbor_id"), "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -748,14 +762,18 @@ def lsh_topk(
         .select("query_id", "neighbor_id", "_cv", "_qv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("_cv"), F.col("_qv"))
-            / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
-            6,
-        ),
-    ).select("query_id", "neighbor_id", "cosine")
+    scored = (
+        cands.withColumn(
+            "cosine",
+            _cosine_expr(
+                _dot(F.col("_cv"), F.col("_qv")),
+                _norm(F.col("_cv")) * _norm(F.col("_qv")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine").isNotNull())
+        .select("query_id", "neighbor_id", "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

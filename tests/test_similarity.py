@@ -251,3 +251,24 @@ def test_ivf_topk_large_q_distributed_probes_identical(vecs):
     ka = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in a.collect()}
     kb = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in b.collect()}
     assert ka == kb
+
+
+def test_zero_vectors_never_match_and_never_throw(spark):
+    # cosine is undefined for zero vectors; under Spark 4 ANSI mode a
+    # raw norm division throws DIVIDE_BY_ZERO — the scored paths must
+    # instead exclude zero vectors (NULL cosine filtered)
+    rows = [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [2.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    qs = df.filter("vec_id = 0")
+    got = similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", k=5).collect()
+    assert [r.neighbor_id for r in got] == [2]  # zero vector absent
+    # zero vector AS the query: no matches, no error
+    zq = df.filter("vec_id = 1")
+    assert (
+        similarity.cosine_topk(df, zq, "embedding", "vec_id", "vec_id", k=5).count()
+        == 0
+    )
+    flat = similarity.ivf_topk_flat(
+        df, qs, "embedding", "vec_id", "vec_id", k=5, num_centroids=2, nprobe=2
+    ).collect()
+    assert 1 not in {r.neighbor_id for r in flat}

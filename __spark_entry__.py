@@ -239,6 +239,22 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
+INCR_NEW_FILTER = "doc_id % 5 = 0"
+
+
+def q_incremental_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time near-dup screen: every 5th doc plays the 'new crawl
+    batch', screened against the rest of the corpus by shared MinHash
+    LSH bands (corpus never self-joins). Returns surviving new rows."""
+    df = read_table(spark, sf, "documents")
+    new = df.filter(F.expr(INCR_NEW_FILTER))
+    existing = df.filter(~F.expr(INCR_NEW_FILTER))
+    out = dedup.minhash_dedup_against(
+        new, existing, "text", "doc_id", NGRAM_N, MH_PERM, MH_BANDS, MH_SEED
+    )
+    return out.select("doc_id", "source")
+
+
 def q_dup_ngram_fraction_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicated-span signal: fraction of each doc's distinct 3-grams
     that appear in any other doc (relational stand-in for suffix-array
@@ -736,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -891,6 +908,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize_documents": oracles.url_canonicalize_sql(
             "documents", "doc_id"
+        ),
+        "incremental_dedup_documents": oracles.minhash_against_sql(
+            "documents", "text", "doc_id", INCR_NEW_FILTER,
+            NGRAM_N, MH_PERM, MH_BANDS, MH_SEED, "doc_id, source",
         ),
         "dup_ngram_fraction_documents": f"""
             WITH {oracles.shingle_cte("documents", "text", "doc_id", NGRAM_N)},

@@ -469,3 +469,67 @@ def duplicate_ngram_fraction(
             ).alias("dup_frac"),
         )
     )
+
+
+def exact_dedup_against(
+    new: DataFrame, existing: DataFrame, content_col: str
+) -> DataFrame:
+    """Incremental exact dedup: drop new-batch rows whose content
+    already exists in the corpus. One anti join on the 128-bit content
+    hash — the existing side reduces to distinct hashes first, so the
+    join input is |corpus-distinct|, not |corpus|. Schema-preserving."""
+    seen = existing.select(
+        F.md5(F.col(content_col)).alias("_h")
+    ).distinct()
+    return (
+        new.withColumn("_h", F.md5(F.col(content_col)))
+        .join(seen, "_h", "left_anti")
+        .drop("_h")
+    )
+
+
+def minhash_dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup screen: drop new-batch docs that share any
+    LSH band with an existing-corpus doc (the ingest-time variant of
+    minhash_lsh_dedup — a new crawl batch is screened against the
+    standing corpus without self-joining the corpus).
+
+    Scale shape: both sides get one signature pass; the band join is
+    new x existing ONLY (the big corpus never self-joins), and at
+    ingest |new| << |corpus| so the banded new side is the small probe.
+    Returns the surviving new rows, schema-preserving.
+    """
+    r = num_perm // bands
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(str(b)),
+                    *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col).alias("_id"), F.explode(band_keys).alias("_band")
+        )
+
+    new_b = banded(minhash_signatures(new, text_col, id_col, n, num_perm, seed))
+    old_b = banded(
+        minhash_signatures(existing, text_col, id_col, n, num_perm, seed)
+    ).select("_band").distinct()
+    hit_ids = new_b.join(old_b, "_band").select("_id").distinct()
+    return new.join(
+        hit_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
+    )

@@ -492,3 +492,59 @@ def url_canonicalize_sql(table: str, id_col: str) -> str:
       SELECT {id_col}, {canonical_url_sql(synth)} AS canonical_url
       FROM {table}
     """
+
+
+def minhash_against_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    new_filter: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+    seed: int,
+    keep_cols: str,
+) -> str:
+    """Twin of dedup.minhash_dedup_against with the new batch carved
+    from ``table`` by ``new_filter`` (existing corpus = the rest):
+    surviving new rows share no LSH band with any existing doc."""
+    params = minhash_params(num_perm, seed)
+    r = num_perm // bands
+    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    h = md5_long_sql(terms)
+    mins = ",\n               ".join(
+        f"coalesce(min({perm_hash_sql('shingle_h', a, b)}), {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+    def side(sfx: str, where: str) -> str:
+        stripped = STRIP.format(col=text_col)
+        return f"""
+      toks{sfx} AS (
+        SELECT {id_col} AS _id, string_split({stripped}, ' ') AS t
+        FROM {table} WHERE {where}
+      ),
+      sh{sfx} AS (
+        SELECT DISTINCT _id, {h} AS shingle_h
+        FROM toks{sfx}, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0)))
+             AS g(i)
+      ),
+      sig{sfx} AS (SELECT _id, {mins} FROM sh{sfx} GROUP BY _id)"""
+
+    band_hits = "\n        UNION\n        ".join(
+        "SELECT nw._id FROM signew nw JOIN sigold od ON "
+        + " AND ".join(f"nw.m{b * r + j} = od.m{b * r + j}" for j in range(r))
+        for b in range(bands)
+    )
+    return f"""
+      WITH {side('new', new_filter)},
+      {side('old', f'NOT ({new_filter})')},
+      hits AS (
+        SELECT DISTINCT _id FROM (
+        {band_hits}
+        )
+      )
+      SELECT {keep_cols} FROM {table}
+      WHERE ({new_filter})
+        AND {id_col} NOT IN (SELECT _id FROM hits)
+    """

@@ -98,3 +98,35 @@ def test_duplicate_ngram_fraction(spark):
     assert got[2] == (4, 3, 0.75)
     assert got[3] == (2, 0, 0.0)
     assert got[4] == (0, 0, 0.0)
+
+
+def test_exact_dedup_against(spark):
+    existing = spark.createDataFrame(
+        [(1, "known text"), (2, "other known")], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(10, "known text"), (11, "fresh content"), (12, "other known")],
+        "doc_id: long, text: string",
+    )
+    kept = {r.doc_id for r in dedup.exact_dedup_against(new, existing, "text").collect()}
+    assert kept == {11}
+
+
+def test_minhash_dedup_against_screens_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "some other standing corpus document entirely")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + "!"),                                 # near-dup of 1
+            (11, "genuinely novel text about spark shuffles"),
+        ],
+        "doc_id: long, text: string",
+    )
+    kept = {
+        r.doc_id
+        for r in dedup.minhash_dedup_against(new, existing, "text", "doc_id").collect()
+    }
+    assert kept == {11}

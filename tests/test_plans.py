@@ -83,3 +83,28 @@ def test_lsh_is_equijoin_not_cartesian(spark):
     assert_no_cartesian(df)
     txt = plan_text(df, "simple")
     assert "Join" in txt
+
+
+def test_round2_ops_plan_shapes(spark):
+    qs = e.queries()
+    # vocabulary: partial-agged counts; no cartesian anywhere
+    for name, max_ex in [
+        ("group_profile_events", 1),
+        ("cap_per_source_documents", 1),
+        ("vocabulary_documents", 3),
+        ("asof_purchase_click_events", 3),
+    ]:
+        df = qs[name](spark, SF)
+        assert_no_cartesian(df)
+        assert count_exchanges(df) <= max_ex, name
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    df = e.queries()["contamination_documents"](spark, SF)
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in plan_text(df)
+
+
+def test_incremental_dedup_no_corpus_self_join(spark):
+    df = e.queries()["incremental_dedup_documents"](spark, SF)
+    assert_no_cartesian(df)

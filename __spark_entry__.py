@@ -240,6 +240,37 @@ CONTAM_N, CONTAM_BENCH_FILTER = 5, "doc_id % 50 = 0"
 
 
 INCR_NEW_FILTER = "doc_id % 5 = 0"
+PIPE2_DUP_FRAC_MAX, PIPE2_CAP = 0.8, 10
+
+
+def q_pipeline_ingest_style(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-2 flagship composition — the ingest-cleaning recipe:
+    benchmark decontamination (any 5-gram overlap with the eval set
+    drops the doc, including the eval docs themselves), duplicated-span
+    filter (dup_frac < 0.8 over corpus 3-grams), deterministic
+    per-source cap, then per-source counts. Every stage is an oracled
+    operator; the composition hash-checks end-to-end."""
+    from dataset_grouper_spark.operators import sessions
+
+    df = read_table(spark, sf, "documents")
+    bench = df.filter(F.expr(CONTAM_BENCH_FILTER))
+    clean = dedup.decontaminate(df, bench, "text", "doc_id", CONTAM_N)
+    frac = dedup.duplicate_ngram_fraction(df, "text", "doc_id", NGRAM_N)
+    # threshold on the EXACT counts, not the rounded dup_frac — a
+    # rounded value straddling the boundary would diverge from the
+    # oracle's unrounded comparison
+    kept = clean.join(
+        frac.filter(
+            F.col("dup_ngrams")
+            < F.lit(PIPE2_DUP_FRAC_MAX) * F.col("total_ngrams")
+        ).select("doc_id"),
+        "doc_id",
+    )
+    capped = sessions.cap_per_group(kept, "source", "doc_id", PIPE2_CAP)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
 
 
 def q_incremental_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -753,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_documents": q_cap_per_source_documents,
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        "pipeline_ingest_style": q_pipeline_ingest_style,
         "simhash_documents": q_simhash_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -908,6 +940,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize_documents": oracles.url_canonicalize_sql(
             "documents", "doc_id"
+        ),
+        "pipeline_ingest_style": oracles.pipeline_ingest_sql(
+            "documents", "text", "doc_id", CONTAM_BENCH_FILTER,
+            CONTAM_N, NGRAM_N, PIPE2_DUP_FRAC_MAX, PIPE2_CAP,
         ),
         "incremental_dedup_documents": oracles.minhash_against_sql(
             "documents", "text", "doc_id", INCR_NEW_FILTER,

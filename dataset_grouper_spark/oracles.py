@@ -548,3 +548,65 @@ def minhash_against_sql(
       WHERE ({new_filter})
         AND {id_col} NOT IN (SELECT _id FROM hits)
     """
+
+
+def pipeline_ingest_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    bench_filter: str,
+    contam_n: int,
+    dup_n: int,
+    dup_frac_max: float,
+    cap: int,
+) -> str:
+    """Twin of the pipeline_ingest_style composition: decontaminate
+    (any contam_n-gram overlap with the bench slice drops the doc) ->
+    dup_n-gram duplicated-span filter -> md5-order per-source cap ->
+    per-source counts."""
+
+    def sh_cte(sfx: str, n: int, where: str = "TRUE") -> str:
+        terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        stripped = STRIP.format(col=text_col)
+        return f"""
+      toks{sfx} AS (
+        SELECT {id_col} AS _id, string_split({stripped}, ' ') AS t
+        FROM {table} WHERE {where}
+      ),
+      sh{sfx} AS (
+        SELECT DISTINCT _id, {md5_long_sql(terms)} AS shingle_h
+        FROM toks{sfx}, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0)))
+             AS g(i)
+      )"""
+
+    return f"""
+      WITH {sh_cte('c', contam_n)},
+      {sh_cte('b', contam_n, bench_filter)},
+      contam AS (
+        SELECT DISTINCT s._id FROM shc s
+        JOIN shb b USING (shingle_h)
+      ),
+      {sh_cte('d', dup_n)},
+      freq AS (SELECT shingle_h, count(*) AS _df FROM shd GROUP BY shingle_h),
+      dupstats AS (
+        SELECT _id, count(*) AS total,
+               sum(CASE WHEN _df > 1 THEN 1 ELSE 0 END) AS dup
+        FROM shd JOIN freq USING (shingle_h) GROUP BY _id
+      ),
+      kept AS (
+        SELECT d.{id_col}, d.source FROM {table} d
+        LEFT JOIN dupstats ds ON d.{id_col} = ds._id
+        WHERE d.{id_col} NOT IN (SELECT _id FROM contam)
+          AND ds.dup < {dup_frac_max} * ds.total
+      ),
+      capped AS (
+        SELECT {id_col}, source FROM kept
+        QUALIFY row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+        ) <= {cap}
+      )
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             min({id_col}) AS min_doc_id
+      FROM capped GROUP BY source
+    """

@@ -135,7 +135,20 @@ def write_partitioned(
     # The layout descriptor rides along as literal columns — one
     # sidecar write, no separate metadata job.
     spark = keyed.sparkSession
-    written = spark.read.parquet(data_path).withColumn(
+    try:
+        written = spark.read.parquet(data_path)
+    except Exception:
+        # Empty input: a partitionBy write of zero rows leaves NO part
+        # files (no schema footer), making the dataset unreadable. Leave
+        # one empty footer file with the post-layout schema (partition
+        # columns inline) so an everything-filtered-out pipeline still
+        # yields a loadable, listable, zero-group dataset.
+        empty = keyed
+        if layout == "bucketed":
+            empty = empty.withColumn(BUCKET_COL, bucket_expr(num_buckets))
+        empty.limit(0).write.mode("overwrite").parquet(data_path)
+        written = spark.read.parquet(data_path)
+    written = written.withColumn(
         keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
     )
     (

@@ -108,3 +108,22 @@ def test_bytecap_write(spark, tmp_path):
     )
     pds = PartitionedDataset(spark, path)
     assert pds.dataframe().count() == 4
+
+
+def test_empty_dataset_write_and_load(spark, tmp_path):
+    # everything-filtered-out pipelines still produce a loadable,
+    # zero-group dataset (an empty partitionBy write leaves no schema
+    # footer without the sink's empty-file fallback)
+    from pyspark.sql import functions as F
+
+    from dataset_grouper_spark import sinks
+    from dataset_grouper_spark.loader import PartitionedDataset
+
+    df = spark.createDataFrame([], "id: long, text: string, user: string")
+    for layout in ("partitioned", "bucketed"):
+        path = str(tmp_path / f"empty_{layout}")
+        sinks.write_partitioned(df, F.col("user"), path, layout=layout)
+        ds = PartitionedDataset(spark, path)
+        assert ds.list_groups() == []
+        assert list(ds.iter_groups_bulk()) == []
+        assert ds.dataframe().count() == 0

@@ -58,7 +58,14 @@ def append_partitioned(
         out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
     out.write.mode("append").partitionBy(keys.GROUP_COL).parquet(data_path)
     spark = keyed.sparkSession
-    written = spark.read.parquet(data_path).withColumn(
+    try:
+        written = spark.read.parquet(data_path)
+    except Exception:
+        # first append AND zero rows: leave a schema footer (see
+        # write_partitioned's empty-input fallback)
+        keyed.limit(0).write.mode("overwrite").parquet(data_path)
+        written = spark.read.parquet(data_path)
+    written = written.withColumn(
         keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
     )
     (

@@ -334,6 +334,22 @@ def q_vocabulary_documents(spark: SparkSession, sf: str) -> DataFrame:
     return vocabulary(df, "text", "doc_id", min_count=2, top_k=100)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_events(spark: SparkSession, sf: str) -> DataFrame:
+    """view -> click -> purchase funnel per user: first completion time
+    of each step, each step strictly after the previous one."""
+    from dataset_grouper_spark.operators.funnel import funnel_first_completion
+
+    ev = read_table(spark, sf, "events").withColumn(
+        "ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    )
+    return funnel_first_completion(
+        ev, "user_id", "ts_us", "event_type", FUNNEL_STEPS
+    )
+
+
 def q_asof_purchase_click_events(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time join: each purchase picks up the latest same-user
     click at or before it (event feature lookup). Single-shuffle
@@ -778,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_documents": q_pii_redact_documents,
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
+        "funnel_events": q_funnel_events,
         "vocabulary_documents": q_vocabulary_documents,
         "group_profile_events": q_group_profile_events,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
@@ -1035,6 +1052,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE term_freq >= 2
             QUALIFY rank <= 100
+        """,
+        "funnel_events": """
+            WITH s0 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t_0
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t_1
+              FROM events e JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t_0
+              GROUP BY e.user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t_2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t_1
+              GROUP BY e.user_id
+            )
+            SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2
+            FROM s0
+            LEFT JOIN s1 ON s0.user_id = s1.user_id
+            LEFT JOIN s2 ON s0.user_id = s2.user_id
         """,
         "asof_purchase_click_events": """
             WITH l AS (

@@ -1,0 +1,70 @@
+"""Event funnels — ordered first-completion analysis per entity.
+
+"view -> click -> purchase" style funnels: for each entity, the
+timestamp of the FIRST completion of each step, where step k counts
+only strictly after the entity's step-(k-1) time. One aggregation per
+step joined back on the entity key — k small (funnels are 3-6 steps),
+every stage a key-partitioned hash aggregate + equijoin Catalyst can
+plan; no per-entity Python, no event-sequence explosion.
+
+The per-step frames shrink monotonically (only entities that completed
+the previous step carry forward), so later stages cost less, and AQE
+broadcast-joins the survivor frame once it is small enough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_first_completion(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per entity: (entity, t_0, ..., t_{k-1}) — first time each funnel
+    step completed in order; NULL from the first uncompleted step on.
+    Every entity with at least step 0 appears."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(entity_col).alias("_e"))
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .select(F.col(entity_col).alias("_e"), F.col(ts_col).alias("_t"))
+            .join(cur.select("_e", F.col(f"t_{i-1}").alias("_prev")), "_e")
+            .filter(F.col("_t") > F.col("_prev"))
+            .groupBy("_e")
+            .agg(F.min("_t").alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, "_e", "left")
+    return cur.withColumnRenamed("_e", entity_col)
+
+
+def funnel_counts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Stage reach counts: one row per step with how many entities got
+    at least that far (n_0 >= n_1 >= ...)."""
+    per = funnel_first_completion(df, entity_col, ts_col, type_col, steps)
+    aggs = [
+        F.count(F.col(f"t_{i}")).alias(f"n_{i}") for i in range(len(steps))
+    ]
+    wide = per.agg(*aggs)
+    pairs = ", ".join(
+        f"'{s}', CAST(n_{i} AS BIGINT)" for i, s in enumerate(steps)
+    )
+    return (
+        wide.selectExpr(f"stack({len(steps)}, {pairs}) AS (step, n_entities)")
+    )

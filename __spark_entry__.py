@@ -350,6 +350,20 @@ def q_funnel_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RETENTION_PERIOD_US = 7 * 24 * 3600 * 1_000_000  # one week
+
+
+def q_retention_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention grid over events: users bucketed by
+    first-activity week, distinct-user counts per later week offset."""
+    from dataset_grouper_spark.operators.funnel import retention_cohorts
+
+    ev = read_table(spark, sf, "events").withColumn(
+        "ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    )
+    return retention_cohorts(ev, "user_id", "ts_us", RETENTION_PERIOD_US)
+
+
 def q_asof_purchase_click_events(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time join: each purchase picks up the latest same-user
     click at or before it (event feature lookup). Single-shuffle
@@ -795,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
         "funnel_events": q_funnel_events,
+        "retention_events": q_retention_events,
         "vocabulary_documents": q_vocabulary_documents,
         "group_profile_events": q_group_profile_events,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
@@ -1052,6 +1067,19 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE term_freq >= 2
             QUALIFY rank <= 100
+        """,
+        "retention_events": f"""
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // {RETENTION_PERIOD_US} AS _p
+              FROM events
+            ),
+            f AS (SELECT user_id, min(_p) AS _cohort FROM p GROUP BY user_id)
+            SELECT f._cohort AS cohort_period,
+                   p._p - f._cohort AS period_offset,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "funnel_events": """
             WITH s0 AS (

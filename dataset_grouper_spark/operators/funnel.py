@@ -68,3 +68,36 @@ def funnel_counts(
     return (
         wide.selectExpr(f"stack({len(steps)}, {pairs}) AS (step, n_entities)")
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period: int,
+) -> DataFrame:
+    """Cohort retention grid: entities bucketed by first-activity
+    period (the cohort), counted per later activity period offset.
+
+    Pure integer arithmetic on the raw timestamp (``ts DIV period``) so
+    any engine computes identical buckets. Two hash aggregates and one
+    equijoin on the entity key: first-activity per entity, distinct
+    (entity, period) activity, then (cohort, offset) counts.
+    Returns (cohort_period, period_offset, n_active) with offset 0
+    being the cohort size row.
+    """
+    periods = df.select(
+        F.col(entity_col).alias("_e"),
+        # true integer division — float division + cast could round
+        # across a period boundary differently than the SQL twin's //
+        F.expr(f"CAST({ts_col} DIV {period} AS BIGINT)").alias("_p"),
+    ).distinct()
+    first = periods.groupBy("_e").agg(F.min("_p").alias("_cohort"))
+    return (
+        periods.join(first, "_e")
+        .groupBy(
+            F.col("_cohort").alias("cohort_period"),
+            (F.col("_p") - F.col("_cohort")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("_e").alias("n_active"))
+    )

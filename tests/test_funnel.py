@@ -41,3 +41,19 @@ def test_counts_monotone(spark):
         ).collect()
     }
     assert got == {"view": 3, "click": 2, "buy": 1}
+
+
+def test_retention_cohorts(spark):
+    from dataset_grouper_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        ("u1", 5), ("u1", 15), ("u1", 25),   # cohort 0, active periods 0,1,2
+        ("u2", 12), ("u2", 28),              # cohort 1, active 1,2
+        ("u3", 3),                           # cohort 0, active 0 only
+    ]
+    df = spark.createDataFrame(rows, "user: string, ts: long")
+    got = {
+        (r.cohort_period, r.period_offset): r.n_active
+        for r in retention_cohorts(df, "user", "ts", 10).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}

@@ -97,10 +97,12 @@ class PartitionedDataset:
         """Group ids, optionally in seeded-shuffled order (the
         shuffle_files/shuffle_seed contract, data_loaders.py:90-100)."""
         ids = [r[0] for r in self.group_index().select(keys.GROUP_COL).collect()]
+        # a NULL group key (keyer over a NULL feature) is a real group:
+        # sort it last instead of crashing the str comparison
         if shuffle:
             ids.sort(key=lambda g: _shuffle_rank(g, seed))
         else:
-            ids.sort()
+            ids.sort(key=lambda g: (g is None, g))
         return ids
 
     def group(self, group_id: str) -> DataFrame:
@@ -114,6 +116,13 @@ class PartitionedDataset:
         by the group, not the dataset."""
         df = self.dataframe()
         layout, num_buckets = self.layout()
+        if group_id is None:
+            # NULL-key group: equality would match nothing; bucket
+            # pruning is unavailable (crc32 of NULL is NULL) so filter
+            # by IS NULL across buckets
+            if BUCKET_COL in df.columns:
+                df = df.drop(BUCKET_COL)
+            return df.filter(F.col(keys.GROUP_COL).isNull())
         if layout == "bucketed" and num_buckets > 0:
             df = df.filter(
                 F.col(BUCKET_COL) == _bucket_of(group_id, num_buckets)
@@ -214,7 +223,10 @@ class PartitionedDataset:
             # a task (c000, c001, ...) also sort in write order.
             files = sorted(glob.glob(f"{spill}/part-*.parquet"))
 
-            pending_gid: str | None = None
+            # sentinel object, NOT None: a NULL-key group's id IS None
+            # and must not collide with "no group pending yet"
+            _unset = object()
+            pending_gid: object = _unset
             pending: list[pa.Table] = []
 
             def finish() -> pd.DataFrame:
@@ -238,20 +250,24 @@ class PartitionedDataset:
                 tbl = pa.Table.from_batches([batch])
                 gid_idx = tbl.schema.get_field_index(keys.GROUP_COL)
                 gid_arr = tbl.column(gid_idx).chunk(0)
-                codes = pc.dictionary_encode(gid_arr).indices.to_numpy()
+                # fill nulls before encoding: null dictionary indices
+                # can't round-trip through numpy for the boundary diff
+                codes = pc.dictionary_encode(
+                    pc.fill_null(gid_arr, "\x00<null-group>")
+                ).indices.to_numpy()
                 data = tbl.remove_column(gid_idx)
                 cuts = np.flatnonzero(codes[1:] != codes[:-1]) + 1
                 bounds = [0, *cuts.tolist(), tbl.num_rows]
                 for s, e in zip(bounds[:-1], bounds[1:]):
                     gid = gid_arr[s].as_py()
                     part = data.slice(s, e - s)
-                    if gid == pending_gid:
+                    if pending_gid is not _unset and gid == pending_gid:
                         pending.append(part)
                         continue
-                    if pending_gid is not None:
+                    if pending_gid is not _unset:
                         yield pending_gid, finish()
                     pending_gid, pending = gid, [part]
-            if pending_gid is not None:
+            if pending_gid is not _unset:
                 yield pending_gid, finish()
         finally:
             if own_spill:

@@ -127,3 +127,26 @@ def test_empty_dataset_write_and_load(spark, tmp_path):
         assert ds.list_groups() == []
         assert list(ds.iter_groups_bulk()) == []
         assert ds.dataframe().count() == 0
+
+
+def test_null_group_key_roundtrip(spark, tmp_path):
+    # a keyer over a NULL feature produces a NULL group: it must write,
+    # list (sorted last), load by group, and bulk-iterate — not crash
+    from pyspark.sql import functions as F
+
+    from dataset_grouper_spark import sinks
+    from dataset_grouper_spark.loader import PartitionedDataset
+
+    df = spark.createDataFrame(
+        [(1, "a", "u1"), (2, "b", None), (3, "c", "u1")],
+        "id: long, text: string, user: string",
+    )
+    for layout in ("partitioned", "bucketed"):
+        path = str(tmp_path / f"nullkey_{layout}")
+        sinks.write_partitioned(df, F.col("user"), path, layout=layout)
+        ds = PartitionedDataset(spark, path)
+        assert ds.list_groups() == ["u1", None]
+        assert ds.group(None).count() == 1
+        assert ds.group("u1").count() == 2
+        got = {gid: len(pdf) for gid, pdf in ds.iter_groups_bulk()}
+        assert got == {"u1": 2, None: 1}

@@ -294,6 +294,19 @@ def q_dup_ngram_fraction_documents(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicate_ngram_fraction(df, "text", "doc_id", NGRAM_N)
 
 
+def q_split_by_group_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split by source group: every doc of a
+    source lands in one split (row-level splits leak near-dups across
+    the train/test boundary on grouped data)."""
+    from dataset_grouper_spark.operators import sessions
+
+    df = read_table(spark, sf, "documents")
+    out = sessions.split_by_group(
+        df, "source", {"train": 80, "val": 10, "test": 10}
+    )
+    return out.select("doc_id", "source", "split")
+
+
 def q_cap_per_source_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Domain balancing: deterministically cap each source's
     contribution at 10 docs (md5-order keep — engine-portable, no RNG
@@ -814,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_profile_events": q_group_profile_events,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
+        "split_by_group_documents": q_split_by_group_documents,
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "pipeline_ingest_style": q_pipeline_ingest_style,
@@ -999,6 +1013,17 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(s.dup_ngrams * 1.0 / s.total_ngrams, 0.0), 6)
                      AS dup_frac
             FROM documents d LEFT JOIN stats s ON d.doc_id = s._id
+        """,
+        "split_by_group_documents": """
+            SELECT doc_id, source,
+                   CASE
+                     WHEN (('0x' || substr(md5(source || ''), 1, 15))::BIGINT)
+                          % 100 < 80 THEN 'train'
+                     WHEN (('0x' || substr(md5(source || ''), 1, 15))::BIGINT)
+                          % 100 < 90 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         "cap_per_source_documents": """
             SELECT doc_id, source FROM documents

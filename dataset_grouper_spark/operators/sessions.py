@@ -88,3 +88,35 @@ def cap_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str | Column,
+    splits: dict[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe dataset split: EVERY row of a group lands in the
+    same split (a group straddling train/test leaks near-duplicate
+    examples across the boundary — the failure mode row-level splits
+    have on grouped data).
+
+    ``splits`` maps label -> integer percent (must sum to 100). The
+    group key is hashed with the engine-portable md5-derived long
+    (plus ``salt`` for independent re-splits), bucketed mod 100, and
+    labeled by cumulative ranges — reproducible on any cluster size or
+    engine, no RNG state. Adds a ``split`` column.
+    """
+    from dataset_grouper_spark.functions.hashing import md5_long
+
+    if sum(splits.values()) != 100:
+        raise ValueError("split percents must sum to 100")
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    bucket = F.pmod(md5_long(F.concat(gc.cast("string"), F.lit(salt))), F.lit(100))
+    label = None
+    acc = 0
+    for name, pct in splits.items():
+        acc += pct
+        cond = bucket < F.lit(acc)
+        label = F.when(cond, F.lit(name)) if label is None else label.when(cond, F.lit(name))
+    return df.withColumn("split", label)

@@ -54,3 +54,30 @@ def test_cap_per_group_deterministic(spark):
     assert {(r.g, r.id) for r in rows} == again
     # cap larger than group keeps everything
     assert sessions.cap_per_group(df, "g", "id", 99).count() == 30
+
+
+def test_split_by_group_leakage_safe(spark):
+    from dataset_grouper_spark.operators import sessions
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 20}") for i in range(200)], "id: long, g: string"
+    )
+    out = sessions.split_by_group(df, "g", {"train": 80, "val": 10, "test": 10})
+    rows = out.collect()
+    # every group maps to exactly one split
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.g, set()).add(r.split)
+    assert all(len(v) == 1 for v in per_group.values())
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # deterministic; salt changes the assignment of at least one group
+    again = {(r.id, r.split) for r in sessions.split_by_group(
+        df, "g", {"train": 80, "val": 10, "test": 10}).collect()}
+    assert {(r.id, r.split) for r in rows} == again
+    salted = {(r.id, r.split) for r in sessions.split_by_group(
+        df, "g", {"train": 80, "val": 10, "test": 10}, salt="v2").collect()}
+    assert salted != again
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        sessions.split_by_group(df, "g", {"train": 90, "val": 5})

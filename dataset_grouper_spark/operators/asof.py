@@ -44,6 +44,13 @@ def asof_join(
     matches older than ``left.time - tolerance``.
     """
     lcols = left.columns
+    reserved = {"_t", "_side", "_rpay", "_m", "_rt"}
+    clash = reserved & (set(lcols) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves helper column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)} before joining"
+        )
     payload = F.struct(
         F.col(time_col).alias("_rt"),
         *[F.col(c).alias(c) for c in value_cols],

@@ -161,6 +161,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_perm: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band of the
     signature. rows_per_band = num_perm // bands; collision prob for
@@ -168,6 +169,19 @@ def lsh_candidate_pairs(
 
     One narrow shuffle per band on the band key — no cross join.
     Returns distinct (id_a, id_b), id_a < id_b.
+
+    Hot-bucket guard: the band self-join emits |bucket|^2/2 pairs per
+    bucket, and web-scale corpora have degenerate buckets (boilerplate
+    pages — millions of near-identical docs sharing every band). One
+    such key would become a single task computing 10^12 pairs; AQE
+    skew-split fixes the shuffle, not the quadratic output. So bucket
+    membership is capped at ``max_bucket_size`` docs (smallest ids
+    kept — deterministic), bounding any bucket's output at cap^2/2.
+    Docs above the cap in a hot bucket still pair via their other
+    bands, and a bucket that hot means near-identical docs whose
+    survivors the kept members' components already represent. Use
+    ``lsh_oversized_buckets`` to audit what a cap would truncate;
+    ``max_bucket_size=None`` disables the guard.
     """
     r = num_perm // bands
     # One row per (doc, band) with the band key embedding the band
@@ -185,11 +199,17 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = persist_tracked(
-        sigs.select(
-            F.col(id_col).alias("_id"), F.explode(band_keys).alias("_band")
-        )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), F.explode(band_keys).alias("_band")
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("_band").orderBy("_id")
+        banded = (
+            banded.withColumn("_bk_rank", F.row_number().over(wb))
+            .filter(F.col("_bk_rank") <= max_bucket_size)
+            .drop("_bk_rank")
+        )
+    banded = persist_tracked(banded)
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
@@ -199,6 +219,37 @@ def lsh_candidate_pairs(
         )
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_oversized_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Audit twin of the hot-bucket guard in ``lsh_candidate_pairs``:
+    per-band-key membership counts for buckets ABOVE the cap —
+    (band_key, n_docs, n_dropped). One agg over the exploded bands;
+    empty output means the cap is inert on this corpus."""
+    r = num_perm // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select(F.explode(band_keys).alias("band_key"))
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+        .withColumn("n_dropped", F.col("n_docs") - F.lit(max_bucket_size))
     )
 
 
@@ -284,18 +335,22 @@ def connected_components(
 
     Each round is one shuffle join + one aggregation, driver-side only
     the 1-row convergence count. Labels persist per round and release
-    on the next (bounded storage).
+    on the next (bounded storage). Raises RuntimeError if ``max_iter``
+    rounds end with labels still changing — silent unconverged labels
+    would be silently wrong components.
     """
     sym = persist_tracked(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
     )
-    labels = persist_tracked(
+    persisted = persist_tracked(
         sym.select(F.col("a").alias("id")).distinct().withColumn(
             "label", F.col("id")
         )
     )
+    labels = persisted
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -315,10 +370,20 @@ def connected_components(
             )
         )
         changed = step.filter(F.col("label") != F.col("_old")).count()
-        labels.unpersist()
+        # release the PERSISTED frame from the previous round (not a
+        # projection of it) so storage stays bounded at two label tables
+        persisted.unpersist()
+        persisted = step
         labels = step.select("id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing). The graph diameter exceeds "
+            "max_iter — raise it, or use an O(log n) scheme "
+            "(large-star/small-star) for long-chain graphs."
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

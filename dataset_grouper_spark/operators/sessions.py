@@ -60,8 +60,12 @@ def sample_groups(
     from dataset_grouper_spark import keys
 
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    # keys.scramble is overflow-safe for any int64 id (split multiply)
-    bucket = F.pmod(keys.scramble(c.cast("long") + salt), F.lit(100))
+    # keys.scramble is overflow-safe for any int64 id (split multiply),
+    # but the `+ salt` must not overflow first: reduce the id mod 2^32
+    # before adding so no intermediate exceeds int64 even for ids near
+    # 2^63 (ANSI mode throws on long overflow).
+    salted = F.pmod(c.cast("long"), F.lit(2**32)) + F.lit(salt % 2**31)
+    bucket = F.pmod(keys.scramble(salted), F.lit(100))
     return df.filter(bucket < fraction_pct)
 
 

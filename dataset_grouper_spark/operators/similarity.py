@@ -268,6 +268,10 @@ def cosine_topk_blocked(
                 col = sims[:, j]
                 mask = c_ids != qid
                 cand_ids, cand_sims = c_ids[mask], col[mask]
+                # zero-norm vectors produce NaN sims; exclude them so
+                # results match the SQL paths' isNotNull contract
+                finite = np.isfinite(cand_sims)
+                cand_ids, cand_sims = cand_ids[finite], cand_sims[finite]
                 # local top-k with the SAME order as the final rank:
                 # (-cosine, neighbor_id) lexicographic
                 order = np.lexsort((cand_ids, -cand_sims))[:k]
@@ -363,6 +367,9 @@ def _cosine_topk_tiled(
             col = sims[:, j]
             mask = c_ids != qid
             cand_ids, cand_sims = c_ids[mask], col[mask]
+            # exclude NaN sims from zero-norm vectors (match cosine_topk)
+            finite = np.isfinite(cand_sims)
+            cand_ids, cand_sims = cand_ids[finite], cand_sims[finite]
             order = np.lexsort((cand_ids, -cand_sims))[:k]
             frames.append(
                 pd.DataFrame(
@@ -400,6 +407,7 @@ def ivf_topk(
     seed: int = 42,
     round_digits: int = 6,
     max_collect_queries: int = 65536,
+    fit_sample_rows: int = 262144,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus with KMeans,
     probe only the ``nprobe`` centroids nearest each query, exact-rerank
@@ -407,7 +415,9 @@ def ivf_topk(
     "Product Quantization for Nearest Neighbor Search", §IV-A, minus
     the PQ compression).
 
-    Scale shape: one KMeans fit (Spark ML, sampled corpus is fine), one
+    Scale shape: one KMeans fit over a hash-sampled subset capped at
+    ``fit_sample_rows`` (the quantizer needs a sample, never the full
+    corpus), one
     cluster-assignment pass, then the search touches ~nprobe/num_centroids
     of the corpus per query via a broadcast (query_id, cluster) probe
     join. Written-to-disk variants would partition the corpus by
@@ -424,11 +434,27 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from dataset_grouper_spark.cache import persist_tracked
+
     train = corpus.select(
         F.col(id_col).alias("_cid"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=num_centroids, seed=seed, featuresCol="features").fit(train)
+    # The coarse quantizer only needs a sample. Hash-order TakeOrdered
+    # bounds the fit input at ``fit_sample_rows`` (a seeded-hash
+    # pseudo-random subset, deterministic, no count job, no full sort)
+    # so the KMeans iterations scan a few hundred thousand rows — never
+    # ``iterations x full corpus``. Assignment stays one full pass.
+    fit_cap = max(fit_sample_rows, 100 * num_centroids)
+    fit_input = persist_tracked(
+        train.orderBy(
+            F.xxhash64(F.col("_cid"), F.lit(seed)), F.col("_cid")
+        ).limit(fit_cap)
+    )
+    model = KMeans(k=num_centroids, seed=seed, featuresCol="features").fit(
+        fit_input
+    )
+    fit_input.unpersist()
     assigned = (
         model.transform(train)
         .select(F.col("_cid"), F.col("prediction").alias("_cluster"))

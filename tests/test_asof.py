@@ -59,3 +59,21 @@ def test_single_exchange_plan(spark):
     )
     assert plan.count("Exchange") <= 2  # union sides feed ONE window shuffle
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_reserved_helper_names_raise(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("u1", 10, "x")], "k: string, t: long, _side: string"
+    )
+    right = spark.createDataFrame([("u1", 8, 1.5)], "k: string, t: long, v: double")
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left, right, "t", ["k"], ["v"])
+    # collision on the RIGHT side raises too
+    right2 = spark.createDataFrame(
+        [("u1", 8, 1.5)], "k: string, t: long, _rpay: double"
+    )
+    left2 = spark.createDataFrame([("u1", 10, "x")], "k: string, t: long, tag: string")
+    with pytest.raises(ValueError, match="_rpay"):
+        asof_join(left2, right2, "t", ["k"], ["_rpay"])

@@ -28,6 +28,34 @@ def test_connected_components_converges_early(spark):
     assert got == {i: 0 for i in range(6)}
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    # path graph 0-1-2-...-7: diameter 7, min-label propagation needs
+    # ~7 rounds; max_iter=2 must raise, not return wrong components
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a: long, id_b: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=2)
+    # with enough rounds the same graph resolves to one component
+    got = {r.id: r.component for r in dedup.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(8)}
+
+
+def test_connected_components_releases_round_caches(spark):
+    # per-round persisted label frames must be unpersisted as rounds
+    # advance — only sym + the final labels frame may remain cached
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a: long, id_b: long"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    dedup.connected_components(edges).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # sym + final step frame = at most 2 new cached RDDs (not 1/round)
+    assert after - before <= 2
+
+
 def test_cluster_near_dups_planted(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again"),

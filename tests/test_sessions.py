@@ -37,6 +37,17 @@ def test_sample_groups_deterministic_partition(spark):
     assert rest == set(range(1000))
 
 
+def test_sample_groups_extreme_ids_no_overflow(spark):
+    # ids at the int64 edges with a positive salt: the pre-scramble
+    # addition must not overflow (ANSI mode throws on long overflow)
+    df = spark.createDataFrame(
+        [(2**63 - 1,), (2**63 - 2,), (-(2**63),), (0,)], "id: long"
+    )
+    got = sessions.sample_groups(df, "id", 100, salt=12345)
+    assert got.count() == 4  # 100% keeps all; no ARITHMETIC_OVERFLOW
+    sessions.sample_groups(df, "id", 50, salt=2**40).count()  # huge salt too
+
+
 def test_cap_per_group_deterministic(spark):
     from dataset_grouper_spark.operators import sessions
 

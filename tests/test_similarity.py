@@ -163,6 +163,29 @@ def test_ivf_topk_recall(vecs):
     assert 59 in iv[0]
 
 
+def test_ivf_topk_fit_is_sampled(vecs):
+    # the KMeans fit input must be bounded by fit_sample_rows (hash
+    # TakeOrdered) — a tiny cap must still produce a working index
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(
+        df, qs, "embedding", "vec_id", "vec_id", k=3,
+        num_centroids=4, nprobe=4, seed=3, fit_sample_rows=16,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(got) == {0, 1, 2}
+    assert all(len(v) == 3 for v in got.values())
+    # nprobe == num_centroids probes every cell -> exact results even
+    # though the quantizer only saw 16 training rows
+    exact = similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", k=3)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert {q: set(v) for q, v in got.items()} == ex
+
+
 def test_ivf_topk_flat_full_probe_is_exact(vecs):
     # probing every cell must reduce the flat IVF to exact top-k
     df, _ = vecs
@@ -272,3 +295,34 @@ def test_zero_vectors_never_match_and_never_throw(spark):
         df, qs, "embedding", "vec_id", "vec_id", k=5, num_centroids=2, nprobe=2
     ).collect()
     assert 1 not in {r.neighbor_id for r in flat}
+
+
+def test_zero_vectors_excluded_in_blocked_and_tiled_paths(spark):
+    # the numpy kernels must drop NaN sims from zero-norm vectors, not
+    # emit them as NULL-cosine rows when k exceeds finite candidates
+    rows = [(0, [1.0, 2.0]), (1, [1.9, 1.1]), (2, [2.0, 1.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    qs = df.filter("vec_id = 0")
+    exact = similarity.cosine_topk(
+        df, qs, "embedding", "vec_id", "vec_id", k=5
+    ).collect()
+    blocked = similarity.cosine_topk_blocked(
+        df, qs, "embedding", "vec_id", "vec_id", k=5
+    ).collect()
+    tiled = similarity.cosine_topk_blocked(
+        df, qs, "embedding", "vec_id", "vec_id", k=5, max_collect_queries=0
+    ).collect()
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact}
+    for got in (blocked, tiled):
+        assert all(r.cosine is not None for r in got)
+        assert {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in got
+        } == want
+    # zero vector AS the query: empty, not NULL rows
+    zq = df.filter("vec_id = 3")
+    assert (
+        similarity.cosine_topk_blocked(
+            df, zq, "embedding", "vec_id", "vec_id", k=5
+        ).count()
+        == 0
+    )

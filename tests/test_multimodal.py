@@ -15,9 +15,82 @@ def blobs(spark):
     return spark.createDataFrame(rows, "doc_id: long, content: binary")
 
 
-def test_decode_requires_fake_flag(blobs):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_meta(blobs, "content", "doc_id", fake=False)
+def test_real_decode_unrecognized_bytes_null_meta(blobs):
+    # fake=False is now the REAL header parser: non-image payloads get
+    # NULL format/dims but n_bytes + sha still populate
+    out = {r.id: r for r in multimodal.decode_image_meta(
+        blobs, "content", "doc_id", fake=False
+    ).collect()}
+    assert len(out) == 8
+    for i, r in out.items():
+        assert r.format is None and r.width is None and r.height is None
+        assert r.n_bytes == 500 + i * 100
+
+
+def test_parse_image_header_all_formats():
+    p = multimodal.parse_image_header
+    for fmt in ("png", "jpeg", "gif", "bmp", "webp"):
+        b = multimodal.encode_header_bytes(fmt, 640, 480)
+        assert p(b) == (fmt, 640, 480), fmt
+    # WebP VP8X (extended) and VP8 (lossy) variants, hand-built
+    import struct as s
+
+    vp8x = (
+        b"RIFF" + s.pack("<I", 22) + b"WEBP" + b"VP8X" + s.pack("<I", 10)
+        + b"\x00\x00\x00\x00"
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert p(vp8x) == ("webp", 640, 480)
+    vp8 = (
+        b"RIFF" + s.pack("<I", 14) + b"WEBP" + b"VP8 " + s.pack("<I", 10)
+        + b"\x00\x00\x00" + b"\x9d\x01\x2a" + s.pack("<HH", 640, 480)
+    )
+    assert p(vp8) == ("webp", 640, 480)
+    # BMP top-down (negative height) reports absolute height
+    bmp = bytearray(multimodal.encode_header_bytes("bmp", 32, 16))
+    bmp[22:26] = s.pack("<i", -16)
+    assert p(bytes(bmp)) == ("bmp", 32, 16)
+
+
+def test_parse_image_header_progressive_jpeg_and_garbage():
+    p = multimodal.parse_image_header
+    import struct as s
+
+    # progressive: DQT + DHT segments before an SOF2 frame marker
+    dqt = b"\xff\xdb" + s.pack(">H", 67) + b"\x00" * 65
+    dht = b"\xff\xc4" + s.pack(">H", 31) + b"\x00" * 29
+    sof2 = b"\xff\xc2" + s.pack(">HBHHB", 17, 8, 300, 200, 3) + b"\x00" * 9
+    assert p(b"\xff\xd8" + dqt + dht + sof2) == ("jpeg", 200, 300)
+    # truncated / garbage inputs return None, never raise
+    for junk in (
+        b"", b"\x00" * 40, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4,
+        b"\xff\xd8\xff\xdb\x00\x04\x00\x00",  # jpeg that ends mid-scan
+        b"RIFF\x00\x00\x00\x00WEBPJUNK" + b"\x00" * 20,
+        multimodal.encode_header_bytes("png", 4, 4)[:20],
+    ):
+        assert p(junk) is None
+
+
+def test_real_decode_mixed_formats_distributed(spark):
+    rows = [
+        (i, bytearray(
+            multimodal.encode_header_bytes(
+                ["png", "jpeg", "gif", "bmp", "webp"][i % 5],
+                10 + i, 20 + i,
+            )
+        ))
+        for i in range(25)
+    ] + [(100, bytearray(b"not an image at all, just text bytes"))]
+    df = spark.createDataFrame(rows, "doc_id: long, content: binary").repartition(4)
+    out = {r.id: r for r in multimodal.decode_image_meta(
+        df, "content", "doc_id"
+    ).collect()}
+    for i in range(25):
+        r = out[i]
+        assert (r.format, r.width, r.height) == (
+            ["png", "jpeg", "gif", "bmp", "webp"][i % 5], 10 + i, 20 + i
+        )
+    assert out[100].format is None
 
 
 def test_fake_decode_deterministic_meta(blobs):

@@ -45,18 +45,23 @@ def vocabulary(
     tie-break makes the cut reproducible on any engine — optionally
     truncated to the top ``top_k``.
 
-    The global row_number sorts ONE partition, but its input is the
-    aggregated vocabulary (|distinct tokens|, millions at most), not
-    the corpus — the count aggregation above it is what scales with
-    the 100 TB input."""
+    With ``top_k`` set, a distributed ``orderBy().limit(top_k)``
+    (TakeOrdered — per-partition truncation, no global sort) runs
+    BEFORE the rank window, so the single-partition row_number sees at
+    most ``top_k`` rows even when web-scale token garbage pushes the
+    distinct-token set into the billions. Without ``top_k`` the global
+    row_number sorts one partition, but its input is the aggregated
+    vocabulary, not the corpus — the count aggregation above it is
+    what scales with the 100 TB input."""
     counts = token_counts(df, text_col, id_col).filter(
         F.col("term_freq") >= min_count
     )
-    w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
-    ranked = counts.withColumn("rank", F.row_number().over(w))
     if top_k is not None:
-        ranked = ranked.filter(F.col("rank") <= top_k)
-    return ranked
+        counts = counts.orderBy(
+            F.col("term_freq").desc(), F.col("token")
+        ).limit(top_k)
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
+    return counts.withColumn("rank", F.row_number().over(w))
 
 
 def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -64,3 +64,32 @@ def test_simhash_near_dup_close(docs):
     ham = bin(out[1] ^ out[3]).count("1")
     ham_far = bin(out[1] ^ out[4]).count("1")
     assert ham < ham_far
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    # degenerate bucket: many identical docs share every band; the cap
+    # must bound the candidate output at ~cap^2/2, not n^2/2
+    n, cap = 200, 20
+    base = "the same boilerplate template page text repeated everywhere"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(n)], "doc_id: long, text: string"
+    )
+    sigs = dedup.minhash_signatures(df, "text", "doc_id")
+    capped = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", max_bucket_size=cap
+    ).count()
+    assert capped == cap * (cap - 1) // 2  # smallest `cap` ids, all pairs
+    # deterministic membership: smallest ids survive
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=cap)
+    ids = {r.id_a for r in pairs.collect()} | {r.id_b for r in pairs.collect()}
+    assert ids == set(range(cap))
+    # audit helper reports the oversized bucket
+    over = dedup.lsh_oversized_buckets(
+        sigs, "doc_id", max_bucket_size=cap
+    ).collect()
+    assert over and all(r.n_docs == n and r.n_dropped == n - cap for r in over)
+    # uncapped (None) emits the full quadratic set
+    assert (
+        dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None).count()
+        == n * (n - 1) // 2
+    )

@@ -55,3 +55,17 @@ def test_tfidf_and_top_terms(spark):
     # doc1: y (rare, df=1, tfidf ln2=0.693) beats x (tf 2 but df=2,
     # 2*ln(4/3)=0.575) — rarity wins, the point of idf; doc3: z
     assert top[1] == "y" and top[3] == "z"
+
+
+def test_vocabulary_top_k_is_take_ordered(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma " + ("alpha " * (i % 3))) for i in range(40)],
+        "doc_id: long, text: string",
+    )
+    top = vocabulary(df, "text", "doc_id", top_k=2)
+    rows = sorted((r.rank, r.token) for r in top.collect())
+    assert rows == [(1, "alpha"), (2, "beta")]  # tie beta/gamma -> token asc
+    # the global sort must be bounded: TakeOrdered, not a full Sort
+    # feeding the single-partition window
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

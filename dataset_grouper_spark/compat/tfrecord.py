@@ -13,7 +13,6 @@ byte-compatible shards with the reference's WriteToTFRecord output
 
 from __future__ import annotations
 
-import os
 import struct
 from collections.abc import Iterable, Iterator
 
@@ -110,44 +109,152 @@ def _zero_advance_op(n_bytes: int) -> np.ndarray:
 
 
 def _apply_op_vec(op: np.ndarray, states: np.ndarray) -> np.ndarray:
-    bits = ((states[:, None] >> _J32[None, :]) & 1).astype(bool)
+    """Apply a 32x32 GF(2) operator to every uint32 in ``states`` (any
+    shape)."""
+    bits = ((states[..., None] >> _J32) & 1).astype(bool)
     return np.bitwise_xor.reduce(
-        np.where(bits, op[None, :], np.uint32(0)), axis=1
+        np.where(bits, op, np.uint32(0)), axis=-1
     )
+
+
+_TBL_CACHE: dict[int, np.ndarray] = {}
+
+
+def _advance_tables(n_bytes: int) -> np.ndarray:
+    """Z^n as four 256-entry lookup tables (one per state byte):
+    applying the operator to a whole array is then 4 fancy-index
+    gathers + 3 XORs instead of a 32-bit expansion. Cached per n."""
+    tbl = _TBL_CACHE.get(n_bytes)
+    if tbl is None:
+        op = _zero_advance_op(n_bytes)
+        tbl = np.zeros((4, 256), dtype=np.uint32)
+        for byte_idx in range(4):
+            t_ = tbl[byte_idx]
+            for k in range(8):
+                t_[1 << k] = op[8 * byte_idx + k]
+            for b in range(1, 256):
+                t_[b] = t_[b & (b - 1)] ^ t_[b & -b]
+        _TBL_CACHE[n_bytes] = tbl
+    return tbl
+
+
+def _advance_vec(n_bytes: int, states: np.ndarray) -> np.ndarray:
+    """states := Z^n(states), elementwise over any shape."""
+    tbl = _advance_tables(n_bytes)
+    return (
+        tbl[0][states & 0xFF]
+        ^ tbl[1][(states >> 8) & 0xFF]
+        ^ tbl[2][(states >> 16) & 0xFF]
+        ^ tbl[3][states >> 24]
+    )
+
+
+def _chunk_m(n: int) -> int:
+    """Chunk-size ladder: small records want few lockstep iterations
+    (numpy call overhead dominates), big buffers want wide chunks. A
+    tiny set of M values keeps the Z^(M<<level) operator cache shared
+    across every record length."""
+    if n < 16384:
+        return 16
+    if n < 262144:
+        return 64
+    return 256
 
 
 def crc32c(data: bytes) -> int:
     n = len(data)
-    if n < 2048:
+    if n < 1024:
         return _crc32c_py(data) ^ 0xFFFFFFFF
-    # K power-of-two chunks of m bytes + tail
-    K = 1 << min(12, max(0, (n // 64).bit_length() - 1))
-    m = n // K
+    # K chunks of M bytes in lockstep + pure-python tail. M comes from
+    # a fixed ladder so every tree-combine operator (Z^(M<<level)) is
+    # computed once per process, whatever the record length — no
+    # per-distinct-length operator builds. The CRC init register rides
+    # the first chunk (raw(s, A||B) = Z^|B|(raw(s,A)) ^ raw(0,B) holds
+    # for any init), so no final Z^n fixup is needed either.
+    M = _chunk_m(n)
+    K = n // M
+    body = K * M
     cols = np.ascontiguousarray(
-        np.frombuffer(data, dtype=np.uint8, count=K * m).reshape(K, m).T
+        np.frombuffer(data, dtype=np.uint8, count=body).reshape(K, M).T
     )
-    states = np.zeros(K, dtype=np.uint32)
+    P = 1 << (K - 1).bit_length()  # front-pad with zero states: a zero
+    states = np.zeros(P, dtype=np.uint32)  # register over no bytes stays 0
+    states[P - K] = 0xFFFFFFFF
+    st = states[P - K :]
     T = _TABLE_NP
-    for i in range(m):
-        states = T[(states ^ cols[i]) & 0xFF] ^ (states >> 8)
-    # tree-combine: level l merges pairs 2^l*m bytes apart
-    op = _zero_advance_op(m)
+    for i in range(M):
+        st[:] = T[(st ^ cols[i]) & 0xFF] ^ (st >> 8)
+    level = 0
     while len(states) > 1:
-        states = _apply_op_vec(op, states[0::2]) ^ states[1::2]
-        if len(states) > 1:
-            op = _square_op(op)
-    r = int(states[0])  # raw(0, body)
-    tail = data[K * m:]
+        states = _advance_vec(M << level, states[0::2]) ^ states[1::2]
+        level += 1
+    r = int(states[0])  # raw(0xFFFFFFFF, body)
+    tail = data[body:]
     if tail:
-        r = _crc32c_py(tail, r)  # raw(r, tail) = Z^|tail|(r) ^ raw(0, tail)
-    # raw(~0, data) = Z^n(~0) ^ raw(0, data)
-    s = _apply_op(_zero_advance_op(n), 0xFFFFFFFF) ^ r
-    return s ^ 0xFFFFFFFF
+        r = _crc32c_py(tail, r)
+    return r ^ 0xFFFFFFFF
+
+
+_BATCH_M = 16  # lockstep chunk size for cross-record batching
+_BATCH_MAX_LEN = 65536  # longer records CRC individually (padding cost)
+
+
+def crc32c_batch(bufs: list[bytes]) -> np.ndarray:
+    """CRC32C of many buffers at once — the shard-IO hot path.
+
+    All records' chunks run ONE numpy lockstep per power-of-two group
+    (a (records x padded_chunks) 2-D register array), then each level
+    of the tree combine is a single vectorized op across the whole
+    group. Per-record Python work is O(1); the per-batch work is
+    _BATCH_M numpy passes over every byte. ~10x over per-record
+    ``crc32c`` on KB-scale records.
+    """
+    out = np.zeros(len(bufs), dtype=np.uint32)
+    groups: dict[int, list[tuple[int, bytes, int]]] = {}
+    for i, b in enumerate(bufs):
+        n = len(b)
+        if n < 1024:
+            out[i] = _crc32c_py(b) ^ 0xFFFFFFFF
+        elif n > _BATCH_MAX_LEN:
+            out[i] = crc32c(b)
+        else:
+            K = n // _BATCH_M
+            P = 1 << (K - 1).bit_length()
+            groups.setdefault(P, []).append((i, b, K))
+    T = _TABLE_NP
+    for P, items in groups.items():
+        G = len(items)
+        cols = np.zeros((_BATCH_M, G, P), dtype=np.uint8)
+        states = np.zeros((G, P), dtype=np.uint32)
+        for g, (_, b, K) in enumerate(items):
+            cols[:, g, P - K :] = np.frombuffer(
+                b, dtype=np.uint8, count=K * _BATCH_M
+            ).reshape(K, _BATCH_M).T
+            states[g, P - K] = 0xFFFFFFFF
+        for j in range(_BATCH_M):
+            states = T[(states ^ cols[j]) & 0xFF] ^ (states >> 8)
+        level = 0
+        while states.shape[1] > 1:
+            states = (
+                _advance_vec(_BATCH_M << level, states[:, 0::2])
+                ^ states[:, 1::2]
+            )
+            level += 1
+        for g, (i, b, K) in enumerate(items):
+            r = int(states[g, 0])
+            tail = b[K * _BATCH_M :]
+            if tail:
+                r = _crc32c_py(tail, r)
+            out[i] = r ^ 0xFFFFFFFF
+    return out
+
+
+def _mask(crc: int) -> int:
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
 
 
 def _masked_crc(data: bytes) -> int:
-    crc = crc32c(data)
-    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    return _mask(crc32c(data))
 
 
 def _write_record(f, rec: bytes) -> None:
@@ -158,33 +265,71 @@ def _write_record(f, rec: bytes) -> None:
     f.write(struct.pack("<I", _masked_crc(rec)))
 
 
+def _frame_records(recs: list[bytes]) -> bytes:
+    """Frame a batch of records (batched data CRCs, headers are 8-byte
+    pure-python CRCs) into one writable buffer."""
+    dcrcs = crc32c_batch(recs)
+    parts = []
+    for rec, dc in zip(recs, dcrcs):
+        header = struct.pack("<Q", len(rec))
+        parts.append(header)
+        parts.append(struct.pack("<I", _mask(_crc32c_py(header) ^ 0xFFFFFFFF)))
+        parts.append(rec)
+        parts.append(struct.pack("<I", _mask(int(dc))))
+    return b"".join(parts)
+
+
+_IO_BATCH = 512  # records per CRC batch on the shard IO paths
+
+
 def write_records(path: str, records: Iterable[bytes]) -> int:
-    """Write one TFRecord file; returns record count."""
+    """Write one TFRecord file (any ``compat.fs`` scheme); returns
+    record count. Records are framed in batches so the data CRCs ride
+    the vectorized ``crc32c_batch`` kernel."""
+    from dataset_grouper_spark.compat import fs
+
     n = 0
-    with open(path, "wb") as f:
+    batch: list[bytes] = []
+    with fs.open_write(path) as f:
         for rec in records:
-            _write_record(f, rec)
+            batch.append(rec)
             n += 1
+            if len(batch) >= _IO_BATCH:
+                f.write(_frame_records(batch))
+                batch = []
+        if batch:
+            f.write(_frame_records(batch))
     return n
 
 
 def read_records(path: str, verify: bool = True) -> Iterator[bytes]:
-    """Iterate records from one TFRecord file, checking CRCs."""
-    with open(path, "rb") as f:
-        while True:
-            header = f.read(8)
-            if not header:
-                return
-            (length,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", f.read(4))
-            data = f.read(length)
-            (dcrc,) = struct.unpack("<I", f.read(4))
-            if verify:
-                if _masked_crc(header) != hcrc:
-                    raise IOError(f"corrupt length crc in {path}")
-                if _masked_crc(data) != dcrc:
-                    raise IOError(f"corrupt data crc in {path}")
-            yield data
+    """Iterate records from one TFRecord file, checking CRCs (data CRCs
+    verified in vectorized batches)."""
+    from dataset_grouper_spark.compat import fs
+
+    with fs.open_read(path) as f:
+        done = False
+        while not done:
+            frames: list[tuple[bytes, bytes, int, int]] = []
+            while len(frames) < _IO_BATCH:
+                header = f.read(8)
+                if not header:
+                    done = True
+                    break
+                (length,) = struct.unpack("<Q", header)
+                (hcrc,) = struct.unpack("<I", f.read(4))
+                data = f.read(length)
+                (dcrc,) = struct.unpack("<I", f.read(4))
+                frames.append((header, data, hcrc, dcrc))
+            if verify and frames:
+                dcrcs = crc32c_batch([fr[1] for fr in frames])
+                for (header, data, hcrc, dcrc), dc in zip(frames, dcrcs):
+                    if _mask(_crc32c_py(header) ^ 0xFFFFFFFF) != hcrc:
+                        raise IOError(f"corrupt length crc in {path}")
+                    if _mask(int(dc)) != dcrc:
+                        raise IOError(f"corrupt data crc in {path}")
+            for fr in frames:
+                yield fr[1]
 
 
 def shard_name(prefix: str, shard: int, num_shards: int, suffix: str = "") -> str:
@@ -211,18 +356,17 @@ def write_grouped_tfrecords(
     mapInPandas (no row pickling) — fully parallel, no driver collect
     of data.
 
-    Filesystem note: shards are written with plain ``open()`` on the
-    executors, so ``file_path_prefix`` must live on a filesystem shared
-    by all executors and the driver (local mode, NFS, or a FUSE-mounted
-    object store). On a multi-node cluster without shared POSIX storage
-    route the payloads through a Hadoop-FS-backed sink instead
-    (``sinks.write_partitioned``).
+    Shards go through ``compat.fs`` (pyarrow.fs under any URI scheme),
+    so ``file_path_prefix`` may be a local path, ``file://``, or an
+    object-store URI (``s3://``, ``gs://``, ``hdfs://``) — no shared
+    POSIX mount required across executors.
     """
     import pandas as pd
 
+    from dataset_grouper_spark.compat import fs
     from dataset_grouper_spark.compat.tfexample import create_sequence_example
 
-    os.makedirs(os.path.dirname(file_path_prefix) or ".", exist_ok=True)
+    fs.makedirs(fs.parent_dir(file_path_prefix) or ".")
     target = packed.select(group_col, payload_col).repartition(num_shards)
 
     def write_shard(pdf_iter):
@@ -230,12 +374,14 @@ def write_grouped_tfrecords(
 
         idx = TaskContext.get().partitionId()
         path = shard_name(file_path_prefix, idx, num_shards, file_name_suffix)
-        with open(path, "wb") as f:
+        with fs.open_write(path) as f:
             for pdf in pdf_iter:
-                for payloads in pdf[payload_col]:
-                    _write_record(
-                        f, create_sequence_example([bytes(b) for b in payloads])
-                    )
+                recs = [
+                    create_sequence_example([bytes(b) for b in payloads])
+                    for payloads in pdf[payload_col]
+                ]
+                for lo in range(0, len(recs), _IO_BATCH):
+                    f.write(_frame_records(recs[lo : lo + _IO_BATCH]))
         yield pd.DataFrame({"path": [path]})
 
     out = target.mapInPandas(write_shard, "path string").collect()
@@ -261,9 +407,14 @@ def read_tfrecord_dataframe(
     import pandas as pd
 
     k = key or SERIALIZED_BYTES_KEY
+    # one slice per shard up front — no repartition shuffle, no
+    # defaultParallelism-wide stage of empty tasks for a tiny path list
     shards = spark.createDataFrame(
-        [(p,) for p in paths], "shard string"
-    ).repartition(max(len(paths), 1))
+        spark.sparkContext.parallelize(
+            [(p,) for p in paths], max(len(paths), 1)
+        ),
+        "shard string",
+    )
 
     def read_shards(pdf_iter):
         for pdf in pdf_iter:

@@ -73,6 +73,7 @@ def pack_groups(
     limit: int = BYTES_LIMIT,
     size_cols: list[str] | None = None,
     payload_col: str | Column | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Key + cap + pack: the ``to_keyed_sequence_examples`` composition
     (beam_transforms.py:81-109) with deterministic cap semantics.
@@ -86,8 +87,17 @@ def pack_groups(
     For massive groups prefer :func:`cap_prefix` + a partitioned write
     (sinks/) — packing to an in-row array is for modest group sizes /
     compat export.
+
+    ``num_partitions`` pre-hash-partitions on the group key with an
+    explicit width; the cap window, the pack aggregation, and (when it
+    equals the shard count) the downstream shard write all reuse that
+    one exchange instead of defaulting to ``spark.sql.shuffle
+    .partitions`` — set it when the group count is far below the
+    session default.
     """
     keyed = keys.with_group_key(df, key)
+    if num_partitions is not None:
+        keyed = keyed.repartition(num_partitions, F.col(keys.GROUP_COL))
     size_expr = textstats.row_bytes_expr(df, size_cols)
     capped = cap_prefix(keyed, order_col, size_expr, limit)
     if payload_col is None:

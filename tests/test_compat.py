@@ -127,3 +127,34 @@ def test_grouped_write_read_roundtrip(spark, tmp_path):
     assert ids == list(range(30))
     texts = {bytes(e["text"][0]).decode() for e in all_examples}
     assert "text 7" in texts
+
+
+def test_grouped_write_read_file_uri_scheme(spark, tmp_path):
+    # same lifecycle but through the pyarrow.fs URI path (file://) —
+    # what an object-store prefix (s3://, gs://) exercises on a cluster
+    df = spark.createDataFrame(
+        [(i, f"client{i % 2}", f"text {i}") for i in range(10)],
+        "id: long, client: string, text: string",
+    )
+    from pyspark.sql.types import BinaryType
+    from pyspark.sql.functions import udf
+
+    enc = udf(
+        lambda id_, text: tfexample.encode_example({"id": id_, "text": text}),
+        BinaryType(),
+    )
+    ser = df.withColumn("ex", enc("id", "text"))
+    packed = packing.pack_groups(
+        ser, keys.by_feature("client"), "id", payload_col="ex",
+        size_cols=["id", "text"],
+    )
+    prefix = f"file://{tmp_path}/nested/dir/out.tfrecord"
+    paths = tfrecord.write_grouped_tfrecords(
+        packed, "group_id", "packed", prefix, num_shards=2
+    )
+    assert all(p.startswith("file://") for p in paths)
+    # distributed read back through the same scheme
+    got = tfrecord.read_tfrecord_dataframe(spark, paths)
+    assert got.count() == 2  # one SequenceExample per group
+    blobs = [b for g in tfrecord.read_grouped_tfrecords(paths) for b in g]
+    assert {tfexample.decode_example(b)["id"][0] for b in blobs} == set(range(10))

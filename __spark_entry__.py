@@ -536,6 +536,84 @@ def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_image_meta(df, "content", "doc_id", fake=True)
 
 
+def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming tier, driver-oracled: run windowed_group_counts as
+    an availableNow stream over the events parquet into a memory sink,
+    then return the drained result table. Deterministic on a static
+    source, so the batch-twin SQL hash-matches — closes the one
+    component family with no CORRECTNESS presence (VERDICT r2 #6)."""
+    import uuid
+
+    from dataset_grouper_spark.streaming import windowed_group_counts
+
+    batch = read_table(spark, sf, "events")  # also sets nanosAsLong
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    evt_cols = batch.columns
+    # integer DIV: a double division would lose precision at 1e18 nanos
+    stream = stream.withColumn(
+        "_tsc", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    out = windowed_group_counts(
+        stream,
+        keys.by_feature("user_id"),
+        "_tsc",
+        window="1 hour",
+        watermark="10 minutes",
+        count_cols=evt_cols,
+    )
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("time_window.start").alias("window_start"),
+        "group_id",
+        "num_examples",
+        "num_bytes",
+        "num_words",
+    )
+
+
+def q_multimodal_image_headers(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image-metadata extraction: synthesize valid encoded headers
+    (PNG IHDR / JPEG SOFn / GIF / BMP / WebP VP8L) deterministically
+    from doc_id, then parse them back with the struct-based header
+    parser (no codec library). The oracle recomputes the planted
+    dimensions in closed form — so a parse bug cannot hash-match."""
+    import pandas as pd
+
+    df = read_table(spark, sf, "documents").select("doc_id")
+    fmts = ["png", "jpeg", "gif", "bmp", "webp"]
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content": [
+                        multimodal.encode_header_bytes(
+                            fmts[i % 5], 1 + (i * 7) % 2000, 1 + (i * 13) % 2000
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    imgs = df.mapInPandas(gen, "doc_id long, content binary")
+    meta = multimodal.decode_image_meta(imgs, "content", "doc_id")
+    return meta.select("id", "format", "width", "height")
+
+
 COSINE_PAIR_T = 0.45
 
 
@@ -596,9 +674,11 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     df = read_table(spark, sf, "documents")
     ser = df.withColumn("ex", enc("doc_id", "text"))
+    # 20 groups: an explicitly narrow pack exchange beats 32 near-empty
+    # window tasks; write/read stay 2-shard parallel
     packed = packing.pack_groups(
         ser, keys.by_feature("source"), "doc_id", payload_col="ex",
-        size_cols=["doc_id", "text"],
+        size_cols=["doc_id", "text"], num_partitions=4,
     )
     prefix = tempfile.mkdtemp(prefix="tfr_rt_") + "/docs.tfrecord"
     paths = tfrecord.write_grouped_tfrecords(
@@ -836,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_image_headers": q_multimodal_image_headers,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
@@ -1164,6 +1246,23 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": oracles.image_meta_sql(
             "documents", "text", "doc_id"
         ),
+        "streaming_windowed_counts": f"""
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(user_id AS VARCHAR) AS group_id,
+                   count(*) AS num_examples,
+                   CAST(sum({EVT_BYTES_SQL}) AS BIGINT) AS num_bytes,
+                   CAST(sum({EVT_WORDS_SQL}) AS BIGINT) AS num_words
+            FROM events GROUP BY 1, 2
+        """,
+        "multimodal_image_headers": """
+            SELECT doc_id AS id,
+                   CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
+                        ELSE 'webp' END AS format,
+                   CAST(1 + (doc_id * 7) % 2000 AS INT) AS width,
+                   CAST(1 + (doc_id * 13) % 2000 AS INT) AS height
+            FROM documents
+        """,
         "embedding_cosine_pairs": f"""
             WITH n AS (
               SELECT vec_id AS _id,

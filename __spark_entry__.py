@@ -188,6 +188,59 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6: pure filter+agg — every predicate must reach the
+    parquet scan (PushedFilters), columns pruned to 4."""
+    df = read_table(spark, sf, "lineitem")
+    return (
+        df.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q3_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 (adapted to the synthetic schema): top-10 highest-value
+    orders in a market segment still unshipped at the cutoff. Customer
+    side is broadcast (tiny dim), lineitem joins orders on the
+    shuffle-free side AQE picks; revenue tie-break on l_orderkey keeps
+    the limit deterministic."""
+    cutoff = "1996-06-30"
+    cust = read_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    return (
+        li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "documents")
     return df.groupBy("source").agg(
@@ -534,6 +587,26 @@ def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return multimodal.decode_image_meta(df, "content", "doc_id", fake=True)
+
+
+EMB_NEARDUP_T = 0.4
+
+
+def q_embedding_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup tier (SemDeDup shape): blocked exact
+    cosine pairs above threshold -> connected components -> per-vector
+    cluster id, singletons labeling themselves."""
+    df = read_table(spark, sf, "embeddings")
+    return similarity.embedding_neardup_clusters(
+        df, "embedding", "vec_id", EMB_NEARDUP_T, num_blocks=4
+    )
+
+
+def q_winnow_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS) over documents —
+    one narrow Catalyst projection, no shuffle."""
+    df = read_table(spark, sf, "documents")
+    return textanalysis.winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
 
 
 def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -891,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_dirichlet_embeddings": q_key_dirichlet_embeddings,
         "pack_bytecap_documents": q_pack_bytecap_documents,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q3_unshipped_orders": q_tpch_q3_unshipped_orders,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_analysis_documents": q_text_analysis_documents,
         "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -918,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_headers": q_multimodal_image_headers,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "embedding_neardup_clusters": q_embedding_neardup_clusters,
+        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
@@ -1042,6 +1119,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3_unshipped_orders": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+              AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "dedup_exact_documents": """
             SELECT source, count(*) AS n_docs,
@@ -1245,6 +1345,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_image_meta": oracles.image_meta_sql(
             "documents", "text", "doc_id"
+        ),
+        "embedding_neardup_clusters": f"""
+            WITH RECURSIVE n AS (
+              SELECT vec_id AS _id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), m AS (
+              SELECT _id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+            ), cand AS (
+              SELECT x._id AS id_a, y._id AS id_b
+              FROM m x JOIN m y ON x._id < y._id
+              WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+                    >= {EMB_NEARDUP_T}
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand
+            ), reach(id, lbl) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+            ), comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+            SELECT v.vec_id, COALESCE(c.component, v.vec_id) AS cluster_id
+            FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id
+        """,
+        "winnow_fingerprints_documents": textanalysis.winnow_fingerprints_sql(
+            "documents", "text", "doc_id", 8, 4
         ),
         "streaming_windowed_counts": f"""
             SELECT date_trunc('hour', ts) AS window_start,

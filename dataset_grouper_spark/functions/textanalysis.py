@@ -215,3 +215,95 @@ def fingerprint_sql(expr: str) -> str:
     norm = f"regexp_replace(lower(coalesce({expr}, '')), '\\s+', ' ', 'g')"
     stripped = f"regexp_replace({norm}, '^\\s+|\\s+$', '', 'g')"
     return md5_long_sql(stripped)
+
+
+def _norm_text(c: Column) -> Column:
+    norm = F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")
+    return F.regexp_replace(norm, r"^\s+|\s+$", "")
+
+
+def winnow_fingerprints(
+    df, text_col: str, id_col: str, k: int = 8, window: int = 4
+):
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    char ``k``-gram of the normalized text, slide a ``window`` over
+    consecutive positions, keep each window's MIN hash, output the
+    distinct selected hashes per doc.
+
+    Guarantees: any shared substring of length >= k + window - 1
+    produces at least one shared fingerprint, so matching docs on
+    fingerprints finds partial overlap (quote/boilerplate reuse) that
+    whole-doc hashing misses — with a ~2/(window+1) sampling density
+    instead of every position.
+
+    Plan shape: ONE narrow projection — the k-gram hashes, the window
+    mins, and the distinct-select are all Catalyst higher-order
+    functions over per-row arrays (no explode of the char stream, no
+    shuffle). Selection is by min VALUE (ties collapse via the distinct
+    set), which keeps the output engine-portable.
+
+    Returns (id_col, fingerprint) one row per distinct fingerprint.
+    Docs shorter than ``k`` chars produce no rows.
+
+    Catalyst care: the normalized text is projected to a plain column
+    BEFORE the k-gram lambda (no CSE inside HOF lambdas — the regex
+    chain would re-run per position), and both sequences are
+    guaranteed ascending (Spark's sequence(1, 0) counts DOWN).
+    """
+    base = (
+        df.select(F.col(id_col), _norm_text(F.col(text_col)).alias("_t"))
+        .withColumn("_np", F.length("_t") - F.lit(k - 1))
+        .filter(F.col("_np") > 0)
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("_np")),
+        lambda i: md5_long(F.col("_t").substr(i, F.lit(k))),
+    )
+    hs = base.select(
+        F.col(id_col),
+        hashes.alias("_hs"),
+        F.greatest(F.col("_np") - F.lit(window - 1), F.lit(1)).alias("_nw"),
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.col("_nw")),
+        lambda j: F.array_min(F.slice(F.col("_hs"), j, window)),
+    )
+    return hs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(fps)).alias("fingerprint"),
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str, text_col: str, id_col: str, k: int = 8, window: int = 4
+) -> str:
+    """DuckDB twin of winnow_fingerprints."""
+    norm = f"regexp_replace(lower(coalesce({text_col}, '')), '\\s+', ' ', 'g')"
+    stripped = f"regexp_replace({norm}, '^\\s+|\\s+$', '', 'g')"
+    h = md5_long_sql(f"substr(t, CAST(i AS INT), {k})")
+    return f"""
+      WITH nt AS (
+        SELECT {id_col} AS _id, {stripped} AS t FROM {table}
+      ),
+      hs AS (
+        SELECT _id,
+               list_transform(
+                 generate_series(1, greatest(length(t) - {k - 1}, 0)),
+                 i -> {h}
+               ) AS hl
+        FROM nt
+      ),
+      wm AS (
+        SELECT _id,
+               list_distinct(list_transform(
+                 generate_series(
+                   1, greatest(len(hl) - {window - 1}, 1)
+                 ),
+                 j -> list_min(list_slice(hl, j, j + {window - 1}))
+               )) AS fps
+        FROM hs WHERE len(hl) > 0
+      )
+      SELECT _id AS {id_col}, unnest(fps) AS fingerprint FROM wm
+    """

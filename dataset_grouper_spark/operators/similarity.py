@@ -806,3 +806,42 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_neardup_clusters(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    num_blocks: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-duplicate clustering — the
+    SemDeDup-style dedup tier (Abbas et al. 2023): vectors whose cosine
+    similarity is >= ``threshold`` are duplicates; transitive closure
+    groups them, and every id gets a ``cluster_id`` (the min id of its
+    component; untouched vectors are their own singleton). Keep
+    ``cluster_id == id`` rows for the survivor set.
+
+    Scale shape: edges come from the blocked triangle tile join
+    (``cosine_pairs`` — no driver collect, no all-pairs shuffle), the
+    closure from min-label propagation (one join+agg per round, raises
+    on non-convergence). At very high thresholds the duplicate graph is
+    clique-shaped, so rounds = 2-3.
+    """
+    from dataset_grouper_spark.operators.dedup import connected_components
+
+    edges = cosine_pairs(
+        df, vec_col, id_col, threshold, num_blocks=num_blocks
+    )
+    comp = connected_components(
+        edges.select("id_a", "id_b"), "id_a", "id_b", max_iter
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -326,3 +326,27 @@ def test_zero_vectors_excluded_in_blocked_and_tiled_paths(spark):
         ).count()
         == 0
     )
+
+
+def test_embedding_neardup_clusters_planted(spark):
+    # 0/1 nearly identical, 2 close to them, 3/4 a second pair, 5 alone
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.95, 0.3, 0.05]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in similarity.embedding_neardup_clusters(
+            df, "embedding", "vec_id", 0.9, num_blocks=2
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == 3
+    assert got[5] == 5
+    # survivors: one per cluster
+    assert {v for v, c in got.items() if v == c} == {0, 3, 5}

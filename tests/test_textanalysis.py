@@ -65,3 +65,34 @@ def test_lang_id_null_text_is_und(spark):
     got = [r.l for r in df.select(
         textanalysis.lang_id(F.col("t")).alias("l")).collect()]
     assert got == ["und", "en"]
+
+
+def test_winnow_fingerprints_guarantee_and_normalization(spark):
+    from dataset_grouper_spark.functions.textanalysis import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "this exact phrase is long enough to guarantee a match"
+    rows = [
+        (1, f"prefix words here {shared} and a suffix"),
+        (2, f"completely other opening text {shared} different ending"),
+        (3, "no overlap with anything else in this tiny corpus at all"),
+        (4, "THIS  exact phrase is long enough to guarantee a match"),  # ~doc1 normalized overlap
+        (5, "tiny"),   # < k chars -> no fingerprints
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fps = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=k, window=w).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # winnowing guarantee: any shared substring >= k + w - 1 chars
+    # yields at least one common fingerprint
+    assert fps[1] & fps[2]
+    assert fps[1] & fps[4]  # case/whitespace-insensitive via normalization
+    assert not (fps[3] & fps[1]) and not (fps[3] & fps[2])
+    assert 5 not in fps and 6 not in fps
+    # sampling density: far fewer fingerprints than positions
+    n1 = len(f"prefix words here {shared} and a suffix") - k + 1
+    assert len(fps[1]) < n1 / 2
+    # no-shuffle plan: a single projection stage
+    plan = winnow_fingerprints(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

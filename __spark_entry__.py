@@ -589,6 +589,55 @@ def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_image_meta(df, "content", "doc_id", fake=True)
 
 
+ATTR_WINDOW_NS = 3_600_000_000_000  # 1 hour in epoch-nanos
+
+
+def q_interval_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Clicks within an hour after a purchase by the same user —
+    point-in-interval matching via the binned interval join (hash
+    equijoin on (user, time bin), never a nested-loop range join)."""
+    from dataset_grouper_spark.operators import joins
+
+    ev = read_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("t_start"),
+        (F.col("ts") + F.lit(ATTR_WINDOW_NS)).alias("t_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("t_click"),
+    )
+    out = joins.interval_join(
+        clicks, purchases, "t_click", "t_start", "t_end",
+        by=["user_id"], bin_width=ATTR_WINDOW_NS,
+    )
+    return out.select("user_id", "purchase_id", "click_id")
+
+
+def q_salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted lineitem-orders join aggregated to priority revenue —
+    results row-identical to the plain join (the oracle) while the hot
+    keys spread across num_salts sub-partitions."""
+    from dataset_grouper_spark.operators import joins
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = joins.salted_join(li, orders, ["l_orderkey"], num_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 EMB_NEARDUP_T = 0.4
 
 
@@ -995,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "embedding_neardup_clusters": q_embedding_neardup_clusters,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+        "interval_attribution_events": q_interval_attribution_events,
+        "salted_join_revenue": q_salted_join_revenue,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
@@ -1346,6 +1397,22 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": oracles.image_meta_sql(
             "documents", "text", "doc_id"
         ),
+        "interval_attribution_events": f"""
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   c.event_id AS click_id
+            FROM events p JOIN events c ON p.user_id = c.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND epoch_ns(c.ts) >= epoch_ns(p.ts)
+              AND epoch_ns(c.ts) <= epoch_ns(p.ts) + {ATTR_WINDOW_NS}
+        """,
+        "salted_join_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "embedding_neardup_clusters": f"""
             WITH RECURSIVE n AS (
               SELECT vec_id AS _id,

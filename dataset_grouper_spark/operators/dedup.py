@@ -315,6 +315,108 @@ def simhash(
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Checkpoint ``df`` lazily so iterative plans stay flat.
+
+    Every min-label round references the previous round's labels 2-3
+    times, so without truncation the analyzed plan grows ~2-3x per
+    round — by round ~25 the tree has millions of nodes and the
+    driver OOMs just STRINGIFYING it for the SQL listener (measured).
+    With truncation each round plans against a flat scan of the
+    previous round's materialized partitions.
+
+    Uses a reliable ``checkpoint`` when the session has a checkpoint
+    dir (cluster-safe: survives executor loss), else ``localCheckpoint``
+    (fast, but partitions die with their executor — fine on local and
+    for short loops; set a checkpoint dir for long cluster runs).
+    ``eager=False`` so the convergence count doubles as the
+    materializing action — one job per round.
+    """
+    sc = df.sparkSession.sparkContext
+    if getattr(sc, "getCheckpointDir", lambda: None)():
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
+def _release_truncated(df: DataFrame) -> None:
+    """Unpersist a checkpointed frame's backing partitions (best
+    effort — the analyzed plan of a checkpointed Dataset is a
+    LogicalRDD wrapping the materialized RDD)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # private API drifted — ContextCleaner reclaims on GC
+
+
+def _cc_min_label_loop(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    jump: bool,
+    name: str,
+) -> DataFrame:
+    """Shared min-label-propagation loop; ``jump=True`` adds pointer
+    shortcutting. Per round: 1-2 shuffle joins + one agg; the driver
+    sees only the 1-row convergence count; each round's labels are
+    lineage-truncated and the previous round's partitions released, so
+    storage stays bounded at two label tables."""
+    sym = persist_tracked(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    )
+    labels = _truncate_lineage(
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    prev = labels
+    changed = 0
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("_nl"))
+        )
+        step = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            "id",
+            F.col("label").alias("_old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+            ).alias("label"),
+        )
+        if jump:
+            # shortcut: l(v) <- min(l(v), l(l(v))). l is monotone
+            # non-increasing, so jumping can only tighten labels.
+            l2 = labels.select(
+                F.col("id").alias("_lid"), F.col("label").alias("_ll")
+            )
+            step = step.join(l2, step["label"] == l2["_lid"], "left").select(
+                "id",
+                "_old",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+                ).alias("label"),
+            )
+        step = _truncate_lineage(step)
+        changed = step.filter(F.col("label") != F.col("_old")).count()
+        _release_truncated(prev)
+        prev = step
+        labels = step.select("id", "label")
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"{name} did not converge in {max_iter} rounds "
+            f"({changed} labels still changing). The graph diameter exceeds "
+            "the round budget — raise max_iter, or use "
+            "connected_components_jump (O(log diameter)) for long-chain "
+            "graphs."
+        )
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -328,63 +430,48 @@ def connected_components(
     at least one edge — component is the min node id of its component.
 
     Rounds needed = graph diameter. Near-dup graphs are dense little
-    cliques (diameter 1-2, so 2-3 rounds); this is NOT the right
-    algorithm for long-chain graphs — for those, large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    converges in O(log n) rounds with the same per-round join shape.
+    cliques (diameter 1-2, so 2-3 rounds); for long-chain /
+    high-diameter graphs use :func:`connected_components_jump`
+    (O(log diameter) rounds, same per-round join shape).
 
     Each round is one shuffle join + one aggregation, driver-side only
-    the 1-row convergence count. Labels persist per round and release
-    on the next (bounded storage). Raises RuntimeError if ``max_iter``
-    rounds end with labels still changing — silent unconverged labels
-    would be silently wrong components.
+    the 1-row convergence count; per-round labels are lineage-truncated
+    and released next round (bounded storage, flat plans). Raises
+    RuntimeError if ``max_iter`` rounds end with labels still changing
+    — silent unconverged labels would be silently wrong components.
     """
-    sym = persist_tracked(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
+    return _cc_min_label_loop(
+        edges, src, dst, max_iter, jump=False, name="connected_components"
     )
-    persisted = persist_tracked(
-        sym.select(F.col("a").alias("id")).distinct().withColumn(
-            "label", F.col("id")
-        )
+
+
+def connected_components_jump(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components with pointer jumping — O(log diameter)
+    rounds on ANY graph shape, vs ``connected_components``'s
+    O(diameter). Use this for long-chain / high-diameter graphs; on the
+    clique-shaped near-dup graphs the plain scheme's cheaper rounds
+    win.
+
+    Each round does the min-label neighbor step PLUS label
+    shortcutting (l(v) <- min of l(v), min_u l(u), l(l(v)) — the
+    classic parallel shortcut that halves the pointer-chain depth every
+    round, Shiloach-Vishkin style). Two shuffle joins + one agg per
+    round, driver sees only the 1-row convergence count. 25 rounds
+    covers graphs of diameter ~2^25.
+
+    Returns (id, component) for every node with at least one edge;
+    component = min node id of the component. Raises on
+    non-convergence like ``connected_components``.
+    """
+    return _cc_min_label_loop(
+        edges, src, dst, max_iter, jump=True,
+        name="connected_components_jump",
     )
-    labels = persisted
-    changed = 0
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("label").alias("_nl"))
-        )
-        # carry old + new label in ONE persisted frame: the convergence
-        # count doubles as the materializing action, and no extra
-        # old-vs-new join runs per round
-        step = persist_tracked(
-            labels.join(nbr, labels["id"] == nbr["a"], "left").select(
-                "id",
-                F.col("label").alias("_old"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        changed = step.filter(F.col("label") != F.col("_old")).count()
-        # release the PERSISTED frame from the previous round (not a
-        # projection of it) so storage stays bounded at two label tables
-        persisted.unpersist()
-        persisted = step
-        labels = step.select("id", "label")
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing). The graph diameter exceeds "
-            "max_iter — raise it, or use an O(log n) scheme "
-            "(large-star/small-star) for long-chain graphs."
-        )
-    return labels.select("id", F.col("label").alias("component"))
 
 
 def cluster_near_dups(

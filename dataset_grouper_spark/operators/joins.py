@@ -1,0 +1,107 @@
+"""Scale-pattern joins Spark lacks as first-class operators.
+
+- ``interval_join``: point-in-interval matching. The naive Spark
+  spelling (``t BETWEEN start AND end`` as the join condition) plans a
+  BroadcastNestedLoopJoin / cartesian product — O(|P| x |I|) compares.
+  Binning turns it into an EQUIJOIN on (keys, time bin): each interval
+  replicates into the bins it spans, each point hashes to exactly one
+  bin, and the residual range filter runs after a hash join. Work is
+  O(matches + bin collisions), shuffle is a plain hash partition —
+  the standard overlap-join technique (bin width trades replication
+  vs candidate density).
+
+- ``salted_join``: equi-join with a skew-buster. One hot key makes one
+  reducer the whole job's critical path; AQE's skew split helps sorted
+  shuffles but not a degenerate hash bucket. Salting spreads the hot
+  key's rows over ``num_salts`` sub-keys and replicates the other side
+  ``num_salts``-fold — results identical to the plain join (oracled),
+  critical path divided by the salt count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+    bin_width: int = 3600,
+) -> DataFrame:
+    """Inner-join every point row to every interval row with
+    ``start <= t <= end`` (inclusive), optionally also matching on
+    ``by`` key columns. Time columns are numeric (same unit); pick
+    ``bin_width`` near the typical interval length so most intervals
+    span 1-2 bins.
+
+    Output: all point columns + all interval columns. Column names
+    (besides ``by``) must be disjoint across the two inputs. Time
+    columns must be integral and non-negative (epoch micro/nanos):
+    binning uses integer DIV — double division would corrupt
+    epoch-nanos beyond 2^53 and could mis-bin boundary points.
+    """
+    by = by or []
+    overlap = (set(points.columns) & set(intervals.columns)) - set(by)
+    if overlap:
+        raise ValueError(
+            f"point/interval column names must be disjoint: {sorted(overlap)}"
+        )
+    if "_bin" in points.columns or "_bin" in intervals.columns:
+        raise ValueError("interval_join reserves the column name '_bin'")
+    w = int(bin_width)
+    iv = intervals.filter(  # malformed intervals match nothing (and a
+        F.col(end_col) >= F.col(start_col)  # descending sequence throws)
+    ).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({start_col} DIV {w} AS LONG)"),
+                F.expr(f"CAST({end_col} DIV {w} AS LONG)"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bin", F.expr(f"CAST({t_col} DIV {w} AS LONG)"))
+    return (
+        pt.join(iv, [*by, "_bin"])
+        .filter(
+            (F.col(t_col) >= F.col(start_col))
+            & (F.col(t_col) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's keys salted across ``num_salts``
+    sub-partitions and the right side replicated to meet every salt —
+    the standard mitigation when a handful of hot keys would pin one
+    reducer. Row-identical to ``left.join(right, on, how)``.
+
+    Supports ``inner`` and ``left`` joins (an outer right side would
+    multiply unmatched right rows by the salt count).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("salted_join reserves the column name '_salt'")
+    s = int(num_salts)
+    # the salt only has to spread rows, not be reproducible — spreading
+    # by a physical-row counter keeps it a pure projection
+    l_salted = left.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(s)).cast("int")
+    )
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return l_salted.join(r_salted, [*on, "_salt"], how).drop("_salt")

@@ -158,3 +158,37 @@ def test_minhash_dedup_against_screens_near_dups(spark):
         for r in dedup.minhash_dedup_against(new, existing, "text", "doc_id").collect()
     }
     assert kept == {11}
+
+
+def test_connected_components_jump_long_chain(spark):
+    # path graph of 120 nodes (diameter 119): pointer jumping must
+    # converge in <= 25 rounds where plain propagation (50) raises
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a: long, id_b: long"
+    )
+    got = {
+        r.id: r.component
+        for r in dedup.connected_components_jump(edges).collect()
+    }
+    assert got == {i: 0 for i in range(120)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=50)
+
+
+def test_connected_components_jump_matches_plain(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    plain = {
+        r.id: r.component for r in dedup.connected_components(df).collect()
+    }
+    jump = {
+        r.id: r.component
+        for r in dedup.connected_components_jump(df).collect()
+    }
+    assert plain == jump

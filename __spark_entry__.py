@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from dataset_grouper_spark import keys, oracles
 from dataset_grouper_spark.functions import featurize, textanalysis, textstats
+from dataset_grouper_spark.functions import quality, vocab
+from dataset_grouper_spark.operators import profile as profile_ops
+from dataset_grouper_spark.operators import sessions as sessions_ops
 from dataset_grouper_spark.operators import chunking, dedup, multimodal, similarity
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
@@ -638,6 +641,122 @@ def q_salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where customer and supplier share
+    the nation, one region, one order year. Six-table join — region,
+    nation, customer, supplier are broadcast dims; only
+    lineitem-orders shuffles. The c_nationkey = s_nationkey predicate
+    rides the join, not a post-filter."""
+    region = read_table(spark, sf, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = read_table(spark, sf, "nation")
+    cust = read_table(spark, sf, "customer")
+    supp = read_table(spark, sf, "supplier")
+    orders = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = read_table(spark, sf, "lineitem")
+    dims = (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .join(supp, supp["s_nationkey"] == nation["n_nationkey"])
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(dims),
+            (li["l_suppkey"] == dims["s_suppkey"])
+            & (cust["c_nationkey"] == dims["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share over a month — broadcast the part
+    dim, one conditional agg, scalar result."""
+    part = read_table(spark, sf, "part").select("p_partkey", "p_type")
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)
+                )
+                / F.sum(disc),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_gopher_quality_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule quality flags for every document — pure Catalyst
+    projection, zero shuffles; the keep flag is the pre-training
+    filter gate."""
+    from dataset_grouper_spark.functions import quality
+
+    df = read_table(spark, sf, "documents")
+    return quality.gopher_quality(df, "text", "doc_id")
+
+
+NGRAM_N = 3
+NGRAM_TOP_K = 200
+
+
+def q_ngram_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from dataset_grouper_spark.functions import vocab
+
+    df = read_table(spark, sf, "documents")
+    return vocab.ngram_counts(df, "text", n=NGRAM_N, top_k=NGRAM_TOP_K)
+
+
+STRATA_FRACTIONS = {"wiki": 100, "web": 40, "books": 25}
+STRATA_DEFAULT_PCT = 10
+
+
+def q_stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-mixing draw: per-source keep percentages in one
+    deterministic hash filter; aggregated per source so the oracle
+    checks both membership and mass."""
+    from dataset_grouper_spark.operators import sessions
+
+    df = read_table(spark, sf, "documents")
+    kept = sessions.stratified_sample(
+        df, "source", "doc_id", STRATA_FRACTIONS, STRATA_DEFAULT_PCT
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+def q_key_skew_events(spark: SparkSession, sf: str) -> DataFrame:
+    from dataset_grouper_spark.operators import profile
+
+    df = read_table(spark, sf, "events")
+    return profile.key_skew_profile(df, "user_id", top_n=15)
+
+
 EMB_NEARDUP_T = 0.4
 
 
@@ -1046,6 +1165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "interval_attribution_events": q_interval_attribution_events,
         "salted_join_revenue": q_salted_join_revenue,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "gopher_quality_documents": q_gopher_quality_documents,
+        "ngram_counts_documents": q_ngram_counts_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "key_skew_events": q_key_skew_events,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
@@ -1413,6 +1538,48 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_share_pct,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "gopher_quality_documents": quality.gopher_quality_sql(
+            "documents", "text", "doc_id"
+        ),
+        "ngram_counts_documents": vocab.ngram_counts_sql(
+            "documents", "text", n=NGRAM_N, top_k=NGRAM_TOP_K
+        ),
+        "stratified_sample_documents": f"""
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM ({sessions_ops.stratified_sample_sql(
+                "documents", "source", "doc_id",
+                STRATA_FRACTIONS, STRATA_DEFAULT_PCT)})
+            GROUP BY source
+        """,
+        "key_skew_events": profile_ops.key_skew_profile_sql(
+            "events", "user_id", top_n=15
+        ),
         "embedding_neardup_clusters": f"""
             WITH RECURSIVE n AS (
               SELECT vec_id AS _id,

@@ -111,3 +111,71 @@ def top_terms(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide word n-gram counts — language-model / contamination
+    statistics (the count tables behind KenLM-style LMs and n-gram
+    overlap checks).
+
+    Tokens come from the shared single-space splitter; n-grams are
+    built with the array HOFs in hashing.ngrams_of_tokens (JVM-side,
+    short-doc-safe), exploded, and counted with a partial-aggregated
+    groupBy — map tasks ship per-gram partial counts, so the shuffle
+    is bounded by the distinct-gram set per partition, not corpus
+    tokens. With ``top_k``, a distributed ``orderBy().limit()``
+    (TakeOrdered) bounds the result before the caller sees it;
+    tie-break (count desc, gram asc) is deterministic cross-engine.
+    """
+    from dataset_grouper_spark.functions.hashing import ngrams_of_tokens, tokens
+
+    grams = (
+        df.select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(ngrams_of_tokens(F.col("_toks"), n)).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n_occurrences") >= min_count)
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("n_occurrences").desc(), F.col("gram")
+        ).limit(top_k)
+    return counts
+
+
+def ngram_counts_sql(
+    table: str,
+    text_col: str,
+    n: int = 2,
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> str:
+    """DuckDB twin of :func:`ngram_counts` (same tokenization, same
+    deterministic cut)."""
+    having = f"HAVING count(*) >= {min_count}" if min_count > 1 else ""
+    limit = f"LIMIT {top_k}" if top_k is not None else ""
+    return f"""
+        WITH toks AS (
+          SELECT string_split(regexp_replace(coalesce({text_col}, ''),
+                 '^\\s+|\\s+$', '', 'g'), ' ') AS arr
+          FROM {table}
+        ), grams AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(arr) - {n} + 2, 1)),
+                   i -> array_to_string(arr[i:i+{n}-1], ' '))) AS gram
+          FROM toks
+        )
+        SELECT gram, count(*) AS n_occurrences
+        FROM grams WHERE gram <> ''
+        GROUP BY gram {having}
+        ORDER BY n_occurrences DESC, gram {limit}
+    """

@@ -41,3 +41,65 @@ def group_numeric_profile(
             ).alias(name)
         )
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: the ``top_n`` heaviest keys with
+    their row share and their multiple of a perfectly uniform key's
+    share. This is the measurement you run BEFORE a big join/agg at
+    100 TB — a skew_x of 500 on one key says that key's reducer is the
+    job's critical path and the join wants salting
+    (operators/joins.salted_join) or AQE skew-split.
+
+    Shape: one partial-aggregated count per key, a broadcast of the
+    1-row total (crossJoin of a scalar — never a whole-frame window),
+    and a distributed TakeOrdered for the top-N — no single-partition
+    sort of the key universe. NULL keys count as a key (they hash to
+    one reducer too — the classic skew culprit).
+    """
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("(null)")).alias(
+            "key"
+        )  # sentinel, not NULL: engines disagree on NULL sort order
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"),
+        F.count(F.lit(1)).alias("_nkeys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_n)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_total"), round_digits).alias("share"),
+        F.round(
+            F.col("cnt") * F.col("_nkeys") / F.col("_total"), round_digits
+        ).alias("skew_x"),
+    )
+
+
+def key_skew_profile_sql(
+    table: str, key_col: str, top_n: int = 10, round_digits: int = 6
+) -> str:
+    """DuckDB twin of :func:`key_skew_profile`."""
+    return f"""
+        WITH c AS (
+          SELECT coalesce(CAST({key_col} AS VARCHAR), '(null)') AS key,
+                 count(*) AS cnt
+          FROM {table} GROUP BY 1
+        ), t AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS _total,
+                 count(*) AS _nkeys FROM c
+        )
+        SELECT key, cnt,
+               round(cnt / CAST(_total AS DOUBLE), {round_digits}) AS share,
+               round(cnt * _nkeys / CAST(_total AS DOUBLE), {round_digits})
+                 AS skew_x
+        FROM c, t
+        ORDER BY cnt DESC, key
+        LIMIT {top_n}
+    """

@@ -124,3 +124,71 @@ def split_by_group(
         cond = bucket < F.lit(acc)
         label = F.when(cond, F.lit(name)) if label is None else label.when(cond, F.lit(name))
     return df.withColumn("split", label)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, int],
+    default_pct: int = 0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ~``fractions[s]``% of
+    each stratum ``s`` (``default_pct`` for unlisted strata), chosen by
+    the same content-hash bucket as :func:`sample_groups` — so the
+    sample is reproducible on any engine and cluster size, and
+    composing with a different ``salt`` yields an independent draw.
+
+    This is the corpus-mixing primitive: "keep 100% of wiki, 30% of
+    web, 5% of crawl" is one filter. The per-stratum threshold is a
+    literal map lookup (``create_map`` + ``getItem``) — a single
+    codegen'd expression, no join, no when-chain — so the filter sits
+    directly on the scan and Catalyst can push it into the source.
+    For thousands of strata or runtime-computed fractions, broadcast-join
+    a fractions table instead; for the handfuls typical of corpus
+    mixing, the literal map wins (zero shuffle, zero extra plan nodes).
+    """
+    from dataset_grouper_spark import keys
+
+    pairs: list[Column] = []
+    for s, pct in fractions.items():
+        pairs.extend([F.lit(s), F.lit(int(pct))])
+    thresh = (
+        F.coalesce(
+            F.create_map(*pairs).getItem(F.col(strata_col)),
+            F.lit(int(default_pct)),
+        )
+        if pairs
+        else F.lit(int(default_pct))
+    )
+    salted = F.pmod(F.col(id_col).cast("long"), F.lit(2**32)) + F.lit(
+        salt % 2**31
+    )
+    bucket = F.pmod(keys.scramble(salted), F.lit(100))
+    return df.filter(bucket < thresh)
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, int],
+    default_pct: int = 0,
+    salt: int = 0,
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`stratified_sample` (HUGEINT
+    arithmetic mirrors the overflow-safe scramble exactly)."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(pct)}" for s, pct in fractions.items()
+    )
+    case = (
+        f"CASE {strata_col} {whens} ELSE {int(default_pct)} END"
+        if fractions
+        else str(int(default_pct))
+    )
+    return (
+        f"SELECT * FROM {table} WHERE "
+        f"(CAST(({id_col} % 4294967296 + {salt % 2**31}) AS HUGEINT)"
+        f" * 2654435761) % 4294967296 % 100 < {case}"
+    )

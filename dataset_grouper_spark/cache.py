@@ -18,9 +18,12 @@ while the JVM-side cached partitions it pinned live on.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
+_RELEASERS: list[Callable[[], None]] = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
@@ -28,6 +31,15 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     df.persist()
     _PERSISTED.append(df)
     return df
+
+
+def defer_release(fn: Callable[[], None]) -> None:
+    """Register a release callback for storage ``unpersist()`` can't
+    reach (e.g. a checkpointed Dataset's backing RDD — iterative
+    operators return a frame whose final round must stay materialized
+    until the caller consumes it, so its release has to be deferred to
+    the same between-runs hook as the persisted intermediates)."""
+    _RELEASERS.append(fn)
 
 
 def release_intermediates() -> int:
@@ -38,6 +50,13 @@ def release_intermediates() -> int:
         df = _PERSISTED.pop()
         try:
             df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    while _RELEASERS:
+        fn = _RELEASERS.pop()
+        try:
+            fn()
             n += 1
         except Exception:
             pass

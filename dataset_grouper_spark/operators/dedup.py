@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataset_grouper_spark.cache import persist_tracked
+from dataset_grouper_spark.cache import defer_release, persist_tracked
 
 from dataset_grouper_spark.functions.hashing import (
     MERSENNE31,
@@ -414,6 +414,9 @@ def _cc_min_label_loop(
             "connected_components_jump (O(log diameter)) for long-chain "
             "graphs."
         )
+    # the final round's partitions back the RETURNED frame — release
+    # them with the other intermediates once the caller is done
+    defer_release(lambda df=prev: _release_truncated(df))
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -787,13 +787,10 @@ def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
 
     from dataset_grouper_spark.streaming import windowed_group_counts
 
-    batch = read_table(spark, sf, "events")  # also sets nanosAsLong
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
-    evt_cols = batch.columns
+    from dataset_grouper_spark.sources import read_events_stream
+
+    stream = read_events_stream(spark, sf)  # int64-nanos ts contract
+    evt_cols = stream.columns
     # integer DIV: a double division would lose precision at 1e18 nanos
     stream = stream.withColumn(
         "_tsc", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
@@ -807,6 +804,12 @@ def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
         count_cols=evt_cols,
     )
     name = f"swc_{uuid.uuid4().hex[:8]}"
+    # ORACLE-ONLY SHAPE — do not copy into production pipelines.
+    # complete mode + memory sink gives a deterministic, driver-readable
+    # result for the hash-check, but complete mode retains EVERY window
+    # in state and the memory sink collects to the driver. At scale use
+    # append mode with the watermark and a file sink, as
+    # q_streaming_session_windows / test_streaming_windowed.py do.
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -853,6 +856,45 @@ def q_multimodal_image_headers(spark: SparkSession, sf: str) -> DataFrame:
     imgs = df.mapInPandas(gen, "doc_id long, content binary")
     meta = multimodal.decode_image_meta(imgs, "content", "doc_id")
     return meta.select("id", "format", "width", "height")
+
+
+def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL pixel-level resize, oracled in closed form: synthesize a
+    gradient BMP per doc (value at (y,x,c) = (x*7 + y*13 + 3*doc_id +
+    c*37) mod 256, dims varying per doc), resize to 8x8 with the
+    deterministic nearest-neighbor kernel, and return position-weighted
+    checksums over the resized raster. The oracle recomputes the exact
+    expected checksums from the nearest-neighbor index map — an
+    off-by-one in pixel selection, a row flip, or a channel swap all
+    hash-mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    df = read_table(spark, sf, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for i in ids:
+                w_in, h_in = 4 + int(i) % 13, 4 + int(i) % 11
+                y, x, c = np.ogrid[0:h_in, 0:w_in, 0:3]
+                arr = ((x * 7 + y * 13 + int(i) * 3 + c * 37) % 256).astype(
+                    np.uint8
+                )
+                outs.append(multimodal.encode_bmp_pixels(arr))
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    imgs = df.mapInPandas(gen, "doc_id long, content binary")
+    rs = multimodal.resize_images(imgs, "content", "doc_id", width=8, height=8)
+    return rs.select(
+        "id",
+        "width",
+        "height",
+        "pixel_sum",
+        "checksum",
+        F.octet_length("content").alias("n_bytes"),
+    )
 
 
 COSINE_PAIR_T = 0.45
@@ -1121,25 +1163,58 @@ def q_chunk_tokens_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver oracles the FIRST 50 entries only.  Ordering policy
+    # (rotated each round so every query re-oracles within two rounds):
+    #   tier A — queries past the cap last round (longest-unverified first,
+    #            and any whose implementation changed since their last
+    #            oracle pass at the very front);
+    #   tier B — queries whose code was touched THIS round, plus new ones;
+    #   tier C — stable, recently-green queries; the tail past position 50
+    #            falls out this round and leads tier A next round.
     return {
-        "group_counts_events_by_user": q_group_counts_events_by_user,
-        "group_counts_documents_by_source": q_group_counts_documents_by_source,
-        "group_counts_lineitem_by_flag": q_group_counts_lineitem_by_flag,
-        "group_counts_tensors": q_group_counts_tensors,
-        "format_group_counts": q_format_group_counts,
-        "key_random_lineitem": q_key_random_lineitem,
-        "key_url_domain": q_key_url_domain,
-        "key_dirichlet_embeddings": q_key_dirichlet_embeddings,
-        "pack_bytecap_documents": q_pack_bytecap_documents,
-        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_q3_unshipped_orders": q_tpch_q3_unshipped_orders,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "text_analysis_documents": q_text_analysis_documents,
-        "dedup_exact_survivors": q_dedup_exact_survivors,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # --- tier A: unverified since r02; tfrecord IO was rewritten in r03
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
+        "group_stream": q_group_stream,
+        "group_counts_rollup": q_group_counts_rollup,
+        "pipeline_c4_style": q_pipeline_c4_style,
+        "chunk_tokens_documents": q_chunk_tokens_documents,
+        "approx_distinct_users": q_approx_distinct_users,
+        "sessionize_events": q_sessionize_events,
+        "sample_documents": q_sample_documents,
+        "repetition_documents": q_repetition_documents,
+        "json_props_events": q_json_props_events,
+        "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
+        "moving_avg_events": q_moving_avg_events,
+        # --- tier B: code touched in r04 (joins span guard, dedup cap
+        #     plumbing, sessions SQL twin, LSH audit wiring) + new queries
+        "interval_attribution_events": q_interval_attribution_events,
+        "stratified_sample_documents": q_stratified_sample_documents,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "neardup_clusters_documents": q_neardup_clusters_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
+        "pipeline_ingest_style": q_pipeline_ingest_style,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
+        "embedding_neardup_clusters": q_embedding_neardup_clusters,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "multimodal_resize_pixels": q_multimodal_resize_pixels,
+        # --- tier C: stable, green in r03; tail rotates out this round
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "gopher_quality_documents": q_gopher_quality_documents,
+        "ngram_counts_documents": q_ngram_counts_documents,
+        "key_skew_events": q_key_skew_events,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+        "salted_join_revenue": q_salted_join_revenue,
+        "simhash_documents": q_simhash_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_image_headers": q_multimodal_image_headers,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "contamination_documents": q_contamination_documents,
         "pii_redact_documents": q_pii_redact_documents,
         "url_canonicalize_documents": q_url_canonicalize_documents,
@@ -1152,39 +1227,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_documents": q_cap_per_source_documents,
         "split_by_group_documents": q_split_by_group_documents,
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
-        "incremental_dedup_documents": q_incremental_dedup_documents,
-        "pipeline_ingest_style": q_pipeline_ingest_style,
-        "simhash_documents": q_simhash_documents,
-        "cosine_topk_embeddings": q_cosine_topk_embeddings,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_image_headers": q_multimodal_image_headers,
-        "streaming_windowed_counts": q_streaming_windowed_counts,
-        "embedding_neardup_clusters": q_embedding_neardup_clusters,
-        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
-        "interval_attribution_events": q_interval_attribution_events,
-        "salted_join_revenue": q_salted_join_revenue,
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "gopher_quality_documents": q_gopher_quality_documents,
-        "ngram_counts_documents": q_ngram_counts_documents,
-        "stratified_sample_documents": q_stratified_sample_documents,
-        "key_skew_events": q_key_skew_events,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "partitioned_roundtrip": q_partitioned_roundtrip,
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "group_stream": q_group_stream,
-        "group_counts_rollup": q_group_counts_rollup,
-        "pipeline_c4_style": q_pipeline_c4_style,
-        "chunk_tokens_documents": q_chunk_tokens_documents,
-        "approx_distinct_users": q_approx_distinct_users,
-        "sessionize_events": q_sessionize_events,
-        "sample_documents": q_sample_documents,
-        "repetition_documents": q_repetition_documents,
-        "json_props_events": q_json_props_events,
-        "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
-        "moving_avg_events": q_moving_avg_events,
+        # ---- position >50 below: rotate to tier A next round ----
+        "text_analysis_documents": q_text_analysis_documents,
+        "group_counts_events_by_user": q_group_counts_events_by_user,
+        "group_counts_documents_by_source": q_group_counts_documents_by_source,
+        "group_counts_lineitem_by_flag": q_group_counts_lineitem_by_flag,
+        "group_counts_tensors": q_group_counts_tensors,
+        "format_group_counts": q_format_group_counts,
+        "key_random_lineitem": q_key_random_lineitem,
+        "key_url_domain": q_key_url_domain,
+        "key_dirichlet_embeddings": q_key_dirichlet_embeddings,
+        "pack_bytecap_documents": q_pack_bytecap_documents,
+        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q3_unshipped_orders": q_tpch_q3_unshipped_orders,
     }
 
 
@@ -1622,6 +1678,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + (doc_id * 7) % 2000 AS INT) AS width,
                    CAST(1 + (doc_id * 13) % 2000 AS INT) AS height
             FROM documents
+        """,
+        # closed-form twin of the nearest-neighbor resize: source pixel
+        # for output (y,x) is ((y*h_in)//8, (x*w_in)//8); value formula
+        # mirrors the Spark-side synthesis; weight = 1 + flat_idx % 97
+        "multimodal_resize_pixels": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     (((x.x * (4 + d.doc_id % 13)) // 8) * 7
+                      + ((y.y * (4 + d.doc_id % 11)) // 8) * 13
+                      + d.doc_id * 3 + c.c * 37) % 256 AS v,
+                     1 + ((y.y * 8 + x.x) * 3 + c.c) % 97 AS wgt
+              FROM documents d,
+                   generate_series(0, 7) y(y),
+                   generate_series(0, 7) x(x),
+                   generate_series(0, 2) c(c)
+            )
+            SELECT doc_id AS id,
+                   CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS pixel_sum,
+                   CAST(sum(v * wgt) AS BIGINT) AS checksum,
+                   CAST(246 AS INT) AS n_bytes
+            FROM px GROUP BY doc_id
         """,
         "embedding_cosine_pairs": f"""
             WITH n AS (

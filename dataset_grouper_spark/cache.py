@@ -44,7 +44,14 @@ def defer_release(fn: Callable[[], None]) -> None:
 
 def release_intermediates() -> int:
     """Unpersist every intermediate this library persisted; returns
-    how many were released."""
+    how many were released.
+
+    Call this only BETWEEN logical runs, after results are consumed.
+    Frames returned by iterative operators (``connected_components``,
+    ``embedding_neardup_clusters``) are backed by checkpoint blocks
+    with truncated lineage: they cannot be recomputed, so any action on
+    a retained result AFTER this call fails with a missing-block error.
+    Collect or write such results out first."""
     n = 0
     while _PERSISTED:
         df = _PERSISTED.pop()

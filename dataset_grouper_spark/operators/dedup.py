@@ -44,7 +44,6 @@ def exact_dedup(
     survivor set is deterministic. Returns the df filtered to
     survivors, plus a ``dup_count`` column (1 = unique).
     """
-    h = F.md5(F.col(content_col)).alias("_h")
     w = Window.partitionBy("_h")
     ranked = (
         df.withColumn("_h", F.md5(F.col(content_col)))
@@ -262,6 +261,7 @@ def minhash_lsh_dedup(
     bands: int = 4,
     seed: int = 42,
     verify_threshold: float | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates ->
     (optional) exact-jaccard verification of candidates only.
@@ -270,9 +270,19 @@ def minhash_lsh_dedup(
     n-gram Jaccard (join back to shingles) — the classic
     candidate-then-verify shape that keeps the exact computation off
     the full corpus.
+
+    ``max_bucket_size`` (default 1000) caps per-LSH-bucket membership:
+    buckets larger than the cap keep only the smallest ``max_bucket_size``
+    doc ids, so a degenerate bucket (e.g. the empty-text bucket) cannot
+    produce O(n^2) candidate pairs. This drops candidate pairs — and so
+    reduces dedup RECALL — in hot buckets; pass ``None`` to disable the
+    cap, and use ``lsh_oversized_buckets`` to audit what a given cap
+    would drop.
     """
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed)
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_perm, bands, max_bucket_size=max_bucket_size
+    )
     if verify_threshold is None:
         return cands
     exact = ngram_jaccard_pairs(df, text_col, id_col, n, verify_threshold)
@@ -442,6 +452,11 @@ def connected_components(
     and released next round (bounded storage, flat plans). Raises
     RuntimeError if ``max_iter`` rounds end with labels still changing
     — silent unconverged labels would be silently wrong components.
+
+    The returned frame is backed by a lineage-truncated checkpoint:
+    consume it (collect/write) BEFORE calling
+    ``cache.release_intermediates()`` — afterwards it can neither be
+    read nor recomputed.
     """
     return _cc_min_label_loop(
         edges, src, dst, max_iter, jump=False, name="connected_components"
@@ -487,6 +502,7 @@ def cluster_near_dups(
     seed: int = 42,
     verify_threshold: float | None = None,
     max_iter: int = 50,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Assign every document a near-dup cluster id (the min doc id of
     its connected component in the candidate graph); docs with no
@@ -497,9 +513,14 @@ def cluster_near_dups(
     (optional) exact-Jaccard verify -> connected components ->
     keep one survivor per cluster (``cluster_id == id`` rows).
     Returns (id_col, cluster_id).
+
+    ``max_bucket_size`` caps hot LSH buckets (see ``minhash_lsh_dedup``);
+    capped buckets lose candidate edges, which can split clusters that
+    an uncapped run would merge. ``None`` disables the cap.
     """
     edges = minhash_lsh_dedup(
-        df, text_col, id_col, n, num_perm, bands, seed, verify_threshold
+        df, text_col, id_col, n, num_perm, bands, seed, verify_threshold,
+        max_bucket_size=max_bucket_size,
     )
     comp = connected_components(
         edges.select("id_a", "id_b"), "id_a", "id_b", max_iter

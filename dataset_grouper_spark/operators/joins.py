@@ -24,6 +24,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral(df: DataFrame, col: str, side: str) -> None:
+    dtype = dict(df.dtypes).get(col)
+    if dtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"interval_join: {side} column {col!r} has type {dtype!r}; "
+            "time columns must be integral (epoch seconds/micros/nanos) — "
+            "truncating DIV on floats or decimals would silently mis-bin"
+        )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -32,6 +45,7 @@ def interval_join(
     end_col: str,
     by: list[str] | None = None,
     bin_width: int = 3600,
+    max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """Inner-join every point row to every interval row with
     ``start <= t <= end`` (inclusive), optionally also matching on
@@ -44,6 +58,14 @@ def interval_join(
     columns must be integral and non-negative (epoch micro/nanos):
     binning uses integer DIV — double division would corrupt
     epoch-nanos beyond 2^53 and could mis-bin boundary points.
+    Integrality is enforced; non-negativity is the caller's contract.
+
+    ``max_bins_per_interval`` is a scale fuse: each interval replicates
+    into ``span/bin_width`` rows, so one open-ended sentinel interval
+    (``end = Long.MAX``) at nanos resolution would otherwise try to
+    materialize ~10^12 replica rows and take down the stage. Any
+    interval spanning more bins than the cap fails the job with a
+    clear message (raise the cap or pre-clip if the span is intended).
     """
     by = by or []
     overlap = (set(points.columns) & set(intervals.columns)) - set(by)
@@ -53,18 +75,33 @@ def interval_join(
         )
     if "_bin" in points.columns or "_bin" in intervals.columns:
         raise ValueError("interval_join reserves the column name '_bin'")
+    _require_integral(points, t_col, "point")
+    _require_integral(intervals, start_col, "interval start")
+    _require_integral(intervals, end_col, "interval end")
     w = int(bin_width)
+    max_b = int(max_bins_per_interval)
+    start_bin = F.expr(f"CAST({start_col} DIV {w} AS LONG)")
+    end_bin = F.expr(f"CAST({end_col} DIV {w} AS LONG)")
+    # span guard folded into the sequence bound: executor-side, per-row,
+    # no extra pass; raise_error's NullType coerces into the LONG branch
+    guarded_end = F.when(end_bin - start_bin < F.lit(max_b), end_bin).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans >= {max_b} bins of "
+                    f"width {w} ("
+                ),
+                (end_bin - start_bin + F.lit(1)).cast("string"),
+                F.lit(
+                    " bins) — raise bin_width/max_bins_per_interval or "
+                    f"clip open-ended sentinels in '{end_col}'"
+                ),
+            )
+        ).cast("long")
+    )
     iv = intervals.filter(  # malformed intervals match nothing (and a
         F.col(end_col) >= F.col(start_col)  # descending sequence throws)
-    ).withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"CAST({start_col} DIV {w} AS LONG)"),
-                F.expr(f"CAST({end_col} DIV {w} AS LONG)"),
-            )
-        ),
-    )
+    ).withColumn("_bin", F.explode(F.sequence(start_bin, guarded_end)))
     pt = points.withColumn("_bin", F.expr(f"CAST({t_col} DIV {w} AS LONG)"))
     return (
         pt.join(iv, [*by, "_bin"])

@@ -8,12 +8,17 @@ never leaves the executor.
 
 Metadata extraction (``decode_image_meta``) is REAL: container headers
 (PNG IHDR, JPEG SOFn, GIF, BMP, WebP VP8/VP8L/VP8X) are parsed with
-``struct`` over the leading bytes — no codec library needed. Only the
-pixel-level kernels (resize, embedding) depend on codec libraries that
-are NOT in this container; those raise NotImplementedError unless
-``fake=True``, in which case a deterministic fake kernel exercises the
-full Spark-side plumbing — schema, batching, partition behavior —
-identically to a real codec.
+``struct`` over the leading bytes — no codec library needed.
+
+The pixel kernels (``resize_images``, ``image_embeddings``) are REAL
+end-to-end for uncompressed formats: 24-bpp BI_RGB BMP and binary PPM
+(P6) decode/encode with pure numpy (``decode_pixels`` /
+``encode_bmp_pixels`` / ``encode_ppm_pixels``), resize is deterministic
+integer nearest-neighbor. Compressed formats (PNG/JPEG/GIF/WebP) are
+gated behind a runtime ``import PIL`` — absent in this container, they
+raise NotImplementedError naming the supported formats. ``fake=True``
+keeps the deterministic content-hash stub for plumbing tests whose
+inputs are not images at all.
 """
 
 from __future__ import annotations
@@ -212,7 +217,136 @@ def sample_frames(
     )
 
 
-RESIZED_SCHEMA = "id long, width int, height int, content binary"
+def decode_pixels(b: bytes):
+    """Decode an uncompressed image payload to an (H, W, 3) uint8 RGB
+    numpy array with zero codec dependencies. Supports 24-bpp
+    uncompressed (BI_RGB) BMP — bottom-up or top-down — and binary PPM
+    (P6, maxval 255). Returns None for any other payload."""
+    import numpy as np
+
+    if b[:2] == b"BM" and len(b) >= 54:
+        (data_off,) = struct.unpack("<I", b[10:14])
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        comp = struct.unpack("<I", b[30:34])[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        h_abs = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        if len(b) < data_off + stride * h_abs:
+            return None
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h_abs, offset=data_off
+        ).reshape(h_abs, stride)
+        rgb = rows[:, : w * 3].reshape(h_abs, w, 3)[:, :, ::-1]
+        if h > 0:  # bottom-up (the BMP default row order)
+            rgb = rgb[::-1]
+        return np.ascontiguousarray(rgb)
+    if b[:2] == b"P6":
+        i, n, vals = 2, len(b), []
+        while len(vals) < 3 and i < n:
+            c = b[i]
+            if c in b" \t\r\n":
+                i += 1
+            elif c == 0x23:  # '#' comment runs to end of line
+                while i < n and b[i] not in b"\r\n":
+                    i += 1
+            elif 0x30 <= c <= 0x39:
+                j = i
+                while j < n and 0x30 <= b[j] <= 0x39:
+                    j += 1
+                vals.append(int(b[i:j]))
+                i = j
+            else:
+                return None
+        if len(vals) < 3 or i >= n:
+            return None
+        w, h, maxv = vals
+        i += 1  # exactly one whitespace byte after maxval, then raster
+        if maxv != 255 or w <= 0 or h <= 0 or len(b) < i + w * h * 3:
+            return None
+        return (
+            np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    return None
+
+
+def encode_bmp_pixels(rgb) -> bytes:
+    """(H, W, 3) uint8 RGB -> complete 24-bpp bottom-up BI_RGB BMP."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pix = rows.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return hdr + info + pix
+
+
+def encode_ppm_pixels(rgb) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary PPM (P6, maxval 255)."""
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def nn_resize(rgb, width: int, height: int):
+    """Deterministic integer nearest-neighbor resample to
+    (height, width): output pixel (y, x) takes source pixel
+    ``(y * src_h // height, x * src_w // width)`` — pure index math,
+    engine-portable, so an SQL oracle can recompute it exactly."""
+    import numpy as np
+
+    src_h, src_w = rgb.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * src_h) // height
+    xs = (np.arange(width, dtype=np.int64) * src_w) // width
+    return rgb[ys][:, xs]
+
+
+def _decode_any(b: bytes):
+    """Pixels for any supported payload: numpy path for BMP/PPM,
+    runtime-PIL fallback for compressed formats. Returns (rgb, fmt)
+    where fmt is the container to re-encode into."""
+    arr = decode_pixels(b)
+    if arr is not None:
+        return arr, ("ppm" if b[:2] == b"P6" else "bmp")
+    try:
+        from PIL import Image  # codec libs absent in this container
+    except ImportError:
+        hdr = parse_image_header(b)
+        raise NotImplementedError(
+            f"cannot decode {hdr[0] if hdr else 'unrecognized'} payload: "
+            "only uncompressed BMP (24-bpp BI_RGB) and PPM (P6) decode "
+            "without codec libraries, and PIL is not installed"
+        ) from None
+    import io
+
+    import numpy as np
+
+    return np.asarray(Image.open(io.BytesIO(b)).convert("RGB")), "bmp"
+
+
+RESIZED_SCHEMA = (
+    "id long, width int, height int, pixel_sum long, checksum long, "
+    "content binary"
+)
+
+
+def _pixel_checksum(rgb) -> tuple[int, int]:
+    """(plain sum, position-weighted sum) over the raster in RGB
+    row-major order. The weighted sum multiplies each byte by
+    ``1 + (flat_index % 97)`` so row flips, channel swaps, and
+    transposes all change it — bugs a plain sum is invariant to."""
+    import numpy as np
+
+    flat = rgb.reshape(-1).astype(np.int64)
+    weights = 1 + (np.arange(flat.size, dtype=np.int64) % 97)
+    return int(flat.sum()), int((flat * weights).sum())
 
 
 def resize_images(
@@ -223,34 +357,56 @@ def resize_images(
     height: int,
     fake: bool = False,
 ) -> DataFrame:
-    """Resize plumbing: binary in -> binary out at (width, height),
-    Arrow-batched per executor. A real pipeline swaps the kernel for
-    PIL/opencv; the stub emits a deterministic payload (content-hash
-    seeded, sized width*height) so downstream schema/partition behavior
-    is exercised for real.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image codec libraries are not available in this environment; "
-            "pass fake=True to run the deterministic stub resizer"
-        )
+    """Resize every image to (width, height), Arrow-batched per
+    executor via mapInPandas — the shape a real thumbnail/preprocess
+    stage runs at scale, with the per-image work vectorized in numpy
+    and never leaving the executor.
 
+    The real path (default) decodes uncompressed BMP/PPM payloads with
+    pure numpy, resamples with deterministic integer nearest-neighbor,
+    and re-encodes into the source container; compressed formats need
+    PIL at runtime and raise NotImplementedError without it. Output
+    rows carry ``pixel_sum``/``checksum`` over the resized raster so an
+    independent oracle can verify pixel selection in closed form.
+    ``fake=True`` keeps the content-hash stub (content sized
+    width*height, checksums over the stub payload) for plumbing tests
+    on non-image bytes.
+    """
     target = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out = []
+            outs, sums, cks = [], [], []
             for p in pdf[content_col]:
                 b = bytes(p)
-                seed = hashlib.sha256(b).digest()
-                reps = target // len(seed) + 1
-                out.append((seed * reps)[:target])
+                if fake:
+                    seed = hashlib.sha256(b).digest()
+                    payload = (seed * (target // len(seed) + 1))[:target]
+                    outs.append(payload)
+                    s, c = _pixel_checksum(
+                        np.frombuffer(payload, dtype=np.uint8)
+                    )
+                else:
+                    rs = nn_resize(_decode_any(b)[0], width, height)
+                    fmt = "ppm" if b[:2] == b"P6" else "bmp"
+                    outs.append(
+                        encode_ppm_pixels(rs)
+                        if fmt == "ppm"
+                        else encode_bmp_pixels(rs)
+                    )
+                    s, c = _pixel_checksum(rs)
+                sums.append(s)
+                cks.append(c)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
                     "width": width,
                     "height": height,
-                    "content": out,
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                    "content": outs,
                 }
             )
 
@@ -266,28 +422,48 @@ def image_embeddings(
     dim: int = 64,
     fake: bool = False,
 ) -> DataFrame:
-    """Feature extraction plumbing: binary -> ``array<float>``
-    embedding, Arrow-batched. The stub embeds via a normalized byte
-    histogram folded to ``dim`` (deterministic); a real pipeline runs
-    its vision encoder on the same batch iterator. Output plugs
-    straight into the similarity tier (cosine_topk / lsh_topk /
-    cluster pipelines) — binary column in, ANN search out.
+    """Binary image column -> ``array<float>`` embedding, Arrow-batched
+    via mapInPandas. Output plugs straight into the similarity tier
+    (cosine_topk / lsh_topk / cluster pipelines) — binary column in,
+    ANN search out.
+
+    The real path (default) is an honest classical feature: decode
+    pixels (numpy for BMP/PPM, runtime PIL for compressed formats),
+    nearest-neighbor thumbnail to k x k grayscale (``dim = k*k``), then
+    L2-normalize — the thumbnail-vector features used for perceptual
+    near-dup search. A production pipeline swaps in its vision encoder
+    over the same batch iterator. ``fake=True`` keeps the byte-histogram
+    stub for non-image inputs; the fake=False path requires ``dim`` to
+    be a perfect square.
     """
-    if not fake:
-        raise NotImplementedError(
-            "vision encoder not available in this environment; "
-            "pass fake=True to run the deterministic stub embedder"
-        )
     import numpy as np
+
+    if not fake:
+        side = int(dim**0.5)
+        if side * side != dim:
+            raise ValueError(
+                f"dim={dim} must be a perfect square for the thumbnail "
+                "feature (k*k grayscale pixels)"
+            )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vecs = []
             for p in pdf[content_col]:
-                counts = np.bincount(
-                    np.frombuffer(bytes(p), dtype=np.uint8), minlength=256
-                ).astype("float64")
-                folded = counts.reshape(dim, -1).sum(axis=1) if 256 % dim == 0 else np.resize(counts, dim)
+                b = bytes(p)
+                if fake:
+                    counts = np.bincount(
+                        np.frombuffer(b, dtype=np.uint8), minlength=256
+                    ).astype("float64")
+                    folded = (
+                        counts.reshape(dim, -1).sum(axis=1)
+                        if 256 % dim == 0
+                        else np.resize(counts, dim)
+                    )
+                else:
+                    side = int(dim**0.5)
+                    thumb = nn_resize(_decode_any(b)[0], side, side)
+                    folded = thumb.astype("float64").mean(axis=2).reshape(-1)
                 norm = np.linalg.norm(folded)
                 vecs.append(
                     [float(x) for x in (folded / norm if norm else folded)]

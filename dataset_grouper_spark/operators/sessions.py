@@ -178,7 +178,11 @@ def stratified_sample_sql(
     salt: int = 0,
 ) -> str:
     """DuckDB WHERE-clause twin of :func:`stratified_sample` (HUGEINT
-    arithmetic mirrors the overflow-safe scramble exactly)."""
+    arithmetic mirrors the overflow-safe scramble exactly). DuckDB's
+    ``%`` follows the dividend's sign where Spark's ``pmod`` is always
+    non-negative, so the inner mod is spelled pmod-style —
+    ``(x % m + m) % m`` — to agree with the Spark side on negative ids
+    too."""
     whens = " ".join(
         f"WHEN '{s}' THEN {int(pct)}" for s, pct in fractions.items()
     )
@@ -187,8 +191,9 @@ def stratified_sample_sql(
         if fractions
         else str(int(default_pct))
     )
+    m = 4294967296
     return (
         f"SELECT * FROM {table} WHERE "
-        f"(CAST(({id_col} % 4294967296 + {salt % 2**31}) AS HUGEINT)"
-        f" * 2654435761) % 4294967296 % 100 < {case}"
+        f"(CAST((({id_col} % {m} + {m}) % {m} + {salt % 2**31}) AS HUGEINT)"
+        f" * 2654435761) % {m} % 100 < {case}"
     )

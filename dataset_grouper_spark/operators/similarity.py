@@ -827,7 +827,10 @@ def embedding_neardup_clusters(
     (``cosine_pairs`` — no driver collect, no all-pairs shuffle), the
     closure from min-label propagation (one join+agg per round, raises
     on non-convergence). At very high thresholds the duplicate graph is
-    clique-shaped, so rounds = 2-3.
+    clique-shaped, so rounds = 2-3. The returned frame is backed by a
+    lineage-truncated checkpoint: consume it (collect/write) BEFORE
+    calling ``cache.release_intermediates()`` — afterwards it can
+    neither be read nor recomputed.
     """
     from dataset_grouper_spark.operators.dedup import connected_components
 

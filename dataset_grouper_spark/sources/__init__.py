@@ -11,21 +11,75 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
 
+# nanoseconds per tick for each parquet timestamp unit
+_UNIT_NANOS = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+
+
+def _events_ts_fix(path: str, df: DataFrame, spark=None, stream=False):
+    """The engine's time contract for events.ts is INT64 EPOCH NANOS.
+    Depending on how the parquet was written (and the Spark version),
+    a TIMESTAMP(MICROS/NANOS) column may surface as timestamp_ntz
+    instead. Parquet's physical storage for timestamps is int64, so a
+    forced-schema read recovers the raw ticks losslessly; the footer's
+    logical-type unit gives the nanos multiplier. Returns a frame with
+    ``ts`` as int64 nanos regardless of the file's unit."""
+    if not dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        return df  # already integral (e.g. legacy nanosAsLong read)
+    import pyarrow.parquet as pq
+
+    unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+    mult = _UNIT_NANOS[unit]
+    fields = ", ".join(
+        f"`{f.name}` {'bigint' if f.name == 'ts' else f.dataType.simpleString()}"
+        for f in df.schema.fields
+    )
+    reader = (spark.readStream if stream else spark.read).schema(fields)
+    if stream:
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        fixed = reader.parquet(os.path.dirname(path))
+    else:
+        fixed = reader.parquet(path)
+    if mult != 1:
+        fixed = fixed.withColumn("ts", F.col("ts") * F.lit(mult))
+    return fixed
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One synthetic-benchmark table (TESTDATA.md layout).
 
-    ``nanosAsLong`` lets Spark read parquet TIMESTAMP(NANOS) columns
-    (the events table) as int64 nanoseconds instead of erroring.
+    The events table's ``ts`` is normalized to int64 epoch nanos
+    whatever the file's timestamp unit — see ``_events_ts_fix``.
     """
+    # harmless where unsupported; maps TIMESTAMP(NANOS) to long where it is
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events":
+        df = _events_ts_fix(path, df, spark)
+    return df
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` twin of ``read_table(..., 'events')`` — same
+    int64-nanos ``ts`` contract, so streaming and batch queries share
+    time arithmetic."""
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path)
+    if dict(batch.dtypes).get("ts", "").startswith("timestamp"):
+        return _events_ts_fix(path, batch, spark, stream=True)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -12,11 +12,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import udf
-from pyspark.sql.types import BinaryType
 
-from dataset_grouper_spark import keys
-from dataset_grouper_spark.compat import tfexample, tfrecord
+from dataset_grouper_spark import keys, pipelines
+from dataset_grouper_spark.compat import tfrecord
 from dataset_grouper_spark.operators import packing
 
 
@@ -41,13 +39,7 @@ def prepare_test_tfrecord_dataset(
     SequenceExample packing all rows, like the reference fixture.
     """
     df = make_test_dataframe(spark, num_rows)
-    enc = udf(
-        lambda i, t, s: tfexample.encode_example(
-            {"id": i, "text": t, "score": s}
-        ),
-        BinaryType(),
-    )
-    ser = df.withColumn("ex", enc("id", "text", "score"))
+    ser = pipelines.serialize_examples(df).withColumnRenamed("_ex", "ex")
     packed = packing.pack_groups(
         ser, keys.constant(group), "id", payload_col="ex",
         size_cols=["id", "text", "score"],

@@ -82,6 +82,49 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_interval_join_span_guard_raises_on_sentinel(spark):
+    # one open-ended interval (end = Long.MAX sentinel) must fail the
+    # job with a clear message instead of sequencing ~10^12 bins
+    points, intervals = _frames(spark)
+    poisoned = intervals.union(
+        spark.createDataFrame(
+            [(99, "u0", 0, 2**62)],
+            "iid: long, k: string, t_start: long, t_end: long",
+        )
+    )
+    out = interval_join(
+        points, poisoned, "t", "t_start", "t_end", by=["k"], bin_width=100
+    )
+    with pytest.raises(Exception, match="interval_join: interval spans"):
+        out.collect()
+    # under the cap the guard is transparent: a tight-but-sufficient cap
+    # yields exactly the rows the unguarded default produces
+    tight = interval_join(
+        points, intervals, "t", "t_start", "t_end", by=["k"],
+        bin_width=100, max_bins_per_interval=100,
+    )
+    base = interval_join(
+        points, intervals, "t", "t_start", "t_end", by=["k"], bin_width=100
+    )
+    assert {(r.pid, r.iid) for r in tight.collect()} == {
+        (r.pid, r.iid) for r in base.collect()
+    }
+
+
+def test_interval_join_rejects_non_integral_time_columns(spark):
+    points, intervals = _frames(spark)
+    with pytest.raises(TypeError, match="must be integral"):
+        interval_join(
+            points.withColumn("t", F.col("t").cast("double")),
+            intervals, "t", "t_start", "t_end", by=["k"],
+        )
+    with pytest.raises(TypeError, match="must be integral"):
+        interval_join(
+            points, intervals.withColumn("t_end", F.col("t_end").cast("decimal(20,2)")),
+            "t", "t_start", "t_end", by=["k"],
+        )
+
+
 def test_salted_join_identical_to_plain(spark):
     left = spark.createDataFrame(
         # skewed: key 0 holds half the rows

@@ -156,11 +156,122 @@ def test_image_embeddings_feed_similarity_tier(spark):
     assert top[0].neighbor_id == 0 and top[0].cosine == 1.0
 
 
-def test_resize_and_embed_raise_without_codecs(spark):
-    df = spark.createDataFrame([(1, bytearray(b"x"))], "img_id: long, content: binary")
+def test_resize_and_embed_raise_on_compressed_without_codecs(spark):
+    # non-BMP/PPM payloads need PIL, absent here: the executor raises
+    # NotImplementedError naming the supported formats
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        multimodal.resize_images(df, "content", "img_id", 2, 2)
-    with _pytest.raises(NotImplementedError):
-        multimodal.image_embeddings(df, "content", "img_id")
+    png = multimodal.encode_header_bytes("png", 4, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "img_id: long, content: binary"
+    )
+    with _pytest.raises(Exception, match="only uncompressed BMP"):
+        multimodal.resize_images(df, "content", "img_id", 2, 2).collect()
+    with _pytest.raises(Exception, match="only uncompressed BMP"):
+        multimodal.image_embeddings(df, "content", "img_id", dim=4).collect()
+
+
+def test_bmp_ppm_pixel_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (4, 4), (7, 2)]:
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            multimodal.decode_pixels(multimodal.encode_bmp_pixels(arr)), arr
+        )
+        assert np.array_equal(
+            multimodal.decode_pixels(multimodal.encode_ppm_pixels(arr)), arr
+        )
+    # top-down BMP (negative height) decodes to the same raster
+    arr = rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    b = bytearray(multimodal.encode_bmp_pixels(arr))
+    rows = bytes(b[54:])
+    stride = (3 * 3 + 3) // 4 * 4
+    flipped = b"".join(
+        rows[i * stride : (i + 1) * stride] for i in reversed(range(3))
+    )
+    import struct as _struct
+
+    b[22:26] = _struct.pack("<i", -3)
+    b[54:] = flipped
+    assert np.array_equal(multimodal.decode_pixels(bytes(b)), arr)
+    # ppm with comments in the header
+    ppm = b"P6 # comment\n# another\n 2 1\n255\n" + bytes(range(6))
+    got = multimodal.decode_pixels(ppm)
+    assert got.shape == (1, 2, 3) and got.reshape(-1).tolist() == list(range(6))
+    # rejects: truncated, 8-bpp, non-255 maxval
+    assert multimodal.decode_pixels(b"P6\n2 2\n255\n\x00") is None
+    assert multimodal.decode_pixels(b"P6\n2 1\n15\n" + bytes(6)) is None
+    assert multimodal.decode_pixels(b"\x00\x01") is None
+
+
+def test_nn_resize_goldens():
+    import numpy as np
+
+    # 4x4 gradient downsampled to 2x2: picks src index (out*4)//2 = {0,2}
+    src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = multimodal.nn_resize(src, 2, 2)
+    assert np.array_equal(out, src[[0, 2]][:, [0, 2]])
+    # upsample 2x2 -> 4x4 repeats each pixel 2x2
+    src2 = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = multimodal.nn_resize(src2, 4, 4)
+    assert np.array_equal(up, src2[[0, 0, 1, 1]][:, [0, 0, 1, 1]])
+
+
+def test_resize_images_real_bmp_ppm_end_to_end(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    imgs = {}
+    rows = []
+    for i in range(6):
+        arr = rng.randint(0, 256, size=(5 + i, 3 + i, 3), dtype=np.uint8)
+        imgs[i] = arr
+        enc = (
+            multimodal.encode_bmp_pixels(arr)
+            if i % 2 == 0
+            else multimodal.encode_ppm_pixels(arr)
+        )
+        rows.append((i, bytearray(enc)))
+    df = spark.createDataFrame(rows, "img_id: long, content: binary")
+    out = {
+        r.id: r
+        for r in multimodal.resize_images(
+            df, "content", "img_id", width=4, height=6
+        ).collect()
+    }
+    assert set(out) == set(imgs)
+    for i, arr in imgs.items():
+        expect = multimodal.nn_resize(arr, 4, 6)
+        got = multimodal.decode_pixels(bytes(out[i].content))
+        assert np.array_equal(got, expect), f"img {i}"
+        s, c = multimodal._pixel_checksum(expect)
+        assert (out[i].pixel_sum, out[i].checksum) == (s, c)
+        # BMP inputs re-encode as BMP, PPM as PPM
+        assert bytes(out[i].content)[:2] == (b"BM" if i % 2 == 0 else b"P6")
+
+
+def test_image_embeddings_real_thumbnail_feature(spark):
+    import numpy as np
+
+    solid = np.full((9, 9, 3), 10, dtype=np.uint8)
+    grad = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_bmp_pixels(solid))),
+            (2, bytearray(multimodal.encode_ppm_pixels(grad))),
+        ],
+        "img_id: long, content: binary",
+    )
+    got = {
+        r.id: np.array(r.embedding)
+        for r in multimodal.image_embeddings(
+            df, "content", "img_id", dim=4
+        ).collect()
+    }
+    # solid image -> uniform normalized vector
+    assert np.allclose(got[1], 0.5)
+    expect = multimodal.nn_resize(grad, 2, 2).astype("float64").mean(axis=2).reshape(-1)
+    expect = expect / np.linalg.norm(expect)
+    assert np.allclose(got[2], expect, atol=1e-6)

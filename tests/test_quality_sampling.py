@@ -59,6 +59,33 @@ def test_stratified_sample_respects_fractions(spark):
     }
 
 
+def test_stratified_sample_sql_twin_matches_on_negative_ids(spark):
+    # DuckDB % follows the dividend's sign; the twin must use the
+    # pmod spelling so negative ids bucket identically to Spark
+    import duckdb
+
+    rows = [(i, ["wiki", "web"][i % 2]) for i in range(-500, 500)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    fractions = {"wiki": 40, "web": 15}
+    spark_ids = sorted(
+        r.doc_id
+        for r in sessions.stratified_sample(
+            df, "source", "doc_id", fractions, default_pct=0, salt=7
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i},'{s}')" for i, s in rows)
+        + ") t(doc_id, source)"
+    )
+    sql = sessions.stratified_sample_sql(
+        "docs", "source", "doc_id", fractions, default_pct=0, salt=7
+    )
+    duck_ids = sorted(r[0] for r in con.execute(sql).fetchall())
+    assert spark_ids == duck_ids and any(i < 0 for i in spark_ids)
+
+
 def test_ngram_counts_exact(spark):
     df = spark.createDataFrame(
         [(1, "a b a b a"), (2, "a b c"), (3, ""), (4, None), (5, "solo")],

@@ -858,6 +858,123 @@ def q_multimodal_image_headers(spark: SparkSession, sf: str) -> DataFrame:
     return meta.select("id", "format", "width", "height")
 
 
+def q_streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-window counts over the events stream in APPEND mode with
+    a watermark and a FILE sink — the production output shape: state is
+    bounded by the watermark and sessions emit when they close, unlike
+    the complete-mode memory-sink oracle shape of
+    q_streaming_windowed_counts. availableNow over the static source
+    (plus the final no-data batch) makes the emitted set deterministic:
+    exactly the sessions whose end precedes max(event time) - delay.
+    The reference has no streaming surface at all (SURVEY §2.8)."""
+    import tempfile
+
+    from dataset_grouper_spark.sources import read_events_stream
+    from dataset_grouper_spark.streaming import session_group_counts
+
+    stream = read_events_stream(spark, sf).withColumn(
+        "_tsc", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    out = session_group_counts(
+        stream,
+        keys.by_feature("user_id"),
+        "_tsc",
+        gap="30 minutes",
+        watermark="1 hour",
+    )
+    outdir = tempfile.mkdtemp(prefix="ssw_out_")
+    ckpt = tempfile.mkdtemp(prefix="ssw_ck_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(outdir).select(
+        "group_id",
+        F.expr("unix_micros(session.start)").alias("session_start_us"),
+        F.expr("unix_micros(session.end)").alias("session_end_us"),
+        "num_examples",
+    )
+
+
+STREAM_CAP_LIMIT = 60
+
+
+def q_streaming_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driver-oracled:
+    the running byte-cap admission rule (reference MergeWithLimitFn,
+    beam_transforms.py:42-52 — accept iff admitted_bytes + size <
+    limit, dropped rows consume no budget) over the events stream,
+    verified against a recursive-CTE DuckDB twin that walks the same
+    sequential rule. Update output mode requires the memory sink
+    (file sinks are append-only); the per-group row aggregation makes
+    the result robust to micro-batch splits."""
+    import uuid
+
+    from dataset_grouper_spark.sources import read_events_stream
+    from dataset_grouper_spark.streaming.stateful import streaming_cap_pack
+
+    stream = read_events_stream(spark, sf).filter("event_id % 37 = 0")
+    keyed = keys.with_group_key(
+        stream, keys.by_feature("event_type")
+    ).withColumn("sz", F.octet_length("props"))
+    out = streaming_cap_pack(keyed, "sz", "event_id", STREAM_CAP_LIMIT)
+    name = f"ssc_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("group_id")
+        .agg(
+            F.max("admitted").alias("admitted"),
+            F.max("admitted_bytes").alias("admitted_bytes"),
+            F.sum("dropped").alias("dropped"),
+        )
+    )
+
+
+def q_streaming_dedup_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) in append
+    mode to a file sink, drained with availableNow. The watermark horizon
+    (365 days) exceeds the data's time span, so no state expires and the
+    kept set is exactly one row per distinct content value — which
+    duplicate survives is arrival-order-dependent, so the query returns
+    only the content column, making the result the deterministic
+    distinct set (batch-equivalence with exact_dedup)."""
+    import tempfile
+
+    from dataset_grouper_spark.sources import read_events_stream
+    from dataset_grouper_spark.streaming.dedup import streaming_exact_dedup
+
+    stream = read_events_stream(spark, sf).withColumn(
+        "_tsc", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    kept = streaming_exact_dedup(stream, "props", "_tsc", watermark="365 days")
+    outdir = tempfile.mkdtemp(prefix="sdd_out_")
+    ckpt = tempfile.mkdtemp(prefix="sdd_ck_")
+    q = (
+        kept.select("props")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(outdir)
+
+
 def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
     """REAL pixel-level resize, oracled in closed form: synthesize a
     gradient BMP per doc (value at (y,x,c) = (x*7 + y*13 + 3*doc_id +
@@ -1198,6 +1315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "embedding_neardup_clusters": q_embedding_neardup_clusters,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "streaming_session_windows": q_streaming_session_windows,
+        "streaming_stateful_counts": q_streaming_stateful_counts,
+        "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "multimodal_resize_pixels": q_multimodal_resize_pixels,
         # --- tier C: stable, green in r03; tail rotates out this round
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
@@ -1223,11 +1343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_events": q_retention_events,
         "vocabulary_documents": q_vocabulary_documents,
         "group_profile_events": q_group_profile_events,
+        # ---- position >50 below: rotate to tier A next round ----
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
         "split_by_group_documents": q_split_by_group_documents,
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
-        # ---- position >50 below: rotate to tier A next round ----
         "text_analysis_documents": q_text_analysis_documents,
         "group_counts_events_by_user": q_group_counts_events_by_user,
         "group_counts_documents_by_source": q_group_counts_documents_by_source,
@@ -1679,6 +1799,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + (doc_id * 13) % 2000 AS INT) AS height
             FROM documents
         """,
+        # sessionize twin of Spark's session_window (merge while the
+        # next event is < gap after the last; session end = last + gap)
+        # restricted to sessions emitted by append mode: end <= final
+        # watermark (max event time - delay)
+        "streaming_session_windows": """
+            WITH pts AS (
+              SELECT CAST(user_id AS VARCHAR) AS group_id,
+                     epoch_us(ts) AS tus
+              FROM events
+            ), flagged AS (
+              SELECT group_id, tus,
+                     CASE WHEN lag(tus) OVER w IS NULL
+                          OR tus - lag(tus) OVER w >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM pts
+              WINDOW w AS (PARTITION BY group_id ORDER BY tus)
+            ), sess AS (
+              SELECT group_id, tus,
+                     sum(new_s) OVER (PARTITION BY group_id ORDER BY tus
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT group_id,
+                   min(tus) AS session_start_us,
+                   max(tus) + 1800000000 AS session_end_us,
+                   count(*) AS num_examples
+            FROM sess
+            GROUP BY group_id, sid
+            HAVING max(tus) + 1800000000 <=
+                   (SELECT max(epoch_us(ts)) - 3600000000 FROM events)
+        """,
+        # recursive-CTE walk of the sequential byte-cap admission rule
+        # (dropped rows consume no budget — NOT a prefix cumsum)
+        "streaming_stateful_counts": f"""
+            WITH RECURSIVE ordered AS (
+              SELECT event_type AS group_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY event_id) AS rn,
+                     strlen(props) AS sz
+              FROM events WHERE event_id % 37 = 0
+            ), walk AS (
+              SELECT group_id, 0 AS rn, CAST(0 AS BIGINT) AS admitted,
+                     CAST(0 AS BIGINT) AS admitted_bytes,
+                     CAST(0 AS BIGINT) AS dropped
+              FROM (SELECT DISTINCT group_id FROM ordered)
+              UNION ALL
+              SELECT w.group_id, w.rn + 1,
+                     w.admitted + CASE WHEN w.admitted_bytes + o.sz
+                       < {STREAM_CAP_LIMIT} THEN 1 ELSE 0 END,
+                     w.admitted_bytes + CASE WHEN w.admitted_bytes + o.sz
+                       < {STREAM_CAP_LIMIT} THEN o.sz ELSE 0 END,
+                     w.dropped + CASE WHEN w.admitted_bytes + o.sz
+                       < {STREAM_CAP_LIMIT} THEN 0 ELSE 1 END
+              FROM walk w
+              JOIN ordered o ON o.group_id = w.group_id AND o.rn = w.rn + 1
+            ), finals AS (
+              SELECT group_id, max(rn) AS maxrn FROM ordered GROUP BY group_id
+            )
+            SELECT w.group_id, w.admitted, w.admitted_bytes, w.dropped
+            FROM walk w
+            JOIN finals f ON w.group_id = f.group_id AND w.rn = f.maxrn
+        """,
+        # the kept set of a never-expiring streaming dedup is exactly
+        # the distinct content set
+        "streaming_dedup_distinct": "SELECT DISTINCT props FROM events",
         # closed-form twin of the nearest-neighbor resize: source pixel
         # for output (y,x) is ((y*h_in)//8, (x*w_in)//8); value formula
         # mirrors the Spark-side synthesis; weight = 1 + flat_idx % 97

@@ -244,6 +244,72 @@ def q_tpch_q3_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the group-filter semi-join
+    shape — orders whose lineitems sum past a quantity threshold, with
+    customer detail, top-100. Plan: ONE lineitem shuffle produces the
+    qualifying-order aggregate, which is tiny and broadcasts into both
+    downstream joins, so orders and customer are never shuffled; the
+    orderkey tiebreak keeps the limit deterministic."""
+    lineitem = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    qual = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    ordered = orders.join(
+        F.broadcast(qual), orders["o_orderkey"] == qual["l_orderkey"]
+    )
+    return (
+        customer.join(
+            F.broadcast(ordered),
+            ordered["o_custkey"] == customer["c_custkey"],
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (adapted: lineitem stands in for partsupp, negative
+    account balance for the complaints filter): the anti-join +
+    count-distinct shape the other TPC-H queries don't cover. Plan:
+    broadcast anti-join knocks out excluded suppliers with zero
+    shuffle, the part dim broadcasts into the fact scan, and the only
+    exchange is the distinct aggregation."""
+    lineitem = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    supplier = read_table(spark, sf, "supplier")
+    excl = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = lineitem.join(
+        F.broadcast(excl),
+        lineitem["l_suppkey"] == excl["s_suppkey"],
+        "left_anti",
+    )
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 50)
+    )
+    return (
+        li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "documents")
     return df.groupBy("source").agg(
@@ -323,9 +389,28 @@ def q_pipeline_ingest_style(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
     )
     capped = sessions.cap_per_group(kept, "source", "doc_id", PIPE2_CAP)
-    return capped.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").alias("min_doc_id"),
+    # observability for the LSH hot-bucket cap rides along as audit
+    # columns: on this corpus the cap must be inert, and the oracle's
+    # constant-0 twin hash-fails if any bucket ever exceeds it
+    sigs = dedup.minhash_signatures(
+        df, "text", "doc_id", NGRAM_N, MH_PERM, MH_SEED
+    )
+    audit = (
+        dedup.lsh_oversized_buckets(sigs, "doc_id", MH_PERM, MH_BANDS)
+        .agg(
+            F.count(F.lit(1)).alias("n_oversized_buckets"),
+            F.coalesce(F.sum("n_dropped"), F.lit(0)).alias(
+                "n_dropped_members"
+            ),
+        )
+    )
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .crossJoin(F.broadcast(audit))
     )
 
 
@@ -1319,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counts": q_streaming_stateful_counts,
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "multimodal_resize_pixels": q_multimodal_resize_pixels,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         # --- tier C: stable, green in r03; tail rotates out this round
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
@@ -1798,6 +1885,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + (doc_id * 7) % 2000 AS INT) AS width,
                    CAST(1 + (doc_id * 13) % 2000 AS INT) AS height
             FROM documents
+        """,
+        "tpch_q18_large_orders": """
+            WITH qual AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN qual ON o_orderkey = l_orderkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 7, 10, 15, 23, 45, 50)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
         """,
         # sessionize twin of Spark's session_window (merge while the
         # next event is < gap after the last; session end = last + gap)

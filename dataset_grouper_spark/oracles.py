@@ -607,6 +607,8 @@ def pipeline_ingest_sql(
         ) <= {cap}
       )
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             min({id_col}) AS min_doc_id
+             min({id_col}) AS min_doc_id,
+             CAST(0 AS BIGINT) AS n_oversized_buckets,
+             CAST(0 AS BIGINT) AS n_dropped_members
       FROM capped GROUP BY source
     """

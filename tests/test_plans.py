@@ -108,3 +108,25 @@ def test_contamination_broadcasts_benchmark(spark):
 def test_incremental_dedup_no_corpus_self_join(spark):
     df = e.queries()["incremental_dedup_documents"](spark, SF)
     assert_no_cartesian(df)
+
+
+def test_q18_broadcasts_qualifying_orders(spark):
+    df = e.q_tpch_q18_large_orders(spark, SF)
+    txt = plan_text(df)
+    assert_no_cartesian(df)
+    # both downstream joins ride broadcasts of the tiny qualifying set;
+    # orders/customer are never shuffle-joined
+    assert txt.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in txt
+    assert "TakeOrderedAndProject" in txt  # top-100, no global sort
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    df = e.q_tpch_q16_supplier_cnt(spark, SF)
+    txt = plan_text(df)
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt
+    assert "SortMergeJoin" not in txt
+    # 2 shuffles (two-phase distinct agg) + 2 broadcast exchanges;
+    # no other data movement
+    assert count_exchanges(df) <= 4

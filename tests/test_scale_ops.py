@@ -72,3 +72,83 @@ def test_asof_join_at_16x_events(spark):
     matched = out.filter(F.col("value_asof").isNotNull()).count()
     assert total == left.count()
     assert matched > total * 0.9  # dense click history -> most match
+
+
+@pytest.mark.slow
+def test_salted_join_hot_key_at_16x(spark):
+    # 1.6M left rows with ONE manufactured 100x-hot key: the salted
+    # join must produce aggregates identical to the plain join while
+    # spreading the hot key's reducer across the salt sub-keys
+    import time
+
+    from dataset_grouper_spark.operators.joins import salted_join
+
+    ev = _replicate(
+        read_table(spark, SF, "events"), 16, "event_id", 10_000_000
+    )
+    # key 0 swallows ~99% of rows; everything else keeps its user
+    left = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 100 != 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("key"),
+        "value",
+    )
+    right = (
+        read_table(spark, SF, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+        .withColumn("tag", F.concat(F.lit("t"), F.col("key")))
+    )
+    t0 = time.time()
+    plain = (
+        left.join(right.hint("shuffle_hash"), ["key"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()[0]
+    )
+    t_plain = time.time() - t0
+    t0 = time.time()
+    salted = (
+        salted_join(left, right, ["key"], num_salts=32)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()[0]
+    )
+    t_salted = time.time() - t0
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+    # record, don't flake: single-host timing noise can swamp the win,
+    # but the salted path must never be catastrophically slower
+    assert t_salted < t_plain * 3, (t_plain, t_salted)
+
+
+@pytest.mark.slow
+def test_interval_join_at_16x_events(spark):
+    # 1.6M points against per-user hour intervals: equijoin on
+    # (user, bin) with the span fuse active at its default
+    from dataset_grouper_spark.operators.joins import interval_join
+
+    ev = _replicate(
+        read_table(spark, SF, "events"), 16, "event_id", 10_000_000
+    ).withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    points = ev.select("event_id", "user_id", "ts_us")
+    hour = 3_600_000_000
+    intervals = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts_us").alias("iv_start"),
+            (F.col("ts_us") + hour).alias("iv_end"),
+            F.col("event_id").alias("iv_id"),
+        )
+    )
+    out = interval_join(
+        points, intervals, "ts_us", "iv_start", "iv_end",
+        by=["user_id"], bin_width=hour,
+    )
+    n = out.count()
+    assert n >= intervals.count()  # each interval matches its own point

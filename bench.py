@@ -35,6 +35,11 @@ def main() -> None:
     # reader classes).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # fork the Python worker pool so the first pandas-UDF query is not
+    # charged the one-time worker startup
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

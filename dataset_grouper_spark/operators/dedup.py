@@ -371,10 +371,12 @@ def _cc_min_label_loop(
     sees only the 1-row convergence count; each round's labels are
     lineage-truncated and the previous round's partitions released, so
     storage stays bounded at two label tables."""
+    # persist the RAW edge list before symmetrizing: the union reads its
+    # input twice, and edges is typically an expensive pair join (LSH
+    # bucket join, blocked cosine tiles) that must not execute twice
+    ep = persist_tracked(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     sym = persist_tracked(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
+        ep.union(ep.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
     labels = _truncate_lineage(
         sym.select(F.col("a").alias("id"))

@@ -1099,6 +1099,40 @@ def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_embed_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image-embedding path oracled in closed form: the same
+    synthesized gradient BMPs as q_multimodal_resize_pixels, embedded
+    via the 4x4 grayscale-thumbnail feature (decode -> nearest-neighbor
+    thumbnail -> channel mean -> L2 normalize). The oracle recomputes
+    two embedding components from the index map; rounding to 3 decimals
+    absorbs the float32 storage of the embedding column."""
+    import numpy as np
+    import pandas as pd
+
+    df = read_table(spark, sf, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for i in ids:
+                w_in, h_in = 4 + int(i) % 13, 4 + int(i) % 11
+                y, x, c = np.ogrid[0:h_in, 0:w_in, 0:3]
+                arr = ((x * 7 + y * 13 + int(i) * 3 + c * 37) % 256).astype(
+                    np.uint8
+                )
+                outs.append(multimodal.encode_bmp_pixels(arr))
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    imgs = df.mapInPandas(gen, "doc_id long, content binary")
+    emb = multimodal.image_embeddings(imgs, "content", "doc_id", dim=16)
+    return emb.select(
+        "id",
+        F.round(F.element_at("embedding", 1).cast("double"), 3).alias("e00"),
+        F.round(F.element_at("embedding", 16).cast("double"), 3).alias("e33"),
+    )
+
+
 COSINE_PAIR_T = 0.45
 
 
@@ -1404,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counts": q_streaming_stateful_counts,
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "multimodal_resize_pixels": q_multimodal_resize_pixels,
+        "multimodal_embed_pixels": q_multimodal_embed_pixels,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         # --- tier C: stable, green in r03; tail rotates out this round
@@ -1427,10 +1462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
         "funnel_events": q_funnel_events,
+        # ---- position >50 below: rotate to tier A next round ----
         "retention_events": q_retention_events,
         "vocabulary_documents": q_vocabulary_documents,
         "group_profile_events": q_group_profile_events,
-        # ---- position >50 below: rotate to tier A next round ----
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
         "split_by_group_documents": q_split_by_group_documents,
@@ -1977,6 +2012,32 @@ def oracle_sql() -> dict[str, str]:
         # the kept set of a never-expiring streaming dedup is exactly
         # the distinct content set
         "streaming_dedup_distinct": "SELECT DISTINCT props FROM events",
+        # closed-form twin of the thumbnail-embedding path: gray(y,x) =
+        # channel mean of the nearest-neighbor 4x4 thumbnail of the
+        # synthesized gradient; components = gray / l2-norm
+        "multimodal_embed_pixels": """
+            WITH px AS (
+              SELECT d.doc_id, y.y AS y, x.x AS x,
+                     (((x.x * (4 + d.doc_id % 13)) // 4) * 7
+                      + ((y.y * (4 + d.doc_id % 11)) // 4) * 13
+                      + d.doc_id * 3 + c.c * 37) % 256 AS v
+              FROM documents d,
+                   generate_series(0, 3) y(y),
+                   generate_series(0, 3) x(x),
+                   generate_series(0, 2) c(c)
+            ), gray AS (
+              SELECT doc_id, y, x, avg(v) AS g FROM px GROUP BY doc_id, y, x
+            ), nrm AS (
+              SELECT doc_id, sqrt(sum(g * g)) AS n FROM gray GROUP BY doc_id
+            )
+            SELECT g.doc_id AS id,
+                   round(max(CASE WHEN g.y = 0 AND g.x = 0 THEN g.g END)
+                         / any_value(n.n), 3) AS e00,
+                   round(max(CASE WHEN g.y = 3 AND g.x = 3 THEN g.g END)
+                         / any_value(n.n), 3) AS e33
+            FROM gray g JOIN nrm n USING (doc_id)
+            GROUP BY g.doc_id
+        """,
         # closed-form twin of the nearest-neighbor resize: source pixel
         # for output (y,x) is ((y*h_in)//8, (x*w_in)//8); value formula
         # mirrors the Spark-side synthesis; weight = 1 + flat_idx % 97

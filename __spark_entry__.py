@@ -1099,6 +1099,22 @@ def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SEQ_BUDGET = 512
+
+
+def q_pack_sequences_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc-boundary-preserving greedy sequence packing per source:
+    whole documents assigned to 512-token training sequences in doc_id
+    order — the pretraining batch-construction primitive chunk_tokens
+    (doc-splitting) doesn't cover."""
+    from dataset_grouper_spark.operators import chunking
+
+    df = read_table(spark, sf, "documents").withColumnRenamed(
+        "source", "group_id"
+    )
+    return chunking.pack_doc_sequences(df, "text", "doc_id", SEQ_BUDGET)
+
+
 def q_multimodal_embed_pixels(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image-embedding path oracled in closed form: the same
     synthesized gradient BMPs as q_multimodal_resize_pixels, embedded
@@ -1439,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "multimodal_resize_pixels": q_multimodal_resize_pixels,
         "multimodal_embed_pixels": q_multimodal_embed_pixels,
+        "pack_sequences_documents": q_pack_sequences_documents,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         # --- tier C: stable, green in r03; tail rotates out this round
@@ -1461,8 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_documents": q_pii_redact_documents,
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
-        "funnel_events": q_funnel_events,
         # ---- position >50 below: rotate to tier A next round ----
+        "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
         "vocabulary_documents": q_vocabulary_documents,
         "group_profile_events": q_group_profile_events,
@@ -2081,6 +2098,9 @@ def oracle_sql() -> dict[str, str]:
         # driver records rows-only checks for them.
         "chunk_tokens_documents": chunking.chunk_tokens_sql(
             "documents", "text", "doc_id", "source", CHUNK_LEN
+        ),
+        "pack_sequences_documents": chunking.pack_doc_sequences_sql(
+            "documents", "text", "doc_id", "source", SEQ_BUDGET
         ),
         "sessionize_events": f"""
             WITH flagged AS (

@@ -78,6 +78,80 @@ def chunk_tokens(
     )
 
 
+def pack_doc_sequences(
+    df: DataFrame,
+    text_col: str,
+    order_col: str,
+    budget: int,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Doc-boundary-preserving sequence packing: assign WHOLE documents
+    to fixed token-budget training sequences, in deterministic
+    ``order_col`` order within each group. ``seq_id = exclusive token
+    cumsum DIV budget`` — a doc straddling a budget boundary belongs to
+    the sequence where its span starts, so a sequence can overflow by
+    at most its last doc (the standard greedy concat packing for
+    pretraining batches; use :func:`chunk_tokens` when splitting docs
+    across sequences is acceptable).
+
+    One shuffle (the per-group window); everything else is a
+    projection + one aggregation sharing the same hash partitioning.
+    Returns one row per (group, seq_id): n_docs, n_tokens, first/last
+    order value, and whether the sequence overflowed its budget.
+    """
+    toks = df.select(
+        F.col(group_col),
+        F.col(order_col).alias("_ord"),
+        F.size(tokens(F.col(text_col))).alias("_nt"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("_nt").over(w) - F.col("_nt")) / budget).cast("long"),
+    )
+    return seq.groupBy(group_col, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.min("_ord").alias("first_ord"),
+        F.max("_ord").alias("last_ord"),
+        (F.sum("_nt") > F.lit(budget)).alias("overflowed"),
+    )
+
+
+def pack_doc_sequences_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    group_expr: str,
+    budget: int,
+) -> str:
+    """DuckDB twin of :func:`pack_doc_sequences`."""
+    stripped = f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
+    return f"""
+      WITH toks AS (
+        SELECT {group_expr} AS group_id, {id_col} AS _ord,
+               len(string_split({stripped}, ' ')) AS nt
+        FROM {table}
+      ), seq AS (
+        SELECT group_id, _ord, nt,
+               CAST(floor((sum(nt) OVER (PARTITION BY group_id ORDER BY _ord
+                             ROWS UNBOUNDED PRECEDING) - nt) / {budget})
+                    AS BIGINT) AS seq_id
+        FROM toks
+      )
+      SELECT group_id, seq_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             min(_ord) AS first_ord, max(_ord) AS last_ord,
+             sum(nt) > {budget} AS overflowed
+      FROM seq GROUP BY group_id, seq_id
+    """
+
+
 def chunk_tokens_sql(
     table: str,
     text_col: str,

@@ -79,6 +79,27 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
             w, h = struct.unpack("<HH", b[26:30])
             return ("webp", w & 0x3FFF, h & 0x3FFF)
         return None
+    # PPM (P6): ASCII header tokens, dims are the first two integers
+    if b[:2] == b"P6":
+        i, n, vals = 2, len(b), []
+        while len(vals) < 2 and i < n:
+            c = b[i]
+            if c in b" \t\r\n":
+                i += 1
+            elif c == 0x23:
+                while i < n and b[i] not in b"\r\n":
+                    i += 1
+            elif 0x30 <= c <= 0x39:
+                j = i
+                while j < n and 0x30 <= b[j] <= 0x39:
+                    j += 1
+                vals.append(int(b[i:j]))
+                i = j
+            else:
+                return None
+        if len(vals) == 2 and vals[0] > 0 and vals[1] > 0:
+            return ("ppm", vals[0], vals[1])
+        return None
     # JPEG: scan markers from SOI until a SOFn frame header
     if b[:2] == b"\xff\xd8":
         i = 2

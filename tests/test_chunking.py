@@ -24,6 +24,33 @@ def test_chunks_concat_across_docs(spark):
     assert rows[("g", 1)][1] == hashlib.md5(b"c d").hexdigest()
 
 
+def test_pack_doc_sequences_preserves_doc_boundaries(spark):
+    # docs of 3/4/5/2 tokens, budget 6: exclusive cumsums 0,3,7,12 ->
+    # seq ids 0,0,1,2. Seq 0 holds docs 1+2 (7 tokens, overflowed);
+    # doc 3 starts a new sequence; no doc is ever split.
+    df = spark.createDataFrame(
+        [
+            ("g", 1, "a b c"),
+            ("g", 2, "d e f g"),
+            ("g", 3, "h i j k l"),
+            ("g", 4, "m n"),
+            ("h", 1, "solo"),
+        ],
+        "group_id: string, ord: long, text: string",
+    )
+    rows = {
+        (r.group_id, r.seq_id): r
+        for r in chunking.pack_doc_sequences(df, "text", "ord", 6).collect()
+    }
+    assert set(rows) == {("g", 0), ("g", 1), ("g", 2), ("h", 0)}
+    g0 = rows[("g", 0)]
+    assert (g0.n_docs, g0.n_tokens, g0.first_ord, g0.last_ord) == (2, 7, 1, 2)
+    assert g0.overflowed
+    g1 = rows[("g", 1)]
+    assert (g1.n_docs, g1.n_tokens, g1.overflowed) == (1, 5, False)
+    assert (rows[("g", 2)].n_docs, rows[("h", 0)].n_docs) == (1, 1)
+
+
 def test_chunking_deterministic_under_order(spark):
     df = spark.createDataFrame(
         [("g", i, f"tok{i} tok{i}b") for i in range(50)],

@@ -171,6 +171,58 @@ def test_resize_and_embed_raise_on_compressed_without_codecs(spark):
         multimodal.image_embeddings(df, "content", "img_id", dim=4).collect()
 
 
+def test_binary_file_ingestion_to_pixel_pipeline(spark, tmp_path):
+    # the real multimodal ingestion path: image files on disk ->
+    # binaryFile source -> header metadata -> pixel resize, end to end
+    import numpy as np
+
+    from dataset_grouper_spark.sources import read_binary_files
+
+    rng = np.random.RandomState(11)
+    arrays = {}
+    for i in range(4):
+        arr = rng.randint(0, 256, size=(6 + i, 5, 3), dtype=np.uint8)
+        arrays[i] = arr
+        enc = (
+            multimodal.encode_bmp_pixels(arr)
+            if i % 2 == 0
+            else multimodal.encode_ppm_pixels(arr)
+        )
+        ext = "bmp" if i % 2 == 0 else "ppm"
+        (tmp_path / f"img_{i}.{ext}").write_bytes(enc)
+    files = read_binary_files(spark, str(tmp_path / "*"))
+    # stable numeric id from the file name
+    imgs = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.", 1)
+        .cast("long")
+        .alias("img_id"),
+        "content",
+    )
+    meta = {
+        r.id: r
+        for r in multimodal.decode_image_meta(
+            imgs, "content", "img_id"
+        ).collect()
+    }
+    for i, arr in arrays.items():
+        assert (meta[i].format, meta[i].width, meta[i].height) == (
+            "bmp" if i % 2 == 0 else "ppm",
+            arr.shape[1],
+            arr.shape[0],
+        )
+    out = {
+        r.id: r
+        for r in multimodal.resize_images(
+            imgs, "content", "img_id", width=3, height=3
+        ).collect()
+    }
+    for i, arr in arrays.items():
+        assert np.array_equal(
+            multimodal.decode_pixels(bytes(out[i].content)),
+            multimodal.nn_resize(arr, 3, 3),
+        )
+
+
 def test_bmp_ppm_pixel_roundtrip():
     import numpy as np
 

@@ -2094,8 +2094,20 @@ def oracle_sql() -> dict[str, str]:
                   >= {COSINE_PAIR_T}
         """,
         # partitioned_roundtrip / tfrecord_roundtrip / group_stream:
-        # filesystem-lifecycle operators, not SQL-expressible -> the
-        # driver records rows-only checks for them.
+        # filesystem-lifecycle operators: the side effects are not
+        # SQL-expressible, but the read-back RESULTS are — the roundtrip
+        # must preserve per-group example counts exactly. (group_stream
+        # stays rows-only: cohort order comes from a seeded Python
+        # shuffle; approx_distinct is an engine-specific sketch.)
+        "tfrecord_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS examples_in_group
+            FROM documents GROUP BY source
+        """,
+        "partitioned_roundtrip": """
+            SELECT source AS group_id,
+                   CAST(count(*) AS BIGINT) AS num_examples
+            FROM documents GROUP BY source
+        """,
         "chunk_tokens_documents": chunking.chunk_tokens_sql(
             "documents", "text", "doc_id", "source", CHUNK_LEN
         ),

@@ -38,10 +38,9 @@ def test_events_stream_shares_the_batch_ts_contract(spark):
     assert stream.columns == read_table(spark, SF, "events").columns
 
 
-# filesystem-lifecycle / sketch queries the driver checks rows-only
+# rows-only by necessity: seeded-Python-shuffle cohort order / HLL
+# sketch values are not SQL-expressible
 ROWS_ONLY = {
-    "tfrecord_roundtrip",
-    "partitioned_roundtrip",
     "group_stream",
     "approx_distinct_users",
 }

@@ -310,6 +310,32 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    subquery shape, decorrelated the way Catalyst would — per-part
+    average quantity computed once as an aggregate, broadcast back into
+    the fact scan, filter on the correlated threshold, global sum.
+    Lineitem is scanned twice but shuffled only for the per-part agg."""
+    lineitem = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    pf = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(pf), lineitem["l_partkey"] == pf["p_partkey"]
+    )
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("_thresh"))
+        .withColumnRenamed("l_partkey", "_pk")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li["l_partkey"] == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "documents")
     return df.groupBy("source").agg(
@@ -1458,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
         # --- tier C: stable, green in r03; tail rotates out this round
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
@@ -1951,6 +1978,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN qual ON o_orderkey = l_orderkey
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
             LIMIT 100
+        """,
+        "tpch_q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#3'
+              AND l_quantity < (
+                SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = p_partkey
+              )
         """,
         "tpch_q16_supplier_cnt": """
             SELECT p_brand, p_type, p_size,

@@ -121,6 +121,22 @@ def test_q18_broadcasts_qualifying_orders(spark):
     assert "TakeOrderedAndProject" in txt  # top-100, no global sort
 
 
+def test_q17_decorrelated_avg_is_broadcast(spark):
+    df = e.q_tpch_q17_small_qty_revenue(spark, SF)
+    txt = plan_text(df)
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_pack_sequences_shares_window_partitioning(spark):
+    df = e.q_pack_sequences_documents(spark, SF)
+    assert_no_cartesian(df)
+    # window shuffle on group + the (group, seq) agg exchange over the
+    # already-tiny per-sequence rows
+    assert count_exchanges(df) <= 2
+
+
 def test_q16_anti_join_is_broadcast(spark):
     df = e.q_tpch_q16_supplier_cnt(spark, SF)
     txt = plan_text(df)

@@ -400,10 +400,17 @@ def q_pipeline_ingest_style(spark: SparkSession, sf: str) -> DataFrame:
     operator; the composition hash-checks end-to-end."""
     from dataset_grouper_spark.operators import sessions
 
+    from dataset_grouper_spark.cache import persist_tracked
+
     df = read_table(spark, sf, "documents")
     bench = df.filter(F.expr(CONTAM_BENCH_FILTER))
     clean = dedup.decontaminate(df, bench, "text", "doc_id", CONTAM_N)
-    frac = dedup.duplicate_ngram_fraction(df, "text", "doc_id", NGRAM_N)
+    # ONE corpus 3-gram shingle pass feeds both the dup-fraction filter
+    # and the audit's minhash signatures
+    sh3 = persist_tracked(dedup.shingles(df, "text", "doc_id", NGRAM_N))
+    frac = dedup.duplicate_ngram_fraction(
+        df, "text", "doc_id", NGRAM_N, shingle_df=sh3
+    )
     # threshold on the EXACT counts, not the rounded dup_frac — a
     # rounded value straddling the boundary would diverge from the
     # oracle's unrounded comparison
@@ -419,7 +426,7 @@ def q_pipeline_ingest_style(spark: SparkSession, sf: str) -> DataFrame:
     # columns: on this corpus the cap must be inert, and the oracle's
     # constant-0 twin hash-fails if any bucket ever exceeds it
     sigs = dedup.minhash_signatures(
-        df, "text", "doc_id", NGRAM_N, MH_PERM, MH_SEED
+        df, "text", "doc_id", NGRAM_N, MH_PERM, MH_SEED, shingle_df=sh3
     )
     audit = (
         dedup.lsh_oversized_buckets(sigs, "doc_id", MH_PERM, MH_BANDS)

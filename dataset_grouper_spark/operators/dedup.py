@@ -136,6 +136,7 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 16,
     seed: int = 42,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc minhash signature columns m0..m{k-1}.
 
@@ -143,9 +144,17 @@ def minhash_signatures(
     Catalyst min()s, partial-aggregated map-side. Docs with no shingles
     (fewer than n words) have no rows here and are absent from the
     output — they cannot near-duplicate anything under this measure.
+
+    ``shingle_df`` lets compositions that already computed
+    ``shingles(df, text_col, id_col, n)`` (ideally persisted) share the
+    pass instead of re-tokenizing the corpus.
     """
     params = minhash_params(num_perm, seed)
-    sh = shingles(df, text_col, id_col, n)  # already 60-bit hashed
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(df, text_col, id_col, n)
+    )  # already 60-bit hashed
     aggs = [
         F.coalesce(
             F.min(perm_hash(F.col("shingle_h"), a, b)), F.lit(MERSENNE31)
@@ -608,7 +617,11 @@ def decontaminate(
 
 
 def duplicate_ngram_fraction(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc duplicated-span signal: the fraction of a doc's distinct
     word n-grams that also appear in ANY other doc ("Deduplicating
@@ -621,8 +634,15 @@ def duplicate_ngram_fraction(
     shingle is duplicated iff its doc-frequency > 1. Returns
     (id_col, total_ngrams, dup_ngrams, dup_frac), dup_frac rounded for
     cross-engine hashing; docs with no n-grams report zeros.
+    ``shingle_df``: see :func:`minhash_signatures`.
     """
-    d = shingles(df, text_col, id_col, n)
+    # the shingle frame feeds both the doc-frequency agg and the
+    # join-back — persist it or the corpus tokenizes twice
+    d = (
+        shingle_df
+        if shingle_df is not None
+        else persist_tracked(shingles(df, text_col, id_col, n))
+    )
     freq = d.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("_df"))
     stats = (
         d.join(freq, "shingle_h")

@@ -78,3 +78,53 @@ def test_crc32c_large_buffer_paths():
     for n in (2048, 2049, 65537, (1 << 20) + 123):
         data = rng.randbytes(n)
         assert tfrecord.crc32c(data) == tfrecord._crc32c_py(data) ^ 0xFFFFFFFF
+
+
+# ---- pixel codecs (operators.multimodal): arbitrary rasters roundtrip
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_bmp_ppm_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from dataset_grouper_spark.operators import multimodal
+
+    arr = np.random.RandomState(seed % 2**31).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    for enc in (multimodal.encode_bmp_pixels, multimodal.encode_ppm_pixels):
+        b = enc(arr)
+        got = multimodal.decode_pixels(b)
+        assert got is not None and np.array_equal(got, arr), enc.__name__
+        # header parser agrees on dimensions
+        fmt, pw, ph = multimodal.parse_image_header(b)
+        assert (pw, ph) == (w, h)
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=100, deadline=None)
+def test_nn_resize_property(src_w, src_h, out_w, out_h):
+    import numpy as np
+
+    from dataset_grouper_spark.operators import multimodal
+
+    arr = np.arange(src_h * src_w * 3, dtype=np.int64).reshape(
+        src_h, src_w, 3
+    ) % 256
+    out = multimodal.nn_resize(arr.astype(np.uint8), out_w, out_h)
+    assert out.shape == (out_h, out_w, 3)
+    # every output pixel is the exact source pixel of the index map
+    for y in (0, out_h - 1):
+        for x in (0, out_w - 1):
+            sy, sx = (y * src_h) // out_h, (x * src_w) // out_w
+            assert (out[y, x] == arr[sy, sx]).all()

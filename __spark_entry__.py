@@ -700,6 +700,25 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ivf_index_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-IVF ANN: build the partitioned-by-cell disk index,
+    then search it — the scan reads only the probed cells' partition
+    directories (static partition pruning). Same deterministic cell
+    scheme as ivf_topk_flat, so the identical SQL oracle applies."""
+    import tempfile
+
+    df = read_table(spark, sf, "embeddings")
+    idx = similarity.IvfDiskIndex.build(
+        df, "embedding", "vec_id",
+        tempfile.mkdtemp(prefix="ivf_idx_"),
+        num_centroids=IVF_CENTROIDS,
+    )
+    qs = df.filter(F.expr(TOPK_QFILTER))
+    return idx.search(
+        qs, "embedding", "vec_id", k=TOPK_K, nprobe=IVF_NPROBE
+    )
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
     # documents.text stands in for binary media payloads: encode to
     # binary, then run the (stubbed) decode through real mapInPandas
@@ -1492,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "ivf_index_topk_embeddings": q_ivf_index_topk_embeddings,
         # --- tier C: stable, green in r03; tail rotates out this round
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
@@ -1510,9 +1530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "contamination_documents": q_contamination_documents,
         "pii_redact_documents": q_pii_redact_documents,
+        # ---- position >50 below: rotate to tier A next round ----
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
-        # ---- position >50 below: rotate to tier A next round ----
         "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
         "vocabulary_documents": q_vocabulary_documents,
@@ -1865,6 +1885,12 @@ def oracle_sql() -> dict[str, str]:
             EMB_DIM, TOPK_K, LSH_BITS, LSH_TABLES, LSH_SEED,
         ),
         "ivf_topk_embeddings": oracles.ivf_topk_flat_sql(
+            "embeddings", "embedding", "vec_id", TOPK_QFILTER,
+            TOPK_K, IVF_CENTROIDS, IVF_NPROBE,
+        ),
+        # the disk index uses the identical deterministic cell scheme,
+        # so the same closed-form twin verifies the persisted path
+        "ivf_index_topk_embeddings": oracles.ivf_topk_flat_sql(
             "embeddings", "embedding", "vec_id", TOPK_QFILTER,
             TOPK_K, IVF_CENTROIDS, IVF_NPROBE,
         ),

@@ -808,6 +808,125 @@ def lsh_topk(
     )
 
 
+class IvfDiskIndex:
+    """Persisted inverted-file ANN index: the corpus written to parquet
+    PARTITIONED BY coarse cell, plus a centroids sidecar — build once,
+    search many times. Searches read ONLY the probed cells' partition
+    directories, so at scale a query touches ~nprobe/num_centroids of
+    the corpus at the SCAN (the on-disk realization ivf_topk's
+    docstring promises; same cell scheme as ``ivf_topk_flat``, so the
+    search results are value-hashable against the same SQL oracle).
+
+    Layout under ``path``: ``index/`` — (_cid, _cv) partitioned by
+    ``_cluster``; ``centroids/`` — (_cent_id, _cent_v).
+    """
+
+    def __init__(self, spark, path: str):
+        self._spark = spark
+        self.path = path
+        self._cents = spark.read.parquet(f"{path}/centroids")
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        vec_col: str,
+        id_col: str,
+        path: str,
+        num_centroids: int = 16,
+    ) -> "IvfDiskIndex":
+        """Deterministic flat centroid pick (smallest md5-of-id corpus
+        vectors), argmin cell assignment, partitioned write. One corpus
+        shuffle (the argmin agg); the write reuses its partitioning."""
+        from dataset_grouper_spark.functions.hashing import md5_long
+
+        cents = (
+            corpus.select(
+                F.col(id_col).alias("_cent_id"),
+                F.col(vec_col).alias("_cent_v"),
+                md5_long(F.col(id_col).cast("string")).alias("_h"),
+            )
+            .orderBy("_h", "_cent_id")
+            .limit(num_centroids)
+            .select("_cent_id", "_cent_v")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        )
+        assigned = (
+            c.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", _dist2(F.col("_cv"), F.col("_cent_v")))
+            .groupBy("_cid")
+            .agg(F.min(F.struct(F.col("_d2"), F.col("_cent_id"))).alias("_m"))
+            .select("_cid", F.col("_m._cent_id").alias("_cluster"))
+            .join(c, "_cid")
+        )
+        assigned.write.partitionBy("_cluster").mode("overwrite").parquet(
+            f"{path}/index"
+        )
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        return IvfDiskIndex(corpus.sparkSession, path)
+
+    def search(
+        self,
+        queries: DataFrame,
+        vec_col: str,
+        query_id_col: str,
+        k: int = 10,
+        nprobe: int = 4,
+        round_digits: int = 6,
+        max_collect_queries: int = 65536,
+    ) -> DataFrame:
+        """Top-k by cosine within the probed cells. Small query sets
+        collect their (bounded) probe list so the index scan carries a
+        STATIC partition filter — only the probed directories are read.
+        Larger sets stay executor-side as a broadcast join the optimizer
+        can dynamic-partition-prune. Same probe tie-breaks and scoring
+        as ``ivf_topk_flat`` — identical results, oracle-compatible."""
+        cents = self._cents
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("_d2"), F.col("_cent_id")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", _dist2(F.col("_qv"), F.col("_cent_v")))
+            .withColumn("_r", F.row_number().over(wp))
+            .filter(F.col("_r") <= nprobe)
+            .select("query_id", "_qv", F.col("_cent_id").alias("_cluster"))
+        )
+        idx = self._spark.read.parquet(f"{self.path}/index")
+        # guard + fetch in ONE bounded job (see cosine_topk_blocked)
+        prows = probes.limit(max_collect_queries * nprobe + 1).collect()
+        if len(prows) <= max_collect_queries * nprobe:
+            clusters = sorted({r._cluster for r in prows})
+            idx = idx.filter(F.col("_cluster").isin(clusters))
+            probes = self._spark.createDataFrame(
+                prows, probes.schema
+            )
+        scored = (
+            idx.join(F.broadcast(probes), "_cluster")
+            .filter(F.col("_cid") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                _cosine_expr(
+                    _dot(F.col("_cv"), F.col("_qv")),
+                    _norm(F.col("_cv")) * _norm(F.col("_qv")),
+                    round_digits,
+                ),
+            )
+            .filter(F.col("cosine").isNotNull())
+            .select("query_id", F.col("_cid").alias("neighbor_id"), "cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+
 def embedding_neardup_clusters(
     df: DataFrame,
     vec_col: str,

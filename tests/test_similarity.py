@@ -350,3 +350,34 @@ def test_embedding_neardup_clusters_planted(spark):
     assert got[5] == 5
     # survivors: one per cluster
     assert {v for v, c in got.items() if v == c} == {0, 3, 5}
+
+
+def test_ivf_disk_index_matches_flat_and_prunes(vecs, tmp_path):
+    # the persisted index must return EXACTLY ivf_topk_flat's results
+    # (same cell scheme), and its search scan must carry a partition
+    # filter on the probed cells only
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") < 3)
+    idx = similarity.IvfDiskIndex.build(
+        df, "embedding", "vec_id", str(tmp_path / "ivf"), num_centroids=6
+    )
+    got = idx.search(qs, "embedding", "vec_id", k=3, nprobe=2)
+    flat = similarity.ivf_topk_flat(
+        df, qs, "embedding", "vec_id", "vec_id", k=3,
+        num_centroids=6, nprobe=2,
+    )
+    kg = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in got.collect()}
+    kf = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in flat.collect()}
+    assert kg == kf and kg
+    # static partition pruning: the scan reads only probed cell dirs
+    txt = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in txt and "_cluster" in txt
+    # reload from disk and search again: same answer
+    reloaded = similarity.IvfDiskIndex(df.sparkSession, str(tmp_path / "ivf"))
+    kr = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in reloaded.search(
+            qs, "embedding", "vec_id", k=3, nprobe=2
+        ).collect()
+    }
+    assert kr == kg

@@ -1121,10 +1121,27 @@ def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
     expected checksums from the nearest-neighbor index map — an
     off-by-one in pixel selection, a row flip, or a channel swap all
     hash-mismatch."""
+    imgs = _gradient_bmp_frame(read_table(spark, sf, "documents"))
+    rs = multimodal.resize_images(imgs, "content", "doc_id", width=8, height=8)
+    return rs.select(
+        "id",
+        "width",
+        "height",
+        "pixel_sum",
+        "checksum",
+        F.octet_length("content").alias("n_bytes"),
+    )
+
+
+def _gradient_bmp_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of synthesized gradient BMPs, shared by the
+    pixel-kernel oracle queries. Value at (y, x, c) is
+    (x*7 + y*13 + 3*doc_id + c*37) mod 256 with dims
+    (4 + doc_id%13, 4 + doc_id%11) — the SQL oracles mirror this
+    formula in closed form, so it must only change in lockstep with
+    BOTH oracle twins."""
     import numpy as np
     import pandas as pd
-
-    df = read_table(spark, sf, "documents").select("doc_id")
 
     def gen(it):
         for pdf in it:
@@ -1139,16 +1156,7 @@ def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
                 outs.append(multimodal.encode_bmp_pixels(arr))
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
-    imgs = df.mapInPandas(gen, "doc_id long, content binary")
-    rs = multimodal.resize_images(imgs, "content", "doc_id", width=8, height=8)
-    return rs.select(
-        "id",
-        "width",
-        "height",
-        "pixel_sum",
-        "checksum",
-        F.octet_length("content").alias("n_bytes"),
-    )
+    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
 
 
 SEQ_BUDGET = 512
@@ -1174,25 +1182,7 @@ def q_multimodal_embed_pixels(spark: SparkSession, sf: str) -> DataFrame:
     thumbnail -> channel mean -> L2 normalize). The oracle recomputes
     two embedding components from the index map; rounding to 3 decimals
     absorbs the float32 storage of the embedding column."""
-    import numpy as np
-    import pandas as pd
-
-    df = read_table(spark, sf, "documents").select("doc_id")
-
-    def gen(it):
-        for pdf in it:
-            ids = pdf["doc_id"].astype("int64")
-            outs = []
-            for i in ids:
-                w_in, h_in = 4 + int(i) % 13, 4 + int(i) % 11
-                y, x, c = np.ogrid[0:h_in, 0:w_in, 0:3]
-                arr = ((x * 7 + y * 13 + int(i) * 3 + c * 37) % 256).astype(
-                    np.uint8
-                )
-                outs.append(multimodal.encode_bmp_pixels(arr))
-            yield pd.DataFrame({"doc_id": ids, "content": outs})
-
-    imgs = df.mapInPandas(gen, "doc_id long, content binary")
+    imgs = _gradient_bmp_frame(read_table(spark, sf, "documents"))
     emb = multimodal.image_embeddings(imgs, "content", "doc_id", dim=16)
     return emb.select(
         "id",

@@ -81,25 +81,11 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
         return None
     # PPM (P6): ASCII header tokens, dims are the first two integers
     if b[:2] == b"P6":
-        i, n, vals = 2, len(b), []
-        while len(vals) < 2 and i < n:
-            c = b[i]
-            if c in b" \t\r\n":
-                i += 1
-            elif c == 0x23:
-                while i < n and b[i] not in b"\r\n":
-                    i += 1
-            elif 0x30 <= c <= 0x39:
-                j = i
-                while j < n and 0x30 <= b[j] <= 0x39:
-                    j += 1
-                vals.append(int(b[i:j]))
-                i = j
-            else:
-                return None
-        if len(vals) == 2 and vals[0] > 0 and vals[1] > 0:
-            return ("ppm", vals[0], vals[1])
-        return None
+        parsed = _ppm_header_ints(b, 2)
+        if parsed is None:
+            return None
+        (w, h), _ = parsed
+        return ("ppm", w, h) if w > 0 and h > 0 else None
     # JPEG: scan markers from SOI until a SOFn frame header
     if b[:2] == b"\xff\xd8":
         i = 2
@@ -238,6 +224,31 @@ def sample_frames(
     )
 
 
+def _ppm_header_ints(b: bytes, count: int):
+    """Scan ``count`` ASCII integers from a P6 header (whitespace- and
+    comment-tolerant). Returns (values, index-after-last-digit) or None
+    on any malformed byte."""
+    i, n, vals = 2, len(b), []
+    while len(vals) < count and i < n:
+        c = b[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == 0x23:  # '#' comment runs to end of line
+            while i < n and b[i] not in b"\r\n":
+                i += 1
+        elif 0x30 <= c <= 0x39:
+            j = i
+            while j < n and 0x30 <= b[j] <= 0x39:
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < count:
+        return None
+    return vals, i
+
+
 def decode_pixels(b: bytes):
     """Decode an uncompressed image payload to an (H, W, 3) uint8 RGB
     numpy array with zero codec dependencies. Supports 24-bpp
@@ -264,26 +275,23 @@ def decode_pixels(b: bytes):
             rgb = rgb[::-1]
         return np.ascontiguousarray(rgb)
     if b[:2] == b"P6":
-        i, n, vals = 2, len(b), []
-        while len(vals) < 3 and i < n:
-            c = b[i]
-            if c in b" \t\r\n":
-                i += 1
-            elif c == 0x23:  # '#' comment runs to end of line
-                while i < n and b[i] not in b"\r\n":
-                    i += 1
-            elif 0x30 <= c <= 0x39:
-                j = i
-                while j < n and 0x30 <= b[j] <= 0x39:
-                    j += 1
-                vals.append(int(b[i:j]))
-                i = j
-            else:
-                return None
-        if len(vals) < 3 or i >= n:
+        parsed = _ppm_header_ints(b, 3)
+        if parsed is None:
             return None
-        w, h, maxv = vals
-        i += 1  # exactly one whitespace byte after maxval, then raster
+        (w, h, maxv), i = parsed
+        # exactly one whitespace byte after maxval, then the raster;
+        # tolerate a CRLF-writing producer (skip the LF iff the raster
+        # still fits afterwards — raster bytes may legitimately be 0x0A)
+        if i >= len(b) or b[i] not in b" \t\r\n":
+            return None
+        i += 1
+        if (
+            b[i - 1] == 0x0D
+            and i < len(b)
+            and b[i] == 0x0A
+            and len(b) - (i + 1) >= w * h * 3
+        ):
+            i += 1
         if maxv != 255 or w <= 0 or h <= 0 or len(b) < i + w * h * 3:
             return None
         return (
@@ -410,8 +418,8 @@ def resize_images(
                         np.frombuffer(payload, dtype=np.uint8)
                     )
                 else:
-                    rs = nn_resize(_decode_any(b)[0], width, height)
-                    fmt = "ppm" if b[:2] == b"P6" else "bmp"
+                    arr, fmt = _decode_any(b)
+                    rs = nn_resize(arr, width, height)
                     outs.append(
                         encode_ppm_pixels(rs)
                         if fmt == "ppm"

@@ -580,9 +580,25 @@ def ivf_topk_flat(
     with a map-side partial ``min(struct)`` argmin — one corpus
     shuffle; probing joins a broadcast (query x cell) list.
     """
+    cents = _flat_centroids(corpus, vec_col, id_col, num_centroids)
+    assigned = _assign_cells(corpus, vec_col, id_col, cents)
+    probes = _probe_cells(queries, vec_col, query_id_col, cents, nprobe)
+    return _score_probed(
+        assigned.join(F.broadcast(probes), "_cluster"), k, round_digits
+    )
+
+
+def _flat_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, num_centroids: int
+) -> DataFrame:
+    """The deterministic flat coarse quantizer shared by
+    ``ivf_topk_flat`` and ``IvfDiskIndex``: centroids are the
+    ``num_centroids`` corpus vectors with the smallest engine-portable
+    md5 hash of their id. These helpers are the oracle contract — any
+    change must be mirrored in ``oracles.ivf_topk_flat_sql``."""
     from dataset_grouper_spark.functions.hashing import md5_long
 
-    cents = (
+    return (
         corpus.select(
             F.col(id_col).alias("_cent_id"),
             F.col(vec_col).alias("_cent_v"),
@@ -592,8 +608,15 @@ def ivf_topk_flat(
         .limit(num_centroids)
         .select("_cent_id", "_cent_v")
     )
+
+
+def _assign_cells(
+    corpus: DataFrame, vec_col: str, id_col: str, cents: DataFrame
+) -> DataFrame:
+    """(_cid, _cluster, _cv): argmin-L2 cell per corpus vector, ties to
+    the smaller centroid id."""
     c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
-    assigned = (
+    return (
         c.crossJoin(F.broadcast(cents))
         .withColumn("_d2", _dist2(F.col("_cv"), F.col("_cent_v")))
         .groupBy("_cid")
@@ -601,20 +624,37 @@ def ivf_topk_flat(
         .select("_cid", F.col("_m._cent_id").alias("_cluster"))
         .join(c, "_cid")
     )
+
+
+def _probe_cells(
+    queries: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    cents: DataFrame,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, _qv, _cluster): each query's ``nprobe`` nearest cells
+    (L2, ties to the smaller centroid id)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     wp = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("_cent_id"))
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cents))
         .withColumn("_d2", _dist2(F.col("_qv"), F.col("_cent_v")))
         .withColumn("_r", F.row_number().over(wp))
         .filter(F.col("_r") <= nprobe)
         .select("query_id", "_qv", F.col("_cent_id").alias("_cluster"))
     )
+
+
+def _score_probed(
+    cands: DataFrame, k: int, round_digits: int
+) -> DataFrame:
+    """Exact cosine rerank + per-query rank over probed candidates
+    carrying (_cid, _cv, query_id, _qv)."""
     scored = (
-        assigned.join(F.broadcast(probes), "_cluster")
-        .filter(F.col("_cid") != F.col("query_id"))
+        cands.filter(F.col("_cid") != F.col("query_id"))
         .withColumn(
             "cosine",
             _cosine_expr(
@@ -835,31 +875,12 @@ class IvfDiskIndex:
         num_centroids: int = 16,
     ) -> "IvfDiskIndex":
         """Deterministic flat centroid pick (smallest md5-of-id corpus
-        vectors), argmin cell assignment, partitioned write. One corpus
-        shuffle (the argmin agg); the write reuses its partitioning."""
-        from dataset_grouper_spark.functions.hashing import md5_long
-
-        cents = (
-            corpus.select(
-                F.col(id_col).alias("_cent_id"),
-                F.col(vec_col).alias("_cent_v"),
-                md5_long(F.col(id_col).cast("string")).alias("_h"),
-            )
-            .orderBy("_h", "_cent_id")
-            .limit(num_centroids)
-            .select("_cent_id", "_cent_v")
-        )
-        c = corpus.select(
-            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
-        )
-        assigned = (
-            c.crossJoin(F.broadcast(cents))
-            .withColumn("_d2", _dist2(F.col("_cv"), F.col("_cent_v")))
-            .groupBy("_cid")
-            .agg(F.min(F.struct(F.col("_d2"), F.col("_cent_id"))).alias("_m"))
-            .select("_cid", F.col("_m._cent_id").alias("_cluster"))
-            .join(c, "_cid")
-        )
+        vectors), argmin cell assignment, partitioned write — the same
+        shared helpers ``ivf_topk_flat`` composes, so the two paths
+        cannot drift. One corpus shuffle (the argmin agg); the write
+        reuses its partitioning."""
+        cents = _flat_centroids(corpus, vec_col, id_col, num_centroids)
+        assigned = _assign_cells(corpus, vec_col, id_col, cents)
         assigned.write.partitionBy("_cluster").mode("overwrite").parquet(
             f"{path}/index"
         )
@@ -881,20 +902,10 @@ class IvfDiskIndex:
         STATIC partition filter — only the probed directories are read.
         Larger sets stay executor-side as a broadcast join the optimizer
         can dynamic-partition-prune. Same probe tie-breaks and scoring
-        as ``ivf_topk_flat`` — identical results, oracle-compatible."""
-        cents = self._cents
-        q = queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        )
-        wp = Window.partitionBy("query_id").orderBy(
-            F.col("_d2"), F.col("_cent_id")
-        )
-        probes = (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn("_d2", _dist2(F.col("_qv"), F.col("_cent_v")))
-            .withColumn("_r", F.row_number().over(wp))
-            .filter(F.col("_r") <= nprobe)
-            .select("query_id", "_qv", F.col("_cent_id").alias("_cluster"))
+        as ``ivf_topk_flat`` (shared helpers) — identical results,
+        oracle-compatible."""
+        probes = _probe_cells(
+            queries, vec_col, query_id_col, self._cents, nprobe
         )
         idx = self._spark.read.parquet(f"{self.path}/index")
         # guard + fetch in ONE bounded job (see cosine_topk_blocked)
@@ -902,28 +913,9 @@ class IvfDiskIndex:
         if len(prows) <= max_collect_queries * nprobe:
             clusters = sorted({r._cluster for r in prows})
             idx = idx.filter(F.col("_cluster").isin(clusters))
-            probes = self._spark.createDataFrame(
-                prows, probes.schema
-            )
-        scored = (
-            idx.join(F.broadcast(probes), "_cluster")
-            .filter(F.col("_cid") != F.col("query_id"))
-            .withColumn(
-                "cosine",
-                _cosine_expr(
-                    _dot(F.col("_cv"), F.col("_qv")),
-                    _norm(F.col("_cv")) * _norm(F.col("_qv")),
-                    round_digits,
-                ),
-            )
-            .filter(F.col("cosine").isNotNull())
-            .select("query_id", F.col("_cid").alias("neighbor_id"), "cosine")
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
-        )
-        return scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
+            probes = self._spark.createDataFrame(prows, probes.schema)
+        return _score_probed(
+            idx.join(F.broadcast(probes), "_cluster"), k, round_digits
         )
 
 

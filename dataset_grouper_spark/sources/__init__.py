@@ -70,6 +70,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` twin of ``read_table(..., 'events')`` — same
     int64-nanos ``ts`` contract, so streaming and batch queries share
     time arithmetic."""
+    # must precede the schema probe: on a TIMESTAMP(NANOS) generation
+    # the bare read would otherwise throw during inference in a fresh
+    # session where no read_table call has set it yet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(path)
     if dict(batch.dtypes).get("ts", "").startswith("timestamp"):

@@ -24,16 +24,19 @@ def main() -> None:
     out = tempfile.mkdtemp(prefix="mm_imgs_")
 
     rng = np.random.RandomState(0)
-    for i in range(24):
-        arr = rng.randint(0, 256, size=(16 + i % 7, 12 + i % 5, 3), dtype=np.uint8)
-        if i == 23:  # plant a near-duplicate of image 0
-            arr = None
+    arrays = [
+        rng.randint(0, 256, size=(16 + i % 7, 12 + i % 5, 3), dtype=np.uint8)
+        for i in range(23)
+    ]
+    # plant a near-duplicate of image 0: same pixels, one value nudged
+    dup = arrays[0].copy()
+    dup[0, 0, 0] = (int(dup[0, 0, 0]) + 1) % 256
+    arrays.append(dup)
+    for i, arr in enumerate(arrays):
         enc = (
             multimodal.encode_bmp_pixels(arr)
-            if arr is not None and i % 2 == 0
-            else multimodal.encode_ppm_pixels(
-                arr if arr is not None else rng.randint(0, 2, size=(1, 1, 3), dtype=np.uint8)
-            )
+            if i % 2 == 0
+            else multimodal.encode_ppm_pixels(arr)
         )
         with open(f"{out}/img_{i:03d}.{'bmp' if i % 2 == 0 else 'ppm'}", "wb") as f:
             f.write(enc)
@@ -55,8 +58,8 @@ def main() -> None:
     emb = multimodal.image_embeddings(imgs, "content", "img_id", dim=16)
     queries = emb.filter(F.col("id") < 2)
     top = similarity.cosine_topk(emb, queries, "embedding", "id", "id", k=3)
-    print("-- nearest neighbors by thumbnail feature:")
-    top.orderBy("id", "rank").show(10)
+    print("-- nearest neighbors by thumbnail feature (23 is the planted dup of 0):")
+    top.orderBy("query_id", "rank").show(10)
 
 
 if __name__ == "__main__":

@@ -252,9 +252,14 @@ def test_bmp_ppm_pixel_roundtrip():
     ppm = b"P6 # comment\n# another\n 2 1\n255\n" + bytes(range(6))
     got = multimodal.decode_pixels(ppm)
     assert got.shape == (1, 2, 3) and got.reshape(-1).tolist() == list(range(6))
-    # rejects: truncated, 8-bpp, non-255 maxval
+    # CRLF-writing producer: raster must not shift by the stray LF
+    crlf = b"P6\r\n2 1\r\n255\r\n" + bytes(range(6))
+    got = multimodal.decode_pixels(crlf)
+    assert got.reshape(-1).tolist() == list(range(6))
+    # rejects: truncated, 8-bpp, non-255 maxval, junk after maxval
     assert multimodal.decode_pixels(b"P6\n2 2\n255\n\x00") is None
     assert multimodal.decode_pixels(b"P6\n2 1\n15\n" + bytes(6)) is None
+    assert multimodal.decode_pixels(b"P6\n2 1\n255x" + bytes(6)) is None
     assert multimodal.decode_pixels(b"\x00\x01") is None
 
 

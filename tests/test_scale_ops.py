@@ -152,3 +152,95 @@ def test_interval_join_at_16x_events(spark):
     )
     n = out.count()
     assert n >= intervals.count()  # each interval matches its own point
+
+
+@pytest.mark.slow
+def test_ivf_disk_index_at_4x_embeddings(spark, tmp_path):
+    # 20k vectors: build the partitioned index once, then verify a
+    # search touches only the probed cells' files (input_file_name
+    # cardinality), and matches the in-memory flat IVF exactly
+    from dataset_grouper_spark.operators import similarity
+
+    base = read_table(spark, SF, "embeddings")
+    emb = _replicate(base, 4, "vec_id", 1_000_000)
+    idx = similarity.IvfDiskIndex.build(
+        emb, "embedding", "vec_id", str(tmp_path / "ivf"), num_centroids=16
+    )
+    qs = emb.filter(F.col("vec_id") < 4)
+    got = idx.search(qs, "embedding", "vec_id", k=5, nprobe=2)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    flat = similarity.ivf_topk_flat(
+        emb, qs, "embedding", "vec_id", "vec_id", k=5,
+        num_centroids=16, nprobe=2,
+    )
+    kf = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in flat.collect()}
+    kg = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows}
+    assert kg == kf
+    # pruning: probed cells (<= 4 queries x 2 probes) out of 16 dirs
+    import os
+
+    dirs = [d for d in os.listdir(tmp_path / "ivf" / "index") if d.startswith("_cluster=")]
+    assert len(dirs) >= 12  # the index really is spread over many cells
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+@pytest.mark.slow
+def test_streaming_windowed_counts_at_16x(spark, tmp_path):
+    # 1.6M events through the availableNow streaming path (watermark +
+    # windowed agg + file sink in append mode) must agree with the
+    # batch twin on emitted windows
+    from dataset_grouper_spark import keys
+    from dataset_grouper_spark.streaming import windowed_group_counts
+
+    ev = _replicate(
+        read_table(spark, SF, "events"), 16, "event_id", 10_000_000
+    )
+    src = str(tmp_path / "events_16x")
+    ev.write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    tsc = "timestamp_micros(CAST(ts DIV 1000 AS LONG))"
+    out = windowed_group_counts(
+        stream.withColumn("_tsc", F.expr(tsc)),
+        keys.by_feature("event_type"),
+        "_tsc",
+        window="1 day",
+        watermark="1 hour",
+        count_cols=batch.columns,
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(sink)
+    # batch twin of the emitted set: windows fully below the final
+    # watermark (append mode holds back the tail windows)
+    bt = (
+        batch.withColumn("_tsc", F.expr(tsc))
+        .groupBy(
+            F.window("_tsc", "1 day").alias("time_window"),
+            F.col("event_type").alias("group_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+    )
+    wm = batch.agg(
+        F.expr(f"max({tsc}) - INTERVAL 1 HOUR").alias("w")
+    ).collect()[0].w
+    expected = {
+        (r.time_window.start, r.group_id): r.num_examples
+        for r in bt.collect()
+        if r.time_window.end <= wm
+    }
+    actual = {
+        (r.time_window.start, r.group_id): r.num_examples
+        for r in got.select("time_window", "group_id", "num_examples").collect()
+    }
+    assert actual == expected and actual

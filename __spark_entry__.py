@@ -26,6 +26,19 @@ from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
 from dataset_grouper_spark.sources import read_table
 
+
+def _drain_stream(q, timeout: int = 300) -> None:
+    """Block until an availableNow query finishes, RAISING on timeout:
+    awaitTermination returns False when the clock runs out, and
+    proceeding then would read a partially-written sink and silently
+    return truncated results."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout}s — sink is "
+            "incomplete; not reading partial results"
+        )
+
 SF0001 = "/root/testdata/sf0.001"
 
 # DuckDB-side dtype listings for SQL twin generation (must mirror the
@@ -954,7 +967,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_stream(q)
     return spark.table(name).select(
         F.col("time_window.start").alias("window_start"),
         "group_id",
@@ -1029,7 +1042,7 @@ def q_streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_stream(q)
     return spark.read.parquet(outdir).select(
         "group_id",
         F.expr("unix_micros(session.start)").alias("session_start_us"),
@@ -1068,7 +1081,7 @@ def q_streaming_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_stream(q)
     return (
         spark.table(name)
         .groupBy("group_id")
@@ -1108,7 +1121,7 @@ def q_streaming_dedup_distinct(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_stream(q)
     return spark.read.parquet(outdir)
 
 

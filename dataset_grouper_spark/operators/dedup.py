@@ -68,12 +68,39 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     """
     from dataset_grouper_spark.functions.hashing import ngrams_of_tokens, tokens
 
+    # n and the source columns ride along as column metadata so shared
+    # shingle frames can be validated at their consumers (a frame built
+    # with a different n would silently yield wrong signatures)
+    meta = {"shingle_n": n, "text_col": text_col, "id_col": id_col}
     return (
         df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
         .select("_id", F.explode(ngrams_of_tokens(F.col("_t"), n)).alias("_sh"))
-        .select("_id", md5_long(F.col("_sh")).alias("shingle_h"))
+        .select(
+            "_id", md5_long(F.col("_sh")).alias("shingle_h", metadata=meta)
+        )
         .distinct()
     )
+
+
+def _check_shingle_frame(sh: DataFrame, n: int, caller: str) -> None:
+    """Guard a caller-supplied shared shingle frame: required columns,
+    and — when the frame still carries :func:`shingles` metadata — the
+    same ``n`` it was built with. A frame built with a different n
+    would produce silently wrong signatures/fractions."""
+    missing = {"_id", "shingle_h"} - set(sh.columns)
+    if missing:
+        raise ValueError(
+            f"{caller}: shingle_df must have columns ('_id', 'shingle_h') "
+            f"as produced by shingles(); missing {sorted(missing)}"
+        )
+    meta = sh.schema["shingle_h"].metadata or {}
+    built_n = meta.get("shingle_n")
+    if built_n is not None and int(built_n) != n:
+        raise ValueError(
+            f"{caller}: shingle_df was built with n={int(built_n)} but "
+            f"n={n} was requested — pass a matching frame (n/text_col "
+            "are taken from shingle_df when it is supplied)"
+        )
 
 
 def ngram_jaccard_pairs(
@@ -147,14 +174,17 @@ def minhash_signatures(
 
     ``shingle_df`` lets compositions that already computed
     ``shingles(df, text_col, id_col, n)`` (ideally persisted) share the
-    pass instead of re-tokenizing the corpus.
+    pass instead of re-tokenizing the corpus. When supplied, it is the
+    source of truth: ``text_col`` and ``n`` are NOT re-applied — the
+    frame is validated against ``n`` (via the metadata ``shingles()``
+    stamps) and a mismatch raises.
     """
     params = minhash_params(num_perm, seed)
-    sh = (
-        shingle_df
-        if shingle_df is not None
-        else shingles(df, text_col, id_col, n)
-    )  # already 60-bit hashed
+    if shingle_df is not None:
+        _check_shingle_frame(shingle_df, n, "minhash_signatures")
+        sh = shingle_df
+    else:
+        sh = shingles(df, text_col, id_col, n)  # already 60-bit hashed
     aggs = [
         F.coalesce(
             F.min(perm_hash(F.col("shingle_h"), a, b)), F.lit(MERSENNE31)
@@ -634,15 +664,16 @@ def duplicate_ngram_fraction(
     shingle is duplicated iff its doc-frequency > 1. Returns
     (id_col, total_ngrams, dup_ngrams, dup_frac), dup_frac rounded for
     cross-engine hashing; docs with no n-grams report zeros.
-    ``shingle_df``: see :func:`minhash_signatures`.
+    ``shingle_df``: see :func:`minhash_signatures` (validated the same
+    way; ``n``/``text_col`` are not re-applied to a supplied frame).
     """
     # the shingle frame feeds both the doc-frequency agg and the
     # join-back — persist it or the corpus tokenizes twice
-    d = (
-        shingle_df
-        if shingle_df is not None
-        else persist_tracked(shingles(df, text_col, id_col, n))
-    )
+    if shingle_df is not None:
+        _check_shingle_frame(shingle_df, n, "duplicate_ngram_fraction")
+        d = shingle_df
+    else:
+        d = persist_tracked(shingles(df, text_col, id_col, n))
     freq = d.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("_df"))
     stats = (
         d.join(freq, "shingle_h")

@@ -45,7 +45,7 @@ def interval_join(
     end_col: str,
     by: list[str] | None = None,
     bin_width: int = 3600,
-    max_bins_per_interval: int = 10_000,
+    max_bins_per_interval: int | None = 1_000_000,
 ) -> DataFrame:
     """Inner-join every point row to every interval row with
     ``start <= t <= end`` (inclusive), optionally also matching on
@@ -65,7 +65,10 @@ def interval_join(
     (``end = Long.MAX``) at nanos resolution would otherwise try to
     materialize ~10^12 replica rows and take down the stage. Any
     interval spanning more bins than the cap fails the job with a
-    clear message (raise the cap or pre-clip if the span is intended).
+    clear message (raise the cap, pass ``None`` to disable the fuse,
+    or pre-clip if the span is intended). The default is high enough
+    (10^6 bins — already a pathological replication factor) that only
+    sentinel-shaped intervals trip it.
     """
     by = by or []
     overlap = (set(points.columns) & set(intervals.columns)) - set(by)
@@ -79,26 +82,34 @@ def interval_join(
     _require_integral(intervals, start_col, "interval start")
     _require_integral(intervals, end_col, "interval end")
     w = int(bin_width)
-    max_b = int(max_bins_per_interval)
     start_bin = F.expr(f"CAST({start_col} DIV {w} AS LONG)")
     end_bin = F.expr(f"CAST({end_col} DIV {w} AS LONG)")
-    # span guard folded into the sequence bound: executor-side, per-row,
-    # no extra pass; raise_error's NullType coerces into the LONG branch
-    guarded_end = F.when(end_bin - start_bin < F.lit(max_b), end_bin).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"interval_join: interval spans >= {max_b} bins of "
-                    f"width {w} ("
-                ),
-                (end_bin - start_bin + F.lit(1)).cast("string"),
-                F.lit(
-                    " bins) — raise bin_width/max_bins_per_interval or "
-                    f"clip open-ended sentinels in '{end_col}'"
-                ),
-            )
-        ).cast("long")
-    )
+    if max_bins_per_interval is None:
+        guarded_end = end_bin
+    else:
+        max_b = int(max_bins_per_interval)
+        # span guard folded into the sequence bound: executor-side,
+        # per-row, no extra pass; raise_error's NullType coerces into
+        # the LONG branch. Spans of exactly max_b bins pass; the error
+        # fires strictly above the cap.
+        guarded_end = F.when(
+            end_bin - start_bin < F.lit(max_b), end_bin
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_join: interval spans more than {max_b} "
+                        f"bins of width {w} ("
+                    ),
+                    (end_bin - start_bin + F.lit(1)).cast("string"),
+                    F.lit(
+                        " bins) — raise bin_width/max_bins_per_interval, "
+                        "pass max_bins_per_interval=None, or clip "
+                        f"open-ended sentinels in '{end_col}'"
+                    ),
+                )
+            ).cast("long")
+        )
     iv = intervals.filter(  # malformed intervals match nothing (and a
         F.col(end_col) >= F.col(start_col)  # descending sequence throws)
     ).withColumn("_bin", F.explode(F.sequence(start_bin, guarded_end)))

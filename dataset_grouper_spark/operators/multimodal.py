@@ -280,8 +280,11 @@ def decode_pixels(b: bytes):
             return None
         (w, h, maxv), i = parsed
         # exactly one whitespace byte after maxval, then the raster;
-        # tolerate a CRLF-writing producer (skip the LF iff the raster
-        # still fits afterwards — raster bytes may legitimately be 0x0A)
+        # tolerate a CRLF-writing producer. Raster bytes may
+        # legitimately be 0x0A, so prefer the no-skip reading whenever
+        # the raster fits EXACTLY without skipping (a CR-separated file
+        # whose raster starts with 0x0A); only consume the LF when the
+        # unskipped length does not line up but the skipped one fits.
         if i >= len(b) or b[i] not in b" \t\r\n":
             return None
         i += 1
@@ -289,6 +292,7 @@ def decode_pixels(b: bytes):
             b[i - 1] == 0x0D
             and i < len(b)
             and b[i] == 0x0A
+            and len(b) - i != w * h * 3
             and len(b) - (i + 1) >= w * h * 3
         ):
             i += 1

@@ -561,6 +561,7 @@ def ivf_topk_flat(
     num_centroids: int = 16,
     nprobe: int = 4,
     round_digits: int = 6,
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """Deterministic IVF top-k — the oracle-checkable twin of
     ``ivf_topk``.
@@ -578,13 +579,19 @@ def ivf_topk_flat(
     Scale shape: top-C-by-hash is a TakeOrdered (no full sort);
     assignment is a broadcast of C centroid rows against the corpus
     with a map-side partial ``min(struct)`` argmin — one corpus
-    shuffle; probing joins a broadcast (query x cell) list.
+    shuffle; probing joins the (query x cell) list through the shared
+    guarded candidate join (broadcast only below
+    ``max_collect_queries * nprobe`` probe rows, plain equijoin above).
     """
     cents = _flat_centroids(corpus, vec_col, id_col, num_centroids)
     assigned = _assign_cells(corpus, vec_col, id_col, cents)
     probes = _probe_cells(queries, vec_col, query_id_col, cents, nprobe)
     return _score_probed(
-        assigned.join(F.broadcast(probes), "_cluster"), k, round_digits
+        _bounded_broadcast_join(
+            assigned, probes, "_cluster", max_collect_queries * nprobe
+        ),
+        k,
+        round_digits,
     )
 
 
@@ -672,6 +679,38 @@ def _score_probed(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _bounded_broadcast_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    max_collect_rows: int,
+    prune_left: bool = False,
+) -> DataFrame:
+    """The guarded candidate equijoin shared by every ANN entry point:
+    broadcast the query side ONLY when it is provably small.
+
+    guard + fetch in ONE bounded job (the ``limit(cap+1).collect()``
+    idiom of ``cosine_topk_blocked``): if ``right`` has at most
+    ``max_collect_rows`` rows, re-create it as a local relation and
+    broadcast-join — with ``prune_left``, additionally push a static
+    ``isin`` filter on the join key into ``left`` (partition pruning at
+    the scan for cluster-partitioned disk layouts). Above the cap the
+    join stays a plain shuffle equijoin AQE can plan; an unbounded
+    relation is never broadcast (a broadcast must materialize wholly on
+    every executor — at 100 TB with a 10M-row query batch that is an
+    OOM, precisely on the branch built for large query sets).
+    """
+    spark = right.sparkSession
+    rows = right.limit(max_collect_rows + 1).collect()
+    if len(rows) <= max_collect_rows:
+        if prune_left:
+            keys = sorted({r[on] for r in rows})
+            left = left.filter(F.col(on).isin(keys))
+        local = spark.createDataFrame(rows, right.schema)
+        return left.join(F.broadcast(local), on)
+    return left.join(right, on)
 
 
 def hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
@@ -806,6 +845,7 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    max_collect_queries: int = 65536,
 ) -> DataFrame:
     """ANN top-k: LSH-bucket candidates, exact cosine re-rank.
 
@@ -815,7 +855,9 @@ def lsh_topk(
     """
     # Single corpus pass: every table's bucket key is computed in one
     # Arrow-batched numpy projection (see _bucket_frame — bit-exact
-    # with signature_expr); the (tiny) query side is broadcast.
+    # with signature_expr); the query side goes through the shared
+    # guarded candidate join — broadcast only below
+    # max_collect_queries * tables bucket rows, plain equijoin above.
     cb = _bucket_frame(
         corpus, vec_col, id_col, "neighbor_id", "_cv", dim, bits, tables, seed
     )
@@ -823,7 +865,9 @@ def lsh_topk(
         queries, vec_col, query_id_col, "query_id", "_qv", dim, bits, tables, seed
     )
     cands = (
-        cb.join(F.broadcast(qb), "_bucket")
+        _bounded_broadcast_join(
+            cb, qb, "_bucket", max_collect_queries * tables
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "_cv", "_qv")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -900,22 +944,25 @@ class IvfDiskIndex:
         """Top-k by cosine within the probed cells. Small query sets
         collect their (bounded) probe list so the index scan carries a
         STATIC partition filter — only the probed directories are read.
-        Larger sets stay executor-side as a broadcast join the optimizer
-        can dynamic-partition-prune. Same probe tie-breaks and scoring
-        as ``ivf_topk_flat`` (shared helpers) — identical results,
-        oracle-compatible."""
+        Larger sets stay executor-side with a plain shuffle equijoin
+        (never a broadcast of the unbounded probe frame); the join key
+        is the partition column, so AQE/DPP can still prune. Same probe
+        tie-breaks and scoring as ``ivf_topk_flat`` (shared helpers) —
+        identical results, oracle-compatible."""
         probes = _probe_cells(
             queries, vec_col, query_id_col, self._cents, nprobe
         )
         idx = self._spark.read.parquet(f"{self.path}/index")
-        # guard + fetch in ONE bounded job (see cosine_topk_blocked)
-        prows = probes.limit(max_collect_queries * nprobe + 1).collect()
-        if len(prows) <= max_collect_queries * nprobe:
-            clusters = sorted({r._cluster for r in prows})
-            idx = idx.filter(F.col("_cluster").isin(clusters))
-            probes = self._spark.createDataFrame(prows, probes.schema)
         return _score_probed(
-            idx.join(F.broadcast(probes), "_cluster"), k, round_digits
+            _bounded_broadcast_join(
+                idx,
+                probes,
+                "_cluster",
+                max_collect_queries * nprobe,
+                prune_left=True,
+            ),
+            k,
+            round_digits,
         )
 
 

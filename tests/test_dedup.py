@@ -93,3 +93,28 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
         dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None).count()
         == n * (n - 1) // 2
     )
+
+
+def test_shared_shingle_frame_validated(docs):
+    # a shingle_df built with a different n must raise, not silently
+    # produce wrong signatures (ADVICE r4); n/text_col are taken from
+    # the supplied frame, so a matching n passes
+    sh2 = dedup.shingles(docs, "text", "doc_id", n=2)
+    with pytest.raises(ValueError, match="built with n=2"):
+        dedup.minhash_signatures(docs, "text", "doc_id", n=3, shingle_df=sh2)
+    with pytest.raises(ValueError, match="built with n=2"):
+        dedup.duplicate_ngram_fraction(
+            docs, "text", "doc_id", n=3, shingle_df=sh2
+        )
+    # missing columns caught even without metadata
+    with pytest.raises(ValueError, match="missing"):
+        dedup.minhash_signatures(
+            docs, "text", "doc_id", shingle_df=docs.select("doc_id")
+        )
+    ok = dedup.minhash_signatures(
+        docs, "text", "doc_id", n=2, shingle_df=sh2
+    )
+    plain = dedup.minhash_signatures(docs, "text", "doc_id", n=2)
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

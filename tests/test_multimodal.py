@@ -256,6 +256,11 @@ def test_bmp_ppm_pixel_roundtrip():
     crlf = b"P6\r\n2 1\r\n255\r\n" + bytes(range(6))
     got = multimodal.decode_pixels(crlf)
     assert got.reshape(-1).tolist() == list(range(6))
+    # CR-only producer whose raster STARTS with 0x0A and fits exactly:
+    # the LF is raster data, not a CRLF tail — no skip (ADVICE r4)
+    cr_only = b"P6\r2 1\r255\r" + bytes([0x0A, 1, 2, 3, 4, 5])
+    got = multimodal.decode_pixels(cr_only)
+    assert got.reshape(-1).tolist() == [0x0A, 1, 2, 3, 4, 5]
     # rejects: truncated, 8-bpp, non-255 maxval, junk after maxval
     assert multimodal.decode_pixels(b"P6\n2 2\n255\n\x00") is None
     assert multimodal.decode_pixels(b"P6\n2 1\n15\n" + bytes(6)) is None

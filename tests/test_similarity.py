@@ -352,6 +352,84 @@ def test_embedding_neardup_clusters_planted(spark):
     assert {v for v, c in got.items() if v == c} == {0, 3, 5}
 
 
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    # silence AQE/static auto-broadcast so any BroadcastHashJoin in the
+    # plan can only come from an explicit F.broadcast hint
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for key in keys:
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, "-1")
+    yield
+    for key, v in old.items():
+        if v is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, v)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ann_large_q_never_broadcasts_query_side(
+    vecs, tmp_path, no_auto_broadcast
+):
+    # Above max_collect_queries every ANN entry point must fall back to
+    # a plain shuffle equijoin: a broadcast of the query-probe frame
+    # materializes wholly on every executor and OOMs at scale —
+    # precisely on the branch built for large Q. max_collect_queries=0
+    # forces the fallback; results must match the broadcast path.
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") < 3)
+
+    def pairs(frame):
+        return {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in frame.collect()
+        }
+
+    flat_small = similarity.ivf_topk_flat(
+        df, qs, "embedding", "vec_id", "vec_id", k=3, num_centroids=6, nprobe=2
+    )
+    flat_large = similarity.ivf_topk_flat(
+        df, qs, "embedding", "vec_id", "vec_id", k=3, num_centroids=6,
+        nprobe=2, max_collect_queries=0,
+    )
+    assert "BroadcastHashJoin" in _plan(flat_small)
+    assert "BroadcastHashJoin" not in _plan(flat_large)
+    assert pairs(flat_small) == pairs(flat_large) and pairs(flat_small)
+
+    lsh_small = similarity.lsh_topk(
+        df, qs, "embedding", "vec_id", "vec_id", dim=8, k=3, bits=4, tables=2
+    )
+    lsh_large = similarity.lsh_topk(
+        df, qs, "embedding", "vec_id", "vec_id", dim=8, k=3, bits=4,
+        tables=2, max_collect_queries=0,
+    )
+    assert "BroadcastHashJoin" in _plan(lsh_small)
+    assert "BroadcastHashJoin" not in _plan(lsh_large)
+    assert pairs(lsh_small) == pairs(lsh_large) and pairs(lsh_small)
+
+    idx = similarity.IvfDiskIndex.build(
+        df, "embedding", "vec_id", str(tmp_path / "ivf_guard"), num_centroids=6
+    )
+    disk_small = idx.search(qs, "embedding", "vec_id", k=3, nprobe=2)
+    disk_large = idx.search(
+        qs, "embedding", "vec_id", k=3, nprobe=2, max_collect_queries=0
+    )
+    assert "BroadcastHashJoin" in _plan(disk_small)
+    assert "BroadcastHashJoin" not in _plan(disk_large)
+    assert pairs(disk_small) == pairs(disk_large) and pairs(disk_small)
+
+
 def test_ivf_disk_index_matches_flat_and_prunes(vecs, tmp_path):
     # the persisted index must return EXACTLY ivf_topk_flat's results
     # (same cell scheme), and its search scan must carry a partition

@@ -349,6 +349,35 @@ def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): the plain EXISTS left-semi
+    shape — the one join conversion the other TPC-H queries don't
+    cover (Catalyst rewrites EXISTS to LeftSemi; dup lineitems never
+    multiply order rows). Adapted predicate: this lineitem table has no
+    commit/receipt dates, so "a late line exists" is l_shipdate a
+    quarter past the order window. Plan: the date window prunes the
+    orders scan, the semi-join build side is a single projected column,
+    and no aggregate runs on the probe side before the join — the
+    count groups AFTER the semi join, exactly Q4's shape. No broadcast
+    hint: the build side is unbounded at scale, so the size-based
+    planner (AQE) picks broadcast only when the filtered side is
+    provably small."""
+    orders = read_table(spark, sf, "orders")
+    lineitem = read_table(spark, sf, "lineitem")
+    ow = orders.filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = lineitem.filter(F.col("l_shipdate") >= "1997-01-01").select(
+        "l_orderkey"
+    )
+    return (
+        ow.join(late, ow["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "documents")
     return df.groupBy("source").agg(
@@ -1146,6 +1175,43 @@ def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize_png(spark: SparkSession, sf: str) -> DataFrame:
+    """The PNG twin of q_multimodal_resize_pixels: the SAME gradient
+    rasters, but encoded as real zlib-compressed PNGs whose scanline
+    filters cycle through all five types (None/Sub/Up/Average/Paeth) —
+    so the stdlib inflate+unfilter decoder, not just the raw-raster
+    path, must reproduce the closed-form checksums. n_bytes is omitted:
+    deflate output length is not SQL-expressible."""
+    imgs = _gradient_png_frame(read_table(spark, sf, "documents"))
+    rs = multimodal.resize_images(imgs, "content", "doc_id", width=8, height=8)
+    return rs.select("id", "width", "height", "pixel_sum", "checksum")
+
+
+def _gradient_png_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of gradient PNGs — same raster formula as
+    ``_gradient_bmp_frame`` (the oracle contract), filters cycling
+    0..4 per scanline to exercise every unfilter branch."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for i in ids:
+                w_in, h_in = 4 + int(i) % 13, 4 + int(i) % 11
+                y, x, c = np.ogrid[0:h_in, 0:w_in, 0:3]
+                arr = ((x * 7 + y * 13 + int(i) * 3 + c * 37) % 256).astype(
+                    np.uint8
+                )
+                outs.append(
+                    multimodal.encode_png_pixels(arr, [0, 1, 2, 3, 4])
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+
+
 def _gradient_bmp_frame(df: DataFrame) -> DataFrame:
     """(doc_id, content) of synthesized gradient BMPs, shared by the
     pixel-kernel oracle queries. Value at (y, x, c) is
@@ -1278,9 +1344,25 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return back.select(F.size("payloads").cast("long").alias("examples_in_group"))
 
 
+GS_SEED = 7
+GS_BATCH = 2
+GS_CHECK_MOD = 1_000_000_007
+
+
 def q_group_stream(spark: SparkSession, sf: str) -> DataFrame:
-    """Group-stream consumption (build_group_stream analogue): write,
-    stream groups in seeded order, report per-cohort sizes. Rows-only."""
+    """Group-stream consumption (build_group_stream analogue),
+    VALUE-ORACLED: write the events table partitioned by the
+    event_type keyer, stream the groups through the real iterator in
+    seeded-shuffle order with cohort batching and a column projection,
+    and fold what was actually consumed into a deterministic frame —
+    per group: its cohort index (a pure function of the seeded order,
+    md5(f"{seed}:{gid}")), row count, and an order-insensitive content
+    checksum over the consumed pandas frames. The DuckDB twin
+    recomputes all three from the raw table, so a wrong group
+    membership, a dropped/duplicated row, a broken shuffle order, or a
+    mis-batched cohort all hash-mismatch — the loader is value-proven,
+    not just "runs" (VERDICT r4 #5)."""
+    import hashlib
     import tempfile
 
     from dataset_grouper_spark import sinks
@@ -1294,12 +1376,24 @@ def q_group_stream(spark: SparkSession, sf: str) -> DataFrame:
     pds = PartitionedDataset(spark, path)
     rows = []
     for cohort_idx, cohort in enumerate(
-        pds.group_stream(shuffle=True, seed=7, batch_groups=2)
+        pds.group_stream(
+            shuffle=True,
+            seed=GS_SEED,
+            batch_groups=GS_BATCH,
+            columns=["event_id", "user_id"],
+        )
     ):
         for gid, pdf in cohort:
-            rows.append((cohort_idx, gid, len(pdf)))
+            checksum = sum(
+                int(
+                    hashlib.md5(f"{e}:{u}".encode()).hexdigest()[:15], 16
+                )
+                % GS_CHECK_MOD
+                for e, u in zip(pdf["event_id"], pdf["user_id"])
+            )
+            rows.append((cohort_idx, gid, len(pdf), checksum))
     return spark.createDataFrame(
-        rows, "cohort: long, group_id: string, n_rows: long"
+        rows, "cohort: long, group_id: string, n_rows: long, checksum: long"
     )
 
 
@@ -1479,71 +1573,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier C — stable, recently-green queries; the tail past position 50
     #            falls out this round and leads tier A next round.
     return {
-        # --- tier A: unverified since r02; tfrecord IO was rewritten in r03
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "partitioned_roundtrip": q_partitioned_roundtrip,
-        "group_stream": q_group_stream,
-        "group_counts_rollup": q_group_counts_rollup,
-        "pipeline_c4_style": q_pipeline_c4_style,
-        "chunk_tokens_documents": q_chunk_tokens_documents,
-        "approx_distinct_users": q_approx_distinct_users,
-        "sessionize_events": q_sessionize_events,
-        "sample_documents": q_sample_documents,
-        "repetition_documents": q_repetition_documents,
-        "json_props_events": q_json_props_events,
-        "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
-        "moving_avg_events": q_moving_avg_events,
-        # --- tier B: code touched in r04 (joins span guard, dedup cap
-        #     plumbing, sessions SQL twin, LSH audit wiring) + new queries
-        "interval_attribution_events": q_interval_attribution_events,
-        "stratified_sample_documents": q_stratified_sample_documents,
-        "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "neardup_clusters_documents": q_neardup_clusters_documents,
-        "incremental_dedup_documents": q_incremental_dedup_documents,
-        "pipeline_ingest_style": q_pipeline_ingest_style,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "dedup_exact_survivors": q_dedup_exact_survivors,
-        "embedding_neardup_clusters": q_embedding_neardup_clusters,
-        "streaming_windowed_counts": q_streaming_windowed_counts,
-        "streaming_session_windows": q_streaming_session_windows,
-        "streaming_stateful_counts": q_streaming_stateful_counts,
-        "streaming_dedup_distinct": q_streaming_dedup_distinct,
-        "multimodal_resize_pixels": q_multimodal_resize_pixels,
-        "multimodal_embed_pixels": q_multimodal_embed_pixels,
-        "pack_sequences_documents": q_pack_sequences_documents,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
-        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-        "ivf_index_topk_embeddings": q_ivf_index_topk_embeddings,
-        # --- tier C: stable, green in r03; tail rotates out this round
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "gopher_quality_documents": q_gopher_quality_documents,
-        "ngram_counts_documents": q_ngram_counts_documents,
-        "key_skew_events": q_key_skew_events,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
-        "salted_join_revenue": q_salted_join_revenue,
-        "simhash_documents": q_simhash_documents,
-        "cosine_topk_embeddings": q_cosine_topk_embeddings,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_image_headers": q_multimodal_image_headers,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "contamination_documents": q_contamination_documents,
-        "pii_redact_documents": q_pii_redact_documents,
-        # ---- position >50 below: rotate to tier A next round ----
-        "url_canonicalize_documents": q_url_canonicalize_documents,
+        # --- tier A: past the cap in r04 (last verified r03) — the 23
+        #     the r4 verdict names. Changed-code first:
+        #     dup_ngram_fraction rides the r4 shingle_df plumbing (and
+        #     this round's validation); asof/funnel/retention/profile
+        #     read events through the r4-rewritten ts-unit path.
+        "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
         "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
-        "vocabulary_documents": q_vocabulary_documents,
         "group_profile_events": q_group_profile_events,
+        "url_canonicalize_documents": q_url_canonicalize_documents,
+        "vocabulary_documents": q_vocabulary_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
         "split_by_group_documents": q_split_by_group_documents,
-        "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
         "text_analysis_documents": q_text_analysis_documents,
         "group_counts_events_by_user": q_group_counts_events_by_user,
         "group_counts_documents_by_source": q_group_counts_documents_by_source,
@@ -1557,6 +1601,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q3_unshipped_orders": q_tpch_q3_unshipped_orders,
+        # --- tier B: code touched in r05 (group_stream value oracle,
+        #     ANN guarded candidate join, PNG pixel decode, streaming
+        #     drain assert, dedup shingle validation, interval fuse)
+        #     plus the new queries
+        "group_stream": q_group_stream,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "multimodal_resize_png": q_multimodal_resize_png,
+        "multimodal_resize_pixels": q_multimodal_resize_pixels,
+        "multimodal_embed_pixels": q_multimodal_embed_pixels,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "ivf_index_topk_embeddings": q_ivf_index_topk_embeddings,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "pipeline_ingest_style": q_pipeline_ingest_style,
+        "interval_attribution_events": q_interval_attribution_events,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "streaming_session_windows": q_streaming_session_windows,
+        "streaming_stateful_counts": q_streaming_stateful_counts,
+        "streaming_dedup_distinct": q_streaming_dedup_distinct,
+        # --- tier C: stable, green in r04; tail rotates out this round
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
+        "group_counts_rollup": q_group_counts_rollup,
+        "pipeline_c4_style": q_pipeline_c4_style,
+        "chunk_tokens_documents": q_chunk_tokens_documents,
+        "approx_distinct_users": q_approx_distinct_users,
+        "sessionize_events": q_sessionize_events,
+        "sample_documents": q_sample_documents,
+        "repetition_documents": q_repetition_documents,
+        "json_props_events": q_json_props_events,
+        "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
+        "moving_avg_events": q_moving_avg_events,
+        # ---- position >50 below (all green in r04): rotate to tier A
+        #      next round ----
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "neardup_clusters_documents": q_neardup_clusters_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
+        "embedding_neardup_clusters": q_embedding_neardup_clusters,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "gopher_quality_documents": q_gopher_quality_documents,
+        "ngram_counts_documents": q_ngram_counts_documents,
+        "key_skew_events": q_key_skew_events,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+        "salted_join_revenue": q_salted_join_revenue,
+        "simhash_documents": q_simhash_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_image_headers": q_multimodal_image_headers,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "contamination_documents": q_contamination_documents,
+        "pii_redact_documents": q_pii_redact_documents,
     }
 
 
@@ -1645,10 +1748,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source AS group_id, doc_id, {DOC_BYTES_SQL} AS sz
                 FROM documents
             ), cum AS (
+                -- mirror cap_prefix's monster pre-filter: rows whose
+                -- individual size meets the limit never enter the window
                 SELECT group_id, doc_id, sz,
                        sum(sz) OVER (PARTITION BY group_id ORDER BY doc_id
                                      ROWS UNBOUNDED PRECEDING) AS cum_sz
-                FROM sized
+                FROM sized WHERE sz < {PACK_LIMIT}
             )
             SELECT group_id, count(*) AS num_examples, CAST(sum(sz) AS BIGINT) AS num_bytes,
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
@@ -2024,6 +2129,40 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l2.l_partkey = p_partkey
               )
         """,
+        # group_stream twin: recompute per-group membership, counts,
+        # the content checksum, and the seeded cohort assignment
+        # (md5(f"{seed}:{gid}") ascending, batches of GS_BATCH) straight
+        # from the raw table — the loader's write+stream round trip must
+        # reproduce all four
+        "group_stream": f"""
+            WITH per_group AS (
+              SELECT CAST(event_type AS VARCHAR) AS group_id,
+                     count(*) AS n_rows,
+                     CAST(sum(
+                       (('0x' || substr(md5(
+                          CAST(event_id AS VARCHAR) || ':' ||
+                          CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+                       % {GS_CHECK_MOD}
+                     ) AS BIGINT) AS checksum
+              FROM events GROUP BY 1
+            )
+            SELECT CAST((row_number() OVER (ORDER BY md5('{GS_SEED}:' || group_id)) - 1)
+                        // {GS_BATCH} AS BIGINT) AS cohort,
+                   group_id, n_rows, checksum
+            FROM per_group
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+              )
+            GROUP BY o_orderpriority
+        """,
         "tpch_q16_supplier_cnt": """
             SELECT p_brand, p_type, p_size,
                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
@@ -2150,6 +2289,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(246 AS INT) AS n_bytes
             FROM px GROUP BY doc_id
         """,
+        "multimodal_resize_png": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     (((x.x * (4 + d.doc_id % 13)) // 8) * 7
+                      + ((y.y * (4 + d.doc_id % 11)) // 8) * 13
+                      + d.doc_id * 3 + c.c * 37) % 256 AS v,
+                     1 + ((y.y * 8 + x.x) * 3 + c.c) % 97 AS wgt
+              FROM documents d,
+                   generate_series(0, 7) y(y),
+                   generate_series(0, 7) x(x),
+                   generate_series(0, 2) c(c)
+            )
+            SELECT doc_id AS id,
+                   CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS pixel_sum,
+                   CAST(sum(v * wgt) AS BIGINT) AS checksum
+            FROM px GROUP BY doc_id
+        """,
         "embedding_cosine_pairs": f"""
             WITH n AS (
               SELECT vec_id AS _id,
@@ -2168,9 +2326,10 @@ def oracle_sql() -> dict[str, str]:
         # partitioned_roundtrip / tfrecord_roundtrip / group_stream:
         # filesystem-lifecycle operators: the side effects are not
         # SQL-expressible, but the read-back RESULTS are — the roundtrip
-        # must preserve per-group example counts exactly. (group_stream
-        # stays rows-only: cohort order comes from a seeded Python
-        # shuffle; approx_distinct is an engine-specific sketch.)
+        # must preserve per-group counts/content exactly (group_stream's
+        # seeded shuffle is md5-derived, so even its cohort order has a
+        # SQL twin; only approx_distinct remains rows-only — an
+        # engine-specific sketch has no DuckDB twin).
         "tfrecord_roundtrip": """
             SELECT CAST(count(*) AS BIGINT) AS examples_in_group
             FROM documents GROUP BY source

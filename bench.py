@@ -5,6 +5,14 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is executed to completion (count() materializes the whole
 plan) and timed wall-clock after a warm-up of the session. The value is
 the summed per-query seconds.
+
+Queries run in FIXED alphabetical order, independent of the
+queries() dict order: the dict rotates every round for the
+correctness-oracle cap, and letting that rotation reorder the bench
+shifts which query pays residual session state (JIT, shuffle-file
+cache, GC pressure) — r4's "2.7x regression" on byte-identical
+gopher_quality_documents was exactly this attribution artifact.
+Pinned order makes per-query numbers comparable across rounds.
 """
 
 from __future__ import annotations
@@ -42,7 +50,7 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in sorted(entrymod.queries().items()):
         t0 = time.perf_counter()
         # noop sink materializes EVERY output column (count() would let
         # Catalyst prune the projections we're trying to measure).

@@ -25,9 +25,9 @@ Scale notes:
   per-group write — one shuffle total, same as the reference's single
   CombinePerKey shuffle.
 - Giant skewed groups: the window itself must sort each group;
-  AQE skew handling does not split windows, but the filter is a
-  running sum — for the pathological case, pre-filtering rows whose
-  per-row size exceeds the limit avoids useless sorting of monsters.
+  AQE skew handling does not split windows, but rows whose individual
+  size meets the limit ARE pre-filtered before the sort (see
+  ``cap_prefix``), so one monster row never inflates the window input.
 """
 
 from __future__ import annotations
@@ -52,6 +52,17 @@ def cap_prefix(
     """Keep, per group, the maximal ordered prefix with running byte sum
     strictly below ``limit``. Adds ``_cum_bytes`` (inclusive) and
     filters; drops helper columns on the way out.
+
+    Rows whose INDIVIDUAL size already meets the limit are excluded
+    BEFORE the window (a plain pushed-down filter, upstream of the
+    sort-shuffle): such a row can never be admitted — its inclusive
+    running sum is >= limit wherever it lands — and pre-filtering keeps
+    a single monster row from (a) inflating the per-group window sort
+    and (b) vetoing every row ordered after it. The semantics are thus
+    "maximal prefix over admissible rows", mirrored verbatim in the
+    SQL oracle twin. Use :func:`oversized_rows` for the audit stream
+    of what was excluded (count it, alert on it — silently vanishing
+    monsters are how quota bugs hide).
     """
     w = (
         Window.partitionBy(group_col)
@@ -60,9 +71,31 @@ def cap_prefix(
     )
     return (
         df.withColumn("_sz", size_col.cast("long"))
+        .filter(F.col("_sz") < F.lit(limit))
         .withColumn("_cum_bytes", F.sum("_sz").over(w))
         .filter(F.col("_cum_bytes") < F.lit(limit))
         .drop("_sz", "_cum_bytes")
+    )
+
+
+def oversized_rows(
+    df: DataFrame,
+    size_col: Column,
+    limit: int = BYTES_LIMIT,
+    group_col: str = keys.GROUP_COL,
+) -> DataFrame:
+    """The audit twin of :func:`cap_prefix`'s monster pre-filter:
+    (group_id, n_oversized, oversized_bytes) for rows whose individual
+    size meets ``limit`` — the rows cap_prefix excludes before its
+    window sort. Zero-join, one partial-aggregated pass."""
+    return (
+        df.withColumn("_sz", size_col.cast("long"))
+        .filter(F.col("_sz") >= F.lit(limit))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_oversized"),
+            F.sum("_sz").alias("oversized_bytes"),
+        )
     )
 
 

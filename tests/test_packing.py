@@ -71,3 +71,48 @@ def test_pack_groups_cap_drops_tail(spark):
     out = packing.pack_groups(df, keys.by_feature("k"), "ord", limit=40)
     row = out.collect()[0]
     assert row.num_examples == 2
+
+
+def test_monster_row_prefiltered_not_prefix_veto(spark):
+    # a row whose individual size meets the limit can never be admitted;
+    # it is excluded BEFORE the window, so rows ordered after it still
+    # get the budget (prefix over admissible rows), and the audit twin
+    # reports exactly what was excluded
+    rows = [
+        ("g", b"aa", 0),        # 2
+        ("g", b"x" * 50, 1),    # monster: 50 >= limit 10
+        ("g", b"bb", 2),        # 2
+        ("g", b"cc", 3),        # 2
+        ("h", b"dd", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "group_id: string, payload: binary, ord: long"
+    )
+    size = F.octet_length("payload").cast("long")
+    got = kept(df, 10)
+    assert got == {"g": [b"aa", b"bb", b"cc"], "h": [b"dd"]}
+    audit = {
+        r.group_id: (r.n_oversized, r.oversized_bytes)
+        for r in packing.oversized_rows(df, size, 10).collect()
+    }
+    assert audit == {"g": (1, 50)}
+
+
+def test_monster_prefilter_runs_below_window_sort(spark):
+    # the _sz >= limit exclusion must be a plain filter UPSTREAM of the
+    # window's sort+exchange — tree text is parent-first, so the
+    # pre-filter appears after (deeper than) the Window/Sort nodes
+    from dataset_grouper_spark.plans import plan_text
+
+    df = spark.createDataFrame(
+        [("g", b"aa", 0)], "group_id: string, payload: binary, ord: long"
+    )
+    capped = packing.cap_prefix(
+        df, "ord", F.octet_length("payload").cast("long"), 10
+    )
+    txt = plan_text(capped, "simple")
+    win = txt.index("Window")
+    assert "Sort" in txt
+    # a filter mentioning the size bound sits deeper than the window
+    below = txt[win:]
+    assert "< 10" in below and "Filter" in below

@@ -1,8 +1,9 @@
 """Randomized cap-semantics check: the Spark window formulation must
 agree with a direct Python model of the deterministic prefix rule
-(keep row iff inclusive running byte sum < limit, in ord order) for
-arbitrary sizes/limits/groupings. 50 seeded random cases, batched into
-one DataFrame per limit so the whole sweep costs a handful of jobs."""
+(drop rows whose individual size meets the limit, then keep row iff
+inclusive running byte sum < limit, in ord order) for arbitrary
+sizes/limits/groupings. 50 seeded random cases, batched into one
+DataFrame per limit so the whole sweep costs a handful of jobs."""
 
 import random
 
@@ -15,6 +16,8 @@ def python_model(rows, limit):
     kept = set()
     by_group = {}
     for g, o, s in rows:
+        if s >= limit:  # monster pre-filter: never admissible
+            continue
         by_group.setdefault(g, []).append((o, s))
     for g, items in by_group.items():
         acc = 0

@@ -146,3 +146,21 @@ def test_q16_anti_join_is_broadcast(spark):
     # 2 shuffles (two-phase distinct agg) + 2 broadcast exchanges;
     # no other data movement
     assert count_exchanges(df) <= 4
+
+
+def test_q4_exists_is_left_semi_probe_unaggregated(spark):
+    df = e.q_tpch_q4_order_priority(spark, SF)
+    txt = plan_text(df, "simple")
+    assert_no_cartesian(df)
+    # EXISTS must plan as a LeftSemi join — never an aggregate/distinct
+    # on the probe side before the join (the count groups after it)
+    assert "LeftSemi" in txt
+    semi_pos = txt.index("LeftSemi")
+    # pushed date filters reach both scans
+    fmt = plan_text(df, "formatted")
+    assert "o_orderdate" in fmt and "l_shipdate" in fmt
+    # only the post-semi group-by aggregates; nothing aggregates either
+    # join input (tree text is parent-first: the join's inputs print
+    # AFTER the join line, the final two-phase count before it)
+    assert txt[semi_pos:].count("HashAggregate") == 0
+    assert txt[:semi_pos].count("HashAggregate") == 2

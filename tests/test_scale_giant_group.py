@@ -47,3 +47,30 @@ def test_two_gb_single_group_cap_prefix_completes(spark):
     # boundary exactness: the last kept row is the prefix edge
     top = capped.agg(F.max("id").alias("m")).collect()[0].m
     assert top == expected - 1
+
+
+@pytest.mark.slow
+def test_giant_group_monster_row_skipped_not_veto(spark):
+    # one row bigger than the whole cap at ord 0 in a multi-million-row
+    # group: the pre-filter must exclude it BEFORE the window sort, so
+    # the admissible prefix after it survives. Under pure prefix
+    # semantics (pre-r5) the monster's running sum vetoed every later
+    # row — this asserted 0 rows then, and the exact prefix now.
+    monster_sz = 10_000
+    limit = 1_000
+    row_sz = 100
+    n = 2_200_000
+    df = (
+        spark.range(n)
+        .withColumn(keys.GROUP_COL, F.lit("giant"))
+        .withColumn(
+            "sz",
+            F.when(F.col("id") == 0, F.lit(monster_sz)).otherwise(
+                F.lit(row_sz)
+            ),
+        )
+    )
+    capped = cap_prefix(df, "id", F.col("sz"), limit=limit)
+    # admissible rows are ids 1..n at 100 bytes; running sum k*100 < 1000
+    kept = capped.select("id").collect()
+    assert sorted(r.id for r in kept) == list(range(1, 10))

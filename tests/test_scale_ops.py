@@ -244,3 +244,92 @@ def test_streaming_windowed_counts_at_16x(spark, tmp_path):
         for r in got.select("time_window", "group_id", "num_examples").collect()
     }
     assert actual == expected and actual
+
+
+@pytest.mark.slow
+def test_streaming_session_windows_at_16x_hot_user(spark, tmp_path):
+    # 1.6M events with ONE manufactured hot user holding ~20% of all
+    # rows, through the streaming session-window path: state-store skew
+    # must not break append-mode emission — results equal the batch
+    # session_window twin, and the state operator's row count stays
+    # bounded by the session count, not the event count
+    from dataset_grouper_spark import keys
+    from dataset_grouper_spark.streaming import session_group_counts
+
+    ev = _replicate(
+        read_table(spark, SF, "events"), 16, "event_id", 10_000_000
+    ).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    src = str(tmp_path / "events_hot")
+    ev.write.parquet(src)
+    batch = spark.read.parquet(src)
+    assert (
+        batch.filter("user_id = 1").count() / batch.count() >= 0.2
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    tsc = "timestamp_micros(CAST(ts DIV 1000 AS LONG))"
+    out = session_group_counts(
+        stream.withColumn("_tsc", F.expr(tsc)),
+        keys.by_feature("user_id"),
+        "_tsc",
+        gap="30 minutes",
+        watermark="1 hour",
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "drain timed out"
+    state_rows = max(
+        (
+            so["numRowsTotal"]
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        ),
+        default=0,
+    )
+    got = spark.read.parquet(sink)
+    # batch twin: session_window works in batch groupBy too; append
+    # mode emits sessions fully below the final watermark
+    bt = (
+        batch.withColumn("_tsc", F.expr(tsc))
+        .groupBy(
+            F.col("user_id").cast("string").alias("group_id"),
+            F.session_window(F.col("_tsc"), "30 minutes").alias("session"),
+        )
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+    )
+    wm = batch.agg(
+        F.expr(f"max({tsc}) - INTERVAL 1 HOUR").alias("w")
+    ).collect()[0].w
+    all_sessions = {
+        (r.group_id, r.session.start, r.session.end): r.num_examples
+        for r in bt.collect()
+    }
+    expected = {
+        k: v for k, v in all_sessions.items() if k[2] <= wm
+    }
+    actual = {
+        (r.group_id, r.session.start, r.session.end): r.num_examples
+        for r in got.select("group_id", "session", "num_examples").collect()
+    }
+    assert actual == expected and actual
+    # the hot user's dense 320k events merge into session(s) — a
+    # mega-session still open at the final watermark stays IN STATE
+    # (append mode holds it back), which is precisely the skew shape:
+    # it must exist in the batch twin and must not have blown up state
+    hot_sessions = [k for k in all_sessions if k[0] == "1"]
+    assert hot_sessions
+    # state scales with the session count, never the event count
+    n_sessions = len(all_sessions)
+    assert 0 < state_rows <= n_sessions * 4 + 1000
+    assert state_rows < 100_000  # 1.6M events, sessions only

@@ -24,6 +24,7 @@ Two consumption modes:
 from __future__ import annotations
 
 import hashlib
+import itertools
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -32,6 +33,9 @@ from pyspark.sql import functions as F
 
 from dataset_grouper_spark import keys
 from dataset_grouper_spark.sinks import BUCKET_COL, DATA_DIR, GROUP_INDEX_DIR
+
+# sentinel distinct from None: a NULL-key group's id IS None
+_NO_MORE = object()
 
 
 def _shuffle_rank(group_id: str, seed: int) -> str:
@@ -137,6 +141,7 @@ class PartitionedDataset:
         take: int | None = None,
         batch_groups: int = 1,
         columns: list[str] | None = None,
+        prefetch: int = 0,
     ) -> Iterator[list[tuple[str, pd.DataFrame]]]:
         """Stream of cohorts of (group_id, pandas DataFrame).
 
@@ -147,20 +152,53 @@ class PartitionedDataset:
         ``columns`` projects the per-group frames — the projection
         reaches the Parquet scan, so consumers that only need metadata
         never pay for the wide columns.
+
+        ``prefetch`` overlaps the next N groups' pruned reads with the
+        consumer's work (the reference's ``num_parallel_reads``
+        interleave, data_loaders.py:86-121, re-expressed as pipelined
+        Spark jobs: submission is thread-safe, each fetch is its own
+        job). Yield ORDER IS UNCHANGED — futures resolve in submission
+        order — so shuffle/seed/skip determinism and the value oracle
+        hold for every prefetch setting. A training loop spending t_c
+        per group on model work hides min(t_read, t_c) per group.
         """
         ids = self.list_groups(shuffle=shuffle, seed=seed)
         ids = ids[skip:]
         if take is not None:
             ids = ids[:take]
-        cohort: list[tuple[str, pd.DataFrame]] = []
-        for gid in ids:
+
+        def fetch(gid: str | None) -> tuple[str | None, pd.DataFrame]:
             g = self.group(gid).drop(keys.GROUP_COL, BUCKET_COL)
             if columns is not None:
                 g = g.select(*columns)
-            cohort.append((gid, g.toPandas()))
-            if len(cohort) == batch_groups:
-                yield cohort
-                cohort = []
+            return gid, g.toPandas()
+
+        cohort: list[tuple[str, pd.DataFrame]] = []
+        if prefetch > 0:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            it = iter(ids)
+            with ThreadPoolExecutor(max_workers=prefetch) as ex:
+                pending = deque(
+                    ex.submit(fetch, gid)
+                    for gid in itertools.islice(it, prefetch)
+                )
+                while pending:
+                    got = pending.popleft().result()
+                    nxt = next(it, _NO_MORE)
+                    if nxt is not _NO_MORE:
+                        pending.append(ex.submit(fetch, nxt))
+                    cohort.append(got)
+                    if len(cohort) == batch_groups:
+                        yield cohort
+                        cohort = []
+        else:
+            for gid in ids:
+                cohort.append(fetch(gid))
+                if len(cohort) == batch_groups:
+                    yield cohort
+                    cohort = []
         if cohort:
             yield cohort
 

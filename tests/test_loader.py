@@ -150,3 +150,45 @@ def test_null_group_key_roundtrip(spark, tmp_path):
         assert ds.group("u1").count() == 2
         got = {gid: len(pdf) for gid, pdf in ds.iter_groups_bulk()}
         assert got == {"u1": 2, None: 1}
+        # the NULL group streams under prefetch too (the sentinel that
+        # drives the pipeline must not collide with a None group id)
+        streamed = {
+            gid: len(pdf)
+            for c in ds.group_stream(prefetch=2)
+            for gid, pdf in c
+        }
+        assert streamed == {"u1": 2, None: 1}
+
+
+def test_group_stream_prefetch_identical_to_serial(spark, written):
+    # prefetch pipelines the pruned reads but must not change the yield
+    # order, cohort boundaries, or frame content — for any prefetch
+    # depth, including one exceeding the group count
+    pds = PartitionedDataset(spark, written)
+
+    def consume(**kw):
+        return [
+            (gid, len(pdf), sorted(pdf.columns))
+            for c in pds.group_stream(
+                shuffle=True, seed=7, batch_groups=3, **kw
+            )
+            for gid, pdf in c
+        ]
+
+    serial = consume()
+    assert serial == consume(prefetch=2)
+    assert serial == consume(prefetch=64)
+    # cohort shapes preserved under prefetch
+    shapes = [
+        len(c)
+        for c in pds.group_stream(shuffle=True, seed=7, batch_groups=3, prefetch=3)
+    ]
+    assert shapes == [3, 3, 3, 1]
+    # skip/take compose with prefetch
+    assert consume(prefetch=2)[6:] == [
+        (gid, len(pdf), sorted(pdf.columns))
+        for c in pds.group_stream(
+            shuffle=True, seed=7, batch_groups=3, skip=6, prefetch=2
+        )
+        for gid, pdf in c
+    ]

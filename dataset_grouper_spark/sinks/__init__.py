@@ -40,6 +40,25 @@ def bucket_expr(num_buckets: int) -> Column:
     )
 
 
+def _write_index(
+    written: DataFrame, path: str, layout: str, num_buckets: int
+) -> None:
+    """The sidecar group index (group listing + sizes + layout
+    descriptor), computed from the written data in one pass."""
+    written = written.withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
+    (
+        written.groupBy(keys.GROUP_COL)
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+        .withColumn("layout", F.lit(layout))
+        .withColumn("num_buckets", F.lit(num_buckets))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{GROUP_INDEX_DIR}")
+    )
+
+
 def append_partitioned(
     df: DataFrame,
     key: Column,
@@ -49,7 +68,9 @@ def append_partitioned(
     """Incrementally add rows to an existing partitioned dataset
     (directory layout): append the new rows under their group
     directories and rebuild the sidecar index. Existing data files are
-    untouched — growth is O(new data) plus one index pass.
+    untouched — growth is O(new data) plus one index pass. Every append
+    adds at least one file per touched group, so periodically run
+    :func:`compact_partitioned` to restore bounded file counts.
     """
     keyed = keys.with_group_key(df, key)
     data_path = f"{path}/{DATA_DIR}"
@@ -65,18 +86,99 @@ def append_partitioned(
         # write_partitioned's empty-input fallback)
         keyed.limit(0).write.mode("overwrite").parquet(data_path)
         written = spark.read.parquet(data_path)
-    written = written.withColumn(
+    _write_index(written, path, "partitioned", 0)
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    order_col: str | None = None,
+) -> dict:
+    """Rewrite a ``partitioned``-layout dataset so every group holds
+    ``ceil(rows / target_rows_per_file)`` right-sized files — the
+    small-files remedy after many :func:`append_partitioned` rounds
+    (each append adds >= 1 file per touched group; a year of hourly
+    appends is ~9k files per group, and at 100 TB the NameNode/object
+    listing and per-file open costs dominate the actual read).
+
+    One distributed job: per-group contiguous file ranges come from a
+    row-number window over ``order_col`` (arbitrary-but-valid order
+    when None), so the rewrite both merges small files AND restores
+    row-group stat locality. The rewrite lands in a sibling temp dir,
+    then swaps in (delete + rename) — crash before the swap leaves the
+    dataset untouched; production object stores would commit the swap
+    via a metastore pointer instead. Returns
+    ``{"files_before", "files_after", "groups", "rows"}``.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    data_path = f"{path}/{DATA_DIR}"
+    meta = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").first()
+    if meta is not None and meta.layout != "partitioned":
+        raise ValueError(
+            "compact_partitioned handles layout='partitioned'; the "
+            "bucketed layout is already file-bounded by construction — "
+            "rewrite it with write_partitioned(layout='bucketed')"
+        )
+    df = spark.read.parquet(data_path).withColumn(
         keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
     )
-    (
-        written.groupBy(keys.GROUP_COL)
-        .agg(F.count(F.lit(1)).alias("num_examples"))
-        .withColumn("layout", F.lit("partitioned"))
-        .withColumn("num_buckets", F.lit(0))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/{GROUP_INDEX_DIR}")
+    files_before = (
+        df.select(F.input_file_name().alias("f")).distinct().count()
     )
+    ordc = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    w = Window.partitionBy(keys.GROUP_COL).orderBy(ordc)
+    target = max(1, int(target_rows_per_file))
+    out = (
+        df.withColumn(
+            "_subfile",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(target)).cast(
+                "int"
+            ),
+        )
+        .repartition(F.col(keys.GROUP_COL), F.col("_subfile"))
+        .drop("_subfile")
+    )
+    if order_col:
+        out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
+    tmp_path = f"{path}/{DATA_DIR}_compacting"
+    # _subfile parallelizes a giant group's rewrite across tasks;
+    # maxRecordsPerFile enforces the per-file bound even when several
+    # subfile chunks of one group hash into the same task (the writer
+    # rolls files at the target, so files-per-group stays exactly
+    # ceil(rows/target) either way)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target)
+        .partitionBy(keys.GROUP_COL)
+        .parquet(tmp_path)
+    )
+    shutil.rmtree(data_path)
+    shutil.move(tmp_path, data_path)
+    written = spark.read.parquet(data_path).withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
+    _write_index(written, path, "partitioned", 0)
+    stats = (
+        written.select(
+            F.input_file_name().alias("_f"), F.col(keys.GROUP_COL)
+        )
+        .agg(
+            F.countDistinct("_f").alias("nf"),
+            F.countDistinct(keys.GROUP_COL).alias("ng"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        .first()
+    )
+    return {
+        "files_before": files_before,
+        "files_after": stats.nf,
+        "groups": stats.ng,
+        "rows": stats.nr,
+    }
 
 
 def write_partitioned(
@@ -155,18 +257,6 @@ def write_partitioned(
             empty = empty.withColumn(BUCKET_COL, bucket_expr(num_buckets))
         empty.limit(0).write.mode("overwrite").parquet(data_path)
         written = spark.read.parquet(data_path)
-    written = written.withColumn(
-        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
-    )
-    (
-        written.groupBy(keys.GROUP_COL)
-        .agg(F.count(F.lit(1)).alias("num_examples"))
-        .withColumn("layout", F.lit(layout))
-        .withColumn(
-            "num_buckets",
-            F.lit(num_buckets if layout == "bucketed" else 0),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/{GROUP_INDEX_DIR}")
+    _write_index(
+        written, path, layout, num_buckets if layout == "bucketed" else 0
     )

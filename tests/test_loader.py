@@ -192,3 +192,44 @@ def test_group_stream_prefetch_identical_to_serial(spark, written):
         )
         for gid, pdf in c
     ]
+
+
+def test_compact_partitioned_merges_append_fragments(spark, tmp_path):
+    # three appends fragment each group dir into >=3 files; compaction
+    # collapses to ceil(rows/target) per group, preserves every row and
+    # the index, and splits a big group into multiple bounded files
+    path = str(tmp_path / "frag")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"g{i % 3}", f"t{i}") for i in range(lo, hi)],
+        "id: long, k: string, text: string",
+    )
+    sinks.write_partitioned(mk(0, 30), keys.by_feature("k"), path, order_col="id")
+    sinks.append_partitioned(mk(30, 60), keys.by_feature("k"), path, order_col="id")
+    sinks.append_partitioned(mk(60, 90), keys.by_feature("k"), path, order_col="id")
+    pds = PartitionedDataset(spark, path)
+    before = {r.group_id: r.num_examples for r in pds.group_index().collect()}
+    assert before == {"g0": 30, "g1": 30, "g2": 30}
+    rows_before = {
+        (r.id, r.group_id) for r in pds.dataframe().collect()
+    }
+    stats = sinks.compact_partitioned(spark, path, target_rows_per_file=20, order_col="id")
+    assert stats["files_before"] >= 9  # 3 groups x 3 writes
+    # ceil(30/20) = 2 files per group
+    assert stats["files_after"] == 6
+    assert stats["groups"] == 3 and stats["rows"] == 90
+    pds2 = PartitionedDataset(spark, path)
+    assert {
+        r.group_id: r.num_examples for r in pds2.group_index().collect()
+    } == before
+    assert {
+        (r.id, r.group_id) for r in pds2.dataframe().collect()
+    } == rows_before
+    # pruned single-group read still works post-compaction
+    assert pds2.group("g1").count() == 30
+    # bucketed layout refuses (already file-bounded)
+    bpath = str(tmp_path / "bucketed")
+    sinks.write_partitioned(
+        mk(0, 30), keys.by_feature("k"), bpath, layout="bucketed", num_buckets=4
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        sinks.compact_partitioned(spark, bpath)

@@ -61,13 +61,31 @@ def cosine_topk(
     query_id_col: str,
     k: int = 10,
     round_digits: int = 6,
+    max_broadcast_queries: int = 65536,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cosine, rank), rank 1..k, cosine
-    rounded for stable comparison, ties broken by neighbor id. Queries
-    are broadcast — never shuffle the corpus to meet them.
+    rounded for stable comparison, ties broken by neighbor id. Small
+    query sets are broadcast — the corpus is never shuffled to meet
+    them; above ``max_broadcast_queries`` the call reroutes to
+    :func:`cosine_topk_blocked` (numerically identical results,
+    asserted in tests), so no caller can broadcast an unbounded query
+    frame by accident.
     """
+    # guard in ONE bounded job (the limit(cap+1) idiom)
+    n_q = queries.select(query_id_col).limit(max_broadcast_queries + 1).count()
+    if n_q > max_broadcast_queries:
+        return cosine_topk_blocked(
+            corpus,
+            queries,
+            vec_col,
+            id_col,
+            query_id_col,
+            k=k,
+            round_digits=round_digits,
+            max_collect_queries=max_broadcast_queries,
+        )
     c = with_norm(corpus, vec_col, "_cn").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_cn"
     )

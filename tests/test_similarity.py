@@ -459,3 +459,20 @@ def test_ivf_disk_index_matches_flat_and_prunes(vecs, tmp_path):
         ).collect()
     }
     assert kr == kg
+
+
+def test_cosine_topk_large_q_reroutes_to_blocked(vecs, no_auto_broadcast):
+    # above max_broadcast_queries the exact path must hand off to the
+    # blocked/tiled variant instead of broadcasting an unbounded query
+    # frame; results stay identical
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") < 4)
+    small = similarity.cosine_topk(df, qs, "embedding", "vec_id", "vec_id", k=5)
+    large = similarity.cosine_topk(
+        df, qs, "embedding", "vec_id", "vec_id", k=5, max_broadcast_queries=2
+    )
+    ks = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in small.collect()}
+    kl = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in large.collect()}
+    assert ks == kl and ks
+    # the rerouted plan never broadcast-joins the raw query frame
+    assert "BroadcastHashJoin" not in _plan(large)

@@ -1154,6 +1154,57 @@ def q_streaming_dedup_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(outdir)
 
 
+def q_streaming_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STREAM interval attribution: purchases and clicks as two
+    watermarked streams, inner-joined on user with the click bounded to
+    the hour after the purchase — the streaming twin of
+    q_interval_attribution_events (same oracle rows). The time-range
+    predicate is what lets Spark age out join state (an anchor older
+    than watermark+window can never match); inner joins emit eagerly,
+    so the availableNow drain reproduces the batch join exactly."""
+    import tempfile
+
+    from dataset_grouper_spark.sources import read_events_stream
+    from dataset_grouper_spark.streaming.joins import (
+        stream_interval_attribution,
+    )
+
+    stream = read_events_stream(spark, sf).withColumn(
+        "_tsc", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    purchases = stream.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("_tsc").alias("t_purchase"),
+    )
+    clicks = stream.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("_tsc").alias("t_click"),
+    )
+    out = stream_interval_attribution(
+        purchases,
+        clicks,
+        ["user_id"],
+        "t_purchase",
+        "t_click",
+        window="1 hour",
+        watermark="1 hour",
+    ).select("user_id", "purchase_id", "click_id")
+    outdir = tempfile.mkdtemp(prefix="sat_out_")
+    ckpt = tempfile.mkdtemp(prefix="sat_ck_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_stream(q)
+    return spark.read.parquet(outdir)
+
+
 def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
     """REAL pixel-level resize, oracled in closed form: synthesize a
     gradient BMP per doc (value at (y,x,c) = (x*7 + y*13 + 3*doc_id +
@@ -1620,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_windows": q_streaming_session_windows,
         "streaming_stateful_counts": q_streaming_stateful_counts,
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
+        "streaming_attribution_events": q_streaming_attribution_events,
         # --- tier C: stable, green in r04; tail rotates out this round
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -2006,6 +2058,16 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id"
         ),
         "interval_attribution_events": f"""
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   c.event_id AS click_id
+            FROM events p JOIN events c ON p.user_id = c.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND epoch_ns(c.ts) >= epoch_ns(p.ts)
+              AND epoch_ns(c.ts) <= epoch_ns(p.ts) + {ATTR_WINDOW_NS}
+        """,
+        # stream-stream twin: the eager inner join over a fully-drained
+        # finite source must equal the batch interval join exactly
+        "streaming_attribution_events": f"""
             SELECT p.user_id, p.event_id AS purchase_id,
                    c.event_id AS click_id
             FROM events p JOIN events c ON p.user_id = c.user_id

@@ -11,9 +11,11 @@ from dataset_grouper_spark.streaming.group_counts import (
     streaming_group_counts,
     windowed_group_counts,
 )
+from dataset_grouper_spark.streaming.joins import stream_interval_attribution
 
 __all__ = [
     "streaming_group_counts",
     "windowed_group_counts",
     "session_group_counts",
+    "stream_interval_attribution",
 ]

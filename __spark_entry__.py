@@ -1432,6 +1432,7 @@ def q_group_stream(spark: SparkSession, sf: str) -> DataFrame:
             seed=GS_SEED,
             batch_groups=GS_BATCH,
             columns=["event_id", "user_id"],
+            prefetch=2,  # order-preserving pipelined reads (tested)
         )
     ):
         for gid, pdf in cohort:

@@ -31,11 +31,12 @@ def stream_interval_attribution(
     event_ts: str,
     window: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``events`` rows to ``anchors`` rows sharing the
-    ``on`` keys with ``event_ts`` in ``[anchor_ts, anchor_ts +
-    window]`` (inclusive — same bounds as the batch
-    ``interval_join`` attribution).
+    """Join ``events`` rows to ``anchors`` rows sharing the ``on``
+    keys with ``event_ts`` in ``[anchor_ts, anchor_ts + window]``
+    (inclusive — same bounds as the batch ``interval_join``
+    attribution).
 
     Both inputs must be streaming DataFrames whose ``anchor_ts`` /
     ``event_ts`` columns are TimestampType event time; both get
@@ -44,9 +45,21 @@ def stream_interval_attribution(
     (watermark + window) can never match a future event and is
     dropped from the state store.
 
+    ``how='inner'`` emits matches eagerly. ``how='left_outer'`` also
+    emits every unmatched anchor with NULL event columns — but only
+    once the watermark proves no future event can match it, so outer
+    rows for anchors newer than (final watermark - window) are still
+    held in state when a finite drain ends: an oracle over a drained
+    source must filter its expected unmatched set accordingly.
+
     Returns all anchor columns + all event columns (names must be
     disjoint apart from ``on``).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            "stream_interval_attribution supports how='inner' or "
+            "'left_outer'"
+        )
     overlap = (set(anchors.columns) & set(events.columns)) - set(on)
     if overlap:
         raise ValueError(
@@ -62,7 +75,7 @@ def stream_interval_attribution(
         & (e[event_ts] >= a[anchor_ts])
         & (e[event_ts] <= a[anchor_ts] + F.expr(f"INTERVAL {window}"))
     )
-    joined = a.join(e, cond, "inner")
+    joined = a.join(e, cond, how)
     # drop the duplicated key columns from the event side
     for k in on:
         joined = joined.drop(e[k])

@@ -88,3 +88,72 @@ def test_stream_interval_join_rejects_column_overlap(spark, tmp_path):
         "t2", _ts("t")).drop("t")
     with pytest.raises(ValueError, match="disjoint"):
         stream_interval_attribution(s1, s2, ["user_id"], "t1", "t2")
+
+
+def test_stream_interval_join_left_outer_emits_proven_nonmatches(
+    spark, tmp_path
+):
+    # left outer: unmatched anchors emit NULL event columns, but only
+    # once the watermark proves nothing can match them — anchors newer
+    # than (final watermark - window) stay in state at drain end
+    anchors = [
+        (1, 10, BASE),               # will match
+        (1, 11, BASE + 50 * US),     # no event in [50, 80] -> outer row
+        (2, 12, BASE + 500 * US),    # near stream end: watermark never
+                                     # proves it unmatched -> held back
+    ]
+    events = [
+        (1, 20, BASE + 5 * US),      # matches anchor 10
+        (1, 21, BASE + 200 * US),    # outside both windows
+        (2, 22, BASE + 520 * US),    # matches anchor 12
+        (1, 23, BASE + 600 * US),    # advances the event watermark
+    ]
+    adf = spark.createDataFrame(anchors, "user_id: long, anchor_id: long, t_a: long")
+    edf = spark.createDataFrame(events, "user_id: long, event_id: long, t_e: long")
+    asrc, esrc = str(tmp_path / "a"), str(tmp_path / "e")
+    adf.coalesce(1).write.parquet(asrc)
+    edf.coalesce(1).write.parquet(esrc)
+    astream = (
+        spark.readStream.schema(adf.schema).parquet(asrc)
+        .withColumn("t_anchor", _ts("t_a")).drop("t_a")
+    )
+    estream = (
+        spark.readStream.schema(edf.schema).parquet(esrc)
+        .withColumn("t_event", _ts("t_e")).drop("t_e")
+    )
+    out = stream_interval_attribution(
+        astream, estream, ["user_id"], "t_anchor", "t_event",
+        window="30 seconds", watermark="10 seconds", how="left_outer",
+    ).select("user_id", "anchor_id", "event_id")
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "drain timed out"
+    got = {
+        (r.user_id, r.anchor_id, r.event_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # matches emit as in the inner join; anchor 11's non-match is
+    # provable (watermark = 600s-10s >> 50+30s) and emits with NULL;
+    # anchor 12 matched, so no outer row for it
+    assert got == {(1, 10, 20), (1, 11, None), (2, 12, 22)}
+
+
+def test_stream_interval_join_rejects_bad_how(spark, tmp_path):
+    df = spark.createDataFrame([(1, 0)], "user_id: long, t: long")
+    src = str(tmp_path / "s2")
+    df.write.parquet(src)
+    s1 = spark.readStream.schema(df.schema).parquet(src).withColumn(
+        "t1", _ts("t")).drop("t")
+    s2 = spark.readStream.schema(df.schema).parquet(src).withColumn(
+        "t2", _ts("t")).drop("t")
+    with pytest.raises(ValueError, match="left_outer"):
+        stream_interval_attribution(
+            s1, s2, ["user_id"], "t1", "t2", how="full"
+        )

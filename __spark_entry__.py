@@ -1205,6 +1205,58 @@ def q_streaming_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(outdir)
 
 
+def q_streaming_attribution_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT-OUTER stream-stream attribution: every purchase emits —
+    matched ones with their in-window clicks, unmatched ones with a
+    NULL click once the watermark PROVES no click can ever match
+    (purchase time + window < final watermark, empirically pinned and
+    mirrored in the oracle; purchases newer than that stay in state at
+    drain end, exactly as an unbounded run would hold them). The
+    late-data-correctness twin of q_streaming_attribution_events."""
+    import tempfile
+
+    from dataset_grouper_spark.sources import read_events_stream
+    from dataset_grouper_spark.streaming.joins import (
+        stream_interval_attribution,
+    )
+
+    stream = read_events_stream(spark, sf).withColumn(
+        "_tsc", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    purchases = stream.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("_tsc").alias("t_purchase"),
+    )
+    clicks = stream.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("_tsc").alias("t_click"),
+    )
+    out = stream_interval_attribution(
+        purchases,
+        clicks,
+        ["user_id"],
+        "t_purchase",
+        "t_click",
+        window="1 hour",
+        watermark="1 hour",
+        how="left_outer",
+    ).select("user_id", "purchase_id", "click_id")
+    outdir = tempfile.mkdtemp(prefix="sao_out_")
+    ckpt = tempfile.mkdtemp(prefix="sao_ck_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_stream(q)
+    return spark.read.parquet(outdir)
+
+
 def q_multimodal_resize_pixels(spark: SparkSession, sf: str) -> DataFrame:
     """REAL pixel-level resize, oracled in closed form: synthesize a
     gradient BMP per doc (value at (y,x,c) = (x*7 + y*13 + 3*doc_id +
@@ -1673,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counts": q_streaming_stateful_counts,
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "streaming_attribution_events": q_streaming_attribution_events,
+        "streaming_attribution_outer": q_streaming_attribution_outer,
         # --- tier C: stable, green in r04; tail rotates out this round
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -2075,6 +2128,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
               AND epoch_ns(c.ts) >= epoch_ns(p.ts)
               AND epoch_ns(c.ts) <= epoch_ns(p.ts) + {ATTR_WINDOW_NS}
+        """,
+        # left-outer twin: unmatched purchases emit a NULL click only
+        # once provably unmatchable — purchase + window strictly below
+        # the final watermark min(max purchase, max click) - delay
+        "streaming_attribution_outer": f"""
+            WITH p AS (
+              SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS tp
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id AS cu, event_id AS click_id, epoch_ns(ts) AS tc
+              FROM events WHERE event_type = 'click'
+            ), matched AS (
+              SELECT p.user_id, p.purchase_id, c.click_id
+              FROM p JOIN c ON p.user_id = c.cu
+              WHERE c.tc >= p.tp AND c.tc <= p.tp + {ATTR_WINDOW_NS}
+            ), wm AS (
+              SELECT least((SELECT max(tp) FROM p), (SELECT max(tc) FROM c))
+                     - {ATTR_WINDOW_NS} AS w
+            )
+            SELECT user_id, purchase_id, click_id FROM matched
+            UNION ALL
+            SELECT p.user_id, p.purchase_id, CAST(NULL AS BIGINT) AS click_id
+            FROM p
+            WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+              AND p.tp + {ATTR_WINDOW_NS} < (SELECT w FROM wm)
         """,
         "salted_join_revenue": """
             SELECT o_orderpriority,

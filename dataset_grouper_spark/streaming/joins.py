@@ -67,16 +67,19 @@ def stream_interval_attribution(
         )
     a = anchors.withWatermark(anchor_ts, watermark)
     e = events.withWatermark(event_ts, watermark)
+    # rename the event side's key columns BEFORE joining: dropping a
+    # same-named column by reference after the join is ambiguous, and
+    # keeping the event side's copy would surface as NULL keys on
+    # outer rows (invisible on inner joins, where both copies agree)
+    for k in on:
+        e = e.withColumnRenamed(k, f"_ev_{k}")
     cond = F.lit(True)
     for k in on:
-        cond = cond & (a[k] == e[k])
+        cond = cond & (a[k] == e[f"_ev_{k}"])
     cond = (
         cond
         & (e[event_ts] >= a[anchor_ts])
         & (e[event_ts] <= a[anchor_ts] + F.expr(f"INTERVAL {window}"))
     )
     joined = a.join(e, cond, how)
-    # drop the duplicated key columns from the event side
-    for k in on:
-        joined = joined.drop(e[k])
-    return joined
+    return joined.drop(*[f"_ev_{k}" for k in on])

@@ -582,6 +582,7 @@ def contamination(
     text_col: str,
     id_col: str,
     n: int = 13,
+    max_broadcast_shingles: int = 4_000_000,
 ) -> DataFrame:
     """Benchmark decontamination scan (the GPT-3 appendix-C shape):
     per training doc, how many of its distinct word n-grams appear in
@@ -592,20 +593,25 @@ def contamination(
     docs, so thresholding (drop if contaminated_ngrams > 0, or by
     ratio) is the caller's one filter.
 
-    Scale shape: ONE corpus shingle pass — a left broadcast join
-    against the benchmark shingles (eval sets are ~1e3-1e6 n-grams,
-    tiny vs a 100 TB corpus) marks contaminated shingles in place, and
-    a single conditional aggregation produces all three counts, so the
+    Scale shape: ONE corpus shingle pass — a left join against the
+    benchmark shingles marks contaminated shingles in place, and a
+    single conditional aggregation produces all three counts, so the
     corpus is never tokenized or shuffled twice (a separate total/hit
     branch pair would re-run the whole shingle subtree — no exchange
-    reuse across groupBys). n=13 is the canonical contamination gram
-    size; lower it for short texts.
+    reuse across groupBys). Eval sets are ~1e3-1e6 n-grams, tiny vs a
+    100 TB corpus, so the bench side broadcasts — but only after a
+    bounded guard job confirms it is under ``max_broadcast_shingles``
+    (nothing stops a caller passing a corpus as ``bench``; an
+    unbounded relation is never broadcast). n=13 is the canonical
+    contamination gram size; lower it for short texts.
     """
     d = shingles(docs, text_col, id_col, n)
     b = shingles(bench, text_col, id_col, n).select(
         F.col("_id").alias("_bid"), "shingle_h"
     )
-    marked = d.join(F.broadcast(b), "shingle_h", "left")
+    n_b = b.limit(max_broadcast_shingles + 1).count()
+    bj = F.broadcast(b) if n_b <= max_broadcast_shingles else b
+    marked = d.join(bj, "shingle_h", "left")
     stats = marked.groupBy(F.col("_id").alias("id")).agg(
         F.countDistinct("shingle_h").alias("total_ngrams"),
         F.countDistinct(

@@ -118,3 +118,19 @@ def test_shared_shingle_frame_validated(docs):
     assert sorted(map(tuple, ok.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_contamination_guarded_broadcast_identical(spark, docs):
+    # above the bound the bench side must not broadcast; results are
+    # identical either way
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox"), (101, "words entirely")],
+        "doc_id: long, text: string",
+    )
+    a = dedup.contamination(docs, bench, "text", "doc_id", n=3)
+    b = dedup.contamination(
+        docs, bench, "text", "doc_id", n=3, max_broadcast_shingles=0
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and any(r[2] > 0 for r in ra)  # contamination found

@@ -1705,10 +1705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q3_unshipped_orders": q_tpch_q3_unshipped_orders,
-        # --- tier B: code touched in r05 (group_stream value oracle,
-        #     ANN guarded candidate join, PNG pixel decode, streaming
-        #     drain assert, dedup shingle validation, interval fuse)
-        #     plus the new queries
+        # --- tier B: code touched in r05 (group_stream value oracle +
+        #     prefetch, ANN guarded candidate joins incl. cosine_topk
+        #     reroute, PNG pixel decode, streaming drain assert +
+        #     stream-stream joins, dedup shingle validation +
+        #     contamination guard, interval fuse, packing monster
+        #     pre-filter) plus the new queries
         "group_stream": q_group_stream,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "multimodal_resize_png": q_multimodal_resize_png,

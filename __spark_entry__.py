@@ -27,6 +27,29 @@ from dataset_grouper_spark.operators import packing
 from dataset_grouper_spark.sources import read_table
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Pin the shuffle width while a streaming plan compiles. A
+    streaming query's STATE STORE count equals spark.sql.shuffle
+    .partitions at checkpoint creation, and each store pays a fixed
+    open/commit cost per micro-batch — at oracle scale (sf<=1, fresh
+    ephemeral checkpoints every run) 32 stores per stateful operator
+    is pure overhead: the stream-stream join ran 12.3s at 32
+    partitions vs 3.1s at 8 on identical data/results (PERF.md). A
+    production deployment sizes this to volume (thousands of
+    partitions at 100 TB) — which is exactly why it must be a
+    per-query compile-time choice, not a session constant."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _drain_stream(q, timeout: int = 300) -> None:
     """Block until an availableNow query finishes, RAISING on timeout:
     awaitTermination returns False when the clock runs out, and
@@ -989,14 +1012,15 @@ def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     # in state and the memory sink collects to the driver. At scale use
     # append mode with the watermark and a file sink, as
     # q_streaming_session_windows / test_streaming_windowed.py do.
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.table(name).select(
         F.col("time_window.start").alias("window_start"),
         "group_id",
@@ -1063,15 +1087,16 @@ def q_streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
     outdir = tempfile.mkdtemp(prefix="ssw_out_")
     ckpt = tempfile.mkdtemp(prefix="ssw_ck_")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.read.parquet(outdir).select(
         "group_id",
         F.expr("unix_micros(session.start)").alias("session_start_us"),
@@ -1103,14 +1128,15 @@ def q_streaming_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("sz", F.octet_length("props"))
     out = streaming_cap_pack(keyed, "sz", "event_id", STREAM_CAP_LIMIT)
     name = f"ssc_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return (
         spark.table(name)
         .groupBy("group_id")
@@ -1141,16 +1167,17 @@ def q_streaming_dedup_distinct(spark: SparkSession, sf: str) -> DataFrame:
     kept = streaming_exact_dedup(stream, "props", "_tsc", watermark="365 days")
     outdir = tempfile.mkdtemp(prefix="sdd_out_")
     ckpt = tempfile.mkdtemp(prefix="sdd_ck_")
-    q = (
-        kept.select("props")
-        .writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            kept.select("props")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.read.parquet(outdir)
 
 
@@ -1193,15 +1220,16 @@ def q_streaming_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "purchase_id", "click_id")
     outdir = tempfile.mkdtemp(prefix="sat_out_")
     ckpt = tempfile.mkdtemp(prefix="sat_ck_")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.read.parquet(outdir)
 
 
@@ -1245,15 +1273,16 @@ def q_streaming_attribution_outer(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "purchase_id", "click_id")
     outdir = tempfile.mkdtemp(prefix="sao_out_")
     ckpt = tempfile.mkdtemp(prefix="sao_ck_")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.read.parquet(outdir)
 
 

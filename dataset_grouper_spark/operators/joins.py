@@ -46,12 +46,20 @@ def interval_join(
     by: list[str] | None = None,
     bin_width: int = 3600,
     max_bins_per_interval: int | None = 1_000_000,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join every point row to every interval row with
+    """Join every point row to every interval row with
     ``start <= t <= end`` (inclusive), optionally also matching on
     ``by`` key columns. Time columns are numeric (same unit); pick
     ``bin_width`` near the typical interval length so most intervals
     span 1-2 bins.
+
+    ``how='left'`` additionally keeps every unmatched point with NULL
+    interval columns. A plain left join over the binned equijoin would
+    be WRONG (a point can share a bin yet fail the residual range
+    filter, silently losing its NULL row), so the outer completion is
+    an anti-join of the points against the matched set — one extra
+    shuffle on the point ids, no re-scan of the intervals.
 
     Output: all point columns + all interval columns. Column names
     (besides ``by``) must be disjoint across the two inputs. Time
@@ -70,6 +78,8 @@ def interval_join(
     (10^6 bins — already a pathological replication factor) that only
     sentinel-shaped intervals trip it.
     """
+    if how not in ("inner", "left"):
+        raise ValueError("interval_join supports how='inner' or 'left'")
     by = by or []
     overlap = (set(points.columns) & set(intervals.columns)) - set(by)
     if overlap:
@@ -114,7 +124,7 @@ def interval_join(
         F.col(end_col) >= F.col(start_col)  # descending sequence throws)
     ).withColumn("_bin", F.explode(F.sequence(start_bin, guarded_end)))
     pt = points.withColumn("_bin", F.expr(f"CAST({t_col} DIV {w} AS LONG)"))
-    return (
+    inner = (
         pt.join(iv, [*by, "_bin"])
         .filter(
             (F.col(t_col) >= F.col(start_col))
@@ -122,6 +132,20 @@ def interval_join(
         )
         .drop("_bin")
     )
+    if how == "inner":
+        return inner
+    # left completion: points absent from the matched set ride along
+    # with NULL interval columns. Matching is keyed on the full point
+    # row (all point columns), so duplicate point rows each keep their
+    # multiplicity in the unmatched branch.
+    matched_keys = inner.select(*points.columns).distinct()
+    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    for c in intervals.columns:
+        if c not in by:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(intervals.dtypes)[c])
+            )
+    return inner.unionByName(unmatched)
 
 
 def salted_join(

@@ -153,3 +153,38 @@ def test_salted_join_identical_to_plain(spark):
     assert salted_left == plain_left
     with pytest.raises(ValueError, match="inner"):
         salted_join(left, right, ["key"], how="outer")
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    pts = spark.createDataFrame(
+        [(1, 5, "a"), (1, 50, "b"), (2, 5, "c"), (1, 5, "d")],
+        "k: long, t: long, tag: string",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "early"), (1, 40, 60, "late")],
+        "k: long, lo: long, hi: long, label: string",
+    )
+    out = interval_join(
+        pts, ivs, "t", "lo", "hi", by=["k"], bin_width=10, how="left"
+    )
+    rows = {(r.k, r.t, r.tag): r.label for r in out.collect()}
+    assert rows == {
+        (1, 5, "a"): "early",
+        (1, 50, "b"): "late",
+        (1, 5, "d"): "early",
+        (2, 5, "c"): None,  # key with no intervals: NULL interval cols
+    }
+    # a point sharing a BIN but failing the range filter still gets its
+    # NULL row (the naive left-join-over-bins would lose it)
+    pts2 = spark.createDataFrame([(1, 15, "x")], "k: long, t: long, tag: string")
+    out2 = interval_join(
+        pts2, ivs, "t", "lo", "hi", by=["k"], bin_width=10, how="left"
+    ).collect()
+    assert len(out2) == 1 and out2[0].label is None
+    # inner result is exactly the left result minus NULL rows
+    inner = interval_join(
+        pts, ivs, "t", "lo", "hi", by=["k"], bin_width=10
+    )
+    assert inner.count() == sum(1 for v in rows.values() if v is not None)
+    with pytest.raises(ValueError, match="how="):
+        interval_join(pts, ivs, "t", "lo", "hi", how="full")

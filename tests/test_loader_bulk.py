@@ -60,3 +60,25 @@ def test_append_partitioned_grows_dataset(spark, tmp_path):
     assert len(idx) == 5          # groups 3,4 appeared via append
     assert idx["0"] == 10 + 5     # 10 original + 5 appended
     assert idx["4"] == 5
+
+
+def test_iter_groups_bulk_column_projection(spark, tmp_path):
+    # metadata-only epoch: the projection must reach the frames (and
+    # the spill), while the group column itself is still dropped
+    path = str(tmp_path / "pds_proj")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"text {i}", i * 10) for i in range(80)],
+        "id: long, label: long, text: string, size: long",
+    )
+    sinks.write_partitioned(df, keys.by_feature("label"), path, order_col="id")
+    pds = PartitionedDataset(spark, path)
+    got = dict(pds.iter_groups_bulk(order_col="id", columns=["id", "size"]))
+    assert set(got) == {"0", "1", "2", "3"}
+    for gid, pdf in got.items():
+        assert list(pdf.columns) == ["id", "size"]
+        assert len(pdf) == 20
+        assert (pdf["id"] % 4 == int(gid)).all()
+        assert (pdf["size"] == pdf["id"] * 10).all()
+    # unprojected run still carries all columns
+    full = dict(pds.iter_groups_bulk())
+    assert set(full["0"].columns) == {"id", "label", "text", "size"}

@@ -1487,6 +1487,49 @@ def q_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return PartitionedDataset(spark, path).group_index()
 
 
+CMP_TARGET_ROWS = 10
+
+
+def q_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Full storage lifecycle with small-file repair: write half the
+    corpus, APPEND the other half (fragmenting every group dir), then
+    compact to ``CMP_TARGET_ROWS``-row files. Returns per group the
+    sidecar-index count AND the physical file count — the oracle knows
+    both in closed form (count, and ceil(count/target): the compaction
+    contract), so lost/duplicated rows, a stale index, or a broken
+    file bound all hash-mismatch."""
+    import tempfile
+
+    from dataset_grouper_spark import sinks
+    from dataset_grouper_spark.loader import PartitionedDataset
+
+    docs = read_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="pds_cmp_")
+    sinks.write_partitioned(
+        docs.filter("doc_id % 2 = 0"),
+        keys.by_feature("source"),
+        path,
+        order_col="doc_id",
+    )
+    sinks.append_partitioned(
+        docs.filter("doc_id % 2 = 1"),
+        keys.by_feature("source"),
+        path,
+        order_col="doc_id",
+    )
+    sinks.compact_partitioned(
+        spark, path, target_rows_per_file=CMP_TARGET_ROWS, order_col="doc_id"
+    )
+    pds = PartitionedDataset(spark, path)
+    per_file = (
+        pds.dataframe()
+        .select(F.input_file_name().alias("_f"), "group_id")
+        .groupBy("group_id")
+        .agg(F.countDistinct("_f").alias("n_files"))
+    )
+    return pds.group_index().join(per_file, "group_id")
+
+
 def q_tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Pack documents per source into SequenceExamples, write sharded
     TFRecords (pure-python proto+crc codec), read back distributed and
@@ -1817,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution_outer": q_streaming_attribution_outer,
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
+        "compaction_roundtrip": q_compaction_roundtrip,
         # --- tier C: stable, green in r04; tail rotates out this round
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -1825,9 +1869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "approx_distinct_users": q_approx_distinct_users,
         "sessionize_events": q_sessionize_events,
-        "sample_documents": q_sample_documents,
         # ---- position >50 below (all green in r04): rotate to tier A
         #      next round ----
+        "sample_documents": q_sample_documents,
         "repetition_documents": q_repetition_documents,
         "json_props_events": q_json_props_events,
         "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
@@ -2589,6 +2633,16 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_roundtrip": """
             SELECT source AS group_id,
                    CAST(count(*) AS BIGINT) AS num_examples
+            FROM documents GROUP BY source
+        """,
+        # compaction contract: every row survives write+append+compact,
+        # the rebuilt index agrees, and each group holds exactly
+        # ceil(count/target) physical files
+        "compaction_roundtrip": f"""
+            SELECT source AS group_id,
+                   CAST(count(*) AS BIGINT) AS num_examples,
+                   CAST(ceil(count(*) / {CMP_TARGET_ROWS}.0) AS BIGINT)
+                     AS n_files
             FROM documents GROUP BY source
         """,
         "chunk_tokens_documents": chunking.chunk_tokens_sql(

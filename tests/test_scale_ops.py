@@ -333,3 +333,37 @@ def test_streaming_session_windows_at_16x_hot_user(spark, tmp_path):
     n_sessions = len(all_sessions)
     assert 0 < state_rows <= n_sessions * 4 + 1000
     assert state_rows < 100_000  # 1.6M events, sessions only
+
+
+@pytest.mark.slow
+def test_compact_partitioned_at_scale(spark, tmp_path):
+    # 1M rows / 1000 groups fragmented by three appends, compacted to
+    # 2000-row files: every group lands at exactly ceil(rows/target)
+    # files, all rows survive, and the index stays consistent
+    from dataset_grouper_spark import keys, sinks
+    from dataset_grouper_spark.loader import PartitionedDataset
+
+    path = str(tmp_path / "bigfrag")
+    mk = lambda lo, hi: (
+        spark.range(lo, hi)
+        .withColumn("k", (F.col("id") % 1000).cast("string"))
+        .withColumn("payload", F.concat(F.lit("p"), F.col("id")))
+    )
+    sinks.write_partitioned(
+        mk(0, 400_000), keys.by_feature("k"), path, order_col="id"
+    )
+    for lo, hi in ((400_000, 700_000), (700_000, 1_000_000)):
+        sinks.append_partitioned(
+            mk(lo, hi), keys.by_feature("k"), path, order_col="id"
+        )
+    stats = sinks.compact_partitioned(
+        spark, path, target_rows_per_file=2000, order_col="id"
+    )
+    assert stats["rows"] == 1_000_000 and stats["groups"] == 1000
+    # 1000 rows per group -> ceil(1000/2000) = 1 file each, down from >=3
+    assert stats["files_before"] >= 3000
+    assert stats["files_after"] == 1000
+    pds = PartitionedDataset(spark, path)
+    idx = {r.group_id: r.num_examples for r in pds.group_index().collect()}
+    assert len(idx) == 1000 and all(v == 1000 for v in idx.values())
+    assert pds.group("7").count() == 1000

@@ -1460,6 +1460,78 @@ def q_multimodal_embed_pixels(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _wav_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of synthesized mono PCM16 WAVs, shared by the
+    audio oracle queries.  Sample ``i`` of doc ``d`` is
+    ``((d*31 + i*17) % 4001) - 2000`` over ``64 + d%57`` frames at
+    ``8000 + (d%5)*1000`` Hz — the SQL oracles mirror this closed form,
+    so it must only change in lockstep with ALL audio oracle twins."""
+    import numpy as np
+    import pandas as pd
+
+    from dataset_grouper_spark.operators import audio
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for d in ids:
+                d = int(d)
+                n = 64 + d % 57
+                rate = 8000 + (d % 5) * 1000
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + i * 17) % 4001) - 2000
+                outs.append(audio.encode_wav_pcm16(s, rate))
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+
+
+def q_audio_features_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode oracled in closed form: synthesize a PCM16 WAV
+    per doc (see _wav_frame), parse the RIFF container and compute exact
+    integer signal features (peak, energy, zero crossings) executor-side.
+    The oracle regenerates the waveform with generate_series and LAG —
+    a byte-order slip, an off-by-one frame count, or a sign-class error
+    in the crossing rule all hash-mismatch."""
+    from dataset_grouper_spark.operators import audio
+
+    wavs = _wav_frame(read_table(spark, sf, "documents"))
+    return audio.audio_features(wavs, "content", "doc_id")
+
+
+AUDIO_FRAME_LEN = 16
+
+
+def q_audio_frame_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio frame explode (the audio analogue of video frame
+    sampling): each synthesized WAV becomes ceil(n/16) fixed-length
+    analysis frames with exact integer energy/peak, emitted from one
+    Arrow pass with no shuffle."""
+    from dataset_grouper_spark.operators import audio
+
+    wavs = _wav_frame(read_table(spark, sf, "documents"))
+    return audio.frame_energy(
+        wavs, "content", "doc_id", frame_len=AUDIO_FRAME_LEN
+    )
+
+
+AUDIO_OUT_RATE = 4000
+
+
+def q_audio_resample_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbor resample to 4 kHz and PCM16 re-encode; verified
+    via the closed-form index map (output sample j copies input sample
+    j*n_in//n_out — the same integer kernel as the image resize). The
+    re-encoded bytes are returned by the operator but excluded here:
+    deflate-free as WAV is, binary columns have no DuckDB twin."""
+    from dataset_grouper_spark.operators import audio
+
+    wavs = _wav_frame(read_table(spark, sf, "documents"))
+    rs = audio.resample_nearest(wavs, "content", "doc_id", AUDIO_OUT_RATE)
+    return rs.select("id", "sample_rate", "n_frames", "sum_sq")
+
+
 COSINE_PAIR_T = 0.45
 
 
@@ -1861,6 +1933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "compaction_roundtrip": q_compaction_roundtrip,
+        "audio_features_wav": q_audio_features_wav,
+        "audio_frame_energy": q_audio_frame_energy,
+        "audio_resample_wav": q_audio_resample_wav,
         # --- tier C: stable, green in r04; tail rotates out this round
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -2603,6 +2678,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS pixel_sum,
                    CAST(sum(v * wgt) AS BIGINT) AS checksum
             FROM px GROUP BY doc_id
+        """,
+        # audio twins: regenerate the closed-form waveform
+        # (v_i = ((d*31 + i*17) % 4001) - 2000 over 64 + d%57 frames at
+        # 8000 + (d%5)*1000 Hz — see _wav_frame) and recompute the
+        # exact integer features the decoder must reproduce.
+        "audio_features_wav": """
+            WITH s AS (
+              SELECT d.doc_id, i.i,
+                     ((d.doc_id * 31 + i.i * 17) % 4001) - 2000 AS v
+              FROM documents d
+              JOIN generate_series(0, 120) i(i)
+                ON i.i < 64 + d.doc_id % 57
+            ), f AS (
+              SELECT doc_id, i, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s
+            )
+            SELECT doc_id AS id,
+                   CAST(1 AS INT) AS channels,
+                   CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+                   CAST(16 AS INT) AS bits,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(count(*) * 1000
+                        // (8000 + (doc_id % 5) * 1000) AS BIGINT)
+                     AS duration_ms,
+                   CAST(max(abs(v)) AS BIGINT) AS peak,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(sum(CASE WHEN pv IS NOT NULL
+                                  AND ((v >= 0) != (pv >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings
+            FROM f GROUP BY doc_id
+        """,
+        "audio_frame_energy": f"""
+            WITH s AS (
+              SELECT d.doc_id, i.i,
+                     ((d.doc_id * 31 + i.i * 17) % 4001) - 2000 AS v
+              FROM documents d
+              JOIN generate_series(0, 120) i(i)
+                ON i.i < 64 + d.doc_id % 57
+            )
+            SELECT doc_id AS id,
+                   CAST(i // {AUDIO_FRAME_LEN} AS INT) AS frame_idx,
+                   CAST(count(*) AS INT) AS n_samples,
+                   CAST(sum(v * v) AS BIGINT) AS energy,
+                   CAST(max(abs(v)) AS BIGINT) AS peak
+            FROM s GROUP BY doc_id, i // {AUDIO_FRAME_LEN}
+        """,
+        "audio_resample_wav": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     64 + doc_id % 57 AS n_in,
+                     ((64 + doc_id % 57) * {AUDIO_OUT_RATE})
+                       // (8000 + (doc_id % 5) * 1000) AS n_out
+              FROM documents
+            ), s AS (
+              SELECT p.doc_id,
+                     ((p.doc_id * 31
+                       + ((j.j * p.n_in) // p.n_out) * 17) % 4001) - 2000
+                       AS v
+              FROM p
+              JOIN generate_series(0, 120) j(j) ON j.j < p.n_out
+            )
+            SELECT doc_id AS id,
+                   CAST({AUDIO_OUT_RATE} AS INT) AS sample_rate,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq
+            FROM s GROUP BY doc_id
         """,
         "embedding_cosine_pairs": f"""
             WITH n AS (

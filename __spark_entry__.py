@@ -1487,6 +1487,46 @@ def _wav_frame(df: DataFrame) -> DataFrame:
     return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
 
 
+def _ppm_video_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of synthesized concatenated-PPM "videos":
+    ``2 + d%5`` gradient frames of dims ``(4 + d%5, 3 + d%3)``, value
+    at (y,x,c) of frame f = ``(x*7 + y*13 + d*3 + f*29 + c*37) % 256``.
+    The video oracle mirrors this closed form — change only in
+    lockstep."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for d in ids:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 3
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                frames = []
+                for f in range(2 + d % 5):
+                    arr = (
+                        (x * 7 + y * 13 + d * 3 + f * 29 + c * 37) % 256
+                    ).astype(np.uint8)
+                    frames.append(multimodal.encode_ppm_pixels(arr))
+                outs.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+
+
+def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video frame sampling oracled in closed form: walk each
+    concatenated-PPM container, decode every 2nd frame, and return
+    per-frame position-weighted checksums.  The oracle regenerates the
+    sampled frames' rasters from the gradient formula — a frame-offset
+    slip, a stride error in the container walk, or sampling the wrong
+    frames all hash-mismatch."""
+    vids = _ppm_video_frame(read_table(spark, sf, "documents"))
+    return multimodal.sample_video_frames(vids, "content", "doc_id", every_k=2)
+
+
 def q_audio_features_wav(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio decode oracled in closed form: synthesize a PCM16 WAV
     per doc (see _wav_frame), parse the RIFF container and compute exact
@@ -1936,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_wav": q_audio_features_wav,
         "audio_frame_energy": q_audio_frame_energy,
         "audio_resample_wav": q_audio_resample_wav,
+        "video_frame_sample": q_video_frame_sample,
         # --- tier C: stable, green in r04; tail rotates out this round
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -2678,6 +2719,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS pixel_sum,
                    CAST(sum(v * wgt) AS BIGINT) AS checksum
             FROM px GROUP BY doc_id
+        """,
+        # video twin: regenerate the sampled frames' gradient rasters
+        # (frames f with f%2=0 of 2 + d%5; dims (4+d%5, 3+d%3); value
+        # (x*7 + y*13 + d*3 + f*29 + c*37) % 256; weight
+        # 1 + flat_idx % 97 — see _ppm_video_frame).
+        "video_frame_sample": """
+            WITH fr AS (
+              SELECT d.doc_id, f.f,
+                     4 + d.doc_id % 5 AS w,
+                     3 + d.doc_id % 3 AS h
+              FROM documents d
+              JOIN generate_series(0, 6) f(f)
+                ON f.f < 2 + d.doc_id % 5 AND f.f % 2 = 0
+            ), px AS (
+              SELECT fr.doc_id, fr.f, fr.w, fr.h,
+                     (x.x * 7 + y.y * 13 + fr.doc_id * 3
+                      + fr.f * 29 + c.c * 37) % 256 AS v,
+                     1 + ((y.y * fr.w + x.x) * 3 + c.c) % 97 AS wgt
+              FROM fr
+              JOIN generate_series(0, 8) x(x) ON x.x < fr.w
+              JOIN generate_series(0, 5) y(y) ON y.y < fr.h
+              CROSS JOIN generate_series(0, 2) c(c)
+            )
+            SELECT doc_id AS id,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(any_value(w) AS INT) AS width,
+                   CAST(any_value(h) AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS pixel_sum,
+                   CAST(sum(v * wgt) AS BIGINT) AS checksum
+            FROM px GROUP BY doc_id, f
         """,
         # audio twins: regenerate the closed-form waveform
         # (v_i = ((d*31 + i*17) % 4001) - 2000 over 64 + d%57 frames at

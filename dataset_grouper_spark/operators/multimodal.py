@@ -486,6 +486,79 @@ def encode_ppm_pixels(rgb) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
 
 
+def iter_ppm_frames(b: bytes):
+    """Walk a concatenated-P6 video container (each frame a complete
+    binary PPM, frames butted back-to-back — PPM is self-delimiting:
+    header declares the raster length).  Yields
+    ``(frame_idx, width, height, frame_bytes)``; stops at the first
+    malformed or truncated frame, so a corrupt tail degrades to fewer
+    frames rather than an executor error."""
+    off, idx = 0, 0
+    n = len(b)
+    while off + 2 <= n and b[off : off + 2] == b"P6":
+        parsed = _ppm_header_ints(b[off:], 3)
+        if parsed is None:
+            return
+        (w, h, maxv), i = parsed
+        start = off + i + 1  # exactly one whitespace byte after maxval
+        end = start + w * h * 3
+        if maxv != 255 or w <= 0 or h <= 0 or end > n:
+            return
+        yield idx, w, h, b[off:end]
+        idx += 1
+        off = end
+
+
+VIDEO_FRAME_SCHEMA = (
+    "id long, frame_idx int, width int, height int, "
+    "pixel_sum long, checksum long"
+)
+
+
+def sample_video_frames(
+    df: DataFrame, content_col: str, id_col: str, every_k: int = 2
+) -> DataFrame:
+    """REAL video frame sampling: walk each concatenated-PPM payload,
+    decode every ``every_k``-th frame with the pure-numpy PPM path, and
+    emit per-frame position-weighted checksums.  One Arrow pass, no
+    shuffle; output rows exceed input rows (frame explode) without ever
+    materializing a whole video in driver memory.  Compressed containers
+    (MP4/WebM) would slot in behind the same walker signature but are
+    honestly out of scope without a codec library."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, ws, hs, sums, cks = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col].astype("int64"), pdf[content_col]):
+                for j, w, h, frame in iter_ppm_frames(bytes(p)):
+                    if j % every_k:
+                        continue
+                    rgb = decode_pixels(frame)
+                    if rgb is None:
+                        continue
+                    s, ck = _pixel_checksum(rgb)
+                    ids.append(int(i))
+                    fidx.append(j)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(s)
+                    cks.append(ck)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": fidx,
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                    "checksum": cks,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
 def nn_resize(rgb, width: int, height: int):
     """Deterministic integer nearest-neighbor resample to
     (height, width): output pixel (y, x) takes source pixel

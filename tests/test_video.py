@@ -1,0 +1,54 @@
+"""Video modality: concatenated-PPM container walk + frame sampling."""
+
+import numpy as np
+
+from dataset_grouper_spark.operators import multimodal
+
+
+def _frame(seed, w=4, h=3):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def _video(frames):
+    return b"".join(multimodal.encode_ppm_pixels(f) for f in frames)
+
+
+def test_iter_ppm_frames_walks_all():
+    frames = [_frame(i) for i in range(4)]
+    out = list(multimodal.iter_ppm_frames(_video(frames)))
+    assert [o[0] for o in out] == [0, 1, 2, 3]
+    for (idx, w, h, fb), src in zip(out, frames):
+        assert (w, h) == (4, 3)
+        np.testing.assert_array_equal(multimodal.decode_pixels(fb), src)
+
+
+def test_iter_ppm_frames_mixed_dims():
+    frames = [_frame(0, 4, 3), _frame(1, 7, 5), _frame(2, 2, 2)]
+    out = list(multimodal.iter_ppm_frames(_video(frames)))
+    assert [(w, h) for _, w, h, _ in out] == [(4, 3), (7, 5), (2, 2)]
+
+
+def test_iter_ppm_frames_truncated_tail_degrades():
+    frames = [_frame(0), _frame(1)]
+    b = _video(frames)[:-5]  # cut into the second raster
+    out = list(multimodal.iter_ppm_frames(b))
+    assert len(out) == 1  # first frame intact, corrupt tail dropped
+
+
+def test_iter_ppm_frames_garbage_returns_nothing():
+    assert list(multimodal.iter_ppm_frames(b"\x00\x01not a ppm")) == []
+
+
+def test_sample_video_frames_every_k(spark):
+    frames = [_frame(i) for i in range(5)]
+    df = spark.createDataFrame(
+        [(9, bytearray(_video(frames)))], "doc_id long, content binary"
+    )
+    out = multimodal.sample_video_frames(df, "content", "doc_id", every_k=2)
+    rows = sorted(out.collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r, i in zip(rows, (0, 2, 4)):
+        s, ck = multimodal._pixel_checksum(frames[i])
+        assert (r["pixel_sum"], r["checksum"]) == (s, ck)
+        assert (r["width"], r["height"]) == (4, 3)

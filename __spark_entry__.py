@@ -438,6 +438,148 @@ def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between two nations
+    by year and direction. The shape no other TPC-H query here covers:
+    the SAME dim (nation) joins BOTH sides of the fact chain under a
+    pair-disjunction — (supp=N1 AND cust=N2) OR (supp=N2 AND cust=N1).
+    Plan: nation filters broadcast into supplier and customer (each
+    shrinks to ~2/25), the pair disjunction evaluates post-join on two
+    tiny dim columns, and only lineitem-orders shuffles. supplier is
+    hint-broadcast (smallest dim); customer-orders is left to
+    size-based planning — at 100 TB the filtered customer side may
+    exceed the broadcast budget and AQE falls back to shuffle."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = (
+        read_table(spark, sf, "nation")
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("supp_nation") == n1) & (F.col("cust_nation") == n2)
+    ) | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in one quarter — the large-agg-then-TakeOrdered
+    shape where the top-k must run AFTER a full groupBy over ~all
+    customers (unlike Q3, whose limit keys are join keys). Revenue
+    accumulates in exact DECIMAL(18,4) (per-term round first) so the
+    sum — and therefore the cent-rounded ordering and the top-20 SET —
+    is independent of double summation order; tie-break on c_custkey
+    keeps the limit deterministic across engines."""
+    cust = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    orders = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4,
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q22_CODES = (3, 5, 7, 10, 12, 15, 20)
+
+
+def q_tpch_q22_global_sales(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity, adapted: nationkey stands
+    in for the phone country code): customers from 7 countries with
+    above-average positive balances and no RECENT orders — in this
+    synthetic data every customer has some order, so "lapsed since
+    1999" keeps Q22's NOT-EXISTS semantics non-vacuous. Combines the
+    two subquery shapes Q4/Q17 cover separately — a scalar AVG
+    subquery (broadcast into the filter) AND a NOT-EXISTS anti-join —
+    in one query. The anti build side is just o_custkey, date-pruned
+    and distinct-reduced before the join; the scalar rides a broadcast
+    crossJoin."""
+    cust = read_table(spark, sf, "customer").filter(
+        F.col("c_nationkey").isin(*Q22_CODES)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    orders = (
+        read_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 def q_group_counts_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) — all four grouping sets in
     one pass (rollup covers three; the cube adds the
@@ -1977,6 +2119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_energy": q_audio_frame_energy,
         "audio_resample_wav": q_audio_resample_wav,
         "video_frame_sample": q_video_frame_sample,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q22_global_sales": q_tpch_q22_global_sales,
         # --- tier C: stable, green in r04; tail rotates out this round
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -1985,8 +2129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "approx_distinct_users": q_approx_distinct_users,
         "sessionize_events": q_sessionize_events,
-        # ---- position >50 below (all green in r04): rotate to tier A
-        #      next round ----
+        # ---- position >50 below (all green in r04, except the NEW
+        #      tpch_q10 — locally verified, leads tier A next round) ----
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "sample_documents": q_sample_documents,
         "repetition_documents": q_repetition_documents,
         "json_props_events": q_json_props_events,
@@ -2574,6 +2719,64 @@ def oracle_sql() -> dict[str, str]:
                   AND l_shipdate >= TIMESTAMP '1997-01-01'
               )
             GROUP BY o_orderpriority
+        """,
+        "tpch_q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        # revenue accumulates in exact DECIMAL(18,4) on BOTH engines:
+        # customer 249's raw double sum lands exactly on the .005 cent
+        # edge, where summation order decides the rounding.
+        "tpch_q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(round(sum(CAST(round(
+                       l.l_extendedprice * (1 - l.l_discount), 4
+                     ) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "tpch_q22_global_sales": f"""
+            WITH base AS (
+              SELECT * FROM customer
+              WHERE c_nationkey IN {Q22_CODES}
+            ), a AS (
+              SELECT avg(c_acctbal) AS ab FROM base WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey AS cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
+                        AS DOUBLE) AS totacctbal
+            FROM base, a
+            WHERE c_acctbal > a.ab
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = base.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+            GROUP BY 1
         """,
         "tpch_q16_supplier_cnt": """
             SELECT p_brand, p_type, p_size,

@@ -1744,6 +1744,58 @@ def q_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 CMP_TARGET_ROWS = 10
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark-native bucketed-table lifecycle: write orders AND customer
+    bucketed by custkey (same bucket count), then join and aggregate.
+    The joined plan is asserted Exchange-FREE before execution (the
+    100 TB point: both fact scans join map-side, the only shuffle left
+    is the 5-row mktsegment rollup) — with broadcast scoped off so the
+    assertion exercises the bucketed sort-merge path, not a small-dim
+    broadcast. The oracle is the plain relational join on the original
+    parquet: bucketing must not change a single row."""
+    import tempfile
+
+    from dataset_grouper_spark import plans
+    from dataset_grouper_spark.sinks import bucketed_tables as bt
+
+    orders = read_table(spark, sf, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    on = bt.temp_table_name("q_orders_b")
+    cn = bt.temp_table_name("q_cust_b")
+    bt.write_bucketed_table(
+        spark, orders, on, tempfile.mkdtemp(prefix="bt_o_"),
+        ["o_custkey"], 8, ["o_custkey"],
+    )
+    bt.write_bucketed_table(
+        spark, cust, cn, tempfile.mkdtemp(prefix="bt_c_"),
+        ["o_custkey"], 8, ["o_custkey"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bt.colocated_join(spark, on, cn, "o_custkey")
+        n_ex = plans.count_exchanges(j)
+        if n_ex != 0:
+            raise AssertionError(
+                f"bucketed join planned {n_ex} Exchange(s) — co-location "
+                "contract broken"
+            )
+        return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def q_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Full storage lifecycle with small-file repair: write half the
     corpus, APPEND the other half (fragmenting every group dir), then
@@ -2121,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
+        "bucketed_colocated_join": q_bucketed_colocated_join,
         # --- tier C: stable, green in r04; tail rotates out this round
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
@@ -2719,6 +2772,18 @@ def oracle_sql() -> dict[str, str]:
                   AND l_shipdate >= TIMESTAMP '1997-01-01'
               )
             GROUP BY o_orderpriority
+        """,
+        # bucketed lifecycle twin: the co-located join must reproduce
+        # the plain relational join bit-for-bit (decimal-accumulated
+        # totals keep the sums order-independent).
+        "bucketed_colocated_join": """
+            SELECT c.c_mktsegment AS mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice, 2)
+                                 AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
         """,
         "tpch_q7_nation_volume": """
             SELECT sn.n_name AS supp_nation,

@@ -580,6 +580,63 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting — adapted: "late"
+    is l_shipdate > o_orderdate + 60 days, as this lineitem has no
+    commit/receipt dates). The one shape that stacks an EXISTS
+    left-semi AND a NOT-EXISTS left-anti against the SAME fact table
+    with a non-equality conjunct (other-supplier lines of the same
+    order): Catalyst must plan both as single-pass join conversions on
+    l_orderkey with the suppkey inequality as a residual — never a
+    per-row subquery. Top-10 is tie-broken on s_name (unique per
+    group), so the result set is deterministic."""
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = read_table(spark, sf, "lineitem")
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    late1 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    waiting = (
+        late1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
 def q_group_counts_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) — all four grouping sets in
     one pass (rollup covers three; the cube adds the
@@ -2174,7 +2231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
         "bucketed_colocated_join": q_bucketed_colocated_join,
-        # --- tier C: stable, green in r04; tail rotates out this round
+        # ---- position >50 below: tier C (stable, green in r04) rotates
+        #      out entirely this round — the 7 new queries above took
+        #      its cap slots (all 7 locally hash-verified at sf0.01).
+        #      Everything below leads tier A next round; the NEW
+        #      tpch_q10 (also locally verified) goes first. ----
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -2182,9 +2245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "approx_distinct_users": q_approx_distinct_users,
         "sessionize_events": q_sessionize_events,
-        # ---- position >50 below (all green in r04, except the NEW
-        #      tpch_q10 — locally verified, leads tier A next round) ----
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "sample_documents": q_sample_documents,
         "repetition_documents": q_repetition_documents,
         "json_props_events": q_json_props_events,
@@ -2822,6 +2882,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c.c_custkey
             LIMIT 20
+        """,
+        "tpch_q21_waiting_supplier": """
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM lineitem l1
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND o3.o_orderstatus = 'F'
+                  AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 10
         """,
         "tpch_q22_global_sales": f"""
             WITH base AS (

@@ -637,6 +637,82 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts INCLUDING zero-order customers — the left-outer join
+    with a predicate inside the ON clause (filtering the join, not the
+    preserved side), then a two-level aggregation (count per customer,
+    then count of counts). Customers all have orders in this data, but
+    the priority exclusion creates a real zero bucket."""
+    cust = read_table(spark, sf, "customer").select("c_custkey")
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (~F.col("o_orderpriority").like("%URGENT%")),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): revenue view + scalar-MAX subquery —
+    the supplier(s) whose quarterly revenue equals the maximum. Revenue
+    accumulates in exact DECIMAL(18,4) so the max-equality predicate is
+    well-defined on both engines (double max-equality is summation-
+    order roulette). The max rides a broadcast crossJoin; the supplier
+    dim is broadcast into the 100-row revenue frame."""
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).cast("decimal(18,4)")
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids — the vector aggregation every
+    clustering/IVF fit needs, done relationally: posexplode the vector
+    to (label, pos, val) narrow rows, one shuffle on (label, pos),
+    mean per component. Returns two centroid components (first/last)
+    rounded to 6; the DuckDB twin unnests WITH ORDINALITY."""
+    df = read_table(spark, sf, "embeddings")
+    comps = df.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).filter(F.col("pos").isin(0, 63))
+    return (
+        comps.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+        )
+    )
+
+
 def q_group_counts_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) — all four grouping sets in
     one pass (rollup covers three; the cube adds the
@@ -2238,6 +2314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      tpch_q10 (also locally verified) goes first. ----
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "embedding_centroids": q_embedding_centroids,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -2882,6 +2961,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c.c_custkey
             LIMIT 20
+        """,
+        "tpch_q13_customer_distribution": """
+            WITH c_orders AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority NOT LIKE '%URGENT%'
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM c_orders GROUP BY c_count
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                              AS DECIMAL(18,4))) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_revenue AS DOUBLE) AS total_revenue
+            FROM supplier s
+            JOIN revenue r ON s.s_suppkey = r.supplier_no
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "embedding_centroids": """
+            WITH comps AS (
+              SELECT e.label, p.pos,
+                     list_extract(e.embedding, p.pos + 1) AS val
+              FROM embeddings e
+              CROSS JOIN (VALUES (0), (63)) p(pos)
+            )
+            SELECT label, CAST(pos AS INT) AS pos,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   round(avg(CAST(val AS DOUBLE)), 6) AS centroid
+            FROM comps
+            GROUP BY label, pos
         """,
         "tpch_q21_waiting_supplier": """
             SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait

@@ -1514,6 +1514,45 @@ def q_streaming_dedup_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(outdir)
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Unbounded-horizon incremental dedup over continuous ingest:
+    documents arrive as a 3-file stream (one micro-batch each), every
+    batch is screened against the PARQUET SURVIVOR STORE (anti-join),
+    and only never-seen content is admitted — the training-corpus
+    contract streaming_exact_dedup's time-bounded state can't give.
+    WHICH duplicate survives depends on batch order, but the survivor
+    SET is exactly the distinct texts, so the rollup (count + total
+    length over survivors) is deterministic and SQL-twinned."""
+    import tempfile
+
+    from dataset_grouper_spark.streaming.incremental import (
+        streaming_incremental_dedup,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="sid_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    store = tempfile.mkdtemp(prefix="sid_store_")
+    ckpt = tempfile.mkdtemp(prefix="sid_ck_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    with _stream_shuffle_partitions(spark):
+        q = streaming_incremental_dedup(
+            stream, store, ckpt, content_col="text", order_col="doc_id"
+        )
+        _drain_stream(q)
+    return spark.read.parquet(store).agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum(F.octet_length("text")).alias("total_len"),
+    )
+
+
 def q_streaming_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-STREAM interval attribution: purchases and clicks as two
     watermarked streams, inner-joined on user with the click bounded to
@@ -2317,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "embedding_centroids": q_embedding_centroids,
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -2961,6 +3001,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c.c_custkey
             LIMIT 20
+        """,
+        # survivor-store twin: the admitted set must equal the global
+        # distinct-text set regardless of micro-batch order. Byte
+        # lengths on both sides (octet_length / strlen).
+        "streaming_incremental_dedup": """
+            WITH d AS (SELECT DISTINCT text FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+                   CAST(sum(strlen(text)) AS BIGINT) AS total_len
+            FROM d
         """,
         "tpch_q13_customer_distribution": """
             WITH c_orders AS (

@@ -2214,6 +2214,72 @@ def q_moving_avg_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_topn_per_group_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-N per group — the ubiquitous "3 highest-value events per
+    event type" pattern: window rank inside each group, filter, done in
+    ONE shuffle (no self-join, no per-group collect). Ties broken on
+    event_id so rank — and therefore the kept set — is total-ordered
+    and engine-portable."""
+    from pyspark.sql import Window
+
+    df = read_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            "rnk",
+            "event_id",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+HIST_BINS = 10
+
+
+def q_value_histogram_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of event values per event type: bin index
+    from a global (min, max) envelope computed in one tiny pre-agg and
+    broadcast back — two jobs total, no Python. The max value folds
+    into the top bin (the width_bucket convention both engines can
+    state in closed form)."""
+    df = read_table(spark, sf, "events")
+    env = df.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    binned = df.crossJoin(F.broadcast(env)).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / HIST_BINS)
+            ).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_value_correlation_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group bivariate statistics: Pearson correlation and sample
+    covariance between an event's value and its JSON payload field —
+    one partial-aggregable pass (corr/covar are algebraic aggregates:
+    sums of products cross the wire, not rows)."""
+    df = read_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(F.col("value"), k), 6).alias("corr_vk"),
+        F.round(F.covar_samp(F.col("value"), k), 6).alias("covar_vk"),
+    )
+
+
 def q_json_props_events(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured handling: extract a JSON field from the props
     column and aggregate per event type — get_json_object is a
@@ -2357,6 +2423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "embedding_centroids": q_embedding_centroids,
         "streaming_incremental_dedup": q_streaming_incremental_dedup,
+        "topn_per_group_events": q_topn_per_group_events,
+        "value_histogram_events": q_value_histogram_events,
+        "value_correlation_events": q_value_correlation_events,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3422,6 +3491,43 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY event_id
                          ROWS UNBOUNDED PRECEDING), 2) AS running_max
             FROM events
+        """,
+        "topn_per_group_events": """
+            WITH r AS (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id
+                     ) AS rnk
+              FROM events
+            )
+            SELECT event_type, CAST(rnk AS INT) AS rnk, event_id,
+                   round(value, 4) AS value
+            FROM r WHERE rnk <= 3
+        """,
+        # bin expression written with the identical IEEE op shape as
+        # the Spark side, so boundary values floor identically
+        "value_histogram_events": f"""
+            WITH env AS (
+              SELECT min(value) AS lo, max(value) AS hi FROM events
+            )
+            SELECT event_type,
+                   least(CAST(floor((value - lo)
+                              / ((hi - lo) / {HIST_BINS})) AS INT),
+                         {HIST_BINS - 1}) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events, env
+            GROUP BY 1, 2
+        """,
+        "value_correlation_events": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(corr(value,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                     AS corr_vk,
+                   round(covar_samp(value,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                     AS covar_vk
+            FROM events GROUP BY event_type
         """,
         "json_props_events": """
             SELECT event_type, count(*) AS n,

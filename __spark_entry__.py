@@ -2214,6 +2214,40 @@ def q_moving_avg_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zorder_layout_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout lifecycle: events clustered on the
+    interleaved bits of (user grid, value grid) — one range exchange —
+    then read back and filtered on EACH dimension independently. The
+    rollup proves the curve layout preserved every row; the per-file
+    footer-envelope property (either-dimension pruning) is asserted in
+    tests/test_zorder.py."""
+    import tempfile
+
+    from dataset_grouper_spark.sinks import zorder
+
+    ev = read_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="zord_ev_")
+    zorder.write_zordered(
+        ev,
+        path,
+        zorder.to_grid(F.col("user_id"), 0.0, 2048.0, 8),
+        zorder.to_grid(F.col("value"), 0.0, 1000.0, 8),
+        bits=8,
+        num_files=16,
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter((F.col("user_id") < 300) | (F.col("value") >= 900.0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+    )
+
+
 def q_topn_per_group_events(spark: SparkSession, sf: str) -> DataFrame:
     """Top-N per group — the ubiquitous "3 highest-value events per
     event type" pattern: window rank inside each group, filter, done in
@@ -2426,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_group_events": q_topn_per_group_events,
         "value_histogram_events": q_value_histogram_events,
         "value_correlation_events": q_value_correlation_events,
+        "zorder_layout_roundtrip": q_zorder_layout_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3491,6 +3526,13 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY event_id
                          ROWS UNBOUNDED PRECEDING), 2) AS running_max
             FROM events
+        """,
+        "zorder_layout_roundtrip": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids
+            FROM events
+            WHERE user_id < 300 OR value >= 900.0
+            GROUP BY event_type
         """,
         "topn_per_group_events": """
             WITH r AS (

@@ -1,0 +1,81 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional pruning.
+
+A layout sorted on one column gives parquet row-group min/max skipping
+on THAT column only — a filter on any other column scans everything.
+Interleaving the bits of two columns into a Morton code and
+range-partitioning + sorting on it bounds every file's min/max envelope
+on BOTH dimensions (each file covers a compact curve segment, i.e. a
+small rectangle-ish region of the grid) — the trick behind
+Delta/Iceberg Z-ORDER clustering, expressed here as pure Catalyst
+bit-arithmetic (no UDF, no new dependency).
+
+100 TB rationale: a training-events table filtered sometimes by user
+and sometimes by time pays a full scan on whichever key the sort
+didn't favor.  Z-ordering on (user_bucket, hour) keeps BOTH envelopes
+narrow in every file, so either filter prunes most row groups at the
+footer, before any IO.  The cost is one range exchange at write time —
+the same shuffle a single-column sort would pay.
+
+Scaling contract: callers grid their columns into [0, 2^bits) with
+:func:`to_grid` (closed-form linear bucketing — engine-portable, no
+sampling job).  ``interleave_bits`` then emits a 2*bits-term
+shiftleft/OR cascade that whole-stage codegen compiles to straight-line
+long arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_COL = "_z"
+
+
+def to_grid(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Linear bucketing of a numeric column into ``[0, 2^bits)`` —
+    the normalization step before bit interleaving.  Values at ``hi``
+    clamp into the top cell."""
+    cells = 1 << bits
+    scaled = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * cells).cast("long")
+    return F.greatest(F.least(scaled, F.lit(cells - 1)), F.lit(0))
+
+
+def interleave_bits(a: Column, b: Column, bits: int) -> Column:
+    """Morton code of two grid coordinates (each in ``[0, 2^bits)``):
+    bit i of ``a`` lands at position 2i+1, bit i of ``b`` at 2i.
+    Pure Catalyst shift/and/or — codegen-friendly, deterministic."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftleft(
+            F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        bbit = F.shiftleft(
+            F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = z.bitwiseOR(abit).bitwiseOR(bbit)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    grid_a: Column,
+    grid_b: Column,
+    bits: int,
+    num_files: int,
+) -> None:
+    """Write ``df`` as parquet clustered along the Morton curve of two
+    pre-gridded columns: ONE range exchange on the z-value (equal-size
+    curve segments via range partitioning), files sorted within, the
+    helper column dropped before hitting disk.  Row-group min/max
+    stats on BOTH source columns then stay narrow per file, which is
+    what makes either-dimension filters prune at the footer."""
+    z = interleave_bits(grid_a, grid_b, bits)
+    (
+        df.withColumn(Z_COL, z)
+        .repartitionByRange(num_files, Z_COL)
+        .sortWithinPartitions(Z_COL)
+        .drop(Z_COL)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -713,6 +713,111 @@ def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3-supplied share of
+    ASIA-region PROMO-part order volume, by year — the
+    conditional-ratio shape (one pass computes both the numerator CASE
+    sum and the denominator sum; the share is their quotient, never a
+    self-join). All dims broadcast; volume accumulates in exact
+    DECIMAL(18,4) so the ratio is summation-order-independent."""
+    region = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf, "nation")
+    cust_nations = (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = read_table(spark, sf, "customer").join(
+        F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key")
+    )
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = read_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("_num"),
+            F.sum(vol).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                (F.col("_num") / F.col("_den")).cast("double"), 6
+            ).alias("mkt_share"),
+            F.col("_den").cast("double").alias("total_volume"),
+        )
+    )
+
+
+def q_tpch_q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (shipping-priority audit, adapted: l_linestatus stands
+    in for the missing l_shipmode): per status, how many of a year's
+    shipped lines belong to critical- vs normal-priority orders — the
+    CASE-count aggregation over a fact-fact join where ALL the
+    filtering lives on the probe side and the agg input is two
+    booleans."""
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_pivot_lang_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-source document counts spread across language
+    columns — groupBy().pivot() with an EXPLICIT value list, which is
+    what keeps the plan a single pass (no value-discovery job) and the
+    output schema bounded at 100 TB."""
+    df = read_table(spark, sf, "documents")
+    out = df.groupBy("source").pivot("lang", PIVOT_LANGS).count()
+    # pivot cells with no rows are NULL; the oracle twin uses
+    # conditional counts, which yield 0 — align on 0
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).alias(f"n_{lang}")
+            for lang in PIVOT_LANGS
+        ],
+    )
+
+
 def q_group_counts_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) — all four grouping sets in
     one pass (rollup covers three; the cube adds the
@@ -2461,6 +2566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram_events": q_value_histogram_events,
         "value_correlation_events": q_value_correlation_events,
         "zorder_layout_roundtrip": q_zorder_layout_roundtrip,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q12_priority_shipping": q_tpch_q12_priority_shipping,
+        "pivot_lang_by_source": q_pivot_lang_by_source,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3114,6 +3222,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_survivors,
                    CAST(sum(strlen(text)) AS BIGINT) AS total_len
             FROM d
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+              SELECT year(o.o_orderdate) AS o_year,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                          AS DECIMAL(18,4)) AS vol,
+                     sn.n_name AS supp_nation
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN region r ON cn.n_regionkey = r.r_regionkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   round(CAST(
+                     sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)
+                     / sum(vol) AS DOUBLE), 6) AS mkt_share,
+                   CAST(sum(vol) AS DOUBLE) AS total_volume
+            FROM j GROUP BY o_year
+        """,
+        "tpch_q12_priority_shipping": """
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority
+                                      IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority
+                                      NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l.l_linestatus
+        """,
+        "pivot_lang_by_source": """
+            SELECT source,
+                   CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT)
+                     AS n_de,
+                   CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+                     AS n_en,
+                   CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT)
+                     AS n_es,
+                   CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT)
+                     AS n_fr,
+                   CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT)
+                     AS n_zh
+            FROM documents GROUP BY source
         """,
         "tpch_q13_customer_distribution": """
             WITH c_orders AS (

@@ -2073,6 +2073,54 @@ def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def q_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE lifecycle on the partitioned layout: write the corpus,
+    then one upsert batch that REPLACES every doc_id%5==0 text (suffix
+    '-v2') and INSERTS a clone (+10M id, 'new-<id>' text) for every
+    doc_id%7==0. The oracle reconstructs the exact final state in SQL,
+    so a lost replacement, a double-applied insert, or a row leaked
+    from an untouched group all hash-mismatch. Group-pruned rewrite
+    mechanics (untouched dirs never touched) are mtime-asserted in
+    tests/test_upsert.py."""
+    import tempfile
+
+    from dataset_grouper_spark import sinks
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    path = tempfile.mkdtemp(prefix="ups_rt_")
+    sinks.write_partitioned(
+        docs, keys.by_feature("source"), path, order_col="doc_id"
+    )
+    updates = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit("-v2"))
+    )
+    inserts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("new-"), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    sinks.upsert_partitioned(
+        spark,
+        updates.unionByName(inserts),
+        keys.by_feature("source"),
+        path,
+        "doc_id",
+        "doc_id",
+    )
+    final = spark.read.parquet(f"{path}/data")
+    return final.groupBy(
+        F.col(keys.GROUP_COL).alias("group_id")
+    ).agg(
+        F.count(F.lit(1)).alias("num_examples"),
+        F.sum(F.octet_length("text")).alias("num_bytes"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Full storage lifecycle with small-file repair: write half the
     corpus, APPEND the other half (fragmenting every group dir), then
@@ -2353,6 +2401,60 @@ def q_zorder_layout_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL interchange: corpus -> line-delimited JSON -> read back
+    with an EXPLICIT schema (no inference job at 100 TB) -> rollup.
+    Escaping must round-trip every text byte — the hash covers it."""
+    import tempfile
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, source string, text string, n_chars long"
+    ).json(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV interchange with RFC-style quoting (escape = quote = '\"',
+    multiLine read): the adversarial columns are the texts — embedded
+    commas, quotes, and newlines — and the hash proves byte-exact
+    round-trip. Explicit schema on read: no inference pass."""
+    import tempfile
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/docs"
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("doc_id long, source string, text string")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_topn_per_group_events(spark: SparkSession, sf: str) -> DataFrame:
     """Top-N per group — the ubiquitous "3 highest-value events per
     event type" pattern: window rank inside each group, filter, done in
@@ -2569,6 +2671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q12_priority_shipping": q_tpch_q12_priority_shipping,
         "pivot_lang_by_source": q_pivot_lang_by_source,
+        "upsert_roundtrip": q_upsert_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3222,6 +3327,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_survivors,
                    CAST(sum(strlen(text)) AS BIGINT) AS total_len
             FROM d
+        """,
+        # upsert twin: reconstruct the exact post-MERGE state in SQL —
+        # every doc_id%5==0 text gains '-v2' (3 bytes), every
+        # doc_id%7==0 doc gains a +10M-id 'new-<id>' clone
+        "upsert_roundtrip": """
+            WITH final AS (
+              SELECT source,
+                     CASE WHEN doc_id % 5 = 0 THEN strlen(text) + 3
+                          ELSE strlen(text) END AS nb,
+                     doc_id
+              FROM documents
+              UNION ALL
+              SELECT source,
+                     strlen('new-' || CAST(doc_id AS VARCHAR)) AS nb,
+                     doc_id + 10000000 AS doc_id
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT source AS group_id,
+                   CAST(count(*) AS BIGINT) AS num_examples,
+                   CAST(sum(nb) AS BIGINT) AS num_bytes,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM final GROUP BY source
+        """,
+        "jsonl_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "csv_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY source
         """,
         "tpch_q8_market_share": """
             WITH j AS (

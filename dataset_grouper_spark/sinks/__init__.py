@@ -181,6 +181,117 @@ def compact_partitioned(
     }
 
 
+UPSERT_PRUNE_CAP = 10_000
+
+
+def upsert_partitioned(
+    spark,
+    df_new: DataFrame,
+    key: Column,
+    path: str,
+    id_col: str,
+    order_col: str | None = None,
+) -> dict:
+    """Row-level upsert into a ``partitioned``-layout dataset with
+    GROUP-DIRECTORY rewrite granularity — the MERGE a table format
+    gives you, built from the layout's own pruning: rows in ``df_new``
+    replace existing rows with the same ``id_col`` in the same group,
+    new ids insert, and ONLY the group directories ``df_new`` touches
+    are rewritten (untouched groups' files are never opened or moved —
+    asserted by mtime in tests).
+
+    Contract: ``id_col`` is unique within a group; a row whose group
+    ASSIGNMENT changed must be handled as delete+insert by the caller
+    (this op would otherwise leave the old group's copy in place).
+    Duplicate ids inside ``df_new`` keep the highest ``order_col``
+    (last-wins) when given, else are an error the within-batch window
+    surfaces as nondeterminism — pass order_col.
+
+    Scale shape: one distinct-groups probe (collect capped at
+    ``UPSERT_PRUNE_CAP`` — beyond it the read falls back to a
+    left-semi join: correct everywhere, partition-pruned when small),
+    one anti-join of O(touched groups' rows) against the new ids, one
+    partitioned write of the merged rows to a sibling dir, then a
+    per-directory swap. Crash before the swap leaves the dataset
+    untouched.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    data_path = f"{path}/{DATA_DIR}"
+    keyed_new = keys.with_group_key(df_new, key).withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
+    if order_col is not None:
+        w = Window.partitionBy(keys.GROUP_COL, id_col).orderBy(
+            F.col(order_col).desc()
+        )
+        keyed_new = (
+            keyed_new.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    keyed_new = keyed_new.persist()
+
+    probe = (
+        keyed_new.select(keys.GROUP_COL)
+        .distinct()
+        .limit(UPSERT_PRUNE_CAP + 1)
+        .collect()
+    )
+    touched = [r[0] for r in probe]
+    old = spark.read.parquet(data_path).withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
+    if len(touched) <= UPSERT_PRUNE_CAP:
+        old_touched = old.filter(F.col(keys.GROUP_COL).isin(touched))
+    else:  # beyond the prune cap: semi join, no collect
+        old_touched = old.join(
+            keyed_new.select(keys.GROUP_COL).distinct(),
+            keys.GROUP_COL,
+            "left_semi",
+        )
+    cols = [keys.GROUP_COL] + [
+        c for c in old.columns if c != keys.GROUP_COL
+    ]
+    survivors = old_touched.join(
+        keyed_new.select(keys.GROUP_COL, id_col),
+        [keys.GROUP_COL, id_col],
+        "left_anti",
+    )
+    merged = survivors.select(cols).unionByName(keyed_new.select(cols))
+
+    tmp_path = f"{path}/{DATA_DIR}_upserting"
+    out = merged.repartition(keys.GROUP_COL)
+    # order_col may be a version column living only in df_new (used for
+    # last-wins above) — sort the rewrite only when the stored schema
+    # carries it
+    if order_col is not None and order_col in merged.columns:
+        out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
+    (
+        out.write.mode("overwrite")
+        .partitionBy(keys.GROUP_COL)
+        .parquet(tmp_path)
+    )
+    n_new = keyed_new.count()
+    keyed_new.unpersist()
+    swapped = 0
+    for entry in os.listdir(tmp_path):
+        if not entry.startswith(f"{keys.GROUP_COL}="):
+            continue
+        dst = os.path.join(data_path, entry)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.move(os.path.join(tmp_path, entry), dst)
+        swapped += 1
+    shutil.rmtree(tmp_path)
+    written = spark.read.parquet(data_path)
+    _write_index(written, path, "partitioned", 0)
+    return {"upserted_rows": n_new, "groups_rewritten": swapped}
+
+
 def write_partitioned(
     df: DataFrame,
     key: Column,

@@ -2534,11 +2534,16 @@ def q_json_props_events(spark: SparkSession, sf: str) -> DataFrame:
     column and aggregate per event type — get_json_object is a
     Catalyst expression, no UDF."""
     df = read_table(spark, sf, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return df.groupBy("event_type").agg(
+    # projected once pre-agg: sum and avg would each re-parse the JSON
+    # (no CSE across aggregate buffers — same lesson as the corr query)
+    proj = df.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("_k"),
+    )
+    return proj.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        F.sum("_k").alias("sum_k"),
+        F.round(F.avg("_k"), 4).alias("avg_k"),
     )
 
 

@@ -213,7 +213,11 @@ def upsert_partitioned(
     one anti-join of O(touched groups' rows) against the new ids, one
     partitioned write of the merged rows to a sibling dir, then a
     per-directory swap. Crash before the swap leaves the dataset
-    untouched.
+    untouched; a crash MID-swap can leave some groups updated and
+    others not (each group dir is individually consistent — the
+    sibling dir still holds the rest). A table format seals that last
+    gap with a metadata-pointer commit; on a filesystem layout the
+    honest contract is per-group atomicity, whole-upsert resumability.
     """
     import os
     import shutil

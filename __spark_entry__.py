@@ -818,6 +818,52 @@ def q_pivot_lang_by_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_unpivot_lang_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt): the per-source language-count matrix back to
+    long form — `DataFrame.unpivot` is the Catalyst Expand operator
+    (rows multiply by the value-column count in one pass, no union of
+    N scans). Zero counts are kept: melt must be lossless over the
+    matrix, which the oracle states as a cross join of sources with
+    the language list."""
+    wide = q_pivot_lang_by_source(spark, sf)
+    return wide.unpivot(
+        "source",
+        [f"n_{lang}" for lang in PIVOT_LANGS],
+        "lang_col",
+        "n",
+    ).select(
+        "source",
+        F.expr("substring(lang_col, 3)").alias("lang"),
+        "n",
+    )
+
+
+def q_docs_except_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-operation parity: doc ids that are long-text XOR
+    high-quality-source — EXCEPT ALL and INTERSECT run as Catalyst
+    left-anti / left-semi under distinct-aware aggregation, not
+    row-comparison loops. Returns the per-side counts plus id
+    checksums so a dropped duplicate or a phantom row mismatches."""
+    df = read_table(spark, sf, "documents")
+    long_docs = df.filter(F.col("n_chars") >= 200).select("doc_id")
+    en_docs = df.filter(F.col("lang") == "en").select("doc_id")
+    only_long = long_docs.exceptAll(en_docs)
+    both = long_docs.intersect(en_docs)
+    return (
+        only_long.agg(
+            F.lit("long_not_en").alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    ).unionByName(
+        both.agg(
+            F.lit("long_and_en").alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
 def q_group_counts_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) — all four grouping sets in
     one pass (rollup covers three; the cube adds the
@@ -2693,6 +2739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_roundtrip": q_upsert_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
+        "unpivot_lang_counts": q_unpivot_lang_counts,
+        "docs_except_intersect": q_docs_except_intersect,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3380,6 +3428,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY source
+        """,
+        "unpivot_lang_counts": """
+            WITH langs AS (
+              SELECT * FROM (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh'))
+                AS t(lang)
+            )
+            SELECT s.source, l.lang,
+                   CAST(count(d.doc_id) AS BIGINT) AS n
+            FROM (SELECT DISTINCT source FROM documents) s
+            CROSS JOIN langs l
+            LEFT JOIN documents d
+              ON d.source = s.source AND d.lang = l.lang
+            GROUP BY s.source, l.lang
+        """,
+        "docs_except_intersect": """
+            SELECT 'long_not_en' AS side,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM (
+              SELECT doc_id FROM documents WHERE n_chars >= 200
+              EXCEPT ALL
+              SELECT doc_id FROM documents WHERE lang = 'en'
+            )
+            UNION ALL
+            SELECT 'long_and_en' AS side,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM (
+              SELECT doc_id FROM documents WHERE n_chars >= 200
+              INTERSECT
+              SELECT doc_id FROM documents WHERE lang = 'en'
+            )
         """,
         "tpch_q8_market_share": """
             WITH j AS (

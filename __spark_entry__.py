@@ -713,6 +713,95 @@ def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier, adapted: no partsupp table, so
+    the part-supplier catalog is the DISTINCT (l_partkey, l_suppkey)
+    pairs and 'cost' is the supplier's account balance): for each part
+    shipped in one region, the supplier(s) achieving the per-part
+    minimum — the correlated-MIN-subquery shape, decorrelated into a
+    per-part aggregate joined back on (part, value) EQUALITY. Doubles
+    are safe as the min key here because the min is compared against
+    values drawn from the same column (no arithmetic), so equality is
+    exact."""
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        read_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    catalog = pairs.join(
+        F.broadcast(supp), pairs["l_suppkey"] == supp["s_suppkey"]
+    )
+    mins = catalog.groupBy("l_partkey").agg(
+        F.min("s_acctbal").alias("_min_bal")
+    )
+    part = read_table(spark, sf, "part").filter(F.col("p_size") < 5)
+    return (
+        catalog.join(
+            mins,
+            (catalog["l_partkey"] == mins["l_partkey"])
+            & (catalog["s_acctbal"] == mins["_min_bal"]),
+        )
+        .drop(mins["l_partkey"])
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+Q11_SHARE = 0.0008
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (important stock, adapted to revenue): parts whose
+    revenue exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    scalar-subquery-inside-HAVING shape. One aggregation pass feeds
+    both sides: the per-part frame re-aggregates to the global scalar,
+    which broadcasts back into the filter. Decimal accumulation makes
+    the threshold comparison exact."""
+    li = read_table(spark, sf, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).cast("decimal(18,4)")
+        ).alias("part_rev")
+    )
+    total = rev.agg(F.sum("part_rev").alias("_total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_rev")
+            > (F.col("_total") * F.lit(Q11_SHARE)).cast("decimal(28,8)")
+        )
+        .select(
+            "l_partkey",
+            F.col("part_rev").cast("double").alias("part_rev"),
+        )
+    )
+
+
 def q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 (national market share): NATION_3-supplied share of
     ASIA-region PROMO-part order volume, by year — the
@@ -2741,6 +2830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "unpivot_lang_counts": q_unpivot_lang_counts,
         "docs_except_intersect": q_docs_except_intersect,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3428,6 +3519,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY source
+        """,
+        "tpch_q2_min_cost_supplier": """
+            WITH catalog AS (
+              SELECT p.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+                     n.n_name
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) p
+              JOIN supplier s ON p.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA'
+            )
+            SELECT pt.p_partkey, pt.p_name, c.s_name,
+                   c.n_name AS supp_nation,
+                   round(c.s_acctbal, 2) AS s_acctbal
+            FROM catalog c
+            JOIN part pt ON c.l_partkey = pt.p_partkey
+            WHERE pt.p_size < 5
+              AND c.s_acctbal = (
+                SELECT min(c2.s_acctbal) FROM catalog c2
+                WHERE c2.l_partkey = c.l_partkey
+              )
+        """,
+        "tpch_q11_important_parts": f"""
+            WITH rev AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                              AS DECIMAL(18,4))) AS part_rev
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(part_rev AS DOUBLE) AS part_rev
+            FROM rev
+            WHERE part_rev > (
+              SELECT CAST(sum(part_rev) * {Q11_SHARE}
+                          AS DECIMAL(28,8)) FROM rev
+            )
         """,
         "unpivot_lang_counts": """
             WITH langs AS (

@@ -282,3 +282,279 @@ def pq_topk(
             "query_id", F.col("id").alias("neighbor_id"), "cosine", "rank"
         )
     )
+
+
+class IvfPqDiskIndex:
+    """Persisted IVF+PQ index — the two ANN axes composed on disk:
+    coarse cells give SCAN pruning (only probed partition directories
+    are read), PQ codes give per-row COMPRESSION (the pruned scan reads
+    bytes, not vectors).  This is the on-disk shape a billion-vector
+    corpus actually ships: cell-partitioned code files ~1000x smaller
+    than the raw embeddings, with the raw vectors kept alongside (also
+    cell-partitioned) only for the final exact rerank of a few
+    shortlisted candidates per query.
+
+    Layout under ``path``:
+      ``codes/``     (_cid, _codes)  partitioned by ``_cluster``
+      ``vectors/``   (_cid, _cv)     partitioned by ``_cluster``
+      ``centroids/`` (_cent_id, _cent_v)
+      ``codebooks/`` (j, code, centroid array<double>)
+
+    The coarse quantizer is ``similarity._flat_centroids`` — the SAME
+    deterministic cell scheme as ``ivf_topk_flat`` / ``IvfDiskIndex``,
+    so the cell family stays oracle-compatible across the tier.
+    """
+
+    def __init__(self, spark, path: str):
+        self._spark = spark
+        self.path = path
+        cb = spark.read.parquet(f"{path}/codebooks").orderBy("j", "code")
+        pdf = cb.toPandas()
+        m = int(pdf["j"].max()) + 1
+        ksub = int(pdf["code"].max()) + 1
+        dsub = len(pdf["centroid"].iloc[0])
+        books = np.empty((m, ksub, dsub))
+        for _, r in pdf.iterrows():
+            books[int(r["j"]), int(r["code"])] = np.asarray(r["centroid"])
+        self._books = books
+        cents = spark.read.parquet(f"{path}/centroids").toPandas()
+        self._cent_ids = cents["_cent_id"].to_numpy()
+        self._cent_vs = np.stack(
+            cents["_cent_v"].map(lambda v: np.asarray(v, dtype=np.float64))
+        )
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        vec_col: str,
+        id_col: str,
+        path: str,
+        num_centroids: int = 16,
+        m: int = 8,
+        ksub: int = 16,
+        seed: int = 42,
+        fit_sample_rows: int = 65536,
+    ) -> "IvfPqDiskIndex":
+        """One cell-assignment shuffle shared by both partitioned
+        writes; the PQ fit samples the corpus exactly like
+        ``fit_pq_codebooks``."""
+        from dataset_grouper_spark.operators.similarity import (
+            _assign_cells,
+            _flat_centroids,
+        )
+
+        spark = corpus.sparkSession
+        cents = _flat_centroids(corpus, vec_col, id_col, num_centroids)
+        assigned = _assign_cells(corpus, vec_col, id_col, cents)
+        books = fit_pq_codebooks(
+            corpus, vec_col, id_col, m, ksub, seed, fit_sample_rows
+        )
+        coded = pq_encode(
+            assigned.select(
+                F.col("_cid").alias("pq_id"), F.col("_cv").alias("pq_v")
+            ),
+            "pq_v",
+            "pq_id",
+            books,
+        ).select(F.col("id").alias("_cid"), F.col("codes").alias("_codes"))
+        keyed = assigned.join(coded, "_cid")
+        (
+            keyed.select("_cid", "_codes", "_cluster")
+            .write.partitionBy("_cluster")
+            .mode("overwrite")
+            .parquet(f"{path}/codes")
+        )
+        (
+            keyed.select("_cid", "_cv", "_cluster")
+            .write.partitionBy("_cluster")
+            .mode("overwrite")
+            .parquet(f"{path}/vectors")
+        )
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        rows = [
+            (j, c, books[j, c].tolist())
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            rows, "j int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        return IvfPqDiskIndex(spark, path)
+
+    def search(
+        self,
+        queries: DataFrame,
+        vec_col: str,
+        query_id_col: str,
+        k: int = 10,
+        nprobe: int = 4,
+        shortlist: int = 4,
+        batch_queries: int = 65536,
+        seed: int = 42,
+        round_digits: int = 6,
+    ) -> DataFrame:
+        """Per bounded query block: probe cells are computed from the
+        (tiny, driver-resident) centroid table, the codes scan carries
+        a STATIC ``_cluster IN (...)`` partition filter (only probed
+        directories are read — plan-asserted in tests), ADC scores only
+        rows inside each query's own probe set, and the shortlist
+        exact-reranks against the vectors of the same pruned cells.
+        Returns (query_id, neighbor_id, cosine, rank)."""
+        from dataset_grouper_spark.operators.similarity import (
+            _cosine_expr,
+            _dot,
+            _norm,
+        )
+
+        spark = self._spark
+        books = self._books
+        m, ksub, dsub = books.shape
+        n_q = queries.count()
+        n_blocks = max(1, -(-n_q // batch_queries))
+        sl = shortlist * k
+        out = None
+        for b in range(n_blocks):
+            qb = (
+                queries.select(
+                    F.col(query_id_col).alias("_qid"),
+                    F.col(vec_col).cast("array<double>").alias("_qv"),
+                )
+                .filter(
+                    F.pmod(F.xxhash64(F.col("_qid"), F.lit(seed)), n_blocks)
+                    == b
+                )
+                .toPandas()
+            )
+            if not len(qb):
+                continue
+            qids = qb["_qid"].to_numpy()
+            Q = np.stack(qb["_qv"].to_numpy())
+            # probe cells from the driver-resident centroid table:
+            # argmin-L2, ties to the smaller centroid id (same rule as
+            # similarity._probe_cells)
+            d2 = ((Q[:, None, :] - self._cent_vs[None, :, :]) ** 2).sum(
+                axis=2
+            )
+            order = np.lexsort((self._cent_ids[None, :].repeat(len(Q), 0), d2), axis=1)
+            probe_sets = [
+                set(self._cent_ids[order[i, :nprobe]]) for i in range(len(Q))
+            ]
+            cells = sorted(set().union(*probe_sets))
+            luts = np.stack(
+                [
+                    (
+                        (
+                            Q[:, j * dsub : (j + 1) * dsub][:, None, :]
+                            - books[j][None, :, :]
+                        )
+                        ** 2
+                    ).sum(axis=2)
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+
+            def make_scan(luts, qids, probe_sets, sl):
+                def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    for pdf in it:
+                        if not len(pdf):
+                            continue
+                        C = np.stack(pdf["_codes"].to_numpy()).astype(
+                            np.int64
+                        )
+                        ids = pdf["_cid"].to_numpy()
+                        clus = pdf["_cluster"].to_numpy()
+                        ad = luts[
+                            :, np.arange(C.shape[1])[None, :], C
+                        ].sum(axis=2)
+                        # mask candidates outside each query's probes
+                        for qi, ps in enumerate(probe_sets):
+                            mask = np.fromiter(
+                                (c not in ps for c in clus),
+                                dtype=bool,
+                                count=len(clus),
+                            )
+                            ad[qi, mask] = np.inf
+                        keep = min(sl, ad.shape[1])
+                        part = np.argpartition(ad, keep - 1, axis=1)[
+                            :, :keep
+                        ]
+                        out_q, out_i, out_d = [], [], []
+                        for qi in range(ad.shape[0]):
+                            sel = part[qi]
+                            fin = np.isfinite(ad[qi, sel])
+                            out_q.extend([qids[qi]] * int(fin.sum()))
+                            out_i.extend(ids[sel[fin]])
+                            out_d.extend(ad[qi, sel[fin]])
+                        yield pd.DataFrame(
+                            {
+                                "query_id": out_q,
+                                "id": out_i,
+                                "adc_d2": out_d,
+                            }
+                        )
+
+                return scan
+
+            codes = spark.read.parquet(f"{self.path}/codes").filter(
+                F.col("_cluster").isin([int(c) for c in cells])
+            )
+            short = (
+                codes.mapInPandas(
+                    make_scan(luts, qids, probe_sets, sl),
+                    schema="query_id long, id long, adc_d2 double",
+                )
+                .withColumn(
+                    "_r",
+                    F.row_number().over(
+                        Window.partitionBy("query_id").orderBy(
+                            F.col("adc_d2"), F.col("id")
+                        )
+                    ),
+                )
+                .filter(F.col("_r") <= sl)
+                .drop("_r")
+            )
+            vecs = (
+                spark.read.parquet(f"{self.path}/vectors")
+                .filter(F.col("_cluster").isin([int(c) for c in cells]))
+                .select(F.col("_cid").alias("id"), "_cv")
+            )
+            qv = spark.createDataFrame(
+                [
+                    (int(q), [float(x) for x in v])
+                    for q, v in zip(qids, Q)
+                ],
+                "query_id long, _qv array<double>",
+            )
+            scored = (
+                short.join(vecs, "id")
+                .join(F.broadcast(qv), "query_id")
+                .withColumn(
+                    "cosine",
+                    _cosine_expr(
+                        _dot(F.col("_cv"), F.col("_qv")),
+                        _norm(F.col("_cv")) * _norm(F.col("_qv")),
+                        round_digits,
+                    ),
+                )
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("id")
+            )
+            block_out = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    F.col("id").alias("neighbor_id"),
+                    "cosine",
+                    "rank",
+                )
+            )
+            out = block_out if out is None else out.unionByName(block_out)
+        if out is None:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double, rank int"
+            )
+        return out

@@ -2256,6 +2256,35 @@ def q_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """DELETE lifecycle (GDPR/TTL shape) on the partitioned layout:
+    write the corpus, erase every German doc with doc_id%3==0
+    (group-pruned rewrite — only directories containing matches are
+    touched), return the survivor rollup. The oracle is the filter
+    complement over the pristine table: a row deleted too many/few, or
+    leaked from an untouched group, hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark import sinks
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    path = tempfile.mkdtemp(prefix="del_rt_")
+    sinks.write_partitioned(
+        docs, keys.by_feature("source"), path, order_col="doc_id"
+    )
+    sinks.delete_partitioned(
+        spark, path, "lang = 'de' AND doc_id % 3 = 0", order_col="doc_id"
+    )
+    final = spark.read.parquet(f"{path}/data")
+    return final.groupBy(F.col(keys.GROUP_COL).alias("group_id")).agg(
+        F.count(F.lit(1)).alias("num_examples"),
+        F.sum(F.octet_length("text")).alias("num_bytes"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Full storage lifecycle with small-file repair: write half the
     corpus, APPEND the other half (fragmenting every group dir), then
@@ -2832,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_except_intersect": q_docs_except_intersect,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "delete_roundtrip": q_delete_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3507,6 +3537,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nb) AS BIGINT) AS num_bytes,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM final GROUP BY source
+        """,
+        "delete_roundtrip": """
+            SELECT source AS group_id,
+                   CAST(count(*) AS BIGINT) AS num_examples,
+                   CAST(sum(strlen(text)) AS BIGINT) AS num_bytes,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE NOT (lang = 'de' AND doc_id % 3 = 0)
+            GROUP BY source
         """,
         "jsonl_roundtrip": """
             SELECT source, CAST(count(*) AS BIGINT) AS n,

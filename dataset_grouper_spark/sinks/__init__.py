@@ -296,6 +296,96 @@ def upsert_partitioned(
     return {"upserted_rows": n_new, "groups_rewritten": swapped}
 
 
+def delete_partitioned(
+    spark,
+    path: str,
+    condition: str,
+    order_col: str | None = None,
+) -> dict:
+    """Row-level DELETE on a ``partitioned``-layout dataset with the
+    same group-directory rewrite granularity as
+    :func:`upsert_partitioned`: one scan finds the groups that contain
+    matching rows (collect capped at ``UPSERT_PRUNE_CAP`` — beyond it
+    every group rewrites, the honest fallback), only those directories
+    are rewritten without the matching rows, and the sidecar index is
+    rebuilt.  A group whose rows are ALL deleted has its directory
+    removed outright.  GDPR-style erasure ("delete user X everywhere")
+    is this op with a key predicate; retention TTL is this op with a
+    time predicate."""
+    import os
+    import shutil
+
+    data_path = f"{path}/{DATA_DIR}"
+    df = spark.read.parquet(data_path).withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
+    cond = F.expr(condition)
+    probe = (
+        df.filter(cond)
+        .select(keys.GROUP_COL)
+        .distinct()
+        .limit(UPSERT_PRUNE_CAP + 1)
+        .collect()
+    )
+    touched = [r[0] for r in probe]
+    if not touched:
+        return {"deleted_rows": 0, "groups_rewritten": 0}
+    if len(touched) <= UPSERT_PRUNE_CAP:
+        scope = df.filter(F.col(keys.GROUP_COL).isin(touched))
+    else:
+        scope = df  # full rewrite — stated in the docstring
+        touched = [
+            r[0] for r in df.select(keys.GROUP_COL).distinct().collect()
+        ]
+    n_del = scope.filter(cond).count()
+    keep = scope.filter(~cond)
+    # real directory paths per touched group (from the files
+    # themselves — no partition-value escaping logic to get wrong)
+    group_dirs: dict[str, set] = {}
+    for r in (
+        scope.select(
+            F.col(keys.GROUP_COL).alias("_g"),
+            F.input_file_name().alias("_f"),
+        )
+        .distinct()
+        .collect()
+    ):
+        d = os.path.dirname(r["_f"].replace("file:", ""))
+        group_dirs.setdefault(r["_g"], set()).add(d)
+
+    tmp_path = f"{path}/{DATA_DIR}_deleting"
+    out = keep.repartition(keys.GROUP_COL)
+    if order_col is not None and order_col in keep.columns:
+        out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
+    (
+        out.write.mode("overwrite")
+        .partitionBy(keys.GROUP_COL)
+        .parquet(tmp_path)
+    )
+    rewritten = set()
+    if os.path.isdir(tmp_path):
+        for entry in os.listdir(tmp_path):
+            if not entry.startswith(f"{keys.GROUP_COL}="):
+                continue
+            dst = os.path.join(data_path, entry)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.move(os.path.join(tmp_path, entry), dst)
+            rewritten.add(os.path.realpath(dst))
+        shutil.rmtree(tmp_path)
+    # groups whose every row matched: nothing came back — remove their
+    # recorded directories (realpath on both sides: input_file_name
+    # yields absolute URIs, the caller's path may be relative)
+    for dirs in group_dirs.values():
+        for d in dirs:
+            d = os.path.realpath(d)
+            if d not in rewritten and os.path.isdir(d):
+                shutil.rmtree(d)
+    written = spark.read.parquet(data_path)
+    _write_index(written, path, "partitioned", 0)
+    return {"deleted_rows": n_del, "groups_rewritten": len(touched)}
+
+
 def write_partitioned(
     df: DataFrame,
     key: Column,

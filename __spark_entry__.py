@@ -2256,6 +2256,32 @@ def q_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SHARD_TOKENS = 5000
+
+
+def q_token_shards_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budgeted training shards via the DISTRIBUTED prefix sum
+    (range-repartition -> per-partition window -> driver-prefixed
+    offsets — never the single-task global window): each shard holds
+    ~5000 consecutive tokens of doc_id-ordered corpus, docs never
+    split. The oracle recomputes the assignment with a plain window
+    cumsum — the two spellings must agree exactly."""
+    from dataset_grouper_spark.operators import prefix
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    sharded = prefix.with_token_shards(
+        docs,
+        textstats.words_expr("text"),
+        "doc_id",
+        SHARD_TOKENS,
+        num_partitions=16,
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(textstats.words_expr("text")).alias("tokens"),
+    )
+
+
 def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """DELETE lifecycle (GDPR/TTL shape) on the partitioned layout:
     write the corpus, erase every German doc with doc_id%3==0
@@ -2862,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "delete_roundtrip": q_delete_roundtrip,
+        "token_shards_documents": q_token_shards_documents,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3537,6 +3564,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nb) AS BIGINT) AS num_bytes,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM final GROUP BY source
+        """,
+        "token_shards_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {textstats.words_sql("text")} AS tok
+              FROM documents
+            ), c AS (
+              SELECT doc_id, tok,
+                     sum(tok) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT CAST((cum - tok) // {SHARD_TOKENS} AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS tokens
+            FROM c GROUP BY 1
         """,
         "delete_roundtrip": """
             SELECT source AS group_id,

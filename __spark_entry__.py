@@ -740,13 +740,20 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    from dataset_grouper_spark.cache import persist_tracked
+
     pairs = (
         read_table(spark, sf, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
-    catalog = pairs.join(
-        F.broadcast(supp), pairs["l_suppkey"] == supp["s_suppkey"]
+    # persisted: the catalog feeds BOTH the per-part min and the
+    # equality join back — without it the lineitem distinct (the
+    # expensive pass) executes twice
+    catalog = persist_tracked(
+        pairs.join(
+            F.broadcast(supp), pairs["l_suppkey"] == supp["s_suppkey"]
+        )
     )
     mins = catalog.groupBy("l_partkey").agg(
         F.min("s_acctbal").alias("_min_bal")

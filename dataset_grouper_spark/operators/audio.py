@@ -204,10 +204,20 @@ def _channel0_features(samples: np.ndarray):
     return peak, sum_sq, zc
 
 
-def audio_features(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+def audio_features(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    skip_invalid: bool = False,
+) -> DataFrame:
     """Decode PCM and compute exact integer signal features over
     channel 0 (peak amplitude, energy as sum of squares, zero-crossing
-    count) alongside the header metadata.  One Arrow pass, no shuffle."""
+    count) alongside the header metadata.  One Arrow pass, no shuffle.
+
+    ``skip_invalid=True`` emits an all-NULL feature row for payloads
+    that fail to parse instead of raising — at corpus scale one corrupt
+    file must not kill the job; the NULL rows are the audit trail
+    (count them, don't lose them)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -223,20 +233,47 @@ def audio_features(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
                 "zero_crossings": [],
             }
             for i, p in zip(pdf[id_col].astype("int64"), pdf[content_col]):
-                samples, rate = decode_wav_pcm(bytes(p))
-                hdr = parse_wav_header(bytes(p))
-                ch, _, bits, n, _, _ = hdr
-                peak, sum_sq, zc = _channel0_features(samples)
+                try:
+                    samples, rate = decode_wav_pcm(bytes(p))
+                    hdr = parse_wav_header(bytes(p))
+                    ch, _, bits, n, _, _ = hdr
+                    peak, sum_sq, zc = _channel0_features(samples)
+                    row = (
+                        ch, rate, bits, n, n * 1000 // rate,
+                        peak, sum_sq, zc,
+                    )
+                except ValueError:
+                    if not skip_invalid:
+                        raise
+                    row = (None,) * 8
                 out["id"].append(int(i))
-                out["channels"].append(ch)
-                out["sample_rate"].append(rate)
-                out["bits"].append(bits)
-                out["n_frames"].append(n)
-                out["duration_ms"].append(n * 1000 // rate)
-                out["peak"].append(peak)
-                out["sum_sq"].append(sum_sq)
-                out["zero_crossings"].append(zc)
-            yield pd.DataFrame(out)
+                for key, v in zip(
+                    (
+                        "channels", "sample_rate", "bits", "n_frames",
+                        "duration_ms", "peak", "sum_sq", "zero_crossings",
+                    ),
+                    row,
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(
+                {
+                    "id": out["id"],
+                    "channels": pd.array(out["channels"], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        out["sample_rate"], dtype="Int32"
+                    ),
+                    "bits": pd.array(out["bits"], dtype="Int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "duration_ms": pd.array(
+                        out["duration_ms"], dtype="Int64"
+                    ),
+                    "peak": pd.array(out["peak"], dtype="Int64"),
+                    "sum_sq": pd.array(out["sum_sq"], dtype="Int64"),
+                    "zero_crossings": pd.array(
+                        out["zero_crossings"], dtype="Int64"
+                    ),
+                }
+            )
 
     return df.select(id_col, content_col).mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA

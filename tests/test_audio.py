@@ -155,3 +155,24 @@ def test_audio_meta_null_for_non_wav(spark):
 def test_compressed_gate_raises():
     with pytest.raises((NotImplementedError, Exception)):
         audio.decode_compressed_audio(b"\xff\xfb\x90\x00")
+
+
+def test_audio_features_skip_invalid(spark):
+    import numpy as np
+
+    good = audio.encode_wav_pcm16(np.arange(8, dtype=np.int64), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"garbage bytes here"))],
+        "id long, content binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in audio.audio_features(
+            df, "content", "id", skip_invalid=True
+        ).collect()
+    }
+    assert rows[1]["n_frames"] == 8
+    assert rows[2]["n_frames"] is None and rows[2]["peak"] is None
+    # strict mode still raises
+    with pytest.raises(Exception):
+        audio.audio_features(df, "content", "id").collect()

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_grouper_spark import keys, oracles
+from dataset_grouper_spark.functions import dp as dp_fns
 from dataset_grouper_spark.functions import featurize, textanalysis, textstats
 from dataset_grouper_spark.functions import quality, vocab
 from dataset_grouper_spark.operators import profile as profile_ops
@@ -2263,6 +2264,39 @@ def q_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+DP_EPS = 1.0
+DP_SEED = 42
+DP_CLAMP = 100.0
+
+
+def q_dp_group_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-DP per-source document counts (google-parfait's home turf:
+    group structure exists so per-user releases can carry privacy
+    budgets — the public reference releases raw counts, this is the
+    private release mechanism): true count + seeded Laplace(1/ε) noise
+    from the md5 inverse-CDF. The oracle regenerates the identical
+    noise closed-form; the seed exists FOR that reproducibility —
+    production passes seed=None (fresh randomness), as the module
+    docstring spells out."""
+    from dataset_grouper_spark.functions import dp
+
+    docs = read_table(spark, sf, "documents")
+    return dp.dp_group_counts(docs, "source", epsilon=DP_EPS, seed=DP_SEED)
+
+
+def q_dp_group_sums_events(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-DP per-type event-value sums with explicit per-row clamping
+    (the clamp IS the sensitivity bound — the guarantee evaporates
+    without it)."""
+    from dataset_grouper_spark.functions import dp
+
+    ev = read_table(spark, sf, "events")
+    return dp.dp_group_sums(
+        ev, "event_type", "value", epsilon=DP_EPS, clamp=DP_CLAMP,
+        seed=DP_SEED,
+    )
+
+
 SHARD_TOKENS = 5000
 
 
@@ -2896,6 +2930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "delete_roundtrip": q_delete_roundtrip,
         "token_shards_documents": q_token_shards_documents,
+        "dp_group_counts_documents": q_dp_group_counts_documents,
+        "dp_group_sums_events": q_dp_group_sums_events,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3571,6 +3607,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nb) AS BIGINT) AS num_bytes,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM final GROUP BY source
+        """,
+        # DP twins: regenerate the seeded Laplace noise closed-form
+        # (md5 inverse-CDF — functions/dp.py laplace_noise_sql)
+        "dp_group_counts_documents": f"""
+            SELECT source AS group_id,
+                   round(count(*)
+                         + {dp_fns.laplace_noise_sql("source", 1.0 / DP_EPS, DP_SEED)},
+                         6) AS dp_count
+            FROM documents GROUP BY source
+        """,
+        "dp_group_sums_events": f"""
+            SELECT event_type AS group_id,
+                   round(sum(greatest(least(value, {DP_CLAMP}),
+                                      -{DP_CLAMP}))
+                         + {dp_fns.laplace_noise_sql("event_type", DP_CLAMP / DP_EPS, DP_SEED)},
+                         6) AS dp_sum
+            FROM events GROUP BY event_type
         """,
         "token_shards_documents": f"""
             WITH t AS (

@@ -386,6 +386,29 @@ def delete_partitioned(
     return {"deleted_rows": n_del, "groups_rewritten": len(touched)}
 
 
+_TEMP_SUFFIXES = ("_compacting", "_upserting", "_deleting")
+
+
+def vacuum_partitioned(path: str) -> dict:
+    """Remove crash leftovers from the rewrite ops: each of
+    compact/upsert/delete stages its rewrite in a sibling temp dir and
+    swaps at the end — a crash mid-job can strand
+    ``data_compacting``/``data_upserting``/``data_deleting``.  They are
+    never read (every reader targets ``data/``), so removal is always
+    safe; run this before retrying a failed rewrite.  Returns the
+    removed directory names."""
+    import os
+    import shutil
+
+    removed = []
+    for suffix in _TEMP_SUFFIXES:
+        d = os.path.join(path, DATA_DIR + suffix)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(os.path.basename(d))
+    return {"removed": removed}
+
+
 def write_partitioned(
     df: DataFrame,
     key: Column,

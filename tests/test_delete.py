@@ -70,3 +70,19 @@ def test_delete_no_match_is_noop(spark, dataset):
     stats = sinks.delete_partitioned(spark, dataset, "score = 12345")
     assert stats == {"deleted_rows": 0, "groups_rewritten": 0}
     assert _files_with_mtimes(data) == before
+
+
+def test_vacuum_removes_crash_leftovers(spark, dataset):
+    import pathlib
+
+    for suffix in ("_compacting", "_upserting", "_deleting"):
+        d = pathlib.Path(dataset) / ("data" + suffix)
+        d.mkdir()
+        (d / "part-stranded.parquet").write_bytes(b"junk")
+    stats = sinks.vacuum_partitioned(dataset)
+    assert sorted(stats["removed"]) == [
+        "data_compacting", "data_deleting", "data_upserting"
+    ]
+    # the real data is untouched and a second vacuum is a no-op
+    assert spark.read.parquet(os.path.join(dataset, "data")).count() == 5
+    assert sinks.vacuum_partitioned(dataset) == {"removed": []}

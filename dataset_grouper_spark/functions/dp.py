@@ -134,3 +134,18 @@ def dp_group_sums(
             round_digits,
         ).alias("dp_sum"),
     )
+
+
+def thresholded_group_counts(
+    df: DataFrame, key_col: str, min_group_size: int
+) -> DataFrame:
+    """k-anonymity-style suppression: release only groups with at
+    least ``min_group_size`` rows — the companion to the DP caveat
+    above (noise protects values; suppression protects the EXISTENCE
+    of small groups).  A HAVING filter, so Catalyst runs it after the
+    partial-aggregated count."""
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias("group_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_group_size)
+    )

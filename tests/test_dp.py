@@ -95,3 +95,15 @@ def test_sql_twin_matches_spark(spark, groups_df):
     ).fetchall()
     dd = {r[0]: r[1] for r in duck}
     assert got == dd
+
+
+def test_thresholded_release_suppresses_small_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1)] * 10 + [("b", 1)] * 2 + [("c", 1)] * 5,
+        "g string, v int",
+    )
+    out = {
+        r["group_id"]: r["n"]
+        for r in dp.thresholded_group_counts(df, "g", 5).collect()
+    }
+    assert out == {"a": 10, "c": 5}  # b (2 rows) suppressed

@@ -2872,10 +2872,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     pre-filter) plus the new queries. The r5 second wave
         #     (audio/video tiers, Q7/Q22, bucketed co-located join)
         #     closes the cap at position 50; the further additions
-        #     (Q8/Q10/Q12/Q13/Q15/Q21, pivot, analytics, upsert/
-        #     jsonl/csv/zorder lifecycles, incremental dedup,
-        #     centroids) are locally sf0.01-hash-verified and lead
-        #     tier A next round.
+        #     (TPC-H Q2/Q8/Q10/Q11/Q12/Q13/Q15/Q21, pivot/unpivot,
+        #     set-ops, analytics, upsert/delete/jsonl/csv/zorder
+        #     lifecycles, incremental dedup, centroids, token shards,
+        #     DP releases) are ALL locally sf0.01-hash-verified this
+        #     round and lead tier A next round.
         "group_stream": q_group_stream,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "multimodal_resize_png": q_multimodal_resize_png,

@@ -2089,6 +2089,37 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.sample_video_frames(vids, "content", "doc_id", every_k=2)
 
 
+def q_gif_frame_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL animated-GIF structure walk oracled in closed form: per doc
+    a structurally-valid GIF with 1 + d%4 frames (animated — one
+    graphic-control extension per frame — when d%2=1), dims
+    (4 + d%3, 3 + d%2). The walker counts image blocks without LZW
+    decode; a sub-block mis-skip or color-table stride error changes
+    the counts and hash-mismatches."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for d in ids:
+                d = int(d)
+                outs.append(
+                    multimodal.encode_gif_frames(
+                        4 + d % 3, 3 + d % 2, 1 + d % 4,
+                        animated=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    gifs = (
+        read_table(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, content binary")
+    )
+    return multimodal.gif_meta(gifs, "content", "doc_id")
+
+
 def q_audio_features_wav(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio decode oracled in closed form: synthesize a PCM16 WAV
     per doc (see _wav_frame), parse the RIFF container and compute exact
@@ -2933,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards_documents": q_token_shards_documents,
         "dp_group_counts_documents": q_dp_group_counts_documents,
         "dp_group_sums_events": q_dp_group_sums_events,
+        "gif_frame_meta": q_gif_frame_meta,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -4041,6 +4073,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS pixel_sum,
                    CAST(sum(v * wgt) AS BIGINT) AS checksum
             FROM px GROUP BY doc_id, f
+        """,
+        "gif_frame_meta": """
+            SELECT doc_id AS id,
+                   CAST(4 + doc_id % 3 AS INT) AS width,
+                   CAST(3 + doc_id % 2 AS INT) AS height,
+                   CAST(1 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 4
+                             ELSE 0 END AS INT) AS n_extensions,
+                   TRUE AS complete
+            FROM documents
         """,
         # audio twins: regenerate the closed-form waveform
         # (v_i = ((d*31 + i*17) % 4001) - 2000 over 64 + d%57 frames at

@@ -486,6 +486,124 @@ def encode_ppm_pixels(rgb) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
 
 
+def gif_frame_walk(b: bytes):
+    """Walk a GIF's block structure (GIF89a spec §§18-26) WITHOUT
+    decoding LZW: logical screen descriptor (+ global color table),
+    then a sequence of extensions (0x21, length-prefixed sub-blocks)
+    and image descriptors (0x2C: local descriptor + optional local
+    color table + LZW min-code byte + data sub-blocks) until the
+    trailer (0x3B).  Returns ``(n_frames, n_extensions, saw_trailer)``
+    or None if the container is not a GIF.  Frame COUNTING is the
+    pure-structure operation animated-GIF triage needs — the pixel
+    decode stays honestly PIL-gated."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = b[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+    frames = exts = 0
+    saw_trailer = False
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(b):
+            n = b[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+        return p
+
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            exts += 1
+            pos += 1
+            pos = skip_subblocks(pos)
+        elif marker == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                break
+            lflags = b[pos + 8]
+            pos += 9
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            frames += 1
+        else:  # unknown marker: corrupt tail — stop, keep what we have
+            break
+    return frames, exts, saw_trailer
+
+
+def encode_gif_frames(
+    width: int, height: int, n_frames: int, animated: bool = True
+) -> bytes:
+    """Structurally-valid GIF with ``n_frames`` image blocks and fake
+    LZW payloads — frame-walk testable without an encoder (the walker
+    never decompresses).  ``animated`` adds a graphic-control extension
+    per frame, as real encoders do."""
+    out = [b"GIF89a", struct.pack("<HH", width, height), b"\x00\x00\x00"]
+    for i in range(n_frames):
+        if animated:
+            # graphic control extension: 4-byte block + terminator
+            out.append(b"\x21\xf9\x04\x00\x02\x00\x00\x00")
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, width, height))
+        out.append(b"\x00")  # no local color table
+        out.append(b"\x02")  # LZW min code size
+        payload = bytes((i + j) % 256 for j in range(5))
+        out.append(bytes([len(payload)]) + payload + b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+GIF_META_SCHEMA = (
+    "id long, width int, height int, n_frames int, n_extensions int, "
+    "complete boolean"
+)
+
+
+def gif_meta(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Per-file GIF structure metadata (frame count, extension count,
+    trailer-present) from the block walk — one Arrow pass, no decode.
+    Non-GIF payloads yield NULL fields."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col].astype("int64"), pdf[content_col]):
+                b = bytes(p)
+                hdr = parse_image_header(b)
+                walk = gif_frame_walk(b)
+                if walk is None or hdr is None or hdr[0] != "gif":
+                    rows.append((int(i), None, None, None, None, None))
+                else:
+                    fr, ex, tr = walk
+                    rows.append((int(i), hdr[1], hdr[2], fr, ex, tr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "n_frames",
+                    "n_extensions", "complete",
+                ],
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "n_frames": "Int32",
+                    "n_extensions": "Int32",
+                    "complete": "boolean",
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=GIF_META_SCHEMA
+    )
+
+
 def iter_ppm_frames(b: bytes):
     """Walk a concatenated-P6 video container (each frame a complete
     binary PPM, frames butted back-to-back — PPM is self-delimiting:

@@ -52,3 +52,31 @@ def test_sample_video_frames_every_k(spark):
         s, ck = multimodal._pixel_checksum(frames[i])
         assert (r["pixel_sum"], r["checksum"]) == (s, ck)
         assert (r["width"], r["height"]) == (4, 3)
+
+
+def test_gif_frame_walk_counts_frames():
+    b = multimodal.encode_gif_frames(4, 3, 5)
+    assert multimodal.gif_frame_walk(b) == (5, 5, True)
+    b2 = multimodal.encode_gif_frames(4, 3, 1, animated=False)
+    assert multimodal.gif_frame_walk(b2) == (1, 0, True)
+
+
+def test_gif_frame_walk_with_global_color_table():
+    b = bytearray(multimodal.encode_gif_frames(2, 2, 3))
+    # set global color table flag (2 colors -> 6 bytes) and splice it
+    b[10] |= 0x80
+    b2 = bytes(b[:13]) + b"\x00" * 6 + bytes(b[13:])
+    assert multimodal.gif_frame_walk(b2) == (3, 3, True)
+
+
+def test_gif_frame_walk_truncated_degrades():
+    b = multimodal.encode_gif_frames(4, 3, 4)
+    cut = b[: len(b) // 2]
+    res = multimodal.gif_frame_walk(cut)
+    assert res is not None
+    frames, _, trailer = res
+    assert 0 < frames < 4 and not trailer
+
+
+def test_gif_frame_walk_rejects_non_gif():
+    assert multimodal.gif_frame_walk(b"P6\n1 1\n255\n\x00\x00\x00") is None

@@ -2089,6 +2089,28 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.sample_video_frames(vids, "content", "doc_id", every_k=2)
 
 
+def q_group_entropy_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-planning diagnostics: Shannon entropy (nats +
+    normalized) and top-group share of the user_id group-size
+    distribution — the single-row summary that decides whether a key
+    needs salting before it becomes the shuffle key (normalized
+    entropy ~1 = uniform = safe; low + high top-share = hot key).
+    Two tiny aggregations over the per-group counts; rounding absorbs
+    cross-libm ln drift."""
+    ev = read_table(spark, sf, "events")
+    sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = sizes.agg(F.sum("n").alias("_tot"))
+    p = sizes.crossJoin(F.broadcast(total)).withColumn(
+        "_p", F.col("n") / F.col("_tot")
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.round(-F.sum(F.col("_p") * F.log("_p")), 6).alias("entropy_nats"),
+        F.round(F.max("n") / F.first("_tot"), 6).alias("top_share"),
+    )
+
+
 def q_gif_frame_meta(spark: SparkSession, sf: str) -> DataFrame:
     """REAL animated-GIF structure walk oracled in closed form: per doc
     a structurally-valid GIF with 1 + d%4 frames (animated — one
@@ -2965,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_group_counts_documents": q_dp_group_counts_documents,
         "dp_group_sums_events": q_dp_group_sums_events,
         "gif_frame_meta": q_gif_frame_meta,
+        "group_entropy_events": q_group_entropy_events,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -4073,6 +4096,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS pixel_sum,
                    CAST(sum(v * wgt) AS BIGINT) AS checksum
             FROM px GROUP BY doc_id, f
+        """,
+        "group_entropy_events": """
+            WITH s AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ), t AS (SELECT sum(n) AS tot FROM s)
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   round(-sum((n / tot) * ln(n / tot)), 6)
+                     AS entropy_nats,
+                   round(max(n) / any_value(tot), 6) AS top_share
+            FROM s, t
         """,
         "gif_frame_meta": """
             SELECT doc_id AS id,

@@ -19,6 +19,8 @@ cardinality:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -126,8 +128,15 @@ def compact_partitioned(
     df = spark.read.parquet(data_path).withColumn(
         keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
     )
-    files_before = (
-        df.select(F.input_file_name().alias("f")).distinct().count()
+    # filesystem listing, not a data scan: counting files is the one
+    # question the storage layer answers for free (object stores list;
+    # this is what their manifest IS) — the old distinct(input_file_
+    # name) job read every footer just to count names
+    files_before = sum(
+        1
+        for _, _, fs in os.walk(data_path)
+        for f in fs
+        if f.endswith(".parquet")
     )
     ordc = F.col(order_col) if order_col else F.monotonically_increasing_id()
     w = Window.partitionBy(keys.GROUP_COL).orderBy(ordc)
@@ -161,23 +170,40 @@ def compact_partitioned(
     written = spark.read.parquet(data_path).withColumn(
         keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
     )
-    _write_index(written, path, "partitioned", 0)
-    stats = (
+    # ONE post-rewrite pass serves both the sidecar index and the
+    # returned stats: per-group (rows, files) is the index content,
+    # and the totals are an agg of that tiny frame (the old code
+    # scanned the rewritten data twice)
+    per_group = (
         written.select(
-            F.input_file_name().alias("_f"), F.col(keys.GROUP_COL)
+            keys.GROUP_COL, F.input_file_name().alias("_f")
         )
+        .groupBy(keys.GROUP_COL)
         .agg(
-            F.countDistinct("_f").alias("nf"),
-            F.countDistinct(keys.GROUP_COL).alias("ng"),
-            F.count(F.lit(1)).alias("nr"),
+            F.count(F.lit(1)).alias("num_examples"),
+            F.countDistinct("_f").alias("_nf"),
         )
-        .first()
+        .cache()
     )
+    (
+        per_group.select(keys.GROUP_COL, "num_examples")
+        .withColumn("layout", F.lit("partitioned"))
+        .withColumn("num_buckets", F.lit(0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{GROUP_INDEX_DIR}")
+    )
+    stats = per_group.agg(
+        F.sum("_nf").alias("nf"),
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("num_examples").alias("nr"),
+    ).first()
+    per_group.unpersist()
     return {
         "files_before": files_before,
-        "files_after": stats.nf,
-        "groups": stats.ng,
-        "rows": stats.nr,
+        "files_after": int(stats.nf),
+        "groups": int(stats.ng),
+        "rows": int(stats.nr),
     }
 
 

@@ -69,9 +69,12 @@ def append_partitioned(
 ) -> None:
     """Incrementally add rows to an existing partitioned dataset
     (directory layout): append the new rows under their group
-    directories and rebuild the sidecar index. Existing data files are
-    untouched — growth is O(new data) plus one index pass. Every append
-    adds at least one file per touched group, so periodically run
+    directories and MERGE their counts into the sidecar index.
+    Existing data files are untouched and — since the index update
+    joins the new batch's counts against the old (tiny) index frame —
+    the whole operation is O(new data): appending an hour of events to
+    a year of corpus never rescans the year. Every append adds at
+    least one file per touched group, so periodically run
     :func:`compact_partitioned` to restore bounded file counts.
     """
     keyed = keys.with_group_key(df, key)
@@ -81,14 +84,49 @@ def append_partitioned(
         out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
     out.write.mode("append").partitionBy(keys.GROUP_COL).parquet(data_path)
     spark = keyed.sparkSession
+    new_counts = (
+        keyed.withColumn(keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string"))
+        .groupBy(keys.GROUP_COL)
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+    )
     try:
-        written = spark.read.parquet(data_path)
+        old = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").select(
+            keys.GROUP_COL, F.col("num_examples").alias("_old")
+        )
+        merged = (
+            new_counts.join(old, keys.GROUP_COL, "full_outer")
+            .select(
+                keys.GROUP_COL,
+                (
+                    F.coalesce(F.col("num_examples"), F.lit(0))
+                    + F.coalesce(F.col("_old"), F.lit(0))
+                ).alias("num_examples"),
+            )
+        )
+        # stage-and-swap: the merged frame READS the old index, so an
+        # in-place overwrite would delete its own input
+        import shutil
+
+        tmp_idx = f"{path}/{GROUP_INDEX_DIR}_new"
+        (
+            merged.withColumn("layout", F.lit("partitioned"))
+            .withColumn("num_buckets", F.lit(0))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp_idx)
+        )
+        shutil.rmtree(f"{path}/{GROUP_INDEX_DIR}")
+        shutil.move(tmp_idx, f"{path}/{GROUP_INDEX_DIR}")
     except Exception:
-        # first append AND zero rows: leave a schema footer (see
-        # write_partitioned's empty-input fallback)
-        keyed.limit(0).write.mode("overwrite").parquet(data_path)
-        written = spark.read.parquet(data_path)
-    _write_index(written, path, "partitioned", 0)
+        # no readable prior index (fresh dataset / zero-row first
+        # append): fall back to the full rebuild, leaving a schema
+        # footer if even the data dir is empty (see write_partitioned)
+        try:
+            written = spark.read.parquet(data_path)
+        except Exception:
+            keyed.limit(0).write.mode("overwrite").parquet(data_path)
+            written = spark.read.parquet(data_path)
+        _write_index(written, path, "partitioned", 0)
 
 
 def compact_partitioned(

@@ -465,8 +465,10 @@ def vacuum_partitioned(path: str) -> dict:
     import shutil
 
     removed = []
-    for suffix in _TEMP_SUFFIXES:
-        d = os.path.join(path, DATA_DIR + suffix)
+    candidates = [DATA_DIR + s for s in _TEMP_SUFFIXES]
+    candidates.append(GROUP_INDEX_DIR + "_new")  # append's index stage
+    for name in candidates:
+        d = os.path.join(path, name)
         if os.path.isdir(d):
             shutil.rmtree(d)
             removed.append(os.path.basename(d))

@@ -248,6 +248,34 @@ def compact_partitioned(
 UPSERT_PRUNE_CAP = 10_000
 
 
+def _merge_index_for_touched(
+    spark, path: str, touched: list, new_counts: DataFrame
+) -> None:
+    """Index update for a group-pruned rewrite: untouched groups keep
+    their old index rows, touched groups take ``new_counts`` (their
+    post-rewrite per-group counts; fully-deleted groups simply don't
+    appear). O(touched + index size), never a dataset rescan. Falls
+    back to nothing if the old index is unreadable — callers handle
+    that with a full rebuild."""
+    import shutil
+
+    old = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").select(
+        keys.GROUP_COL, "num_examples"
+    )
+    kept = old.filter(~F.col(keys.GROUP_COL).isin(touched))
+    merged = kept.unionByName(new_counts)
+    tmp_idx = f"{path}/{GROUP_INDEX_DIR}_new"
+    (
+        merged.withColumn("layout", F.lit("partitioned"))
+        .withColumn("num_buckets", F.lit(0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp_idx)
+    )
+    shutil.rmtree(f"{path}/{GROUP_INDEX_DIR}")
+    shutil.move(tmp_idx, f"{path}/{GROUP_INDEX_DIR}")
+
+
 def upsert_partitioned(
     spark,
     df_new: DataFrame,
@@ -345,6 +373,15 @@ def upsert_partitioned(
     )
     n_new = keyed_new.count()
     keyed_new.unpersist()
+    # touched-group counts from the staged rewrite, materialized
+    # BEFORE the swap moves the files (bounded: <= touched groups)
+    new_count_rows = [
+        (r[0], r[1])
+        for r in spark.read.parquet(tmp_path)
+        .groupBy(F.col(keys.GROUP_COL).cast("string").alias(keys.GROUP_COL))
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+        .collect()
+    ]
     swapped = 0
     for entry in os.listdir(tmp_path):
         if not entry.startswith(f"{keys.GROUP_COL}="):
@@ -355,8 +392,21 @@ def upsert_partitioned(
         shutil.move(os.path.join(tmp_path, entry), dst)
         swapped += 1
     shutil.rmtree(tmp_path)
-    written = spark.read.parquet(data_path)
-    _write_index(written, path, "partitioned", 0)
+    try:
+        if len(touched) > UPSERT_PRUNE_CAP:
+            raise ValueError("past prune cap — full rebuild")
+        _merge_index_for_touched(
+            spark,
+            path,
+            touched,
+            spark.createDataFrame(
+                new_count_rows, f"{keys.GROUP_COL} string, num_examples long"
+            ),
+        )
+    except Exception:
+        _write_index(
+            spark.read.parquet(data_path), path, "partitioned", 0
+        )
     return {"upserted_rows": n_new, "groups_rewritten": swapped}
 
 
@@ -426,8 +476,19 @@ def delete_partitioned(
         .partitionBy(keys.GROUP_COL)
         .parquet(tmp_path)
     )
+    new_count_rows = []
     rewritten = set()
     if os.path.isdir(tmp_path):
+        # surviving touched-group counts, materialized pre-swap
+        new_count_rows = [
+            (r[0], r[1])
+            for r in spark.read.parquet(tmp_path)
+            .groupBy(
+                F.col(keys.GROUP_COL).cast("string").alias(keys.GROUP_COL)
+            )
+            .agg(F.count(F.lit(1)).alias("num_examples"))
+            .collect()
+        ]
         for entry in os.listdir(tmp_path):
             if not entry.startswith(f"{keys.GROUP_COL}="):
                 continue
@@ -445,8 +506,21 @@ def delete_partitioned(
             d = os.path.realpath(d)
             if d not in rewritten and os.path.isdir(d):
                 shutil.rmtree(d)
-    written = spark.read.parquet(data_path)
-    _write_index(written, path, "partitioned", 0)
+    try:
+        if len(touched) > UPSERT_PRUNE_CAP:
+            raise ValueError("past prune cap — full rebuild")
+        _merge_index_for_touched(
+            spark,
+            path,
+            touched,
+            spark.createDataFrame(
+                new_count_rows, f"{keys.GROUP_COL} string, num_examples long"
+            ),
+        )
+    except Exception:
+        _write_index(
+            spark.read.parquet(data_path), path, "partitioned", 0
+        )
     return {"deleted_rows": n_del, "groups_rewritten": len(touched)}
 
 

@@ -410,6 +410,117 @@ def upsert_partitioned(
     return {"upserted_rows": n_new, "groups_rewritten": swapped}
 
 
+def upsert_bucketed(
+    spark,
+    df_new: DataFrame,
+    key: Column,
+    path: str,
+    id_col: str,
+    order_col: str | None = None,
+) -> dict:
+    """MERGE for the HIGH-cardinality layout: same-id rows replaced,
+    new ids inserted, with BUCKET-DIRECTORY rewrite granularity — the
+    bucketed layout's whole point is that millions of groups collapse
+    into ``num_buckets`` directories, so the upsert's touched-unit is
+    a bucket (recomputable from the group id, so the probe is a cheap
+    distinct over df_new; at most ``num_buckets`` of them, bounded by
+    construction).  Untouched bucket directories are never opened;
+    rewritten buckets are re-sorted by (group, order) so single-group
+    reads keep their contiguous-run pruning; the sidecar index update
+    is a distributed merge (old rows whose bucket wasn't touched +
+    staged counts) — no collect of group counts, no dataset rescan.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    data_path = f"{path}/{DATA_DIR}"
+    meta = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").first()
+    if meta is None or meta.layout != "bucketed":
+        raise ValueError(
+            "upsert_bucketed requires layout='bucketed'; use "
+            "upsert_partitioned for the directory-per-group layout"
+        )
+    num_buckets = int(meta.num_buckets)
+    keyed_new = keys.with_group_key(df_new, key).withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
+    if order_col is not None:
+        w = Window.partitionBy(keys.GROUP_COL, id_col).orderBy(
+            F.col(order_col).desc()
+        )
+        keyed_new = (
+            keyed_new.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    keyed_new = keyed_new.withColumn(
+        BUCKET_COL, bucket_expr(num_buckets)
+    ).persist()
+    touched = sorted(
+        r[0]
+        for r in keyed_new.select(BUCKET_COL).distinct().collect()
+    )  # bounded by num_buckets
+    old = spark.read.parquet(data_path).withColumn(
+        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    )
+    old_touched = old.filter(F.col(BUCKET_COL).isin(touched))
+    cols = [c for c in old.columns]
+    survivors = old_touched.join(
+        keyed_new.select(keys.GROUP_COL, id_col),
+        [keys.GROUP_COL, id_col],
+        "left_anti",
+    )
+    merged = survivors.select(cols).unionByName(keyed_new.select(cols))
+
+    tmp_path = f"{path}/{DATA_DIR}_upserting"
+    out = merged.repartition(len(touched), F.col(BUCKET_COL))
+    if order_col is not None:
+        out = out.sortWithinPartitions(keys.GROUP_COL, order_col)
+    else:
+        out = out.sortWithinPartitions(keys.GROUP_COL)
+    (
+        out.write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(tmp_path)
+    )
+    n_new = keyed_new.count()
+    keyed_new.unpersist()
+    # distributed index merge staged BEFORE the swap (it reads tmp)
+    staged_counts = (
+        spark.read.parquet(tmp_path)
+        .withColumn(keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string"))
+        .groupBy(keys.GROUP_COL)
+        .agg(F.count(F.lit(1)).alias("num_examples"))
+    )
+    old_idx = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").select(
+        keys.GROUP_COL, "num_examples"
+    )
+    kept_idx = old_idx.filter(~bucket_expr(num_buckets).isin(touched))
+    tmp_idx = f"{path}/{GROUP_INDEX_DIR}_new"
+    (
+        kept_idx.unionByName(staged_counts)
+        .withColumn("layout", F.lit("bucketed"))
+        .withColumn("num_buckets", F.lit(num_buckets))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp_idx)
+    )
+    swapped = 0
+    for entry in os.listdir(tmp_path):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        dst = os.path.join(data_path, entry)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.move(os.path.join(tmp_path, entry), dst)
+        swapped += 1
+    shutil.rmtree(tmp_path)
+    shutil.rmtree(f"{path}/{GROUP_INDEX_DIR}")
+    shutil.move(tmp_idx, f"{path}/{GROUP_INDEX_DIR}")
+    return {"upserted_rows": n_new, "buckets_rewritten": swapped}
+
+
 def delete_partitioned(
     spark,
     path: str,

@@ -248,22 +248,33 @@ def compact_partitioned(
 UPSERT_PRUNE_CAP = 10_000
 
 
-def _merge_index_for_touched(
-    spark, path: str, touched: list, new_counts: DataFrame
-) -> None:
-    """Index update for a group-pruned rewrite: untouched groups keep
-    their old index rows, touched groups take ``new_counts`` (their
-    post-rewrite per-group counts; fully-deleted groups simply don't
-    appear). O(touched + index size), never a dataset rescan. Falls
-    back to nothing if the old index is unreadable — callers handle
-    that with a full rebuild."""
-    import shutil
-
+def _stage_merged_index(
+    spark, path: str, touched: list, tmp_data_path: str | None
+) -> str:
+    """Stage the post-rewrite index for a group-pruned op BEFORE the
+    data swap: untouched groups keep their old index rows, touched
+    groups take their counts from the staged rewrite directory (read
+    lazily here, while its files still exist; fully-deleted groups
+    simply don't appear). All distributed — no collect, no local
+    frame (a LocalTableScan write costs ~4s of fixed overhead per
+    call; measured in PERF.md). Returns the staged index path for the
+    caller to swap in after the data swap."""
     old = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").select(
         keys.GROUP_COL, "num_examples"
     )
     kept = old.filter(~F.col(keys.GROUP_COL).isin(touched))
-    merged = kept.unionByName(new_counts)
+    if tmp_data_path is not None:
+        staged = (
+            spark.read.parquet(tmp_data_path)
+            .withColumn(
+                keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+            )
+            .groupBy(keys.GROUP_COL)
+            .agg(F.count(F.lit(1)).alias("num_examples"))
+        )
+        merged = kept.unionByName(staged)
+    else:  # every touched group fully deleted: nothing staged
+        merged = kept
     tmp_idx = f"{path}/{GROUP_INDEX_DIR}_new"
     (
         merged.withColumn("layout", F.lit("partitioned"))
@@ -272,6 +283,12 @@ def _merge_index_for_touched(
         .write.mode("overwrite")
         .parquet(tmp_idx)
     )
+    return tmp_idx
+
+
+def _swap_index(path: str, tmp_idx: str) -> None:
+    import shutil
+
     shutil.rmtree(f"{path}/{GROUP_INDEX_DIR}")
     shutil.move(tmp_idx, f"{path}/{GROUP_INDEX_DIR}")
 
@@ -373,15 +390,13 @@ def upsert_partitioned(
     )
     n_new = keyed_new.count()
     keyed_new.unpersist()
-    # touched-group counts from the staged rewrite, materialized
-    # BEFORE the swap moves the files (bounded: <= touched groups)
-    new_count_rows = [
-        (r[0], r[1])
-        for r in spark.read.parquet(tmp_path)
-        .groupBy(F.col(keys.GROUP_COL).cast("string").alias(keys.GROUP_COL))
-        .agg(F.count(F.lit(1)).alias("num_examples"))
-        .collect()
-    ]
+    # stage the merged index BEFORE the swap (it reads tmp's files)
+    tmp_idx = None
+    if len(touched) <= UPSERT_PRUNE_CAP:
+        try:
+            tmp_idx = _stage_merged_index(spark, path, touched, tmp_path)
+        except Exception:
+            tmp_idx = None
     swapped = 0
     for entry in os.listdir(tmp_path):
         if not entry.startswith(f"{keys.GROUP_COL}="):
@@ -392,18 +407,9 @@ def upsert_partitioned(
         shutil.move(os.path.join(tmp_path, entry), dst)
         swapped += 1
     shutil.rmtree(tmp_path)
-    try:
-        if len(touched) > UPSERT_PRUNE_CAP:
-            raise ValueError("past prune cap — full rebuild")
-        _merge_index_for_touched(
-            spark,
-            path,
-            touched,
-            spark.createDataFrame(
-                new_count_rows, f"{keys.GROUP_COL} string, num_examples long"
-            ),
-        )
-    except Exception:
+    if tmp_idx is not None:
+        _swap_index(path, tmp_idx)
+    else:  # past the prune cap or no readable index: full rebuild
         _write_index(
             spark.read.parquet(data_path), path, "partitioned", 0
         )
@@ -587,19 +593,21 @@ def delete_partitioned(
         .partitionBy(keys.GROUP_COL)
         .parquet(tmp_path)
     )
-    new_count_rows = []
+    # stage the merged index BEFORE the swap (it reads tmp's files);
+    # tmp may not exist when every row of every touched group matched
+    tmp_idx = None
+    if len(touched) <= UPSERT_PRUNE_CAP:
+        try:
+            tmp_idx = _stage_merged_index(
+                spark,
+                path,
+                touched,
+                tmp_path if os.path.isdir(tmp_path) else None,
+            )
+        except Exception:
+            tmp_idx = None
     rewritten = set()
     if os.path.isdir(tmp_path):
-        # surviving touched-group counts, materialized pre-swap
-        new_count_rows = [
-            (r[0], r[1])
-            for r in spark.read.parquet(tmp_path)
-            .groupBy(
-                F.col(keys.GROUP_COL).cast("string").alias(keys.GROUP_COL)
-            )
-            .agg(F.count(F.lit(1)).alias("num_examples"))
-            .collect()
-        ]
         for entry in os.listdir(tmp_path):
             if not entry.startswith(f"{keys.GROUP_COL}="):
                 continue
@@ -617,18 +625,9 @@ def delete_partitioned(
             d = os.path.realpath(d)
             if d not in rewritten and os.path.isdir(d):
                 shutil.rmtree(d)
-    try:
-        if len(touched) > UPSERT_PRUNE_CAP:
-            raise ValueError("past prune cap — full rebuild")
-        _merge_index_for_touched(
-            spark,
-            path,
-            touched,
-            spark.createDataFrame(
-                new_count_rows, f"{keys.GROUP_COL} string, num_examples long"
-            ),
-        )
-    except Exception:
+    if tmp_idx is not None:
+        _swap_index(path, tmp_idx)
+    else:  # past the prune cap or no readable index: full rebuild
         _write_index(
             spark.read.parquet(data_path), path, "partitioned", 0
         )

@@ -371,14 +371,44 @@ class IvfPqDiskIndex:
             .parquet(f"{path}/vectors")
         )
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
-        rows = [
-            (j, c, books[j, c].tolist())
-            for j in range(books.shape[0])
-            for c in range(books.shape[1])
-        ]
-        spark.createDataFrame(
-            rows, "j int, code int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        # codebooks are driver-resident numpy — write them with pyarrow
+        # directly (a Spark write of a local frame costs a flat ~4.4s
+        # of LocalTableScan overhead; see PERF.md)
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_io
+
+        os.makedirs(f"{path}/codebooks", exist_ok=True)
+        tbl = pa.table(
+            {
+                "j": pa.array(
+                    [
+                        j
+                        for j in range(books.shape[0])
+                        for _ in range(books.shape[1])
+                    ],
+                    pa.int32(),
+                ),
+                "code": pa.array(
+                    [
+                        c
+                        for _ in range(books.shape[0])
+                        for c in range(books.shape[1])
+                    ],
+                    pa.int32(),
+                ),
+                "centroid": pa.array(
+                    [
+                        books[j, c].tolist()
+                        for j in range(books.shape[0])
+                        for c in range(books.shape[1])
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        pq_io.write_table(tbl, f"{path}/codebooks/part-0.parquet")
         return IvfPqDiskIndex(spark, path)
 
     def search(

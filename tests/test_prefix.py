@@ -69,3 +69,20 @@ def test_write_token_shards_layout(spark, df):
     for _, r in bounds.iterrows():
         assert r["min"] == prev_max + 1
         prev_max = r["max"]
+
+
+def test_running_sum_property_random_values(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(1, 1000)) for i in range(3000)]
+    rng.shuffle(rows)  # arrival order != ord order
+    df = spark.createDataFrame(rows, "ord long, v long")
+    fast = {
+        r["ord"]: r[prefix.CUM_COL]
+        for r in prefix.running_sum(df, "v", "ord", 7).collect()
+    }
+    acc = 0
+    for o, v in sorted(rows):
+        acc += v
+        assert fast[o] == acc

@@ -107,3 +107,26 @@ def test_zorder_roundtrip_rows(spark, grid_df):
     assert back.columns == ["x", "y"]
     s = back.agg(F.sum("x"), F.sum("y")).collect()[0]
     assert s[0] == s[1] == 255 * 256 // 2 * 256
+
+
+def test_morton_interleave_is_bijective_property(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select(
+        "a", "b", zorder.interleave_bits(F.col("a"), F.col("b"), 8).alias("z")
+    ).collect()
+
+    def deinterleave(z):
+        a = b = 0
+        for i in range(8):
+            b |= ((z >> (2 * i)) & 1) << i
+            a |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in rows:
+        assert deinterleave(r["z"]) == (r["a"], r["b"])
+    # distinct inputs -> distinct codes
+    assert len({r["z"] for r in rows}) == len({(a, b) for a, b in pairs})

@@ -74,3 +74,61 @@ def test_giant_group_monster_row_skipped_not_veto(spark):
     # admissible rows are ids 1..n at 100 bytes; running sum k*100 < 1000
     kept = capped.select("id").collect()
     assert sorted(r.id for r in kept) == list(range(1, 10))
+
+
+@pytest.mark.slow
+def test_bucketed_upsert_at_1m_rows_touches_one_bucket(spark, tmp_path):
+    """1M rows / 10k groups / 32 buckets: a single-group upsert
+    rewrites exactly ONE bucket directory (~1/32 of the data), leaves
+    the other 31 byte-identical, and the merged index still sums to
+    the full corpus."""
+    import glob
+    import os
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from dataset_grouper_spark import keys as gkeys
+    from dataset_grouper_spark import sinks
+
+    path = str(tmp_path / "pds")
+    n, groups, buckets = 1_000_000, 10_000, 32
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % groups).cast("string")).alias(
+            "src"
+        ),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    sinks.write_partitioned(
+        df,
+        gkeys.by_feature("src"),
+        path,
+        order_col="doc_id",
+        layout="bucketed",
+        num_buckets=buckets,
+    )
+    target = "g77"
+    tb = zlib.crc32(target.encode()) % buckets
+    watch = [
+        d
+        for d in glob.glob(path + f"/data/{sinks.BUCKET_COL}=*")
+        if not d.endswith(f"={tb}")
+    ]
+    before = {
+        d: sorted(os.listdir(d)) for d in watch
+    }
+    new = spark.createDataFrame(
+        [(77, target, "REPLACED"), (n + 5, target, "added")],
+        "doc_id long, src string, text string",
+    )
+    stats = sinks.upsert_bucketed(
+        spark, new, gkeys.by_feature("src"), path, "doc_id", "doc_id"
+    )
+    assert stats == {"upserted_rows": 2, "buckets_rewritten": 1}
+    assert {d: sorted(os.listdir(d)) for d in watch} == before
+    idx = spark.read.parquet(path + "/" + sinks.GROUP_INDEX_DIR)
+    total = idx.agg(F.sum("num_examples")).collect()[0][0]
+    assert total == n + 1
+    back = spark.read.parquet(path + "/data")
+    assert back.filter("doc_id = 77").collect()[0]["text"] == "REPLACED"

@@ -1229,6 +1229,42 @@ def q_asof_purchase_click_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+def q_asof_tolerance_events(spark: SparkSession, sf: str) -> DataFrame:
+    """The BOUNDED-staleness as-of variant: a purchase only picks up a
+    click from the last hour — matches older than the tolerance null
+    out (the feature-freshness contract real feature stores enforce).
+    Same single-shuffle union+window plan; the DuckDB twin wraps the
+    native ASOF join in a CASE on the match age."""
+    from pyspark.sql import Window
+
+    from dataset_grouper_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf, "events").withColumn(
+        "ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    wdedup = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc()
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts_us", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return asof_join(
+        left, right, "ts_us", ["user_id"], ["event_id", "value"],
+        tolerance=ASOF_TOL_US,
+        suffix="_click",
+    )
+
+
 def q_url_canonicalize_documents(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization for web-corpus dedup keys: synthesize a
     messy URL per doc (case noise, www, tracking params, fragment),
@@ -2988,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_group_sums_events": q_dp_group_sums_events,
         "gif_frame_meta": q_gif_frame_meta,
         "group_entropy_events": q_group_entropy_events,
+        "asof_tolerance_events": q_asof_tolerance_events,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3344,6 +3381,28 @@ def oracle_sql() -> dict[str, str]:
                    r.ts_us AS ts_us_click,
                    r.event_id AS event_id_click,
                    r.value AS value_click
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        """,
+        "asof_tolerance_events": f"""
+            WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+              FROM events WHERE event_type = 'click'
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC
+              ) = 1
+            )
+            SELECT l.event_id, l.user_id, l.ts_us,
+                   CASE WHEN l.ts_us - r.ts_us <= {ASOF_TOL_US}
+                        THEN r.ts_us END AS ts_us_click,
+                   CASE WHEN l.ts_us - r.ts_us <= {ASOF_TOL_US}
+                        THEN r.event_id END AS event_id_click,
+                   CASE WHEN l.ts_us - r.ts_us <= {ASOF_TOL_US}
+                        THEN r.value END AS value_click
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
         """,

@@ -2373,6 +2373,19 @@ def q_dp_group_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
     return dp.dp_group_counts(docs, "source", epsilon=DP_EPS, seed=DP_SEED)
 
 
+def q_dp_group_counts_geo_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-DP per-source counts via the GEOMETRIC mechanism (discrete
+    Laplace — Ghosh et al.'s universally-optimal integer mechanism):
+    integer releases, so the hash compare is exact with no rounding
+    anywhere."""
+    from dataset_grouper_spark.functions import dp
+
+    docs = read_table(spark, sf, "documents")
+    return dp.dp_group_counts_geometric(
+        docs, "source", epsilon=DP_EPS, seed=DP_SEED
+    )
+
+
 def q_dp_group_sums_events(spark: SparkSession, sf: str) -> DataFrame:
     """ε-DP per-type event-value sums with explicit per-row clamping
     (the clamp IS the sensitivity bound — the guarantee evaporates
@@ -3022,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards_documents": q_token_shards_documents,
         "dp_group_counts_documents": q_dp_group_counts_documents,
         "dp_group_sums_events": q_dp_group_sums_events,
+        "dp_group_counts_geo_documents": q_dp_group_counts_geo_documents,
         "gif_frame_meta": q_gif_frame_meta,
         "group_entropy_events": q_group_entropy_events,
         "asof_tolerance_events": q_asof_tolerance_events,
@@ -3739,6 +3753,13 @@ def oracle_sql() -> dict[str, str]:
                          + {dp_fns.laplace_noise_sql("event_type", DP_CLAMP / DP_EPS, DP_SEED)},
                          6) AS dp_sum
             FROM events GROUP BY event_type
+        """,
+        "dp_group_counts_geo_documents": f"""
+            SELECT source AS group_id,
+                   count(*)
+                   + {dp_fns.geometric_noise_sql("source", DP_EPS, DP_SEED)}
+                     AS dp_count
+            FROM documents GROUP BY source
         """,
         "token_shards_documents": f"""
             WITH t AS (

@@ -149,3 +149,64 @@ def thresholded_group_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_group_size)
     )
+
+
+def geometric_noise(key: Column, epsilon: float, seed: int) -> Column:
+    """Seeded two-sided geometric noise (the DISCRETE Laplace — Ghosh
+    et al. 2009's universally-optimal mechanism for integer counts):
+    the difference of two Geometric(1-alpha) draws with
+    alpha = exp(-epsilon), each from a seeded md5 uniform via inverse
+    CDF (floor(ln u / ln alpha)).  Integer-valued, so the released
+    count needs no rounding-parity care at all."""
+    import math
+
+    ln_alpha = -float(epsilon)  # ln(alpha) where alpha = exp(-eps)
+    u1 = _uniform01(F.concat(key, F.lit("|g1")), seed)
+    u2 = _uniform01(F.concat(key, F.lit("|g2")), seed)
+    g1 = F.floor(F.log(u1) / F.lit(ln_alpha)).cast("long")
+    g2 = F.floor(F.log(u2) / F.lit(ln_alpha)).cast("long")
+    return g1 - g2
+
+
+def geometric_noise_sql(key_sql: str, epsilon: float, seed: int) -> str:
+    """DuckDB twin of :func:`geometric_noise` — identical expression
+    shape (the floor of a libm quotient; both engines evaluate the
+    same double, boundary flips would need an exact-ulp tie)."""
+
+    def u(tag: str) -> str:
+        k = f"({key_sql} || '|{tag}')"
+        return (
+            f"greatest(least((('0x' || substr(md5({k} || '|dp{seed}'),"
+            f" 1, {_UNIFORM_BITS}))::BIGINT)"
+            f" / CAST({1 << (4 * _UNIFORM_BITS)} AS DOUBLE),"
+            f" 1.0 - 1e-12), 1e-12)"
+        )
+
+    ln_alpha = -float(epsilon)
+    return (
+        f"(CAST(floor(ln({u('g1')}) / ({ln_alpha})) AS BIGINT)"
+        f" - CAST(floor(ln({u('g2')}) / ({ln_alpha})) AS BIGINT))"
+    )
+
+
+def dp_group_counts_geometric(
+    df: DataFrame,
+    key_col: str,
+    epsilon: float,
+    seed: int | None = 42,
+) -> DataFrame:
+    """ε-DP per-group counts with the geometric mechanism — INTEGER
+    releases (no float rounding anywhere), same privacy accounting as
+    Laplace for sensitivity-1 counts."""
+    if seed is None:
+        seed = random.SystemRandom().randrange(1 << 62)
+    agg = df.groupBy(F.col(key_col).cast("string").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return agg.select(
+        "group_id",
+        (
+            F.col("true_count")
+            + geometric_noise(F.col("group_id"), epsilon, seed)
+        ).alias("dp_count"),
+    )

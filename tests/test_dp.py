@@ -107,3 +107,35 @@ def test_thresholded_release_suppresses_small_groups(spark):
         for r in dp.thresholded_group_counts(df, "g", 5).collect()
     }
     assert out == {"a": 10, "c": 5}  # b (2 rows) suppressed
+
+
+def test_geometric_counts_integer_and_deterministic(spark, groups_df):
+    a = dp.dp_group_counts_geometric(groups_df, "g", epsilon=0.5, seed=9)
+    b = dp.dp_group_counts_geometric(groups_df, "g", epsilon=0.5, seed=9)
+    ra = {r["group_id"]: r["dp_count"] for r in a.collect()}
+    rb = {r["group_id"]: r["dp_count"] for r in b.collect()}
+    assert ra == rb
+    assert all(isinstance(v, int) for v in ra.values())
+    errs = [v - 10 for v in ra.values()]
+    # discrete Laplace(eps=0.5): mean 0, noisy for most groups
+    assert abs(sum(errs)) / len(errs) < 1.0
+    assert sum(1 for e in errs if e != 0) > len(errs) * 0.5
+
+
+def test_geometric_sql_twin_matches_spark(spark, groups_df):
+    import duckdb
+
+    got = {
+        r["group_id"]: r["dp_count"]
+        for r in dp.dp_group_counts_geometric(
+            groups_df, "g", epsilon=1.5, seed=4
+        ).collect()
+    }
+    noise = dp.geometric_noise_sql("CAST(g AS VARCHAR)", 1.5, 4)
+    duck = duckdb.sql(
+        f"""
+        WITH t AS (SELECT range % 1000 AS g FROM range(10000))
+        SELECT CAST(g AS VARCHAR), count(*) + {noise} FROM t GROUP BY g
+        """
+    ).fetchall()
+    assert got == {r[0]: r[1] for r in duck}

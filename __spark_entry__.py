@@ -961,6 +961,26 @@ def q_docs_except_intersect(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus)) — the two
+    single-column marginals in ONE pass and NOTHING else (rollup and
+    cube can't express this selection: no grand total, no pair cells).
+    One Expand + one exchange; grouping_id() disambiguates which
+    marginal a row belongs to."""
+    df = read_table(spark, sf, "lineitem")
+    df.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '-') AS returnflag,
+               coalesce(l_linestatus, '-') AS linestatus,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
 def q_group_counts_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) — all four grouping sets in
     one pass (rollup covers three; the cube adds the
@@ -3039,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frame_meta": q_gif_frame_meta,
         "group_entropy_events": q_group_entropy_events,
         "asof_tolerance_events": q_asof_tolerance_events,
+        "grouping_sets_lineitem": q_grouping_sets_lineitem,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "group_counts_rollup": q_group_counts_rollup,
@@ -3635,6 +3656,14 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "grouping_sets_lineitem": """
+            SELECT coalesce(l_returnflag, '-') AS returnflag,
+                   coalesce(l_linestatus, '-') AS linestatus,
+                   count(*) AS n,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,
         "group_counts_cube": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

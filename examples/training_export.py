@@ -90,6 +90,20 @@ def main() -> None:
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.size(F.split("text", " ", -1))).alias("tokens"),
     ).orderBy("shard").show()
+
+    # 5. private release of the corpus composition (the parfait
+    #    story): suppress tiny groups, then geometric-noise the counts
+    from dataset_grouper_spark.functions import dp
+
+    public = dp.thresholded_group_counts(survivors, "source", 5)
+    released = dp.dp_group_counts_geometric(
+        survivors.join(public.select("group_id"),
+                       survivors["source"] == F.col("group_id"),
+                       "left_semi"),
+        "source", epsilon=1.0, seed=None,  # fresh randomness
+    )
+    print("--- DP-released per-source counts (eps=1, k>=5) ---")
+    released.orderBy("group_id").show(24, truncate=False)
     spark.stop()
 
 

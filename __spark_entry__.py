@@ -810,6 +810,99 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, adapted: no partsupp table, so
+    unit supply cost is 0.1 * p_retailprice): per-nation per-year
+    profit over parts matching a name pattern — the five-way
+    snowflake where THREE broadcast dims (part, supplier, nation)
+    hang off the fact and a fact-fact join (orders) supplies the
+    year. The part name LIKE filter prunes the fact rows through the
+    broadcast join before the orders shuffle; profit accumulates in
+    exact DECIMAL(18,4) so the per-group sum is summation-order-
+    independent. Completes the 22/22 TPC-H join-shape matrix with
+    Q20."""
+    li = read_table(spark, sf, "lineitem")
+    part = (
+        read_table(spark, sf, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    orders = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.1 * F.col("p_retailprice") * F.col("l_quantity"),
+                    4,
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+def q_tpch_q20_excess_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion, adapted: no partsupp, so
+    "excess availability" becomes shipment concentration — pairs
+    whose 1996 shipped quantity exceeds half their all-time total).
+    The nested-semi-join-chain shape: a correlated scalar aggregate
+    (per-pair half-total) decorrelated into ONE conditional
+    aggregation pass (no self-join — the year split and the total
+    come out of the same groupBy), filtered through a broadcast part
+    name screen, then collapsed to a left-semi against the ASIA
+    supplier dim. l_quantity is integral so the double comparison is
+    exact on both engines."""
+    li = read_table(spark, sf, "lineitem")
+    pairs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.when(F.year("l_shipdate") == 1996, F.col("l_quantity")).otherwise(
+                0.0
+            )
+        ).alias("qty_96"),
+        F.sum("l_quantity").alias("qty_total"),
+    )
+    part = (
+        read_table(spark, sf, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    excess = (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .filter(F.col("qty_96") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return supp.join(
+        excess, supp["s_suppkey"] == excess["l_suppkey"], "left_semi"
+    )
+
+
 def q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 (national market share): NATION_3-supplied share of
     ASIA-region PROMO-part order volume, by year — the
@@ -3051,6 +3144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_except_intersect": q_docs_except_intersect,
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
         "delete_roundtrip": q_delete_roundtrip,
         "token_shards_documents": q_token_shards_documents,
         "dp_group_counts_documents": q_dp_group_counts_documents,
@@ -3860,6 +3955,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(sum(part_rev) * {Q11_SHARE}
                           AS DECIMAL(28,8)) FROM rev
             )
+        """,
+        "tpch_q9_product_profit": """
+            SELECT n.n_name AS nation,
+                   year(o.o_orderdate) AS o_year,
+                   CAST(sum(CAST(round(
+                       l.l_extendedprice * (1 - l.l_discount)
+                       - 0.1 * p.p_retailprice * l.l_quantity, 4)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS profit
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q20_excess_suppliers": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CASE WHEN year(l_shipdate) = 1996
+                              THEN l_quantity ELSE 0 END) AS qty_96,
+                     sum(l_quantity) AS qty_total
+              FROM lineitem GROUP BY 1, 2
+            ), excess AS (
+              SELECT pr.l_suppkey FROM pairs pr
+              JOIN part p ON p.p_partkey = pr.l_partkey
+              WHERE p.p_name LIKE 'small%'
+                AND pr.qty_96 > 0.5 * pr.qty_total
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND EXISTS (SELECT 1 FROM excess e
+                          WHERE e.l_suppkey = s.s_suppkey)
         """,
         "unpivot_lang_counts": """
             WITH langs AS (

@@ -2567,6 +2567,57 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot store (sinks/snapshots.py) lifecycle with TIME TRAVEL:
+    write the corpus as v1, UPSERT a marked rewrite of every 10th doc
+    (copy-on-write — only files containing a touched row are
+    rewritten, the rest carry by reference) as v2, DELETE every 7th
+    doc as v3 — then read ALL THREE pinned versions back and roll each
+    up to (rows, id-sum, text-checksum). The oracle reconstructs each
+    version closed-form from the pristine table, so a mutation leaking
+    into an older version, a lost carried file, or a CoW rewrite that
+    drops/duplicates a row all hash-mismatch. The reference rewrites
+    datasets in place (tfds_pipelines.py:25-78) — no versioning at
+    all; this is the audit/pinning contract a 100 TB corpus needs."""
+    import tempfile
+
+    from dataset_grouper_spark.sinks import snapshots as snap
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    path = tempfile.mkdtemp(prefix="snap_tt_")
+    snap.snapshot_write(docs.repartition(8), path)
+    updates = docs.filter("doc_id % 10 = 0").withColumn(
+        "text", F.concat(F.lit("UPD:"), F.col("text"))
+    )
+    snap.snapshot_upsert(updates, path, id_col="doc_id")
+    snap.snapshot_delete(spark, path, F.expr("doc_id % 7 = 0"))
+    # 9 hex chars = 36 bits/row: the int64 sum is overflow-safe to
+    # ~1e8 rows (15 chars overflowed at mere thousands)
+    checksum = F.sum(
+        F.conv(F.substring(F.md5(F.col("text")), 1, 9), 16, 10).cast(
+            "long"
+        )
+    ).alias("text_checksum")
+    frames = []
+    for v in snap.snapshot_versions(path):
+        frames.append(
+            snap.read_snapshot(spark, path, v)
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("num_examples"),
+                F.sum("doc_id").alias("sum_ids"),
+                checksum,
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def q_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Full storage lifecycle with small-file repair: write half the
     corpus, APPEND the other half (fragmenting every group dir), then
@@ -3146,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "delete_roundtrip": q_delete_roundtrip,
         "token_shards_documents": q_token_shards_documents,
         "dp_group_counts_documents": q_dp_group_counts_documents,
@@ -3955,6 +4007,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(sum(part_rev) * {Q11_SHARE}
                           AS DECIMAL(28,8)) FROM rev
             )
+        """,
+        "snapshot_time_travel": """
+            WITH v1 AS (
+              SELECT doc_id, text FROM documents
+            ), v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0
+                          THEN 'UPD:' || text ELSE text END AS text
+              FROM documents
+            ), v3 AS (
+              SELECT * FROM v2 WHERE doc_id % 7 <> 0
+            )
+            SELECT 1 AS version,
+                   CAST(count(*) AS BIGINT) AS num_examples,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(('0x' || substr(md5(text), 1, 9))::BIGINT)
+                        AS BIGINT) AS text_checksum
+            FROM v1
+            UNION ALL
+            SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(('0x' || substr(md5(text), 1, 9))::BIGINT)
+                        AS BIGINT)
+            FROM v2
+            UNION ALL
+            SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(('0x' || substr(md5(text), 1, 9))::BIGINT)
+                        AS BIGINT)
+            FROM v3
         """,
         "tpch_q9_product_profit": """
             SELECT n.n_name AS nation,

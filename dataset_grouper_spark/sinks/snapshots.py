@@ -1,0 +1,312 @@
+"""Snapshot-versioned dataset store: immutable data files + manifest log.
+
+The reference rewrites datasets wholesale and in place
+(``tfds_pipelines.py:25-78`` writes one sharded output, readers re-list
+it) — there is no notion of dataset versions, so a reader racing a
+rewrite sees mixed state, and yesterday's corpus is gone the moment
+today's lands. At 100 TB that contract is untenable: curation is
+iterative (append a crawl, redact, dedup, delete on a GDPR request),
+training jobs pin a corpus for days, and an audit needs the exact bytes
+a run trained on.
+
+This module adds the lakehouse contract on plain parquet, Iceberg/Delta
+style but dependency-free:
+
+- **Data files are immutable.** Every mutation writes NEW files under
+  ``data/`` (uuid-named, so names never collide) and never touches an
+  existing one.
+- **Membership is a manifest.** ``_snapshots/v00001.json`` … each list
+  the exact data files of that version. Readers resolve a manifest,
+  then read precisely those files — a reader holding version N is
+  unaffected by any later commit, with zero copying (unchanged files
+  are shared across versions by reference).
+- **Commits are atomic and exclusive.** The manifest is fully written
+  to a temp name, then claimed via ``os.link`` (atomic fail-if-exists
+  on POSIX). Concurrent committers race on the version number; the
+  loser of an upsert/delete gets a ``SnapshotConflictError`` (its file
+  pruning was computed against a stale base — optimistic concurrency),
+  while ``snapshot_append`` recomputes its carried list and retries
+  (appended files are disjoint from every other commit's).
+- **Mutations are copy-on-write at FILE granularity.** Upsert/delete
+  first locate the files that contain affected rows (one
+  ``input_file_name()`` scan, collected as ≤ num_files names — bounded
+  by file count, never row count), re-read ONLY those files for the
+  rewrite, and carry every untouched file forward by reference.
+  Appending an hour to a year of data writes the hour.
+- **Space is reclaimed explicitly.** ``vacuum_snapshots(keep_last=k)``
+  deletes data files referenced only by expired manifests — never by a
+  retained one — so time travel and vacuum compose predictably.
+
+Scale notes: the per-version metadata is one JSON listing (O(files));
+reads pass the explicit file list to the parquet source, so Catalyst
+still gets footer pruning and predicate pushdown per file. Group-major
+read layouts (``write_partitioned``/bucketed) remain the serving
+layouts; this store is the mutation log you curate in, with
+``read_snapshot`` feeding the layout writer at publish time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SNAP_DIR = "_snapshots"
+DATA_DIR = "data"
+EMPTY_DIR = "_empty"
+_STAGE_PREFIX = "_stage-"
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent commit advanced the table past the version this
+    mutation was computed against."""
+
+
+def _snap_path(path: str, version: int) -> str:
+    return os.path.join(path, SNAP_DIR, f"v{version:05d}.json")
+
+
+def _manifest(path: str, version: int) -> dict:
+    with open(_snap_path(path, version)) as f:
+        return json.load(f)
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """All committed versions, ascending."""
+    d = os.path.join(path, SNAP_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def latest_version(path: str) -> int:
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    return versions[-1]
+
+
+def _stage_files(df: DataFrame, path: str) -> list[str]:
+    """Write ``df`` as immutable uuid-named files under data/, return
+    their table-relative names. The parquet job writes to a private
+    stage dir; files are then moved (same-filesystem rename) into
+    ``data/`` under names no other commit can produce."""
+    token = uuid.uuid4().hex
+    stage = os.path.join(path, f"{_STAGE_PREFIX}{token}")
+    df.write.mode("overwrite").parquet(stage)
+    data_dir = os.path.join(path, DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    rel_names = []
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{DATA_DIR}/{token}-{name}"
+        os.replace(os.path.join(stage, name), os.path.join(path, rel))
+        rel_names.append(rel)
+    shutil.rmtree(stage, ignore_errors=True)
+    return rel_names
+
+
+def _commit(path: str, op: str, files: list[str], expected_parent: int) -> int:
+    """Atomically claim version ``expected_parent + 1``. The manifest is
+    complete before it becomes visible (write temp + hard-link claim),
+    so a crash can strand a temp file but never a half-readable
+    manifest. Raises ``SnapshotConflictError`` if any other commit
+    claimed the slot first — the caller's file set was computed against
+    a base that is no longer latest."""
+    snap_dir = os.path.join(path, SNAP_DIR)
+    os.makedirs(snap_dir, exist_ok=True)
+    version = expected_parent + 1
+    body = {
+        "op": op,
+        "version": version,
+        "parent": expected_parent,
+        "files": sorted(files),
+    }
+    tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    try:
+        os.link(tmp, _snap_path(path, version))
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"{op} computed against v{expected_parent}, but v{version} "
+            f"was committed concurrently; recompute against the new base"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def snapshot_write(df: DataFrame, path: str) -> int:
+    """Create the table: data files + manifest v1 + a zero-row schema
+    footer (so a later delete-everything version stays readable)."""
+    os.makedirs(path, exist_ok=True)
+    if snapshot_versions(path):
+        raise FileExistsError(f"snapshot table already exists at {path}")
+    df.limit(0).write.mode("overwrite").parquet(os.path.join(path, EMPTY_DIR))
+    files = _stage_files(df, path)
+    return _commit(path, "write", files, expected_parent=0)
+
+
+def snapshot_append(df: DataFrame, path: str) -> int:
+    """Append-only commit: new files + everything the latest version
+    references. Safe under concurrency — on a lost race it re-reads the
+    new latest manifest and retries with the same staged files (they
+    are disjoint from every other commit's)."""
+    files = _stage_files(df, path)
+    while True:
+        parent = latest_version(path)
+        carried = _manifest(path, parent)["files"]
+        try:
+            return _commit(path, "append", carried + files, parent)
+        except SnapshotConflictError:
+            continue
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read one pinned version: exactly the manifest's files, never a
+    directory listing — a concurrent commit cannot change what this
+    frame reads. ``version=None`` resolves the latest ONCE, here."""
+    if version is None:
+        version = latest_version(path)
+    files = _manifest(path, version)["files"]
+    if not files:
+        return spark.read.parquet(os.path.join(path, EMPTY_DIR))
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def _touched_rel_files(rows_with_file: DataFrame) -> list[str]:
+    """Distinct source files of the given rows as table-relative names.
+    ``input_file_name()`` yields absolute ``file:``/``hdfs:`` URIs; all
+    snapshot data files live flat under ``data/`` with globally unique
+    names, so the basename identifies the file. The collect is bounded
+    by FILE count (≤ manifest length), never row count."""
+    rows = rows_with_file.select(
+        F.element_at(F.split(F.col("_file"), "/"), -1).alias("_name")
+    ).distinct()
+    return [f"{DATA_DIR}/{r['_name']}" for r in rows.collect()]
+
+
+def snapshot_upsert(
+    updates: DataFrame,
+    path: str,
+    id_col: str,
+    order_col: str | None = None,
+) -> int:
+    """MERGE, copy-on-write: rows whose ``id_col`` matches an update are
+    replaced, new ids are inserted. Only files CONTAINING a matched row
+    are rewritten (re-read individually — true file pruning, not a
+    post-scan filter); all others carry forward by reference. If
+    ``order_col`` is given, duplicate ids inside ``updates`` resolve
+    last-wins on it (ties on the id for determinism)."""
+    spark = updates.sparkSession
+    base = latest_version(path)
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col(order_col).desc(), F.col(id_col)
+        )
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    cur = read_snapshot(spark, path, base).withColumn(
+        "_file", F.input_file_name()
+    )
+    upd_ids = updates.select(F.col(id_col).alias("_upd_id")).distinct()
+    # no broadcast hint: updates may be any size — size-based planning
+    # (and AQE) picks the strategy; the collect below is file-bounded
+    touched = _touched_rel_files(
+        cur.join(upd_ids, cur[id_col] == F.col("_upd_id"), "left_semi")
+    )
+    new_files: list[str] = []
+    if touched:
+        touched_df = spark.read.parquet(
+            *[os.path.join(path, f) for f in touched]
+        )
+        survivors = touched_df.join(
+            upd_ids, F.col(id_col) == F.col("_upd_id"), "left_anti"
+        )
+        new_files = _stage_files(survivors.unionByName(updates), path)
+    else:
+        new_files = _stage_files(updates, path)
+    touched_set = set(touched)
+    carried = [
+        f for f in _manifest(path, base)["files"] if f not in touched_set
+    ]
+    return _commit(path, "upsert", carried + new_files, base)
+
+
+def snapshot_delete(
+    spark: SparkSession, path: str, predicate: Column
+) -> int:
+    """DELETE WHERE, copy-on-write: files containing a matching row are
+    rewritten without those rows; fully-deleted files simply drop out
+    of the manifest (their rewrite yields zero rows, which the parquet
+    writer still stages as an empty part — harmless, vacuumed later)."""
+    base = latest_version(path)
+    cur = read_snapshot(spark, path, base).withColumn(
+        "_file", F.input_file_name()
+    )
+    touched = _touched_rel_files(cur.filter(predicate))
+    new_files: list[str] = []
+    if touched:
+        touched_df = spark.read.parquet(
+            *[os.path.join(path, f) for f in touched]
+        )
+        survivors = touched_df.filter(~predicate)
+        new_files = _stage_files(survivors, path)
+    touched_set = set(touched)
+    carried = [
+        f for f in _manifest(path, base)["files"] if f not in touched_set
+    ]
+    return _commit(path, "delete", carried + new_files, base)
+
+
+def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Expire all but the last ``keep_last`` versions: their manifests
+    are removed, and data files referenced by NO retained manifest are
+    deleted. Stranded stage dirs (crashed writers) go too. Reads of any
+    retained version are unaffected."""
+    versions = snapshot_versions(path)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_manifest(path, v)["files"])
+    removed_files = []
+    data_dir = os.path.join(path, DATA_DIR)
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            rel = f"{DATA_DIR}/{name}"
+            if rel not in referenced:
+                os.unlink(os.path.join(data_dir, name))
+                removed_files.append(rel)
+    removed_versions = []
+    for v in versions:
+        if v not in keep:
+            os.unlink(_snap_path(path, v))
+            removed_versions.append(v)
+    removed_stages = []
+    for name in os.listdir(path):
+        if name.startswith(_STAGE_PREFIX):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            removed_stages.append(name)
+    return {
+        "removed_files": sorted(removed_files),
+        "removed_versions": removed_versions,
+        "removed_stages": removed_stages,
+        "kept_versions": keep,
+    }

@@ -1,0 +1,182 @@
+"""Snapshot store: immutable files, manifest time travel, CoW pruning.
+
+The reference has no dataset versioning at all (every write replaces
+the output in place, tfds_pipelines.py:25-78); these tests pin the
+lakehouse contract sinks/snapshots.py adds on top of plain parquet.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.sinks import snapshots as snap
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["text"], r["score"]) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def table(spark):
+    path = tempfile.mkdtemp(prefix="snap_")
+    df = spark.createDataFrame(
+        [(i, f"text-{i}", i * 10) for i in range(1, 9)],
+        "doc_id long, text string, score long",
+    ).repartition(4)
+    v = snap.snapshot_write(df, path)
+    assert v == 1
+    return path
+
+
+def test_write_and_read_latest(spark, table):
+    out = snap.read_snapshot(spark, table)
+    assert _rows(out) == [(i, f"text-{i}", i * 10) for i in range(1, 9)]
+
+
+def test_append_carries_old_files_by_reference(spark, table):
+    v1_files = set(snap._manifest(table, 1)["files"])
+    extra = spark.createDataFrame(
+        [(9, "text-9", 90)], "doc_id long, text string, score long"
+    )
+    v = snap.snapshot_append(extra, table)
+    assert v == 2
+    m2 = snap._manifest(table, 2)
+    assert v1_files < set(m2["files"])  # strict superset: shared, not copied
+    assert len(_rows(snap.read_snapshot(spark, table, 2))) == 9
+    assert len(_rows(snap.read_snapshot(spark, table, 1))) == 8
+
+
+def test_upsert_replaces_and_inserts_cow(spark, table):
+    updates = spark.createDataFrame(
+        [(2, "REPLACED", 999), (100, "NEW", 1)],
+        "doc_id long, text string, score long",
+    )
+    v = snap.snapshot_upsert(updates, table, id_col="doc_id")
+    assert v == 2
+    got = dict(
+        (r["doc_id"], (r["text"], r["score"]))
+        for r in snap.read_snapshot(spark, table, 2).collect()
+    )
+    assert got[2] == ("REPLACED", 999)
+    assert got[100] == ("NEW", 1)
+    assert got[3] == ("text-3", 30)
+    assert len(got) == 9
+    # time travel: v1 unchanged
+    assert _rows(snap.read_snapshot(spark, table, 1)) == [
+        (i, f"text-{i}", i * 10) for i in range(1, 9)
+    ]
+    # CoW: files NOT containing doc_id=2 are carried by reference
+    m1, m2 = snap._manifest(table, 1), snap._manifest(table, 2)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert carried, "untouched files must be shared across versions"
+
+
+def test_upsert_last_wins_on_order_col(spark, table):
+    updates = spark.createDataFrame(
+        [(5, "old", 1), (5, "newest", 7), (5, "mid", 3)],
+        "doc_id long, text string, score long",
+    )
+    snap.snapshot_upsert(updates, table, id_col="doc_id", order_col="score")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in snap.read_snapshot(spark, table).collect()
+    }
+    assert got[5] == "newest"
+    assert len(got) == 8
+
+
+def test_delete_rows_and_time_travel(spark, table):
+    v = snap.snapshot_delete(
+        spark, table, F.col("doc_id").isin(1, 2, 3)
+    )
+    assert v == 2
+    assert [r["doc_id"] for r in snap.read_snapshot(spark, table, 1)
+            .select("doc_id").collect()] != []
+    left = sorted(
+        r["doc_id"] for r in snap.read_snapshot(spark, table, 2).collect()
+    )
+    assert left == [4, 5, 6, 7, 8]
+
+
+def test_delete_everything_stays_readable(spark, table):
+    snap.snapshot_delete(spark, table, F.lit(True))
+    out = snap.read_snapshot(spark, table)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "text", "score"}
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, table):
+    snap.snapshot_upsert(
+        spark.createDataFrame(
+            [(1, "v2", 0)], "doc_id long, text string, score long"
+        ),
+        table,
+        id_col="doc_id",
+    )
+    snap.snapshot_delete(spark, table, F.col("doc_id") == 8)
+    assert snap.snapshot_versions(table) == [1, 2, 3]
+    stats = snap.vacuum_snapshots(table, keep_last=2)
+    assert stats["kept_versions"] == [2, 3]
+    assert 1 in stats["removed_versions"]
+    # retained versions still read correctly after the file reclaim
+    assert len(_rows(snap.read_snapshot(spark, table, 2))) == 8
+    assert len(_rows(snap.read_snapshot(spark, table, 3))) == 7
+    with pytest.raises(FileNotFoundError):
+        snap._manifest(table, 1)
+    # every surviving data file is referenced by a retained manifest
+    referenced = set(snap._manifest(table, 2)["files"]) | set(
+        snap._manifest(table, 3)["files"]
+    )
+    on_disk = {
+        f"{snap.DATA_DIR}/{n}"
+        for n in os.listdir(os.path.join(table, snap.DATA_DIR))
+    }
+    assert on_disk == referenced
+
+
+def test_conflict_detected_on_stale_base(spark, table):
+    # simulate a racing committer claiming v2 first
+    m1 = snap._manifest(table, 1)
+    snap._commit(table, "append", m1["files"], expected_parent=1)
+    with pytest.raises(snap.SnapshotConflictError):
+        snap._commit(table, "upsert", [], expected_parent=1)
+
+
+def test_append_retries_past_conflict(spark, table):
+    # another committer claims v2 between append's stage and commit;
+    # append must land at v3 with BOTH commits' rows visible
+    extra = spark.createDataFrame(
+        [(50, "fifty", 500)], "doc_id long, text string, score long"
+    )
+    orig_latest = snap.latest_version
+
+    calls = {"n": 0}
+
+    def racing_latest(path):
+        v = orig_latest(path)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            snap._commit(path, "append", snap._manifest(path, v)["files"], v)
+        return v
+
+    snap.latest_version, saved = racing_latest, snap.latest_version
+    try:
+        v = snap.snapshot_append(extra, table)
+    finally:
+        snap.latest_version = saved
+    assert v == 3
+    assert len(_rows(snap.read_snapshot(spark, table, 3))) == 9
+
+
+def test_second_write_rejected(spark, table):
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.lit(0).alias("score"),
+    )
+    with pytest.raises(FileExistsError):
+        snap.snapshot_write(df, table)

@@ -2567,6 +2567,43 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RAG_WINDOW = 32
+RAG_STRIDE = 24
+MIX_TEMPERATURE = 2.0
+
+
+def q_chunk_sliding_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping sliding-window chunks per document (RAG indexing
+    shape): 32-token windows at stride 24, so consecutive chunks share
+    8 tokens and no span is lost at a boundary. Zero-shuffle
+    projection chain (tokenize -> sequence -> explode -> slice), all
+    Catalyst. Complements chunk_tokens (training shape: exact cuts on
+    the concatenated group stream)."""
+    from dataset_grouper_spark.operators import chunking
+
+    docs = read_table(spark, sf, "documents")
+    return chunking.chunk_sliding(docs, "text", "doc_id", RAG_WINDOW, RAG_STRIDE)
+
+
+def q_temperature_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened corpus mixing (T=2): per-source acceptance
+    rates computed FROM the observed distribution (share^(1/T)
+    flattening, smallest source kept whole), broadcast back, decided
+    by the engine-portable content-hash bucket. Returns the per-source
+    survivor rollup, which pins both the rate computation and the
+    exact row membership."""
+    from dataset_grouper_spark.operators import sessions
+
+    docs = read_table(spark, sf, "documents")
+    mixed = sessions.temperature_mix(
+        docs, "source", "doc_id", temperature=MIX_TEMPERATURE
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot store (sinks/snapshots.py) lifecycle with TIME TRAVEL:
     write the corpus as v1, UPSERT a marked rewrite of every 10th doc
@@ -3198,6 +3235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "chunk_sliding_documents": q_chunk_sliding_documents,
+        "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
         "token_shards_documents": q_token_shards_documents,
         "dp_group_counts_documents": q_dp_group_counts_documents,
@@ -4007,6 +4046,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(sum(part_rev) * {Q11_SHARE}
                           AS DECIMAL(28,8)) FROM rev
             )
+        """,
+        "chunk_sliding_documents": chunking.chunk_sliding_sql(
+            "documents", "text", "doc_id", RAG_WINDOW, RAG_STRIDE
+        ),
+        "temperature_mix_documents": f"""
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM ({sessions_ops.temperature_mix_sql(
+                "documents", "source", "doc_id", MIX_TEMPERATURE
+            )}) GROUP BY source
         """,
         "snapshot_time_travel": """
             WITH v1 AS (

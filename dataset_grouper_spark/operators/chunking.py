@@ -122,6 +122,93 @@ def pack_doc_sequences(
     )
 
 
+def chunk_sliding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_len: int,
+    stride: int,
+) -> DataFrame:
+    """Overlapping sliding-window token chunks PER DOCUMENT — the RAG
+    indexing shape (each chunk overlaps its neighbor by ``window_len -
+    stride`` tokens so no retrieval-relevant span is cut at a
+    boundary). Contrast :func:`chunk_tokens`, which cuts the
+    concatenated per-group stream at exact boundaries for training.
+
+    Windows start at 0, stride, 2*stride, …; the last window is the
+    first one whose end reaches the document's end (it may hold fewer
+    than ``window_len`` tokens). An empty/whitespace doc still yields
+    one (possibly empty) window, so every document is represented in
+    the index.
+
+    Zero shuffles: tokenize -> sequence(starts) -> explode -> slice is
+    a pure projection chain; Catalyst keeps it in one codegen stage
+    over the scan. Returns (id, win_id, n_tokens, chunk_hash).
+    """
+    if stride <= 0 or window_len <= 0:
+        raise ValueError("window_len and stride must be positive")
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_t"),
+    ).withColumn("_nt", F.size("_t"))
+    # last start: smallest multiple of stride with start + window >= n
+    last = (
+        F.ceil((F.greatest(F.col("_nt") - window_len, F.lit(0))) / stride)
+        * stride
+    ).cast("int")
+    wins = toks.select(
+        id_col,
+        "_t",
+        F.posexplode(F.sequence(F.lit(0), last, F.lit(stride))).alias(
+            "win_id", "_start"
+        ),
+    )
+    piece = F.slice(F.col("_t"), F.col("_start") + 1, window_len)
+    return wins.select(
+        id_col,
+        "win_id",
+        F.size(piece).alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+def chunk_sliding_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    window_len: int,
+    stride: int,
+) -> str:
+    """DuckDB twin of :func:`chunk_sliding` (list_slice is 1-based
+    inclusive; generate_series is inclusive on both ends)."""
+    stripped = (
+        f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
+    )
+    return f"""
+      WITH toks AS (
+        SELECT {id_col}, string_split({stripped}, ' ') AS t,
+               len(string_split({stripped}, ' ')) AS nt
+        FROM {table}
+      ), wins AS (
+        SELECT {id_col}, t,
+               CAST(s AS BIGINT) AS _start,
+               CAST(s / {stride} AS INT) AS win_id
+        FROM toks,
+             unnest(generate_series(0,
+               CAST(ceil(greatest(nt - {window_len}, 0) / {stride})
+                    AS BIGINT) * {stride},
+               {stride})) AS g(s)
+      )
+      SELECT {id_col}, win_id,
+             CAST(len(list_slice(t, _start + 1, _start + {window_len}))
+                  AS INT) AS n_tokens,
+             md5(array_to_string(
+               list_slice(t, _start + 1, _start + {window_len}), ' '))
+               AS chunk_hash
+      FROM wins
+    """
+
+
 def pack_doc_sequences_sql(
     table: str,
     text_col: str,

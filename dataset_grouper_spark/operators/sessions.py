@@ -169,6 +169,100 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    temperature: float = 2.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: resample so stratum shares
+    follow ``p_s^(1/T)`` (T>1 flattens the head, the multilingual-
+    pretraining standard; T=1 is a no-op, T→∞ approaches uniform) —
+    :func:`stratified_sample` with the fractions COMPUTED from the
+    observed distribution instead of hand-specified.
+
+    Sampling can only REMOVE rows, so the flattened distribution is
+    realized by keeping the smallest stratum whole and downsampling
+    everything larger: acceptance ``a_s ∝ share_s^(1/T) / share_s``
+    (the per-row boost a stratum needs), normalized by its maximum —
+    attained at the smallest stratum — and floored to basis points.
+    The rate table broadcasts back (bounded by #strata) and the keep
+    decision is the same content-hash bucket as :func:`sample_groups`,
+    mod 10000 for basis-point resolution. Fully distributed — no
+    driver collect.
+
+    Determinism across engines: counts are exact integers, the ratio
+    is one IEEE division, and ``pow`` is evaluated on both engines on
+    identical doubles — the DuckDB twin reproduces the identical rate
+    unless pow differs in the last ulp EXACTLY at a 1-bp floor
+    boundary (vanishingly rare and data-stable; the contract query
+    pins it).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    from dataset_grouper_spark import keys
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_c"))
+    ref = counts.agg(F.max("_c").alias("_cmax"))
+    share = F.col("_c") / F.col("_cmax")
+    ratios = counts.crossJoin(F.broadcast(ref)).select(
+        F.col(strata_col).alias("_stratum"),
+        (F.pow(share, F.lit(1.0 / temperature)) / share).alias("_ratio"),
+    )
+    rmax = ratios.agg(F.max("_ratio").alias("_rmax"))
+    rates = ratios.crossJoin(F.broadcast(rmax)).select(
+        "_stratum",
+        F.floor(F.lit(10000.0) * F.col("_ratio") / F.col("_rmax"))
+        .cast("int")
+        .alias("_bps"),
+    )
+    salted = F.pmod(F.col(id_col).cast("long"), F.lit(2**32)) + F.lit(
+        salt % 2**31
+    )
+    bucket = F.pmod(keys.scramble(salted), F.lit(10000))
+    return (
+        df.join(
+            F.broadcast(rates), F.col(strata_col) == F.col("_stratum")
+        )
+        .filter(bucket < F.col("_bps"))
+        .drop("_stratum", "_bps")
+    )
+
+
+def temperature_mix_sql(
+    table: str,
+    strata_col: str,
+    id_col: str,
+    temperature: float = 2.0,
+    salt: int = 0,
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` (HUGEINT scramble mirror,
+    pmod-spelled inner mod for negative ids)."""
+    m = 4294967296
+    return f"""
+      WITH counts AS (
+        SELECT {strata_col} AS stratum, count(*) AS c
+        FROM {table} GROUP BY 1
+      ), ratios AS (
+        SELECT stratum,
+               pow(c / (SELECT max(c) FROM counts),
+                   {1.0 / temperature!r})
+                 / (c / (SELECT max(c) FROM counts)) AS ratio
+        FROM counts
+      ), rates AS (
+        SELECT stratum,
+               CAST(floor(10000.0 * ratio
+                          / (SELECT max(ratio) FROM ratios)) AS INT) AS bps
+        FROM ratios
+      )
+      SELECT t.* FROM {table} t
+      JOIN rates r ON r.stratum = t.{strata_col}
+      WHERE (CAST((({id_col} % {m} + {m}) % {m} + {salt % 2**31})
+                  AS HUGEINT) * 2654435761) % {m} % 10000 < r.bps
+    """
+
+
 def stratified_sample_sql(
     table: str,
     strata_col: str,

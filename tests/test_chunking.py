@@ -62,3 +62,51 @@ def test_chunking_deterministic_under_order(spark):
          for r in chunking.chunk_tokens(
              df.orderBy("ord", ascending=False), "text", "ord", 7).collect()}
     assert a == b  # input order never changes the chunk stream
+
+
+def test_chunk_sliding_window_math(spark):
+    # 10 tokens, W=4, S=3 -> starts 0,3,6 (ceil((10-4)/3)=2): all full
+    # 5 tokens, W=4, S=3 -> starts 0,3: lengths 4,2 (tail shorter)
+    # 3 tokens (< W)      -> one window, length 3
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "a b c d e"),
+            (3, "x y z"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        (r.doc_id, r.win_id): r.n_tokens
+        for r in chunking.chunk_sliding(df, "text", "doc_id", 4, 3).collect()
+    }
+    assert rows == {
+        (1, 0): 4, (1, 1): 4, (1, 2): 4,
+        (2, 0): 4, (2, 1): 2,
+        (3, 0): 3,
+    }
+
+
+def test_chunk_sliding_overlap_content(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id: long, text: string"
+    )
+    out = chunking.chunk_sliding(df, "text", "doc_id", 4, 2).collect()
+    # windows: [a b c d], [c d e f] -> the 2-token overlap means the
+    # second window's hash covers c..f
+    import hashlib
+
+    hashes = {r.win_id: r.chunk_hash for r in out}
+    assert hashes[0] == hashlib.md5(b"a b c d").hexdigest()
+    assert hashes[1] == hashlib.md5(b"c d e f").hexdigest()
+    assert len(hashes) == 2
+
+
+def test_chunk_sliding_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunking.chunk_sliding(df, "text", "doc_id", 0, 1)
+    with _pytest.raises(ValueError):
+        chunking.chunk_sliding(df, "text", "doc_id", 4, 0)

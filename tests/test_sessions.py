@@ -1,5 +1,7 @@
 """Sessionization and deterministic sampling semantics."""
 
+from pyspark.sql import functions as F
+
 from dataset_grouper_spark.operators import sessions
 
 
@@ -92,3 +94,54 @@ def test_split_by_group_leakage_safe(spark):
     import pytest as _p
     with _p.raises(ValueError):
         sessions.split_by_group(df, "g", {"train": 90, "val": 5})
+
+
+def test_temperature_mix_flattens_head(spark):
+    # 1000 'web' rows vs 50 'wiki': at T=2 web's acceptance must be
+    # below wiki's (which is kept whole), and the surviving shares
+    # must be closer together than the input shares
+    rows = [(i, "web") for i in range(1000)] + [
+        (10_000 + i, "wiki") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = sessions.temperature_mix(df, "source", "doc_id", temperature=2.0)
+    kept = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert kept["wiki"] == 50  # smallest stratum kept whole
+    # target web share: sqrt(20):sqrt(1) ~ 4.47:1 vs input 20:1
+    assert 50 * 2 < kept["web"] < 50 * 8
+    assert kept["web"] < 1000 * 0.5
+
+
+def test_temperature_mix_t1_is_noop(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(10)],
+        "doc_id: long, source: string",
+    )
+    out = sessions.temperature_mix(df, "source", "doc_id", temperature=1.0)
+    assert out.count() == 110
+
+
+def test_temperature_mix_salt_gives_independent_draw(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(2000)] + [(10_000 + i, "b") for i in range(100)],
+        "doc_id: long, source: string",
+    )
+    a = {r["doc_id"] for r in
+         sessions.temperature_mix(df, "source", "doc_id", 2.0, salt=0)
+         .select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         sessions.temperature_mix(df, "source", "doc_id", 2.0, salt=99)
+         .select("doc_id").collect()}
+    assert a != b           # different membership ...
+    assert abs(len(a) - len(b)) < 0.2 * len(a)  # ... same expected size
+
+
+def test_temperature_mix_rejects_bad_temperature(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id: long, source: string")
+    with _pytest.raises(ValueError):
+        sessions.temperature_mix(df, "source", "doc_id", temperature=0.0)

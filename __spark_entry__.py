@@ -23,6 +23,7 @@ from dataset_grouper_spark.functions import quality, vocab
 from dataset_grouper_spark.operators import profile as profile_ops
 from dataset_grouper_spark.operators import sessions as sessions_ops
 from dataset_grouper_spark.operators import chunking, dedup, multimodal, similarity
+from dataset_grouper_spark.operators import graph as graph_ops
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
 from dataset_grouper_spark.sources import read_table
@@ -2567,6 +2568,31 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PR_ITERATIONS = 6
+PR_DAMPING = 0.85
+PR_SUPP_OFFSET = 1_000_000
+
+
+def q_pagerank_partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the directed part→supplier shipment graph (every
+    supplier node is a SINK, so the dangling-mass correction carries
+    real weight every iteration — rank mass is conserved or the hash
+    mismatches). Fixed 6 iterations, lineage-truncated per round like
+    connected components; the DuckDB twin unrolls the rounds into a
+    CTE chain. Float summation order differs between engines; the
+    driver's 6-decimal float rounding absorbs the ulps."""
+    from dataset_grouper_spark.operators import graph
+
+    li = read_table(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("dst"),
+    ).distinct()
+    return graph.pagerank(
+        edges, "src", "dst", iterations=PR_ITERATIONS, damping=PR_DAMPING
+    )
+
+
 RAG_WINDOW = 32
 RAG_STRIDE = 24
 MIX_TEMPERATURE = 2.0
@@ -3236,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
         "snapshot_time_travel": q_snapshot_time_travel,
         "chunk_sliding_documents": q_chunk_sliding_documents,
+        "pagerank_partsupp": q_pagerank_partsupp,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
         "token_shards_documents": q_token_shards_documents,
@@ -4047,6 +4074,11 @@ def oracle_sql() -> dict[str, str]:
                           AS DECIMAL(28,8)) FROM rev
             )
         """,
+        "pagerank_partsupp": graph_ops.pagerank_sql(
+            f"SELECT DISTINCT l_partkey AS src, "
+            f"l_suppkey + {PR_SUPP_OFFSET} AS dst FROM lineitem",
+            "src", "dst", iterations=PR_ITERATIONS, damping=PR_DAMPING,
+        ),
         "chunk_sliding_documents": chunking.chunk_sliding_sql(
             "documents", "text", "doc_id", RAG_WINDOW, RAG_STRIDE
         ),

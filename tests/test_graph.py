@@ -1,0 +1,89 @@
+"""PageRank: golden values vs numpy power iteration, mass conservation,
+dangling handling, NULL hygiene."""
+
+import numpy as np
+import pytest
+
+from dataset_grouper_spark.operators import graph
+
+
+def _numpy_pagerank(edges, iterations, damping):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in edges:
+        outdeg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for a, b in edges:
+            contrib[idx[b]] += r[idx[a]] / outdeg[idx[a]]
+        dang = r[outdeg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dang / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (3, 4),
+    (6, 1),  # 6 has no in-edges; 2 has out-edges; add a sink:
+    (2, 7),  # 7 is dangling
+]
+
+
+def test_pagerank_matches_power_iteration(spark):
+    df = spark.createDataFrame(EDGES, "a: long, b: long")
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, "a", "b", iterations=6).collect()
+    }
+    want = _numpy_pagerank(EDGES, 6, 0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_mass_conserved(spark):
+    df = spark.createDataFrame(EDGES, "a: long, b: long")
+    out = graph.pagerank(df, "a", "b", iterations=4)
+    total = sum(r["rank"] for r in out.collect())
+    assert total == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_sink_accumulates(spark):
+    # 1->2, 3->2: the sink must outrank its feeders
+    df = spark.createDataFrame([(1, 2), (3, 2)], "a: long, b: long")
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, "a", "b", iterations=8).collect()
+    }
+    assert got[2] > got[1]
+    assert got[1] == pytest.approx(got[3], abs=1e-15)
+
+
+def test_pagerank_drops_null_edges(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (2, None)], "a: long, b: long"
+    )
+    out = graph.pagerank(df, "a", "b", iterations=2)
+    assert {r["node"] for r in out.collect()} == {1, 2}
+
+
+def test_pagerank_sql_twin_agrees(spark):
+    import duckdb
+
+    df = spark.createDataFrame(EDGES, "a: long, b: long")
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, "a", "b", iterations=5).collect()
+    }
+    vals = ", ".join(f"({a}, {b})" for a, b in EDGES)
+    sql = graph.pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(a, b)", "a", "b", iterations=5
+    )
+    twin = {
+        int(n): float(r) for n, r in duckdb.sql(sql).fetchall()
+    }
+    assert set(twin) == set(got)
+    for v in got:
+        assert twin[v] == pytest.approx(got[v], abs=1e-12)

@@ -180,3 +180,46 @@ def test_second_write_rejected(spark, table):
     )
     with pytest.raises(FileExistsError):
         snap.snapshot_write(df, table)
+
+
+@pytest.mark.slow
+def test_snapshot_cow_scale_1m_rows(spark, tmp_path):
+    """1M rows in 64 immutable files: a 100-row upsert must rewrite a
+    bounded handful of files and carry the rest by reference, and a
+    point delete must not grow the file count."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    path = str(tmp_path / "snap1m")
+    # range-partitioned write: files hold contiguous id runs — the
+    # id-clustered layout appends naturally produce (batch = id range)
+    base = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        (F.col("id") % 97).alias("score"),
+    ).repartitionByRange(64, "doc_id")
+    snap.snapshot_write(base, path)
+    m1 = snap._manifest(path, 1)
+    assert len(m1["files"]) == 64
+
+    # a CONCENTRATED 100-id update (one batch's range): CoW must
+    # rewrite only the file(s) whose run contains those ids and carry
+    # everything else by reference
+    updates = spark.range(100).select(
+        (F.col("id") + 500_000).alias("doc_id"),
+        F.lit("UPDATED").alias("text"),
+        F.lit(-1).alias("score"),
+    )
+    snap.snapshot_upsert(updates, path, id_col="doc_id")
+    m2 = snap._manifest(path, 2)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) >= 60  # ~62-63 of 64 untouched, never rewritten
+    out = snap.read_snapshot(spark, path, 2)
+    assert out.count() == 1_000_000
+    assert out.filter("text = 'UPDATED'").count() == 100
+
+    # delete one specific id: only the file holding it is touched
+    snap.snapshot_delete(spark, path, F.col("doc_id") == 777)
+    m3 = snap._manifest(path, 3)
+    carried3 = set(m2["files"]) & set(m3["files"])
+    assert len(carried3) >= len(m2["files"]) - 2  # ≥ all-but-the-hit-file
+    assert snap.read_snapshot(spark, path, 3).count() == 999_999

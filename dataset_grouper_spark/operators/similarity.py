@@ -1024,3 +1024,83 @@ def embedding_neardup_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    select_k: int = 10,
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification of per-query
+    candidate lists (Carbonell & Goldstein 1998) — the retrieval
+    rerank step after :func:`cosine_topk`/ANN: greedily pick the
+    candidate maximizing ``lam * rel - (1-lam) * max_sim_to_selected``
+    so near-duplicate hits don't crowd the result page.
+
+    ``candidates`` is a (query_id, neighbor_id, cosine) frame (the
+    top-k output); candidate vectors are equijoined in (no broadcast
+    hint — size-based planning). The greedy loop is inherently
+    sequential PER QUERY but embarrassingly parallel ACROSS queries,
+    so it runs as one ``applyInPandas`` over query groups: each group
+    is k candidates (k^2 sims in one numpy matmul), never the corpus.
+    Deterministic: candidates pre-sorted by (relevance desc, id asc),
+    scores rounded to 12 before argmax, first-max wins.
+
+    Returns (query_id, neighbor_id, cosine, mmr_score, mmr_rank) for
+    the ``select_k`` chosen per query, rank 1..select_k. Sequential
+    greedy selection has no SQL twin — verified against a pure-Python
+    golden in tests instead (the PQ precedent).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    cand = candidates.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "neighbor_id",
+    )
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        S = (V / norms[:, None]) @ (V / norms[:, None]).T
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        m = min(select_k, n)
+        remaining = list(range(n))
+        selected: list[int] = []
+        scores_out: list[float] = []
+        for _ in range(m):
+            if not selected:
+                best_pos = 0
+                best_score = lam * rel[remaining[0]]
+            else:
+                maxsim = S[np.ix_(remaining, selected)].max(axis=1)
+                sc = np.round(
+                    lam * rel[remaining] - (1.0 - lam) * maxsim, 12
+                )
+                best_pos = int(np.argmax(sc))
+                best_score = float(sc[best_pos])
+            selected.append(remaining.pop(best_pos))
+            scores_out.append(round(float(best_score), round_digits))
+        out = pdf.iloc[selected][["query_id", "neighbor_id", "cosine"]]
+        out = out.assign(
+            mmr_score=scores_out, mmr_rank=range(1, m + 1)
+        )
+        return out
+
+    return cand.groupBy("query_id").applyInPandas(
+        fn,
+        "query_id long, neighbor_id long, cosine double, "
+        "mmr_score double, mmr_rank int",
+    )

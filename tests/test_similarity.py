@@ -476,3 +476,115 @@ def test_cosine_topk_large_q_reroutes_to_blocked(vecs, no_auto_broadcast):
     assert ks == kl and ks
     # the rerouted plan never broadcast-joins the raw query frame
     assert "BroadcastHashJoin" not in _plan(large)
+
+
+def test_mmr_rerank_diversifies(spark):
+    # corpus: two near-identical vectors (a, b) highly relevant, one
+    # orthogonal-ish vector (c) less relevant. Plain top-3 ranks a,b,c;
+    # MMR at lam=0.5 must promote c to rank 2 (b is redundant with a).
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    cands = spark.createDataFrame(
+        [(100, 1, 0.95), (100, 2, 0.94), (100, 3, 0.50)],
+        "query_id: long, neighbor_id: long, cosine: double",
+    )
+    out = similarity.mmr_rerank(
+        cands, vecs, "embedding", "vec_id", select_k=3, lam=0.5
+    ).collect()
+    by_rank = {r["mmr_rank"]: r["neighbor_id"] for r in out}
+    assert by_rank == {1: 1, 2: 3, 3: 2}
+
+
+def test_mmr_rerank_matches_python_golden(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(30)]
+    vdf = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    # two query groups with 10 candidates each, synthetic relevance
+    cands = [
+        (q, i, round(1.0 - 0.03 * i + 0.001 * ((i * q) % 5), 6))
+        for q in (500, 501)
+        for i in range(10)
+    ]
+    cdf = spark.createDataFrame(
+        cands, "query_id: long, neighbor_id: long, cosine: double"
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in similarity.mmr_rerank(
+            cdf, vdf, "embedding", "vec_id", select_k=5, lam=0.7
+        ).collect()
+    }
+
+    # pure-python reference
+    V = {i: np.array(v) for i, v in vecs}
+
+    def cos(a, b):
+        return float(
+            V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))
+        )
+
+    for q in (500, 501):
+        pool = sorted(
+            [(i, rel) for (qq, i, rel) in cands if qq == q],
+            key=lambda t: (-t[1], t[0]),
+        )
+        sel = []
+        rem = [i for i, _ in pool]
+        rel = dict(pool)
+        for rank in range(1, 6):
+            if not sel:
+                best = rem[0]
+            else:
+                scored = [
+                    (
+                        round(
+                            0.7 * rel[i]
+                            - 0.3 * max(cos(i, s) for s in sel),
+                            12,
+                        ),
+                        pos,
+                        i,
+                    )
+                    for pos, i in enumerate(rem)
+                ]
+                best = max(scored, key=lambda t: (t[0], -t[1]))[2]
+            sel.append(best)
+            rem.remove(best)
+            assert got[(q, rank)] == best, (q, rank, sel)
+
+
+def test_mmr_rerank_composes_with_cosine_topk(spark):
+    rng_rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rng_rows, "vec_id: long, embedding: array<double>")
+    topk = similarity.cosine_topk(
+        df, df.limit(4), "embedding", "vec_id", "vec_id", k=8
+    )
+    out = similarity.mmr_rerank(
+        topk, df, "embedding", "vec_id", select_k=4, lam=0.6
+    )
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["mmr_rank"])
+    assert set(per_q) == {0, 1, 2, 3}
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4]
+
+
+def test_mmr_rejects_bad_lambda(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id: long, embedding: array<double>")
+    c = spark.createDataFrame([(1, 1, 0.5)], "query_id: long, neighbor_id: long, cosine: double")
+    with _pytest.raises(ValueError):
+        similarity.mmr_rerank(c, df, "embedding", "vec_id", lam=1.5)

@@ -2568,6 +2568,36 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ED_BINS = 16
+
+
+def q_equidepth_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (quantile) binning of the events value column: every
+    bin holds N/16 rows; edges are exact quantiles. The global rank
+    comes from the distributed prefix sum (range exchange + partition
+    windows + driver-prefixed offsets) — never a one-task global
+    window; bin assignment is integer arithmetic, no float boundary.
+    Complements `value_histogram_events` (equi-width)."""
+    from dataset_grouper_spark.operators import profile
+
+    ev = read_table(spark, sf, "events")
+    return profile.equidepth_bins(ev, "value", "event_id", ED_BINS)
+
+
+def q_vocab_index_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical string-indexer FIT over the token stream: dense ids
+    ordered by (frequency desc, token asc) — the StringIndexer
+    contract, ranked with the distributed prefix sum (a word vocab can
+    be 10^7 terms; a one-task window is a non-starter). Returns the
+    full fitted (value, index, n_occurrences) table."""
+    from dataset_grouper_spark.functions import vocab as vocab_fns
+    from dataset_grouper_spark.functions.hashing import tokens
+
+    docs = read_table(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return vocab_fns.vocabulary_index(toks, "tok")
+
+
 PR_ITERATIONS = 6
 PR_DAMPING = 0.85
 PR_SUPP_OFFSET = 1_000_000
@@ -3263,6 +3293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "chunk_sliding_documents": q_chunk_sliding_documents,
         "pagerank_partsupp": q_pagerank_partsupp,
+        "equidepth_events": q_equidepth_events,
+        "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
         "token_shards_documents": q_token_shards_documents,
@@ -4074,6 +4106,15 @@ def oracle_sql() -> dict[str, str]:
                           AS DECIMAL(28,8)) FROM rev
             )
         """,
+        "equidepth_events": profile_ops.equidepth_bins_sql(
+            "events", "value", "event_id", ED_BINS
+        ),
+        "vocab_index_documents": vocab.vocabulary_index_sql(
+            "(SELECT unnest(string_split(regexp_replace("
+            "coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), ' ')) AS tok"
+            " FROM documents)",
+            "tok",
+        ),
         "pagerank_partsupp": graph_ops.pagerank_sql(
             f"SELECT DISTINCT l_partkey AS src, "
             f"l_suppkey + {PR_SUPP_OFFSET} AS dst FROM lineitem",

@@ -179,3 +179,71 @@ def ngram_counts_sql(
         GROUP BY gram {having}
         ORDER BY n_occurrences DESC, gram {limit}
     """
+
+
+def vocabulary_index(
+    df: DataFrame, col: str, num_partitions: int = 64
+) -> DataFrame:
+    """Categorical string indexer FIT: map each distinct value of
+    ``col`` to a dense integer id, ordered by (frequency desc, value
+    asc) — id 0 is the most frequent value, exactly the ML-pipeline
+    StringIndexer contract, and deterministic under ties.
+
+    The rank is computed with the distributed prefix sum
+    (operators/prefix.py) over the aggregated counts, NOT a global
+    single-task window — a word-level vocabulary can be 10^7 terms.
+    Returns (value, index, n_occurrences).
+    """
+    from dataset_grouper_spark.operators import prefix
+
+    counts = (
+        df.select(F.col(col).alias("value"))
+        .na.drop()
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        # struct orders lexicographically: (-n, value) == freq desc,
+        # value asc
+        .withColumn("_ok", F.struct((-F.col("n_occurrences")).alias("_neg"), F.col("value")))
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = prefix.running_sum(
+        counts, "_one", "_ok", num_partitions=num_partitions, out_col="_rk"
+    )
+    return ranked.select(
+        "value",
+        (F.col("_rk") - 1).cast("long").alias("index"),
+        "n_occurrences",
+    )
+
+
+def encode_indexed(
+    df: DataFrame, col: str, index_df: DataFrame, out_col: str | None = None
+) -> DataFrame:
+    """Categorical string indexer TRANSFORM: broadcast the fitted
+    (value, index) table onto ``df``; unseen/NULL values encode as -1
+    (the keep-invalid contract — dropping rows silently is the bug).
+    The index table is vocabulary-sized; broadcast is the right call
+    up to ~10^7 entries, beyond which pass a plain join yourself."""
+    out = out_col or f"{col}_idx"
+    idx = index_df.select(
+        F.col("value").alias("_enc_val"), F.col("index").alias("_enc_idx")
+    )
+    return (
+        df.join(
+            F.broadcast(idx), df[col] == F.col("_enc_val"), "left"
+        )
+        .withColumn(out, F.coalesce(F.col("_enc_idx"), F.lit(-1)).cast("long"))
+        .drop("_enc_val", "_enc_idx")
+    )
+
+
+def vocabulary_index_sql(table: str, col: str) -> str:
+    """DuckDB twin of :func:`vocabulary_index`."""
+    return f"""
+      SELECT {col} AS value,
+             CAST(row_number() OVER (
+               ORDER BY count(*) DESC, {col}) - 1 AS BIGINT) AS index,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM {table} WHERE {col} IS NOT NULL
+      GROUP BY {col}
+    """

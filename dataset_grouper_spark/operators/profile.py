@@ -103,3 +103,72 @@ def key_skew_profile_sql(
         ORDER BY cnt DESC, key
         LIMIT {top_n}
     """
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Equi-depth (quantile) binning: every bin holds ⌈N/bins⌉ or
+    ⌊N/bins⌋ rows — the complement of the equi-width histogram (which
+    starves under skew: one hot value can own 99% of an equi-width
+    bin). Bin edges double as exact quantile estimates.
+
+    The naive spelling — ``ntile() OVER (ORDER BY value)`` — collapses
+    the dataset into ONE task. This uses the distributed prefix sum
+    (operators/prefix.py): global rank via range-repartition +
+    per-partition window + driver-prefixed offsets, so the only global
+    exchange is the range partitioning a total sort would pay anyway.
+    Ties order by (value, id) — total, so results are
+    engine-reproducible. Bin assignment is pure integer arithmetic
+    (``(rank-1)*bins div N`` — no float boundary roulette).
+
+    Returns (bin, n_rows, lo, hi).
+    """
+    from dataset_grouper_spark.operators import prefix
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    keyed = df.select(
+        F.col(value_col).alias("_val"), F.col(id_col).alias("_id")
+    ).withColumn("_ok", F.struct(F.col("_val"), F.col("_id"))).withColumn(
+        "_one", F.lit(1)
+    )
+    ranked = prefix.running_sum(
+        keyed, "_one", "_ok", num_partitions=num_partitions, out_col="_rk"
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "bin",
+            F.expr(f"(( _rk - 1 ) * {int(n_bins)}) div _n").cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_val").alias("lo"),
+            F.max("_val").alias("hi"),
+        )
+    )
+
+
+def equidepth_bins_sql(
+    table: str, value_col: str, id_col: str, n_bins: int
+) -> str:
+    """DuckDB twin of :func:`equidepth_bins` (// is integer div)."""
+    return f"""
+      WITH ranked AS (
+        SELECT {value_col} AS v,
+               row_number() OVER (ORDER BY {value_col}, {id_col}) AS rk,
+               count(*) OVER () AS n
+        FROM {table}
+      )
+      SELECT CAST(((rk - 1) * {int(n_bins)}) // n AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(v) AS lo, max(v) AS hi
+      FROM ranked GROUP BY 1
+    """

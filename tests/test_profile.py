@@ -1,5 +1,6 @@
 """Group numeric profiling: exact quantiles, naming, null handling."""
 
+from dataset_grouper_spark.operators import profile
 from dataset_grouper_spark.operators.profile import group_numeric_profile
 
 
@@ -21,3 +22,31 @@ def test_quantile_column_naming(spark):
     df = spark.createDataFrame([("a", 1.0)], "g: string, v: double")
     out = group_numeric_profile(df, ["g"], "v", quantiles=(0.5, 0.999))
     assert "p50" in out.columns and "p99_9" in out.columns
+
+
+def test_equidepth_bins_balanced_and_ordered(spark):
+    # 100 rows, 4 bins -> 25 each; skewed values (50 identical zeros)
+    # still split evenly because ties order by id
+    rows = [(i, 0.0 if i < 50 else float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id: long, value: double")
+    out = {
+        r["bin"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in profile.equidepth_bins(df, "value", "event_id", 4).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert all(n == 25 for n, _, _ in out.values())
+    assert out[0] == (25, 0.0, 0.0)       # hot value fills bin 0
+    assert out[1][0] == 25 and out[1][1] == 0.0
+    # bins are value-ordered: lo of each >= hi of previous
+    assert out[2][1] >= out[1][2]
+    assert out[3][1] >= out[2][2]
+
+
+def test_equidepth_bins_uneven_total(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "event_id: long, value: double"
+    )
+    out = profile.equidepth_bins(df, "value", "event_id", 3).collect()
+    sizes = sorted(r["n_rows"] for r in out)
+    assert sizes == [3, 3, 4]
+    assert sum(sizes) == 10

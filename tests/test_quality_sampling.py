@@ -111,3 +111,32 @@ def test_key_skew_profile_values(spark):
     assert abs(prof[0].skew_x - 60 * 42 / 101) < 1e-4
     assert prof[1].cnt == 1  # ties broken by key string asc
     assert {r.cnt for r in prof[1:]} == {1}
+
+
+def test_vocabulary_index_rank_contract(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("b",), ("a",), ("a",), ("c",), (None,)],
+        "lang: string",
+    )
+    out = {
+        r["value"]: (r["index"], r["n_occurrences"])
+        for r in vocab.vocabulary_index(df, "lang").collect()
+    }
+    # freq desc, value asc; NULL dropped
+    assert out == {"b": (0, 3), "a": (1, 2), "c": (2, 1)}
+
+
+def test_encode_indexed_unseen_is_minus_one(spark):
+    fit = spark.createDataFrame(
+        [("b",), ("b",), ("a",)], "lang: string"
+    )
+    idx = vocab.vocabulary_index(fit, "lang")
+    data = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz"), (4, None)],
+        "doc_id: long, lang: string",
+    )
+    out = {
+        r["doc_id"]: r["lang_idx"]
+        for r in vocab.encode_indexed(data, "lang", idx).collect()
+    }
+    assert out == {1: 1, 2: 0, 3: -1, 4: -1}

@@ -115,7 +115,23 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return rel_names
 
 
-def _commit(path: str, op: str, files: list[str], expected_parent: int) -> int:
+def committed_tags(path: str) -> set[str]:
+    """All commit tags in the manifest log — the idempotency ledger for
+    epoch-tagged writers (streaming foreachBatch replay detection)."""
+    return {
+        t
+        for v in snapshot_versions(path)
+        if (t := _manifest(path, v).get("tag")) is not None
+    }
+
+
+def _commit(
+    path: str,
+    op: str,
+    files: list[str],
+    expected_parent: int,
+    tag: str | None = None,
+) -> int:
     """Atomically claim version ``expected_parent + 1``. The manifest is
     complete before it becomes visible (write temp + hard-link claim),
     so a crash can strand a temp file but never a half-readable
@@ -131,6 +147,8 @@ def _commit(path: str, op: str, files: list[str], expected_parent: int) -> int:
         "parent": expected_parent,
         "files": sorted(files),
     }
+    if tag is not None:
+        body["tag"] = tag
     tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -157,17 +175,29 @@ def snapshot_write(df: DataFrame, path: str) -> int:
     return _commit(path, "write", files, expected_parent=0)
 
 
-def snapshot_append(df: DataFrame, path: str) -> int:
+def snapshot_append(df: DataFrame, path: str, tag: str | None = None) -> int:
     """Append-only commit: new files + everything the latest version
     references. Safe under concurrency — on a lost race it re-reads the
     new latest manifest and retries with the same staged files (they
-    are disjoint from every other commit's)."""
+    are disjoint from every other commit's).
+
+    ``tag`` makes the append IDEMPOTENT per tag: if any manifest
+    already carries it, the call is a no-op returning that version —
+    the exactly-once hook for epoch-replaying writers (a streaming
+    foreachBatch that crashed between append and checkpoint commit
+    re-runs the epoch; the tag makes the re-run harmless). The check
+    assumes one writer per tag — two concurrent committers with the
+    SAME tag can both land (stream checkpoints guarantee the former)."""
+    if tag is not None:
+        for v in snapshot_versions(path):
+            if _manifest(path, v).get("tag") == tag:
+                return v
     files = _stage_files(df, path)
     while True:
         parent = latest_version(path)
         carried = _manifest(path, parent)["files"]
         try:
-            return _commit(path, "append", carried + files, parent)
+            return _commit(path, "append", carried + files, parent, tag=tag)
         except SnapshotConflictError:
             continue
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from dataset_grouper_spark import keys, oracles
 from dataset_grouper_spark.functions import dp as dp_fns
 from dataset_grouper_spark.functions import featurize, textanalysis, textstats
+from dataset_grouper_spark.functions import lm as lm_fns
 from dataset_grouper_spark.functions import quality, vocab
 from dataset_grouper_spark.operators import profile as profile_ops
 from dataset_grouper_spark.operators import sessions as sessions_ops
@@ -2568,6 +2569,24 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+LM_REF_FILTER = "lang = 'en'"
+
+
+def q_lm_score_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring: per-doc mean log-probability and
+    perplexity under an add-k bigram LM fit on the ENGLISH subset (the
+    curated-reference setup of Wenzek et al. 2020) — low-likelihood
+    docs are the boilerplate/gibberish tier. Fit = two aggregations;
+    score = two shuffle joins + one agg, all Catalyst; the DuckDB twin
+    reproduces the rational-arithmetic-inside-ln exactly."""
+    from dataset_grouper_spark.functions import lm
+
+    docs = read_table(spark, sf, "documents")
+    return lm.bigram_logprob(
+        docs, "text", "doc_id", ref=docs.filter(LM_REF_FILTER)
+    )
+
+
 ED_BINS = 16
 
 
@@ -3294,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sliding_documents": q_chunk_sliding_documents,
         "pagerank_partsupp": q_pagerank_partsupp,
         "equidepth_events": q_equidepth_events,
+        "lm_score_documents": q_lm_score_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -4106,6 +4126,9 @@ def oracle_sql() -> dict[str, str]:
                           AS DECIMAL(28,8)) FROM rev
             )
         """,
+        "lm_score_documents": lm_fns.bigram_logprob_sql(
+            "documents", "text", "doc_id", ref_filter=LM_REF_FILTER
+        ),
         "equidepth_events": profile_ops.equidepth_bins_sql(
             "events", "value", "event_id", ED_BINS
         ),

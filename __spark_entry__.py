@@ -2569,6 +2569,21 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-distribution drift between two halves of the corpus (the
+    versions-of-a-crawl QA check): per-source counts, smoothed shares,
+    and KL(A‖B) contributions. Two aggs + one vocabulary-sized
+    full-outer join; rational arithmetic inside the ln."""
+    from dataset_grouper_spark.operators import profile
+
+    docs = read_table(spark, sf, "documents")
+    return profile.distribution_drift(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 3 = 0"),
+        "source",
+    )
+
+
 LM_REF_FILTER = "lang = 'en'"
 
 
@@ -3314,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_partsupp": q_pagerank_partsupp,
         "equidepth_events": q_equidepth_events,
         "lm_score_documents": q_lm_score_documents,
+        "drift_documents": q_drift_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -4126,6 +4142,11 @@ def oracle_sql() -> dict[str, str]:
                           AS DECIMAL(28,8)) FROM rev
             )
         """,
+        "drift_documents": profile_ops.distribution_drift_sql(
+            "SELECT * FROM documents WHERE doc_id % 2 = 0",
+            "SELECT * FROM documents WHERE doc_id % 3 = 0",
+            "source",
+        ),
         "lm_score_documents": lm_fns.bigram_logprob_sql(
             "documents", "text", "doc_id", ref_filter=LM_REF_FILTER
         ),

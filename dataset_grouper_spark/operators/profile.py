@@ -172,3 +172,86 @@ def equidepth_bins_sql(
              min(v) AS lo, max(v) AS hi
       FROM ranked GROUP BY 1
     """
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: float = 0.5,
+) -> DataFrame:
+    """Categorical distribution drift between two frames (corpus
+    versions, train vs eval splits, yesterday's crawl vs today's):
+    per category the counts, add-k smoothed shares, and the KL(A‖B)
+    contribution ``p_a * ln(p_a / p_b)`` — sum the column for the
+    divergence, inspect rows for WHICH categories moved.
+
+    Smoothing is over the UNION vocabulary (a category present in only
+    one side gets the k-floor on the other), so every contribution is
+    finite. Shape: two aggregations + one full-outer join on the
+    category (vocabulary-sized frames — negligible next to the scans);
+    shares are exact rational arithmetic inside the ln.
+    """
+    if k <= 0:
+        raise ValueError("smoothing k must be positive")
+    ca = (
+        df_a.select(F.col(col).alias("category"))
+        .na.drop()
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    cb = (
+        df_b.select(F.col(col).alias("category"))
+        .na.drop()
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    joined = ca.join(cb, ["category"], "full_outer").select(
+        "category",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("_ta"),
+        F.sum("n_b").alias("_tb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    pa = (F.col("n_a") + F.lit(k)) / (F.col("_ta") + F.lit(k) * F.col("_v"))
+    pb = (F.col("n_b") + F.lit(k)) / (F.col("_tb") + F.lit(k) * F.col("_v"))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_a",
+        "n_b",
+        pa.alias("share_a"),
+        pb.alias("share_b"),
+        (pa * F.log(pa / pb)).alias("kl_term"),
+    )
+
+
+def distribution_drift_sql(
+    table_a_sql: str, table_b_sql: str, col: str, k: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`distribution_drift`."""
+    return f"""
+      WITH ca AS (
+        SELECT {col} AS category, count(*) AS n_a
+        FROM ({table_a_sql}) WHERE {col} IS NOT NULL GROUP BY 1
+      ), cb AS (
+        SELECT {col} AS category, count(*) AS n_b
+        FROM ({table_b_sql}) WHERE {col} IS NOT NULL GROUP BY 1
+      ), j AS (
+        SELECT coalesce(ca.category, cb.category) AS category,
+               coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        FROM ca FULL OUTER JOIN cb ON ca.category = cb.category
+      ), tot AS (
+        SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS v FROM j
+      )
+      SELECT category,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             (n_a + {k!r}) / (ta + {k!r} * v) AS share_a,
+             (n_b + {k!r}) / (tb + {k!r} * v) AS share_b,
+             ((n_a + {k!r}) / (ta + {k!r} * v))
+               * ln(((n_a + {k!r}) / (ta + {k!r} * v))
+                    / ((n_b + {k!r}) / (tb + {k!r} * v))) AS kl_term
+      FROM j CROSS JOIN tot
+    """

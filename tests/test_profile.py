@@ -1,5 +1,7 @@
 """Group numeric profiling: exact quantiles, naming, null handling."""
 
+import pytest
+from pyspark.sql import functions as F
 from dataset_grouper_spark.operators import profile
 from dataset_grouper_spark.operators.profile import group_numeric_profile
 
@@ -50,3 +52,33 @@ def test_equidepth_bins_uneven_total(spark):
     sizes = sorted(r["n_rows"] for r in out)
     assert sizes == [3, 3, 4]
     assert sum(sizes) == 10
+
+
+def test_distribution_drift_closed_form(spark):
+    import math
+
+    a = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 2, "source: string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 2 + [("z",)] * 2, "source: string"
+    )
+    out = {
+        r["category"]: r
+        for r in profile.distribution_drift(a, b, "source", k=0.5).collect()
+    }
+    assert set(out) == {"x", "y", "z"}
+    # union vocab V=3, ta=8, tb=4; share_a(x) = 6.5/9.5, share_b(x)=2.5/5.5
+    pa_x, pb_x = 6.5 / 9.5, 2.5 / 5.5
+    assert out["x"]["share_a"] == pytest.approx(pa_x, abs=1e-12)
+    assert out["x"]["kl_term"] == pytest.approx(
+        pa_x * math.log(pa_x / pb_x), abs=1e-12
+    )
+    # one-sided categories get the k-floor, counts show 0
+    assert out["z"]["n_a"] == 0 and out["z"]["n_b"] == 2
+    assert out["y"]["n_b"] == 0
+    # KL of identical distributions is 0
+    same = profile.distribution_drift(a, a, "source").agg(
+        F.sum("kl_term").alias("kl")
+    ).collect()[0]["kl"]
+    assert same == pytest.approx(0.0, abs=1e-12)

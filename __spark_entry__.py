@@ -3269,7 +3269,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     set-ops, analytics, upsert/delete/jsonl/csv/zorder
         #     lifecycles, incremental dedup, centroids, token shards,
         #     DP releases) are ALL locally sf0.01-hash-verified this
-        #     round and lead tier A next round.
+        #     round and lead tier A next round. The fourth wave
+        #     (TPC-H Q9/Q20 completing 22/22, snapshot time travel,
+        #     RAG sliding chunks, temperature mixing, PageRank,
+        #     equi-depth bins, string indexer, LM perplexity, drift)
+        #     is likewise locally sf0.01-hash-verified.
         "group_stream": q_group_stream,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "multimodal_resize_png": q_multimodal_resize_png,

@@ -203,12 +203,21 @@ def temperature_mix(
         raise ValueError("temperature must be positive")
     from dataset_grouper_spark import keys
 
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_c"))
+    from dataset_grouper_spark.cache import persist_tracked
+
+    # persisted: counts feed BOTH the per-stratum ratio and the max
+    # normalizer — without materialization Catalyst re-derives each
+    # branch from the scan and the corpus is aggregated twice
+    counts = persist_tracked(
+        df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_c"))
+    )
     ref = counts.agg(F.max("_c").alias("_cmax"))
     share = F.col("_c") / F.col("_cmax")
-    ratios = counts.crossJoin(F.broadcast(ref)).select(
-        F.col(strata_col).alias("_stratum"),
-        (F.pow(share, F.lit(1.0 / temperature)) / share).alias("_ratio"),
+    ratios = persist_tracked(
+        counts.crossJoin(F.broadcast(ref)).select(
+            F.col(strata_col).alias("_stratum"),
+            (F.pow(share, F.lit(1.0 / temperature)) / share).alias("_ratio"),
+        )
     )
     rmax = ratios.agg(F.max("_ratio").alias("_rmax"))
     rates = ratios.crossJoin(F.broadcast(rmax)).select(

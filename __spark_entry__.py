@@ -2569,6 +2569,34 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_matview_refresh_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-aggregate lifecycle: materialize the
+    per-source (rows, bytes, id-sum) rollup over HALF the corpus, then
+    fold the other half in via `refresh_materialized_sums` — O(batch +
+    groups), the corpus is never rescanned (the same merge contract
+    the sidecar indexes use internally). The oracle is the direct
+    GROUP BY over the full table: a dropped group, double-fold, or
+    stale store hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.operators import matview
+
+    docs = read_table(spark, sf, "documents")
+    sums = {
+        "num_examples": F.lit(1),
+        "num_bytes": F.octet_length("text"),
+        "sum_ids": F.col("doc_id"),
+    }
+    path = os.path.join(tempfile.mkdtemp(prefix="mv_"), "agg")
+    matview.create_materialized_sums(
+        docs.filter("doc_id % 2 = 0"), ["source"], sums, path
+    )
+    matview.refresh_materialized_sums(
+        spark, docs.filter("doc_id % 2 = 1"), ["source"], sums, path
+    )
+    return spark.read.parquet(path)
+
+
 def q_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Source-distribution drift between two halves of the corpus (the
     versions-of-a-crawl QA check): per-source counts, smoothed shares,
@@ -3334,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_events": q_equidepth_events,
         "lm_score_documents": q_lm_score_documents,
         "drift_documents": q_drift_documents,
+        "matview_refresh_documents": q_matview_refresh_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -4145,6 +4174,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(sum(part_rev) * {Q11_SHARE}
                           AS DECIMAL(28,8)) FROM rev
             )
+        """,
+        "matview_refresh_documents": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS num_examples,
+                   CAST(sum(strlen(text)) AS BIGINT) AS num_bytes,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY source
         """,
         "drift_documents": profile_ops.distribution_drift_sql(
             "SELECT * FROM documents WHERE doc_id % 2 = 0",

@@ -1,0 +1,77 @@
+"""Incremental materialized-aggregate maintenance.
+
+The engine's sidecar indexes already do this internally (append merges
+the new batch's counts into the old index — PERF.md: "appending an
+hour to a year never rescans the year"); this module exposes the same
+contract for USER aggregates: keep a corpus-wide rollup (counts, token
+totals, per-source bytes …) fresh across appends at O(batch + groups)
+cost instead of O(corpus) recomputation.
+
+Works for ADDITIVE aggregates — anything mergeable by summing partial
+states: count, sum, and everything derivable from them downstream
+(mean = sum/count at read time). Non-additive aggregates (distinct,
+percentiles) need sketches or a recompute; that boundary is the whole
+theory of incremental view maintenance, stated here honestly instead
+of hidden.
+
+Refresh shape: aggregate the BATCH (one partial agg over new data
+only), union with the stored table (groups-sized), re-aggregate, write
+to a sibling dir and atomically swap — the same
+write-sibling-then-swap idiom as the storage lifecycle ops, so a crash
+mid-refresh leaves the old table intact (vacuum the sibling).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAGING_SUFFIX = "_refreshing"
+
+
+def create_materialized_sums(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, Column],
+    path: str,
+) -> None:
+    """Materialize the initial aggregate: per ``key_cols`` group, the
+    SUM of each expression in ``sum_cols`` (name -> column expr over
+    the input rows). A plain count is ``F.lit(1)``."""
+    agg = df.groupBy(*key_cols).agg(
+        *[F.sum(expr).alias(name) for name, expr in sum_cols.items()]
+    )
+    agg.write.mode("overwrite").parquet(path)
+
+
+def refresh_materialized_sums(
+    spark: SparkSession,
+    batch: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, Column],
+    path: str,
+) -> None:
+    """Fold an appended batch into the stored aggregate WITHOUT
+    touching the corpus: batch partials ⊎ stored table, summed per
+    group. New groups appear, existing groups accumulate. Cost:
+    one aggregation over the batch + one over (groups + batch-groups)
+    rows."""
+    batch_agg = batch.groupBy(*key_cols).agg(
+        *[F.sum(expr).alias(name) for name, expr in sum_cols.items()]
+    )
+    old = spark.read.parquet(path)
+    merged = (
+        old.unionByName(batch_agg)
+        .groupBy(*key_cols)
+        .agg(*[F.sum(name).alias(name) for name in sum_cols])
+    )
+    staging = path.rstrip("/") + STAGING_SUFFIX
+    merged.write.mode("overwrite").parquet(staging)
+    final_tmp = path.rstrip("/") + "_old"
+    shutil.rmtree(final_tmp, ignore_errors=True)
+    os.replace(path, final_tmp)
+    os.replace(staging, path)
+    shutil.rmtree(final_tmp, ignore_errors=True)

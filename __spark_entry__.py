@@ -20,6 +20,7 @@ from dataset_grouper_spark import keys, oracles
 from dataset_grouper_spark.functions import dp as dp_fns
 from dataset_grouper_spark.functions import featurize, textanalysis, textstats
 from dataset_grouper_spark.functions import lm as lm_fns
+from dataset_grouper_spark.functions import sketches as sketches_fns
 from dataset_grouper_spark.functions import quality, vocab
 from dataset_grouper_spark.operators import profile as profile_ops
 from dataset_grouper_spark.operators import sessions as sessions_ops
@@ -2569,6 +2570,28 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+
+
+def q_cms_user_counts_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch frequency estimation over event user_ids:
+    build (one exploded aggregation into depth×width=1024 cells —
+    fixed memory at ANY key cardinality), then point-estimate every
+    distinct user. The md5 bucket math is engine-portable, so the
+    DuckDB twin reproduces the estimates bit-for-bit — including the
+    collision overestimates, which is the point: the sketch's exact
+    deterministic behavior is the contract, est >= true always."""
+    from dataset_grouper_spark.functions import sketches
+
+    ev = read_table(spark, sf, "events")
+    sketch = sketches.cms_build(ev, "user_id", CMS_WIDTH, CMS_DEPTH)
+    probes = ev.select("user_id").distinct()
+    return sketches.cms_estimate(
+        sketch, probes, "user_id", CMS_WIDTH, CMS_DEPTH
+    )
+
+
 def q_matview_refresh_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental materialized-aggregate lifecycle: materialize the
     per-source (rows, bytes, id-sum) rollup over HALF the corpus, then
@@ -3363,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_documents": q_lm_score_documents,
         "drift_documents": q_drift_documents,
         "matview_refresh_documents": q_matview_refresh_documents,
+        "cms_user_counts_events": q_cms_user_counts_events,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -4175,6 +4199,9 @@ def oracle_sql() -> dict[str, str]:
                           AS DECIMAL(28,8)) FROM rev
             )
         """,
+        "cms_user_counts_events": sketches_fns.cms_estimate_sql(
+            "events", "user_id", CMS_WIDTH, CMS_DEPTH
+        ),
         "matview_refresh_documents": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS num_examples,

@@ -1,0 +1,135 @@
+"""Count-min sketch — fixed-memory frequency estimation, relationally.
+
+HLL (``approx_count_distinct``) answers "how many distinct"; the
+count-min sketch (Cormode & Muthukrishnan 2005) answers "how often does
+THIS key occur" with ``depth × width`` integer cells regardless of key
+cardinality — the heavy-hitter / hot-key primitive when an exact
+groupBy's result would itself be too big to hold.
+
+Representation: a (row, bucket, cnt) DataFrame — depth hash rows, each
+key hashed into one bucket per row, counts summed. Everything about it
+is relational:
+
+- **build** is ONE aggregation: explode each input row into its depth
+  (row, bucket) cells, groupBy-sum (partial aggregation keeps the
+  explosion map-side; the shuffle carries at most depth × width rows
+  per partition).
+- **merge** is union + re-sum — sketches built on different partitions
+  of the data (or different days) combine losslessly, the property
+  that makes sketches work at 100 TB.
+- **estimate** is a join: each probe key's depth cells, min over the
+  matched counts (a missing cell is 0 — the key was never seen).
+
+Hashing is the repo's engine-portable md5 idiom (same literal math in
+the DuckDB twin), so estimates are bit-identical across engines and the
+classic guarantees hold deterministically for a given dataset:
+estimate >= true count (always), estimate <= true + ε·N with
+probability 1-δ for width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key_str, row_idx: int, width: int):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key_str, F.lit(f":{row_idx}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """One-pass sketch build: (row, bucket, cnt), at most depth × width
+    rows total."""
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    key_str = F.col(key_col).cast("string")
+    cells = df.select(
+        F.posexplode(
+            F.array(*[_bucket(key_str, i, width) for i in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Lossless combine of sketches built with the SAME width/depth."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Point estimates for every row of ``probes``: min over the key's
+    depth cells. Returns (key_col, est). The sketch side is at most
+    depth × width rows — always broadcastable; no hint needed, size-
+    based planning gets it right."""
+    key_str = F.col(key_col).cast("string")
+    cells = probes.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*[_bucket(key_str, i, width) for i in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        cells.join(sketch, ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+        )
+    )
+
+
+def cms_estimate_sql(
+    table: str, key_col: str, width: int, depth: int, probe_sql: str | None = None
+) -> str:
+    """DuckDB twin: build the sketch over ``table`` and estimate every
+    distinct key of ``probe_sql`` (default: the distinct keys of
+    ``table`` itself)."""
+    probe = probe_sql or f"SELECT DISTINCT {key_col} FROM {table}"
+
+    def bucket(expr: str, i: int) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST({expr} AS VARCHAR) || ':{i}'), "
+            f"1, 15))::BIGINT % {width})"
+        )
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {bucket(key_col, i)} AS bucket FROM {table}"
+        for i in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {key_col}, {i} AS row, {bucket(key_col, i)} AS bucket "
+        f"FROM probes"
+        for i in range(depth)
+    )
+    return f"""
+      WITH cells AS ({cell_rows}),
+      sketch AS (
+        SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+      ),
+      probes AS ({probe}),
+      pcells AS ({probe_rows})
+      SELECT p.{key_col},
+             CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+      FROM pcells p
+      LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+      GROUP BY p.{key_col}
+    """

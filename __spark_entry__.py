@@ -2570,6 +2570,24 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted sampling: keep probability proportional to
+    document length (clamped at 1) — longer docs are likelier to
+    survive, decided by the deterministic content-hash bucket.
+    Zero-shuffle scan-side predicate; the rollup pins the exact
+    surviving membership."""
+    from dataset_grouper_spark.operators import sessions
+
+    docs = read_table(spark, sf, "documents")
+    kept = sessions.probability_sample(
+        docs, F.octet_length("text") / F.lit(800.0), "doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 CMS_WIDTH = 256
 CMS_DEPTH = 4
 
@@ -3387,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_documents": q_drift_documents,
         "matview_refresh_documents": q_matview_refresh_documents,
         "cms_user_counts_events": q_cms_user_counts_events,
+        "weighted_sample_documents": q_weighted_sample_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -4198,6 +4217,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(sum(part_rev) * {Q11_SHARE}
                           AS DECIMAL(28,8)) FROM rev
             )
+        """,
+        "weighted_sample_documents": f"""
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE {sessions_ops.probability_sample_where_sql(
+                "strlen(text) / 800.0", "doc_id"
+            )}
+            GROUP BY source
         """,
         "cms_user_counts_events": sketches_fns.cms_estimate_sql(
             "events", "user_id", CMS_WIDTH, CMS_DEPTH

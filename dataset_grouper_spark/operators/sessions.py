@@ -169,6 +169,49 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def probability_sample(
+    df: DataFrame,
+    prob_col: Column | str,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-row weighted sampling: keep each row with probability
+    ``clamp(prob_col, 0, 1)`` — the quality-weighted corpus-sampling
+    primitive (keep probability from an LM score, a classifier, a
+    recency decay …), decided by the same deterministic content-hash
+    bucket as :func:`sample_groups` so the draw is reproducible on any
+    engine and cluster size, and a different ``salt`` is an
+    independent draw.
+
+    Basis-point resolution (the probability is floored to 1/10000);
+    a zero-shuffle scan-side filter — the probability expression and
+    the hash are one codegen'd predicate.
+    """
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    from dataset_grouper_spark import keys
+
+    bps = F.floor(
+        F.lit(10000.0) * F.greatest(F.least(p, F.lit(1.0)), F.lit(0.0))
+    )
+    salted = F.pmod(F.col(id_col).cast("long"), F.lit(2**32)) + F.lit(
+        salt % 2**31
+    )
+    bucket = F.pmod(keys.scramble(salted), F.lit(10000))
+    return df.filter(bucket < bps)
+
+
+def probability_sample_where_sql(
+    prob_sql: str, id_col: str, salt: int = 0
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`probability_sample`."""
+    m = 4294967296
+    return (
+        f"(CAST((({id_col} % {m} + {m}) % {m} + {salt % 2**31}) AS HUGEINT)"
+        f" * 2654435761) % {m} % 10000"
+        f" < floor(10000.0 * greatest(least({prob_sql}, 1.0), 0.0))"
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str,

@@ -145,3 +145,33 @@ def test_temperature_mix_rejects_bad_temperature(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id: long, source: string")
     with _pytest.raises(ValueError):
         sessions.temperature_mix(df, "source", "doc_id", temperature=0.0)
+
+
+def test_probability_sample_extremes_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else 0.0) for i in range(200)],
+        "doc_id: long, p: double",
+    )
+    kept = sessions.probability_sample(df, "p", "doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == list(range(100))  # p=1 always kept, p=0 never
+    again = sorted(
+        r["doc_id"]
+        for r in sessions.probability_sample(df, "p", "doc_id").collect()
+    )
+    assert again == ids
+
+
+def test_probability_sample_rate_tracks_probability(spark):
+    df = spark.createDataFrame(
+        [(i, 0.3) for i in range(5000)], "doc_id: long, p: double"
+    )
+    n = sessions.probability_sample(df, "p", "doc_id").count()
+    assert 0.25 * 5000 < n < 0.35 * 5000
+    # clamping: p>1 behaves as 1, p<0 as 0
+    hot = spark.createDataFrame(
+        [(i, 7.5) for i in range(50)] + [(100 + i, -3.0) for i in range(50)],
+        "doc_id: long, p: double",
+    )
+    kept = sessions.probability_sample(hot, "p", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == list(range(50))

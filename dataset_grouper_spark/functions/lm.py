@@ -141,13 +141,14 @@ def bigram_logprob_sql(
         GROUP BY u.a
       ), vocab AS (SELECT count(*) AS v FROM uni),
       pairs AS (
-        SELECT id, t[i] AS a, t[i + 1] AS b
+        -- is_ref rides the pair rows directly: joining back on id
+        -- would multiply counts when ids are not unique
+        SELECT id, t[i] AS a, t[i + 1] AS b, is_ref
         FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
       ), bi AS (
-        SELECT p.a, p.b, count(*) AS c_ab
-        FROM pairs p JOIN toks tk ON tk.id = p.id
-        WHERE tk.is_ref
-        GROUP BY p.a, p.b
+        SELECT a, b, count(*) AS c_ab
+        FROM pairs WHERE is_ref
+        GROUP BY a, b
       ), scored AS (
         SELECT p.id,
                CASE WHEN u.c_a IS NULL

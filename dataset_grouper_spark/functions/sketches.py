@@ -32,16 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.functions.hashing import md5_long, md5_long_sql
+
 
 def _bucket(key_str, row_idx: int, width: int):
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(key_str, F.lit(f":{row_idx}"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, F.lit(width))
+    # the shared engine-portable hash idiom — one definition repo-wide
+    return F.pmod(
+        md5_long(F.concat(key_str, F.lit(f":{row_idx}"))), F.lit(width)
+    )
 
 
 def cms_build(
@@ -57,17 +55,32 @@ def cms_build(
             F.array(*[_bucket(key_str, i, width) for i in range(depth)])
         ).alias("row", "bucket")
     )
-    return cells.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        cells.groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # parameters ride the sketch so estimate/merge can detect a
+        # mismatched width/depth instead of silently underestimating
+        .withColumn("_width", F.lit(width))
+        .withColumn("_depth", F.lit(depth))
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
-    """Lossless combine of sketches built with the SAME width/depth."""
+    """Lossless combine of sketches built with the SAME width/depth
+    (validated from the parameter columns each sketch carries)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    merged = out.groupBy("row", "bucket", "_width", "_depth").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    params = merged.select("_width", "_depth").distinct().collect()
+    if len(params) > 1:
+        raise ValueError(
+            f"cannot merge sketches with different parameters: "
+            f"{sorted((r['_width'], r['_depth']) for r in params)}"
+        )
+    return merged.select("row", "bucket", "cnt", "_width", "_depth")
 
 
 def cms_estimate(
@@ -80,7 +93,19 @@ def cms_estimate(
     """Point estimates for every row of ``probes``: min over the key's
     depth cells. Returns (key_col, est). The sketch side is at most
     depth × width rows — always broadcastable; no hint needed, size-
-    based planning gets it right."""
+    based planning gets it right. Raises if ``width``/``depth`` do not
+    match what the sketch was built with — a silent mismatch would
+    return underestimates, violating the est >= truth guarantee."""
+    built = sketch.select("_width", "_depth").first()
+    if built is not None and (
+        built["_width"] != width or built["_depth"] != depth
+    ):
+        raise ValueError(
+            f"sketch was built with width={built['_width']}, "
+            f"depth={built['_depth']}; estimate called with "
+            f"width={width}, depth={depth}"
+        )
+    sketch = sketch.select("row", "bucket", "cnt")
     key_str = F.col(key_col).cast("string")
     cells = probes.select(
         F.col(key_col),
@@ -106,10 +131,8 @@ def cms_estimate_sql(
     probe = probe_sql or f"SELECT DISTINCT {key_col} FROM {table}"
 
     def bucket(expr: str, i: int) -> str:
-        return (
-            f"(('0x' || substr(md5(CAST({expr} AS VARCHAR) || ':{i}'), "
-            f"1, 15))::BIGINT % {width})"
-        )
+        h = md5_long_sql(f"CAST({expr} AS VARCHAR) || ':{i}'")
+        return f"({h} % {width})"
 
     cell_rows = " UNION ALL ".join(
         f"SELECT {i} AS row, {bucket(key_col, i)} AS bucket FROM {table}"

@@ -16,9 +16,16 @@ of hidden.
 
 Refresh shape: aggregate the BATCH (one partial agg over new data
 only), union with the stored table (groups-sized), re-aggregate, write
-to a sibling dir and atomically swap — the same
-write-sibling-then-swap idiom as the storage lifecycle ops, so a crash
-mid-refresh leaves the old table intact (vacuum the sibling).
+to a sibling dir and swap — the same write-sibling-then-swap idiom as
+the storage lifecycle ops. The swap is two directory renames, so there
+is a sub-millisecond window where ``path`` does not exist; a crash
+inside it leaves the previous table at ``<path>_old``, and the next
+``refresh_materialized_sums`` (or an explicit
+``recover_materialized``) restores it before proceeding — no state is
+ever lost, but a concurrent READER in that window sees a missing
+path and should retry (single-refresher assumption, stated honestly;
+the snapshot store is the tool when readers must never observe a
+gap).
 """
 
 from __future__ import annotations
@@ -47,6 +54,17 @@ def create_materialized_sums(
     agg.write.mode("overwrite").parquet(path)
 
 
+def recover_materialized(path: str) -> bool:
+    """Roll forward after a crash inside the swap window: if ``path``
+    is missing but the pre-swap table survives at ``<path>_old``,
+    restore it. Returns True when a recovery happened."""
+    final_tmp = path.rstrip("/") + "_old"
+    if not os.path.exists(path) and os.path.isdir(final_tmp):
+        os.replace(final_tmp, path)
+        return True
+    return False
+
+
 def refresh_materialized_sums(
     spark: SparkSession,
     batch: DataFrame,
@@ -58,7 +76,9 @@ def refresh_materialized_sums(
     touching the corpus: batch partials ⊎ stored table, summed per
     group. New groups appear, existing groups accumulate. Cost:
     one aggregation over the batch + one over (groups + batch-groups)
-    rows."""
+    rows. Self-healing: a table stranded mid-swap by a crashed
+    refresh is restored before this one proceeds."""
+    recover_materialized(path)
     batch_agg = batch.groupBy(*key_cols).agg(
         *[F.sum(expr).alias(name) for name, expr in sum_cols.items()]
     )

@@ -115,14 +115,45 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return rel_names
 
 
+TAGS_LOG = "tags.log"
+
+
+def _tags_log_path(path: str) -> str:
+    return os.path.join(path, SNAP_DIR, TAGS_LOG)
+
+
+def _ledger_tags(path: str) -> set[str]:
+    try:
+        with open(_tags_log_path(path)) as f:
+            return {line.strip() for line in f if line.strip()}
+    except FileNotFoundError:
+        return set()
+
+
+def _ledger_add(path: str, tags: set[str]) -> None:
+    """Atomic-enough append (single short O_APPEND writes) of tags not
+    yet in the ledger."""
+    new = tags - _ledger_tags(path)
+    if not new:
+        return
+    with open(_tags_log_path(path), "a") as f:
+        f.write("".join(t + "\n" for t in sorted(new)))
+
+
 def committed_tags(path: str) -> set[str]:
-    """All commit tags in the manifest log — the idempotency ledger for
-    epoch-tagged writers (streaming foreachBatch replay detection)."""
-    return {
+    """All commit tags ever seen — the idempotency ledger for
+    epoch-tagged writers (streaming foreachBatch replay detection).
+    Union of the LIVE manifests and the append-only ``tags.log``
+    ledger, which preserves the tags of manifests that vacuum has
+    expired — so replay detection survives retention (a tag must
+    outlive its manifest, else a crash-replay after vacuum would
+    re-append an already-ingested epoch)."""
+    live = {
         t
         for v in snapshot_versions(path)
         if (t := _manifest(path, v).get("tag")) is not None
     }
+    return live | _ledger_tags(path)
 
 
 def _commit(
@@ -185,10 +216,14 @@ def snapshot_append(df: DataFrame, path: str, tag: str | None = None) -> int:
     already carries it, the call is a no-op returning that version —
     the exactly-once hook for epoch-replaying writers (a streaming
     foreachBatch that crashed between append and checkpoint commit
-    re-runs the epoch; the tag makes the re-run harmless). The check
-    assumes one writer per tag — two concurrent committers with the
-    SAME tag can both land (stream checkpoints guarantee the former)."""
+    re-runs the epoch; the tag makes the re-run harmless). Tags are
+    also recorded in the append-only ``tags.log`` ledger so the check
+    survives vacuum retention. The check assumes one writer per tag —
+    two concurrent committers with the SAME tag can both land (stream
+    checkpoints guarantee the former)."""
     if tag is not None:
+        if tag in _ledger_tags(path):
+            return latest_version(path)
         for v in snapshot_versions(path):
             if _manifest(path, v).get("tag") == tag:
                 return v
@@ -197,7 +232,12 @@ def snapshot_append(df: DataFrame, path: str, tag: str | None = None) -> int:
         parent = latest_version(path)
         carried = _manifest(path, parent)["files"]
         try:
-            return _commit(path, "append", carried + files, parent, tag=tag)
+            version = _commit(
+                path, "append", carried + files, parent, tag=tag
+            )
+            if tag is not None:
+                _ledger_add(path, {tag})
+            return version
         except SnapshotConflictError:
             continue
 
@@ -239,14 +279,18 @@ def snapshot_upsert(
     are rewritten (re-read individually — true file pruning, not a
     post-scan filter); all others carry forward by reference. If
     ``order_col`` is given, duplicate ids inside ``updates`` resolve
-    last-wins on it (ties on the id for determinism)."""
+    last-wins on it; full ties break on a content digest of the whole
+    row (the id can't break ties — it is the window's partition key,
+    constant within the group), so the survivor is deterministic on
+    any cluster."""
     spark = updates.sparkSession
     base = latest_version(path)
     if order_col is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy(id_col).orderBy(
-            F.col(order_col).desc(), F.col(id_col)
+            F.col(order_col).desc(),
+            F.md5(F.to_json(F.struct(*updates.columns))),
         )
         updates = (
             updates.withColumn("_rn", F.row_number().over(w))
@@ -286,7 +330,11 @@ def snapshot_delete(
     """DELETE WHERE, copy-on-write: files containing a matching row are
     rewritten without those rows; fully-deleted files simply drop out
     of the manifest (their rewrite yields zero rows, which the parquet
-    writer still stages as an empty part — harmless, vacuumed later)."""
+    writer still stages as an empty part — harmless, vacuumed later).
+
+    SQL DELETE semantics: only rows where the predicate is TRUE are
+    removed — a NULL-valued predicate KEEPS the row (``~NULL`` is NULL
+    and a bare ``filter(~pred)`` would silently drop it)."""
     base = latest_version(path)
     cur = read_snapshot(spark, path, base).withColumn(
         "_file", F.input_file_name()
@@ -297,7 +345,7 @@ def snapshot_delete(
         touched_df = spark.read.parquet(
             *[os.path.join(path, f) for f in touched]
         )
-        survivors = touched_df.filter(~predicate)
+        survivors = touched_df.filter(~predicate | predicate.isNull())
         new_files = _stage_files(survivors, path)
     touched_set = set(touched)
     carried = [
@@ -306,23 +354,47 @@ def snapshot_delete(
     return _commit(path, "delete", carried + new_files, base)
 
 
-def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
+def vacuum_snapshots(
+    path: str, keep_last: int = 2, min_age_seconds: float = 3600.0
+) -> dict:
     """Expire all but the last ``keep_last`` versions: their manifests
-    are removed, and data files referenced by NO retained manifest are
-    deleted. Stranded stage dirs (crashed writers) go too. Reads of any
-    retained version are unaffected."""
+    are removed (tags preserved in the ``tags.log`` ledger so epoch
+    replay detection survives retention), and data files referenced by
+    NO retained manifest are deleted. Stranded stage dirs (crashed
+    writers) go too. Reads of any retained version are unaffected.
+
+    ``min_age_seconds`` is the in-flight-writer guard (Delta's VACUUM
+    retention, same idea): an unreferenced data file or stage dir
+    younger than this is assumed to belong to a commit IN PROGRESS
+    (files land in ``data/`` before the manifest publishes) and is
+    left alone — deleting it would corrupt the commit the moment its
+    manifest lands. Set 0 only when no writer can possibly be active."""
+    import time
+
+    now = time.time()
     versions = snapshot_versions(path)
     keep = versions[-keep_last:] if keep_last > 0 else []
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_manifest(path, v)["files"])
+    expired_tags = {
+        t
+        for v in versions
+        if v not in keep
+        and (t := _manifest(path, v).get("tag")) is not None
+    }
+    if expired_tags:
+        _ledger_add(path, expired_tags)
     removed_files = []
     data_dir = os.path.join(path, DATA_DIR)
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
             rel = f"{DATA_DIR}/{name}"
-            if rel not in referenced:
-                os.unlink(os.path.join(data_dir, name))
+            full = os.path.join(data_dir, name)
+            if rel not in referenced and (
+                now - os.path.getmtime(full) >= min_age_seconds
+            ):
+                os.unlink(full)
                 removed_files.append(rel)
     removed_versions = []
     for v in versions:
@@ -332,8 +404,10 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
     removed_stages = []
     for name in os.listdir(path):
         if name.startswith(_STAGE_PREFIX):
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-            removed_stages.append(name)
+            full = os.path.join(path, name)
+            if now - os.path.getmtime(full) >= min_age_seconds:
+                shutil.rmtree(full, ignore_errors=True)
+                removed_stages.append(name)
     return {
         "removed_files": sorted(removed_files),
         "removed_versions": removed_versions,

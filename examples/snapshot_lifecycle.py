@@ -59,7 +59,9 @@ def main() -> None:
         print(f"  v{v}    | {n}")
 
     # expire everything but the last two versions; v3/v4 reads survive
-    stats = snap.vacuum_snapshots(path, keep_last=2)
+    # min_age_seconds=0: demo only — production keeps the in-flight
+    # writer guard (files younger than the window are never deleted)
+    stats = snap.vacuum_snapshots(path, keep_last=2, min_age_seconds=0)
     print(
         f"vacuum: removed {len(stats['removed_files'])} files, "
         f"versions {stats['removed_versions']}; kept {stats['kept_versions']}"

@@ -73,3 +73,27 @@ def test_bigram_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
     with pytest.raises(ValueError):
         lm.bigram_logprob(df, "text", "doc_id", k=0.0)
+
+
+def test_bigram_sql_twin_handles_duplicate_ids(spark):
+    # duplicate doc ids must not multiply the oracle's bigram counts
+    import duckdb
+
+    rows = [(7, "a b a"), (7, "b a b"), (8, "a b")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r["doc_id"], r["n_bigrams"]): round(r["avg_logprob"], 9)
+        for r in lm.bigram_logprob(df, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW t AS SELECT * FROM (VALUES (7, 'a b a'), "
+        "(7, 'b a b'), (8, 'a b')) AS v(doc_id, text)"
+    )
+    twin = {
+        (int(i), int(n)): round(float(a), 9)
+        for i, n, a, _ in con.sql(
+            lm.bigram_logprob_sql("t", "text", "doc_id")
+        ).fetchall()
+    }
+    assert twin == got

@@ -76,3 +76,12 @@ def test_cms_rejects_bad_params(spark):
     df = spark.createDataFrame([(1,)], "user_id: long")
     with pytest.raises(ValueError):
         sketches.cms_build(df, "user_id", 0, 4)
+
+
+def test_cms_estimate_rejects_mismatched_params(spark):
+    df = spark.createDataFrame([(1,)], "user_id: long")
+    sk = sketches.cms_build(df, "user_id", 2048, 4)
+    with pytest.raises(ValueError):
+        sketches.cms_estimate(sk, df, "user_id", 1024, 4)
+    with pytest.raises(ValueError):
+        sketches.cms_merge(sk, sketches.cms_build(df, "user_id", 64, 4))

@@ -119,7 +119,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, table):
     )
     snap.snapshot_delete(spark, table, F.col("doc_id") == 8)
     assert snap.snapshot_versions(table) == [1, 2, 3]
-    stats = snap.vacuum_snapshots(table, keep_last=2)
+    stats = snap.vacuum_snapshots(table, keep_last=2, min_age_seconds=0)
     assert stats["kept_versions"] == [2, 3]
     assert 1 in stats["removed_versions"]
     # retained versions still read correctly after the file reclaim
@@ -223,3 +223,79 @@ def test_snapshot_cow_scale_1m_rows(spark, tmp_path):
     carried3 = set(m2["files"]) & set(m3["files"])
     assert len(carried3) >= len(m2["files"]) - 2  # ≥ all-but-the-hit-file
     assert snap.read_snapshot(spark, path, 3).count() == 999_999
+
+
+def test_delete_null_predicate_keeps_row(spark, table):
+    # add a row with NULL score; DELETE WHERE score < 20 must keep it
+    snap.snapshot_append(
+        spark.createDataFrame(
+            [(50, "nullscore", None)], "doc_id long, text string, score long"
+        ),
+        table,
+    )
+    snap.snapshot_delete(spark, table, F.col("score") < 20)
+    ids = {r["doc_id"] for r in snap.read_snapshot(spark, table).collect()}
+    assert 50 in ids          # NULL predicate -> kept
+    assert 1 not in ids       # score=10 -> deleted
+
+
+def test_upsert_full_tie_is_deterministic(spark):
+    # two updates with the SAME id and SAME order value: the survivor
+    # must be chosen by content digest — identical across runs
+    import tempfile as _tf
+
+    winners = []
+    for _ in range(2):
+        p = _tf.mkdtemp(prefix="snap_tie_")
+        base = spark.createDataFrame(
+            [(5, "orig", 0)], "doc_id long, text string, score long"
+        )
+        snap.snapshot_write(base, p)
+        ups = spark.createDataFrame(
+            [(5, "alpha", 7), (5, "beta", 7)],
+            "doc_id long, text string, score long",
+        ).repartition(4)
+        snap.snapshot_upsert(ups, p, id_col="doc_id", order_col="score")
+        winners.append(
+            snap.read_snapshot(spark, p).collect()[0]["text"]
+        )
+    assert winners[0] == winners[1]
+
+
+def test_vacuum_age_guard_spares_young_files(spark, table):
+    # an unreferenced young file (in-flight commit simulation) survives
+    data_dir = os.path.join(table, snap.DATA_DIR)
+    stray = os.path.join(data_dir, "inflight-part.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"not yet committed")
+    stats = snap.vacuum_snapshots(table, keep_last=2, min_age_seconds=3600)
+    assert "data/inflight-part.parquet" not in stats["removed_files"]
+    assert os.path.exists(stray)
+    os.unlink(stray)
+
+
+def test_tag_ledger_survives_vacuum(spark, table):
+    extra = spark.createDataFrame(
+        [(60, "sixty", 600)], "doc_id long, text string, score long"
+    )
+    v = snap.snapshot_append(extra, table, tag="epoch-1")
+    # push two more versions so the tagged one expires
+    snap.snapshot_append(
+        spark.createDataFrame(
+            [(61, "a", 1)], "doc_id long, text string, score long"
+        ),
+        table,
+    )
+    snap.snapshot_append(
+        spark.createDataFrame(
+            [(62, "b", 2)], "doc_id long, text string, score long"
+        ),
+        table,
+    )
+    snap.vacuum_snapshots(table, keep_last=2, min_age_seconds=0)
+    assert v not in snap.snapshot_versions(table)  # manifest expired
+    assert "epoch-1" in snap.committed_tags(table)  # ledger remembers
+    n_before = snap.read_snapshot(spark, table).count()
+    # replay of the expired epoch is STILL a no-op
+    snap.snapshot_append(extra, table, tag="epoch-1")
+    assert snap.read_snapshot(spark, table).count() == n_before

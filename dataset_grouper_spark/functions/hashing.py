@@ -34,6 +34,17 @@ def md5_long_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def tokens_sql(text_col: str) -> str:
+    """DuckDB twin of :func:`tokens` — strip outer whitespace, split on
+    single spaces (empty text -> one empty token, matching textstats
+    word semantics). One definition repo-wide: any tokenizer change
+    must hit Spark and SQL together or cross-engine oracles break."""
+    return (
+        f"string_split(regexp_replace(coalesce({text_col}, ''), "
+        f"'^\s+|\s+$', '', 'g'), ' ')"
+    )
+
+
 def tokens(c: Column) -> Column:
     """Single-space word tokens (textstats word semantics)."""
     return F.split(

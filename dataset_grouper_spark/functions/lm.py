@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataset_grouper_spark.functions.hashing import tokens
+from dataset_grouper_spark.functions.hashing import tokens, tokens_sql
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -127,12 +127,9 @@ def bigram_logprob_sql(
 ) -> str:
     """DuckDB twin of :func:`bigram_logprob` with the reference corpus
     ``SELECT * FROM table WHERE ref_filter``."""
-    stripped = (
-        f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
-    )
     return f"""
       WITH toks AS (
-        SELECT {id_col} AS id, string_split({stripped}, ' ') AS t,
+        SELECT {id_col} AS id, {tokens_sql(text_col)} AS t,
                {ref_filter} AS is_ref
         FROM {table}
       ), uni AS (

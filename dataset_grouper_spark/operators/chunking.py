@@ -12,14 +12,20 @@ Shape: per-doc token counts -> window running offset per group (one
 shuffle, same group partitioning the write reuses) -> posexplode tokens
 -> global index = offset + position -> chunk = idx div chunk_len. All
 Catalyst; deterministic given the order column.
+
+Tokenizer note: the whitespace tokenizer maps an empty/NULL doc to ONE
+empty token (textstats empty->1 word-count parity, and what every
+DuckDB twin's string_split does) — an empty doc therefore occupies one
+slot of the token stream and one unit of a packing budget. Filter
+empty docs upstream when strict tokenize-concat semantics are needed.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataset_grouper_spark.functions.hashing import tokens
+from dataset_grouper_spark.functions.hashing import tokens, tokens_sql
 
 
 def chunk_tokens(
@@ -36,6 +42,8 @@ def chunk_tokens(
     space-joined tokens in stream order — a compact, order-sensitive
     content witness usable for oracle checks and dedup).
     """
+    if chunk_len < 1:
+        raise ValueError("chunk_len must be >= 1")
     toks = df.select(
         F.col(group_col),
         F.col(order_col).alias("_ord"),
@@ -99,6 +107,8 @@ def pack_doc_sequences(
     Returns one row per (group, seq_id): n_docs, n_tokens, first/last
     order value, and whether the sequence overflowed its budget.
     """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
     toks = df.select(
         F.col(group_col),
         F.col(order_col).alias("_ord"),
@@ -181,13 +191,10 @@ def chunk_sliding_sql(
 ) -> str:
     """DuckDB twin of :func:`chunk_sliding` (list_slice is 1-based
     inclusive; generate_series is inclusive on both ends)."""
-    stripped = (
-        f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
-    )
+    t_sql = tokens_sql(text_col)
     return f"""
       WITH toks AS (
-        SELECT {id_col}, string_split({stripped}, ' ') AS t,
-               len(string_split({stripped}, ' ')) AS nt
+        SELECT {id_col}, {t_sql} AS t, len({t_sql}) AS nt
         FROM {table}
       ), wins AS (
         SELECT {id_col}, t,
@@ -217,11 +224,10 @@ def pack_doc_sequences_sql(
     budget: int,
 ) -> str:
     """DuckDB twin of :func:`pack_doc_sequences`."""
-    stripped = f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
     return f"""
       WITH toks AS (
         SELECT {group_expr} AS group_id, {id_col} AS _ord,
-               len(string_split({stripped}, ' ')) AS nt
+               len({tokens_sql(text_col)}) AS nt
         FROM {table}
       ), seq AS (
         SELECT group_id, _ord, nt,
@@ -248,11 +254,11 @@ def chunk_tokens_sql(
 ) -> str:
     """DuckDB twin of chunk_tokens over ``table`` grouped by
     ``group_expr`` ordered by ``id_col``."""
-    stripped = f"regexp_replace(coalesce({text_col}, ''), '^\\s+|\\s+$', '', 'g')"
+    t_sql = tokens_sql(text_col)
     return f"""
       WITH toks AS (
         SELECT {group_expr} AS group_id, {id_col} AS _ord,
-               string_split({stripped}, ' ') AS t, len(string_split({stripped}, ' ')) AS nt
+               {t_sql} AS t, len({t_sql}) AS nt
         FROM {table}
       ), off AS (
         SELECT group_id, _ord, t,

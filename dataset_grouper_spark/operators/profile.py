@@ -52,6 +52,9 @@ def key_skew_profile(
     """Shuffle-key skew diagnostic: the ``top_n`` heaviest keys with
     their row share and their multiple of a perfectly uniform key's
     share. This is the measurement you run BEFORE a big join/agg at
+    NULL keys report under the "(null)" sentinel — a genuine string
+    key with that literal value would merge with them (coalesce to a
+    collision-free sentinel upstream if that can occur).
     100 TB — a skew_x of 500 on one key says that key's reducer is the
     job's critical path and the join wants salting
     (operators/joins.salted_join) or AQE skew-split.
@@ -77,7 +80,9 @@ def key_skew_profile(
         "cnt",
         F.round(F.col("cnt") / F.col("_total"), round_digits).alias("share"),
         F.round(
-            F.col("cnt") * F.col("_nkeys") / F.col("_total"), round_digits
+            # divide first in double: cnt * _nkeys as long*long
+            # overflows int64 at 100 TB cardinalities
+            F.col("cnt") / F.col("_total") * F.col("_nkeys"), round_digits
         ).alias("skew_x"),
     )
 
@@ -97,7 +102,7 @@ def key_skew_profile_sql(
         )
         SELECT key, cnt,
                round(cnt / CAST(_total AS DOUBLE), {round_digits}) AS share,
-               round(cnt * _nkeys / CAST(_total AS DOUBLE), {round_digits})
+               round(cnt / CAST(_total AS DOUBLE) * _nkeys, {round_digits})
                  AS skew_x
         FROM c, t
         ORDER BY cnt DESC, key
@@ -132,9 +137,14 @@ def equidepth_bins(
 
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
+    # NULL values are excluded: a NULL has no quantile position, and
+    # the engines disagree on NULL sort order (Spark nulls-first,
+    # DuckDB nulls-last) — including them breaks reproducibility
     keyed = df.select(
         F.col(value_col).alias("_val"), F.col(id_col).alias("_id")
-    ).withColumn("_ok", F.struct(F.col("_val"), F.col("_id"))).withColumn(
+    ).filter(F.col("_val").isNotNull()).withColumn(
+        "_ok", F.struct(F.col("_val"), F.col("_id"))
+    ).withColumn(
         "_one", F.lit(1)
     )
     ranked = prefix.running_sum(
@@ -165,7 +175,7 @@ def equidepth_bins_sql(
         SELECT {value_col} AS v,
                row_number() OVER (ORDER BY {value_col}, {id_col}) AS rk,
                count(*) OVER () AS n
-        FROM {table}
+        FROM {table} WHERE {value_col} IS NOT NULL
       )
       SELECT CAST(((rk - 1) * {int(n_bins)}) // n AS BIGINT) AS bin,
              CAST(count(*) AS BIGINT) AS n_rows,
@@ -184,7 +194,9 @@ def distribution_drift(
     versions, train vs eval splits, yesterday's crawl vs today's):
     per category the counts, add-k smoothed shares, and the KL(A‖B)
     contribution ``p_a * ln(p_a / p_b)`` — sum the column for the
-    divergence, inspect rows for WHICH categories moved.
+    divergence, inspect rows for WHICH categories moved. NULL
+    categories are excluded on both sides (coalesce first to treat
+    NULL as a category).
 
     Smoothing is over the UNION vocabulary (a category present in only
     one side gets the k-floor on the other), so every contribution is
@@ -206,10 +218,16 @@ def distribution_drift(
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
-    joined = ca.join(cb, ["category"], "full_outer").select(
-        "category",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    from dataset_grouper_spark.cache import persist_tracked
+
+    # persisted: the totals aggregate AND the output branch both read
+    # this join — without materialization both re-run the source scans
+    joined = persist_tracked(
+        ca.join(cb, ["category"], "full_outer").select(
+            "category",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
     )
     tot = joined.agg(
         F.sum("n_a").alias("_ta"),

@@ -245,8 +245,13 @@ def temperature_mix(
     if temperature <= 0:
         raise ValueError("temperature must be positive")
     from dataset_grouper_spark import keys
-
     from dataset_grouper_spark.cache import persist_tracked
+
+    # rows with a NULL stratum are excluded up front: an inner join on
+    # the rate table can never match NULL, and letting the NULL group
+    # into the counts would skew every real stratum's rate (coalesce
+    # the column first if NULL should be its own stratum)
+    df = df.filter(F.col(strata_col).isNotNull())
 
     # persisted: counts feed BOTH the per-stratum ratio and the max
     # normalizer — without materialization Catalyst re-derives each

@@ -6,7 +6,6 @@ lakehouse contract sinks/snapshots.py adds on top of plain parquet.
 """
 
 import os
-import tempfile
 
 import pytest
 from pyspark.sql import functions as F
@@ -21,8 +20,8 @@ def _rows(df):
 
 
 @pytest.fixture()
-def table(spark):
-    path = tempfile.mkdtemp(prefix="snap_")
+def table(spark, tmp_path):
+    path = str(tmp_path / "snap_tbl")
     df = spark.createDataFrame(
         [(i, f"text-{i}", i * 10) for i in range(1, 9)],
         "doc_id long, text string, score long",
@@ -239,14 +238,12 @@ def test_delete_null_predicate_keeps_row(spark, table):
     assert 1 not in ids       # score=10 -> deleted
 
 
-def test_upsert_full_tie_is_deterministic(spark):
+def test_upsert_full_tie_is_deterministic(spark, tmp_path):
     # two updates with the SAME id and SAME order value: the survivor
     # must be chosen by content digest — identical across runs
-    import tempfile as _tf
-
     winners = []
-    for _ in range(2):
-        p = _tf.mkdtemp(prefix="snap_tie_")
+    for run in range(2):
+        p = str(tmp_path / f"snap_tie_{run}")
         base = spark.createDataFrame(
             [(5, "orig", 0)], "doc_id long, text string, score long"
         )

@@ -87,3 +87,27 @@ def test_pagerank_sql_twin_agrees(spark):
     assert set(twin) == set(got)
     for v in got:
         assert twin[v] == pytest.approx(got[v], abs=1e-12)
+
+
+@pytest.mark.slow
+def test_pagerank_scale_2m_edges(spark):
+    """2M-edge synthetic graph (100k nodes, power-ish fan-out via
+    modular hubs): the loop must converge its fixed rounds with mass
+    conserved to 1e-9 and the hub outranking leaf nodes."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(2_000_000).select(
+        (F.col("id") % 100_000).alias("a"),
+        # heavy fan-in to node 0..9 (hubs), rest uniform
+        F.when(F.col("id") % 5 == 0, F.col("id") % 10)
+        .otherwise((F.col("id") * 7919) % 100_000)
+        .alias("b"),
+    )
+    out = graph.pagerank(edges, "a", "b", iterations=5)
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    assert len(ranks) == 100_000
+    total = sum(ranks.values())
+    assert total == pytest.approx(1.0, abs=1e-9)
+    hub = ranks[0]
+    leaf = ranks[99_999]
+    assert hub > leaf * 10  # hubs concentrate rank

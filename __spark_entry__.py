@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from dataset_grouper_spark import keys, oracles
 from dataset_grouper_spark.functions import dp as dp_fns
 from dataset_grouper_spark.functions import featurize, textanalysis, textstats
+from dataset_grouper_spark.functions import bpe as bpe_fns
 from dataset_grouper_spark.functions import lm as lm_fns
 from dataset_grouper_spark.functions import sketches as sketches_fns
 from dataset_grouper_spark.functions import quality, vocab
@@ -2570,6 +2571,42 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_merges_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich 2016) on the corpus: learn 8
+    merges over the frequency-weighted word vocabulary — per merge one
+    vocab-sized pair aggregation + a 1-row deterministic argmax
+    (count desc, pair asc). The oracle unrolls the merge loop into CTE
+    stages whose argmax feeds the next stage's replace through scalar
+    subqueries, so the learned merge table is cross-engine EXACT."""
+    from dataset_grouper_spark.functions import bpe
+
+    docs = read_table(spark, sf, "documents")
+    merges, _ = bpe.fit_bpe(docs, "text", BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, cnt)
+            for i, (left, right, cnt) in enumerate(merges)
+        ],
+        "merge_rank int, merge_left string, merge_right string, "
+        "pair_count long",
+    )
+
+
+def q_bpe_token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE ENCODE-side accounting: per-document token counts under the
+    8-merge vocabulary fit on the same corpus — the doc word stream
+    joins the merged vocab (size-based broadcast). Fit + encode in one
+    query; the twin reuses the same unrolled stages."""
+    from dataset_grouper_spark.functions import bpe
+
+    docs = read_table(spark, sf, "documents")
+    _, vocab = bpe.fit_bpe(docs, "text", BPE_MERGES)
+    return bpe.bpe_token_counts(docs, "text", "doc_id", vocab)
+
+
 def q_weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-weighted sampling: keep probability proportional to
     document length (clamped at 1) — longer docs are likelier to
@@ -3406,6 +3443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_refresh_documents": q_matview_refresh_documents,
         "cms_user_counts_events": q_cms_user_counts_events,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "bpe_merges_documents": q_bpe_merges_documents,
+        "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -4218,6 +4257,12 @@ def oracle_sql() -> dict[str, str]:
                           AS DECIMAL(28,8)) FROM rev
             )
         """,
+        "bpe_merges_documents": bpe_fns.fit_bpe_sql(
+            "documents", "text", BPE_MERGES
+        ),
+        "bpe_token_counts_documents": bpe_fns.bpe_token_counts_sql(
+            "documents", "text", "doc_id", BPE_MERGES
+        ),
         "weighted_sample_documents": f"""
             SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -3397,21 +3397,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "streaming_attribution_events": q_streaming_attribution_events,
         "streaming_attribution_outer": q_streaming_attribution_outer,
-        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
-        "group_counts_cube": q_group_counts_cube,
+        # r5 fourth-wave flagships take three cap slots (the displaced
+        # Q19/cube/Q22 are locally sf0.01-hash-verified and lead the
+        # below-cap block):
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "bpe_merges_documents": q_bpe_merges_documents,
+        "pagerank_partsupp": q_pagerank_partsupp,
         "compaction_roundtrip": q_compaction_roundtrip,
         "audio_features_wav": q_audio_features_wav,
         "audio_frame_energy": q_audio_frame_energy,
         "audio_resample_wav": q_audio_resample_wav,
         "video_frame_sample": q_video_frame_sample,
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q22_global_sales": q_tpch_q22_global_sales,
         "bucketed_colocated_join": q_bucketed_colocated_join,
         # ---- position >50 below: tier C (stable, green in r04) rotates
         #      out entirely this round — the 7 new queries above took
         #      its cap slots (all 7 locally hash-verified at sf0.01).
         #      Everything below leads tier A next round; the NEW
         #      tpch_q10 (also locally verified) goes first. ----
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "group_counts_cube": q_group_counts_cube,
+        "tpch_q22_global_sales": q_tpch_q22_global_sales,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
         "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
@@ -3434,16 +3440,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
-        "snapshot_time_travel": q_snapshot_time_travel,
         "chunk_sliding_documents": q_chunk_sliding_documents,
-        "pagerank_partsupp": q_pagerank_partsupp,
         "equidepth_events": q_equidepth_events,
         "lm_score_documents": q_lm_score_documents,
         "drift_documents": q_drift_documents,
         "matview_refresh_documents": q_matview_refresh_documents,
         "cms_user_counts_events": q_cms_user_counts_events,
         "weighted_sample_documents": q_weighted_sample_documents,
-        "bpe_merges_documents": q_bpe_merges_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,

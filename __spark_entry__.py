@@ -2571,6 +2571,37 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_clean_text_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-text normalization cascade: every doc is wrapped in planted
+    noise (tags, a comment, entities, both mojibake variants of ’) and
+    then cleaned — tag/comment strip, entity decode, double-encoding
+    repair, whitespace collapse, all Catalyst regex/replace chains.
+    The oracle plants and cleans identically, so a single divergent
+    replacement rule hash-mismatches. Returns per-doc cleaned length +
+    checksum."""
+    from dataset_grouper_spark.functions import textfix
+
+    # noise built FROM the repair table (literal mojibake in source is
+    # mangle-prone): cp1252 + latin-1 forms of ’, and the é form
+    moj_a = textfix.MOJIBAKE[7][0]
+    moj_b = textfix.MOJIBAKE[8][0]
+    moj_e = textfix.MOJIBAKE[0][0]
+    docs = read_table(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit("<p class='x'>"),
+        F.col("text"),
+        F.lit(f"</p> <!-- note --> &amp; caf{moj_e}{moj_a}{moj_b}  end"),
+    )
+    cleaned = textfix.clean_text(dirty)
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).alias("clean_len"),
+        F.conv(F.substring(F.md5(cleaned), 1, 9), 16, 10)
+        .cast("long")
+        .alias("clean_checksum"),
+    )
+
+
 BPE_MERGES = 8
 
 
@@ -3448,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts_events": q_cms_user_counts_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
+        "clean_text_documents": q_clean_text_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -3500,6 +3532,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ----------------------------------------------------------- oracle SQL
+
+def _clean_text_oracle() -> str:
+    from dataset_grouper_spark.functions import textfix
+
+    moj_a = textfix.MOJIBAKE[7][0]
+    moj_b = textfix.MOJIBAKE[8][0]
+    moj_e = textfix.MOJIBAKE[0][0]
+    tail = f"</p> <!-- note --> &amp; caf{moj_e}{moj_a}{moj_b}  end"
+    tail_sql = "'" + tail.replace("'", "''") + "'"
+    dirty = f"'<p class=''x''>' || text || {tail_sql}"
+    cleaned = textfix.clean_text_sql(dirty)
+    return f"""
+        SELECT doc_id,
+               CAST(length({cleaned}) AS INT) AS clean_len,
+               CAST(('0x' || substr(md5({cleaned}), 1, 9))::BIGINT
+                    AS BIGINT) AS clean_checksum
+        FROM documents
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     doc_counts = f"""
@@ -4260,6 +4311,7 @@ def oracle_sql() -> dict[str, str]:
                           AS DECIMAL(28,8)) FROM rev
             )
         """,
+        "clean_text_documents": _clean_text_oracle(),
         "bpe_merges_documents": bpe_fns.fit_bpe_sql(
             "documents", "text", BPE_MERGES
         ),

@@ -2571,6 +2571,20 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+NEG_K = 4
+
+
+def q_contrastive_negatives_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 4 uniform
+    non-self negatives per anchor doc via dense prefix-sum ranks + a
+    content-hash walk — reproducible on any engine/cluster (RNG-based
+    sampling is not). Pins exact pair membership."""
+    from dataset_grouper_spark.operators import sessions
+
+    docs = read_table(spark, sf, "documents")
+    return sessions.contrastive_negatives(docs, "doc_id", NEG_K)
+
+
 def q_clean_text_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Web-text normalization cascade: every doc is wrapped in planted
     noise (tags, a comment, entities, both mojibake variants of ’) and
@@ -3480,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "clean_text_documents": q_clean_text_documents,
+        "contrastive_negatives_documents": q_contrastive_negatives_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -4312,6 +4327,9 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "clean_text_documents": _clean_text_oracle(),
+        "contrastive_negatives_documents": sessions_ops.contrastive_negatives_sql(
+            "documents", "doc_id", NEG_K
+        ),
         "bpe_merges_documents": bpe_fns.fit_bpe_sql(
             "documents", "text", BPE_MERGES
         ),

@@ -348,3 +348,96 @@ def stratified_sample_sql(
         f"(CAST((({id_col} % {m} + {m}) % {m} + {salt % 2**31}) AS HUGEINT)"
         f" * 2654435761) % {m} % 100 < {case}"
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling — the contrastive-training pair
+    generator (embedding/retrieval training needs k random non-matching
+    docs per anchor; RNG-based sampling is irreproducible across
+    cluster sizes). Each anchor draws ``k`` uniform negatives from the
+    corpus by content hash, never itself.
+
+    Mechanics: dense 0..N-1 ranks over the id order (the distributed
+    prefix sum — no one-task window), then negative j of anchor rank a
+    is rank ``scramble(a*k + j + salt) % (N-1)`` shifted past ``a``
+    (uniform over the N-1 non-anchor rows), mapped back rank→id with
+    one join. Two shuffles + a k-explode; the rank table is the join
+    dimension. A different ``salt`` is an independent draw.
+
+    Returns (anchor_id, neg_rank 0..k-1, neg_id).
+    """
+    from dataset_grouper_spark import keys
+    from dataset_grouper_spark.cache import persist_tracked
+    from dataset_grouper_spark.operators import prefix
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ranked = persist_tracked(
+        prefix.running_sum(
+            df.select(F.col(id_col)).withColumn("_one", F.lit(1)),
+            "_one",
+            id_col,
+            out_col="_rk",
+        ).select(
+            F.col(id_col), (F.col("_rk") - 1).cast("long").alias("_rank")
+        )
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    anchors = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("_n") > 1)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            "_rank",
+            "_n",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k - 1), F.lit(1))
+            ).alias("neg_rank"),
+        )
+    )
+    h = F.pmod(
+        keys.scramble(
+            F.col("_rank") * F.lit(k) + F.col("neg_rank") + F.lit(salt)
+        ),
+        F.col("_n") - 1,
+    )
+    target = F.when(h >= F.col("_rank"), h + 1).otherwise(h)
+    picked = anchors.select(
+        "anchor_id", "neg_rank", target.alias("_tgt")
+    )
+    lookup = ranked.select(
+        F.col("_rank").alias("_tgt"), F.col(id_col).alias("neg_id")
+    )
+    return picked.join(lookup, "_tgt").drop("_tgt")
+
+
+def contrastive_negatives_sql(
+    table: str, id_col: str, k: int, salt: int = 0
+) -> str:
+    """DuckDB twin of :func:`contrastive_negatives` (HUGEINT scramble
+    mirror of keys.scramble: (x mod 2^32) * KNUTH mod 2^32)."""
+    m = 4294967296
+    return f"""
+      WITH ranked AS (
+        SELECT {id_col},
+               row_number() OVER (ORDER BY {id_col}) - 1 AS rnk,
+               count(*) OVER () AS n
+        FROM {table}
+      ), anchors AS (
+        SELECT {id_col} AS anchor_id, rnk, n, j AS neg_rank,
+               (CAST(((rnk * {k} + j + {salt}) % {m} + {m}) % {m}
+                     AS HUGEINT) * 2654435761) % {m} % (n - 1) AS h
+        FROM ranked, unnest(generate_series(0, {k - 1})) AS g(j)
+        WHERE n > 1
+      )
+      SELECT a.anchor_id, CAST(a.neg_rank AS INT) AS neg_rank,
+             r.{id_col} AS neg_id
+      FROM anchors a
+      JOIN ranked r
+        ON r.rnk = CASE WHEN a.h >= a.rnk THEN a.h + 1 ELSE a.h END
+    """

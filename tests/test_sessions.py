@@ -175,3 +175,27 @@ def test_probability_sample_rate_tracks_probability(spark):
     )
     kept = sessions.probability_sample(hot, "p", "doc_id").collect()
     assert sorted(r["doc_id"] for r in kept) == list(range(50))
+
+
+def test_contrastive_negatives_contract(spark):
+    df = spark.createDataFrame([(i * 10,) for i in range(20)], "doc_id: long")
+    out = sessions.contrastive_negatives(df, "doc_id", 3).collect()
+    assert len(out) == 20 * 3
+    by_anchor = {}
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]  # never self
+        by_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
+    assert all(ranks == {0, 1, 2} for ranks in by_anchor.values())
+    # deterministic across runs, different salt differs
+    again = {(r["anchor_id"], r["neg_rank"]): r["neg_id"]
+             for r in sessions.contrastive_negatives(df, "doc_id", 3).collect()}
+    first = {(r["anchor_id"], r["neg_rank"]): r["neg_id"] for r in out}
+    assert again == first
+    other = {(r["anchor_id"], r["neg_rank"]): r["neg_id"]
+             for r in sessions.contrastive_negatives(df, "doc_id", 3, salt=5).collect()}
+    assert other != first
+
+
+def test_contrastive_negatives_single_row_empty(spark):
+    df = spark.createDataFrame([(1,)], "doc_id: long")
+    assert sessions.contrastive_negatives(df, "doc_id", 2).count() == 0

@@ -296,3 +296,22 @@ def test_tag_ledger_survives_vacuum(spark, table):
     # replay of the expired epoch is STILL a no-op
     snap.snapshot_append(extra, table, tag="epoch-1")
     assert snap.read_snapshot(spark, table).count() == n_before
+
+
+def test_snapshot_diff_added_removed_changed(spark, table):
+    snap.snapshot_upsert(
+        spark.createDataFrame(
+            [(2, "CHANGED", 999), (100, "NEW", 1)],
+            "doc_id long, text string, score long",
+        ),
+        table,
+        id_col="doc_id",
+    )
+    snap.snapshot_delete(spark, table, F.col("doc_id") == 7)
+    diff = {
+        r["doc_id"]: r["change_type"]
+        for r in snap.snapshot_diff(spark, table, 1, 3, "doc_id").collect()
+    }
+    assert diff == {2: "changed", 100: "added", 7: "removed"}
+    # diff of a version with itself is empty
+    assert snap.snapshot_diff(spark, table, 3, 3, "doc_id").count() == 0

@@ -2571,6 +2571,36 @@ def q_delete_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+LM_TIERS = 4
+
+
+def q_lm_tiered_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's actual release shape, composed from two oracled ops:
+    score every doc under the English-reference bigram LM, then cut
+    the corpus into 4 equal-population QUALITY TIERS (equi-depth bins
+    over avg_logprob — head/tail perplexity tiers, the way CCNet ships
+    CommonCrawl). One pipeline: LM joins → prefix-sum rank → tier
+    rollup; returns per tier (n_docs, id-sum, score bounds)."""
+    from dataset_grouper_spark.functions import lm
+    from dataset_grouper_spark.operators import profile
+
+    docs = read_table(spark, sf, "documents")
+    scores = lm.bigram_logprob(
+        docs, "text", "doc_id", ref=docs.filter(LM_REF_FILTER)
+    ).withColumn(
+        # rank on the ROUNDED score: engines differ in the last ulps of
+        # the log-average, and an unrounded rank could flip two
+        # near-equal docs across a tier edge
+        "avg_logprob",
+        F.round("avg_logprob", 9),
+    )
+    return (
+        profile.equidepth_bins(scores, "avg_logprob", "doc_id", LM_TIERS)
+        .withColumnRenamed("bin", "tier")
+        .withColumnRenamed("n_rows", "n_docs")
+    )
+
+
 NEG_K = 4
 
 
@@ -3495,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "clean_text_documents": q_clean_text_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
+        "lm_tiered_documents": q_lm_tiered_documents,
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
@@ -4330,6 +4361,17 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_negatives_documents": sessions_ops.contrastive_negatives_sql(
             "documents", "doc_id", NEG_K
         ),
+        "lm_tiered_documents": f"""
+            SELECT bin AS tier, n_rows AS n_docs, lo, hi
+            FROM ({profile_ops.equidepth_bins_sql(
+                "(SELECT doc_id, round(avg_logprob, 9) AS avg_logprob FROM ("
+                + lm_fns.bigram_logprob_sql(
+                    "documents", "text", "doc_id", ref_filter=LM_REF_FILTER
+                )
+                + "))",
+                "avg_logprob", "doc_id", LM_TIERS,
+            )})
+        """,
         "bpe_merges_documents": bpe_fns.fit_bpe_sql(
             "documents", "text", BPE_MERGES
         ),

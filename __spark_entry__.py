@@ -4063,7 +4063,7 @@ def oracle_sql() -> dict[str, str]:
             ), cand AS (
               SELECT x._id AS id_a, y._id AS id_b
               FROM m x JOIN m y ON x._id < y._id
-              WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+              WHERE round_even(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
                     >= {EMB_NEARDUP_T}
             ), e AS (
               SELECT id_a AS a, id_b AS b FROM cand
@@ -4936,10 +4936,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT _id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
             )
             SELECT x._id AS id_a, y._id AS id_b,
-                   round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+                   round_even(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
                      AS cosine
             FROM m x JOIN m y ON x._id < y._id
-            WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+            WHERE round_even(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
                   >= {COSINE_PAIR_T}
         """,
         # partitioned_roundtrip / tfrecord_roundtrip / group_stream:

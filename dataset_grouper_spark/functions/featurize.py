@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from dataset_grouper_spark.cache import persist_tracked
 
-from dataset_grouper_spark.functions.hashing import md5_long, md5_long_sql, tokens
+from dataset_grouper_spark.functions.hashing import md5_long, md5_long_sql, tokens, round_even
 
 
 def hashed_tf_sparse(
@@ -107,7 +107,10 @@ def sparse_cosine_pairs(
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn(
-            "cosine", F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), round_digits)
+            "cosine",
+            round_even(
+                F.col("_dot") / (F.col("_na") * F.col("_nb")), round_digits
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -137,7 +140,7 @@ def sparse_cosine_sql(
         FROM sp a JOIN sp b ON a.bucket = b.bucket AND a._id < b._id
         GROUP BY 1, 2
       )
-      SELECT id_a, id_b, round(d / (x.n * y.n), 6) AS cosine
+      SELECT id_a, id_b, round_even(d / (x.n * y.n), 6) AS cosine
       FROM dots JOIN norms x ON id_a = x._id JOIN norms y ON id_b = y._id
-      WHERE round(d / (x.n * y.n), 6) >= {threshold}
+      WHERE round_even(d / (x.n * y.n), 6) >= {threshold}
     """

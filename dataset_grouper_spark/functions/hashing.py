@@ -34,6 +34,24 @@ def md5_long_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def round_even(c: Column, digits: int) -> Column:
+    """Banker's rounding on the BINARY double — rint(x*10^d)/10^d.
+    This is bit-identical to numpy's np.round and DuckDB's round_even
+    (both are literally this formulation), unlike F.round/round()
+    which operate HALF_UP on the DECIMAL shortest-repr and diverge
+    from numpy on decimal midpoints (2.675 -> 2.68 vs 2.67). Used by
+    every cosine path so the Catalyst, numpy, and DuckDB spellings of
+    one score are the same float."""
+    p = F.lit(float(10**digits))
+    return F.call_function("rint", c * p) / p
+
+
+def round_even_sql(expr: str, digits: int) -> str:
+    """DuckDB twin of :func:`round_even` (round_even(v, s) is
+    nearbyint(v * 10^s) / 10^s on DOUBLE — the same ops)."""
+    return f"round_even({expr}, {digits})"
+
+
 def tokens_sql(text_col: str) -> str:
     """DuckDB twin of :func:`tokens` — strip outer whitespace, split on
     single spaces (empty text -> one empty token, matching textstats

@@ -67,7 +67,26 @@ class PartitionedDataset:
             try:
                 row = self._index_df().select("layout", "num_buckets").first()
                 self._meta = (row.layout, row.num_buckets)
-            except Exception:
+            except Exception as exc:
+                # Fall back to the legacy partitioned layout ONLY for
+                # the two states that actually mean it: a pre-descriptor
+                # index (columns missing) or no index at all. A
+                # transient failure (object-store hiccup, listing race
+                # with an index rewrite) must NOT be cached as
+                # 'partitioned' — that silently disables bucket pruning
+                # for the object's lifetime and leaks bucket_id into
+                # group() schemas.
+                msg = str(exc)
+                legacy = (
+                    "UNRESOLVED_COLUMN" in msg
+                    or "cannot resolve" in msg.lower()
+                    or "PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                    or "Unable to infer schema" in msg
+                )
+                if not legacy:
+                    self._idx = None  # drop the possibly-poisoned reader
+                    raise
                 self._meta = ("partitioned", 0)
         return self._meta
 

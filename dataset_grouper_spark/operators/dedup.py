@@ -194,6 +194,36 @@ def minhash_signatures(
     return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
 
 
+def _band_keys(num_perm: int, bands: int) -> Column:
+    """Shared LSH band-key array: band index + its r signature
+    components, '_'-joined. ONE definition — the candidate join, the
+    oversized-bucket audit, and the incremental screen must agree on
+    the key format or they silently diverge. Validates the config:
+    bands must divide num_perm (a non-dividing config silently ignores
+    the signature tail), and bands > num_perm would make r = 0 — every
+    band key collapses to the bare band index and ALL docs collide in
+    every bucket (observed failure mode: the incremental screen then
+    drops the entire new batch)."""
+    if bands < 1 or num_perm < 1:
+        raise ValueError("num_perm and bands must be >= 1")
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} exactly "
+            "(r = num_perm // bands signature rows per band)"
+        )
+    r = num_perm // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -221,22 +251,12 @@ def lsh_candidate_pairs(
     ``lsh_oversized_buckets`` to audit what a cap would truncate;
     ``max_bucket_size=None`` disables the guard.
     """
-    r = num_perm // bands
     # One row per (doc, band) with the band key embedding the band
     # index — so ALL bands join in a single equijoin on one shuffle,
     # instead of `bands` separate self-joins each recomputing the
     # signature subplan. At 100 TB this is the difference between 1
     # and `2*bands` passes over the corpus.
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = _band_keys(num_perm, bands)
     banded = sigs.select(
         F.col(id_col).alias("_id"), F.explode(band_keys).alias("_band")
     )
@@ -271,17 +291,7 @@ def lsh_oversized_buckets(
     per-band-key membership counts for buckets ABOVE the cap —
     (band_key, n_docs, n_dropped). One agg over the exploded bands;
     empty output means the cap is inert on this corpus."""
-    r = num_perm // bands
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = _band_keys(num_perm, bands)
     return (
         sigs.select(F.explode(band_keys).alias("band_key"))
         .groupBy("band_key")
@@ -324,7 +334,19 @@ def minhash_lsh_dedup(
     )
     if verify_threshold is None:
         return cands
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, verify_threshold)
+    # exact Jaccard over CANDIDATE DOCS ONLY — computing it over the
+    # full corpus would re-run the quadratic shingle self-join LSH
+    # exists to avoid; the intersection with `cands` is unchanged
+    # (every candidate pair has both endpoints in the subset)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .union(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    subset = df.join(
+        cand_ids, df[id_col] == F.col("_cid"), "left_semi"
+    )
+    exact = ngram_jaccard_pairs(subset, text_col, id_col, n, verify_threshold)
     return cands.join(exact, ["id_a", "id_b"], "inner")
 
 
@@ -565,13 +587,20 @@ def cluster_near_dups(
     )
     comp = connected_components(
         edges.select("id_a", "id_b"), "id_a", "id_b", max_iter
+    ).select(
+        # aliased: a caller whose id column is literally named "id"
+        # would otherwise hit AMBIGUOUS_REFERENCE after the join
+        F.col("id").alias("_cc_id"),
+        F.col("component").alias("_cc_component"),
     )
     return (
         df.select(F.col(id_col))
-        .join(comp, df[id_col] == comp["id"], "left")
+        .join(comp, df[id_col] == F.col("_cc_id"), "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("_cc_component"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
         )
     )
 
@@ -743,19 +772,8 @@ def minhash_dedup_against(
     ingest |new| << |corpus| so the banded new side is the small probe.
     Returns the surviving new rows, schema-preserving.
     """
-    r = num_perm // bands
-
     def banded(sigs: DataFrame) -> DataFrame:
-        band_keys = F.array(
-            *[
-                F.concat_ws(
-                    "_",
-                    F.lit(str(b)),
-                    *[F.col(f"m{b * r + j}").cast("string") for j in range(r)],
-                )
-                for b in range(bands)
-            ]
-        )
+        band_keys = _band_keys(num_perm, bands)
         return sigs.select(
             F.col(id_col).alias("_id"), F.explode(band_keys).alias("_band")
         )

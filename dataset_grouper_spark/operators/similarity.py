@@ -46,7 +46,13 @@ def _cosine_expr(dot: Column, norm_prod: Column, round_digits: int) -> Column:
     for zero vectors — a raw division would throw DIVIDE_BY_ZERO under
     Spark 4's default ANSI mode). Scored paths filter the NULLs, so
     zero vectors simply never match."""
-    return F.round(dot / F.nullif(norm_prod, F.lit(0.0)), round_digits)
+    from dataset_grouper_spark.functions.hashing import round_even
+
+    # binary-value banker's rounding: bit-identical to the numpy
+    # paths' np.round (and DuckDB round_even) — F.round's decimal
+    # HALF_UP diverges on midpoints, which would let the broadcast ->
+    # blocked reroute change a score
+    return round_even(dot / F.nullif(norm_prod, F.lit(0.0)), round_digits)
 
 
 def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
@@ -76,15 +82,20 @@ def cosine_topk(
     # guard in ONE bounded job (the limit(cap+1) idiom)
     n_q = queries.select(query_id_col).limit(max_broadcast_queries + 1).count()
     if n_q > max_broadcast_queries:
-        return cosine_topk_blocked(
+        # straight to the tiled path: routing through
+        # cosine_topk_blocked would collect max+1 FULL VECTOR rows to
+        # the driver (hundreds of MB at high dim) only to re-discover
+        # the count this guard already knows
+        return _cosine_topk_tiled(
             corpus,
             queries,
             vec_col,
             id_col,
             query_id_col,
-            k=k,
-            round_digits=round_digits,
-            max_collect_queries=max_broadcast_queries,
+            k,
+            round_digits,
+            4096,
+            65536,
         )
     c = with_norm(corpus, vec_col, "_cn").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_cn"
@@ -265,6 +276,12 @@ def cosine_topk_blocked(
             round_digits,
             query_block_rows,
             corpus_block_rows,
+        )
+    if not qrows:
+        # np.linalg.norm(axis=1) on a 0-row matrix raises; the other
+        # paths return empty for empty queries — match them
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     q_ids = np.array([r[0] for r in qrows], dtype="int64")
     q_mat = np.array([r[1] for r in qrows], dtype="float64")
@@ -456,6 +473,7 @@ def ivf_topk(
 
     train = corpus.select(
         F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     # The coarse quantizer only needs a sample. Hash-order TakeOrdered
@@ -473,15 +491,10 @@ def ivf_topk(
         fit_input
     )
     fit_input.unpersist()
-    assigned = (
-        model.transform(train)
-        .select(F.col("_cid"), F.col("prediction").alias("_cluster"))
-        .join(
-            corpus.select(
-                F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
-            ),
-            "_cid",
-        )
+    # transform passes input columns through — selecting _cv out of
+    # its output saves the full-corpus re-join (one corpus exchange)
+    assigned = model.transform(train).select(
+        F.col("_cid"), F.col("_cv"), F.col("prediction").alias("_cluster")
     )
     centroids = np.array(model.clusterCenters())
     spark = corpus.sparkSession
@@ -1015,13 +1028,20 @@ def embedding_neardup_clusters(
     )
     comp = connected_components(
         edges.select("id_a", "id_b"), "id_a", "id_b", max_iter
+    ).select(
+        # aliased: a caller whose id column is literally named "id"
+        # would otherwise hit AMBIGUOUS_REFERENCE after the join
+        F.col("id").alias("_cc_id"),
+        F.col("component").alias("_cc_component"),
     )
     return (
         df.select(F.col(id_col))
-        .join(comp, df[id_col] == comp["id"], "left")
+        .join(comp, df[id_col] == F.col("_cc_id"), "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("_cc_component"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
         )
     )
 

@@ -143,7 +143,7 @@ def cosine_topk_sql(
       ),
       s AS (
         SELECT qid AS query_id, nid AS neighbor_id,
-               round(list_dot_product(qv, cv) /
+               round_even(list_dot_product(qv, cv) /
                      (sqrt(list_dot_product(qv, qv)) *
                       sqrt(list_dot_product(cv, cv))), {round_digits}) AS cosine
         FROM q, c WHERE nid != qid
@@ -165,7 +165,7 @@ def _dbl(vec_expr: str) -> str:
 
 def _cos(a: str, b: str, round_digits: int = 6) -> str:
     return (
-        f"round(list_dot_product({a}, {b}) / "
+        f"round_even(list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * "
         f"sqrt(list_dot_product({b}, {b}))), {round_digits})"
     )

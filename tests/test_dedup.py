@@ -134,3 +134,41 @@ def test_contamination_guarded_broadcast_identical(spark, docs):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and any(r[2] > 0 for r in ra)  # contamination found
+
+
+def test_lsh_rejects_degenerate_band_config(spark):
+    # bands > num_perm would make every band key collapse to the band
+    # index (all docs collide; the incremental screen then drops the
+    # whole batch) — must raise instead
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z")], "doc_id: long, text: string"
+    )
+    sigs = dedup.minhash_signatures(df, "text", "doc_id", 3, num_perm=16)
+    with _pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=32)
+    with _pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=5)
+    with _pytest.raises(ValueError):
+        dedup.minhash_dedup_against(
+            df, df, "text", "doc_id", num_perm=16, bands=32
+        )
+
+
+def test_cluster_near_dups_id_column_named_id(spark):
+    # a caller whose id column is literally "id" must not hit
+    # AMBIGUOUS_REFERENCE from the components join
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "something else entirely here")],
+        "id: long, text: string",
+    )
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.cluster_near_dups(
+            df, "text", "id", n=2, num_perm=8, bands=4
+        ).collect()
+    }
+    assert out[1] == out[2] == 1
+    assert out[3] == 3

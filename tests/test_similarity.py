@@ -588,3 +588,31 @@ def test_mmr_rejects_bad_lambda(spark):
     c = spark.createDataFrame([(1, 1, 0.5)], "query_id: long, neighbor_id: long, cosine: double")
     with _pytest.raises(ValueError):
         similarity.mmr_rerank(c, df, "embedding", "vec_id", lam=1.5)
+
+
+def test_embedding_neardup_clusters_id_column_named_id(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0001]), (3, [0.0, 1.0])],
+        "id: long, embedding: array<double>",
+    )
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in similarity.embedding_neardup_clusters(
+            df, "embedding", "id", threshold=0.999
+        ).collect()
+    }
+    assert out[1] == out[2] == 1
+    assert out[3] == 3
+
+
+def test_cosine_topk_blocked_empty_queries(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id: long, embedding: array<double>",
+    )
+    empty = corpus.filter("vec_id < 0")
+    out = similarity.cosine_topk_blocked(
+        corpus, empty, "embedding", "vec_id", "vec_id", k=3
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]

@@ -316,10 +316,26 @@ def read_records(path: str, verify: bool = True) -> Iterator[bytes]:
                 if not header:
                     done = True
                     break
+                # every short read is a TRUNCATED file: report it as
+                # the same IOError family as a corrupt CRC (a raw
+                # struct.error carries no path and escapes callers
+                # that handle corruption via IOError)
+                if len(header) < 8:
+                    raise IOError(
+                        f"truncated record header in {path} "
+                        f"({len(header)} trailing bytes)"
+                    )
                 (length,) = struct.unpack("<Q", header)
-                (hcrc,) = struct.unpack("<I", f.read(4))
+                hcrc_b = f.read(4)
                 data = f.read(length)
-                (dcrc,) = struct.unpack("<I", f.read(4))
+                dcrc_b = f.read(4)
+                if len(hcrc_b) < 4 or len(data) < length or len(dcrc_b) < 4:
+                    raise IOError(
+                        f"truncated record body in {path} "
+                        f"(declared {length} data bytes)"
+                    )
+                (hcrc,) = struct.unpack("<I", hcrc_b)
+                (dcrc,) = struct.unpack("<I", dcrc_b)
                 frames.append((header, data, hcrc, dcrc))
             if verify and frames:
                 dcrcs = crc32c_batch([fr[1] for fr in frames])
@@ -456,7 +472,17 @@ def decode_examples_dataframe(packed: DataFrame, schema: str) -> DataFrame:
                     row = {}
                     for f in out_schema.fields:
                         vals = feats.get(f.name, [])
-                        v = vals[0] if len(vals) == 1 else vals
+                        is_array = f.dataType.typeName() == "array"
+                        if is_array:
+                            v = list(vals)
+                        elif len(vals) == 1:
+                            v = vals[0]
+                        else:
+                            # missing or multi-valued feature into a
+                            # SCALAR column: NULL, not a list — a list
+                            # would crash the pandas->Arrow conversion
+                            # on the first imperfect record
+                            v = None
                         if isinstance(v, (bytes, bytearray)) and (
                             f.dataType.typeName() == "string"
                         ):

@@ -66,11 +66,21 @@ def parse_wav_header(b: bytes):
         (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         body = pos + 8
         if cid == b"fmt " and size >= 16:
+            if body + 16 > len(b):
+                # truncated fmt body: struct.unpack would raise
+                # struct.error, which is NOT a ValueError — it would
+                # escape every caller's skip_invalid/NULL contract and
+                # kill the job on one corrupt file
+                return None
             audio_fmt, channels, rate = struct.unpack(
                 "<HHI", b[body : body + 8]
             )
             (bits,) = struct.unpack("<H", b[body + 14 : body + 16])
             if audio_fmt != 1:  # integer PCM only
+                return None
+            if rate == 0:
+                # corrupt header; every downstream duration/resample
+                # computation divides by the rate
                 return None
             fmt = (channels, rate, bits)
         elif cid == b"data":
@@ -292,7 +302,13 @@ def frame_energy(
     video frame sampling.  ``hop`` defaults to ``frame_len``
     (non-overlapping); the final partial frame is emitted with its true
     ``n_samples``.  Output rows >> input rows, streamed per Arrow batch."""
+    if frame_len < 1:
+        raise ValueError("frame_len must be >= 1")
     hop = hop or frame_len
+    if hop < 1:
+        # hop <= 0 would never advance the frame cursor: the executor
+        # loop appends empty frames forever until OOM
+        raise ValueError("hop must be >= 1")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

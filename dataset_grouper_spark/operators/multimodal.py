@@ -618,9 +618,26 @@ def iter_ppm_frames(b: bytes):
         if parsed is None:
             return
         (w, h, maxv), i = parsed
-        start = off + i + 1  # exactly one whitespace byte after maxval
+        if maxv != 255 or w <= 0 or h <= 0:
+            return
+        sep = b[off + i] if off + i < n else -1
+        if sep not in (0x20, 0x09, 0x0D, 0x0A):
+            return  # the byte after maxval must be whitespace
+        start = off + i + 1
+        if sep == 0x0D and start < n and b[start] == 0x0A:
+            # CRLF-written header: the LF belongs to the separator —
+            # slicing the frame one byte early shifts EVERY pixel and
+            # misaligns all later frame offsets. Disambiguate against a
+            # CR-separated raster that merely STARTS with 0x0A by
+            # checking which interpretation lands on a valid frame
+            # boundary (EOF or the next 'P6').
+            end_skip = start + 1 + w * h * 3
+            if end_skip <= n and (
+                end_skip == n or b[end_skip : end_skip + 2] == b"P6"
+            ):
+                start += 1
         end = start + w * h * 3
-        if maxv != 255 or w <= 0 or h <= 0 or end > n:
+        if end > n:
             return
         yield idx, w, h, b[off:end]
         idx += 1

@@ -142,7 +142,12 @@ def pq_topk(
     shortlist joins back to the ORIGINAL vectors for exact cosine
     scoring — the standard two-stage shape (approximate recall, exact
     ordering).  Returns (query_id, neighbor_id, cosine, rank) — the
-    tier-wide top-k schema (matches cosine_topk / ivf_topk / lsh_topk).
+    tier-wide top-k schema (same columns as cosine_topk / ivf_topk /
+    lsh_topk). One DELIBERATE semantic difference: PQ search does NOT
+    filter self-matches (query id == neighbor id) — the self-match at
+    rank 1 is the standard PQ sanity check (asserted in tests); drop
+    it with ``filter("query_id != neighbor_id")`` when composing with
+    the self-filtering tier members.
 
     Query batching: |Q| is counted once, split into
     ``ceil(|Q| / batch_queries)`` hash-blocks, and each block is
@@ -497,14 +502,21 @@ class IvfPqDiskIndex:
                         ad = luts[
                             :, np.arange(C.shape[1])[None, :], C
                         ].sum(axis=2)
-                        # mask candidates outside each query's probes
+                        # mask candidates outside each query's probes —
+                        # vectorized: a per-query interpreted loop of set
+                        # membership is O(n_queries x n_candidates)
+                        # PYTHON ops per Arrow batch, dwarfing the ADC
+                        # it guards. Build one (n_queries, n_cells)
+                        # membership matrix and gather per candidate.
+                        n_cells = int(clus.max()) + 1
+                        allowed = np.zeros(
+                            (len(probe_sets), n_cells), dtype=bool
+                        )
                         for qi, ps in enumerate(probe_sets):
-                            mask = np.fromiter(
-                                (c not in ps for c in clus),
-                                dtype=bool,
-                                count=len(clus),
-                            )
-                            ad[qi, mask] = np.inf
+                            hit = [c for c in ps if c < n_cells]
+                            if hit:
+                                allowed[qi, hit] = True
+                        ad[~allowed[:, clus]] = np.inf
                         keep = min(sl, ad.shape[1])
                         part = np.argpartition(ad, keep - 1, axis=1)[
                             :, :keep

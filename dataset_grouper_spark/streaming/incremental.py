@@ -56,7 +56,15 @@ def _screen_batch(
     from pyspark.sql import Window
 
     hashed = batch.withColumn(HASH_COL, F.md5(F.col(content_col)))
-    w = Window.partitionBy(HASH_COL).orderBy(F.col(order_col))
+    # full-tie break on a content digest of the whole row: order_col
+    # alone is not unique (two same-content rows with equal timestamps)
+    # and an arbitrary pick could persist DIFFERENT non-content columns
+    # on a task retry — the survivor must be deterministic, like batch
+    # exact_dedup's id tiebreak
+    w = Window.partitionBy(HASH_COL).orderBy(
+        F.col(order_col),
+        F.md5(F.to_json(F.struct(*batch.columns))),
+    )
     in_batch = (
         hashed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -69,7 +77,11 @@ def _screen_batch(
         for _, _, fs in os.walk(store_path)
         for f in fs
     ):
-        seen = spark.read.parquet(store_path).select(HASH_COL)
+        # distinct BEFORE the anti-join: the store holds one row per
+        # hash today, but joining against raw rows would degrade
+        # linearly if that invariant ever slips (and the exchange
+        # ships less either way)
+        seen = spark.read.parquet(store_path).select(HASH_COL).distinct()
         in_batch = in_batch.join(seen, HASH_COL, "left_anti")
     return in_batch.withColumn(EPOCH_COL, F.lit(epoch_id))
 

@@ -158,3 +158,31 @@ def test_grouped_write_read_file_uri_scheme(spark, tmp_path):
     assert got.count() == 2  # one SequenceExample per group
     blobs = [b for g in tfrecord.read_grouped_tfrecords(paths) for b in g]
     assert {tfexample.decode_example(b)["id"][0] for b in blobs} == set(range(10))
+
+
+def test_read_records_truncation_reports_ioerror(tmp_path):
+    import pytest as _pytest
+
+    from dataset_grouper_spark.compat import tfrecord
+
+    p = str(tmp_path / "t.tfrecord")
+    tfrecord.write_records(p, [b"hello", b"world"]) if hasattr(
+        tfrecord, "write_records"
+    ) else None
+    # build a valid file via the module's own framing helpers
+    if not hasattr(tfrecord, "write_records"):
+        import struct as _s
+
+        rec = b"payload-bytes"
+        header = _s.pack("<Q", len(rec))
+        hcrc = tfrecord._mask(tfrecord._crc32c_py(header) ^ 0xFFFFFFFF)
+        dcrc = tfrecord._mask(int(tfrecord.crc32c_batch([rec])[0]))
+        with open(p, "wb") as f:
+            f.write(header + _s.pack("<I", hcrc) + rec + _s.pack("<I", dcrc))
+    full = open(p, "rb").read()
+    assert list(tfrecord.read_records(p))  # sanity: intact file reads
+    for cut in (len(full) - 2, 11, 3):  # mid-crc, mid-data, mid-header
+        with open(p, "wb") as f:
+            f.write(full[:cut])
+        with _pytest.raises(IOError, match="truncated"):
+            list(tfrecord.read_records(p))

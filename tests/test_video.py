@@ -80,3 +80,38 @@ def test_gif_frame_walk_truncated_degrades():
 
 def test_gif_frame_walk_rejects_non_gif():
     assert multimodal.gif_frame_walk(b"P6\n1 1\n255\n\x00\x00\x00") is None
+
+
+def test_ppm_walker_handles_crlf_separator():
+    from dataset_grouper_spark.operators.multimodal import (
+        decode_pixels,
+        iter_ppm_frames,
+    )
+
+    # two frames written with CRLF after maxval (Windows-style writer):
+    # the LF belongs to the separator; a one-byte-early slice would
+    # shift every pixel and lose the second frame entirely
+    raster1 = bytes(range(12))
+    raster2 = bytes(range(100, 112))
+    video = (
+        b"P6\n2 2\n255\r\n" + raster1 + b"P6\n2 2\n255\r\n" + raster2
+    )
+    frames = list(iter_ppm_frames(video))
+    assert [(f[0], f[1], f[2]) for f in frames] == [(0, 2, 2), (1, 2, 2)]
+    px0 = decode_pixels(frames[0][3])
+    px1 = decode_pixels(frames[1][3])
+    assert bytes(px0.flatten().tolist()) == raster1
+    assert bytes(px1.flatten().tolist()) == raster2
+
+
+def test_ppm_walker_cr_only_separator_with_lf_raster():
+    from dataset_grouper_spark.operators.multimodal import iter_ppm_frames
+
+    # CR-only separator where the raster STARTS with 0x0A: the walker
+    # must NOT consume the raster's first byte as part of a CRLF pair
+    # (the frame-boundary check disambiguates)
+    raster = bytes([0x0A, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11])
+    video = b"P6\n2 2\n255\r" + raster
+    frames = list(iter_ppm_frames(video))
+    assert len(frames) == 1
+    assert frames[0][3].endswith(raster)

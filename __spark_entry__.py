@@ -4267,7 +4267,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_group_counts_documents": f"""
             SELECT source AS group_id,
                    round(count(*)
-                         + {dp_fns.laplace_noise_sql("source", 1.0 / DP_EPS, DP_SEED)},
+                         + {dp_fns.laplace_noise_sql("source", 1.0 / DP_EPS, DP_SEED, tag="c")},
                          6) AS dp_count
             FROM documents GROUP BY source
         """,
@@ -4275,7 +4275,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS group_id,
                    round(sum(greatest(least(value, {DP_CLAMP}),
                                       -{DP_CLAMP}))
-                         + {dp_fns.laplace_noise_sql("event_type", DP_CLAMP / DP_EPS, DP_SEED)},
+                         + {dp_fns.laplace_noise_sql("event_type", DP_CLAMP / DP_EPS, DP_SEED, tag="s")},
                          6) AS dp_sum
             FROM events GROUP BY event_type
         """,

@@ -36,11 +36,17 @@ from pyspark.sql import functions as F
 _UNIFORM_BITS = 13
 
 
-def _uniform01(key: Column, seed: int) -> Column:
+def _uniform01(key: Column, seed: int, tag: str = "") -> Column:
     """Deterministic uniform in (0,1): 52 md5 bits / 2^52, nudged off
-    exact 0 so ln(1-2|u-.5|) stays finite."""
+    exact 0 so ln(1-2|u-.5|) stays finite. ``tag`` domain-separates
+    MECHANISMS sharing a seed: without it, a joint count+sum release
+    would draw ONE noise dimension for two statistics (the sum noise a
+    scalar multiple of the count noise), letting anyone who knows a
+    group's true count recover its true sum exactly."""
     h = F.conv(
-        F.substring(F.md5(F.concat(key, F.lit(f"|dp{seed}"))), 1, _UNIFORM_BITS),
+        F.substring(
+            F.md5(F.concat(key, F.lit(f"|dp{tag}{seed}"))), 1, _UNIFORM_BITS
+        ),
         16,
         10,
     ).cast("double")
@@ -48,10 +54,12 @@ def _uniform01(key: Column, seed: int) -> Column:
     return F.greatest(F.least(u, F.lit(1.0 - 1e-12)), F.lit(1e-12))
 
 
-def laplace_noise(key: Column, scale: float, seed: int) -> Column:
+def laplace_noise(
+    key: Column, scale: float, seed: int, tag: str = ""
+) -> Column:
     """Seeded Laplace(0, scale) noise keyed by ``key`` (inverse-CDF of
-    the md5 uniform)."""
-    u = _uniform01(key, seed)
+    the md5 uniform); ``tag`` separates mechanisms (see _uniform01)."""
+    u = _uniform01(key, seed, tag)
     centered = u - F.lit(0.5)
     return (
         -F.lit(scale)
@@ -60,11 +68,13 @@ def laplace_noise(key: Column, scale: float, seed: int) -> Column:
     )
 
 
-def laplace_noise_sql(key_sql: str, scale: float, seed: int) -> str:
+def laplace_noise_sql(
+    key_sql: str, scale: float, seed: int, tag: str = ""
+) -> str:
     """DuckDB twin of :func:`laplace_noise` — identical expression
     shape so the doubles agree to the rounding digit."""
     u = (
-        f"greatest(least((('0x' || substr(md5({key_sql} || '|dp{seed}'),"
+        f"greatest(least((('0x' || substr(md5({key_sql} || '|dp{tag}{seed}'),"
         f" 1, {_UNIFORM_BITS}))::BIGINT)"
         f" / CAST({1 << (4 * _UNIFORM_BITS)} AS DOUBLE),"
         f" 1.0 - 1e-12), 1e-12)"
@@ -89,6 +99,8 @@ def dp_group_counts(
     Caveat the release story honestly: this protects rows WITHIN
     groups; releasing WHICH groups exist is its own leak — restrict to
     a public group list or add thresholding before publishing."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
     if seed is None:
         seed = random.SystemRandom().randrange(1 << 62)
     scale = sensitivity / epsilon
@@ -99,7 +111,7 @@ def dp_group_counts(
         "group_id",
         F.round(
             F.col("true_count")
-            + laplace_noise(F.col("group_id"), scale, seed),
+            + laplace_noise(F.col("group_id"), scale, seed, tag="c"),
             round_digits,
         ).alias("dp_count"),
     )
@@ -117,6 +129,8 @@ def dp_group_sums(
     """ε-DP per-group sums with explicit per-row clamping to
     ``[-clamp, clamp]`` (the clamp IS the sensitivity — unclamped sums
     have unbounded sensitivity and no ε guarantee)."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
     if seed is None:
         seed = random.SystemRandom().randrange(1 << 62)
     scale = clamp / epsilon
@@ -130,7 +144,8 @@ def dp_group_sums(
     return agg.select(
         "group_id",
         F.round(
-            F.col("true_sum") + laplace_noise(F.col("group_id"), scale, seed),
+            F.col("true_sum")
+            + laplace_noise(F.col("group_id"), scale, seed, tag="s"),
             round_digits,
         ).alias("dp_sum"),
     )
@@ -158,8 +173,11 @@ def geometric_noise(key: Column, epsilon: float, seed: int) -> Column:
     alpha = exp(-epsilon), each from a seeded md5 uniform via inverse
     CDF (floor(ln u / ln alpha)).  Integer-valued, so the released
     count needs no rounding-parity care at all."""
-    import math
-
+    if epsilon <= 0:
+        # eps=0 would divide by -0.0: floor(+inf) -> Long.MAX nonsense
+        # cancelling to ZERO noise — an exact release masquerading as
+        # a DP one
+        raise ValueError("epsilon must be positive")
     ln_alpha = -float(epsilon)  # ln(alpha) where alpha = exp(-eps)
     u1 = _uniform01(F.concat(key, F.lit("|g1")), seed)
     u2 = _uniform01(F.concat(key, F.lit("|g2")), seed)
@@ -198,6 +216,8 @@ def dp_group_counts_geometric(
     """ε-DP per-group counts with the geometric mechanism — INTEGER
     releases (no float rounding anywhere), same privacy accounting as
     Laplace for sensitivity-1 counts."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
     if seed is None:
         seed = random.SystemRandom().randrange(1 << 62)
     agg = df.groupBy(F.col(key_col).cast("string").alias("group_id")).agg(

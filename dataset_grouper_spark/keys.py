@@ -179,13 +179,23 @@ def dirichlet(
     deterministic uniform — an inverse-CDF sample with zero Python in
     the row path. The prob matrix is O(labels*groups) and broadcast;
     the join never shuffles the fact table.
+
+    Contract: ``label_col`` values must be integers in
+    ``[0, num_labels)`` — rows outside the range (or NULL) match no
+    interval and are DROPPED by the inner join (the off-by-one
+    ``num_labels`` mistake silently shrinks the corpus; count the
+    output when labels come from unvalidated data).
     """
     cum = dirichlet_matrix(num_labels, num_groups, alpha, seed)
     rows = []
     for lbl in range(num_labels):
         lo = 0.0
         for g in range(num_groups):
-            hi = float(cum[lbl, g])
+            # pin the LAST interval's hi to exactly 1.0: the float
+            # cumsum can undershoot by O(groups*eps), and a row whose
+            # uniform lands in that gap would silently vanish through
+            # the inner join (uniform01's max is 1 - 2.3e-10)
+            hi = 1.0 if g == num_groups - 1 else float(cum[lbl, g])
             rows.append((lbl, g, lo, hi))
             lo = hi
     intervals = spark.createDataFrame(
@@ -216,7 +226,8 @@ def dirichlet_interval_values_sql(
     for lbl in range(num_labels):
         lo = 0.0
         for g in range(num_groups):
-            hi = float(cum[lbl, g])
+            # same last-interval pin as the Spark side (lock-step)
+            hi = 1.0 if g == num_groups - 1 else float(cum[lbl, g])
             parts.append(f"({lbl}, {g}, {lo!r}, {hi!r})")
             lo = hi
     return ", ".join(parts)

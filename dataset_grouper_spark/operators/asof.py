@@ -42,6 +42,12 @@ def asof_join(
     all NULL when no right row precedes the left row (left-outer
     semantics). ``tolerance`` (same units as ``time_col``) nulls out
     matches older than ``left.time - tolerance``.
+
+    Rows with a NULL ``time_col`` are dropped from BOTH sides: a NULL
+    time has no position on the as-of axis, and Spark's nulls-first
+    window order would otherwise make a NULL-time right row act as a
+    -infinity match carried into every left row (a payload with a NULL
+    matched timestamp — contradicting the <= contract).
     """
     lcols = left.columns
     reserved = {"_t", "_side", "_rpay", "_m", "_rt"}
@@ -51,6 +57,8 @@ def asof_join(
             f"asof_join reserves helper column names {sorted(reserved)}; "
             f"rename input columns {sorted(clash)} before joining"
         )
+    left = left.filter(F.col(time_col).isNotNull())
+    right = right.filter(F.col(time_col).isNotNull())
     payload = F.struct(
         F.col(time_col).alias("_rt"),
         *[F.col(c).alias(c) for c in value_cols],

@@ -139,7 +139,17 @@ def interval_join(
     # row (all point columns), so duplicate point rows each keep their
     # multiplicity in the unmatched branch.
     matched_keys = inner.select(*points.columns).distinct()
-    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    # NULL-SAFE anti-join: a name-list join uses null-unsafe equality,
+    # so a matched point with a NULL in any column would fail the
+    # match and ALSO ride the unmatched branch — duplicating the row
+    mk = matched_keys.select(
+        *[F.col(c).alias(f"_mk_{c}") for c in points.columns]
+    )
+    cond = None
+    for c in points.columns:
+        e = F.col(c).eqNullSafe(F.col(f"_mk_{c}"))
+        cond = e if cond is None else cond & e
+    unmatched = points.join(mk, cond, "left_anti")
     for c in intervals.columns:
         if c not in by:
             unmatched = unmatched.withColumn(
@@ -168,10 +178,16 @@ def salted_join(
     if "_salt" in left.columns or "_salt" in right.columns:
         raise ValueError("salted_join reserves the column name '_salt'")
     s = int(num_salts)
-    # the salt only has to spread rows, not be reproducible — spreading
-    # by a physical-row counter keeps it a pure projection
+    # DETERMINISTIC salt (content hash of the whole row): a physical-
+    # row counter is a nondeterministic shuffle key — a stage retry
+    # re-assigns salts and duplicates/loses rows against reducers that
+    # already fetched (the SPARK-23207 class). Identical duplicate
+    # rows share a salt, so only duplicate-row skew remains unspread.
     l_salted = left.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(s)).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(s)
+        ).cast("int"),
     )
     r_salted = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))

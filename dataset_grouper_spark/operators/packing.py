@@ -48,6 +48,7 @@ def cap_prefix(
     size_col: Column,
     limit: int = BYTES_LIMIT,
     group_col: str = keys.GROUP_COL,
+    keep_size_col: str | None = None,
 ) -> DataFrame:
     """Keep, per group, the maximal ordered prefix with running byte sum
     strictly below ``limit``. Adds ``_cum_bytes`` (inclusive) and
@@ -63,19 +64,33 @@ def cap_prefix(
     SQL oracle twin. Use :func:`oversized_rows` for the audit stream
     of what was excluded (count it, alert on it — silently vanishing
     monsters are how quota bugs hide).
+
+    ``keep_size_col`` retains the evaluated per-row size under that
+    name so downstream aggregations (pack_groups) don't evaluate the
+    size expression a second time. Helper names ``_sz``/``_cum_bytes``
+    are reserved — an input column with either name would be silently
+    overwritten and dropped.
     """
+    clash = {"_sz", "_cum_bytes"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"cap_prefix reserves helper columns {sorted(clash)}; rename "
+            "the input columns first"
+        )
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         df.withColumn("_sz", size_col.cast("long"))
         .filter(F.col("_sz") < F.lit(limit))
         .withColumn("_cum_bytes", F.sum("_sz").over(w))
         .filter(F.col("_cum_bytes") < F.lit(limit))
-        .drop("_sz", "_cum_bytes")
     )
+    if keep_size_col is not None:
+        out = out.withColumn(keep_size_col, F.col("_sz"))
+    return out.drop("_sz", "_cum_bytes")
 
 
 def oversized_rows(
@@ -132,13 +147,16 @@ def pack_groups(
     if num_partitions is not None:
         keyed = keyed.repartition(num_partitions, F.col(keys.GROUP_COL))
     size_expr = textstats.row_bytes_expr(df, size_cols)
-    capped = cap_prefix(keyed, order_col, size_expr, limit)
+    # keep the evaluated size: rebuilding row_bytes_expr downstream
+    # would pay the per-column length sums a second time per row
+    capped = cap_prefix(
+        keyed, order_col, size_expr, limit, keep_size_col="_kept_sz"
+    )
     if payload_col is None:
         payload = F.struct(*[F.col(c) for c in df.columns])
     else:
         payload = F.col(payload_col) if isinstance(payload_col, str) else payload_col
     ordc = F.col(order_col) if isinstance(order_col, str) else order_col
-    size_expr2 = textstats.row_bytes_expr(df, size_cols)
     # sort_array over (ord, payload) structs gives a deterministic
     # packing order without relying on collect_list ordering.
     return (
@@ -146,7 +164,7 @@ def pack_groups(
             keys.GROUP_COL,
             ordc.alias("_ord"),
             payload.alias("_payload"),
-            size_expr2.alias("_sz"),
+            F.col("_kept_sz").alias("_sz"),
         )
         .groupBy(keys.GROUP_COL)
         .agg(

@@ -92,12 +92,22 @@ def with_token_shards(
     budget (a whole row straddling a boundary charges its shard, so a
     shard can run up to max-row-tokens over or under).  Deterministic
     closed form, so an SQL window twin can recompute it."""
+    reserved = {"shard", "_tok", CUM_COL, "_pid", "_within", "_off"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_token_shards reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} first (a silent withColumn overwrite "
+            "would destroy the user column)"
+        )
     sized = df.withColumn("_tok", F.expr(tokens_col) if isinstance(tokens_col, str) else tokens_col)
     cum = running_sum(sized, "_tok", order_col, num_partitions)
+    # integer div, not double '/': cumulative token totals above 2^53
+    # (real at corpus scale) would round the quotient and put
+    # boundary rows in the wrong shard — the SQL twin uses // too
     return cum.withColumn(
         "shard",
-        ((F.col(CUM_COL) - F.col("_tok")) / F.lit(tokens_per_shard))
-        .cast("long"),
+        F.expr(f"(({CUM_COL}) - _tok) div {int(tokens_per_shard)}"),
     ).drop("_tok")
 
 

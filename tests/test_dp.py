@@ -84,7 +84,7 @@ def test_sql_twin_matches_spark(spark, groups_df):
             groups_df, "g", epsilon=2.0, seed=11
         ).collect()
     }
-    noise = dp.laplace_noise_sql("CAST(g AS VARCHAR)", 0.5, 11)
+    noise = dp.laplace_noise_sql("CAST(g AS VARCHAR)", 0.5, 11, tag="c")
     duck = duckdb.sql(
         f"""
         WITH t AS (SELECT range % 1000 AS g FROM range(10000))
@@ -139,3 +139,46 @@ def test_geometric_sql_twin_matches_spark(spark, groups_df):
         """
     ).fetchall()
     assert got == {r[0]: r[1] for r in duck}
+
+
+def test_count_and_sum_noise_are_independent(spark, groups_df=None):
+    # the count and sum mechanisms must NOT share a noise dimension:
+    # with shared noise, knowing a group's true count recovers its
+    # true sum exactly (noise_sum = scale_ratio * noise_count)
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 10 + [("b", 2.0)] * 5, "g string, v double"
+    )
+    counts = {
+        r["group_id"]: r["dp_count"]
+        for r in dp.dp_group_counts(df, "g", epsilon=1.0, seed=3).collect()
+    }
+    sums = {
+        r["group_id"]: r["dp_sum"]
+        for r in dp.dp_group_sums(
+            df, "g", "v", epsilon=1.0, clamp=2.0, seed=3
+        ).collect()
+    }
+    true_counts = {"a": 10, "b": 5}
+    true_sums = {"a": 10.0, "b": 10.0}
+    ratios = [
+        (sums[g] - true_sums[g]) / (counts[g] - true_counts[g])
+        for g in ("a", "b")
+        if abs(counts[g] - true_counts[g]) > 1e-9
+    ]
+    # under shared noise every ratio equals clamp/sensitivity exactly
+    assert len(set(round(r, 6) for r in ratios)) > 1 or all(
+        abs(r - 2.0) > 1e-6 for r in ratios
+    )
+
+
+def test_epsilon_must_be_positive(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    for bad in (0.0, -1.0):
+        with _pytest.raises(ValueError):
+            dp.dp_group_counts(df, "g", epsilon=bad)
+        with _pytest.raises(ValueError):
+            dp.dp_group_sums(df, "g", "v", epsilon=bad, clamp=1.0)
+        with _pytest.raises(ValueError):
+            dp.dp_group_counts_geometric(df, "g", epsilon=bad)

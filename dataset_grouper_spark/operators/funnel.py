@@ -62,11 +62,19 @@ def funnel_counts(
         F.count(F.col(f"t_{i}")).alias(f"n_{i}") for i in range(len(steps))
     ]
     wide = per.agg(*aggs)
-    pairs = ", ".join(
-        f"'{s}', CAST(n_{i} AS BIGINT)" for i, s in enumerate(steps)
+    # step names go through lit() columns, never string-interpolated
+    # SQL — a step containing a quote would break the stack() parse
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("step"),
+                F.col(f"n_{i}").cast("long").alias("n_entities"),
+            )
+            for i, s in enumerate(steps)
+        ]
     )
-    return (
-        wide.selectExpr(f"stack({len(steps)}, {pairs}) AS (step, n_entities)")
+    return wide.select(F.explode(rows).alias("_r")).select(
+        "_r.step", "_r.n_entities"
     )
 
 
@@ -99,5 +107,9 @@ def retention_cohorts(
             F.col("_cohort").alias("cohort_period"),
             (F.col("_p") - F.col("_cohort")).alias("period_offset"),
         )
-        .agg(F.countDistinct("_e").alias("n_active"))
+        # periods is already distinct per (entity, period) and cohort/
+        # offset are functions of (entity, period) — each entity
+        # appears once per group, so a plain count equals the distinct
+        # count without the extra dedup pass over the largest frame
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )

@@ -61,6 +61,34 @@ def _write_index(
     )
 
 
+def _require_layout(
+    spark, path: str, op: str, expected: str = "partitioned"
+) -> None:
+    """Refuse to run a partitioned-layout lifecycle op on a dataset
+    written with another layout: appending group_id= dirs into a
+    bucket_id= tree makes the dataset UNREADABLE (conflicting
+    partition columns) and the rewritten index would clobber the
+    layout descriptor, silently breaking bucket pruning. Missing/
+    legacy index -> assume the legacy partitioned layout."""
+    import os
+
+    idx = os.path.join(path, GROUP_INDEX_DIR)
+    if not os.path.isdir(idx):
+        return
+    try:
+        row = (
+            spark.read.parquet(idx).select("layout").first()
+        )
+    except Exception:
+        return  # legacy index without the descriptor
+    if row is not None and row["layout"] != expected:
+        raise ValueError(
+            f"{op} requires the '{expected}' layout; dataset at {path} "
+            f"was written with layout='{row['layout']}' (use the "
+            "bucketed-layout ops instead)"
+        )
+
+
 def append_partitioned(
     df: DataFrame,
     key: Column,
@@ -78,6 +106,7 @@ def append_partitioned(
     :func:`compact_partitioned` to restore bounded file counts.
     """
     keyed = keys.with_group_key(df, key)
+    _require_layout(df.sparkSession, path, "append_partitioned")
     data_path = f"{path}/{DATA_DIR}"
     out = keyed.repartition(keys.GROUP_COL)
     if order_col is not None:
@@ -203,8 +232,16 @@ def compact_partitioned(
         .partitionBy(keys.GROUP_COL)
         .parquet(tmp_path)
     )
-    shutil.rmtree(data_path)
+    # rename-aside swap: the old rmtree(data)->move(tmp,data) left a
+    # crash window where the ONLY copy of the data lived in the temp
+    # dir that vacuum_partitioned advertises as always-safe to delete.
+    # With the aside rename, a crash at any point leaves either data/
+    # or data_retiring/ intact; vacuum restores the latter.
+    retiring = f"{path}/{DATA_DIR}_retiring"
+    shutil.rmtree(retiring, ignore_errors=True)
+    shutil.move(data_path, retiring)
     shutil.move(tmp_path, data_path)
+    shutil.rmtree(retiring)
     written = spark.read.parquet(data_path).withColumn(
         keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
     )
@@ -262,7 +299,13 @@ def _stage_merged_index(
     old = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").select(
         keys.GROUP_COL, "num_examples"
     )
-    kept = old.filter(~F.col(keys.GROUP_COL).isin(touched))
+    # NULL-safe: a NULL group key (__HIVE_DEFAULT_PARTITION__ rows
+    # from a keyer that yields NULL) makes isin() NULL, and ~NULL
+    # filters the row — the untouched NULL group would silently
+    # vanish from the index on every unrelated upsert/delete
+    kept = old.filter(
+        ~F.coalesce(F.col(keys.GROUP_COL).isin(touched), F.lit(False))
+    )
     if tmp_data_path is not None:
         staged = (
             spark.read.parquet(tmp_data_path)
@@ -467,6 +510,11 @@ def upsert_bucketed(
         r[0]
         for r in keyed_new.select(BUCKET_COL).distinct().collect()
     )  # bounded by num_buckets
+    if not touched:
+        # empty batch (an hour with no events): a no-op, not a crash —
+        # repartition(0, ...) raises on zero partitions
+        keyed_new.unpersist()
+        return {"upserted_rows": 0, "buckets_rewritten": 0}
     old = spark.read.parquet(data_path).withColumn(
         keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
     )
@@ -502,7 +550,10 @@ def upsert_bucketed(
     old_idx = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").select(
         keys.GROUP_COL, "num_examples"
     )
-    kept_idx = old_idx.filter(~bucket_expr(num_buckets).isin(touched))
+    kept_idx = old_idx.filter(
+        # NULL-safe for the NULL-group index row (see _stage_merged_index)
+        ~F.coalesce(bucket_expr(num_buckets).isin(touched), F.lit(False))
+    )
     tmp_idx = f"{path}/{GROUP_INDEX_DIR}_new"
     (
         kept_idx.unionByName(staged_counts)
@@ -547,6 +598,7 @@ def delete_partitioned(
     import shutil
 
     data_path = f"{path}/{DATA_DIR}"
+    _require_layout(spark, path, "delete_partitioned")
     df = spark.read.parquet(data_path).withColumn(
         keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
     )
@@ -561,28 +613,61 @@ def delete_partitioned(
     touched = [r[0] for r in probe]
     if not touched:
         return {"deleted_rows": 0, "groups_rewritten": 0}
-    if len(touched) <= UPSERT_PRUNE_CAP:
+    beyond_cap = len(touched) > UPSERT_PRUNE_CAP
+    if not beyond_cap:
         scope = df.filter(F.col(keys.GROUP_COL).isin(touched))
     else:
         scope = df  # full rewrite — stated in the docstring
-        touched = [
-            r[0] for r in df.select(keys.GROUP_COL).distinct().collect()
-        ]
+        # only the COUNT is needed past the cap; collecting every
+        # group id would pull exactly the driver-memory load the cap
+        # exists to bound
+        n_groups = df.select(keys.GROUP_COL).distinct().count()
+        touched = None
     n_del = scope.filter(cond).count()
-    keep = scope.filter(~cond)
+    # SQL DELETE semantics: only predicate-TRUE rows go — a NULL
+    # predicate keeps the row (~NULL is NULL and a bare filter(~cond)
+    # would silently drop it, uncounted)
+    keep = scope.filter(~F.coalesce(cond, F.lit(False)))
     # real directory paths per touched group (from the files
-    # themselves — no partition-value escaping logic to get wrong)
+    # themselves — no partition-value escaping logic to get wrong).
+    # input_file_name() returns URI-ENCODED paths: a group name with a
+    # space/%/non-ASCII yields '.../group_id=a%20b/...', which never
+    # matches the on-disk name — the full-group delete would silently
+    # leave the directory (and its rows) behind. Decode, and strip
+    # only a LEADING scheme (replace('file:','') would eat interior
+    # occurrences).
+    from urllib.parse import unquote, urlparse
+
+    def _local_dir(uri: str) -> str:
+        p = urlparse(uri)
+        raw = p.path if p.scheme else uri
+        return os.path.dirname(unquote(raw))
+
+    # dirs are only needed for groups whose EVERY row is deleted
+    # (their directory must be removed outright) — a file-bounded set
+    # even on the beyond-cap path, where collecting (group, file) for
+    # the whole dataset would OOM the driver
+    emptied = (
+        scope.groupBy(F.col(keys.GROUP_COL).alias("_g"))
+        .agg(
+            F.sum(
+                F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+            ).alias("_kept")
+        )
+        .filter(F.col("_kept") == 0)
+        .select("_g")
+    )
     group_dirs: dict[str, set] = {}
     for r in (
         scope.select(
             F.col(keys.GROUP_COL).alias("_g"),
             F.input_file_name().alias("_f"),
         )
+        .join(emptied, "_g", "left_semi")
         .distinct()
         .collect()
     ):
-        d = os.path.dirname(r["_f"].replace("file:", ""))
-        group_dirs.setdefault(r["_g"], set()).add(d)
+        group_dirs.setdefault(r["_g"], set()).add(_local_dir(r["_f"]))
 
     tmp_path = f"{path}/{DATA_DIR}_deleting"
     out = keep.repartition(keys.GROUP_COL)
@@ -596,7 +681,7 @@ def delete_partitioned(
     # stage the merged index BEFORE the swap (it reads tmp's files);
     # tmp may not exist when every row of every touched group matched
     tmp_idx = None
-    if len(touched) <= UPSERT_PRUNE_CAP:
+    if not beyond_cap:
         try:
             tmp_idx = _stage_merged_index(
                 spark,
@@ -631,7 +716,10 @@ def delete_partitioned(
         _write_index(
             spark.read.parquet(data_path), path, "partitioned", 0
         )
-    return {"deleted_rows": n_del, "groups_rewritten": len(touched)}
+    return {
+        "deleted_rows": n_del,
+        "groups_rewritten": n_groups if beyond_cap else len(touched),
+    }
 
 
 _TEMP_SUFFIXES = ("_compacting", "_upserting", "_deleting")
@@ -641,22 +729,39 @@ def vacuum_partitioned(path: str) -> dict:
     """Remove crash leftovers from the rewrite ops: each of
     compact/upsert/delete stages its rewrite in a sibling temp dir and
     swaps at the end — a crash mid-job can strand
-    ``data_compacting``/``data_upserting``/``data_deleting``.  They are
-    never read (every reader targets ``data/``), so removal is always
-    safe; run this before retrying a failed rewrite.  Returns the
-    removed directory names."""
+    ``data_compacting``/``data_upserting``/``data_deleting``.  Run this
+    before retrying a failed rewrite.  Returns the removed directory
+    names.
+
+    Crash recovery first: if ``data/`` is MISSING, the crash happened
+    mid-swap and the surviving sibling (``data_retiring`` from
+    compact's rename-aside, or a fully-written temp) is the only copy
+    — it is RESTORED to ``data/``, never deleted.  Only after data/
+    exists are leftovers removed."""
     import os
     import shutil
 
+    data_path = os.path.join(path, DATA_DIR)
+    restored = None
+    if not os.path.isdir(data_path):
+        retiring = data_path + "_retiring"
+        if os.path.isdir(retiring):
+            shutil.move(retiring, data_path)
+            restored = os.path.basename(retiring)
     removed = []
     candidates = [DATA_DIR + s for s in _TEMP_SUFFIXES]
+    candidates.append(DATA_DIR + "_retiring")
     candidates.append(GROUP_INDEX_DIR + "_new")  # append's index stage
     for name in candidates:
         d = os.path.join(path, name)
         if os.path.isdir(d):
+            if not os.path.isdir(data_path):
+                # no data/ and nothing restored: this temp may be the
+                # only copy — refuse to delete it
+                continue
             shutil.rmtree(d)
             removed.append(os.path.basename(d))
-    return {"removed": removed}
+    return {"removed": removed, "restored": restored}
 
 
 def write_partitioned(

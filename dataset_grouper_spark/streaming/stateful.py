@@ -49,9 +49,16 @@ def streaming_cap_pack(
         else:
             admitted, admitted_bytes = 0, 0
         dropped = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            for sz in pdf[size_col].astype("int64"):
+        # concatenate the WHOLE micro-batch before sorting: Arrow
+        # delivers a group's batch as multiple chunks, and sorting each
+        # chunk independently admits in chunk-arrival order, not
+        # order_col order — wrong and nondeterministic whenever a
+        # group's batch spans a chunk boundary. The materialized frame
+        # is bounded by the group's rows in ONE micro-batch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(order_col)
+            for sz in batch[size_col].astype("int64"):
                 if admitted_bytes + int(sz) < limit:
                     admitted += 1
                     admitted_bytes += int(sz)

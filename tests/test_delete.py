@@ -85,4 +85,62 @@ def test_vacuum_removes_crash_leftovers(spark, dataset):
     ]
     # the real data is untouched and a second vacuum is a no-op
     assert spark.read.parquet(os.path.join(dataset, "data")).count() == 5
-    assert sinks.vacuum_partitioned(dataset) == {"removed": []}
+    assert sinks.vacuum_partitioned(dataset) == {"removed": [], "restored": None}
+
+
+def test_vacuum_restores_mid_swap_crash(spark, dataset):
+    import shutil
+
+    # simulate compact crashing mid-swap: data/ renamed aside, temp gone
+    data = os.path.join(dataset, "data")
+    shutil.move(data, data + "_retiring")
+    stats = sinks.vacuum_partitioned(dataset)
+    assert stats["restored"] == "data_retiring"
+    assert spark.read.parquet(data).count() == 5  # nothing lost
+
+
+def test_vacuum_never_deletes_the_only_copy(spark, dataset):
+    import shutil
+
+    # data/ missing and only a staged temp survives: vacuum must NOT
+    # delete it (it is the only copy)
+    data = os.path.join(dataset, "data")
+    shutil.move(data, data + "_compacting")
+    stats = sinks.vacuum_partitioned(dataset)
+    assert stats["removed"] == []
+    assert os.path.isdir(data + "_compacting")
+
+
+def test_delete_full_group_with_uri_escapable_name(spark):
+    # group ids with spaces land on disk as 'group_id=a b' but
+    # input_file_name() reports 'group_id=a%20b' — the dir must still
+    # be removed on a full-group delete (GDPR erasure that actually
+    # erases)
+    path = tempfile.mkdtemp(prefix="del_esc_")
+    df = spark.createDataFrame(
+        [(1, "a b", 99), (2, "c%d", 99), (3, "plain", 10)],
+        "doc_id long, src string, score long",
+    )
+    sinks.write_partitioned(df, keys.by_feature("src"), path, order_col="doc_id")
+    stats = sinks.delete_partitioned(spark, path, "score = 99")
+    assert stats["deleted_rows"] == 2
+    out = spark.read.parquet(os.path.join(path, "data"))
+    assert [r["doc_id"] for r in out.collect()] == [3]
+    dirs = os.listdir(os.path.join(path, "data"))
+    assert not any("a b" in d or "a%20b" in d or "c%d" in d for d in dirs), dirs
+
+
+def test_delete_null_condition_keeps_rows(spark):
+    path = tempfile.mkdtemp(prefix="del_null_")
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", None), (3, "g", 99)],
+        "doc_id long, src string, score long",
+    )
+    sinks.write_partitioned(df, keys.by_feature("src"), path, order_col="doc_id")
+    stats = sinks.delete_partitioned(spark, path, "score < 50")
+    assert stats["deleted_rows"] == 1
+    out = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(path, "data")).collect()
+    )
+    assert out == [2, 3]  # NULL-score row KEPT (SQL DELETE semantics)

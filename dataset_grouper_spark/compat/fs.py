@@ -18,15 +18,20 @@ Spark-executor equivalent.
 from __future__ import annotations
 
 import os
+import re
 from typing import IO
 from urllib.parse import urlparse
+
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
 def _split(path: str):
     """Return (pyarrow_fs | None, resolved_path). None fs = use builtin
-    ``open`` (scheme-less local path)."""
-    parsed = urlparse(path)
-    if parsed.scheme == "":
+    ``open`` (scheme-less local path). Only a real ``scheme://`` prefix
+    routes to pyarrow: urlparse would call 'run:1/shard.tfrecord' a
+    URI with scheme 'run' and crash FileSystem.from_uri on a perfectly
+    valid relative local path (colons in path segments are legal)."""
+    if not _URI_RE.match(path):
         return None, path
     import pyarrow.fs as pafs
 

@@ -50,6 +50,10 @@ def _varint(n: int) -> bytes:
 
 def _zigzagless_int64(n: int) -> int:
     # proto int64 negative values encode as 10-byte two's complement
+    if not (-(1 << 63) <= n < (1 << 63)):
+        # a bare mask would silently WRAP out-of-range Python ints —
+        # 2**63 round-trips as -2**63 with no error (data corruption)
+        raise ValueError(f"int64 feature out of range: {n}")
     return n & 0xFFFFFFFFFFFFFFFF
 
 
@@ -185,27 +189,44 @@ def _iter_fields(buf: bytes):
 
 
 def decode_feature(buf: bytes) -> list:
-    for field, _, val in _iter_fields(buf):
+    """Parse one Feature message. Repeated numeric fields accept BOTH
+    proto encodings — packed (one length-delimited blob) and unpacked
+    (one wire element per value): the protobuf spec REQUIRES parsers
+    to accept either, and a writer emitting unpacked repeated int64
+    used to crash len() on an int (floats silently dropped all but the
+    first element). Elements accumulate across forms."""
+    for field, wt0, val in _iter_fields(buf):
         if field == 1:  # BytesList
             return [v for f, _, v in _iter_fields(val) if f == 1]
-        if field == 2:  # FloatList (packed)
-            for f, _, packed in _iter_fields(val):
-                if f == 1:
-                    n = len(packed) // 4
-                    return list(struct.unpack(f"<{n}f", packed))
-            return []
-        if field == 3:  # Int64List (packed)
-            for f, _, packed in _iter_fields(val):
-                if f == 1:
-                    out = []
+        if field == 2:  # FloatList
+            out: list = []
+            for f, wt, v in _iter_fields(val):
+                if f != 1:
+                    continue
+                if isinstance(v, (bytes, bytearray)):  # packed blob
+                    n = len(v) // 4
+                    out.extend(struct.unpack(f"<{n}f", v))
+                else:  # unpacked fixed32 element
+                    out.append(struct.unpack("<f", struct.pack("<I", v))[0])
+            return out
+        if field == 3:  # Int64List
+            out = []
+            for f, wt, v in _iter_fields(val):
+                if f != 1:
+                    continue
+                if isinstance(v, (bytes, bytearray)):  # packed blob
                     pos = 0
-                    while pos < len(packed):
-                        v, pos = _read_varint(packed, pos)
-                        if v >= 1 << 63:
-                            v -= 1 << 64
-                        out.append(v)
-                    return out
-            return []
+                    while pos < len(v):
+                        x, pos = _read_varint(v, pos)
+                        if x >= 1 << 63:
+                            x -= 1 << 64
+                        out.append(x)
+                else:  # unpacked varint element
+                    x = int(v)
+                    if x >= 1 << 63:
+                        x -= 1 << 64
+                    out.append(x)
+            return out
     return []
 
 

@@ -59,7 +59,7 @@ def tokens_sql(text_col: str) -> str:
     must hit Spark and SQL together or cross-engine oracles break."""
     return (
         f"string_split(regexp_replace(coalesce({text_col}, ''), "
-        f"'^\s+|\s+$', '', 'g'), ' ')"
+        "'^\\s+|\\s+$', '', 'g'), ' ')"
     )
 
 

@@ -90,13 +90,20 @@ def lang_id_sql(expr: str) -> str:
 
 
 def token_count(c: Column) -> Column:
-    """BPE-ish token count: alnum runs + single punctuation marks."""
-    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)).cast("long")
+    """BPE-ish token count: alnum runs + single punctuation marks.
+    NULL text counts 0 (the module's NULL-coalescing contract —
+    a NULL here would NULL-poison every aggregate over the counts)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(c, F.lit("")), F.lit(TOKEN_PATTERN), 0
+        )
+    ).cast("long")
 
 
 def token_count_sql(expr: str) -> str:
     return (
-        f"CAST(len(regexp_extract_all({expr}, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+        f"CAST(len(regexp_extract_all(coalesce({expr}, ''),"
+        f" '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
         " AS BIGINT)"
     )
 

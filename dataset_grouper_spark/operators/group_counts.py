@@ -34,6 +34,11 @@ def compute_group_counts(
     ``count_cols`` restricts which columns contribute bytes/words
     (default: all — matching the reference, which sizes the whole
     example including the key feature; beam_transforms_test.py:211-226).
+
+    An input column already named ``group_id`` is REPLACED by the new
+    key (the re-keying semantics `with_group_key` documents) — its
+    bytes then count under the NEW key's value; pass ``count_cols``
+    explicitly when that distinction matters.
     """
     keyed = keys.with_group_key(df, key)
     base = df  # schema for stats excludes the appended group_id column
@@ -58,6 +63,12 @@ def write_group_counts_csv(
     Spark writes the header per part-file exactly like Beam's per-shard
     header. ``num_shards`` -> repartition (``num_shards=0``/None -> let
     AQE decide, matching Beam's auto-sharding).
+
+    Deliberate format difference: a key containing the delimiter/quote/
+    newline is RFC-quoted here, where the reference's raw concat line
+    is ambiguous to re-parse — use :func:`format_group_counts` (+ a
+    text sink) when byte-parity with the reference's unquoted lines is
+    required.
     """
     out = counts if not num_shards else counts.repartition(num_shards)
     out.write.mode("overwrite").option("header", True).option(

@@ -33,6 +33,8 @@ def _auto_shards(packed: DataFrame) -> int:
     default-parallelism slot, capped by the number of groups (never
     emit a guaranteed-empty shard)."""
     sc = packed.sparkSession.sparkContext
+    # caller must pass a PERSISTED frame: the count is a full execution
+    # of the pack pipeline, and the subsequent write would re-run it
     n_groups = packed.count()
     return max(1, min(n_groups, sc.defaultParallelism))
 
@@ -53,19 +55,47 @@ def serialize_examples(df: DataFrame, check_schema: bool = True) -> DataFrame:
     cols = list(df.columns)
     schema_keys = frozenset(cols)
 
-    def _py(v):
+    # per-column Spark types drive the conversion: Arrow hands int64
+    # columns WITH NULLS to pandas as float64 (5 -> 5.0, NULL -> NaN),
+    # and runtime-type dispatch would flip those batches to float_list
+    # — the same column serialized two ways across shards. Integral
+    # schema types therefore coerce back to int; NULL/NaN encodes as a
+    # MISSING feature (the tf.train convention).
+    integral = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+
+    def _py(v, to_int=False):
+        # ndarray/list FIRST: ndarray.item() raises on size != 1, so
+        # the hasattr(v, "item") scalar branch must not see arrays
         if isinstance(v, bytearray):
             return bytes(v)
-        if hasattr(v, "item"):  # numpy scalar
-            return v.item()
         if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
-            return [_py(x) for x in (v.tolist() if hasattr(v, "tolist") else v)]
+            seq = v.tolist() if hasattr(v, "tolist") else v
+            return [_py(x, to_int) for x in seq]
+        if v is None:
+            return None
+        try:
+            if v != v:  # NaN (a nulled-out integral or float cell)
+                return None
+        except Exception:
+            pass
+        if hasattr(v, "item"):  # numpy scalar
+            v = v.item()
+        if to_int and isinstance(v, float):
+            return int(v)
         return v
 
     def _enc(pdf):
         out = []
         for row in pdf.to_dict("records"):
-            feats = {k: _py(v) for k, v in row.items()}
+            feats = {
+                k: p
+                for k, v in row.items()
+                if (p := _py(v, to_int=k in integral)) is not None
+            }
             if check_schema:
                 out.append(encode_example_checked(feats, schema_keys))
             else:
@@ -108,7 +138,15 @@ def tfds_to_tfrecords(
         ser, key, order_col, limit=limit, payload_col="_ex",
         size_cols=list(df.columns),
     )
-    shards = num_shards or _auto_shards(packed)
+    if num_shards:
+        shards = num_shards
+    else:
+        # auto-sharding counts groups = a full execution of the pack
+        # pipeline; persist so the write doesn't re-run it all
+        from dataset_grouper_spark.cache import persist_tracked
+
+        packed = persist_tracked(packed)
+        shards = _auto_shards(packed)
     return tfrecord.write_grouped_tfrecords(
         packed,
         keys.GROUP_COL,

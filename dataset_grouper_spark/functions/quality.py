@@ -53,7 +53,13 @@ def quality_signals(text: Column) -> dict[str, Column]:
     runs of whitespace, split on single space; '' counts 0 words.
     """
     raw = F.coalesce(text, F.lit(""))
-    norm = F.regexp_replace(F.trim(raw), r"\s+", " ")
+    # strip ALL outer whitespace: trim() removes only spaces, so a
+    # trailing newline would survive the collapse as ' ' and split
+    # into a phantom empty token (word_count +1, mean_word_len down —
+    # enough to flip docs at the Gopher gates)
+    norm = F.regexp_replace(
+        F.regexp_replace(raw, r"^\s+|\s+$", ""), r"\s+", " "
+    )
     wc = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
     # sum(len(word)) == len(norm) - (wc-1) separators; avoids an explode
     mean_wl = F.when(
@@ -138,7 +144,8 @@ def gopher_quality_sql(
         WITH base AS (
           SELECT {id_col},
                  coalesce({text_col}, '') AS _raw,
-                 regexp_replace(trim(coalesce({text_col}, '')),
+                 regexp_replace(regexp_replace(coalesce({text_col}, ''),
+                                '^\\s+|\\s+$', '', 'g'),
                                 '\\s+', ' ', 'g') AS _norm
           FROM {table}
         ), feat AS (
@@ -152,7 +159,7 @@ def gopher_quality_sql(
           SELECT {id_col},
             CAST(_wc AS BIGINT) AS word_count,
             CASE WHEN _wc > 0 THEN
-              round((strlen(_norm) - (_wc - 1)) / CAST(_wc AS DOUBLE), 4)
+              round((length(_norm) - (_wc - 1)) / CAST(_wc AS DOUBLE), 4)
             ELSE 0.0 END AS mean_word_len,
             CASE WHEN _wc > 0 THEN
               round(((strlen(_raw) - strlen(replace(_raw, '#', '')))

@@ -126,6 +126,16 @@ def row_bytes_expr(df: DataFrame, cols: list[str] | None = None) -> Column:
     fields = [
         f for f in df.schema.fields if cols is None or f.name in cols
     ]
+    if cols is not None:
+        unknown = set(cols) - {f.name for f in df.schema.fields}
+        if unknown:
+            # a typo'd name would otherwise be silently dropped from
+            # the byte sum (and an all-typo list crashed IndexError)
+            raise ValueError(
+                f"row_bytes_expr: unknown columns {sorted(unknown)}"
+            )
+    if not fields:
+        return F.lit(0).cast("long")
     exprs = [_field_bytes_expr(f) for f in fields]
     out = exprs[0]
     for e in exprs[1:]:
@@ -194,10 +204,13 @@ def format_group_count(delimiter: str = ",") -> Column:
     FormatGroupCount (count_utils.py:50-58), via concat_ws (no UDF).
     Expects columns group_id, num_examples, num_bytes, num_words.
     """
+    # concat_ws SKIPS NULL fields (a NULL count would emit a 3-field
+    # line, silently shifting every downstream parser's columns) —
+    # coalesce keeps the field present as an empty string
     return F.concat_ws(
         delimiter,
-        F.col("group_id"),
-        F.col("num_examples").cast("string"),
-        F.col("num_bytes").cast("string"),
-        F.col("num_words").cast("string"),
+        F.coalesce(F.col("group_id"), F.lit("")),
+        F.coalesce(F.col("num_examples").cast("string"), F.lit("")),
+        F.coalesce(F.col("num_bytes").cast("string"), F.lit("")),
+        F.coalesce(F.col("num_words").cast("string"), F.lit("")),
     )

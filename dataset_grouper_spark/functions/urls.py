@@ -34,31 +34,40 @@ def canonicalize_url(c: Column | str) -> Column:
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&{2,}", "&")
     u = F.regexp_replace(u, r"[?&]+$", "")
-    # schemeless strings don't match (the group needs '://'): leave
-    # them as-is instead of collapsing to ''
+    # lowercase the scheme+host ONLY when the string actually starts
+    # with scheme:// — gating on a bare '://' substring would send
+    # strings like 'see http://a.com' through the anchored extract,
+    # which matches nothing and collapsed them all to '' (one shared
+    # dedup key for every malformed-prefix URL)
     u = F.when(
-        u.rlike("://"),
+        u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
         F.concat(
             F.lower(F.regexp_extract(u, _SCHEME_HOST_RE, 1)),
             F.regexp_extract(u, _SCHEME_HOST_RE, 2),
         ),
     ).otherwise(u)
-    u = F.regexp_replace(u, r"://www\.", "://")
+    # anchored: strip the HOST's www. prefix only, never an embedded
+    # '://www.' inside a query-string redirect target
+    u = F.regexp_replace(
+        u, r"^([A-Za-z][A-Za-z0-9+.-]*://)www\.", "$1"
+    )
     return F.regexp_replace(u, r"/$", "")
 
 
 def canonical_url_sql(url_expr: str) -> str:
     """DuckDB twin of :func:`canonicalize_url` (same passes, same
-    order; RE2 replacement backrefs are ``\\1``)."""
-    u = f"regexp_replace({url_expr}, '{FRAGMENT_RE}', '', 'g')"
+    order; RE2 replacement backrefs are ``\\1``). NULL-safe like the
+    Spark side (coalesce first — the chain would otherwise propagate
+    NULL where Spark yields '')."""
+    u = f"regexp_replace(coalesce({url_expr}, ''), '{FRAGMENT_RE}', '', 'g')"
     u = f"regexp_replace({u}, '{TRACKING_RE}', '\\1', 'g')"
     u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
     u = f"regexp_replace({u}, '&{{2,}}', '&', 'g')"
     u = f"regexp_replace({u}, '[?&]+$', '', 'g')"
     u = (
-        f"(CASE WHEN regexp_matches({u}, '://') THEN "
+        f"(CASE WHEN regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN "
         f"lower(regexp_extract({u}, '{_SCHEME_HOST_RE}', 1)) || "
         f"regexp_extract({u}, '{_SCHEME_HOST_RE}', 2) ELSE {u} END)"
     )
-    u = f"regexp_replace({u}, '://www\\.', '://', 'g')"
+    u = f"regexp_replace({u}, '^([A-Za-z][A-Za-z0-9+.-]*://)www\\.', '\\1', 'g')"
     return f"regexp_replace({u}, '/$', '', 'g')"

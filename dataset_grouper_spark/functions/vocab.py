@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataset_grouper_spark.functions.hashing import tokens
+from dataset_grouper_spark.functions.hashing import tokens_sql, tokens
 
 
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -165,8 +165,7 @@ def ngram_counts_sql(
     limit = f"LIMIT {top_k}" if top_k is not None else ""
     return f"""
         WITH toks AS (
-          SELECT string_split(regexp_replace(coalesce({text_col}, ''),
-                 '^\\s+|\\s+$', '', 'g'), ' ') AS arr
+          SELECT {tokens_sql(text_col)} AS arr
           FROM {table}
         ), grams AS (
           SELECT unnest(list_transform(

@@ -16,7 +16,11 @@ from dataset_grouper_spark.functions.hashing import (
     perm_hash_sql,
 )
 
-STRIP = "regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+# NULL coalesced like hashing.tokens_sql (the repo-wide tokenizer
+# contract): without it a NULL-text doc unnests to ZERO rows here
+# while the Spark side tokenizes coalesce(NULL,'') to [''] — a
+# row-count mismatch on any corpus with NULL text
+STRIP = "regexp_replace(coalesce({col}, ''), '^\\s+|\\s+$', '', 'g')"
 
 
 def shingle_cte(table: str, text_col: str, id_col: str, n: int) -> str:
@@ -594,8 +598,13 @@ def pipeline_ingest_sql(
         FROM shd JOIN freq USING (shingle_h) GROUP BY _id
       ),
       kept AS (
+        -- INNER join, stated plainly: the previous LEFT JOIN was
+        -- nullified by the non-null-safe dup-fraction predicate
+        -- (docs with no shingles -> NULL < NULL -> dropped), which
+        -- happens to match the Spark side's coalesced 0 < 0 = false —
+        -- an inner join says what actually executes
         SELECT d.{id_col}, d.source FROM {table} d
-        LEFT JOIN dupstats ds ON d.{id_col} = ds._id
+        JOIN dupstats ds ON d.{id_col} = ds._id
         WHERE d.{id_col} NOT IN (SELECT _id FROM contam)
           AND ds.dup < {dup_frac_max} * ds.total
       ),

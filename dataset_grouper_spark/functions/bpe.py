@@ -112,6 +112,7 @@ def fit_bpe(
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     vocab = persist_tracked(word_vocab(df, text_col))
+    prev = vocab
     merges: list[tuple[str, str, int]] = []
     for i in range(num_merges):
         top = (
@@ -127,8 +128,16 @@ def fit_bpe(
         vocab = vocab.withColumn("seq", _merge_expr(F.col("seq"), l, r))
         if (i + 1) % _PERSIST_EVERY == 0:
             # re-materialize so later pair counts don't re-run the
-            # whole replace chain from the base vocabulary
+            # whole replace chain from the base vocabulary — and drop
+            # the PREVIOUS persisted copy, keeping executor storage at
+            # one vocab regardless of num_merges (the PageRank loop's
+            # _release_truncated discipline). Materialize first: the
+            # new frame's lineage runs through the old cache, so
+            # unpersisting before the count would recompute from base.
             vocab = persist_tracked(vocab)
+            vocab.count()
+            prev.unpersist()
+            prev = vocab
     return merges, vocab
 
 

@@ -36,9 +36,17 @@ from dataset_grouper_spark.functions.hashing import md5_long, md5_long_sql
 
 
 def _bucket(key_str, row_idx: int, width: int):
-    # the shared engine-portable hash idiom — one definition repo-wide
+    # the shared engine-portable hash idiom — one definition repo-wide.
+    # NULL keys are first-class: concat propagates NULL, so an
+    # un-coalesced key would hash to a NULL bucket, its build rows
+    # would land in NULL cells and the estimate join would never match
+    # (NULL == NULL is false) — a NULL probe would return est=0 even
+    # when present, breaking the est >= truth guarantee. The encoding
+    # 'k' || key for non-null vs the bare 'n' for NULL is injective
+    # (prefixes differ), so no real key can collide with the NULL slot.
+    tagged = F.coalesce(F.concat(F.lit("k"), key_str), F.lit("n"))
     return F.pmod(
-        md5_long(F.concat(key_str, F.lit(f":{row_idx}"))), F.lit(width)
+        md5_long(F.concat(tagged, F.lit(f":{row_idx}"))), F.lit(width)
     )
 
 
@@ -131,7 +139,9 @@ def cms_estimate_sql(
     probe = probe_sql or f"SELECT DISTINCT {key_col} FROM {table}"
 
     def bucket(expr: str, i: int) -> str:
-        h = md5_long_sql(f"CAST({expr} AS VARCHAR) || ':{i}'")
+        # same injective NULL tagging as _bucket ('||' propagates NULL)
+        tagged = f"coalesce('k' || CAST({expr} AS VARCHAR), 'n')"
+        h = md5_long_sql(f"{tagged} || ':{i}'")
         return f"({h} % {width})"
 
     cell_rows = " UNION ALL ".join(

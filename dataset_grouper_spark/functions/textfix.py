@@ -23,15 +23,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# common named entities (closed table, both engines)
+# common named entities (closed table, both engines). ``&amp;`` is
+# LAST so nested/double-encoded entities decode one level only:
+# '&amp;lt;' must become the literal text '&lt;', not '<' — standard
+# entity decoding always processes the ampersand escape last.
 ENTITIES: list[tuple[str, str]] = [
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
     ("&nbsp;", " "),
+    ("&amp;", "&"),
 ]
 
 # CP1252/Latin-1-as-UTF8 double-encoding repairs, DERIVED rather than

@@ -77,7 +77,17 @@ def refresh_materialized_sums(
     group. New groups appear, existing groups accumulate. Cost:
     one aggregation over the batch + one over (groups + batch-groups)
     rows. Self-healing: a table stranded mid-swap by a crashed
-    refresh is restored before this one proceeds."""
+    refresh is restored before this one proceeds.
+
+    Delivery contract — single refresher, NO batch replay: the swap is
+    crash-safe (no state is ever lost; the table is always one of the
+    pre- or post-fold states), but the fold itself is NOT idempotent.
+    A crash after the swaps but before the caller records success
+    leaves the batch already folded in, so a retry of the SAME batch
+    double-counts it. Callers needing replay-safety must dedupe
+    upstream (e.g. tag batches and keep a committed-batch ledger, as
+    ``snapshot_append`` does with its epoch tags) or route batches
+    through the snapshot store and refresh from its versions."""
     recover_materialized(path)
     batch_agg = batch.groupBy(*key_cols).agg(
         *[F.sum(expr).alias(name) for name, expr in sum_cols.items()]

@@ -212,9 +212,12 @@ def snapshot_append(df: DataFrame, path: str, tag: str | None = None) -> int:
     new latest manifest and retries with the same staged files (they
     are disjoint from every other commit's).
 
-    ``tag`` makes the append IDEMPOTENT per tag: if any manifest
-    already carries it, the call is a no-op returning that version —
-    the exactly-once hook for epoch-replaying writers (a streaming
+    ``tag`` makes the append IDEMPOTENT per tag: if the tag was already
+    committed, the call is a no-op returning the CURRENT LATEST version
+    (not the version that originally carried the tag — that manifest
+    may have been vacuumed away; appends are cumulative, so the latest
+    version always contains the tagged batch's rows). This is the
+    exactly-once hook for epoch-replaying writers (a streaming
     foreachBatch that crashed between append and checkpoint commit
     re-runs the epoch; the tag makes the re-run harmless). Tags are
     also recorded in the append-only ``tags.log`` ledger so the check
@@ -226,7 +229,9 @@ def snapshot_append(df: DataFrame, path: str, tag: str | None = None) -> int:
             return latest_version(path)
         for v in snapshot_versions(path):
             if _manifest(path, v).get("tag") == tag:
-                return v
+                # same contract as the ledger path: replays return
+                # latest, regardless of which manifest carries the tag
+                return latest_version(path)
     files = _stage_files(df, path)
     while True:
         parent = latest_version(path)

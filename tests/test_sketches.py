@@ -72,6 +72,24 @@ def test_cms_unseen_key_estimates_zero_when_cells_empty(spark):
     assert est[0]["est"] == 0
 
 
+def test_cms_null_keys_keep_overestimate_guarantee(spark):
+    # NULL is a first-class key: its build rows must land in real
+    # buckets and a NULL probe must estimate >= its true count (the
+    # injective 'k'||key vs 'n' tagging — no sentinel collisions).
+    rows = [(None,), (None,), (None,), (1,), (2,)]
+    df = spark.createDataFrame(rows, "user_id: long")
+    width, depth = 2048, 4
+    sk = sketches.cms_build(df, "user_id", width, depth)
+    est = {
+        r["user_id"]: r["est"]
+        for r in sketches.cms_estimate(
+            sk, df.select("user_id").distinct(), "user_id", width, depth
+        ).collect()
+    }
+    assert est[None] == 3
+    assert est[1] == 1 and est[2] == 1
+
+
 def test_cms_rejects_bad_params(spark):
     df = spark.createDataFrame([(1,)], "user_id: long")
     with pytest.raises(ValueError):

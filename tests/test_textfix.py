@@ -27,6 +27,16 @@ def test_strip_html_and_entities(spark):
     assert out == "a bold & <tag> b"
 
 
+def test_nested_entities_decode_one_level_only(spark):
+    # '&amp;lt;' is the DOUBLE-encoded form of '<': one decode pass must
+    # yield the literal text '&lt;', not '<' — requires the &amp; pair
+    # to be replaced LAST (standard entity-decode ordering).
+    s = "&amp;lt;b&amp;gt; &amp;amp; &amp;"
+    out = _clean_spark(spark, s)
+    assert out == "&lt;b&gt; &amp; &"
+    assert _clean_duck(s) == out
+
+
 def test_mojibake_both_variants_repaired(spark):
     cafe_bad = "caf" + textfix.MOJIBAKE[0][0]
     apo_cp = "it" + textfix.MOJIBAKE[7][0] + "s"

@@ -1708,9 +1708,16 @@ def q_embedding_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_winnow_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS) over documents —
-    one narrow Catalyst projection, no shuffle."""
+    Karp-Rabin kernel, one narrow Catalyst projection. The cascade is
+    CPU-bound per row, so when the input has fewer splits than cores
+    (small local files) the normalized rows are spread first; at scale
+    input splits abound and the operator stays shuffle-free."""
     df = read_table(spark, sf, "documents")
-    return textanalysis.winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
+    cores = spark.sparkContext.defaultParallelism
+    par = cores if df.rdd.getNumPartitions() < cores else None
+    return textanalysis.winnow_fingerprints(
+        df, "text", "doc_id", k=8, window=4, parallelism=par
+    )
 
 
 def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:

@@ -96,3 +96,54 @@ def test_winnow_fingerprints_guarantee_and_normalization(spark):
     # no-shuffle plan: a single projection stage
     plan = winnow_fingerprints(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # the split+ascii codepoint projection must appear exactly once in
+    # the optimized plan — CollapseProject inlining it into the
+    # position lambdas would recompute it per position (O(n^2))
+    opt = winnow_fingerprints(df, "text", "doc_id")._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1
+
+
+def test_winnow_parallelism_is_value_invariant(spark):
+    rows = [
+        (i, f"document number {i} with some shared boilerplate text "
+            f"and a unique tail segment {i * 7919}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    from dataset_grouper_spark.functions.textanalysis import winnow_fingerprints
+
+    base = {(r.doc_id, r.fingerprint)
+            for r in winnow_fingerprints(df, "text", "doc_id").collect()}
+    par = {(r.doc_id, r.fingerprint)
+           for r in winnow_fingerprints(
+               df, "text", "doc_id", parallelism=8).collect()}
+    assert base == par and base
+
+
+def test_winnow_cross_engine_exact_including_bmp(spark):
+    import duckdb
+    from dataset_grouper_spark.functions.textanalysis import (
+        winnow_fingerprints, winnow_fingerprints_sql)
+
+    rows = [
+        (1, "A shared phrase of considerable length appears here."),
+        (2, "prefix… the shared phrase of considerable length — café."),
+        (3, "short"),
+        (4, None),
+        (5, "çà et là, naïve café déjà-vu — non-ASCII BMP codepoints"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r.doc_id, r.fingerprint)
+           for r in winnow_fingerprints(df, "text", "doc_id").collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if t is None else chr(39) + t.replace(chr(39), chr(39)*2) + chr(39)})"
+            for i, t in rows
+        )
+        + ") t(doc_id, text)"
+    )
+    sql = winnow_fingerprints_sql("docs", "text", "doc_id")
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want and got

@@ -732,10 +732,24 @@ def _bounded_broadcast_join(
     relation is never broadcast (a broadcast must materialize wholly on
     every executor — at 100 TB with a 10M-row query batch that is an
     OOM, precisely on the branch built for large query sets).
+
+    The query-side subplan is persisted BEFORE the guard probe: the
+    probe executes ``right`` once, and on the large-Q branch the join
+    would otherwise re-evaluate the whole probe/bucket pipeline behind
+    it (``_probe_cells`` / ``_bucket_frame``) from scratch — persisting
+    makes the large-Q branch single-pass. The cached copy is released
+    by ``release_intermediates`` between runs, like every other
+    operator intermediate.
     """
+    from dataset_grouper_spark.cache import persist_tracked
+
     spark = right.sparkSession
+    right = persist_tracked(right)
     rows = right.limit(max_collect_rows + 1).collect()
     if len(rows) <= max_collect_rows:
+        # small side: the local relation replaces `right` in the plan,
+        # so its cache is dead weight — drop it eagerly
+        right.unpersist()
         if prune_left:
             keys = sorted({r[on] for r in rows})
             left = left.filter(F.col(on).isin(keys))

@@ -478,6 +478,30 @@ def test_cosine_topk_large_q_reroutes_to_blocked(vecs, no_auto_broadcast):
     assert "BroadcastHashJoin" not in _plan(large)
 
 
+def test_bounded_broadcast_join_above_cap_single_pass(spark):
+    # above the cap, the query-side subplan must be evaluated ONCE:
+    # the guard probe already executed it, so the join must read the
+    # persisted copy (InMemoryTableScan), not recompute the pipeline
+    from dataset_grouper_spark.cache import release_intermediates
+
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = (
+        spark.range(10)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+    )
+    over = similarity._bounded_broadcast_join(left, right, "k", 3)
+    assert "InMemoryTableScan" in _plan(over)
+    assert over.count() == 10
+    # below the cap: the local relation replaces `right`, is broadcast,
+    # and the probe's cache is dropped eagerly (no cache scan lingers)
+    under = similarity._bounded_broadcast_join(left, right, "k", 50)
+    p = _plan(under)
+    assert "BroadcastHashJoin" in p and "InMemoryTableScan" not in p
+    assert under.count() == 10
+    release_intermediates()
+
+
 def test_mmr_rerank_diversifies(spark):
     # corpus: two near-identical vectors (a, b) highly relevant, one
     # orthogonal-ish vector (c) less relevant. Plain top-3 ranks a,b,c;

@@ -1925,15 +1925,18 @@ def q_streaming_dedup_distinct(spark: SparkSession, sf: str) -> DataFrame:
 def q_streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Unbounded-horizon incremental dedup over continuous ingest:
     documents arrive as a 3-file stream (one micro-batch each), every
-    batch is screened against the PARQUET SURVIVOR STORE (anti-join),
-    and only never-seen content is admitted — the training-corpus
-    contract streaming_exact_dedup's time-bounded state can't give.
-    WHICH duplicate survives depends on batch order, but the survivor
-    SET is exactly the distinct texts, so the rollup (count + total
-    length over survivors) is deterministic and SQL-twinned."""
+    batch is screened against the SNAPSHOT-STORE survivor corpus
+    (anti-join; each epoch an atomic tagged version, so crash-replays
+    land zero duplicates — exactly-once), and only never-seen content
+    is admitted — the training-corpus contract
+    streaming_exact_dedup's time-bounded state can't give. WHICH
+    duplicate survives depends on batch order, but the survivor SET is
+    exactly the distinct texts, so the rollup (count + total length
+    over survivors) is deterministic and SQL-twinned."""
     import tempfile
 
     from dataset_grouper_spark.streaming.incremental import (
+        read_survivors,
         streaming_incremental_dedup,
     )
 
@@ -1955,7 +1958,7 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
             stream, store, ckpt, content_col="text", order_col="doc_id"
         )
         _drain_stream(q)
-    return spark.read.parquet(store).agg(
+    return read_survivors(spark, store).agg(
         F.count(F.lit(1)).alias("n_survivors"),
         F.sum(F.octet_length("text")).alias("total_len"),
     )

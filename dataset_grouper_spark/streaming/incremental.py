@@ -17,27 +17,31 @@ This operator runs the batch incremental-dedup screen
        ``order_col`` per hash — same survivor rule as batch
        ``exact_dedup``);
     2. anti-join the batch against the survivor store's hash column
-       (a parquet scan — at 100 TB this is a hash-bucketed layout and
-       the anti-join prunes to matching buckets; the batch side is
-       small, so AQE broadcasts it);
+       (at 100 TB this is a hash-bucketed layout and the anti-join
+       prunes to matching buckets; the batch side is small, so AQE
+       broadcasts it);
     3. append the new survivors (rows + hash) to the store.
 
-Exactly-once caveat, stated honestly: parquet append in foreachBatch is
-NOT transactional with the checkpoint.  A crash between append and
-commit can re-run step 3 for the same epoch; the ``_epoch`` column
-written with every row makes re-runs idempotent to detect (dedup on
-(_h, _epoch) at read) and is how a table format (Delta/Iceberg) would
-seal it properly.  The semantics here: every input row appears in the
-store EXACTLY once per content hash under normal operation, at-least-
-once across crashes.
+Exactly-once: the survivor store is a SNAPSHOT TABLE
+(sinks/snapshots.py), not a bare parquet directory.  Step 3 commits
+one atomic manifest version per epoch, tagged ``epoch-<id>`` — a
+crash between append and checkpoint commit replays the epoch, and the
+replay is harmless twice over: the re-screen now finds every replayed
+hash in the store (anti-join admits nothing), and even if it admitted
+something, ``snapshot_append`` treats the already-committed epoch tag
+as a no-op.  Every row therefore lands EXACTLY once per content hash,
+across crashes — closing the at-least-once caveat the plain-parquet
+version of this file documented (the plumbing
+streaming/snapshot_sink.py already proved for the non-dedup sink).
+The store is also time-travelable: each epoch is a pinnable version.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dataset_grouper_spark.sinks import snapshots as snap
 
 HASH_COL = "_h"
 EPOCH_COL = "_epoch"
@@ -70,20 +74,49 @@ def _screen_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # local-path existence probe; an object-store deployment swaps this
-    # for the pyarrow.fs dispatch in compat.fs
-    if os.path.isdir(store_path) and any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(store_path)
-        for f in fs
-    ):
+    if snap.snapshot_versions(store_path):
         # distinct BEFORE the anti-join: the store holds one row per
         # hash today, but joining against raw rows would degrade
         # linearly if that invariant ever slips (and the exchange
-        # ships less either way)
-        seen = spark.read.parquet(store_path).select(HASH_COL).distinct()
+        # ships less either way). read_snapshot pins the manifest's
+        # file list — a concurrent epoch commit can't shift the scan.
+        seen = (
+            snap.read_snapshot(spark, store_path)
+            .select(HASH_COL)
+            .distinct()
+        )
         in_batch = in_batch.join(seen, HASH_COL, "left_anti")
     return in_batch.withColumn(EPOCH_COL, F.lit(epoch_id))
+
+
+def ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    store_path: str,
+    content_col: str,
+    order_col: str,
+) -> None:
+    """Screen + commit ONE epoch into the snapshot survivor store.
+    Idempotent per epoch — safe to replay after a crash at any point
+    between screen and checkpoint commit (module docstring). Exposed
+    so crash-replay tests can drive it directly."""
+    spark = batch.sparkSession
+    admitted = _screen_batch(
+        spark, batch, store_path, content_col, order_col, epoch_id
+    )
+    if not snap.snapshot_versions(store_path):
+        # first epoch creates the table (schema footer + empty v1);
+        # guarded by existence, so a replayed first epoch skips it
+        snap.snapshot_write(admitted.limit(0), store_path)
+    if not admitted.isEmpty():
+        snap.snapshot_append(admitted, store_path, tag=f"epoch-{epoch_id}")
+
+
+def read_survivors(spark: SparkSession, store_path: str) -> DataFrame:
+    """The deduped corpus (latest snapshot version). Pass a pinned
+    ``version`` via ``snapshots.read_snapshot`` directly for
+    time-travel reads of the corpus as of an earlier epoch."""
+    return snap.read_snapshot(spark, store_path)
 
 
 def streaming_incremental_dedup(
@@ -94,16 +127,12 @@ def streaming_incremental_dedup(
     order_col: str,
 ):
     """Start a foreachBatch query that admits only never-seen content
-    into the parquet survivor store at ``store_path``.  Returns the
+    into the snapshot survivor store at ``store_path``.  Returns the
     StreamingQuery; the caller drains/stops it.  Read the corpus back
-    with ``spark.read.parquet(store_path)``."""
+    with :func:`read_survivors`."""
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        admitted = _screen_batch(
-            spark, batch, store_path, content_col, order_col, epoch_id
-        )
-        admitted.write.mode("append").parquet(store_path)
+        ingest_batch(batch, epoch_id, store_path, content_col, order_col)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -2127,6 +2127,57 @@ def _gradient_png_frame(df: DataFrame) -> DataFrame:
     return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
 
 
+def q_multimodal_gif_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF pixel decode (pure-stdlib LZW + color tables +
+    interlace), oracled in closed form: synthesize an ANIMATED GIF per
+    doc — 2-3 full-canvas frames of the indexed gradient
+    idx(y,x,f) = (x*5 + y*11 + 3*doc_id + f*17) mod 256 under the
+    arithmetic palette (i, 3i mod 256, 7i mod 256), odd docs stored
+    interlaced — then decode with decode_gif_frames and return
+    per-frame position-weighted checksums. The oracle recomputes the
+    expected rasters from the formulas: a wrong LZW width schedule, a
+    palette index slip, or a botched de-interlace all hash-mismatch."""
+    imgs = _gradient_gif_frame(read_table(spark, sf, "documents"))
+    return multimodal.gif_frame_pixels(imgs, "content", "doc_id")
+
+
+def _gradient_gif_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of animated gradient GIFs — dims
+    (4 + d%9, 4 + d%7), 2 + d%2 frames, interlaced when d is odd; the
+    index/palette formulas are the oracle contract (lockstep with the
+    SQL twin)."""
+    import numpy as np
+    import pandas as pd
+
+    pi = np.arange(256, dtype=np.int64)
+    palette = np.stack(
+        [pi % 256, (pi * 3) % 256, (pi * 7) % 256], 1
+    ).astype(np.uint8)
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for i in ids:
+                d = int(i)
+                w_in, h_in = 4 + d % 9, 4 + d % 7
+                y, x = np.ogrid[0:h_in, 0:w_in]
+                frames = [
+                    ((x * 5 + y * 11 + d * 3 + f * 17) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(2 + d % 2)
+                ]
+                outs.append(
+                    multimodal.encode_gif_pixels(
+                        frames, palette, interlace=(d % 2 == 1)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+
+
 def _gradient_bmp_frame(df: DataFrame) -> DataFrame:
     """(doc_id, content) of synthesized gradient BMPs, shared by the
     pixel-kernel oracle queries. Value at (y, x, c) is
@@ -3468,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_stream": q_group_stream,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "multimodal_resize_png": q_multimodal_resize_png,
+        "multimodal_gif_pixels": q_multimodal_gif_pixels,
         "multimodal_resize_pixels": q_multimodal_resize_pixels,
         "multimodal_embed_pixels": q_multimodal_embed_pixels,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -4798,6 +4850,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * wgt) AS BIGINT) AS checksum,
                    CAST(246 AS INT) AS n_bytes
             FROM px GROUP BY doc_id
+        """,
+        # GIF twin: regenerate the per-frame gradient rasters in closed
+        # form (dims (4+d%9, 4+d%7), 2+d%2 frames, idx = (x*5 + y*11 +
+        # 3d + 17f) mod 256, palette channel c: idx, 3*idx mod 256,
+        # 7*idx mod 256; weight 1 + flat_idx % 97 — see
+        # _gradient_gif_frame / gif_frame_pixels).
+        "multimodal_gif_pixels": """
+            WITH fr AS (
+              SELECT d.doc_id, f.f,
+                     4 + d.doc_id % 9 AS w,
+                     4 + d.doc_id % 7 AS h
+              FROM documents d
+              JOIN generate_series(0, 2) f(f) ON f.f < 2 + d.doc_id % 2
+            ), px AS (
+              SELECT fr.doc_id, fr.f, fr.w, fr.h,
+                     (x.x * 5 + y.y * 11 + fr.doc_id * 3
+                      + fr.f * 17) % 256 AS idx,
+                     1 + ((y.y * fr.w + x.x) * 3 + c.c) % 97 AS wgt,
+                     c.c AS c
+              FROM fr
+              JOIN generate_series(0, 12) x(x) ON x.x < fr.w
+              JOIN generate_series(0, 10) y(y) ON y.y < fr.h
+              CROSS JOIN generate_series(0, 2) c(c)
+            ), v AS (
+              SELECT doc_id, f, w, h, wgt,
+                     CASE c WHEN 0 THEN idx
+                            WHEN 1 THEN (idx * 3) % 256
+                            ELSE (idx * 7) % 256 END AS v
+              FROM px
+            )
+            SELECT doc_id AS id,
+                   CAST(f AS INT) AS frame,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS pixel_sum,
+                   CAST(sum(v * wgt) AS BIGINT) AS checksum
+            FROM v GROUP BY doc_id, f, w, h
         """,
         "multimodal_resize_png": """
             WITH px AS (

@@ -2141,6 +2141,74 @@ def q_multimodal_gif_pixels(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.gif_frame_pixels(imgs, "content", "doc_id")
 
 
+def q_multimodal_jpeg_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline JPEG decode (pure stdlib+numpy Huffman + dequant +
+    IDCT + fixed-point YCbCr — operators/jpeg.py), oracled in closed
+    form: synthesize a 4:2:0 block-mosaic JPEG per doc whose Y is
+    constant per 8x8 luma block and whose Cb/Cr are constant per 16x16
+    macroblock, under uniform quant 8 — DC-only blocks whose
+    DCT/quant roundtrip is EXACT integer math — then decode and return
+    pixel rollups. The oracle recomputes RGB from the same libjpeg
+    fixed-point integer conversion; a wrong Huffman table, a botched
+    dequant, an IDCT scale slip, or a chroma-upsample offset all
+    hash-mismatch."""
+    imgs = _jpeg_mosaic_frame(read_table(spark, sf, "documents"))
+    return multimodal.image_pixel_stats(imgs, "content", "doc_id")
+
+
+def _jpeg_mosaic_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of 4:2:0 baseline JPEGs — macro grid
+    (1 + d%3) x (1 + d%2), Y per luma block (lbx,lby) =
+    (lbx*31 + lby*17 + 3d) mod 256, Cb/Cr per macroblock (mx,my) =
+    (mx*23 + my*29 + 5d) / (mx*13 + my*37 + 7d) mod 256, uniform
+    quant 8. Formulas are the oracle contract (lockstep with the SQL
+    twin). Alternating docs carry restart markers so DRI/RSTn decode
+    is driver-oracled too."""
+    import numpy as np
+    import pandas as pd
+
+    from dataset_grouper_spark.operators import jpeg as J
+
+    q8 = [8] * 64
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for i in ids:
+                d = int(i)
+                mw, mh = 1 + d % 3, 1 + d % 2
+                w, h = 16 * mw, 16 * mh
+                y = np.empty((h, w), dtype=np.int32)
+                cb = np.empty((h, w), dtype=np.int32)
+                cr = np.empty((h, w), dtype=np.int32)
+                for lby in range(2 * mh):
+                    for lbx in range(2 * mw):
+                        y[
+                            lby * 8 : lby * 8 + 8, lbx * 8 : lbx * 8 + 8
+                        ] = (lbx * 31 + lby * 17 + 3 * d) % 256
+                for my in range(mh):
+                    for mx in range(mw):
+                        sl = np.s_[
+                            my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16
+                        ]
+                        cb[sl] = (mx * 23 + my * 29 + 5 * d) % 256
+                        cr[sl] = (mx * 13 + my * 37 + 7 * d) % 256
+                # encode the planes VERBATIM (not via RGB->YCbCr float
+                # conversion): block-constant planes under uniform
+                # quant 8 roundtrip exactly, so the decoded RGB is the
+                # fixed-point conversion of these very values
+                outs.append(
+                    J.encode_jpeg_ycbcr(
+                        y, cb, cr, "4:2:0", qtables=(q8, q8),
+                        restart_interval=(2 if d % 2 == 0 else 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+
+
 def _gradient_gif_frame(df: DataFrame) -> DataFrame:
     """(doc_id, content) of animated gradient GIFs — dims
     (4 + d%9, 4 + d%7), 2 + d%2 frames, interlaced when d is odd; the
@@ -3520,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "multimodal_resize_png": q_multimodal_resize_png,
         "multimodal_gif_pixels": q_multimodal_gif_pixels,
+        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_resize_pixels": q_multimodal_resize_pixels,
         "multimodal_embed_pixels": q_multimodal_embed_pixels,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -4887,6 +4956,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS pixel_sum,
                    CAST(sum(v * wgt) AS BIGINT) AS checksum
             FROM v GROUP BY doc_id, f, w, h
+        """,
+        # JPEG twin: regenerate the decoded RGB in closed form — Y per
+        # 8x8 luma block, Cb/Cr per 16x16 macroblock (see
+        # _jpeg_mosaic_frame), through the SAME libjpeg fixed-point
+        # integer YCbCr->RGB conversion the decoder uses (floor
+        # semantics; jpeg._ycbcr_to_rgb_fixed).
+        "multimodal_jpeg_pixels": """
+            WITH g AS (
+              SELECT d.doc_id,
+                     16 * (1 + d.doc_id % 3) AS w,
+                     16 * (1 + d.doc_id % 2) AS h
+              FROM documents d
+            ), px AS (
+              SELECT g.doc_id, g.w, g.h, x.x AS x, y.y AS y,
+                     ((x.x // 8) * 31 + (y.y // 8) * 17
+                      + 3 * g.doc_id) % 256 AS yv,
+                     ((x.x // 16) * 23 + (y.y // 16) * 29
+                      + 5 * g.doc_id) % 256 AS cbv,
+                     ((x.x // 16) * 13 + (y.y // 16) * 37
+                      + 7 * g.doc_id) % 256 AS crv
+              FROM g
+              JOIN generate_series(0, 47) x(x) ON x.x < g.w
+              JOIN generate_series(0, 31) y(y) ON y.y < g.h
+            ), rgb AS (
+              SELECT doc_id, w, h, x, y,
+                     greatest(0, least(255, yv + CAST(floor(
+                       (91881 * (crv - 128) + 32768) / 65536.0
+                     ) AS BIGINT))) AS r,
+                     greatest(0, least(255, yv - CAST(floor(
+                       (22554 * (cbv - 128) + 46802 * (crv - 128)
+                        + 32768) / 65536.0
+                     ) AS BIGINT))) AS gg,
+                     greatest(0, least(255, yv + CAST(floor(
+                       (116130 * (cbv - 128) + 32768) / 65536.0
+                     ) AS BIGINT))) AS b
+              FROM px
+            ), v AS (
+              SELECT doc_id, w, h,
+                     CASE c.c WHEN 0 THEN r WHEN 1 THEN gg ELSE b END AS v,
+                     1 + ((y * w + x) * 3 + c.c) % 97 AS wgt
+              FROM rgb CROSS JOIN generate_series(0, 2) c(c)
+            )
+            SELECT doc_id AS id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS pixel_sum,
+                   CAST(sum(v * wgt) AS BIGINT) AS checksum
+            FROM v GROUP BY doc_id, w, h
         """,
         "multimodal_resize_png": """
             WITH px AS (

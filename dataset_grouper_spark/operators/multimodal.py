@@ -256,9 +256,12 @@ def decode_pixels(b: bytes):
     with zero codec dependencies. Supports 24-bpp uncompressed
     (BI_RGB) BMP — bottom-up or top-down — binary PPM (P6, maxval
     255), non-interlaced 8-bit RGB/RGBA PNG (stdlib zlib inflate +
-    unfilter; see :func:`decode_png_pixels`), and GIF87a/89a (real LZW
-    + color tables + interlace; first composited frame — see
-    :func:`decode_gif_frames`). Returns None for any other payload."""
+    unfilter; see :func:`decode_png_pixels`), GIF87a/89a (real LZW +
+    color tables + interlace; first composited frame — see
+    :func:`decode_gif_frames`), and BASELINE JPEG (Huffman + dequant +
+    IDCT + fixed-point YCbCr; see operators/jpeg.py — progressive
+    returns None here and stays PIL-gated). Returns None for any other
+    payload."""
     import numpy as np
 
     if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -266,6 +269,10 @@ def decode_pixels(b: bytes):
     if b[:6] in (b"GIF87a", b"GIF89a"):
         frames = decode_gif_frames(b, max_frames=1)
         return frames[0] if frames else None
+    if b[:2] == b"\xff\xd8":
+        from dataset_grouper_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(b)
     if b[:2] == b"BM" and len(b) >= 54:
         (data_off,) = struct.unpack("<I", b[10:14])
         w, h = struct.unpack("<ii", b[18:26])
@@ -930,6 +937,48 @@ def gif_frame_pixels(
     )
 
 
+PIXEL_STATS_SCHEMA = (
+    "id long, width int, height int, pixel_sum long, checksum long"
+)
+
+
+def image_pixel_stats(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Decode every payload with the zero-dependency decoder
+    (BMP/PPM/PNG/GIF/baseline JPEG — :func:`decode_pixels`) and return
+    the shared (pixel_sum, checksum) rollup per image — the
+    value-level decode-correctness probe, oracled in closed form by
+    the fixture queries. Undecodable payloads yield NULL fields. One
+    Arrow-batched mapInPandas pass; pixels never leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col].astype("int64"), pdf[content_col]):
+                arr = decode_pixels(bytes(p))
+                if arr is None:
+                    rows.append((int(i), None, None, None, None))
+                else:
+                    s, c = _pixel_checksum(arr)
+                    rows.append(
+                        (int(i), arr.shape[1], arr.shape[0], s, c)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "pixel_sum", "checksum"],
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "pixel_sum": "Int64",
+                    "checksum": "Int64",
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=PIXEL_STATS_SCHEMA
+    )
+
+
 GIF_META_SCHEMA = (
     "id long, width int, height int, n_frames int, n_extensions int, "
     "complete boolean"
@@ -1085,9 +1134,10 @@ def _decode_any(b: bytes):
     if arr is not None:
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             return arr, "png"
-        if b[:6] in (b"GIF87a", b"GIF89a"):
-            # first composited frame; re-encoding an animation is out of
-            # scope, so downstream writes the thumbnail as BMP
+        if b[:6] in (b"GIF87a", b"GIF89a") or b[:2] == b"\xff\xd8":
+            # GIF first frame / decoded JPEG raster; re-encoding an
+            # animation or a lossy stream is out of scope, so
+            # downstream writes the thumbnail as BMP
             return arr, "bmp"
         return arr, ("ppm" if b[:2] == b"P6" else "bmp")
     try:
@@ -1097,8 +1147,8 @@ def _decode_any(b: bytes):
         raise NotImplementedError(
             f"cannot decode {hdr[0] if hdr else 'unrecognized'} payload: "
             "only BMP (24-bpp BI_RGB), PPM (P6), non-interlaced 8-bit "
-            "RGB(A) PNG, and GIF decode without codec libraries, and "
-            "PIL is not installed"
+            "RGB(A) PNG, GIF, and baseline JPEG decode without codec "
+            "libraries, and PIL is not installed"
         ) from None
     import io
 

@@ -635,8 +635,14 @@ def contamination(
     contamination gram size; lower it for short texts.
     """
     d = shingles(docs, text_col, id_col, n)
-    b = shingles(bench, text_col, id_col, n).select(
-        F.col("_id").alias("_bid"), "shingle_h"
+    # persist BEFORE the guard probe: the probe job executes the bench
+    # shingle expansion, and without the cache the join would re-run it
+    # from scratch on either branch (the _bounded_broadcast_join
+    # lesson, similarity.py). Released by release_intermediates.
+    b = persist_tracked(
+        shingles(bench, text_col, id_col, n).select(
+            F.col("_id").alias("_bid"), "shingle_h"
+        )
     )
     n_b = b.limit(max_broadcast_shingles + 1).count()
     bj = F.broadcast(b) if n_b <= max_broadcast_shingles else b

@@ -13,14 +13,19 @@ Metadata extraction (``decode_image_meta``) is REAL: container headers
 The pixel kernels (``resize_images``, ``image_embeddings``) are REAL
 end-to-end for 24-bpp BI_RGB BMP and binary PPM (P6) — pure numpy
 (``decode_pixels`` / ``encode_bmp_pixels`` / ``encode_ppm_pixels``) —
-and for non-interlaced 8-bit RGB(A) PNG via stdlib zlib
+for non-interlaced 8-bit RGB(A) PNG via stdlib zlib
 (``decode_png_pixels`` / ``encode_png_pixels``: inflate + scanline
-unfilter, deflate + filter-0 encode). Resize is deterministic integer
-nearest-neighbor. The remaining compressed formats (JPEG/GIF/WebP and
-exotic PNG flavors) are gated behind a runtime ``import PIL`` — absent
-in this container, they raise NotImplementedError naming the supported
-formats. ``fake=True`` keeps the deterministic content-hash stub for
-plumbing tests whose inputs are not images at all.
+unfilter, deflate + filter-0 encode), for GIF87a/89a via a pure-stdlib
+LZW codec with color tables, interlace, and frame compositing
+(``decode_gif_frames`` / ``encode_gif_pixels``), and for BASELINE
+JPEG via operators/jpeg.py (Huffman + dequant + IDCT + fixed-point
+YCbCr; real encoder half with the Annex K tables). Resize is
+deterministic integer nearest-neighbor. The remaining compressed
+formats (WebP, progressive/arithmetic JPEG, exotic PNG flavors) are
+gated behind a runtime ``import PIL`` — absent in this container,
+they raise NotImplementedError naming the supported formats.
+``fake=True`` keeps the deterministic content-hash stub for plumbing
+tests whose inputs are not images at all.
 """
 
 from __future__ import annotations
@@ -1188,10 +1193,12 @@ def resize_images(
     stage runs at scale, with the per-image work vectorized in numpy
     and never leaving the executor.
 
-    The real path (default) decodes BMP/PPM (pure numpy) and
-    non-interlaced 8-bit RGB(A) PNG (stdlib zlib) payloads, resamples
-    with deterministic integer nearest-neighbor, and re-encodes into
-    the source container; other compressed formats need PIL at runtime
+    The real path (default) decodes BMP/PPM (pure numpy),
+    non-interlaced 8-bit RGB(A) PNG (stdlib zlib), GIF (stdlib LZW;
+    first composited frame), and baseline JPEG (operators/jpeg.py)
+    payloads, resamples with deterministic integer nearest-neighbor,
+    and re-encodes into the source container (GIF/JPEG thumbnails
+    re-encode as BMP); other compressed formats need PIL at runtime
     and raise NotImplementedError without it. Output
     rows carry ``pixel_sum``/``checksum`` over the resized raster so an
     independent oracle can verify pixel selection in closed form.

@@ -3532,18 +3532,118 @@ def q_chunk_tokens_documents(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver oracles the FIRST 50 entries only.  Ordering policy
     # (rotated each round so every query re-oracles within two rounds):
-    #   tier A — queries past the cap last round (longest-unverified first,
-    #            and any whose implementation changed since their last
-    #            oracle pass at the very front);
-    #   tier B — queries whose code was touched THIS round, plus new ones;
-    #   tier C — stable, recently-green queries; the tail past position 50
-    #            falls out this round and leads tier A next round.
+    #   tier A — queries whose implementation or oracle changed since
+    #            their last driver row (always first), then queries
+    #            with the longest-unverified driver evidence
+    #            (never-oracled ahead of r4-green ahead of r5-green);
+    #   tier B — new queries added this round;
+    #   tier C — stable, recently-green queries; the tail past position
+    #            50 falls out this round and leads tier A next round.
     return {
-        # --- tier A: past the cap in r04 (last verified r03) — the 23
-        #     the r4 verdict names. Changed-code first:
-        #     dup_ngram_fraction rides the r4 shingle_df plumbing (and
-        #     this round's validation); asof/funnel/retention/profile
-        #     read events through the r4-rewritten ts-unit path.
+        # --- tier A, changed-code first (r6): the batch-7-rewritten
+        #     TFRecord chain and batch-8-touched Gopher/tokenizer twins
+        #     (VERDICT r5 #1), then every query whose implementation or
+        #     oracle changed THIS round: winnow (Karp-Rabin kernel),
+        #     clean_text (entity ordering), cms (NULL keys),
+        #     contamination/incremental/cosine_topk (guarded-join and
+        #     probe-persist changes), streaming_incremental_dedup
+        #     (snapshot-store exactly-once rewrite), and the new
+        #     GIF/JPEG pixel-decode queries.
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
+        "gopher_quality_documents": q_gopher_quality_documents,
+        "ngram_counts_documents": q_ngram_counts_documents,
+        "pii_redact_documents": q_pii_redact_documents,
+        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+        "clean_text_documents": q_clean_text_documents,
+        "cms_user_counts_events": q_cms_user_counts_events,
+        "contamination_documents": q_contamination_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
+        "multimodal_gif_pixels": q_multimodal_gif_pixels,
+        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
+        # --- tier A continued: queries that have NEVER had a driver
+        #     oracle row (added past-cap in r5; all locally
+        #     sf0.01-hash-verified then and re-verified this round) —
+        #     longest-unverified-first per the rotation policy.
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "group_counts_cube": q_group_counts_cube,
+        "tpch_q22_global_sales": q_tpch_q22_global_sales,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "embedding_centroids": q_embedding_centroids,
+        "topn_per_group_events": q_topn_per_group_events,
+        "value_histogram_events": q_value_histogram_events,
+        "value_correlation_events": q_value_correlation_events,
+        "zorder_layout_roundtrip": q_zorder_layout_roundtrip,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q12_priority_shipping": q_tpch_q12_priority_shipping,
+        "pivot_lang_by_source": q_pivot_lang_by_source,
+        "upsert_roundtrip": q_upsert_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        "unpivot_lang_counts": q_unpivot_lang_counts,
+        "docs_except_intersect": q_docs_except_intersect,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
+        "chunk_sliding_documents": q_chunk_sliding_documents,
+        "equidepth_events": q_equidepth_events,
+        "lm_score_documents": q_lm_score_documents,
+        "drift_documents": q_drift_documents,
+        "matview_refresh_documents": q_matview_refresh_documents,
+        "weighted_sample_documents": q_weighted_sample_documents,
+        "bpe_token_counts_documents": q_bpe_token_counts_documents,
+        "contrastive_negatives_documents": q_contrastive_negatives_documents,
+        "lm_tiered_documents": q_lm_tiered_documents,
+        "vocab_index_documents": q_vocab_index_documents,
+        "temperature_mix_documents": q_temperature_mix_documents,
+        "delete_roundtrip": q_delete_roundtrip,
+        # ---- position >50: falls out this round and leads tier A
+        #      next round, in this order: first the 8 remaining
+        #      never-driver-oracled queries, then the r4-green block
+        #      (oldest driver evidence), then the 50 r5-green stable
+        #      queries (freshest evidence, rotate last). ----
+        "token_shards_documents": q_token_shards_documents,
+        "dp_group_counts_documents": q_dp_group_counts_documents,
+        "dp_group_sums_events": q_dp_group_sums_events,
+        "dp_group_counts_geo_documents": q_dp_group_counts_geo_documents,
+        "gif_frame_meta": q_gif_frame_meta,
+        "group_entropy_events": q_group_entropy_events,
+        "asof_tolerance_events": q_asof_tolerance_events,
+        "grouping_sets_lineitem": q_grouping_sets_lineitem,
+        "group_counts_rollup": q_group_counts_rollup,
+        "pipeline_c4_style": q_pipeline_c4_style,
+        "chunk_tokens_documents": q_chunk_tokens_documents,
+        "approx_distinct_users": q_approx_distinct_users,
+        "sessionize_events": q_sessionize_events,
+        "sample_documents": q_sample_documents,
+        "repetition_documents": q_repetition_documents,
+        "json_props_events": q_json_props_events,
+        "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
+        "moving_avg_events": q_moving_avg_events,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "neardup_clusters_documents": q_neardup_clusters_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
+        "embedding_neardup_clusters": q_embedding_neardup_clusters,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "key_skew_events": q_key_skew_events,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "salted_join_revenue": q_salted_join_revenue,
+        "simhash_documents": q_simhash_documents,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_image_headers": q_multimodal_image_headers,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_ngram_fraction_documents": q_dup_ngram_fraction_documents,
         "asof_purchase_click_events": q_asof_purchase_click_events,
         "funnel_events": q_funnel_events,
@@ -3567,28 +3667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q3_unshipped_orders": q_tpch_q3_unshipped_orders,
-        # --- tier B: code touched in r05 (group_stream value oracle +
-        #     prefetch, ANN guarded candidate joins incl. cosine_topk
-        #     reroute, PNG pixel decode, streaming drain assert +
-        #     stream-stream joins, dedup shingle validation +
-        #     contamination guard, interval fuse, packing monster
-        #     pre-filter) plus the new queries. The r5 second wave
-        #     (audio/video tiers, Q7/Q22, bucketed co-located join)
-        #     closes the cap at position 50; the further additions
-        #     (TPC-H Q2/Q8/Q10/Q11/Q12/Q13/Q15/Q21, pivot/unpivot,
-        #     set-ops, analytics, upsert/delete/jsonl/csv/zorder
-        #     lifecycles, incremental dedup, centroids, token shards,
-        #     DP releases) are ALL locally sf0.01-hash-verified this
-        #     round and lead tier A next round. The fourth wave
-        #     (TPC-H Q9/Q20 completing 22/22, snapshot time travel,
-        #     RAG sliding chunks, temperature mixing, PageRank,
-        #     equi-depth bins, string indexer, LM perplexity, drift)
-        #     is likewise locally sf0.01-hash-verified.
         "group_stream": q_group_stream,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "multimodal_resize_png": q_multimodal_resize_png,
-        "multimodal_gif_pixels": q_multimodal_gif_pixels,
-        "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         "multimodal_resize_pixels": q_multimodal_resize_pixels,
         "multimodal_embed_pixels": q_multimodal_embed_pixels,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -3603,9 +3684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_distinct": q_streaming_dedup_distinct,
         "streaming_attribution_events": q_streaming_attribution_events,
         "streaming_attribution_outer": q_streaming_attribution_outer,
-        # r5 fourth-wave flagships take three cap slots (the displaced
-        # Q19/cube/Q22 are locally sf0.01-hash-verified and lead the
-        # below-cap block):
         "snapshot_time_travel": q_snapshot_time_travel,
         "bpe_merges_documents": q_bpe_merges_documents,
         "pagerank_partsupp": q_pagerank_partsupp,
@@ -3616,95 +3694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "bucketed_colocated_join": q_bucketed_colocated_join,
-        # ---- position >50 below: tier C (stable, green in r04) rotates
-        #      out entirely this round — the 7 new queries above took
-        #      its cap slots (all 7 locally hash-verified at sf0.01).
-        #      Everything below leads tier A next round; the NEW
-        #      tpch_q10 (also locally verified) goes first. ----
-        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
-        "group_counts_cube": q_group_counts_cube,
-        "tpch_q22_global_sales": q_tpch_q22_global_sales,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
-        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "embedding_centroids": q_embedding_centroids,
-        "streaming_incremental_dedup": q_streaming_incremental_dedup,
-        "topn_per_group_events": q_topn_per_group_events,
-        "value_histogram_events": q_value_histogram_events,
-        "value_correlation_events": q_value_correlation_events,
-        "zorder_layout_roundtrip": q_zorder_layout_roundtrip,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q12_priority_shipping": q_tpch_q12_priority_shipping,
-        "pivot_lang_by_source": q_pivot_lang_by_source,
-        "upsert_roundtrip": q_upsert_roundtrip,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "csv_roundtrip": q_csv_roundtrip,
-        "unpivot_lang_counts": q_unpivot_lang_counts,
-        "docs_except_intersect": q_docs_except_intersect,
-        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
-        "tpch_q11_important_parts": q_tpch_q11_important_parts,
-        "tpch_q9_product_profit": q_tpch_q9_product_profit,
-        "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
-        "chunk_sliding_documents": q_chunk_sliding_documents,
-        "equidepth_events": q_equidepth_events,
-        "lm_score_documents": q_lm_score_documents,
-        "drift_documents": q_drift_documents,
-        "matview_refresh_documents": q_matview_refresh_documents,
-        "cms_user_counts_events": q_cms_user_counts_events,
-        "weighted_sample_documents": q_weighted_sample_documents,
-        "bpe_token_counts_documents": q_bpe_token_counts_documents,
-        "clean_text_documents": q_clean_text_documents,
-        "contrastive_negatives_documents": q_contrastive_negatives_documents,
-        "lm_tiered_documents": q_lm_tiered_documents,
-        "vocab_index_documents": q_vocab_index_documents,
-        "temperature_mix_documents": q_temperature_mix_documents,
-        "delete_roundtrip": q_delete_roundtrip,
-        "token_shards_documents": q_token_shards_documents,
-        "dp_group_counts_documents": q_dp_group_counts_documents,
-        "dp_group_sums_events": q_dp_group_sums_events,
-        "dp_group_counts_geo_documents": q_dp_group_counts_geo_documents,
-        "gif_frame_meta": q_gif_frame_meta,
-        "group_entropy_events": q_group_entropy_events,
-        "asof_tolerance_events": q_asof_tolerance_events,
-        "grouping_sets_lineitem": q_grouping_sets_lineitem,
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "partitioned_roundtrip": q_partitioned_roundtrip,
-        "group_counts_rollup": q_group_counts_rollup,
-        "pipeline_c4_style": q_pipeline_c4_style,
-        "chunk_tokens_documents": q_chunk_tokens_documents,
-        "approx_distinct_users": q_approx_distinct_users,
-        "sessionize_events": q_sessionize_events,
-        "sample_documents": q_sample_documents,
-        "repetition_documents": q_repetition_documents,
-        "json_props_events": q_json_props_events,
-        "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
-        "moving_avg_events": q_moving_avg_events,
-        "stratified_sample_documents": q_stratified_sample_documents,
-        "neardup_clusters_documents": q_neardup_clusters_documents,
-        "incremental_dedup_documents": q_incremental_dedup_documents,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "dedup_exact_survivors": q_dedup_exact_survivors,
-        "embedding_neardup_clusters": q_embedding_neardup_clusters,
-        "pack_sequences_documents": q_pack_sequences_documents,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
-        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "gopher_quality_documents": q_gopher_quality_documents,
-        "ngram_counts_documents": q_ngram_counts_documents,
-        "key_skew_events": q_key_skew_events,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
-        "salted_join_revenue": q_salted_join_revenue,
-        "simhash_documents": q_simhash_documents,
-        "cosine_topk_embeddings": q_cosine_topk_embeddings,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_image_headers": q_multimodal_image_headers,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "contamination_documents": q_contamination_documents,
-        "pii_redact_documents": q_pii_redact_documents,
     }
 
 

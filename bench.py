@@ -72,19 +72,26 @@ def main() -> None:
 
     cold = one_pass()
     warm = one_pass()
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(sum(cold.values()), 3),
-                "unit": "sec",
-                "queries": cold,
-                "value_warm": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": round(sum(cold.values()), 3),
+            "unit": "sec",
+            "queries": cold,
+            "value_warm": round(sum(warm.values()), 3),
+            "queries_warm": warm,
+            "sf": sf,
+        }
     )
+    print(line)
+    # full per-query artifact (the driver's committed tail truncates):
+    # set SPARK_GRAFT_BENCH_OUT to persist the whole cold+warm JSON —
+    # committed per round as PERF_r{N}_full.json so movers can be
+    # diffed across the entire surface (VERDICT r5 #3)
+    dst = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if dst:
+        with open(dst, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

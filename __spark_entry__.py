@@ -1518,6 +1518,21 @@ def q_ivf_index_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a fixture frame across cores before a CPU-bound
+    mapInPandas payload-synthesis pass: the local sf parquet inputs
+    are one split, which would run the whole Arrow pass on one core
+    (measured: the JPEG fixture query spent 8s single-threaded at
+    sf0.1, ~0.5s spread). Value-neutral — repartition changes row
+    placement only. At 100 TB inputs have thousands of splits and
+    this is a no-op."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
     # documents.text stands in for binary media payloads: encode to
     # binary, then run the (stubbed) decode through real mapInPandas
@@ -1797,7 +1812,7 @@ def q_multimodal_image_headers(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    imgs = df.mapInPandas(gen, "doc_id long, content binary")
+    imgs = _spread(df).mapInPandas(gen, "doc_id long, content binary")
     meta = multimodal.decode_image_meta(imgs, "content", "doc_id")
     return meta.select("id", "format", "width", "height")
 
@@ -2124,7 +2139,9 @@ def _gradient_png_frame(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
-    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
 
 
 def q_multimodal_gif_pixels(spark: SparkSession, sf: str) -> DataFrame:
@@ -2206,7 +2223,9 @@ def _jpeg_mosaic_frame(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
-    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
 
 
 def _gradient_gif_frame(df: DataFrame) -> DataFrame:
@@ -2243,7 +2262,9 @@ def _gradient_gif_frame(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
-    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
 
 
 def _gradient_bmp_frame(df: DataFrame) -> DataFrame:
@@ -2269,7 +2290,9 @@ def _gradient_bmp_frame(df: DataFrame) -> DataFrame:
                 outs.append(multimodal.encode_bmp_pixels(arr))
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
-    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
 
 
 SEQ_BUDGET = 512
@@ -2328,7 +2351,9 @@ def _wav_frame(df: DataFrame) -> DataFrame:
                 outs.append(audio.encode_wav_pcm16(s, rate))
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
-    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
 
 
 def _ppm_video_frame(df: DataFrame) -> DataFrame:
@@ -2357,7 +2382,9 @@ def _ppm_video_frame(df: DataFrame) -> DataFrame:
                 outs.append(b"".join(frames))
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
-    return df.select("doc_id").mapInPandas(gen, "doc_id long, content binary")
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
 
 
 def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -2417,8 +2444,7 @@ def q_gif_frame_meta(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
     gifs = (
-        read_table(spark, sf, "documents")
-        .select("doc_id")
+        _spread(read_table(spark, sf, "documents").select("doc_id"))
         .mapInPandas(gen, "doc_id long, content binary")
     )
     return multimodal.gif_meta(gifs, "content", "doc_id")

@@ -1,0 +1,152 @@
+"""Hypothesis property tests for the pure-stdlib codecs (LZW, JPEG,
+winnowing) — the randomized counterpart of the example-based suites."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dataset_grouper_spark.functions import textanalysis as ta
+from dataset_grouper_spark.operators import jpeg as J
+from dataset_grouper_spark.operators import multimodal as mm
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=3000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+def test_lzw_roundtrip_any_bytes(data, mcs):
+    # clamp symbols into the alphabet for the given min code size
+    alphabet = 1 << mcs
+    data = bytes(b % alphabet for b in data)
+    enc = mm._lzw_encode(data, mcs)
+    assert mm._lzw_decode(enc, mcs, len(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+    npal=st.sampled_from([2, 4, 16, 64, 256]),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip_any_dims_palette(w, h, seed, npal, interlace):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+    i = np.arange(npal, dtype=np.int64)
+    pal = np.stack([i % 256, (i * 5) % 256, (i * 11) % 256], 1).astype(
+        np.uint8
+    )
+    gif = mm.encode_gif_pixels([idx], pal, interlace=interlace)
+    frames = mm.decode_gif_frames(gif)
+    assert frames is not None and len(frames) == 1
+    assert np.array_equal(frames[0], pal[idx])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    mw=st.integers(min_value=1, max_value=3),
+    mh=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31),
+    rst=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_constant_mosaic_exact(mw, mh, seed, rst):
+    # block-constant planes under uniform quant 8 must roundtrip
+    # exactly through encode_jpeg_ycbcr -> decode, whatever the block
+    # values, grid shape, or restart interval
+    rng = np.random.default_rng(seed)
+    h, w = 16 * mh, 16 * mw
+    y = np.zeros((h, w), dtype=np.int32)
+    cb = np.zeros((h, w), dtype=np.int32)
+    cr = np.zeros((h, w), dtype=np.int32)
+    for by in range(2 * mh):
+        for bx in range(2 * mw):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.integers(
+                0, 256
+            )
+    for my in range(mh):
+        for mx in range(mw):
+            sl = np.s_[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+            cb[sl] = rng.integers(0, 256)
+            cr[sl] = rng.integers(0, 256)
+    q8 = [8] * 64
+    out = J.decode_jpeg_pixels(
+        J.encode_jpeg_ycbcr(y, cb, cr, "4:2:0", (q8, q8), rst)
+    )
+    expect = J._ycbcr_to_rgb_fixed(y, cb, cr)
+    assert np.array_equal(out, expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    w=st.integers(min_value=9, max_value=33),
+    h=st.integers(min_value=9, max_value=25),
+)
+def test_jpeg_444_q1_bounded_error(seed, w, h):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = J.decode_jpeg_pixels(
+        J.encode_jpeg_pixels(img, "4:4:4", qtables=([1] * 64, [1] * 64))
+    )
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def _py_winnow(text: str, k: int = 8, window: int = 4) -> set[int]:
+    """Independent pure-Python reference of the winnowing kernel."""
+    import re
+
+    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if len(t) < k:
+        return set()
+    cps = [ord(c) for c in t]
+    hashes = []
+    for i in range(len(cps) - k + 1):
+        acc = 0
+        for c in cps[i : i + k]:
+            acc = (acc * ta.KR_B + c) % ta.KR_P
+        hashes.append(acc)
+    nw = max(len(hashes) - window + 1, 1)
+    return {min(hashes[j : j + window]) for j in range(nw)}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    prefix=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=40,
+    ),
+    suffix=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=40,
+    ),
+    shared=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=11,  # >= k + window - 1
+        max_size=30,
+    ),
+)
+def test_winnow_guarantee_shared_substring(prefix, suffix, shared):
+    # the winnowing guarantee, against the independent reference: two
+    # docs sharing a substring of length >= k + window - 1 share at
+    # least one fingerprint
+    a = _py_winnow(prefix + " " + shared + " tail one")
+    b = _py_winnow("other head " + shared + " " + suffix)
+    assert a & b
+
+
+def test_winnow_spark_matches_python_reference(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "çà et là naïve café — non-ascii"),
+        (4, None),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got: dict[int, set] = {}
+    for r in ta.winnow_fingerprints(df, "text", "doc_id").collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for i, t in rows:
+        assert got.get(i, set()) == _py_winnow(t or ""), i

@@ -2905,6 +2905,57 @@ def q_matview_refresh_documents(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def q_streaming_matview_sums(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuously-maintained materialized rollup: documents arrive as
+    a 3-file stream (one micro-batch each) and every epoch folds into
+    the per-source (rows, bytes, id-sum) table at O(batch + groups) —
+    the epoch tag commits atomically WITH the fold (same directory
+    swap), so a crash-replayed epoch is a no-op. The query then
+    REPLAYS a committed epoch on purpose (re-folding the ENTIRE corpus
+    under an already-folded tag): were idempotence broken, every group
+    would double-count and the hash against the plain GROUP BY oracle
+    would fail."""
+    import tempfile
+
+    from dataset_grouper_spark.operators import matview
+    from dataset_grouper_spark.streaming.matview_sink import (
+        stream_refresh_materialized_sums,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    src = tempfile.mkdtemp(prefix="smv_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    ckpt = tempfile.mkdtemp(prefix="smv_ck_")
+    path = os.path.join(tempfile.mkdtemp(prefix="smv_tbl_"), "agg")
+    sums = {
+        "num_examples": F.lit(1),
+        "num_bytes": F.octet_length("text"),
+        "sum_ids": F.col("doc_id"),
+    }
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    with _stream_shuffle_partitions(spark):
+        q = stream_refresh_materialized_sums(
+            stream, ["source"], sums, path, ckpt
+        )
+        _drain_stream(q)
+    # deliberate replay of a committed epoch: must be a no-op
+    replay_tag = sorted(matview.folded_tags(path))[0]
+    folded = matview.refresh_materialized_sums(
+        spark, docs, ["source"], sums, path, tag=replay_tag
+    )
+    assert folded is False, "replayed epoch tag must not re-fold"
+    return spark.read.parquet(path)
+
+
 def q_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Source-distribution drift between two halves of the corpus (the
     versions-of-a-crawl QA check): per-source counts, smoothed shares,
@@ -3622,6 +3673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_documents": q_lm_score_documents,
         "drift_documents": q_drift_documents,
         "matview_refresh_documents": q_matview_refresh_documents,
+        # tier B: new this round (exactly-once streaming matview);
+        # its insertion pushes delete_roundtrip to position 51 —
+        # delete_roundtrip leads tier A next round.
+        "streaming_matview_sums": q_streaming_matview_sums,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
@@ -4537,6 +4592,13 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", CMS_WIDTH, CMS_DEPTH
         ),
         "matview_refresh_documents": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS num_examples,
+                   CAST(sum(strlen(text)) AS BIGINT) AS num_bytes,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY source
+        """,
+        "streaming_matview_sums": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS num_examples,
                    CAST(sum(strlen(text)) AS BIGINT) AS num_bytes,

@@ -65,13 +65,29 @@ def recover_materialized(path: str) -> bool:
     return False
 
 
+TAGS_FILE = "_folded_tags.log"
+
+
+def folded_tags(path: str) -> set[str]:
+    """Tags of every batch already folded into the table at ``path``.
+    The tags file lives INSIDE the swapped directory (underscore
+    prefix — ignored by Spark's file scan), so tag state and data
+    state commit atomically in the same os.replace."""
+    try:
+        with open(os.path.join(path, TAGS_FILE)) as f:
+            return {ln.strip() for ln in f if ln.strip()}
+    except FileNotFoundError:
+        return set()
+
+
 def refresh_materialized_sums(
     spark: SparkSession,
     batch: DataFrame,
     key_cols: list[str],
     sum_cols: dict[str, Column],
     path: str,
-) -> None:
+    tag: str | None = None,
+) -> bool:
     """Fold an appended batch into the stored aggregate WITHOUT
     touching the corpus: batch partials ⊎ stored table, summed per
     group. New groups appear, existing groups accumulate. Cost:
@@ -79,16 +95,21 @@ def refresh_materialized_sums(
     rows. Self-healing: a table stranded mid-swap by a crashed
     refresh is restored before this one proceeds.
 
-    Delivery contract — single refresher, NO batch replay: the swap is
-    crash-safe (no state is ever lost; the table is always one of the
-    pre- or post-fold states), but the fold itself is NOT idempotent.
-    A crash after the swaps but before the caller records success
-    leaves the batch already folded in, so a retry of the SAME batch
-    double-counts it. Callers needing replay-safety must dedupe
-    upstream (e.g. tag batches and keep a committed-batch ledger, as
-    ``snapshot_append`` does with its epoch tags) or route batches
-    through the snapshot store and refresh from its versions."""
+    Delivery contract — single refresher. Without ``tag``, the swap is
+    crash-safe (the table is always one of the pre- or post-fold
+    states) but the fold is NOT idempotent: a crash after the swaps
+    but before the caller records success leaves the batch folded in,
+    and a blind retry double-counts it. Passing ``tag`` makes the
+    refresh REPLAY-IDEMPOTENT: the tag is written into the staged
+    directory before the swap, so fold and tag become visible in the
+    same atomic os.replace — an already-folded tag returns False
+    without touching the table, whichever side of a crash the replay
+    lands on (the streaming foreachBatch epoch hook,
+    streaming/matview_sink.py). Returns True when the batch was
+    folded, False for a tag replay no-op."""
     recover_materialized(path)
+    if tag is not None and tag in folded_tags(path):
+        return False
     batch_agg = batch.groupBy(*key_cols).agg(
         *[F.sum(expr).alias(name) for name, expr in sum_cols.items()]
     )
@@ -100,8 +121,14 @@ def refresh_materialized_sums(
     )
     staging = path.rstrip("/") + STAGING_SUFFIX
     merged.write.mode("overwrite").parquet(staging)
+    if tag is not None:
+        tags = folded_tags(path)
+        tags.add(tag)
+        with open(os.path.join(staging, TAGS_FILE), "w") as f:
+            f.write("\n".join(sorted(tags)) + "\n")
     final_tmp = path.rstrip("/") + "_old"
     shutil.rmtree(final_tmp, ignore_errors=True)
     os.replace(path, final_tmp)
     os.replace(staging, path)
     shutil.rmtree(final_tmp, ignore_errors=True)
+    return True

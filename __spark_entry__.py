@@ -27,6 +27,7 @@ from dataset_grouper_spark.operators import profile as profile_ops
 from dataset_grouper_spark.operators import sessions as sessions_ops
 from dataset_grouper_spark.operators import chunking, dedup, multimodal, similarity
 from dataset_grouper_spark.operators import graph as graph_ops
+from dataset_grouper_spark.operators import regress as regress_ops
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
 from dataset_grouper_spark.sources import read_table
@@ -1229,6 +1230,59 @@ def q_dup_ngram_fraction_documents(spark: SparkSession, sf: str) -> DataFrame:
     substring dedup, Lee et al. 2022)."""
     df = read_table(spark, sf, "documents")
     return dedup.duplicate_ngram_fraction(df, "text", "doc_id", NGRAM_N)
+
+
+LINE_DEDUP_MIN_DOCS = 5
+# derive 3-word lines from the single-line fixture texts, identically
+# in both engines, so cross-doc duplicate lines occur organically
+LINE_DEDUP_RE = r"(\S+ \S+ \S+) "
+
+
+def q_line_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus line-level boilerplate removal (CCNet paragraph
+    dedup / RefinedWeb line-wise filtering): any line appearing in >=
+    5 distinct docs is stripped from ALL of them and each text rebuilt
+    from its surviving lines in order. Returns a per-doc summary
+    (line counts + rebuilt-text fingerprint) so a single mis-dropped
+    or mis-ordered line anywhere in the corpus hash-mismatches."""
+    df = read_table(spark, sf, "documents").withColumn(
+        "_ml", F.regexp_replace(F.col("text"), LINE_DEDUP_RE, "$1\n")
+    )
+    out = dedup.line_dedup(
+        df, "_ml", "doc_id", min_docs=LINE_DEDUP_MIN_DOCS, min_len=10
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.octet_length("_ml_clean").alias("clean_len"),
+        F.md5(F.col("_ml_clean")).alias("clean_md5"),
+    )
+
+
+def q_ols_chars_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed closed-form OLS (sufficient-statistics pattern): fit
+    n_chars ~ intercept + n_spaces + n_vowel_a over the corpus in ONE
+    aggregation pass — the Gram row's integer sums are exact, so the
+    Cramer solve is a deterministic float64 expression tree shared
+    with the oracle. The minimum-cost linear model at 100 TB: one
+    scan, map-side partials, constant-size solve, nothing iterates."""
+    from dataset_grouper_spark.operators import regress
+
+    df = (
+        read_table(spark, sf, "documents")
+        .withColumn(
+            "n_spaces",
+            F.octet_length("text")
+            - F.octet_length(F.replace(F.col("text"), F.lit(" "), F.lit(""))),
+        )
+        .withColumn(
+            "n_a",
+            F.octet_length("text")
+            - F.octet_length(F.replace(F.col("text"), F.lit("a"), F.lit(""))),
+        )
+    )
+    return regress.ols_fit2(df, "n_chars", ["n_spaces", "n_a"])
 
 
 def q_split_by_group_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -3673,10 +3727,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_documents": q_lm_score_documents,
         "drift_documents": q_drift_documents,
         "matview_refresh_documents": q_matview_refresh_documents,
-        # tier B: new this round (exactly-once streaming matview);
-        # its insertion pushes delete_roundtrip to position 51 —
-        # delete_roundtrip leads tier A next round.
+        # tier B: new this round (exactly-once streaming matview,
+        # cross-corpus line dedup, closed-form OLS); the three
+        # insertions push vocab_index_documents,
+        # temperature_mix_documents and delete_roundtrip to positions
+        # 51-53 — they lead tier A next round.
         "streaming_matview_sums": q_streaming_matview_sums,
+        "line_dedup_documents": q_line_dedup_documents,
+        "ols_chars_documents": q_ols_chars_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
@@ -3983,6 +4041,26 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac
             FROM documents d LEFT JOIN stats s ON d.doc_id = s._id
         """,
+        "line_dedup_documents": dedup.line_dedup_sql(
+            r"""(SELECT doc_id,
+                        regexp_replace(text, '(\S+ \S+ \S+) ',
+                                       '\1' || chr(10), 'g') AS _ml
+                 FROM documents)""",
+            "_ml",
+            "doc_id",
+            min_docs=LINE_DEDUP_MIN_DOCS,
+            min_len=10,
+        ),
+        "ols_chars_documents": regress_ops.ols_fit2_sql(
+            """(SELECT n_chars,
+                       strlen(text) - strlen(replace(text, ' ', ''))
+                           AS n_spaces,
+                       strlen(text) - strlen(replace(text, 'a', ''))
+                           AS n_a
+                FROM documents)""",
+            "n_chars",
+            ["n_spaces", "n_a"],
+        ),
         "split_by_group_documents": """
             SELECT doc_id, source,
                    CASE

@@ -792,3 +792,160 @@ def minhash_dedup_against(
     return new.join(
         hit_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    min_len: int = 10,
+) -> DataFrame:
+    """Lines that repeat across >= ``min_docs`` DISTINCT documents —
+    the nav/footer/cookie-banner boilerplate a crawl smears over every
+    page (the line-level repetition-removal pass of CCNet/RefinedWeb
+    pipelines, applied cross-corpus). A line is eligible when its
+    trimmed length >= ``min_len`` chars, so blank separators and
+    one-char bullets are never counted. Returns (line_h, n_docs) — the
+    60-bit line hash and its distinct-document frequency.
+
+    Scale shape: lines shuffle as 8-byte md5-derived hashes, never as
+    strings (the agg key for a 100 TB crawl's distinct-line table is
+    what dominates this pass); the distinct-doc count is a two-level
+    partial agg Catalyst plans on its own. One shuffle total.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_line"
+        ),
+    ).filter(F.length(F.trim(F.col("_line"))) >= min_len)
+    return (
+        lines.select("_id", md5_long(F.col("_line")).alias("line_h"))
+        .groupBy("line_h")
+        .agg(F.count_distinct(F.col("_id")).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    min_len: int = 10,
+) -> DataFrame:
+    """Strip cross-document boilerplate lines from every document:
+    any line occurring in >= ``min_docs`` distinct docs (at trimmed
+    length >= ``min_len``) is removed from ALL of them, and each text
+    is rebuilt from its surviving lines in order. The standard
+    line-level dedup pass of web-crawl curation (CCNet §3 'paragraph
+    deduplication', RefinedWeb line-wise filtering), cross-corpus.
+
+    Returns one row per input doc: every original column plus
+    ``n_lines`` (original line count), ``n_removed`` (boilerplate
+    lines dropped), and ``{text_col}_clean`` (the rebuilt text; empty
+    string when every line was boilerplate).
+
+    Scale shape: one agg shuffle for the boilerplate table
+    (:func:`boilerplate_lines`, 8-byte hash keys), one broadcast-or-
+    shuffle anti join of exploded lines against it (Catalyst/AQE
+    chooses — the boilerplate table is the min_docs-filtered tail, far
+    smaller than the line table), one regroup by doc to rebuild texts.
+    ``n_lines`` is a pure projection (``size(split(..))``) on the
+    original row — the only explode+regroup is over SURVIVING lines.
+    The rebuild sorts each doc's surviving lines by position inside a
+    single ``array_sort`` over the collected struct array — no global
+    window, no skew beyond the largest single document.
+    """
+    boiler = boilerplate_lines(df, text_col, id_col, min_docs, min_len)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_pos", "_line"),
+    ).withColumn("line_h", md5_long(F.col("_line")))
+    kept = lines.join(
+        boiler.select("line_h"), "line_h", "left_anti"
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s.getField("_line"),
+            ),
+            "\n",
+        ).alias(f"{text_col}_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        df.withColumn(
+            "n_lines",
+            F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).cast(
+                "long"
+            ),
+        )
+        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .withColumn(
+            "n_removed",
+            F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)),
+        )
+        .withColumn(
+            f"{text_col}_clean",
+            F.coalesce(F.col(f"{text_col}_clean"), F.lit("")),
+        )
+        .drop("_n_kept")
+    )
+
+
+def line_dedup_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    min_len: int = 10,
+) -> str:
+    """DuckDB twin of :func:`line_dedup` (per-doc summary projection:
+    id, n_lines, n_removed, clean length, clean-text md5)."""
+    from dataset_grouper_spark.functions.hashing import md5_long_sql
+
+    return f"""
+        WITH lines AS (
+            SELECT {id_col} AS _id,
+                   x.pos AS _pos,
+                   x.line AS _line,
+                   {md5_long_sql("x.line")} AS line_h
+            FROM {table},
+                 LATERAL (
+                     SELECT UNNEST(string_split(coalesce({text_col}, ''), chr(10))) AS line,
+                            generate_subscripts(string_split(coalesce({text_col}, ''), chr(10)), 1) AS pos
+                 ) AS x
+        ),
+        boiler AS (
+            SELECT line_h
+            FROM lines
+            WHERE length(trim(_line)) >= {min_len}
+            GROUP BY line_h
+            HAVING count(DISTINCT _id) >= {min_docs}
+        ),
+        kept AS (
+            SELECT l.* FROM lines l ANTI JOIN boiler b USING (line_h)
+        ),
+        rebuilt AS (
+            SELECT _id,
+                   string_agg(_line, chr(10) ORDER BY _pos) AS clean_text,
+                   count(*) AS _n_kept
+            FROM kept GROUP BY _id
+        ),
+        totals AS (
+            SELECT _id, count(*) AS n_lines FROM lines GROUP BY _id
+        )
+        SELECT t._id AS {id_col},
+               CAST(t.n_lines AS BIGINT) AS n_lines,
+               CAST(t.n_lines - coalesce(r._n_kept, 0) AS BIGINT) AS n_removed,
+               CAST(strlen(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+               md5(coalesce(r.clean_text, '')) AS clean_md5
+        FROM totals t LEFT JOIN rebuilt r USING (_id)
+    """

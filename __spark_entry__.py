@@ -2549,6 +2549,83 @@ def q_audio_resample_wav(spark: SparkSession, sf: str) -> DataFrame:
     return rs.select("id", "sample_rate", "n_frames", "sum_sq")
 
 
+# IMA-ADPCM oracle fixture: a 24-nibble pattern (all magnitudes, both
+# signs, index growth and shrink) whose spec-expansion from index 0
+# stays within [-216, +99] — so with block predictors >= 500 every
+# decoded sample is positive and the features are closed-form.
+ADPCM_NIBS = [3, 11, 5, 13, 1, 9, 7, 15, 2, 10, 4, 12,
+              6, 14, 0, 8, 3, 11, 5, 13, 2, 10, 1, 9]
+ADPCM_RATE = 8000
+
+
+def _adpcm_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of hand-framed mono IMA-ADPCM WAVs: ``2 +
+    d%3`` 16-byte blocks, block ``b`` anchored at predictor ``500 +
+    (d*37 + b*101) % 1500`` with step index 0, nibble payload =
+    ADPCM_NIBS.  Block independence makes the decode exactly ``P_b +
+    C_i`` (C = the spec expansion of ADPCM_NIBS) — the oracle's
+    closed form.  Change only in lockstep with the ADPCM oracle."""
+    import struct
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            packed = bytes(
+                ADPCM_NIBS[i] | (ADPCM_NIBS[i + 1] << 4)
+                for i in range(0, len(ADPCM_NIBS), 2)
+            )
+            for d in ids:
+                d = int(d)
+                n_blocks = 2 + d % 3
+                data = b"".join(
+                    struct.pack("<hBB", 500 + (d * 37 + b * 101) % 1500, 0, 0)
+                    + packed
+                    for b in range(n_blocks)
+                )
+                spb = 1 + len(ADPCM_NIBS)
+                fmt = struct.pack(
+                    "<HHIIHHHH", 0x11, 1, ADPCM_RATE,
+                    ADPCM_RATE * 16 // spb, 16, 4, 2, spb,
+                )
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"fact"
+                    + struct.pack("<II", 4, n_blocks * spb)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                outs.append(wav)
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+
+
+def q_audio_adpcm_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL compressed-audio decode (IMA/DVI ADPCM, WAV format 0x11 —
+    pure stdlib+numpy, operators/audio.py) oracled in closed form: the
+    fixture's blocks re-anchor at known predictors with a fixed nibble
+    pattern, so each decoded sample is predictor + a constant offset
+    computed by an INDEPENDENT scalar spec expansion (oracles.py). A
+    wrong step-table walk, nibble order, sign expansion, or block
+    framing shifts every offset and hash-mismatches."""
+    from dataset_grouper_spark.operators import audio
+
+    wavs = _adpcm_frame(read_table(spark, sf, "documents"))
+    return audio.audio_features(wavs, "content", "doc_id").select(
+        "id", "n_frames", "duration_ms", "peak", "sum_sq", "zero_crossings"
+    )
+
+
 COSINE_PAIR_T = 0.45
 
 
@@ -3728,13 +3805,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_documents": q_drift_documents,
         "matview_refresh_documents": q_matview_refresh_documents,
         # tier B: new this round (exactly-once streaming matview,
-        # cross-corpus line dedup, closed-form OLS); the three
-        # insertions push vocab_index_documents,
-        # temperature_mix_documents and delete_roundtrip to positions
-        # 51-53 — they lead tier A next round.
+        # cross-corpus line dedup, closed-form OLS, IMA-ADPCM audio
+        # decode); the four insertions push lm_tiered_documents,
+        # vocab_index_documents, temperature_mix_documents and
+        # delete_roundtrip to positions 51-54 — they lead tier A next
+        # round.
         "streaming_matview_sums": q_streaming_matview_sums,
         "line_dedup_documents": q_line_dedup_documents,
         "ols_chars_documents": q_ols_chars_documents,
+        "audio_adpcm_features": q_audio_adpcm_features,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
@@ -5262,6 +5341,9 @@ def oracle_sql() -> dict[str, str]:
                      AS zero_crossings
             FROM f GROUP BY doc_id
         """,
+        "audio_adpcm_features": oracles.adpcm_features_sql(
+            "documents", "doc_id", ADPCM_NIBS, ADPCM_RATE
+        ),
         "audio_frame_energy": f"""
             WITH s AS (
               SELECT d.doc_id, i.i,

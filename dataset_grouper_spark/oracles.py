@@ -621,3 +621,74 @@ def pipeline_ingest_sql(
              CAST(0 AS BIGINT) AS n_dropped_members
       FROM capped GROUP BY source
     """
+
+
+# --- IMA-ADPCM: independent scalar spec expansion (NOT the numpy
+# production decoder in operators/audio.py — agreement between the two
+# is the point of the oracle).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_IDX = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+
+
+def ima_adpcm_offsets(nibbles: list[int]) -> list[int]:
+    """Spec expansion of a nibble sequence from (pred=0, index=0),
+    UNCLAMPED — valid as a predictor-relative offset table only while
+    the true samples stay far from the int16 rails (the fixture
+    guarantees it). Offset 0 is the block-header predictor itself."""
+    pred, index, out = 0, 0, [0]
+    for n in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        if n & 8:
+            diff = -diff
+        pred += diff
+        index = max(0, min(88, index + _IMA_IDX[n]))
+        out.append(pred)
+    return out
+
+
+def adpcm_features_sql(
+    table: str, id_col: str, nibbles: list[int], rate: int
+) -> str:
+    """Closed-form twin of audio_features over the ADPCM fixture: doc
+    ``d`` holds ``2 + d%3`` blocks anchored at ``500 + (d*37 +
+    b*101) % 1500``; every decoded sample is anchor + offset, all
+    positive, so peak/energy/crossings reduce to the offset moments."""
+    c = ima_adpcm_offsets(nibbles)
+    if min(c) <= -500 or max(c) + 1999 > 32767:
+        raise ValueError("fixture offsets violate the all-positive bound")
+    spb, ssum, ssq, cmax = len(c), sum(c), sum(v * v for v in c), max(c)
+    return f"""
+        WITH blocks AS (
+            SELECT {id_col} AS id,
+                   2 + {id_col} % 3 AS n_blocks,
+                   500 + ({id_col}*37 + b.b*101) % 1500 AS p
+            FROM {table},
+                 LATERAL (SELECT UNNEST(range(2 + {id_col} % 3)) AS b) b
+        )
+        SELECT id,
+               CAST({spb} * n_blocks AS BIGINT) AS n_frames,
+               CAST(({spb} * n_blocks * 1000) // {rate} AS BIGINT)
+                   AS duration_ms,
+               CAST(max(p) + {cmax} AS BIGINT) AS peak,
+               CAST(sum({spb}*p*p + 2*p*({ssum}) + {ssq}) AS BIGINT)
+                   AS sum_sq,
+               CAST(0 AS BIGINT) AS zero_crossings
+        FROM blocks
+        GROUP BY id, n_blocks
+    """

@@ -3597,6 +3597,31 @@ def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC interchange (the other columnar interchange format big
+    Hive/Trino estates hold corpora in): corpus -> zlib ORC -> read
+    back -> rollup. Predicate pushdown and column pruning work the
+    same as parquet (ORC carries its own stripe-level min/max), so an
+    ORC-resident 100 TB corpus is a first-class source, not an import
+    step. The hash proves byte-exact text round-trip through the ORC
+    string codec."""
+    import tempfile
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "doc_id long, source string, text string, n_chars long"
+    ).orc(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_topn_per_group_events(spark: SparkSession, sf: str) -> DataFrame:
     """Top-N per group — the ubiquitous "3 highest-value events per
     event type" pattern: window rank inside each group, filter, done in
@@ -3806,14 +3831,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_refresh_documents": q_matview_refresh_documents,
         # tier B: new this round (exactly-once streaming matview,
         # cross-corpus line dedup, closed-form OLS, IMA-ADPCM audio
-        # decode); the four insertions push lm_tiered_documents,
+        # decode, ORC interchange); the five insertions push
+        # contrastive_negatives_documents, lm_tiered_documents,
         # vocab_index_documents, temperature_mix_documents and
-        # delete_roundtrip to positions 51-54 — they lead tier A next
+        # delete_roundtrip to positions 51-55 — they lead tier A next
         # round.
         "streaming_matview_sums": q_streaming_matview_sums,
         "line_dedup_documents": q_line_dedup_documents,
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
+        "orc_roundtrip": q_orc_roundtrip,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
@@ -4669,6 +4696,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
         """,
         "jsonl_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "orc_roundtrip": """
             SELECT source, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -74,3 +74,46 @@ def test_gram_sums_single_pass_no_shuffle_explosion(spark, xy):
     ).executedPlan().toString()
     # one hash-aggregate pair (partial + final), no join, no window
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_incremental_ols_via_matview(spark, tmp_path):
+    """The Gram row is ADDITIVE, so the closed-form fit composes with
+    the incremental-matview fold: maintaining the sufficient stats as
+    a materialized rollup and solving on read equals the batch fit —
+    a continuously-updated linear model with O(batch) refresh cost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataset_grouper_spark.operators import matview
+
+    rng = np.random.RandomState(3)
+    x0 = rng.randint(0, 100, 600)
+    x1 = rng.randint(0, 30, 600)
+    y = 10 + 4 * x0 - 2 * x1 + rng.randint(-3, 4, 600)
+    rows = [(int(a), int(b), int(c)) for a, b, c in zip(x0, x1, y)]
+    df = spark.createDataFrame(rows, "x0 long, x1 long, y long")
+    sums = {
+        "n": F.lit(1),
+        "sx0": F.col("x0"),
+        "sx0y": F.col("x0") * F.col("y"),
+        "sx0x0": F.col("x0") * F.col("x0"),
+        "sx0x1": F.col("x0") * F.col("x1"),
+        "sx1": F.col("x1"),
+        "sx1y": F.col("x1") * F.col("y"),
+        "sx1x1": F.col("x1") * F.col("x1"),
+        "sy": F.col("y"),
+        "syy": F.col("y") * F.col("y"),
+    }
+    path = os.path.join(str(tmp_path), "gram")
+    df0, df1, df2 = (df.filter(F.col("x0") % 3 == i) for i in range(3))
+    matview.create_materialized_sums(df0.withColumn("k", F.lit(1)), ["k"], sums, path)
+    for i, batch in enumerate((df1, df2)):
+        matview.refresh_materialized_sums(
+            spark, batch.withColumn("k", F.lit(1)), ["k"], sums, path,
+            tag=f"b{i}",
+        )
+    stored = spark.read.parquet(path).drop("k")
+    incr = regress._cramer2(stored, 6).collect()[0]
+    batch_fit = regress.ols_fit2(df, "y", ["x0", "x1"], 6).collect()[0]
+    assert incr.asDict() == batch_fit.asDict()

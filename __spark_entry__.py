@@ -3303,7 +3303,9 @@ def q_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return pds.group_index().join(per_file, "group_id")
 
 
-def q_tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+def q_tfrecord_roundtrip(
+    spark: SparkSession, sf: str, _suffix: str = ""
+) -> DataFrame:
     """Pack documents per source into SequenceExamples, write sharded
     TFRecords (pure-python proto+crc codec), read back distributed and
     count — byte-level storage parity with the reference. Rows-only
@@ -3344,10 +3346,21 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     prefix = tempfile.mkdtemp(prefix="tfr_rt_") + "/docs.tfrecord"
     paths = tfrecord.write_grouped_tfrecords(
-        packed, "group_id", "packed", prefix, num_shards=2
+        packed, "group_id", "packed", prefix, num_shards=2,
+        file_name_suffix=_suffix,
     )
     back = tfrecord.read_tfrecord_dataframe(spark, paths)
     return back.select(F.size("payloads").cast("long").alias("examples_in_group"))
+
+
+def q_tfrecord_gzip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The same sharded TFRecord lifecycle through TF-standard
+    whole-file gzip (`*.tfrecord.gz`, TFRecordOptions('GZIP') parity —
+    the format TFDS ships compressed shards in): suffix-inferred
+    compression on the distributed write AND read, deterministic
+    member bytes (mtime=0). Identical result contract to
+    `tfrecord_roundtrip`, so the same oracle pins it."""
+    return q_tfrecord_roundtrip(spark, sf, _suffix=".gz")
 
 
 GS_SEED = 7
@@ -3848,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
+        "tfrecord_gzip_roundtrip": q_tfrecord_gzip_roundtrip,
         # ---- position >50: falls out this round and leads tier A
         #      next round, in this order: first the 8 remaining
         #      never-driver-oracled queries, then the r4-green block
@@ -5436,6 +5450,10 @@ def oracle_sql() -> dict[str, str]:
         # SQL twin; only approx_distinct remains rows-only — an
         # engine-specific sketch has no DuckDB twin).
         "tfrecord_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS examples_in_group
+            FROM documents GROUP BY source
+        """,
+        "tfrecord_gzip_roundtrip": """
             SELECT CAST(count(*) AS BIGINT) AS examples_in_group
             FROM documents GROUP BY source
         """,

@@ -282,15 +282,58 @@ def _frame_records(recs: list[bytes]) -> bytes:
 _IO_BATCH = 512  # records per CRC batch on the shard IO paths
 
 
-def write_records(path: str, records: Iterable[bytes]) -> int:
+def _infer_gzip(path: str, compression: str | None) -> bool:
+    """TFRecord compression contract: ``"auto"`` (default everywhere)
+    infers whole-file gzip from a ``.gz`` suffix — the convention TFDS
+    shards ship under (``*.tfrecord.gz``); ``"gzip"``/``"none"``
+    override. The stream format matches TF's ``TFRecordOptions('GZIP')``:
+    one gzip member wrapping the ordinary CRC-framed record stream."""
+    if compression in (None, "none"):
+        return False
+    if compression == "gzip":
+        return True
+    if compression == "auto":
+        return path.endswith(".gz")
+    raise ValueError(f"unknown compression: {compression!r}")
+
+
+class _GzipWriter:
+    """Deterministic gzip wrapper (mtime=0, no name) over a compat.fs
+    stream — identical input bytes produce identical shard bytes, so
+    compressed shards stay content-addressable/diffable."""
+
+    def __init__(self, raw):
+        import gzip
+
+        self._raw = raw
+        self._gz = gzip.GzipFile(
+            filename="", fileobj=raw, mode="wb", mtime=0
+        )
+
+    def write(self, b: bytes) -> None:
+        self._gz.write(b)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._gz.close()
+        return self._raw.__exit__(*exc)
+
+
+def write_records(
+    path: str, records: Iterable[bytes], compression: str | None = "auto"
+) -> int:
     """Write one TFRecord file (any ``compat.fs`` scheme); returns
     record count. Records are framed in batches so the data CRCs ride
-    the vectorized ``crc32c_batch`` kernel."""
+    the vectorized ``crc32c_batch`` kernel. A ``.gz`` path (or
+    ``compression="gzip"``) writes TF-standard whole-file gzip."""
     from dataset_grouper_spark.compat import fs
 
     n = 0
     batch: list[bytes] = []
-    with fs.open_write(path) as f:
+    raw = fs.open_write(path)
+    with (_GzipWriter(raw) if _infer_gzip(path, compression) else raw) as f:
         for rec in records:
             batch.append(rec)
             n += 1
@@ -302,12 +345,22 @@ def write_records(path: str, records: Iterable[bytes]) -> int:
     return n
 
 
-def read_records(path: str, verify: bool = True) -> Iterator[bytes]:
+def read_records(
+    path: str, verify: bool = True, compression: str | None = "auto"
+) -> Iterator[bytes]:
     """Iterate records from one TFRecord file, checking CRCs (data CRCs
-    verified in vectorized batches)."""
+    verified in vectorized batches). ``.gz`` paths (or
+    ``compression="gzip"``) stream through stdlib gzip — decompression
+    is incremental, never a whole-file buffer."""
+    import contextlib
+    import gzip
+
     from dataset_grouper_spark.compat import fs
 
-    with fs.open_read(path) as f:
+    with contextlib.ExitStack() as stack:
+        f = stack.enter_context(fs.open_read(path))
+        if _infer_gzip(path, compression):
+            f = stack.enter_context(gzip.GzipFile(fileobj=f, mode="rb"))
         done = False
         while not done:
             frames: list[tuple[bytes, bytes, int, int]] = []
@@ -390,7 +443,8 @@ def write_grouped_tfrecords(
 
         idx = TaskContext.get().partitionId()
         path = shard_name(file_path_prefix, idx, num_shards, file_name_suffix)
-        with fs.open_write(path) as f:
+        raw = fs.open_write(path)
+        with (_GzipWriter(raw) if _infer_gzip(path, "auto") else raw) as f:
             for pdf in pdf_iter:
                 recs = [
                     create_sequence_example([bytes(b) for b in payloads])

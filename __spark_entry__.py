@@ -22,7 +22,7 @@ from dataset_grouper_spark.functions import featurize, textanalysis, textstats
 from dataset_grouper_spark.functions import bpe as bpe_fns
 from dataset_grouper_spark.functions import lm as lm_fns
 from dataset_grouper_spark.functions import sketches as sketches_fns
-from dataset_grouper_spark.functions import quality, vocab
+from dataset_grouper_spark.functions import hashing, quality, vocab
 from dataset_grouper_spark.operators import profile as profile_ops
 from dataset_grouper_spark.operators import sessions as sessions_ops
 from dataset_grouper_spark.operators import chunking, dedup, multimodal, similarity
@@ -3635,6 +3635,27 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_value_percentiles_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p90/p99 of value per event type)
+    — the latency-SLO/score-threshold query shape. Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the same
+    rank-interpolation formula, verified BIT-identical; rounded for
+    belt-and-braces. At 100 TB the same query swaps to
+    `approx_percentile` (bounded-memory t-digest-style sketch, no
+    per-group sort buffer) — accuracy pinned in tests/test_misc_ops.py."""
+    df = read_table(spark, sf, "events")
+    pcts = {f"p{int(p * 100)}": p for p in (0.5, 0.9, 0.99)}
+    return df.groupBy("event_type").agg(
+        *[
+            hashing.round_even(
+                F.expr(f"percentile(value, {p})"), 6
+            ).alias(name)
+            for name, p in pcts.items()
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_topn_per_group_events(spark: SparkSession, sf: str) -> DataFrame:
     """Top-N per group — the ubiquitous "3 highest-value events per
     event type" pattern: window rank inside each group, filter, done in
@@ -3844,16 +3865,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_refresh_documents": q_matview_refresh_documents,
         # tier B: new this round (exactly-once streaming matview,
         # cross-corpus line dedup, closed-form OLS, IMA-ADPCM audio
-        # decode, ORC interchange); the five insertions push
+        # decode, ORC interchange, exact grouped percentiles); the six
+        # insertions push bpe_token_counts_documents,
         # contrastive_negatives_documents, lm_tiered_documents,
         # vocab_index_documents, temperature_mix_documents and
-        # delete_roundtrip to positions 51-55 — they lead tier A next
-        # round.
+        # delete_roundtrip to positions 51-56 — they lead tier A next
+        # round (with tfrecord_gzip_roundtrip, new past-cap).
         "streaming_matview_sums": q_streaming_matview_sums,
         "line_dedup_documents": q_line_dedup_documents,
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
         "orc_roundtrip": q_orc_roundtrip,
+        "value_percentiles_events": q_value_percentiles_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
@@ -5521,6 +5544,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id < 300 OR value >= 900.0
             GROUP BY event_type
+        """,
+        "value_percentiles_events": """
+            SELECT event_type,
+                   round_even(quantile_cont(value, 0.5), 6) AS p50,
+                   round_even(quantile_cont(value, 0.9), 6) AS p90,
+                   round_even(quantile_cont(value, 0.99), 6) AS p99,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
         """,
         "topn_per_group_events": """
             WITH r AS (

@@ -53,3 +53,25 @@ def test_release_intermediates_unpersists(spark):
     assert cache.release_intermediates() >= 1
     # idempotent: everything already released
     assert cache.release_intermediates() == 0
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The 100 TB path for value_percentiles_events: approx_percentile
+    (bounded memory, no per-group sort buffer) lands within the
+    accuracy bound of the exact grouped percentile."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g",
+        "CAST((id * 2654435761) % 100000 AS DOUBLE) / 100 AS v",
+    )
+    rows = df.groupBy("g").agg(
+        F.expr("percentile(v, array(0.5, 0.9, 0.99))").alias("exact"),
+        F.expr("approx_percentile(v, array(0.5, 0.9, 0.99), 1000)").alias(
+            "approx"
+        ),
+        F.expr("max(v) - min(v)").alias("span"),
+    ).collect()
+    for r in rows:
+        for e, a in zip(r["exact"], r["approx"]):
+            assert abs(e - a) <= r["span"] * 0.01  # within 1% of range

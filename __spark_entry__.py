@@ -1224,6 +1224,28 @@ def q_incremental_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_fingerprint_screen_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-style ingest screen (relational form): a 'new crawl
+    batch' of fresh docs PLUS planted replays of existing corpus texts
+    is screened against the corpus via the broadcast fingerprint set —
+    definitely-new rows never shuffle, only fingerprint hits reach the
+    exact anti join. Output is row-identical to the plain exact screen
+    (the oracle IS that anti join), so a screen that drops a fresh row
+    or admits a replay hash-mismatches."""
+    df = read_table(spark, sf, "documents")
+    existing = df.filter("doc_id % 5 != 0")
+    fresh = df.filter("doc_id % 5 = 0")
+    plants = existing.filter("doc_id % 7 = 0").withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    new = fresh.unionByName(plants)
+    out = dedup.fingerprint_screen_against(new, existing, "text")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_dup_ngram_fraction_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicated-span signal: fraction of each doc's distinct 3-grams
     that appear in any other doc (relational stand-in for suffix-array
@@ -3865,11 +3887,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_refresh_documents": q_matview_refresh_documents,
         # tier B: new this round (exactly-once streaming matview,
         # cross-corpus line dedup, closed-form OLS, IMA-ADPCM audio
-        # decode, ORC interchange, exact grouped percentiles); the six
-        # insertions push bpe_token_counts_documents,
+        # decode, ORC interchange, exact grouped percentiles, the
+        # broadcast fingerprint screen); the seven insertions push
+        # weighted_sample_documents, bpe_token_counts_documents,
         # contrastive_negatives_documents, lm_tiered_documents,
         # vocab_index_documents, temperature_mix_documents and
-        # delete_roundtrip to positions 51-56 — they lead tier A next
+        # delete_roundtrip to positions 51-57 — they lead tier A next
         # round (with tfrecord_gzip_roundtrip, new past-cap).
         "streaming_matview_sums": q_streaming_matview_sums,
         "line_dedup_documents": q_line_dedup_documents,
@@ -3877,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_adpcm_features": q_audio_adpcm_features,
         "orc_roundtrip": q_orc_roundtrip,
         "value_percentiles_events": q_value_percentiles_events,
+        "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
@@ -4161,6 +4185,26 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", CONTAM_BENCH_FILTER,
             CONTAM_N, NGRAM_N, PIPE2_DUP_FRAC_MAX, PIPE2_CAP,
         ),
+        "fingerprint_screen_documents": """
+            WITH existing AS (
+                SELECT * FROM documents WHERE doc_id % 5 != 0
+            ),
+            newb AS (
+                SELECT doc_id, source, text FROM documents
+                WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 1000000, source, text FROM documents
+                WHERE doc_id % 5 != 0 AND doc_id % 7 = 0
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_survivors,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM newb n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM existing e WHERE e.text = n.text
+            )
+            GROUP BY source
+        """,
         "incremental_dedup_documents": oracles.minhash_against_sql(
             "documents", "text", "doc_id", INCR_NEW_FILTER,
             NGRAM_N, MH_PERM, MH_BANDS, MH_SEED, "doc_id, source",

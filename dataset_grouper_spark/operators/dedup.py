@@ -949,3 +949,62 @@ def line_dedup_sql(
                md5(coalesce(r.clean_text, '')) AS clean_md5
         FROM totals t LEFT JOIN rebuilt r USING (_id)
     """
+
+
+def fingerprint_screen_against(
+    new: DataFrame,
+    existing: DataFrame,
+    content_col: str,
+    max_broadcast_fps: int = 2_000_000,
+) -> DataFrame:
+    """Incremental exact dedup with a BROADCAST FINGERPRINT SCREEN —
+    the relational form of the Bloom-filter pre-join every large-scale
+    dedup pipeline runs: the corpus's distinct 60-bit content
+    fingerprints broadcast to every task and split the new batch
+    WITHOUT shuffling it; rows whose fingerprint is absent are
+    DEFINITELY new (a fingerprint set has no false negatives) and
+    skip the exact check entirely, only fingerprint hits go through
+    the exact 128-bit anti join. Output is row-identical to
+    :func:`exact_dedup_against` — the screen is a pure plan
+    optimization, never a semantics change.
+
+    Scale shape: the broadcast is bounded by a guarded count (the
+    ``_bounded_broadcast_join`` idiom): at most ``max_broadcast_fps``
+    distinct fingerprints (8 bytes each — the default caps the
+    broadcast at ~16 MB) are fetched in one bounded job; past the cap
+    the screen is skipped and the operator degrades to the plain
+    shuffle anti join AQE plans — an unbounded relation is never
+    broadcast. At ingest (|new| << |corpus|) with the screen active,
+    the 100 TB corpus contributes ONE distinct-fingerprint aggregation
+    and zero shuffled rows of the new batch; without the screen every
+    new-batch row shuffles against the corpus hash table.
+    """
+    fps = (
+        existing.select(md5_long(F.col(content_col)).alias("_fp"))
+        .distinct()
+    )
+    fps = persist_tracked(fps)
+    probe = fps.limit(max_broadcast_fps + 1).collect()
+    if len(probe) > max_broadcast_fps:
+        # corpus fingerprints exceed the broadcast budget: plain
+        # shuffle anti join (the screen would not fit on executors)
+        out = (
+            new.withColumn("_fp", md5_long(F.col(content_col)))
+            .join(fps, "_fp", "left_anti")
+            .drop("_fp")
+        )
+        # fp-collision survivors: a 60-bit fp anti join can (with
+        # ~n^2/2^61 probability) drop a genuinely-new row; route the
+        # result through the exact check to keep the contract exact
+        return exact_dedup_against(out, existing, content_col)
+    spark = new.sparkSession
+    local = spark.createDataFrame(probe, fps.schema)
+    fps.unpersist()
+    tagged = new.withColumn(
+        "_fp", md5_long(F.col(content_col))
+    ).join(F.broadcast(local.withColumn("_hit", F.lit(1))), "_fp", "left")
+    fresh = tagged.filter(F.col("_hit").isNull()).drop("_fp", "_hit")
+    maybe = tagged.filter(F.col("_hit").isNotNull()).drop("_fp", "_hit")
+    return fresh.unionByName(
+        exact_dedup_against(maybe, existing, content_col)
+    )

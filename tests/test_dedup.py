@@ -172,3 +172,56 @@ def test_cluster_near_dups_id_column_named_id(spark):
     }
     assert out[1] == out[2] == 1
     assert out[3] == 3
+
+
+class TestFingerprintScreen:
+    def _frames(self, spark):
+        existing = spark.createDataFrame(
+            [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "delta fresh"),       # definitely new
+                (11, "beta text"),         # exact replay -> screened
+                (12, None),                # NULL text -> survives (md5 NULL)
+                (13, "epsilon fresh"),
+            ],
+            "doc_id long, text string",
+        )
+        return new, existing
+
+    def test_identical_to_exact_screen_small(self, spark):
+        from dataset_grouper_spark.operators import dedup
+
+        new, existing = self._frames(spark)
+        screened = dedup.fingerprint_screen_against(new, existing, "text")
+        plain = dedup.exact_dedup_against(new, existing, "text")
+        assert sorted(r["doc_id"] for r in screened.collect()) == sorted(
+            r["doc_id"] for r in plain.collect()
+        ) == [10, 12, 13]
+
+    def test_identical_above_broadcast_cap(self, spark):
+        from dataset_grouper_spark.operators import dedup
+
+        new, existing = self._frames(spark)
+        out = dedup.fingerprint_screen_against(
+            new, existing, "text", max_broadcast_fps=1
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [10, 12, 13]
+
+    def test_screen_branch_broadcasts_not_shuffles_fresh(self, spark):
+        from dataset_grouper_spark.operators import dedup
+
+        new, existing = self._frames(spark)
+        plan = dedup.fingerprint_screen_against(
+            new, existing, "text"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_schema_preserved(self, spark):
+        from dataset_grouper_spark.operators import dedup
+
+        new, existing = self._frames(spark)
+        out = dedup.fingerprint_screen_against(new, existing, "text")
+        assert out.columns == new.columns

@@ -2249,7 +2249,23 @@ def q_multimodal_jpeg_pixels(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_pixel_stats(imgs, "content", "doc_id")
 
 
-def _jpeg_mosaic_frame(df: DataFrame) -> DataFrame:
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PROGRESSIVE (SOF2) JPEG decode — the encoding most large
+    web photos actually ship as: the SAME closed-form mosaic planes
+    as multimodal_jpeg_pixels, but entropy-coded through the full
+    progressive scan script (interleaved first-DC at Al=1, staged
+    spectral bands, successive-approximation refinements, EOB runs).
+    The quantized coefficients are identical by construction, so the
+    SAME oracle pins the multi-scan accumulation: a broken refinement
+    bit, EOB-run miscount, or band mis-assignment shifts pixels and
+    hash-mismatches."""
+    imgs = _jpeg_mosaic_frame(
+        read_table(spark, sf, "documents"), progressive=True
+    )
+    return multimodal.image_pixel_stats(imgs, "content", "doc_id")
+
+
+def _jpeg_mosaic_frame(df: DataFrame, progressive: bool = False) -> DataFrame:
     """(doc_id, content) of 4:2:0 baseline JPEGs — macro grid
     (1 + d%3) x (1 + d%2), Y per luma block (lbx,lby) =
     (lbx*31 + lby*17 + 3d) mod 256, Cb/Cr per macroblock (mx,my) =
@@ -2291,12 +2307,19 @@ def _jpeg_mosaic_frame(df: DataFrame) -> DataFrame:
                 # conversion): block-constant planes under uniform
                 # quant 8 roundtrip exactly, so the decoded RGB is the
                 # fixed-point conversion of these very values
-                outs.append(
-                    J.encode_jpeg_ycbcr(
-                        y, cb, cr, "4:2:0", qtables=(q8, q8),
-                        restart_interval=(2 if d % 2 == 0 else 0),
+                if progressive:
+                    outs.append(
+                        J.encode_jpeg_ycbcr_progressive(
+                            y, cb, cr, "4:2:0", qtables=(q8, q8)
+                        )
                     )
-                )
+                else:
+                    outs.append(
+                        J.encode_jpeg_ycbcr(
+                            y, cb, cr, "4:2:0", qtables=(q8, q8),
+                            restart_interval=(2 if d % 2 == 0 else 0),
+                        )
+                    )
             yield pd.DataFrame({"doc_id": ids, "content": outs})
 
     return _spread(df.select("doc_id")).mapInPandas(
@@ -3901,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
@@ -4035,7 +4059,7 @@ def oracle_sql() -> dict[str, str]:
     dirichlet_values = keys.dirichlet_interval_values_sql(
         DIR_LABELS, DIR_GROUPS, DIR_ALPHA, DIR_SEED
     )
-    return {
+    sql = {
         "group_counts_events_by_user": f"""
             SELECT CAST(user_id AS VARCHAR) AS group_id,
                    count(*) AS num_examples,
@@ -5697,6 +5721,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # the progressive mosaic carries identical quantized coefficients,
+    # so its oracle IS the baseline jpeg oracle
+    sql["multimodal_jpeg_progressive"] = sql["multimodal_jpeg_pixels"]
+    return sql
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,15 +1,24 @@
-"""Baseline JPEG codec — pure stdlib + numpy, no PIL.
+"""JPEG codec — pure stdlib + numpy, no PIL.
 
 Scope (honest): BASELINE sequential DCT (SOF0, plus SOF1 whose scan
-coding is identical), 8-bit samples, 1 (grayscale) or 3 (YCbCr)
-components, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
-restart markers. Progressive (SOF2) and arithmetic-coded files return
-None and fall through to multimodal's PIL gate. This closes the
-dominant photographic web format the r5 verdict named as the last
-major multimodal gap (VERDICT r5 next-round #7); the PNG codec
+coding is identical) AND PROGRESSIVE (SOF2 — spectral selection,
+successive approximation, interleaved DC / non-interleaved AC scans,
+EOB runs, restart markers), 8-bit samples, 1 (grayscale) or 3 (YCbCr)
+components, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0).
+Arithmetic-coded / lossless / hierarchical files return None and fall
+through to multimodal's PIL gate. This closes the dominant
+photographic web format the r5 verdict named as the last major
+multimodal gap (VERDICT r5 next-round #7) — progressive being the
+encoding most large web photos actually ship as; the PNG codec
 (multimodal.decode_png_pixels) proved the pattern. Reference
 analogue: image payloads are the reference's own integration path
 (/root/reference/dataset_grouper/integration_test.py:29).
+
+The progressive pair's internal law: the progressive encoder emits the
+SAME quantized coefficients the baseline encoder emits, so progressive
+decode must be BIT-IDENTICAL to baseline decode of the same input —
+tests pin this across subsamplings, scan scripts, and EOB-run-heavy
+sparse images.
 
 Decoder choices that are part of the cross-engine contract:
 
@@ -280,9 +289,15 @@ def _extend(val: int, size: int) -> int:
 
 
 def decode_jpeg_pixels(b: bytes):
-    """Baseline JPEG -> (H, W, 3) uint8 RGB, or None for non-JPEG /
-    progressive / arithmetic / unsupported shapes (those fall through
-    to the PIL gate)."""
+    """Baseline (SOF0/1) or PROGRESSIVE (SOF2) JPEG -> (H, W, 3) uint8
+    RGB, or None for non-JPEG / arithmetic / hierarchical / unsupported
+    shapes (those fall through to the PIL gate). Progressive decode
+    accumulates every scan (spectral selection AND successive
+    approximation, interleaved DC + non-interleaved AC, restart
+    markers, EOB runs) into per-component coefficient stores, then
+    reconstructs once at EOI — identical dequant/IDCT/upsample/color
+    math to the baseline path, so a progressive re-encode of the same
+    quantized coefficients decodes bit-identically."""
     import numpy as np
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":
@@ -290,6 +305,8 @@ def decode_jpeg_pixels(b: bytes):
     qt: dict[int, list[int]] = {}
     hts: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     sof = None
+    progressive = False
+    store = None  # per-comp zigzag coefficient grids (progressive)
     restart_interval = 0
     i = 2
     while i + 4 <= len(b):
@@ -303,10 +320,12 @@ def decode_jpeg_pixels(b: bytes):
             i += 2
             continue
         if marker == 0xD9:
+            if progressive and store is not None:
+                return _finish_progressive(sof, qt, store)
             return None  # EOI before SOS
         (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
         seg = b[i + 4 : i + 2 + seglen]
-        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8 or ncomp not in (1, 3):
                 return None
@@ -315,9 +334,10 @@ def decode_jpeg_pixels(b: bytes):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             sof = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -351,11 +371,308 @@ def decode_jpeg_pixels(b: bytes):
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                b, i + 2 + seglen, sof, scan, qt, hts, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    b, i + 2 + seglen, sof, scan, qt, hts, restart_interval
+                )
+            band = (
+                seg[1 + 2 * ns],
+                seg[2 + 2 * ns],
+                seg[3 + 2 * ns] >> 4,
+                seg[3 + 2 * ns] & 0x0F,
             )
+            if store is None:
+                store = _init_coef_store(sof)
+                if store is None:
+                    return None
+            nxt = _decode_prog_scan(
+                b, i + 2 + seglen, sof, scan, band, hts,
+                restart_interval, store,
+            )
+            if nxt is None:
+                return None
+            i = nxt
+            continue
         i += 2 + seglen
+    if progressive and store is not None:
+        # trailing EOI sits in the last 2 bytes (the 4-byte loop bound
+        # never enters for it); also tolerates a truncated tail after
+        # fully-decoded scans, as libjpeg does
+        return _finish_progressive(sof, qt, store)
     return None
+
+
+def _init_coef_store(sof):
+    """Per-component MCU-padded block grids of zigzag coefficients."""
+    import numpy as np
+
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return [
+        np.zeros((mcuy * vc, mcux * hc, 64), dtype=np.int32)
+        for (_cid, hc, vc, _tq) in comps
+    ]
+
+
+def _next_marker_pos(b: bytes, pos: int):
+    """Position of the next REAL marker (0xFF + non-stuffing, non-RST
+    byte) at or after ``pos`` — where the walk resumes after an
+    entropy-coded progressive scan."""
+    i = pos
+    n = len(b)
+    while i + 1 < n:
+        if b[i] == 0xFF:
+            nxt = b[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:
+                i += 1
+                continue
+            return i
+        i += 1
+    return None
+
+
+def _decode_prog_scan(b, pos, sof, scan, band, hts, restart_interval, store):
+    """Decode ONE progressive scan into the coefficient store; returns
+    the stream position of the next marker, or None on corruption.
+    Implements T.81 G.1.2: interleaved/non-interleaved first DC scans,
+    DC refinement bits, AC first scans with EOB runs, and AC
+    successive-approximation refinement (correction bits)."""
+    w, h, comps = sof
+    ss, se, ah, al = band
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    cidx = {cid: j for j, (cid, _h, _v, _t) in enumerate(comps)}
+    rdr = _BitReader(b, pos)
+
+    def finish():
+        return _next_marker_pos(b, rdr.pos)
+
+    if ss == 0:
+        # ---- DC scan (Se must be 0) ----
+        if se != 0:
+            return None
+        members = []
+        for (cs, td, _ta) in scan:
+            if cs not in cidx:
+                return None
+            j = cidx[cs]
+            dct = hts.get((0, td)) if ah == 0 else None
+            if ah == 0 and dct is None:
+                return None
+            members.append((j, dct))
+        preds = [0] * len(members)
+        if len(scan) > 1:
+            # interleaved MCU order over every member's sampling area
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for mi, (j, dct) in enumerate(members):
+                        _cid, hc, vc, _tq = comps[j]
+                        for by in range(vc):
+                            for bx in range(hc):
+                                unit.append(
+                                    (mi, j, dct, my * vc + by, mx * hc + bx)
+                                )
+                    units.append(unit)
+        else:
+            # non-interleaved: the component's own block grid
+            j, dct = members[0]
+            _cid, hc, vc, _tq = comps[j]
+            cw = -(-(w * hc) // hmax)
+            ch = -(-(h * vc) // vmax)
+            bw, bh = -(-cw // 8), -(-ch // 8)
+            units = [
+                [(0, j, dct, by, bx)]
+                for by in range(bh)
+                for bx in range(bw)
+            ]
+        count = 0
+        for unit in units:
+            if restart_interval and count and count % restart_interval == 0:
+                if not rdr.sync_restart():
+                    return None
+                preds = [0] * len(members)
+            for (mi, j, dct, by, bx) in unit:
+                if ah == 0:
+                    sym = rdr.huff(dct)
+                    if sym is None:
+                        return None
+                    bits = rdr.read(sym)
+                    if bits is None:
+                        return None
+                    preds[mi] += _extend(bits, sym)
+                    store[j][by, bx, 0] = preds[mi] << al
+                else:
+                    bit = rdr.read(1)
+                    if bit is None:
+                        return None
+                    if bit:
+                        store[j][by, bx, 0] |= 1 << al
+            count += 1
+        return finish()
+
+    # ---- AC scan: exactly one component, Ss >= 1 ----
+    if len(scan) != 1 or ss < 1 or se > 63 or ss > se:
+        return None
+    cs, _td, ta = scan[0]
+    if cs not in cidx:
+        return None
+    j = cidx[cs]
+    act = hts.get((1, ta))
+    if act is None:
+        return None
+    _cid, hc, vc, _tq = comps[j]
+    cw = -(-(w * hc) // hmax)
+    ch = -(-(h * vc) // vmax)
+    bw, bh = -(-cw // 8), -(-ch // 8)
+    grid = store[j]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and count and count % restart_interval == 0:
+                if not rdr.sync_restart():
+                    return None
+                eobrun = 0
+            count += 1
+            blk = grid[by, bx]
+            if ah == 0:
+                # ---- AC first scan ----
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = rdr.huff(act)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            extra = rdr.read(r)
+                            if extra is None:
+                                return None
+                            eobrun += extra
+                        break
+                    k += r
+                    if k > se:
+                        return None
+                    bits = rdr.read(s)
+                    if bits is None:
+                        return None
+                    blk[k] = _extend(bits, s) << al
+                    k += 1
+                continue
+            # ---- AC refinement scan ----
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rdr.huff(act)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                extra = rdr.read(r)
+                                if extra is None:
+                                    return None
+                                eobrun += extra
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            return None
+                        bit = rdr.read(1)
+                        if bit is None:
+                            return None
+                        newval = p1 if bit else m1
+                    # advance past r zero-history coefficients, emitting
+                    # correction bits for nonzero-history ones on the way
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            bit = rdr.read(1)
+                            if bit is None:
+                                return None
+                            if bit and not (c & p1):
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB run covers this block's remaining band: correction
+                # bits only for nonzero-history coefficients
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        bit = rdr.read(1)
+                        if bit is None:
+                            return None
+                        if bit and not (c & p1):
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return finish()
+
+
+def _finish_progressive(sof, qt, store):
+    """One-shot reconstruction after all scans: dequantize the zigzag
+    coefficient grids, vectorized IDCT over every block at once, then
+    the SAME upsample + fixed-point color convert as the baseline
+    path."""
+    import numpy as np
+
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    M = _dct_matrix()
+    zz_r = np.array([r for (r, c) in _ZZ])
+    zz_c = np.array([c for (r, c) in _ZZ])
+    out_planes = []
+    for j, (_cid, hc, vc, tq) in enumerate(comps):
+        if tq not in qt:
+            return None
+        qvec = np.asarray(qt[tq], dtype=np.int64)  # zigzag order
+        grid = store[j].astype(np.int64) * qvec  # (bh, bw, 64)
+        bh, bw = grid.shape[:2]
+        coef = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+        coef[:, :, zz_r, zz_c] = grid
+        spatial = np.einsum("ij,yxjk,kl->yxil", M.T, coef, M)
+        px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        if hc < hmax:
+            plane = np.repeat(plane, hmax // hc, axis=1)
+        if vc < vmax:
+            plane = np.repeat(plane, vmax // vc, axis=0)
+        out_planes.append(plane[:h, :w].astype(np.int32))
+    if len(out_planes) == 1:
+        y = out_planes[0].astype(np.uint8)
+        return np.ascontiguousarray(np.stack([y, y, y], axis=2))
+    return _ycbcr_to_rgb_fixed(*out_planes)
 
 
 def _decode_scan(b, pos, sof, scan, qt, hts, restart_interval):
@@ -754,3 +1071,358 @@ def encode_jpeg_ycbcr(
     out.append(bytes(wtr.out))
     out.append(b"\xff\xd9")
     return b"".join(out)
+
+
+# --------------------------------------------------- progressive encoder
+
+
+_DEFAULT_PROG_SCANS = [
+    # libjpeg's standard YCbCr script: coarse DC, staged luma bands,
+    # full chroma, then successive-approximation refinements.
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+# Progressive AC Huffman table: Annex K's baseline AC tables define no
+# EOBn symbols (r<<4, r>=1 — the EOB-run lengths only progressive scans
+# use), so progressive files need their own table. This one is flat:
+# every symbol we can emit — EOBn (r 0..14), ZRL, and (run,size) pairs
+# up to size 10 — at code length 8 (176 symbols, Kraft 176/256 < 1, no
+# all-ones code). Compression is secondary for fixture files; the DHT
+# segment carries the table, so any standard decoder reads them.
+_PROG_AC_SYMS = sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_SYMS,
+)
+
+
+class _ProgAcState:
+    """Cross-block AC emission state: the pending EOB run and the
+    correction bits attached to it (T.81 G.1.2.2/G.1.2.3; the same
+    flush discipline libjpeg's entropy encoder implements — every
+    symbol is followed immediately by the correction bits its decoder
+    advance will consume)."""
+
+    def __init__(self, wtr, enc_ac):
+        self.wtr = wtr
+        self.enc_ac = enc_ac
+        self.eobrun = 0
+        self.pending = []  # correction bits riding the EOB run
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.enc_ac[r << 4]
+            self.wtr.write(code, ln)
+            if r:
+                self.wtr.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.wtr.write(bit, 1)
+        self.pending = []
+
+
+def _enc_ac_first_block(st, blk, ss, se, al):
+    zz = blk  # zigzag vector
+    any_nz = False
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        if not any_nz:
+            st.flush_eobrun()
+            any_nz = True
+        while r > 15:
+            code, ln = st.enc_ac[0xF0]
+            st.wtr.write(code, ln)
+            r -= 16
+        s = t.bit_length()
+        code, ln = st.enc_ac[(r << 4) | s]
+        st.wtr.write(code, ln)
+        bits = t if v > 0 else (-t + (1 << s) - 1)
+        st.wtr.write(bits, s)
+        r = 0
+    if r > 0 or not any_nz:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _enc_ac_refine_block(st, blk, ss, se, al):
+    zz = blk
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_rel = -1
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eob_rel = idx
+    r = 0
+    br: list[int] = []
+    for idx in range(len(absv)):
+        t = absv[idx]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs that cannot fold into the EOB run, each followed by the
+        # correction bits the decoder's advance consumes right after it
+        while r > 15 and idx <= eob_rel:
+            st.flush_eobrun()
+            code, ln = st.enc_ac[0xF0]
+            st.wtr.write(code, ln)
+            r -= 16
+            for bit in br:
+                st.wtr.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)  # already significant: one correction bit
+            continue
+        # newly significant
+        st.flush_eobrun()
+        code, ln = st.enc_ac[(r << 4) | 1]
+        st.wtr.write(code, ln)
+        st.wtr.write(1 if int(zz[ss + idx]) > 0 else 0, 1)
+        for bit in br:
+            st.wtr.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF or len(st.pending) > 900:
+            st.flush_eobrun()
+
+
+def encode_jpeg_ycbcr_progressive(
+    y,
+    cb,
+    cr,
+    subsampling: str = "4:2:0",
+    qtables: tuple[list[int], list[int]] | None = None,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """Full-resolution Y/Cb/Cr planes -> PROGRESSIVE (SOF2) JPEG with
+    real successive-approximation entropy coding. The quantized
+    coefficients are computed exactly as the baseline encoder computes
+    them, so `decode_jpeg_pixels(progressive bytes)` must equal
+    `decode_jpeg_pixels(baseline bytes)` for the same inputs — the
+    codec's own roundtrip law (tests pin it)."""
+    import numpy as np
+
+    hs, vs = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[
+        subsampling
+    ]
+    ql, qc = qtables if qtables else (QUANT_LUMA, QUANT_CHROMA)
+    y = np.asarray(y, dtype=np.float64)
+    cb = np.asarray(cb, dtype=np.float64)
+    cr = np.asarray(cr, dtype=np.float64)
+    h, w = y.shape
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+
+    def pad(plane, ph, pw):
+        out = np.empty((ph, pw), dtype=np.float64)
+        sh, sw = plane.shape
+        out[:sh, :sw] = plane
+        out[:sh, sw:] = plane[:, sw - 1 : sw]
+        out[sh:, :] = out[sh - 1 : sh, :]
+        return out
+
+    ypl = pad(y, mcuy * vs * 8, mcux * hs * 8)
+    if hs == 2 or vs == 2:
+        ph = cb.shape[0] + (cb.shape[0] % 2 if vs == 2 else 0)
+        pw = cb.shape[1] + (cb.shape[1] % 2 if hs == 2 else 0)
+        cb, cr = pad(cb, ph, pw), pad(cr, ph, pw)
+        if hs == 2:
+            cb = (cb[:, 0::2] + cb[:, 1::2]) / 2
+            cr = (cr[:, 0::2] + cr[:, 1::2]) / 2
+        if vs == 2:
+            cb = (cb[0::2, :] + cb[1::2, :]) / 2
+            cr = (cr[0::2, :] + cr[1::2, :]) / 2
+    cbpl = pad(cb, mcuy * 8, mcux * 8)
+    crpl = pad(cr, mcuy * 8, mcux * 8)
+
+    M = _dct_matrix()
+    qlm = np.array(ql, dtype=np.float64).reshape(8, 8)
+    qcm = np.array(qc, dtype=np.float64).reshape(8, 8)
+    zz_r = np.array([r for (r, c) in _ZZ])
+    zz_c = np.array([c for (r, c) in _ZZ])
+
+    def coef_grid(plane, qm, bh, bw):
+        blocks = (
+            plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ij,yxjk,kl->yxil", M, blocks, M.T) / qm
+        coef = np.round(coef).astype(np.int32)
+        return coef[:, :, zz_r, zz_c]  # (bh, bw, 64) zigzag
+
+    grids = [
+        coef_grid(ypl, qlm, mcuy * vs, mcux * hs),
+        coef_grid(cbpl, qcm, mcuy, mcux),
+        coef_grid(crpl, qcm, mcuy, mcux),
+    ]
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    enc_dc = [
+        _encode_table(*DC_LUMA), _encode_table(*DC_CHROMA),
+        _encode_table(*DC_CHROMA),
+    ]
+    enc_ac = [_encode_table(*PROG_AC)] * 3
+
+    def ni_grid(j):
+        # non-interleaved block grid: ceil(comp_dim / 8) where
+        # comp_dim = ceil(frame_dim * sampling / max_sampling) — must
+        # match the decoder's grid exactly
+        hc, vc = samp[j]
+        cw = -(-(w * hc) // hs)
+        ch = -(-(h * vc) // vs)
+        return -(-ch // 8), -(-cw // 8)
+
+    scan_bytes = []
+    for scan in (scans or _DEFAULT_PROG_SCANS):
+        members, ss, se, ah, al = scan
+        wtr = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                preds = {j: 0 for j in members}
+                if len(members) > 1:
+                    order = [
+                        (j, by, bx)
+                        for my in range(mcuy)
+                        for mx in range(mcux)
+                        for j in members
+                        for by in range(my * samp[j][1],
+                                        my * samp[j][1] + samp[j][1])
+                        for bx in range(mx * samp[j][0],
+                                        mx * samp[j][0] + samp[j][0])
+                    ]
+                else:
+                    j = members[0]
+                    bh, bw = ni_grid(j)
+                    order = [
+                        (j, by, bx)
+                        for by in range(bh)
+                        for bx in range(bw)
+                    ]
+                for (j, by, bx) in order:
+                    dc = int(grids[j][by, bx, 0]) >> al
+                    diff = dc - preds[j]
+                    preds[j] = dc
+                    size, bits = _magnitude(diff)
+                    code, ln = enc_dc[j][size]
+                    wtr.write(code, ln)
+                    if size:
+                        wtr.write(bits, size)
+            else:
+                if len(members) > 1:
+                    order = [
+                        (j, by, bx)
+                        for my in range(mcuy)
+                        for mx in range(mcux)
+                        for j in members
+                        for by in range(my * samp[j][1],
+                                        my * samp[j][1] + samp[j][1])
+                        for bx in range(mx * samp[j][0],
+                                        mx * samp[j][0] + samp[j][0])
+                    ]
+                else:
+                    j = members[0]
+                    bh, bw = ni_grid(j)
+                    order = [
+                        (j, by, bx) for by in range(bh) for bx in range(bw)
+                    ]
+                for (j, by, bx) in order:
+                    wtr.write((int(grids[j][by, bx, 0]) >> al) & 1, 1)
+        else:
+            (j,) = members
+            st = _ProgAcState(wtr, enc_ac[j])
+            bh, bw = ni_grid(j)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = grids[j][by, bx]
+                    if ah == 0:
+                        _enc_ac_first_block(st, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine_block(st, blk, ss, se, al)
+            st.flush_eobrun()
+        wtr.flush()
+        # component spec: DC table id + AC table id (luma 0, chroma 1)
+        comp_spec = b"".join(
+            bytes([j + 1, ((0 if j == 0 else 1) << 4) | (0 if j == 0 else 1)])
+            for j in members
+        )
+        sos = (
+            bytes([len(members)])
+            + comp_spec
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        scan_bytes.append(
+            struct.pack(">BBH", 0xFF, 0xDA, len(sos) + 2)
+            + sos
+            + bytes(wtr.out)
+        )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dht(tc: int, th: int, table) -> bytes:
+        bits, vals = table
+        return bytes([(tc << 4) | th]) + bytes(bits[1:]) + bytes(vals)
+
+    qlz = [ql[8 * r_ + c_] for (r_, c_) in _ZZ]
+    qcz = [qc[8 * r_ + c_] for (r_, c_) in _ZZ]
+    out = [
+        b"\xff\xd8",
+        seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        seg(0xDB, bytes([0x00]) + bytes(qlz)),
+        seg(0xDB, bytes([0x01]) + bytes(qcz)),
+        seg(
+            0xC2,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, (hs << 4) | vs, 0])
+            + bytes([2, 0x11, 1])
+            + bytes([3, 0x11, 1]),
+        ),
+        seg(
+            0xC4,
+            dht(0, 0, DC_LUMA)
+            + dht(1, 0, PROG_AC)
+            + dht(0, 1, DC_CHROMA)
+            + dht(1, 1, PROG_AC),
+        ),
+    ]
+    out.extend(scan_bytes)
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def encode_jpeg_pixels_progressive(
+    rgb,
+    subsampling: str = "4:2:0",
+    qtables: tuple[list[int], list[int]] | None = None,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> progressive JFIF JPEG (same RGB->YCbCr
+    as the baseline encoder)."""
+    import numpy as np
+
+    rgbf = rgb.astype(np.float64)
+    r, g, bl = rgbf[:, :, 0], rgbf[:, :, 1], rgbf[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * bl
+    cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * bl
+    cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * bl
+    return encode_jpeg_ycbcr_progressive(y, cb, cr, subsampling, qtables, scans)

@@ -18,10 +18,11 @@ for non-interlaced 8-bit RGB(A) PNG via stdlib zlib
 unfilter, deflate + filter-0 encode), for GIF87a/89a via a pure-stdlib
 LZW codec with color tables, interlace, and frame compositing
 (``decode_gif_frames`` / ``encode_gif_pixels``), and for BASELINE
-JPEG via operators/jpeg.py (Huffman + dequant + IDCT + fixed-point
-YCbCr; real encoder half with the Annex K tables). Resize is
+AND PROGRESSIVE JPEG via operators/jpeg.py (Huffman + dequant + IDCT
++ fixed-point YCbCr; successive-approximation multi-scan accumulation
+for SOF2; real encoder halves for both). Resize is
 deterministic integer nearest-neighbor. The remaining compressed
-formats (WebP, progressive/arithmetic JPEG, exotic PNG flavors) are
+formats (WebP, arithmetic/lossless JPEG, exotic PNG flavors) are
 gated behind a runtime ``import PIL`` — absent in this container,
 they raise NotImplementedError naming the supported formats.
 ``fake=True`` keeps the deterministic content-hash stub for plumbing
@@ -263,9 +264,10 @@ def decode_pixels(b: bytes):
     255), non-interlaced 8-bit RGB/RGBA PNG (stdlib zlib inflate +
     unfilter; see :func:`decode_png_pixels`), GIF87a/89a (real LZW +
     color tables + interlace; first composited frame — see
-    :func:`decode_gif_frames`), and BASELINE JPEG (Huffman + dequant +
-    IDCT + fixed-point YCbCr; see operators/jpeg.py — progressive
-    returns None here and stays PIL-gated). Returns None for any other
+    :func:`decode_gif_frames`), and JPEG — baseline AND
+    progressive SOF2 (Huffman + dequant + IDCT + fixed-point YCbCr;
+    see operators/jpeg.py — arithmetic/lossless return None and stay
+    PIL-gated). Returns None for any other
     payload."""
     import numpy as np
 
@@ -1195,7 +1197,7 @@ def resize_images(
 
     The real path (default) decodes BMP/PPM (pure numpy),
     non-interlaced 8-bit RGB(A) PNG (stdlib zlib), GIF (stdlib LZW;
-    first composited frame), and baseline JPEG (operators/jpeg.py)
+    first composited frame), and baseline/progressive JPEG (operators/jpeg.py)
     payloads, resamples with deterministic integer nearest-neighbor,
     and re-encodes into the source container (GIF/JPEG thumbnails
     re-encode as BMP); other compressed formats need PIL at runtime

@@ -2265,6 +2265,49 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_pixel_stats(imgs, "content", "doc_id")
 
 
+def q_multimodal_webp_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WebP lossless (VP8L) decode — pure stdlib+numpy
+    (operators/webp.py: canonical prefix codes, color cache, LZ77,
+    all four inverse transforms), oracled in closed form: per-doc
+    gradient images encode through the literal VP8L writer and decode
+    back EXACTLY (lossless), so the oracle regenerates the raster
+    from the gradient formula. Bit-reader ordering, canonical code
+    assignment, or raster-order slips all hash-mismatch. Advanced
+    stream features (transforms/cache/LZ77/meta groups) are pinned by
+    hand-built spec streams in tests/test_webp.py."""
+    imgs = _webp_gradient_frame(read_table(spark, sf, "documents"))
+    return multimodal.image_pixel_stats(imgs, "content", "doc_id")
+
+
+def _webp_gradient_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of VP8L lossless WebPs — dims
+    (5 + d%6) x (4 + d%5), value(y,x,c) = (x*11 + y*19 + c*41 + d*7)
+    % 256. The formula is the oracle contract (lockstep with the SQL
+    twin)."""
+    import numpy as np
+    import pandas as pd
+
+    from dataset_grouper_spark.operators import webp as Wc
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for i in ids:
+                d = int(i)
+                w, h = 5 + d % 6, 4 + d % 5
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                img = ((x * 11 + y * 19 + c * 41 + d * 7) % 256).astype(
+                    np.uint8
+                )
+                outs.append(Wc.encode_webp_lossless(img))
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+
+
 def _jpeg_mosaic_frame(df: DataFrame, progressive: bool = False) -> DataFrame:
     """(doc_id, content) of 4:2:0 baseline JPEGs — macro grid
     (1 + d%3) x (1 + d%2), Y per luma block (lbx,lby) =
@@ -3875,10 +3918,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_dedup": q_streaming_incremental_dedup,
         "multimodal_gif_pixels": q_multimodal_gif_pixels,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
+        # --- tier A continued (r6 late additions): matview_refresh
+        #     rides the refresh_materialized_sums signature change;
+        #     the audio trio rides the decode_wav_any routing change.
+        "matview_refresh_documents": q_matview_refresh_documents,
+        "audio_features_wav": q_audio_features_wav,
+        "audio_frame_energy": q_audio_frame_energy,
+        "audio_resample_wav": q_audio_resample_wav,
+        # --- tier B: new this round, never driver-oracled — exactly-
+        #     once streaming matview, cross-corpus line dedup, closed-
+        #     form OLS, IMA-ADPCM decode, ORC interchange, exact
+        #     grouped percentiles, the broadcast fingerprint screen,
+        #     progressive JPEG, WebP lossless, gzip TFRecords.
+        "streaming_matview_sums": q_streaming_matview_sums,
+        "line_dedup_documents": q_line_dedup_documents,
+        "ols_chars_documents": q_ols_chars_documents,
+        "audio_adpcm_features": q_audio_adpcm_features,
+        "orc_roundtrip": q_orc_roundtrip,
+        "value_percentiles_events": q_value_percentiles_events,
+        "fingerprint_screen_documents": q_fingerprint_screen_documents,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+        "multimodal_webp_pixels": q_multimodal_webp_pixels,
+        "tfrecord_gzip_roundtrip": q_tfrecord_gzip_roundtrip,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
-        #     longest-unverified-first per the rotation policy.
+        #     longest-unverified-first; 22 fit under the cap, the rest
+        #     (q9, q20, chunk_sliding onward) lead next round.
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -3902,29 +3968,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        # ---- position >50: falls out this round and leads tier A
+        #      next round, in this order: the displaced never-oracled
+        #      tail (q20, chunk_sliding, then the r5 additions pushed
+        #      out by this round's tier B), then the r4-green block
+        #      (oldest driver evidence), then the r5-green stable
+        #      queries (freshest evidence, rotate last). ----
         "tpch_q20_excess_suppliers": q_tpch_q20_excess_suppliers,
         "chunk_sliding_documents": q_chunk_sliding_documents,
         "equidepth_events": q_equidepth_events,
         "lm_score_documents": q_lm_score_documents,
         "drift_documents": q_drift_documents,
-        "matview_refresh_documents": q_matview_refresh_documents,
-        # tier B: new this round (exactly-once streaming matview,
-        # cross-corpus line dedup, closed-form OLS, IMA-ADPCM audio
-        # decode, ORC interchange, exact grouped percentiles, the
-        # broadcast fingerprint screen); the seven insertions push
-        # weighted_sample_documents, bpe_token_counts_documents,
-        # contrastive_negatives_documents, lm_tiered_documents,
-        # vocab_index_documents, temperature_mix_documents and
-        # delete_roundtrip to positions 51-57 — they lead tier A next
-        # round (with tfrecord_gzip_roundtrip, new past-cap).
-        "streaming_matview_sums": q_streaming_matview_sums,
-        "line_dedup_documents": q_line_dedup_documents,
-        "ols_chars_documents": q_ols_chars_documents,
-        "audio_adpcm_features": q_audio_adpcm_features,
-        "orc_roundtrip": q_orc_roundtrip,
-        "value_percentiles_events": q_value_percentiles_events,
-        "fingerprint_screen_documents": q_fingerprint_screen_documents,
-        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "weighted_sample_documents": q_weighted_sample_documents,
         "bpe_token_counts_documents": q_bpe_token_counts_documents,
         "contrastive_negatives_documents": q_contrastive_negatives_documents,
@@ -3932,12 +3986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_index_documents": q_vocab_index_documents,
         "temperature_mix_documents": q_temperature_mix_documents,
         "delete_roundtrip": q_delete_roundtrip,
-        "tfrecord_gzip_roundtrip": q_tfrecord_gzip_roundtrip,
-        # ---- position >50: falls out this round and leads tier A
-        #      next round, in this order: first the 8 remaining
-        #      never-driver-oracled queries, then the r4-green block
-        #      (oldest driver evidence), then the 50 r5-green stable
-        #      queries (freshest evidence, rotate last). ----
         "token_shards_documents": q_token_shards_documents,
         "dp_group_counts_documents": q_dp_group_counts_documents,
         "dp_group_sums_events": q_dp_group_sums_events,
@@ -5328,6 +5376,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS pixel_sum,
                    CAST(sum(v * wgt) AS BIGINT) AS checksum
             FROM v GROUP BY doc_id, f, w, h
+        """,
+        # WebP twin: VP8L is LOSSLESS, so the decoded raster IS the
+        # generating gradient — regenerate and roll up.
+        "multimodal_webp_pixels": """
+            WITH g AS (
+              SELECT d.doc_id,
+                     5 + d.doc_id % 6 AS w,
+                     4 + d.doc_id % 5 AS h
+              FROM documents d
+            ), px AS (
+              SELECT g.doc_id, g.w, g.h,
+                     (x.x * 11 + y.y * 19 + c.c * 41 + g.doc_id * 7) % 256
+                       AS v,
+                     1 + ((y.y * g.w + x.x) * 3 + c.c) % 97 AS wgt
+              FROM g
+              JOIN generate_series(0, 10) x(x) ON x.x < g.w
+              JOIN generate_series(0, 8) y(y) ON y.y < g.h
+              CROSS JOIN generate_series(0, 2) c(c)
+            )
+            SELECT doc_id AS id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(sum(v) AS BIGINT) AS pixel_sum,
+                   CAST(sum(v * wgt) AS BIGINT) AS checksum
+            FROM px GROUP BY doc_id, w, h
         """,
         # JPEG twin: regenerate the decoded RGB in closed form — Y per
         # 8x8 luma block, Cb/Cr per 16x16 macroblock (see

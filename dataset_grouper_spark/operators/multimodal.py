@@ -264,10 +264,12 @@ def decode_pixels(b: bytes):
     255), non-interlaced 8-bit RGB/RGBA PNG (stdlib zlib inflate +
     unfilter; see :func:`decode_png_pixels`), GIF87a/89a (real LZW +
     color tables + interlace; first composited frame — see
-    :func:`decode_gif_frames`), and JPEG — baseline AND
+    :func:`decode_gif_frames`), JPEG — baseline AND
     progressive SOF2 (Huffman + dequant + IDCT + fixed-point YCbCr;
     see operators/jpeg.py — arithmetic/lossless return None and stay
-    PIL-gated). Returns None for any other
+    PIL-gated), and WebP LOSSLESS (full VP8L: prefix codes, color
+    cache, LZ77, all four transforms — see operators/webp.py; alpha
+    dropped, lossy VP8 stays PIL-gated). Returns None for any other
     payload."""
     import numpy as np
 
@@ -280,6 +282,13 @@ def decode_pixels(b: bytes):
         from dataset_grouper_spark.operators.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from dataset_grouper_spark.operators.webp import decode_vp8l_pixels
+
+        rgba = decode_vp8l_pixels(b)  # lossless VP8L; lossy VP8 -> None
+        if rgba is None:
+            return None
+        return np.ascontiguousarray(rgba[:, :, :3])  # alpha dropped
     if b[:2] == b"BM" and len(b) >= 54:
         (data_off,) = struct.unpack("<I", b[10:14])
         w, h = struct.unpack("<ii", b[18:26])

@@ -13,17 +13,18 @@ Metadata extraction (``decode_image_meta``) is REAL: container headers
 The pixel kernels (``resize_images``, ``image_embeddings``) are REAL
 end-to-end for 24-bpp BI_RGB BMP and binary PPM (P6) — pure numpy
 (``decode_pixels`` / ``encode_bmp_pixels`` / ``encode_ppm_pixels``) —
-for non-interlaced 8-bit RGB(A) PNG via stdlib zlib
-(``decode_png_pixels`` / ``encode_png_pixels``: inflate + scanline
-unfilter, deflate + filter-0 encode), for GIF87a/89a via a pure-stdlib
-LZW codec with color tables, interlace, and frame compositing
-(``decode_gif_frames`` / ``encode_gif_pixels``), and for BASELINE
-AND PROGRESSIVE JPEG via operators/jpeg.py (Huffman + dequant + IDCT
-+ fixed-point YCbCr; successive-approximation multi-scan accumulation
-for SOF2; real encoder halves for both). Resize is
+for non-interlaced PNG via stdlib zlib (``decode_png_pixels`` /
+``encode_png_pixels``: inflate + scanline unfilter for RGB, RGBA,
+grayscale 1/2/4/8-bit, palette 1/2/4/8-bit, and gray+alpha), for
+GIF87a/89a via a pure-stdlib LZW codec with color tables, interlace,
+and frame compositing (``decode_gif_frames`` / ``encode_gif_pixels``),
+for BASELINE AND PROGRESSIVE JPEG via operators/jpeg.py (Huffman +
+dequant + IDCT + fixed-point YCbCr; successive-approximation
+multi-scan accumulation for SOF2; real encoder halves for both), and
+for WebP LOSSLESS via operators/webp.py (full VP8L). Resize is
 deterministic integer nearest-neighbor. The remaining compressed
-formats (WebP, arithmetic/lossless JPEG, exotic PNG flavors) are
-gated behind a runtime ``import PIL`` — absent in this container,
+formats (lossy-VP8 WebP, arithmetic/lossless JPEG, 16-bit/Adam7 PNG)
+are gated behind a runtime ``import PIL`` — absent in this container,
 they raise NotImplementedError naming the supported formats.
 ``fake=True`` keeps the deterministic content-hash stub for plumbing
 tests whose inputs are not images at all.
@@ -341,10 +342,13 @@ def decode_pixels(b: bytes):
 
 def decode_png_pixels(b: bytes):
     """Pure-stdlib PNG decode — zlib inflate + per-scanline unfilter
-    (None/Sub/Up/Average/Paeth, RFC 2083 §6) for NON-INTERLACED 8-bit
-    RGB (color type 2) and RGBA (type 6; alpha dropped). Returns an
-    (H, W, 3) uint8 array, or None for any other PNG flavor (palette,
-    16-bit, grayscale, Adam7) — those fall through to the PIL gate.
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) for every NON-INTERLACED
+    sub-16-bit flavor: 8-bit RGB (color type 2) and RGBA (type 6;
+    alpha dropped), grayscale (type 0, depths 1/2/4/8), PALETTE
+    (type 3, depths 1/2/4/8 — PLTE lookup, sub-byte indices unpacked
+    MSB-first), and gray+alpha (type 4, depth 8). Returns an
+    (H, W, 3) uint8 array, or None for any other PNG flavor (16-bit,
+    Adam7 interlace) — those fall through to the PIL gate.
 
     Covers the web's dominant lossless format with zero codec deps
     (VERDICT r4 #3). Filters None/Up unfilter as whole-row numpy ops;
@@ -361,6 +365,7 @@ def decode_png_pixels(b: bytes):
     i = 8
     w = h = None
     depth = ctype = interlace = None
+    palette = None
     idat = []
     while i + 8 <= len(b):
         (ln,) = struct.unpack(">I", b[i : i + 4])
@@ -374,6 +379,10 @@ def decode_png_pixels(b: bytes):
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif typ == b"PLTE":
+            if ln % 3:
+                return None
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -381,16 +390,28 @@ def decode_png_pixels(b: bytes):
         i += 12 + ln  # length + type + data + crc
     if w is None or not idat:
         return None
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    if interlace != 0 or w <= 0 or h <= 0:
         return None
-    if w <= 0 or h <= 0:
+    if ctype in (2, 6, 4):
+        if depth != 8:
+            return None
+        nch = {2: 3, 6: 4, 4: 2}[ctype]
+        bits_pp = 8 * nch
+    elif ctype in (0, 3):
+        if depth not in (1, 2, 4, 8):
+            return None
+        if ctype == 3 and palette is None:
+            return None
+        nch = 1
+        bits_pp = depth
+    else:
         return None
-    nch = 3 if ctype == 2 else 4
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * nch
+    stride = (w * bits_pp + 7) // 8
+    bypp = max(1, bits_pp // 8)  # filter step in bytes (RFC 2083 §6.2)
     if len(raw) != h * (stride + 1):
         return None
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -408,17 +429,17 @@ def decode_png_pixels(b: bytes):
         elif f == 2:  # Up — vectorized whole-row add
             cur = (cur + prev) & 0xFF
         elif f == 1:  # Sub: serial in x
-            for x in range(nch, stride):
-                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+            for x in range(bypp, stride):
+                cur[x] = (cur[x] + cur[x - bypp]) & 0xFF
         elif f == 3:  # Average
             for x in range(stride):
-                left = cur[x - nch] if x >= nch else 0
+                left = cur[x - bypp] if x >= bypp else 0
                 cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
         else:  # Paeth
             for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
+                a = int(cur[x - bypp]) if x >= bypp else 0
                 up = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
+                c = int(prev[x - bypp]) if x >= bypp else 0
                 p = a + up - c
                 pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                 if pa <= pb and pa <= pc:
@@ -429,8 +450,30 @@ def decode_png_pixels(b: bytes):
                     pred = c
                 cur[x] = (cur[x] + pred) & 0xFF
         out[y] = cur.astype(np.uint8)
-    rgb = out.reshape(h, w, nch)[:, :, :3]
-    return np.ascontiguousarray(rgb)
+    if ctype in (2, 6):
+        rgb = out.reshape(h, w, nch)[:, :, :3]
+        return np.ascontiguousarray(rgb)
+    if ctype == 4:  # gray + alpha: alpha dropped like type 6
+        g = out.reshape(h, w, 2)[:, :, 0]
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    # grayscale / palette: unpack sub-byte samples MSB-first
+    if depth == 8:
+        vals = out[:, :w].astype(np.int64)
+    else:
+        per = 8 // depth
+        mask = (1 << depth) - 1
+        vals = np.zeros((h, w), dtype=np.int64)
+        for sub in range(per):
+            cols = np.arange(stride) * per + sub
+            keep = cols < w
+            shift = 8 - depth * (sub + 1)
+            vals[:, cols[keep]] = (out[:, keep] >> shift) & mask
+    if ctype == 0:  # scale to full 8-bit range (255 / (2^d - 1))
+        g = (vals * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    if int(vals.max(initial=0)) >= len(palette):
+        return None
+    return np.ascontiguousarray(palette[vals])
 
 
 def encode_png_pixels(rgb, filter_types: list[int] | None = None) -> bytes:

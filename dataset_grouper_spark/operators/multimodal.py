@@ -340,15 +340,100 @@ def decode_pixels(b: bytes):
     return None
 
 
+def _png_unfilter_block(raw, off, ph, stride, bypp):
+    """Unfilter one (sub)image's scanlines (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) from ``raw`` at byte offset ``off``; returns the
+    (ph, stride) byte matrix and the new offset, or None on a bad
+    filter byte / short stream."""
+    import numpy as np
+
+    need = ph * (stride + 1)
+    if off + need > len(raw):
+        return None
+    lines = np.frombuffer(raw[off : off + need], dtype=np.uint8).reshape(
+        ph, stride + 1
+    )
+    ftypes = lines[:, 0]
+    if ftypes.max(initial=0) > 4:
+        return None
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for y in range(ph):
+        f = int(ftypes[y])
+        cur = lines[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else zero_row
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up — vectorized whole-row add
+            cur = (cur + prev) & 0xFF
+        elif f == 1:  # Sub: serial in x
+            for x in range(bypp, stride):
+                cur[x] = (cur[x] + cur[x - bypp]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bypp] if x >= bypp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        else:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bypp]) if x >= bypp else 0
+                up = int(prev[x])
+                c = int(prev[x - bypp]) if x >= bypp else 0
+                pp = a + up - c
+                pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out, off + need
+
+
+def _png_extract_samples(bytesmat, pw, depth, spp):
+    """(ph, stride) unfiltered bytes -> (ph, pw, spp) integer samples.
+    depth 16 keeps the HIGH byte (the standard 16->8 downconversion);
+    sub-byte depths unpack MSB-first (spp is 1 for those)."""
+    import numpy as np
+
+    ph = bytesmat.shape[0]
+    if depth == 8:
+        return bytesmat[:, : pw * spp].reshape(ph, pw, spp).astype(np.int64)
+    if depth == 16:
+        return (
+            bytesmat[:, : pw * spp * 2 : 2]
+            .reshape(ph, pw, spp)
+            .astype(np.int64)
+        )
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    vals = np.zeros((ph, pw), dtype=np.int64)
+    stride = bytesmat.shape[1]
+    for sub in range(per):
+        cols = np.arange(stride) * per + sub
+        keep = cols < pw
+        shift = 8 - depth * (sub + 1)
+        vals[:, cols[keep]] = (bytesmat[:, keep] >> shift) & mask
+    return vals[:, :, None]
+
+
+# Adam7 pass grids: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png_pixels(b: bytes):
     """Pure-stdlib PNG decode — zlib inflate + per-scanline unfilter
-    (None/Sub/Up/Average/Paeth, RFC 2083 §6) for every NON-INTERLACED
-    sub-16-bit flavor: 8-bit RGB (color type 2) and RGBA (type 6;
-    alpha dropped), grayscale (type 0, depths 1/2/4/8), PALETTE
-    (type 3, depths 1/2/4/8 — PLTE lookup, sub-byte indices unpacked
-    MSB-first), and gray+alpha (type 4, depth 8). Returns an
-    (H, W, 3) uint8 array, or None for any other PNG flavor (16-bit,
-    Adam7 interlace) — those fall through to the PIL gate.
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) for EVERY standard PNG
+    flavor: RGB/RGBA (8/16-bit; alpha dropped, 16-bit kept as high
+    byte), grayscale (1/2/4/8/16-bit), palette (1/2/4/8-bit, PLTE
+    lookup, sub-byte indices unpacked MSB-first), gray+alpha (8/16),
+    and ADAM7 interLACED variants of all of them (7 sequential
+    sub-image passes scattered onto the final raster). Returns an
+    (H, W, 3) uint8 array, or None for malformed payloads.
 
     Covers the web's dominant lossless format with zero codec deps
     (VERDICT r4 #3). Filters None/Up unfilter as whole-row numpy ops;
@@ -390,90 +475,64 @@ def decode_png_pixels(b: bytes):
         i += 12 + ln  # length + type + data + crc
     if w is None or not idat:
         return None
-    if interlace != 0 or w <= 0 or h <= 0:
+    if interlace not in (0, 1) or w <= 0 or h <= 0:
         return None
-    if ctype in (2, 6, 4):
-        if depth != 8:
-            return None
-        nch = {2: 3, 6: 4, 4: 2}[ctype]
-        bits_pp = 8 * nch
-    elif ctype in (0, 3):
-        if depth not in (1, 2, 4, 8):
-            return None
-        if ctype == 3 and palette is None:
-            return None
-        nch = 1
-        bits_pp = depth
-    else:
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if ctype not in valid_depths or depth not in valid_depths[ctype]:
         return None
+    if ctype == 3 and palette is None:
+        return None
+    spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bits_pp = depth * spp
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = (w * bits_pp + 7) // 8
-    bypp = max(1, bits_pp // 8)  # filter step in bytes (RFC 2083 §6.2)
-    if len(raw) != h * (stride + 1):
-        return None
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes = lines[:, 0]
-    if ftypes.max(initial=0) > 4:
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    zero_row = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = int(ftypes[y])
-        cur = lines[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y > 0 else zero_row
-        if f == 0:  # None
-            pass
-        elif f == 2:  # Up — vectorized whole-row add
-            cur = (cur + prev) & 0xFF
-        elif f == 1:  # Sub: serial in x
-            for x in range(bypp, stride):
-                cur[x] = (cur[x] + cur[x - bypp]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = cur[x - bypp] if x >= bypp else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        else:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - bypp]) if x >= bypp else 0
-                up = int(prev[x])
-                c = int(prev[x - bypp]) if x >= bypp else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = up
-                else:
-                    pred = c
-                cur[x] = (cur[x] + pred) & 0xFF
-        out[y] = cur.astype(np.uint8)
+
+    def decode_sub(off, pw, ph):
+        stride = (pw * bits_pp + 7) // 8
+        bypp = max(1, bits_pp // 8)
+        r = _png_unfilter_block(raw, off, ph, stride, bypp)
+        if r is None:
+            return None
+        mat, off2 = r
+        return _png_extract_samples(mat, pw, depth, spp), off2
+
+    if interlace == 0:
+        r = decode_sub(0, w, h)
+        if r is None or r[1] != len(raw):
+            return None
+        vals = r[0]
+    else:  # Adam7: 7 sequential passes, scattered onto the raster
+        vals = np.zeros((h, w, spp), dtype=np.int64)
+        off = 0
+        for (x0, xs, y0, ys) in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            r = decode_sub(off, pw, ph)
+            if r is None:
+                return None
+            sub, off = r
+            vals[y0::ys, x0::xs] = sub
+        if off != len(raw):
+            return None
     if ctype in (2, 6):
-        rgb = out.reshape(h, w, nch)[:, :, :3]
-        return np.ascontiguousarray(rgb)
+        return np.ascontiguousarray(vals[:, :, :3].astype(np.uint8))
     if ctype == 4:  # gray + alpha: alpha dropped like type 6
-        g = out.reshape(h, w, 2)[:, :, 0]
+        g = vals[:, :, 0].astype(np.uint8)
         return np.ascontiguousarray(np.stack([g, g, g], axis=2))
-    # grayscale / palette: unpack sub-byte samples MSB-first
-    if depth == 8:
-        vals = out[:, :w].astype(np.int64)
-    else:
-        per = 8 // depth
-        mask = (1 << depth) - 1
-        vals = np.zeros((h, w), dtype=np.int64)
-        for sub in range(per):
-            cols = np.arange(stride) * per + sub
-            keep = cols < w
-            shift = 8 - depth * (sub + 1)
-            vals[:, cols[keep]] = (out[:, keep] >> shift) & mask
-    if ctype == 0:  # scale to full 8-bit range (255 / (2^d - 1))
-        g = (vals * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    flat = vals[:, :, 0]
+    if ctype == 0:
+        if depth < 8:  # scale to full 8-bit range (255 / (2^d - 1))
+            flat = flat * 255 // ((1 << depth) - 1)
+        g = flat.astype(np.uint8)
         return np.ascontiguousarray(np.stack([g, g, g], axis=2))
-    if int(vals.max(initial=0)) >= len(palette):
+    if int(flat.max(initial=0)) >= len(palette):
         return None
-    return np.ascontiguousarray(palette[vals])
+    return np.ascontiguousarray(palette[flat])
 
 
 def encode_png_pixels(rgb, filter_types: list[int] | None = None) -> bytes:

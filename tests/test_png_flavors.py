@@ -136,13 +136,60 @@ def test_filters_on_single_byte_pixels():
     assert np.array_equal(d[:, :, 0], g)
 
 
-def test_16bit_and_interlace_still_gated():
-    assert M.decode_png_pixels(_png(2, 2, 16, 0, [b"\x00" * 8] * 2)) is None
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
-    b = (
+def test_16bit_gray_keeps_high_byte():
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 1 << 16, (3, 4))
+    rows = [vals[y].astype(">u2").tobytes() for y in range(3)]
+    d = M.decode_png_pixels(_png(4, 3, 16, 0, rows))
+    assert np.array_equal(d[:, :, 0], (vals >> 8).astype(np.uint8))
+
+
+def test_16bit_rgb():
+    rng = np.random.RandomState(9)
+    vals = rng.randint(0, 1 << 16, (2, 3, 3))
+    rows = [vals[y].astype(">u2").tobytes() for y in range(2)]
+    d = M.decode_png_pixels(_png(3, 2, 16, 2, rows))
+    assert np.array_equal(d, (vals >> 8).astype(np.uint8))
+
+
+def _adam7_png(img, depth=8, ctype=2):
+    """Build an Adam7-interlaced PNG from an (H, W, spp) array."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    raw = b""
+    for (x0, xs, y0, ys) in M._ADAM7:
+        sub = img[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + sub[y].astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+    return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
-    assert M.decode_png_pixels(b) is None
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (8, 8), (10, 13)])
+def test_adam7_rgb(h, w):
+    img = np.random.RandomState(h * w).randint(0, 256, (h, w, 3)).astype(
+        np.uint8
+    )
+    d = M.decode_png_pixels(_adam7_png(img))
+    assert d is not None and np.array_equal(d, img)
+
+
+def test_adam7_gray():
+    g = np.random.RandomState(2).randint(0, 256, (9, 6)).astype(np.uint8)
+    d = M.decode_png_pixels(_adam7_png(g, ctype=0))
+    assert np.array_equal(d[:, :, 0], g)
+
+
+def test_invalid_combos_rejected():
+    # palette cannot be 16-bit per spec
+    assert M.decode_png_pixels(_png(2, 2, 16, 3, [b"\x00" * 8] * 2)) is None
+    # truncated IDAT stream
+    good = _png(4, 4, 8, 0, [bytes(4)] * 4)
+    assert M.decode_png_pixels(good[:40]) is None

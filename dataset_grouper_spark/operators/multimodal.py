@@ -13,9 +13,10 @@ Metadata extraction (``decode_image_meta``) is REAL: container headers
 The pixel kernels (``resize_images``, ``image_embeddings``) are REAL
 end-to-end for 24-bpp BI_RGB BMP and binary PPM (P6) — pure numpy
 (``decode_pixels`` / ``encode_bmp_pixels`` / ``encode_ppm_pixels``) —
-for non-interlaced PNG via stdlib zlib (``decode_png_pixels`` /
-``encode_png_pixels``: inflate + scanline unfilter for RGB, RGBA,
-grayscale 1/2/4/8-bit, palette 1/2/4/8-bit, and gray+alpha), for
+for PNG in every standard flavor via stdlib zlib
+(``decode_png_pixels`` / ``encode_png_pixels``: inflate + scanline
+unfilter for RGB/RGBA 8/16-bit, grayscale 1/2/4/8/16-bit, palette
+1/2/4/8-bit, gray+alpha, and Adam7 interlace), for
 GIF87a/89a via a pure-stdlib LZW codec with color tables, interlace,
 and frame compositing (``decode_gif_frames`` / ``encode_gif_pixels``),
 for BASELINE AND PROGRESSIVE JPEG via operators/jpeg.py (Huffman +
@@ -23,8 +24,7 @@ dequant + IDCT + fixed-point YCbCr; successive-approximation
 multi-scan accumulation for SOF2; real encoder halves for both), and
 for WebP LOSSLESS via operators/webp.py (full VP8L). Resize is
 deterministic integer nearest-neighbor. The remaining compressed
-formats (lossy-VP8 WebP, arithmetic/lossless JPEG, 16-bit/Adam7 PNG)
-are gated behind a runtime ``import PIL`` — absent in this container,
+formats (lossy-VP8 WebP, arithmetic/lossless JPEG) are gated behind a runtime ``import PIL`` — absent in this container,
 they raise NotImplementedError naming the supported formats.
 ``fake=True`` keeps the deterministic content-hash stub for plumbing
 tests whose inputs are not images at all.

@@ -1252,9 +1252,13 @@ def _decode_any(b: bytes):
     if arr is not None:
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             return arr, "png"
-        if b[:6] in (b"GIF87a", b"GIF89a") or b[:2] == b"\xff\xd8":
-            # GIF first frame / decoded JPEG raster; re-encoding an
-            # animation or a lossy stream is out of scope, so
+        if (
+            b[:6] in (b"GIF87a", b"GIF89a")
+            or b[:2] == b"\xff\xd8"
+            or b[:4] == b"RIFF"
+        ):
+            # GIF first frame / decoded JPEG raster / WebP: re-encoding
+            # an animation or a lossy stream is out of scope, so
             # downstream writes the thumbnail as BMP
             return arr, "bmp"
         return arr, ("ppm" if b[:2] == b"P6" else "bmp")
@@ -1264,8 +1268,9 @@ def _decode_any(b: bytes):
         hdr = parse_image_header(b)
         raise NotImplementedError(
             f"cannot decode {hdr[0] if hdr else 'unrecognized'} payload: "
-            "only BMP (24-bpp BI_RGB), PPM (P6), non-interlaced 8-bit "
-            "RGB(A) PNG, GIF, and baseline JPEG decode without codec "
+            "only BMP (24-bpp BI_RGB), PPM (P6), PNG (all standard "
+            "flavors incl. Adam7/16-bit), GIF, baseline+progressive "
+            "JPEG, and lossless-VP8L WebP decode without codec "
             "libraries, and PIL is not installed"
         ) from None
     import io

@@ -3698,6 +3698,95 @@ def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_delta_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta Lake interop WITHOUT the delta jar: build a lang-
+    partitioned Delta table from documents by writing the public
+    transaction-log format by hand (v0 = even docs, v1 = + odd docs),
+    then read BOTH versions back through the pure-Python log reader
+    (sources/delta.py) — partition columns restored from
+    partitionValues, snapshots pinned per version. The oracle is the
+    parity-filtered GROUP BY; a mis-replayed log, lost partition
+    value, or version leak hash-mismatches."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import read_delta
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_tt_") + "/tbl"
+    os.makedirs(os.path.join(table, "_delta_log"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "0" * 32,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": ["lang"],
+            "configuration": {},
+        }
+    }
+
+    def stage_parity(parity: int) -> list[dict]:
+        stage = tempfile.mkdtemp(prefix=f"delta_stage{parity}_")
+        docs.filter(F.col("doc_id") % 2 == parity).write.mode(
+            "overwrite"
+        ).partitionBy("lang").parquet(stage)
+        adds = []
+        for lang_dir in sorted(glob.glob(os.path.join(stage, "lang=*"))):
+            lang = os.path.basename(lang_dir).split("=", 1)[1]
+            os.makedirs(os.path.join(table, f"lang={lang}"), exist_ok=True)
+            for i, part in enumerate(
+                sorted(glob.glob(os.path.join(lang_dir, "part-*.parquet")))
+            ):
+                rel = f"lang={lang}/p{parity}_{i}.parquet"
+                shutil.move(part, os.path.join(table, rel))
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": {"lang": lang},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        return adds
+
+    def commit(version: int, actions: list[dict]) -> None:
+        with open(
+            os.path.join(table, "_delta_log", f"{version:020d}.json"), "w"
+        ) as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    commit(0, [meta] + stage_parity(0))
+    commit(1, stage_parity(1))
+    frames = []
+    for v in (0, 1):
+        frames.append(
+            read_delta(spark, table, version=v)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("sum_ids"),
+            )
+            .withColumn("version", F.lit(v))
+        )
+    return frames[0].unionByName(frames[1]).select(
+        "version", "lang", "n", "sum_ids"
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """ORC interchange (the other columnar interchange format big
     Hive/Trino estates hold corpora in): corpus -> zlib ORC -> read
@@ -3935,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
         "orc_roundtrip": q_orc_roundtrip,
+        "delta_time_travel": q_delta_time_travel,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -3943,8 +4033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
-        #     longest-unverified-first; 22 fit under the cap, the rest
-        #     (q9, q20, chunk_sliding onward) lead next round.
+        #     longest-unverified-first; 21 fit under the cap, the rest
+        #     (q11, q9, q20, chunk_sliding onward) lead next round.
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -4859,6 +4949,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
+        """,
+        "delta_time_travel": """
+            SELECT 0 AS version, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents GROUP BY lang
         """,
         "csv_roundtrip": """
             SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -1,0 +1,175 @@
+"""Delta Lake table READER — pure transaction-log walk, no delta jar.
+
+The Delta log format is public (the Delta Transaction Log Protocol):
+``_delta_log/<20-digit version>.json`` holds line-delimited JSON
+actions (``metaData``, ``add``, ``remove``, ``protocol``,
+``commitInfo``); every ~10 commits a ``<version>.checkpoint.parquet``
+snapshots the accumulated state, advertised by ``_last_checkpoint``.
+A reader reconstructs any version's active-file set by replaying
+add/remove actions (newest checkpoint first, then the JSON tail).
+
+This module implements exactly that — enough to point the engine at a
+Delta table a Spark/Databricks/Trino estate maintains and read it
+(latest or TIME TRAVEL to any retained version) without the
+delta-spark package:
+
+- JSON commits + parquet checkpoints (both multipart-free forms)
+- partition columns restored from ``add.partitionValues`` (Delta
+  stores them OUTSIDE the data files), typed via the table's
+  ``metaData.schemaString`` (a Spark StructType JSON — parsed with
+  ``StructType.fromJson``)
+- deletion-vector-free protocol (reader version <= 1 semantics); a
+  table using deletion vectors raises rather than silently
+  over-returning rows
+
+Scale shape: the log walk is a driver-side metadata scan (file lists,
+like every table format's planning step); DATA moves only through
+``spark.read.parquet`` over the active files, so pushdown/pruning
+behave exactly as on raw parquet, and per-file partition literals
+prune in the plan (the union is by partition-value group, each group
+one scan with constant columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(table_path, _LOG_DIR)
+
+
+def delta_versions(table_path: str) -> list[int]:
+    """All commit versions present in the log, ascending."""
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table_path}")
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _latest_checkpoint(table_path: str, version: int):
+    """(checkpoint_version, checkpoint_file) of the newest checkpoint
+    at or below ``version``, or None."""
+    log = _log_path(table_path)
+    best = None
+    for name in os.listdir(log):
+        if name.endswith(".checkpoint.parquet"):
+            head = name.split(".")[0]
+            if head.isdigit() and int(head) <= version:
+                if best is None or int(head) > best[0]:
+                    best = (int(head), os.path.join(log, name))
+    return best
+
+
+def _replay(spark: SparkSession, table_path: str, version: int):
+    """Active files + metadata at ``version``: checkpoint state (if
+    any) then the JSON commits after it, newest action per path wins."""
+    log = _log_path(table_path)
+    adds: dict[str, dict] = {}
+    meta = None
+    ckpt = _latest_checkpoint(table_path, version)
+    start = 0
+    if ckpt is not None:
+        cp_version, cp_file = ckpt
+        start = cp_version + 1
+        for row in spark.read.parquet(cp_file).collect():
+            d = row.asDict(recursive=True)
+            if d.get("add"):
+                a = d["add"]
+                adds[a["path"]] = a
+            if d.get("remove"):
+                adds.pop(d["remove"]["path"], None)
+            if d.get("metaData") and d["metaData"].get("schemaString"):
+                meta = d["metaData"]
+    versions = [v for v in delta_versions(table_path) if start <= v <= version]
+    expect = list(range(start, version + 1))
+    if versions != expect:
+        raise ValueError(
+            f"Delta log is missing commits {sorted(set(expect) - set(versions))} "
+            f"for version {version} (vacuumed past retention?)"
+        )
+    for v in versions:
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise NotImplementedError(
+                            "Delta deletion vectors are not supported by "
+                            "this reader (rows would be over-returned)"
+                        )
+                    adds[a["path"]] = a
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+    if meta is None:
+        raise ValueError(f"Delta log has no metaData action: {table_path}")
+    return adds, meta
+
+
+def read_delta(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table at ``version`` (default: latest) — the pinned
+    snapshot a Delta reader contract guarantees: exactly the files the
+    chosen commit considered live, regardless of later writes.
+
+    Partitioned tables come back with their partition columns restored
+    from the log's ``partitionValues`` and cast to the schema's types;
+    an empty active set returns an empty frame with the table schema.
+    """
+    versions = delta_versions(table_path)
+    if not versions and _latest_checkpoint(table_path, 1 << 60) is None:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    target = max(versions) if version is None else version
+    adds, meta = _replay(spark, table_path, target)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    if not adds:
+        return spark.createDataFrame([], schema)
+    if not part_cols:
+        paths = [os.path.join(table_path, a["path"]) for a in adds.values()]
+        return spark.read.schema(
+            StructType([f for f in schema.fields])
+        ).parquet(*paths)
+    # group files by partition values; each group is one scan with its
+    # partition literals attached (typed via the table schema)
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    types = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for a in adds.values():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            os.path.join(table_path, a["path"])
+        )
+    frames = []
+    for key, paths in sorted(groups.items()):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for c, raw in zip(part_cols, key):
+            lit = (
+                F.lit(None).cast(types[c])
+                if raw is None
+                else F.lit(raw).cast(types[c])
+            )
+            df = df.withColumn(c, lit)
+        frames.append(df.select([f.name for f in schema.fields]))
+    return reduce(DataFrame.unionByName, frames)

@@ -3698,6 +3698,56 @@ def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro interchange WITHOUT the spark-avro jar: corpus -> 2
+    deflate-compressed object-container shards written task-side
+    (pure-stdlib binary encoding, [null,string] unions for nullable
+    text) -> distributed read back (sources/avro.py, shards→tasks)
+    -> rollup. The hash proves byte-exact text round-trip through
+    zigzag varints + deflate blocks."""
+    import tempfile
+
+    import pandas as pd
+
+    from dataset_grouper_spark.sources import avro as avro_src
+
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "source", "type": ["null", "string"]},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "n_chars", "type": "long"},
+        ],
+    }
+    outdir = tempfile.mkdtemp(prefix="avro_rt_")
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    ).repartition(2)
+
+    def write_shard(pdf_iter):
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        path = os.path.join(outdir, f"part-{idx:05d}.avro")
+        recs = []
+        for pdf in pdf_iter:
+            recs.extend(pdf.to_dict("records"))
+        avro_src.write_avro_file(path, schema, recs)
+        yield pd.DataFrame({"path": [path]})
+
+    paths = sorted(
+        r.path for r in docs.mapInPandas(write_shard, "path string").collect()
+    )
+    back = avro_src.read_avro(spark, paths)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_delta_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Delta Lake interop WITHOUT the delta jar: build a lang-
     partitioned Delta table from documents by writing the public
@@ -4024,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
         "orc_roundtrip": q_orc_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
         "delta_time_travel": q_delta_time_travel,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
@@ -4033,8 +4084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
-        #     longest-unverified-first; 21 fit under the cap, the rest
-        #     (q11, q9, q20, chunk_sliding onward) lead next round.
+        #     longest-unverified-first; 19 fit under the cap, the rest
+        #     (q11, q2, q9, q20, chunk_sliding onward) lead next round.
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -4945,6 +4996,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "orc_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "avro_roundtrip": """
             SELECT source, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars

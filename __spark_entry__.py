@@ -3698,6 +3698,158 @@ def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg interop WITHOUT the iceberg runtime jar: build a
+    2-snapshot Iceberg table from documents per the public spec —
+    Avro manifest lists + manifests written by our own stdlib Avro
+    codec, metadata JSON with snapshot lineage — then read BOTH
+    snapshots back through the pure-Python reader
+    (sources/iceberg.py). Same oracle family as delta_time_travel: a
+    mis-walked manifest, ignored delete status, or snapshot leak
+    hash-mismatches."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from dataset_grouper_spark.sources.avro import write_avro_file
+    from dataset_grouper_spark.sources.iceberg import read_iceberg
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_tt_") + "/tbl"
+    os.makedirs(os.path.join(table, "metadata"))
+    os.makedirs(os.path.join(table, "data"))
+
+    def stage(parity: int) -> str:
+        tmp = tempfile.mkdtemp(prefix=f"ice_stage{parity}_")
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        man_entries = []
+        for i, part in enumerate(
+            sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+        ):
+            dst = os.path.join(table, "data", f"p{parity}_{i}.parquet")
+            shutil.move(part, dst)
+            man_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                    },
+                }
+            )
+        mpath = os.path.join(table, "metadata", f"m{parity}.avro")
+        write_avro_file(mpath, _ICE_MANIFEST_SCHEMA, man_entries)
+        return mpath
+
+    m0, m1 = stage(0), stage(1)
+
+    def mlist(name: str, manifests: list[str], snap: int) -> str:
+        p = os.path.join(table, "metadata", name)
+        write_avro_file(
+            p,
+            _ICE_MLIST_SCHEMA,
+            [
+                {
+                    "manifest_path": mp,
+                    "manifest_length": os.path.getsize(mp),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "added_snapshot_id": snap,
+                }
+                for mp in manifests
+            ],
+        )
+        return p
+
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0" * 36,
+        "location": table,
+        "current-snapshot-id": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "text", "required": False,
+                     "type": "string"},
+                    {"id": 3, "name": "lang", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1,
+             "manifest-list": mlist("snap-1.avro", [m0], 1)},
+            {"snapshot-id": 2, "timestamp-ms": 2,
+             "manifest-list": mlist("snap-2.avro", [m0, m1], 2)},
+        ],
+    }
+    with open(os.path.join(table, "metadata", "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    frames = []
+    for snap, tag in ((1, 0), (2, 1)):
+        frames.append(
+            read_iceberg(spark, table, snapshot_id=snap)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("sum_ids"),
+            )
+            .withColumn("version", F.lit(tag))
+        )
+    return frames[0].unionByName(frames[1]).select(
+        "version", "lang", "n", "sum_ids"
+    )
+
+
+_ICE_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_ICE_MLIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
 def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Avro interchange WITHOUT the spark-avro jar: corpus -> 2
     deflate-compressed object-container shards written task-side
@@ -4076,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "delta_time_travel": q_delta_time_travel,
+        "iceberg_time_travel": q_iceberg_time_travel,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -4084,8 +4237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
-        #     longest-unverified-first; 19 fit under the cap, the rest
-        #     (q11, q2, q9, q20, chunk_sliding onward) lead next round.
+        #     longest-unverified-first; 18 fit under the cap, the rest
+        #     (docs_except_intersect, q11, q2, q9, q20, chunk_sliding
+        #     onward) lead next round.
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -5008,6 +5162,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "delta_time_travel": """
+            SELECT 0 AS version, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents GROUP BY lang
+        """,
+        "iceberg_time_travel": """
             SELECT 0 AS version, lang,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -1,0 +1,180 @@
+"""Apache Iceberg table READER — metadata walk over the public spec,
+no iceberg-spark runtime jar.
+
+The Iceberg format (iceberg.apache.org/spec) is: a ``metadata/``
+directory of ``*.metadata.json`` files (each listing snapshots and the
+current snapshot id), each snapshot pointing at a MANIFEST LIST (an
+Avro object container; decoded by our pure-stdlib ``sources.avro``),
+each manifest list row pointing at a MANIFEST (Avro again) whose
+entries carry ``status`` (0 existing / 1 added / 2 deleted) and a
+``data_file`` struct with the parquet path. A snapshot's live file set
+is every non-deleted entry across its manifests. Unlike Delta/Hive,
+Iceberg keeps identity-partition source columns INSIDE the data
+files, so no partition-value restoration is needed — live parquet
+paths + the table schema are the whole read.
+
+Because Avro containers are self-describing, the reader decodes
+whatever manifest schema the files declare and consumes only the
+spec-named fields — real tables' extra stats columns ride along
+harmlessly.
+
+Honest gates: v2 DELETE manifests (``content=1`` — position/equality
+deletes) raise rather than over-returning rows; non-parquet data files
+raise; nested Iceberg types beyond primitives/decimals raise at schema
+mapping.
+
+Scale shape: like the Delta reader, the metadata walk is the driver's
+planning step (Avro manifests are KB-scale); data moves only through
+``spark.read.parquet`` over the live files with full pushdown.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataset_grouper_spark.sources.avro import read_avro_file
+
+_PRIM = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "string": "string",
+    "uuid": "string",
+    "binary": "binary",
+}
+
+
+def _spark_type(t) -> str:
+    if isinstance(t, str):
+        if t in _PRIM:
+            return _PRIM[t]
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return f"decimal({m.group(1)},{m.group(2)})"
+        m = re.fullmatch(r"fixed\[\d+\]", t)
+        if m:
+            return "binary"
+        raise ValueError(f"iceberg: unsupported type {t!r}")
+    raise ValueError(
+        f"iceberg: nested type {t.get('type')!r} not supported by this reader"
+    )
+
+
+def _localize(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    return path
+
+
+def _metadata_files(table_path: str) -> list[str]:
+    mdir = os.path.join(table_path, "metadata")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(
+            f"not an Iceberg table (no metadata/): {table_path}"
+        )
+    out = [
+        os.path.join(mdir, n)
+        for n in os.listdir(mdir)
+        if n.endswith(".metadata.json")
+    ]
+    if not out:
+        raise FileNotFoundError(f"no *.metadata.json under {mdir}")
+    return sorted(out)
+
+
+def _load_metadata(table_path: str) -> dict:
+    """Latest table metadata: honor ``version-hint.text`` when present
+    (the HadoopCatalog convention), else the lexically-last file."""
+    mdir = os.path.join(table_path, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.isfile(hint):
+        v = open(hint).read().strip()
+        cand = os.path.join(mdir, f"v{v}.metadata.json")
+        if os.path.isfile(cand):
+            return json.load(open(cand))
+    return json.load(open(_metadata_files(table_path)[-1]))
+
+
+def iceberg_snapshots(table_path: str) -> list[dict]:
+    """(snapshot-id, timestamp, manifest-list) of every retained
+    snapshot, oldest first."""
+    meta = _load_metadata(table_path)
+    snaps = meta.get("snapshots") or []
+    return sorted(snaps, key=lambda s: s.get("timestamp-ms", 0))
+
+
+def _live_files(table_path: str, snapshot: dict) -> list[str]:
+    ml_path = _localize(snapshot["manifest-list"])
+    if not os.path.isabs(ml_path):
+        ml_path = os.path.join(table_path, ml_path)
+    _schema, manifests = read_avro_file(ml_path)
+    files: list[str] = []
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            raise NotImplementedError(
+                "iceberg: delete manifests (position/equality deletes) "
+                "are not supported — rows would be over-returned"
+            )
+        mp = _localize(m["manifest_path"])
+        if not os.path.isabs(mp):
+            mp = os.path.join(table_path, mp)
+        _s, entries = read_avro_file(mp)
+        for e in entries:
+            if e.get("status", 0) == 2:  # DELETED
+                continue
+            df = e["data_file"]
+            if df.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "iceberg: non-data content in data_file"
+                )
+            fmt = (df.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"iceberg: file format {fmt} not supported"
+                )
+            p = _localize(df["file_path"])
+            if not os.path.isabs(p):
+                p = os.path.join(table_path, p)
+            files.append(p)
+    return files
+
+
+def read_iceberg(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read an Iceberg table at ``snapshot_id`` (default: current) —
+    the pinned file set that snapshot's manifests declare live. Data
+    files carry every column (identity partitions included), so the
+    result is one parquet scan with the table schema."""
+    meta = _load_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id is None or snapshot_id not in snaps:
+        raise ValueError(
+            f"iceberg: snapshot {snapshot_id!r} not in table "
+            f"(have {sorted(snaps)})"
+        )
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    cur_id = meta.get("current-schema-id")
+    schema = next(
+        (s for s in schemas if s.get("schema-id") == cur_id), schemas[-1]
+    )
+    ddl = ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+    )
+    files = _live_files(table_path, snaps[snapshot_id])
+    if not files:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*files)

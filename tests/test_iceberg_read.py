@@ -1,0 +1,222 @@
+"""Iceberg reader: hand-built spec-shaped metadata + Avro manifests."""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+from dataset_grouper_spark.sources.avro import write_avro_file
+from dataset_grouper_spark.sources.iceberg import (
+    iceberg_snapshots,
+    read_iceberg,
+)
+
+MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+TABLE_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "string"},
+    ],
+}
+
+
+def _write_data(spark, rows, table, name):
+    tmp = os.path.join(table, "_tmp")
+    spark.createDataFrame(rows, "id long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    dst = os.path.join(table, "data", name)
+    shutil.move(src, dst)
+    shutil.rmtree(tmp)
+    return dst
+
+
+def _manifest(table, name, entries):
+    p = os.path.join(table, "metadata", name)
+    write_avro_file(p, MANIFEST_SCHEMA, entries)
+    return p
+
+
+def _mlist(table, name, manifest_paths, snap_id, content=0):
+    p = os.path.join(table, "metadata", name)
+    write_avro_file(
+        p,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0,
+                "content": content,
+                "added_snapshot_id": snap_id,
+            }
+            for mp in manifest_paths
+        ],
+    )
+    return p
+
+
+def _entry(path, status=1):
+    return {
+        "status": status,
+        "snapshot_id": None,
+        "data_file": {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(path),
+        },
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "iceberg_tbl")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _write_data(spark, [(1, "a"), (2, "b")], t, "f0.parquet")
+    f1 = _write_data(spark, [(3, "c")], t, "f1.parquet")
+    f2 = _write_data(spark, [(1, "a"), (2, "b"), (3, "c")], t, "f2.parquet")
+    m0 = _manifest(t, "m0.avro", [_entry(f0)])
+    m1 = _manifest(t, "m1.avro", [_entry(f1)])
+    # snapshot 300 rewrites everything as f2, marking old files deleted
+    m2 = _manifest(
+        t, "m2.avro",
+        [_entry(f0, status=2), _entry(f1, status=2), _entry(f2)],
+    )
+    ml100 = _mlist(t, "snap-100.avro", [m0], 100)
+    ml200 = _mlist(t, "snap-200.avro", [m0, m1], 200)
+    ml300 = _mlist(t, "snap-300.avro", [m2], 300)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0" * 36,
+        "location": t,
+        "current-snapshot-id": 300,
+        "schemas": [TABLE_SCHEMA],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [
+            {"snapshot-id": 100, "timestamp-ms": 1, "manifest-list": ml100},
+            {"snapshot-id": 200, "timestamp-ms": 2, "manifest-list": ml200},
+            {"snapshot-id": 300, "timestamp-ms": 3, "manifest-list": ml300},
+        ],
+    }
+    with open(os.path.join(t, "metadata", "v2.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as f:
+        f.write("2")
+    return t
+
+
+def test_current_and_time_travel(spark, table):
+    assert [s["snapshot-id"] for s in iceberg_snapshots(table)] == [100, 200, 300]
+    assert sorted(r["id"] for r in read_iceberg(spark, table).collect()) == [1, 2, 3]
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, table, snapshot_id=100).collect()
+    ) == [1, 2]
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, table, snapshot_id=200).collect()
+    ) == [1, 2, 3]
+    # snapshot 200 reads the pre-rewrite files
+    from pyspark.sql import functions as F
+
+    files = {
+        os.path.basename(r[0])
+        for r in read_iceberg(spark, table, snapshot_id=200)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert files == {"f0.parquet", "f1.parquet"}
+
+
+def test_unknown_snapshot(spark, table):
+    with pytest.raises(ValueError, match="snapshot"):
+        read_iceberg(spark, table, snapshot_id=999)
+
+
+def test_delete_manifests_gated(spark, table):
+    meta = json.load(open(os.path.join(table, "metadata", "v2.metadata.json")))
+    ml = _mlist(
+        table, "snap-400.avro",
+        [os.path.join(table, "metadata", "m2.avro")], 400, content=1,
+    )
+    meta["snapshots"].append(
+        {"snapshot-id": 400, "timestamp-ms": 4, "manifest-list": ml}
+    )
+    meta["current-snapshot-id"] = 400
+    with open(os.path.join(table, "metadata", "v3.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(table, "metadata", "version-hint.text"), "w") as f:
+        f.write("3")
+    with pytest.raises(NotImplementedError, match="delete manifests"):
+        read_iceberg(spark, table)
+
+
+def test_extra_manifest_fields_tolerated(spark, table):
+    # real manifests carry stats columns; the reader must ignore them
+    schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": MANIFEST_SCHEMA["fields"]
+        + [{"name": "extra_stat", "type": ["null", "long"]}],
+    }
+    f3 = _write_data(spark, [(9, "z")], table, "f3.parquet")
+    p = os.path.join(table, "metadata", "m3.avro")
+    e = _entry(f3)
+    e["extra_stat"] = 42
+    write_avro_file(p, schema, [e])
+    ml = _mlist(table, "snap-500.avro", [p], 500)
+    meta = json.load(open(os.path.join(table, "metadata", "v2.metadata.json")))
+    meta["snapshots"].append(
+        {"snapshot-id": 500, "timestamp-ms": 5, "manifest-list": ml}
+    )
+    with open(os.path.join(table, "metadata", "v2.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    got = read_iceberg(spark, table, snapshot_id=500)
+    assert [r["id"] for r in got.collect()] == [9]
+
+
+def test_not_an_iceberg_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, str(tmp_path / "nope"))

@@ -173,3 +173,117 @@ def read_delta(
             df = df.withColumn(c, lit)
         frames.append(df.select([f.name for f in schema.fields]))
     return reduce(DataFrame.unionByName, frames)
+
+
+def delta_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    max_retries: int = 10,
+) -> int:
+    """APPEND ``df`` to a Delta table as one atomic commit; creates the
+    table (protocol + metaData at version 0) when the log is absent.
+    Returns the committed version.
+
+    Commit protocol per the spec: data files land first (invisible
+    until committed), then the ``<version>.json`` log entry is claimed
+    with an EXCLUSIVE create (``open(..., 'x')`` — put-if-absent); a
+    concurrent writer losing the race retries at the next version,
+    which is safe for blind appends (no remove actions to rebase).
+    Partitioned writes stage through ``partitionBy`` so partition
+    columns live OUTSIDE the data files, Delta-style, and land in
+    ``add.partitionValues``.
+
+    Scope (honest): append-only — no update/merge/remove actions, no
+    schema evolution against an existing table (schema must match),
+    writerVersion 2 semantics without invariants/CDC.
+    """
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    part_cols = list(partition_by or [])
+    log = _log_path(table_path)
+    exists = os.path.isdir(log) and any(
+        n.endswith(".json") for n in os.listdir(log)
+    )
+    if exists:
+        _adds, meta = _replay(spark, table_path, max(delta_versions(table_path)))
+        existing_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if [f.name for f in existing_schema.fields] != df.columns:
+            raise ValueError(
+                f"delta_append: schema mismatch — table has "
+                f"{[f.name for f in existing_schema.fields]}, frame has "
+                f"{df.columns}"
+            )
+        if list(meta.get("partitionColumns") or []) != part_cols:
+            raise ValueError("delta_append: partition columns mismatch")
+    os.makedirs(log, exist_ok=True)
+    stage = tempfile.mkdtemp(prefix="_delta_stage_")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    adds = []
+    if part_cols:
+        pattern = os.path.join(stage, *["*"] * len(part_cols), "part-*.parquet")
+    else:
+        pattern = os.path.join(stage, "part-*.parquet")
+    for src in sorted(glob.glob(pattern)):
+        rel_dir = os.path.relpath(os.path.dirname(src), stage)
+        pv = {}
+        if part_cols:
+            for piece in rel_dir.split(os.sep):
+                k, _, v = piece.partition("=")
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        rel = os.path.join(rel_dir, name) if rel_dir != "." else name
+        os.makedirs(
+            os.path.dirname(os.path.join(table_path, rel)) or table_path,
+            exist_ok=True,
+        )
+        shutil.move(src, os.path.join(table_path, rel))
+        adds.append(
+            {
+                "add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(os.path.join(table_path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    actions = []
+    if not exists:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    actions.extend(adds)
+    version = (max(delta_versions(table_path)) + 1) if exists else 0
+    for _ in range(max_retries):
+        try:
+            with open(os.path.join(log, f"{version:020d}.json"), "x") as f:
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+            return version
+        except FileExistsError:
+            version += 1  # lost the race: blind appends rebase trivially
+    raise RuntimeError(
+        f"delta_append: could not claim a commit after {max_retries} retries"
+    )

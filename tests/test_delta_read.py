@@ -191,3 +191,72 @@ def test_empty_active_set_returns_schema(spark, tmp_path):
 def test_not_a_delta_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_delta(spark, str(tmp_path / "nope"))
+
+
+class TestDeltaAppend:
+    def test_create_and_append_roundtrip(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import (
+            delta_append,
+            delta_versions,
+        )
+
+        t = str(tmp_path / "wtbl")
+        d0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        d1 = spark.createDataFrame([(3, "c")], "id long, v string")
+        assert delta_append(spark, d0, t) == 0
+        assert delta_append(spark, d1, t) == 1
+        assert delta_versions(t) == [0, 1]
+        assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [1, 2, 3]
+        assert sorted(
+            r["id"] for r in read_delta(spark, t, version=0).collect()
+        ) == [1, 2]
+        # v0 carries protocol + metaData; v1 only adds
+        import json as _json
+
+        lines0 = [
+            _json.loads(ln)
+            for ln in open(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+        ]
+        assert any("protocol" in a for a in lines0)
+        assert any("metaData" in a for a in lines0)
+
+    def test_partitioned_append(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import delta_append
+
+        t = str(tmp_path / "ptbl")
+        d = spark.createDataFrame(
+            [(1, "en"), (2, "de"), (3, "en")], "id long, lang string"
+        )
+        delta_append(spark, d, t, partition_by=["lang"])
+        got = {(r["id"], r["lang"]) for r in read_delta(spark, t).collect()}
+        assert got == {(1, "en"), (2, "de"), (3, "en")}
+        # partition column stored OUTSIDE the data files
+        files = glob.glob(os.path.join(t, "lang=en", "*.parquet"))
+        assert files
+        cols = spark.read.parquet(files[0]).columns
+        assert "lang" not in cols
+
+    def test_commit_race_retries(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import delta_append
+
+        t = str(tmp_path / "rtbl")
+        d = spark.createDataFrame([(1, "a")], "id long, v string")
+        delta_append(spark, d, t)
+        # a concurrent writer claimed version 1 already
+        with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {}}) + "\n")
+        v = delta_append(spark, d, t)
+        assert v == 2
+        assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [1, 1]
+
+    def test_schema_mismatch_rejected(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import delta_append
+
+        t = str(tmp_path / "mtbl")
+        delta_append(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        with pytest.raises(ValueError, match="schema mismatch"):
+            delta_append(
+                spark, spark.createDataFrame([(1,)], "only long"), t
+            )

@@ -2592,6 +2592,52 @@ def q_gif_frame_meta(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.gif_meta(gifs, "content", "doc_id")
 
 
+def q_audio_flac_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL FLAC decode (pure stdlib+numpy — operators/flac.py: frame
+    sync + CRCs, subframe dispatch, Rice residuals) oracled in closed
+    form: the SAME waveform formula as the WAV fixture, FLAC-encoded
+    per doc, decoded through the full frame machinery. FLAC is
+    lossless, so the oracle IS the WAV features oracle — a broken
+    bit-reader, CRC, blocksize walk, or sign extension
+    hash-mismatches. Predictor/stereo paths are pinned by spec streams
+    in tests/test_flac.py."""
+    from dataset_grouper_spark.operators import audio
+
+    flacs = _flac_frame(read_table(spark, sf, "documents"))
+    return audio.audio_features(flacs, "content", "doc_id")
+
+
+def _flac_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of FLAC files over the _wav_frame waveform
+    formula (sample i of doc d = ((d*31 + i*17) % 4001) - 2000, n =
+    64 + d%57, rate = 8000 + (d%5)*1000) — blocksize 32 so every doc
+    spans multiple frames. Change only in lockstep with the audio
+    oracles."""
+    import numpy as np
+    import pandas as pd
+
+    from dataset_grouper_spark.operators import flac as FL
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for d in ids:
+                d = int(d)
+                n = 64 + d % 57
+                rate = 8000 + (d % 5) * 1000
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + i * 17) % 4001) - 2000
+                outs.append(
+                    FL.encode_flac_verbatim(s, rate, block_size=32)
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+
+
 def q_audio_features_wav(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio decode oracled in closed form: synthesize a PCM16 WAV
     per doc (see _wav_frame), parse the RIFF container and compute exact
@@ -4225,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": q_line_dedup_documents,
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
+        "audio_flac_features": q_audio_flac_features,
         "orc_roundtrip": q_orc_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "delta_time_travel": q_delta_time_travel,
@@ -4237,9 +4284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
-        #     longest-unverified-first; 18 fit under the cap, the rest
-        #     (docs_except_intersect, q11, q2, q9, q20, chunk_sliding
-        #     onward) lead next round.
+        #     longest-unverified-first; 17 fit under the cap, the rest
+        #     (unpivot_lang_counts, docs_except_intersect, q11, q2, q9,
+        #     q20, chunk_sliding onward) lead next round.
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -5878,6 +5925,36 @@ def oracle_sql() -> dict[str, str]:
         "audio_adpcm_features": oracles.adpcm_features_sql(
             "documents", "doc_id", ADPCM_NIBS, ADPCM_RATE
         ),
+        # FLAC is lossless over the same waveform formula, so its twin
+        # IS the WAV features twin
+        "audio_flac_features": """
+            WITH s AS (
+              SELECT d.doc_id, i.i,
+                     ((d.doc_id * 31 + i.i * 17) % 4001) - 2000 AS v
+              FROM documents d
+              JOIN generate_series(0, 120) i(i)
+                ON i.i < 64 + d.doc_id % 57
+            ), f AS (
+              SELECT doc_id, i, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s
+            )
+            SELECT doc_id AS id,
+                   CAST(1 AS INT) AS channels,
+                   CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+                   CAST(16 AS INT) AS bits,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(count(*) * 1000
+                        // (8000 + (doc_id % 5) * 1000) AS BIGINT)
+                     AS duration_ms,
+                   CAST(max(abs(v)) AS BIGINT) AS peak,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(sum(CASE WHEN pv IS NOT NULL
+                                  AND ((v >= 0) != (pv >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings
+            FROM f GROUP BY doc_id
+        """,
         "audio_frame_energy": f"""
             WITH s AS (
               SELECT d.doc_id, i.i,

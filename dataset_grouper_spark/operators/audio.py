@@ -3,9 +3,11 @@
 The reference pipelines treat examples as feature dicts whose values may
 be arbitrary tensors (reference: dataset_grouper/core/serialization.py:23-48
 serializes any bytes feature), so an audio column is "just bytes" to the
-grouping engine.  Here we make the audio path REAL for the one format
-that needs no codec library: WAV/RIFF with integer PCM, parsed with
-``struct`` executor-side.  Compressed formats (MP3/OGG/FLAC) are honestly
+grouping engine.  Here we make the audio path REAL for the formats
+that need no codec library: WAV/RIFF integer PCM, IMA-ADPCM (4:1
+compressed, operators/audio.py below), and FLAC (full decode:
+Rice-coded fixed/LPC predictors, stereo decorrelation —
+operators/flac.py).  Lossy formats (MP3/OGG) are honestly
 gated behind an optional ``soundfile`` import — the Spark-side plumbing
 (schema, Arrow batching, per-frame explode) is identical either way.
 
@@ -363,10 +365,19 @@ def encode_wav_ima_adpcm(
 
 
 def decode_wav_any(b: bytes):
-    """Route a WAV payload to its codec: integer PCM (format 1) or IMA
-    ADPCM (format 0x11). Returns ``(samples, rate, bits)`` — bits is
-    the container's stored depth (16/8 for PCM, 4 for ADPCM; decoded
-    samples are int16-range either way)."""
+    """Route an audio payload to its codec: WAV integer PCM (format
+    1), WAV IMA ADPCM (format 0x11), or FLAC (full pure-stdlib decode
+    — operators/flac.py). Returns ``(samples, rate, bits)`` — bits is
+    the container's stored depth."""
+    if b[:4] == b"fLaC":
+        from dataset_grouper_spark.operators.flac import (
+            decode_flac,
+            parse_flac_streaminfo,
+        )
+
+        info = parse_flac_streaminfo(b)
+        samples, rate = decode_flac(b)
+        return samples, rate, info[2]
     hdr = parse_wav_header(b)
     if hdr is not None:
         samples, rate = decode_wav_pcm(b)
@@ -376,11 +387,12 @@ def decode_wav_any(b: bytes):
 
 
 def decode_compressed_audio(b: bytes):
-    """Compressed-audio decode (MP3/OGG/FLAC) — honestly gated: this
+    """Lossy-compressed-audio decode (MP3/OGG) — honestly gated: this
     container has no audio codec library, so this raises unless
-    ``soundfile`` is importable at runtime.  The Spark plumbing above it
-    (schemas, Arrow batching) is format-agnostic and fully tested via
-    the WAV path."""
+    ``soundfile`` is importable at runtime. FLAC does NOT need this
+    gate — operators/flac.py decodes it in pure stdlib+numpy and
+    ``decode_wav_any`` routes it. The Spark plumbing (schemas, Arrow
+    batching) is format-agnostic and fully tested via the WAV path."""
     try:
         import io
 

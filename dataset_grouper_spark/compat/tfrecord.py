@@ -332,8 +332,9 @@ def write_records(
 
     n = 0
     batch: list[bytes] = []
+    gz = _infer_gzip(path, compression)  # validate BEFORE opening
     raw = fs.open_write(path)
-    with (_GzipWriter(raw) if _infer_gzip(path, compression) else raw) as f:
+    with (_GzipWriter(raw) if gz else raw) as f:
         for rec in records:
             batch.append(rec)
             n += 1
@@ -443,8 +444,9 @@ def write_grouped_tfrecords(
 
         idx = TaskContext.get().partitionId()
         path = shard_name(file_path_prefix, idx, num_shards, file_name_suffix)
+        gz = _infer_gzip(path, "auto")
         raw = fs.open_write(path)
-        with (_GzipWriter(raw) if _infer_gzip(path, "auto") else raw) as f:
+        with (_GzipWriter(raw) if gz else raw) as f:
             for pdf in pdf_iter:
                 recs = [
                     create_sequence_example([bytes(b) for b in payloads])

@@ -376,7 +376,9 @@ def decode_wav_any(b: bytes):
         )
 
         info = parse_flac_streaminfo(b)
-        samples, rate = decode_flac(b)
+        if info is None:
+            raise ValueError("not a FLAC stream")
+        samples, rate = decode_flac(b, _info=info)
         return samples, rate, info[2]
     hdr = parse_wav_header(b)
     if hdr is not None:

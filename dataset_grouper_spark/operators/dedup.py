@@ -986,17 +986,19 @@ def fingerprint_screen_against(
     fps = persist_tracked(fps)
     probe = fps.limit(max_broadcast_fps + 1).collect()
     if len(probe) > max_broadcast_fps:
-        # corpus fingerprints exceed the broadcast budget: plain
-        # shuffle anti join (the screen would not fit on executors)
-        out = (
-            new.withColumn("_fp", md5_long(F.col(content_col)))
-            .join(fps, "_fp", "left_anti")
-            .drop("_fp")
+        # corpus fingerprints exceed the broadcast budget: the same
+        # hit/miss split as the broadcast branch, but as shuffle
+        # semi/anti joins. Misses are DEFINITELY new (no false
+        # negatives); only fingerprint hits — which include 60-bit
+        # collisions on genuinely-new content — go through the exact
+        # 128-bit check, so the output stays row-identical to
+        # exact_dedup_against.
+        tagged = new.withColumn("_fp", md5_long(F.col(content_col)))
+        fresh = tagged.join(fps, "_fp", "left_anti").drop("_fp")
+        maybe = tagged.join(fps, "_fp", "left_semi").drop("_fp")
+        return fresh.unionByName(
+            exact_dedup_against(maybe, existing, content_col)
         )
-        # fp-collision survivors: a 60-bit fp anti join can (with
-        # ~n^2/2^61 probability) drop a genuinely-new row; route the
-        # result through the exact check to keep the contract exact
-        return exact_dedup_against(out, existing, content_col)
     spark = new.sparkSession
     local = spark.createDataFrame(probe, fps.schema)
     fps.unpersist()

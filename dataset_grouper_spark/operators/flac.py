@@ -232,18 +232,25 @@ def _decode_subframe(br: _Bits, n: int, bits: int) -> np.ndarray:
     return out << wasted
 
 
-def decode_flac(b: bytes):
+def decode_flac(b: bytes, _info=None):
     """Decode a FLAC stream -> (samples int32 (n_frames, channels),
     sample_rate) — the same contract as ``decode_wav_pcm``. Raises
-    ValueError on anything that is not a valid FLAC stream."""
-    info = parse_flac_streaminfo(b)
+    ValueError on anything that is not a valid FLAC stream.
+    ``_info`` lets a caller that already parsed STREAMINFO skip the
+    second metadata walk (decode_wav_any's hot loop)."""
+    info = _info if _info is not None else parse_flac_streaminfo(b)
     if info is None:
         raise ValueError("not a FLAC stream")
     channels, rate, bits, total, off = info
     br = _Bits(b, off * 8)
     chunks = []
     decoded = 0
-    while decoded < total:
+    # STREAMINFO total_samples == 0 means UNKNOWN (live/pipe encodes):
+    # decode frames until the stream is exhausted instead
+    unknown_total = total == 0
+    while (unknown_total and (br.p >> 3) < len(b)) or (
+        not unknown_total and decoded < total
+    ):
         hdr_start = br.p >> 3
         sync = br.read(14)
         if sync != 0x3FFE:
@@ -304,7 +311,7 @@ def decode_flac(b: bytes):
             m2 = (mid << 1) | (side & 1)
             subs = [(m2 + side) >> 1, (m2 - side) >> 1]
         chunk = np.stack(subs, axis=1)
-        take = min(n, total - decoded)
+        take = n if unknown_total else min(n, total - decoded)
         chunks.append(chunk[:take])
         decoded += take
     out = (

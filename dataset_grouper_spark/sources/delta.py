@@ -135,9 +135,15 @@ def read_delta(
     an empty active set returns an empty frame with the table schema.
     """
     versions = delta_versions(table_path)
-    if not versions and _latest_checkpoint(table_path, 1 << 60) is None:
+    ckpt = _latest_checkpoint(table_path, 1 << 60)
+    if not versions and ckpt is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
-    target = max(versions) if version is None else version
+    if version is None:
+        # a fully-cleaned log may hold ONLY a checkpoint — the table's
+        # latest state is then the checkpoint's version
+        target = max(versions) if versions else ckpt[0]
+    else:
+        target = version
     adds, meta = _replay(spark, table_path, target)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
@@ -162,7 +168,11 @@ def read_delta(
             os.path.join(table_path, a["path"])
         )
     frames = []
-    for key, paths in sorted(groups.items()):
+    # None-safe ordering: a null partition value must sort, not crash
+    for key, paths in sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    ):
         df = spark.read.schema(data_schema).parquet(*paths)
         for c, raw in zip(part_cols, key):
             lit = (
@@ -283,7 +293,31 @@ def delta_append(
                     f.write(json.dumps(a) + "\n")
             return version
         except FileExistsError:
-            version += 1  # lost the race: blind appends rebase trivially
+            if not exists:
+                # lost the TABLE-CREATION race: the winner's
+                # protocol/metaData govern now — validate against them
+                # and strip ours, or a second metaData (new table id,
+                # unchecked schema) would silently override the
+                # winner's in every later replay
+                exists = True
+                _a, meta = _replay(
+                    spark, table_path, max(delta_versions(table_path))
+                )
+                won_schema = StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                )
+                if [f.name for f in won_schema.fields] != df.columns:
+                    raise ValueError(
+                        "delta_append: schema mismatch with concurrently "
+                        "created table"
+                    )
+                if list(meta.get("partitionColumns") or []) != part_cols:
+                    raise ValueError(
+                        "delta_append: partition columns mismatch with "
+                        "concurrently created table"
+                    )
+                actions = adds
+            version += 1  # blind appends rebase trivially
     raise RuntimeError(
         f"delta_append: could not claim a commit after {max_retries} retries"
     )

@@ -167,9 +167,15 @@ def read_iceberg(
     schemas = meta.get("schemas") or (
         [meta["schema"]] if meta.get("schema") else []
     )
-    cur_id = meta.get("current-schema-id")
+    # time travel must read with the SNAPSHOT's schema (schema
+    # evolution otherwise silently nulls renamed/added columns in old
+    # snapshots); fall back to the table's current schema when the
+    # snapshot entry predates schema-id tracking
+    want_id = snaps[snapshot_id].get("schema-id")
+    if want_id is None:
+        want_id = meta.get("current-schema-id")
     schema = next(
-        (s for s in schemas if s.get("schema-id") == cur_id), schemas[-1]
+        (s for s in schemas if s.get("schema-id") == want_id), schemas[-1]
     )
     ddl = ", ".join(
         f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]

@@ -209,6 +209,11 @@ class TestFingerprintScreen:
             new, existing, "text", max_broadcast_fps=1
         )
         assert sorted(r["doc_id"] for r in out.collect()) == [10, 12, 13]
+        # over-cap shape: fp misses pass through (anti), fp HITS route
+        # through the exact check (semi) — a plain anti join alone
+        # would drop fp-collision false positives permanently
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftAnti" in plan and "LeftSemi" in plan
 
     def test_screen_branch_broadcasts_not_shuffles_fresh(self, spark):
         from dataset_grouper_spark.operators import dedup

@@ -260,3 +260,73 @@ class TestDeltaAppend:
             delta_append(
                 spark, spark.createDataFrame([(1,)], "only long"), t
             )
+
+
+def test_null_partition_value_sorts(spark, tmp_path):
+    t = str(tmp_path / "ntbl")
+    os.makedirs(t)
+    schema = {
+        "type": "struct",
+        "fields": SCHEMA_JSON["fields"]
+        + [{"name": "lang", "type": "string", "nullable": True, "metadata": {}}],
+    }
+    _write_data_file(spark, [(1, "a")], t, "lang=en/f0.parquet")
+    _write_data_file(spark, [(2, "b")], t, "lang=null/f1.parquet")
+    meta = _meta(("lang",))
+    meta["metaData"]["schemaString"] = json.dumps(schema)
+    _commit(
+        t, 0,
+        [meta, _add("lang=en/f0.parquet", {"lang": "en"}),
+         _add("lang=null/f1.parquet", {"lang": None})],
+    )
+    got = {(r["id"], r["lang"]) for r in read_delta(spark, t).collect()}
+    assert got == {(1, "en"), (2, None)}
+
+
+def test_checkpoint_only_log_reads_latest(spark, table):
+    # checkpoint at v2 and EVERY json removed: latest = checkpoint state
+    log = os.path.join(table, "_delta_log")
+    lines = [json.dumps(_meta()), json.dumps(_add("f2.parquet"))]
+    cp = spark.read.json(spark.sparkContext.parallelize(lines))
+    cp.coalesce(1).write.mode("overwrite").parquet(os.path.join(log, "_t"))
+    src = glob.glob(os.path.join(log, "_t", "part-*.parquet"))[0]
+    shutil.move(src, os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    shutil.rmtree(os.path.join(log, "_t"))
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == [1, 2, 3]
+
+
+def test_creation_race_does_not_duplicate_metadata(spark, tmp_path):
+    from dataset_grouper_spark.sources.delta import delta_append
+
+    t = str(tmp_path / "racetbl")
+    # the "winner" created the table between our existence check and
+    # our commit claim: pre-create an EMPTY log dir (exists=False for
+    # the loser) holding the winner's v0
+    os.makedirs(os.path.join(t, "_delta_log"))
+    _write_data_file(spark, [(9, "w")], t, "winner.parquet")
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(),
+        _add("winner.parquet"),
+    ])
+    # loser appends; must NOT re-commit protocol/metaData at v1
+    v = delta_append(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+    )
+    assert v == 1
+    lines1 = [
+        json.loads(ln)
+        for ln in open(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+    ]
+    assert not any("metaData" in a or "protocol" in a for a in lines1)
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [1, 9]
+    # and a loser with a MISMATCHED schema is rejected, not committed
+    with pytest.raises(ValueError, match="schema mismatch"):
+        # fresh empty-log race with wrong schema
+        t2 = str(tmp_path / "racetbl2")
+        os.makedirs(os.path.join(t2, "_delta_log"))
+        _write_data_file(spark, [(9, "w")], t2, "winner.parquet")
+        _commit(t2, 0, [_meta(), _add("winner.parquet")])
+        delta_append(spark, spark.createDataFrame([(1,)], "only long"), t2)

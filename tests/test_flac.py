@@ -208,3 +208,21 @@ def test_crc_enforced():
         FL.decode_flac(bytes(b))
     with pytest.raises(ValueError, match="not a FLAC"):
         FL.decode_flac(b"RIFFxxxxWAVE")
+
+
+def test_unknown_total_samples_decodes_to_eof():
+    # STREAMINFO total == 0 means UNKNOWN (live encodes): frames must
+    # still decode. Patch the encoder's total field to zero.
+    sig = np.arange(300, dtype=np.int64) - 150
+    b = bytearray(FL.encode_flac_verbatim(sig, 8000, block_size=64))
+    # STREAMINFO body starts at 8; total_samples = last 36 bits of the
+    # 18-byte fixed header region: bits 108..143 -> bytes 13..17 hold
+    # (4 bits of rate/ch/bits packing + 36 bits total). Zero the last
+    # 4.5 bytes' total portion: byte 13 low nibble + bytes 14-17.
+    b[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        b[8 + i] = 0
+    assert FL.parse_flac_streaminfo(bytes(b))[3] == 0
+    dec, rate = FL.decode_flac(bytes(b))
+    assert rate == 8000
+    assert np.array_equal(dec[:, 0], sig)

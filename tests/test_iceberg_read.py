@@ -220,3 +220,28 @@ def test_extra_manifest_fields_tolerated(spark, table):
 def test_not_an_iceberg_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_iceberg(spark, str(tmp_path / "nope"))
+
+
+def test_time_travel_uses_snapshot_schema(spark, table):
+    # schema evolution: current schema renames v -> txt; snapshot 200
+    # (pre-rename) must still read with the OLD schema
+    mpath = os.path.join(table, "metadata", "v2.metadata.json")
+    meta = json.load(open(mpath))
+    new_schema = {
+        "type": "struct",
+        "schema-id": 1,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "txt", "required": False, "type": "string"},
+        ],
+    }
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = 1
+    for s in meta["snapshots"]:
+        s["schema-id"] = 0 if s["snapshot-id"] < 300 else 1
+    json.dump(meta, open(mpath, "w"))
+    old = read_iceberg(spark, table, snapshot_id=200)
+    assert old.columns == ["id", "v"]
+    assert sorted(r["v"] for r in old.collect()) == ["a", "b", "c"]
+    cur = read_iceberg(spark, table)
+    assert cur.columns == ["id", "txt"]

@@ -129,3 +129,17 @@ def test_grouped_gzip_shards(spark, tmp_path):
         r[0] for r in back.select(F.size("payloads")).collect()
     )
     assert sizes == [10, 10, 10]
+
+
+def test_invalid_compression_rejected_before_open(tmp_path):
+    import os
+
+    import pytest
+
+    from dataset_grouper_spark.compat import tfrecord as T
+
+    p = os.path.join(str(tmp_path), "never.tfrecord")
+    with pytest.raises(ValueError, match="unknown compression"):
+        T.write_records(p, [b"x"], compression="zstd")
+    # validation fires BEFORE the stream opens: no orphan file created
+    assert not os.path.exists(p)

@@ -112,7 +112,24 @@ def iceberg_snapshots(table_path: str) -> list[dict]:
     return sorted(snaps, key=lambda s: s.get("timestamp-ms", 0))
 
 
-def _live_files(table_path: str, snapshot: dict) -> list[str]:
+def _partition_match(df: dict, partition_filter: dict) -> bool:
+    """Identity-partition file pruning: keep the file unless its
+    ``data_file.partition`` struct names a filtered field with a
+    DIFFERENT value. Files without partition info (older writers,
+    minimal manifests) are conservatively kept — pruning must never
+    drop data it cannot prove excluded."""
+    part = df.get("partition")
+    if not isinstance(part, dict):
+        return True
+    for k, want in partition_filter.items():
+        if k in part and part[k] != want:
+            return False
+    return True
+
+
+def _live_files(
+    table_path: str, snapshot: dict, partition_filter: dict | None = None
+) -> list[str]:
     ml_path = _localize(snapshot["manifest-list"])
     if not os.path.isabs(ml_path):
         ml_path = os.path.join(table_path, ml_path)
@@ -132,6 +149,8 @@ def _live_files(table_path: str, snapshot: dict) -> list[str]:
             if e.get("status", 0) == 2:  # DELETED
                 continue
             df = e["data_file"]
+            if partition_filter and not _partition_match(df, partition_filter):
+                continue  # manifest-level file pruning: never scanned
             if df.get("content", 0) != 0:
                 raise NotImplementedError(
                     "iceberg: non-data content in data_file"
@@ -149,12 +168,24 @@ def _live_files(table_path: str, snapshot: dict) -> list[str]:
 
 
 def read_iceberg(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at ``snapshot_id`` (default: current) —
     the pinned file set that snapshot's manifests declare live. Data
     files carry every column (identity partitions included), so the
-    result is one parquet scan with the table schema."""
+    result is one parquet scan with the table schema.
+
+    ``partition_filter`` ({column: value}, identity transforms) prunes
+    FILES at the manifest level — the planning-step win Iceberg's
+    metadata exists for: at 100 TB a partition-scoped read touches
+    only matching files' footers, never the rest of the table.
+    Pruning is conservative (files without partition metadata are
+    kept) and composes with Spark's own row-group pruning; the same
+    predicate should normally also be applied as a .filter() for
+    exactness when partition metadata is partial."""
     meta = _load_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
     if snapshot_id is None:
@@ -180,7 +211,7 @@ def read_iceberg(
     ddl = ", ".join(
         f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
     )
-    files = _live_files(table_path, snaps[snapshot_id])
+    files = _live_files(table_path, snaps[snapshot_id], partition_filter)
     if not files:
         return spark.createDataFrame([], ddl)
     return spark.read.schema(ddl).parquet(*files)

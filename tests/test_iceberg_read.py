@@ -245,3 +245,68 @@ def test_time_travel_uses_snapshot_schema(spark, table):
     assert sorted(r["v"] for r in old.collect()) == ["a", "b", "c"]
     cur = read_iceberg(spark, table)
     assert cur.columns == ["id", "txt"]
+
+
+def test_partition_filter_prunes_files(spark, tmp_path):
+    t = str(tmp_path / "ptbl")
+    os.makedirs(os.path.join(t, "metadata"))
+    f_en = _write_data(spark, [(1, "en-doc")], t, "en.parquet")
+    f_de = _write_data(spark, [(2, "de-doc")], t, "de.parquet")
+    schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": MANIFEST_SCHEMA["fields"][:2]
+        + [
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2p",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "map",
+                                "values": ["null", "string"],
+                            },
+                        },
+                    ],
+                },
+            }
+        ],
+    }
+    entries = []
+    for path, lang in ((f_en, "en"), (f_de, "de")):
+        e = _entry(path)
+        e["data_file"]["partition"] = {"lang": lang}
+        entries.append(e)
+    p = os.path.join(t, "metadata", "m.avro")
+    write_avro_file(p, schema, entries)
+    ml = _mlist(t, "snap-1.avro", [p], 1)
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "schemas": [TABLE_SCHEMA],
+        "current-schema-id": 0,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}
+        ],
+    }
+    json.dump(meta, open(os.path.join(t, "metadata", "v1.metadata.json"), "w"))
+    from pyspark.sql import functions as F
+
+    pruned = read_iceberg(spark, t, partition_filter={"lang": "en"})
+    files = {
+        os.path.basename(r[0])
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert files == {"en.parquet"}  # de.parquet never scanned
+    assert [r["id"] for r in pruned.collect()] == [1]
+    # unfiltered read still sees both; unknown filter keys keep all
+    assert read_iceberg(spark, t).count() == 2
+    assert read_iceberg(spark, t, partition_filter={"zzz": "x"}).count() == 2

@@ -1,9 +1,17 @@
-"""Sources — tabular and binary readers (SURVEY §2.1).
+"""Sources — tabular, binary, and lakehouse readers (SURVEY §2.1).
 
 The reference reads TFDS datasets via Beam (tfds_pipelines.py:58-60)
 and TFRecord shards via tf.data (data_loaders.py:116-122). Natively we
 read columnar tables; TFRecord is an optional compat path gated behind
 an import-try (the spark-tensorflow connector is not bundled).
+
+Beyond-reference format support (all jar-free, see the submodules):
+``sources.delta`` (Delta Lake read/append/change-feed),
+``sources.iceberg`` (Iceberg snapshots with manifest pruning),
+``sources.avro`` (object-container codec + distributed read). The
+convenience re-exports below make the whole surface one import:
+
+    from dataset_grouper_spark.sources import read_delta, read_iceberg
 """
 
 from __future__ import annotations
@@ -117,3 +125,31 @@ def read_tfrecord(spark: SparkSession, path: str, schema=None) -> DataFrame:
             "the classpath; the native engine uses Parquet layouts "
             "(see sinks/)."
         ) from exc
+
+
+def __getattr__(name):
+    # lazy re-exports: the lakehouse submodules import pyspark types at
+    # module scope; deferring keeps `import sources` light
+    _lazy = {
+        "read_delta": ("dataset_grouper_spark.sources.delta", "read_delta"),
+        "delta_append": ("dataset_grouper_spark.sources.delta", "delta_append"),
+        "read_delta_changes": (
+            "dataset_grouper_spark.sources.delta", "read_delta_changes"
+        ),
+        "delta_versions": (
+            "dataset_grouper_spark.sources.delta", "delta_versions"
+        ),
+        "read_iceberg": (
+            "dataset_grouper_spark.sources.iceberg", "read_iceberg"
+        ),
+        "iceberg_snapshots": (
+            "dataset_grouper_spark.sources.iceberg", "iceberg_snapshots"
+        ),
+        "read_avro": ("dataset_grouper_spark.sources.avro", "read_avro"),
+    }
+    if name in _lazy:
+        import importlib
+
+        mod, attr = _lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -215,3 +215,212 @@ def read_iceberg(
     if not files:
         return spark.createDataFrame([], ddl)
     return spark.read.schema(ddl).parquet(*files)
+
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MLIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _iceberg_type(spark_type: str) -> str:
+    m = {
+        "bigint": "long", "long": "long", "int": "int", "integer": "int",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "string": "string", "binary": "binary", "date": "date",
+        "timestamp": "timestamp",
+    }
+    t = m.get(spark_type)
+    if t is None:
+        raise ValueError(
+            f"iceberg_append: cannot map Spark type {spark_type!r}"
+        )
+    return t
+
+
+def iceberg_append(spark: SparkSession, df: DataFrame, table_path: str) -> int:
+    """APPEND ``df`` to an Iceberg table as one new snapshot; creates
+    the table (v1 metadata) when absent. Returns the snapshot id.
+
+    Per the spec's commit model: data files land first, then a NEW
+    manifest (Avro) listing them, a NEW manifest list = previous
+    snapshot's manifests + the new one, and a new ``v<N>.metadata.json``
+    claimed with an exclusive create (put-if-absent on the version
+    file — HadoopCatalog-style optimistic concurrency); the
+    version-hint is updated last. Unpartitioned, append-only scope
+    (schema must match an existing table)."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    mdir = os.path.join(table_path, "metadata")
+    exists = os.path.isdir(mdir) and any(
+        n.endswith(".metadata.json") for n in os.listdir(mdir)
+    )
+    if exists:
+        meta = _load_metadata(table_path)
+        cur_schema = next(
+            (
+                s
+                for s in meta.get("schemas") or []
+                if s.get("schema-id") == meta.get("current-schema-id")
+            ),
+            None,
+        )
+        have = [f["name"] for f in (cur_schema or {}).get("fields", [])]
+        if have != df.columns:
+            raise ValueError(
+                f"iceberg_append: schema mismatch — table has {have}, "
+                f"frame has {df.columns}"
+            )
+    else:
+        os.makedirs(mdir, exist_ok=True)
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": table_path,
+            "current-snapshot-id": None,
+            "schemas": [
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": [
+                        {
+                            "id": i + 1,
+                            "name": f.name,
+                            "required": False,
+                            "type": _iceberg_type(f.dataType.simpleString()),
+                        }
+                        for i, f in enumerate(df.schema.fields)
+                    ],
+                }
+            ],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "snapshots": [],
+        }
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    stage = tempfile.mkdtemp(prefix="_ice_stage_")
+    df.write.mode("overwrite").parquet(stage)
+    snap_id = (
+        max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
+    )
+    entries = []
+    for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+        dst = os.path.join(
+            table_path, "data", f"s{snap_id}-{uuid.uuid4().hex}.parquet"
+        )
+        shutil.move(src, dst)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                },
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    from dataset_grouper_spark.sources.avro import write_avro_file
+
+    mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
+    prev_manifests = []
+    if meta.get("current-snapshot-id") is not None:
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        ml = _localize(cur["manifest-list"])
+        if not os.path.isabs(ml):
+            ml = os.path.join(table_path, ml)
+        _s, prev = read_avro_file(ml)
+        prev_manifests = [
+            {k: m[k] for k in (f["name"] for f in _MLIST_SCHEMA["fields"])}
+            for m in prev
+        ]
+    mlpath = os.path.join(mdir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    write_avro_file(
+        mlpath,
+        _MLIST_SCHEMA,
+        prev_manifests
+        + [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": snap_id,  # deterministic, monotone
+            "schema-id": meta.get("current-schema-id", 0),
+            "manifest-list": mlpath,
+        }
+    )
+    meta["current-snapshot-id"] = snap_id
+    # claim the next metadata version exclusively (optimistic commit)
+    versions = [
+        int(n[1:].split(".")[0])
+        for n in os.listdir(mdir)
+        if n.endswith(".metadata.json")
+        and n.startswith("v")
+        and n[1:].split(".")[0].isdigit()
+    ]
+    v = max(versions, default=0) + 1
+    while True:
+        try:
+            with open(
+                os.path.join(mdir, f"v{v}.metadata.json"), "x"
+            ) as f:
+                json.dump(meta, f)
+            break
+        except FileExistsError:
+            raise RuntimeError(
+                "iceberg_append: lost the metadata-version race — "
+                "re-run the append (snapshot state must be re-derived "
+                "from the winner's metadata)"
+            )
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v))
+    return snap_id

@@ -310,3 +310,49 @@ def test_partition_filter_prunes_files(spark, tmp_path):
     # unfiltered read still sees both; unknown filter keys keep all
     assert read_iceberg(spark, t).count() == 2
     assert read_iceberg(spark, t, partition_filter={"zzz": "x"}).count() == 2
+
+
+class TestIcebergAppend:
+    def test_create_append_time_travel(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import iceberg_append
+
+        t = str(tmp_path / "wtbl")
+        s1 = iceberg_append(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            t,
+        )
+        s2 = iceberg_append(
+            spark, spark.createDataFrame([(3, "c")], "id long, v string"), t
+        )
+        assert [s["snapshot-id"] for s in iceberg_snapshots(t)] == [s1, s2]
+        assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) == [1, 2, 3]
+        assert sorted(
+            r["id"] for r in read_iceberg(spark, t, snapshot_id=s1).collect()
+        ) == [1, 2]
+
+    def test_schema_mismatch_rejected(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import iceberg_append
+
+        t = str(tmp_path / "mtbl")
+        iceberg_append(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        with pytest.raises(ValueError, match="schema mismatch"):
+            iceberg_append(
+                spark, spark.createDataFrame([(1,)], "only long"), t
+            )
+
+    def test_writer_output_read_by_fixture_reader_paths(self, spark, tmp_path):
+        # the writer's manifests ride the same reader as hand-built
+        # fixtures: mixed history (hand fixture snapshot after writer
+        # snapshots) still reads coherently
+        from dataset_grouper_spark.sources.iceberg import iceberg_append
+
+        t = str(tmp_path / "xtbl")
+        iceberg_append(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        df = read_iceberg(spark, t)
+        assert df.columns == ["id", "v"]
+        assert df.count() == 1

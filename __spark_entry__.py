@@ -3860,6 +3860,47 @@ def q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_iceberg_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ deletes end-to-end (sources/iceberg.py):
+    append documents as a real table, run TWO ``iceberg_delete_where``
+    commits (each writes position-delete parquet + a content=1 delete
+    manifest — NO data file rewritten), then read the current snapshot
+    back through the pure-Python reader, which anti-joins the scan's
+    own ``_metadata`` (file, row-ordinal) against the delete set. The
+    pre-delete snapshot is also read to pin time travel across MoR
+    commits. A mis-applied position, path-normalization slip, or
+    delete-file leak across snapshots hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_delete_where,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_mor_") + "/tbl"
+    iceberg_append(spark, docs, table)
+    iceberg_delete_where(spark, table, "doc_id % 3 = 0")
+    iceberg_delete_where(spark, table, "lang = 'de'")
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+    ]
+    cur = read_iceberg(spark, table).groupBy("lang").agg(*agg)
+    pre = (
+        read_iceberg(spark, table, snapshot_id=1)
+        .groupBy("lang")
+        .agg(*agg)
+    )
+    return (
+        pre.withColumn("stage", F.lit(0))
+        .unionByName(cur.withColumn("stage", F.lit(1)))
+        .select("stage", "lang", "n", "sum_ids", "text_bytes")
+    )
+
+
 _ICE_MANIFEST_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -4276,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": q_avro_roundtrip,
         "delta_time_travel": q_delta_time_travel,
         "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_mor_delete": q_iceberg_mor_delete,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -5229,6 +5271,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents GROUP BY lang
+        """,
+        "iceberg_mor_delete": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(strlen(text)) AS BIGINT)
+            FROM documents
+            WHERE doc_id % 3 <> 0 AND lang <> 'de'
+            GROUP BY lang
         """,
         "csv_roundtrip": """
             SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -18,14 +18,28 @@ whatever manifest schema the files declare and consumes only the
 spec-named fields — real tables' extra stats columns ride along
 harmlessly.
 
-Honest gates: v2 DELETE manifests (``content=1`` — position/equality
-deletes) raise rather than over-returning rows; non-parquet data files
-raise; nested Iceberg types beyond primitives/decimals raise at schema
+v2 merge-on-read POSITION deletes are REAL both ways: delete
+manifests (``content=1``) contribute parquet delete files of
+``(file_path, pos)`` rows, applied on read as a left-anti join
+against the scan's own ``_metadata.file_path`` / ``row_index``
+columns (Spark's native per-file row ordinal — exactly the spec's
+``pos``); ``iceberg_delete_where`` WRITES them — a DELETE that
+commits O(deleted-rows) position files and never rewrites a data
+file, the merge-on-read economics the v2 spec exists for.
+
+Honest gates: EQUALITY deletes (``data_file.content=2``) raise —
+applying them correctly needs sequence-number ordering this reader
+does not track (position deletes name exact ``(file, pos)`` pairs, so
+global application is always sound); non-parquet data files raise;
+nested Iceberg types beyond primitives/decimals raise at schema
 mapping.
 
 Scale shape: like the Delta reader, the metadata walk is the driver's
 planning step (Avro manifests are KB-scale); data moves only through
-``spark.read.parquet`` over the live files with full pushdown.
+``spark.read.parquet`` over the live files with full pushdown. The
+delete-apply join broadcasts only when MANIFEST stats bound the
+delete-row count (plan-time decision, no probe job); unknown or large
+delete sets take a plain shuffle join keyed on (file, pos).
 """
 
 from __future__ import annotations
@@ -34,9 +48,14 @@ import json
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from dataset_grouper_spark.sources.avro import read_avro_file
+from dataset_grouper_spark.sources.avro import read_avro_file, write_avro_file
+
+# broadcast the delete set only when manifest stats prove it small
+# (~24 B/row keyed struct → ≤1M rows is a tens-of-MB build side)
+_DELETE_BROADCAST_ROWS = 1_000_000
 
 _PRIM = {
     "boolean": "boolean",
@@ -129,18 +148,20 @@ def _partition_match(df: dict, partition_filter: dict) -> bool:
 
 def _live_files(
     table_path: str, snapshot: dict, partition_filter: dict | None = None
-) -> list[str]:
+) -> tuple[list[str], list[str], int | None]:
+    """Walk a snapshot's manifests into ``(data_files, position_delete
+    _files, delete_row_count)``. ``delete_row_count`` is the manifest
+    record_count sum when every delete entry declares one (the
+    plan-time broadcast decision input), else None (unknown)."""
     ml_path = _localize(snapshot["manifest-list"])
     if not os.path.isabs(ml_path):
         ml_path = os.path.join(table_path, ml_path)
     _schema, manifests = read_avro_file(ml_path)
     files: list[str] = []
+    delete_files: list[str] = []
+    delete_rows: int | None = 0
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise NotImplementedError(
-                "iceberg: delete manifests (position/equality deletes) "
-                "are not supported — rows would be over-returned"
-            )
+        is_delete_manifest = m.get("content", 0) == 1
         mp = _localize(m["manifest_path"])
         if not os.path.isabs(mp):
             mp = os.path.join(table_path, mp)
@@ -151,10 +172,7 @@ def _live_files(
             df = e["data_file"]
             if partition_filter and not _partition_match(df, partition_filter):
                 continue  # manifest-level file pruning: never scanned
-            if df.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "iceberg: non-data content in data_file"
-                )
+            content = df.get("content", 1 if is_delete_manifest else 0)
             fmt = (df.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
@@ -163,8 +181,61 @@ def _live_files(
             p = _localize(df["file_path"])
             if not os.path.isabs(p):
                 p = os.path.join(table_path, p)
-            files.append(p)
-    return files
+            if content == 0:
+                if is_delete_manifest:
+                    raise ValueError(
+                        "iceberg: data file listed in a delete manifest"
+                    )
+                files.append(p)
+            elif content == 1:  # position deletes
+                delete_files.append(p)
+                rc = df.get("record_count") or 0
+                if rc > 0 and delete_rows is not None:
+                    delete_rows += rc
+                else:
+                    delete_rows = None  # any unknown poisons the bound
+            else:  # content == 2: equality deletes
+                raise NotImplementedError(
+                    "iceberg: equality deletes need sequence-number "
+                    "ordering this reader does not track"
+                )
+    return files, delete_files, delete_rows
+
+
+def _norm_path(c: Column) -> Column:
+    """Scheme-insensitive path: ``file:/a``, ``file:///a`` and ``/a``
+    all normalize to ``/a`` (Spark's ``_metadata.file_path`` is a URI;
+    manifests usually carry plain absolute paths)."""
+    return F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+
+
+def _apply_position_deletes(
+    spark: SparkSession,
+    data: DataFrame,
+    delete_files: list[str],
+    delete_rows: int | None,
+) -> DataFrame:
+    """Anti-join the scan against its position-delete set. ``data``
+    must still carry the hidden ``_metadata`` struct (i.e. be the raw
+    parquet scan). Broadcasts only when manifest stats BOUND the
+    delete rows (no probe job — stats are free at plan time)."""
+    cols = data.columns  # _metadata is hidden: not listed, still usable
+    keyed = data.withColumns(
+        {
+            "__fp": _norm_path(F.col("_metadata.file_path")),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    dels = (
+        spark.read.parquet(*delete_files)
+        .select(
+            _norm_path(F.col("file_path")).alias("__fp"),
+            F.col("pos").cast("long").alias("__pos"),
+        )
+    )
+    if delete_rows is not None and delete_rows <= _DELETE_BROADCAST_ROWS:
+        dels = F.broadcast(dels)
+    return keyed.join(dels, ["__fp", "__pos"], "left_anti").select(*cols)
 
 
 def read_iceberg(
@@ -185,7 +256,12 @@ def read_iceberg(
     Pruning is conservative (files without partition metadata are
     kept) and composes with Spark's own row-group pruning; the same
     predicate should normally also be applied as a .filter() for
-    exactness when partition metadata is partial."""
+    exactness when partition metadata is partial.
+
+    v2 position deletes in the snapshot are applied automatically
+    (anti-join on the scan's own file/row-ordinal metadata columns);
+    file pruning composes safely with them because delete rows are
+    keyed by exact data-file path."""
     meta = _load_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
     if snapshot_id is None:
@@ -211,10 +287,15 @@ def read_iceberg(
     ddl = ", ".join(
         f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
     )
-    files = _live_files(table_path, snaps[snapshot_id], partition_filter)
+    files, delete_files, delete_rows = _live_files(
+        table_path, snaps[snapshot_id], partition_filter
+    )
     if not files:
         return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(*files)
+    data = spark.read.schema(ddl).parquet(*files)
+    if delete_files:
+        data = _apply_position_deletes(spark, data, delete_files, delete_rows)
+    return data
 
 
 _MANIFEST_SCHEMA = {
@@ -356,10 +437,25 @@ def iceberg_append(spark: SparkSession, df: DataFrame, table_path: str) -> int:
             }
         )
     shutil.rmtree(stage, ignore_errors=True)
-    from dataset_grouper_spark.sources.avro import write_avro_file
-
     mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
+    return _commit_snapshot(table_path, meta, snap_id, mpath, content=0)
+
+
+def _commit_snapshot(
+    table_path: str,
+    meta: dict,
+    snap_id: int,
+    manifest_path: str,
+    content: int,
+) -> int:
+    """Shared commit tail: new manifest list = previous snapshot's
+    manifests (data AND delete, content preserved) + the new manifest;
+    append the snapshot to metadata; claim the next metadata version
+    with an exclusive create (put-if-absent optimistic commit)."""
+    import uuid
+
+    mdir = os.path.join(table_path, "metadata")
     prev_manifests = []
     if meta.get("current-snapshot-id") is not None:
         cur = next(
@@ -382,10 +478,10 @@ def iceberg_append(spark: SparkSession, df: DataFrame, table_path: str) -> int:
         prev_manifests
         + [
             {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": content,
                 "added_snapshot_id": snap_id,
             }
         ],
@@ -408,19 +504,131 @@ def iceberg_append(spark: SparkSession, df: DataFrame, table_path: str) -> int:
         and n[1:].split(".")[0].isdigit()
     ]
     v = max(versions, default=0) + 1
-    while True:
-        try:
-            with open(
-                os.path.join(mdir, f"v{v}.metadata.json"), "x"
-            ) as f:
-                json.dump(meta, f)
-            break
-        except FileExistsError:
-            raise RuntimeError(
-                "iceberg_append: lost the metadata-version race — "
-                "re-run the append (snapshot state must be re-derived "
-                "from the winner's metadata)"
-            )
+    try:
+        with open(os.path.join(mdir, f"v{v}.metadata.json"), "x") as f:
+            json.dump(meta, f)
+    except FileExistsError:
+        raise RuntimeError(
+            "iceberg: lost the metadata-version race — re-run the "
+            "commit (snapshot state must be re-derived from the "
+            "winner's metadata)"
+        )
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(v))
     return snap_id
+
+
+def iceberg_delete_where(
+    spark: SparkSession, table_path: str, condition: Column | str
+) -> int:
+    """Merge-on-read DELETE: commit a new snapshot whose POSITION
+    DELETE files (parquet ``(file_path, pos)`` rows, spec-ordered by
+    file then position) mark every current row matching ``condition``
+    — no data file is rewritten, so the write cost is O(deleted rows)
+    while copy-on-write pays O(touched files). This is the v2
+    merge-on-read economics: at 100 TB a point delete commits in
+    seconds regardless of table size, and readers pay one anti-join.
+
+    Rows already position-deleted are excluded from matching (the scan
+    applies existing deletes first), so repeated deletes compose and a
+    re-run of the same predicate is a no-op. Returns the new snapshot
+    id, or the CURRENT snapshot id unchanged when nothing matches."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    meta = _load_metadata(table_path)
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is None:
+        raise ValueError("iceberg_delete_where: table has no snapshots")
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    data_files, delete_files, delete_rows = _live_files(
+        table_path, snaps[cur_id]
+    )
+    if not data_files:
+        return cur_id
+    schemas = meta.get("schemas") or []
+    schema = next(
+        (
+            s
+            for s in schemas
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        schemas[-1] if schemas else None,
+    )
+    ddl = ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+    )
+    # match against the RAW scan (positions come from its _metadata);
+    # rows already deleted are subtracted explicitly below, which both
+    # applies current-table semantics and keeps delete files disjoint
+    scan = spark.read.schema(ddl).parquet(*data_files)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    # manifest-declared path for each scanned file (broadcast map:
+    # one row per live data file — planning-scale, not data-scale)
+    path_map = spark.createDataFrame(
+        [(p if p.startswith("/") else "/" + p, p) for p in data_files],
+        "`__fp` string, `file_path` string",
+    )
+    hits = (
+        scan.filter(cond)
+        .select(
+            _norm_path(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .join(F.broadcast(path_map), "__fp")
+        .select("file_path", "pos")
+    )
+    if delete_files:
+        prev = spark.read.parquet(*delete_files).select(
+            _norm_path(F.col("file_path")).alias("__pf"),
+            F.col("pos").cast("long").alias("__ppos"),
+        )
+        hits = hits.join(
+            prev,
+            (_norm_path(hits["file_path"]) == prev["__pf"])
+            & (hits["pos"] == prev["__ppos"]),
+            "left_anti",
+        )
+    stage = tempfile.mkdtemp(prefix="_ice_del_stage_")
+    (
+        hits.repartition("file_path")
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    import pyarrow.parquet as pq
+
+    snap_id = max(snaps) + 1
+    entries = []
+    for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+        nrows = pq.ParquetFile(src).metadata.num_rows
+        if nrows == 0:
+            continue  # empty shard: nothing to declare
+        dst = os.path.join(
+            table_path,
+            "data",
+            f"delete-{snap_id}-{uuid.uuid4().hex}.parquet",
+        )
+        shutil.move(src, dst)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 1,  # position deletes
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                },
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    if not entries:
+        return cur_id  # nothing matched: no snapshot, table unchanged
+    mdir = os.path.join(table_path, "metadata")
+    mpath = os.path.join(mdir, f"d-{snap_id}-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
+    return _commit_snapshot(table_path, meta, snap_id, mpath, content=1)

@@ -175,22 +175,170 @@ def test_unknown_snapshot(spark, table):
         read_iceberg(spark, table, snapshot_id=999)
 
 
-def test_delete_manifests_gated(spark, table):
+def _delete_entry(path, content=1):
+    import pyarrow.parquet as pq
+
+    return {
+        "status": 1,
+        "snapshot_id": None,
+        "data_file": {
+            "content": content,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": pq.ParquetFile(path).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+        },
+    }
+
+
+def _add_delete_snapshot(spark, table, pairs, snap_id, content=1):
+    """Commit a hand-built position-delete snapshot: parquet of
+    (file_path, pos) rows + a content=1 delete manifest appended to
+    the current snapshot's manifest list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dpath = os.path.join(table, "data", f"del-{snap_id}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [p for p, _ in pairs],
+                "pos": pa.array([x for _, x in pairs], pa.int64()),
+            }
+        ),
+        dpath,
+    )
     meta = json.load(open(os.path.join(table, "metadata", "v2.metadata.json")))
-    ml = _mlist(
-        table, "snap-400.avro",
-        [os.path.join(table, "metadata", "m2.avro")], 400, content=1,
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
     )
+    from dataset_grouper_spark.sources.avro import read_avro_file
+
+    _s, prev = read_avro_file(cur["manifest-list"])
+    dm = _manifest(table, f"dm-{snap_id}.avro", [_delete_entry(dpath, content)])
+    ml_rows = [
+        {k: m[k] for k in ("manifest_path", "manifest_length",
+                           "partition_spec_id", "content",
+                           "added_snapshot_id")}
+        for m in prev
+    ] + [
+        {
+            "manifest_path": dm,
+            "manifest_length": os.path.getsize(dm),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    ml = os.path.join(table, "metadata", f"snap-{snap_id}.avro")
+    write_avro_file(ml, MANIFEST_LIST_SCHEMA, ml_rows)
     meta["snapshots"].append(
-        {"snapshot-id": 400, "timestamp-ms": 4, "manifest-list": ml}
+        {"snapshot-id": snap_id, "timestamp-ms": snap_id, "manifest-list": ml}
     )
-    meta["current-snapshot-id"] = 400
-    with open(os.path.join(table, "metadata", "v3.metadata.json"), "w") as f:
+    meta["current-snapshot-id"] = snap_id
+    with open(os.path.join(table, "metadata", "v2.metadata.json"), "w") as f:
         json.dump(meta, f)
-    with open(os.path.join(table, "metadata", "version-hint.text"), "w") as f:
-        f.write("3")
-    with pytest.raises(NotImplementedError, match="delete manifests"):
-        read_iceberg(spark, table)
+
+
+class TestPositionDeletes:
+    def test_read_applies_hand_built_position_deletes(self, spark, table):
+        # current snapshot 300 reads f2.parquet = rows (1,a)(2,b)(3,c);
+        # delete ordinals 0 and 2 of f2 -> only (2,b) survives
+        f2 = os.path.join(table, "data", "f2.parquet")
+        _add_delete_snapshot(spark, table, [(f2, 0), (f2, 2)], 400)
+        got = read_iceberg(spark, table).collect()
+        assert [(r["id"], r["v"]) for r in got] == [(2, "b")]
+
+    def test_time_travel_before_deletes_sees_all_rows(self, spark, table):
+        f2 = os.path.join(table, "data", "f2.parquet")
+        _add_delete_snapshot(spark, table, [(f2, 1)], 400)
+        pre = read_iceberg(spark, table, snapshot_id=300)
+        assert sorted(r["id"] for r in pre.collect()) == [1, 2, 3]
+        post = read_iceberg(spark, table, snapshot_id=400)
+        assert sorted(r["id"] for r in post.collect()) == [1, 3]
+
+    def test_scheme_insensitive_paths(self, spark, table):
+        # delete rows recorded as file:// URIs must still match the
+        # scan's file:/ metadata paths
+        f2 = "file://" + os.path.join(table, "data", "f2.parquet")
+        _add_delete_snapshot(spark, table, [(f2, 0)], 400)
+        assert sorted(
+            r["id"] for r in read_iceberg(spark, table).collect()
+        ) == [2, 3]
+
+    def test_equality_deletes_gated(self, spark, table):
+        f2 = os.path.join(table, "data", "f2.parquet")
+        _add_delete_snapshot(spark, table, [(f2, 0)], 400, content=2)
+        with pytest.raises(NotImplementedError, match="equality deletes"):
+            read_iceberg(spark, table)
+
+
+class TestDeleteWhere:
+    def _fresh(self, spark, tmp_path, rows):
+        from dataset_grouper_spark.sources.iceberg import iceberg_append
+
+        t = str(tmp_path / "mor_tbl")
+        iceberg_append(
+            spark, spark.createDataFrame(rows, "id long, v string"), t
+        )
+        return t
+
+    def test_delete_where_roundtrip(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import iceberg_delete_where
+
+        t = self._fresh(
+            spark, tmp_path, [(i, "even" if i % 2 == 0 else "odd")
+                              for i in range(20)]
+        )
+        pre = read_iceberg(spark, t)
+        snap = iceberg_delete_where(spark, t, "v = 'odd'")
+        got = read_iceberg(spark, t)
+        assert sorted(r["id"] for r in got.collect()) == list(range(0, 20, 2))
+        # no data file rewritten: pre-delete snapshot still intact
+        assert sorted(
+            r["id"]
+            for r in read_iceberg(spark, t, snapshot_id=snap - 1).collect()
+        ) == list(range(20))
+        assert pre.count() == 20
+
+    def test_delete_composes_and_null_safe(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import iceberg_delete_where
+
+        t = self._fresh(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+        iceberg_delete_where(spark, t, "id = 1")
+        iceberg_delete_where(spark, t, "id = 3")
+        assert [r["id"] for r in read_iceberg(spark, t).collect()] == [2]
+
+    def test_repeat_delete_is_noop(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import (
+            iceberg_delete_where,
+            iceberg_snapshots,
+        )
+
+        t = self._fresh(spark, tmp_path, [(1, "a"), (2, "b")])
+        s1 = iceberg_delete_where(spark, t, "id = 1")
+        s2 = iceberg_delete_where(spark, t, "id = 1")
+        assert s2 == s1  # already-deleted rows never re-match
+        assert len(iceberg_snapshots(t)) == 2  # append + one delete
+        assert [r["id"] for r in read_iceberg(spark, t).collect()] == [2]
+
+    def test_nothing_matches_is_noop(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import iceberg_delete_where
+
+        t = self._fresh(spark, tmp_path, [(1, "a")])
+        s = iceberg_delete_where(spark, t, "id = 99")
+        assert s == 1  # current snapshot unchanged
+        assert read_iceberg(spark, t).count() == 1
+
+    def test_bounded_delete_set_broadcasts(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import iceberg_delete_where
+
+        t = self._fresh(spark, tmp_path, [(i, "x") for i in range(10)])
+        iceberg_delete_where(spark, t, "id < 3")
+        plan = read_iceberg(spark, t)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
 def test_extra_manifest_fields_tolerated(spark, table):

@@ -3122,6 +3122,7 @@ def q_weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 CMS_WIDTH = 256
 CMS_DEPTH = 4
+HLL_P = 9
 
 
 def q_cms_user_counts_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -3139,6 +3140,32 @@ def q_cms_user_counts_events(spark: SparkSession, sf: str) -> DataFrame:
     probes = ev.select("user_id").distinct()
     return sketches.cms_estimate(
         sketch, probes, "user_id", CMS_WIDTH, CMS_DEPTH
+    )
+
+
+def q_hll_distinct_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized HyperLogLog registers (functions/sketches.py):
+    per-event-type sketches over user_id (low cardinality — exercises
+    the linear-counting correction) AND event_id (high cardinality —
+    the raw harmonic estimator), estimated per group. Unlike
+    approx_count_distinct, the register table itself is the artifact —
+    storable and lossless-mergeable across days/engines — and the md5
+    hash idiom makes the registers, and therefore the estimates,
+    engine-portable: the DuckDB twin reproduces them to the shared
+    4-decimal round."""
+    from dataset_grouper_spark.functions import sketches
+
+    ev = read_table(spark, sf, "events")
+    frames = []
+    for key in ("user_id", "event_id"):
+        est = sketches.hll_estimate(
+            sketches.hll_build(ev, key, ("event_type",), p=HLL_P),
+            ("event_type",),
+            p=HLL_P,
+        )
+        frames.append(est.withColumn("key", F.lit(key)))
+    return frames[0].unionByName(frames[1]).select(
+        "key", "event_type", "zeros", "est"
     )
 
 
@@ -4318,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_time_travel": q_delta_time_travel,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_mor_delete": q_iceberg_mor_delete,
+        "hll_distinct_events": q_hll_distinct_events,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -5360,6 +5388,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_user_counts_events": sketches_fns.cms_estimate_sql(
             "events", "user_id", CMS_WIDTH, CMS_DEPTH
+        ),
+        "hll_distinct_events": " UNION ALL ".join(
+            f"SELECT '{key}' AS key, * FROM ({sketches_fns.hll_estimate_sql('events', key, ('event_type',), p=HLL_P)})"
+            for key in ("user_id", "event_id")
         ),
         "matview_refresh_documents": """
             SELECT source,

@@ -1,10 +1,20 @@
-"""Count-min sketch — fixed-memory frequency estimation, relationally.
+"""Fixed-memory sketches, relationally: count-min and HyperLogLog.
 
-HLL (``approx_count_distinct``) answers "how many distinct"; the
-count-min sketch (Cormode & Muthukrishnan 2005) answers "how often does
-THIS key occur" with ``depth × width`` integer cells regardless of key
-cardinality — the heavy-hitter / hot-key primitive when an exact
+The count-min sketch (Cormode & Muthukrishnan 2005) answers "how often
+does THIS key occur" with ``depth × width`` integer cells regardless of
+key cardinality — the heavy-hitter / hot-key primitive when an exact
 groupBy's result would itself be too big to hold.
+
+HyperLogLog (Flajolet et al. 2007) answers "how many DISTINCT keys"
+with ``m = 2^p`` 6-bit registers. Spark's ``approx_count_distinct`` is
+already HLL++ — the point of ``hll_build``/``hll_estimate`` is what the
+built-in cannot give you: a MATERIALIZED register table you can store,
+ship, and MERGE across days/partitions/engines (max per register —
+lossless union, the property that makes distinct-counting work
+incrementally at 100 TB), with the engine-portable md5 hash idiom so
+the same registers — and therefore bit-identical estimates — come out
+of any SQL engine. The estimator is the classic one: harmonic mean of
+register ranks with the small-range linear-counting correction.
 
 Representation: a (row, bucket, cnt) DataFrame — depth hash rows, each
 key hashed into one bucket per row, counts summed. Everything about it
@@ -32,7 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataset_grouper_spark.functions.hashing import md5_long, md5_long_sql
+from dataset_grouper_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+    round_even,
+)
 
 
 def _bucket(key_str, row_idx: int, width: int):
@@ -128,6 +142,163 @@ def cms_estimate(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
         )
     )
+
+
+def _hll_alpha(m: int) -> float:
+    # bias-correction constants from the HLL paper (Flajolet 2007 §4)
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_check_p(p: int) -> int:
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll: p must be in [4, 16], got {p}")
+    return 1 << p
+
+
+# md5_long yields 60 uniform bits; p index the register, the rest rank
+_HLL_HASH_BITS = 60
+
+
+def hll_build(
+    df: DataFrame, key_col: str, group_cols: tuple[str, ...] = (), p: int = 9
+) -> DataFrame:
+    """One-pass register build: ``group_cols + (reg, mx)`` — at most
+    ``m = 2^p`` rows per group, whatever the key cardinality. The
+    shuffle carries only registers (partial max is map-side).
+
+    Hash layout: reg = h mod m (low bits), rank word w = h div m
+    (the remaining ``60 - p`` bits); mx = max over keys of the
+    1-based position of w's highest set bit counted from the word's
+    MSB (w = 0 → width + 1), i.e. the classic rho. Integer-exact in
+    any engine: bit position is ``length(bin(w))``, never floating
+    log2 (whose floor misrounds at powers of two)."""
+    m = _hll_check_p(p)
+    width = _HLL_HASH_BITS - p
+    key_str = F.col(key_col).cast("string")
+    tagged = F.coalesce(F.concat(F.lit("k"), key_str), F.lit("n"))
+    h = md5_long(tagged)
+    # h >> p, NOT h/m: double division would round h's low bits away
+    # (h has 60 bits, doubles carry 53) and diverge from the twin's
+    # exact integer arithmetic
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.pmod(h, F.lit(m)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("mx"))
+        .withColumn("_p", F.lit(p))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Lossless union of register tables built with the same ``p``
+    (validated from the parameter column): max per register equals the
+    sketch of the unioned inputs exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("mx",)]
+    merged = out.groupBy(*keys).agg(F.max("mx").alias("mx"))
+    params = merged.select("_p").distinct().collect()
+    if len(params) > 1:
+        raise ValueError(
+            f"cannot merge HLL sketches with different p: "
+            f"{sorted(r['_p'] for r in params)}"
+        )
+    return merged.select(*[c for c in out.columns if c != "_p"], "_p")
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: tuple[str, ...] = (), p: int = 9
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table:
+    ``group_cols + (zeros, est)``. zeros = registers never hit (m -
+    present rows); raw = alpha·m² / (Σ 2^-mx + zeros); linear counting
+    ``m·ln(m/zeros)`` replaces raw below 2.5m when zeros remain (the
+    paper's small-range correction). All terms of the harmonic sum are
+    exact powers of two, so cross-engine agreement is limited only by
+    summation order (absorbed by the 4-decimal round both engines
+    apply)."""
+    m = _hll_check_p(p)
+    built = sketch.select("_p").first()
+    if built is not None and built["_p"] != p:
+        raise ValueError(
+            f"sketch was built with p={built['_p']}, estimate called "
+            f"with p={p}"
+        )
+    alpha = _hll_alpha(m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("_s"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    zeros = F.lit(m) - F.col("_present")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        zeros.cast("long").alias("zeros"),
+        round_even(est, 4).alias("est"),
+    )
+
+
+def hll_estimate_sql(
+    table: str,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> str:
+    """DuckDB twin of hll_build + hll_estimate over ``table``."""
+    m = _hll_check_p(p)
+    width = _HLL_HASH_BITS - p
+    alpha = _hll_alpha(m)
+    tagged = f"coalesce('k' || CAST({key_col} AS VARCHAR), 'n')"
+    h = md5_long_sql(tagged)
+    gsel = "".join(f"{g}, " for g in group_cols)
+    gby = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    greg = ", ".join(list(group_cols) + ["reg"])
+    return f"""
+      WITH hashed AS (
+        SELECT {gsel}({h}) % {m} AS reg, ({h}) // {m} AS w
+        FROM {table}
+      ),
+      regs AS (
+        SELECT {gsel}reg,
+               max(CASE WHEN w = 0 THEN {width + 1}
+                        ELSE {width} - length(bin(w)) + 1 END) AS mx
+        FROM hashed GROUP BY {greg}
+      ),
+      agg AS (
+        SELECT {gsel}sum(pow(2.0, -mx)) AS s,
+               {m} - count(*) AS zeros
+        FROM regs {gby}
+      )
+      SELECT {gsel}CAST(zeros AS BIGINT) AS zeros,
+             round_even(
+               CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m}
+                          / (s + zeros)) <= CAST({2.5 * m} AS DOUBLE)
+                         AND zeros > 0
+                    THEN CAST({m} AS DOUBLE)
+                         * ln(CAST({m} AS DOUBLE) / zeros)
+                    ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m}
+                         / (s + zeros) END, 4
+             ) AS est
+      FROM agg
+    """
 
 
 def cms_estimate_sql(

@@ -103,3 +103,95 @@ def test_cms_estimate_rejects_mismatched_params(spark):
         sketches.cms_estimate(sk, df, "user_id", 1024, 4)
     with pytest.raises(ValueError):
         sketches.cms_merge(sk, sketches.cms_build(df, "user_id", 64, 4))
+
+
+class TestHll:
+    def test_registers_match_pure_python_reference(self, spark):
+        # independent scalar spec: md5 via hashlib, same layout
+        import hashlib
+
+        p, width = 5, 55
+        m = 1 << p
+        rows = [(f"k{i}",) for i in range(200)]
+        want = {}
+        for (k,) in rows:
+            h = int(hashlib.md5(("k" + k).encode()).hexdigest()[:15], 16)
+            reg, w = h % m, h >> p
+            rho = width + 1 if w == 0 else width - w.bit_length() + 1
+            want[reg] = max(want.get(reg, 0), rho)
+        df = spark.createDataFrame(rows, "key: string")
+        got = {
+            r["reg"]: r["mx"]
+            for r in sketches.hll_build(df, "key", p=5).collect()
+        }
+        assert got == want
+
+    def test_estimate_within_standard_error(self, spark):
+        # sigma = 1.04/sqrt(m) ~ 4.6% at p=9; allow 3 sigma
+        n = 5000
+        df = spark.createDataFrame([(i,) for i in range(n)], "key: long")
+        est = sketches.hll_estimate(
+            sketches.hll_build(df, "key", p=9), p=9
+        ).collect()[0]["est"]
+        assert abs(est - n) / n < 3 * 1.04 / math.sqrt(512)
+
+    def test_linear_counting_near_exact_small_n(self, spark):
+        n = 30  # far below 2.5m: linear counting, near-exact
+        df = spark.createDataFrame([(i,) for i in range(n)], "key: long")
+        est = sketches.hll_estimate(
+            sketches.hll_build(df, "key", p=9), p=9
+        ).collect()[0]["est"]
+        assert abs(est - n) <= 2
+
+    def test_merge_equals_single_build(self, spark):
+        rows = [(i % 700,) for i in range(2000)]
+        df = spark.createDataFrame(rows, "key: long")
+        a = sketches.hll_build(df.filter(F.col("key") < 350), "key", p=7)
+        b = sketches.hll_build(df.filter(F.col("key") >= 300), "key", p=7)
+        merged = sketches.hll_merge(a, b).collect()
+        single = sketches.hll_build(df, "key", p=7).collect()
+        assert {(r["reg"], r["mx"]) for r in merged} == {
+            (r["reg"], r["mx"]) for r in single
+        }
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        once = spark.createDataFrame([(i,) for i in range(100)], "k: long")
+        thrice = once.union(once).union(once)
+        e1 = sketches.hll_estimate(
+            sketches.hll_build(once, "k", p=8), p=8
+        ).collect()[0]["est"]
+        e3 = sketches.hll_estimate(
+            sketches.hll_build(thrice, "k", p=8), p=8
+        ).collect()[0]["est"]
+        assert e1 == e3
+
+    def test_null_is_one_distinct_key(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (None,), (1,), (2,)], "k: long"
+        )
+        est = sketches.hll_estimate(
+            sketches.hll_build(df, "k", p=9), p=9
+        ).collect()[0]["est"]
+        assert abs(est - 3) <= 1
+
+    def test_grouped_build_and_estimate(self, spark):
+        rows = [("a", i) for i in range(50)] + [("b", i) for i in range(400)]
+        df = spark.createDataFrame(rows, "g: string, k: long")
+        out = {
+            r["g"]: r["est"]
+            for r in sketches.hll_estimate(
+                sketches.hll_build(df, "k", ("g",), p=9), ("g",), p=9
+            ).collect()
+        }
+        assert abs(out["a"] - 50) <= 3 and abs(out["b"] - 400) / 400 < 0.15
+
+    def test_param_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "k: long")
+        with pytest.raises(ValueError, match="p must be"):
+            sketches.hll_build(df, "k", p=3)
+        sk7 = sketches.hll_build(df, "k", p=7)
+        with pytest.raises(ValueError, match="built with p=7"):
+            sketches.hll_estimate(sk7, p=9)
+        sk9 = sketches.hll_build(df, "k", p=9)
+        with pytest.raises(ValueError, match="different p"):
+            sketches.hll_merge(sk7, sk9).collect()

@@ -3887,6 +3887,45 @@ def q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_delta_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta DELETION VECTORS end-to-end (sources/delta.py +
+    sources/roaring.py): append documents as a lang-partitioned Delta
+    table, run TWO ``delta_delete_where`` commits — each writes
+    per-file roaring-bitmap ``.bin`` sidecars from EXECUTORS (one
+    applyInPandas task per affected file; positions never pass the
+    driver) and commits remove/re-add actions with 'u' descriptors —
+    then read the current version back (tombstones anti-joined against
+    the scan's _metadata row ordinals, descriptors decoded
+    distributed) plus the pre-delete version for time travel. A
+    mis-serialized bitmap, bad Z85 uuid, skipped union with an
+    existing DV, or tombstone leak across versions hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_delete_where,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_mor_") + "/tbl"
+    delta_append(spark, docs, table, partition_by=["lang"])
+    delta_delete_where(spark, table, "doc_id % 3 = 0")
+    delta_delete_where(spark, table, "lang = 'de'")
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+    ]
+    cur = read_delta(spark, table).groupBy("lang").agg(*agg)
+    pre = read_delta(spark, table, version=0).groupBy("lang").agg(*agg)
+    return (
+        pre.withColumn("stage", F.lit(0))
+        .unionByName(cur.withColumn("stage", F.lit(1)))
+        .select("stage", "lang", "n", "sum_ids", "text_bytes")
+    )
+
+
 def q_iceberg_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
     """Iceberg v2 MERGE-ON-READ deletes end-to-end (sources/iceberg.py):
     append documents as a real table, run TWO ``iceberg_delete_where``
@@ -4345,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_time_travel": q_delta_time_travel,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_mor_delete": q_iceberg_mor_delete,
+        "delta_mor_delete": q_delta_mor_delete,
         "hll_distinct_events": q_hll_distinct_events,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
@@ -5299,6 +5339,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents GROUP BY lang
+        """,
+        "delta_mor_delete": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(strlen(text)) AS BIGINT)
+            FROM documents
+            WHERE doc_id % 3 <> 0 AND lang <> 'de'
+            GROUP BY lang
         """,
         "iceberg_mor_delete": """
             SELECT 0 AS stage, lang,

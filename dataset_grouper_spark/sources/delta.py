@@ -18,16 +18,25 @@ delta-spark package:
   stores them OUTSIDE the data files), typed via the table's
   ``metaData.schemaString`` (a Spark StructType JSON — parsed with
   ``StructType.fromJson``)
-- deletion-vector-free protocol (reader version <= 1 semantics); a
-  table using deletion vectors raises rather than silently
-  over-returning rows
+- DELETION VECTORS (reader version 3 semantics), real both ways: add
+  actions carrying ``deletionVector`` descriptors ('u' relative-path,
+  'p' absolute, 'i' inline — Z85 + roaring per ``sources.roaring``)
+  have their tombstoned row indexes dropped on read, and
+  ``delta_delete_where`` WRITES them — a merge-on-read DELETE that
+  commits O(deleted-rows) bitmap files, never rewriting a data file
 
 Scale shape: the log walk is a driver-side metadata scan (file lists,
 like every table format's planning step); DATA moves only through
 ``spark.read.parquet`` over the active files, so pushdown/pruning
 behave exactly as on raw parquet, and per-file partition literals
 prune in the plan (the union is by partition-value group, each group
-one scan with constant columns).
+one scan with constant columns). Deletion vectors never pass through
+the driver: descriptor rows (planning-scale, one per file) fan out to
+executors which decode their bitmaps and emit (file, position) rows,
+anti-joined against the scan's own ``_metadata.file_path`` /
+``row_index`` columns — broadcast only when descriptor cardinality
+sums say the tombstone set is small (a plan-time decision; the
+descriptors carry exact cardinalities, so no probe job).
 """
 
 from __future__ import annotations
@@ -108,11 +117,6 @@ def _replay(spark: SparkSession, table_path: str, version: int):
                 action = json.loads(line)
                 if "add" in action:
                     a = action["add"]
-                    if a.get("deletionVector"):
-                        raise NotImplementedError(
-                            "Delta deletion vectors are not supported by "
-                            "this reader (rows would be over-returned)"
-                        )
                     adds[a["path"]] = a
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
@@ -121,6 +125,113 @@ def _replay(spark: SparkSession, table_path: str, version: int):
     if meta is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
     return adds, meta
+
+
+# broadcast the tombstone set only when descriptor cardinalities bound
+# it (same plan-time policy as the Iceberg reader)
+_DV_BROADCAST_ROWS = 1_000_000
+
+
+def _norm_path(c):
+    """Scheme-insensitive path: ``file:/a``, ``file:///a`` and ``/a``
+    all normalize to ``/a`` (``_metadata.file_path`` is a URI; the
+    log's add paths are table-relative)."""
+    return F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+
+
+def _resolve_dv_path(table_path: str, storage: str, payload: str) -> str:
+    """'u': ``{prefix}{20-char Z85 uuid}`` ->
+    ``<table>/<prefix>/deletion_vector_<uuid>.bin``; 'p': absolute."""
+    import uuid as _uuid
+
+    from dataset_grouper_spark.sources.roaring import z85_decode
+
+    if storage == "p":
+        p = payload
+        if p.startswith("file:"):
+            p = "/" + p.split(":", 1)[1].lstrip("/")
+        return p
+    if storage != "u":
+        raise ValueError(f"deletion vector: unknown storageType {storage!r}")
+    encoded, prefix = payload[-20:], payload[:-20]
+    u = _uuid.UUID(bytes=z85_decode(encoded))
+    name = f"deletion_vector_{u}.bin"
+    return (
+        os.path.join(table_path, prefix, name)
+        if prefix
+        else os.path.join(table_path, name)
+    )
+
+
+def _dv_positions_frame(
+    spark: SparkSession, table_path: str, dv_adds: list[tuple[str, dict]]
+) -> tuple[DataFrame, int | None]:
+    """Distributed tombstone expansion: one planning-scale row per DV
+    descriptor fans out to executors, each decoding its bitmap and
+    emitting ``(__fp, __pos)`` rows — DV bytes never touch the driver.
+    Returns (positions frame, exact total cardinality or None)."""
+    table_abs = os.path.abspath(table_path)
+    rows = []
+    total: int | None = 0
+    for abs_path, desc in dv_adds:
+        card = desc.get("cardinality")
+        if card and total is not None:
+            total += card
+        else:
+            total = None
+        rows.append(
+            (
+                abs_path,
+                desc["storageType"],
+                desc["pathOrInlineDv"],
+                int(desc.get("offset") or 0),
+                int(desc.get("sizeInBytes") or 0),
+            )
+        )
+    meta_df = spark.createDataFrame(
+        rows,
+        "`data_path` string, `storage` string, `payload` string, "
+        "`offset` int, `size` int",
+    )
+
+    def decode(iterator):
+        import pandas as pd
+
+        from dataset_grouper_spark.sources import roaring as R
+
+        for pdf in iterator:
+            for r in pdf.itertuples(index=False):
+                if r.storage == "i":
+                    raw = R.z85_decode(r.payload)
+                    if r.size:  # strip z85 alignment padding
+                        raw = raw[: r.size]
+                    positions = R.dv_data_decode(raw)
+                else:
+                    path = _resolve_dv_path(table_abs, r.storage, r.payload)
+                    positions = R.dv_file_read(path, r.offset, r.size)
+                if positions:
+                    yield pd.DataFrame(
+                        {"__fp": r.data_path, "__pos": positions}
+                    )
+
+    frame = meta_df.repartition(max(1, len(rows))).mapInPandas(
+        decode, "`__fp` string, `__pos` long"
+    )
+    return frame, total
+
+
+def _apply_dvs(
+    scans: DataFrame,
+    dv_frame: DataFrame,
+    total_card: int | None,
+    out_cols: list[str],
+) -> DataFrame:
+    """Anti-join tombstones against the scan's ``__fp``/``__pos``."""
+    if total_card is not None and total_card <= _DV_BROADCAST_ROWS:
+        dv_frame = F.broadcast(dv_frame)
+    return scans.join(dv_frame, ["__fp", "__pos"], "left_anti").select(
+        *out_cols
+    )
 
 
 def read_delta(
@@ -149,40 +260,68 @@ def read_delta(
     part_cols = list(meta.get("partitionColumns") or [])
     if not adds:
         return spark.createDataFrame([], schema)
-    if not part_cols:
-        paths = [os.path.join(table_path, a["path"]) for a in adds.values()]
-        return spark.read.schema(
-            StructType([f for f in schema.fields])
-        ).parquet(*paths)
-    # group files by partition values; each group is one scan with its
-    # partition literals attached (typed via the table schema)
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
-    types = {f.name: f.dataType for f in schema.fields}
-    groups: dict[tuple, list[str]] = {}
-    for a in adds.values():
-        pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(
-            os.path.join(table_path, a["path"])
+    table_abs = os.path.abspath(table_path)
+    dv_adds = [
+        (os.path.join(table_abs, a["path"]), a["deletionVector"])
+        for a in adds.values()
+        if a.get("deletionVector")
+    ]
+    out_cols = [f.name for f in schema.fields]
+
+    def tag(df: DataFrame) -> DataFrame:
+        # DV application keys off the scan's own file/row-ordinal
+        # metadata — attach them at scan time, before any projection
+        if not dv_adds:
+            return df
+        return df.withColumns(
+            {
+                "__fp": _norm_path(F.col("_metadata.file_path")),
+                "__pos": F.col("_metadata.row_index"),
+            }
         )
-    frames = []
-    # None-safe ordering: a null partition value must sort, not crash
-    for key, paths in sorted(
-        groups.items(),
-        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
-    ):
-        df = spark.read.schema(data_schema).parquet(*paths)
-        for c, raw in zip(part_cols, key):
-            lit = (
-                F.lit(None).cast(types[c])
-                if raw is None
-                else F.lit(raw).cast(types[c])
+
+    sel_cols = out_cols + (["__fp", "__pos"] if dv_adds else [])
+    if not part_cols:
+        paths = [os.path.join(table_abs, a["path"]) for a in adds.values()]
+        result = tag(
+            spark.read.schema(StructType([f for f in schema.fields])).parquet(
+                *paths
             )
-            df = df.withColumn(c, lit)
-        frames.append(df.select([f.name for f in schema.fields]))
-    return reduce(DataFrame.unionByName, frames)
+        )
+    else:
+        # group files by partition values; each group is one scan with
+        # its partition literals attached (typed via the table schema)
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for a in adds.values():
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(
+                os.path.join(table_abs, a["path"])
+            )
+        frames = []
+        # None-safe ordering: a null partition value must sort, not crash
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        ):
+            df = tag(spark.read.schema(data_schema).parquet(*paths))
+            for c, raw in zip(part_cols, key):
+                lit = (
+                    F.lit(None).cast(types[c])
+                    if raw is None
+                    else F.lit(raw).cast(types[c])
+                )
+                df = df.withColumn(c, lit)
+            frames.append(df.select(sel_cols))
+        result = reduce(DataFrame.unionByName, frames)
+    if dv_adds:
+        dv_frame, total = _dv_positions_frame(spark, table_path, dv_adds)
+        result = _apply_dvs(result, dv_frame, total, out_cols)
+    return result
 
 
 def delta_append(
@@ -321,6 +460,226 @@ def delta_append(
     raise RuntimeError(
         f"delta_append: could not claim a commit after {max_retries} retries"
     )
+
+
+def delta_delete_where(
+    spark: SparkSession, table_path: str, condition
+) -> int:
+    """Merge-on-read DELETE via deletion vectors: commit a new version
+    in which every current row matching ``condition`` is tombstoned in
+    its file's roaring bitmap — no data file is rewritten, so the
+    write cost is O(deleted rows) while a copy-on-write delete pays
+    O(touched files). Readers (ours, delta-spark, Trino, delta-rs)
+    drop the positions on scan.
+
+    Fully distributed: matching rows reduce to (file, row-ordinal)
+    pairs from the scan's own ``_metadata`` columns; each affected
+    file's positions group to ONE executor task which unions them with
+    the file's existing DV (descriptors ride the broadcast path map),
+    serializes the bitmap (``sources.roaring``), and writes the
+    ``.bin`` sidecar — positions never pass through the driver; the
+    driver commits only descriptor rows (planning-scale).
+
+    Files whose tombstone set does not change keep their existing add
+    action untouched; if NO file changes, no version is committed and
+    the current version is returned. A file whose every row ends up
+    deleted keeps an all-rows DV (valid per protocol; readers return
+    nothing from it). The commit claims ``<version>.json`` with an
+    exclusive create and RAISES on a lost race rather than rebasing —
+    remove/re-add pairs do not rebase blindly the way appends do.
+
+    Honest scope: single delete commit per call, no DV packing across
+    files (one ``.bin`` per affected file), protocol upgraded to
+    reader 3 / writer 7 with the deletionVectors feature flags."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    versions = delta_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    target = max(versions)
+    adds, meta = _replay(spark, table_path, target)
+    if not adds:
+        return target
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    table_abs = os.path.abspath(table_path)
+
+    # raw current-state scan with (__fp, __pos); existing tombstones
+    # need not be subtracted before matching — a re-matched deleted
+    # row unions into the same position set (idempotent by algebra)
+    def tagged(df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            {
+                "__fp": _norm_path(F.col("_metadata.file_path")),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+
+    if not part_cols:
+        paths = [os.path.join(table_abs, a["path"]) for a in adds.values()]
+        state = tagged(spark.read.schema(schema).parquet(*paths))
+    else:
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for a in adds.values():
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(
+                os.path.join(table_abs, a["path"])
+            )
+        frames = []
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        ):
+            df = tagged(spark.read.schema(data_schema).parquet(*paths))
+            for c, raw in zip(part_cols, key):
+                lit = (
+                    F.lit(None).cast(types[c])
+                    if raw is None
+                    else F.lit(raw).cast(types[c])
+                )
+                df = df.withColumn(c, lit)
+            frames.append(
+                df.select(
+                    [f.name for f in schema.fields] + ["__fp", "__pos"]
+                )
+            )
+        state = reduce(DataFrame.unionByName, frames)
+
+    # planning-scale map: scanned path -> rel path + current descriptor
+    map_rows = []
+    for rel, a in adds.items():
+        dv = a.get("deletionVector") or {}
+        map_rows.append(
+            (
+                os.path.join(table_abs, rel),
+                rel,
+                dv.get("storageType"),
+                dv.get("pathOrInlineDv"),
+                int(dv.get("offset") or 0),
+                int(dv.get("sizeInBytes") or 0),
+            )
+        )
+    path_map = spark.createDataFrame(
+        map_rows,
+        "`__fp` string, `rel` string, `dv_storage` string, "
+        "`dv_payload` string, `dv_offset` int, `dv_size` int",
+    )
+    hits = (
+        state.filter(cond)
+        .select("__fp", "__pos")
+        .join(F.broadcast(path_map), "__fp")
+    )
+
+    out_schema = (
+        "`rel` string, `payload` string, `offset` long, `size` long, "
+        "`card` long, `changed` boolean"
+    )
+
+    def write_dv(key, pdf):
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from dataset_grouper_spark.sources import roaring as R
+
+        rel = key[0]
+        r0 = pdf.iloc[0]
+        if r0["dv_storage"] == "i":
+            raw = R.z85_decode(r0["dv_payload"])
+            if int(r0["dv_size"]):
+                raw = raw[: int(r0["dv_size"])]
+            old = R.dv_data_decode(raw)
+        elif r0["dv_storage"]:
+            old = R.dv_file_read(
+                _resolve_dv_path(
+                    table_abs, r0["dv_storage"], r0["dv_payload"]
+                ),
+                int(r0["dv_offset"]),
+                int(r0["dv_size"]),
+            )
+        else:
+            old = []
+        newpos = sorted(set(old) | set(int(p) for p in pdf["__pos"]))
+        if len(newpos) == len(old):
+            return pd.DataFrame(
+                [{"rel": rel, "payload": "", "offset": 0, "size": 0,
+                  "card": 0, "changed": False}]
+            )
+        u = _uuid.uuid4()
+        dv_path = os.path.join(table_abs, f"deletion_vector_{u}.bin")
+        offset, size, card = R.dv_file_write(dv_path, newpos)
+        return pd.DataFrame(
+            [{"rel": rel, "payload": R.z85_encode(u.bytes),
+              "offset": offset, "size": size, "card": card,
+              "changed": True}]
+        )
+
+    descriptors = [
+        r.asDict()
+        for r in hits.groupBy("rel").applyInPandas(
+            write_dv, out_schema
+        ).collect()
+    ]
+    changed = [d for d in descriptors if d["changed"]]
+    if not changed:
+        return target
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for d in changed:
+        old_add = adds[d["rel"]]
+        actions.append(
+            {
+                "remove": {
+                    "path": d["rel"],
+                    "dataChange": True,
+                    "deletionTimestamp": 0,
+                    "partitionValues": old_add.get("partitionValues") or {},
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": d["rel"],
+                    "partitionValues": old_add.get("partitionValues") or {},
+                    "size": old_add.get("size", 0),
+                    "modificationTime": old_add.get("modificationTime", 0),
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": d["payload"],
+                        "offset": d["offset"],
+                        "sizeInBytes": d["size"],
+                        "cardinality": d["card"],
+                    },
+                }
+            }
+        )
+    log = _log_path(table_path)
+    version = target + 1
+    try:
+        with open(os.path.join(log, f"{version:020d}.json"), "x") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    except FileExistsError:
+        raise RuntimeError(
+            "delta_delete_where: lost the commit race at version "
+            f"{version} — re-run against the new table state (deletes "
+            "do not rebase blindly)"
+        )
+    return version
 
 
 def read_delta_changes(

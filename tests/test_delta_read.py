@@ -169,12 +169,20 @@ def test_missing_commit_detected(spark, table):
         read_delta(spark, table)
 
 
-def test_deletion_vectors_honestly_gated(spark, table):
+def test_unknown_dv_storage_type_raises(spark, table):
+    # deletion vectors are applied for real now (tests/test_delta_dv.py);
+    # an unrecognized storage type must still fail loudly, not
+    # over-return rows
+    _write_data_file(spark, [(9, "z")], table, "f3.parquet")
     a = _add("f3.parquet")
-    a["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x"}
+    a["add"]["deletionVector"] = {
+        "storageType": "z",
+        "pathOrInlineDv": "x",
+        "cardinality": 1,
+    }
     _commit(table, 3, [a])
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        read_delta(spark, table)
+    with pytest.raises(Exception, match="storageType"):
+        read_delta(spark, table).collect()
 
 
 def test_empty_active_set_returns_schema(spark, tmp_path):

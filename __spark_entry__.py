@@ -3143,6 +3143,40 @@ def q_cms_user_counts_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _documents_check_suite():
+    """Shared constraint suite — ONE definition feeds both the Spark
+    query and the DuckDB twin (operators/expectations.py)."""
+    from dataset_grouper_spark.operators import expectations as E
+
+    return [
+        E.completeness("text", 1.0),
+        E.completeness("lang", 1.0),
+        E.uniqueness("doc_id", 1.0),
+        E.uniqueness("source", 0.5),  # expected to FAIL: few sources
+        E.in_range("n_chars", 1, 100000, 1.0),
+        E.matches("lang", "^[a-z][a-z]$", 1.0),
+        E.in_set("lang", ["en", "de", "fr", "es", "zh"], 0.99),
+        E.satisfies("text_len_agrees", "length(text) = n_chars", 0.9),
+        E.satisfies("non_empty_text", "length(text) > 0", 1.0),
+    ]
+
+
+def q_quality_checks_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/Great-Expectations
+    ingest-gate shape) over documents: 9 declared checks —
+    completeness, uniqueness, range, regex, set membership, arbitrary
+    row predicates — ALL computed in ONE aggregation pass (a 30-check
+    suite at 100 TB is still a single scan with map-side partials,
+    never a job per check). Rates are banker's-rounded before the
+    threshold compare so a summation ulp can never flip a verdict
+    differently across engines; the oracle is generated from the SAME
+    suite objects."""
+    from dataset_grouper_spark.operators import expectations as E
+
+    docs = read_table(spark, sf, "documents")
+    return E.run_checks(docs, _documents_check_suite())
+
+
 def q_hll_distinct_events(spark: SparkSession, sf: str) -> DataFrame:
     """Materialized HyperLogLog registers (functions/sketches.py):
     per-event-type sketches over user_id (low cardinality — exercises
@@ -4386,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_mor_delete": q_iceberg_mor_delete,
         "delta_mor_delete": q_delta_mor_delete,
         "hll_distinct_events": q_hll_distinct_events,
+        "quality_checks_documents": q_quality_checks_documents,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -5444,6 +5479,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts_events": sketches_fns.cms_estimate_sql(
             "events", "user_id", CMS_WIDTH, CMS_DEPTH
         ),
+        "quality_checks_documents": __import__(
+            "dataset_grouper_spark.operators.expectations",
+            fromlist=["checks_sql"],
+        ).checks_sql("documents", _documents_check_suite()),
         "hll_distinct_events": " UNION ALL ".join(
             f"SELECT '{key}' AS key, * FROM ({sketches_fns.hll_estimate_sql('events', key, ('event_type',), p=HLL_P)})"
             for key in ("user_id", "event_id")

@@ -47,7 +47,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_delta_log"
 
@@ -234,6 +234,23 @@ def _apply_dvs(
     )
 
 
+def _physical_names(meta: dict) -> dict[str, str]:
+    """logical -> physical column names. Tables with column mapping
+    (``delta.columnMapping.mode`` = name/id — mandatory once a column
+    has ever been renamed/dropped) store data under stable physical
+    names (``col-<uuid>``) recorded in each schema field's
+    ``delta.columnMapping.physicalName`` metadata; partitionValues
+    keys are physical too. Identity when mapping is off."""
+    fields = json.loads(meta["schemaString"]).get("fields", [])
+    out = {}
+    for f in fields:
+        md = f.get("metadata") or {}
+        out[f["name"]] = md.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+    return out
+
+
 def read_delta(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -244,6 +261,8 @@ def read_delta(
     Partitioned tables come back with their partition columns restored
     from the log's ``partitionValues`` and cast to the schema's types;
     an empty active set returns an empty frame with the table schema.
+    Column-mapped tables (name/id modes) scan under their physical
+    names and come back with logical ones.
     """
     versions = delta_versions(table_path)
     ckpt = _latest_checkpoint(table_path, 1 << 60)
@@ -267,6 +286,7 @@ def read_delta(
         if a.get("deletionVector")
     ]
     out_cols = [f.name for f in schema.fields]
+    phys = _physical_names(meta)
 
     def tag(df: DataFrame) -> DataFrame:
         # DV application keys off the scan's own file/row-ordinal
@@ -280,25 +300,40 @@ def read_delta(
             }
         )
 
-    sel_cols = out_cols + (["__fp", "__pos"] if dv_adds else [])
+    tags = ["__fp", "__pos"] if dv_adds else []
+    sel_cols = out_cols + tags
+
+    def unmap(df: DataFrame, logical_names: list[str]) -> DataFrame:
+        # physical -> logical rename, AFTER tag() (the metadata struct
+        # must be referenced on the raw scan, before projections)
+        return df.select(
+            *[F.col(phys[n]).alias(n) for n in logical_names],
+            *[F.col(t) for t in tags],
+        )
+
     if not part_cols:
         paths = [os.path.join(table_abs, a["path"]) for a in adds.values()]
-        result = tag(
-            spark.read.schema(StructType([f for f in schema.fields])).parquet(
-                *paths
-            )
+        scan_schema = StructType(
+            [
+                StructField(phys[f.name], f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        result = unmap(
+            tag(spark.read.schema(scan_schema).parquet(*paths)), out_cols
         )
     else:
         # group files by partition values; each group is one scan with
         # its partition literals attached (typed via the table schema)
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
         data_schema = StructType(
-            [f for f in schema.fields if f.name not in part_cols]
+            [StructField(phys[f.name], f.dataType, True) for f in data_fields]
         )
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
         for a in adds.values():
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(phys[c], pv.get(c)) for c in part_cols)
             groups.setdefault(key, []).append(
                 os.path.join(table_abs, a["path"])
             )
@@ -308,7 +343,10 @@ def read_delta(
             groups.items(),
             key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
         ):
-            df = tag(spark.read.schema(data_schema).parquet(*paths))
+            df = unmap(
+                tag(spark.read.schema(data_schema).parquet(*paths)),
+                [f.name for f in data_fields],
+            )
             for c, raw in zip(part_cols, key):
                 lit = (
                     F.lit(None).cast(types[c])
@@ -506,6 +544,8 @@ def delta_delete_where(
     # raw current-state scan with (__fp, __pos); existing tombstones
     # need not be subtracted before matching — a re-matched deleted
     # row unions into the same position set (idempotent by algebra)
+    phys = _physical_names(meta)
+
     def tagged(df: DataFrame) -> DataFrame:
         return df.withColumns(
             {
@@ -514,18 +554,35 @@ def delta_delete_where(
             }
         )
 
+    def unmap(df: DataFrame, logical_names: list[str]) -> DataFrame:
+        return df.select(
+            *[F.col(phys[n]).alias(n) for n in logical_names],
+            F.col("__fp"),
+            F.col("__pos"),
+        )
+
     if not part_cols:
         paths = [os.path.join(table_abs, a["path"]) for a in adds.values()]
-        state = tagged(spark.read.schema(schema).parquet(*paths))
+        scan_schema = StructType(
+            [
+                StructField(phys[f.name], f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        state = unmap(
+            tagged(spark.read.schema(scan_schema).parquet(*paths)),
+            [f.name for f in schema.fields],
+        )
     else:
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
         data_schema = StructType(
-            [f for f in schema.fields if f.name not in part_cols]
+            [StructField(phys[f.name], f.dataType, True) for f in data_fields]
         )
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
         for a in adds.values():
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(phys[c], pv.get(c)) for c in part_cols)
             groups.setdefault(key, []).append(
                 os.path.join(table_abs, a["path"])
             )
@@ -534,7 +591,10 @@ def delta_delete_where(
             groups.items(),
             key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
         ):
-            df = tagged(spark.read.schema(data_schema).parquet(*paths))
+            df = unmap(
+                tagged(spark.read.schema(data_schema).parquet(*paths)),
+                [f.name for f in data_fields],
+            )
             for c, raw in zip(part_cols, key):
                 lit = (
                     F.lit(None).cast(types[c])
@@ -735,24 +795,36 @@ def read_delta_changes(
                     )
     if not adds:
         return spark.createDataFrame([], schema)
+    phys = _physical_names(meta)
     if not part_cols:
         paths = [os.path.join(table_path, a["path"]) for a in adds.values()]
-        return spark.read.schema(schema).parquet(*paths)
+        scan_schema = StructType(
+            [
+                StructField(phys[f.name], f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        return spark.read.schema(scan_schema).parquet(*paths).select(
+            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        )
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [StructField(phys[f.name], f.dataType, True) for f in data_fields]
     )
     types = {f.name: f.dataType for f in schema.fields}
     groups: dict[tuple, list[str]] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys[c], pv.get(c)) for c in part_cols)
         groups.setdefault(key, []).append(os.path.join(table_path, a["path"]))
     frames = []
     for key, paths in sorted(
         groups.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = spark.read.schema(data_schema).parquet(*paths).select(
+            *[F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        )
         for c, raw in zip(part_cols, key):
             lit = (
                 F.lit(None).cast(types[c])

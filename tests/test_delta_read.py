@@ -410,3 +410,120 @@ class TestDeltaChanges:
         ])
         with pytest.raises(ValueError, match="append-only"):
             read_delta_changes(spark, table, 2)
+
+
+class TestColumnMapping:
+    """delta.columnMapping.mode=name: data lives under physical
+    col-<uuid> names; the reader must scan physical, return logical."""
+
+    MAPPED_SCHEMA = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id", "type": "long", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa",
+                },
+            },
+            {
+                "name": "v", "type": "string", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-bbb",
+                },
+            },
+        ],
+    }
+
+    def _mapped_meta(self, partition_cols=()):
+        return {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-000000000002",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(self.MAPPED_SCHEMA),
+                "partitionColumns": list(partition_cols),
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        }
+
+    def _write_physical(self, spark, rows, table, name, cols):
+        tmp = os.path.join(table, "_tmp_write")
+        (
+            spark.createDataFrame(rows, "id long, v string")
+            .toDF(*cols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.makedirs(
+            os.path.dirname(os.path.join(table, name)), exist_ok=True
+        )
+        shutil.move(src, os.path.join(table, name))
+        shutil.rmtree(tmp)
+
+    def test_unpartitioned_mapped_read(self, spark, tmp_path):
+        t = str(tmp_path / "mtbl")
+        self._write_physical(
+            spark, [(1, "a"), (2, "b")], t, "f0.parquet",
+            ["col-aaa", "col-bbb"],
+        )
+        _commit(t, 0, [self._mapped_meta(), _add("f0.parquet")])
+        df = read_delta(spark, t)
+        assert df.columns == ["id", "v"]
+        assert sorted((r["id"], r["v"]) for r in df.collect()) == [
+            (1, "a"), (2, "b"),
+        ]
+
+    def test_partitioned_mapped_read(self, spark, tmp_path):
+        # partition column v: physical key col-bbb in partitionValues,
+        # data files carry only col-aaa
+        t = str(tmp_path / "ptbl")
+        tmp = os.path.join(t, "_tmp_write")
+        spark.createDataFrame([(1,)], "id long").toDF("col-aaa").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.makedirs(t, exist_ok=True)
+        shutil.move(src, os.path.join(t, "fa.parquet"))
+        shutil.rmtree(tmp)
+        _commit(
+            t, 0,
+            [
+                self._mapped_meta(partition_cols=["v"]),
+                _add("fa.parquet", pv={"col-bbb": "en"}),
+            ],
+        )
+        got = read_delta(spark, t).collect()
+        assert [(r["id"], r["v"]) for r in got] == [(1, "en")]
+
+    def test_delete_where_on_mapped_table(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import delta_delete_where
+
+        t = str(tmp_path / "dtbl")
+        self._write_physical(
+            spark, [(i, f"r{i}") for i in range(6)], t, "f0.parquet",
+            ["col-aaa", "col-bbb"],
+        )
+        _commit(t, 0, [self._mapped_meta(), _add("f0.parquet")])
+        v = delta_delete_where(spark, t, "id % 2 = 0")
+        assert v == 1
+        assert sorted(
+            r["id"] for r in read_delta(spark, t).collect()
+        ) == [1, 3, 5]
+
+    def test_change_feed_on_mapped_table(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import read_delta_changes
+
+        t = str(tmp_path / "ctbl")
+        self._write_physical(
+            spark, [(1, "a")], t, "f0.parquet", ["col-aaa", "col-bbb"]
+        )
+        _commit(t, 0, [self._mapped_meta(), _add("f0.parquet")])
+        self._write_physical(
+            spark, [(2, "b")], t, "f1.parquet", ["col-aaa", "col-bbb"]
+        )
+        _commit(t, 1, [_add("f1.parquet")])
+        got = read_delta_changes(spark, t, from_version=0)
+        assert [(r["id"], r["v"]) for r in got.collect()] == [(2, "b")]

@@ -37,6 +37,7 @@ in this repo.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,9 +50,11 @@ class Check:
     kind: str
     column: str
     threshold: float
-    # numerator / denominator aggregate pairs, engine-neutral specs
-    num_spark: "Column"
-    den_spark: "Column"
+    # numerator / denominator aggregates: the Spark side is LAZY
+    # (zero-arg builders) so suites — and oracle_sql() twins generated
+    # from them — can be constructed without an active SparkSession
+    num_spark: "Callable[[], Column]"
+    den_spark: "Callable[[], Column]"
     num_sql: str
     den_sql: str
 
@@ -70,8 +73,8 @@ def _sql_quote(v) -> str:
 def completeness(col: str, threshold: float = 1.0) -> Check:
     return Check(
         "completeness", col, threshold,
-        F.count(F.col(col)).cast("double"),
-        F.count(F.lit(1)).cast("double"),
+        lambda: F.count(F.col(col)).cast("double"),
+        lambda: F.count(F.lit(1)).cast("double"),
         f"CAST(count({col}) AS DOUBLE)",
         "CAST(count(*) AS DOUBLE)",
     )
@@ -80,19 +83,20 @@ def completeness(col: str, threshold: float = 1.0) -> Check:
 def uniqueness(col: str, threshold: float = 1.0) -> Check:
     return Check(
         "uniqueness", col, threshold,
-        F.count_distinct(F.col(col)).cast("double"),
-        F.count(F.col(col)).cast("double"),
+        lambda: F.count_distinct(F.col(col)).cast("double"),
+        lambda: F.count(F.col(col)).cast("double"),
         f"CAST(count(DISTINCT {col}) AS DOUBLE)",
         f"CAST(count({col}) AS DOUBLE)",
     )
 
 
 def in_range(col: str, lo, hi, threshold: float = 1.0) -> Check:
-    cond = F.col(col).between(F.lit(lo), F.lit(hi))
     return Check(
         "in_range", col, threshold,
-        F.sum(F.when(cond, 1).otherwise(0)).cast("double"),
-        F.count(F.col(col)).cast("double"),
+        lambda: F.sum(
+            F.when(F.col(col).between(F.lit(lo), F.lit(hi)), 1).otherwise(0)
+        ).cast("double"),
+        lambda: F.count(F.col(col)).cast("double"),
         f"CAST(count(CASE WHEN {col} BETWEEN {_sql_quote(lo)} AND "
         f"{_sql_quote(hi)} THEN 1 END) AS DOUBLE)",
         f"CAST(count({col}) AS DOUBLE)",
@@ -102,10 +106,10 @@ def in_range(col: str, lo, hi, threshold: float = 1.0) -> Check:
 def matches(col: str, pattern: str, threshold: float = 1.0) -> Check:
     return Check(
         "matches", col, threshold,
-        F.sum(F.when(F.col(col).rlike(pattern), 1).otherwise(0)).cast(
-            "double"
-        ),
-        F.count(F.col(col)).cast("double"),
+        lambda: F.sum(
+            F.when(F.col(col).rlike(pattern), 1).otherwise(0)
+        ).cast("double"),
+        lambda: F.count(F.col(col)).cast("double"),
         f"CAST(count(CASE WHEN regexp_matches({col}, "
         f"{_sql_quote(pattern)}) THEN 1 END) AS DOUBLE)",
         f"CAST(count({col}) AS DOUBLE)",
@@ -118,10 +122,10 @@ def in_set(col: str, values, threshold: float = 1.0) -> Check:
         raise ValueError("in_set: empty value set")
     return Check(
         "in_set", col, threshold,
-        F.sum(
+        lambda: F.sum(
             F.when(F.col(col).isin(vals), 1).otherwise(0)
         ).cast("double"),
-        F.count(F.col(col)).cast("double"),
+        lambda: F.count(F.col(col)).cast("double"),
         f"CAST(count(CASE WHEN {col} IN "
         f"({', '.join(_sql_quote(v) for v in vals)}) THEN 1 END) "
         "AS DOUBLE)",
@@ -134,10 +138,10 @@ def satisfies(name: str, predicate_sql: str, threshold: float = 1.0) -> Check:
     SQL subset — the SAME text runs in Spark and the twin."""
     return Check(
         "satisfies", name, threshold,
-        F.sum(
+        lambda: F.sum(
             F.when(F.expr(predicate_sql), 1).otherwise(0)
         ).cast("double"),
-        F.count(F.lit(1)).cast("double"),
+        lambda: F.count(F.lit(1)).cast("double"),
         f"CAST(count(CASE WHEN {predicate_sql} THEN 1 END) AS DOUBLE)",
         "CAST(count(*) AS DOUBLE)",
     )
@@ -154,8 +158,8 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         raise ValueError(f"run_checks: duplicate checks in suite: {names}")
     aggs = []
     for i, c in enumerate(checks):
-        aggs.append(c.num_spark.alias(f"_n{i}"))
-        aggs.append(c.den_spark.alias(f"_d{i}"))
+        aggs.append(c.num_spark().alias(f"_n{i}"))
+        aggs.append(c.den_spark().alias(f"_d{i}"))
     row = df.agg(*aggs)
     structs = []
     for i, c in enumerate(checks):

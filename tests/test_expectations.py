@@ -108,3 +108,20 @@ def test_sql_twin_agrees(spark, tmp_path):
         for r in con.sql(E.checks_sql("t", suite)).fetchall()
     }
     assert got == want
+
+
+def test_suite_and_oracle_need_no_spark_session():
+    # the driver may call oracle_sql() before (or without) creating a
+    # SparkSession: suite construction and twin generation must be
+    # engine-free (regression: eager F.col() in Check construction)
+    import subprocess
+    import sys
+
+    code = (
+        "import __spark_entry__ as e; "
+        "assert 'quality_checks_documents' in e.oracle_sql()"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, cwd="/root/repo"
+    )
+    assert res.returncode == 0, res.stderr.decode()[-500:]

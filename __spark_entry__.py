@@ -3231,6 +3231,58 @@ def q_matview_refresh_documents(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def q_streaming_delta_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingestion into a DELTA table, exactly-once per epoch
+    (streaming/delta_sink.py): documents arrive as a 3-file stream
+    (one micro-batch each); every epoch commits its data AND a
+    protocol ``txn {appId, version=epoch}`` action in ONE atomic log
+    entry. The query then REPLAYS a committed epoch on purpose
+    (delta_append_txn with an already-committed version over the whole
+    corpus) — were the txn check broken, every group would
+    double-count against the plain GROUP BY oracle. Read back through
+    the pure-Python log reader."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append_txn,
+        read_delta,
+    )
+    from dataset_grouper_spark.streaming.delta_sink import (
+        stream_append_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    src = tempfile.mkdtemp(prefix="sdelta_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    ckpt = tempfile.mkdtemp(prefix="sdelta_ck_")
+    table = os.path.join(tempfile.mkdtemp(prefix="sdelta_tbl_"), "tbl")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    with _stream_shuffle_partitions(spark):
+        _drain_stream(stream_append_delta(stream, table, ckpt))
+    # deliberate crash-replay of epoch 0 with the FULL corpus: the txn
+    # ledger must reject it (None), else every group double-counts
+    replayed = delta_append_txn(
+        spark, docs, table, "dataset-grouper-stream", 0
+    )
+    assert replayed is None, "txn replay must be a no-op"
+    return (
+        read_delta(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.octet_length("text")).alias("text_bytes"),
+        )
+    )
+
+
 def q_streaming_matview_sums(spark: SparkSession, sf: str) -> DataFrame:
     """Continuously-maintained materialized rollup: documents arrive as
     a 3-file stream (one micro-batch each) and every epoch folds into
@@ -4421,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_mor_delete": q_delta_mor_delete,
         "hll_distinct_events": q_hll_distinct_events,
         "quality_checks_documents": q_quality_checks_documents,
+        "streaming_delta_sink": q_streaming_delta_sink,
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -5373,6 +5426,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1, lang,
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
+            FROM documents GROUP BY lang
+        """,
+        "streaming_delta_sink": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
             FROM documents GROUP BY lang
         """,
         "delta_mor_delete": """

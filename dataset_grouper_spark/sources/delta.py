@@ -368,6 +368,7 @@ def delta_append(
     table_path: str,
     partition_by: list[str] | None = None,
     max_retries: int = 10,
+    extra_actions: list[dict] | None = None,
 ) -> int:
     """APPEND ``df`` to a Delta table as one atomic commit; creates the
     table (protocol + metaData at version 0) when the log is absent.
@@ -385,6 +386,10 @@ def delta_append(
     Scope (honest): append-only — no update/merge/remove actions, no
     schema evolution against an existing table (schema must match),
     writerVersion 2 semantics without invariants/CDC.
+
+    ``extra_actions`` (internal) are appended verbatim to every commit
+    attempt — the hook ``delta_append_txn`` uses to ride a ``txn``
+    action in the same atomic commit as the data.
     """
     import glob
     import shutil
@@ -462,6 +467,7 @@ def delta_append(
             }
         )
     actions.extend(adds)
+    actions.extend(extra_actions or [])
     version = (max(delta_versions(table_path)) + 1) if exists else 0
     for _ in range(max_retries):
         try:
@@ -493,7 +499,7 @@ def delta_append(
                         "delta_append: partition columns mismatch with "
                         "concurrently created table"
                     )
-                actions = adds
+                actions = adds + list(extra_actions or [])
             version += 1  # blind appends rebase trivially
     raise RuntimeError(
         f"delta_append: could not claim a commit after {max_retries} retries"
@@ -740,6 +746,88 @@ def delta_delete_where(
             "do not rebase blindly)"
         )
     return version
+
+
+def delta_last_txn_version(
+    spark: SparkSession, table_path: str, app_id: str
+) -> int | None:
+    """Highest committed ``txn`` version for ``app_id`` — the Delta
+    protocol's idempotent-writer primitive. Walks the latest
+    checkpoint's ``txn`` rows plus the JSON tail; None if the app has
+    never committed."""
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    best: int | None = None
+    ckpt = _latest_checkpoint(table_path, 1 << 60)
+    start = 0
+    if ckpt is not None:
+        cp_version, cp_file = ckpt
+        start = cp_version + 1
+        cp = spark.read.parquet(cp_file)
+        if "txn" in cp.columns:
+            for row in cp.select("txn").where(
+                F.col("txn").isNotNull()
+            ).collect():
+                t = row["txn"].asDict()
+                if t.get("appId") == app_id and t.get("version") is not None:
+                    v = int(t["version"])
+                    best = v if best is None else max(best, v)
+    for v in delta_versions(table_path):
+        if v < start:
+            continue
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                t = action.get("txn")
+                if t and t.get("appId") == app_id and (
+                    t.get("version") is not None
+                ):
+                    tv = int(t["version"])
+                    best = tv if best is None else max(best, tv)
+    return best
+
+
+def delta_append_txn(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    app_id: str,
+    txn_version: int,
+    partition_by: list[str] | None = None,
+) -> int | None:
+    """Idempotent append: the data AND a ``txn`` action
+    ``{appId, version}`` land in ONE atomic commit — the Delta
+    protocol's exactly-once contract for streaming writers. A replay
+    (``txn_version`` at or below the app's last committed version) is
+    a NO-OP returning None, so a foreachBatch crash between commit and
+    stream-checkpoint cannot duplicate an epoch.
+
+    Assumes one live writer per app_id (the stream checkpoint's own
+    guarantee); concurrent DIFFERENT app_ids interleave safely via the
+    put-if-absent version claim."""
+    last = None
+    if os.path.isdir(_log_path(table_path)) and delta_versions(table_path):
+        last = delta_last_txn_version(spark, table_path, app_id)
+    if last is not None and txn_version <= last:
+        return None
+    return delta_append(
+        spark,
+        df,
+        table_path,
+        partition_by=partition_by,
+        extra_actions=[
+            {
+                "txn": {
+                    "appId": app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": 0,
+                }
+            }
+        ],
+    )
 
 
 def read_delta_changes(

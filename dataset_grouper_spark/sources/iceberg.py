@@ -131,19 +131,172 @@ def iceberg_snapshots(table_path: str) -> list[dict]:
     return sorted(snaps, key=lambda s: s.get("timestamp-ms", 0))
 
 
-def _partition_match(df: dict, partition_filter: dict) -> bool:
-    """Identity-partition file pruning: keep the file unless its
-    ``data_file.partition`` struct names a filtered field with a
+def _partition_match(df: dict, expected: dict) -> bool:
+    """Partition-value file pruning: keep the file unless its
+    ``data_file.partition`` struct names an expected field with a
     DIFFERENT value. Files without partition info (older writers,
     minimal manifests) are conservatively kept — pruning must never
     drop data it cannot prove excluded."""
     part = df.get("partition")
     if not isinstance(part, dict):
         return True
-    for k, want in partition_filter.items():
+    for k, want in expected.items():
         if k in part and part[k] != want:
             return False
     return True
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 — the hash the Iceberg spec mandates for bucket
+    transforms (Appendix B). Pure stdlib; returns a SIGNED int32 like
+    the Java reference."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounds = n // 4
+    for i in range(rounds):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * rounds :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _to_days(value) -> int:
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        return _to_micros(value) // 86_400_000_000
+    if isinstance(value, datetime.date):
+        return (value - datetime.date(1970, 1, 1)).days
+    return int(value)  # already days since epoch
+
+
+def _to_micros(value) -> int:
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        delta = value - datetime.datetime(1970, 1, 1)
+        return (delta.days * 86_400 + delta.seconds) * 1_000_000 + (
+            delta.microseconds
+        )
+    return int(value)  # already micros since epoch
+
+
+def _transform_value(transform: str, value, src_type: str):
+    """The partition value a file with this transform would carry for
+    a row equal to ``value`` — per the spec's transform table. Returns
+    None when the transform cannot be computed (void/unknown): the
+    caller must then NOT prune on this field."""
+    import datetime
+    import struct
+    import re as _re
+
+    if value is None:
+        return None  # null partitions: never prune
+    if transform == "identity":
+        return value
+    m = _re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        n = int(m.group(1))
+        if src_type in ("int", "long"):
+            data = struct.pack("<q", int(value))
+        elif src_type == "date":
+            data = struct.pack("<q", _to_days(value))
+        elif src_type in ("timestamp", "timestamptz"):
+            data = struct.pack("<q", _to_micros(value))
+        elif src_type == "string":
+            data = str(value).encode("utf-8")
+        else:
+            return None  # unhashable here: stay conservative
+        return (_murmur3_32(data) & 0x7FFFFFFF) % n
+    m = _re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        if src_type in ("int", "long"):
+            return int(value) - (int(value) % w)  # Python % is floor-mod
+        if src_type == "string":
+            return str(value)[:w]
+        return None
+    if transform == "year":
+        if isinstance(value, (datetime.date, datetime.datetime)):
+            return value.year - 1970
+        return None
+    if transform == "month":
+        if isinstance(value, (datetime.date, datetime.datetime)):
+            return (value.year - 1970) * 12 + value.month - 1
+        return None
+    if transform == "day":
+        if src_type == "date" or isinstance(
+            value, (datetime.date, datetime.datetime)
+        ):
+            return _to_days(value)
+        return None
+    if transform == "hour":
+        if isinstance(value, datetime.datetime):
+            return _to_micros(value) // 3_600_000_000
+        return None
+    return None  # void / unknown transforms never prune
+
+
+def _expected_partition(meta: dict, partition_filter: dict) -> dict:
+    """Translate a {column: raw value} filter into the {partition
+    field name: transformed value} pairs a matching file must carry,
+    via the table's default partition spec. Columns the spec does not
+    cover fall back to identity matching on the raw column name (the
+    minimal-metadata path older tables use)."""
+    schemas = meta.get("schemas") or []
+    by_id = {}
+    for s in schemas:
+        for f in s.get("fields", []):
+            by_id[f["id"]] = (f["name"], f["type"])
+    specs = meta.get("partition-specs") or []
+    want_spec = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in specs if s.get("spec-id") == want_spec),
+        specs[0] if specs else {"fields": []},
+    )
+    expected: dict = {}
+    covered: set[str] = set()
+    for f in spec.get("fields", []):
+        src = by_id.get(f.get("source-id"))
+        if src is None:
+            continue
+        src_name, src_type = src
+        if src_name not in partition_filter:
+            continue
+        covered.add(src_name)
+        t = _transform_value(
+            f.get("transform", "identity"),
+            partition_filter[src_name],
+            src_type if isinstance(src_type, str) else "",
+        )
+        if t is not None:
+            expected[f["name"]] = t
+    for col, v in partition_filter.items():
+        if col not in covered:
+            expected[col] = v
+    return expected
 
 
 def _live_files(
@@ -249,10 +402,15 @@ def read_iceberg(
     files carry every column (identity partitions included), so the
     result is one parquet scan with the table schema.
 
-    ``partition_filter`` ({column: value}, identity transforms) prunes
-    FILES at the manifest level — the planning-step win Iceberg's
-    metadata exists for: at 100 TB a partition-scoped read touches
-    only matching files' footers, never the rest of the table.
+    ``partition_filter`` ({column: RAW value}) prunes FILES at the
+    manifest level — the planning-step win Iceberg's metadata exists
+    for: at 100 TB a partition-scoped read touches only matching
+    files' footers, never the rest of the table. The table's default
+    partition spec translates raw values through their TRANSFORMS
+    (identity, bucket[N] via the spec's murmur3_x86_32, truncate[W],
+    year/month/day/hour on date/datetime values); columns the spec
+    does not cover match identity on the raw name, and transforms that
+    cannot be computed for the given value never prune.
     Pruning is conservative (files without partition metadata are
     kept) and composes with Spark's own row-group pruning; the same
     predicate should normally also be applied as a .filter() for
@@ -287,8 +445,13 @@ def read_iceberg(
     ddl = ", ".join(
         f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
     )
+    expected = (
+        _expected_partition(meta, partition_filter)
+        if partition_filter
+        else None
+    )
     files, delete_files, delete_rows = _live_files(
-        table_path, snaps[snapshot_id], partition_filter
+        table_path, snaps[snapshot_id], expected
     )
     if not files:
         return spark.createDataFrame([], ddl)

@@ -504,3 +504,120 @@ class TestIcebergAppend:
         df = read_iceberg(spark, t)
         assert df.columns == ["id", "v"]
         assert df.count() == 1
+
+
+class TestTransformPruning:
+    """Partition-spec transforms: raw filter values translate through
+    bucket/truncate/day before manifest-level file pruning."""
+
+    def _table(self, spark, tmp_path, spec_fields, files, pv_type="long"):
+        # files: [(name, rows, partition_dict)]
+        t = str(tmp_path / "ttbl")
+        os.makedirs(os.path.join(t, "metadata"))
+        schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": MANIFEST_SCHEMA["fields"][:2]
+            + [
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2t",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "map",
+                                    "values": ["null", pv_type],
+                                },
+                            },
+                        ],
+                    },
+                }
+            ],
+        }
+        entries = []
+        for name, rows, part in files:
+            p = _write_data(spark, rows, t, name)
+            e = _entry(p)
+            e["data_file"]["partition"] = part
+            entries.append(e)
+        mp = os.path.join(t, "metadata", "m.avro")
+        write_avro_file(mp, schema, entries)
+        ml = _mlist(t, "snap-1.avro", [mp], 1)
+        meta = {
+            "format-version": 2,
+            "current-snapshot-id": 1,
+            "schemas": [TABLE_SCHEMA],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "snapshots": [
+                {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": ml}
+            ],
+        }
+        json.dump(
+            meta, open(os.path.join(t, "metadata", "v1.metadata.json"), "w")
+        )
+        return t
+
+    def _scanned(self, df):
+        from pyspark.sql import functions as F
+
+        return {
+            os.path.basename(r[0])
+            for r in df.select(F.input_file_name()).distinct().collect()
+        }
+
+    def test_bucket_transform_prunes(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import _murmur3_32
+        import struct
+
+        want_bucket = (_murmur3_32(struct.pack("<q", 34)) & 0x7FFFFFFF) % 4
+        other = (want_bucket + 1) % 4
+        t = self._table(
+            spark, tmp_path,
+            [{"name": "id_bucket", "transform": "bucket[4]",
+              "source-id": 1, "field-id": 1000}],
+            [
+                ("hit.parquet", [(34, "x")], {"id_bucket": want_bucket}),
+                ("miss.parquet", [(7, "y")], {"id_bucket": other}),
+            ],
+        )
+        pruned = read_iceberg(spark, t, partition_filter={"id": 34})
+        assert self._scanned(pruned) == {"hit.parquet"}
+
+    def test_truncate_transform_prunes(self, spark, tmp_path):
+        t = self._table(
+            spark, tmp_path,
+            [{"name": "v_trunc", "transform": "truncate[2]",
+              "source-id": 2, "field-id": 1000}],
+            [
+                ("ab.parquet", [(1, "abc")], {"v_trunc": "ab"}),
+                ("zz.parquet", [(2, "zzz")], {"v_trunc": "zz"}),
+            ],
+            pv_type="string",
+        )
+        pruned = read_iceberg(spark, t, partition_filter={"v": "abq"})
+        assert self._scanned(pruned) == {"ab.parquet"}
+
+    def test_unknown_transform_never_prunes(self, spark, tmp_path):
+        t = self._table(
+            spark, tmp_path,
+            [{"name": "id_void", "transform": "void",
+              "source-id": 1, "field-id": 1000}],
+            [
+                ("a.parquet", [(1, "a")], {"id_void": 0}),
+                ("b.parquet", [(2, "b")], {"id_void": 0}),
+            ],
+        )
+        # void transform carries no information: both files scanned
+        assert read_iceberg(
+            spark, t, partition_filter={"id": 1}
+        ).count() == 2

@@ -127,6 +127,54 @@ def read_tfrecord(spark: SparkSession, path: str, schema=None) -> DataFrame:
         ) from exc
 
 
+def table_format(path: str) -> str:
+    """Sniff what kind of table lives at ``path`` from its on-disk
+    markers: 'delta' (``_delta_log/``), 'iceberg'
+    (``metadata/*.metadata.json``), 'snapshots' (this engine's
+    ``_snapshots/`` manifest store), else 'parquet' (raw files /
+    directory). Marker checks are purely local metadata — no data is
+    read."""
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        return "delta"
+    mdir = os.path.join(path, "metadata")
+    if os.path.isdir(mdir) and any(
+        n.endswith(".metadata.json") for n in os.listdir(mdir)
+    ):
+        return "iceberg"
+    if os.path.isdir(os.path.join(path, "_snapshots")):
+        return "snapshots"
+    return "parquet"
+
+
+def open_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """ONE entry point over every table layout this engine speaks:
+    dispatches on :func:`table_format` to the Delta log walk, the
+    Iceberg metadata walk, the snapshot store, or a plain parquet scan
+    — so pipeline code can take a path and not care which system wrote
+    it. ``kwargs`` pass through to the underlying reader (``version=``
+    for delta/snapshots, ``snapshot_id=``/``partition_filter=`` for
+    iceberg)."""
+    fmt = table_format(path)
+    if fmt == "delta":
+        from dataset_grouper_spark.sources.delta import read_delta
+
+        return read_delta(spark, path, **kwargs)
+    if fmt == "iceberg":
+        from dataset_grouper_spark.sources.iceberg import read_iceberg
+
+        return read_iceberg(spark, path, **kwargs)
+    if fmt == "snapshots":
+        from dataset_grouper_spark.sinks.snapshots import read_snapshot
+
+        return read_snapshot(spark, path, **kwargs)
+    if kwargs:
+        raise TypeError(
+            f"open_table: plain parquet takes no reader kwargs, got "
+            f"{sorted(kwargs)}"
+        )
+    return spark.read.parquet(path)
+
+
 def __getattr__(name):
     # lazy re-exports: the lakehouse submodules import pyspark types at
     # module scope; deferring keeps `import sources` light

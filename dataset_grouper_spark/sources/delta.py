@@ -82,6 +82,18 @@ def _latest_checkpoint(table_path: str, version: int):
     return best
 
 
+def _latest_version(table_path: str) -> int | None:
+    """Newest version the log knows about — JSON commits or, after
+    :func:`delta_truncate_log`, the newest checkpoint. None when the
+    log directory exists but holds neither."""
+    versions = delta_versions(table_path)
+    best = max(versions) if versions else None
+    ckpt = _latest_checkpoint(table_path, 1 << 60)
+    if ckpt is not None and (best is None or ckpt[0] > best):
+        best = ckpt[0]
+    return best
+
+
 def _replay(spark: SparkSession, table_path: str, version: int):
     """Active files + metadata at ``version``: checkpoint state (if
     any) then the JSON commits after it, newest action per path wins."""
@@ -398,11 +410,10 @@ def delta_append(
 
     part_cols = list(partition_by or [])
     log = _log_path(table_path)
-    exists = os.path.isdir(log) and any(
-        n.endswith(".json") for n in os.listdir(log)
-    )
+    latest = _latest_version(table_path) if os.path.isdir(log) else None
+    exists = latest is not None
     if exists:
-        _adds, meta = _replay(spark, table_path, max(delta_versions(table_path)))
+        _adds, meta = _replay(spark, table_path, latest)
         existing_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         if [f.name for f in existing_schema.fields] != df.columns:
             raise ValueError(
@@ -468,7 +479,7 @@ def delta_append(
         )
     actions.extend(adds)
     actions.extend(extra_actions or [])
-    version = (max(delta_versions(table_path)) + 1) if exists else 0
+    version = (latest + 1) if exists else 0
     for _ in range(max_retries):
         try:
             with open(os.path.join(log, f"{version:020d}.json"), "x") as f:
@@ -484,7 +495,7 @@ def delta_append(
                 # winner's in every later replay
                 exists = True
                 _a, meta = _replay(
-                    spark, table_path, max(delta_versions(table_path))
+                    spark, table_path, _latest_version(table_path)
                 )
                 won_schema = StructType.fromJson(
                     json.loads(meta["schemaString"])
@@ -536,10 +547,9 @@ def delta_delete_where(
     files (one ``.bin`` per affected file), protocol upgraded to
     reader 3 / writer 7 with the deletionVectors feature flags."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    versions = delta_versions(table_path)
-    if not versions:
+    target = _latest_version(table_path)
+    if target is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
-    target = max(versions)
     adds, meta = _replay(spark, table_path, target)
     if not adds:
         return target
@@ -748,17 +758,19 @@ def delta_delete_where(
     return version
 
 
-def delta_last_txn_version(
-    spark: SparkSession, table_path: str, app_id: str
-) -> int | None:
-    """Highest committed ``txn`` version for ``app_id`` — the Delta
-    protocol's idempotent-writer primitive. Walks the latest
-    checkpoint's ``txn`` rows plus the JSON tail; None if the app has
-    never committed."""
+def _all_txns(spark: SparkSession, table_path: str) -> dict[str, int]:
+    """Latest committed ``txn`` version per appId: the latest
+    checkpoint's ``txn`` rows plus the JSON tail."""
     log = _log_path(table_path)
     if not os.path.isdir(log):
         raise FileNotFoundError(f"not a Delta table: {table_path}")
-    best: int | None = None
+    best: dict[str, int] = {}
+
+    def fold(t: dict | None) -> None:
+        if t and t.get("appId") is not None and t.get("version") is not None:
+            a, v = t["appId"], int(t["version"])
+            best[a] = max(best.get(a, v), v)
+
     ckpt = _latest_checkpoint(table_path, 1 << 60)
     start = 0
     if ckpt is not None:
@@ -769,25 +781,98 @@ def delta_last_txn_version(
             for row in cp.select("txn").where(
                 F.col("txn").isNotNull()
             ).collect():
-                t = row["txn"].asDict()
-                if t.get("appId") == app_id and t.get("version") is not None:
-                    v = int(t["version"])
-                    best = v if best is None else max(best, v)
+                fold(row["txn"].asDict())
     for v in delta_versions(table_path):
         if v < start:
             continue
         with open(os.path.join(log, f"{v:020d}.json")) as f:
             for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                t = action.get("txn")
-                if t and t.get("appId") == app_id and (
-                    t.get("version") is not None
-                ):
-                    tv = int(t["version"])
-                    best = tv if best is None else max(best, tv)
+                if line.strip():
+                    fold(json.loads(line).get("txn"))
     return best
+
+
+def delta_last_txn_version(
+    spark: SparkSession, table_path: str, app_id: str
+) -> int | None:
+    """Highest committed ``txn`` version for ``app_id`` — the Delta
+    protocol's idempotent-writer primitive. None if the app has never
+    committed."""
+    return _all_txns(spark, table_path).get(app_id)
+
+
+def delta_checkpoint(spark: SparkSession, table_path: str) -> int:
+    """Write a ``<version>.checkpoint.parquet`` snapshotting the
+    CURRENT table state (protocol, metaData, live adds — deletion
+    vectors included — and per-app txn high-water marks), plus the
+    ``_last_checkpoint`` pointer. Replay after this reads ONE parquet
+    file + the JSON tail instead of the whole log — the protocol's
+    bounded-replay contract; pair with :func:`delta_truncate_log` to
+    drop the replaced JSON commits. Returns the checkpointed version.
+
+    The row count is O(live files) — planning-scale, written in one
+    task."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    versions = delta_versions(table_path)
+    ckpt = _latest_checkpoint(table_path, 1 << 60)
+    if not versions:
+        raise ValueError(
+            "delta_checkpoint: no JSON commits to checkpoint"
+            + (" beyond the existing checkpoint" if ckpt else "")
+        )
+    target = max(versions)
+    adds, meta = _replay(spark, table_path, target)
+    # latest protocol action across the log (default: reader 1 / writer 2)
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    log = _log_path(table_path)
+    for v in versions:
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                if line.strip():
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        protocol = a["protocol"]
+    rows = [{"protocol": protocol}, {"metaData": meta}]
+    rows += [{"add": a} for a in adds.values()]
+    rows += [
+        {"txn": {"appId": app, "version": v, "lastUpdated": 0}}
+        for app, v in sorted(_all_txns(spark, table_path).items())
+    ]
+    cp = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
+    )
+    stage = tempfile.mkdtemp(prefix="_delta_ckpt_")
+    cp.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(src, os.path.join(log, f"{target:020d}.checkpoint.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": target, "size": len(rows)}, f)
+    return target
+
+
+def delta_truncate_log(table_path: str) -> list[int]:
+    """Delete the JSON commits a checkpoint has replaced (versions at
+    or below the newest checkpoint). Latest-state reads are unaffected
+    (replay starts at the checkpoint); TIME TRAVEL to the truncated
+    versions becomes unavailable and raises its existing
+    missing-commits error — the standard log-retention trade-off,
+    applied explicitly rather than on a clock. Returns the versions
+    removed."""
+    ckpt = _latest_checkpoint(table_path, 1 << 60)
+    if ckpt is None:
+        return []
+    cp_version = ckpt[0]
+    log = _log_path(table_path)
+    removed = []
+    for v in delta_versions(table_path):
+        if v <= cp_version:
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+            removed.append(v)
+    return removed
 
 
 def delta_append_txn(
@@ -809,7 +894,10 @@ def delta_append_txn(
     guarantee); concurrent DIFFERENT app_ids interleave safely via the
     put-if-absent version claim."""
     last = None
-    if os.path.isdir(_log_path(table_path)) and delta_versions(table_path):
+    if (
+        os.path.isdir(_log_path(table_path))
+        and _latest_version(table_path) is not None
+    ):
         last = delta_last_txn_version(spark, table_path, app_id)
     if last is not None and txn_version <= last:
         return None
@@ -849,9 +937,10 @@ def read_delta_changes(
     Scale shape: reads ONLY the files the selected commits added —
     O(new data), never O(table)."""
     versions = delta_versions(table_path)
-    if not versions:
+    latest = _latest_version(table_path)
+    if latest is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
-    hi = max(versions) if to_version is None else to_version
+    hi = latest if to_version is None else to_version
     want = [v for v in versions if from_version < v <= hi]
     expect = list(range(from_version + 1, hi + 1))
     if want != expect:

@@ -194,3 +194,49 @@ class TestDescriptorStorageTypes:
             .toString()
         )
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestCheckpointWriter:
+    def test_checkpoint_bounds_replay_and_survives_truncation(
+        self, spark, tmp_path
+    ):
+        from dataset_grouper_spark.sources.delta import (
+            delta_append_txn,
+            delta_checkpoint,
+            delta_last_txn_version,
+            delta_truncate_log,
+        )
+
+        t = str(tmp_path / "cp")
+        for i in range(4):
+            delta_append_txn(
+                spark,
+                spark.createDataFrame([(i, f"r{i}")], "id long, v string"),
+                t, "app", i,
+            )
+        delta_delete_where(spark, t, "id = 1")
+        v = delta_checkpoint(spark, t)
+        assert v == 4
+        removed = delta_truncate_log(t)
+        assert removed == [0, 1, 2, 3, 4]
+        # latest state reads purely from the checkpoint: adds, the
+        # deletion vector, and txn marks all survive
+        assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [
+            0, 2, 3,
+        ]
+        assert delta_last_txn_version(spark, t, "app") == 3
+        # an epoch replay is STILL a no-op after truncation
+        df = spark.createDataFrame([(9, "z")], "id long, v string")
+        assert delta_append_txn(spark, df, t, "app", 3) is None
+        # and the next epoch appends on top of the checkpoint
+        assert delta_append_txn(spark, df, t, "app", 4) == 5
+        assert read_delta(spark, t).count() == 4
+        # truncated versions are honestly unavailable
+        with pytest.raises(ValueError, match="missing commits"):
+            read_delta(spark, t, version=2)
+
+    def test_checkpoint_requires_commits(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import delta_checkpoint
+
+        with pytest.raises(FileNotFoundError):
+            delta_checkpoint(spark, str(tmp_path / "nope"))

@@ -4414,6 +4414,413 @@ def q_chunk_tokens_documents(spark: SparkSession, sf: str) -> DataFrame:
     return chunking.chunk_tokens(keyed, "text", "doc_id", CHUNK_LEN)
 
 
+def q_delta_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta CHANGE FEED (sources/delta.py read_delta_changes): three
+    append commits (doc_id mod 3 splits), then the appended row set for
+    two commit ranges — (0, latest] and (1, latest] — read straight
+    from the commits' add actions, O(new data) never O(table). A
+    mis-bounded range, re-read base commit, or dropped add action
+    hash-mismatches against the parity-filtered oracle."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        read_delta_changes,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_cdf_") + "/tbl"
+    for r in (0, 1, 2):
+        delta_append(spark, docs.filter(F.col("doc_id") % 3 == r), table)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    frames = []
+    for stage, frm in ((0, 0), (1, 1)):
+        frames.append(
+            read_delta_changes(spark, table, frm)
+            .groupBy("lang")
+            .agg(*agg)
+            .withColumn("stage", F.lit(stage))
+        )
+    return frames[0].unionByName(frames[1]).select(
+        "stage", "lang", "n", "sum_ids"
+    )
+
+
+def q_delta_checkpoint_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta CHECKPOINT lifecycle (sources/delta.py delta_checkpoint /
+    delta_truncate_log): two lang-partitioned appends, a deletion-
+    vector delete, CHECKPOINT the state into one parquet, TRUNCATE the
+    replaced JSON commits, then append again — reads at the checkpoint
+    version (stage 0: pure checkpoint replay, partitionValues + DV
+    descriptors restored from parquet rows) and at latest (stage 1:
+    checkpoint + JSON tail). A checkpoint that drops a deletion
+    vector, loses a partition value, or a writer that mis-resolves the
+    next version after truncation hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_checkpoint,
+        delta_delete_where,
+        delta_truncate_log,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_ckpt_") + "/tbl"
+    for r in (0, 1):
+        delta_append(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == r),
+            table,
+            partition_by=["lang"],
+        )
+    delta_delete_where(spark, table, "doc_id % 5 = 0")
+    cp = delta_checkpoint(spark, table)
+    delta_truncate_log(table)
+    delta_append(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == 2),
+        table,
+        partition_by=["lang"],
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    at_cp = (
+        read_delta(spark, table, version=cp)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    latest = (
+        read_delta(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return at_cp.unionByName(latest).select("stage", "lang", "n", "sum_ids")
+
+
+def q_delta_column_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta COLUMN MAPPING (name mode): data files carry opaque
+    physical names (col-1/col-2/col-3), the metaData schema maps them
+    to logical doc_id/text/lang via delta.columnMapping.physicalName —
+    the reader must scan physical and return logical (the rename-
+    without-rewrite feature every long-lived 100 TB table ends up
+    using). A reader that scans logical names returns nulls and
+    hash-mismatches."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import read_delta
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_cm_") + "/tbl"
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    stage = tempfile.mkdtemp(prefix="delta_cm_stage_")
+    docs.toDF("col-1", "col-2", "col-3").write.mode("overwrite").parquet(
+        stage
+    )
+    adds = []
+    for i, src in enumerate(
+        sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+    ):
+        name = f"part-{i:05d}.parquet"
+        shutil.move(src, os.path.join(table, name))
+        adds.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, name)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": logical,
+                "type": typ,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": f"col-{i + 1}",
+                },
+            }
+            for i, (logical, typ) in enumerate(
+                (("doc_id", "long"), ("text", "string"), ("lang", "string"))
+            )
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "0" * 32,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ] + adds
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    return read_delta(spark, table).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+    )
+
+
+def q_open_table_dispatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Unified table entry point (sources.open_table): the SAME corpus
+    split four ways — plain parquet, a hand-less Delta log
+    (delta_append), an Iceberg snapshot commit (iceberg_append), and
+    this engine's snapshot store — each opened back through ONE
+    format-sniffing call (table_format dispatch), tagged and
+    aggregated. A mis-sniffed layout reads zero or foreign rows and
+    hash-mismatches its split's parity filter."""
+    import tempfile
+
+    from dataset_grouper_spark.sinks.snapshots import snapshot_write
+    from dataset_grouper_spark.sources import open_table
+    from dataset_grouper_spark.sources.delta import delta_append
+    from dataset_grouper_spark.sources.iceberg import iceberg_append
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    base = tempfile.mkdtemp(prefix="open_table_")
+    paths = {r: os.path.join(base, f"t{r}") for r in range(4)}
+    splits = {r: docs.filter(F.col("doc_id") % 4 == r) for r in range(4)}
+    splits[0].write.mode("overwrite").parquet(paths[0])
+    delta_append(spark, splits[1], paths[1])
+    iceberg_append(spark, splits[2], paths[2])
+    snapshot_write(splits[3], paths[3])
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    frames = [
+        open_table(spark, paths[r])
+        .select("doc_id", "lang")
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("fmt", F.lit(r))
+        for r in range(4)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select("fmt", "lang", "n", "sum_ids")
+
+
+def q_iceberg_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg TRANSFORM partition pruning end-to-end: a table laid
+    out by (bucket[4](doc_id), truncate[1](lang)) with per-file
+    partition metadata in hand-written Avro manifests; stage 0 reads
+    with partition_filter={'doc_id': 7} (murmur3 bucket resolution)
+    plus the exact row filter, stage 1 reads with
+    partition_filter={'lang': 'de'} and NO row filter — the result is
+    exactly the rows of surviving files, so an under-pruning reader
+    (extra langs) or an over-pruning one (missing rows) both
+    hash-mismatch. This is the manifest-level planning win that makes
+    a partition-scoped read at 100 TB touch only matching files."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from dataset_grouper_spark.sources.avro import write_avro_file
+    from dataset_grouper_spark.sources.iceberg import read_iceberg
+
+    def _bucket4_fn(ids):
+        import struct
+
+        from dataset_grouper_spark.sources.iceberg import _murmur3_32
+
+        return ids.map(
+            lambda v: (_murmur3_32(struct.pack("<q", int(v))) & 0x7FFFFFFF)
+            % 4
+        ).astype("int32")
+
+    _bucket4 = F.pandas_udf(_bucket4_fn, "int")
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_prune_") + "/tbl"
+    os.makedirs(os.path.join(table, "metadata"))
+    os.makedirs(os.path.join(table, "data"))
+    stage = tempfile.mkdtemp(prefix="ice_prune_stage_")
+    (
+        docs.withColumn("b", _bucket4("doc_id"))
+        .withColumn("l1", F.substring("lang", 1, 1))
+        .write.mode("overwrite")
+        .partitionBy("b", "l1")
+        .parquet(stage)
+    )
+    entries = []
+    for i, src in enumerate(
+        sorted(glob.glob(os.path.join(stage, "b=*", "l1=*", "*.parquet")))
+    ):
+        l1_dir, b_dir = (
+            os.path.basename(os.path.dirname(src)),
+            os.path.basename(os.path.dirname(os.path.dirname(src))),
+        )
+        dst = os.path.join(table, "data", f"f{i}.parquet")
+        shutil.move(src, dst)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "partition": {
+                        "doc_id_bucket": int(b_dir.split("=")[1]),
+                        "lang_trunc": l1_dir.split("=")[1],
+                    },
+                },
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    man_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r3",
+                                "fields": [
+                                    {
+                                        "name": "doc_id_bucket",
+                                        "type": "int",
+                                    },
+                                    {
+                                        "name": "lang_trunc",
+                                        "type": "string",
+                                    },
+                                ],
+                            },
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+    mpath = os.path.join(table, "metadata", "m0.avro")
+    write_avro_file(mpath, man_schema, entries)
+    mlist = os.path.join(table, "metadata", "snap-1.avro")
+    write_avro_file(
+        mlist,
+        _ICE_MLIST_SCHEMA,
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": 1,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0" * 36,
+        "location": table,
+        "current-snapshot-id": 1,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "text", "required": False,
+                     "type": "string"},
+                    {"id": 3, "name": "lang", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "doc_id_bucket",
+                        "transform": "bucket[4]",
+                        "source-id": 1,
+                        "field-id": 1000,
+                    },
+                    {
+                        "name": "lang_trunc",
+                        "transform": "truncate[1]",
+                        "source-id": 3,
+                        "field-id": 1001,
+                    },
+                ],
+            }
+        ],
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": mlist}
+        ],
+    }
+    with open(os.path.join(table, "metadata", "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    by_id = (
+        read_iceberg(spark, table, partition_filter={"doc_id": 7})
+        .filter(F.col("doc_id") == 7)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    by_lang = (
+        read_iceberg(spark, table, partition_filter={"lang": "de"})
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return by_id.unionByName(by_lang).select("stage", "lang", "n", "sum_ids")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver oracles the FIRST 50 entries only.  Ordering policy
     # (rotated each round so every query re-oracles within two rounds):
@@ -4479,6 +4886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         "tfrecord_gzip_roundtrip": q_tfrecord_gzip_roundtrip,
+        # --- tier B continued (r6 lakehouse batch): change feed,
+        #     checkpoint lifecycle, column mapping, format-sniffing
+        #     entry point, Iceberg transform pruning.
+        "delta_change_feed": q_delta_change_feed,
+        "delta_checkpoint_roundtrip": q_delta_checkpoint_roundtrip,
+        "delta_column_mapping": q_delta_column_mapping,
+        "open_table_dispatch": q_open_table_dispatch,
+        "iceberg_partition_pruning": q_iceberg_partition_pruning,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -5448,6 +5863,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 3 <> 0 AND lang <> 'de'
             GROUP BY lang
+        """,
+        "delta_change_feed": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+        """,
+        "delta_checkpoint_roundtrip": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+            GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents
+            WHERE (doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0)
+               OR doc_id % 3 = 2
+            GROUP BY lang
+        """,
+        "delta_column_mapping": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
+        """,
+        "open_table_dispatch": " UNION ALL ".join(
+            f"""
+            SELECT {r} AS fmt, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id % 4 = {r} GROUP BY lang
+            """
+            for r in range(4)
+        ),
+        "iceberg_partition_pruning": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id = 7 GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE lang LIKE 'd%' GROUP BY lang
         """,
         "iceberg_mor_delete": """
             SELECT 0 AS stage, lang,

@@ -4821,6 +4821,148 @@ def q_iceberg_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
     return by_id.unionByName(by_lang).select("stage", "lang", "n", "sum_ids")
 
 
+def q_delta_optimize_vacuum(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta OPTIMIZE + VACUUM lifecycle (sources/delta.py
+    delta_optimize / delta_vacuum): three small appends and a
+    deletion-vector delete leave many small files + a DV sidecar;
+    OPTIMIZE bin-packs them and MATERIALIZES the tombstones
+    (dataChange=false — invisible to the change feed), then
+    checkpoint + log-truncate + VACUUM physically reap the replaced
+    files. Stage 0 reads at the optimize version, stage 1 at latest
+    after vacuum — both must be the identical survivor set, so an
+    optimize that drops/duplicates rows, forgets a DV, or a vacuum
+    that reaps a live file all hash-mismatch."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_checkpoint,
+        delta_delete_where,
+        delta_optimize,
+        delta_truncate_log,
+        delta_vacuum,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_opt_") + "/tbl"
+    for r in (0, 1, 2):
+        delta_append(spark, docs.filter(F.col("doc_id") % 3 == r), table)
+    delta_delete_where(spark, table, "doc_id % 7 = 0")
+    v_opt = delta_optimize(spark, table, target_file_bytes=1 << 30)
+    delta_checkpoint(spark, table)
+    delta_truncate_log(table)
+    delta_vacuum(spark, table)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.length("text")).alias("text_bytes"),
+    ]
+    at_opt = (
+        read_delta(spark, table, version=v_opt)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    latest = (
+        read_delta(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return at_opt.unionByName(latest).select(
+        "stage", "lang", "n", "sum_ids", "text_bytes"
+    )
+
+
+def q_delta_restore_timestamp(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta RESTORE + timestampAsOf (sources/delta.py delta_restore /
+    resolve_delta_version): two appends and a DV delete with commit
+    mtimes pinned to t=1000,1001,1002; RESTORE TO VERSION 1 commits
+    the diff-only rollback. Stage 0 = timestamp travel to t=1001.5
+    (resolves version 1), stage 1 = latest after restore (must equal
+    stage 0 — the rollback contract), stage 2 = timestamp t=1002.5
+    (the rolled-back DELETE state stays time-travelable — history is
+    linear, not rewritten). A restore that copies instead of
+    re-references, or timestamp resolution that rounds the wrong way,
+    hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_delete_where,
+        delta_restore,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_restore_") + "/tbl"
+    for r in (0, 1):
+        delta_append(spark, docs.filter(F.col("doc_id") % 2 == r), table)
+    delta_delete_where(spark, table, "doc_id % 5 = 0")
+    log = os.path.join(table, "_delta_log")
+    for v in (0, 1, 2):
+        p = os.path.join(log, f"{v:020d}.json")
+        os.utime(p, (1000.0 + v, 1000.0 + v))
+    delta_restore(spark, table, 1)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    frames = [
+        read_delta(spark, table, timestamp=1001.5)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(0)),
+        read_delta(spark, table)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(1)),
+        read_delta(spark, table, timestamp=1002.5)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(2)),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select("stage", "lang", "n", "sum_ids")
+
+
+def q_delta_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta mergeSchema append (sources/delta.py delta_append
+    merge_schema=True): the second append carries a NEW n_chars
+    column; one metaData action rides the same commit and the
+    schema-superset scan backfills the first append's rows with NULL
+    — rename-free widening, the additive-evolution path every
+    long-lived ingestion table needs. Grouped counts split n vs
+    count(n_chars), so a reader that drops old files, nulls the wrong
+    side, or a writer that reorders columns hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import delta_append, read_delta
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_evolve_") + "/tbl"
+    delta_append(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
+        table,
+    )
+    delta_append(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("n_chars", F.length("text"))
+        .select("doc_id", "lang", "n_chars"),
+        table,
+        merge_schema=True,
+    )
+    return (
+        read_delta(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("n_chars").alias("n_evolved"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "n", "n_evolved", "sum_chars")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver oracles the FIRST 50 entries only.  Ordering policy
     # (rotated each round so every query re-oracles within two rounds):
@@ -4894,6 +5036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_column_mapping": q_delta_column_mapping,
         "open_table_dispatch": q_open_table_dispatch,
         "iceberg_partition_pruning": q_iceberg_partition_pruning,
+        "delta_optimize_vacuum": q_delta_optimize_vacuum,
+        "delta_restore_timestamp": q_delta_restore_timestamp,
+        "delta_schema_evolution": q_delta_schema_evolution,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -5916,6 +6061,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang LIKE 'd%' GROUP BY lang
+        """,
+        "delta_optimize_vacuum": """
+            SELECT stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents, (SELECT unnest([0, 1]) AS stage)
+            WHERE doc_id % 7 <> 0
+            GROUP BY stage, lang
+        """,
+        "delta_restore_timestamp": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 2, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang
+        """,
+        "delta_schema_evolution": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END)
+                        AS BIGINT) AS n_evolved,
+                   CAST(sum(CASE WHEN doc_id % 2 = 1
+                                 THEN strlen(text) END)
+                        AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
         """,
         "iceberg_mor_delete": """
             SELECT 0 AS stage, lang,

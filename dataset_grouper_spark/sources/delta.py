@@ -264,11 +264,17 @@ def _physical_names(meta: dict) -> dict[str, str]:
 
 
 def read_delta(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read a Delta table at ``version`` (default: latest) — the pinned
     snapshot a Delta reader contract guarantees: exactly the files the
     chosen commit considered live, regardless of later writes.
+    ``timestamp`` (unix seconds, exclusive with ``version``) is
+    ``timestampAsOf``: the newest commit at or before that instant
+    (:func:`resolve_delta_version`).
 
     Partitioned tables come back with their partition columns restored
     from the log's ``partitionValues`` and cast to the schema's types;
@@ -276,6 +282,10 @@ def read_delta(
     Column-mapped tables (name/id modes) scan under their physical
     names and come back with logical ones.
     """
+    if version is not None and timestamp is not None:
+        raise ValueError("read_delta: version and timestamp are exclusive")
+    if timestamp is not None:
+        version = resolve_delta_version(table_path, timestamp)
     versions = delta_versions(table_path)
     ckpt = _latest_checkpoint(table_path, 1 << 60)
     if not versions and ckpt is None:
@@ -381,6 +391,7 @@ def delta_append(
     partition_by: list[str] | None = None,
     max_retries: int = 10,
     extra_actions: list[dict] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """APPEND ``df`` to a Delta table as one atomic commit; creates the
     table (protocol + metaData at version 0) when the log is absent.
@@ -395,9 +406,16 @@ def delta_append(
     columns live OUTSIDE the data files, Delta-style, and land in
     ``add.partitionValues``.
 
-    Scope (honest): append-only — no update/merge/remove actions, no
-    schema evolution against an existing table (schema must match),
+    Scope (honest): append-only — no update/merge/remove actions,
     writerVersion 2 semantics without invariants/CDC.
+    ``merge_schema=True`` is ``mergeSchema`` for NEW columns: the frame
+    must still carry every existing column (same types), extra columns
+    are appended to the table schema in one metaData action riding the
+    same commit, and older files backfill them as NULL on read (the
+    schema-superset parquet scan does this for free). Gated off for
+    column-mapped tables (new fields would need id/physical-name
+    assignment) and for changes to existing columns (type changes,
+    drops — those are not append-safe).
 
     ``extra_actions`` (internal) are appended verbatim to every commit
     attempt — the hook ``delta_append_txn`` uses to ride a ``txn``
@@ -412,15 +430,46 @@ def delta_append(
     log = _log_path(table_path)
     latest = _latest_version(table_path) if os.path.isdir(log) else None
     exists = latest is not None
+    evolved_meta = None
     if exists:
         _adds, meta = _replay(spark, table_path, latest)
         existing_schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        if [f.name for f in existing_schema.fields] != df.columns:
-            raise ValueError(
-                f"delta_append: schema mismatch — table has "
-                f"{[f.name for f in existing_schema.fields]}, frame has "
-                f"{df.columns}"
+        existing_names = [f.name for f in existing_schema.fields]
+        if existing_names != df.columns:
+            new_names = [c for c in df.columns if c not in existing_names]
+            missing = [n for n in existing_names if n not in df.columns]
+            conf = meta.get("configuration") or {}
+            if not (merge_schema and new_names and not missing):
+                raise ValueError(
+                    f"delta_append: schema mismatch — table has "
+                    f"{existing_names}, frame has {df.columns}"
+                    + (
+                        " (merge_schema adds new columns only; the frame "
+                        f"is missing {missing})"
+                        if merge_schema and missing
+                        else ""
+                    )
+                )
+            if conf.get("delta.columnMapping.mode") in ("name", "id"):
+                raise NotImplementedError(
+                    "delta_append: merge_schema on a column-mapped table "
+                    "needs field-id/physical-name assignment"
+                )
+            frame_types = {f.name: f.dataType for f in df.schema.fields}
+            for f in existing_schema.fields:
+                if frame_types[f.name] != f.dataType:
+                    raise ValueError(
+                        f"delta_append: merge_schema cannot change column "
+                        f"{f.name!r} from {f.dataType} to "
+                        f"{frame_types[f.name]}"
+                    )
+            df = df.select(*existing_names, *new_names)
+            merged = StructType(
+                list(existing_schema.fields)
+                + [f for f in df.schema.fields if f.name in new_names]
             )
+            evolved_meta = dict(meta)
+            evolved_meta["schemaString"] = merged.json()
         if list(meta.get("partitionColumns") or []) != part_cols:
             raise ValueError("delta_append: partition columns mismatch")
     os.makedirs(log, exist_ok=True)
@@ -477,6 +526,8 @@ def delta_append(
                 }
             }
         )
+    if evolved_meta is not None:
+        actions.append({"metaData": evolved_meta})
     actions.extend(adds)
     actions.extend(extra_actions or [])
     version = (latest + 1) if exists else 0
@@ -1011,3 +1062,306 @@ def read_delta_changes(
             df = df.withColumn(c, lit)
         frames.append(df.select([f.name for f in schema.fields]))
     return reduce(DataFrame.unionByName, frames)
+
+
+def resolve_delta_version(table_path: str, timestamp: float) -> int:
+    """TIMESTAMP-based version resolution, the Delta contract: the
+    NEWEST commit whose timestamp is at or below ``timestamp`` (unix
+    seconds). Commit times come from the commit files' modification
+    times, exactly as delta-spark resolves ``timestampAsOf`` (the log
+    entry is created atomically at commit, so its mtime IS the commit
+    time); after :func:`delta_truncate_log` the checkpoint file stands
+    in for its version. Raises when ``timestamp`` predates the oldest
+    retained commit (delta-spark's TimestampEarlierThanCommitRetention
+    shape)."""
+    log = _log_path(table_path)
+    stamped: list[tuple[float, int]] = []
+    for v in delta_versions(table_path):
+        stamped.append((os.path.getmtime(os.path.join(log, f"{v:020d}.json")), v))
+    ckpt = _latest_checkpoint(table_path, 1 << 60)
+    if ckpt is not None and all(v != ckpt[0] for _, v in stamped):
+        stamped.append((os.path.getmtime(ckpt[1]), ckpt[0]))
+    if not stamped:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    eligible = [v for ts, v in stamped if ts <= timestamp]
+    if not eligible:
+        earliest = min(stamped)
+        raise ValueError(
+            f"read_delta: timestamp {timestamp} predates the earliest "
+            f"retained commit (version {earliest[1]} at {earliest[0]})"
+        )
+    return max(eligible)
+
+
+def delta_optimize(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+) -> int | None:
+    """OPTIMIZE (bin-packing compaction): rewrite each partition's
+    small files (< ``small_file_bytes``, default = target) into
+    ~``target_file_bytes`` files, and MATERIALIZE deletion vectors
+    while at it (a file carrying a DV is always rewritten, its
+    tombstoned rows dropped for good — the DV purge OPTIMIZE performs
+    in Delta). Commits one version of paired remove/add actions with
+    ``dataChange: false`` — the logical table is bit-identical, so
+    change-feed readers correctly skip the commit
+    (:func:`read_delta_changes` ignores dataChange=false actions) and
+    streams see nothing. Returns the committed version, or None when
+    no partition had anything worth rewriting.
+
+    Scale shape: the rewrite is one distributed read+repartition+write
+    job per touched partition over ONLY that partition's small files —
+    O(small data), never O(table); big clean files are untouched.
+    Planning (grouping adds by partitionValues) is driver-side metadata
+    of the same order as any table format's manifest walk. The commit
+    claims ``<version>.json`` with an exclusive create and RAISES on a
+    lost race — remove/add pairs must not rebase blindly past a
+    concurrent delete of the same files."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes
+    target = _latest_version(table_path)
+    if target is None:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    adds, meta = _replay(spark, table_path, target)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    phys = _physical_names(meta)
+    table_abs = os.path.abspath(table_path)
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds.values():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(phys[c], pv.get(c)) for c in part_cols)
+        groups.setdefault(key, []).append(a)
+
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    # rewrite under PHYSICAL names: compacted files must look exactly
+    # like the files they replace (column mapping preserved)
+    scan_schema = StructType(
+        [StructField(phys[f.name], f.dataType, True) for f in data_fields]
+    )
+
+    actions: list[dict] = []
+    for key in sorted(
+        groups, key=lambda k: tuple((v is None, v or "") for v in k)
+    ):
+        members = groups[key]
+        picked = [
+            a
+            for a in members
+            if a.get("deletionVector")
+            or int(a.get("size") or 0) < small_file_bytes
+        ]
+        if len(picked) < 2 and not any(a.get("deletionVector") for a in picked):
+            continue
+        paths = [os.path.join(table_abs, a["path"]) for a in picked]
+        scan = spark.read.schema(scan_schema).parquet(*paths)
+        dv_adds = [
+            (os.path.join(table_abs, a["path"]), a["deletionVector"])
+            for a in picked
+            if a.get("deletionVector")
+        ]
+        if dv_adds:
+            keyed = scan.withColumns(
+                {
+                    "__fp": _norm_path(F.col("_metadata.file_path")),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+            dv_frame, total = _dv_positions_frame(spark, table_path, dv_adds)
+            scan = _apply_dvs(
+                keyed, dv_frame, total, [f.name for f in scan_schema.fields]
+            )
+        live_bytes = sum(int(a.get("size") or 0) for a in picked)
+        n_out = max(1, -(-live_bytes // target_file_bytes))
+        stage = tempfile.mkdtemp(prefix="_delta_optimize_")
+        scan.repartition(n_out).write.mode("overwrite").parquet(stage)
+        pv = picked[0].get("partitionValues") or {}
+        new_adds = []
+        for src in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):
+            rel = f"part-{uuid.uuid4().hex}.parquet"
+            shutil.move(src, os.path.join(table_abs, rel))
+            new_adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(os.path.join(table_abs, rel)),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        for a in picked:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "dataChange": False,
+                        "deletionTimestamp": 0,
+                        "partitionValues": a.get("partitionValues") or {},
+                    }
+                }
+            )
+        actions.extend(new_adds)
+    if not actions:
+        return None
+    version = target + 1
+    try:
+        with open(
+            os.path.join(_log_path(table_path), f"{version:020d}.json"), "x"
+        ) as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    except FileExistsError:
+        raise RuntimeError(
+            f"delta_optimize: lost the commit race at version {version} — "
+            "re-run against the new table state (remove/add pairs do not "
+            "rebase blindly)"
+        )
+    return version
+
+
+def delta_vacuum(
+    spark: SparkSession, table_path: str, dry_run: bool = False
+) -> list[str]:
+    """VACUUM: physically delete data files and deletion-vector bins
+    that NO retained version references — the files only remove
+    actions (or pre-checkpoint history the log has truncated) still
+    point at. Referenced = every add path (and its DV sidecar) in the
+    newest checkpoint plus every retained JSON commit, whether or not
+    a later commit removed it — any retained version can still time-
+    travel to it. Returns the table-relative paths removed (or that
+    WOULD be removed, with ``dry_run``).
+
+    Retention here is the log's own horizon (pair with
+    :func:`delta_checkpoint` + :func:`delta_truncate_log` to advance
+    it) rather than a wall-clock window — the same trade as
+    ``delta_truncate_log``, applied to data files."""
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    table_abs = os.path.abspath(table_path)
+    referenced: set[str] = set()
+
+    def note_add(a: dict) -> None:
+        referenced.add(a["path"])
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            p = _resolve_dv_path(
+                table_abs, dv["storageType"], dv["pathOrInlineDv"]
+            )
+            referenced.add(os.path.relpath(p, table_abs))
+
+    ckpt = _latest_checkpoint(table_path, 1 << 60)
+    if ckpt is not None:
+        for row in spark.read.parquet(ckpt[1]).collect():
+            d = row.asDict(recursive=True)
+            if d.get("add"):
+                note_add(d["add"])
+    for v in delta_versions(table_path):
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                if line.strip():
+                    action = json.loads(line)
+                    if "add" in action:
+                        note_add(action["add"])
+    doomed: list[str] = []
+    for root, dirs, names in os.walk(table_abs):
+        dirs[:] = [d for d in dirs if d != _LOG_DIR]
+        for name in names:
+            if not (
+                name.endswith(".parquet")
+                or (name.startswith("deletion_vector_") and name.endswith(".bin"))
+            ):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), table_abs).replace(
+                os.sep, "/"
+            )
+            if rel not in referenced:
+                doomed.append(rel)
+    doomed.sort()
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table_abs, rel))
+    return doomed
+
+
+def delta_restore(
+    spark: SparkSession, table_path: str, version: int
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: commit a NEW version whose
+    active-file set (and metaData, if schema evolved in between) is
+    exactly that of ``version`` — the standard rollback that keeps
+    history linear instead of rewriting it (the bad commits stay
+    time-travelable; vacuum reaps their files once the log horizon
+    passes them). Emits only the DIFF: removes for current files the
+    target lacks, adds for target files the current state lacks —
+    O(changed files), zero data movement (restored files are
+    re-referenced, not copied). Raises if the target version's files
+    were already vacuumed away."""
+    latest = _latest_version(table_path)
+    if latest is None:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    want_adds, want_meta = _replay(spark, table_path, version)
+    cur_adds, cur_meta = _replay(spark, table_path, latest)
+    table_abs = os.path.abspath(table_path)
+    missing = [
+        rel
+        for rel in want_adds
+        if not os.path.exists(os.path.join(table_abs, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"delta_restore: version {version} references vacuumed files "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    actions: list[dict] = []
+    if want_meta.get("schemaString") != cur_meta.get("schemaString") or list(
+        want_meta.get("partitionColumns") or []
+    ) != list(cur_meta.get("partitionColumns") or []):
+        actions.append({"metaData": want_meta})
+    for rel, a in sorted(cur_adds.items()):
+        if rel not in want_adds:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "dataChange": True,
+                        "deletionTimestamp": 0,
+                        "partitionValues": a.get("partitionValues") or {},
+                    }
+                }
+            )
+    for rel, a in sorted(want_adds.items()):
+        cur = cur_adds.get(rel)
+        # re-add when absent OR present with different content (a DV
+        # materialized/added since the target version changes the add)
+        if cur is None or cur != a:
+            re_add = dict(a)
+            re_add["dataChange"] = True
+            actions.append({"add": re_add})
+    if not actions:
+        return latest
+    new_version = latest + 1
+    try:
+        with open(
+            os.path.join(_log_path(table_path), f"{new_version:020d}.json"),
+            "x",
+        ) as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    except FileExistsError:
+        raise RuntimeError(
+            f"delta_restore: lost the commit race at version {new_version} — "
+            "re-run against the new table state"
+        )
+    return new_version

@@ -4821,6 +4821,63 @@ def q_iceberg_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
     return by_id.unionByName(by_lang).select("stage", "lang", "n", "sum_ids")
 
 
+def q_iceberg_equality_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes (sources/iceberg.py
+    iceberg_delete_values / _apply_equality_deletes): append two
+    corpus halves, DELETE BY KEY (doc_id % 6 == 0 — an O(keys) commit
+    that never scans the table), then append the third-half rows,
+    some of which REUSE deleted keys — sequence-number ordering must
+    keep every row written after the delete while dropping all older
+    matches. Stage 0 = final state (survivors + reinserts), stage 1 =
+    time travel to the pre-delete snapshot. A reader that applies
+    deletes to newer files, misses one of two older files, or ignores
+    the delete entirely hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_delete_values,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_eq_") + "/tbl"
+    for r in (0, 1):
+        iceberg_append(spark, docs.filter(F.col("doc_id") % 3 == r), table)
+    pre_delete = iceberg_append(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), table
+    )
+    iceberg_delete_values(
+        spark,
+        docs.filter(F.col("doc_id") % 6 == 0).select("doc_id"),
+        table,
+    )
+    # reinserted rows carry a LARGER sequence number than the delete
+    iceberg_append(
+        spark,
+        docs.filter(F.col("doc_id") % 12 == 0)
+        .withColumn("lang", F.lit("reborn")),
+        table,
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    final = (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    before = (
+        read_iceberg(spark, table, snapshot_id=pre_delete)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return final.unionByName(before).select("stage", "lang", "n", "sum_ids")
+
+
 def q_delta_optimize_vacuum(spark: SparkSession, sf: str) -> DataFrame:
     """Delta OPTIMIZE + VACUUM lifecycle (sources/delta.py
     delta_optimize / delta_vacuum): three small appends and a
@@ -5039,6 +5096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_optimize_vacuum": q_delta_optimize_vacuum,
         "delta_restore_timestamp": q_delta_restore_timestamp,
         "delta_schema_evolution": q_delta_schema_evolution,
+        "iceberg_equality_delete": q_iceberg_equality_delete,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -6061,6 +6119,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang LIKE 'd%' GROUP BY lang
+        """,
+        "iceberg_equality_delete": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM (
+                SELECT doc_id, lang FROM documents WHERE doc_id % 6 <> 0
+                UNION ALL
+                SELECT doc_id, 'reborn' AS lang FROM documents
+                WHERE doc_id % 12 = 0
+            ) GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents GROUP BY lang
         """,
         "delta_optimize_vacuum": """
             SELECT stage, lang,

@@ -27,12 +27,19 @@ columns (Spark's native per-file row ordinal — exactly the spec's
 commits O(deleted-rows) position files and never rewrites a data
 file, the merge-on-read economics the v2 spec exists for.
 
-Honest gates: EQUALITY deletes (``data_file.content=2``) raise —
-applying them correctly needs sequence-number ordering this reader
-does not track (position deletes name exact ``(file, pos)`` pairs, so
-global application is always sound); non-parquet data files raise;
-nested Iceberg types beyond primitives/decimals raise at schema
-mapping.
+v2 EQUALITY deletes (``data_file.content=2``) are real both ways too:
+the reader tracks DATA SEQUENCE NUMBERS (manifest-entry level,
+inherited from the manifest-list entry per the spec, 0 for pre-v2
+metadata) and anti-joins each delete file's key rows against data
+rows from files with a STRICTLY SMALLER sequence — so delete-then-
+reinsert converges exactly as the spec orders it.
+``iceberg_delete_values`` WRITES them: an O(keys) DELETE BY KEY that
+never reads the table — the Flink-CDC upsert-stream shape.
+
+Honest gates: non-parquet data files raise; nested Iceberg types
+beyond primitives/decimals raise at schema mapping;
+``iceberg_delete_where`` (position deletes) refuses to stack on top
+of existing equality deletes.
 
 Scale shape: like the Delta reader, the metadata walk is the driver's
 planning step (Avro manifests are KB-scale); data moves only through
@@ -301,20 +308,29 @@ def _expected_partition(meta: dict, partition_filter: dict) -> dict:
 
 def _live_files(
     table_path: str, snapshot: dict, partition_filter: dict | None = None
-) -> tuple[list[str], list[str], int | None]:
-    """Walk a snapshot's manifests into ``(data_files, position_delete
-    _files, delete_row_count)``. ``delete_row_count`` is the manifest
-    record_count sum when every delete entry declares one (the
-    plan-time broadcast decision input), else None (unknown)."""
+) -> tuple[
+    list[tuple[str, int]], list[str], int | None, list[tuple[str, int, list]]
+]:
+    """Walk a snapshot's manifests into ``(data, position_delete_files,
+    position_delete_rows, equality_deletes)``. ``data`` pairs each data
+    file with its DATA SEQUENCE NUMBER (entry-level, inheriting the
+    manifest-list entry's when null, 0 for pre-v2 metadata) — the
+    ordering equality deletes apply against. ``equality_deletes`` is
+    ``(path, sequence_number, equality_field_ids)`` per delete file.
+    ``position_delete_rows`` is the manifest record_count sum when
+    every position-delete entry declares one (the plan-time broadcast
+    decision input), else None (unknown)."""
     ml_path = _localize(snapshot["manifest-list"])
     if not os.path.isabs(ml_path):
         ml_path = os.path.join(table_path, ml_path)
     _schema, manifests = read_avro_file(ml_path)
-    files: list[str] = []
+    files: list[tuple[str, int]] = []
     delete_files: list[str] = []
     delete_rows: int | None = 0
+    eq_deletes: list[tuple[str, int, list]] = []
     for m in manifests:
         is_delete_manifest = m.get("content", 0) == 1
+        mseq = m.get("sequence_number") or 0
         mp = _localize(m["manifest_path"])
         if not os.path.isabs(mp):
             mp = os.path.join(table_path, mp)
@@ -334,12 +350,14 @@ def _live_files(
             p = _localize(df["file_path"])
             if not os.path.isabs(p):
                 p = os.path.join(table_path, p)
+            eseq = e.get("sequence_number")
+            seq = mseq if eseq is None else eseq  # spec: ADDED inherits
             if content == 0:
                 if is_delete_manifest:
                     raise ValueError(
                         "iceberg: data file listed in a delete manifest"
                     )
-                files.append(p)
+                files.append((p, seq))
             elif content == 1:  # position deletes
                 delete_files.append(p)
                 rc = df.get("record_count") or 0
@@ -348,11 +366,14 @@ def _live_files(
                 else:
                     delete_rows = None  # any unknown poisons the bound
             else:  # content == 2: equality deletes
-                raise NotImplementedError(
-                    "iceberg: equality deletes need sequence-number "
-                    "ordering this reader does not track"
-                )
-    return files, delete_files, delete_rows
+                ids = df.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "iceberg: equality-delete file without "
+                        "equality_ids"
+                    )
+                eq_deletes.append((p, seq, list(ids)))
+    return files, delete_files, delete_rows, eq_deletes
 
 
 def _norm_path(c: Column) -> Column:
@@ -364,21 +385,16 @@ def _norm_path(c: Column) -> Column:
 
 def _apply_position_deletes(
     spark: SparkSession,
-    data: DataFrame,
+    keyed: DataFrame,
     delete_files: list[str],
     delete_rows: int | None,
 ) -> DataFrame:
-    """Anti-join the scan against its position-delete set. ``data``
-    must still carry the hidden ``_metadata`` struct (i.e. be the raw
-    parquet scan). Broadcasts only when manifest stats BOUND the
-    delete rows (no probe job — stats are free at plan time)."""
-    cols = data.columns  # _metadata is hidden: not listed, still usable
-    keyed = data.withColumns(
-        {
-            "__fp": _norm_path(F.col("_metadata.file_path")),
-            "__pos": F.col("_metadata.row_index"),
-        }
-    )
+    """Anti-join the scan against its position-delete set. ``keyed``
+    must carry ``__fp``/``__pos`` tags (attached on the raw scan —
+    they come from the hidden ``_metadata`` struct); tags are kept so
+    the equality-delete pass can compose after this one. Broadcasts
+    only when manifest stats BOUND the delete rows (no probe job —
+    stats are free at plan time)."""
     dels = (
         spark.read.parquet(*delete_files)
         .select(
@@ -388,7 +404,76 @@ def _apply_position_deletes(
     )
     if delete_rows is not None and delete_rows <= _DELETE_BROADCAST_ROWS:
         dels = F.broadcast(dels)
-    return keyed.join(dels, ["__fp", "__pos"], "left_anti").select(*cols)
+    return keyed.join(dels, ["__fp", "__pos"], "left_anti")
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    keyed: DataFrame,
+    data_files: list[tuple[str, int]],
+    eq_deletes: list[tuple[str, int, list]],
+    schema: dict,
+) -> DataFrame:
+    """Apply v2 EQUALITY deletes (Flink-CDC-shape upsert streams write
+    these): a delete file's rows remove every data row whose equality
+    columns match (NULL = NULL, per spec) AND whose data file has a
+    STRICTLY SMALLER data sequence number than the delete — rows
+    (re)written at or after the delete survive, which is exactly what
+    makes "delete key, then re-insert key" converge.
+
+    ``keyed`` must carry the ``__fp`` tag (attached on the raw scan
+    from ``_metadata.file_path``); tags are kept for composition.
+    Shape: one planning-scale broadcast map (file → sequence number)
+    tags each row with its file's sequence, then one anti-join per
+    distinct equality-column set (usually exactly one — the CDC key);
+    delete frames of one set union together with per-file sequence
+    literals. Nothing driver-side touches data rows."""
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    types = {f["name"]: _spark_type(f["type"]) for f in schema["fields"]}
+    seq_map = spark.createDataFrame(
+        [(p if p.startswith("/") else "/" + p, s) for p, s in data_files],
+        "`__fp` string, `__seq` long",
+    )
+    keyed = keyed.join(F.broadcast(seq_map), "__fp", "left")
+    groups: dict[tuple, list[tuple[str, int]]] = {}
+    for p, seq, ids in eq_deletes:
+        try:
+            names = tuple(by_id[i] for i in ids)
+        except KeyError as exc:
+            raise ValueError(
+                f"iceberg: equality_ids {ids} not in schema "
+                f"(fields {sorted(by_id)})"
+            ) from exc
+        groups.setdefault(names, []).append((p, seq))
+    for names, members in sorted(groups.items()):
+        ddl = ", ".join(f"`{n}` {types[n]}" for n in names)
+        frames = []
+        for p, seq in members:
+            frames.append(
+                spark.read.schema(ddl)
+                .parquet(p)
+                .withColumn("__dseq", F.lit(seq).cast("long"))
+            )
+        dels = frames[0]
+        for fr in frames[1:]:
+            dels = dels.unionByName(fr)
+        dels = dels.select(
+            *[F.col(n).alias(f"__d_{n}") for n in names], "__dseq"
+        )
+        # plan-time broadcast decision from parquet footers (one local
+        # metadata read per delete file — planning-scale)
+        import pyarrow.parquet as pq
+
+        total = sum(
+            pq.ParquetFile(p).metadata.num_rows for p, _ in members
+        )
+        if total <= _DELETE_BROADCAST_ROWS:
+            dels = F.broadcast(dels)
+        cond = F.col("__seq") < F.col("__dseq")
+        for n in names:
+            cond = cond & F.col(n).eqNullSafe(F.col(f"__d_{n}"))
+        keyed = keyed.join(dels, cond, "left_anti")
+    return keyed.drop("__seq")
 
 
 def read_iceberg(
@@ -450,15 +535,33 @@ def read_iceberg(
         if partition_filter
         else None
     )
-    files, delete_files, delete_rows = _live_files(
+    data_seqs, delete_files, delete_rows, eq_deletes = _live_files(
         table_path, snaps[snapshot_id], expected
     )
-    if not files:
+    if not data_seqs:
         return spark.createDataFrame([], ddl)
+    files = [p for p, _ in data_seqs]
     data = spark.read.schema(ddl).parquet(*files)
+    if not (delete_files or eq_deletes):
+        return data
+    # tag ONCE on the raw scan (the hidden _metadata struct is only
+    # addressable there), then compose both delete passes on the tags
+    cols = data.columns
+    keyed = data.withColumns(
+        {
+            "__fp": _norm_path(F.col("_metadata.file_path")),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
     if delete_files:
-        data = _apply_position_deletes(spark, data, delete_files, delete_rows)
-    return data
+        keyed = _apply_position_deletes(
+            spark, keyed, delete_files, delete_rows
+        )
+    if eq_deletes:
+        keyed = _apply_equality_deletes(
+            spark, keyed, data_seqs, eq_deletes, schema
+        )
+    return keyed.select(*cols)
 
 
 _MANIFEST_SCHEMA = {
@@ -467,6 +570,9 @@ _MANIFEST_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        # null = inherit the manifest-list entry's sequence number
+        # (spec behavior for ADDED entries)
+        {"name": "sequence_number", "type": ["null", "long"]},
         {
             "name": "data_file",
             "type": {
@@ -478,6 +584,10 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
                 ],
             },
         },
@@ -492,6 +602,7 @@ _MLIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
@@ -590,12 +701,14 @@ def iceberg_append(spark: SparkSession, df: DataFrame, table_path: str) -> int:
             {
                 "status": 1,
                 "snapshot_id": None,
+                "sequence_number": None,  # inherit from the manifest list
                 "data_file": {
                     "content": 0,
                     "file_path": dst,
                     "file_format": "PARQUET",
                     "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": None,
                 },
             }
         )
@@ -613,12 +726,16 @@ def _commit_snapshot(
     content: int,
 ) -> int:
     """Shared commit tail: new manifest list = previous snapshot's
-    manifests (data AND delete, content preserved) + the new manifest;
-    append the snapshot to metadata; claim the next metadata version
-    with an exclusive create (put-if-absent optimistic commit)."""
+    manifests (data AND delete, content preserved, each KEEPING its
+    original sequence number — spec carry-over) + the new manifest
+    stamped with the table's next sequence number; append the snapshot
+    to metadata (advancing ``last-sequence-number``); claim the next
+    metadata version with an exclusive create (put-if-absent
+    optimistic commit)."""
     import uuid
 
     mdir = os.path.join(table_path, "metadata")
+    sequence = int(meta.get("last-sequence-number") or 0) + 1
     prev_manifests = []
     if meta.get("current-snapshot-id") is not None:
         cur = next(
@@ -630,8 +747,17 @@ def _commit_snapshot(
         if not os.path.isabs(ml):
             ml = os.path.join(table_path, ml)
         _s, prev = read_avro_file(ml)
+        # .get with defaults: manifest lists written before sequence
+        # tracking carry-over at sequence 0 (pre-v2 semantics)
         prev_manifests = [
-            {k: m[k] for k in (f["name"] for f in _MLIST_SCHEMA["fields"])}
+            {
+                k: (
+                    m.get("sequence_number", 0)
+                    if k == "sequence_number"
+                    else m[k]
+                )
+                for k in (f["name"] for f in _MLIST_SCHEMA["fields"])
+            }
             for m in prev
         ]
     mlpath = os.path.join(mdir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
@@ -645,6 +771,7 @@ def _commit_snapshot(
                 "manifest_length": os.path.getsize(manifest_path),
                 "partition_spec_id": 0,
                 "content": content,
+                "sequence_number": sequence,
                 "added_snapshot_id": snap_id,
             }
         ],
@@ -652,11 +779,13 @@ def _commit_snapshot(
     meta["snapshots"].append(
         {
             "snapshot-id": snap_id,
+            "sequence-number": sequence,
             "timestamp-ms": snap_id,  # deterministic, monotone
             "schema-id": meta.get("current-schema-id", 0),
             "manifest-list": mlpath,
         }
     )
+    meta["last-sequence-number"] = sequence
     meta["current-snapshot-id"] = snap_id
     # claim the next metadata version exclusively (optimistic commit)
     versions = [
@@ -706,9 +835,16 @@ def iceberg_delete_where(
     if cur_id is None:
         raise ValueError("iceberg_delete_where: table has no snapshots")
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
-    data_files, delete_files, delete_rows = _live_files(
+    data_seqs, delete_files, delete_rows, eq_deletes = _live_files(
         table_path, snaps[cur_id]
     )
+    if eq_deletes:
+        raise NotImplementedError(
+            "iceberg_delete_where: position-deleting on top of equality "
+            "deletes would need the full sequence-ordered scan; delete "
+            "by key via iceberg_delete_values instead"
+        )
+    data_files = [p for p, _ in data_seqs]
     if not data_files:
         return cur_id
     schemas = meta.get("schemas") or []
@@ -779,12 +915,14 @@ def iceberg_delete_where(
             {
                 "status": 1,
                 "snapshot_id": None,
+                "sequence_number": None,  # inherit from the manifest list
                 "data_file": {
                     "content": 1,  # position deletes
                     "file_path": dst,
                     "file_format": "PARQUET",
                     "record_count": nrows,
                     "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": None,
                 },
             }
         )
@@ -793,5 +931,89 @@ def iceberg_delete_where(
         return cur_id  # nothing matched: no snapshot, table unchanged
     mdir = os.path.join(table_path, "metadata")
     mpath = os.path.join(mdir, f"d-{snap_id}-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
+    return _commit_snapshot(table_path, meta, snap_id, mpath, content=1)
+
+
+def iceberg_delete_values(
+    spark: SparkSession, keys_df: DataFrame, table_path: str
+) -> int:
+    """Merge-on-read DELETE BY KEY via v2 EQUALITY delete files — the
+    write path CDC/upsert streams use (Flink writes exactly this
+    shape): commit a new snapshot whose delete files hold the KEY
+    VALUES to remove, stamped with the table's next sequence number.
+    The cost is O(keys) regardless of where (or whether) matching rows
+    live — no scan of the table at all, which is what makes a 100 TB
+    upsert stream cheap: the reconciliation happens lazily at read
+    time (``_apply_equality_deletes``), and rows appended AFTER this
+    delete carry a larger sequence number so they survive — delete-
+    then-reinsert converges without read-modify-write.
+
+    ``keys_df`` columns must be a subset of the table schema (same
+    names); their field ids become the delete files' equality_ids.
+    Returns the new snapshot id."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    meta = _load_metadata(table_path)
+    if meta.get("current-snapshot-id") is None:
+        raise ValueError("iceberg_delete_values: table has no snapshots")
+    schemas = meta.get("schemas") or []
+    schema = next(
+        (
+            s
+            for s in schemas
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        schemas[-1] if schemas else None,
+    )
+    by_name = {f["name"]: f for f in schema["fields"]}
+    missing = [c for c in keys_df.columns if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"iceberg_delete_values: key columns {missing} not in the "
+            f"table schema ({sorted(by_name)})"
+        )
+    equality_ids = [by_name[c]["id"] for c in keys_df.columns]
+    stage = tempfile.mkdtemp(prefix="_ice_eqdel_stage_")
+    keys_df.distinct().write.mode("overwrite").parquet(stage)
+    import pyarrow.parquet as pq
+
+    snap_id = (
+        max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
+    )
+    entries = []
+    for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+        nrows = pq.ParquetFile(src).metadata.num_rows
+        if nrows == 0:
+            continue
+        dst = os.path.join(
+            table_path,
+            "data",
+            f"eqdelete-{snap_id}-{uuid.uuid4().hex}.parquet",
+        )
+        shutil.move(src, dst)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,  # inherit from the manifest list
+                "data_file": {
+                    "content": 2,  # equality deletes
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": equality_ids,
+                },
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    if not entries:
+        return meta["current-snapshot-id"]  # empty key set: no snapshot
+    mdir = os.path.join(table_path, "metadata")
+    mpath = os.path.join(mdir, f"ed-{snap_id}-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
     return _commit_snapshot(table_path, meta, snap_id, mpath, content=1)

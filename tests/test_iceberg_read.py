@@ -268,10 +268,12 @@ class TestPositionDeletes:
             r["id"] for r in read_iceberg(spark, table).collect()
         ) == [2, 3]
 
-    def test_equality_deletes_gated(self, spark, table):
+    def test_equality_delete_without_ids_raises(self, spark, table):
+        # content=2 entries MUST declare equality_ids; a malformed
+        # delete file fails loudly instead of silently not applying
         f2 = os.path.join(table, "data", "f2.parquet")
         _add_delete_snapshot(spark, table, [(f2, 0)], 400, content=2)
-        with pytest.raises(NotImplementedError, match="equality deletes"):
+        with pytest.raises(ValueError, match="equality_ids"):
             read_iceberg(spark, table)
 
 

@@ -4878,6 +4878,60 @@ def q_iceberg_equality_delete(spark: SparkSession, sf: str) -> DataFrame:
     return final.unionByName(before).select("stage", "lang", "n", "sum_ids")
 
 
+def q_iceberg_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg retention lifecycle (sources/iceberg.py
+    iceberg_expire_snapshots + iceberg_remove_orphans): three appends
+    and an equality delete build four snapshots; EXPIRE keeps the last
+    two, REMOVE ORPHANS reaps what no retained snapshot references
+    (verified non-empty in-query — the expired manifest lists at
+    minimum). Stage 0 = latest after reaping (delete applied), stage 1
+    = the retained pre-delete snapshot (time travel across retention
+    must survive orphan removal untouched). An orphan scan that reaps
+    a carried-over manifest or a live data file breaks one of the two
+    stages and hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_delete_values,
+        iceberg_expire_snapshots,
+        iceberg_remove_orphans,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_ret_") + "/tbl"
+    for r in (0, 1):
+        iceberg_append(spark, docs.filter(F.col("doc_id") % 3 == r), table)
+    pre_delete = iceberg_append(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), table
+    )
+    iceberg_delete_values(
+        spark, docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"), table
+    )
+    iceberg_expire_snapshots(table, keep_last=2)
+    reaped = iceberg_remove_orphans(table)
+    if not reaped:
+        raise AssertionError("expected expired manifest lists to be reaped")
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    latest = (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    retained = (
+        read_iceberg(spark, table, snapshot_id=pre_delete)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return latest.unionByName(retained).select("stage", "lang", "n", "sum_ids")
+
+
 def q_delta_optimize_vacuum(spark: SparkSession, sf: str) -> DataFrame:
     """Delta OPTIMIZE + VACUUM lifecycle (sources/delta.py
     delta_optimize / delta_vacuum): three small appends and a
@@ -5097,6 +5151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_restore_timestamp": q_delta_restore_timestamp,
         "delta_schema_evolution": q_delta_schema_evolution,
         "iceberg_equality_delete": q_iceberg_equality_delete,
+        "iceberg_retention": q_iceberg_retention,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -6119,6 +6174,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang LIKE 'd%' GROUP BY lang
+        """,
+        "iceberg_retention": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id % 9 <> 0 GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents GROUP BY lang
         """,
         "iceberg_equality_delete": """
             SELECT 0 AS stage, lang,

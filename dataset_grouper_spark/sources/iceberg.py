@@ -1017,3 +1017,106 @@ def iceberg_delete_values(
     mpath = os.path.join(mdir, f"ed-{snap_id}-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
     return _commit_snapshot(table_path, meta, snap_id, mpath, content=1)
+
+
+def iceberg_expire_snapshots(
+    table_path: str, keep_last: int = 1
+) -> list[int]:
+    """EXPIRE SNAPSHOTS: drop all but the newest ``keep_last``
+    snapshots from table metadata (the current snapshot is always
+    kept) — a METADATA-ONLY commit, claimed like any other with an
+    exclusive metadata-version create. Time travel to an expired
+    snapshot then raises; data files only become deletable afterwards
+    (:func:`iceberg_remove_orphans` — the spec's two-step retention,
+    expireSnapshots + removeOrphanFiles). Returns the expired
+    snapshot ids."""
+    meta = _load_metadata(table_path)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
+    )
+    if keep_last < 1:
+        raise ValueError("iceberg_expire_snapshots: keep_last must be >= 1")
+    keep = {s["snapshot-id"] for s in snaps[-keep_last:]}
+    cur = meta.get("current-snapshot-id")
+    if cur is not None:
+        keep.add(cur)
+    expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep]
+    if not expired:
+        return []
+    meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep]
+    mdir = os.path.join(table_path, "metadata")
+    versions = [
+        int(n[1:].split(".")[0])
+        for n in os.listdir(mdir)
+        if n.endswith(".metadata.json")
+        and n.startswith("v")
+        and n[1:].split(".")[0].isdigit()
+    ]
+    v = max(versions, default=0) + 1
+    try:
+        with open(os.path.join(mdir, f"v{v}.metadata.json"), "x") as f:
+            json.dump(meta, f)
+    except FileExistsError:
+        raise RuntimeError(
+            "iceberg_expire_snapshots: lost the metadata-version race — "
+            "re-run against the winner's metadata"
+        )
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v))
+    return expired
+
+
+def iceberg_remove_orphans(
+    table_path: str, dry_run: bool = False
+) -> list[str]:
+    """REMOVE ORPHAN FILES: physically delete every data/delete
+    parquet and every manifest/manifest-list Avro that NO retained
+    snapshot references — the file-reaping half of Iceberg retention,
+    safe only because :func:`iceberg_expire_snapshots` already removed
+    the snapshots that pointed at them. Metadata JSONs and the
+    version hint are never touched (old metadata versions are the
+    catalog's own history). Returns table-relative paths removed (or
+    that WOULD be, with ``dry_run``).
+
+    Planning-scale: walks manifests of retained snapshots only (KB
+    Avro files, driver-side) and lists the two table directories."""
+    meta = _load_metadata(table_path)
+    referenced: set[str] = set()
+    table_abs = os.path.abspath(table_path)
+
+    def _norm(p: str) -> str:
+        p = _localize(p)
+        if not os.path.isabs(p):
+            p = os.path.join(table_abs, p)
+        return os.path.abspath(p)
+
+    for snap in meta.get("snapshots") or []:
+        ml = _norm(snap["manifest-list"])
+        referenced.add(ml)
+        _s, manifests = read_avro_file(ml)
+        for m in manifests:
+            mp = _norm(m["manifest_path"])
+            referenced.add(mp)
+            _s2, entries = read_avro_file(mp)
+            for e in entries:
+                # DELETED entries still name the file they tombstone;
+                # keep it — only files NO manifest mentions are orphans
+                referenced.add(_norm(e["data_file"]["file_path"]))
+    doomed: list[str] = []
+    data_dir = os.path.join(table_abs, "data")
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            p = os.path.join(data_dir, name)
+            if name.endswith(".parquet") and p not in referenced:
+                doomed.append(os.path.relpath(p, table_abs))
+    mdir = os.path.join(table_abs, "metadata")
+    for name in os.listdir(mdir):
+        if name.endswith(".avro"):
+            p = os.path.join(mdir, name)
+            if p not in referenced:
+                doomed.append(os.path.relpath(p, table_abs))
+    doomed.sort()
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table_abs, rel))
+    return doomed

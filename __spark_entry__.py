@@ -4878,6 +4878,70 @@ def q_iceberg_equality_delete(spark: SparkSession, sf: str) -> DataFrame:
     return final.unionByName(before).select("stage", "lang", "n", "sum_ids")
 
 
+def q_streaming_delta_source(spark: SparkSession, sf: str) -> DataFrame:
+    """delta_lite STREAMING source (streaming/delta_source.py — the
+    SPARK-44076 Python data source): Structured Streaming tails the
+    Delta transaction log, offsets = commit versions. Sink A consumes
+    commits 0-1 with availableNow, a third commit lands, sink A
+    resumes from ITS OWN checkpoint (must pick up exactly the new
+    commit — no replays, no gaps); sink B starts at
+    startingVersion=2 (must see ONLY the third commit). Stage 0 =
+    sink A (the whole corpus exactly once), stage 1 = sink B. An
+    offset tracker that replays, skips, or mis-slices the log
+    hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import delta_append
+    from dataset_grouper_spark.streaming.delta_source import (
+        DeltaLiteDataSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaLiteDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    base = tempfile.mkdtemp(prefix="delta_src_")
+    table = os.path.join(base, "tbl")
+    for r in (0, 1):
+        delta_append(spark, docs.filter(F.col("doc_id") % 3 == r), table)
+
+    def run(sink, ckpt, starting=None):
+        reader = spark.readStream.format("delta_lite").option("path", table)
+        if starting is not None:
+            reader = reader.option("startingVersion", starting)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    sink_a, ckpt_a = os.path.join(base, "a"), os.path.join(base, "ckpt_a")
+    sink_b, ckpt_b = os.path.join(base, "b"), os.path.join(base, "ckpt_b")
+    run(sink_a, ckpt_a)
+    delta_append(spark, docs.filter(F.col("doc_id") % 3 == 2), table)
+    run(sink_a, ckpt_a)  # resume: exactly the new commit
+    run(sink_b, ckpt_b, starting=2)  # slice: only the new commit
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    a = (
+        spark.read.parquet(sink_a)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(0))
+    )
+    b = (
+        spark.read.parquet(sink_b)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(1))
+    )
+    return a.unionByName(b).select("stage", "lang", "n", "sum_ids")
+
+
 def q_iceberg_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Iceberg retention lifecycle (sources/iceberg.py
     iceberg_expire_snapshots + iceberg_remove_orphans): three appends
@@ -5152,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_schema_evolution": q_delta_schema_evolution,
         "iceberg_equality_delete": q_iceberg_equality_delete,
         "iceberg_retention": q_iceberg_retention,
+        "streaming_delta_source": q_streaming_delta_source,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -6174,6 +6239,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang LIKE 'd%' GROUP BY lang
+        """,
+        "streaming_delta_source": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
         """,
         "iceberg_retention": """
             SELECT 0 AS stage, lang,

@@ -94,9 +94,12 @@ def _latest_version(table_path: str) -> int | None:
     return best
 
 
-def _replay(spark: SparkSession, table_path: str, version: int):
+def _replay(spark: SparkSession | None, table_path: str, version: int):
     """Active files + metadata at ``version``: checkpoint state (if
-    any) then the JSON commits after it, newest action per path wins."""
+    any) then the JSON commits after it, newest action per path wins.
+    ``spark=None`` reads the checkpoint with pyarrow instead — the
+    sessionless path the ``delta_lite`` Python data source's planning
+    step (which runs in a plain Python worker) uses."""
     log = _log_path(table_path)
     adds: dict[str, dict] = {}
     meta = None
@@ -105,8 +108,16 @@ def _replay(spark: SparkSession, table_path: str, version: int):
     if ckpt is not None:
         cp_version, cp_file = ckpt
         start = cp_version + 1
-        for row in spark.read.parquet(cp_file).collect():
-            d = row.asDict(recursive=True)
+        if spark is None:
+            import pyarrow.parquet as pq
+
+            cp_rows = pq.read_table(cp_file).to_pylist()
+        else:
+            cp_rows = [
+                row.asDict(recursive=True)
+                for row in spark.read.parquet(cp_file).collect()
+            ]
+        for d in cp_rows:
             if d.get("add"):
                 a = d["add"]
                 adds[a["path"]] = a
@@ -464,9 +475,15 @@ def delta_append(
                         f"{frame_types[f.name]}"
                     )
             df = df.select(*existing_names, *new_names)
+            # new fields are FORCED nullable: every pre-evolution file
+            # backfills them as NULL on read, whatever the frame says
             merged = StructType(
                 list(existing_schema.fields)
-                + [f for f in df.schema.fields if f.name in new_names]
+                + [
+                    StructField(f.name, f.dataType, True, f.metadata)
+                    for f in df.schema.fields
+                    if f.name in new_names
+                ]
             )
             evolved_meta = dict(meta)
             evolved_meta["schemaString"] = merged.json()

@@ -1,0 +1,283 @@
+"""``delta_lite`` — a PySpark Python Data Source (SPARK-44076 API)
+exposing this engine's jar-free Delta log walk as a REGISTERED Spark
+format, batch and STREAMING:
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.read.format("delta_lite").option("path", t).load()
+    spark.readStream.format("delta_lite").option("path", t).load()
+
+The streaming half is the piece the rest of the engine could not
+express before: Structured Streaming TAILS the transaction log —
+offsets ARE commit versions, each micro-batch reads exactly the files
+the commits in ``(start, end]`` added, and Spark's own offset
+checkpointing makes recovery exactly-once (replaying a batch re-reads
+the same immutable commit range — deterministic by construction, the
+same contract delta-spark's streaming source implements on the JVM).
+
+Scale shape: ``latestOffset``/``partitions`` are driver-side log reads
+(planning-scale, like every source's discovery step); data moves as
+one InputPartition per added file, decoded executor-side by pyarrow
+into Arrow RecordBatches (zero row-at-a-time Python). Partition
+columns are restored from ``add.partitionValues`` as constant Arrow
+columns; column-mapped tables scan physical names and emit logical
+ones.
+
+Honest gates: the streaming source is APPEND-ONLY — a commit in range
+that REMOVES data with ``dataChange=true`` (update/delete) raises,
+exactly like :func:`read_delta_changes` (silently replaying adds would
+over-count); OPTIMIZE commits (``dataChange=false``) are skipped. The
+batch reader delegates pinned-snapshot semantics to
+:func:`read_delta` for DV tables (a deletion vector needs the
+anti-join only the DataFrame path provides) — it raises with that
+pointer rather than returning resurrected rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+# simple-type partition literals the Arrow emit path supports
+_PART_CASTS = {
+    "string": str,
+    "long": int,
+    "bigint": int,
+    "integer": int,
+    "int": int,
+    "short": int,
+    "double": float,
+    "float": float,
+    "boolean": lambda s: s == "true",
+}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path, part_values, field_names, phys_names, types):
+        self.path = path
+        self.part_values = part_values  # {logical name: raw string|None}
+        self.field_names = field_names  # logical, schema order
+        self.phys_names = phys_names  # logical -> physical
+        self.types = types  # logical -> pyspark DataType (picklable)
+
+
+def _read_file_as_arrow(part):
+    """Executor-side decode: one parquet file -> Arrow batches with
+    partition literals attached and physical names mapped to logical.
+    Missing columns (pre-mergeSchema files) backfill as NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    pf = pq.ParquetFile(part.path)
+    have = set(pf.schema_arrow.names)
+    data_cols = [
+        n
+        for n in part.field_names
+        if n not in part.part_values and part.phys_names[n] in have
+    ]
+    for batch in pf.iter_batches(
+        columns=[part.phys_names[n] for n in data_cols]
+    ):
+        n_rows = batch.num_rows
+        arrays, names = [], []
+        for name in part.field_names:
+            # part.types carries pickled DataType objects: no session
+            # needed executor-side (DDL parsing would require one)
+            atype = to_arrow_type(part.types[name])
+            if name in part.part_values:
+                raw = part.part_values[name]
+                if raw is None:
+                    arrays.append(pa.nulls(n_rows, type=atype))
+                else:
+                    cast = _PART_CASTS.get(part.types[name].simpleString())
+                    if cast is None:
+                        raise RuntimeError(
+                            f"delta_lite: partition column type "
+                            f"{part.types[name].simpleString()!r} "
+                            "not supported"
+                        )
+                    arrays.append(
+                        pa.array([cast(raw)] * n_rows).cast(atype)
+                    )
+            elif name in data_cols:
+                arrays.append(
+                    batch.column(data_cols.index(name)).cast(atype)
+                )
+            else:
+                arrays.append(pa.nulls(n_rows, type=atype))
+            names.append(name)
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _table_state(path: str):
+    """(schema, part_cols, phys, latest_version) from the log —
+    driver-side planning read shared by batch and stream."""
+    from dataset_grouper_spark.sources.delta import (
+        _latest_version,
+        _physical_names,
+        _replay,
+    )
+
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"empty Delta log: {path}")
+    adds, meta = _replay(None, path, latest)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    return adds, schema, part_cols, _physical_names(meta), latest
+
+
+def _file_partitions(path, adds, schema, part_cols, phys):
+    field_names = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    table_abs = os.path.abspath(path)
+    out = []
+    for a in adds:
+        pv_raw = a.get("partitionValues") or {}
+        pv = {
+            c: pv_raw.get(phys[c], pv_raw.get(c)) for c in part_cols
+        }
+        out.append(
+            _FilePartition(
+                os.path.join(table_abs, a["path"]),
+                pv,
+                field_names,
+                phys,
+                types,
+            )
+        )
+    return out
+
+
+class _DeltaLiteBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self):
+        adds, schema, part_cols, phys, _v = _table_state(self.path)
+        live = list(adds.values())
+        # NB: RuntimeError, not NotImplementedError — the data source
+        # API treats NotImplementedError from partitions() as "no
+        # partitioning support" and silently falls back
+        if any(a.get("deletionVector") for a in live):
+            raise RuntimeError(
+                "delta_lite batch read: table carries deletion vectors — "
+                "use sources.delta.read_delta (DataFrame path applies "
+                "the tombstone anti-join)"
+            )
+        parts = _file_partitions(self.path, live, schema, part_cols, phys)
+        return parts or [None]
+
+    def read(self, partition):
+        if partition is None:
+            return iter(())
+        return _read_file_as_arrow(partition)
+
+
+class _DeltaLiteStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, starting_version: int | None):
+        self.path = path
+        self.starting_version = starting_version
+
+    def initialOffset(self):
+        if self.starting_version is not None:
+            return {"version": int(self.starting_version) - 1}
+        return {"version": -1}
+
+    def latestOffset(self):
+        from dataset_grouper_spark.sources.delta import _latest_version
+
+        v = _latest_version(self.path)
+        return {"version": -1 if v is None else v}
+
+    def partitions(self, start, end):
+        from dataset_grouper_spark.sources.delta import (
+            _replay,
+            delta_versions,
+        )
+
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return [None]
+        versions = [v for v in delta_versions(self.path) if lo < v <= hi]
+        expect = list(range(lo + 1, hi + 1))
+        if versions != expect:
+            raise ValueError(
+                f"delta_lite stream: missing commits "
+                f"{sorted(set(expect) - set(versions))} (vacuumed past "
+                f"retention? restart the stream from a newer "
+                f"startingVersion)"
+            )
+        _adds, schema, part_cols, phys, _v = _table_state(self.path)
+        log = os.path.join(self.path, "_delta_log")
+        new_adds = []
+        for v in versions:
+            with open(os.path.join(log, f"{v:020d}.json")) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        new_adds.append(action["add"])
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        raise ValueError(
+                            f"delta_lite stream: commit {v} removes data "
+                            "(update/delete) — the streaming source is "
+                            "append-only"
+                        )
+        parts = _file_partitions(
+            self.path, new_adds, schema, part_cols, phys
+        )
+        return parts or [None]
+
+    def read(self, partition):
+        if partition is None:
+            return iter(())
+        return _read_file_as_arrow(partition)
+
+    def commit(self, end):
+        pass  # offsets live in Spark's own checkpoint
+
+
+class DeltaLiteDataSource(DataSource):
+    """``spark.dataSource.register(DeltaLiteDataSource)`` then
+    ``.format("delta_lite").option("path", table_path)``. Options:
+    ``path`` (required), ``startingVersion`` (stream only — first
+    commit to consume; default 0, i.e. the whole table then the
+    tail)."""
+
+    @classmethod
+    def name(cls):
+        return "delta_lite"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("delta_lite: option 'path' is required")
+        return p
+
+    def schema(self):
+        _adds, schema, _pc, _ph, _v = _table_state(self._path())
+        return schema
+
+    def reader(self, schema):
+        return _DeltaLiteBatchReader(self._path())
+
+    def streamReader(self, schema):
+        sv = self.options.get("startingVersion")
+        return _DeltaLiteStreamReader(
+            self._path(), int(sv) if sv is not None else None
+        )

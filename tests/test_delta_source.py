@@ -1,0 +1,150 @@
+"""delta_lite Python data source: batch + streaming log tailing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.sources.delta import (
+    delta_append,
+    delta_delete_where,
+    delta_optimize,
+    read_delta,
+)
+from dataset_grouper_spark.streaming.delta_source import DeltaLiteDataSource
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(DeltaLiteDataSource)
+    return spark
+
+
+def _tbl(spark, tmp_path, partitioned=False, name="tbl"):
+    t = str(tmp_path / name)
+    df = (
+        spark.range(100)
+        .withColumn("lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de"))
+        .withColumn("v", F.col("id") * 2)
+    )
+    for i in range(2):
+        delta_append(
+            spark,
+            df.filter(F.col("id") % 2 == i),
+            t,
+            partition_by=["lang"] if partitioned else None,
+        )
+    return t
+
+
+class TestBatch:
+    def test_matches_read_delta(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        got = spark.read.format("delta_lite").option("path", t).load()
+        assert got.columns == ["id", "lang", "v"]
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in read_delta(spark, t).collect()
+        }
+
+    def test_partition_columns_restored(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path, partitioned=True)
+        got = spark.read.format("delta_lite").option("path", t).load()
+        rows = got.groupBy("lang").count().collect()
+        assert {(r["lang"], r["count"]) for r in rows} == {
+            ("en", 50), ("de", 50)
+        }
+
+    def test_merged_schema_backfills_null(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        df = spark.range(10).withColumn("v", F.col("id") * 2)
+        delta_append(spark, df, t)
+        delta_append(
+            spark,
+            df.filter("id < 3").withColumn("extra", F.lit(9)),
+            t,
+            merge_schema=True,
+        )
+        got = spark.read.format("delta_lite").option("path", t).load()
+        r = got.agg(
+            F.count("*").alias("n"), F.count("extra").alias("ne")
+        ).collect()[0]
+        assert (r["n"], r["ne"]) == (13, 3)
+
+    def test_dv_table_gated(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        delta_delete_where(spark, t, "id % 10 = 0")
+        with pytest.raises(Exception, match="deletion vectors"):
+            spark.read.format("delta_lite").option("path", t).load().collect()
+
+
+class TestStream:
+    def _run_available(self, spark, t, ckpt, out, starting=None):
+        reader = spark.readStream.format("delta_lite").option("path", t)
+        if starting is not None:
+            reader = reader.option("startingVersion", starting)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_tail_and_resume(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        self._run_available(spark, t, ckpt, out)
+        ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert ids == list(range(100))
+        # new commit, SAME checkpoint: only the delta arrives
+        delta_append(
+            spark,
+            spark.range(100, 120)
+            .withColumn("lang", F.lit("fr"))
+            .withColumn("v", F.col("id") * 2),
+            t,
+        )
+        self._run_available(spark, t, ckpt, out)
+        ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert ids == list(range(120))
+        # no new commits: re-running adds nothing (exactly-once)
+        self._run_available(spark, t, ckpt, out)
+        assert spark.read.parquet(out).count() == 120
+
+    def test_starting_version_skips_history(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)  # versions 0 (even ids), 1 (odd ids)
+        ckpt = str(tmp_path / "ckpt2")
+        out = str(tmp_path / "out2")
+        self._run_available(spark, t, ckpt, out, starting=1)
+        ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert ids == list(range(1, 100, 2))
+
+    def test_optimize_commit_skipped(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt3")
+        out = str(tmp_path / "out3")
+        self._run_available(spark, t, ckpt, out)
+        assert delta_optimize(spark, t, target_file_bytes=1 << 30) is not None
+        # dataChange=false commits contribute no rows
+        self._run_available(spark, t, ckpt, out)
+        assert spark.read.parquet(out).count() == 100
+
+    def test_data_removal_raises(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt4")
+        out = str(tmp_path / "out4")
+        self._run_available(spark, t, ckpt, out)
+        delta_delete_where(spark, t, "id % 10 = 0")
+        with pytest.raises(Exception, match="append-only"):
+            self._run_available(spark, t, ckpt, out)

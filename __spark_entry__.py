@@ -4878,6 +4878,62 @@ def q_iceberg_equality_delete(spark: SparkSession, sf: str) -> DataFrame:
     return final.unionByName(before).select("stage", "lang", "n", "sum_ids")
 
 
+def q_delta_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta DATA SKIPPING + OPTIMIZE ZORDER BY (sources/delta.py
+    _file_stats / delta_skip_plan / delta_optimize(zorder_by=)): the
+    corpus fans out 40× with two derived dimensions, lands
+    doc_id-clustered (y-filters prune NOTHING), then a z-ordered
+    rewrite narrows every file's stats envelope on BOTH dimensions —
+    verified in-query: when ≥4 files exist, a y-range skip plan that
+    fails to drop files raises. The returned aggregate reads THROUGH
+    the skipping path (skip_filters + the exact row filter), so a
+    skip plan that wrongly drops a candidate file loses rows and
+    hash-mismatches — the safety property that matters at 100 TB,
+    where skipping is the difference between opening 40 files and
+    40,000."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_optimize,
+        delta_skip_plan,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    base = (
+        docs.withColumn("copy", F.explode(F.sequence(F.lit(1), F.lit(40))))
+        .withColumn("x", (F.col("doc_id") * 37 + F.col("copy")) % 1000)
+        .withColumn("y", (F.col("doc_id") * 91 + F.col("copy") * 7) % 1000)
+        .select("doc_id", "lang", "x", "y")
+    )
+    table = tempfile.mkdtemp(prefix="delta_zs_") + "/tbl"
+    delta_append(
+        spark,
+        base.repartitionByRange(6, "doc_id").sortWithinPartitions("doc_id"),
+        table,
+    )
+    delta_optimize(
+        spark, table, target_file_bytes=40_000, zorder_by=("x", "y")
+    )
+    kept, total = delta_skip_plan(spark, table, [("y", "<", 300)])
+    if total >= 4 and len(kept) >= total:
+        raise AssertionError(
+            f"z-ordered layout did not prune on y: {len(kept)}/{total}"
+        )
+    return (
+        read_delta(spark, table, skip_filters=[("y", "<", 300)])
+        .filter(F.col("y") < 300)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("y").alias("sum_y"),
+        )
+        .select("lang", "n", "sum_ids", "sum_y")
+    )
+
+
 def q_streaming_delta_source(spark: SparkSession, sf: str) -> DataFrame:
     """delta_lite STREAMING source (streaming/delta_source.py — the
     SPARK-44076 Python data source): Structured Streaming tails the
@@ -5217,6 +5273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_equality_delete": q_iceberg_equality_delete,
         "iceberg_retention": q_iceberg_retention,
         "streaming_delta_source": q_streaming_delta_source,
+        "delta_zorder_skipping": q_delta_zorder_skipping,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -6239,6 +6296,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang LIKE 'd%' GROUP BY lang
+        """,
+        "delta_zorder_skipping": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(y) AS BIGINT) AS sum_y
+            FROM (
+                SELECT d.doc_id, d.lang,
+                       (d.doc_id * 91 + t.copy * 7) % 1000 AS y
+                FROM documents d,
+                     (SELECT unnest(range(1, 41)) AS copy) t
+            )
+            WHERE y < 300 GROUP BY lang
         """,
         "streaming_delta_source": """
             SELECT 0 AS stage, lang,

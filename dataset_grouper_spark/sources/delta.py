@@ -279,6 +279,7 @@ def read_delta(
     table_path: str,
     version: int | None = None,
     timestamp: float | None = None,
+    skip_filters=None,
 ) -> DataFrame:
     """Read a Delta table at ``version`` (default: latest) — the pinned
     snapshot a Delta reader contract guarantees: exactly the files the
@@ -286,6 +287,15 @@ def read_delta(
     ``timestamp`` (unix seconds, exclusive with ``version``) is
     ``timestampAsOf``: the newest commit at or before that instant
     (:func:`resolve_delta_version`).
+
+    ``skip_filters`` — a conjunction of ``(column, op, literal)``
+    triples — is DATA SKIPPING: files whose log stats envelope
+    (``add.stats`` min/max, written by this module's writers) or
+    partition values PROVE no row can match are never planned, so a
+    selective read on a huge table opens only candidate files. It is
+    file-level pruning, NOT a row filter: pair it with the matching
+    ``.filter()`` for exact results (same contract as Iceberg's
+    ``partition_filter``).
 
     Partitioned tables come back with their partition columns restored
     from the log's ``partitionValues`` and cast to the schema's types;
@@ -310,6 +320,13 @@ def read_delta(
     adds, meta = _replay(spark, table_path, target)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
+    if skip_filters:
+        phys_map = _physical_names(meta)
+        adds = {
+            rel: a
+            for rel, a in adds.items()
+            if _add_may_match(a, skip_filters, part_cols, phys_map)
+        }
     if not adds:
         return spark.createDataFrame([], schema)
     table_abs = os.path.abspath(table_path)
@@ -522,6 +539,12 @@ def delta_append(
                     "size": os.path.getsize(os.path.join(table_path, rel)),
                     "modificationTime": 0,
                     "dataChange": True,
+                    # footer-derived stats JSON: what data skipping
+                    # (delta_skip_plan / read_delta skip_filters) prunes on
+                    "stats": _file_stats(
+                        os.path.join(table_path, rel),
+                        [f for f in df.schema.fields if f.name not in part_cols],
+                    ),
                 }
             }
         )
@@ -793,24 +816,21 @@ def delta_delete_where(
                 }
             }
         )
-        actions.append(
-            {
-                "add": {
-                    "path": d["rel"],
-                    "partitionValues": old_add.get("partitionValues") or {},
-                    "size": old_add.get("size", 0),
-                    "modificationTime": old_add.get("modificationTime", 0),
-                    "dataChange": True,
-                    "deletionVector": {
-                        "storageType": "u",
-                        "pathOrInlineDv": d["payload"],
-                        "offset": d["offset"],
-                        "sizeInBytes": d["size"],
-                        "cardinality": d["card"],
-                    },
-                }
-            }
-        )
+        # carry the old add wholesale (stats envelopes, partition
+        # values) — only the DV descriptor and dataChange change;
+        # stats stay VALID per protocol (they describe the physical
+        # file; tombstoned rows are dropped at scan, envelopes only
+        # ever over-approximate, which skipping is safe under)
+        re_add = dict(old_add)
+        re_add["dataChange"] = True
+        re_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": d["payload"],
+            "offset": d["offset"],
+            "sizeInBytes": d["size"],
+            "cardinality": d["card"],
+        }
+        actions.append({"add": re_add})
     log = _log_path(table_path)
     version = target + 1
     try:
@@ -1115,6 +1135,7 @@ def delta_optimize(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int | None:
     """OPTIMIZE (bin-packing compaction): rewrite each partition's
     small files (< ``small_file_bytes``, default = target) into
@@ -1127,6 +1148,15 @@ def delta_optimize(
     (:func:`read_delta_changes` ignores dataChange=false actions) and
     streams see nothing. Returns the committed version, or None when
     no partition had anything worth rewriting.
+
+    ``zorder_by=(colA, colB)`` (two numeric columns) is OPTIMIZE
+    ZORDER BY: rewritten files cluster along the Morton curve of the
+    two columns (``sinks.zorder`` bit interleave — pure Catalyst, one
+    range exchange), ALL the partition's files are rewritten (layout
+    changes, not just packing), and the refreshed ``add.stats``
+    envelopes stay narrow on BOTH dimensions — which is what lets
+    ``skip_filters`` on EITHER column prune files. Bounds for the
+    grid come from one min/max aggregate over the partition's rows.
 
     Scale shape: the rewrite is one distributed read+repartition+write
     job per touched partition over ONLY that partition's small files —
@@ -1170,13 +1200,23 @@ def delta_optimize(
         groups, key=lambda k: tuple((v is None, v or "") for v in k)
     ):
         members = groups[key]
-        picked = [
-            a
-            for a in members
-            if a.get("deletionVector")
-            or int(a.get("size") or 0) < small_file_bytes
-        ]
-        if len(picked) < 2 and not any(a.get("deletionVector") for a in picked):
+        if zorder_by:
+            # re-layout: every file participates, not just small ones
+            picked = list(members)
+        else:
+            picked = [
+                a
+                for a in members
+                if a.get("deletionVector")
+                or int(a.get("size") or 0) < small_file_bytes
+            ]
+        if (
+            not zorder_by
+            and len(picked) < 2
+            and not any(a.get("deletionVector") for a in picked)
+        ):
+            continue
+        if not picked:
             continue
         paths = [os.path.join(table_abs, a["path"]) for a in picked]
         scan = spark.read.schema(scan_schema).parquet(*paths)
@@ -1199,7 +1239,38 @@ def delta_optimize(
         live_bytes = sum(int(a.get("size") or 0) for a in picked)
         n_out = max(1, -(-live_bytes // target_file_bytes))
         stage = tempfile.mkdtemp(prefix="_delta_optimize_")
-        scan.repartition(n_out).write.mode("overwrite").parquet(stage)
+        if zorder_by:
+            from dataset_grouper_spark.sinks.zorder import (
+                interleave_bits,
+                to_grid,
+            )
+
+            ca, cb = (phys.get(c, c) for c in zorder_by)
+            bounds = scan.agg(
+                F.min(ca), F.max(ca), F.min(cb), F.max(cb)
+            ).collect()[0]
+            lo_a, hi_a, lo_b, hi_b = (
+                float(bounds[0] or 0),
+                float(bounds[1] or 0),
+                float(bounds[2] or 0),
+                float(bounds[3] or 0),
+            )
+            bits = 8
+            z = interleave_bits(
+                to_grid(F.col(ca), lo_a, max(hi_a, lo_a + 1e-9), bits),
+                to_grid(F.col(cb), lo_b, max(hi_b, lo_b + 1e-9), bits),
+                bits,
+            )
+            (
+                scan.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+        else:
+            scan.repartition(n_out).write.mode("overwrite").parquet(stage)
         pv = picked[0].get("partitionValues") or {}
         new_adds = []
         for src in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):
@@ -1213,6 +1284,14 @@ def delta_optimize(
                         "size": os.path.getsize(os.path.join(table_abs, rel)),
                         "modificationTime": 0,
                         "dataChange": False,
+                        # refreshed envelopes: the whole point of a
+                        # z-ordered rewrite is narrow per-file stats
+                        # (scan_schema fields = the files' PHYSICAL
+                        # names, which is also how stats are keyed on
+                        # column-mapped tables)
+                        "stats": _file_stats(
+                            os.path.join(table_abs, rel), scan_schema.fields
+                        ),
                     }
                 }
             )
@@ -1382,3 +1461,134 @@ def delta_restore(
             "re-run against the new table state"
         )
     return new_version
+
+
+# columns eligible for add.stats min/max (footer stats are exact and
+# JSON-serializable for these; timestamps/binary/nested are skipped)
+_STATS_TYPES = {
+    "int", "bigint", "smallint", "tinyint", "double", "float",
+    "string", "boolean", "date",
+}
+
+
+def _file_stats(path: str, fields) -> str:
+    """Delta ``add.stats`` JSON from the parquet FOOTER (numRecords,
+    minValues, maxValues, nullCount for eligible primitive columns) —
+    the metadata data-skipping feeds on. Footer reads are
+    planning-scale metadata, O(row groups), no data pages touched."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    want = {
+        f.name
+        for f in fields
+        if f.dataType.simpleString() in _STATS_TYPES
+    }
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in want:
+                continue
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                nulls[name] = None
+            else:
+                nulls[name] = (nulls.get(name) or 0) + st.null_count
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if isinstance(lo, (datetime.date, datetime.datetime)):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": {k: v for k, v in nulls.items() if v is not None},
+        }
+    )
+
+
+_SKIP_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def _add_may_match(
+    add: dict, filters, part_cols: list[str], phys: dict
+) -> bool:
+    """Can any row of this file satisfy EVERY ``(col, op, value)``
+    conjunct? Conservative: missing stats / partition values keep the
+    file. Partition columns compare on ``partitionValues`` (exact);
+    data columns on the stats envelope [min, max]."""
+    stats = json.loads(add.get("stats") or "{}")
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    pv = add.get("partitionValues") or {}
+    for col, op, value in filters:
+        if op not in _SKIP_OPS:
+            raise ValueError(
+                f"skip_filters: unsupported op {op!r} (use {_SKIP_OPS})"
+            )
+        p = phys.get(col, col)
+        if col in part_cols:
+            raw = pv.get(p, pv.get(col))
+            if raw is None:
+                continue  # null partition value: only = could judge it
+            point = type(value)(raw) if not isinstance(value, str) else raw
+            lo = hi = point
+        else:
+            if p not in mins or p not in maxs:
+                continue  # no envelope: must keep
+            lo, hi = mins[p], maxs[p]
+        if op == "=" and not (lo <= value <= hi):
+            return False
+        if op == "<" and not (lo < value):
+            return False
+        if op == "<=" and not (lo <= value):
+            return False
+        if op == ">" and not (hi > value):
+            return False
+        if op == ">=" and not (hi >= value):
+            return False
+    return True
+
+
+def delta_skip_plan(
+    spark: SparkSession | None,
+    table_path: str,
+    skip_filters,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Data-skipping planning: ``(surviving add paths, total adds)``
+    for a conjunction of ``(column, op, literal)`` filters, judged
+    purely from the LOG (partitionValues + stats envelopes) — zero
+    file opens. This is the planning step that makes a selective read
+    on a 100 TB table touch only the files that can matter; pair with
+    z-ordered layout (``delta_optimize(zorder_by=...)``) to make the
+    envelopes narrow on two dimensions at once."""
+    if version is None:
+        version = _latest_version(table_path)
+        if version is None:
+            raise FileNotFoundError(f"empty Delta log: {table_path}")
+    adds, meta = _replay(spark, table_path, version)
+    part_cols = list(meta.get("partitionColumns") or [])
+    phys = _physical_names(meta)
+    kept = [
+        rel
+        for rel, a in sorted(adds.items())
+        if _add_may_match(a, skip_filters, part_cols, phys)
+    ]
+    return kept, len(adds)

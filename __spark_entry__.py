@@ -4878,6 +4878,73 @@ def q_iceberg_equality_delete(spark: SparkSession, sf: str) -> DataFrame:
     return final.unionByName(before).select("stage", "lang", "n", "sum_ids")
 
 
+def q_iceberg_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
+    """First-class PARTITIONED Iceberg writes (sources/iceberg.py
+    iceberg_append(partition_spec=...)): the corpus lands under
+    (identity(lang), bucket[4](doc_id)) with per-file partition
+    structs in real Avro manifests — the write side of the transform
+    table whose read side q_iceberg_partition_pruning exercises over
+    hand-built metadata. In-query assert: a lang filter must prune
+    files at the manifest level. Stage 0 = pruned lang read, stage 1
+    = bucket-pruned point read — both exact (every file carries
+    partition metadata) and hash-checked; a writer that records the
+    wrong bucket value or drops a partition struct loses rows."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        _expected_partition,
+        _live_files,
+        _load_metadata,
+        iceberg_append,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_pw_") + "/tbl"
+    halves = [docs.filter(F.col("doc_id") % 2 == r) for r in (0, 1)]
+    iceberg_append(
+        spark,
+        halves[0].coalesce(4),
+        table,
+        partition_spec=[("lang", "identity"), ("doc_id", "bucket[4]")],
+    )
+    iceberg_append(spark, halves[1].coalesce(4), table)  # spec inherited
+    meta = _load_metadata(table)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    total, _p, _r, _e = _live_files(table, snap)
+    kept, _p, _r, _e = _live_files(
+        table, snap, _expected_partition(meta, {"lang": "de"})
+    )
+    if not (0 < len(kept) < len(total)):
+        raise AssertionError(
+            f"manifest pruning did not drop files: {len(kept)}/{len(total)}"
+        )
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.length("text")).alias("text_bytes"),
+    ]
+    by_lang = (
+        read_iceberg(spark, table, partition_filter={"lang": "de"})
+        .filter(F.col("lang") == "de")
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    point = (
+        read_iceberg(spark, table, partition_filter={"doc_id": 42})
+        .filter(F.col("doc_id") == 42)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return by_lang.unionByName(point).select(
+        "stage", "lang", "n", "sum_ids", "text_bytes"
+    )
+
+
 def q_delta_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
     """Delta DATA SKIPPING + OPTIMIZE ZORDER BY (sources/delta.py
     _file_stats / delta_skip_plan / delta_optimize(zorder_by=)): the
@@ -5274,6 +5341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_retention": q_iceberg_retention,
         "streaming_delta_source": q_streaming_delta_source,
         "delta_zorder_skipping": q_delta_zorder_skipping,
+        "iceberg_partitioned_write": q_iceberg_partitioned_write,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -6296,6 +6364,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang LIKE 'd%' GROUP BY lang
+        """,
+        "iceberg_partitioned_write": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents WHERE lang = 'de' GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(strlen(text)) AS BIGINT)
+            FROM documents WHERE doc_id = 42 GROUP BY lang
         """,
         "delta_zorder_skipping": """
             SELECT lang,

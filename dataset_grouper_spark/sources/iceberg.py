@@ -623,20 +623,133 @@ def _iceberg_type(spark_type: str) -> str:
     return t
 
 
-def iceberg_append(spark: SparkSession, df: DataFrame, table_path: str) -> int:
+def _spec_field_name(col: str, transform: str) -> str:
+    """Default partition field names, Iceberg convention."""
+    if transform == "identity":
+        return col
+    m = re.fullmatch(r"bucket\[\d+\]", transform)
+    if m:
+        return f"{col}_bucket"
+    m = re.fullmatch(r"truncate\[\d+\]", transform)
+    if m:
+        return f"{col}_trunc"
+    if transform in ("year", "month", "day", "hour"):
+        return f"{col}_{transform}"
+    raise ValueError(f"iceberg_append: unknown transform {transform!r}")
+
+
+def _transform_column(col: str, transform: str, src_type: str):
+    """The Spark Column computing a transform's partition value for
+    every row — the WRITE side of the spec's transform table
+    (:func:`_transform_value` is the read/prune side; tests pin the
+    two to agree value-for-value)."""
+    c = F.col(col)
+    if transform == "identity":
+        return c
+    m = re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        n = int(m.group(1))
+
+        def _bucket_fn(vals):
+            import struct as _struct
+
+            def one(v):
+                if v is None:
+                    return None
+                if src_type in ("int", "long"):
+                    data = _struct.pack("<q", int(v))
+                elif src_type == "string":
+                    data = str(v).encode("utf-8")
+                else:
+                    raise ValueError(
+                        f"iceberg_append: bucket[] on {src_type} "
+                        "not supported by this writer"
+                    )
+                return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+            return vals.map(one).astype("object")
+
+        return F.pandas_udf(_bucket_fn, "int")(col)
+    m = re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        if src_type in ("int", "long"):
+            return c - F.pmod(c, F.lit(w))
+        if src_type == "string":
+            return F.substring(c, 1, w)
+        raise ValueError(
+            f"iceberg_append: truncate[] on {src_type} not supported"
+        )
+    if transform == "year":
+        return F.year(c) - F.lit(1970)
+    if transform == "month":
+        return (F.year(c) - F.lit(1970)) * 12 + F.month(c) - F.lit(1)
+    if transform == "day":
+        return F.datediff(F.to_date(c), F.lit("1970-01-01"))
+    if transform == "hour":
+        return F.floor(
+            F.unix_timestamp(c).cast("long") / F.lit(3600)
+        ).cast("int")
+    raise ValueError(f"iceberg_append: unknown transform {transform!r}")
+
+
+def _partition_manifest_schema(spec_fields, value_types) -> dict:
+    """_MANIFEST_SCHEMA with a typed ``partition`` record spliced into
+    data_file — Avro needs concrete field types, and they vary per
+    table; readers are fine because Avro containers are
+    self-describing."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_SCHEMA)
+    part_record = {
+        "type": "record",
+        "name": "r_partition",
+        "fields": [
+            {"name": f["name"], "type": ["null", value_types[f["name"]]]}
+            for f in spec_fields
+        ],
+    }
+    for fld in schema["fields"]:
+        if fld["name"] == "data_file":
+            fld["type"]["fields"].append(
+                {"name": "partition", "type": ["null", part_record]}
+            )
+    return schema
+
+
+def iceberg_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_spec: list[tuple[str, str]] | None = None,
+) -> int:
     """APPEND ``df`` to an Iceberg table as one new snapshot; creates
-    the table (v1 metadata) when absent. Returns the snapshot id.
+    the table when absent. Returns the snapshot id.
 
     Per the spec's commit model: data files land first, then a NEW
     manifest (Avro) listing them, a NEW manifest list = previous
     snapshot's manifests + the new one, and a new ``v<N>.metadata.json``
     claimed with an exclusive create (put-if-absent on the version
     file — HadoopCatalog-style optimistic concurrency); the
-    version-hint is updated last. Unpartitioned, append-only scope
-    (schema must match an existing table)."""
+    version-hint is updated last.
+
+    ``partition_spec`` — ``[(column, transform), ...]`` with transforms
+    ``identity``, ``bucket[N]`` (spec murmur3), ``truncate[W]``,
+    ``year/month/day/hour`` — declares the table's partition layout at
+    creation: per-row partition values are computed Catalyst-side
+    (bucket via a vectorized pandas_udf over the spec hash), files
+    land grouped by them, and each ``data_file.partition`` struct in
+    the manifest carries the typed values — which is exactly what
+    ``read_iceberg(partition_filter=...)`` prunes on. Source columns
+    stay INSIDE the data files (Iceberg semantics), so the helper
+    grouping columns never hit disk. Appends to an existing
+    partitioned table must pass the SAME spec (or None to reuse it).
+
+    Append-only scope: schema must match an existing table."""
     import glob
     import shutil
     import tempfile
+    import urllib.parse
     import uuid
 
     mdir = os.path.join(table_path, "metadata")
@@ -659,8 +772,52 @@ def iceberg_append(spark: SparkSession, df: DataFrame, table_path: str) -> int:
                 f"iceberg_append: schema mismatch — table has {have}, "
                 f"frame has {df.columns}"
             )
+        by_id = {
+            f["id"]: f["name"] for f in (cur_schema or {}).get("fields", [])
+        }
+        specs = meta.get("partition-specs") or []
+        want = meta.get("default-spec-id", 0)
+        spec = next(
+            (s for s in specs if s.get("spec-id") == want),
+            specs[0] if specs else {"fields": []},
+        )
+        table_spec = [
+            (by_id.get(f.get("source-id")), f.get("transform", "identity"))
+            for f in spec.get("fields", [])
+        ]
+        if partition_spec is None:
+            partition_spec = table_spec or None
+        elif list(partition_spec) != table_spec:
+            raise ValueError(
+                f"iceberg_append: partition spec mismatch — table has "
+                f"{table_spec}, call passed {list(partition_spec)}"
+            )
     else:
         os.makedirs(mdir, exist_ok=True)
+        schema_fields = [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType.simpleString()),
+            }
+            for i, f in enumerate(df.schema.fields)
+        ]
+        ids = {f["name"]: f["id"] for f in schema_fields}
+        spec_fields = []
+        for i, (col, transform) in enumerate(partition_spec or []):
+            if col not in ids:
+                raise ValueError(
+                    f"iceberg_append: partition column {col!r} not in frame"
+                )
+            spec_fields.append(
+                {
+                    "name": _spec_field_name(col, transform),
+                    "transform": transform,
+                    "source-id": ids[col],
+                    "field-id": 1000 + i,
+                }
+            )
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -670,51 +827,143 @@ def iceberg_append(spark: SparkSession, df: DataFrame, table_path: str) -> int:
                 {
                     "type": "struct",
                     "schema-id": 0,
-                    "fields": [
-                        {
-                            "id": i + 1,
-                            "name": f.name,
-                            "required": False,
-                            "type": _iceberg_type(f.dataType.simpleString()),
-                        }
-                        for i, f in enumerate(df.schema.fields)
-                    ],
+                    "fields": schema_fields,
                 }
             ],
             "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
             "snapshots": [],
         }
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
     stage = tempfile.mkdtemp(prefix="_ice_stage_")
-    df.write.mode("overwrite").parquet(stage)
     snap_id = (
         max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
     )
     entries = []
-    for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
-        dst = os.path.join(
-            table_path, "data", f"s{snap_id}-{uuid.uuid4().hex}.parquet"
+    manifest_schema = _MANIFEST_SCHEMA
+    if partition_spec:
+        cur_schema = meta["schemas"][
+            [s.get("schema-id") for s in meta["schemas"]].index(
+                meta.get("current-schema-id", 0)
+            )
+        ]
+        src_types = {f["name"]: f["type"] for f in cur_schema["fields"]}
+        spec_entry = next(
+            s
+            for s in meta["partition-specs"]
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
         )
-        shutil.move(src, dst)
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": None,
-                "sequence_number": None,  # inherit from the manifest list
-                "data_file": {
-                    "content": 0,
-                    "file_path": dst,
-                    "file_format": "PARQUET",
-                    "record_count": 0,
-                    "file_size_in_bytes": os.path.getsize(dst),
-                    "equality_ids": None,
-                },
-            }
+        field_names = [f["name"] for f in spec_entry["fields"]]
+        helpers = {
+            f"__p_{f['name']}": _transform_column(
+                col, transform, src_types[col]
+            )
+            for f, (col, transform) in zip(
+                spec_entry["fields"], partition_spec
+            )
+        }
+        (
+            df.withColumns(helpers)
+            .write.mode("overwrite")
+            .partitionBy(*helpers.keys())
+            .parquet(stage)
         )
+        # typed read-back of hive dir values, by transform result kind
+        def parse_val(fname, raw):
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            raw = urllib.parse.unquote(raw)
+            spec_f = next(
+                f for f in spec_entry["fields"] if f["name"] == fname
+            )
+            t = spec_f["transform"]
+            src = src_types[
+                next(
+                    c
+                    for c, tr in partition_spec
+                    if _spec_field_name(c, tr) == fname
+                )
+            ]
+            if t == "identity":
+                return int(raw) if src in ("int", "long") else raw
+            if t.startswith("truncate[") and src == "string":
+                return raw
+            return int(raw)
+        value_types = {}
+        for f, (col, transform) in zip(spec_entry["fields"], partition_spec):
+            src = src_types[col]
+            if transform == "identity":
+                value_types[f["name"]] = (
+                    "string" if src == "string" else "long"
+                )
+            elif transform.startswith("truncate[") and src == "string":
+                value_types[f["name"]] = "string"
+            else:
+                value_types[f["name"]] = "long"
+        manifest_schema = _partition_manifest_schema(
+            spec_entry["fields"], value_types
+        )
+        pattern = os.path.join(
+            stage, *["*"] * len(field_names), "part-*.parquet"
+        )
+        import pyarrow.parquet as _pq
+
+        for src in sorted(glob.glob(pattern)):
+            rel_dir = os.path.relpath(os.path.dirname(src), stage)
+            partition = {}
+            for piece in rel_dir.split(os.sep):
+                k, _, v = piece.partition("=")
+                partition[k[len("__p_"):]] = parse_val(
+                    k[len("__p_"):], v
+                )
+            dst = os.path.join(
+                table_path, "data", f"s{snap_id}-{uuid.uuid4().hex}.parquet"
+            )
+            shutil.move(src, dst)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "record_count": _pq.ParquetFile(
+                            dst
+                        ).metadata.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "equality_ids": None,
+                        "partition": partition,
+                    },
+                }
+            )
+    else:
+        df.write.mode("overwrite").parquet(stage)
+        for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+            dst = os.path.join(
+                table_path, "data", f"s{snap_id}-{uuid.uuid4().hex}.parquet"
+            )
+            shutil.move(src, dst)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,  # inherit from the manifest list
+                    "data_file": {
+                        "content": 0,
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "record_count": 0,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "equality_ids": None,
+                    },
+                }
+            )
     shutil.rmtree(stage, ignore_errors=True)
     mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
-    write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
+    write_avro_file(mpath, manifest_schema, entries)
     return _commit_snapshot(table_path, meta, snap_id, mpath, content=0)
 
 

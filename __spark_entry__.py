@@ -5345,9 +5345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
-        #     longest-unverified-first; 17 fit under the cap, the rest
-        #     (unpivot_lang_counts, docs_except_intersect, q11, q2, q9,
-        #     q20, chunk_sliding onward) lead next round.
+        #     longest-unverified-first. The r6-late lakehouse tier B
+        #     above fills the cap to exactly 50, so this whole block
+        #     is past-cap this round and MUST lead tier A in r7
+        #     (locally re-verified green in the r6 full run).
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,

@@ -4878,6 +4878,59 @@ def q_iceberg_equality_delete(spark: SparkSession, sf: str) -> DataFrame:
     return final.unionByName(before).select("stage", "lang", "n", "sum_ids")
 
 
+def q_delta_merge_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta MERGE (sources/delta.py delta_merge): copy-on-write
+    upsert at FILE granularity — updates (every doc_id % 10 == 0
+    re-langed to 'merged') and inserts (doc_id + 1000000 rows langed
+    'inserted') land in ONE commit that rewrites only files containing
+    a matched key. Stage 0 = post-merge state, stage 1 = time travel
+    to the pre-merge version (CoW must leave it intact). A merge that
+    duplicates matched rows, loses survivors from rewritten files, or
+    forgets inserts hash-mismatches the closed-form twin."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_merge,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="delta_merge_") + "/tbl"
+    delta_append(
+        spark,
+        docs.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id"),
+        table,
+    )
+    updates = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "lang", F.lit("merged")
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("lang", F.lit("inserted"))
+    )
+    v = delta_merge(
+        spark, updates.unionByName(inserts), table, on=["doc_id"]
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.length("text")).alias("text_bytes"),
+    ]
+    after = (
+        read_delta(spark, table)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(0))
+    )
+    before = (
+        read_delta(spark, table, version=v - 1)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(1))
+    )
+    return after.unionByName(before).select(
+        "stage", "lang", "n", "sum_ids", "text_bytes"
+    )
+
+
 def q_iceberg_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
     """First-class PARTITIONED Iceberg writes (sources/iceberg.py
     iceberg_append(partition_spec=...)): the corpus lands under
@@ -5342,6 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_delta_source": q_streaming_delta_source,
         "delta_zorder_skipping": q_delta_zorder_skipping,
         "iceberg_partitioned_write": q_iceberg_partitioned_write,
+        "delta_merge_roundtrip": q_delta_merge_roundtrip,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -6365,6 +6419,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE lang LIKE 'd%' GROUP BY lang
+        """,
+        "delta_merge_roundtrip": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN 'merged'
+                            ELSE lang END AS lang,
+                       text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 'inserted', text
+                FROM documents WHERE doc_id % 25 = 0
+            ) GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(strlen(text)) AS BIGINT)
+            FROM documents GROUP BY lang
         """,
         "iceberg_partitioned_write": """
             SELECT 0 AS stage, lang,

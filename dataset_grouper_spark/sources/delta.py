@@ -1592,3 +1592,158 @@ def delta_skip_plan(
         if _add_may_match(a, skip_filters, part_cols, phys)
     ]
     return kept, len(adds)
+
+
+def delta_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    on: list[str],
+) -> int:
+    """MERGE (upsert) with copy-on-write file granularity: rows of
+    ``source`` REPLACE current rows sharing their ``on`` key, the rest
+    INSERT — and only the data files that actually contain a matched
+    key are rewritten. The probe is one join of the scan against the
+    source keys reduced to DISTINCT FILE PATHS (planning-scale
+    collect, bounded by file count, never row count), so a point
+    upsert into a 100 TB table rewrites a handful of files while the
+    rest of the table is untouched — the CoW economics
+    ``snapshot_upsert`` already proves on the engine's own store,
+    here speaking the Delta protocol so any Delta reader sees it.
+
+    Touched files are re-read WITH their deletion vectors applied
+    (already-deleted rows stay deleted, and the rewritten files carry
+    no DV — a merge materializes them, like OPTIMIZE); unmatched
+    source keys land in fresh insert files. One atomic commit of
+    removes + adds with ``dataChange: true`` (this IS a data change —
+    the change feed correctly refuses the range). Raises on a lost
+    commit race (remove/add pairs never rebase blindly) and on column
+    -mapped tables (rewritten files would need physical-name writes).
+
+    Last-writer-wins within ``source`` is NOT resolved here: source
+    must be key-unique (enforced with one cheap count, fails loudly
+    otherwise)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+
+    target = _latest_version(table_path)
+    if target is None:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    adds, meta = _replay(spark, table_path, target)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    phys = _physical_names(meta)
+    if any(phys[f.name] != f.name for f in schema.fields):
+        raise NotImplementedError(
+            "delta_merge: column-mapped tables need physical-name "
+            "rewrites this writer does not do"
+        )
+    if part_cols:
+        raise NotImplementedError(
+            "delta_merge: partitioned tables — rewrite granularity "
+            "should be partition directories; use delta_delete_where + "
+            "delta_append, or the engine's upsert_partitioned layout"
+        )
+    names = [f.name for f in schema.fields]
+    if source.columns != names:
+        raise ValueError(
+            f"delta_merge: source columns {source.columns} != table "
+            f"schema {names}"
+        )
+    for k in on:
+        if k not in names:
+            raise ValueError(f"delta_merge: key column {k!r} not in schema")
+    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+    if dup.count() > 0:
+        raise ValueError("delta_merge: source has duplicate keys")
+
+    table_abs = os.path.abspath(table_path)
+    paths = [os.path.join(table_abs, rel) for rel in adds]
+    scan = (
+        spark.read.schema(schema).parquet(*paths)
+        .withColumns(
+            {
+                "__fp": _norm_path(F.col("_metadata.file_path")),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+    )
+    dv_adds = [
+        (os.path.join(table_abs, a["path"]), a["deletionVector"])
+        for a in adds.values()
+        if a.get("deletionVector")
+    ]
+    if dv_adds:
+        dv_frame, total = _dv_positions_frame(spark, table_path, dv_adds)
+        scan = _apply_dvs(scan, dv_frame, total, [*names, "__fp", "__pos"])
+
+    keys = source.select(*on)
+    # touched files: planning-scale collect (bounded by file count)
+    touched = [
+        r["__fp"]
+        for r in scan.join(keys, on, "left_semi")
+        .select("__fp")
+        .distinct()
+        .collect()
+    ]
+    abs_to_rel = {os.path.join(table_abs, rel): rel for rel in adds}
+    touched_rel = sorted(abs_to_rel[p] for p in touched)
+
+    stage = tempfile.mkdtemp(prefix="_delta_merge_")
+    if touched:
+        survivors = (
+            scan.filter(F.col("__fp").isin(touched))
+            .join(keys, on, "left_anti")
+            .select(*names)
+        )
+        rewritten = survivors.unionByName(source)
+        n_out = max(1, len(touched_rel))
+    else:
+        rewritten = source
+        n_out = 1
+    rewritten.repartition(n_out).write.mode("overwrite").parquet(stage)
+
+    actions: list[dict] = []
+    for rel in touched_rel:
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "dataChange": True,
+                    "deletionTimestamp": 0,
+                    "partitionValues": {},
+                }
+            }
+        )
+    for src in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        shutil.move(src, os.path.join(table_abs, rel))
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table_abs, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": _file_stats(
+                        os.path.join(table_abs, rel), schema.fields
+                    ),
+                }
+            }
+        )
+    version = target + 1
+    try:
+        with open(
+            os.path.join(_log_path(table_path), f"{version:020d}.json"), "x"
+        ) as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    except FileExistsError:
+        raise RuntimeError(
+            f"delta_merge: lost the commit race at version {version} — "
+            "re-run against the new table state"
+        )
+    return version

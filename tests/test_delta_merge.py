@@ -1,0 +1,103 @@
+"""Delta MERGE: copy-on-write upsert at file granularity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.sources.delta import (
+    _replay,
+    delta_append,
+    delta_delete_where,
+    delta_merge,
+    read_delta,
+)
+
+
+def _tbl(spark, tmp_path, files=4):
+    t = str(tmp_path / "tbl")
+    df = spark.range(400).withColumn("v", F.concat(F.lit("v"), F.col("id")))
+    delta_append(
+        spark, df.repartitionByRange(files, "id").sortWithinPartitions("id"), t
+    )
+    return t
+
+
+def _content(spark, t, **kw):
+    return {(r["id"], r["v"]) for r in read_delta(spark, t, **kw).collect()}
+
+
+class TestMerge:
+    def test_update_and_insert(self, spark, tmp_path):
+        t = _tbl(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(5, "UPDATED"), (999, "NEW")], "id long, v string"
+        )
+        v = delta_merge(spark, src, t, on=["id"])
+        got = _content(spark, t)
+        assert (5, "UPDATED") in got and (999, "NEW") in got
+        assert (5, "v5") not in got
+        assert len(got) == 401
+        # pre-merge snapshot intact
+        assert (5, "v5") in _content(spark, t, version=v - 1)
+
+    def test_only_touched_files_rewritten(self, spark, tmp_path):
+        t = _tbl(spark, tmp_path, files=4)
+        pre, _ = _replay(spark, t, 0)
+        # one key -> one touched file (range-clustered layout)
+        src = spark.createDataFrame([(5, "UPDATED")], "id long, v string")
+        v = delta_merge(spark, src, t, on=["id"])
+        post, _ = _replay(spark, t, v)
+        untouched = set(pre) & set(post)
+        assert len(untouched) == 3  # 3 of 4 original files carried over
+
+    def test_insert_only_touches_nothing(self, spark, tmp_path):
+        t = _tbl(spark, tmp_path, files=4)
+        pre, _ = _replay(spark, t, 0)
+        src = spark.createDataFrame([(1000, "NEW")], "id long, v string")
+        v = delta_merge(spark, src, t, on=["id"])
+        post, _ = _replay(spark, t, v)
+        assert set(pre) <= set(post)  # pure insert: no removes
+        assert len(_content(spark, t)) == 401
+
+    def test_merge_applies_deletion_vectors(self, spark, tmp_path):
+        t = _tbl(spark, tmp_path)
+        delta_delete_where(spark, t, "id % 2 = 1")
+        src = spark.createDataFrame([(4, "UPDATED")], "id long, v string")
+        v = delta_merge(spark, src, t, on=["id"])
+        got = _content(spark, t)
+        assert (4, "UPDATED") in got
+        assert not any(i % 2 == 1 for i, _ in got)  # deletes stay deleted
+        # touched files came back DV-free
+        post, _ = _replay(spark, t, v)
+        rewritten = [
+            a for rel, a in post.items() if rel not in
+            _replay(spark, t, v - 1)[0]
+        ]
+        assert rewritten and not any(
+            a.get("deletionVector") for a in rewritten
+        )
+
+    def test_duplicate_source_keys_raise(self, spark, tmp_path):
+        t = _tbl(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "id long, v string"
+        )
+        with pytest.raises(ValueError, match="duplicate keys"):
+            delta_merge(spark, src, t, on=["id"])
+
+    def test_schema_mismatch_raises(self, spark, tmp_path):
+        t = _tbl(spark, tmp_path)
+        src = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="source columns"):
+            delta_merge(spark, src, t, on=["id"])
+
+    def test_partitioned_gated(self, spark, tmp_path):
+        t = str(tmp_path / "p")
+        df = spark.range(10).withColumn("lang", F.lit("en"))
+        delta_append(spark, df, t, partition_by=["lang"])
+        with pytest.raises(NotImplementedError, match="partitioned"):
+            delta_merge(
+                spark,
+                spark.createDataFrame([(1, "en")], "id long, lang string"),
+                t,
+                on=["id"],
+            )

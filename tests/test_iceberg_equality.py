@@ -129,3 +129,39 @@ class TestDeleteValues:
         assert meta["last-sequence-number"] == 3
         seqs = [s.get("sequence-number") for s in meta["snapshots"]]
         assert seqs == [1, 2, 3]
+
+
+class TestUpsert:
+    def test_upsert_converges(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import iceberg_upsert
+
+        t = _fresh(spark, tmp_path, [(1, "a"), (2, "b")])
+        iceberg_upsert(
+            spark,
+            spark.createDataFrame([(2, "B2"), (3, "c")], "id long, v string"),
+            t,
+            on=["id"],
+        )
+        got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
+        assert got == {(1, "a"), (2, "B2"), (3, "c")}
+        # second upsert of the same batch is idempotent in content
+        iceberg_upsert(
+            spark,
+            spark.createDataFrame([(2, "B2"), (3, "c")], "id long, v string"),
+            t,
+            on=["id"],
+        )
+        got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
+        assert got == {(1, "a"), (2, "B2"), (3, "c")}
+
+    def test_missing_key_column_raises(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.iceberg import iceberg_upsert
+
+        t = _fresh(spark, tmp_path, [(1, "a")])
+        with pytest.raises(ValueError, match="key column"):
+            iceberg_upsert(
+                spark,
+                spark.createDataFrame([(1, "a")], "id long, v string"),
+                t,
+                on=["nope"],
+            )

@@ -5350,11 +5350,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         # --- tier A continued (r6 late additions): matview_refresh
         #     rides the refresh_materialized_sums signature change;
-        #     the audio trio rides the decode_wav_any routing change.
+        #     audio_features/frame_energy ride the decode_wav_any
+        #     routing change (audio_resample rides the SAME change —
+        #     two in-cap rows cover it; it re-oracles next round from
+        #     its tier-C slot, ceding the cap slot to the never-
+        #     oracled delta_merge_roundtrip).
         "matview_refresh_documents": q_matview_refresh_documents,
         "audio_features_wav": q_audio_features_wav,
         "audio_frame_energy": q_audio_frame_energy,
-        "audio_resample_wav": q_audio_resample_wav,
         # --- tier B: new this round, never driver-oracled — exactly-
         #     once streaming matview, cross-corpus line dedup, closed-
         #     form OLS, IMA-ADPCM decode, ORC interchange, exact

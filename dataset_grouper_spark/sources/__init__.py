@@ -194,6 +194,37 @@ def __getattr__(name):
             "dataset_grouper_spark.sources.iceberg", "iceberg_snapshots"
         ),
         "read_avro": ("dataset_grouper_spark.sources.avro", "read_avro"),
+        # r6-late lifecycle surface
+        "delta_optimize": (
+            "dataset_grouper_spark.sources.delta", "delta_optimize"
+        ),
+        "delta_vacuum": (
+            "dataset_grouper_spark.sources.delta", "delta_vacuum"
+        ),
+        "delta_restore": (
+            "dataset_grouper_spark.sources.delta", "delta_restore"
+        ),
+        "delta_merge": (
+            "dataset_grouper_spark.sources.delta", "delta_merge"
+        ),
+        "delta_skip_plan": (
+            "dataset_grouper_spark.sources.delta", "delta_skip_plan"
+        ),
+        "iceberg_append": (
+            "dataset_grouper_spark.sources.iceberg", "iceberg_append"
+        ),
+        "iceberg_upsert": (
+            "dataset_grouper_spark.sources.iceberg", "iceberg_upsert"
+        ),
+        "iceberg_delete_values": (
+            "dataset_grouper_spark.sources.iceberg", "iceberg_delete_values"
+        ),
+        "iceberg_expire_snapshots": (
+            "dataset_grouper_spark.sources.iceberg", "iceberg_expire_snapshots"
+        ),
+        "iceberg_remove_orphans": (
+            "dataset_grouper_spark.sources.iceberg", "iceberg_remove_orphans"
+        ),
     }
     if name in _lazy:
         import importlib

@@ -1547,7 +1547,12 @@ def _add_may_match(
             raw = pv.get(p, pv.get(col))
             if raw is None:
                 continue  # null partition value: only = could judge it
-            point = type(value)(raw) if not isinstance(value, str) else raw
+            try:
+                point = (
+                    type(value)(raw) if not isinstance(value, str) else raw
+                )
+            except (TypeError, ValueError):
+                continue  # un-coercible: conservative, keep the file
             lo = hi = point
         else:
             if p not in mins or p not in maxs:
@@ -1661,15 +1666,24 @@ def delta_merge(
 
     table_abs = os.path.abspath(table_path)
     paths = [os.path.join(table_abs, rel) for rel in adds]
-    scan = (
-        spark.read.schema(schema).parquet(*paths)
-        .withColumns(
+    if not paths:
+        # empty active set: a merge is a pure insert
+        scan = spark.createDataFrame([], schema).withColumns(
             {
-                "__fp": _norm_path(F.col("_metadata.file_path")),
-                "__pos": F.col("_metadata.row_index"),
+                "__fp": F.lit(None).cast("string"),
+                "__pos": F.lit(None).cast("long"),
             }
         )
-    )
+    else:
+        scan = (
+            spark.read.schema(schema).parquet(*paths)
+            .withColumns(
+                {
+                    "__fp": _norm_path(F.col("_metadata.file_path")),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+        )
     dv_adds = [
         (os.path.join(table_abs, a["path"]), a["deletionVector"])
         for a in adds.values()

@@ -101,3 +101,16 @@ class TestMerge:
                 t,
                 on=["id"],
             )
+
+    def test_merge_into_fully_tombstoned_table(self, spark, tmp_path):
+        # every row DV-deleted: the scan yields zero survivors, so the
+        # merge must behave as a pure insert (and must NOT resurrect
+        # tombstoned rows from the files it probes)
+        t = str(tmp_path / "tbl")
+        df = spark.range(10).withColumn("v", F.lit("x"))
+        delta_append(spark, df, t)
+        delta_delete_where(spark, t, "id >= 0")
+        assert read_delta(spark, t).count() == 0
+        src = spark.createDataFrame([(100, "new")], "id long, v string")
+        delta_merge(spark, src, t, on=["id"])
+        assert _content(spark, t) == {(100, "new")}

@@ -45,6 +45,9 @@ def get_spark(
         # Arrow batches for the pandas-UDF paths (packing compat codec,
         # multimodal decode); 10-100x over row-at-a-time Python UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python data sources (delta_lite) receive pushed filters
+        # for file-level skipping; Spark 4.1 defaults this OFF
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

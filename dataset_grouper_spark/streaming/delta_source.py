@@ -161,8 +161,11 @@ def _file_partitions(path, adds, schema, part_cols, phys):
 class _DeltaLiteBatchReader(DataSourceReader):
     def __init__(self, path: str):
         self.path = path
+        self.skip_filters: list[tuple[str, str, object]] = []
 
     def partitions(self):
+        from dataset_grouper_spark.sources.delta import _add_may_match
+
         adds, schema, part_cols, phys, _v = _table_state(self.path)
         live = list(adds.values())
         # NB: RuntimeError, not NotImplementedError — the data source
@@ -174,6 +177,12 @@ class _DeltaLiteBatchReader(DataSourceReader):
                 "use sources.delta.read_delta (DataFrame path applies "
                 "the tombstone anti-join)"
             )
+        if self.skip_filters:
+            live = [
+                a
+                for a in live
+                if _add_may_match(a, self.skip_filters, part_cols, phys)
+            ]
         parts = _file_partitions(self.path, live, schema, part_cols, phys)
         return parts or [None]
 
@@ -181,6 +190,47 @@ class _DeltaLiteBatchReader(DataSourceReader):
         if partition is None:
             return iter(())
         return _read_file_as_arrow(partition)
+
+
+class _DeltaLitePushdownReader(_DeltaLiteBatchReader):
+    """The pushdown-capable variant — separate class because Spark
+    REFUSES any reader that defines ``pushFilters`` unless
+    ``spark.sql.python.filterPushdown.enabled`` is true (our
+    ``session.get_spark`` sets it; foreign sessions can pass
+    ``.option("pushdown", "false")`` to get the plain reader)."""
+
+    def pushFilters(self, filters):
+        """FILE-LEVEL pushdown: comparison filters on top-level
+        columns feed the log-stats skip planner (add.stats envelopes +
+        partitionValues), so `spark.read.format("delta_lite")...
+        .filter("id < k")` plans only candidate files. Skipping is
+        never exact, so EVERY filter is returned for Spark to
+        re-evaluate row-level — pushdown here prunes I/O, it does not
+        replace the filter."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and f.value is not None
+            ):
+                self.skip_filters.append((f.attribute[0], op, f.value))
+            yield f  # Spark always re-evaluates: skipping is file-level
 
 
 class _DeltaLiteStreamReader(DataSourceStreamReader):
@@ -274,7 +324,12 @@ class DeltaLiteDataSource(DataSource):
         return schema
 
     def reader(self, schema):
-        return _DeltaLiteBatchReader(self._path())
+        # pushdown needs spark.sql.python.filterPushdown.enabled=true
+        # (get_spark sets it); .option("pushdown","false") opts out for
+        # foreign sessions without the conf
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return _DeltaLiteBatchReader(self._path())
+        return _DeltaLitePushdownReader(self._path())
 
     def streamReader(self, schema):
         sv = self.options.get("startingVersion")

@@ -148,3 +148,56 @@ class TestStream:
         delta_delete_where(spark, t, "id % 10 = 0")
         with pytest.raises(Exception, match="append-only"):
             self._run_available(spark, t, ckpt, out)
+
+
+class TestPushdown:
+    def test_filter_prunes_planned_files(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+        delta_append(
+            spark,
+            df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+            t,
+        )
+        base = spark.read.format("delta_lite").option("path", t).load()
+        all_parts = base.rdd.getNumPartitions()
+        pruned = base.filter("id < 1000")
+        assert pruned.rdd.getNumPartitions() < all_parts
+        # exactness: Spark still applies the row filter on survivors
+        assert pruned.count() == 1000
+        assert sorted(r["id"] for r in pruned.collect()) == list(range(1000))
+
+    def test_unsupported_filters_keep_all_files(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        df = spark.range(1_000).withColumn("v", F.col("id") * 2)
+        delta_append(
+            spark,
+            df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+            t,
+        )
+        base = spark.read.format("delta_lite").option("path", t).load()
+        # disjunction is not pushable: full plan, correct rows
+        got = base.filter("id < 10 OR v = 100")
+        assert got.count() == 11
+
+    def test_pushdown_opt_out(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        df = spark.range(1_000).withColumn("v", F.col("id") * 2)
+        delta_append(
+            spark,
+            df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+            t,
+        )
+        base = (
+            spark.read.format("delta_lite")
+            .option("path", t)
+            .option("pushdown", "false")
+            .load()
+        )
+        got = base.filter("id < 10")
+        # plain reader: no file pruning, rows still exact
+        assert got.rdd.getNumPartitions() == base.rdd.getNumPartitions()
+        assert got.count() == 10

@@ -1761,3 +1761,74 @@ def delta_merge(
             "re-run against the new table state"
         )
     return version
+
+
+def delta_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained commit — version, action
+    counts, whether it changed data (OPTIMIZE commits show
+    data_change=false), DV/txn markers, and bytes added. Entirely a
+    log read (planning-scale); versions replaced by a checkpoint and
+    truncated away are summarized by the checkpoint row itself."""
+    rows = []
+    ckpt = _latest_checkpoint(table_path, 1 << 60)
+    json_versions = set(delta_versions(table_path))
+    if ckpt is not None and ckpt[0] not in json_versions:
+        rows.append(
+            {
+                "version": ckpt[0],
+                "n_adds": None,
+                "n_removes": None,
+                "data_change": None,
+                "has_dv": None,
+                "has_txn": None,
+                "bytes_added": None,
+                "checkpoint": True,
+            }
+        )
+    log = _log_path(table_path)
+    for v in sorted(json_versions):
+        n_adds = n_removes = bytes_added = 0
+        data_change = False
+        has_dv = has_txn = False
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    n_adds += 1
+                    bytes_added += int(a["add"].get("size") or 0)
+                    if a["add"].get("dataChange", True):
+                        data_change = True
+                    if a["add"].get("deletionVector"):
+                        has_dv = True
+                elif "remove" in a:
+                    n_removes += 1
+                    if a["remove"].get("dataChange", True):
+                        data_change = True
+                elif "txn" in a:
+                    has_txn = True
+        rows.append(
+            {
+                "version": v,
+                "n_adds": n_adds,
+                "n_removes": n_removes,
+                "data_change": data_change,
+                "has_dv": has_dv,
+                "has_txn": has_txn,
+                "bytes_added": bytes_added,
+                "checkpoint": ckpt is not None and ckpt[0] == v,
+            }
+        )
+    schema = (
+        "`version` long, `n_adds` long, `n_removes` long, "
+        "`data_change` boolean, `has_dv` boolean, `has_txn` boolean, "
+        "`bytes_added` long, `checkpoint` boolean"
+    )
+    return spark.createDataFrame(
+        [tuple(r[k] for k in (
+            "version", "n_adds", "n_removes", "data_change", "has_dv",
+            "has_txn", "bytes_added", "checkpoint",
+        )) for r in rows],
+        schema,
+    )

@@ -1391,3 +1391,81 @@ def iceberg_upsert(
             raise ValueError(f"iceberg_upsert: key column {k!r} not in frame")
     iceberg_delete_values(spark, df.select(*on), table_path)
     return iceberg_append(spark, df, table_path)
+
+
+def iceberg_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``history``/``snapshots`` metadata table: one row per
+    retained snapshot (id, sequence number, schema id, whether it is
+    current). Pure metadata read."""
+    meta = _load_metadata(table_path)
+    cur = meta.get("current-snapshot-id")
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s.get("sequence-number") or 0),
+            int(s.get("schema-id") or 0),
+            s["snapshot-id"] == cur,
+        )
+        for s in sorted(
+            meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "`snapshot_id` long, `sequence_number` long, `schema_id` long, "
+        "`is_current` boolean",
+    )
+
+
+def iceberg_files(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The ``files`` metadata table: every live file a snapshot's
+    manifests declare — data files (content=0), position deletes (1),
+    equality deletes (2) — with sequence numbers, manifest stats and
+    the partition struct (as a JSON string: its fields vary per
+    table). Planning-scale manifest walk, no data opened."""
+    meta = _load_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id is None or snapshot_id not in snaps:
+        raise ValueError(
+            f"iceberg_files: snapshot {snapshot_id!r} not in table"
+        )
+    snap = snaps[snapshot_id]
+    ml = _localize(snap["manifest-list"])
+    if not os.path.isabs(ml):
+        ml = os.path.join(table_path, ml)
+    _s, manifests = read_avro_file(ml)
+    rows = []
+    for m in manifests:
+        mseq = m.get("sequence_number") or 0
+        mp = _localize(m["manifest_path"])
+        if not os.path.isabs(mp):
+            mp = os.path.join(table_path, mp)
+        _s2, entries = read_avro_file(mp)
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            df = e["data_file"]
+            eseq = e.get("sequence_number")
+            part = df.get("partition")
+            rows.append(
+                (
+                    df["file_path"],
+                    int(df.get("content", 0)),
+                    int(mseq if eseq is None else eseq),
+                    int(df.get("record_count") or 0),
+                    int(df.get("file_size_in_bytes") or 0),
+                    json.dumps(part, sort_keys=True)
+                    if isinstance(part, dict)
+                    else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "`file_path` string, `content` int, `sequence_number` long, "
+        "`record_count` long, `file_size_in_bytes` long, "
+        "`partition` string",
+    )

@@ -3283,6 +3283,55 @@ def q_streaming_delta_sink(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_iceberg_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingestion into an ICEBERG table, exactly-once per
+    epoch (streaming/iceberg_sink.py): documents arrive as a 3-file
+    stream (one micro-batch each); every epoch commits one snapshot
+    whose SUMMARY carries ``{app-id, epoch}`` atomically. The query
+    then REPLAYS a committed epoch on purpose with the FULL corpus —
+    were the epoch guard broken, every group would double-count
+    against the plain GROUP BY oracle. Read back through the
+    pure-Python metadata walk."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append_epoch,
+        read_iceberg,
+    )
+    from dataset_grouper_spark.streaming.iceberg_sink import (
+        stream_append_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    src = tempfile.mkdtemp(prefix="siceberg_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    ckpt = tempfile.mkdtemp(prefix="siceberg_ck_")
+    table = os.path.join(tempfile.mkdtemp(prefix="siceberg_tbl_"), "tbl")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    with _stream_shuffle_partitions(spark):
+        _drain_stream(stream_append_iceberg(stream, table, ckpt))
+    replayed = iceberg_append_epoch(
+        spark, docs, table, "dataset-grouper-stream", 0
+    )
+    assert replayed is None, "epoch replay must be a no-op"
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.octet_length("text")).alias("text_bytes"),
+        )
+    )
+
+
 def q_streaming_matview_sums(spark: SparkSession, sf: str) -> DataFrame:
     """Continuously-maintained materialized rollup: documents arrive as
     a 3-file stream (one micro-batch each) and every epoch folds into
@@ -5350,13 +5399,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         # --- tier A continued (r6 late additions): matview_refresh
         #     rides the refresh_materialized_sums signature change;
-        #     audio_features/frame_energy ride the decode_wav_any
-        #     routing change (audio_resample rides the SAME change —
-        #     two in-cap rows cover it; it re-oracles next round from
-        #     its tier-C slot, ceding the cap slot to the never-
-        #     oracled delta_merge_roundtrip).
+        #     audio_frame_energy rides the decode_wav_any routing
+        #     change (audio_features/audio_resample ride the SAME
+        #     change — one in-cap row covers it; they re-oracle next
+        #     round from their tier-C slots, ceding cap slots to the
+        #     never-oracled delta_merge_roundtrip and
+        #     streaming_iceberg_sink).
         "matview_refresh_documents": q_matview_refresh_documents,
-        "audio_features_wav": q_audio_features_wav,
         "audio_frame_energy": q_audio_frame_energy,
         # --- tier B: new this round, never driver-oracled — exactly-
         #     once streaming matview, cross-corpus line dedup, closed-
@@ -5399,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_zorder_skipping": q_delta_zorder_skipping,
         "iceberg_partitioned_write": q_iceberg_partitioned_write,
         "delta_merge_roundtrip": q_delta_merge_roundtrip,
+        "streaming_iceberg_sink": q_streaming_iceberg_sink,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -6350,6 +6400,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "streaming_delta_sink": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
+        """,
+        "streaming_iceberg_sink": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes

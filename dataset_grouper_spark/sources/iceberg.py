@@ -722,6 +722,7 @@ def iceberg_append(
     df: DataFrame,
     table_path: str,
     partition_spec: list[tuple[str, str]] | None = None,
+    summary: dict | None = None,
 ) -> int:
     """APPEND ``df`` to an Iceberg table as one new snapshot; creates
     the table when absent. Returns the snapshot id.
@@ -964,7 +965,9 @@ def iceberg_append(
     shutil.rmtree(stage, ignore_errors=True)
     mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, manifest_schema, entries)
-    return _commit_snapshot(table_path, meta, snap_id, mpath, content=0)
+    return _commit_snapshot(
+        table_path, meta, snap_id, mpath, content=0, summary=summary
+    )
 
 
 def _commit_snapshot(
@@ -973,6 +976,7 @@ def _commit_snapshot(
     snap_id: int,
     manifest_path: str,
     content: int,
+    summary: dict | None = None,
 ) -> int:
     """Shared commit tail: new manifest list = previous snapshot's
     manifests (data AND delete, content preserved, each KEEPING its
@@ -1025,15 +1029,16 @@ def _commit_snapshot(
             }
         ],
     )
-    meta["snapshots"].append(
-        {
-            "snapshot-id": snap_id,
-            "sequence-number": sequence,
-            "timestamp-ms": snap_id,  # deterministic, monotone
-            "schema-id": meta.get("current-schema-id", 0),
-            "manifest-list": mlpath,
-        }
-    )
+    snap_record = {
+        "snapshot-id": snap_id,
+        "sequence-number": sequence,
+        "timestamp-ms": snap_id,  # deterministic, monotone
+        "schema-id": meta.get("current-schema-id", 0),
+        "manifest-list": mlpath,
+    }
+    if summary:
+        snap_record["summary"] = dict(summary)
+    meta["snapshots"].append(snap_record)
     meta["last-sequence-number"] = sequence
     meta["current-snapshot-id"] = snap_id
     # claim the next metadata version exclusively (optimistic commit)
@@ -1469,3 +1474,68 @@ def iceberg_files(
         "`record_count` long, `file_size_in_bytes` long, "
         "`partition` string",
     )
+
+
+def _epoch_ledger_path(table_path: str, app_id: str) -> str:
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", app_id)
+    return os.path.join(table_path, "metadata", f"epochs-{safe}.log")
+
+
+def iceberg_last_epoch(table_path: str, app_id: str) -> int | None:
+    """Highest committed epoch for ``app_id``: max over snapshot
+    SUMMARIES (the atomic record — it rides the snapshot's own
+    metadata commit) and the append-only per-app ledger (which
+    survives snapshot EXPIRY, the same two-layer scheme the snapshot
+    store's tags use)."""
+    best: int | None = None
+    meta = _load_metadata(table_path)
+    for s in meta.get("snapshots") or []:
+        summ = s.get("summary") or {}
+        if summ.get("app-id") == app_id and "epoch" in summ:
+            e = int(summ["epoch"])
+            best = e if best is None else max(best, e)
+    ledger = _epoch_ledger_path(table_path, app_id)
+    if os.path.isfile(ledger):
+        with open(ledger) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    e = int(line)
+                    best = e if best is None else max(best, e)
+    return best
+
+
+def iceberg_append_epoch(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    app_id: str,
+    epoch: int,
+    partition_spec: list[tuple[str, str]] | None = None,
+) -> int | None:
+    """Idempotent epoch-stamped append — the exactly-once hook for
+    streaming writers (the Iceberg twin of ``delta_append_txn``): the
+    snapshot's summary carries ``{app-id, epoch}`` atomically with the
+    commit, and a replay (``epoch`` at or below the app's high-water
+    mark) is a NO-OP returning None, so a foreachBatch crash between
+    commit and stream checkpoint cannot duplicate an epoch. The
+    per-app ledger keeps the mark past snapshot expiry. Assumes one
+    live writer per app_id (the stream checkpoint's own guarantee)."""
+    exists = os.path.isdir(os.path.join(table_path, "metadata")) and any(
+        n.endswith(".metadata.json")
+        for n in os.listdir(os.path.join(table_path, "metadata"))
+    )
+    if exists:
+        last = iceberg_last_epoch(table_path, app_id)
+        if last is not None and epoch <= last:
+            return None
+    snap = iceberg_append(
+        spark,
+        df,
+        table_path,
+        partition_spec=partition_spec,
+        summary={"app-id": app_id, "epoch": int(epoch)},
+    )
+    with open(_epoch_ledger_path(table_path, app_id), "a") as f:
+        f.write(f"{int(epoch)}\n")
+    return snap

@@ -307,7 +307,11 @@ def _expected_partition(meta: dict, partition_filter: dict) -> dict:
 
 
 def _live_files(
-    table_path: str, snapshot: dict, partition_filter: dict | None = None
+    table_path: str,
+    snapshot: dict,
+    partition_filter: dict | None = None,
+    skip: list | None = None,
+    field_types: dict | None = None,
 ) -> tuple[
     list[tuple[str, int]], list[str], int | None, list[tuple[str, int, list]]
 ]:
@@ -341,6 +345,12 @@ def _live_files(
             df = e["data_file"]
             if partition_filter and not _partition_match(df, partition_filter):
                 continue  # manifest-level file pruning: never scanned
+            if (
+                skip
+                and df.get("content", 1 if is_delete_manifest else 0) == 0
+                and not _bounds_allow(df, skip, field_types or {})
+            ):
+                continue  # column-bound skipping: envelopes disprove
             content = df.get("content", 1 if is_delete_manifest else 0)
             fmt = (df.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
@@ -481,6 +491,7 @@ def read_iceberg(
     table_path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    skip_filters: list | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at ``snapshot_id`` (default: current) —
     the pinned file set that snapshot's manifests declare live. Data
@@ -535,8 +546,25 @@ def read_iceberg(
         if partition_filter
         else None
     )
+    skip = None
+    field_types: dict = {}
+    if skip_filters:
+        by_name = {f["name"]: f for f in schema["fields"]}
+        skip = []
+        for col, op, value in skip_filters:
+            if op not in ("=", "<", "<=", ">", ">="):
+                raise ValueError(
+                    f"skip_filters: unsupported op {op!r}"
+                )
+            f = by_name.get(col)
+            if f is None:
+                raise ValueError(
+                    f"skip_filters: column {col!r} not in schema"
+                )
+            skip.append((f["id"], op, value))
+            field_types[f["id"]] = f["type"]
     data_seqs, delete_files, delete_rows, eq_deletes = _live_files(
-        table_path, snaps[snapshot_id], expected
+        table_path, snaps[snapshot_id], expected, skip, field_types
     )
     if not data_seqs:
         return spark.createDataFrame([], ddl)
@@ -588,11 +616,160 @@ _MANIFEST_SCHEMA = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                     },
+                    # spec: map<field id, single-value binary>; Avro
+                    # maps key on strings, so the k_v array form
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k_v_lower",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k_v_upper",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                    },
                 ],
             },
         },
     ],
 }
+
+
+def _bound_ser(value, ice_type: str) -> bytes | None:
+    """Iceberg Appendix D single-value binary serialization for the
+    bound types this writer records."""
+    import struct
+
+    if ice_type == "int":
+        return struct.pack("<i", int(value))
+    if ice_type == "long":
+        return struct.pack("<q", int(value))
+    if ice_type == "float":
+        return struct.pack("<f", float(value))
+    if ice_type == "double":
+        return struct.pack("<d", float(value))
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    return None
+
+
+def _bound_deser(raw: bytes, ice_type: str):
+    import struct
+
+    if ice_type == "int":
+        return struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if ice_type == "string":
+        return raw.decode("utf-8", errors="replace")
+    return None
+
+
+_BOUND_TYPES = {"int", "long", "float", "double", "string"}
+
+
+def _footer_bounds(path: str, fields: list[dict]):
+    """(lower_bounds, upper_bounds) k_v lists from the parquet footer
+    for bound-eligible schema fields — the stats envelopes manifest
+    entries carry for scan planning. None when nothing is eligible."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    eligible = {
+        f["name"]: (f["id"], f["type"])
+        for f in fields
+        if isinstance(f["type"], str) and f["type"] in _BOUND_TYPES
+    }
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in eligible:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    lower, upper = [], []
+    for name in mins:
+        fid, ice_type = eligible[name]
+        lo_b = _bound_ser(mins[name], ice_type)
+        hi_b = _bound_ser(maxs[name], ice_type)
+        if lo_b is not None and hi_b is not None:
+            lower.append({"key": fid, "value": lo_b})
+            upper.append({"key": fid, "value": hi_b})
+    return (lower or None, upper or None)
+
+
+def _bounds_allow(df: dict, skip, field_types: dict) -> bool:
+    """Can any row of this data file satisfy every ``(field_id, op,
+    value)`` conjunct, judged from its manifest bound envelopes?
+    Conservative: missing bounds keep the file."""
+    lowers = {
+        e["key"]: e["value"] for e in (df.get("lower_bounds") or [])
+    }
+    uppers = {
+        e["key"]: e["value"] for e in (df.get("upper_bounds") or [])
+    }
+    for fid, op, value in skip:
+        if fid not in lowers or fid not in uppers:
+            continue
+        ice_type = field_types.get(fid)
+        if ice_type not in _BOUND_TYPES:
+            continue
+        lo = _bound_deser(bytes(lowers[fid]), ice_type)
+        hi = _bound_deser(bytes(uppers[fid]), ice_type)
+        if lo is None or hi is None:
+            continue
+        if op == "=" and not (lo <= value <= hi):
+            return False
+        if op == "<" and not (lo < value):
+            return False
+        if op == "<=" and not (lo <= value):
+            return False
+        if op == ">" and not (hi > value):
+            return False
+        if op == ">=" and not (hi >= value):
+            return False
+    return True
 
 _MLIST_SCHEMA = {
     "type": "record",
@@ -922,6 +1099,7 @@ def iceberg_append(
                 table_path, "data", f"s{snap_id}-{uuid.uuid4().hex}.parquet"
             )
             shutil.move(src, dst)
+            lo_b, hi_b = _footer_bounds(dst, cur_schema["fields"])
             entries.append(
                 {
                     "status": 1,
@@ -936,17 +1114,27 @@ def iceberg_append(
                         ).metadata.num_rows,
                         "file_size_in_bytes": os.path.getsize(dst),
                         "equality_ids": None,
+                        "lower_bounds": lo_b,
+                        "upper_bounds": hi_b,
                         "partition": partition,
                     },
                 }
             )
     else:
         df.write.mode("overwrite").parquet(stage)
+        import pyarrow.parquet as _pq2
+
+        sch = meta["schemas"][
+            [x.get("schema-id") for x in meta["schemas"]].index(
+                meta.get("current-schema-id", 0)
+            )
+        ]
         for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
             dst = os.path.join(
                 table_path, "data", f"s{snap_id}-{uuid.uuid4().hex}.parquet"
             )
             shutil.move(src, dst)
+            lo_b, hi_b = _footer_bounds(dst, sch["fields"])
             entries.append(
                 {
                     "status": 1,
@@ -956,9 +1144,13 @@ def iceberg_append(
                         "content": 0,
                         "file_path": dst,
                         "file_format": "PARQUET",
-                        "record_count": 0,
+                        "record_count": _pq2.ParquetFile(
+                            dst
+                        ).metadata.num_rows,
                         "file_size_in_bytes": os.path.getsize(dst),
                         "equality_ids": None,
+                        "lower_bounds": lo_b,
+                        "upper_bounds": hi_b,
                     },
                 }
             )
@@ -1177,6 +1369,8 @@ def iceberg_delete_where(
                     "record_count": nrows,
                     "file_size_in_bytes": os.path.getsize(dst),
                     "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
                 },
             }
         )
@@ -1261,6 +1455,8 @@ def iceberg_delete_values(
                     "record_count": nrows,
                     "file_size_in_bytes": os.path.getsize(dst),
                     "equality_ids": equality_ids,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
                 },
             }
         )

@@ -193,11 +193,20 @@ class _DeltaLiteBatchReader(DataSourceReader):
 
 
 class _DeltaLitePushdownReader(_DeltaLiteBatchReader):
-    """The pushdown-capable variant — separate class because Spark
-    REFUSES any reader that defines ``pushFilters`` unless
+    """The pushdown-capable variant, OPT-IN via
+    ``.option("pushdown", "true")`` — separate class because Spark
+    refuses any reader that defines ``pushFilters`` unless
     ``spark.sql.python.filterPushdown.enabled`` is true (our
-    ``session.get_spark`` sets it; foreign sessions can pass
-    ``.option("pushdown", "false")`` to get the plain reader)."""
+    ``session.get_spark`` sets it).
+
+    WHY OPT-IN (measured on Spark 4.1, this repo's probe): the Python
+    DSv2 wrapper caches the PLANNED SCAN per relation instance — when
+    a DataFrame from one ``load()`` is first planned WITH a filter and
+    later re-queried WITHOUT one, ``partitions()`` is not re-invoked
+    and the unfiltered query silently reuses the filtered file set
+    (wrong results). With pushdown off (the default) the scan is
+    stateless and relation reuse is safe. Rule when opting in: ONE
+    ``load()`` per query."""
 
     def pushFilters(self, filters):
         """FILE-LEVEL pushdown: comparison filters on top-level
@@ -211,6 +220,7 @@ class _DeltaLitePushdownReader(_DeltaLiteBatchReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             LessThan,
             LessThanOrEqual,
         )
@@ -230,6 +240,20 @@ class _DeltaLitePushdownReader(_DeltaLiteBatchReader):
                 and f.value is not None
             ):
                 self.skip_filters.append((f.attribute[0], op, f.value))
+            elif (
+                isinstance(f, In)
+                and len(f.attribute) == 1
+                and f.value
+                and all(v is not None for v in f.value)
+            ):
+                # IN ⊆ [min(values), max(values)]: a sound envelope
+                # conjunction (weaker than per-value, still prunes)
+                self.skip_filters.append(
+                    (f.attribute[0], ">=", min(f.value))
+                )
+                self.skip_filters.append(
+                    (f.attribute[0], "<=", max(f.value))
+                )
             yield f  # Spark always re-evaluates: skipping is file-level
 
 
@@ -324,12 +348,13 @@ class DeltaLiteDataSource(DataSource):
         return schema
 
     def reader(self, schema):
-        # pushdown needs spark.sql.python.filterPushdown.enabled=true
-        # (get_spark sets it); .option("pushdown","false") opts out for
-        # foreign sessions without the conf
-        if str(self.options.get("pushdown", "true")).lower() == "false":
-            return _DeltaLiteBatchReader(self._path())
-        return _DeltaLitePushdownReader(self._path())
+        # pushdown is OPT-IN: the pushdown scan carries per-query
+        # state that Spark's relation-level scan cache can leak into a
+        # later unfiltered query on the SAME load() (see
+        # _DeltaLitePushdownReader docstring). Default = stateless.
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return _DeltaLitePushdownReader(self._path())
+        return _DeltaLiteBatchReader(self._path())
 
     def streamReader(self, schema):
         sv = self.options.get("startingVersion")

@@ -151,53 +151,57 @@ class TestStream:
 
 
 class TestPushdown:
-    def test_filter_prunes_planned_files(self, registered, tmp_path):
-        spark = registered
+    def _table(self, spark, tmp_path, n=10_000, files=8):
         t = str(tmp_path / "tbl")
-        df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+        df = spark.range(n).withColumn("v", F.col("id") * 2)
         delta_append(
             spark,
-            df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+            df.repartitionByRange(files, "id").sortWithinPartitions("id"),
             t,
         )
-        base = spark.read.format("delta_lite").option("path", t).load()
-        all_parts = base.rdd.getNumPartitions()
-        pruned = base.filter("id < 1000")
+        return t
+
+    def _load(self, spark, t, pushdown=True):
+        r = spark.read.format("delta_lite").option("path", t)
+        if pushdown:
+            r = r.option("pushdown", "true")
+        return r.load()
+
+    def test_filter_prunes_planned_files(self, registered, tmp_path):
+        spark = registered
+        t = self._table(spark, tmp_path)
+        # opt-in contract: ONE load() per query
+        all_parts = self._load(spark, t).rdd.getNumPartitions()
+        pruned = self._load(spark, t).filter("id < 1000")
         assert pruned.rdd.getNumPartitions() < all_parts
         # exactness: Spark still applies the row filter on survivors
         assert pruned.count() == 1000
-        assert sorted(r["id"] for r in pruned.collect()) == list(range(1000))
+        assert sorted(
+            r["id"] for r in self._load(spark, t).filter("id < 1000").collect()
+        ) == list(range(1000))
+
+    def test_in_filter_prunes(self, registered, tmp_path):
+        spark = registered
+        t = self._table(spark, tmp_path)
+        all_parts = self._load(spark, t).rdd.getNumPartitions()
+        got = self._load(spark, t).filter(F.col("id").isin(5, 7, 11))
+        assert got.rdd.getNumPartitions() < all_parts
+        assert sorted(r["id"] for r in got.collect()) == [5, 7, 11]
 
     def test_unsupported_filters_keep_all_files(self, registered, tmp_path):
         spark = registered
-        t = str(tmp_path / "tbl")
-        df = spark.range(1_000).withColumn("v", F.col("id") * 2)
-        delta_append(
-            spark,
-            df.repartitionByRange(4, "id").sortWithinPartitions("id"),
-            t,
-        )
-        base = spark.read.format("delta_lite").option("path", t).load()
+        t = self._table(spark, tmp_path, n=1_000, files=4)
         # disjunction is not pushable: full plan, correct rows
-        got = base.filter("id < 10 OR v = 100")
+        got = self._load(spark, t).filter("id < 10 OR v = 100")
         assert got.count() == 11
 
-    def test_pushdown_opt_out(self, registered, tmp_path):
+    def test_default_reader_is_stateless(self, registered, tmp_path):
+        # the reason pushdown is opt-in: without it, one loaded frame
+        # can serve a filtered AND an unfiltered query — Spark caches
+        # the planned scan per relation, and a stateful pushdown scan
+        # would leak the filtered file set into the later full read
         spark = registered
-        t = str(tmp_path / "tbl")
-        df = spark.range(1_000).withColumn("v", F.col("id") * 2)
-        delta_append(
-            spark,
-            df.repartitionByRange(4, "id").sortWithinPartitions("id"),
-            t,
-        )
-        base = (
-            spark.read.format("delta_lite")
-            .option("path", t)
-            .option("pushdown", "false")
-            .load()
-        )
-        got = base.filter("id < 10")
-        # plain reader: no file pruning, rows still exact
-        assert got.rdd.getNumPartitions() == base.rdd.getNumPartitions()
-        assert got.count() == 10
+        t = self._table(spark, tmp_path)
+        base = self._load(spark, t, pushdown=False)
+        assert base.filter("id < 1000").count() == 1000
+        assert base.count() == 10_000  # NOT pruned by the earlier query

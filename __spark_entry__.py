@@ -5047,6 +5047,64 @@ def q_iceberg_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_iceberg_stats_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg COLUMN-BOUND file skipping (sources/iceberg.py
+    _footer_bounds / read_iceberg(skip_filters=...)): the corpus fans
+    out 40×, lands doc_id-clustered across 6 files whose manifests
+    carry Appendix-D-serialized lower/upper bounds per column; a
+    doc_id range read must prune files at the MANIFEST level
+    (asserted in-query) while the returned aggregate flows through
+    the skipping path + exact row filter — so a skip that wrongly
+    drops a candidate file loses rows and hash-mismatches. The same
+    planning win as Delta's add.stats, spoken in Iceberg's dialect."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        _live_files,
+        _load_metadata,
+        iceberg_append,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    base = (
+        docs.withColumn("copy", F.explode(F.sequence(F.lit(1), F.lit(40))))
+        .withColumn("y", (F.col("doc_id") * 91 + F.col("copy") * 7) % 1000)
+        .select("doc_id", "lang", "y")
+    )
+    table = tempfile.mkdtemp(prefix="iceberg_ss_") + "/tbl"
+    iceberg_append(
+        spark,
+        base.repartitionByRange(6, "doc_id").sortWithinPartitions("doc_id"),
+        table,
+    )
+    meta = _load_metadata(table)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    total, _p, _r, _e = _live_files(table, snap)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    cut = hi // 3
+    kept, _p, _r, _e = _live_files(
+        table, snap, None, [(1, "<=", cut)], {1: "long"}
+    )
+    if len(total) >= 4 and len(kept) >= len(total):
+        raise AssertionError(
+            f"bound skipping did not prune: {len(kept)}/{len(total)}"
+        )
+    return (
+        read_iceberg(spark, table, skip_filters=[("doc_id", "<=", cut)])
+        .filter(F.col("doc_id") <= cut)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("y").alias("sum_y"),
+        )
+        .select("lang", "n", "sum_ids", "sum_y")
+    )
+
+
 def q_delta_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
     """Delta DATA SKIPPING + OPTIMIZE ZORDER BY (sources/delta.py
     _file_stats / delta_skip_plan / delta_optimize(zorder_by=)): the
@@ -5449,6 +5507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partitioned_write": q_iceberg_partitioned_write,
         "delta_merge_roundtrip": q_delta_merge_roundtrip,
         "streaming_iceberg_sink": q_streaming_iceberg_sink,
+        "iceberg_stats_skipping": q_iceberg_stats_skipping,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -6513,6 +6572,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(strlen(text)) AS BIGINT)
             FROM documents WHERE doc_id = 42 GROUP BY lang
+        """,
+        "iceberg_stats_skipping": """
+            WITH cut AS (
+                SELECT CAST(max(doc_id) / 3 AS BIGINT) AS c FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(y) AS BIGINT) AS sum_y
+            FROM (
+                SELECT d.doc_id, d.lang,
+                       (d.doc_id * 91 + t.copy * 7) % 1000 AS y
+                FROM documents d,
+                     (SELECT unnest(range(1, 41)) AS copy) t
+            ), cut
+            WHERE doc_id <= cut.c GROUP BY lang
         """,
         "delta_zorder_skipping": """
             SELECT lang,

@@ -1169,6 +1169,7 @@ def _commit_snapshot(
     manifest_path: str,
     content: int,
     summary: dict | None = None,
+    carry_content: set[int] | None = None,
 ) -> int:
     """Shared commit tail: new manifest list = previous snapshot's
     manifests (data AND delete, content preserved, each KEEPING its
@@ -1176,7 +1177,13 @@ def _commit_snapshot(
     stamped with the table's next sequence number; append the snapshot
     to metadata (advancing ``last-sequence-number``); claim the next
     metadata version with an exclusive create (put-if-absent
-    optimistic commit)."""
+    optimistic commit).
+
+    ``carry_content`` restricts WHICH previous manifests carry over
+    (by their manifest-list ``content`` code: 0 = data, 1 = deletes);
+    None carries all. REPLACE commits (compaction) pass ``{1}`` — the
+    new manifest re-declares the full live data-file set itself, so
+    previous data manifests must drop out of the manifest list."""
     import uuid
 
     mdir = os.path.join(table_path, "metadata")
@@ -1204,6 +1211,8 @@ def _commit_snapshot(
                 for k in (f["name"] for f in _MLIST_SCHEMA["fields"])
             }
             for m in prev
+            if carry_content is None
+            or m.get("content", 0) in carry_content
         ]
     mlpath = os.path.join(mdir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
     write_avro_file(
@@ -1592,6 +1601,311 @@ def iceberg_upsert(
             raise ValueError(f"iceberg_upsert: key column {k!r} not in frame")
     iceberg_delete_values(spark, df.select(*on), table_path)
     return iceberg_append(spark, df, table_path)
+
+
+def iceberg_rewrite_data_files(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+    min_input_files: int = 2,
+) -> int:
+    """Bin-packing compaction (the ``rewrite_data_files`` maintenance
+    action): coalesce small live data files into ~``target_file_bytes``
+    files and commit the result as a REPLACE snapshot — the Iceberg
+    answer to streaming ingestion's many-tiny-files problem, and the
+    parity twin of the Delta side's ``delta_optimize``.
+
+    Files smaller than ``small_file_bytes`` (default ``target/2``) are
+    greedily packed into bins PER PARTITION (files from different
+    partitions never merge — each output file must carry one partition
+    struct); bins with fewer than ``min_input_files`` members are left
+    alone. The rewrite is ONE distributed job for all bins: a scan of
+    the binned files routed by a broadcast path→bin map and written
+    ``partitionBy(bin)`` — hash routing puts each bin in exactly one
+    task, so each bin yields one output file. At 100 TB the cost is
+    O(bytes in small files), never O(table).
+
+    Correctness under merge-on-read deletes:
+
+    - POSITION deletes referencing binned files are applied during the
+      rewrite (the same ``_metadata`` anti-join the read path uses) —
+      their rows are dead after compaction, so the surviving delete
+      files merely carry inert entries for the old paths (reaped with
+      their snapshots at expiry).
+    - EQUALITY deletes are applied ROW-CORRECTLY during the rewrite
+      (each row's own data sequence number decides, via the shared
+      read-path helper), and each output file takes the MAX data
+      sequence number of its bin: deletes at or below that sequence
+      were already applied to exactly the rows they governed; deletes
+      above it still apply at read time (``seq < dseq`` holds). A
+      delete-then-reinsert pair compacts without resurrecting or
+      re-deleting the key.
+
+    Untouched files carry over as EXISTING (status 0) entries with
+    their resolved sequence numbers in the new manifest; previous DATA
+    manifests drop out of the manifest list (the new manifest is the
+    complete live set), DELETE manifests carry over. Old files stay on
+    disk for time travel until ``iceberg_expire_snapshots`` +
+    ``iceberg_remove_orphans`` reap them.
+
+    Rewritten files are materialized under the table's CURRENT schema.
+    Returns the new snapshot id, or the current snapshot id unchanged
+    when no bin qualifies."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    meta = _load_metadata(table_path)
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is None:
+        raise ValueError("iceberg_rewrite_data_files: table has no snapshots")
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    snap = snaps[cur_id]
+    data_seqs, delete_files, delete_rows, eq_deletes = _live_files(
+        table_path, snap
+    )
+    seq_by_path = dict(data_seqs)
+
+    # full entry walk (paths + partition structs + stats) — the
+    # planning-scale read _live_files does, but keeping the records
+    ml = _localize(snap["manifest-list"])
+    if not os.path.isabs(ml):
+        ml = os.path.join(table_path, ml)
+    _s, manifests = read_avro_file(ml)
+    live: list[dict] = []  # data entries only, resolved seq attached
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            continue  # delete manifests carry over untouched
+        mseq = m.get("sequence_number") or 0
+        mp = _localize(m["manifest_path"])
+        if not os.path.isabs(mp):
+            mp = os.path.join(table_path, mp)
+        _s2, entries = read_avro_file(mp)
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                continue  # deletes listed in a data manifest: keep as-is
+            eseq = e.get("sequence_number")
+            p = _localize(df_rec["file_path"])
+            if not os.path.isabs(p):
+                p = os.path.join(table_path, p)
+            live.append(
+                {
+                    "path": p,
+                    "seq": mseq if eseq is None else eseq,
+                    "data_file": df_rec,
+                }
+            )
+
+    def part_key(rec: dict) -> str:
+        part = rec.get("partition")
+        return (
+            json.dumps(part, sort_keys=True)
+            if isinstance(part, dict)
+            else ""
+        )
+
+    # greedy deterministic bin-pack per partition
+    groups: dict[str, list[dict]] = {}
+    for rec in live:
+        size = int(rec["data_file"].get("file_size_in_bytes") or 0)
+        if size < small_file_bytes:
+            groups.setdefault(part_key(rec["data_file"]), []).append(rec)
+    bins: list[list[dict]] = []
+    for _k, members in sorted(groups.items()):
+        members.sort(key=lambda r: r["path"])
+        cur: list[dict] = []
+        cur_bytes = 0
+        for rec in members:
+            size = int(rec["data_file"].get("file_size_in_bytes") or 0)
+            if cur and cur_bytes + size > target_file_bytes:
+                bins.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(rec)
+            cur_bytes += size
+        if cur:
+            bins.append(cur)
+    bins = [b for b in bins if len(b) >= min_input_files]
+    if not bins:
+        return cur_id
+
+    schemas = meta.get("schemas") or []
+    schema = next(
+        (
+            s
+            for s in schemas
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        schemas[-1],
+    )
+    ddl = ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+    )
+    binned_paths = [r["path"] for b in bins for r in b]
+    binned = set(binned_paths)
+    scan = (
+        spark.read.schema(ddl)
+        .parquet(*binned_paths)
+        .withColumn(
+            "__fp", _norm_path(F.col("_metadata.file_path"))
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    if delete_files:
+        scan = _apply_position_deletes(
+            spark, scan, delete_files, delete_rows
+        )
+    if eq_deletes:
+        scan = _apply_equality_deletes(
+            spark,
+            scan,
+            [(p, s) for p, s in data_seqs if p in binned],
+            eq_deletes,
+            schema,
+        )
+    bin_map = spark.createDataFrame(
+        [
+            (r["path"] if r["path"].startswith("/") else "/" + r["path"], i)
+            for i, b in enumerate(bins)
+            for r in b
+        ],
+        "`__fp` string, `__bin` int",
+    )
+    stage = tempfile.mkdtemp(prefix="_ice_rw_stage_")
+    (
+        scan.join(F.broadcast(bin_map), "__fp")
+        .drop("__fp", "__pos")
+        .repartition(len(bins), "__bin")
+        .write.mode("overwrite")
+        .partitionBy("__bin")
+        .parquet(stage)
+    )
+
+    snap_id = max(snaps) + 1
+    new_entries = []
+    compacted_in = 0
+    for i, b in enumerate(bins):
+        compacted_in += len(b)
+        seq_new = max(r["seq"] for r in b)
+        partition = b[0]["data_file"].get("partition")
+        for src in sorted(
+            glob.glob(os.path.join(stage, f"__bin={i}", "part-*.parquet"))
+        ):
+            nrows = pq.ParquetFile(src).metadata.num_rows
+            if nrows == 0:
+                continue
+            dst = os.path.join(
+                table_path,
+                "data",
+                f"rw-{snap_id}-{uuid.uuid4().hex}.parquet",
+            )
+            shutil.move(src, dst)
+            lo_b, hi_b = _footer_bounds(dst, schema["fields"])
+            rec = {
+                "content": 0,
+                "file_path": dst,
+                "file_format": "PARQUET",
+                "record_count": nrows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "equality_ids": None,
+                "lower_bounds": lo_b,
+                "upper_bounds": hi_b,
+            }
+            if isinstance(partition, dict):
+                rec["partition"] = partition
+            new_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": seq_new,
+                    "data_file": rec,
+                }
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # kept files ride along as EXISTING with their resolved sequences
+    any_partition = any(
+        isinstance(r["data_file"].get("partition"), dict) for r in live
+    )
+    df_fields = [
+        "content",
+        "file_path",
+        "file_format",
+        "record_count",
+        "file_size_in_bytes",
+        "equality_ids",
+        "lower_bounds",
+        "upper_bounds",
+    ]
+    kept_entries = []
+    for rec in live:
+        if rec["path"] in binned:
+            continue
+        src = rec["data_file"]
+        norm = {k: src.get(k) for k in df_fields}
+        if any_partition:
+            norm["partition"] = src.get("partition")
+        kept_entries.append(
+            {
+                "status": 0,
+                "snapshot_id": None,
+                "sequence_number": rec["seq"],
+                "data_file": norm,
+            }
+        )
+
+    manifest_schema = _MANIFEST_SCHEMA
+    if any_partition:
+        spec_entry = next(
+            (
+                s
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        by_id = {f["id"]: f["name"] for f in schema["fields"]}
+        src_types = {f["name"]: f["type"] for f in schema["fields"]}
+        value_types = {}
+        for f in spec_entry["fields"]:
+            src_t = src_types.get(by_id.get(f.get("source-id")), "string")
+            t = f.get("transform", "identity")
+            if t == "identity":
+                value_types[f["name"]] = (
+                    "string" if src_t == "string" else "long"
+                )
+            elif t.startswith("truncate[") and src_t == "string":
+                value_types[f["name"]] = "string"
+            else:
+                value_types[f["name"]] = "long"
+        manifest_schema = _partition_manifest_schema(
+            spec_entry["fields"], value_types
+        )
+
+    mdir = os.path.join(table_path, "metadata")
+    mpath = os.path.join(mdir, f"rw-{snap_id}-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, manifest_schema, kept_entries + new_entries)
+    return _commit_snapshot(
+        table_path,
+        meta,
+        snap_id,
+        mpath,
+        content=0,
+        summary={
+            "operation": "replace",
+            "compacted-data-files": str(compacted_in),
+            "added-data-files": str(len(new_entries)),
+        },
+        carry_content={1},
+    )
 
 
 def iceberg_history(spark: SparkSession, table_path: str) -> DataFrame:

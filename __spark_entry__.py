@@ -5105,6 +5105,179 @@ def q_iceberg_stats_skipping(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_gapfill_daily_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series GAP FILL (operators/timeseries.py gap_fill): daily
+    per-user event rollups with the EMPTY days materialized and
+    zero-filled — the regularization step every windowed model needs
+    over an irregular event stream. The dense axis is sequence+explode
+    over each user's own [first, last] day span (distributed with the
+    groups, no driver loop); fills are pure projections. The oracle
+    rebuilds the axis with DuckDB's range() lateral, so a span
+    off-by-one, a dropped empty bucket, or a fill on the wrong side
+    all hash-mismatch."""
+    from dataset_grouper_spark.operators.timeseries import gap_fill
+
+    ev = (
+        read_table(spark, sf, "events")
+        .filter(F.col("user_id") < 30)
+        .withColumn("sec", F.expr("ts div 1000000000"))
+    )
+    return gap_fill(
+        ev,
+        "sec",
+        86400,
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        ],
+        fill={"n_events": "zero", "sum_value": "zero"},
+    ).select(
+        "user_id",
+        "bucket_start",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_resample_linear_events(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD-FILL and LINEAR INTERPOLATION over a sparse resample
+    (operators/timeseries.py gap_fill fill='ffill'/'linear'): a 1-in-97
+    event sample bucketed 6-hourly per event type leaves most buckets
+    empty; the ffill column carries the last observation forward, the
+    linear column interpolates between the nearest observations on
+    each side (falling back to the single available side at the
+    edges). Both engines compute the identical prev/next windows
+    (last/first IGNORE NULLS) and the identical double arithmetic, so
+    an edge-case fallback or an off-by-one-bucket interpolation
+    fraction hash-mismatches."""
+    from dataset_grouper_spark.operators.timeseries import gap_fill
+
+    ev = (
+        read_table(spark, sf, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .withColumn("sec", F.expr("ts div 1000000000"))
+    )
+    return gap_fill(
+        ev,
+        "sec",
+        21600,
+        ["event_type"],
+        [
+            F.avg("value").alias("avg_ffill"),
+            F.avg("value").alias("avg_linear"),
+        ],
+        fill={"avg_ffill": "ffill", "avg_linear": "linear"},
+    ).select("event_type", "bucket_start", "avg_ffill", "avg_linear")
+
+
+def q_iceberg_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg rewrite_data_files compaction (sources/iceberg.py
+    iceberg_rewrite_data_files): four 1-file appends of the corpus +
+    one merge-on-read position delete, then a REPLACE-snapshot
+    bin-pack that must (a) shrink the live data-file set from 4 to 1,
+    (b) apply the position deletes during the rewrite, and (c) leave
+    the pre-compaction snapshot time-travel-readable. Stage 0 reads
+    the compacted table, stage 1 time-travels to the pre-compaction
+    snapshot; both carry their LIVE FILE COUNT as a column, so a
+    compaction that loses rows, resurrects deleted rows, or fails to
+    actually merge files hash-mismatches against the oracle's
+    literal-file-count twin."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        _live_files,
+        _load_metadata,
+        iceberg_append,
+        iceberg_delete_where,
+        iceberg_rewrite_data_files,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    table = tempfile.mkdtemp(prefix="iceberg_rw_") + "/tbl"
+    for quarter in range(4):
+        iceberg_append(
+            spark,
+            docs.filter(F.col("doc_id") % 4 == quarter).coalesce(1),
+            table,
+        )
+    iceberg_delete_where(spark, table, "lang = 'de'")
+    pre_snap = _load_metadata(table)["current-snapshot-id"]
+    iceberg_rewrite_data_files(spark, table)
+
+    def stage(snapshot_id, tag):
+        meta = _load_metadata(table)
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+            snapshot_id
+            if snapshot_id is not None
+            else meta["current-snapshot-id"]
+        ]
+        files, _p, _r, _e = _live_files(table, snap)
+        return (
+            read_iceberg(spark, table, snapshot_id)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum(F.length("text")).alias("text_chars"),
+            )
+            .select(
+                F.lit(tag).alias("stage"),
+                F.lit(len(files)).alias("n_files"),
+                "n_docs",
+                "sum_ids",
+                "text_chars",
+            )
+        )
+
+    return stage(None, 0).unionByName(stage(pre_snap, 1))
+
+
+def q_delta_table_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Table introspection: DESCRIBE HISTORY over a 3-commit Delta
+    table (sources/delta.py delta_history) — two 2-file appends then
+    an OPTIMIZE whose commit must show the remove/add pairing with
+    dataChange=false. Each history row is joined with the ROW COUNT
+    visible at that version (read_delta time travel), so the oracle
+    pins both the commit metadata (action counts, data-change flags)
+    and the actual version-pinned table contents in one hash."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_history,
+        delta_optimize,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    table = tempfile.mkdtemp(prefix="delta_hist_") + "/tbl"
+    delta_append(
+        spark, docs.filter(F.col("lang") == "en").repartition(2), table
+    )
+    delta_append(
+        spark, docs.filter(F.col("lang") != "en").repartition(2), table
+    )
+    delta_optimize(spark, table, small_file_bytes=1 << 30)
+    hist = delta_history(spark, table).select(
+        "version", "n_adds", "n_removes", "data_change", "has_dv"
+    )
+    counts = [
+        (v, read_delta(spark, table, version=v).count())
+        for v in range(3)
+    ]
+    rows_at = spark.createDataFrame(
+        counts, "`version` long, `n_rows` long"
+    )
+    return hist.join(rows_at, "version").select(
+        "version", "n_adds", "n_removes", "data_change", "has_dv", "n_rows"
+    )
+
+
 def q_delta_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
     """Delta DATA SKIPPING + OPTIMIZE ZORDER BY (sources/delta.py
     _file_stats / delta_skip_plan / delta_optimize(zorder_by=)): the
@@ -5475,10 +5648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
         "audio_flac_features": q_audio_flac_features,
-        "orc_roundtrip": q_orc_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
         "delta_time_travel": q_delta_time_travel,
-        "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_mor_delete": q_iceberg_mor_delete,
         "delta_mor_delete": q_delta_mor_delete,
         "hll_distinct_events": q_hll_distinct_events,
@@ -5492,13 +5662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier B continued (r6 lakehouse batch): change feed,
         #     checkpoint lifecycle, column mapping, format-sniffing
         #     entry point, Iceberg transform pruning.
-        "delta_change_feed": q_delta_change_feed,
         "delta_checkpoint_roundtrip": q_delta_checkpoint_roundtrip,
         "delta_column_mapping": q_delta_column_mapping,
         "open_table_dispatch": q_open_table_dispatch,
         "iceberg_partition_pruning": q_iceberg_partition_pruning,
         "delta_optimize_vacuum": q_delta_optimize_vacuum,
-        "delta_restore_timestamp": q_delta_restore_timestamp,
         "delta_schema_evolution": q_delta_schema_evolution,
         "iceberg_equality_delete": q_iceberg_equality_delete,
         "iceberg_retention": q_iceberg_retention,
@@ -5508,13 +5676,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_merge_roundtrip": q_delta_merge_roundtrip,
         "streaming_iceberg_sink": q_streaming_iceberg_sink,
         "iceberg_stats_skipping": q_iceberg_stats_skipping,
+        # --- tier B continued (r6 session 3): time-series gap-fill /
+        #     interpolation, Iceberg rewrite_data_files compaction,
+        #     DESCRIBE-HISTORY introspection — never driver-oracled.
+        #     To keep the cap at 50, five entries whose code paths are
+        #     covered by OTHER in-cap rows moved past-cap and lead
+        #     tier A in r7: avro_roundtrip + orc_roundtrip (the Avro
+        #     codec runs inside every in-cap Iceberg query's manifest
+        #     I/O; ORC is a thin built-in wrapper),
+        #     iceberg_time_travel (read path covered by mor_delete /
+        #     retention / partitioned_write / stats_skipping /
+        #     compaction), delta_change_feed (streaming_delta_source
+        #     rides the same commit-range reader), and
+        #     delta_restore_timestamp (log walk + version resolution
+        #     covered by delta_time_travel + checkpoint_roundtrip).
+        "gapfill_daily_events": q_gapfill_daily_events,
+        "resample_linear_events": q_resample_linear_events,
+        "iceberg_compaction": q_iceberg_compaction,
+        "delta_table_history": q_delta_table_history,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
-        #     longest-unverified-first. The r6-late lakehouse tier B
-        #     above fills the cap to exactly 50, so this whole block
-        #     is past-cap this round and MUST lead tier A in r7
-        #     (locally re-verified green in the r6 full run).
+        #     longest-unverified-first, after the five entries the
+        #     session-3 block above displaced (their code paths carry
+        #     in-cap coverage via the rows named there).
+        "avro_roundtrip": q_avro_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "iceberg_time_travel": q_iceberg_time_travel,
+        "delta_change_feed": q_delta_change_feed,
+        "delta_restore_timestamp": q_delta_restore_timestamp,
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -6588,6 +6778,115 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT unnest(range(1, 41)) AS copy) t
             ), cut
             WHERE doc_id <= cut.c GROUP BY lang
+        """,
+        "gapfill_daily_events": """
+            WITH e AS (
+                SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+                FROM events WHERE user_id < 30
+            ),
+            b AS (
+                SELECT user_id, (sec // 86400) * 86400 AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       sum(value) AS sum_value
+                FROM e GROUP BY 1, 2
+            ),
+            span AS (
+                SELECT user_id, min(bucket_start) AS mn,
+                       max(bucket_start) AS mx
+                FROM b GROUP BY 1
+            ),
+            axis AS (
+                SELECT user_id,
+                       unnest(range(mn, mx + 86400, 86400)) AS bucket_start
+                FROM span
+            )
+            SELECT a.user_id, a.bucket_start,
+                   COALESCE(b.n_events, 0) AS n_events,
+                   round(COALESCE(b.sum_value, 0), 4) AS sum_value
+            FROM axis a
+            LEFT JOIN b ON a.user_id = b.user_id
+                       AND a.bucket_start = b.bucket_start
+        """,
+        "resample_linear_events": """
+            WITH e AS (
+                SELECT event_type, epoch_ns(ts) // 1000000000 AS sec, value
+                FROM events WHERE event_id % 97 = 0
+            ),
+            b AS (
+                SELECT event_type, (sec // 21600) * 21600 AS bucket_start,
+                       avg(value) AS av
+                FROM e GROUP BY 1, 2
+            ),
+            span AS (
+                SELECT event_type, min(bucket_start) AS mn,
+                       max(bucket_start) AS mx
+                FROM b GROUP BY 1
+            ),
+            axis AS (
+                SELECT event_type,
+                       unnest(range(mn, mx + 21600, 21600)) AS bucket_start
+                FROM span
+            ),
+            d AS (
+                SELECT a.event_type, a.bucket_start, b.av
+                FROM axis a
+                LEFT JOIN b ON a.event_type = b.event_type
+                           AND a.bucket_start = b.bucket_start
+            ),
+            w AS (
+                SELECT event_type, bucket_start, av,
+                    last_value(av IGNORE NULLS) OVER wb AS pv,
+                    last_value(CASE WHEN av IS NOT NULL THEN bucket_start
+                               END IGNORE NULLS) OVER wb AS pb,
+                    first_value(av IGNORE NULLS) OVER wf AS nv,
+                    first_value(CASE WHEN av IS NOT NULL THEN bucket_start
+                                END IGNORE NULLS) OVER wf AS nb
+                FROM d
+                WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                       wf AS (PARTITION BY event_type ORDER BY bucket_start
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type, bucket_start,
+                   pv AS avg_ffill,
+                   CASE WHEN av IS NOT NULL THEN av
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        ELSE pv + (nv - pv) *
+                             (CAST(bucket_start - pb AS DOUBLE) /
+                              CAST(nb - pb AS DOUBLE))
+                   END AS avg_linear
+            FROM w
+        """,
+        "iceberg_compaction": """
+            WITH agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                       CAST(sum(length(text)) AS BIGINT) AS text_chars
+                FROM documents WHERE lang IS DISTINCT FROM 'de'
+            )
+            SELECT 0 AS stage, 1 AS n_files, n_docs, sum_ids, text_chars
+            FROM agg
+            UNION ALL
+            SELECT 1 AS stage, 4 AS n_files, n_docs, sum_ids, text_chars
+            FROM agg
+        """,
+        "delta_table_history": """
+            WITH c AS (
+                SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT)
+                           AS en,
+                       CAST(count(*) AS BIGINT) AS total
+                FROM documents
+            )
+            SELECT 0 AS version, 2 AS n_adds, 0 AS n_removes,
+                   true AS data_change, false AS has_dv, en AS n_rows
+            FROM c
+            UNION ALL
+            SELECT 1, 2, 0, true, false, total FROM c
+            UNION ALL
+            SELECT 2, 1, 4, false, false, total FROM c
         """,
         "delta_zorder_skipping": """
             SELECT lang,

@@ -5398,6 +5398,81 @@ def q_streaming_delta_source(spark: SparkSession, sf: str) -> DataFrame:
     return a.unionByName(b).select("stage", "lang", "n", "sum_ids")
 
 
+def q_streaming_iceberg_source(spark: SparkSession, sf: str) -> DataFrame:
+    """iceberg_lite STREAMING source (streaming/iceberg_source.py —
+    the SPARK-44076 Python data source, Iceberg twin of delta_lite):
+    Structured Streaming tails the snapshot log, offsets = DATA
+    SEQUENCE NUMBERS. Sink A consumes snapshots 1-2 with availableNow;
+    a rewrite_data_files compaction (REPLACE, seq 3) plus a fourth
+    append (seq 4) land; sink A resumes from ITS OWN checkpoint and
+    must pick up ONLY the appended rows — the compaction snapshot
+    contributes nothing despite re-adding every file. Sink B starts at
+    startingSequence=4 (only the final append). An offset tracker
+    that replays the compacted files double-counts stage 0 and
+    hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_rewrite_data_files,
+    )
+    from dataset_grouper_spark.streaming.iceberg_source import (
+        IcebergLiteDataSource,
+    )
+
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    base = tempfile.mkdtemp(prefix="iceberg_src_")
+    table = os.path.join(base, "tbl")
+    for r in (0, 1):
+        iceberg_append(
+            spark, docs.filter(F.col("doc_id") % 3 == r).coalesce(1), table
+        )
+
+    def run(sink, ckpt, starting=None):
+        reader = spark.readStream.format("iceberg_lite").option(
+            "path", table
+        )
+        if starting is not None:
+            reader = reader.option("startingSequence", starting)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    sink_a, ckpt_a = os.path.join(base, "a"), os.path.join(base, "ckpt_a")
+    sink_b, ckpt_b = os.path.join(base, "b"), os.path.join(base, "ckpt_b")
+    run(sink_a, ckpt_a)
+    iceberg_rewrite_data_files(spark, table)  # seq 3: replace, no rows
+    iceberg_append(
+        spark, docs.filter(F.col("doc_id") % 3 == 2).coalesce(1), table
+    )  # seq 4
+    run(sink_a, ckpt_a)  # resume: ONLY the new append
+    run(sink_b, ckpt_b, starting=4)  # slice: only the final append
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    a = (
+        spark.read.parquet(sink_a)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(0))
+    )
+    b = (
+        spark.read.parquet(sink_b)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(1))
+    )
+    return a.unionByName(b).select("stage", "lang", "n", "sum_ids")
+
+
 def q_iceberg_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Iceberg retention lifecycle (sources/iceberg.py
     iceberg_expire_snapshots + iceberg_remove_orphans): three appends
@@ -5664,7 +5739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     entry point, Iceberg transform pruning.
         "delta_checkpoint_roundtrip": q_delta_checkpoint_roundtrip,
         "delta_column_mapping": q_delta_column_mapping,
-        "open_table_dispatch": q_open_table_dispatch,
         "iceberg_partition_pruning": q_iceberg_partition_pruning,
         "delta_optimize_vacuum": q_delta_optimize_vacuum,
         "delta_schema_evolution": q_delta_schema_evolution,
@@ -5694,6 +5768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_linear_events": q_resample_linear_events,
         "iceberg_compaction": q_iceberg_compaction,
         "delta_table_history": q_delta_table_history,
+        # streaming_iceberg_source (snapshot tailing incl. the
+        # replace-skip) takes open_table_dispatch's slot: the dispatch
+        # façade's underlying readers each keep their own in-cap row
+        # and the sniffing logic is pytest-covered; it leads tier A
+        # in r7 with the five entries below.
+        "streaming_iceberg_source": q_streaming_iceberg_source,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -5705,6 +5785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "delta_change_feed": q_delta_change_feed,
         "delta_restore_timestamp": q_delta_restore_timestamp,
+        "open_table_dispatch": q_open_table_dispatch,
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -6902,6 +6983,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE y < 300 GROUP BY lang
         """,
         "streaming_delta_source": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+        """,
+        "streaming_iceberg_source": """
             SELECT 0 AS stage, lang,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids

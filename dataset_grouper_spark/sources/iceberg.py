@@ -1908,6 +1908,125 @@ def iceberg_rewrite_data_files(
     )
 
 
+def _snapshots_by_sequence(meta: dict) -> list[dict]:
+    """Retained snapshots sorted by data sequence number (monotone per
+    spec v2; 0 for pre-v2 entries)."""
+    return sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: int(s.get("sequence-number") or 0),
+    )
+
+
+def _added_data_files(
+    table_path: str, snap: dict, context: str
+) -> list[str]:
+    """Data files ADDED by ``snap`` — status-1 entries in the manifests
+    the snapshot itself contributed (``added_snapshot_id`` match).
+    Raises when the snapshot adds DELETE manifests: its net change
+    removes rows and is not expressible as an append row-set."""
+    sid = snap["snapshot-id"]
+    ml = _localize(snap["manifest-list"])
+    if not os.path.isabs(ml):
+        ml = os.path.join(table_path, ml)
+    _s, manifests = read_avro_file(ml)
+    out: list[str] = []
+    for m in manifests:
+        if m.get("added_snapshot_id") != sid:
+            continue
+        if m.get("content", 0) == 1:
+            raise ValueError(
+                f"{context}: snapshot {sid} commits DELETE files "
+                "(update/delete/upsert) — the change set is not "
+                "append-only"
+            )
+        mp = _localize(m["manifest_path"])
+        if not os.path.isabs(mp):
+            mp = os.path.join(table_path, mp)
+        _s2, entries = read_avro_file(mp)
+        for e in entries:
+            if e.get("status", 0) != 1:
+                continue  # EXISTING carry-over (compaction), DELETED
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                raise ValueError(
+                    f"{context}: snapshot {sid} commits DELETE files "
+                    "(update/delete/upsert) — the change set is not "
+                    "append-only"
+                )
+            p = _localize(df_rec["file_path"])
+            if not os.path.isabs(p):
+                p = os.path.join(table_path, p)
+            out.append(p)
+    return out
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_sequence: int,
+    to_sequence: int | None = None,
+) -> DataFrame:
+    """Incremental append scan (the changelog read CDC-lite pipelines
+    tail): the rows APPENDED by snapshots with data sequence number in
+    ``(from_sequence, to_sequence]`` (default latest) — the Iceberg
+    twin of the Delta side's :func:`read_delta_changes`, with the same
+    honest contract: REPLACE snapshots (compaction — no logical
+    change) are skipped, and a snapshot in range that commits DELETE
+    files (position or equality — update/delete/upsert) raises, since
+    its net effect is not expressible as an append row-set.
+
+    Sequence numbers are the spec's monotone per-commit counter
+    (``last-sequence-number``) — the natural streaming offset. A range
+    that reaches past the retained snapshot set (expired history)
+    raises rather than silently skipping commits.
+
+    Scale shape: reads ONLY the files the selected snapshots added —
+    O(new data), never O(table); discovery is a planning-scale
+    manifest walk."""
+    meta = _load_metadata(table_path)
+    snaps = _snapshots_by_sequence(meta)
+    if not snaps:
+        raise ValueError(f"iceberg_changes: no snapshots in {table_path}")
+    latest_seq = int(meta.get("last-sequence-number") or 0)
+    hi = latest_seq if to_sequence is None else to_sequence
+    want = [
+        s
+        for s in snaps
+        if from_sequence < int(s.get("sequence-number") or 0) <= hi
+    ]
+    have_seqs = [int(s.get("sequence-number") or 0) for s in want]
+    expect = list(range(from_sequence + 1, hi + 1))
+    if have_seqs != expect:
+        raise ValueError(
+            f"iceberg_changes: sequence range ({from_sequence}, {hi}] "
+            f"not fully retained (have {have_seqs}; expired history?)"
+        )
+    paths: list[str] = []
+    for s in want:
+        op = (s.get("summary") or {}).get("operation")
+        if op == "replace":
+            continue  # compaction: no logical data change
+        paths.extend(_added_data_files(table_path, s, "iceberg_changes"))
+    schemas = meta.get("schemas") or []
+    want_id = (
+        want[-1].get("schema-id")
+        if want
+        else meta.get("current-schema-id")
+    )
+    if want_id is None:
+        want_id = meta.get("current-schema-id")
+    schema = next(
+        (s for s in schemas if s.get("schema-id") == want_id),
+        schemas[-1],
+    )
+    ddl = ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+    )
+    if not paths:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*paths)
+
+
 def iceberg_history(spark: SparkSession, table_path: str) -> DataFrame:
     """The ``history``/``snapshots`` metadata table: one row per
     retained snapshot (id, sequence number, schema id, whether it is

@@ -5669,6 +5669,49 @@ def q_delta_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_iceberg_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg additive schema evolution (sources/iceberg.py
+    iceberg_append merge_schema=True): the second append's NEW n_chars
+    column lands as a NEW schema entry with CONTINUING field ids (the
+    invariant equality deletes and partition source-ids depend on);
+    the first append's files predate the column and backfill NULL at
+    read. Same oracle family as delta_schema_evolution: a reader that
+    drops old files, nulls the wrong side, or a writer that reuses a
+    field id hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_evolve_") + "/tbl"
+    iceberg_append(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
+        table,
+    )
+    iceberg_append(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select("doc_id", "lang", "n_chars"),
+        table,
+        merge_schema=True,
+    )
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("n_chars").alias("n_evolved"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "n", "n_evolved", "sum_chars")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver oracles the FIRST 50 entries only.  Ordering policy
     # (rotated each round so every query re-oracles within two rounds):
@@ -5723,7 +5766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
         "audio_flac_features": q_audio_flac_features,
-        "delta_time_travel": q_delta_time_travel,
         "iceberg_mor_delete": q_iceberg_mor_delete,
         "delta_mor_delete": q_delta_mor_delete,
         "hll_distinct_events": q_hll_distinct_events,
@@ -5774,6 +5816,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the sniffing logic is pytest-covered; it leads tier A
         # in r7 with the five entries below.
         "streaming_iceberg_source": q_streaming_iceberg_source,
+        # iceberg_schema_evolution (the merge_schema branch) takes
+        # delta_time_travel's slot: the Delta log walk + version
+        # resolution keeps in-cap rows via delta_checkpoint_roundtrip,
+        # delta_optimize_vacuum, delta_merge_roundtrip and the new
+        # delta_table_history; delta_time_travel leads tier A in r7.
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -5786,6 +5834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_change_feed": q_delta_change_feed,
         "delta_restore_timestamp": q_delta_restore_timestamp,
         "open_table_dispatch": q_open_table_dispatch,
+        "delta_time_travel": q_delta_time_travel,
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -7057,6 +7106,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang
         """,
         "delta_schema_evolution": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END)
+                        AS BIGINT) AS n_evolved,
+                   CAST(sum(CASE WHEN doc_id % 2 = 1
+                                 THEN strlen(text) END)
+                        AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "iceberg_schema_evolution": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END)

@@ -900,6 +900,7 @@ def iceberg_append(
     table_path: str,
     partition_spec: list[tuple[str, str]] | None = None,
     summary: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """APPEND ``df`` to an Iceberg table as one new snapshot; creates
     the table when absent. Returns the snapshot id.
@@ -945,7 +946,71 @@ def iceberg_append(
             None,
         )
         have = [f["name"] for f in (cur_schema or {}).get("fields", [])]
-        if have != df.columns:
+        # overlapping columns must keep their types in EVERY append
+        # path (a retyped column would otherwise corrupt bounds and
+        # data silently — parquet happily stores the new type)
+        df_types = {f.name: f.dataType.simpleString() for f in df.schema}
+        for f in (cur_schema or {}).get("fields", []):
+            if f["name"] in df_types:
+                want_t = _iceberg_type(df_types[f["name"]])
+                if want_t != f["type"]:
+                    raise ValueError(
+                        f"iceberg_append: column {f['name']!r} type "
+                        f"changed ({f['type']} -> {want_t}); only "
+                        "ADDING columns (merge_schema=True) is "
+                        "supported"
+                    )
+        if have != df.columns and merge_schema:
+            # SCHEMA EVOLUTION (additive, the spec's add-column case):
+            # the frame must carry every existing column (same order,
+            # same types); extra columns append to a NEW schema entry
+            # with CONTINUING field ids (ids are never reused — the
+            # invariant equality-delete ids and partition source-ids
+            # depend on). Old data files simply lack the new columns
+            # and backfill NULL at read (schema-on-read).
+            if df.columns[: len(have)] != have:
+                raise ValueError(
+                    f"iceberg_append(merge_schema): existing columns "
+                    f"must lead the frame — table has {have}, frame "
+                    f"has {df.columns}"
+                )
+            next_id = (
+                max(
+                    (
+                        f["id"]
+                        for s in meta.get("schemas") or []
+                        for f in s.get("fields", [])
+                    ),
+                    default=0,
+                )
+                + 1
+            )
+            new_fields = [dict(f) for f in cur_schema["fields"]]
+            for name in df.columns[len(have):]:
+                new_fields.append(
+                    {
+                        "id": next_id,
+                        "name": name,
+                        "required": False,
+                        "type": _iceberg_type(df_types[name]),
+                    }
+                )
+                next_id += 1
+            new_sid = (
+                max(
+                    s.get("schema-id", 0)
+                    for s in meta.get("schemas") or []
+                )
+                + 1
+            )
+            cur_schema = {
+                "type": "struct",
+                "schema-id": new_sid,
+                "fields": new_fields,
+            }
+            meta["schemas"].append(cur_schema)
+            meta["current-schema-id"] = new_sid
+        elif have != df.columns:
             raise ValueError(
                 f"iceberg_append: schema mismatch — table has {have}, "
                 f"frame has {df.columns}"

@@ -1625,6 +1625,13 @@ def delta_merge(
     commit race (remove/add pairs never rebase blindly) and on column
     -mapped tables (rewritten files would need physical-name writes).
 
+    PARTITIONED tables merge at the same file granularity: the probe
+    scan restores partition columns from ``add.partitionValues`` as
+    typed literals per file group, rewritten rows stage through
+    ``partitionBy`` (hash-routed so each partition dir gets one
+    file), and every remove/add carries its partition values —
+    inserts may open brand-new partitions.
+
     Last-writer-wins within ``source`` is NOT resolved here: source
     must be key-unique (enforced with one cheap count, fails loudly
     otherwise)."""
@@ -1645,12 +1652,6 @@ def delta_merge(
             "delta_merge: column-mapped tables need physical-name "
             "rewrites this writer does not do"
         )
-    if part_cols:
-        raise NotImplementedError(
-            "delta_merge: partitioned tables — rewrite granularity "
-            "should be partition directories; use delta_delete_where + "
-            "delta_append, or the engine's upsert_partitioned layout"
-        )
     names = [f.name for f in schema.fields]
     if source.columns != names:
         raise ValueError(
@@ -1666,6 +1667,10 @@ def delta_merge(
 
     table_abs = os.path.abspath(table_path)
     paths = [os.path.join(table_abs, rel) for rel in adds]
+    tag_cols = {
+        "__fp": _norm_path(F.col("_metadata.file_path")),
+        "__pos": F.col("_metadata.row_index"),
+    }
     if not paths:
         # empty active set: a merge is a pure insert
         scan = spark.createDataFrame([], schema).withColumns(
@@ -1674,16 +1679,40 @@ def delta_merge(
                 "__pos": F.lit(None).cast("long"),
             }
         )
-    else:
-        scan = (
-            spark.read.schema(schema).parquet(*paths)
-            .withColumns(
-                {
-                    "__fp": _norm_path(F.col("_metadata.file_path")),
-                    "__pos": F.col("_metadata.row_index"),
-                }
-            )
+    elif not part_cols:
+        scan = spark.read.schema(schema).parquet(*paths).withColumns(
+            tag_cols
         )
+    else:
+        # partitioned: partition columns live OUTSIDE the data files —
+        # group files by partitionValues, restore the columns as typed
+        # literals per group (same shape as read_delta_changes), keep
+        # the _metadata tags for file/DV attribution
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = StructType(data_fields)
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for rel, a in adds.items():
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(
+                os.path.join(table_abs, rel)
+            )
+        frames = []
+        for key, gpaths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        ):
+            gdf = spark.read.schema(data_schema).parquet(*gpaths)
+            for c, raw in zip(part_cols, key):
+                lit = (
+                    F.lit(None).cast(types[c])
+                    if raw is None
+                    else F.lit(raw).cast(types[c])
+                )
+                gdf = gdf.withColumn(c, lit)
+            frames.append(gdf.select(*names).withColumns(tag_cols))
+        scan = reduce(DataFrame.unionByName, frames)
     dv_adds = [
         (os.path.join(table_abs, a["path"]), a["deletionVector"])
         for a in adds.values()
@@ -1717,7 +1746,16 @@ def delta_merge(
     else:
         rewritten = source
         n_out = 1
-    rewritten.repartition(n_out).write.mode("overwrite").parquet(stage)
+    writer = (
+        # hash-route on partition columns so each partition dir is
+        # written by one task (one file per touched/inserted partition)
+        rewritten.repartition(n_out, *part_cols)
+        if part_cols
+        else rewritten.repartition(n_out)
+    ).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
 
     actions: list[dict] = []
     for rel in touched_rel:
@@ -1727,27 +1765,48 @@ def delta_merge(
                     "path": rel,
                     "dataChange": True,
                     "deletionTimestamp": 0,
-                    "partitionValues": {},
-                }
-            }
-        )
-    for src in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):
-        rel = f"part-{uuid.uuid4().hex}.parquet"
-        shutil.move(src, os.path.join(table_abs, rel))
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(table_abs, rel)),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                    "stats": _file_stats(
-                        os.path.join(table_abs, rel), schema.fields
+                    "partitionValues": (
+                        adds[rel].get("partitionValues") or {}
                     ),
                 }
             }
         )
+    if part_cols:
+        pattern = os.path.join(
+            stage, *["*"] * len(part_cols), "part-*.parquet"
+        )
+    else:
+        pattern = os.path.join(stage, "part-*.parquet")
+    data_fields_out = [f for f in schema.fields if f.name not in part_cols]
+    for src in sorted(_glob.glob(pattern)):
+        rel_dir = os.path.relpath(os.path.dirname(src), stage)
+        pv = {}
+        if part_cols:
+            for piece in rel_dir.split(os.sep):
+                k, _, v = piece.partition("=")
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        rel = (
+            os.path.join(rel_dir, name).replace(os.sep, "/")
+            if rel_dir != "."
+            else name
+        )
+        dst = os.path.join(table_abs, rel)
+        os.makedirs(os.path.dirname(dst) or table_abs, exist_ok=True)
+        shutil.move(src, dst)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pv,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": _file_stats(dst, data_fields_out),
+                }
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
     version = target + 1
     try:
         with open(

@@ -90,17 +90,53 @@ class TestMerge:
         with pytest.raises(ValueError, match="source columns"):
             delta_merge(spark, src, t, on=["id"])
 
-    def test_partitioned_gated(self, spark, tmp_path):
+    def test_partitioned_update_insert_new_partition(self, spark, tmp_path):
         t = str(tmp_path / "p")
-        df = spark.range(10).withColumn("lang", F.lit("en"))
+        df = spark.range(40).withColumn(
+            "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        ).withColumn("v", F.concat(F.lit("v"), F.col("id")))
         delta_append(spark, df, t, partition_by=["lang"])
-        with pytest.raises(NotImplementedError, match="partitioned"):
-            delta_merge(
-                spark,
-                spark.createDataFrame([(1, "en")], "id long, lang string"),
-                t,
-                on=["id"],
-            )
+        src = spark.createDataFrame(
+            [
+                (0, "en", "UP0"),  # update inside partition en
+                (100, "fr", "NEW"),  # insert into a BRAND-NEW partition
+            ],
+            "id long, lang string, v string",
+        )
+        delta_merge(spark, src, t, on=["id"])
+        got = {
+            (r["id"], r["lang"], r["v"])
+            for r in read_delta(spark, t).collect()
+        }
+        assert (0, "en", "UP0") in got and (0, "en", "v0") not in got
+        assert (100, "fr", "NEW") in got
+        assert len(got) == 41
+        # partition pruning still works post-merge
+        fr = read_delta(spark, t, skip_filters=[("lang", "=", "fr")])
+        assert {r["id"] for r in fr.filter("lang = 'fr'").collect()} == {100}
+
+    def test_partitioned_untouched_partition_files_survive(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "p2")
+        df = spark.range(40).withColumn(
+            "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        ).withColumn("v", F.lit("x"))
+        delta_append(spark, df, t, partition_by=["lang"])
+        adds0, _m = _replay(spark, t, 0)
+        de_files = {
+            rel
+            for rel, a in adds0.items()
+            if (a.get("partitionValues") or {}).get("lang") == "de"
+        }
+        src = spark.createDataFrame(
+            [(0, "en", "up")], "id long, lang string, v string"
+        )
+        delta_merge(spark, src, t, on=["id"])
+        adds1, _m = _replay(spark, t, 1)
+        # the de partition's files are byte-identical survivors
+        assert de_files <= set(adds1)
+        assert read_delta(spark, t).count() == 40
 
     def test_merge_into_fully_tombstoned_table(self, spark, tmp_path):
         # every row DV-deleted: the scan yields zero survivors, so the

@@ -96,7 +96,12 @@ def gap_fill(
     if not g:
         raise ValueError("gap_fill: at least one group column required")
     b = int(bucket_seconds)
-    observed = resample(df, ts_col, b, g, aggs)
+    from dataset_grouper_spark.cache import persist_tracked
+
+    # the observed aggregate feeds BOTH the span computation and the
+    # dense join; persisted, the source is scanned+aggregated ONCE
+    # (|groups x observed buckets| rows — far smaller than the source)
+    observed = persist_tracked(resample(df, ts_col, b, g, aggs))
     val_cols = [c for c in observed.columns if c not in g + ["bucket_start"]]
     unknown = set(fill) - set(val_cols)
     if unknown:

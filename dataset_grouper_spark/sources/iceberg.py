@@ -2170,6 +2170,27 @@ def iceberg_files(
     )
 
 
+def iceberg_partitions(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The ``partitions`` metadata table: one row per live partition
+    with its data-file count, record count and total bytes — the
+    planning view a maintenance job sizes compaction with. Derived
+    from the same manifest walk as :func:`iceberg_files` (data files
+    only, content=0); unpartitioned tables yield one row with a NULL
+    partition. Planning-scale; no data files opened."""
+    files = iceberg_files(spark, table_path, snapshot_id)
+    return (
+        files.filter(F.col("content") == 0)
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("record_count").alias("n_rows"),
+            F.sum("file_size_in_bytes").alias("total_bytes"),
+        )
+    )
+
+
 def _epoch_ledger_path(table_path: str, app_id: str) -> str:
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", app_id)
     return os.path.join(table_path, "metadata", f"epochs-{safe}.log")

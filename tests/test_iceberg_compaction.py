@@ -155,3 +155,30 @@ def test_compaction_partitioned_per_partition_bins(spark, tmp_path):
     ]
     kept, _p, _r2, _e2 = _live_files(t, snap, {"lang": "de"})
     assert len(kept) == 1
+
+
+def test_iceberg_partitions_metadata(spark, tmp_path):
+    from dataset_grouper_spark.sources.iceberg import iceberg_partitions
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 else "en") for i in range(40)],
+        "id long, lang string",
+    )
+    iceberg_append(
+        spark,
+        df.repartition(2, "lang"),
+        t,
+        partition_spec=[("lang", "identity")],
+    )
+    rows = {
+        r["partition"]: (r["n_files"], r["n_rows"])
+        for r in iceberg_partitions(spark, t).collect()
+    }
+    assert rows == {'{"lang": "de"}': (1, 20), '{"lang": "en"}': (1, 20)}
+    # unpartitioned: one NULL-partition row
+    t2 = str(tmp_path / "tbl2")
+    iceberg_append(spark, spark.range(7).coalesce(1), t2)
+    rows2 = iceberg_partitions(spark, t2).collect()
+    assert len(rows2) == 1 and rows2[0]["n_rows"] == 7
+    assert rows2[0]["partition"] is None

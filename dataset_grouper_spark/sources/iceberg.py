@@ -1674,6 +1674,7 @@ def iceberg_rewrite_data_files(
     target_file_bytes: int = 128 << 20,
     small_file_bytes: int | None = None,
     min_input_files: int = 2,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Bin-packing compaction (the ``rewrite_data_files`` maintenance
     action): coalesce small live data files into ~``target_file_bytes``
@@ -1713,6 +1714,16 @@ def iceberg_rewrite_data_files(
     complete live set), DELETE manifests carry over. Old files stay on
     disk for time travel until ``iceberg_expire_snapshots`` +
     ``iceberg_remove_orphans`` reap them.
+
+    ``zorder_by=(colA, colB)`` (two numeric columns) is the SORT
+    strategy rewrite (Iceberg's ``rewrite_data_files`` with a z-order
+    sort, the twin of ``delta_optimize(zorder_by=)``): EVERY live data
+    file participates (layout changes, not just packing — one bin per
+    partition), rewritten rows cluster along the Morton curve of the
+    two columns (``sinks.zorder`` bit interleave — pure Catalyst, one
+    range exchange per partition), and the refreshed manifest bounds
+    stay narrow on BOTH dimensions, which is what lets
+    ``read_iceberg(skip_filters=...)`` prune on either column.
 
     Rewritten files are materialized under the table's CURRENT schema.
     Returns the new snapshot id, or the current snapshot id unchanged
@@ -1778,27 +1789,42 @@ def iceberg_rewrite_data_files(
             else ""
         )
 
-    # greedy deterministic bin-pack per partition
-    groups: dict[str, list[dict]] = {}
-    for rec in live:
-        size = int(rec["data_file"].get("file_size_in_bytes") or 0)
-        if size < small_file_bytes:
-            groups.setdefault(part_key(rec["data_file"]), []).append(rec)
     bins: list[list[dict]] = []
-    for _k, members in sorted(groups.items()):
-        members.sort(key=lambda r: r["path"])
-        cur: list[dict] = []
-        cur_bytes = 0
-        for rec in members:
+    if zorder_by is not None:
+        # re-layout: every live data file participates, one bin per
+        # partition (the whole partition re-clusters along the curve)
+        groups_all: dict[str, list[dict]] = {}
+        for rec in live:
+            groups_all.setdefault(part_key(rec["data_file"]), []).append(
+                rec
+            )
+        bins = [
+            sorted(members, key=lambda r: r["path"])
+            for _k, members in sorted(groups_all.items())
+        ]
+    else:
+        # greedy deterministic bin-pack per partition
+        groups: dict[str, list[dict]] = {}
+        for rec in live:
             size = int(rec["data_file"].get("file_size_in_bytes") or 0)
-            if cur and cur_bytes + size > target_file_bytes:
+            if size < small_file_bytes:
+                groups.setdefault(part_key(rec["data_file"]), []).append(
+                    rec
+                )
+        for _k, members in sorted(groups.items()):
+            members.sort(key=lambda r: r["path"])
+            cur: list[dict] = []
+            cur_bytes = 0
+            for rec in members:
+                size = int(rec["data_file"].get("file_size_in_bytes") or 0)
+                if cur and cur_bytes + size > target_file_bytes:
+                    bins.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(rec)
+                cur_bytes += size
+            if cur:
                 bins.append(cur)
-                cur, cur_bytes = [], 0
-            cur.append(rec)
-            cur_bytes += size
-        if cur:
-            bins.append(cur)
-    bins = [b for b in bins if len(b) >= min_input_files]
+        bins = [b for b in bins if len(b) >= min_input_files]
     if not bins:
         return cur_id
 
@@ -1816,43 +1842,94 @@ def iceberg_rewrite_data_files(
     )
     binned_paths = [r["path"] for b in bins for r in b]
     binned = set(binned_paths)
-    scan = (
-        spark.read.schema(ddl)
-        .parquet(*binned_paths)
-        .withColumn(
-            "__fp", _norm_path(F.col("_metadata.file_path"))
+
+    def scan_of(paths: list[str]):
+        s = (
+            spark.read.schema(ddl)
+            .parquet(*paths)
+            .withColumn(
+                "__fp", _norm_path(F.col("_metadata.file_path"))
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
         )
-        .withColumn("__pos", F.col("_metadata.row_index"))
-    )
-    if delete_files:
-        scan = _apply_position_deletes(
-            spark, scan, delete_files, delete_rows
-        )
-    if eq_deletes:
-        scan = _apply_equality_deletes(
-            spark,
-            scan,
-            [(p, s) for p, s in data_seqs if p in binned],
-            eq_deletes,
-            schema,
-        )
-    bin_map = spark.createDataFrame(
-        [
-            (r["path"] if r["path"].startswith("/") else "/" + r["path"], i)
-            for i, b in enumerate(bins)
-            for r in b
-        ],
-        "`__fp` string, `__bin` int",
-    )
+        if delete_files:
+            s = _apply_position_deletes(
+                spark, s, delete_files, delete_rows
+            )
+        if eq_deletes:
+            pset = set(paths)
+            s = _apply_equality_deletes(
+                spark,
+                s,
+                [(p, sq) for p, sq in data_seqs if p in pset],
+                eq_deletes,
+                schema,
+            )
+        return s
+
     stage = tempfile.mkdtemp(prefix="_ice_rw_stage_")
-    (
-        scan.join(F.broadcast(bin_map), "__fp")
-        .drop("__fp", "__pos")
-        .repartition(len(bins), "__bin")
-        .write.mode("overwrite")
-        .partitionBy("__bin")
-        .parquet(stage)
-    )
+    if zorder_by is None:
+        bin_map = spark.createDataFrame(
+            [
+                (
+                    r["path"]
+                    if r["path"].startswith("/")
+                    else "/" + r["path"],
+                    i,
+                )
+                for i, b in enumerate(bins)
+                for r in b
+            ],
+            "`__fp` string, `__bin` int",
+        )
+        (
+            scan_of(binned_paths)
+            .join(F.broadcast(bin_map), "__fp")
+            .drop("__fp", "__pos")
+            .repartition(len(bins), "__bin")
+            .write.mode("overwrite")
+            .partitionBy("__bin")
+            .parquet(stage)
+        )
+    else:
+        # sort-strategy rewrite: one z-clustered range exchange per
+        # partition bin; outputs sized at ~target_file_bytes
+        from dataset_grouper_spark.sinks.zorder import (
+            interleave_bits,
+            to_grid,
+        )
+
+        ca, cb = zorder_by
+        for i, b in enumerate(bins):
+            s = scan_of([r["path"] for r in b]).drop("__fp", "__pos")
+            bounds = s.agg(
+                F.min(ca), F.max(ca), F.min(cb), F.max(cb)
+            ).collect()[0]
+            lo_a, hi_a, lo_b, hi_b = (
+                float(bounds[0] or 0),
+                float(bounds[1] or 0),
+                float(bounds[2] or 0),
+                float(bounds[3] or 0),
+            )
+            bits = 8
+            z = interleave_bits(
+                to_grid(F.col(ca), lo_a, max(hi_a, lo_a + 1e-9), bits),
+                to_grid(F.col(cb), lo_b, max(hi_b, lo_b + 1e-9), bits),
+                bits,
+            )
+            bin_bytes = sum(
+                int(r["data_file"].get("file_size_in_bytes") or 0)
+                for r in b
+            )
+            n_out = max(1, -(-bin_bytes // target_file_bytes))
+            (
+                s.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .parquet(os.path.join(stage, f"__bin={i}"))
+            )
 
     snap_id = max(snaps) + 1
     new_entries = []

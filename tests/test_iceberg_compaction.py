@@ -182,3 +182,47 @@ def test_iceberg_partitions_metadata(spark, tmp_path):
     rows2 = iceberg_partitions(spark, t2).collect()
     assert len(rows2) == 1 and rows2[0]["n_rows"] == 7
     assert rows2[0]["partition"] is None
+
+
+def test_zorder_rewrite_narrows_both_dimensions(spark, tmp_path):
+    from dataset_grouper_spark.sources.iceberg import (
+        _load_metadata as _lm,
+    )
+
+    t = str(tmp_path / "ztbl")
+    n, files = 20_000, 8
+    df = (
+        spark.range(n)
+        .withColumn("y", (F.col("id") * 7919) % 1000)
+    )
+    # id-clustered layout: y filters prune NOTHING at the manifest
+    iceberg_append(
+        spark,
+        df.repartitionByRange(files, "id").sortWithinPartitions("id"),
+        t,
+    )
+
+    def kept(skip):
+        meta = _lm(t)
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+            meta["current-snapshot-id"]
+        ]
+        data, _d, _r, _e = _live_files(
+            t, snap, None, skip, {1: "long", 2: "long"}
+        )
+        return len(data)
+
+    assert kept(None) == files
+    assert kept([(2, "<=", 60)]) == files  # y-bounds are all-spanning
+    before = _rows(spark, t)
+    sid = iceberg_rewrite_data_files(
+        spark, t, target_file_bytes=1 << 14, zorder_by=("id", "y")
+    )
+    meta = _lm(t)
+    assert meta["current-snapshot-id"] == sid
+    total = kept(None)
+    assert total >= 4
+    assert _rows(spark, t) == before
+    # post-rewrite, BOTH dimensions prune at the manifest level
+    assert kept([(2, "<=", 60)]) < total
+    assert kept([(1, "<=", n // 8)]) < total

@@ -1822,6 +1822,60 @@ def delta_merge(
     return version
 
 
+def delta_partitions(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Per-partition summary of the live file set at ``version``
+    (default latest): file count, row count (from ``add.stats``
+    numRecords when every file carries it, else NULL) and total bytes
+    — the planning view maintenance jobs size OPTIMIZE with, the
+    Delta twin of ``iceberg_partitions``. Partition values render as a
+    sorted-key JSON string (their fields vary per table);
+    unpartitioned tables yield one row with NULL. Pure log read."""
+    target = _latest_version(table_path) if version is None else version
+    if target is None:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    adds, meta = _replay(spark, table_path, target)
+    part_cols = list(meta.get("partitionColumns") or [])
+    agg: dict[str, list] = {}
+    for a in adds.values():
+        pv = a.get("partitionValues") or {}
+        key = (
+            json.dumps(
+                {c: pv.get(c) for c in part_cols}, sort_keys=True
+            )
+            if part_cols
+            else None
+        )
+        n_rows = None
+        stats = a.get("stats")
+        if stats:
+            try:
+                n_rows = int(json.loads(stats).get("numRecords"))
+            except (ValueError, TypeError):
+                n_rows = None
+        agg.setdefault(key, []).append(
+            (n_rows, int(a.get("size") or 0))
+        )
+    rows = []
+    for key in sorted(agg, key=lambda k: (k is None, k or "")):
+        members = agg[key]
+        counts = [n for n, _ in members]
+        rows.append(
+            (
+                key,
+                len(members),
+                sum(counts) if all(c is not None for c in counts) else None,
+                sum(b for _, b in members),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "`partition` string, `n_files` long, `n_rows` long, "
+        "`total_bytes` long",
+    )
+
+
 def delta_history(spark: SparkSession, table_path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per retained commit — version, action
     counts, whether it changed data (OPTIMIZE commits show

@@ -150,3 +150,35 @@ class TestMerge:
         src = spark.createDataFrame([(100, "new")], "id long, v string")
         delta_merge(spark, src, t, on=["id"])
         assert _content(spark, t) == {(100, "new")}
+
+
+def test_delta_partitions_metadata(spark, tmp_path):
+    from dataset_grouper_spark.sources.delta import delta_partitions
+
+    t = str(tmp_path / "meta")
+    df = spark.range(40).withColumn(
+        "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+    )
+    delta_append(spark, df.repartition(1), t, partition_by=["lang"])
+    rows = {
+        r["partition"]: (r["n_files"], r["n_rows"])
+        for r in delta_partitions(spark, t).collect()
+    }
+    assert rows == {'{"lang": "de"}': (1, 20), '{"lang": "en"}': (1, 20)}
+    # a merge into one partition updates only that partition's row
+    src = spark.createDataFrame(
+        [(100, "de")], "id long, lang string"
+    )
+    delta_merge(spark, src, t, on=["id"])
+    rows2 = {
+        r["partition"]: r["n_rows"]
+        for r in delta_partitions(spark, t).collect()
+    }
+    assert rows2['{"lang": "de"}'] == 21
+    assert rows2['{"lang": "en"}'] == 20
+    # unpartitioned: single NULL row; time travel pins the old state
+    assert delta_partitions(spark, t, version=0).collect()[0] is not None
+    t2 = str(tmp_path / "meta2")
+    delta_append(spark, spark.range(7).repartition(1), t2)
+    r0 = delta_partitions(spark, t2).collect()
+    assert len(r0) == 1 and r0[0]["partition"] is None and r0[0]["n_rows"] == 7

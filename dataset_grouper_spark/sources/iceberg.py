@@ -492,9 +492,12 @@ def read_iceberg(
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     skip_filters: list | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at ``snapshot_id`` (default: current) —
-    the pinned file set that snapshot's manifests declare live. Data
+    the pinned file set that snapshot's manifests declare live.
+    ``ref`` reads at a named tag/branch from the ``refs`` map
+    (:func:`iceberg_set_ref`), exclusive with ``snapshot_id``. Data
     files carry every column (identity partitions included), so the
     result is one parquet scan with the table schema.
 
@@ -518,6 +521,18 @@ def read_iceberg(
     keyed by exact data-file path."""
     meta = _load_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "iceberg: pass snapshot_id OR ref, not both"
+            )
+        entry = (meta.get("refs") or {}).get(ref)
+        if entry is None:
+            raise ValueError(
+                f"iceberg: no ref named {ref!r} "
+                f"(have {sorted(meta.get('refs') or {})})"
+            )
+        snapshot_id = entry.get("snapshot-id")
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     if snapshot_id is None or snapshot_id not in snaps:
@@ -1564,6 +1579,12 @@ def iceberg_expire_snapshots(
     cur = meta.get("current-snapshot-id")
     if cur is not None:
         keep.add(cur)
+    # spec retention: snapshots referenced by a tag/branch ref never
+    # expire by count-based retention (release pinning)
+    for ref in (meta.get("refs") or {}).values():
+        sid = ref.get("snapshot-id")
+        if sid is not None:
+            keep.add(sid)
     expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep]
     if not expired:
         return []
@@ -1666,6 +1687,74 @@ def iceberg_upsert(
             raise ValueError(f"iceberg_upsert: key column {k!r} not in frame")
     iceberg_delete_values(spark, df.select(*on), table_path)
     return iceberg_append(spark, df, table_path)
+
+
+def _commit_metadata(table_path: str, meta: dict, context: str) -> int:
+    """Claim the next metadata version exclusively (put-if-absent
+    optimistic commit) and move the version hint; returns the claimed
+    version number."""
+    mdir = os.path.join(table_path, "metadata")
+    versions = [
+        int(n[1:].split(".")[0])
+        for n in os.listdir(mdir)
+        if n.endswith(".metadata.json")
+        and n.startswith("v")
+        and n[1:].split(".")[0].isdigit()
+    ]
+    v = max(versions, default=0) + 1
+    try:
+        with open(os.path.join(mdir, f"v{v}.metadata.json"), "x") as f:
+            json.dump(meta, f)
+    except FileExistsError:
+        raise RuntimeError(
+            f"{context}: lost the metadata-version race — re-run "
+            "against the winner's metadata"
+        )
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v))
+    return v
+
+
+def iceberg_set_ref(
+    table_path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """Create or move a named REF (the spec's ``refs`` map): a ``tag``
+    pins a snapshot for releases/audits — count-based snapshot expiry
+    never drops a ref'd snapshot — and a ``branch`` names a movable
+    head. Metadata-only commit; returns the referenced snapshot id
+    (default: current)."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(
+            f"iceberg_set_ref: ref_type must be 'tag' or 'branch', "
+            f"got {ref_type!r}"
+        )
+    meta = _load_metadata(table_path)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"iceberg_set_ref: snapshot {snapshot_id!r} not in table"
+        )
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    meta["refs"] = refs
+    _commit_metadata(table_path, meta, "iceberg_set_ref")
+    return snapshot_id
+
+
+def iceberg_drop_ref(table_path: str, name: str) -> None:
+    """Remove a named ref; its snapshot becomes expirable again."""
+    meta = _load_metadata(table_path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"iceberg_drop_ref: no ref named {name!r}")
+    del refs[name]
+    meta["refs"] = refs
+    _commit_metadata(table_path, meta, "iceberg_drop_ref")
 
 
 def iceberg_rewrite_data_files(

@@ -5669,6 +5669,48 @@ def q_delta_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_table_diff_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level version reconciliation (operators/diff.py frame_diff
+    over two PINNED Delta reads): v0 = the corpus, v1 = a partitioned-
+    table-free MERGE (updates + inserts), v2 = a DV delete; the diff
+    of v0 against the final state must classify every key exactly —
+    removed beats changed when a row was updated THEN deleted, and an
+    insert that was later deleted never appears. The oracle rebuilds
+    the status map in closed form, so a wrong join side, a hash-based
+    false negative, or DV rows leaking into the read hash-mismatch."""
+    import tempfile
+
+    from dataset_grouper_spark.operators.diff import frame_diff
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_delete_where,
+        delta_merge,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    table = tempfile.mkdtemp(prefix="delta_diff_") + "/tbl"
+    delta_append(spark, docs, table)  # v0
+    src = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("text", F.lit("REDACTED"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 100000
+            )
+        )
+    )
+    delta_merge(spark, src, table, on=["doc_id"])  # v1
+    delta_delete_where(spark, table, "doc_id % 7 = 3")  # v2 (DVs)
+    return frame_diff(
+        read_delta(spark, table, version=0),
+        read_delta(spark, table),
+        keys=["doc_id"],
+    )
+
+
 def q_iceberg_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Iceberg additive schema evolution (sources/iceberg.py
     iceberg_append merge_schema=True): the second append's NEW n_chars
@@ -5775,7 +5817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
-        "tfrecord_gzip_roundtrip": q_tfrecord_gzip_roundtrip,
         # --- tier B continued (r6 lakehouse batch): change feed,
         #     checkpoint lifecycle, column mapping, format-sniffing
         #     entry point, Iceberg transform pruning.
@@ -5822,6 +5863,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # delta_optimize_vacuum, delta_merge_roundtrip and the new
         # delta_table_history; delta_time_travel leads tier A in r7.
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        # table_diff_versions (frame_diff over pinned Delta reads,
+        # exercising the new partitioned-merge code and DV deletes)
+        # takes tfrecord_gzip_roundtrip's slot: the gzip wrapper rides
+        # the SAME codec as the two in-cap TFRecord rows at positions
+        # 0-1 (bytes-parity pytest keeps it honest); it leads tier A
+        # in r7.
+        "table_diff_versions": q_table_diff_versions,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -5835,6 +5883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_restore_timestamp": q_delta_restore_timestamp,
         "open_table_dispatch": q_open_table_dispatch,
         "delta_time_travel": q_delta_time_travel,
+        "tfrecord_gzip_roundtrip": q_tfrecord_gzip_roundtrip,
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "group_counts_cube": q_group_counts_cube,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -7114,6 +7163,19 @@ def oracle_sql() -> dict[str, str]:
                                  THEN strlen(text) END)
                         AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "table_diff_versions": """
+            SELECT doc_id, 'removed' AS status
+            FROM documents WHERE doc_id % 7 = 3
+            UNION ALL
+            SELECT doc_id, 'changed'
+            FROM documents
+            WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3
+              AND (text IS NULL OR text <> 'REDACTED')
+            UNION ALL
+            SELECT doc_id + 100000, 'added'
+            FROM documents
+            WHERE doc_id % 50 = 0 AND (doc_id + 100000) % 7 <> 3
         """,
         "iceberg_schema_evolution": """
             SELECT lang,

@@ -5669,6 +5669,39 @@ def q_delta_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-RANGE rolling aggregates (operators/timeseries.py
+    rolling): per user, each event's trailing-hour event count and
+    value sum — event-time windows (RANGE frame on epoch seconds), not
+    row-count frames, so a burst inside one minute lands entirely in
+    each of its members' windows. Rows sharing a second are
+    frame-peers in BOTH engines, keeping the result order-insensitive
+    and hash-stable."""
+    from dataset_grouper_spark.operators.timeseries import rolling
+
+    ev = (
+        read_table(spark, sf, "events")
+        .withColumn("sec", F.expr("ts div 1000000000"))
+        .select("user_id", "event_id", "sec", "value")
+    )
+    out = rolling(
+        ev,
+        "sec",
+        3600,
+        ["user_id"],
+        {
+            "n_1h": F.count(F.lit(1)),
+            "sum_1h": F.sum("value"),
+        },
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "n_1h",
+        F.round("sum_1h", 4).alias("sum_1h"),
+    )
+
+
 def q_table_diff_versions(spark: SparkSession, sf: str) -> DataFrame:
     """Row-level version reconciliation (operators/diff.py frame_diff
     over two PINNED Delta reads): v0 = the corpus, v1 = a partitioned-
@@ -5870,6 +5903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 0-1 (bytes-parity pytest keeps it honest); it leads tier A
         # in r7.
         "table_diff_versions": q_table_diff_versions,
+        # --- first past-cap slot (cap is full at 50): the time-range
+        #     rolling window, locally sf0.01-hash-verified this
+        #     session; leads tier A in r7 with the displaced entries
+        #     below.
+        "rolling_window_events": q_rolling_window_events,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -7163,6 +7201,18 @@ def oracle_sql() -> dict[str, str]:
                                  THEN strlen(text) END)
                         AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "rolling_window_events": """
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                   round(sum(value) OVER w, 4) AS sum_1h
+            FROM (
+                SELECT user_id, event_id,
+                       epoch_ns(ts) // 1000000000 AS sec, value
+                FROM events
+            )
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "table_diff_versions": """
             SELECT doc_id, 'removed' AS status

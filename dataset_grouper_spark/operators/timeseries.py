@@ -25,7 +25,41 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "resample", "gap_fill"]
+__all__ = ["time_bucket", "resample", "gap_fill", "rolling"]
+
+
+def rolling(
+    df: DataFrame,
+    ts_col: str,
+    window_seconds: int,
+    group_cols: Sequence[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """TIME-RANGE rolling aggregates: one output row per input row,
+    each aggregating the trailing window ``[t - window_seconds, t]``
+    within its group — the event-time complement of row-count moving
+    averages (a burst of events in one minute all fall in each
+    other's window regardless of row position).
+
+    ``aggs`` maps output column name -> aggregate Column (e.g.
+    ``{"n_1h": F.count(F.lit(1))}``). Pure window projection over one
+    sort exchange per group partitioning; rows sharing a timestamp are
+    frame-peers (deterministic, order-insensitive within the second).
+    ``ts_col`` must be castable to epoch seconds (long)."""
+    from pyspark.sql.window import Window
+
+    w = int(window_seconds)
+    if w <= 0:
+        raise ValueError(f"rolling: window_seconds must be > 0, got {w}")
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-w, 0)
+    )
+    return df.select(
+        *df.columns,
+        *[expr.over(win).alias(name) for name, expr in aggs.items()],
+    )
 
 
 def time_bucket(ts: Column | str, bucket_seconds: int) -> Column:

@@ -135,3 +135,48 @@ def test_gap_fill_validates_fill_columns(events):
             [F.count(F.lit(1)).alias("n")],
             fill={"n": "cubic"},
         )
+
+
+def test_rolling_time_range(spark):
+    from dataset_grouper_spark.operators.timeseries import rolling
+
+    rows = [
+        ("g", 0, 1.0),
+        ("g", 50, 2.0),
+        ("g", 100, 4.0),   # window [0,100]: all three
+        ("g", 161, 8.0),   # window [61,161]: 100 and itself
+        ("h", 100, 16.0),  # other group isolated
+    ]
+    df = spark.createDataFrame(rows, "g string, sec long, v double")
+    out = rolling(
+        df,
+        "sec",
+        100,
+        ["g"],
+        {"n": F.count(F.lit(1)), "sv": F.sum("v")},
+    )
+    got = {(r["g"], r["sec"]): (r["n"], r["sv"]) for r in out.collect()}
+    assert got[("g", 0)] == (1, 1.0)
+    assert got[("g", 50)] == (2, 3.0)
+    assert got[("g", 100)] == (3, 7.0)
+    assert got[("g", 161)] == (2, 12.0)
+    assert got[("h", 100)] == (1, 16.0)
+
+
+def test_rolling_same_second_peers(spark):
+    from dataset_grouper_spark.operators.timeseries import rolling
+
+    df = spark.createDataFrame(
+        [("g", 5, 1.0), ("g", 5, 2.0)], "g string, sec long, v double"
+    )
+    out = rolling(df, "sec", 10, ["g"], {"sv": F.sum("v")}).collect()
+    # frame-peers: both rows see both values
+    assert [r["sv"] for r in out] == [3.0, 3.0]
+
+
+def test_rolling_validates(spark):
+    from dataset_grouper_spark.operators.timeseries import rolling
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, sec long, v double")
+    with pytest.raises(ValueError, match="window_seconds"):
+        rolling(df, "sec", 0, ["g"], {"n": F.count(F.lit(1))})

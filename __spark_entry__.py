@@ -5335,19 +5335,21 @@ def q_delta_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_streaming_delta_source(spark: SparkSession, sf: str) -> DataFrame:
-    """delta_lite STREAMING source (streaming/delta_source.py — the
-    SPARK-44076 Python data source): Structured Streaming tails the
-    Delta transaction log, offsets = commit versions. Sink A consumes
-    commits 0-1 with availableNow, a third commit lands, sink A
-    resumes from ITS OWN checkpoint (must pick up exactly the new
-    commit — no replays, no gaps); sink B starts at
-    startingVersion=2 (must see ONLY the third commit). Stage 0 =
-    sink A (the whole corpus exactly once), stage 1 = sink B. An
-    offset tracker that replays, skips, or mis-slices the log
-    hash-mismatches."""
+    """delta_lite STREAMING source + format-API WRITES
+    (streaming/delta_source.py — the SPARK-44076 Python data source,
+    both halves): every commit here lands through
+    ``df.write.format("delta_lite")`` (executor-side Arrow parquet
+    tasks + a driver commit claiming the version exclusively, with
+    footer stats), then Structured Streaming tails the log, offsets =
+    commit versions. Sink A consumes commits 0-1 with availableNow, a
+    third commit lands, sink A resumes from ITS OWN checkpoint (must
+    pick up exactly the new commit — no replays, no gaps); sink B
+    starts at startingVersion=2 (must see ONLY the third commit).
+    Stage 0 = sink A (the whole corpus exactly once), stage 1 = sink
+    B. A writer that drops rows, commits twice, or an offset tracker
+    that replays or mis-slices the log hash-mismatches."""
     import tempfile
 
-    from dataset_grouper_spark.sources.delta import delta_append
     from dataset_grouper_spark.streaming.delta_source import (
         DeltaLiteDataSource,
     )
@@ -5361,7 +5363,13 @@ def q_streaming_delta_source(spark: SparkSession, sf: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="delta_src_")
     table = os.path.join(base, "tbl")
     for r in (0, 1):
-        delta_append(spark, docs.filter(F.col("doc_id") % 3 == r), table)
+        (
+            docs.filter(F.col("doc_id") % 3 == r)
+            .write.format("delta_lite")
+            .mode("append")
+            .option("path", table)
+            .save()
+        )
 
     def run(sink, ckpt, starting=None):
         reader = spark.readStream.format("delta_lite").option("path", table)
@@ -5380,7 +5388,13 @@ def q_streaming_delta_source(spark: SparkSession, sf: str) -> DataFrame:
     sink_a, ckpt_a = os.path.join(base, "a"), os.path.join(base, "ckpt_a")
     sink_b, ckpt_b = os.path.join(base, "b"), os.path.join(base, "ckpt_b")
     run(sink_a, ckpt_a)
-    delta_append(spark, docs.filter(F.col("doc_id") % 3 == 2), table)
+    (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .write.format("delta_lite")
+        .mode("append")
+        .option("path", table)
+        .save()
+    )
     run(sink_a, ckpt_a)  # resume: exactly the new commit
     run(sink_b, ckpt_b, starting=2)  # slice: only the new commit
     agg = [

@@ -39,9 +39,11 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -326,6 +328,180 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's own checkpoint
 
 
+class _DeltaWriteMessage(WriterCommitMessage):
+    def __init__(self, rel: str | None, size: int):
+        self.rel = rel
+        self.size = size
+
+
+class _DeltaLiteArrowWriter(DataSourceArrowWriter):
+    """Write half of the ``delta_lite`` format — the Delta commit
+    protocol spoken through the Python data source API:
+
+        df.write.format("delta_lite").mode("append").option("path", t).save()
+
+    Each task streams its Arrow batches into ONE parquet file placed
+    directly in the table directory (invisible until committed —
+    Delta's contract makes staging free), returns its relative path,
+    and the driver-side ``commit`` claims the next ``<version>.json``
+    with an exclusive create: protocol+metaData on table creation,
+    remove-everything first under ``mode("overwrite")``, footer-derived
+    ``add.stats`` always (so data skipping works on API-written
+    tables). ``abort`` deletes the uncommitted files — readers never
+    saw them.
+
+    Honest gates: unpartitioned writes only (``partitionBy`` through
+    this API is not wired), schema must match an existing table, and
+    column-mapped tables raise (their files need PHYSICAL names)."""
+
+    def __init__(self, path: str, overwrite: bool, schema: StructType):
+        self.path = os.path.abspath(path)
+        self.overwrite = overwrite
+        self.schema = schema
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(self.path, rel)
+        writer = None
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(dst, batch.schema)
+            writer.write_batch(batch)
+        if writer is None:
+            return _DeltaWriteMessage(None, 0)  # empty task
+        writer.close()
+        return _DeltaWriteMessage(rel, os.path.getsize(dst))
+
+    def _cleanup(self, messages):
+        for m in messages:
+            if m is not None and m.rel:
+                try:
+                    os.remove(os.path.join(self.path, m.rel))
+                except OSError:
+                    pass
+
+    def abort(self, messages):
+        self._cleanup(messages)
+
+    def commit(self, messages):
+        from dataset_grouper_spark.sources.delta import (
+            _file_stats,
+            _latest_version,
+            _log_path,
+            _physical_names,
+            _replay,
+        )
+
+        rels = [m.rel for m in messages if m is not None and m.rel]
+        log = _log_path(self.path)
+        try:
+            latest = _latest_version(self.path)
+        except FileNotFoundError:
+            latest = None  # no _delta_log yet: this write creates it
+        actions: list[dict] = []
+        if latest is None:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": "delta-lite-write",
+                        "format": {
+                            "provider": "parquet",
+                            "options": {},
+                        },
+                        "schemaString": self.schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+            version = 0
+            os.makedirs(log, exist_ok=True)
+        else:
+            adds, meta = _replay(None, self.path, latest)
+            have = StructType.fromJson(
+                json.loads(meta["schemaString"])
+            )
+            if [ (f.name, f.dataType) for f in have.fields ] != [
+                (f.name, f.dataType) for f in self.schema.fields
+            ]:
+                self._cleanup(messages)
+                raise ValueError(
+                    f"delta_lite write: schema mismatch — table has "
+                    f"{[f.name for f in have.fields]}, frame has "
+                    f"{[f.name for f in self.schema.fields]}"
+                )
+            if meta.get("partitionColumns"):
+                self._cleanup(messages)
+                raise NotImplementedError(
+                    "delta_lite write: partitioned tables are not "
+                    "wired through the data source API — use "
+                    "sources.delta.delta_append(partition_by=...)"
+                )
+            phys = _physical_names(meta)
+            if any(phys[f.name] != f.name for f in have.fields):
+                self._cleanup(messages)
+                raise NotImplementedError(
+                    "delta_lite write: column-mapped tables need "
+                    "physical-name writes"
+                )
+            version = latest + 1
+            if self.overwrite:
+                for rel, a in sorted(adds.items()):
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": rel,
+                                "dataChange": True,
+                                "deletionTimestamp": 0,
+                                "partitionValues": (
+                                    a.get("partitionValues") or {}
+                                ),
+                            }
+                        }
+                    )
+        for rel in sorted(rels):
+            dst = os.path.join(self.path, rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(dst),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _file_stats(dst, self.schema.fields),
+                    }
+                }
+            )
+        try:
+            with open(
+                os.path.join(log, f"{version:020d}.json"), "x"
+            ) as f:
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+        except FileExistsError:
+            # a concurrent writer claimed the version; our files are
+            # uncommitted and must not linger
+            self._cleanup(messages)
+            raise RuntimeError(
+                f"delta_lite write: lost the commit race at version "
+                f"{version} — re-run the write"
+            )
+
+
 class DeltaLiteDataSource(DataSource):
     """``spark.dataSource.register(DeltaLiteDataSource)`` then
     ``.format("delta_lite").option("path", table_path)``. Options:
@@ -355,6 +531,9 @@ class DeltaLiteDataSource(DataSource):
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return _DeltaLitePushdownReader(self._path())
         return _DeltaLiteBatchReader(self._path())
+
+    def writer(self, schema, overwrite):
+        return _DeltaLiteArrowWriter(self._path(), overwrite, schema)
 
     def streamReader(self, schema):
         sv = self.options.get("startingVersion")

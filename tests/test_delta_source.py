@@ -205,3 +205,77 @@ class TestPushdown:
         base = self._load(spark, t, pushdown=False)
         assert base.filter("id < 1000").count() == 1000
         assert base.count() == 10_000  # NOT pruned by the earlier query
+
+
+class TestWrite:
+    def test_write_creates_and_appends(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl")
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        df.write.format("delta_lite").mode("append").option("path", t).save()
+        assert read_delta(spark, t).count() == 100
+        spark.range(100, 120).withColumn("v", F.col("id") * 2).write.format(
+            "delta_lite"
+        ).mode("append").option("path", t).save()
+        got = read_delta(spark, t)
+        assert sorted(r["id"] for r in got.collect()) == list(range(120))
+        # API-written tables carry stats: data skipping must prune
+        from dataset_grouper_spark.sources.delta import delta_skip_plan
+
+        kept, total = delta_skip_plan(spark, t, [("id", "<=", 5)])
+        assert len(kept) < total
+
+    def test_write_overwrite_replaces(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl2")
+        spark.range(50).withColumn("v", F.lit("a")).write.format(
+            "delta_lite"
+        ).mode("append").option("path", t).save()
+        spark.range(5).withColumn("v", F.lit("b")).write.format(
+            "delta_lite"
+        ).mode("overwrite").option("path", t).save()
+        got = read_delta(spark, t).collect()
+        assert len(got) == 5 and all(r["v"] == "b" for r in got)
+        # old version still time-travels
+        assert read_delta(spark, t, version=0).count() == 50
+
+    def test_write_roundtrips_through_own_reader(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl3")
+        df = spark.range(30).withColumn("v", F.col("id") % 5)
+        df.write.format("delta_lite").mode("append").option("path", t).save()
+        got = spark.read.format("delta_lite").option("path", t).load()
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in df.collect()
+        }
+
+    def test_write_schema_mismatch_raises(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl4")
+        spark.range(5).withColumn("v", F.lit(1)).write.format(
+            "delta_lite"
+        ).mode("append").option("path", t).save()
+        bad = spark.range(5).withColumn("other", F.lit(1))
+        with pytest.raises(Exception, match="schema mismatch"):
+            bad.write.format("delta_lite").mode("append").option(
+                "path", t
+            ).save()
+        # failed write left no stray files behind the live set
+        from dataset_grouper_spark.sources.delta import _replay
+
+        adds, _m = _replay(spark, t, 0)
+        on_disk = {
+            n for n in os.listdir(t)
+            if n.endswith(".parquet")
+        }
+        assert on_disk == set(adds)
+
+    def test_write_partitioned_table_gated(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl5")
+        df = spark.range(10).withColumn("lang", F.lit("en"))
+        delta_append(spark, df, t, partition_by=["lang"])
+        with pytest.raises(Exception, match="partitioned"):
+            df.write.format("delta_lite").mode("append").option(
+                "path", t
+            ).save()

@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -502,6 +503,151 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
             )
 
 
+class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming write half: ``df.writeStream.format("delta_lite")``.
+    Exactly-once by the Delta protocol's own mechanism — each
+    micro-batch's files and a ``txn {appId, version=batchId}`` action
+    land in ONE atomic commit, and a replayed batch (crash between
+    sink commit and stream checkpoint) sees ``batchId <= `` the app's
+    last committed txn version and becomes a file-cleanup no-op.
+    ``appId`` comes from ``option("txnAppId")`` (default
+    ``delta_lite_stream``); one live writer per appId is the stream
+    checkpoint's own guarantee."""
+
+    def __init__(self, path: str, schema: StructType, app_id: str):
+        self.path = os.path.abspath(path)
+        self.schema = schema
+        self.app_id = app_id
+
+    # one parquet file per task + uncommitted-file cleanup, shared
+    # with the batch writer (same staging contract)
+    write = _DeltaLiteArrowWriter.write
+    _cleanup = _DeltaLiteArrowWriter._cleanup
+
+    def commit(self, messages, batchId):
+        from dataset_grouper_spark.sources.delta import (
+            _file_stats,
+            _latest_version,
+            _log_path,
+        )
+
+        log = _log_path(self.path)
+        try:
+            latest = _latest_version(self.path)
+        except FileNotFoundError:
+            latest = None
+        if latest is not None:
+            last = _stream_last_txn(self.path, self.app_id)
+            if last is not None and batchId <= last:
+                self._cleanup(messages)  # replayed epoch: no-op
+                return
+        rels = [m.rel for m in messages if m is not None and m.rel]
+        actions: list[dict] = []
+        if latest is None:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": "delta-lite-stream",
+                        "format": {
+                            "provider": "parquet",
+                            "options": {},
+                        },
+                        "schemaString": self.schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+            version = 0
+            os.makedirs(log, exist_ok=True)
+        else:
+            version = latest + 1
+        actions.append(
+            {
+                "txn": {
+                    "appId": self.app_id,
+                    "version": int(batchId),
+                    "lastUpdated": 0,
+                }
+            }
+        )
+        for rel in sorted(rels):
+            dst = os.path.join(self.path, rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(dst),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _file_stats(dst, self.schema.fields),
+                    }
+                }
+            )
+        try:
+            with open(
+                os.path.join(log, f"{version:020d}.json"), "x"
+            ) as f:
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+        except FileExistsError:
+            self._cleanup(messages)
+            raise RuntimeError(
+                f"delta_lite stream write: lost the commit race at "
+                f"version {version} — the engine will retry the batch"
+            )
+
+    def abort(self, messages, batchId):
+        self._cleanup(messages)
+
+
+def _stream_last_txn(path: str, app_id: str):
+    """Highest committed txn version for ``app_id`` — a log walk
+    without a SparkSession (stream writer commit hooks run where none
+    is guaranteed)."""
+    from dataset_grouper_spark.sources.delta import (
+        _latest_checkpoint,
+        delta_versions,
+        _log_path,
+    )
+
+    best = None
+    ckpt = _latest_checkpoint(path, 1 << 60)
+    if ckpt is not None:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(ckpt[1])
+        if "txn" in pf.schema_arrow.names:
+            tbl = pq.read_table(ckpt[1], columns=["txn"])
+            for rec in tbl.column("txn").to_pylist():
+                if rec and rec.get("appId") == app_id:
+                    v = int(rec.get("version") or 0)
+                    best = v if best is None else max(best, v)
+    log = _log_path(path)
+    for v in delta_versions(path):
+        if ckpt is not None and v <= ckpt[0]:
+            continue
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    tv = int(t.get("version") or 0)
+                    best = tv if best is None else max(best, tv)
+    return best
+
+
 class DeltaLiteDataSource(DataSource):
     """``spark.dataSource.register(DeltaLiteDataSource)`` then
     ``.format("delta_lite").option("path", table_path)``. Options:
@@ -534,6 +680,10 @@ class DeltaLiteDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return _DeltaLiteArrowWriter(self._path(), overwrite, schema)
+
+    def streamWriter(self, schema, overwrite):
+        app = self.options.get("txnAppId") or "delta_lite_stream"
+        return _DeltaLiteStreamArrowWriter(self._path(), schema, app)
 
     def streamReader(self, schema):
         sv = self.options.get("startingVersion")

@@ -279,3 +279,58 @@ class TestWrite:
             df.write.format("delta_lite").mode("append").option(
                 "path", t
             ).save()
+
+
+class TestStreamWrite:
+    def _drain(self, spark, src_dir, t, ckpt, app=None):
+        batch = spark.read.parquet(src_dir)
+        reader = spark.readStream.schema(batch.schema).parquet(src_dir)
+        w = (
+            reader.writeStream.format("delta_lite")
+            .option("path", t)
+            .option("checkpointLocation", ckpt)
+        )
+        if app:
+            w = w.option("txnAppId", app)
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    def test_stream_write_exactly_once(self, registered, tmp_path):
+        spark = registered
+        src = str(tmp_path / "src")
+        t, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+        spark.range(50).withColumn("v", F.col("id") * 2).write.parquet(src)
+        self._drain(spark, src, t, ckpt)
+        assert read_delta(spark, t).count() == 50
+        # drain again with the SAME checkpoint: nothing new
+        self._drain(spark, src, t, ckpt)
+        assert read_delta(spark, t).count() == 50
+        # new source file, same checkpoint: only the delta arrives
+        spark.range(50, 60).withColumn("v", F.col("id") * 2).write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, t, ckpt)
+        assert sorted(
+            r["id"] for r in read_delta(spark, t).collect()
+        ) == list(range(60))
+
+    def test_stream_write_replayed_batch_is_noop(self, registered, tmp_path):
+        spark = registered
+        src = str(tmp_path / "src")
+        t = str(tmp_path / "tbl")
+        spark.range(10).withColumn("v", F.lit(1)).write.parquet(src)
+        # two different checkpoints, same appId: the second stream
+        # replays batchId 0, which the txn ledger must reject
+        self._drain(spark, src, t, str(tmp_path / "c1"), app="app1")
+        assert read_delta(spark, t).count() == 10
+        self._drain(spark, src, t, str(tmp_path / "c2"), app="app1")
+        assert read_delta(spark, t).count() == 10
+        # a DIFFERENT appId is a genuinely new writer: rows land again
+        self._drain(spark, src, t, str(tmp_path / "c3"), app="app2")
+        assert read_delta(spark, t).count() == 20
+        # no orphan parquet files beyond the live set
+        from dataset_grouper_spark.sources.delta import _replay
+
+        adds, _m = _replay(spark, t, 1)
+        on_disk = {n for n in os.listdir(t) if n.endswith(".parquet")}
+        assert on_disk == set(adds)

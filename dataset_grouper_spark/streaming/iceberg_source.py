@@ -33,11 +33,16 @@ path (`sources.iceberg.read_iceberg`) provides.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -242,6 +247,265 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's own checkpoint
 
 
+class _IceWriteMessage(WriterCommitMessage):
+    def __init__(self, path: str | None, size: int, nrows: int):
+        self.path = path
+        self.size = size
+        self.nrows = nrows
+
+
+def _ice_schema_fields(schema: StructType) -> list[dict]:
+    from dataset_grouper_spark.sources.iceberg import _iceberg_type
+
+    return [
+        {
+            "id": i + 1,
+            "name": f.name,
+            "required": False,
+            "type": _iceberg_type(f.dataType.simpleString()),
+        }
+        for i, f in enumerate(schema.fields)
+    ]
+
+
+class _IcebergLiteArrowWriter(DataSourceArrowWriter):
+    """Write half of ``iceberg_lite`` — spec-shaped snapshot commits
+    through the Python data source API:
+
+        df.write.format("iceberg_lite").mode("append")
+          .option("path", t).save()
+
+    Each task streams its Arrow batches into ONE parquet file under
+    ``<table>/data`` (invisible until the snapshot commits), and the
+    driver commit writes an Avro manifest with Appendix-D column
+    bounds + a manifest list + the next metadata version (exclusive
+    claim). ``mode("overwrite")`` commits a snapshot whose manifest
+    list carries NOTHING over — the spec's replace-table semantics,
+    with full time travel to the pre-overwrite snapshots.
+
+    Honest gates: unpartitioned writes, exact schema match on
+    existing tables (evolution goes through
+    ``iceberg_append(merge_schema=True)``)."""
+
+    def __init__(self, path: str, overwrite: bool, schema: StructType):
+        self.path = os.path.abspath(path)
+        self.overwrite = overwrite
+        self.schema = schema
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        ddir = os.path.join(self.path, "data")
+        os.makedirs(ddir, exist_ok=True)
+        dst = os.path.join(ddir, f"w-{uuid.uuid4().hex}.parquet")
+        writer = None
+        nrows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(dst, batch.schema)
+            writer.write_batch(batch)
+            nrows += batch.num_rows
+        if writer is None:
+            return _IceWriteMessage(None, 0, 0)
+        writer.close()
+        return _IceWriteMessage(dst, os.path.getsize(dst), nrows)
+
+    def _cleanup(self, messages):
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+    def abort(self, messages):
+        self._cleanup(messages)
+
+    def _load_or_create_meta(self):
+        import uuid
+
+        from dataset_grouper_spark.sources.iceberg import _load_metadata
+
+        mdir = os.path.join(self.path, "metadata")
+        exists = os.path.isdir(mdir) and any(
+            n.endswith(".metadata.json") for n in os.listdir(mdir)
+        )
+        if exists:
+            meta = _load_metadata(self.path)
+            cur = next(
+                (
+                    s
+                    for s in meta.get("schemas") or []
+                    if s.get("schema-id") == meta.get("current-schema-id")
+                ),
+                None,
+            )
+            want = _ice_schema_fields(self.schema)
+            have = [
+                {"name": f["name"], "type": f["type"]}
+                for f in (cur or {}).get("fields", [])
+            ]
+            if [{"name": f["name"], "type": f["type"]} for f in want] != have:
+                raise ValueError(
+                    f"iceberg_lite write: schema mismatch — table has "
+                    f"{have}, frame maps to {want}"
+                )
+            spec = next(
+                (
+                    s
+                    for s in meta.get("partition-specs") or []
+                    if s.get("spec-id") == meta.get("default-spec-id", 0)
+                ),
+                {"fields": []},
+            )
+            if spec.get("fields"):
+                raise NotImplementedError(
+                    "iceberg_lite write: partitioned tables are not "
+                    "wired through the data source API — use "
+                    "sources.iceberg.iceberg_append(partition_spec=...)"
+                )
+            return meta, cur
+        os.makedirs(mdir, exist_ok=True)
+        fields = _ice_schema_fields(self.schema)
+        schema_entry = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": fields,
+        }
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": self.path,
+            "current-snapshot-id": None,
+            "schemas": [schema_entry],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "snapshots": [],
+        }
+        return meta, schema_entry
+
+    def _commit_files(self, messages, summary=None, carry=None) -> int:
+        import uuid
+
+        from dataset_grouper_spark.sources.avro import write_avro_file
+        from dataset_grouper_spark.sources.iceberg import (
+            _MANIFEST_SCHEMA,
+            _commit_snapshot,
+            _footer_bounds,
+        )
+
+        meta, schema_entry = self._load_or_create_meta()
+        snap_id = (
+            max(
+                (s["snapshot-id"] for s in meta["snapshots"]),
+                default=0,
+            )
+            + 1
+        )
+        entries = []
+        for m in messages:
+            if m is None or not m.path:
+                continue
+            lo_b, hi_b = _footer_bounds(m.path, schema_entry["fields"])
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": m.path,
+                        "file_format": "PARQUET",
+                        "record_count": m.nrows,
+                        "file_size_in_bytes": m.size,
+                        "equality_ids": None,
+                        "lower_bounds": lo_b,
+                        "upper_bounds": hi_b,
+                    },
+                }
+            )
+        mdir = os.path.join(self.path, "metadata")
+        mpath = os.path.join(mdir, f"w-{snap_id}-{uuid.uuid4().hex}.avro")
+        write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
+        return _commit_snapshot(
+            self.path,
+            meta,
+            snap_id,
+            mpath,
+            content=0,
+            summary=summary,
+            carry_content=carry,
+        )
+
+    def commit(self, messages):
+        try:
+            # overwrite: the new manifest list carries NOTHING over —
+            # replace-table semantics, previous snapshots time-travel
+            self._commit_files(
+                messages,
+                summary={"operation": "overwrite"}
+                if self.overwrite
+                else None,
+                carry=set() if self.overwrite else None,
+            )
+        except Exception:
+            self._cleanup(messages)
+            raise
+
+
+class _IcebergLiteStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming write half: ``df.writeStream.format("iceberg_lite")``
+    — exactly-once via the epoch scheme `iceberg_append_epoch` uses:
+    the snapshot summary carries ``{app-id, epoch=batchId}`` atomically
+    with the commit and an append-only per-app ledger survives
+    snapshot expiry; a replayed batch no-ops and removes its files."""
+
+    def __init__(self, path: str, schema: StructType, app_id: str):
+        self.path = os.path.abspath(path)
+        self.schema = schema
+        self.app_id = app_id
+        self.overwrite = False
+
+    write = _IcebergLiteArrowWriter.write
+    _cleanup = _IcebergLiteArrowWriter._cleanup
+    _load_or_create_meta = _IcebergLiteArrowWriter._load_or_create_meta
+    _commit_files = _IcebergLiteArrowWriter._commit_files
+
+    def commit(self, messages, batchId):
+        from dataset_grouper_spark.sources.iceberg import (
+            _epoch_ledger_path,
+            iceberg_last_epoch,
+        )
+
+        mdir = os.path.join(self.path, "metadata")
+        exists = os.path.isdir(mdir) and any(
+            n.endswith(".metadata.json") for n in os.listdir(mdir)
+        )
+        if exists:
+            last = iceberg_last_epoch(self.path, self.app_id)
+            if last is not None and batchId <= last:
+                self._cleanup(messages)  # replayed epoch: no-op
+                return
+        try:
+            self._commit_files(
+                messages,
+                summary={"app-id": self.app_id, "epoch": int(batchId)},
+            )
+        except Exception:
+            self._cleanup(messages)
+            raise
+        with open(
+            _epoch_ledger_path(self.path, self.app_id), "a"
+        ) as f:
+            f.write(f"{int(batchId)}\n")
+
+    def abort(self, messages, batchId):
+        self._cleanup(messages)
+
+
 class IcebergLiteDataSource(DataSource):
     """``spark.dataSource.register(IcebergLiteDataSource)`` then
     ``.format("iceberg_lite").option("path", table_path)``. Options:
@@ -265,6 +529,13 @@ class IcebergLiteDataSource(DataSource):
 
     def reader(self, schema):
         return _IcebergLiteBatchReader(self._path())
+
+    def writer(self, schema, overwrite):
+        return _IcebergLiteArrowWriter(self._path(), overwrite, schema)
+
+    def streamWriter(self, schema, overwrite):
+        app = self.options.get("epochAppId") or "iceberg_lite_stream"
+        return _IcebergLiteStreamArrowWriter(self._path(), schema, app)
 
     def streamReader(self, schema):
         sv = self.options.get("startingSequence")

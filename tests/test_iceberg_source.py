@@ -162,3 +162,89 @@ class TestStream:
         )
         got = spark.read.format("iceberg_lite").option("path", t).load()
         assert got.filter("v IS NULL").count() == 0
+
+
+class TestWrite:
+    def test_write_creates_appends_overwrites(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl")
+        spark.range(50).withColumn("v", F.col("id") * 2).write.format(
+            "iceberg_lite"
+        ).mode("append").option("path", t).save()
+        assert read_iceberg(spark, t).count() == 50
+        spark.range(50, 60).withColumn("v", F.col("id") * 2).write.format(
+            "iceberg_lite"
+        ).mode("append").option("path", t).save()
+        assert sorted(
+            r["id"] for r in read_iceberg(spark, t).collect()
+        ) == list(range(60))
+        # API-written manifests carry bounds: skip filters prune
+        from dataset_grouper_spark.sources.iceberg import (
+            _live_files,
+            _load_metadata,
+        )
+
+        meta = _load_metadata(t)
+        snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+            meta["current-snapshot-id"]
+        ]
+        total, _d, _r, _e = _live_files(t, snap)
+        kept, _d, _r, _e = _live_files(
+            t, snap, None, [(1, "<=", 10)], {1: "long"}
+        )
+        assert len(kept) < len(total)
+        # overwrite: replace-table semantics + time travel intact
+        pre = meta["current-snapshot-id"]
+        spark.range(5).withColumn("v", F.lit(0).cast("long")).write.format(
+            "iceberg_lite"
+        ).mode("overwrite").option("path", t).save()
+        assert read_iceberg(spark, t).count() == 5
+        assert read_iceberg(spark, t, pre).count() == 60
+
+    def test_write_schema_mismatch_and_roundtrip(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl2")
+        df = spark.range(20).withColumn("v", F.col("id") % 3)
+        df.write.format("iceberg_lite").mode("append").option(
+            "path", t
+        ).save()
+        got = spark.read.format("iceberg_lite").option("path", t).load()
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in df.collect()
+        }
+        bad = spark.range(5).withColumn("other", F.lit(1))
+        with pytest.raises(Exception, match="schema mismatch"):
+            bad.write.format("iceberg_lite").mode("append").option(
+                "path", t
+            ).save()
+
+
+class TestStreamWrite:
+    def _drain(self, spark, src, t, ckpt, app=None):
+        batch = spark.read.parquet(src)
+        w = (
+            spark.readStream.schema(batch.schema)
+            .parquet(src)
+            .writeStream.format("iceberg_lite")
+            .option("path", t)
+            .option("checkpointLocation", ckpt)
+        )
+        if app:
+            w = w.option("epochAppId", app)
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    def test_stream_write_exactly_once(self, registered, tmp_path):
+        spark = registered
+        src = str(tmp_path / "src")
+        t, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+        spark.range(40).withColumn("v", F.col("id") * 2).write.parquet(src)
+        self._drain(spark, src, t, ckpt)
+        assert read_iceberg(spark, t).count() == 40
+        self._drain(spark, src, t, ckpt)  # same checkpoint: no-op
+        assert read_iceberg(spark, t).count() == 40
+        # fresh checkpoint, same app: epoch 0 replay rejected
+        self._drain(spark, src, t, str(tmp_path / "c2"), app="a1")
+        n = read_iceberg(spark, t).count()
+        self._drain(spark, src, t, str(tmp_path / "c3"), app="a1")
+        assert read_iceberg(spark, t).count() == n

@@ -5443,8 +5443,15 @@ def q_streaming_iceberg_source(spark: SparkSession, sf: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="iceberg_src_")
     table = os.path.join(base, "tbl")
     for r in (0, 1):
-        iceberg_append(
-            spark, docs.filter(F.col("doc_id") % 3 == r).coalesce(1), table
+        # commits land through the format-API WRITE half, so this
+        # oracle row covers writer AND reader
+        (
+            docs.filter(F.col("doc_id") % 3 == r)
+            .coalesce(1)
+            .write.format("iceberg_lite")
+            .mode("append")
+            .option("path", table)
+            .save()
         )
 
     def run(sink, ckpt, starting=None):
@@ -5467,8 +5474,13 @@ def q_streaming_iceberg_source(spark: SparkSession, sf: str) -> DataFrame:
     sink_b, ckpt_b = os.path.join(base, "b"), os.path.join(base, "ckpt_b")
     run(sink_a, ckpt_a)
     iceberg_rewrite_data_files(spark, table)  # seq 3: replace, no rows
-    iceberg_append(
-        spark, docs.filter(F.col("doc_id") % 3 == 2).coalesce(1), table
+    (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .coalesce(1)
+        .write.format("iceberg_lite")
+        .mode("append")
+        .option("path", table)
+        .save()
     )  # seq 4
     run(sink_a, ckpt_a)  # resume: ONLY the new append
     run(sink_b, ckpt_b, starting=4)  # slice: only the final append

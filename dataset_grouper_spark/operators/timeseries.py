@@ -51,6 +51,11 @@ def rolling(
     w = int(window_seconds)
     if w <= 0:
         raise ValueError(f"rolling: window_seconds must be > 0, got {w}")
+    clash = sorted(set(aggs) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"rolling: output names {clash} collide with input columns"
+        )
     win = (
         Window.partitionBy(*group_cols)
         .orderBy(F.col(ts_col).cast("long"))

@@ -180,3 +180,11 @@ def test_rolling_validates(spark):
     df = spark.createDataFrame([("g", 1, 1.0)], "g string, sec long, v double")
     with pytest.raises(ValueError, match="window_seconds"):
         rolling(df, "sec", 0, ["g"], {"n": F.count(F.lit(1))})
+
+
+def test_rolling_name_collision_raises(spark):
+    from dataset_grouper_spark.operators.timeseries import rolling
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, sec long, v double")
+    with pytest.raises(ValueError, match="collide"):
+        rolling(df, "sec", 10, ["g"], {"v": F.sum("v")})

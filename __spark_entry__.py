@@ -5695,6 +5695,37 @@ def q_delta_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_quarantine_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level dead-letter split (operators/expectations.py
+    quarantine + row_predicate): the corpus runs through a 3-check
+    suite and every FAILING row comes back with the ordered names of
+    the checks it violated — the quarantine/triage shape streaming
+    ingest gates route on (streaming/quality_gate.py wraps the same
+    split as a foreachBatch hook). NULL-scoped semantics are pinned:
+    a NULL lang fails completeness but NOT in_set, and a NULL
+    satisfies-predicate fails its row. The oracle rebuilds the failed
+    list with ordered CASE arms, so wrong NULL handling or suite-order
+    drift hash-mismatches."""
+    from dataset_grouper_spark.operators.expectations import (
+        completeness,
+        in_set,
+        quarantine,
+        satisfies,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    suite = [
+        completeness("lang"),
+        in_set("lang", ["en", "de", "fr"]),
+        satisfies("text_min_50", "length(text) >= 50"),
+    ]
+    _good, bad = quarantine(docs, suite)
+    return bad.select(
+        "doc_id",
+        F.concat_ws("|", "failed_checks").alias("failed_checks"),
+    )
+
+
 def q_rolling_window_events(spark: SparkSession, sf: str) -> DataFrame:
     """TIME-RANGE rolling aggregates (operators/timeseries.py
     rolling): per user, each event's trailing-hour event count and
@@ -5934,6 +5965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     session; leads tier A in r7 with the displaced entries
         #     below.
         "rolling_window_events": q_rolling_window_events,
+        "quality_quarantine_documents": q_quality_quarantine_documents,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -7227,6 +7259,24 @@ def oracle_sql() -> dict[str, str]:
                                  THEN strlen(text) END)
                         AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "quality_quarantine_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                    concat_ws('|',
+                        CASE WHEN lang IS NULL
+                             THEN 'completeness:lang' END,
+                        CASE WHEN NOT (lang IS NULL OR
+                                       lang IN ('en', 'de', 'fr'))
+                             THEN 'in_set:lang' END,
+                        CASE WHEN NOT COALESCE(length(text) >= 50,
+                                               FALSE)
+                             THEN 'satisfies:text_min_50' END
+                    ) AS failed_checks
+                FROM documents
+            )
+            SELECT doc_id, failed_checks FROM t
+            WHERE failed_checks <> ''
         """,
         "rolling_window_events": """
             SELECT user_id, event_id,

@@ -57,6 +57,8 @@ class Check:
     den_spark: "Callable[[], Column]"
     num_sql: str
     den_sql: str
+    # raw constructor parameters, for the row-level predicate form
+    params: tuple = ()
 
     @property
     def name(self) -> str:
@@ -100,6 +102,7 @@ def in_range(col: str, lo, hi, threshold: float = 1.0) -> Check:
         f"CAST(count(CASE WHEN {col} BETWEEN {_sql_quote(lo)} AND "
         f"{_sql_quote(hi)} THEN 1 END) AS DOUBLE)",
         f"CAST(count({col}) AS DOUBLE)",
+        params=(lo, hi),
     )
 
 
@@ -113,6 +116,7 @@ def matches(col: str, pattern: str, threshold: float = 1.0) -> Check:
         f"CAST(count(CASE WHEN regexp_matches({col}, "
         f"{_sql_quote(pattern)}) THEN 1 END) AS DOUBLE)",
         f"CAST(count({col}) AS DOUBLE)",
+        params=(pattern,),
     )
 
 
@@ -130,6 +134,7 @@ def in_set(col: str, values, threshold: float = 1.0) -> Check:
         f"({', '.join(_sql_quote(v) for v in vals)}) THEN 1 END) "
         "AS DOUBLE)",
         f"CAST(count({col}) AS DOUBLE)",
+        params=(vals,),
     )
 
 
@@ -144,7 +149,63 @@ def satisfies(name: str, predicate_sql: str, threshold: float = 1.0) -> Check:
         lambda: F.count(F.lit(1)).cast("double"),
         f"CAST(count(CASE WHEN {predicate_sql} THEN 1 END) AS DOUBLE)",
         "CAST(count(*) AS DOUBLE)",
+        params=(predicate_sql,),
     )
+
+
+def row_predicate(check: Check) -> Column:
+    """The ROW-LEVEL version of a check's law — the predicate a single
+    row must satisfy for the dead-letter/quarantine split. NULL values
+    PASS the non-null-scoped checks (in_range/matches/in_set count
+    non-null rows only — null-ness is completeness's job), matching
+    the suite rates exactly. ``uniqueness`` has no row-level form
+    (it is a property of the collection) and raises."""
+    col, kind = check.column, check.kind
+    if kind == "completeness":
+        return F.col(col).isNotNull()
+    if kind == "in_range":
+        lo, hi = check.params
+        return F.col(col).isNull() | F.col(col).between(
+            F.lit(lo), F.lit(hi)
+        )
+    if kind == "matches":
+        (pattern,) = check.params
+        return F.col(col).isNull() | F.col(col).rlike(pattern)
+    if kind == "in_set":
+        (vals,) = check.params
+        return F.col(col).isNull() | F.col(col).isin(list(vals))
+    if kind == "satisfies":
+        (predicate_sql,) = check.params
+        # NULL predicate = row fails (the rate counts only TRUE)
+        return F.coalesce(F.expr(predicate_sql), F.lit(False))
+    raise ValueError(
+        f"row_predicate: check kind {kind!r} has no row-level form"
+    )
+
+
+def quarantine(
+    df: DataFrame, checks: list[Check]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: ``(good, bad)`` where ``bad`` carries a
+    ``failed_checks`` array naming every violated check in suite
+    order. One projection, no extra scan — the streaming ingest-gate
+    shape (route ``bad`` to a quarantine sink, let ``good`` flow).
+    All checks must have a row-level form (no ``uniqueness``)."""
+    preds = [(c.name, row_predicate(c)) for c in checks]
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(p, F.lit(False)), F.lit(name))
+                for name, p in preds
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_checks", failed)
+    good = tagged.filter(F.size("failed_checks") == 0).drop(
+        "failed_checks"
+    )
+    bad = tagged.filter(F.size("failed_checks") > 0)
+    return good, bad
 
 
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:

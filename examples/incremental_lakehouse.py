@@ -75,20 +75,23 @@ def main() -> None:
     )
 
     # 5) Structured Streaming tails the snapshot log through the
-    #    registered iceberg_lite source (availableNow drains the log)
-    sink = os.path.join(base, "sink")
+    #    registered iceberg_lite source and lands the stream in a
+    #    SECOND Iceberg table through the format's exactly-once
+    #    streaming WRITER — lakehouse-to-lakehouse, no jars
+    mirror = os.path.join(base, "mirror")
     q = (
         spark.readStream.format("iceberg_lite")
         .option("path", table)
         .load()
-        .writeStream.format("parquet")
-        .option("path", sink)
+        .writeStream.format("iceberg_lite")
+        .option("path", mirror)
+        .option("epochAppId", "mirror-job")
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    print("streamed rows:", spark.read.parquet(sink).count())
+    print("mirrored rows:", read_iceberg(spark, mirror).count())
 
     # 6) regularize onto a dense hourly grid with forward-fill
     rollup = gap_fill(

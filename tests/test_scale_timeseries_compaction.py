@@ -77,3 +77,42 @@ def _snap(t):
     return {s["snapshot-id"]: s for s in meta["snapshots"]}[
         meta["current-snapshot-id"]
     ]
+
+
+@pytest.mark.slow
+def test_format_writer_many_tasks(spark, tmp_path):
+    # 64-task format-API write: one file per task, one atomic commit,
+    # stats recorded for every file, content exact
+    from dataset_grouper_spark.sources.delta import (
+        _replay,
+        delta_skip_plan,
+        read_delta,
+    )
+    from dataset_grouper_spark.streaming.delta_source import (
+        DeltaLiteDataSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaLiteDataSource)
+    except Exception:
+        pass
+    t = str(tmp_path / "big")
+    n = 1_000_000
+    (
+        spark.range(n)
+        .withColumn("v", (F.col("id") * 7) % 1000)
+        .repartitionByRange(64, "id")
+        .sortWithinPartitions("id")
+        .write.format("delta_lite")
+        .mode("append")
+        .option("path", t)
+        .save()
+    )
+    adds, _m = _replay(spark, t, 0)
+    assert len(adds) == 64
+    got = read_delta(spark, t)
+    assert got.count() == n
+    assert got.agg(F.sum("id")).collect()[0][0] == (n - 1) * n // 2
+    # every file carries stats: a range filter prunes most files
+    kept, total = delta_skip_plan(spark, t, [("id", "<=", n // 64)])
+    assert total == 64 and len(kept) <= 3

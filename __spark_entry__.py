@@ -2760,6 +2760,71 @@ def q_audio_adpcm_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+G711_RATE = 8000
+
+
+def _g711_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, content) of mono G.711 WAVs — mu-law (format tag 7)
+    for even doc_id, A-law (tag 6) for odd.  Code byte ``i`` of doc
+    ``d`` is ``(d*7 + i*13) % 256`` over ``48 + d%41`` samples at
+    8000 Hz, sweeping every code value including both signs and the
+    ±0 mu-law codes.  The oracle decodes the same byte formula with
+    the G.711 expansion written in SQL — change only in lockstep."""
+    import struct
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            outs = []
+            for d in ids:
+                d = int(d)
+                n = 48 + d % 41
+                codes = bytes((d * 7 + i * 13) % 256 for i in range(n))
+                tag = 7 if d % 2 == 0 else 6
+                fmt = struct.pack(
+                    "<HHIIHH", tag, 1, G711_RATE, G711_RATE, 1, 8
+                )
+                outs.append(
+                    b"RIFF"
+                    + struct.pack(
+                        "<I", 4 + 8 + len(fmt) + 12 + 8 + len(codes)
+                    )
+                    + b"WAVEfmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"fact"
+                    + struct.pack("<II", 4, n)
+                    + b"data"
+                    + struct.pack("<I", len(codes))
+                    + codes
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": outs})
+
+    return _spread(df.select("doc_id")).mapInPandas(
+        gen, "doc_id long, content binary"
+    )
+
+
+def q_audio_g711_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL G.711 telephony-audio decode (WAV format tags 6 = A-law,
+    7 = mu-law — the ITU-T logarithmic 8-bit codings every telephony
+    corpus is stored in), pure table-lookup expansion in
+    operators/audio.py. Oracled in closed form: the fixture stores raw
+    code bytes from a known formula and the DuckDB twin performs the
+    SAME G.711 integer expansion (complement / xor-0x55, segment
+    shift, bias) in SQL — a wrong sign convention, segment threshold,
+    or bias hash-mismatches on the first byte. Reference analogue:
+    audio payloads are opaque bytes features to the grouper
+    (dataset_grouper/core/serialization.py:23-48); decode is an
+    extension."""
+    from dataset_grouper_spark.operators import audio
+
+    wavs = _g711_frame(read_table(spark, sf, "documents"))
+    return audio.audio_features(wavs, "content", "doc_id")
+
+
 COSINE_PAIR_T = 0.45
 
 
@@ -5966,6 +6031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     below.
         "rolling_window_events": q_rolling_window_events,
         "quality_quarantine_documents": q_quality_quarantine_documents,
+        # G.711 mu-law/A-law decode (session-4 addition) — locally
+        # sf0.01-hash-verified; leads tier A in r7 with the block above.
+        "audio_g711_features": q_audio_g711_features,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -8031,6 +8099,58 @@ def oracle_sql() -> dict[str, str]:
         "audio_adpcm_features": oracles.adpcm_features_sql(
             "documents", "doc_id", ADPCM_NIBS, ADPCM_RATE
         ),
+        # G.711: decode the fixture's code bytes with the spec's
+        # integer expansion spelled directly in SQL.  mu-law (even
+        # doc_id): c = 255-u, v = ±(((c%16)*8 + 132) << ((c//16)%8))
+        # ∓ 132 with c>=128 negative.  A-law (odd): c = xor(u,85),
+        # seg 0 → m*16+8, seg 1 → m*16+264, else (m*16+264)<<(seg-1),
+        # c>=128 POSITIVE (A-law's inverted sign convention).
+        "audio_g711_features": f"""
+            WITH s AS (
+              SELECT d.doc_id, i.i,
+                     (d.doc_id * 7 + i.i * 13) % 256 AS u
+              FROM documents d
+              JOIN generate_series(0, 88) i(i)
+                ON i.i < 48 + d.doc_id % 41
+            ), dec AS (
+              SELECT doc_id, i,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  CASE WHEN (255 - u) >= 128
+                    THEN 132 - ((((255 - u) % 16) * 8 + 132)
+                                 << (((255 - u) // 16) % 8))
+                    ELSE ((((255 - u) % 16) * 8 + 132)
+                           << (((255 - u) // 16) % 8)) - 132
+                  END
+                ELSE
+                  (CASE WHEN xor(u, 85) >= 128 THEN 1 ELSE -1 END) *
+                  (CASE (xor(u, 85) // 16) % 8
+                     WHEN 0 THEN (xor(u, 85) % 16) * 16 + 8
+                     WHEN 1 THEN (xor(u, 85) % 16) * 16 + 264
+                     ELSE ((xor(u, 85) % 16) * 16 + 264)
+                          << ((xor(u, 85) // 16) % 8 - 1)
+                   END)
+                END AS v
+              FROM s
+            ), f AS (
+              SELECT doc_id, i, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM dec
+            )
+            SELECT doc_id AS id,
+                   CAST(1 AS INT) AS channels,
+                   CAST({G711_RATE} AS INT) AS sample_rate,
+                   CAST(8 AS INT) AS bits,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(count(*) * 1000 // {G711_RATE} AS BIGINT)
+                     AS duration_ms,
+                   CAST(max(abs(v)) AS BIGINT) AS peak,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(sum(CASE WHEN pv IS NOT NULL
+                                  AND ((v >= 0) != (pv >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings
+            FROM f GROUP BY doc_id
+        """,
         # FLAC is lossless over the same waveform formula, so its twin
         # IS the WAV features twin
         "audio_flac_features": """

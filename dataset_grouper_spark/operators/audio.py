@@ -364,11 +364,153 @@ def encode_wav_ima_adpcm(
     )
 
 
+# G.711 companded telephony audio (WAV format tags 6 = A-law and
+# 7 = mu-law) — the ITU-T G.711 logarithmic 8-bit encodings.  The
+# expansion is pure integer arithmetic (published spec; the classic
+# public-domain reference implementation is Sun Microsystems' g711.c),
+# so decode is a 256-entry lookup table built from the closed form —
+# no codec library, and the same arithmetic is expressible in the SQL
+# oracle twin.
+
+_G711_BIAS = 0x84  # mu-law bias (132)
+
+
+def _ulaw_expand_one(u: int) -> int:
+    """Scalar mu-law expansion per G.711: complement, split into
+    sign/segment/mantissa, shift out of the log domain."""
+    c = ~u & 0xFF
+    t = ((c & 0x0F) << 3) + _G711_BIAS
+    t <<= (c & 0x70) >> 4
+    return (_G711_BIAS - t) if (c & 0x80) else (t - _G711_BIAS)
+
+
+def _alaw_expand_one(a: int) -> int:
+    """Scalar A-law expansion per G.711: even-bit inversion (xor 0x55),
+    then segment decode; sign bit SET means positive in A-law."""
+    c = a ^ 0x55
+    t = (c & 0x0F) << 4
+    seg = (c & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (c & 0x80) else -t
+
+
+_ULAW_TABLE = np.array([_ulaw_expand_one(u) for u in range(256)], np.int32)
+_ALAW_TABLE = np.array([_alaw_expand_one(a) for a in range(256)], np.int32)
+
+
+def parse_wav_g711_header(b: bytes):
+    """Walk RIFF chunks of a G.711 WAV (format tag 6 or 7; 8 bits per
+    sample, one byte per sample per channel); return ``(law, channels,
+    rate, data_off, data_len)`` with ``law`` in {"alaw", "ulaw"} or
+    ``None`` if not a G.711 WAV."""
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            if body + 16 > len(b):
+                return None
+            audio_fmt, channels, rate = struct.unpack(
+                "<HHI", b[body : body + 8]
+            )
+            if audio_fmt not in (6, 7) or rate == 0 or channels == 0:
+                return None
+            fmt = ("alaw" if audio_fmt == 6 else "ulaw", channels, rate)
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            law, channels, rate = fmt
+            data_len = min(size, len(b) - body)
+            data_len -= data_len % channels  # whole frames only
+            return (law, channels, rate, body, data_len)
+        pos = body + size + (size & 1)
+    return None
+
+
+def decode_wav_g711(b: bytes):
+    """Decode a G.711 mu-law/A-law WAV to ``(samples, rate)`` — int32
+    ndarray of shape ``(n_frames, channels)`` in 13/14-bit linear range
+    (A-law ±4032, mu-law ±8031), one table lookup per byte."""
+    hdr = parse_wav_g711_header(b)
+    if hdr is None:
+        raise ValueError("not a G.711 (A-law/mu-law) WAV payload")
+    law, channels, rate, off, data_len = hdr
+    raw = np.frombuffer(b[off : off + data_len], dtype=np.uint8)
+    table = _ALAW_TABLE if law == "alaw" else _ULAW_TABLE
+    return table[raw].reshape(-1, channels), rate
+
+
+def _g711_encoder(table: np.ndarray):
+    """Build a vectorized linear→code encoder from a decode table:
+    each int16 sample maps to the code whose reconstruction level is
+    NEAREST (ties toward the lower level).  Nearest-level quantization
+    is the encoder's defining property; it guarantees the exact
+    round-trip ``decode(encode(level)) == level`` for every one of the
+    256 representable levels, which is what the fixtures and property
+    tests pin."""
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int64)
+    # midpoints between adjacent reconstruction levels: searchsorted
+    # against them assigns each input to its nearest level
+    mids = (levels[:-1] + levels[1:] + 1) // 2
+
+    def encode(x: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(mids, x.astype(np.int64), side="right")
+        return order[idx].astype(np.uint8)
+
+    return encode
+
+
+_ULAW_ENCODE = _g711_encoder(_ULAW_TABLE)
+_ALAW_ENCODE = _g711_encoder(_ALAW_TABLE)
+
+
+def encode_wav_g711(samples, sample_rate: int, law: str = "ulaw") -> bytes:
+    """Encode int16-range samples (shape ``(n,)`` or ``(n, ch)``) as a
+    G.711 WAV (format tag 7 for mu-law, 6 for A-law) with a fact
+    chunk, per the WAV conventions for compressed formats."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    enc = _ULAW_ENCODE if law == "ulaw" else _ALAW_ENCODE
+    data = enc(arr.ravel()).tobytes()
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    n = arr.shape[0]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, n)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def decode_wav_any(b: bytes):
     """Route an audio payload to its codec: WAV integer PCM (format
-    1), WAV IMA ADPCM (format 0x11), or FLAC (full pure-stdlib decode
-    — operators/flac.py). Returns ``(samples, rate, bits)`` — bits is
-    the container's stored depth."""
+    1), WAV IMA ADPCM (format 0x11), G.711 A-law/mu-law (formats 6/7),
+    or FLAC (full pure-stdlib decode — operators/flac.py). Returns
+    ``(samples, rate, bits)`` — bits is the container's stored depth."""
     if b[:4] == b"fLaC":
         from dataset_grouper_spark.operators.flac import (
             decode_flac,
@@ -384,6 +526,10 @@ def decode_wav_any(b: bytes):
     if hdr is not None:
         samples, rate = decode_wav_pcm(b)
         return samples, rate, hdr[2]
+    g711 = parse_wav_g711_header(b)
+    if g711 is not None:
+        samples, rate = decode_wav_g711(b)
+        return samples, rate, 8
     samples, rate = decode_wav_ima_adpcm(b)  # raises ValueError if not
     return samples, rate, 4
 

@@ -3268,6 +3268,40 @@ def q_hll_distinct_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+KMV_K = 64
+
+
+def q_kmv_distinct_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized KMV / bottom-k ("theta"-style) distinct sketches
+    (functions/sketches.py): per-event-type kept-hash sets over
+    user_id (150 distinct > k=64, so the (k-1)/theta estimator branch
+    runs, not the exact one), the lossless roll-up UNION across all
+    types, and a theta-rule INTERSECTION estimate of click∩view users
+    — the set algebra HLL registers cannot do. The md5 hash idiom
+    makes every kept hash, and therefore every estimate, engine-
+    portable: the DuckDB twin reproduces kept sets bit-exactly and the
+    estimates to the shared 4-decimal round."""
+    from dataset_grouper_spark.functions import sketches
+
+    ev = read_table(spark, sf, "events")
+    sk = sketches.kmv_build(ev, "user_id", ("event_type",), k=KMV_K)
+    per = sketches.kmv_estimate(sk, ("event_type",), KMV_K).select(
+        F.col("event_type").alias("scope"), "n_hashes", "est"
+    )
+    union_sk = sketches.kmv_merge(sk, group_cols=())
+    total = sketches.kmv_estimate(union_sk, (), KMV_K).select(
+        F.lit("__union__").alias("scope"), "n_hashes", "est"
+    )
+    sa = sk.where(F.col("event_type") == "click").drop("event_type")
+    sb = sk.where(F.col("event_type") == "view").drop("event_type")
+    inter = sketches.kmv_intersect_estimate(sa, sb, KMV_K).select(
+        F.lit("click&view").alias("scope"),
+        F.col("matched").alias("n_hashes"),
+        F.col("est_intersect").alias("est"),
+    )
+    return per.unionByName(total).unionByName(inter)
+
+
 def q_matview_refresh_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental materialized-aggregate lifecycle: materialize the
     per-source (rows, bytes, id-sum) rollup over HALF the corpus, then
@@ -6031,9 +6065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     below.
         "rolling_window_events": q_rolling_window_events,
         "quality_quarantine_documents": q_quality_quarantine_documents,
-        # G.711 mu-law/A-law decode (session-4 addition) — locally
-        # sf0.01-hash-verified; leads tier A in r7 with the block above.
+        # G.711 mu-law/A-law decode and the KMV/theta sketch set
+        # algebra (session-4 additions) — locally sf0.01-hash-verified;
+        # lead tier A in r7 with the block above.
         "audio_g711_features": q_audio_g711_features,
+        "kmv_distinct_events": q_kmv_distinct_events,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -7478,6 +7514,79 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT '{key}' AS key, * FROM ({sketches_fns.hll_estimate_sql('events', key, ('event_type',), p=HLL_P)})"
             for key in ("user_id", "event_id")
         ),
+        # KMV: kept hash sets reproduced bit-exactly via the shared
+        # md5 idiom; per-type estimates, the union roll-up, and the
+        # theta-rule intersection share one estimator expression shape
+        # with the Spark side (exact below k, (k-1)/theta above).
+        "kmv_distinct_events": f"""
+            WITH hashes AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5('k' ||
+                        CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM events
+            ),
+            bk AS (
+              SELECT * FROM hashes
+              QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY h) <= {KMV_K}
+            ),
+            per AS (
+              SELECT event_type AS scope,
+                     CAST(count(*) AS BIGINT) AS n_hashes,
+                     round_even(CASE WHEN count(*) < {KMV_K}
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE {float(KMV_K - 1)} /
+                            (CAST(max(h) AS DOUBLE) /
+                             1152921504606846976.0)
+                     END, 4) AS est
+              FROM bk GROUP BY event_type
+            ),
+            uh AS (SELECT DISTINCT h FROM bk),
+            ubk AS (
+              SELECT h FROM uh
+              QUALIFY row_number() OVER (ORDER BY h) <= {KMV_K}
+            ),
+            un AS (
+              SELECT '__union__' AS scope,
+                     CAST(count(*) AS BIGINT) AS n_hashes,
+                     round_even(CASE WHEN count(*) < {KMV_K}
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE {float(KMV_K - 1)} /
+                            (CAST(max(h) AS DOUBLE) /
+                             1152921504606846976.0)
+                     END, 4) AS est
+              FROM ubk
+            ),
+            ca AS (SELECT h FROM bk WHERE event_type = 'click'),
+            vb AS (SELECT h FROM bk WHERE event_type = 'view'),
+            iagg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_union,
+                     CAST(sum(CASE WHEN ca.h IS NOT NULL
+                                    AND vb.h IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+                     max(u.h) AS kth
+              FROM ubk u
+              LEFT JOIN ca ON ca.h = u.h
+              LEFT JOIN vb ON vb.h = u.h
+            ),
+            inter AS (
+              SELECT 'click&view' AS scope,
+                     matched AS n_hashes,
+                     round_even(
+                       (CAST(matched AS DOUBLE) /
+                        CAST(n_union AS DOUBLE)) *
+                       (CASE WHEN n_union < {KMV_K}
+                          THEN CAST(n_union AS DOUBLE)
+                          ELSE {float(KMV_K - 1)} /
+                               (CAST(kth AS DOUBLE) /
+                                1152921504606846976.0)
+                        END), 4) AS est
+              FROM iagg
+            )
+            SELECT * FROM per
+            UNION ALL SELECT * FROM un
+            UNION ALL SELECT * FROM inter
+        """,
         "matview_refresh_documents": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS num_examples,

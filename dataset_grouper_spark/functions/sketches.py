@@ -337,3 +337,196 @@ def cms_estimate_sql(
       LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
       GROUP BY p.{key_col}
     """
+
+
+# ---------------------------------------------------------------- KMV
+
+
+# KMV / bottom-k ("theta"-style) distinct sketch (Bar-Yossef et al.
+# 2002; the K-Minimum-Values estimator behind the theta-sketch family).
+# Where HLL answers "how many distinct" with fixed registers, a KMV
+# sketch keeps the k SMALLEST hash values of the distinct keys — and
+# because the kept set is actual hash values (not lossy registers), it
+# supports SET ALGEBRA: union is bottom-k of the union of two kept
+# sets, and an intersection ESTIMATE falls out of the fraction of the
+# union sketch's survivors present in both sides (the theta-sketch
+# intersection rule). Everything is deterministic given the md5 hash
+# idiom, so estimates are bit-identical across engines.
+#
+# Estimator: with n = |kept| and theta = kth smallest hash mapped to
+# (0,1]: est = n exactly when n < k (every distinct hash was kept),
+# else (k-1)/theta — the classic unbiased KMV estimate.
+
+_KMV_SPACE = float(1 << 60)  # md5_long yields 60 uniform bits
+_KMV_SALT = 32  # stage-1 fan-out of the distributed bottom-k
+
+
+def _kmv_hash(key_col: str):
+    key_str = F.col(key_col).cast("string")
+    return md5_long(F.coalesce(F.concat(F.lit("k"), key_str), F.lit("n")))
+
+
+def _kmv_hash_sql(expr: str) -> str:
+    tagged = f"coalesce('k' || CAST({expr} AS VARCHAR), 'n')"
+    return md5_long_sql(tagged)
+
+
+def _bottom_k(
+    df: DataFrame, group_cols: tuple[str, ...], k: int, salted: bool = True
+) -> DataFrame:
+    """Distributed bottom-k of the distinct ``h`` values per group.
+    Stage 1 ranks within (group, h % salt) — ``salt`` parallel window
+    partitions per group, each keeping at most k rows, so no single
+    task ever sorts a group's full distinct-hash set (the global-sketch
+    case, group_cols=(), would otherwise be ONE task at 100 TB).
+    Stage 2 ranks the surviving ≤ salt·k rows per group."""
+    from pyspark.sql import Window
+
+    if salted:
+        w1 = Window.partitionBy(
+            *group_cols, F.pmod(F.col("h"), F.lit(_KMV_SALT))
+        ).orderBy("h")
+        df = (
+            df.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+) -> DataFrame:
+    """One-pass KMV sketch build: ``group_cols + (h,)`` — at most k
+    rows per group. The distinct step is a partial-agged groupBy (the
+    map-side combine bounds the shuffle by per-partition distinct
+    cardinality); the bottom-k is the salted two-stage rank above."""
+    if k < 2:
+        raise ValueError("kmv: k must be >= 2")
+    distinct = df.select(
+        *group_cols, _kmv_hash(key_col).alias("h")
+    ).distinct()
+    return _bottom_k(distinct, group_cols, k).withColumn("_k", F.lit(k))
+
+
+def kmv_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Lossless combine: bottom-k of the union of kept hash sets equals
+    the sketch of the unioned inputs exactly (the defining KMV merge
+    property). ``group_cols`` is the OUTPUT grouping — pass fewer
+    columns than the inputs carry (or none) to union ACROSS groups,
+    e.g. a per-day sketch rolling up to a global one."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    params = out.select("_k").distinct().collect()
+    if len(params) > 1:
+        raise ValueError(
+            f"cannot merge KMV sketches with different k: "
+            f"{sorted(r['_k'] for r in params)}"
+        )
+    k = params[0]["_k"]
+    merged = out.select(*group_cols, "h").distinct()
+    return _bottom_k(merged, group_cols, k).withColumn("_k", F.lit(k))
+
+
+def _kmv_est_expr(n, kth, k: int):
+    # the exact branch (n < k) and the (k-1)/theta branch share one
+    # expression shape with the SQL twin so the doubles agree bitwise
+    theta = kth.cast("double") / F.lit(_KMV_SPACE)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: tuple[str, ...] = (), k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate per group: ``group_cols + (n_hashes,
+    est)``. Exact when the group's distinct cardinality is under k."""
+    built = sketch.select("_k").first()
+    if built is not None and built["_k"] != k:
+        raise ValueError(
+            f"sketch was built with k={built['_k']}, estimate called "
+            f"with k={k}"
+        )
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("_kth")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_hashes"),
+        round_even(
+            _kmv_est_expr(F.col("n_hashes"), F.col("_kth"), k), 4
+        ).alias("est"),
+    )
+
+
+def kmv_intersect_estimate(
+    sa: DataFrame, sb: DataFrame, k: int = 256
+) -> DataFrame:
+    """Intersection-cardinality estimate of two ungrouped sketches via
+    the theta-sketch rule: over the UNION sketch's kept hashes, the
+    fraction present in both sides estimates the Jaccard similarity;
+    scaled by the union estimate it estimates |A ∩ B|. Returns one row
+    (n_union, matched, est_union, est_intersect)."""
+    u = kmv_merge(sa, sb, group_cols=())
+    both = sa.select("h").intersect(sb.select("h"))
+    tagged = u.join(
+        both.withColumn("_in_both", F.lit(1)), "h", "left"
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.coalesce(F.col("_in_both"), F.lit(0))).alias("matched"),
+        F.max("h").alias("_kth"),
+    )
+    est_u = _kmv_est_expr(F.col("n_union"), F.col("_kth"), k)
+    return agg.select(
+        F.col("n_union"),
+        F.col("matched").cast("long").alias("matched"),
+        round_even(est_u, 4).alias("est_union"),
+        round_even(
+            F.col("matched").cast("double")
+            / F.col("n_union").cast("double")
+            * est_u,
+            4,
+        ).alias("est_intersect"),
+    )
+
+
+def kmv_estimate_sql(
+    table: str,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+) -> str:
+    """DuckDB twin of kmv_build + kmv_estimate over ``table``."""
+    groups = ", ".join(group_cols)
+    gsel = f"{groups}, " if group_cols else ""
+    gby = f"GROUP BY {groups}" if group_cols else ""
+    part = f"PARTITION BY {groups} " if group_cols else ""
+    return f"""
+      WITH hashes AS (
+        SELECT DISTINCT {gsel}{_kmv_hash_sql(key_col)} AS h FROM {table}
+      ),
+      bk AS (
+        SELECT * FROM hashes
+        QUALIFY row_number() OVER ({part}ORDER BY h) <= {k}
+      )
+      SELECT {gsel}CAST(count(*) AS BIGINT) AS n_hashes,
+             round_even(CASE WHEN count(*) < {k}
+               THEN CAST(count(*) AS DOUBLE)
+               ELSE {float(k - 1)} /
+                    (CAST(max(h) AS DOUBLE) / {_KMV_SPACE})
+             END, 4) AS est
+      FROM bk {gby}
+    """

@@ -195,3 +195,121 @@ class TestHll:
         sk9 = sketches.hll_build(df, "k", p=9)
         with pytest.raises(ValueError, match="different p"):
             sketches.hll_merge(sk7, sk9).collect()
+
+
+class TestKmv:
+    def test_exact_below_k(self, spark):
+        df = spark.createDataFrame(
+            [(i % 20,) for i in range(300)], "k: long"
+        )
+        out = sketches.kmv_estimate(
+            sketches.kmv_build(df, "k", k=64), k=64
+        ).collect()[0]
+        # 20 distinct < k=64: the sketch IS the distinct hash set
+        assert out["n_hashes"] == 20 and out["est"] == 20.0
+
+    def test_estimator_accuracy(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(5000)], "k: long")
+        out = sketches.kmv_estimate(
+            sketches.kmv_build(df, "k", k=256), k=256
+        ).collect()[0]
+        assert out["n_hashes"] == 256
+        # KMV stderr ~ n/sqrt(k-2): 5000/16 ≈ 313; allow 3 sigma
+        assert abs(out["est"] - 5000) < 1000
+
+    def test_duplicate_invariance(self, spark):
+        a = spark.createDataFrame([(i,) for i in range(100)], "k: long")
+        b = spark.createDataFrame(
+            [(i,) for i in range(100) for _ in range(5)], "k: long"
+        )
+        ha = sorted(
+            r["h"] for r in sketches.kmv_build(a, "k", k=32).collect()
+        )
+        hb = sorted(
+            r["h"] for r in sketches.kmv_build(b, "k", k=32).collect()
+        )
+        assert ha == hb and len(ha) == 32
+
+    def test_null_keys_first_class(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (None,), (1,), (2,)], "k: long"
+        )
+        out = sketches.kmv_estimate(
+            sketches.kmv_build(df, "k", k=16), k=16
+        ).collect()[0]
+        assert out["n_hashes"] == 3 and out["est"] == 3.0
+
+    def test_merge_equals_single_build(self, spark):
+        a = spark.createDataFrame([(i,) for i in range(400)], "k: long")
+        b = spark.createDataFrame(
+            [(i,) for i in range(200, 600)], "k: long"
+        )
+        merged = sketches.kmv_merge(
+            sketches.kmv_build(a, "k", k=64),
+            sketches.kmv_build(b, "k", k=64),
+        )
+        direct = sketches.kmv_build(a.unionByName(b), "k", k=64)
+        assert sorted(r["h"] for r in merged.collect()) == sorted(
+            r["h"] for r in direct.collect()
+        )
+
+    def test_group_rollup_equals_global(self, spark):
+        rows = [("a", i) for i in range(300)] + [
+            ("b", i) for i in range(150, 500)
+        ]
+        df = spark.createDataFrame(rows, "g: string, k: long")
+        rolled = sketches.kmv_merge(
+            sketches.kmv_build(df, "k", ("g",), k=48), group_cols=()
+        )
+        direct = sketches.kmv_build(df, "k", k=48)
+        assert sorted(r["h"] for r in rolled.collect()) == sorted(
+            r["h"] for r in direct.collect()
+        )
+
+    def test_intersection_estimate(self, spark):
+        # |A|=600, |B|=600, |A∩B|=300 -> jaccard 1/3
+        a = spark.createDataFrame([(i,) for i in range(600)], "k: long")
+        b = spark.createDataFrame(
+            [(i,) for i in range(300, 900)], "k: long"
+        )
+        out = sketches.kmv_intersect_estimate(
+            sketches.kmv_build(a, "k", k=128),
+            sketches.kmv_build(b, "k", k=128),
+            k=128,
+        ).collect()[0]
+        assert out["n_union"] == 128
+        assert abs(out["est_union"] - 900) / 900 < 0.35
+        assert abs(out["est_intersect"] - 300) / 300 < 0.5
+
+    def test_param_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "k: long")
+        with pytest.raises(ValueError, match="k must be"):
+            sketches.kmv_build(df, "k", k=1)
+        sk = sketches.kmv_build(df, "k", k=16)
+        with pytest.raises(ValueError, match="built with k=16"):
+            sketches.kmv_estimate(sk, k=32)
+        with pytest.raises(ValueError, match="different k"):
+            sketches.kmv_merge(
+                sk, sketches.kmv_build(df, "k", k=32)
+            ).collect()
+
+    def test_sql_twin_bit_exact(self, spark):
+        import duckdb
+
+        rows = [("g%d" % (i % 3), i % 97) for i in range(500)]
+        df = spark.createDataFrame(rows, "g: string, k: long")
+        got = {
+            (r["g"], r["n_hashes"], r["est"])
+            for r in sketches.kmv_estimate(
+                sketches.kmv_build(df, "k", ("g",), k=32), ("g",), k=32
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        want = {
+            tuple(r)
+            for r in con.sql(
+                sketches.kmv_estimate_sql("t", "k", ("g",), k=32)
+            ).fetchall()
+        }
+        assert got == want

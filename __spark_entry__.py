@@ -3570,6 +3570,109 @@ def q_pagerank_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+KNN_GRAPH_K = 5
+BFS_SOURCE = 1
+BFS_MAX_HOPS = 4
+
+
+def _supplier_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier-similarity kNN graph: two suppliers are co-supply
+    partners weighted by how many distinct parts they both ship
+    (bipartite projection of distinct (part, supplier) pairs), and each
+    supplier keeps its K strongest partners (ties broken by partner
+    id). The top-K cut keeps the graph SPARSE at any scale factor —
+    at most n*K directed edges no matter how dense co-supply gets —
+    which is exactly how production similarity graphs (kNN over
+    embeddings, co-occurrence graphs) are kept tractable at 100 TB.
+    The per-node window partitions on the supplier key (no global
+    window); the projection join fans out per part, the shape every
+    bipartite projection pays."""
+    from pyspark.sql import Window
+
+    ps = (
+        read_table(spark, sf, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("n")
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("v"))
+    return (
+        sym.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= KNN_GRAPH_K)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+
+
+def _supplier_knn_edges_sql() -> str:
+    """DuckDB twin of :func:`_supplier_knn_edges` — same projection,
+    same symmetrize, same (n DESC, v ASC) top-K window."""
+    return f"""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        pairs AS (
+          SELECT a.s AS u, b.s AS v, count(*) AS n
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+          GROUP BY 1, 2
+        ),
+        sym AS (
+          SELECT u, v, n FROM pairs
+          UNION ALL
+          SELECT v AS u, u AS v, n FROM pairs
+        )
+        SELECT u AS src, v AS dst FROM (
+          SELECT u, v,
+                 row_number() OVER (PARTITION BY u ORDER BY n DESC, v ASC) AS r
+          FROM sym
+        ) WHERE r <= {KNN_GRAPH_K}
+    """
+
+
+def q_triangle_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-supplier triangle counts + clustering coefficient over the
+    co-supply kNN graph — the local-density diagnostic used on
+    similarity graphs (a near-dup cluster shows up as a high-clustering
+    neighborhood). Spark runs the DEGREE-ORIENTED distributed triangle
+    algorithm (graph.py — wedge join fan-out bounded by O(sqrt(m))
+    oriented out-degree, never a hub's raw degree); the DuckDB twin
+    enumerates canonically ordered triangles — different physical
+    strategy, provably identical result set."""
+    from dataset_grouper_spark.operators import graph
+
+    edges = _supplier_knn_edges(spark, sf)
+    return graph.triangle_counts(edges, "src", "dst").select(
+        F.col("node").alias("supp"),
+        "triangles",
+        "degree",
+        "clustering",
+    )
+
+
+def q_bfs_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-source BFS hop distances from supplier #1 over the same
+    co-supply kNN graph (the 'how connected is this vendor network'
+    diagnostic): frontier-expansion rounds shuffling O(frontier), early
+    exit when the frontier dries, lineage truncated per round. The
+    DuckDB twin is a recursive CTE with UNION dedup (node-count
+    bounded, not path-count)."""
+    from dataset_grouper_spark.operators import graph
+
+    edges = _supplier_knn_edges(spark, sf)
+    return graph.bfs_distances(
+        edges, "src", "dst", BFS_SOURCE, max_hops=BFS_MAX_HOPS
+    ).select(F.col("node").alias("supp"), "dist")
+
+
 RAG_WINDOW = 32
 RAG_STRIDE = 24
 MIX_TEMPERATURE = 2.0
@@ -6070,6 +6173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lead tier A in r7 with the block above.
         "audio_g711_features": q_audio_g711_features,
         "kmv_distinct_events": q_kmv_distinct_events,
+        # Session-5 graph additions (degree-oriented triangle counting
+        # + frontier BFS over the supplier co-supply kNN graph) —
+        # locally sf0.01-hash-verified; lead tier A in r7.
+        "triangle_suppliers": q_triangle_suppliers,
+        "bfs_suppliers": q_bfs_suppliers,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -7618,6 +7726,19 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents)",
             "tok",
         ),
+        "triangle_suppliers": f"""
+            SELECT node AS supp, triangles, degree, clustering
+            FROM ({graph_ops.triangle_counts_sql(
+                _supplier_knn_edges_sql(), "src", "dst"
+            )})
+        """,
+        "bfs_suppliers": f"""
+            SELECT node AS supp, dist
+            FROM ({graph_ops.bfs_distances_sql(
+                _supplier_knn_edges_sql(), "src", "dst",
+                BFS_SOURCE, BFS_MAX_HOPS
+            )})
+        """,
         "pagerank_partsupp": graph_ops.pagerank_sql(
             f"SELECT DISTINCT l_partkey AS src, "
             f"l_suppkey + {PR_SUPP_OFFSET} AS dst FROM lineitem",

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataset_grouper_spark.cache import defer_release, persist_tracked
+from dataset_grouper_spark.functions.hashing import round_even
 from dataset_grouper_spark.operators.dedup import (
     _release_truncated,
     _truncate_lineage,
@@ -193,3 +194,253 @@ def pagerank_sql(
         + ",\n".join(parts)
         + f"\nSELECT node, rank FROM r{iterations}"
     )
+
+
+def triangle_counts(
+    edges: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Per-node triangle participation counts + clustering coefficient
+    over the UNDIRECTED simple graph induced by ``edges`` (self-loops
+    and duplicate/NULL pairs dropped here).
+
+    Scale strategy is DEGREE ORIENTATION (the standard distributed
+    triangle algorithm): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, so each node's
+    oriented out-degree is O(sqrt(m)) on any graph — the wedge join
+    (e1.u = e2.u) then fans out quadratically only in THAT bounded
+    out-degree, never in a hub's raw degree. A popular node with 10^6
+    neighbors contributes wedges from its few oriented out-edges
+    instead of 10^12 raw pairs. Three hash joins total (wedge build +
+    closing-edge semi join + degree join); no driver data path.
+
+    The DuckDB twin (:func:`triangle_counts_sql`) enumerates the same
+    triangles from canonically ordered (u < v) edges — a different,
+    simpler physical strategy whose result set is provably identical
+    (each triangle found exactly once either way), which is what makes
+    the operator oracle-able while the Spark side keeps the scalable
+    plan.
+
+    Returns (node, triangles, degree, clustering) where clustering =
+    2*T / (deg*(deg-1)) rounded to ``6`` decimals (0.0 for deg < 2).
+    """
+    und = persist_tracked(
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    deg = persist_tracked(
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient by (degree, node): lower endpoint -> higher endpoint
+    du = deg.select(
+        F.col("node").alias("u"), F.col("degree").alias("_du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("degree").alias("_dv")
+    )
+    oriented = persist_tracked(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("d"))
+            )
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+    )
+    # wedges: two oriented edges out of the same source; close with a
+    # third oriented edge between the two destinations (either
+    # direction — orientation order between d1,d2 follows THEIR degree
+    # rank, so normalize the closing probe to the canonical pair)
+    e1 = oriented.select(F.col("s"), F.col("d").alias("d1"))
+    e2 = oriented.select(F.col("s"), F.col("d").alias("d2"))
+    wedges = e1.join(e2, "s").filter(F.col("d1") < F.col("d2"))
+    closing = oriented.select(
+        F.least("s", "d").alias("d1"), F.greatest("s", "d").alias("d2")
+    )
+    tris = wedges.join(closing, ["d1", "d2"])  # (s, d1, d2) triangles
+    per_node = (
+        tris.select(F.col("s").alias("node"))
+        .union(tris.select(F.col("d1").alias("node")))
+        .union(tris.select(F.col("d2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            "degree",
+            F.when(
+                F.col("degree") < 2, F.lit(0.0)
+            )
+            .otherwise(
+                round_even(
+                    F.lit(2.0)
+                    * F.coalesce("triangles", F.lit(0)).cast("double")
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree") - F.lit(1)).cast("double")
+                    ),
+                    6,
+                )
+            )
+            .alias("clustering"),
+        )
+    )
+    defer_release(lambda: (und.unpersist(), deg.unpersist(), oriented.unpersist()))
+    return out
+
+
+def triangle_counts_sql(edges_sql: str, a: str, b: str) -> str:
+    """DuckDB twin of :func:`triangle_counts`: canonical (u<v) edges,
+    each triangle enumerated once as a < b < c via two joins, then the
+    per-node rollup — identical result set to the degree-oriented
+    Spark plan by construction."""
+    return f"""
+    WITH und AS (
+      SELECT DISTINCT least({a}, {b}) AS u, greatest({a}, {b}) AS v
+      FROM ({edges_sql})
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL AND {a} <> {b}
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node,
+           coalesce(p.triangles, 0) AS triangles,
+           d.degree,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE round_even(2.0 * coalesce(p.triangles, 0)
+                                / (d.degree * (d.degree - 1.0)), 6)
+           END AS clustering
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """
+
+
+def bfs_distances(
+    edges: DataFrame,
+    a: str,
+    b: str,
+    source,
+    max_hops: int = 10,
+) -> DataFrame:
+    """Unweighted single-source shortest-path hop counts over the
+    UNDIRECTED graph, by frontier expansion: round t joins the
+    CURRENT FRONTIER (nodes first reached at distance t) against the
+    edge list and keeps genuinely new nodes — each round shuffles
+    O(frontier out-edges), not O(graph), and the loop stops EARLY the
+    first round the frontier empties (diameter-bounded, not
+    max_hops-bounded). Lineage is truncated per round like the CC /
+    PageRank loops. ``max_hops`` caps the rounds for pathological
+    chains; unreached nodes are absent from the result (no sentinel
+    rows at 100 TB node counts).
+
+    Returns (node, dist) with dist 0 for the source itself.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    sym = persist_tracked(
+        edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .union(
+            edges.select(F.col(b).alias("s"), F.col(a).alias("d")).filter(
+                F.col(a).isNotNull() & F.col(b).isNotNull()
+            )
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    seen = _truncate_lineage(
+        spark.createDataFrame(
+            [(source, 0)], schema="node long, dist int"
+        )
+    )
+    frontier = seen
+    prev_frames = [seen]
+    for hop in range(1, max_hops + 1):
+        reached = (
+            sym.join(frontier, sym["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        new = _truncate_lineage(
+            reached.join(seen, "node", "left_anti").withColumn(
+                "dist", F.lit(hop)
+            )
+        )
+        if new.count() == 0:
+            break
+        nxt = _truncate_lineage(seen.unionByName(new))
+        nxt.count()
+        for f in prev_frames:
+            _release_truncated(f)
+        prev_frames = [new, nxt]
+        seen, frontier = nxt, new
+    defer_release(
+        lambda frames=tuple(prev_frames): [
+            _release_truncated(f) for f in frames
+        ]
+    )
+    defer_release(lambda: sym.unpersist())
+    return seen
+
+
+def bfs_distances_sql(
+    edges_sql: str, a: str, b: str, source, max_hops: int = 10
+) -> str:
+    """DuckDB twin of :func:`bfs_distances`: a recursive CTE carrying
+    (node, dist), minimized per node afterwards (the recursion visits
+    nodes at every distance they are reachable; min() recovers the
+    shortest), capped at the same ``max_hops``."""
+    return f"""
+    WITH RECURSIVE bfs_sym AS (
+      -- name avoids capturing CTEs inside edges_sql: under WITH
+      -- RECURSIVE, DuckDB resolves a nested subquery's CTE reference
+      -- against the OUTER recursive scope first
+      SELECT {a} AS s, {b} AS d FROM ({edges_sql})
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL AND {a} <> {b}
+      UNION
+      SELECT {b} AS s, {a} AS d FROM ({edges_sql})
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL AND {a} <> {b}
+    ),
+    walk(node, dist) AS (
+      SELECT CAST({source} AS BIGINT), 0
+      UNION
+      -- UNION (not ALL): dedup (node, dist) pairs per step, so the
+      -- recursion enumerates at most n*max_hops rows instead of every
+      -- PATH (which is exponential on dense graphs)
+      SELECT bfs_sym.d, walk.dist + 1
+      FROM walk JOIN bfs_sym ON bfs_sym.s = walk.node
+      WHERE walk.dist < {max_hops}
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node
+    """

@@ -111,3 +111,181 @@ def test_pagerank_scale_2m_edges(spark):
     hub = ranks[0]
     leaf = ranks[99_999]
     assert hub > leaf * 10  # hubs concentrate rank
+
+
+# ---------------------------------------------------------- triangles
+
+
+def _brute_triangles(edges):
+    """Pure-python reference: per-node triangle counts over the simple
+    undirected graph."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            # each triangle hits a node via 2 of its 3 edges
+            tri[u] += 1
+            tri[v] += 1
+    for n in tri:
+        tri[n] //= 2
+    deg = {n: len(adj[n]) for n in adj}
+    return tri, deg
+
+
+TRI_EDGES = [
+    (1, 2), (2, 3), (3, 1),          # triangle
+    (3, 4), (4, 5), (5, 3),          # second triangle sharing node 3
+    (5, 6),                          # pendant
+    (2, 1),                          # duplicate (reverse)
+    (7, 7),                          # self-loop (dropped)
+    (6, 5),                          # duplicate
+    (1, 4),                          # closes (1,3,4)
+]
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    df = spark.createDataFrame(TRI_EDGES, "a: long, b: long")
+    got = {
+        r["node"]: (r["triangles"], r["degree"])
+        for r in graph.triangle_counts(df, "a", "b").collect()
+    }
+    tri, deg = _brute_triangles(TRI_EDGES)
+    assert got == {n: (tri[n], deg[n]) for n in tri}
+
+
+def test_triangle_clustering_coefficient(spark):
+    # K3: every node clustering 1.0; pendant node 6 has deg 1 -> 0.0
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 6)], "a: long, b: long"
+    )
+    got = {
+        r["node"]: r["clustering"]
+        for r in graph.triangle_counts(df, "a", "b").collect()
+    }
+    assert got[1] == 1.0 and got[2] == 1.0
+    assert got[3] == pytest.approx(2 * 1 / (3 * 2), abs=1e-6)
+    assert got[6] == 0.0
+
+
+def test_triangle_counts_sql_twin_agrees(spark, tmp_path):
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 40, size=(300, 2))
+    ]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {
+        (r["node"], r["triangles"], r["degree"], r["clustering"])
+        for r in graph.triangle_counts(df, "a", "b").collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE edges AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") t(a, b)"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(
+            graph.triangle_counts_sql("SELECT * FROM edges", "a", "b")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_triangle_counts_empty_after_filtering(spark):
+    df = spark.createDataFrame([(1, 1), (2, 2)], "a: long, b: long")
+    assert graph.triangle_counts(df, "a", "b").count() == 0
+
+
+# --------------------------------------------------------------- BFS
+
+
+def _brute_bfs(edges, source, max_hops):
+    adj = {}
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {source: 0}
+    frontier = [source]
+    for hop in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+BFS_EDGES = [
+    (1, 2), (2, 3), (3, 4), (4, 5),   # chain
+    (2, 6), (6, 7),                   # branch
+    (8, 9),                           # unreachable component
+    (1, 3),                           # shortcut: 3 is at dist 1 via it? no: 1-3 direct
+]
+
+
+def test_bfs_matches_bruteforce(spark):
+    df = spark.createDataFrame(BFS_EDGES, "a: long, b: long")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_distances(df, "a", "b", 1, max_hops=10).collect()
+    }
+    assert got == _brute_bfs(BFS_EDGES, 1, 10)
+    assert 8 not in got and 9 not in got  # unreachable absent
+
+
+def test_bfs_max_hops_truncates(spark):
+    df = spark.createDataFrame(BFS_EDGES, "a: long, b: long")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_distances(df, "a", "b", 1, max_hops=2).collect()
+    }
+    assert got == _brute_bfs(BFS_EDGES, 1, 2)
+    assert max(got.values()) <= 2
+
+
+def test_bfs_sql_twin_agrees(spark):
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 30, size=(120, 2))
+    ]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {
+        (r["node"], r["dist"])
+        for r in graph.bfs_distances(df, "a", "b", 0, max_hops=8).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE edges AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") t(a, b)"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(
+            graph.bfs_distances_sql("SELECT * FROM edges", "a", "b", 0, 8)
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_bfs_source_only(spark):
+    df = spark.createDataFrame([(5, 6)], "a: long, b: long")
+    got = graph.bfs_distances(df, "a", "b", 99, max_hops=5).collect()
+    assert [(r["node"], r["dist"]) for r in got] == [(99, 0)]

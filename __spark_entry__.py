@@ -27,6 +27,7 @@ from dataset_grouper_spark.operators import profile as profile_ops
 from dataset_grouper_spark.operators import sessions as sessions_ops
 from dataset_grouper_spark.operators import chunking, dedup, multimodal, similarity
 from dataset_grouper_spark.operators import graph as graph_ops
+from dataset_grouper_spark.operators import linkage as linkage_ops
 from dataset_grouper_spark.operators import regress as regress_ops
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
@@ -3574,6 +3575,54 @@ KNN_GRAPH_K = 5
 BFS_SOURCE = 1
 BFS_MAX_HOPS = 4
 
+ER_MAX_DIST = 2
+ER_NAME_PREFIX = 17
+
+
+def _customer_blocks():
+    """Two ER blocking passes over customers: exact (nation, segment)
+    agreement, plus a name-prefix pass that catches records the
+    attribute pass splits (the standard multi-key recall hedge)."""
+    return [
+        ["c_nationkey", "c_mktsegment"],
+        [F.substring("c_name", 1, ER_NAME_PREFIX)],
+    ]
+
+
+_CUSTOMER_BLOCKS_SQL = [
+    ["c_nationkey", "c_mktsegment"],
+    [f"substring(c_name, 1, {ER_NAME_PREFIX})"],
+]
+
+
+def q_entity_match_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy record linkage over customers: blocked candidate pairs
+    (two passes, unioned + deduped — never all-pairs) scored with
+    JVM-side levenshtein on the name, kept at edit distance <= 2 with
+    a normalized similarity. levenshtein is built into BOTH engines,
+    so the score itself is the cross-engine contract."""
+    from dataset_grouper_spark.operators import linkage
+
+    cust = read_table(spark, sf, "customer")
+    pairs = linkage.blocked_pairs(cust, "c_custkey", _customer_blocks())
+    return linkage.match_pairs(
+        cust, pairs, "c_custkey", "c_name", ER_MAX_DIST
+    )
+
+
+def q_entity_clusters_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Full entity-resolution pipeline: block → levenshtein match →
+    connected components → every customer labeled with its entity id
+    (min record id of the match-graph component; singletons are their
+    own entity). The three-stage ER shape every metadata-dedup pass in
+    a training-data pipeline runs before corpus mixing."""
+    from dataset_grouper_spark.operators import linkage
+
+    cust = read_table(spark, sf, "customer")
+    return linkage.resolve_entities(
+        cust, "c_custkey", "c_name", _customer_blocks(), ER_MAX_DIST
+    )
+
 
 def _supplier_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Supplier-similarity kNN graph: two suppliers are co-supply
@@ -6178,6 +6227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally sf0.01-hash-verified; lead tier A in r7.
         "triangle_suppliers": q_triangle_suppliers,
         "bfs_suppliers": q_bfs_suppliers,
+        # Session-5 entity resolution (blocked record linkage:
+        # multi-pass blocking, levenshtein match, CC clustering) —
+        # locally sf0.01-hash-verified; lead tier A in r7.
+        "entity_match_customers": q_entity_match_customers,
+        "entity_clusters_customers": q_entity_clusters_customers,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -7726,6 +7780,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents)",
             "tok",
         ),
+        "entity_match_customers": linkage_ops.match_pairs_sql(
+            "customer", "c_custkey", "c_name",
+            _CUSTOMER_BLOCKS_SQL, ER_MAX_DIST,
+        ),
+        "entity_clusters_customers": f"""
+            WITH RECURSIVE m AS (
+              SELECT id_a, id_b FROM ({linkage_ops.match_pairs_sql(
+                "customer", "c_custkey", "c_name",
+                _CUSTOMER_BLOCKS_SQL, ER_MAX_DIST,
+              )})
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM m
+              UNION SELECT id_b, id_a FROM m
+            ),
+            reach(id, lbl) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+            ),
+            comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+            SELECT c.c_custkey AS record_id,
+                   COALESCE(p.component, c.c_custkey) AS entity_id
+            FROM customer c LEFT JOIN comp p ON p.id = c.c_custkey
+        """,
         "triangle_suppliers": f"""
             SELECT node AS supp, triangles, degree, clustering
             FROM ({graph_ops.triangle_counts_sql(

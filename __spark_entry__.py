@@ -28,6 +28,7 @@ from dataset_grouper_spark.operators import sessions as sessions_ops
 from dataset_grouper_spark.operators import chunking, dedup, multimodal, similarity
 from dataset_grouper_spark.operators import graph as graph_ops
 from dataset_grouper_spark.operators import linkage as linkage_ops
+from dataset_grouper_spark.operators import scd as scd_ops
 from dataset_grouper_spark.operators import regress as regress_ops
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
@@ -3579,6 +3580,22 @@ ER_MAX_DIST = 2
 ER_NAME_PREFIX = 17
 
 
+def q_scd2_user_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history of each user's
+    event_type 'state': consecutive re-statements collapse, each
+    retained version carries [valid_from, valid_to) in epoch nanos and
+    an is_current flag — the warehouse dimension-history build, one
+    shuffle (both windows share the (user × time) partitioning).
+    event_id breaks same-timestamp ties so the version chain is a
+    total order on both engines."""
+    from dataset_grouper_spark.operators import scd
+
+    ev = read_table(spark, sf, "events")
+    return scd.scd2_from_changes(
+        ev, "user_id", ["event_type"], "ts", order_cols=["event_id"]
+    )
+
+
 def _customer_blocks():
     """Two ER blocking passes over customers: exact (nation, segment)
     agreement, plus a name-prefix pass that catches records the
@@ -6232,6 +6249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally sf0.01-hash-verified; lead tier A in r7.
         "entity_match_customers": q_entity_match_customers,
         "entity_clusters_customers": q_entity_clusters_customers,
+        # Session-5 SCD Type-2 dimension history — locally
+        # sf0.01-hash-verified; leads tier A in r7.
+        "scd2_user_events": q_scd2_user_events,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -7779,6 +7799,12 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), ' ')) AS tok"
             " FROM documents)",
             "tok",
+        ),
+        "scd2_user_events": scd_ops.scd2_from_changes_sql(
+            "SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id"
+            " FROM events",
+            "user_id", ["event_type"], "ts",
+            order_exprs=["event_id"],
         ),
         "entity_match_customers": linkage_ops.match_pairs_sql(
             "customer", "c_custkey", "c_name",

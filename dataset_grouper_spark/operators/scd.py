@@ -1,0 +1,192 @@
+"""Slowly-changing-dimension (Type 2) history building — north-star
+extension.
+
+The warehouse-standard way to keep attribute HISTORY: instead of
+overwriting a dimension row, each attribute change opens a new version
+row with a validity interval, so any fact can be joined to the
+attribute values that were true AT ITS TIMESTAMP (the as-of join's
+storage-side dual). Two operators:
+
+- :func:`scd2_from_changes` — rebuild the full SCD2 history from a raw
+  change log in ONE pass: per key, collapse consecutive rows whose
+  tracked attributes did not change (a change log usually re-states
+  unchanged values), then derive each surviving version's
+  ``valid_to`` from the next version's ``valid_from``. Two window
+  functions over the SAME (key × order) partitioning — Catalyst plans
+  one shuffle, both windows ride it.
+- :func:`scd2_apply` — incrementally merge a new change batch into an
+  existing SCD2 table: O(batch + touched keys), never a history
+  rebuild. The law pinned by tests:
+  ``scd2_apply(scd2_from_changes(old), new) ==
+  scd2_from_changes(old ∪ new)`` whenever the batch is strictly newer
+  than the stored history (the streaming-ingest contract; out-of-order
+  batches belong in the rebuild path).
+
+At 100 TB: the change log shuffles once on the dimension key; versions
+per key are bounded by actual attribute churn, not log volume, because
+the collapse happens BEFORE any self-join. ``scd2_apply`` touches only
+keys present in the batch (semi-join pruning), the same O(touched)
+discipline as the snapshot store's upsert.
+
+No reference analogue (the reference has no joins/windows — SURVEY
+§2); this is the dimension-management operator every warehouse load
+runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SENTINEL = "\x00\x1f"  # injective NULL marker inside change compare
+
+
+def _change_fingerprint(attrs: list[str]) -> F.Column:
+    # NULL-safe attribute tuple fingerprint: NULL != '' and NULL is a
+    # value (an attribute going NULL IS a change)
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(a).cast("string"), F.lit(_SENTINEL))
+            for a in attrs
+        ],
+    )
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rebuild SCD2 history from a change log.
+
+    ``order_cols`` break ties when two changes share a timestamp (pass
+    a change/sequence id; default orders by ``ts_col`` alone, in which
+    case same-instant changes produce an arbitrary but deterministic
+    last-writer only if the tie-break columns make the order total).
+
+    Returns one row per retained version:
+    (key, *attrs, valid_from, valid_to, is_current) where
+    ``valid_to`` is NULL for the open (current) version.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    fp = _change_fingerprint(attrs)
+    collapsed = (
+        changes.withColumn("_fp", fp)
+        .withColumn("_prev_fp", F.lag("_fp").over(w))
+        # keep the FIRST row of every run of identical attribute values
+        .filter(F.col("_prev_fp").isNull() | (F.col("_fp") != F.col("_prev_fp")))
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        collapsed.withColumn("_next_from", F.lead(ts_col).over(w2))
+        .select(
+            F.col(key),
+            *[F.col(a) for a in attrs],
+            F.col(ts_col).alias("valid_from"),
+            F.col("_next_from").alias("valid_to"),
+            F.col("_next_from").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge a strictly-newer change batch into an existing SCD2 table.
+
+    Contract: every batch row's ``ts_col`` must be >= every stored
+    ``valid_from`` for its key (append-mostly ingest). Untouched keys'
+    rows pass through BYTE-IDENTICAL (no rewrite); touched keys replay
+    their current open version + the batch through the same collapse,
+    so a batch re-stating the current attribute values changes nothing.
+    """
+    batch_keys = batch.select(F.col(key)).distinct()
+    untouched = dim.join(batch_keys, key, "left_anti")
+    touched_closed = dim.join(batch_keys, key, "semi").filter(
+        ~F.col("is_current")
+    )
+    # replay = the open version (as a pseudo-change at its valid_from)
+    # + the new batch; collapse handles re-stated values
+    open_rows = (
+        dim.join(batch_keys, key, "semi")
+        .filter(F.col("is_current"))
+        .select(
+            F.col(key),
+            *[F.col(a) for a in attrs],
+            F.col("valid_from").alias(ts_col),
+            *[F.lit(None).cast("long").alias(c) for c in (order_cols or [])],
+        )
+    )
+    replay = scd2_from_changes(
+        open_rows.unionByName(
+            batch.select(
+                F.col(key),
+                *[F.col(a) for a in attrs],
+                F.col(ts_col),
+                *[F.col(c) for c in (order_cols or [])],
+            )
+        ),
+        key,
+        attrs,
+        ts_col,
+        order_cols,
+    )
+    cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
+    return (
+        untouched.select(*cols)
+        .unionByName(touched_closed.select(*cols))
+        .unionByName(replay.select(*cols))
+    )
+
+
+def scd2_from_changes_sql(
+    changes_sql: str,
+    key: str,
+    attrs: list[str],
+    ts_expr: str,
+    order_exprs: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`scd2_from_changes` — same two windows,
+    same NULL-sentinel fingerprint."""
+    fp = "concat_ws(chr(31), " + ", ".join(
+        f"coalesce(CAST({a} AS VARCHAR), chr(0) || chr(31))" for a in attrs
+    ) + ")"
+    oexprs = list(order_exprs or [])
+    oproj = "".join(
+        f", {e} AS _o{i}" for i, e in enumerate(oexprs)
+    )
+    order = ", ".join(
+        ["_ts"] + [f"_o{i}" for i in range(len(oexprs))]
+    )
+    alist = ", ".join(attrs)
+    return f"""
+    WITH src AS (
+      SELECT {key}, {alist}, {ts_expr} AS _ts, {fp} AS _fp{oproj}
+      FROM ({changes_sql})
+    ),
+    lagged AS (
+      SELECT *, lag(_fp) OVER (PARTITION BY {key} ORDER BY {order})
+                  AS _prev
+      FROM src
+    ),
+    collapsed AS (
+      SELECT * FROM lagged WHERE _prev IS NULL OR _fp <> _prev
+    )
+    SELECT {key}, {alist},
+           _ts AS valid_from,
+           lead(_ts) OVER (PARTITION BY {key} ORDER BY {order})
+             AS valid_to,
+           (lead(_ts) OVER (PARTITION BY {key} ORDER BY {order}))
+             IS NULL AS is_current
+    FROM collapsed
+    """

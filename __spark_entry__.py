@@ -29,6 +29,7 @@ from dataset_grouper_spark.operators import chunking, dedup, multimodal, similar
 from dataset_grouper_spark.operators import graph as graph_ops
 from dataset_grouper_spark.operators import linkage as linkage_ops
 from dataset_grouper_spark.operators import scd as scd_ops
+from dataset_grouper_spark.operators import spatial as spatial_ops
 from dataset_grouper_spark.operators import regress as regress_ops
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
@@ -3596,6 +3597,66 @@ def q_scd2_user_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SCD2_SPLIT_NS = 1_705_708_800_000_000_000  # 2024-01-20T00:00:00Z
+
+
+def q_scd2_apply_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SCD2 maintenance: the dimension is built from
+    events up to the split instant, then the newer half is merged with
+    :func:`scd2_apply` — O(batch + touched keys), never a history
+    rebuild, with the strictly-newer contract enforced in-plan (an
+    out-of-order batch raises from the executors instead of writing
+    wrong history). The oracle is the FULL rebuild over all events:
+    apply(rebuild(old), new) == rebuild(old ∪ new) is the operator's
+    defining law, so this query pins the incremental path end-to-end
+    cross-engine."""
+    from dataset_grouper_spark.operators import scd
+
+    ev = read_table(spark, sf, "events")
+    old = ev.filter(F.col("ts") <= SCD2_SPLIT_NS)
+    new = ev.filter(F.col("ts") > SCD2_SPLIT_NS)
+    dim = scd.scd2_from_changes(
+        old, "user_id", ["event_type"], "ts", order_cols=["event_id"]
+    )
+    return scd.scd2_apply(
+        dim, new, "user_id", ["event_type"], "ts", order_cols=["event_id"]
+    )
+
+
+SPATIAL_RADIUS_KM = 100.0
+# deterministic synthetic coordinates derived arithmetically from the
+# customer key (identical integer->double arithmetic on both engines):
+# lat in [-70, 70), lon in [-180, 180) — inside the default
+# max_abs_lat=75 cell-ring bound
+_LAT_EXPR_SQL = "((c_custkey * 7919) % 14000) / 100.0 - 70.0"
+_LON_EXPR_SQL = "((c_custkey * 104729) % 36000) / 100.0 - 180.0"
+
+
+def _customer_points(spark: SparkSession, sf: str) -> DataFrame:
+    cust = read_table(spark, sf, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(_LAT_EXPR_SQL).alias("lat"),
+        F.expr(_LON_EXPR_SQL).alias("lon"),
+    )
+
+
+def q_spatial_radius_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Geospatial radius self-join: all customer pairs within 100 km,
+    by equirectangular grid blocking (one exploded equijoin on the
+    cell key — NEVER all-pairs) + exact haversine verify, with the
+    declared latitude bound enforced in-plan by an executor-side
+    raise_error (no second scan). The same block-probe-verify shape as
+    LSH/IVF/ER; density skew (a hot city cell) is an AQE skew-join
+    case. Haversine is a fixed IEEE-754 expression tree both engines
+    evaluate to within an ulp; distances round to 4 decimals."""
+    from dataset_grouper_spark.operators import spatial
+
+    return spatial.radius_pairs(
+        _customer_points(spark, sf), "id", "lat", "lon", SPATIAL_RADIUS_KM
+    )
+
+
 def _customer_blocks():
     """Two ER blocking passes over customers: exact (nation, segment)
     agreement, plus a name-prefix pass that catches records the
@@ -6252,6 +6313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Session-5 SCD Type-2 dimension history — locally
         # sf0.01-hash-verified; leads tier A in r7.
         "scd2_user_events": q_scd2_user_events,
+        "scd2_apply_events": q_scd2_apply_events,
+        "spatial_radius_pairs": q_spatial_radius_pairs,
         # --- tier A continued: queries that have NEVER had a driver
         #     oracle row (added past-cap in r5; all locally
         #     sf0.01-hash-verified then and re-verified this round) —
@@ -7805,6 +7868,19 @@ def oracle_sql() -> dict[str, str]:
             " FROM events",
             "user_id", ["event_type"], "ts",
             order_exprs=["event_id"],
+        ),
+        # the apply==rebuild law: the incremental path's oracle is the
+        # full rebuild over old ∪ new
+        "scd2_apply_events": scd_ops.scd2_from_changes_sql(
+            "SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id"
+            " FROM events",
+            "user_id", ["event_type"], "ts",
+            order_exprs=["event_id"],
+        ),
+        "spatial_radius_pairs": spatial_ops.radius_pairs_sql(
+            f"SELECT c_custkey AS id, {_LAT_EXPR_SQL} AS lat,"
+            f" {_LON_EXPR_SQL} AS lon FROM customer",
+            "id", "lat", "lon", SPATIAL_RADIUS_KM,
         ),
         "entity_match_customers": linkage_ops.match_pairs_sql(
             "customer", "c_custkey", "c_name",

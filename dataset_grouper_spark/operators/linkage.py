@@ -64,14 +64,20 @@ def blocked_pairs(
         cols = [
             F.col(k) if isinstance(k, str) else k for k in keys
         ]
+        # block key = a STRUCT of the key expressions: struct equality
+        # is per-field equality, which is injective on the key tuple
+        # (a separator-concat string key would collide distinct tuples
+        # whose values contain the separator) and matches the oracle's
+        # per-column equi-join semantics exactly
         keyed = df.select(
             F.col(id_col).alias("_id"),
-            F.concat_ws(
-                "\x1f", *[c.cast("string") for c in cols]
+            F.struct(
+                *[c.alias(f"_k{j}") for j, c in enumerate(cols)]
             ).alias("_bk"),
-            # NULL in ANY key disables blocking for the pass:
-            # concat_ws skips NULLs, which would merge ('a', NULL)
-            # with ('a',) — track nullness explicitly instead
+            # NULL in ANY key disables blocking for the pass (struct
+            # equality treats NULL fields as equal, which would block
+            # ('a', NULL) with ('a', NULL) — an absent attribute is
+            # evidence of nothing, so track nullness explicitly)
             F.greatest(
                 F.lit(False), *[c.isNull() for c in cols]
             ).alias("_nullkey"),
@@ -189,7 +195,11 @@ def match_pairs_sql(
 ) -> str:
     """DuckDB twin of blocked_pairs ∘ match_pairs: per-pass block
     self-joins unioned + deduped, levenshtein + threshold + normalized
-    similarity — the same engine-portable score."""
+    similarity. Normalization uses ``length()`` (CHARACTER count) on
+    both engines. Exactness caveat: DuckDB's ``levenshtein`` counts
+    BYTE edits while Spark's counts CHARACTER edits, so the twin is
+    exact on ASCII text only (multi-byte characters inflate the DuckDB
+    distance); the registered oracle queries run on ASCII keys."""
     passes = []
     for keys in block_exprs:
         null_guard = " AND ".join(
@@ -212,12 +222,12 @@ def match_pairs_sql(
     WITH cand AS ({union})
     SELECT c.id_a, c.id_b,
            levenshtein(x.{text_col}, y.{text_col}) AS dist,
-           CASE WHEN greatest(strlen(x.{text_col}), strlen(y.{text_col})) = 0
+           CASE WHEN greatest(length(x.{text_col}), length(y.{text_col})) = 0
                 THEN 1.0
                 ELSE round_even(
                   1.0 - levenshtein(x.{text_col}, y.{text_col})
-                  / CAST(greatest(strlen(x.{text_col}),
-                                  strlen(y.{text_col})) AS DOUBLE), 6)
+                  / CAST(greatest(length(x.{text_col}),
+                                  length(y.{text_col})) AS DOUBLE), 6)
            END AS similarity
     FROM cand c
     JOIN {table} x ON x.{id_col} = c.id_a

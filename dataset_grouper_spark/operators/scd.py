@@ -105,26 +105,62 @@ def scd2_apply(
     """Merge a strictly-newer change batch into an existing SCD2 table.
 
     Contract: every batch row's ``ts_col`` must be >= every stored
-    ``valid_from`` for its key (append-mostly ingest). Untouched keys'
-    rows pass through BYTE-IDENTICAL (no rewrite); touched keys replay
-    their current open version + the batch through the same collapse,
-    so a batch re-stating the current attribute values changes nothing.
+    ``valid_from`` for its key (append-mostly ingest). The contract is
+    ENFORCED inside the plan: an executor-side ``raise_error`` fires if
+    any touched key's stored open ``valid_from`` (the per-key maximum —
+    the open version is always the latest) exceeds that key's minimum
+    batch timestamp, so an out-of-order batch fails loudly instead of
+    silently writing wrong history. The guard costs one extra
+    aggregation over the BATCH (O(batch), never O(dim)).
+
+    Untouched keys' rows pass through BYTE-IDENTICAL (no rewrite);
+    touched keys replay their current open version + the batch through
+    the same collapse, so a batch re-stating the current attribute
+    values changes nothing.
     """
     batch_keys = batch.select(F.col(key)).distinct()
     untouched = dim.join(batch_keys, key, "left_anti")
     touched_closed = dim.join(batch_keys, key, "semi").filter(
         ~F.col("is_current")
     )
+    ts_type = dim.schema["valid_from"].dataType
+    batch_min = batch.groupBy(key).agg(
+        F.min(ts_col).alias("_batch_min_ts")
+    )
+    # strictly-newer guard: the open version carries the per-key max
+    # stored valid_from, so valid_from > min(batch ts) for its key IS
+    # the contract violation — raise from the executor, in-plan
+    guarded_from = F.when(
+        F.col("valid_from") > F.col("_batch_min_ts"),
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_apply: out-of-order batch for key "),
+                F.col(key).cast("string"),
+                F.lit(": stored valid_from "),
+                F.col("valid_from").cast("string"),
+                F.lit(" > batch min ts "),
+                F.col("_batch_min_ts").cast("string"),
+                F.lit("; out-of-order batches belong in the rebuild"
+                      " path (scd2_from_changes)"),
+            )
+        ).cast(ts_type),
+    ).otherwise(F.col("valid_from"))
     # replay = the open version (as a pseudo-change at its valid_from)
-    # + the new batch; collapse handles re-stated values
+    # + the new batch; collapse handles re-stated values.  Null order
+    # literals are cast to each order column's ACTUAL batch dtype (a
+    # hard-coded long would break string/timestamp sequence ids).
     open_rows = (
         dim.join(batch_keys, key, "semi")
         .filter(F.col("is_current"))
+        .join(batch_min, key)
         .select(
             F.col(key),
             *[F.col(a) for a in attrs],
-            F.col("valid_from").alias(ts_col),
-            *[F.lit(None).cast("long").alias(c) for c in (order_cols or [])],
+            guarded_from.alias(ts_col),
+            *[
+                F.lit(None).cast(batch.schema[c].dataType).alias(c)
+                for c in (order_cols or [])
+            ],
         )
     )
     replay = scd2_from_changes(

@@ -14,9 +14,10 @@ NEGATIVES iff any two points within ``radius_km`` differ by at most
 one cell index on each axis. Latitude degrees are uniform
 (111.045 km); longitude degrees shrink by cos(lat), so the cell edge
 is sized for the WORST latitude the caller declares (``max_abs_lat``)
-— conservative, never lossy, and the declared bound is asserted
-against the data (a silent out-of-band point would silently lose
-pairs).
+— conservative, never lossy, and the declared bound is enforced
+against the data INSIDE the plan (an executor-side ``raise_error``
+fires on the first out-of-band row — no second scan of a 100 TB point
+set, and a silent out-of-band point can never silently lose pairs).
 
 Haversine is a fixed IEEE-754 expression tree (sin/cos/asin/sqrt) that
 Spark and DuckDB evaluate to within an ulp; distances round to 4
@@ -89,25 +90,51 @@ def radius_pairs(
     neighbor-ring grid blocking + exact haversine verify. Output:
     (id_a, id_b, dist_km) with dist rounded to 4 decimals.
 
-    Points beyond ``max_abs_lat`` raise (the cell-ring guarantee would
-    silently break); raise the bound — at the cost of wider cells —
-    or handle polar caps with a dedicated band join.
+    Points beyond ``max_abs_lat`` raise AT RUNTIME, from the executors,
+    via an in-plan guard (the cell-ring guarantee would silently break
+    otherwise); raise the bound — at the cost of wider cells — or
+    handle polar caps with a dedicated band join. The guard is a
+    per-row codegen'd branch, not an extra aggregate pass, so a 100 TB
+    point set is still scanned exactly once. Callers who want an eager
+    pre-flight check instead can call :func:`assert_lat_bound`.
     """
     edge = cell_edge_deg(radius_km, max_abs_lat)
+    lat = F.col(lat_col).cast("double")
+    guarded_lat = F.when(
+        lat.isNotNull() & (F.abs(lat) > max_abs_lat),
+        F.raise_error(
+            F.concat(
+                F.lit("latitude "),
+                lat.cast("string"),
+                F.lit(
+                    f" exceeds declared max_abs_lat={max_abs_lat};"
+                    " widen the bound (wider cells) or band the polar"
+                    " caps separately"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(lat)
     pts = points.select(
         F.col(id_col).alias("_id"),
-        F.col(lat_col).cast("double").alias("_lat"),
+        guarded_lat.alias("_lat"),
         F.col(lon_col).cast("double").alias("_lon"),
-        F.floor(F.col(lat_col) / edge).cast("long").alias("_cx"),
+        F.floor(guarded_lat / edge).cast("long").alias("_cx"),
         F.floor(F.col(lon_col) / edge).cast("long").alias("_cy"),
     )
     # left side probes its 3x3 neighborhood; right side stays put —
     # each unordered candidate pair is produced once per (dx, dy) that
     # matches, and the id_a < id_b filter plus DISTINCT dedups the
     # double-count a pair straddling two cells would get
-    offs = F.expr(
-        "explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1) AS dx,"
-        " array(-1,0,1,-1,0,1,-1,0,1) AS dy))"
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"), F.lit(dy).alias("dy")
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
     )
     probe = pts.select(
         F.col("_id"), F.col("_lat"), F.col("_lon"),

@@ -149,6 +149,49 @@ def test_match_pairs_sql_twin_agrees(spark):
     assert got == want
 
 
+def test_block_key_injective_on_separator_bytes(spark):
+    # a separator-concat block key would collide ('x\x1f', 'y') with
+    # ('x', '\x1fy'); the struct key must NOT pair them
+    df = spark.createDataFrame(
+        [(1, "n1", "x\x1f", "y"), (2, "n2", "x", "\x1fy"),
+         (3, "n3", "x\x1f", "y")],
+        SCHEMA,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in linkage.blocked_pairs(df, "id", [["city", "segment"]]).collect()
+    }
+    assert pairs == {(1, 3)}
+
+
+def test_non_ascii_char_semantics(spark):
+    # Spark levenshtein + F.length are CHARACTER-based: 'café'->'cafe'
+    # is ONE edit over 12 chars, never the 2-byte-edit/14-byte answer a
+    # byte-based engine gives (DuckDB's levenshtein is byte-based, so
+    # the SQL twin's exactness contract is ASCII-only — documented on
+    # match_pairs_sql)
+    rows = [
+        (1, "café münchen", "x", "A"),
+        (2, "cafe münchen", "x", "A"),
+        (3, "caffè münchèn", "x", "A"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"]): (r["dist"], r["similarity"])
+        for r in linkage.match_pairs(
+            df, linkage.blocked_pairs(df, "id", [["city"]]), "id", "name", 4
+        ).collect()
+    }
+    by_id = {i: n for i, n, _, _ in rows}
+    for (a, b), (d, sim) in got.items():
+        assert d == _lev(by_id[a], by_id[b])  # char-level reference
+        assert sim == pytest.approx(
+            1 - d / max(len(by_id[a]), len(by_id[b])), abs=1e-6
+        )
+    assert got[(1, 2)][0] == 1
+    assert got[(1, 2)][1] == pytest.approx(1 - 1 / 12, abs=1e-6)
+
+
 def test_empty_strings_similarity_one(spark):
     df = spark.createDataFrame(
         [(1, "", "x", "A"), (2, "", "x", "A")], SCHEMA

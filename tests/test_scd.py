@@ -155,3 +155,45 @@ def test_tiebreak_order_cols(spark):
     ).collect()
     cur = [r for r in out if r["is_current"]]
     assert len(cur) == 1 and cur[0]["tier"] == "b"
+
+
+def test_apply_out_of_order_batch_raises(spark):
+    dim = scd.scd2_from_changes(
+        spark.createDataFrame(LOG, SCHEMA), "k", ["tier", "city"], "ts"
+    )
+    # key 1's open version starts at ts=40; a batch row at ts=35
+    # violates the strictly-newer contract
+    stale = spark.createDataFrame([(1, "dia", "sf", 35)], SCHEMA)
+    merged = scd.scd2_apply(dim, stale, "k", ["tier", "city"], "ts")
+    with pytest.raises(Exception, match="out-of-order batch"):
+        merged.collect()
+
+
+def test_apply_batch_at_exact_open_ts_allowed(spark):
+    # ts == stored valid_from satisfies the >= contract (no raise)
+    dim = scd.scd2_from_changes(
+        spark.createDataFrame(LOG, SCHEMA), "k", ["tier", "city"], "ts"
+    )
+    same_ts = spark.createDataFrame([(1, "dia", "sf", 40)], SCHEMA)
+    out = scd.scd2_apply(dim, same_ts, "k", ["tier", "city"], "ts")
+    assert out.filter("k = 1 AND is_current").count() == 1
+
+
+def test_apply_string_order_cols(spark):
+    # non-long order columns must not hit a unionByName type mismatch
+    schema = "k: long, tier: string, city: string, ts: long, seq: string"
+    old = spark.createDataFrame([(1, "a", "x", 10, "s1")], schema)
+    new = spark.createDataFrame([(1, "b", "x", 20, "s2")], schema)
+    dim = scd.scd2_from_changes(
+        old, "k", ["tier", "city"], "ts", order_cols=["seq"]
+    )
+    merged = scd.scd2_apply(
+        dim, new, "k", ["tier", "city"], "ts", order_cols=["seq"]
+    )
+    full = scd.scd2_from_changes(
+        old.unionByName(new), "k", ["tier", "city"], "ts",
+        order_cols=["seq"],
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }

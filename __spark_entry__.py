@@ -3702,67 +3702,40 @@ def q_entity_clusters_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _supplier_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Supplier-similarity kNN graph: two suppliers are co-supply
-    partners weighted by how many distinct parts they both ship
-    (bipartite projection of distinct (part, supplier) pairs), and each
-    supplier keeps its K strongest partners (ties broken by partner
-    id). The top-K cut keeps the graph SPARSE at any scale factor —
-    at most n*K directed edges no matter how dense co-supply gets —
-    which is exactly how production similarity graphs (kNN over
-    embeddings, co-occurrence graphs) are kept tractable at 100 TB.
-    The per-node window partitions on the supplier key (no global
-    window); the projection join fans out per part, the shape every
-    bipartite projection pays."""
-    from pyspark.sql import Window
+KNN_FANOUT_CAP = 256  # >> max suppliers-per-part at any tested sf
+# (52 at sf0.1): the cap exists to stop a PATHOLOGICAL hot part from
+# detonating the projection join quadratically, not to trim real data
 
-    ps = (
-        read_table(spark, sf, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a, b = ps.alias("a"), ps.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("v").alias("u"), F.col("u").alias("v"), F.col("n")
-        )
-    )
-    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("v"))
-    return (
-        sym.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= KNN_GRAPH_K)
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
+def _supplier_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier-similarity kNN graph via operators.graph.bipartite_knn:
+    two suppliers are co-supply partners weighted by how many distinct
+    parts they both ship (bipartite projection of distinct
+    (part, supplier) pairs), and each supplier keeps its K strongest
+    partners (ties broken by partner id). The top-K cut keeps the
+    graph SPARSE at any scale factor — at most n*K directed edges no
+    matter how dense co-supply gets — and the hot-key fanout cap
+    bounds the projection join's quadratic blow-up on a pathological
+    part, the same drop-and-audit contract as the LSH hot-bucket cap."""
+    from dataset_grouper_spark.operators import graph
+
+    li = read_table(spark, sf, "lineitem")
+    return graph.bipartite_knn(
+        li, "l_partkey", "l_suppkey", KNN_GRAPH_K,
+        max_right_fanout=KNN_FANOUT_CAP,
     )
 
 
 def _supplier_knn_edges_sql() -> str:
     """DuckDB twin of :func:`_supplier_knn_edges` — same projection,
-    same symmetrize, same (n DESC, v ASC) top-K window."""
-    return f"""
-        WITH ps AS (
-          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
-        ),
-        pairs AS (
-          SELECT a.s AS u, b.s AS v, count(*) AS n
-          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-          GROUP BY 1, 2
-        ),
-        sym AS (
-          SELECT u, v, n FROM pairs
-          UNION ALL
-          SELECT v AS u, u AS v, n FROM pairs
-        )
-        SELECT u AS src, v AS dst FROM (
-          SELECT u, v,
-                 row_number() OVER (PARTITION BY u ORDER BY n DESC, v ASC) AS r
-          FROM sym
-        ) WHERE r <= {KNN_GRAPH_K}
-    """
+    same fanout cap, same symmetrize, same (n DESC, v ASC) top-K."""
+    from dataset_grouper_spark.operators import graph
+
+    return graph.bipartite_knn_sql(
+        "SELECT l_partkey, l_suppkey FROM lineitem",
+        "l_partkey", "l_suppkey", KNN_GRAPH_K,
+        max_right_fanout=KNN_FANOUT_CAP,
+    )
 
 
 def q_triangle_suppliers(spark: SparkSession, sf: str) -> DataFrame:

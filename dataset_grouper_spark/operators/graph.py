@@ -196,6 +196,129 @@ def pagerank_sql(
     )
 
 
+def bipartite_fanout(df: DataFrame, left: str, right: str) -> DataFrame:
+    """Audit frame for :func:`bipartite_knn`'s hot-key cap: the number
+    of distinct ``right`` values per ``left`` key, descending. Run it
+    to size ``max_right_fanout`` and to see what a chosen cap drops."""
+    return (
+        df.select(F.col(left).alias("left"), F.col(right).alias("right"))
+        .na.drop()
+        .distinct()
+        .groupBy("left")
+        .agg(F.count(F.lit(1)).alias("fanout"))
+        .orderBy(F.desc("fanout"), F.asc("left"))
+    )
+
+
+def bipartite_knn(
+    df: DataFrame,
+    left: str,
+    right: str,
+    k: int,
+    max_right_fanout: int | None = None,
+) -> DataFrame:
+    """kNN similarity graph over the ``right`` entities of a bipartite
+    relation (the similarity-graph builder behind the triangle / BFS /
+    community queries): two right nodes are neighbors weighted by how
+    many distinct ``left`` keys they share (bipartite projection of
+    distinct (left, right) pairs), and each node keeps its K strongest
+    partners — ties broken by partner id — so the output stays SPARSE
+    at any scale: at most n·K directed (src, dst) edges no matter how
+    dense co-membership gets.
+
+    ``max_right_fanout`` is the hot-key cap: a left key shared by f
+    right nodes emits f·(f-1)/2 projection pairs, so ONE pathological
+    key (a part supplied by 10^5 suppliers, a token present in every
+    document) detonates the join quadratically. Keys whose fanout
+    exceeds the cap are dropped BEFORE the pair join — the same
+    drop-and-audit contract as linkage's ``max_block_size`` and the
+    LSH hot-bucket cap; audit candidates with :func:`bipartite_fanout`.
+    A dropped key is a recall trade on edge WEIGHTS only (its
+    co-members almost surely co-occur under other keys); correctness
+    of the kNN cut is unaffected for surviving weights.
+
+    One shuffle for the distinct, one for the projection join, one for
+    the per-node top-K window (partitioned by node, never global).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    ps = (
+        df.select(F.col(left).alias("_l"), F.col(right).alias("_r"))
+        .na.drop()
+        .distinct()
+    )
+    if max_right_fanout is not None:
+        sizes = ps.groupBy("_l").agg(F.count(F.lit(1)).alias("_fan"))
+        ps = (
+            ps.join(sizes.filter(F.col("_fan") <= max_right_fanout), "_l")
+            .drop("_fan")
+        )
+    ps = persist_tracked(ps)
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._l") == F.col("b._l"))
+            & (F.col("a._r") < F.col("b._r")),
+        )
+        .groupBy(F.col("a._r").alias("u"), F.col("b._r").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("n"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("v"))
+    out = (
+        sym.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    defer_release(lambda: ps.unpersist())
+    return out
+
+
+def bipartite_knn_sql(
+    pairs_sql: str,
+    left: str,
+    right: str,
+    k: int,
+    max_right_fanout: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`bipartite_knn` — same distinct projection,
+    same fanout cap, same symmetrize, same (n DESC, v ASC) top-K."""
+    cap = ""
+    if max_right_fanout is not None:
+        cap = (
+            " WHERE l IN (SELECT l FROM ps GROUP BY l"
+            f" HAVING count(*) <= {max_right_fanout})"
+        )
+    return f"""
+        WITH ps AS (
+          SELECT DISTINCT {left} AS l, {right} AS r FROM ({pairs_sql})
+          WHERE {left} IS NOT NULL AND {right} IS NOT NULL
+        ),
+        capped AS (SELECT l, r FROM ps{cap}),
+        pairs AS (
+          SELECT a.r AS u, b.r AS v, count(*) AS n
+          FROM capped a JOIN capped b ON a.l = b.l AND a.r < b.r
+          GROUP BY 1, 2
+        ),
+        sym AS (
+          SELECT u, v, n FROM pairs
+          UNION ALL
+          SELECT v AS u, u AS v, n FROM pairs
+        )
+        SELECT u AS src, v AS dst FROM (
+          SELECT u, v,
+                 row_number() OVER (PARTITION BY u ORDER BY n DESC, v ASC)
+                   AS rnk
+          FROM sym
+        ) WHERE rnk <= {k}
+    """
+
+
 def triangle_counts(
     edges: DataFrame, a: str, b: str
 ) -> DataFrame:

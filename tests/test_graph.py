@@ -289,3 +289,125 @@ def test_bfs_source_only(spark):
     df = spark.createDataFrame([(5, 6)], "a: long, b: long")
     got = graph.bfs_distances(df, "a", "b", 99, max_hops=5).collect()
     assert [(r["node"], r["dist"]) for r in got] == [(99, 0)]
+
+
+# ---------------------------------------------------------------- kNN graph
+
+# bipartite (group, member): groups g1..g3 induce co-membership
+BIPARTITE = [
+    (10, 1), (10, 2), (10, 3),          # {1,2,3} share group 10
+    (20, 2), (20, 3),                   # {2,3} also share 20 -> n=2
+    (30, 4), (30, 5),                   # isolated pair
+    (40, 6),                            # singleton group: no pairs
+]
+
+
+def _brute_knn(rows, k, cap=None):
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for g, m in rows:
+        groups[g].add(m)
+    weights = defaultdict(int)
+    for g, ms in groups.items():
+        if cap is not None and len(ms) > cap:
+            continue
+        ms = sorted(ms)
+        for i, u in enumerate(ms):
+            for v in ms[i + 1:]:
+                weights[(u, v)] += 1
+    per = defaultdict(list)
+    for (u, v), n in weights.items():
+        per[u].append((-n, v))
+        per[v].append((-n, u))
+    out = set()
+    for u, lst in per.items():
+        for negn, v in sorted(lst)[:k]:
+            out.add((u, v))
+    return out
+
+
+def test_bipartite_knn_matches_reference(spark):
+    df = spark.createDataFrame(BIPARTITE, "g: long, m: long")
+    got = {
+        (r["src"], r["dst"])
+        for r in graph.bipartite_knn(df, "g", "m", 2).collect()
+    }
+    assert got == _brute_knn(BIPARTITE, 2)
+    # strongest partner of 2 is 3 (weight 2 via groups 10+20)
+    assert (2, 3) in got
+
+
+def test_bipartite_knn_k_bounds_out_degree(spark):
+    df = spark.createDataFrame(BIPARTITE, "g: long, m: long")
+    out = graph.bipartite_knn(df, "g", "m", 1)
+    deg = out.groupBy("src").count().collect()
+    assert all(r["count"] == 1 for r in deg)
+
+
+def test_bipartite_knn_fanout_cap_drops_hot_key(spark):
+    hot = [(99, m) for m in range(50)]  # one key shared by 50 members
+    df = spark.createDataFrame(BIPARTITE + hot, "g: long, m: long")
+    capped = {
+        (r["src"], r["dst"])
+        for r in graph.bipartite_knn(
+            df, "g", "m", 2, max_right_fanout=10
+        ).collect()
+    }
+    # the hot key contributes NOTHING; result equals the uncontaminated
+    # reference (members 0..49 overlap ids 1..6 but gain no edges from 99)
+    assert capped == _brute_knn(BIPARTITE + hot, 2, cap=10)
+    assert capped == _brute_knn(BIPARTITE, 2)
+
+
+def test_bipartite_fanout_audit(spark):
+    hot = [(99, m) for m in range(50)]
+    df = spark.createDataFrame(BIPARTITE + hot, "g: long, m: long")
+    rows = graph.bipartite_fanout(df, "g", "m").collect()
+    assert rows[0]["left"] == 99 and rows[0]["fanout"] == 50
+
+
+def test_bipartite_knn_sql_twin_agrees(spark):
+    import duckdb
+
+    df = spark.createDataFrame(BIPARTITE, "g: long, m: long")
+    got = {
+        (r["src"], r["dst"])
+        for r in graph.bipartite_knn(
+            df, "g", "m", 2, max_right_fanout=10
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE bp AS SELECT * FROM (VALUES "
+        + ",".join("(%d, %d)" % r for r in BIPARTITE)
+        + ") v(g, m)"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(
+            graph.bipartite_knn_sql(
+                "SELECT g, m FROM bp", "g", "m", 2, max_right_fanout=10
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+@pytest.mark.slow
+def test_bipartite_knn_hot_key_bounded_pairs(spark):
+    # one synthetic hot key with 20k members would emit ~2e8 projection
+    # pairs uncapped; with the cap the whole query stays tiny and fast
+    import time
+
+    normal = [(g, g * 3 + j) for g in range(200) for j in range(3)]
+    hot = [(10**6, m) for m in range(20_000)]
+    df = spark.createDataFrame(normal + hot, "g: long, m: long")
+    t0 = time.time()
+    out = graph.bipartite_knn(df, "g", "m", 5, max_right_fanout=100)
+    n = out.count()
+    took = time.time() - t0
+    # bounded by n_members * k, and the hot key's members contribute 0
+    assert n <= 600 * 5
+    assert out.filter("src >= 1000").count() == 0
+    assert took < 120

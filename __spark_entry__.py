@@ -5229,6 +5229,53 @@ def q_iceberg_equality_delete(spark: SparkSession, sf: str) -> DataFrame:
     return final.unionByName(before).select("stage", "lang", "n", "sum_ids")
 
 
+def q_iceberg_gdpr_compose(spark: SparkSession, sf: str) -> DataFrame:
+    """Position deletes STACKED ON equality deletes (sources/iceberg.py
+    iceberg_delete_where over a table carrying equality deletes — the
+    Flink-CDC + GDPR composition): append the corpus, equality-delete
+    keys (doc_id % 6 == 0, the CDC retraction), then predicate-delete
+    rows on the CURRENT view (lang = 'de' or doc_id % 11 == 3, the
+    GDPR sweep). The predicate scan must apply the sequence-ordered
+    equality deletes FIRST, so already-retracted rows never match and
+    the two delete kinds compose. Stage 0 = final state, stage 1 =
+    time travel to the post-equality / pre-predicate snapshot."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_delete_values,
+        iceberg_delete_where,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_gdpr_") + "/tbl"
+    iceberg_append(spark, docs, table)
+    eq_snap = iceberg_delete_values(
+        spark,
+        docs.filter(F.col("doc_id") % 6 == 0).select("doc_id"),
+        table,
+    )
+    iceberg_delete_where(spark, table, "lang = 'de' OR doc_id % 11 = 3")
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    final = (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    mid = (
+        read_iceberg(spark, table, snapshot_id=eq_snap)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return final.unionByName(mid).select("stage", "lang", "n", "sum_ids")
+
+
 def q_delta_merge_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Delta MERGE (sources/delta.py delta_merge): copy-on-write
     upsert at FILE granularity — updates (every doc_id % 10 == 0
@@ -6218,6 +6265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_optimize_vacuum": q_delta_optimize_vacuum,
         "delta_schema_evolution": q_delta_schema_evolution,
         "iceberg_equality_delete": q_iceberg_equality_delete,
+        "iceberg_gdpr_compose": q_iceberg_gdpr_compose,
         "iceberg_retention": q_iceberg_retention,
         "streaming_delta_source": q_streaming_delta_source,
         "delta_zorder_skipping": q_delta_zorder_skipping,
@@ -7546,6 +7594,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents GROUP BY lang
+        """,
+        "iceberg_gdpr_compose": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE doc_id % 6 <> 0
+              AND NOT (lang = 'de' OR doc_id % 11 = 3)
+            GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 6 <> 0 GROUP BY lang
         """,
         "delta_optimize_vacuum": """
             SELECT stage, lang,

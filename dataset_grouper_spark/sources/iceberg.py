@@ -1356,10 +1356,16 @@ def iceberg_delete_where(
     merge-on-read economics: at 100 TB a point delete commits in
     seconds regardless of table size, and readers pay one anti-join.
 
-    Rows already position-deleted are excluded from matching (the scan
-    applies existing deletes first), so repeated deletes compose and a
-    re-run of the same predicate is a no-op. Returns the new snapshot
-    id, or the CURRENT snapshot id unchanged when nothing matches."""
+    Rows already deleted — by earlier POSITION deletes or by EQUALITY
+    deletes (sequence-ordered: an equality delete only kills rows in
+    data files with a strictly smaller data sequence number) — are
+    excluded from matching, because the predicate runs on the same
+    composed scan :func:`read_iceberg` serves. So repeated deletes
+    compose, a re-run of the same predicate is a no-op, and the
+    Flink-CDC + GDPR composition (equality-delete a key, then
+    position-delete by predicate) is first-class. Returns the new
+    snapshot id, or the CURRENT snapshot id unchanged when nothing
+    matches."""
     import glob
     import shutil
     import tempfile
@@ -1373,12 +1379,6 @@ def iceberg_delete_where(
     data_seqs, delete_files, delete_rows, eq_deletes = _live_files(
         table_path, snaps[cur_id]
     )
-    if eq_deletes:
-        raise NotImplementedError(
-            "iceberg_delete_where: position-deleting on top of equality "
-            "deletes would need the full sequence-ordered scan; delete "
-            "by key via iceberg_delete_values instead"
-        )
     data_files = [p for p, _ in data_seqs]
     if not data_files:
         return cur_id
@@ -1394,10 +1394,26 @@ def iceberg_delete_where(
     ddl = ", ".join(
         f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
     )
-    # match against the RAW scan (positions come from its _metadata);
-    # rows already deleted are subtracted explicitly below, which both
-    # applies current-table semantics and keeps delete files disjoint
+    # match against the CURRENT-VIEW scan: tag the raw scan with its
+    # file/row-ordinal metadata, then compose BOTH delete passes on the
+    # tags exactly as read_iceberg does — already-dead rows (position-
+    # or equality-deleted) can never match, keeping delete files
+    # disjoint and re-runs no-ops
     scan = spark.read.schema(ddl).parquet(*data_files)
+    keyed = scan.withColumns(
+        {
+            "__fp": _norm_path(F.col("_metadata.file_path")),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    if delete_files:
+        keyed = _apply_position_deletes(
+            spark, keyed, delete_files, delete_rows
+        )
+    if eq_deletes:
+        keyed = _apply_equality_deletes(
+            spark, keyed, data_seqs, eq_deletes, schema
+        )
     cond = F.expr(condition) if isinstance(condition, str) else condition
     # manifest-declared path for each scanned file (broadcast map:
     # one row per live data file — planning-scale, not data-scale)
@@ -1406,25 +1422,11 @@ def iceberg_delete_where(
         "`__fp` string, `file_path` string",
     )
     hits = (
-        scan.filter(cond)
-        .select(
-            _norm_path(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
+        keyed.filter(cond)
+        .select(F.col("__fp"), F.col("__pos").alias("pos"))
         .join(F.broadcast(path_map), "__fp")
         .select("file_path", "pos")
     )
-    if delete_files:
-        prev = spark.read.parquet(*delete_files).select(
-            _norm_path(F.col("file_path")).alias("__pf"),
-            F.col("pos").cast("long").alias("__ppos"),
-        )
-        hits = hits.join(
-            prev,
-            (_norm_path(hits["file_path"]) == prev["__pf"])
-            & (hits["pos"] == prev["__ppos"]),
-            "left_anti",
-        )
     stage = tempfile.mkdtemp(prefix="_ice_del_stage_")
     (
         hits.repartition("file_path")

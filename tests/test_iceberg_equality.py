@@ -109,13 +109,44 @@ class TestDeleteValues:
                 spark, spark.createDataFrame([(1,)], "nope long"), t
             )
 
-    def test_position_delete_refuses_over_equality(self, spark, tmp_path):
-        t = _fresh(spark, tmp_path, [(1, "a"), (2, "b")])
+    def test_position_delete_stacks_on_equality(self, spark, tmp_path):
+        # the Flink-CDC + GDPR composition: equality-delete a key, then
+        # predicate-delete on the CURRENT view
+        t = _fresh(spark, tmp_path, [(1, "a"), (2, "b"), (3, "b")])
         iceberg_delete_values(
             spark, spark.createDataFrame([(1,)], "id long"), t
         )
-        with pytest.raises(NotImplementedError, match="equality"):
-            iceberg_delete_where(spark, t, "v = 'b'")
+        iceberg_delete_where(spark, t, "v = 'b' AND id = 2")
+        assert _ids(spark, t) == [3]
+
+    def test_position_delete_over_equality_rerun_noop(self, spark, tmp_path):
+        t = _fresh(spark, tmp_path, [(1, "a"), (2, "b"), (3, "b")])
+        iceberg_delete_values(
+            spark, spark.createDataFrame([(3,)], "id long"), t
+        )
+        s1 = iceberg_delete_where(spark, t, "v = 'b'")  # kills only id=2
+        assert _ids(spark, t) == [1]
+        # re-run: every 'b' row is already dead (one by equality, one by
+        # position) — no new snapshot
+        s2 = iceberg_delete_where(spark, t, "v = 'b'")
+        assert s2 == s1
+        assert _ids(spark, t) == [1]
+
+    def test_position_delete_respects_equality_sequence(self, spark, tmp_path):
+        # a key re-inserted AFTER its equality delete is live again; a
+        # predicate delete must see (and be able to kill) the NEW row
+        t = _fresh(spark, tmp_path, [(1, "old"), (2, "keep")])
+        iceberg_delete_values(
+            spark, spark.createDataFrame([(1,)], "id long"), t
+        )
+        iceberg_append(
+            spark,
+            spark.createDataFrame([(1, "new")], "id long, v string"),
+            t,
+        )
+        iceberg_delete_where(spark, t, "v = 'new'")
+        got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
+        assert got == {(2, "keep")}
 
     def test_sequence_numbers_recorded(self, spark, tmp_path):
         t = _fresh(spark, tmp_path, [(1, "a")])

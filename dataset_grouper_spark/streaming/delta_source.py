@@ -202,14 +202,30 @@ class _DeltaLitePushdownReader(_DeltaLiteBatchReader):
     ``spark.sql.python.filterPushdown.enabled`` is true (our
     ``session.get_spark`` sets it).
 
-    WHY OPT-IN (measured on Spark 4.1, this repo's probe): the Python
-    DSv2 wrapper caches the PLANNED SCAN per relation instance — when
-    a DataFrame from one ``load()`` is first planned WITH a filter and
-    later re-queried WITHOUT one, ``partitions()`` is not re-invoked
-    and the unfiltered query silently reuses the filtered file set
-    (wrong results). With pushdown off (the default) the scan is
-    stateless and relation reuse is safe. Rule when opting in: ONE
-    ``load()`` per query."""
+    WHY OPT-IN — verified at the bytecode level on Spark 4.1.2 (this
+    repo's probe, r7): the JVM's ``PythonDataSourceV2`` holds ONE
+    mutable ``readInfo`` slot per ``load()`` relation.
+    ``PythonScanBuilder.pushFilters`` re-runs the Python pushdown
+    runner and ``setReadInfo``-overwrites the slot — so every plan
+    WITH a translatable filter is correct, including two different
+    filters on the same relation (each re-plans; regression-tested).
+    But ``UserDefinedPythonDataSource.pushdownFiltersInPython`` gates
+    the runner on ``isAnyFilterSupported``: a later plan on the SAME
+    relation with NO translatable filters (unfiltered, or only
+    disjunctions) skips the runner entirely and
+    ``PythonBatch.planInputPartitions -> getOrCreateReadInfo`` reuses
+    the poisoned slot — the unfiltered query silently serves the
+    previous plan's pruned file set. The staleness lives in the JVM
+    slot, NOT in Python reader state (a fresh reader is constructed
+    per runner invocation — see pyspark/sql/worker/
+    data_source_pushdown_filters.py), so NO Python-side design can
+    make default-on safe: any filter-dependent partitions/read-func
+    stored in the slot is wrong for a reusing plan, and
+    filter-independent ones are no pushdown at all. Default therefore
+    stays stateless/off; the hazard ordering is pinned by a canary
+    test that will flip when a Spark release fixes the slot (then
+    flip the default). Rule when opting in: ONE ``load()`` per
+    query."""
 
     def pushFilters(self, filters):
         """FILE-LEVEL pushdown: comparison filters on top-level

@@ -185,6 +185,101 @@ class _IcebergLiteBatchReader(DataSourceReader):
         return _read_file_as_arrow(partition)
 
 
+class _IcebergLitePushdownReader(_IcebergLiteBatchReader):
+    """Pushdown-capable variant, OPT-IN via
+    ``.option("pushdown", "true")`` — comparison/IN filters on
+    top-level columns feed the manifest bounds skipper (Iceberg
+    Appendix-D lower/upper envelopes in ``_live_files``), so
+    ``spark.read.format("iceberg_lite")....filter("id < k")`` plans
+    only candidate files. Skipping is never exact, so EVERY filter is
+    returned for Spark to re-evaluate row-level.
+
+    WHY OPT-IN — the same verified Spark 4.1 wrapper hazard as
+    delta_lite (see _DeltaLitePushdownReader): the JVM's
+    PythonDataSourceV2 keeps ONE mutable readInfo slot per load()
+    relation; pushFilters overwrites it, and a later plan on the SAME
+    relation with no translatable filters reuses the slot WITHOUT
+    re-invoking Python (pushdownFiltersInPython gates the runner on
+    isAnyFilterSupported). Rule when opting in: ONE load() per query.
+    """
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self.skip_filters: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and f.value is not None
+            ):
+                self.skip_filters.append((f.attribute[0], op, f.value))
+            elif (
+                isinstance(f, In)
+                and len(f.attribute) == 1
+                and f.value
+                and all(v is not None for v in f.value)
+            ):
+                # IN ⊆ [min, max] envelope: sound, still prunes
+                self.skip_filters.append(
+                    (f.attribute[0], ">=", min(f.value))
+                )
+                self.skip_filters.append(
+                    (f.attribute[0], "<=", max(f.value))
+                )
+            yield f  # Spark always re-evaluates: skipping is file-level
+
+    def partitions(self):
+        if not self.skip_filters:
+            return super().partitions()
+        from dataset_grouper_spark.sources.iceberg import _live_files
+
+        meta, schema, struct = _table_state(self.path)
+        cur = meta.get("current-snapshot-id")
+        if cur is None:
+            return [None]
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur
+        )
+        by_name = {f["name"]: f for f in schema["fields"]}
+        skip, field_types = [], {}
+        for col, op, value in self.skip_filters:
+            f = by_name.get(col)
+            if f is None or not isinstance(f["type"], str):
+                continue  # nested/unknown column: no file-level help
+            skip.append((f["id"], op, value))
+            field_types[f["id"]] = f["type"]
+        data, delete_files, _rows, eq = _live_files(
+            self.path, snap, None, skip or None, field_types
+        )
+        if delete_files or eq:
+            raise RuntimeError(
+                "iceberg_lite batch read: table carries merge-on-read "
+                "delete files — use sources.iceberg.read_iceberg (the "
+                "DataFrame path applies the delete anti-joins)"
+            )
+        parts = _partitions_for([p for p, _s in data], struct)
+        return parts or [None]
+
+
 class _IcebergLiteStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, starting_sequence: int | None):
         self.path = path
@@ -528,6 +623,11 @@ class IcebergLiteDataSource(DataSource):
         return struct
 
     def reader(self, schema):
+        # pushdown is OPT-IN: Spark 4.1's DSv2 wrapper caches ONE
+        # planned scan per relation and reuses it for plans with no
+        # translatable filters (see _IcebergLitePushdownReader)
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return _IcebergLitePushdownReader(self._path())
         return _IcebergLiteBatchReader(self._path())
 
     def writer(self, schema, overwrite):

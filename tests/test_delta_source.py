@@ -207,6 +207,76 @@ class TestPushdown:
         assert base.count() == 10_000  # NOT pruned by the earlier query
 
 
+class TestPushdownPlanReuse:
+    def _table(self, spark, tmp_path, n=10_000, files=8):
+        t = str(tmp_path / "tbl")
+        df = spark.range(n).withColumn("v", F.col("id") * 2)
+        delta_append(
+            spark,
+            df.repartitionByRange(files, "id").sortWithinPartitions("id"),
+            t,
+        )
+        return t
+
+    def test_two_filters_same_load_prune_independently(
+        self, registered, tmp_path
+    ):
+        # every plan WITH a translatable filter re-runs the pushdown
+        # runner (fresh reader, fresh file set) — two different filters
+        # on the SAME load() relation must each prune for themselves
+        # and return exact rows
+        spark = registered
+        t = self._table(spark, tmp_path)
+        base = (
+            spark.read.format("delta_lite")
+            .option("path", t)
+            .option("pushdown", "true")
+            .load()
+        )
+        all_parts = (
+            spark.read.format("delta_lite").option("path", t).load()
+            .rdd.getNumPartitions()
+        )
+        lo = base.filter("id < 1000")
+        hi = base.filter("id >= 9000")
+        assert lo.rdd.getNumPartitions() < all_parts
+        assert hi.rdd.getNumPartitions() < all_parts
+        assert lo.count() == 1000
+        assert hi.count() == 1000
+        assert sorted(r["id"] for r in hi.collect()) == list(
+            range(9000, 10000)
+        )
+        # and again in the other order — no cross-contamination
+        assert lo.count() == 1000
+
+    def test_stale_slot_canary_filtered_then_unfiltered(
+        self, registered, tmp_path
+    ):
+        # CANARY pinning the verified Spark 4.1 wrapper hazard (the
+        # reason pushdown is opt-in): PythonDataSourceV2 keeps ONE
+        # readInfo slot per load() relation; an unfiltered plan after
+        # a filtered one skips the Python runner
+        # (pushdownFiltersInPython gates on isAnyFilterSupported) and
+        # reuses the poisoned slot. If this test ever FAILS on a newer
+        # Spark, the slot got fixed upstream — flip the delta_lite /
+        # iceberg_lite pushdown default to ON and delete this canary.
+        spark = registered
+        t = self._table(spark, tmp_path)
+        base = (
+            spark.read.format("delta_lite")
+            .option("path", t)
+            .option("pushdown", "true")
+            .load()
+        )
+        assert base.filter("id < 1000").count() == 1000
+        stale = base.count()
+        assert stale < 10_000, (
+            "unfiltered count on a reused relation no longer serves the "
+            "stale pruned file set — Spark fixed the readInfo slot; "
+            "make pushdown default-on"
+        )
+
+
 class TestWrite:
     def test_write_creates_and_appends(self, registered, tmp_path):
         spark = registered

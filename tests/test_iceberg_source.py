@@ -91,6 +91,62 @@ class TestBatch:
             ).load().collect()
 
 
+class TestPushdown:
+    def _table(self, spark, tmp_path, n=10_000, files=8):
+        t = str(tmp_path / "ptbl")
+        df = spark.range(n).withColumn("v", F.col("id") * 2)
+        iceberg_append(
+            spark,
+            df.repartitionByRange(files, "id").sortWithinPartitions("id"),
+            t,
+        )
+        return t
+
+    def _load(self, spark, t, pushdown=True):
+        r = spark.read.format("iceberg_lite").option("path", t)
+        if pushdown:
+            r = r.option("pushdown", "true")
+        return r.load()
+
+    def test_filter_prunes_planned_files(self, registered, tmp_path):
+        spark = registered
+        t = self._table(spark, tmp_path)
+        # opt-in contract: ONE load() per query
+        all_parts = self._load(spark, t).rdd.getNumPartitions()
+        pruned = self._load(spark, t).filter("id < 1000")
+        assert pruned.rdd.getNumPartitions() < all_parts
+        # exactness: Spark still applies the row filter on survivors
+        assert pruned.count() == 1000
+        assert sorted(
+            r["id"]
+            for r in self._load(spark, t).filter("id < 1000").collect()
+        ) == list(range(1000))
+
+    def test_in_filter_prunes(self, registered, tmp_path):
+        spark = registered
+        t = self._table(spark, tmp_path)
+        all_parts = self._load(spark, t).rdd.getNumPartitions()
+        got = self._load(spark, t).filter(F.col("id").isin(5, 7, 11))
+        assert got.rdd.getNumPartitions() < all_parts
+        assert sorted(r["id"] for r in got.collect()) == [5, 7, 11]
+
+    def test_unsupported_filters_keep_all_files(self, registered, tmp_path):
+        spark = registered
+        t = self._table(spark, tmp_path, n=1_000, files=4)
+        # disjunction is not pushable: full plan, correct rows
+        got = self._load(spark, t).filter("id < 10 OR v = 100")
+        assert got.count() == 11
+
+    def test_default_stays_stateless(self, registered, tmp_path):
+        # same rationale as delta_lite: the JVM readInfo slot makes a
+        # stateful pushdown scan hazardous under relation reuse
+        spark = registered
+        t = self._table(spark, tmp_path)
+        base = self._load(spark, t, pushdown=False)
+        assert base.filter("id < 1000").count() == 1000
+        assert base.count() == 10_000  # NOT pruned by the earlier query
+
+
 class TestStream:
     def _run_available(self, spark, t, ckpt, out, starting=None):
         reader = spark.readStream.format("iceberg_lite").option("path", t)

@@ -3385,6 +3385,145 @@ def q_streaming_delta_sink(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_delta_sink_partitioned(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """PARTITIONED streaming write through the registered delta_lite
+    FORMAT (streaming/delta_source.py): documents arrive as a 3-file
+    stream; each micro-batch's executor tasks split their Arrow
+    batches into one parquet file per distinct lang, partition
+    literals land in ``add.partitionValues`` (never in the data
+    files), and the batch's files + a ``txn {appId, version=batchId}``
+    action commit atomically. The stream is then re-run from a FRESH
+    checkpoint with the SAME appId — every epoch replays and must
+    no-op (else every group double-counts against the plain GROUP BY
+    oracle). Partition pruning over the API-written log is asserted
+    in-query."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_skip_plan,
+        read_delta,
+    )
+    from dataset_grouper_spark.streaming.delta_source import (
+        DeltaLiteDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    src = tempfile.mkdtemp(prefix="pdelta_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    table = os.path.join(tempfile.mkdtemp(prefix="pdelta_tbl_"), "tbl")
+
+    def drain(ckpt_dir: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.format("delta_lite")
+            .option("path", table)
+            .option("partitionBy", "lang")
+            .option("txnAppId", "dg-part-stream")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+
+    with _stream_shuffle_partitions(spark):
+        drain(tempfile.mkdtemp(prefix="pdelta_ck1_"))
+        # deliberate crash-replay: fresh checkpoint, same appId — every
+        # epoch re-fires and the txn ledger must reject each one
+        drain(tempfile.mkdtemp(prefix="pdelta_ck2_"))
+    kept, total = delta_skip_plan(spark, table, [("lang", "=", "en")])
+    assert kept and len(kept) < total, "partition pruning must prune"
+    return (
+        read_delta(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.octet_length("text")).alias("text_bytes"),
+        )
+    )
+
+
+def q_streaming_iceberg_sink_partitioned(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """PARTITIONED streaming write through the registered iceberg_lite
+    FORMAT (streaming/iceberg_source.py): identity-transform spec
+    created from ``partitionBy``, each task one file per distinct
+    lang, the manifest entry's ``partition`` struct carrying the
+    tuple (what manifest-level pruning reads), epoch guard in the
+    snapshot summary. Re-run from a fresh checkpoint with the same
+    appId — every epoch must no-op. Manifest partition pruning over
+    the API-written table is asserted in-query."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        _live_files,
+        _load_metadata,
+        read_iceberg,
+    )
+    from dataset_grouper_spark.streaming.iceberg_source import (
+        IcebergLiteDataSource,
+    )
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    src = tempfile.mkdtemp(prefix="pice_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    table = os.path.join(tempfile.mkdtemp(prefix="pice_tbl_"), "tbl")
+
+    def drain(ckpt_dir: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.format("iceberg_lite")
+            .option("path", table)
+            .option("partitionBy", "lang")
+            .option("epochAppId", "dg-part-ice")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+
+    with _stream_shuffle_partitions(spark):
+        drain(tempfile.mkdtemp(prefix="pice_ck1_"))
+        drain(tempfile.mkdtemp(prefix="pice_ck2_"))  # replay: no-ops
+    meta = _load_metadata(table)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    pruned, _d, _r, _e = _live_files(table, snap, {"lang": "en"})
+    full, _d2, _r2, _e2 = _live_files(table, snap)
+    assert pruned and len(pruned) < len(full), "manifest pruning must prune"
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.octet_length("text")).alias("text_bytes"),
+        )
+    )
+
+
 def q_streaming_iceberg_sink(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingestion into an ICEBERG table, exactly-once per
     epoch (streaming/iceberg_sink.py): documents arrive as a 3-file
@@ -6252,6 +6391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_events": q_hll_distinct_events,
         "quality_checks_documents": q_quality_checks_documents,
         "streaming_delta_sink": q_streaming_delta_sink,
+        "streaming_delta_sink_partitioned": q_streaming_delta_sink_partitioned,
+        "streaming_iceberg_sink_partitioned": (
+            q_streaming_iceberg_sink_partitioned
+        ),
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -7300,6 +7443,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "streaming_iceberg_sink": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
+        """,
+        # the partitioned format-API sinks must reproduce the SAME
+        # closed-form rollup — a doubled epoch, lost partition file, or
+        # mis-restored partition literal all hash-mismatch
+        "streaming_delta_sink_partitioned": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
+        """,
+        "streaming_iceberg_sink_partitioned": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes

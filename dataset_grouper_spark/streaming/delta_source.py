@@ -346,9 +346,103 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
 
 
 class _DeltaWriteMessage(WriterCommitMessage):
-    def __init__(self, rel: str | None, size: int):
-        self.rel = rel
-        self.size = size
+    """One per task. ``files`` lists (relative path, partitionValues)
+    for every parquet file the task staged — one per distinct
+    partition tuple it saw (one total when unpartitioned). ``rel``
+    kept as the single-file accessor for unpartitioned callers."""
+
+    def __init__(self, files: list[tuple[str, dict]] | None = None):
+        self.files = files or []
+
+    @property
+    def rel(self):
+        return self.files[0][0] if self.files else None
+
+
+def _pv_string(value) -> str | None:
+    """Delta ``add.partitionValues`` literal for a python value — the
+    inverse of the reader's ``_PART_CASTS`` (same supported simple
+    types; anything else raises rather than writing a literal the
+    reader cannot restore)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, str)):
+        return str(value)
+    if isinstance(value, float):
+        if value != value:  # NaN partition value: treat as null
+            return None
+        return repr(value)
+    raise RuntimeError(
+        f"delta_lite write: partition value type "
+        f"{type(value).__name__!r} not supported (supported: string, "
+        "int family, float/double, boolean)"
+    )
+
+
+def _write_task_files(path, iterator, part_cols, drop_part_cols=True):
+    """Executor-side staging shared by the delta_lite batch and stream
+    writers: stream this task's Arrow batches into ONE parquet file
+    per distinct partition tuple (unpartitioned: exactly one file).
+    Partition columns live OUTSIDE the data files, Delta-style, their
+    values in the returned messages. Upstream should repartition by
+    the partition columns so a task sees few distinct tuples — the
+    same discipline as any partitioned write at 100 TB."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    if not part_cols:
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(path, rel)
+        writer = None
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(dst, batch.schema)
+            writer.write_batch(batch)
+        if writer is None:
+            return _DeltaWriteMessage()
+        writer.close()
+        return _DeltaWriteMessage([(rel, {})])
+    writers: dict[tuple, tuple] = {}  # tuple -> (pq writer, rel, pv)
+    for batch in iterator:
+        key_df = batch.select(part_cols).to_pandas()
+        groups = key_df.groupby(part_cols, dropna=False, sort=False)
+        data = (
+            batch.drop_columns(part_cols) if drop_part_cols else batch
+        )
+        for tup, idx in groups.indices.items():
+            if len(part_cols) == 1:
+                tup = (tup,)
+            pv = {}
+            for c, v in zip(part_cols, tup):
+                try:
+                    v = None if v != v else v  # pandas NaN -> null
+                except (TypeError, ValueError):
+                    pass
+                if v is not None and hasattr(v, "item"):
+                    v = v.item()  # numpy scalar -> python
+                pv[c] = _pv_string(v)
+            k = tuple(sorted(pv.items()))
+            if k not in writers:
+                rel = f"part-{uuid.uuid4().hex}.parquet"
+                sliced = data.take(idx)
+                w = pq.ParquetWriter(
+                    os.path.join(path, rel), sliced.schema
+                )
+                writers[k] = (w, rel, pv)
+                w.write_batch(sliced)
+            else:
+                writers[k][0].write_batch(data.take(idx))
+    if not writers:
+        return _DeltaWriteMessage()
+    files = []
+    for w, rel, pv in writers.values():
+        w.close()
+        files.append((rel, pv))
+    return _DeltaWriteMessage(files)
 
 
 class _DeltaLiteArrowWriter(DataSourceArrowWriter):
@@ -367,38 +461,46 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
     tables). ``abort`` deletes the uncommitted files — readers never
     saw them.
 
-    Honest gates: unpartitioned writes only (``partitionBy`` through
-    this API is not wired), schema must match an existing table, and
+    Partitioned writes: an EXISTING partitioned table's partition
+    columns are honored automatically (each task splits its batches
+    into one file per distinct partition tuple — repartition by the
+    partition columns upstream so a task sees few); a NEW table is
+    partitioned with ``.option("partitionBy", "a,b")``. Partition
+    columns live OUTSIDE the data files, their literals in
+    ``add.partitionValues`` — exactly the layout
+    ``sources.delta.delta_append(partition_by=...)`` commits.
+
+    Honest gates: schema must match an existing table, and
     column-mapped tables raise (their files need PHYSICAL names)."""
 
-    def __init__(self, path: str, overwrite: bool, schema: StructType):
+    def __init__(
+        self,
+        path: str,
+        overwrite: bool,
+        schema: StructType,
+        part_cols: list[str] | None = None,
+    ):
         self.path = os.path.abspath(path)
         self.overwrite = overwrite
         self.schema = schema
+        self.part_cols = list(part_cols or [])
+        missing = [c for c in self.part_cols if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"delta_lite write: partition columns {missing} not in "
+                f"the frame ({schema.names})"
+            )
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(self.path, exist_ok=True)
-        rel = f"part-{uuid.uuid4().hex}.parquet"
-        dst = os.path.join(self.path, rel)
-        writer = None
-        for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(dst, batch.schema)
-            writer.write_batch(batch)
-        if writer is None:
-            return _DeltaWriteMessage(None, 0)  # empty task
-        writer.close()
-        return _DeltaWriteMessage(rel, os.path.getsize(dst))
+        return _write_task_files(self.path, iterator, self.part_cols)
 
     def _cleanup(self, messages):
         for m in messages:
-            if m is not None and m.rel:
+            if m is None:
+                continue
+            for rel, _pv in m.files:
                 try:
-                    os.remove(os.path.join(self.path, m.rel))
+                    os.remove(os.path.join(self.path, rel))
                 except OSError:
                     pass
 
@@ -414,7 +516,12 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
             _replay,
         )
 
-        rels = [m.rel for m in messages if m is not None and m.rel]
+        files = sorted(
+            (rel, pv)
+            for m in messages
+            if m is not None
+            for rel, pv in m.files
+        )
         log = _log_path(self.path)
         try:
             latest = _latest_version(self.path)
@@ -439,7 +546,7 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                             "options": {},
                         },
                         "schemaString": self.schema.json(),
-                        "partitionColumns": [],
+                        "partitionColumns": self.part_cols,
                         "configuration": {},
                     }
                 }
@@ -460,12 +567,15 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                     f"{[f.name for f in have.fields]}, frame has "
                     f"{[f.name for f in self.schema.fields]}"
                 )
-            if meta.get("partitionColumns"):
+            table_parts = list(meta.get("partitionColumns") or [])
+            if table_parts != self.part_cols:
                 self._cleanup(messages)
-                raise NotImplementedError(
-                    "delta_lite write: partitioned tables are not "
-                    "wired through the data source API — use "
-                    "sources.delta.delta_append(partition_by=...)"
+                raise ValueError(
+                    f"delta_lite write: partition columns mismatch — "
+                    f"table has {table_parts}, write declared "
+                    f"{self.part_cols} (an existing table's partitioning "
+                    "is honored automatically; drop the partitionBy "
+                    "option or make it match)"
                 )
             phys = _physical_names(meta)
             if any(phys[f.name] != f.name for f in have.fields):
@@ -489,17 +599,20 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                             }
                         }
                     )
-        for rel in sorted(rels):
+        stats_fields = [
+            f for f in self.schema.fields if f.name not in self.part_cols
+        ]
+        for rel, pv in files:
             dst = os.path.join(self.path, rel)
             actions.append(
                 {
                     "add": {
                         "path": rel,
-                        "partitionValues": {},
+                        "partitionValues": pv,
                         "size": os.path.getsize(dst),
                         "modificationTime": 0,
                         "dataChange": True,
-                        "stats": _file_stats(dst, self.schema.fields),
+                        "stats": _file_stats(dst, stats_fields),
                     }
                 }
             )
@@ -528,15 +641,31 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
     last committed txn version and becomes a file-cleanup no-op.
     ``appId`` comes from ``option("txnAppId")`` (default
     ``delta_lite_stream``); one live writer per appId is the stream
-    checkpoint's own guarantee."""
+    checkpoint's own guarantee. Partitioned sinks work exactly like
+    the batch writer: an existing table's partition columns are
+    honored automatically, a new table takes
+    ``.option("partitionBy", "a,b")``."""
 
-    def __init__(self, path: str, schema: StructType, app_id: str):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        app_id: str,
+        part_cols: list[str] | None = None,
+    ):
         self.path = os.path.abspath(path)
         self.schema = schema
         self.app_id = app_id
+        self.part_cols = list(part_cols or [])
+        missing = [c for c in self.part_cols if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"delta_lite stream write: partition columns {missing} "
+                f"not in the frame ({schema.names})"
+            )
 
-    # one parquet file per task + uncommitted-file cleanup, shared
-    # with the batch writer (same staging contract)
+    # per-task staging + uncommitted-file cleanup, shared with the
+    # batch writer (same contract: one file per partition tuple)
     write = _DeltaLiteArrowWriter.write
     _cleanup = _DeltaLiteArrowWriter._cleanup
 
@@ -557,7 +686,12 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
             if last is not None and batchId <= last:
                 self._cleanup(messages)  # replayed epoch: no-op
                 return
-        rels = [m.rel for m in messages if m is not None and m.rel]
+        files = sorted(
+            (rel, pv)
+            for m in messages
+            if m is not None
+            for rel, pv in m.files
+        )
         actions: list[dict] = []
         if latest is None:
             actions.append(
@@ -577,7 +711,7 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
                             "options": {},
                         },
                         "schemaString": self.schema.json(),
-                        "partitionColumns": [],
+                        "partitionColumns": self.part_cols,
                         "configuration": {},
                     }
                 }
@@ -595,17 +729,20 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
                 }
             }
         )
-        for rel in sorted(rels):
+        stats_fields = [
+            f for f in self.schema.fields if f.name not in self.part_cols
+        ]
+        for rel, pv in files:
             dst = os.path.join(self.path, rel)
             actions.append(
                 {
                     "add": {
                         "path": rel,
-                        "partitionValues": {},
+                        "partitionValues": pv,
                         "size": os.path.getsize(dst),
                         "modificationTime": 0,
                         "dataChange": True,
-                        "stats": _file_stats(dst, self.schema.fields),
+                        "stats": _file_stats(dst, stats_fields),
                     }
                 }
             )
@@ -694,12 +831,40 @@ class DeltaLiteDataSource(DataSource):
             return _DeltaLitePushdownReader(self._path())
         return _DeltaLiteBatchReader(self._path())
 
+    def _write_part_cols(self) -> list[str]:
+        """Partition columns for a write: an existing table's
+        partitioning is authoritative (honored automatically); a new
+        table takes ``.option("partitionBy", "a,b")``. A declared
+        option that contradicts an existing table fails in commit()."""
+        opt = self.options.get("partitionBy")
+        declared = (
+            [c.strip() for c in opt.split(",") if c.strip()] if opt else []
+        )
+        try:
+            _adds, _schema, table_parts, _phys, _v = _table_state(
+                self._path()
+            )
+        except (FileNotFoundError, OSError):
+            return declared
+        if declared and declared != table_parts:
+            raise ValueError(
+                f"delta_lite write: partitionBy option {declared} "
+                f"contradicts the existing table's partition columns "
+                f"{table_parts} (an existing table's partitioning is "
+                "honored automatically; drop the option)"
+            )
+        return table_parts
+
     def writer(self, schema, overwrite):
-        return _DeltaLiteArrowWriter(self._path(), overwrite, schema)
+        return _DeltaLiteArrowWriter(
+            self._path(), overwrite, schema, self._write_part_cols()
+        )
 
     def streamWriter(self, schema, overwrite):
         app = self.options.get("txnAppId") or "delta_lite_stream"
-        return _DeltaLiteStreamArrowWriter(self._path(), schema, app)
+        return _DeltaLiteStreamArrowWriter(
+            self._path(), schema, app, self._write_part_cols()
+        )
 
     def streamReader(self, schema):
         sv = self.options.get("startingVersion")

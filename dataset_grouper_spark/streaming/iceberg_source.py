@@ -343,10 +343,72 @@ class _IcebergLiteStreamReader(DataSourceStreamReader):
 
 
 class _IceWriteMessage(WriterCommitMessage):
-    def __init__(self, path: str | None, size: int, nrows: int):
-        self.path = path
-        self.size = size
-        self.nrows = nrows
+    """One per task. ``files`` lists
+    (path, size, nrows, partition_struct_or_None) for every parquet
+    file the task staged — one per distinct partition tuple it saw
+    (one total when unpartitioned)."""
+
+    def __init__(self, files: list[tuple] | None = None):
+        self.files = files or []
+
+
+def _ice_write_task_files(table_path, iterator, part_cols):
+    """Executor-side staging for the iceberg_lite writers: one parquet
+    file per distinct IDENTITY partition tuple per task (Iceberg data
+    files KEEP partition columns — only the manifest's partition
+    struct makes pruning work). Upstream should repartition by the
+    partition columns so a task sees few distinct tuples."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    ddir = os.path.join(table_path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    if not part_cols:
+        dst = os.path.join(ddir, f"w-{uuid.uuid4().hex}.parquet")
+        writer, nrows = None, 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(dst, batch.schema)
+            writer.write_batch(batch)
+            nrows += batch.num_rows
+        if writer is None:
+            return _IceWriteMessage()
+        writer.close()
+        return _IceWriteMessage(
+            [(dst, os.path.getsize(dst), nrows, None)]
+        )
+    writers: dict[tuple, list] = {}  # key -> [pq writer, dst, nrows, part]
+    for batch in iterator:
+        key_df = batch.select(part_cols).to_pandas()
+        groups = key_df.groupby(part_cols, dropna=False, sort=False)
+        for tup, idx in groups.indices.items():
+            if len(part_cols) == 1:
+                tup = (tup,)
+            part = {}
+            for c, v in zip(part_cols, tup):
+                try:
+                    v = None if v != v else v  # pandas NaN -> null
+                except (TypeError, ValueError):
+                    pass
+                if v is not None and hasattr(v, "item"):
+                    v = v.item()  # numpy scalar -> python
+                part[c] = v
+            k = tuple(sorted(part.items()))
+            sliced = batch.take(idx)
+            if k not in writers:
+                dst = os.path.join(ddir, f"w-{uuid.uuid4().hex}.parquet")
+                w = pq.ParquetWriter(dst, sliced.schema)
+                writers[k] = [w, dst, 0, part]
+            writers[k][0].write_batch(sliced)
+            writers[k][2] += sliced.num_rows
+    if not writers:
+        return _IceWriteMessage()
+    files = []
+    for w, dst, nrows, part in writers.values():
+        w.close()
+        files.append((dst, os.path.getsize(dst), nrows, part))
+    return _IceWriteMessage(files)
 
 
 def _ice_schema_fields(schema: StructType) -> list[dict]:
@@ -378,40 +440,48 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
     list carries NOTHING over — the spec's replace-table semantics,
     with full time travel to the pre-overwrite snapshots.
 
-    Honest gates: unpartitioned writes, exact schema match on
-    existing tables (evolution goes through
-    ``iceberg_append(merge_schema=True)``)."""
+    Partitioned writes (IDENTITY transforms): an EXISTING partitioned
+    table's spec is honored automatically when every spec field is an
+    identity transform (bucket/truncate/date transforms need the
+    Catalyst-side value computation — use
+    ``iceberg_append(partition_spec=...)``); a NEW table is
+    partitioned with ``.option("partitionBy", "a,b")``. Data files
+    keep the partition columns (Iceberg layout); each manifest
+    entry's ``partition`` struct carries the file's tuple, which is
+    what ``read_iceberg(partition_filter=...)`` prunes on.
 
-    def __init__(self, path: str, overwrite: bool, schema: StructType):
+    Honest gates: exact schema match on existing tables (evolution
+    goes through ``iceberg_append(merge_schema=True)``); identity
+    partition sources must be string/int/long."""
+
+    def __init__(
+        self,
+        path: str,
+        overwrite: bool,
+        schema: StructType,
+        part_cols: list[str] | None = None,
+    ):
         self.path = os.path.abspath(path)
         self.overwrite = overwrite
         self.schema = schema
+        self.part_cols = list(part_cols or [])
+        missing = [c for c in self.part_cols if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"iceberg_lite write: partition columns {missing} not "
+                f"in the frame ({schema.names})"
+            )
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        ddir = os.path.join(self.path, "data")
-        os.makedirs(ddir, exist_ok=True)
-        dst = os.path.join(ddir, f"w-{uuid.uuid4().hex}.parquet")
-        writer = None
-        nrows = 0
-        for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(dst, batch.schema)
-            writer.write_batch(batch)
-            nrows += batch.num_rows
-        if writer is None:
-            return _IceWriteMessage(None, 0, 0)
-        writer.close()
-        return _IceWriteMessage(dst, os.path.getsize(dst), nrows)
+        return _ice_write_task_files(self.path, iterator, self.part_cols)
 
     def _cleanup(self, messages):
         for m in messages:
-            if m is not None and m.path:
+            if m is None:
+                continue
+            for dst, _size, _nrows, _part in m.files:
                 try:
-                    os.remove(m.path)
+                    os.remove(dst)
                 except OSError:
                     pass
 
@@ -455,13 +525,25 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
                 ),
                 {"fields": []},
             )
-            if spec.get("fields"):
-                raise NotImplementedError(
-                    "iceberg_lite write: partitioned tables are not "
-                    "wired through the data source API — use "
-                    "sources.iceberg.iceberg_append(partition_spec=...)"
+            spec_fields = spec.get("fields") or []
+            by_id = {f["id"]: f["name"] for f in cur["fields"]}
+            table_parts = []
+            for f in spec_fields:
+                if f.get("transform", "identity") != "identity":
+                    raise NotImplementedError(
+                        "iceberg_lite write: non-identity partition "
+                        f"transform {f.get('transform')!r} is not wired "
+                        "through the data source API — use "
+                        "sources.iceberg.iceberg_append(partition_spec=...)"
+                    )
+                table_parts.append(by_id[f["source-id"]])
+            if table_parts != self.part_cols:
+                raise ValueError(
+                    f"iceberg_lite write: partition columns mismatch — "
+                    f"table spec has {table_parts}, write declared "
+                    f"{self.part_cols}"
                 )
-            return meta, cur
+            return meta, cur, spec_fields
         os.makedirs(mdir, exist_ok=True)
         fields = _ice_schema_fields(self.schema)
         schema_entry = {
@@ -469,6 +551,16 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
             "schema-id": 0,
             "fields": fields,
         }
+        ids = {f["name"]: f["id"] for f in fields}
+        spec_fields = [
+            {
+                "name": c,  # identity: spec field name == column name
+                "transform": "identity",
+                "source-id": ids[c],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(self.part_cols)
+        ]
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -476,11 +568,11 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
             "current-snapshot-id": None,
             "schemas": [schema_entry],
             "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "default-spec-id": 0,
             "snapshots": [],
         }
-        return meta, schema_entry
+        return meta, schema_entry, spec_fields
 
     def _commit_files(self, messages, summary=None, carry=None) -> int:
         import uuid
@@ -490,9 +582,31 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
             _MANIFEST_SCHEMA,
             _commit_snapshot,
             _footer_bounds,
+            _partition_manifest_schema,
         )
 
-        meta, schema_entry = self._load_or_create_meta()
+        meta, schema_entry, spec_fields = self._load_or_create_meta()
+        manifest_schema = _MANIFEST_SCHEMA
+        if spec_fields:
+            src_types = {
+                f["name"]: f["type"] for f in schema_entry["fields"]
+            }
+            value_types = {}
+            for f in spec_fields:
+                src = src_types[f["name"]]  # identity: same name
+                if src == "string":
+                    value_types[f["name"]] = "string"
+                elif src in ("int", "long"):
+                    value_types[f["name"]] = "long"
+                else:
+                    raise NotImplementedError(
+                        f"iceberg_lite write: identity partition on "
+                        f"{src!r} column {f['name']!r} is not supported "
+                        "(string/int/long only)"
+                    )
+            manifest_schema = _partition_manifest_schema(
+                spec_fields, value_types
+            )
         snap_id = (
             max(
                 (s["snapshot-id"] for s in meta["snapshots"]),
@@ -502,29 +616,41 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
         )
         entries = []
         for m in messages:
-            if m is None or not m.path:
+            if m is None:
                 continue
-            lo_b, hi_b = _footer_bounds(m.path, schema_entry["fields"])
-            entries.append(
-                {
-                    "status": 1,
-                    "snapshot_id": None,
-                    "sequence_number": None,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": m.path,
-                        "file_format": "PARQUET",
-                        "record_count": m.nrows,
-                        "file_size_in_bytes": m.size,
-                        "equality_ids": None,
-                        "lower_bounds": lo_b,
-                        "upper_bounds": hi_b,
-                    },
+            for dst, size, nrows, part in m.files:
+                lo_b, hi_b = _footer_bounds(dst, schema_entry["fields"])
+                data_file = {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "record_count": nrows,
+                    "file_size_in_bytes": size,
+                    "equality_ids": None,
+                    "lower_bounds": lo_b,
+                    "upper_bounds": hi_b,
                 }
-            )
+                if spec_fields:
+                    data_file["partition"] = {
+                        k: (
+                            int(v)
+                            if v is not None
+                            and value_types.get(k) == "long"
+                            else v
+                        )
+                        for k, v in (part or {}).items()
+                    }
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": None,
+                        "sequence_number": None,
+                        "data_file": data_file,
+                    }
+                )
         mdir = os.path.join(self.path, "metadata")
         mpath = os.path.join(mdir, f"w-{snap_id}-{uuid.uuid4().hex}.avro")
-        write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
+        write_avro_file(mpath, manifest_schema, entries)
         return _commit_snapshot(
             self.path,
             meta,
@@ -558,11 +684,24 @@ class _IcebergLiteStreamArrowWriter(DataSourceStreamArrowWriter):
     with the commit and an append-only per-app ledger survives
     snapshot expiry; a replayed batch no-ops and removes its files."""
 
-    def __init__(self, path: str, schema: StructType, app_id: str):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        app_id: str,
+        part_cols: list[str] | None = None,
+    ):
         self.path = os.path.abspath(path)
         self.schema = schema
         self.app_id = app_id
         self.overwrite = False
+        self.part_cols = list(part_cols or [])
+        missing = [c for c in self.part_cols if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"iceberg_lite stream write: partition columns {missing} "
+                f"not in the frame ({schema.names})"
+            )
 
     write = _IcebergLiteArrowWriter.write
     _cleanup = _IcebergLiteArrowWriter._cleanup
@@ -630,12 +769,57 @@ class IcebergLiteDataSource(DataSource):
             return _IcebergLitePushdownReader(self._path())
         return _IcebergLiteBatchReader(self._path())
 
+    def _write_part_cols(self) -> list[str]:
+        """Partition columns for a write: an existing table's IDENTITY
+        spec is authoritative (honored automatically; non-identity
+        transforms raise — use iceberg_append); a new table takes
+        ``.option("partitionBy", "a,b")``."""
+        opt = self.options.get("partitionBy")
+        declared = (
+            [c.strip() for c in opt.split(",") if c.strip()] if opt else []
+        )
+        try:
+            meta, schema, _struct = _table_state(self._path())
+        except (FileNotFoundError, OSError, ValueError):
+            return declared
+        spec = next(
+            (
+                s
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        by_id = {f["id"]: f["name"] for f in schema["fields"]}
+        table_parts = []
+        for f in spec.get("fields") or []:
+            if f.get("transform", "identity") != "identity":
+                raise NotImplementedError(
+                    "iceberg_lite write: non-identity partition "
+                    f"transform {f.get('transform')!r} is not wired "
+                    "through the data source API — use "
+                    "sources.iceberg.iceberg_append(partition_spec=...)"
+                )
+            table_parts.append(by_id[f["source-id"]])
+        if declared and declared != table_parts:
+            raise ValueError(
+                f"iceberg_lite write: partitionBy option {declared} "
+                f"contradicts the existing table's identity spec "
+                f"{table_parts} (an existing table's partitioning is "
+                "honored automatically; drop the option)"
+            )
+        return table_parts
+
     def writer(self, schema, overwrite):
-        return _IcebergLiteArrowWriter(self._path(), overwrite, schema)
+        return _IcebergLiteArrowWriter(
+            self._path(), overwrite, schema, self._write_part_cols()
+        )
 
     def streamWriter(self, schema, overwrite):
         app = self.options.get("epochAppId") or "iceberg_lite_stream"
-        return _IcebergLiteStreamArrowWriter(self._path(), schema, app)
+        return _IcebergLiteStreamArrowWriter(
+            self._path(), schema, app, self._write_part_cols()
+        )
 
     def streamReader(self, schema):
         sv = self.options.get("startingSequence")

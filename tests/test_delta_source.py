@@ -340,15 +340,93 @@ class TestWrite:
         }
         assert on_disk == set(adds)
 
-    def test_write_partitioned_table_gated(self, registered, tmp_path):
+    def test_write_into_existing_partitioned_table(
+        self, registered, tmp_path
+    ):
+        # an existing table's partition columns are honored
+        # automatically — no option needed
         spark = registered
         t = str(tmp_path / "wtbl5")
+        df = spark.range(10).withColumn(
+            "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        )
+        delta_append(spark, df, t, partition_by=["lang"])
+        more = spark.range(10, 20).withColumn("lang", F.lit("fr"))
+        more.write.format("delta_lite").mode("append").option(
+            "path", t
+        ).save()
+        got = read_delta(spark, t)
+        assert sorted(r["id"] for r in got.collect()) == list(range(20))
+        assert got.filter("lang = 'fr'").count() == 10
+        # partition literals landed in the log, not in the files
+        from dataset_grouper_spark.sources.delta import (
+            _latest_version,
+            _replay,
+        )
+
+        adds, meta = _replay(spark, t, _latest_version(t))
+        assert meta["partitionColumns"] == ["lang"]
+        assert all(
+            a.get("partitionValues", {}).get("lang") in ("en", "de", "fr")
+            for a in adds.values()
+        )
+
+    def test_write_creates_partitioned_table_via_option(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        t = str(tmp_path / "wtbl6")
+        df = spark.range(100).withColumn(
+            "lang", F.when(F.col("id") % 3 == 0, "en").otherwise("de")
+        ).withColumn("v", F.col("id") * 2)
+        (
+            df.repartition(2, "lang")
+            .write.format("delta_lite")
+            .mode("append")
+            .option("path", t)
+            .option("partitionBy", "lang")
+            .save()
+        )
+        got = read_delta(spark, t)
+        assert got.count() == 100
+        assert {tuple(sorted(r.asDict().items())) for r in got.collect()} == {
+            tuple(sorted(r.asDict().items())) for r in df.collect()
+        }
+        # partition pruning works on the API-written table
+        from dataset_grouper_spark.sources.delta import delta_skip_plan
+
+        kept, total = delta_skip_plan(spark, t, [("lang", "=", "en")])
+        assert len(kept) < total
+        # and the format reader restores partition literals
+        rt = (
+            spark.read.format("delta_lite").option("path", t).load()
+        )
+        assert rt.filter("lang = 'en'").count() == 34
+
+    def test_write_partition_option_mismatch_raises(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        t = str(tmp_path / "wtbl7")
         df = spark.range(10).withColumn("lang", F.lit("en"))
         delta_append(spark, df, t, partition_by=["lang"])
-        with pytest.raises(Exception, match="partitioned"):
+        with pytest.raises(Exception, match="partition"):
             df.write.format("delta_lite").mode("append").option(
                 "path", t
-            ).save()
+            ).option("partitionBy", "id").save()
+
+    def test_write_null_partition_value(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl8")
+        df = spark.createDataFrame(
+            [(1, "en"), (2, None), (3, "de")], "id long, lang string"
+        )
+        df.write.format("delta_lite").mode("append").option(
+            "path", t
+        ).option("partitionBy", "lang").save()
+        got = read_delta(spark, t)
+        assert got.filter("lang IS NULL").count() == 1
+        assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
 
 
 class TestStreamWrite:
@@ -404,3 +482,66 @@ class TestStreamWrite:
         adds, _m = _replay(spark, t, 1)
         on_disk = {n for n in os.listdir(t) if n.endswith(".parquet")}
         assert on_disk == set(adds)
+
+    def test_stream_write_partitioned_exactly_once(
+        self, registered, tmp_path
+    ):
+        # partitioned sink: existing table partitioning honored by the
+        # stream writer; replayed epochs still no-op
+        spark = registered
+        src = str(tmp_path / "psrc")
+        t = str(tmp_path / "ptbl")
+        df = spark.range(40).withColumn(
+            "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        )
+        delta_append(spark, df.limit(0), t, partition_by=["lang"])
+        df.write.parquet(src)
+        self._drain(spark, src, t, str(tmp_path / "pc1"), app="papp")
+        got = read_delta(spark, t)
+        assert got.count() == 40
+        assert got.filter("lang = 'en'").count() == 20
+        # every committed add carries a partition literal
+        from dataset_grouper_spark.sources.delta import (
+            _latest_version,
+            _replay,
+        )
+
+        adds, meta = _replay(spark, t, _latest_version(t))
+        assert meta["partitionColumns"] == ["lang"]
+        assert all(
+            a.get("partitionValues", {}).get("lang") in ("en", "de")
+            for a in adds.values()
+        )
+        # replay with a fresh checkpoint, same appId: no-op + cleanup
+        self._drain(spark, src, t, str(tmp_path / "pc2"), app="papp")
+        assert read_delta(spark, t).count() == 40
+        on_disk = {n for n in os.listdir(t) if n.endswith(".parquet")}
+        assert on_disk == set(adds)
+
+    def test_stream_write_creates_partitioned_table(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        src = str(tmp_path / "qsrc")
+        t = str(tmp_path / "qtbl")
+        spark.range(30).withColumn(
+            "lang", F.when(F.col("id") % 3 == 0, "en").otherwise("fr")
+        ).write.parquet(src)
+        batch = spark.read.parquet(src)
+        q = (
+            spark.readStream.schema(batch.schema).parquet(src)
+            .writeStream.format("delta_lite")
+            .option("path", t)
+            .option("checkpointLocation", str(tmp_path / "qck"))
+            .option("partitionBy", "lang")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = read_delta(spark, t)
+        assert got.count() == 30
+        assert got.filter("lang = 'en'").count() == 10
+        from dataset_grouper_spark.sources.delta import delta_skip_plan
+
+        kept, total = delta_skip_plan(spark, t, [("lang", "=", "en")])
+        assert len(kept) < total

@@ -304,3 +304,108 @@ class TestStreamWrite:
         n = read_iceberg(spark, t).count()
         self._drain(spark, src, t, str(tmp_path / "c3"), app="a1")
         assert read_iceberg(spark, t).count() == n
+
+
+class TestPartitionedWrite:
+    def test_write_creates_partitioned_table_via_option(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        t = str(tmp_path / "pw1")
+        df = spark.range(90).withColumn(
+            "lang", F.when(F.col("id") % 3 == 0, "en").otherwise("de")
+        ).withColumn("v", F.col("id") * 2)
+        (
+            df.repartition(2, "lang")
+            .write.format("iceberg_lite")
+            .mode("append")
+            .option("path", t)
+            .option("partitionBy", "lang")
+            .save()
+        )
+        got = read_iceberg(spark, t)
+        assert got.count() == 90
+        assert {tuple(sorted(r.asDict().items())) for r in got.collect()} == {
+            tuple(sorted(r.asDict().items())) for r in df.collect()
+        }
+        # manifest-level partition pruning works on the written spec
+        en = read_iceberg(spark, t, partition_filter={"lang": "en"})
+        assert sorted(r["id"] for r in en.collect()) == list(range(0, 90, 3))
+        from dataset_grouper_spark.sources.iceberg import (
+            _live_files,
+            _load_metadata,
+        )
+
+        meta = _load_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        pruned, _d, _r, _e = _live_files(t, snap, {"lang": "en"})
+        full, _d2, _r2, _e2 = _live_files(t, snap)
+        assert len(pruned) < len(full)
+
+    def test_write_into_existing_partitioned_table(
+        self, registered, tmp_path
+    ):
+        # spec honored automatically, identity transforms
+        spark = registered
+        t = str(tmp_path / "pw2")
+        df = spark.range(20).withColumn(
+            "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        )
+        iceberg_append(spark, df, t, partition_spec=[("lang", "identity")])
+        more = spark.range(20, 30).withColumn("lang", F.lit("fr"))
+        more.write.format("iceberg_lite").mode("append").option(
+            "path", t
+        ).save()
+        got = read_iceberg(spark, t)
+        assert sorted(r["id"] for r in got.collect()) == list(range(30))
+        fr = read_iceberg(spark, t, partition_filter={"lang": "fr"})
+        assert fr.count() == 10
+
+    def test_non_identity_spec_gated(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "pw3")
+        df = spark.range(20).withColumn("lang", F.lit("en"))
+        iceberg_append(
+            spark, df, t, partition_spec=[("id", "bucket[4]")]
+        )
+        with pytest.raises(Exception, match="identity"):
+            df.write.format("iceberg_lite").mode("append").option(
+                "path", t
+            ).save()
+
+    def test_stream_write_partitioned_exactly_once(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        src = str(tmp_path / "psrc")
+        t = str(tmp_path / "pw4")
+        df = spark.range(40).withColumn(
+            "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        )
+        df.write.parquet(src)
+        batch = spark.read.parquet(src)
+
+        def drain(ckpt, app):
+            q = (
+                spark.readStream.schema(batch.schema).parquet(src)
+                .writeStream.format("iceberg_lite")
+                .option("path", t)
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .option("partitionBy", "lang")
+                .option("epochAppId", app)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain("c1", "app1")
+        got = read_iceberg(spark, t)
+        assert got.count() == 40
+        en = read_iceberg(spark, t, partition_filter={"lang": "en"})
+        assert en.count() == 20
+        # fresh checkpoint, same appId: replayed epoch no-ops
+        drain("c2", "app1")
+        assert read_iceberg(spark, t).count() == 40

@@ -4996,20 +4996,15 @@ def q_delta_checkpoint_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return at_cp.unionByName(latest).select("stage", "lang", "n", "sum_ids")
 
 
-def q_delta_column_mapping(spark: SparkSession, sf: str) -> DataFrame:
-    """Delta COLUMN MAPPING (name mode): data files carry opaque
-    physical names (col-1/col-2/col-3), the metaData schema maps them
-    to logical doc_id/text/lang via delta.columnMapping.physicalName —
-    the reader must scan physical and return logical (the rename-
-    without-rewrite feature every long-lived 100 TB table ends up
-    using). A reader that scans logical names returns nulls and
-    hash-mismatches."""
+def _column_mapped_docs_table(spark: SparkSession, sf: str) -> str:
+    """Hand-built column-mapped Delta table over documents: data files
+    carry opaque physical names (col-1/col-2/col-3), the metaData
+    schema maps them to logical doc_id/text/lang via
+    delta.columnMapping.physicalName + field ids, maxColumnId=3."""
     import glob
     import json as _json
     import shutil
     import tempfile
-
-    from dataset_grouper_spark.sources.delta import read_delta
 
     docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
     table = tempfile.mkdtemp(prefix="delta_cm_") + "/tbl"
@@ -5062,13 +5057,60 @@ def q_delta_column_mapping(spark: SparkSession, sf: str) -> DataFrame:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": _json.dumps(schema),
                 "partitionColumns": [],
-                "configuration": {"delta.columnMapping.mode": "name"},
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
             }
         },
     ] + adds
     with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
         for a in actions:
             f.write(_json.dumps(a) + "\n")
+    return table
+
+
+def q_delta_column_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta COLUMN MAPPING (name mode): data files carry opaque
+    physical names (col-1/col-2/col-3), the metaData schema maps them
+    to logical doc_id/text/lang via delta.columnMapping.physicalName —
+    the reader must scan physical and return logical (the rename-
+    without-rewrite feature every long-lived 100 TB table ends up
+    using). A reader that scans logical names returns nulls and
+    hash-mismatches."""
+    from dataset_grouper_spark.sources.delta import read_delta
+
+    table = _column_mapped_docs_table(spark, sf)
+    return read_delta(spark, table).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+    )
+
+
+def q_delta_column_mapping_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO a column-mapped (renamed-columns) Delta table
+    (sources/delta.py delta_merge physical-name rewrites): updates
+    re-lang every doc_id % 10 == 0 row to 'merged', inserts add
+    doc_id + 1000000 rows langed 'inserted' — the touched files are
+    scanned under their PHYSICAL col-<n> names and rewritten back
+    physical, so the rename-without-rewrite feature keeps working
+    across upserts. A merge that wrote logical-named files would read
+    back all-NULL and hash-mismatch; one that missed a touched file
+    double-counts."""
+    from dataset_grouper_spark.sources.delta import delta_merge, read_delta
+
+    table = _column_mapped_docs_table(spark, sf)
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    updates = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "lang", F.lit("merged")
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("lang", F.lit("inserted"))
+    )
+    delta_merge(spark, updates.unionByName(inserts), table, on=["doc_id"])
     return read_delta(spark, table).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("sum_ids"),
@@ -6404,6 +6446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     entry point, Iceberg transform pruning.
         "delta_checkpoint_roundtrip": q_delta_checkpoint_roundtrip,
         "delta_column_mapping": q_delta_column_mapping,
+        "delta_column_mapping_merge": q_delta_column_mapping_merge,
         "iceberg_partition_pruning": q_iceberg_partition_pruning,
         "delta_optimize_vacuum": q_delta_optimize_vacuum,
         "delta_schema_evolution": q_delta_schema_evolution,
@@ -7510,6 +7553,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
             FROM documents GROUP BY lang
+        """,
+        "delta_column_mapping_merge": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM (
+                SELECT CASE WHEN doc_id % 10 = 0 THEN 'merged'
+                            ELSE lang END AS lang,
+                       doc_id, text
+                FROM documents
+                UNION ALL
+                SELECT 'inserted', doc_id + 1000000, text
+                FROM documents WHERE doc_id % 25 = 0
+            ) GROUP BY lang
         """,
         "open_table_dispatch": " UNION ALL ".join(
             f"""

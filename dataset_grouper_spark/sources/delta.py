@@ -441,9 +441,17 @@ def delta_append(
     are appended to the table schema in one metaData action riding the
     same commit, and older files backfill them as NULL on read (the
     schema-superset parquet scan does this for free). Gated off for
-    column-mapped tables (new fields would need id/physical-name
-    assignment) and for changes to existing columns (type changes,
-    drops — those are not append-safe).
+    changes to existing columns (type changes, drops — those are not
+    append-safe).
+
+    COLUMN-MAPPED tables (``delta.columnMapping.mode`` name/id) write
+    correctly: data files are staged under the stable PHYSICAL
+    ``col-<n>`` names from the field metadata (a logical-named file in
+    a mapped table reads back as all-NULL — the exact failure mapping
+    exists to prevent), partitionValues keys are physical, and
+    ``merge_schema`` assigns each NEW column the next
+    ``delta.columnMapping.maxColumnId`` field id + a fresh
+    ``col-<uuid>`` physical name in the same metaData action.
 
     ``extra_actions`` (internal) are appended verbatim to every commit
     attempt — the hook ``delta_append_txn`` uses to ride a ``txn``
@@ -459,14 +467,18 @@ def delta_append(
     latest = _latest_version(table_path) if os.path.isdir(log) else None
     exists = latest is not None
     evolved_meta = None
+    phys: dict[str, str] = {}
     if exists:
         _adds, meta = _replay(spark, table_path, latest)
         existing_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         existing_names = [f.name for f in existing_schema.fields]
+        phys = {
+            k: v for k, v in _physical_names(meta).items() if k != v
+        }
         if existing_names != df.columns:
             new_names = [c for c in df.columns if c not in existing_names]
             missing = [n for n in existing_names if n not in df.columns]
-            conf = meta.get("configuration") or {}
+            conf = dict(meta.get("configuration") or {})
             if not (merge_schema and new_names and not missing):
                 raise ValueError(
                     f"delta_append: schema mismatch — table has "
@@ -478,11 +490,6 @@ def delta_append(
                         else ""
                     )
                 )
-            if conf.get("delta.columnMapping.mode") in ("name", "id"):
-                raise NotImplementedError(
-                    "delta_append: merge_schema on a column-mapped table "
-                    "needs field-id/physical-name assignment"
-                )
             frame_types = {f.name: f.dataType for f in df.schema.fields}
             for f in existing_schema.fields:
                 if frame_types[f.name] != f.dataType:
@@ -492,25 +499,55 @@ def delta_append(
                         f"{frame_types[f.name]}"
                     )
             df = df.select(*existing_names, *new_names)
-            # new fields are FORCED nullable: every pre-evolution file
-            # backfills them as NULL on read, whatever the frame says
-            merged = StructType(
-                list(existing_schema.fields)
-                + [
+            mapped = conf.get("delta.columnMapping.mode") in ("name", "id")
+            new_fields = []
+            if mapped:
+                # each NEW column gets the next field id and a fresh
+                # stable physical name, spec-style; maxColumnId rides
+                # the same metaData action
+                next_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+                for f in df.schema.fields:
+                    if f.name not in new_names:
+                        continue
+                    next_id += 1
+                    pname = f"col-{uuid.uuid4().hex[:12]}"
+                    md = dict(f.metadata or {})
+                    md["delta.columnMapping.id"] = next_id
+                    md["delta.columnMapping.physicalName"] = pname
+                    new_fields.append(
+                        StructField(f.name, f.dataType, True, md)
+                    )
+                    phys[f.name] = pname
+                conf["delta.columnMapping.maxColumnId"] = str(next_id)
+            else:
+                new_fields = [
                     StructField(f.name, f.dataType, True, f.metadata)
                     for f in df.schema.fields
                     if f.name in new_names
                 ]
-            )
+            # new fields are FORCED nullable: every pre-evolution file
+            # backfills them as NULL on read, whatever the frame says
+            merged = StructType(list(existing_schema.fields) + new_fields)
             evolved_meta = dict(meta)
             evolved_meta["schemaString"] = merged.json()
+            evolved_meta["configuration"] = conf
         if list(meta.get("partitionColumns") or []) != part_cols:
             raise ValueError("delta_append: partition columns mismatch")
     os.makedirs(log, exist_ok=True)
     stage = tempfile.mkdtemp(prefix="_delta_stage_")
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+    stage_df = df
+    stage_parts = part_cols
+    if phys:
+        # column-mapped table: files carry PHYSICAL names (a
+        # logical-named file would read back all-NULL), partition dirs
+        # and pv keys physical too
+        stage_df = df.select(
+            *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+        )
+        stage_parts = [phys.get(c, c) for c in part_cols]
+    writer = stage_df.write.mode("overwrite")
+    if stage_parts:
+        writer = writer.partitionBy(*stage_parts)
     writer.parquet(stage)
     adds = []
     if part_cols:
@@ -540,10 +577,19 @@ def delta_append(
                     "modificationTime": 0,
                     "dataChange": True,
                     # footer-derived stats JSON: what data skipping
-                    # (delta_skip_plan / read_delta skip_filters) prunes on
+                    # (delta_skip_plan / read_delta skip_filters) prunes
+                    # on — under column mapping the footer carries
+                    # PHYSICAL names, so stats keys are physical too
+                    # (exactly what the skip planner resolves)
                     "stats": _file_stats(
                         os.path.join(table_path, rel),
-                        [f for f in df.schema.fields if f.name not in part_cols],
+                        [
+                            StructField(
+                                phys.get(f.name, f.name), f.dataType
+                            )
+                            for f in df.schema.fields
+                            if f.name not in part_cols
+                        ],
                     ),
                 }
             }
@@ -1622,8 +1668,14 @@ def delta_merge(
     source keys land in fresh insert files. One atomic commit of
     removes + adds with ``dataChange: true`` (this IS a data change —
     the change feed correctly refuses the range). Raises on a lost
-    commit race (remove/add pairs never rebase blindly) and on column
-    -mapped tables (rewritten files would need physical-name writes).
+    commit race (remove/add pairs never rebase blindly).
+
+    COLUMN-MAPPED tables merge correctly: touched files are scanned
+    under their stable PHYSICAL ``col-<n>`` names and returned
+    logical, rewritten/insert files are staged back under physical
+    names with physical partitionValues keys and physical stats keys
+    — the rename-without-rewrite feature keeps working across
+    merges.
 
     PARTITIONED tables merge at the same file granularity: the probe
     scan restores partition columns from ``add.partitionValues`` as
@@ -1647,11 +1699,7 @@ def delta_merge(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     phys = _physical_names(meta)
-    if any(phys[f.name] != f.name for f in schema.fields):
-        raise NotImplementedError(
-            "delta_merge: column-mapped tables need physical-name "
-            "rewrites this writer does not do"
-        )
+    mapped = any(phys[f.name] != f.name for f in schema.fields)
     names = [f.name for f in schema.fields]
     if source.columns != names:
         raise ValueError(
@@ -1671,6 +1719,18 @@ def delta_merge(
         "__fp": _norm_path(F.col("_metadata.file_path")),
         "__pos": F.col("_metadata.row_index"),
     }
+    def unmap(df: DataFrame) -> DataFrame:
+        # physical file columns -> logical names (tags pass through)
+        if not mapped:
+            return df
+        logical = {phys[n]: n for n in names}
+        return df.select(
+            *[
+                F.col(c).alias(logical.get(c, c))
+                for c in df.columns
+            ]
+        )
+
     if not paths:
         # empty active set: a merge is a pure insert
         scan = spark.createDataFrame([], schema).withColumns(
@@ -1680,21 +1740,43 @@ def delta_merge(
             }
         )
     elif not part_cols:
-        scan = spark.read.schema(schema).parquet(*paths).withColumns(
-            tag_cols
+        read_schema = (
+            StructType(
+                [
+                    StructField(phys[f.name], f.dataType, True)
+                    for f in schema.fields
+                ]
+            )
+            if mapped
+            else schema
+        )
+        scan = unmap(
+            spark.read.schema(read_schema)
+            .parquet(*paths)
+            .withColumns(tag_cols)
         )
     else:
         # partitioned: partition columns live OUTSIDE the data files —
-        # group files by partitionValues, restore the columns as typed
-        # literals per group (same shape as read_delta_changes), keep
-        # the _metadata tags for file/DV attribution
+        # group files by partitionValues (PHYSICAL keys under column
+        # mapping), restore the columns as typed literals per group
+        # (same shape as read_delta_changes), keep the _metadata tags
+        # for file/DV attribution
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = StructType(data_fields)
+        data_schema = StructType(
+            [
+                StructField(
+                    phys[f.name] if mapped else f.name, f.dataType, True
+                )
+                for f in data_fields
+            ]
+        )
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
         for rel, a in adds.items():
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(
+                pv.get(phys[c], pv.get(c)) for c in part_cols
+            )
             groups.setdefault(key, []).append(
                 os.path.join(table_abs, rel)
             )
@@ -1703,7 +1785,11 @@ def delta_merge(
             groups.items(),
             key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
         ):
-            gdf = spark.read.schema(data_schema).parquet(*gpaths)
+            gdf = unmap(
+                spark.read.schema(data_schema)
+                .parquet(*gpaths)
+                .withColumns(tag_cols)
+            )
             for c, raw in zip(part_cols, key):
                 lit = (
                     F.lit(None).cast(types[c])
@@ -1711,7 +1797,7 @@ def delta_merge(
                     else F.lit(raw).cast(types[c])
                 )
                 gdf = gdf.withColumn(c, lit)
-            frames.append(gdf.select(*names).withColumns(tag_cols))
+            frames.append(gdf.select(*names, "__fp", "__pos"))
         scan = reduce(DataFrame.unionByName, frames)
     dv_adds = [
         (os.path.join(table_abs, a["path"]), a["deletionVector"])
@@ -1746,15 +1832,22 @@ def delta_merge(
     else:
         rewritten = source
         n_out = 1
+    if mapped:
+        # rewritten/insert files carry PHYSICAL names, like every
+        # other file in a column-mapped table
+        rewritten = rewritten.select(
+            *[F.col(n).alias(phys[n]) for n in names]
+        )
+    stage_parts = [phys[c] for c in part_cols] if mapped else part_cols
     writer = (
         # hash-route on partition columns so each partition dir is
         # written by one task (one file per touched/inserted partition)
-        rewritten.repartition(n_out, *part_cols)
+        rewritten.repartition(n_out, *stage_parts)
         if part_cols
         else rewritten.repartition(n_out)
     ).write.mode("overwrite")
     if part_cols:
-        writer = writer.partitionBy(*part_cols)
+        writer = writer.partitionBy(*stage_parts)
     writer.parquet(stage)
 
     actions: list[dict] = []
@@ -1777,7 +1870,11 @@ def delta_merge(
         )
     else:
         pattern = os.path.join(stage, "part-*.parquet")
-    data_fields_out = [f for f in schema.fields if f.name not in part_cols]
+    data_fields_out = [
+        StructField(phys[f.name] if mapped else f.name, f.dataType)
+        for f in schema.fields
+        if f.name not in part_cols
+    ]
     for src in sorted(_glob.glob(pattern)):
         rel_dir = os.path.relpath(os.path.dirname(src), stage)
         pv = {}

@@ -527,3 +527,149 @@ class TestColumnMapping:
         _commit(t, 1, [_add("f1.parquet")])
         got = read_delta_changes(spark, t, from_version=0)
         assert [(r["id"], r["v"]) for r in got.collect()] == [(2, "b")]
+
+    def test_append_writes_physical_names(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import delta_append
+
+        t = str(tmp_path / "watbl")
+        self._write_physical(
+            spark, [(1, "a")], t, "f0.parquet", ["col-aaa", "col-bbb"]
+        )
+        _commit(t, 0, [self._mapped_meta(), _add("f0.parquet")])
+        delta_append(
+            spark, spark.createDataFrame([(2, "b")], "id long, v string"), t
+        )
+        got = read_delta(spark, t)
+        assert sorted((r["id"], r["v"]) for r in got.collect()) == [
+            (1, "a"), (2, "b"),
+        ]
+        # the appended file itself carries PHYSICAL column names
+        import pyarrow.parquet as pq
+
+        new_files = [
+            p
+            for p in glob.glob(os.path.join(t, "*.parquet"))
+            if os.path.basename(p) != "f0.parquet"
+        ]
+        assert new_files
+        for p in new_files:
+            assert set(pq.read_schema(p).names) == {"col-aaa", "col-bbb"}
+
+    def test_merge_schema_assigns_field_ids(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import (
+            _latest_version,
+            _replay,
+            delta_append,
+        )
+
+        t = str(tmp_path / "wstbl")
+        self._write_physical(
+            spark, [(1, "a")], t, "f0.parquet", ["col-aaa", "col-bbb"]
+        )
+        meta = self._mapped_meta()
+        meta["metaData"]["configuration"][
+            "delta.columnMapping.maxColumnId"
+        ] = "2"
+        _commit(t, 0, [meta, _add("f0.parquet")])
+        delta_append(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 7.5)], "id long, v string, score double"
+            ),
+            t,
+            merge_schema=True,
+        )
+        _adds2, m2 = _replay(spark, t, _latest_version(t))
+        fields = json.loads(m2["schemaString"])["fields"]
+        new = next(f for f in fields if f["name"] == "score")
+        assert new["metadata"]["delta.columnMapping.id"] == 3
+        assert new["metadata"]["delta.columnMapping.physicalName"].startswith(
+            "col-"
+        )
+        assert m2["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+        got = read_delta(spark, t)
+        rows = sorted(
+            (r["id"], r["v"], r["score"]) for r in got.collect()
+        )
+        assert rows == [(1, "a", None), (2, "b", 7.5)]
+        # a SECOND append with the evolved schema writes the new
+        # column under its assigned physical name
+        delta_append(
+            spark,
+            spark.createDataFrame(
+                [(3, "c", 1.25)], "id long, v string, score double"
+            ),
+            t,
+        )
+        assert read_delta(spark, t).filter("score = 1.25").count() == 1
+
+    def test_merge_into_mapped_table(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import delta_merge
+
+        t = str(tmp_path / "wmtbl")
+        self._write_physical(
+            spark, [(i, f"r{i}") for i in range(6)], t, "f0.parquet",
+            ["col-aaa", "col-bbb"],
+        )
+        self._write_physical(
+            spark, [(i, f"r{i}") for i in range(6, 10)], t, "f1.parquet",
+            ["col-aaa", "col-bbb"],
+        )
+        _commit(
+            t, 0,
+            [self._mapped_meta(), _add("f0.parquet"), _add("f1.parquet")],
+        )
+        src = spark.createDataFrame(
+            [(2, "UPD"), (99, "NEW")], "id long, v string"
+        )
+        delta_merge(spark, src, t, on=["id"])
+        got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+        want = {(i, f"r{i}") for i in range(10) if i != 2}
+        want |= {(2, "UPD"), (99, "NEW")}
+        assert got == want
+        # untouched file f1 survives by reference; rewrites physical
+        import pyarrow.parquet as pq
+
+        for p in glob.glob(os.path.join(t, "*.parquet")):
+            assert set(pq.read_schema(p).names) == {"col-aaa", "col-bbb"}
+
+    def test_merge_into_mapped_partitioned_table(self, spark, tmp_path):
+        from dataset_grouper_spark.sources.delta import delta_merge
+
+        t = str(tmp_path / "wptbl")
+        tmp = os.path.join(t, "_tmp_write")
+        for name, ids, lang in (
+            ("fa.parquet", [1, 2], "en"), ("fb.parquet", [3, 4], "de"),
+        ):
+            spark.createDataFrame(
+                [(i,) for i in ids], "id long"
+            ).toDF("col-aaa").coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(src, os.path.join(t, name))
+            shutil.rmtree(tmp)
+        _commit(
+            t, 0,
+            [
+                self._mapped_meta(partition_cols=["v"]),
+                _add("fa.parquet", pv={"col-bbb": "en"}),
+                _add("fb.parquet", pv={"col-bbb": "de"}),
+            ],
+        )
+        src = spark.createDataFrame(
+            [(2, "en"), (9, "fr")], "id long, v string"
+        )
+        delta_merge(spark, src, t, on=["id"])
+        got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+        assert got == {(1, "en"), (2, "en"), (3, "de"), (4, "de"), (9, "fr")}
+        # new partition dirs carry the PHYSICAL key name
+        from dataset_grouper_spark.sources.delta import (
+            _latest_version,
+            _replay,
+        )
+
+        adds, _m = _replay(spark, t, _latest_version(t))
+        langs = {
+            (a.get("partitionValues") or {}).get("col-bbb")
+            for a in adds.values()
+        }
+        assert langs == {"en", "de", "fr"}

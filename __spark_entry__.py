@@ -4102,6 +4102,7 @@ def q_tfrecord_gzip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 GS_SEED = 7
 GS_BATCH = 2
+GS_SKIP_COHORTS = 1
 GS_CHECK_MOD = 1_000_000_007
 
 
@@ -4130,27 +4131,54 @@ def q_group_stream(spark: SparkSession, sf: str) -> DataFrame:
         df, keys.by_feature("event_type"), path, order_col="event_id"
     )
     pds = PartitionedDataset(spark, path)
-    rows = []
-    for cohort_idx, cohort in enumerate(
-        pds.group_stream(
+    def consume(stream) -> list[list[tuple]]:
+        out = []
+        for cohort_idx, cohort in enumerate(stream):
+            batch = []
+            for gid, pdf in cohort:
+                checksum = sum(
+                    int(
+                        hashlib.md5(f"{e}:{u}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % GS_CHECK_MOD
+                    for e, u in zip(pdf["event_id"], pdf["user_id"])
+                )
+                batch.append((cohort_idx, gid, len(pdf), checksum))
+            out.append(batch)
+        return out
+
+    def stream(skip: int, prefetch: int):
+        return pds.group_stream(
             shuffle=True,
             seed=GS_SEED,
+            skip=skip,
             batch_groups=GS_BATCH,
             columns=["event_id", "user_id"],
-            prefetch=2,  # order-preserving pipelined reads (tested)
+            prefetch=prefetch,
         )
-    ):
-        for gid, pdf in cohort:
-            checksum = sum(
-                int(
-                    hashlib.md5(f"{e}:{u}".encode()).hexdigest()[:15], 16
-                )
-                % GS_CHECK_MOD
-                for e, u in zip(pdf["event_id"], pdf["user_id"])
-            )
-            rows.append((cohort_idx, gid, len(pdf), checksum))
+
+    # pass 0: the full stream, prefetch=2 (order-preserving pipelined
+    # reads). pass 1: COHORT RESUME — skip the first GS_SKIP_COHORTS
+    # cohorts (the train_jax.py:172 resume-by-skip shape) at
+    # prefetch=2, and pin the loader's order-invariance claim by
+    # comparing against the SERIAL resumed stream value-for-value
+    # before anything reaches the oracle.
+    full = consume(stream(skip=0, prefetch=2))
+    skip_groups = GS_SKIP_COHORTS * GS_BATCH
+    resumed = consume(stream(skip=skip_groups, prefetch=2))
+    serial = consume(stream(skip=skip_groups, prefetch=0))
+    assert resumed == serial, (
+        "group_stream: prefetch=2 resumed stream diverged from the "
+        "serial path — order invariance broken"
+    )
+    rows = [(0, *r) for batch in full for r in batch] + [
+        (1, *r) for batch in resumed for r in batch
+    ]
     return spark.createDataFrame(
-        rows, "cohort: long, group_id: string, n_rows: long, checksum: long"
+        rows,
+        "pass: long, cohort: long, group_id: string, n_rows: long,"
+        " checksum: long",
     )
 
 
@@ -7264,11 +7292,24 @@ def oracle_sql() -> dict[str, str]:
                        % {GS_CHECK_MOD}
                      ) AS BIGINT) AS checksum
               FROM events GROUP BY 1
+            ),
+            ranked AS (
+              SELECT group_id, n_rows, checksum,
+                     row_number() OVER (
+                       ORDER BY md5('{GS_SEED}:' || group_id)
+                     ) AS rn
+              FROM per_group
             )
-            SELECT CAST((row_number() OVER (ORDER BY md5('{GS_SEED}:' || group_id)) - 1)
-                        // {GS_BATCH} AS BIGINT) AS cohort,
+            SELECT CAST(0 AS BIGINT) AS pass,
+                   CAST((rn - 1) // {GS_BATCH} AS BIGINT) AS cohort,
                    group_id, n_rows, checksum
-            FROM per_group
+            FROM ranked
+            UNION ALL
+            SELECT 1,
+                   CAST((rn - 1 - {GS_SKIP_COHORTS * GS_BATCH})
+                        // {GS_BATCH} AS BIGINT),
+                   group_id, n_rows, checksum
+            FROM ranked WHERE rn > {GS_SKIP_COHORTS * GS_BATCH}
         """,
         "tpch_q19_disjunctive_revenue": """
             SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)

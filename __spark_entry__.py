@@ -3333,6 +3333,52 @@ def q_matview_refresh_documents(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def q_matview_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/matview.py
+    join_delta / refresh_materialized_join): materialize
+    orders ⋈ lineitem over the OLD halves, then fold append-only
+    deltas of BOTH sides in one refresh — only the three
+    delta-quadrant joins run (dA⋈B ∪ A⋈dB ∪ dA⋈dB, the classic IVM
+    identity), the stored old×old rows carry over untouched. The
+    oracle is the rollup of the FULL re-join, so a missing quadrant,
+    a double-folded row, or broken duplicate multiplicity all
+    hash-mismatch. At 100 TB this is the operator that keeps a joined
+    feature table fresh at O(batch) instead of O(corpus²)."""
+    import tempfile
+
+    from dataset_grouper_spark.operators import matview
+
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = read_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+    )
+    a_old = orders.filter("o_orderkey % 4 != 0")
+    d_a = orders.filter("o_orderkey % 4 = 0")
+    b_old = li.filter("o_orderkey % 5 != 0")
+    d_b = li.filter("o_orderkey % 5 = 0")
+    path = os.path.join(tempfile.mkdtemp(prefix="mvj_"), "view")
+    matview.create_materialized_join(a_old, b_old, ["o_orderkey"], path)
+    matview.refresh_materialized_join(
+        spark, path, a_old, d_a, b_old, d_b, ["o_orderkey"]
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
 def q_streaming_delta_sink(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingestion into a DELTA table, exactly-once per epoch
     (streaming/delta_sink.py): documents arrive as a 3-file stream
@@ -6445,6 +6491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     never-oracled delta_merge_roundtrip and
         #     streaming_iceberg_sink).
         "matview_refresh_documents": q_matview_refresh_documents,
+        "matview_join_refresh": q_matview_join_refresh,
         "audio_frame_energy": q_audio_frame_energy,
         # --- tier B: new this round, never driver-oracled — exactly-
         #     once streaming matview, cross-corpus line dedup, closed-
@@ -7519,6 +7566,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents GROUP BY lang
+        """,
+        "matview_join_refresh": """
+            SELECT o.o_orderpriority, l.l_returnflag,
+                   count(*) AS n,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
         """,
         "streaming_delta_sink": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n,

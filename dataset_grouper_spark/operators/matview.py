@@ -132,3 +132,92 @@ def refresh_materialized_sums(
     os.replace(staging, path)
     shutil.rmtree(final_tmp, ignore_errors=True)
     return True
+
+
+# --------------------------------------------------------- join views
+
+def join_delta(
+    a_old: DataFrame,
+    d_a: DataFrame,
+    b_old: DataFrame,
+    d_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Rows ADDED to ``A ⋈ B`` when append-only deltas land on both
+    sides — the classic incremental-view-maintenance identity:
+
+        (A∪dA) ⋈ (B∪dB) − A⋈B  =  dA⋈B  ∪all  A⋈dB  ∪all  dA⋈dB
+
+    Exact including duplicate multiplicities (the three terms are the
+    cross-multiplication's non-old×old quadrants, disjoint by
+    construction for append-only bases), so a rollup over the
+    maintained view hash-matches one over the full re-join.
+
+    At 100 TB the whole point is that ``A⋈B`` (the huge term) is never
+    recomputed: each term joins a DELTA against a base, so cost is
+    O(dA⋈B + A⋈dB + dA⋈dB). Catalyst broadcasts the delta side when
+    small (AQE decides from runtime sizes); the old×delta terms prune
+    further under join-key semi-join pushdown when the base is a
+    lakehouse table with key stats.
+    """
+    cols = None
+
+    def ordered(df: DataFrame) -> DataFrame:
+        nonlocal cols
+        if cols is None:
+            cols = df.columns
+        return df.select(*cols)
+
+    out = ordered(d_a.join(b_old, on))
+    out = out.unionByName(ordered(a_old.join(d_b, on)))
+    return out.unionByName(ordered(d_a.join(d_b, on)))
+
+
+def create_materialized_join(
+    a: DataFrame, b: DataFrame, on: list[str], path: str
+) -> None:
+    """Materialize ``a ⋈ b`` (inner, on ``on``) at ``path`` — the
+    base state :func:`refresh_materialized_join` maintains."""
+    a.join(b, on).write.mode("overwrite").parquet(path)
+
+
+def refresh_materialized_join(
+    spark: SparkSession,
+    path: str,
+    a_old: DataFrame,
+    d_a: DataFrame,
+    b_old: DataFrame,
+    d_b: DataFrame,
+    on: list[str],
+    tag: str | None = None,
+) -> bool:
+    """Fold append-only deltas of BOTH join sides into the stored join
+    view without re-joining old×old: the stored rows carry over
+    by-reference-shaped union, only :func:`join_delta`'s three
+    delta-quadrant joins run. Same swap/crash/tag contract as
+    :func:`refresh_materialized_sums` (single refresher; ``tag``
+    makes replays no-op for exactly-once foreachBatch folds).
+
+    The law pinned by tests and the oracle::
+
+        refresh(create(A⋈B), dA, dB) == (A∪dA) ⋈ (B∪dB)
+    """
+    recover_materialized(path)
+    if tag is not None and tag in folded_tags(path):
+        return False
+    old = spark.read.parquet(path)
+    delta = join_delta(a_old, d_a, b_old, d_b, on).select(*old.columns)
+    merged = old.unionByName(delta)
+    staging = path.rstrip("/") + STAGING_SUFFIX
+    merged.write.mode("overwrite").parquet(staging)
+    if tag is not None:
+        tags = folded_tags(path)
+        tags.add(tag)
+        with open(os.path.join(staging, TAGS_FILE), "w") as f:
+            f.write("\n".join(sorted(tags)) + "\n")
+    final_tmp = path.rstrip("/") + "_old"
+    shutil.rmtree(final_tmp, ignore_errors=True)
+    os.replace(path, final_tmp)
+    os.replace(staging, path)
+    shutil.rmtree(final_tmp, ignore_errors=True)
+    return True

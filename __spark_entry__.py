@@ -3333,6 +3333,50 @@ def q_matview_refresh_documents(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+K_ANON_K = 30
+L_DIV_L = 3
+
+
+def q_k_anonymize_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity suppression (operators/anonymize.py): customers are
+    generalized (account balance recoded to 2000-unit buckets), then
+    every row whose (segment, balance-bucket) equivalence class has
+    fewer than k=30 members is SUPPRESSED — the privacy release gate
+    run before a corpus leaves the pipeline. One shuffle (class
+    counts) + one semi join; NULL quasi values form their own class.
+    The oracle replays the identical recode+suppress in SQL, so a
+    leaked small-class row or an over-suppressed class
+    hash-mismatches."""
+    from dataset_grouper_spark.operators import anonymize
+
+    cust = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return anonymize.k_anonymize(
+        cust,
+        ["c_mktsegment", "c_acctbal"],
+        K_ANON_K,
+        generalize={
+            "c_acctbal": F.floor(F.col("c_acctbal") / 2000).cast("long")
+        },
+    )
+
+
+def q_l_diversity_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (operators/anonymize.py): per (lang, source)
+    equivalence class, the count of distinct length-bucket 'sensitive'
+    values and whether it meets l=3 — the homogeneity-attack check a
+    k-anonymous release still needs. One shuffle."""
+    from dataset_grouper_spark.operators import anonymize
+
+    docs = read_table(spark, sf, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 500).cast("long")
+    )
+    return anonymize.l_diversity_check(
+        docs, ["lang", "source"], "len_bucket", L_DIV_L
+    )
+
+
 def q_matview_join_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental JOIN-view maintenance (operators/matview.py
     join_delta / refresh_materialized_join): materialize
@@ -6492,6 +6536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     streaming_iceberg_sink).
         "matview_refresh_documents": q_matview_refresh_documents,
         "matview_join_refresh": q_matview_join_refresh,
+        "k_anonymize_customers": q_k_anonymize_customers,
+        "l_diversity_documents": q_l_diversity_documents,
         "audio_frame_energy": q_audio_frame_energy,
         # --- tier B: new this round, never driver-oracled — exactly-
         #     once streaming matview, cross-corpus line dedup, closed-
@@ -7566,6 +7612,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents GROUP BY lang
+        """,
+        "k_anonymize_customers": """
+            WITH gen AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 2000.0) AS BIGINT)
+                       AS c_acctbal
+              FROM customer
+            ),
+            sizes AS (
+              SELECT c_mktsegment, c_acctbal
+              FROM gen GROUP BY 1, 2 HAVING count(*) >= 30
+            )
+            SELECT g.c_custkey, g.c_mktsegment, g.c_acctbal
+            FROM gen g
+            JOIN sizes s
+              ON g.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment
+             AND g.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
+        """,
+        "l_diversity_documents": """
+            SELECT lang, source,
+                   count(*) AS class_size,
+                   count(DISTINCT n_chars // 500) AS n_sensitive,
+                   count(DISTINCT n_chars // 500) >= 3 AS diverse
+            FROM documents GROUP BY 1, 2
         """,
         "matview_join_refresh": """
             SELECT o.o_orderpriority, l.l_returnflag,

@@ -5236,29 +5236,86 @@ def q_delta_column_mapping_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hudi_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi COPY-ON-WRITE lifecycle (sources/hudi.py — timeline +
+    file-group layout from the public storage spec, no Hudi jar):
+    bulk-insert the corpus, then UPSERT (every doc_id % 10 == 0 row
+    re-langed 'merged', doc_id + 1000000 rows inserted as new file
+    groups) — only the file groups holding a matched key get a new
+    slice, each under its existing fileId. Stage 0 = final snapshot,
+    stage 1 = TIME TRAVEL to the pre-upsert instant (the old slices
+    must still serve it byte-for-byte). A reader that picks the wrong
+    slice per group, double-reads both slices, or loses an untouched
+    group hash-mismatches the closed-form twin."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import (
+        hudi_insert,
+        hudi_upsert,
+        read_hudi,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_rt_"), "tbl")
+    pre = hudi_insert(
+        spark, docs.repartition(4, "doc_id"), table, record_key="doc_id"
+    )
+    updates = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "lang", F.lit("merged")
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("lang", F.lit("inserted"))
+    )
+    hudi_upsert(spark, updates.unionByName(inserts), table)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+    ]
+    final = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    before = (
+        read_hudi(spark, table, as_of=pre)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return final.unionByName(before).select(
+        "stage", "lang", "n", "sum_ids", "text_bytes"
+    )
+
+
 def q_open_table_dispatch(spark: SparkSession, sf: str) -> DataFrame:
     """Unified table entry point (sources.open_table): the SAME corpus
-    split four ways — plain parquet, a hand-less Delta log
-    (delta_append), an Iceberg snapshot commit (iceberg_append), and
-    this engine's snapshot store — each opened back through ONE
-    format-sniffing call (table_format dispatch), tagged and
-    aggregated. A mis-sniffed layout reads zero or foreign rows and
-    hash-mismatches its split's parity filter."""
+    split five ways — plain parquet, a hand-less Delta log
+    (delta_append), a Hudi CoW timeline (hudi_insert), an Iceberg
+    snapshot commit (iceberg_append), and this engine's snapshot store
+    — each opened back through ONE format-sniffing call (table_format
+    dispatch), tagged and aggregated. A mis-sniffed layout reads zero
+    or foreign rows and hash-mismatches its split's parity filter."""
     import tempfile
 
     from dataset_grouper_spark.sinks.snapshots import snapshot_write
     from dataset_grouper_spark.sources import open_table
     from dataset_grouper_spark.sources.delta import delta_append
+    from dataset_grouper_spark.sources.hudi import hudi_insert
     from dataset_grouper_spark.sources.iceberg import iceberg_append
 
     docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
     base = tempfile.mkdtemp(prefix="open_table_")
-    paths = {r: os.path.join(base, f"t{r}") for r in range(4)}
-    splits = {r: docs.filter(F.col("doc_id") % 4 == r) for r in range(4)}
+    paths = {r: os.path.join(base, f"t{r}") for r in range(5)}
+    splits = {r: docs.filter(F.col("doc_id") % 5 == r) for r in range(5)}
     splits[0].write.mode("overwrite").parquet(paths[0])
     delta_append(spark, splits[1], paths[1])
     iceberg_append(spark, splits[2], paths[2])
     snapshot_write(splits[3], paths[3])
+    hudi_insert(spark, splits[4], paths[4], record_key="doc_id")
     agg = [
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("sum_ids"),
@@ -5269,7 +5326,7 @@ def q_open_table_dispatch(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang")
         .agg(*agg)
         .withColumn("fmt", F.lit(r))
-        for r in range(4)
+        for r in range(5)
     ]
     out = frames[0]
     for fr in frames[1:]:
@@ -6654,6 +6711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "delta_change_feed": q_delta_change_feed,
         "delta_restore_timestamp": q_delta_restore_timestamp,
+        "hudi_upsert_roundtrip": q_hudi_upsert_roundtrip,
         "open_table_dispatch": q_open_table_dispatch,
         "delta_time_travel": q_delta_time_travel,
         "tfrecord_gzip_roundtrip": q_tfrecord_gzip_roundtrip,
@@ -7734,14 +7792,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 25 = 0
             ) GROUP BY lang
         """,
+        "hudi_upsert_roundtrip": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM (
+                SELECT CASE WHEN doc_id % 10 = 0 THEN 'merged'
+                            ELSE lang END AS lang,
+                       doc_id, text
+                FROM documents
+                UNION ALL
+                SELECT 'inserted', doc_id + 1000000, text
+                FROM documents WHERE doc_id % 25 = 0
+            ) GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(strlen(text)) AS BIGINT)
+            FROM documents GROUP BY lang
+        """,
         "open_table_dispatch": " UNION ALL ".join(
             f"""
             SELECT {r} AS fmt, lang,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids
-            FROM documents WHERE doc_id % 4 = {r} GROUP BY lang
+            FROM documents WHERE doc_id % 5 = {r} GROUP BY lang
             """
-            for r in range(4)
+            for r in range(5)
         ),
         "iceberg_partition_pruning": """
             SELECT 0 AS stage, lang,

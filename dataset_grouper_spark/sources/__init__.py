@@ -129,13 +129,15 @@ def read_tfrecord(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 def table_format(path: str) -> str:
     """Sniff what kind of table lives at ``path`` from its on-disk
-    markers: 'delta' (``_delta_log/``), 'iceberg'
-    (``metadata/*.metadata.json``), 'snapshots' (this engine's
-    ``_snapshots/`` manifest store), else 'parquet' (raw files /
-    directory). Marker checks are purely local metadata — no data is
-    read."""
+    markers: 'delta' (``_delta_log/``), 'hudi' (``.hoodie/``),
+    'iceberg' (``metadata/*.metadata.json``), 'snapshots' (this
+    engine's ``_snapshots/`` manifest store), else 'parquet' (raw
+    files / directory). Marker checks are purely local metadata — no
+    data is read."""
     if os.path.isdir(os.path.join(path, "_delta_log")):
         return "delta"
+    if os.path.isdir(os.path.join(path, ".hoodie")):
+        return "hudi"
     mdir = os.path.join(path, "metadata")
     if os.path.isdir(mdir) and any(
         n.endswith(".metadata.json") for n in os.listdir(mdir)
@@ -149,16 +151,21 @@ def table_format(path: str) -> str:
 def open_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     """ONE entry point over every table layout this engine speaks:
     dispatches on :func:`table_format` to the Delta log walk, the
-    Iceberg metadata walk, the snapshot store, or a plain parquet scan
+    Hudi timeline walk, the Iceberg metadata walk, the snapshot store,
+    or a plain parquet scan
     — so pipeline code can take a path and not care which system wrote
     it. ``kwargs`` pass through to the underlying reader (``version=``
     for delta/snapshots, ``snapshot_id=``/``partition_filter=`` for
-    iceberg)."""
+    iceberg, ``as_of=`` for hudi)."""
     fmt = table_format(path)
     if fmt == "delta":
         from dataset_grouper_spark.sources.delta import read_delta
 
         return read_delta(spark, path, **kwargs)
+    if fmt == "hudi":
+        from dataset_grouper_spark.sources.hudi import read_hudi
+
+        return read_hudi(spark, path, **kwargs)
     if fmt == "iceberg":
         from dataset_grouper_spark.sources.iceberg import read_iceberg
 

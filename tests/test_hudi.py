@@ -1,0 +1,179 @@
+"""Hudi CoW: timeline walk, file-slice resolution, time travel,
+copy-on-write upsert at file-group granularity, replacecommit."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.sources import hudi
+
+
+def _rows(spark, t, **kw):
+    return sorted(
+        tuple(r) for r in hudi.read_hudi(spark, t, **kw).collect()
+    )
+
+
+def test_insert_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "htbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    inst = hudi.hudi_insert(spark, df, t, record_key="id")
+    assert _rows(spark, t) == [(1, "a"), (2, "b"), (3, "c")]
+    # layout fidelity: hoodie.properties + three timeline states
+    assert os.path.exists(os.path.join(t, ".hoodie", "hoodie.properties"))
+    states = {s for _ts, _a, s in hudi.hudi_timeline(t)}
+    assert states == {"requested", "inflight", "completed"}
+    # meta columns live in the files, dropped by default
+    meta = hudi.read_hudi(spark, t, keep_meta=True)
+    assert "_hoodie_record_key" in meta.columns
+    assert {r["_hoodie_commit_time"] for r in meta.collect()} == {inst}
+
+
+def test_second_insert_appends(spark, tmp_path):
+    t = str(tmp_path / "htbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string").coalesce(1)
+    i1 = hudi.hudi_insert(spark, mk([(1, "a")]), t, record_key="id")
+    i2 = hudi.hudi_insert(spark, mk([(2, "b")]), t, record_key="id")
+    assert int(i2) == int(i1) + 1
+    assert _rows(spark, t) == [(1, "a"), (2, "b")]
+    # time travel to the first instant
+    assert _rows(spark, t, as_of=i1) == [(1, "a")]
+
+
+def test_upsert_rewrites_only_touched_group(spark, tmp_path):
+    t = str(tmp_path / "htbl")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string").coalesce(1)
+    i1 = hudi.hudi_insert(spark, mk([(1, "a"), (2, "b")]), t, "id")
+    i2 = hudi.hudi_insert(spark, mk([(3, "c"), (4, "d")]), t, "id")
+    slices_before = {
+        fid: (inst, path)
+        for _p, fid, inst, path in hudi.hudi_file_slices(t)
+    }
+    i3 = hudi.hudi_upsert(spark, mk([(2, "B!"), (9, "new")]), t)
+    assert _rows(spark, t) == [
+        (1, "a"), (2, "B!"), (3, "c"), (4, "d"), (9, "new"),
+    ]
+    slices_after = {
+        fid: (inst, path)
+        for _p, fid, inst, path in hudi.hudi_file_slices(t)
+    }
+    rewritten = [
+        fid
+        for fid in slices_before
+        if fid in slices_after and slices_after[fid] != slices_before[fid]
+    ]
+    untouched = [
+        fid
+        for fid in slices_before
+        if slices_after.get(fid) == slices_before[fid]
+    ]
+    new_groups = set(slices_after) - set(slices_before)
+    # group holding id=2 got ONE new slice under the SAME fileId; the
+    # i2 group is byte-untouched; the insert opened fresh group(s)
+    assert len(rewritten) == 1 and len(untouched) == 1
+    assert new_groups and all(
+        slices_after[g][0] == i3 for g in new_groups
+    )
+    assert slices_after[rewritten[0]][0] == i3
+    # time travel: pre-upsert snapshot still serves the old slices
+    assert _rows(spark, t, as_of=i2) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+    assert _rows(spark, t, as_of=i1) == [(1, "a"), (2, "b")]
+
+
+def test_partitioned_insert_upsert_nonglobal_identity(spark, tmp_path):
+    t = str(tmp_path / "ptbl")
+    df = spark.createDataFrame(
+        [(1, "en", "x"), (1, "de", "y"), (2, "en", "z")],
+        "id long, lang string, v string",
+    )
+    hudi.hudi_insert(spark, df, t, "id", partition_by=["lang"])
+    assert _rows(spark, t) == [
+        (1, "de", "y"), (1, "en", "x"), (2, "en", "z"),
+    ]
+    # hive-style dirs + partition metadata markers
+    assert os.path.isdir(os.path.join(t, "lang=en"))
+    assert os.path.exists(
+        os.path.join(t, "lang=en", ".hoodie_partition_metadata")
+    )
+    # non-global index: updating (1, en) must NOT touch (1, de)
+    hudi.hudi_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "en", "X!")], "id long, lang string, v string"
+        ),
+        t,
+    )
+    assert _rows(spark, t) == [
+        (1, "de", "y"), (1, "en", "X!"), (2, "en", "z"),
+    ]
+
+
+def test_inflight_commit_invisible(spark, tmp_path):
+    t = str(tmp_path / "htbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    hudi.hudi_insert(spark, df, t, "id")
+    # forge an inflight write: data file present, no completed marker
+    import shutil
+
+    live = hudi.hudi_file_slices(t)[0][3]
+    forged = os.path.join(
+        os.path.dirname(live), "deadbeef_0-0-0_20990101000000000.parquet"
+    )
+    shutil.copy(live, forged)
+    hp = os.path.join(t, ".hoodie")
+    for s in ("commit.requested", "commit.inflight"):
+        with open(os.path.join(hp, f"20990101000000000.{s}"), "w") as f:
+            f.write("{}")
+    assert _rows(spark, t) == [(1, "a")]  # forged slice invisible
+
+
+def test_replacecommit_excludes_groups(spark, tmp_path):
+    t = str(tmp_path / "htbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1)
+    hudi.hudi_insert(spark, df, t, "id")
+    part, fid, _inst, path = hudi.hudi_file_slices(t)[0]
+    # clustering: rewrite the group's rows under a NEW fileId and
+    # declare the old group replaced
+    inst = hudi._next_instant(t)
+    import shutil
+
+    shutil.copy(path, os.path.join(t, f"newfid{inst}_0-0-0_{inst}.parquet"))
+    hp = os.path.join(t, ".hoodie")
+    for s in ("commit.requested", "commit.inflight"):
+        with open(os.path.join(hp, f"{inst}.{s}"), "w") as f:
+            f.write("{}")
+    with open(os.path.join(hp, f"{inst}.replacecommit"), "w") as f:
+        json.dump({"partitionToReplaceFileIds": {part: [fid]}}, f)
+    assert _rows(spark, t) == [(1, "a"), (2, "b")]  # no double-count
+    live = hudi.hudi_file_slices(t)
+    assert len(live) == 1 and live[0][1].startswith("newfid")
+
+
+def test_validation_and_gates(spark, tmp_path):
+    t = str(tmp_path / "htbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    hudi.hudi_insert(spark, df, t, "id")
+    with pytest.raises(ValueError, match="record key mismatch"):
+        hudi.hudi_insert(spark, df, t, "v")
+    with pytest.raises(ValueError, match="duplicate identities"):
+        hudi.hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "x"), (1, "y")], "id long, v string"
+            ),
+            t,
+        )
+    # MOR tables gate honestly
+    props = os.path.join(t, ".hoodie", "hoodie.properties")
+    body = open(props).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
+    open(props, "w").write(body)
+    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+        hudi.read_hudi(spark, t)

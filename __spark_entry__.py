@@ -6117,6 +6117,149 @@ def q_streaming_delta_source(spark: SparkSession, sf: str) -> DataFrame:
     return a.unionByName(b).select("stage", "lang", "n", "sum_ids")
 
 
+def q_streaming_hudi_source(spark: SparkSession, sf: str) -> DataFrame:
+    """hudi_lite STREAMING source + format-API WRITES
+    (streaming/hudi_source.py — the SPARK-44076 Python data source,
+    Hudi twin of delta_lite): every commit lands through
+    ``df.write.format("hudi_lite")`` (executor-side Arrow staging
+    under an invisible placeholder instant, driver commit renames
+    into the exclusively-claimed instant), then Structured Streaming
+    tails the timeline, offsets = completed instant times, each batch
+    reading exactly the files its commits' partitionToWriteStats
+    declare. Sink A consumes instants 1-2 with availableNow, a third
+    insert lands, sink A resumes from ITS OWN checkpoint (exactly the
+    new instant — no replays, no gaps); sink B starts at
+    startingInstant = instant 2 (only the third commit). Stage 0 =
+    sink A, stage 1 = sink B."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import hudi_timeline
+    from dataset_grouper_spark.streaming.hudi_source import (
+        HudiLiteDataSource,
+    )
+
+    try:
+        spark.dataSource.register(HudiLiteDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    base = tempfile.mkdtemp(prefix="hudi_src_")
+    table = os.path.join(base, "tbl")
+    for r in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 3 == r)
+            .write.format("hudi_lite")
+            .mode("append")
+            .option("path", table)
+            .option("recordKey", "doc_id")
+            .save()
+        )
+    second = max(
+        ts for ts, _a, s in hudi_timeline(table) if s == "completed"
+    )
+
+    def run(sink, ckpt, starting=None):
+        reader = spark.readStream.format("hudi_lite").option("path", table)
+        if starting is not None:
+            reader = reader.option("startingInstant", starting)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+
+    sink_a, ckpt_a = os.path.join(base, "a"), os.path.join(base, "ckpt_a")
+    sink_b, ckpt_b = os.path.join(base, "b"), os.path.join(base, "ckpt_b")
+    with _stream_shuffle_partitions(spark):
+        run(sink_a, ckpt_a)
+        (
+            docs.filter(F.col("doc_id") % 3 == 2)
+            .write.format("hudi_lite")
+            .mode("append")
+            .option("path", table)
+            .save()
+        )
+        run(sink_a, ckpt_a)  # resume: exactly the new instant
+        run(sink_b, ckpt_b, starting=second)  # slice: only the new one
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    ]
+    a = (
+        spark.read.parquet(sink_a)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(0))
+    )
+    b = (
+        spark.read.parquet(sink_b)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(1))
+    )
+    return a.unionByName(b).select("stage", "lang", "n", "sum_ids")
+
+
+def q_streaming_hudi_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingestion into a Hudi CoW table through the
+    hudi_lite FORMAT, exactly-once per epoch: each micro-batch is one
+    INSERT commit whose extraMetadata carries {app-id, epoch} — the
+    whole stream is then REPLAYED from a fresh checkpoint with the
+    same appId and every epoch must no-op (else every group
+    double-counts against the plain GROUP BY oracle). Read back
+    through the pure-Python timeline walk."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import read_hudi
+    from dataset_grouper_spark.streaming.hudi_source import (
+        HudiLiteDataSource,
+    )
+
+    try:
+        spark.dataSource.register(HudiLiteDataSource)
+    except Exception:
+        pass
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    src = tempfile.mkdtemp(prefix="hudi_sink_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_sink_"), "tbl")
+
+    def drain(ckpt_dir: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.format("hudi_lite")
+            .option("path", table)
+            .option("recordKey", "doc_id")
+            .option("epochAppId", "dg-hudi-stream")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+
+    with _stream_shuffle_partitions(spark):
+        drain(tempfile.mkdtemp(prefix="hudi_ck1_"))
+        drain(tempfile.mkdtemp(prefix="hudi_ck2_"))  # replay: no-ops
+    return (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.octet_length("text")).alias("text_bytes"),
+        )
+    )
+
+
 def q_streaming_iceberg_source(spark: SparkSession, sf: str) -> DataFrame:
     """iceberg_lite STREAMING source (streaming/iceberg_source.py —
     the SPARK-44076 Python data source, Iceberg twin of delta_lite):
@@ -6632,6 +6775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_gdpr_compose": q_iceberg_gdpr_compose,
         "iceberg_retention": q_iceberg_retention,
         "streaming_delta_source": q_streaming_delta_source,
+        "streaming_hudi_source": q_streaming_hudi_source,
+        "streaming_hudi_sink": q_streaming_hudi_sink,
         "delta_zorder_skipping": q_delta_zorder_skipping,
         "iceberg_partitioned_write": q_iceberg_partitioned_write,
         "delta_merge_roundtrip": q_delta_merge_roundtrip,
@@ -8005,6 +8150,23 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT unnest(range(1, 41)) AS copy) t
             )
             WHERE y < 300 GROUP BY lang
+        """,
+        "streaming_hudi_source": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+        """,
+        "streaming_hudi_sink": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
         """,
         "streaming_delta_source": """
             SELECT 0 AS stage, lang,

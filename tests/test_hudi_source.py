@@ -1,0 +1,215 @@
+"""hudi_lite Python data source: batch + streaming timeline tailing,
+insert/overwrite writes, exactly-once streaming sink."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.sources.hudi import (
+    hudi_insert,
+    hudi_upsert,
+    read_hudi,
+)
+from dataset_grouper_spark.streaming.hudi_source import HudiLiteDataSource
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(HudiLiteDataSource)
+    return spark
+
+
+def _tbl(spark, tmp_path, name="tbl"):
+    t = str(tmp_path / name)
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    for i in range(2):  # instant 1 = even ids, instant 2 = odd ids
+        hudi_insert(
+            spark, df.filter(F.col("id") % 2 == i).coalesce(2), t, "id"
+        )
+    return t
+
+
+class TestBatch:
+    def test_matches_read_hudi(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        got = spark.read.format("hudi_lite").option("path", t).load()
+        assert got.columns == ["id", "v"]
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in read_hudi(spark, t).collect()
+        }
+
+    def test_upserted_table_serves_latest_slices(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(0, -1)], "id long, v long"),
+            t,
+        )
+        got = spark.read.format("hudi_lite").option("path", t).load()
+        assert got.count() == 100
+        assert got.filter("id = 0").collect()[0]["v"] == -1
+
+
+class TestStream:
+    def _run_available(self, spark, t, ckpt, out, starting=None):
+        reader = spark.readStream.format("hudi_lite").option("path", t)
+        if starting is not None:
+            reader = reader.option("startingInstant", starting)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_tail_and_resume(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+        self._run_available(spark, t, ckpt, out)
+        ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert ids == list(range(100))
+        hudi_insert(
+            spark,
+            spark.range(100, 120).withColumn("v", F.col("id") * 2),
+            t,
+            "id",
+        )
+        self._run_available(spark, t, ckpt, out)
+        ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert ids == list(range(120))
+        # no new instants: exactly-once replays nothing
+        self._run_available(spark, t, ckpt, out)
+        assert spark.read.parquet(out).count() == 120
+
+    def test_starting_instant_skips_history(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        first = sorted(
+            ts
+            for ts, a, s in __import__(
+                "dataset_grouper_spark.sources.hudi", fromlist=["x"]
+            ).hudi_timeline(t)
+            if s == "completed"
+        )[0]
+        ckpt, out = str(tmp_path / "c2"), str(tmp_path / "o2")
+        self._run_available(spark, t, ckpt, out, starting=first)
+        ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert ids == list(range(1, 100, 2))  # only the second insert
+
+    def test_upsert_commit_raises(self, registered, tmp_path):
+        spark = registered
+        t = _tbl(spark, tmp_path)
+        ckpt, out = str(tmp_path / "c3"), str(tmp_path / "o3")
+        self._run_available(spark, t, ckpt, out)
+        hudi_upsert(
+            spark, spark.createDataFrame([(0, -1)], "id long, v long"), t
+        )
+        with pytest.raises(Exception, match="append-only"):
+            self._run_available(spark, t, ckpt, out)
+
+
+class TestWrite:
+    def test_write_creates_and_appends(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl")
+        df = spark.range(50).withColumn("v", F.col("id") * 2)
+        (
+            df.write.format("hudi_lite")
+            .mode("append")
+            .option("path", t)
+            .option("recordKey", "id")
+            .save()
+        )
+        assert read_hudi(spark, t).count() == 50
+        spark.range(50, 60).withColumn("v", F.col("id") * 2).write.format(
+            "hudi_lite"
+        ).mode("append").option("path", t).save()
+        got = read_hudi(spark, t)
+        assert sorted(r["id"] for r in got.collect()) == list(range(60))
+
+    def test_write_overwrite_is_replacecommit(self, registered, tmp_path):
+        from dataset_grouper_spark.sources.hudi import hudi_timeline
+
+        spark = registered
+        t = str(tmp_path / "wtbl2")
+        spark.range(30).withColumn("v", F.lit("a")).write.format(
+            "hudi_lite"
+        ).mode("append").option("path", t).option("recordKey", "id").save()
+        pre = max(
+            ts for ts, _a, s in hudi_timeline(t) if s == "completed"
+        )
+        spark.range(5).withColumn("v", F.lit("b")).write.format(
+            "hudi_lite"
+        ).mode("overwrite").option("path", t).save()
+        got = read_hudi(spark, t)
+        assert got.count() == 5
+        assert {r["v"] for r in got.collect()} == {"b"}
+        # time travel to the pre-overwrite instant still sees 30 rows
+        assert read_hudi(spark, t, as_of=pre).count() == 30
+        actions = {a for _ts, a, s in hudi_timeline(t) if s == "completed"}
+        assert "replacecommit" in actions
+
+    def test_write_partitioned(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "wtbl3")
+        df = spark.range(40).withColumn(
+            "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+        )
+        (
+            df.repartition(2, "lang")
+            .write.format("hudi_lite")
+            .mode("append")
+            .option("path", t)
+            .option("recordKey", "id")
+            .option("partitionBy", "lang")
+            .save()
+        )
+        got = read_hudi(spark, t)
+        assert got.count() == 40
+        assert got.filter("lang = 'en'").count() == 20
+        assert os.path.isdir(os.path.join(t, "lang=en"))
+
+    def test_stream_write_exactly_once(self, registered, tmp_path):
+        spark = registered
+        src = str(tmp_path / "src")
+        t = str(tmp_path / "stbl")
+        spark.range(40).withColumn("v", F.col("id") * 2).write.parquet(src)
+        batch = spark.read.parquet(src)
+
+        def drain(ckpt, app):
+            q = (
+                spark.readStream.schema(batch.schema).parquet(src)
+                .writeStream.format("hudi_lite")
+                .option("path", t)
+                .option("recordKey", "id")
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .option("epochAppId", app)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain("c1", "app1")
+        assert read_hudi(spark, t).count() == 40
+        # fresh checkpoint, same appId: every epoch replays and no-ops
+        drain("c2", "app1")
+        assert read_hudi(spark, t).count() == 40
+        # a different appId is a genuinely new writer
+        drain("c3", "app2")
+        assert read_hudi(spark, t).count() == 80
+        # no orphan staging files (placeholder-instant leftovers)
+        import glob as _glob
+
+        leftovers = [
+            p
+            for p in _glob.glob(os.path.join(t, "*.parquet"))
+            if os.path.basename(p).split("_")[2].startswith("0")
+        ]
+        assert leftovers == []

@@ -6692,16 +6692,14 @@ def q_iceberg_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracles the FIRST 50 entries only.  Ordering policy
-    # (rotated each round so every query re-oracles within two rounds):
-    #   tier A — queries whose implementation or oracle changed since
-    #            their last driver row (always first), then queries
-    #            with the longest-unverified driver evidence
-    #            (never-oracled ahead of r4-green ahead of r5-green);
-    #   tier B — new queries added this round;
-    #   tier C — stable, recently-green queries; the tail past position
-    #            50 falls out this round and leads tier A next round.
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Declaration registry ONLY — the driver-facing order is computed
+    # mechanically by tools/rotation.py from the committed
+    # CORRECTNESS_r*.json history (never-driver-oracled first, then
+    # stalest-green-first; declaration order here is just the final
+    # tiebreak).  See queries() below.  The tier comments inside this
+    # dict are historical (pre-r8 hand rotation) and no longer govern
+    # anything.
     return {
         # --- tier A, changed-code first (r6): the batch-7-rewritten
         #     TFRecord chain and batch-8-touched Gopher/tokenizer twins
@@ -6988,6 +6986,235 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "bucketed_colocated_join": q_bucketed_colocated_join,
     }
+
+
+# --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
+_QUERY_ORDER: list[str] = [
+    "rolling_window_events",
+    "quality_quarantine_documents",
+    "audio_g711_features",
+    "kmv_distinct_events",
+    "triangle_suppliers",
+    "bfs_suppliers",
+    "entity_match_customers",
+    "entity_clusters_customers",
+    "scd2_user_events",
+    "scd2_apply_events",
+    "spatial_radius_pairs",
+    "avro_roundtrip",
+    "orc_roundtrip",
+    "iceberg_time_travel",
+    "delta_change_feed",
+    "delta_restore_timestamp",
+    "hudi_upsert_roundtrip",
+    "open_table_dispatch",
+    "delta_time_travel",
+    "tfrecord_gzip_roundtrip",
+    "tpch_q19_disjunctive_revenue",
+    "group_counts_cube",
+    "tpch_q22_global_sales",
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_supplier",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "embedding_centroids",
+    "topn_per_group_events",
+    "value_histogram_events",
+    "value_correlation_events",
+    "zorder_layout_roundtrip",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_shipping",
+    "pivot_lang_by_source",
+    "upsert_roundtrip",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "unpivot_lang_counts",
+    "docs_except_intersect",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q9_product_profit",
+    "tpch_q20_excess_suppliers",
+    "chunk_sliding_documents",
+    "equidepth_events",
+    "lm_score_documents",
+    "drift_documents",
+    "weighted_sample_documents",
+    "bpe_token_counts_documents",
+    "contrastive_negatives_documents",
+    "lm_tiered_documents",
+    "vocab_index_documents",
+    "temperature_mix_documents",
+    "delete_roundtrip",
+    "token_shards_documents",
+    "dp_group_counts_documents",
+    "dp_group_sums_events",
+    "dp_group_counts_geo_documents",
+    "gif_frame_meta",
+    "group_entropy_events",
+    "asof_tolerance_events",
+    "grouping_sets_lineitem",
+    "group_counts_rollup",
+    "pipeline_c4_style",
+    "chunk_tokens_documents",
+    "approx_distinct_users",
+    "sessionize_events",
+    "sample_documents",
+    "repetition_documents",
+    "json_props_events",
+    "text_hashed_cosine_pairs",
+    "moving_avg_events",
+    "stratified_sample_documents",
+    "neardup_clusters_documents",
+    "dedup_exact_documents",
+    "dedup_exact_survivors",
+    "embedding_neardup_clusters",
+    "pack_sequences_documents",
+    "tpch_q18_large_orders",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q5_local_supplier",
+    "tpch_q14_promo_revenue",
+    "key_skew_events",
+    "embedding_cosine_pairs",
+    "salted_join_revenue",
+    "simhash_documents",
+    "multimodal_image_meta",
+    "multimodal_image_headers",
+    "ngram_jaccard_pairs",
+    "dup_ngram_fraction_documents",
+    "asof_purchase_click_events",
+    "funnel_events",
+    "retention_events",
+    "group_profile_events",
+    "url_canonicalize_documents",
+    "vocabulary_documents",
+    "tfidf_top_terms_documents",
+    "cap_per_source_documents",
+    "split_by_group_documents",
+    "text_analysis_documents",
+    "group_counts_events_by_user",
+    "group_counts_documents_by_source",
+    "group_counts_lineitem_by_flag",
+    "group_counts_tensors",
+    "format_group_counts",
+    "key_random_lineitem",
+    "key_url_domain",
+    "key_dirichlet_embeddings",
+    "pack_bytecap_documents",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_unshipped_orders",
+    "group_stream",
+    "tpch_q4_order_priority",
+    "multimodal_resize_png",
+    "multimodal_resize_pixels",
+    "multimodal_embed_pixels",
+    "lsh_topk_embeddings",
+    "ivf_topk_embeddings",
+    "ivf_index_topk_embeddings",
+    "minhash_lsh_candidates",
+    "pipeline_ingest_style",
+    "interval_attribution_events",
+    "streaming_windowed_counts",
+    "streaming_session_windows",
+    "streaming_stateful_counts",
+    "streaming_dedup_distinct",
+    "streaming_attribution_events",
+    "streaming_attribution_outer",
+    "snapshot_time_travel",
+    "bpe_merges_documents",
+    "pagerank_partsupp",
+    "compaction_roundtrip",
+    "audio_features_wav",
+    "audio_resample_wav",
+    "video_frame_sample",
+    "tpch_q7_nation_volume",
+    "bucketed_colocated_join",
+    "streaming_iceberg_sink",
+    "iceberg_stats_skipping",
+    "gapfill_daily_events",
+    "resample_linear_events",
+    "iceberg_compaction",
+    "delta_table_history",
+    "streaming_iceberg_source",
+    "iceberg_schema_evolution",
+    "table_diff_versions",
+    "tfrecord_roundtrip",
+    "partitioned_roundtrip",
+    "gopher_quality_documents",
+    "ngram_counts_documents",
+    "pii_redact_documents",
+    "winnow_fingerprints_documents",
+    "clean_text_documents",
+    "cms_user_counts_events",
+    "contamination_documents",
+    "incremental_dedup_documents",
+    "cosine_topk_embeddings",
+    "streaming_incremental_dedup",
+    "multimodal_gif_pixels",
+    "multimodal_jpeg_pixels",
+    "matview_refresh_documents",
+    "matview_join_refresh",
+    "k_anonymize_customers",
+    "l_diversity_documents",
+    "audio_frame_energy",
+    "streaming_matview_sums",
+    "line_dedup_documents",
+    "ols_chars_documents",
+    "audio_adpcm_features",
+    "audio_flac_features",
+    "iceberg_mor_delete",
+    "delta_mor_delete",
+    "hll_distinct_events",
+    "quality_checks_documents",
+    "streaming_delta_sink",
+    "streaming_delta_sink_partitioned",
+    "streaming_iceberg_sink_partitioned",
+    "value_percentiles_events",
+    "fingerprint_screen_documents",
+    "multimodal_jpeg_progressive",
+    "multimodal_webp_pixels",
+    "delta_checkpoint_roundtrip",
+    "delta_column_mapping",
+    "delta_column_mapping_merge",
+    "iceberg_partition_pruning",
+    "delta_optimize_vacuum",
+    "delta_schema_evolution",
+    "iceberg_equality_delete",
+    "iceberg_gdpr_compose",
+    "iceberg_retention",
+    "streaming_delta_source",
+    "streaming_hudi_source",
+    "streaming_hudi_sink",
+    "delta_zorder_skipping",
+    "iceberg_partitioned_write",
+    "delta_merge_roundtrip",
+]
+# --- END GENERATED _QUERY_ORDER ---
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-facing query map.
+
+    The driver oracles the FIRST 50 entries only, so ordering IS the
+    verification schedule.  ``_QUERY_ORDER`` is generated by
+    ``python tools/rotation.py --update`` from the committed
+    CORRECTNESS_r*.json history: never-driver-oracled queries first,
+    then stalest-green-first (VERDICT r7 task 1 — the rotation must be
+    mechanical, not prose).  ``tests/test_rotation.py`` pins the first
+    50 to the tool's output; a registry/order mismatch raises here so
+    it can never ship silently.
+    """
+    reg = _query_registry()
+    missing = [k for k in _QUERY_ORDER if k not in reg]
+    unlisted = [k for k in reg if k not in set(_QUERY_ORDER)]
+    if missing or unlisted:
+        raise RuntimeError(
+            f"_QUERY_ORDER out of sync with the registry "
+            f"(missing={missing}, unlisted={unlisted}); "
+            "run: python tools/rotation.py --update"
+        )
+    return {k: reg[k] for k in _QUERY_ORDER}
 
 
 # ----------------------------------------------------------- oracle SQL

@@ -1,0 +1,50 @@
+"""Pin the driver-oracle rotation to tools/rotation.py (VERDICT r7 #1).
+
+The driver oracles only the first 50 ``queries()`` entries per round,
+so the dict order IS the verification schedule.  These tests make the
+schedule mechanical: ``_QUERY_ORDER`` in ``__spark_entry__.py`` must be
+exactly what ``tools/rotation.py`` computes from the committed
+CORRECTNESS_r*.json history at commit time.
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import __spark_entry__ as entry  # noqa: E402
+import rotation  # noqa: E402
+
+
+def test_query_order_matches_rotation_tool():
+    computed = rotation.compute_order(
+        list(entry._query_registry().keys())
+    )
+    declared = list(entry.queries().keys())
+    assert declared == computed, (
+        "queries() order is stale vs the committed CORRECTNESS history; "
+        "run: python tools/rotation.py --update"
+    )
+
+
+def test_window_prefers_never_oracled():
+    """Every window slot is never-driver-green while any such query
+    remains (the never bucket outnumbers the window today, so all 50
+    must come from it)."""
+    greens = rotation.last_green_rounds()
+    order = list(entry.queries().keys())
+    never = [n for n in order if n not in greens]
+    window = order[:50]
+    expected_never_in_window = min(50, len(never))
+    assert [n for n in window if n not in greens] == never[
+        :expected_never_in_window
+    ]
+
+
+def test_order_covers_registry_exactly():
+    reg = set(entry._query_registry())
+    order = entry._QUERY_ORDER
+    assert len(order) == len(set(order)), "duplicate names in _QUERY_ORDER"
+    assert set(order) == reg

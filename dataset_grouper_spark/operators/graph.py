@@ -250,11 +250,19 @@ def bipartite_knn(
         .distinct()
     )
     if max_right_fanout is not None:
-        sizes = ps.groupBy("_l").agg(F.count(F.lit(1)).alias("_fan"))
-        ps = (
-            ps.join(sizes.filter(F.col("_fan") <= max_right_fanout), "_l")
-            .drop("_fan")
+        # keep ONLY the over-cap keys (pathological by definition, so a
+        # handful of rows) and broadcast anti-join them out — equi-
+        # joining the full per-key size frame back would re-shuffle the
+        # whole projection even when NO key exceeds the cap (the r7
+        # regression on triangle/bfs: VERDICT r7 task 4). The size agg
+        # itself is one map-side-partial pass.
+        hot = (
+            ps.groupBy("_l")
+            .agg(F.count(F.lit(1)).alias("_fan"))
+            .filter(F.col("_fan") > max_right_fanout)
+            .select("_l")
         )
+        ps = ps.join(F.broadcast(hot), "_l", "left_anti")
     ps = persist_tracked(ps)
     a, b = ps.alias("a"), ps.alias("b")
     pairs = (

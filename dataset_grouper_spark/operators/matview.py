@@ -36,7 +36,30 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.compat import fs as _fs
+
 STAGING_SUFFIX = "_refreshing"
+
+
+def _local_state_path(path: str) -> str:
+    """Matview state relies on ATOMIC DIRECTORY RENAME for its
+    crash-safe swap — the same primitive Spark requires of streaming
+    checkpoint locations. ``file://`` URIs resolve to their local
+    path; rename-incapable backends (s3://, gs://) raise instead of
+    silently losing the atomicity the docstrings promise. Keep matview
+    state on a local/HDFS-style mount and the DATA on the object
+    store."""
+    if not _fs.is_uri(path):
+        return path
+    if path.startswith("file://"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    raise NotImplementedError(
+        f"matview state at {path!r}: backend has no atomic directory "
+        "rename (the swap's crash-safety primitive) — use a local or "
+        "HDFS-style path, as with Spark streaming checkpoints"
+    )
 
 
 def create_materialized_sums(
@@ -48,6 +71,7 @@ def create_materialized_sums(
     """Materialize the initial aggregate: per ``key_cols`` group, the
     SUM of each expression in ``sum_cols`` (name -> column expr over
     the input rows). A plain count is ``F.lit(1)``."""
+    path = _local_state_path(path)
     agg = df.groupBy(*key_cols).agg(
         *[F.sum(expr).alias(name) for name, expr in sum_cols.items()]
     )
@@ -58,6 +82,7 @@ def recover_materialized(path: str) -> bool:
     """Roll forward after a crash inside the swap window: if ``path``
     is missing but the pre-swap table survives at ``<path>_old``,
     restore it. Returns True when a recovery happened."""
+    path = _local_state_path(path)
     final_tmp = path.rstrip("/") + "_old"
     if not os.path.exists(path) and os.path.isdir(final_tmp):
         os.replace(final_tmp, path)
@@ -73,6 +98,7 @@ def folded_tags(path: str) -> set[str]:
     The tags file lives INSIDE the swapped directory (underscore
     prefix — ignored by Spark's file scan), so tag state and data
     state commit atomically in the same os.replace."""
+    path = _local_state_path(path)
     try:
         with open(os.path.join(path, TAGS_FILE)) as f:
             return {ln.strip() for ln in f if ln.strip()}
@@ -107,6 +133,7 @@ def refresh_materialized_sums(
     lands on (the streaming foreachBatch epoch hook,
     streaming/matview_sink.py). Returns True when the batch was
     folded, False for a tag replay no-op."""
+    path = _local_state_path(path)
     recover_materialized(path)
     if tag is not None and tag in folded_tags(path):
         return False
@@ -178,6 +205,7 @@ def create_materialized_join(
 ) -> None:
     """Materialize ``a ⋈ b`` (inner, on ``on``) at ``path`` — the
     base state :func:`refresh_materialized_join` maintains."""
+    path = _local_state_path(path)
     a.join(b, on).write.mode("overwrite").parquet(path)
 
 
@@ -202,6 +230,7 @@ def refresh_materialized_join(
 
         refresh(create(A⋈B), dA, dB) == (A∪dA) ⋈ (B∪dB)
     """
+    path = _local_state_path(path)
     recover_materialized(path)
     if tag is not None and tag in folded_tags(path):
         return False

@@ -55,6 +55,8 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.compat import fs as _fs
+
 SNAP_DIR = "_snapshots"
 DATA_DIR = "data"
 EMPTY_DIR = "_empty"
@@ -71,17 +73,16 @@ def _snap_path(path: str, version: int) -> str:
 
 
 def _manifest(path: str, version: int) -> dict:
-    with open(_snap_path(path, version)) as f:
-        return json.load(f)
+    return json.loads(_fs.read_text(_snap_path(path, version)))
 
 
 def snapshot_versions(path: str) -> list[int]:
     """All committed versions, ascending."""
     d = os.path.join(path, SNAP_DIR)
-    if not os.path.isdir(d):
+    if not _fs.is_dir(d):
         return []
     out = []
-    for name in os.listdir(d):
+    for name in _fs.listdir(d):
         if name.startswith("v") and name.endswith(".json"):
             out.append(int(name[1:-5]))
     return sorted(out)
@@ -103,15 +104,15 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     stage = os.path.join(path, f"{_STAGE_PREFIX}{token}")
     df.write.mode("overwrite").parquet(stage)
     data_dir = os.path.join(path, DATA_DIR)
-    os.makedirs(data_dir, exist_ok=True)
+    _fs.makedirs(data_dir)
     rel_names = []
-    for name in sorted(os.listdir(stage)):
+    for name in sorted(_fs.listdir(stage)):
         if not name.endswith(".parquet"):
             continue
         rel = f"{DATA_DIR}/{token}-{name}"
-        os.replace(os.path.join(stage, name), os.path.join(path, rel))
+        _fs.move(os.path.join(stage, name), os.path.join(path, rel))
         rel_names.append(rel)
-    shutil.rmtree(stage, ignore_errors=True)
+    _fs.rmtree(stage)
     return rel_names
 
 
@@ -124,10 +125,10 @@ def _tags_log_path(path: str) -> str:
 
 def _ledger_tags(path: str) -> set[str]:
     try:
-        with open(_tags_log_path(path)) as f:
-            return {line.strip() for line in f if line.strip()}
+        text = _fs.read_text(_tags_log_path(path))
     except FileNotFoundError:
         return set()
+    return {line.strip() for line in text.splitlines() if line.strip()}
 
 
 def _ledger_add(path: str, tags: set[str]) -> None:
@@ -136,8 +137,15 @@ def _ledger_add(path: str, tags: set[str]) -> None:
     new = tags - _ledger_tags(path)
     if not new:
         return
-    with open(_tags_log_path(path), "a") as f:
-        f.write("".join(t + "\n" for t in sorted(new)))
+    lp = _tags_log_path(path)
+    if not _fs.is_uri(lp):
+        with open(lp, "a") as f:  # true O_APPEND on the local path
+            f.write("".join(t + "\n" for t in sorted(new)))
+        return
+    # object stores can't append: read-modify-write; the single-writer-
+    # per-tag contract (stream checkpoints) makes the race benign
+    prior = _fs.read_text(lp) if _fs.exists(lp) else ""
+    _fs.write_text(lp, prior + "".join(t + "\n" for t in sorted(new)))
 
 
 def committed_tags(path: str) -> set[str]:
@@ -170,7 +178,7 @@ def _commit(
     claimed the slot first — the caller's file set was computed against
     a base that is no longer latest."""
     snap_dir = os.path.join(path, SNAP_DIR)
-    os.makedirs(snap_dir, exist_ok=True)
+    _fs.makedirs(snap_dir)
     version = expected_parent + 1
     body = {
         "op": op,
@@ -180,25 +188,35 @@ def _commit(
     }
     if tag is not None:
         body["tag"] = tag
-    tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(body, f)
     try:
-        os.link(tmp, _snap_path(path, version))
+        if not _fs.is_uri(path):
+            # local: temp + hard link — complete-before-visible AND an
+            # atomic fail-if-exists claim in one syscall
+            tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(body, f)
+            try:
+                os.link(tmp, _snap_path(path, version))
+            finally:
+                os.unlink(tmp)
+        else:
+            # remote: exclusive create + ONE write (pyarrow flushes on
+            # close, so the manifest appears whole); CAS caveat as per
+            # compat.fs.open_create
+            with _fs.open_create(_snap_path(path, version)) as f:
+                f.write(json.dumps(body).encode())
     except FileExistsError:
         raise SnapshotConflictError(
             f"{op} computed against v{expected_parent}, but v{version} "
             f"was committed concurrently; recompute against the new base"
         ) from None
-    finally:
-        os.unlink(tmp)
     return version
 
 
 def snapshot_write(df: DataFrame, path: str) -> int:
     """Create the table: data files + manifest v1 + a zero-row schema
     footer (so a later delete-everything version stays readable)."""
-    os.makedirs(path, exist_ok=True)
+    _fs.makedirs(path)
     if snapshot_versions(path):
         raise FileExistsError(f"snapshot table already exists at {path}")
     df.limit(0).write.mode("overwrite").parquet(os.path.join(path, EMPTY_DIR))
@@ -392,26 +410,26 @@ def vacuum_snapshots(
         _ledger_add(path, expired_tags)
     removed_files = []
     data_dir = os.path.join(path, DATA_DIR)
-    if os.path.isdir(data_dir):
-        for name in os.listdir(data_dir):
+    if _fs.is_dir(data_dir):
+        for name in _fs.listdir(data_dir):
             rel = f"{DATA_DIR}/{name}"
             full = os.path.join(data_dir, name)
             if rel not in referenced and (
-                now - os.path.getmtime(full) >= min_age_seconds
+                now - _fs.mtime(full) >= min_age_seconds
             ):
-                os.unlink(full)
+                _fs.remove(full)
                 removed_files.append(rel)
     removed_versions = []
     for v in versions:
         if v not in keep:
-            os.unlink(_snap_path(path, v))
+            _fs.remove(_snap_path(path, v))
             removed_versions.append(v)
     removed_stages = []
-    for name in os.listdir(path):
+    for name in _fs.listdir(path):
         if name.startswith(_STAGE_PREFIX):
             full = os.path.join(path, name)
-            if now - os.path.getmtime(full) >= min_age_seconds:
-                shutil.rmtree(full, ignore_errors=True)
+            if now - _fs.mtime(full) >= min_age_seconds:
+                _fs.rmtree(full)
                 removed_stages.append(name)
     return {
         "removed_files": sorted(removed_files),

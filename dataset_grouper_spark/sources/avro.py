@@ -191,9 +191,11 @@ def _write_value(out: bytearray, schema, v) -> None:
 
 
 def read_avro_file(path: str):
-    """Decode one container file -> (schema_dict, list of records)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    """Decode one container file -> (schema_dict, list of records).
+    Routed through compat.fs: manifests on object stores resolve."""
+    from dataset_grouper_spark.compat import fs as _fs
+
+    data = _fs.read_bytes(path)
     buf = io.BytesIO(data)
     if buf.read(4) != MAGIC:
         raise ValueError(f"not an Avro object container: {path}")
@@ -258,8 +260,9 @@ def write_avro_file(
     _write_varint(out, len(block))
     out += block
     out += sync
-    with open(path, "wb") as f:
-        f.write(bytes(out))
+    from dataset_grouper_spark.compat import fs as _fs
+
+    _fs.write_bytes(path, bytes(out))
     return n
 
 
@@ -328,7 +331,9 @@ def read_avro(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 def _read_header_only(path: str):
     """(schema, codec) from a container header without reading blocks."""
-    with open(path, "rb") as f:
+    from dataset_grouper_spark.compat import fs as _fs
+
+    with _fs.open_read(path) as f:
         head = f.read(1 << 20)  # schema JSON lives in the first MB
     buf = io.BytesIO(head)
     if buf.read(4) != MAGIC:

@@ -43,11 +43,14 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
+
+from dataset_grouper_spark.compat import fs as _fs
 
 _LOG_DIR = "_delta_log"
 
@@ -56,13 +59,38 @@ def _log_path(table_path: str) -> str:
     return os.path.join(table_path, _LOG_DIR)
 
 
+def _table_abs(table_path: str) -> str:
+    """Absolute form of a table location: URIs pass through untouched
+    (``os.path.abspath`` would mangle the scheme), bare paths get the
+    usual abspath so add-path joins are stable."""
+    return table_path if _fs.is_uri(table_path) else os.path.abspath(table_path)
+
+
+def _read_commit_lines(log: str, version: int) -> list[str]:
+    """The non-empty JSON action lines of one commit file. Commit
+    files are planning-scale (O(actions), kilobytes) — one metadata GET
+    per file through compat.fs, which is exactly how a Delta client on
+    an object store reads them."""
+    text = _fs.read_text(os.path.join(log, f"{version:020d}.json"))
+    return [ln for ln in text.splitlines() if ln.strip()]
+
+
+def _write_commit(log: str, version: int, actions: list[dict]) -> None:
+    """Claim ``<version>.json`` put-if-absent (the commit race is
+    decided here); raises FileExistsError to the caller's retry/abort
+    policy. Object-store CAS caveat documented at compat.fs.open_create."""
+    data = "".join(json.dumps(a) + "\n" for a in actions).encode()
+    with _fs.open_create(os.path.join(log, f"{version:020d}.json")) as f:
+        f.write(data)
+
+
 def delta_versions(table_path: str) -> list[int]:
     """All commit versions present in the log, ascending."""
     log = _log_path(table_path)
-    if not os.path.isdir(log):
+    if not _fs.is_dir(log):
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table_path}")
     out = []
-    for name in os.listdir(log):
+    for name in _fs.listdir(log):
         if name.endswith(".json") and name[:-5].isdigit():
             out.append(int(name[:-5]))
     return sorted(out)
@@ -73,7 +101,7 @@ def _latest_checkpoint(table_path: str, version: int):
     at or below ``version``, or None."""
     log = _log_path(table_path)
     best = None
-    for name in os.listdir(log):
+    for name in _fs.listdir(log):
         if name.endswith(".checkpoint.parquet"):
             head = name.split(".")[0]
             if head.isdigit() and int(head) <= version:
@@ -111,7 +139,8 @@ def _replay(spark: SparkSession | None, table_path: str, version: int):
         if spark is None:
             import pyarrow.parquet as pq
 
-            cp_rows = pq.read_table(cp_file).to_pylist()
+            with _fs.open_random(cp_file) as f:
+                cp_rows = pq.read_table(f).to_pylist()
         else:
             cp_rows = [
                 row.asDict(recursive=True)
@@ -133,18 +162,15 @@ def _replay(spark: SparkSession | None, table_path: str, version: int):
             f"for version {version} (vacuumed past retention?)"
         )
     for v in versions:
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    a = action["add"]
-                    adds[a["path"]] = a
-                elif "remove" in action:
-                    adds.pop(action["remove"]["path"], None)
-                elif "metaData" in action:
-                    meta = action["metaData"]
+        for line in _read_commit_lines(log, v):
+            action = json.loads(line)
+            if "add" in action:
+                a = action["add"]
+                adds[a["path"]] = a
+            elif "remove" in action:
+                adds.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                meta = action["metaData"]
     if meta is None:
         raise ValueError(f"Delta log has no metaData action: {table_path}")
     return adds, meta
@@ -160,6 +186,15 @@ def _norm_path(c):
     all normalize to ``/a`` (``_metadata.file_path`` is a URI; the
     log's add paths are table-relative)."""
     return F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+
+
+_SCHEME_PREFIX = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+")
+
+
+def _norm_abs(path: str) -> str:
+    """Python-side twin of :func:`_norm_path` — join keys built from a
+    URI table location must match the normalized ``_metadata.file_path``."""
+    return _SCHEME_PREFIX.sub("/", path)
 
 
 def _resolve_dv_path(table_path: str, storage: str, payload: str) -> str:
@@ -193,7 +228,7 @@ def _dv_positions_frame(
     descriptor fans out to executors, each decoding its bitmap and
     emitting ``(__fp, __pos)`` rows — DV bytes never touch the driver.
     Returns (positions frame, exact total cardinality or None)."""
-    table_abs = os.path.abspath(table_path)
+    table_abs = _table_abs(table_path)
     rows = []
     total: int | None = 0
     for abs_path, desc in dv_adds:
@@ -204,7 +239,7 @@ def _dv_positions_frame(
             total = None
         rows.append(
             (
-                abs_path,
+                _norm_abs(abs_path),
                 desc["storageType"],
                 desc["pathOrInlineDv"],
                 int(desc.get("offset") or 0),
@@ -329,7 +364,7 @@ def read_delta(
         }
     if not adds:
         return spark.createDataFrame([], schema)
-    table_abs = os.path.abspath(table_path)
+    table_abs = _table_abs(table_path)
     dv_adds = [
         (os.path.join(table_abs, a["path"]), a["deletionVector"])
         for a in adds.values()
@@ -464,7 +499,7 @@ def delta_append(
 
     part_cols = list(partition_by or [])
     log = _log_path(table_path)
-    latest = _latest_version(table_path) if os.path.isdir(log) else None
+    latest = _latest_version(table_path) if _fs.is_dir(log) else None
     exists = latest is not None
     evolved_meta = None
     phys: dict[str, str] = {}
@@ -533,7 +568,7 @@ def delta_append(
             evolved_meta["configuration"] = conf
         if list(meta.get("partitionColumns") or []) != part_cols:
             raise ValueError("delta_append: partition columns mismatch")
-    os.makedirs(log, exist_ok=True)
+    _fs.makedirs(log)
     stage = tempfile.mkdtemp(prefix="_delta_stage_")
     stage_df = df
     stage_parts = part_cols
@@ -563,17 +598,16 @@ def delta_append(
                 pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
         name = f"part-{uuid.uuid4().hex}.parquet"
         rel = os.path.join(rel_dir, name) if rel_dir != "." else name
-        os.makedirs(
-            os.path.dirname(os.path.join(table_path, rel)) or table_path,
-            exist_ok=True,
+        _fs.makedirs(
+            os.path.dirname(os.path.join(table_path, rel)) or table_path
         )
-        shutil.move(src, os.path.join(table_path, rel))
+        _fs.move(src, os.path.join(table_path, rel))
         adds.append(
             {
                 "add": {
                     "path": rel.replace(os.sep, "/"),
                     "partitionValues": pv,
-                    "size": os.path.getsize(os.path.join(table_path, rel)),
+                    "size": _fs.file_size(os.path.join(table_path, rel)),
                     "modificationTime": 0,
                     "dataChange": True,
                     # footer-derived stats JSON: what data skipping
@@ -619,9 +653,7 @@ def delta_append(
     version = (latest + 1) if exists else 0
     for _ in range(max_retries):
         try:
-            with open(os.path.join(log, f"{version:020d}.json"), "x") as f:
-                for a in actions:
-                    f.write(json.dumps(a) + "\n")
+            _write_commit(log, version, actions)
             return version
         except FileExistsError:
             if not exists:
@@ -692,7 +724,7 @@ def delta_delete_where(
         return target
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    table_abs = os.path.abspath(table_path)
+    table_abs = _table_abs(table_path)
 
     # raw current-state scan with (__fp, __pos); existing tombstones
     # need not be subtracted before matching — a re-matched deleted
@@ -768,7 +800,7 @@ def delta_delete_where(
         dv = a.get("deletionVector") or {}
         map_rows.append(
             (
-                os.path.join(table_abs, rel),
+                _norm_abs(os.path.join(table_abs, rel)),
                 rel,
                 dv.get("storageType"),
                 dv.get("pathOrInlineDv"),
@@ -880,9 +912,7 @@ def delta_delete_where(
     log = _log_path(table_path)
     version = target + 1
     try:
-        with open(os.path.join(log, f"{version:020d}.json"), "x") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
+        _write_commit(log, version, actions)
     except FileExistsError:
         raise RuntimeError(
             "delta_delete_where: lost the commit race at version "
@@ -896,7 +926,7 @@ def _all_txns(spark: SparkSession, table_path: str) -> dict[str, int]:
     """Latest committed ``txn`` version per appId: the latest
     checkpoint's ``txn`` rows plus the JSON tail."""
     log = _log_path(table_path)
-    if not os.path.isdir(log):
+    if not _fs.is_dir(log):
         raise FileNotFoundError(f"not a Delta table: {table_path}")
     best: dict[str, int] = {}
 
@@ -919,10 +949,9 @@ def _all_txns(spark: SparkSession, table_path: str) -> dict[str, int]:
     for v in delta_versions(table_path):
         if v < start:
             continue
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            for line in f:
-                if line.strip():
-                    fold(json.loads(line).get("txn"))
+        for line in _read_commit_lines(log, v):
+            if line.strip():
+                fold(json.loads(line).get("txn"))
     return best
 
 
@@ -963,12 +992,11 @@ def delta_checkpoint(spark: SparkSession, table_path: str) -> int:
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
     log = _log_path(table_path)
     for v in versions:
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            for line in f:
-                if line.strip():
-                    a = json.loads(line)
-                    if "protocol" in a:
-                        protocol = a["protocol"]
+        for line in _read_commit_lines(log, v):
+            if line.strip():
+                a = json.loads(line)
+                if "protocol" in a:
+                    protocol = a["protocol"]
     rows = [{"protocol": protocol}, {"metaData": meta}]
     rows += [{"add": a} for a in adds.values()]
     rows += [
@@ -981,10 +1009,12 @@ def delta_checkpoint(spark: SparkSession, table_path: str) -> int:
     stage = tempfile.mkdtemp(prefix="_delta_ckpt_")
     cp.coalesce(1).write.mode("overwrite").parquet(stage)
     src = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-    shutil.move(src, os.path.join(log, f"{target:020d}.checkpoint.parquet"))
+    _fs.move(src, os.path.join(log, f"{target:020d}.checkpoint.parquet"))
     shutil.rmtree(stage, ignore_errors=True)
-    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
-        json.dump({"version": target, "size": len(rows)}, f)
+    _fs.write_text(
+        os.path.join(log, "_last_checkpoint"),
+        json.dumps({"version": target, "size": len(rows)}),
+    )
     return target
 
 
@@ -1004,7 +1034,7 @@ def delta_truncate_log(table_path: str) -> list[int]:
     removed = []
     for v in delta_versions(table_path):
         if v <= cp_version:
-            os.remove(os.path.join(log, f"{v:020d}.json"))
+            _fs.remove(os.path.join(log, f"{v:020d}.json"))
             removed.append(v)
     return removed
 
@@ -1029,7 +1059,7 @@ def delta_append_txn(
     put-if-absent version claim."""
     last = None
     if (
-        os.path.isdir(_log_path(table_path))
+        _fs.is_dir(_log_path(table_path))
         and _latest_version(table_path) is not None
     ):
         last = delta_last_txn_version(spark, table_path, app_id)
@@ -1089,21 +1119,20 @@ def read_delta_changes(
     log = _log_path(table_path)
     adds: dict[str, dict] = {}
     for v in want:
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action and action["add"].get("dataChange", True):
-                    adds[action["add"]["path"]] = action["add"]
-                elif "remove" in action and action["remove"].get(
-                    "dataChange", True
-                ):
-                    raise ValueError(
-                        f"read_delta_changes: commit {v} removes data "
-                        "(update/delete) — the change set is not "
-                        "append-only"
-                    )
+        for line in _read_commit_lines(log, v):
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action and action["add"].get("dataChange", True):
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action and action["remove"].get(
+                "dataChange", True
+            ):
+                raise ValueError(
+                    f"read_delta_changes: commit {v} removes data "
+                    "(update/delete) — the change set is not "
+                    "append-only"
+                )
     if not adds:
         return spark.createDataFrame([], schema)
     phys = _physical_names(meta)
@@ -1226,7 +1255,7 @@ def delta_optimize(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     phys = _physical_names(meta)
-    table_abs = os.path.abspath(table_path)
+    table_abs = _table_abs(table_path)
 
     groups: dict[tuple, list[dict]] = {}
     for a in adds.values():
@@ -1321,13 +1350,13 @@ def delta_optimize(
         new_adds = []
         for src in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):
             rel = f"part-{uuid.uuid4().hex}.parquet"
-            shutil.move(src, os.path.join(table_abs, rel))
+            _fs.move(src, os.path.join(table_abs, rel))
             new_adds.append(
                 {
                     "add": {
                         "path": rel,
                         "partitionValues": pv,
-                        "size": os.path.getsize(os.path.join(table_abs, rel)),
+                        "size": _fs.file_size(os.path.join(table_abs, rel)),
                         "modificationTime": 0,
                         "dataChange": False,
                         # refreshed envelopes: the whole point of a
@@ -1358,11 +1387,7 @@ def delta_optimize(
         return None
     version = target + 1
     try:
-        with open(
-            os.path.join(_log_path(table_path), f"{version:020d}.json"), "x"
-        ) as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
+        _write_commit(_log_path(table_path), version, actions)
     except FileExistsError:
         raise RuntimeError(
             f"delta_optimize: lost the commit race at version {version} — "
@@ -1389,9 +1414,9 @@ def delta_vacuum(
     it) rather than a wall-clock window — the same trade as
     ``delta_truncate_log``, applied to data files."""
     log = _log_path(table_path)
-    if not os.path.isdir(log):
+    if not _fs.is_dir(log):
         raise FileNotFoundError(f"not a Delta table: {table_path}")
-    table_abs = os.path.abspath(table_path)
+    table_abs = _table_abs(table_path)
     referenced: set[str] = set()
 
     def note_add(a: dict) -> None:
@@ -1410,30 +1435,27 @@ def delta_vacuum(
             if d.get("add"):
                 note_add(d["add"])
     for v in delta_versions(table_path):
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            for line in f:
-                if line.strip():
-                    action = json.loads(line)
-                    if "add" in action:
-                        note_add(action["add"])
+        for line in _read_commit_lines(log, v):
+            if line.strip():
+                action = json.loads(line)
+                if "add" in action:
+                    note_add(action["add"])
     doomed: list[str] = []
-    for root, dirs, names in os.walk(table_abs):
-        dirs[:] = [d for d in dirs if d != _LOG_DIR]
-        for name in names:
-            if not (
-                name.endswith(".parquet")
-                or (name.startswith("deletion_vector_") and name.endswith(".bin"))
-            ):
-                continue
-            rel = os.path.relpath(os.path.join(root, name), table_abs).replace(
-                os.sep, "/"
-            )
-            if rel not in referenced:
-                doomed.append(rel)
+    for rel in _fs.walk_files(table_abs):
+        if rel.startswith(_LOG_DIR + "/"):
+            continue
+        name = rel.rsplit("/", 1)[-1]
+        if not (
+            name.endswith(".parquet")
+            or (name.startswith("deletion_vector_") and name.endswith(".bin"))
+        ):
+            continue
+        if rel not in referenced:
+            doomed.append(rel)
     doomed.sort()
     if not dry_run:
         for rel in doomed:
-            os.remove(os.path.join(table_abs, rel))
+            _fs.remove(os.path.join(table_abs, rel))
     return doomed
 
 
@@ -1455,11 +1477,11 @@ def delta_restore(
         raise FileNotFoundError(f"empty Delta log: {table_path}")
     want_adds, want_meta = _replay(spark, table_path, version)
     cur_adds, cur_meta = _replay(spark, table_path, latest)
-    table_abs = os.path.abspath(table_path)
+    table_abs = _table_abs(table_path)
     missing = [
         rel
         for rel in want_adds
-        if not os.path.exists(os.path.join(table_abs, rel))
+        if not _fs.exists(os.path.join(table_abs, rel))
     ]
     if missing:
         raise FileNotFoundError(
@@ -1495,12 +1517,7 @@ def delta_restore(
         return latest
     new_version = latest + 1
     try:
-        with open(
-            os.path.join(_log_path(table_path), f"{new_version:020d}.json"),
-            "x",
-        ) as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
+        _write_commit(_log_path(table_path), new_version, actions)
     except FileExistsError:
         raise RuntimeError(
             f"delta_restore: lost the commit race at version {new_version} — "
@@ -1526,7 +1543,8 @@ def _file_stats(path: str, fields) -> str:
 
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    with _fs.open_random(path) as f:
+        md = pq.ParquetFile(f).metadata
     want = {
         f.name
         for f in fields
@@ -1713,7 +1731,7 @@ def delta_merge(
     if dup.count() > 0:
         raise ValueError("delta_merge: source has duplicate keys")
 
-    table_abs = os.path.abspath(table_path)
+    table_abs = _table_abs(table_path)
     paths = [os.path.join(table_abs, rel) for rel in adds]
     tag_cols = {
         "__fp": _norm_path(F.col("_metadata.file_path")),
@@ -1817,7 +1835,9 @@ def delta_merge(
         .distinct()
         .collect()
     ]
-    abs_to_rel = {os.path.join(table_abs, rel): rel for rel in adds}
+    abs_to_rel = {
+        _norm_abs(os.path.join(table_abs, rel)): rel for rel in adds
+    }
     touched_rel = sorted(abs_to_rel[p] for p in touched)
 
     stage = tempfile.mkdtemp(prefix="_delta_merge_")
@@ -1889,14 +1909,14 @@ def delta_merge(
             else name
         )
         dst = os.path.join(table_abs, rel)
-        os.makedirs(os.path.dirname(dst) or table_abs, exist_ok=True)
-        shutil.move(src, dst)
+        _fs.makedirs(os.path.dirname(dst) or table_abs)
+        _fs.move(src, dst)
         actions.append(
             {
                 "add": {
                     "path": rel,
                     "partitionValues": pv,
-                    "size": os.path.getsize(dst),
+                    "size": _fs.file_size(dst),
                     "modificationTime": 0,
                     "dataChange": True,
                     "stats": _file_stats(dst, data_fields_out),
@@ -1906,11 +1926,7 @@ def delta_merge(
     shutil.rmtree(stage, ignore_errors=True)
     version = target + 1
     try:
-        with open(
-            os.path.join(_log_path(table_path), f"{version:020d}.json"), "x"
-        ) as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
+        _write_commit(_log_path(table_path), version, actions)
     except FileExistsError:
         raise RuntimeError(
             f"delta_merge: lost the commit race at version {version} — "
@@ -2000,24 +2016,23 @@ def delta_history(spark: SparkSession, table_path: str) -> DataFrame:
         n_adds = n_removes = bytes_added = 0
         data_change = False
         has_dv = has_txn = False
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "add" in a:
-                    n_adds += 1
-                    bytes_added += int(a["add"].get("size") or 0)
-                    if a["add"].get("dataChange", True):
-                        data_change = True
-                    if a["add"].get("deletionVector"):
-                        has_dv = True
-                elif "remove" in a:
-                    n_removes += 1
-                    if a["remove"].get("dataChange", True):
-                        data_change = True
-                elif "txn" in a:
-                    has_txn = True
+        for line in _read_commit_lines(log, v):
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                n_adds += 1
+                bytes_added += int(a["add"].get("size") or 0)
+                if a["add"].get("dataChange", True):
+                    data_change = True
+                if a["add"].get("deletionVector"):
+                    has_dv = True
+            elif "remove" in a:
+                n_removes += 1
+                if a["remove"].get("dataChange", True):
+                    data_change = True
+            elif "txn" in a:
+                has_txn = True
         rows.append(
             {
                 "version": v,

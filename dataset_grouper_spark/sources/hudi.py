@@ -47,6 +47,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.compat import fs as _fs
+
 HOODIE_DIR = ".hoodie"
 META_COLS = [
     "_hoodie_commit_time",
@@ -70,10 +72,10 @@ def hudi_timeline(table_path: str) -> list[tuple[str, str, str]]:
     state in requested/inflight/completed — the DESCRIBE-TIMELINE
     introspection."""
     hp = _hoodie_path(table_path)
-    if not os.path.isdir(hp):
+    if not _fs.is_dir(hp):
         raise FileNotFoundError(f"not a Hudi table (no .hoodie): {table_path}")
     out = []
-    for name in sorted(os.listdir(hp)):
+    for name in sorted(_fs.listdir(hp)):
         if name == "hoodie.properties" or name.startswith("."):
             continue
         parts = name.split(".")
@@ -97,8 +99,7 @@ def _completed(table_path: str, as_of: str | None = None) -> dict[str, dict]:
             continue
         if as_of is not None and ts > str(as_of):
             continue
-        with open(os.path.join(hp, f"{ts}.{action}")) as f:
-            meta = json.load(f)
+        meta = json.loads(_fs.read_text(os.path.join(hp, f"{ts}.{action}")))
         meta["__action"] = action
         out[ts] = meta
     return out
@@ -106,19 +107,21 @@ def _completed(table_path: str, as_of: str | None = None) -> dict[str, dict]:
 
 def _table_props(table_path: str) -> dict[str, str]:
     props = {}
-    with open(os.path.join(_hoodie_path(table_path), "hoodie.properties")) as f:
-        for line in f:
-            line = line.strip()
-            if line and not line.startswith("#") and "=" in line:
-                k, _, v = line.partition("=")
-                props[k] = v
+    text = _fs.read_text(
+        os.path.join(_hoodie_path(table_path), "hoodie.properties")
+    )
+    for line in text.splitlines():
+        line = line.strip()
+        if line and not line.startswith("#") and "=" in line:
+            k, _, v = line.partition("=")
+            props[k] = v
     return props
 
 
 def _next_instant(table_path: str) -> str:
     hp = _hoodie_path(table_path)
     best = _FIRST_INSTANT - 1
-    if os.path.isdir(hp):
+    if _fs.is_dir(hp):
         for ts, _a, _s in hudi_timeline(table_path):
             best = max(best, int(ts))
     return str(best + 1)
@@ -129,18 +132,21 @@ def _base_files(table_path: str) -> list[tuple[str, str, str, str]]:
     parquet under the table (any state — filtered by the caller
     against the completed timeline)."""
     out = []
-    for p in glob.glob(
-        os.path.join(glob.escape(table_path), "**", "*.parquet"),
-        recursive=True,
-    ):
-        rel = os.path.relpath(p, table_path)
-        if rel.split(os.sep)[0] == HOODIE_DIR:
+    for rel in _fs.walk_files(table_path):
+        if rel.split("/")[0] == HOODIE_DIR or not rel.endswith(".parquet"):
             continue
-        m = _BASE_RE.match(os.path.basename(p))
+        m = _BASE_RE.match(rel.rsplit("/", 1)[-1])
         if not m:
             continue
-        part = os.path.dirname(rel).replace(os.sep, "/")
-        out.append((part, m.group("fid"), m.group("instant"), p))
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        out.append(
+            (
+                part,
+                m.group("fid"),
+                m.group("instant"),
+                os.path.join(table_path, rel),
+            )
+        )
     return out
 
 
@@ -208,9 +214,9 @@ def read_hudi(
 
 def _write_properties(table_path: str, record_key: str, partition_by):
     hp = _hoodie_path(table_path)
-    os.makedirs(hp, exist_ok=True)
+    _fs.makedirs(hp)
     dst = os.path.join(hp, "hoodie.properties")
-    if os.path.exists(dst):
+    if _fs.exists(dst):
         return
     lines = [
         "hoodie.table.name=" + os.path.basename(table_path.rstrip("/")),
@@ -223,8 +229,7 @@ def _write_properties(table_path: str, record_key: str, partition_by):
         lines.append(
             "hoodie.table.partition.fields=" + ",".join(partition_by)
         )
-    with open(dst, "w") as f:
-        f.write("\n".join(lines) + "\n")
+    _fs.write_text(dst, "\n".join(lines) + "\n")
 
 
 def _with_meta(
@@ -294,23 +299,26 @@ def _stage_and_place(
             fid = uuid.uuid4().hex[:20]
         name = f"{fid}_0-0-0_{instant}.parquet"
         dst_dir = os.path.join(table_path, rel_dir) if rel_dir else table_path
-        os.makedirs(dst_dir, exist_ok=True)
+        _fs.makedirs(dst_dir)
         # partition metadata marker, Hudi layout fidelity
         pmeta = os.path.join(dst_dir, ".hoodie_partition_metadata")
-        if rel_dir and not os.path.exists(pmeta):
-            with open(pmeta, "w") as f:
-                f.write(
-                    f"#partition metadata\ncommitTime={instant}\n"
-                    f"partitionDepth={len(part_cols)}\n"
-                )
+        if rel_dir and not _fs.exists(pmeta):
+            _fs.write_text(
+                pmeta,
+                f"#partition metadata\ncommitTime={instant}\n"
+                f"partitionDepth={len(part_cols)}\n",
+            )
         dst = os.path.join(dst_dir, name)
-        shutil.move(src, dst)
+        # stat the LOCAL staged file before the (possibly remote) move
+        nrows = pq.ParquetFile(src).metadata.num_rows
+        nbytes = os.path.getsize(src)
+        _fs.move(src, dst)
         stats.setdefault(rel_dir, []).append(
             {
                 "fileId": fid,
                 "path": os.path.join(rel_dir, name) if rel_dir else name,
-                "numWrites": pq.ParquetFile(dst).metadata.num_rows,
-                "fileSizeInBytes": os.path.getsize(dst),
+                "numWrites": nrows,
+                "fileSizeInBytes": nbytes,
             }
         )
     shutil.rmtree(stage, ignore_errors=True)
@@ -323,15 +331,31 @@ def _commit(
     hp = _hoodie_path(table_path)
     # requested -> inflight -> completed, the timeline's three states
     for suffix in ("commit.requested", "commit.inflight"):
-        with open(os.path.join(hp, f"{instant}.{suffix}"), "w") as f:
-            f.write("{}")
+        _fs.write_text(os.path.join(hp, f"{instant}.{suffix}"), "{}")
     body = {
         "partitionToWriteStats": stats,
         "operationType": operation,
     }
-    # completed marker is the atomic claim: exclusive create
-    with open(os.path.join(hp, f"{instant}.commit"), "x") as f:
-        json.dump(body, f)
+    # completed marker is the atomic claim: exclusive create. Losing
+    # the race means ANOTHER writer completed this instant — our
+    # already-placed base files carry the same instant time and would
+    # be attributed to the winner's commit on every later read, so
+    # delete them before surfacing the conflict (mirrors the
+    # hudi_lite streaming writer's abort cleanup).
+    try:
+        with _fs.open_create(os.path.join(hp, f"{instant}.commit")) as f:
+            f.write(json.dumps(body).encode())
+    except FileExistsError:
+        for wstats in stats.values():
+            for w in wstats:
+                try:
+                    _fs.remove(os.path.join(table_path, w["path"]))
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(
+            f"hudi: lost the commit race at instant {instant} — placed "
+            "files were removed; re-run against the new table state"
+        )
     return instant
 
 
@@ -349,7 +373,7 @@ def hudi_insert(
     part_cols = list(partition_by or [])
     if record_key not in df.columns:
         raise ValueError(f"hudi_insert: record key {record_key!r} not in frame")
-    if os.path.isdir(_hoodie_path(table_path)):
+    if _fs.is_dir(_hoodie_path(table_path)):
         props = _table_props(table_path)
         want = props.get("hoodie.table.recordkey.fields")
         if want and want != record_key:
@@ -366,7 +390,7 @@ def hudi_insert(
                 f"hudi_insert: partition fields mismatch — table has "
                 f"{have_parts}, call passed {part_cols}"
             )
-    os.makedirs(table_path, exist_ok=True)
+    _fs.makedirs(table_path)
     _write_properties(table_path, record_key, part_cols)
     instant = _next_instant(table_path)
     stats = _stage_and_place(
@@ -433,6 +457,16 @@ def hudi_upsert(
         by_group.setdefault((part, fid), []).append(p)
     instant = _next_instant(table_path)
     stats: dict[str, list[dict]] = {}
+    if not by_group:
+        # no completed file slices (fresh table, or the first insert
+        # lost its commit): nothing can match, the whole batch inserts
+        stats = _stage_and_place(
+            _with_meta(df, record_key, part_cols, instant),
+            table_path,
+            part_cols,
+            instant,
+        )
+        return _commit(table_path, instant, "UPSERT", stats)
     # touched groups: one planning-scale pass — which slices hold a
     # matched (key, partition) identity (the same O(touched files)
     # collect budget as delta_merge's probe)

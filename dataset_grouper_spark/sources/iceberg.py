@@ -58,6 +58,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.compat import fs as _fs
 from dataset_grouper_spark.sources.avro import read_avro_file, write_avro_file
 
 # broadcast the delete set only when manifest stats prove it small
@@ -101,15 +102,21 @@ def _localize(path: str) -> str:
     return path
 
 
+def _is_abs(path: str) -> bool:
+    """Stored manifest paths are absolute when POSIX-absolute OR a
+    full URI (s3://, gs://, ...) — never join those onto the table."""
+    return os.path.isabs(path) or _fs.is_uri(path)
+
+
 def _metadata_files(table_path: str) -> list[str]:
     mdir = os.path.join(table_path, "metadata")
-    if not os.path.isdir(mdir):
+    if not _fs.is_dir(mdir):
         raise FileNotFoundError(
             f"not an Iceberg table (no metadata/): {table_path}"
         )
     out = [
         os.path.join(mdir, n)
-        for n in os.listdir(mdir)
+        for n in _fs.listdir(mdir)
         if n.endswith(".metadata.json")
     ]
     if not out:
@@ -122,12 +129,12 @@ def _load_metadata(table_path: str) -> dict:
     (the HadoopCatalog convention), else the lexically-last file."""
     mdir = os.path.join(table_path, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
-    if os.path.isfile(hint):
-        v = open(hint).read().strip()
+    if _fs.exists(hint):
+        v = _fs.read_text(hint).strip()
         cand = os.path.join(mdir, f"v{v}.metadata.json")
-        if os.path.isfile(cand):
-            return json.load(open(cand))
-    return json.load(open(_metadata_files(table_path)[-1]))
+        if _fs.exists(cand):
+            return json.loads(_fs.read_text(cand))
+    return json.loads(_fs.read_text(_metadata_files(table_path)[-1]))
 
 
 def iceberg_snapshots(table_path: str) -> list[dict]:
@@ -325,7 +332,7 @@ def _live_files(
     every position-delete entry declares one (the plan-time broadcast
     decision input), else None (unknown)."""
     ml_path = _localize(snapshot["manifest-list"])
-    if not os.path.isabs(ml_path):
+    if not _is_abs(ml_path):
         ml_path = os.path.join(table_path, ml_path)
     _schema, manifests = read_avro_file(ml_path)
     files: list[tuple[str, int]] = []
@@ -336,7 +343,7 @@ def _live_files(
         is_delete_manifest = m.get("content", 0) == 1
         mseq = m.get("sequence_number") or 0
         mp = _localize(m["manifest_path"])
-        if not os.path.isabs(mp):
+        if not _is_abs(mp):
             mp = os.path.join(table_path, mp)
         _s, entries = read_avro_file(mp)
         for e in entries:
@@ -358,7 +365,7 @@ def _live_files(
                     f"iceberg: file format {fmt} not supported"
                 )
             p = _localize(df["file_path"])
-            if not os.path.isabs(p):
+            if not _is_abs(p):
                 p = os.path.join(table_path, p)
             eseq = e.get("sequence_number")
             seq = mseq if eseq is None else eseq  # spec: ADDED inherits
@@ -474,9 +481,10 @@ def _apply_equality_deletes(
         # metadata read per delete file — planning-scale)
         import pyarrow.parquet as pq
 
-        total = sum(
-            pq.ParquetFile(p).metadata.num_rows for p, _ in members
-        )
+        total = 0
+        for p, _ in members:
+            with _fs.open_random(p) as fh:
+                total += pq.ParquetFile(fh).metadata.num_rows
         if total <= _DELETE_BROADCAST_ROWS:
             dels = F.broadcast(dels)
         cond = F.col("__seq") < F.col("__dseq")
@@ -947,8 +955,8 @@ def iceberg_append(
     import uuid
 
     mdir = os.path.join(table_path, "metadata")
-    exists = os.path.isdir(mdir) and any(
-        n.endswith(".metadata.json") for n in os.listdir(mdir)
+    exists = _fs.is_dir(mdir) and any(
+        n.endswith(".metadata.json") for n in _fs.listdir(mdir)
     )
     if exists:
         meta = _load_metadata(table_path)
@@ -1051,7 +1059,7 @@ def iceberg_append(
                 f"{table_spec}, call passed {list(partition_spec)}"
             )
     else:
-        os.makedirs(mdir, exist_ok=True)
+        _fs.makedirs(mdir)
         schema_fields = [
             {
                 "id": i + 1,
@@ -1093,7 +1101,7 @@ def iceberg_append(
             "default-spec-id": 0,
             "snapshots": [],
         }
-    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    _fs.makedirs(os.path.join(table_path, "data"))
     stage = tempfile.mkdtemp(prefix="_ice_stage_")
     snap_id = (
         max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
@@ -1178,8 +1186,12 @@ def iceberg_append(
             dst = os.path.join(
                 table_path, "data", f"s{snap_id}-{uuid.uuid4().hex}.parquet"
             )
-            shutil.move(src, dst)
-            lo_b, hi_b = _footer_bounds(dst, cur_schema["fields"])
+            # stat the LOCAL staged file before the (possibly remote)
+            # move — footer reads must not re-fetch from object store
+            lo_b, hi_b = _footer_bounds(src, cur_schema["fields"])
+            nrows = _pq.ParquetFile(src).metadata.num_rows
+            nbytes = os.path.getsize(src)
+            _fs.move(src, dst)
             entries.append(
                 {
                     "status": 1,
@@ -1189,10 +1201,8 @@ def iceberg_append(
                         "content": 0,
                         "file_path": dst,
                         "file_format": "PARQUET",
-                        "record_count": _pq.ParquetFile(
-                            dst
-                        ).metadata.num_rows,
-                        "file_size_in_bytes": os.path.getsize(dst),
+                        "record_count": nrows,
+                        "file_size_in_bytes": nbytes,
                         "equality_ids": None,
                         "lower_bounds": lo_b,
                         "upper_bounds": hi_b,
@@ -1213,8 +1223,10 @@ def iceberg_append(
             dst = os.path.join(
                 table_path, "data", f"s{snap_id}-{uuid.uuid4().hex}.parquet"
             )
-            shutil.move(src, dst)
-            lo_b, hi_b = _footer_bounds(dst, sch["fields"])
+            lo_b, hi_b = _footer_bounds(src, sch["fields"])
+            nrows = _pq2.ParquetFile(src).metadata.num_rows
+            nbytes = os.path.getsize(src)
+            _fs.move(src, dst)
             entries.append(
                 {
                     "status": 1,
@@ -1224,10 +1236,8 @@ def iceberg_append(
                         "content": 0,
                         "file_path": dst,
                         "file_format": "PARQUET",
-                        "record_count": _pq2.ParquetFile(
-                            dst
-                        ).metadata.num_rows,
-                        "file_size_in_bytes": os.path.getsize(dst),
+                        "record_count": nrows,
+                        "file_size_in_bytes": nbytes,
                         "equality_ids": None,
                         "lower_bounds": lo_b,
                         "upper_bounds": hi_b,
@@ -1276,7 +1286,7 @@ def _commit_snapshot(
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
         ml = _localize(cur["manifest-list"])
-        if not os.path.isabs(ml):
+        if not _is_abs(ml):
             ml = os.path.join(table_path, ml)
         _s, prev = read_avro_file(ml)
         # .get with defaults: manifest lists written before sequence
@@ -1302,7 +1312,7 @@ def _commit_snapshot(
         + [
             {
                 "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
+                "manifest_length": _fs.file_size(manifest_path),
                 "partition_spec_id": 0,
                 "content": content,
                 "sequence_number": sequence,
@@ -1325,23 +1335,22 @@ def _commit_snapshot(
     # claim the next metadata version exclusively (optimistic commit)
     versions = [
         int(n[1:].split(".")[0])
-        for n in os.listdir(mdir)
+        for n in _fs.listdir(mdir)
         if n.endswith(".metadata.json")
         and n.startswith("v")
         and n[1:].split(".")[0].isdigit()
     ]
     v = max(versions, default=0) + 1
     try:
-        with open(os.path.join(mdir, f"v{v}.metadata.json"), "x") as f:
-            json.dump(meta, f)
+        with _fs.open_create(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+            f.write(json.dumps(meta).encode())
     except FileExistsError:
         raise RuntimeError(
             "iceberg: lost the metadata-version race — re-run the "
             "commit (snapshot state must be re-derived from the "
             "winner's metadata)"
         )
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write(str(v))
+    _fs.write_text(os.path.join(mdir, "version-hint.text"), str(v))
     return snap_id
 
 
@@ -1447,7 +1456,8 @@ def iceberg_delete_where(
             "data",
             f"delete-{snap_id}-{uuid.uuid4().hex}.parquet",
         )
-        shutil.move(src, dst)
+        nbytes = os.path.getsize(src)
+        _fs.move(src, dst)
         entries.append(
             {
                 "status": 1,
@@ -1458,7 +1468,7 @@ def iceberg_delete_where(
                     "file_path": dst,
                     "file_format": "PARQUET",
                     "record_count": nrows,
-                    "file_size_in_bytes": os.path.getsize(dst),
+                    "file_size_in_bytes": nbytes,
                     "equality_ids": None,
                     "lower_bounds": None,
                     "upper_bounds": None,
@@ -1533,7 +1543,8 @@ def iceberg_delete_values(
             "data",
             f"eqdelete-{snap_id}-{uuid.uuid4().hex}.parquet",
         )
-        shutil.move(src, dst)
+        nbytes = os.path.getsize(src)
+        _fs.move(src, dst)
         entries.append(
             {
                 "status": 1,
@@ -1544,7 +1555,7 @@ def iceberg_delete_values(
                     "file_path": dst,
                     "file_format": "PARQUET",
                     "record_count": nrows,
-                    "file_size_in_bytes": os.path.getsize(dst),
+                    "file_size_in_bytes": nbytes,
                     "equality_ids": equality_ids,
                     "lower_bounds": None,
                     "upper_bounds": None,
@@ -1594,22 +1605,21 @@ def iceberg_expire_snapshots(
     mdir = os.path.join(table_path, "metadata")
     versions = [
         int(n[1:].split(".")[0])
-        for n in os.listdir(mdir)
+        for n in _fs.listdir(mdir)
         if n.endswith(".metadata.json")
         and n.startswith("v")
         and n[1:].split(".")[0].isdigit()
     ]
     v = max(versions, default=0) + 1
     try:
-        with open(os.path.join(mdir, f"v{v}.metadata.json"), "x") as f:
-            json.dump(meta, f)
+        with _fs.open_create(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+            f.write(json.dumps(meta).encode())
     except FileExistsError:
         raise RuntimeError(
             "iceberg_expire_snapshots: lost the metadata-version race — "
             "re-run against the winner's metadata"
         )
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write(str(v))
+    _fs.write_text(os.path.join(mdir, "version-hint.text"), str(v))
     return expired
 
 
@@ -1629,13 +1639,15 @@ def iceberg_remove_orphans(
     Avro files, driver-side) and lists the two table directories."""
     meta = _load_metadata(table_path)
     referenced: set[str] = set()
-    table_abs = os.path.abspath(table_path)
+    table_abs = _localize(table_path)
+    if not _fs.is_uri(table_abs):
+        table_abs = os.path.abspath(table_abs)
 
     def _norm(p: str) -> str:
         p = _localize(p)
-        if not os.path.isabs(p):
+        if not _is_abs(p):
             p = os.path.join(table_abs, p)
-        return os.path.abspath(p)
+        return p if _fs.is_uri(p) else os.path.abspath(p)
 
     for snap in meta.get("snapshots") or []:
         ml = _norm(snap["manifest-list"])
@@ -1651,13 +1663,13 @@ def iceberg_remove_orphans(
                 referenced.add(_norm(e["data_file"]["file_path"]))
     doomed: list[str] = []
     data_dir = os.path.join(table_abs, "data")
-    if os.path.isdir(data_dir):
-        for name in os.listdir(data_dir):
+    if _fs.is_dir(data_dir):
+        for name in _fs.listdir(data_dir):
             p = os.path.join(data_dir, name)
             if name.endswith(".parquet") and p not in referenced:
                 doomed.append(os.path.relpath(p, table_abs))
     mdir = os.path.join(table_abs, "metadata")
-    for name in os.listdir(mdir):
+    for name in _fs.listdir(mdir):
         if name.endswith(".avro"):
             p = os.path.join(mdir, name)
             if p not in referenced:
@@ -1665,7 +1677,7 @@ def iceberg_remove_orphans(
     doomed.sort()
     if not dry_run:
         for rel in doomed:
-            os.remove(os.path.join(table_abs, rel))
+            _fs.remove(os.path.join(table_abs, rel))
     return doomed
 
 
@@ -1698,22 +1710,21 @@ def _commit_metadata(table_path: str, meta: dict, context: str) -> int:
     mdir = os.path.join(table_path, "metadata")
     versions = [
         int(n[1:].split(".")[0])
-        for n in os.listdir(mdir)
+        for n in _fs.listdir(mdir)
         if n.endswith(".metadata.json")
         and n.startswith("v")
         and n[1:].split(".")[0].isdigit()
     ]
     v = max(versions, default=0) + 1
     try:
-        with open(os.path.join(mdir, f"v{v}.metadata.json"), "x") as f:
-            json.dump(meta, f)
+        with _fs.open_create(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+            f.write(json.dumps(meta).encode())
     except FileExistsError:
         raise RuntimeError(
             f"{context}: lost the metadata-version race — re-run "
             "against the winner's metadata"
         )
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write(str(v))
+    _fs.write_text(os.path.join(mdir, "version-hint.text"), str(v))
     return v
 
 
@@ -1842,7 +1853,7 @@ def iceberg_rewrite_data_files(
     # full entry walk (paths + partition structs + stats) — the
     # planning-scale read _live_files does, but keeping the records
     ml = _localize(snap["manifest-list"])
-    if not os.path.isabs(ml):
+    if not _is_abs(ml):
         ml = os.path.join(table_path, ml)
     _s, manifests = read_avro_file(ml)
     live: list[dict] = []  # data entries only, resolved seq attached
@@ -1851,7 +1862,7 @@ def iceberg_rewrite_data_files(
             continue  # delete manifests carry over untouched
         mseq = m.get("sequence_number") or 0
         mp = _localize(m["manifest_path"])
-        if not os.path.isabs(mp):
+        if not _is_abs(mp):
             mp = os.path.join(table_path, mp)
         _s2, entries = read_avro_file(mp)
         for e in entries:
@@ -1862,7 +1873,7 @@ def iceberg_rewrite_data_files(
                 continue  # deletes listed in a data manifest: keep as-is
             eseq = e.get("sequence_number")
             p = _localize(df_rec["file_path"])
-            if not os.path.isabs(p):
+            if not _is_abs(p):
                 p = os.path.join(table_path, p)
             live.append(
                 {
@@ -2040,14 +2051,15 @@ def iceberg_rewrite_data_files(
                 "data",
                 f"rw-{snap_id}-{uuid.uuid4().hex}.parquet",
             )
-            shutil.move(src, dst)
-            lo_b, hi_b = _footer_bounds(dst, schema["fields"])
+            lo_b, hi_b = _footer_bounds(src, schema["fields"])
+            nbytes = os.path.getsize(src)
+            _fs.move(src, dst)
             rec = {
                 "content": 0,
                 "file_path": dst,
                 "file_format": "PARQUET",
                 "record_count": nrows,
-                "file_size_in_bytes": os.path.getsize(dst),
+                "file_size_in_bytes": nbytes,
                 "equality_ids": None,
                 "lower_bounds": lo_b,
                 "upper_bounds": hi_b,
@@ -2159,7 +2171,7 @@ def _added_data_files(
     removes rows and is not expressible as an append row-set."""
     sid = snap["snapshot-id"]
     ml = _localize(snap["manifest-list"])
-    if not os.path.isabs(ml):
+    if not _is_abs(ml):
         ml = os.path.join(table_path, ml)
     _s, manifests = read_avro_file(ml)
     out: list[str] = []
@@ -2173,7 +2185,7 @@ def _added_data_files(
                 "append-only"
             )
         mp = _localize(m["manifest_path"])
-        if not os.path.isabs(mp):
+        if not _is_abs(mp):
             mp = os.path.join(table_path, mp)
         _s2, entries = read_avro_file(mp)
         for e in entries:
@@ -2187,7 +2199,7 @@ def _added_data_files(
                     "append-only"
                 )
             p = _localize(df_rec["file_path"])
-            if not os.path.isabs(p):
+            if not _is_abs(p):
                 p = os.path.join(table_path, p)
             out.append(p)
     return out
@@ -2302,14 +2314,14 @@ def iceberg_files(
         )
     snap = snaps[snapshot_id]
     ml = _localize(snap["manifest-list"])
-    if not os.path.isabs(ml):
+    if not _is_abs(ml):
         ml = os.path.join(table_path, ml)
     _s, manifests = read_avro_file(ml)
     rows = []
     for m in manifests:
         mseq = m.get("sequence_number") or 0
         mp = _localize(m["manifest_path"])
-        if not os.path.isabs(mp):
+        if not _is_abs(mp):
             mp = os.path.join(table_path, mp)
         _s2, entries = read_avro_file(mp)
         for e in entries:
@@ -2378,13 +2390,12 @@ def iceberg_last_epoch(table_path: str, app_id: str) -> int | None:
             e = int(summ["epoch"])
             best = e if best is None else max(best, e)
     ledger = _epoch_ledger_path(table_path, app_id)
-    if os.path.isfile(ledger):
-        with open(ledger) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    e = int(line)
-                    best = e if best is None else max(best, e)
+    if _fs.exists(ledger):
+        for line in _fs.read_text(ledger).splitlines():
+            line = line.strip()
+            if line:
+                e = int(line)
+                best = e if best is None else max(best, e)
     return best
 
 
@@ -2404,9 +2415,9 @@ def iceberg_append_epoch(
     commit and stream checkpoint cannot duplicate an epoch. The
     per-app ledger keeps the mark past snapshot expiry. Assumes one
     live writer per app_id (the stream checkpoint's own guarantee)."""
-    exists = os.path.isdir(os.path.join(table_path, "metadata")) and any(
+    exists = _fs.is_dir(os.path.join(table_path, "metadata")) and any(
         n.endswith(".metadata.json")
-        for n in os.listdir(os.path.join(table_path, "metadata"))
+        for n in _fs.listdir(os.path.join(table_path, "metadata"))
     )
     if exists:
         last = iceberg_last_epoch(table_path, app_id)
@@ -2419,6 +2430,9 @@ def iceberg_append_epoch(
         partition_spec=partition_spec,
         summary={"app-id": app_id, "epoch": int(epoch)},
     )
-    with open(_epoch_ledger_path(table_path, app_id), "a") as f:
-        f.write(f"{int(epoch)}\n")
+    ledger = _epoch_ledger_path(table_path, app_id)
+    # read-modify-write: object stores can't append, and one live
+    # writer per app_id is already this API's contract
+    prior = _fs.read_text(ledger) if _fs.exists(ledger) else ""
+    _fs.write_text(ledger, prior + f"{int(epoch)}\n")
     return snap

@@ -212,9 +212,12 @@ def dv_data_decode(data: bytes) -> list[int]:
 
 def dv_file_write(path: str, positions) -> tuple[int, int, int]:
     """Write a single-DV ``.bin`` file per the protocol framing;
-    returns (offset, sizeInBytes, cardinality) for the descriptor."""
+    returns (offset, sizeInBytes, cardinality) for the descriptor.
+    Runs on EXECUTORS — compat.fs routes object-store URIs."""
+    from dataset_grouper_spark.compat import fs as _fs
+
     data = dv_data_encode(positions)
-    with open(path, "wb") as f:
+    with _fs.open_write(path) as f:
         f.write(b"\x01")  # format version
         f.write(struct.pack(">i", len(data)))  # BIG-endian size
         f.write(data)
@@ -223,9 +226,12 @@ def dv_file_write(path: str, positions) -> tuple[int, int, int]:
 
 
 def dv_file_read(path: str, offset: int, size_in_bytes: int) -> list[int]:
-    """Read one DV from a ``.bin`` file, verifying framing + CRC."""
-    with open(path, "rb") as f:
-        raw = f.read()
+    """Read one DV from a ``.bin`` file, verifying framing + CRC.
+    Runs on EXECUTORS — routed through compat.fs so DV sidecars on
+    object stores resolve without a shared POSIX mount."""
+    from dataset_grouper_spark.compat import fs as _fs
+
+    raw = _fs.read_bytes(path)
     if not raw or raw[0] != 1:
         raise ValueError(f"deletion vector file {path}: bad format version")
     (size,) = struct.unpack_from(">i", raw, offset)

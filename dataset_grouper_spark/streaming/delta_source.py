@@ -48,6 +48,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from dataset_grouper_spark.compat import fs as _fs
+
 # simple-type partition literals the Arrow emit path supports
 _PART_CASTS = {
     "string": str,
@@ -314,23 +316,23 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         log = os.path.join(self.path, "_delta_log")
         new_adds = []
         for v in versions:
-            with open(os.path.join(log, f"{v:020d}.json")) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    if "add" in action and action["add"].get(
-                        "dataChange", True
-                    ):
-                        new_adds.append(action["add"])
-                    elif "remove" in action and action["remove"].get(
-                        "dataChange", True
-                    ):
-                        raise ValueError(
-                            f"delta_lite stream: commit {v} removes data "
-                            "(update/delete) — the streaming source is "
-                            "append-only"
-                        )
+            text = _fs.read_text(os.path.join(log, f"{v:020d}.json"))
+            for line in text.splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    new_adds.append(action["add"])
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    raise ValueError(
+                        f"delta_lite stream: commit {v} removes data "
+                        "(update/delete) — the streaming source is "
+                        "append-only"
+                    )
         parts = _file_partitions(
             self.path, new_adds, schema, part_cols, phys
         )
@@ -393,22 +395,36 @@ def _write_task_files(path, iterator, part_cols, drop_part_cols=True):
 
     import pyarrow.parquet as pq
 
-    os.makedirs(path, exist_ok=True)
+    _fs.makedirs(path)
     if not part_cols:
         rel = f"part-{uuid.uuid4().hex}.parquet"
         dst = os.path.join(path, rel)
         writer = None
         for batch in iterator:
             if writer is None:
-                writer = pq.ParquetWriter(dst, batch.schema)
+                writer = pq.ParquetWriter(_fs.open_write(dst), batch.schema)
             writer.write_batch(batch)
         if writer is None:
             return _DeltaWriteMessage()
         writer.close()
         return _DeltaWriteMessage([(rel, {})])
+    import pyarrow as pa
+
     writers: dict[tuple, tuple] = {}  # tuple -> (pq writer, rel, pv)
     for batch in iterator:
-        key_df = batch.select(part_cols).to_pandas()
+        key_batch = batch.select(part_cols)
+        key_arrays = []
+        for f in key_batch.schema:
+            col = key_batch.column(f.name)
+            if pa.types.is_integer(f.type):
+                # to_pandas would coerce a NULL-carrying int column to
+                # float64 and the literal would read back as '2.0' —
+                # stringify on the Arrow side where int-ness is exact
+                col = col.cast(pa.string())
+            key_arrays.append(col)
+        key_df = pa.RecordBatch.from_arrays(
+            key_arrays, names=list(part_cols)
+        ).to_pandas()
         groups = key_df.groupby(part_cols, dropna=False, sort=False)
         data = (
             batch.drop_columns(part_cols) if drop_part_cols else batch
@@ -430,7 +446,7 @@ def _write_task_files(path, iterator, part_cols, drop_part_cols=True):
                 rel = f"part-{uuid.uuid4().hex}.parquet"
                 sliced = data.take(idx)
                 w = pq.ParquetWriter(
-                    os.path.join(path, rel), sliced.schema
+                    _fs.open_write(os.path.join(path, rel)), sliced.schema
                 )
                 writers[k] = (w, rel, pv)
                 w.write_batch(sliced)
@@ -500,8 +516,8 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                 continue
             for rel, _pv in m.files:
                 try:
-                    os.remove(os.path.join(self.path, rel))
-                except OSError:
+                    _fs.remove(os.path.join(self.path, rel))
+                except (OSError, FileNotFoundError):
                     pass
 
     def abort(self, messages):
@@ -552,7 +568,7 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                 }
             )
             version = 0
-            os.makedirs(log, exist_ok=True)
+            _fs.makedirs(log)
         else:
             adds, meta = _replay(None, self.path, latest)
             have = StructType.fromJson(
@@ -609,7 +625,7 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                     "add": {
                         "path": rel,
                         "partitionValues": pv,
-                        "size": os.path.getsize(dst),
+                        "size": _fs.file_size(dst),
                         "modificationTime": 0,
                         "dataChange": True,
                         "stats": _file_stats(dst, stats_fields),
@@ -617,11 +633,11 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                 }
             )
         try:
-            with open(
-                os.path.join(log, f"{version:020d}.json"), "x"
+            data = "".join(json.dumps(a) + "\n" for a in actions)
+            with _fs.open_create(
+                os.path.join(log, f"{version:020d}.json")
             ) as f:
-                for a in actions:
-                    f.write(json.dumps(a) + "\n")
+                f.write(data.encode())
         except FileExistsError:
             # a concurrent writer claimed the version; our files are
             # uncommitted and must not linger
@@ -717,7 +733,7 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
                 }
             )
             version = 0
-            os.makedirs(log, exist_ok=True)
+            _fs.makedirs(log)
         else:
             version = latest + 1
         actions.append(
@@ -739,7 +755,7 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
                     "add": {
                         "path": rel,
                         "partitionValues": pv,
-                        "size": os.path.getsize(dst),
+                        "size": _fs.file_size(dst),
                         "modificationTime": 0,
                         "dataChange": True,
                         "stats": _file_stats(dst, stats_fields),
@@ -747,11 +763,11 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
                 }
             )
         try:
-            with open(
-                os.path.join(log, f"{version:020d}.json"), "x"
+            data = "".join(json.dumps(a) + "\n" for a in actions)
+            with _fs.open_create(
+                os.path.join(log, f"{version:020d}.json")
             ) as f:
-                for a in actions:
-                    f.write(json.dumps(a) + "\n")
+                f.write(data.encode())
         except FileExistsError:
             self._cleanup(messages)
             raise RuntimeError(
@@ -789,15 +805,15 @@ def _stream_last_txn(path: str, app_id: str):
     for v in delta_versions(path):
         if ckpt is not None and v <= ckpt[0]:
             continue
-        with open(os.path.join(log, f"{v:020d}.json")) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                t = a.get("txn")
-                if t and t.get("appId") == app_id:
-                    tv = int(t.get("version") or 0)
-                    best = tv if best is None else max(best, tv)
+        text = _fs.read_text(os.path.join(log, f"{v:020d}.json"))
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            t = a.get("txn")
+            if t and t.get("appId") == app_id:
+                tv = int(t.get("version") or 0)
+                best = tv if best is None else max(best, tv)
     return best
 
 

@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 
+from dataset_grouper_spark.compat import fs as _fs
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
@@ -172,7 +173,23 @@ class _HudiLiteStreamReader(DataSourceStreamReader):
                 continue
             meta = commits[ts]
             if meta.get("__action") == "replacecommit":
-                continue  # clustering: no logical change
+                # only pure clustering (file reorganization, no logical
+                # change) may be skipped. An INSERT_OVERWRITE replace-
+                # commit — the only replacecommit this repo's writers
+                # produce (mode('overwrite')) — both drops file groups
+                # AND inserts rows; silently skipping it would lose its
+                # data from the stream, so it raises like UPSERT does.
+                if meta.get("operationType") == "INSERT_OVERWRITE_TABLE" or (
+                    meta.get("partitionToWriteStats")
+                ):
+                    raise ValueError(
+                        f"hudi_lite stream: instant {ts} is a "
+                        f"{meta.get('operationType') or 'replace'} "
+                        "replacecommit — overwrites rewrite history; "
+                        "the streaming source is append-only (restart "
+                        "the stream from the overwrite instant)"
+                    )
+                continue  # genuine clustering: no logical change
             if meta.get("operationType") not in (None, "INSERT"):
                 raise ValueError(
                     f"hudi_lite stream: instant {ts} is "
@@ -226,8 +243,15 @@ def _hudi_stage_write(path, iterator, record_key, part_cols):
     writers = {}
     for batch in iterator:
         tbl = pa.Table.from_batches([batch])
+        # partition-path values via Arrow string cast — pandas would
+        # coerce NULL-carrying int columns to float64 and the dir name
+        # ('c=2.0') would diverge from the Spark-cast identity
+        # hudi_upsert computes ('c=2')
         keys = (
-            tbl.select(part_cols).to_pandas().astype(str)
+            pa.table(
+                [tbl.column(c).cast(pa.string()) for c in part_cols],
+                names=list(part_cols),
+            ).to_pandas()
             if part_cols
             else None
         )
@@ -249,18 +273,18 @@ def _hudi_stage_write(path, iterator, record_key, part_cols):
                 dst_dir = (
                     os.path.join(path, part_rel) if part_rel else path
                 )
-                os.makedirs(dst_dir, exist_ok=True)
+                _fs.makedirs(dst_dir)
                 if part_rel:
                     pmeta = os.path.join(
                         dst_dir, ".hoodie_partition_metadata"
                     )
-                    if not os.path.exists(pmeta):
-                        with open(pmeta, "w") as f:
-                            f.write(
-                                f"#partition metadata\ncommitTime="
-                                f"{instant}\npartitionDepth="
-                                f"{len(part_cols)}\n"
-                            )
+                    if not _fs.exists(pmeta):
+                        _fs.write_text(
+                            pmeta,
+                            f"#partition metadata\ncommitTime="
+                            f"{instant}\npartitionDepth="
+                            f"{len(part_cols)}\n",
+                        )
                 writers[part_rel] = [None, os.path.join(path, rel), rel, 0, name]
             sliced = tbl.take(list(idx))
             n = sliced.num_rows
@@ -285,7 +309,7 @@ def _hudi_stage_write(path, iterator, record_key, part_cols):
             )
             if writers[part_rel][0] is None:
                 writers[part_rel][0] = pq.ParquetWriter(
-                    writers[part_rel][1], full.schema
+                    _fs.open_write(writers[part_rel][1]), full.schema
                 )
             writers[part_rel][0].write_table(full)
             writers[part_rel][3] += n
@@ -294,7 +318,7 @@ def _hudi_stage_write(path, iterator, record_key, part_cols):
             continue
         w.close()
         files.append(
-            (dst, rel, part_rel, nrows, os.path.getsize(dst), token)
+            (dst, rel, part_rel, nrows, _fs.file_size(dst), token)
         )
     return _HudiWriteMessage(files)
 
@@ -311,7 +335,7 @@ def _finalize_files(path, messages, instant):
             continue
         for dst, rel, part_rel, nrows, size, token in m.files:
             new_rel = rel.replace(token, instant)
-            os.replace(dst, os.path.join(path, new_rel))
+            _fs.move(dst, os.path.join(path, new_rel))
             fid = _BASE_RE.match(os.path.basename(new_rel)).group("fid")
             stats.setdefault(part_rel, []).append(
                 {
@@ -359,8 +383,8 @@ class _HudiLiteArrowWriter(DataSourceArrowWriter):
                 continue
             for dst, _rel, _p, _n, _s, _t in m.files:
                 try:
-                    os.remove(dst)
-                except OSError:
+                    _fs.remove(dst)
+                except (OSError, FileNotFoundError):
                     pass
 
     def abort(self, messages):
@@ -375,8 +399,8 @@ class _HudiLiteArrowWriter(DataSourceArrowWriter):
             hudi_file_slices,
         )
 
-        os.makedirs(self.path, exist_ok=True)
-        existed = os.path.exists(
+        _fs.makedirs(self.path)
+        existed = _fs.exists(
             os.path.join(_hoodie_path(self.path), "hoodie.properties")
         )
         if existed:
@@ -416,10 +440,9 @@ class _HudiLiteArrowWriter(DataSourceArrowWriter):
                     "replacecommit.requested",
                     "replacecommit.inflight",
                 ):
-                    with open(
-                        os.path.join(hp, f"{instant}.{suffix}"), "w"
-                    ) as f:
-                        f.write("{}")
+                    _fs.write_text(
+                        os.path.join(hp, f"{instant}.{suffix}"), "{}"
+                    )
                 body = {
                     "partitionToWriteStats": stats,
                     "partitionToReplaceFileIds": replaced,
@@ -427,27 +450,26 @@ class _HudiLiteArrowWriter(DataSourceArrowWriter):
                 }
                 if extra_meta:
                     body["extraMetadata"] = extra_meta
-                with open(
-                    os.path.join(hp, f"{instant}.replacecommit"), "x"
+                with _fs.open_create(
+                    os.path.join(hp, f"{instant}.replacecommit")
                 ) as f:
-                    json.dump(body, f)
+                    f.write(json.dumps(body).encode())
             else:
                 hp = _hoodie_path(self.path)
                 for suffix in ("commit.requested", "commit.inflight"):
-                    with open(
-                        os.path.join(hp, f"{instant}.{suffix}"), "w"
-                    ) as f:
-                        f.write("{}")
+                    _fs.write_text(
+                        os.path.join(hp, f"{instant}.{suffix}"), "{}"
+                    )
                 body = {
                     "partitionToWriteStats": stats,
                     "operationType": "INSERT",
                 }
                 if extra_meta:
                     body["extraMetadata"] = extra_meta
-                with open(
-                    os.path.join(hp, f"{instant}.commit"), "x"
+                with _fs.open_create(
+                    os.path.join(hp, f"{instant}.commit")
                 ) as f:
-                    json.dump(body, f)
+                    f.write(json.dumps(body).encode())
         except FileExistsError:
             # a racer claimed this instant: our files were already
             # RENAMED into it, and files carrying a completed instant
@@ -456,8 +478,8 @@ class _HudiLiteArrowWriter(DataSourceArrowWriter):
             for flist in stats.values():
                 for st in flist:
                     try:
-                        os.remove(os.path.join(self.path, st["path"]))
-                    except OSError:
+                        _fs.remove(os.path.join(self.path, st["path"]))
+                    except (OSError, FileNotFoundError):
                         pass
             raise RuntimeError(
                 f"hudi_lite write: lost the commit race at instant "
@@ -547,7 +569,15 @@ class HudiLiteDataSource(DataSource):
             props = _table_props(self._path())
         except (FileNotFoundError, OSError):
             return opt_key or schema.names[0], declared
-        key = props.get("hoodie.table.recordkey.fields") or opt_key
+        table_key = props.get("hoodie.table.recordkey.fields")
+        if table_key and opt_key and opt_key != table_key:
+            # same contract as the partitionBy check below: a caller
+            # who thinks they changed the key must hear otherwise
+            raise ValueError(
+                f"hudi_lite write: recordKey option {opt_key!r} "
+                f"contradicts the table's record key {table_key!r}"
+            )
+        key = table_key or opt_key
         table_parts = (
             props.get("hoodie.table.partition.fields", "").split(",")
             if props.get("hoodie.table.partition.fields")

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 
+from dataset_grouper_spark.compat import fs as _fs
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
@@ -363,42 +364,51 @@ def _ice_write_task_files(table_path, iterator, part_cols):
     import pyarrow.parquet as pq
 
     ddir = os.path.join(table_path, "data")
-    os.makedirs(ddir, exist_ok=True)
+    _fs.makedirs(ddir)
     if not part_cols:
         dst = os.path.join(ddir, f"w-{uuid.uuid4().hex}.parquet")
         writer, nrows = None, 0
         for batch in iterator:
             if writer is None:
-                writer = pq.ParquetWriter(dst, batch.schema)
+                writer = pq.ParquetWriter(_fs.open_write(dst), batch.schema)
             writer.write_batch(batch)
             nrows += batch.num_rows
         if writer is None:
             return _IceWriteMessage()
         writer.close()
         return _IceWriteMessage(
-            [(dst, os.path.getsize(dst), nrows, None)]
+            [(dst, _fs.file_size(dst), nrows, None)]
         )
+    import pyarrow as pa
+
     writers: dict[tuple, list] = {}  # key -> [pq writer, dst, nrows, part]
     for batch in iterator:
-        key_df = batch.select(part_cols).to_pandas()
+        # group on STRINGIFIED int keys (to_pandas coerces a NULL-
+        # carrying int column to float64 — ADVICE r7), but take the
+        # typed partition VALUES straight from the Arrow arrays
+        key_batch = batch.select(part_cols)
+        grp_arrays = []
+        for f in key_batch.schema:
+            col = key_batch.column(f.name)
+            if pa.types.is_integer(f.type):
+                col = col.cast(pa.string())
+            grp_arrays.append(col)
+        key_df = pa.RecordBatch.from_arrays(
+            grp_arrays, names=list(part_cols)
+        ).to_pandas()
         groups = key_df.groupby(part_cols, dropna=False, sort=False)
         for tup, idx in groups.indices.items():
             if len(part_cols) == 1:
                 tup = (tup,)
-            part = {}
-            for c, v in zip(part_cols, tup):
-                try:
-                    v = None if v != v else v  # pandas NaN -> null
-                except (TypeError, ValueError):
-                    pass
-                if v is not None and hasattr(v, "item"):
-                    v = v.item()  # numpy scalar -> python
-                part[c] = v
+            first = int(idx[0])
+            part = {
+                c: key_batch.column(c)[first].as_py() for c in part_cols
+            }
             k = tuple(sorted(part.items()))
             sliced = batch.take(idx)
             if k not in writers:
                 dst = os.path.join(ddir, f"w-{uuid.uuid4().hex}.parquet")
-                w = pq.ParquetWriter(dst, sliced.schema)
+                w = pq.ParquetWriter(_fs.open_write(dst), sliced.schema)
                 writers[k] = [w, dst, 0, part]
             writers[k][0].write_batch(sliced)
             writers[k][2] += sliced.num_rows
@@ -407,7 +417,7 @@ def _ice_write_task_files(table_path, iterator, part_cols):
     files = []
     for w, dst, nrows, part in writers.values():
         w.close()
-        files.append((dst, os.path.getsize(dst), nrows, part))
+        files.append((dst, _fs.file_size(dst), nrows, part))
     return _IceWriteMessage(files)
 
 
@@ -481,8 +491,8 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
                 continue
             for dst, _size, _nrows, _part in m.files:
                 try:
-                    os.remove(dst)
-                except OSError:
+                    _fs.remove(dst)
+                except (OSError, FileNotFoundError):
                     pass
 
     def abort(self, messages):
@@ -494,8 +504,8 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
         from dataset_grouper_spark.sources.iceberg import _load_metadata
 
         mdir = os.path.join(self.path, "metadata")
-        exists = os.path.isdir(mdir) and any(
-            n.endswith(".metadata.json") for n in os.listdir(mdir)
+        exists = _fs.is_dir(mdir) and any(
+            n.endswith(".metadata.json") for n in _fs.listdir(mdir)
         )
         if exists:
             meta = _load_metadata(self.path)
@@ -544,7 +554,7 @@ class _IcebergLiteArrowWriter(DataSourceArrowWriter):
                     f"{self.part_cols}"
                 )
             return meta, cur, spec_fields
-        os.makedirs(mdir, exist_ok=True)
+        _fs.makedirs(mdir)
         fields = _ice_schema_fields(self.schema)
         schema_entry = {
             "type": "struct",
@@ -715,8 +725,8 @@ class _IcebergLiteStreamArrowWriter(DataSourceStreamArrowWriter):
         )
 
         mdir = os.path.join(self.path, "metadata")
-        exists = os.path.isdir(mdir) and any(
-            n.endswith(".metadata.json") for n in os.listdir(mdir)
+        exists = _fs.is_dir(mdir) and any(
+            n.endswith(".metadata.json") for n in _fs.listdir(mdir)
         )
         if exists:
             last = iceberg_last_epoch(self.path, self.app_id)
@@ -731,10 +741,11 @@ class _IcebergLiteStreamArrowWriter(DataSourceStreamArrowWriter):
         except Exception:
             self._cleanup(messages)
             raise
-        with open(
-            _epoch_ledger_path(self.path, self.app_id), "a"
-        ) as f:
-            f.write(f"{int(batchId)}\n")
+        ledger = _epoch_ledger_path(self.path, self.app_id)
+        # read-modify-write: object stores can't append; one live
+        # writer per app_id is the stream checkpoint's contract
+        prior = _fs.read_text(ledger) if _fs.exists(ledger) else ""
+        _fs.write_text(ledger, prior + f"{int(batchId)}\n")
 
     def abort(self, messages, batchId):
         self._cleanup(messages)

@@ -545,3 +545,39 @@ class TestStreamWrite:
 
         kept, total = delta_skip_plan(spark, t, [("lang", "=", "en")])
         assert len(kept) < total
+
+
+class TestNullIntPartitionValues:
+    def test_null_int_partition_batch_preserves_intness(
+        self, registered, tmp_path
+    ):
+        """ADVICE r7: a NULL in an int partition column must not coerce
+        the batch's other keys to float ('2.0') — the reader's int cast
+        would raise and non-null rows would corrupt."""
+        spark = registered
+        t = str(tmp_path / "wtbl_nullint")
+        df = spark.createDataFrame(
+            [(1, 2), (2, None), (3, 2), (4, 7)], "id long, bucket long"
+        )
+        df.coalesce(1).write.format("delta_lite").mode("append").option(
+            "path", t
+        ).option("partitionBy", "bucket").save()
+        got = read_delta(spark, t)
+        assert sorted(
+            (r["id"], r["bucket"]) for r in got.collect()
+        ) == [(1, 2), (2, None), (3, 2), (4, 7)]
+        # the log literal is an exact int string, not a float repr
+        import json as _json
+        import os as _os
+
+        log = _os.path.join(t, "_delta_log")
+        pvs = set()
+        for name in sorted(_os.listdir(log)):
+            if not name.endswith(".json"):
+                continue
+            with open(_os.path.join(log, name)) as f:
+                for line in f:
+                    a = _json.loads(line)
+                    if "add" in a:
+                        pvs.add(a["add"]["partitionValues"].get("bucket"))
+        assert pvs == {"2", "7", None}

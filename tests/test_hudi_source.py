@@ -213,3 +213,49 @@ class TestWrite:
             if os.path.basename(p).split("_")[2].startswith("0")
         ]
         assert leftovers == []
+
+
+class TestWriteGuards:
+    def test_record_key_contradiction_raises(self, registered, tmp_path):
+        """ADVICE r7: a recordKey option that contradicts the existing
+        table's key must raise, matching the partitionBy behavior."""
+        spark = registered
+        t = str(tmp_path / "wtbl_key")
+        spark.range(5).withColumn("v", F.lit("a")).write.format(
+            "hudi_lite"
+        ).mode("append").option("path", t).option("recordKey", "id").save()
+        with pytest.raises(Exception, match="record key"):
+            spark.range(5, 8).withColumn("v", F.lit("b")).write.format(
+                "hudi_lite"
+            ).mode("append").option("path", t).option(
+                "recordKey", "v"
+            ).save()
+
+    def test_stream_raises_on_insert_overwrite_replacecommit(
+        self, registered, tmp_path
+    ):
+        """ADVICE r7: a replacecommit that carries write stats (an
+        INSERT_OVERWRITE) rewrites history AND inserts rows — the
+        append-only stream must raise, not silently drop its data."""
+        spark = registered
+        t = str(tmp_path / "stbl_ovr")
+        ck = str(tmp_path / "ck_ovr")
+        out = str(tmp_path / "out_ovr")
+        spark.range(10).withColumn("v", F.lit("a")).write.format(
+            "hudi_lite"
+        ).mode("append").option("path", t).option("recordKey", "id").save()
+        spark.range(3).withColumn("v", F.lit("b")).write.format(
+            "hudi_lite"
+        ).mode("overwrite").option("path", t).save()
+        stream = (
+            spark.readStream.format("hudi_lite").option("path", t).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="replacecommit|append-only"):
+            q.awaitTermination()

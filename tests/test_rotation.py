@@ -48,3 +48,14 @@ def test_order_covers_registry_exactly():
     order = entry._QUERY_ORDER
     assert len(order) == len(set(order)), "duplicate names in _QUERY_ORDER"
     assert set(order) == reg
+
+
+def test_readme_query_count_is_current():
+    """VERDICT r7 #7: the README's stated query count must track
+    len(queries()) — a stale capability doc misleads the next round."""
+    readme = open(os.path.join(REPO, "README.md")).read()
+    n = len(entry._query_registry())
+    assert f"`queries()` ({n} operator queries" in readme, (
+        f"README query count is stale; update it to {n}"
+    )
+    assert f"{n - 1} of {n} are" in readme

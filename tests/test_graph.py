@@ -411,3 +411,13 @@ def test_bipartite_knn_hot_key_bounded_pairs(spark):
     assert n <= 600 * 5
     assert out.filter("src >= 1000").count() == 0
     assert took < 120
+
+
+def test_bipartite_knn_cap_plan_broadcasts_hot_keys(spark):
+    """VERDICT r7 task 4: the fanout cap must not re-shuffle the whole
+    projection against the size frame — the over-cap key set (tiny by
+    definition) broadcasts into an anti-join."""
+    df = spark.createDataFrame(BIPARTITE, "g: long, m: long")
+    out = graph.bipartite_knn(df, "g", "m", 2, max_right_fanout=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

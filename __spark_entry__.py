@@ -5291,6 +5291,175 @@ def q_hudi_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hudi_mor_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi MERGE_ON_READ lifecycle (sources/hudi.py — log-file
+    upserts/deletes in the spec's slice model, Avro-container log
+    payloads from sources/avro.py): bulk-insert the corpus as a MoR
+    table, log-UPSERT every doc_id % 7 == 0 row (n_chars + 1000, no
+    base file rewritten), log-DELETE every doc_id % 13 == 0 key, read
+    the merged snapshot, then COMPACT (logs folded into new base
+    slices) and read again — both reads must hash-match the closed-form
+    twin, so a merge that misses a log row, resurrects a deleted key,
+    or double-counts after compaction fails."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import (
+        hudi_compact,
+        hudi_insert,
+        hudi_mor_delete,
+        hudi_mor_upsert,
+        read_hudi,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_mor_"), "tbl")
+    hudi_insert(
+        spark,
+        docs.repartition(4, "doc_id"),
+        table,
+        record_key="doc_id",
+        table_type="MERGE_ON_READ",
+    )
+    hudi_mor_upsert(
+        spark,
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ),
+        table,
+    )
+    hudi_mor_delete(
+        spark,
+        docs.filter(F.col("doc_id") % 13 == 0).select("doc_id"),
+        table,
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    merged = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    hudi_compact(spark, table)
+    compacted = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return merged.unionByName(compacted).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
+def q_hudi_partitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi per-partition planning view (hudi_partitions — the twin of
+    delta_partitions/iceberg_partitions): a lang-partitioned CoW table
+    where one partition then takes an upsert (new slice, same fileId —
+    slice count per partition must NOT grow) plus a brand-new
+    partition. Pure timeline read; row counts come from commit
+    write-stats, never a data scan."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import (
+        hudi_insert,
+        hudi_partitions,
+        hudi_upsert,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_parts_"), "tbl")
+    hudi_insert(
+        spark,
+        docs.coalesce(1),
+        table,
+        record_key="doc_id",
+        partition_by=["lang"],
+    )
+    first_lang = docs.select(F.min("lang").alias("l")).collect()[0]["l"]
+    updates = docs.filter(
+        (F.col("lang") == first_lang) & (F.col("doc_id") % 2 == 0)
+    ).withColumn("n_chars", F.col("n_chars") + 5)
+    news = docs.limit(3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("zz").alias("lang"),
+        F.col("n_chars"),
+    )
+    hudi_upsert(spark, updates.unionByName(news).coalesce(1), table)
+    return hudi_partitions(spark, table).select(
+        "partition", "n_slices", "n_rows"
+    )
+
+
+def q_streaming_hudi_sink_partitioned(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """PARTITIONED exactly-once streaming ingestion through the
+    hudi_lite format: micro-batches split per partition tuple
+    executor-side (hive-style lang=... dirs), each batch one INSERT
+    deltalike commit with {app-id, epoch}; the whole stream REPLAYS
+    from a fresh checkpoint and every epoch must no-op, else the
+    per-lang oracle double-counts."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import read_hudi
+    from dataset_grouper_spark.streaming.hudi_source import (
+        HudiLiteDataSource,
+    )
+
+    try:
+        spark.dataSource.register(HudiLiteDataSource)
+    except Exception:
+        pass
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    src = tempfile.mkdtemp(prefix="hudi_psink_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_psink_"), "tbl")
+
+    def drain(ckpt_dir: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.repartition(2, "lang")
+            .writeStream.format("hudi_lite")
+            .option("path", table)
+            .option("recordKey", "doc_id")
+            .option("partitionBy", "lang")
+            .option("epochAppId", "dg-hudi-pstream")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+
+    with _stream_shuffle_partitions(spark):
+        drain(tempfile.mkdtemp(prefix="hudi_pck1_"))
+        drain(tempfile.mkdtemp(prefix="hudi_pck2_"))  # replay: no-ops
+    return (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.octet_length("text")).alias("text_bytes"),
+        )
+    )
+
+
 def q_open_table_dispatch(spark: SparkSession, sf: str) -> DataFrame:
     """Unified table entry point (sources.open_table): the SAME corpus
     split five ways — plain parquet, a hand-less Delta log
@@ -6985,6 +7154,13 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "bucketed_colocated_join": q_bucketed_colocated_join,
+        # --- r8 additions: Hudi MERGE_ON_READ lifecycle, per-partition
+        #     planning view, partitioned exactly-once hudi_lite sink
+        "hudi_mor_read": q_hudi_mor_read,
+        "hudi_partitions": q_hudi_partitions,
+        "streaming_hudi_sink_partitioned": (
+            q_streaming_hudi_sink_partitioned
+        ),
     }
 
 
@@ -7053,6 +7229,9 @@ _QUERY_ORDER: list[str] = [
     "group_entropy_events",
     "asof_tolerance_events",
     "grouping_sets_lineitem",
+    "hudi_mor_read",
+    "hudi_partitions",
+    "streaming_hudi_sink_partitioned",
     "group_counts_rollup",
     "pipeline_c4_style",
     "chunk_tokens_documents",
@@ -8394,6 +8573,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
             FROM documents GROUP BY lang
+        """,
+        "streaming_hudi_sink_partitioned": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
+        """,
+        "hudi_mor_read": """
+            WITH merged AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                            ELSE n_chars END AS n_chars
+                FROM documents WHERE doc_id % 13 <> 0
+            )
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM merged GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM merged GROUP BY lang
+        """,
+        "hudi_partitions": """
+            SELECT 'lang=' || lang AS partition,
+                   CAST(1 AS BIGINT) AS n_slices,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 'lang=zz', 1, 3
         """,
         "streaming_delta_source": """
             SELECT 0 AS stage, lang,

@@ -30,10 +30,15 @@ Iceberg manifest walks); data moves only through ``spark.read.parquet``
 (full pushdown/pruning). Upsert cost is O(touched file groups), never
 O(table) — the CoW economics the Delta merge path already proves.
 
-Honest gates: COPY_ON_WRITE only (MERGE_ON_READ log files are Avro
-block streams — use the Delta/Iceberg MoR paths in this repo for
-merge-on-read semantics); instant times are a monotonic counter in
-the Hudi timestamp shape, not wall clock (deterministic replays).
+MERGE_ON_READ is supported for tables this module writes: upserts/
+deletes append per-file-group LOG FILES (deltacommit instants, spec
+slice model) merged at read, compaction folds them into new base
+slices. Honest interop gate: the log payload is a standard Avro
+object container from ``sources/avro.py``, NOT Hudi's HoodieLogFormat
+binary block framing — a foreign MoR table's logs are detected by
+name and raise rather than mis-read (CoW tables from any writer
+remain fully readable). Instant times are a monotonic counter in the
+Hudi timestamp shape, not wall clock (deterministic replays).
 """
 
 from __future__ import annotations
@@ -87,14 +92,15 @@ def hudi_timeline(table_path: str) -> list[tuple[str, str, str]]:
 
 
 def _completed(table_path: str, as_of: str | None = None) -> dict[str, dict]:
-    """instantTime -> commit JSON for completed commit/replacecommit
-    instants at or before ``as_of``."""
+    """instantTime -> commit JSON for completed commit/replacecommit/
+    deltacommit instants at or before ``as_of``."""
     hp = _hoodie_path(table_path)
     out: dict[str, dict] = {}
     for ts, action, state in hudi_timeline(table_path):
         if state != "completed" or action not in (
             "commit",
             "replacecommit",
+            "deltacommit",
         ):
             continue
         if as_of is not None and ts > str(as_of):
@@ -194,11 +200,14 @@ def read_hudi(
     ``_hoodie_*`` columns instead of dropping them."""
     props = _table_props(table_path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype == "MERGE_ON_READ":
+        # merged base+log snapshot — this module's Avro-container log
+        # dialect only; foreign HoodieLogFormat logs raise inside
+        # _log_files rather than mis-read
+        return _read_mor(spark, table_path, as_of, keep_meta)
     if ttype != "COPY_ON_WRITE":
         raise NotImplementedError(
-            f"read_hudi: table type {ttype} not supported — MERGE_ON_READ "
-            "log compaction is out of scope (use this repo's Delta/Iceberg "
-            "merge-on-read paths)"
+            f"read_hudi: table type {ttype} not supported"
         )
     slices = hudi_file_slices(table_path, as_of)
     paths = [p for _part, _fid, _i, p in slices]
@@ -212,7 +221,12 @@ def read_hudi(
     return df
 
 
-def _write_properties(table_path: str, record_key: str, partition_by):
+def _write_properties(
+    table_path: str,
+    record_key: str,
+    partition_by,
+    table_type: str = "COPY_ON_WRITE",
+):
     hp = _hoodie_path(table_path)
     _fs.makedirs(hp)
     dst = os.path.join(hp, "hoodie.properties")
@@ -220,7 +234,7 @@ def _write_properties(table_path: str, record_key: str, partition_by):
         return
     lines = [
         "hoodie.table.name=" + os.path.basename(table_path.rstrip("/")),
-        "hoodie.table.type=COPY_ON_WRITE",
+        "hoodie.table.type=" + table_type,
         "hoodie.table.version=6",
         "hoodie.table.recordkey.fields=" + record_key,
         "hoodie.datasource.write.hive_style_partitioning=true",
@@ -326,11 +340,15 @@ def _stage_and_place(
 
 
 def _commit(
-    table_path: str, instant: str, operation: str, stats: dict
+    table_path: str,
+    instant: str,
+    operation: str,
+    stats: dict,
+    action: str = "commit",
 ) -> str:
     hp = _hoodie_path(table_path)
     # requested -> inflight -> completed, the timeline's three states
-    for suffix in ("commit.requested", "commit.inflight"):
+    for suffix in (f"{action}.requested", f"{action}.inflight"):
         _fs.write_text(os.path.join(hp, f"{instant}.{suffix}"), "{}")
     body = {
         "partitionToWriteStats": stats,
@@ -343,7 +361,7 @@ def _commit(
     # delete them before surfacing the conflict (mirrors the
     # hudi_lite streaming writer's abort cleanup).
     try:
-        with _fs.open_create(os.path.join(hp, f"{instant}.commit")) as f:
+        with _fs.open_create(os.path.join(hp, f"{instant}.{action}")) as f:
             f.write(json.dumps(body).encode())
     except FileExistsError:
         for wstats in stats.values():
@@ -365,6 +383,7 @@ def hudi_insert(
     table_path: str,
     record_key: str,
     partition_by: list[str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
     """INSERT (bulk) into a Hudi CoW table, creating it (timeline +
     hoodie.properties) when absent. New rows open NEW file groups;
@@ -391,7 +410,7 @@ def hudi_insert(
                 f"{have_parts}, call passed {part_cols}"
             )
     _fs.makedirs(table_path)
-    _write_properties(table_path, record_key, part_cols)
+    _write_properties(table_path, record_key, part_cols, table_type)
     instant = _next_instant(table_path)
     stats = _stage_and_place(
         _with_meta(df, record_key, part_cols, instant),
@@ -556,3 +575,502 @@ def hudi_upsert(
         for k, v in istats.items():
             stats.setdefault(k, []).extend(v)
     return _commit(table_path, instant, "UPSERT", stats)
+
+
+def hudi_partitions(
+    spark: SparkSession, table_path: str, as_of: str | None = None
+) -> DataFrame:
+    """Per-partition summary of the LIVE file slices at ``as_of``
+    (default latest): slice count, row count (from the commits'
+    ``partitionToWriteStats.numWrites`` — exact for CoW, where each
+    slice's rows are what its write wrote), and total bytes — the Hudi
+    twin of ``delta_partitions`` / ``iceberg_partitions`` maintenance
+    jobs size clustering with. Unpartitioned tables yield one row with
+    NULL. Pure timeline read — planning-scale, no data touched."""
+    commits = _completed(table_path, as_of)
+    # path -> (numWrites, fileSizeInBytes) across all completed commits
+    by_path: dict[str, tuple[int | None, int | None]] = {}
+    for meta in commits.values():
+        for _part, wstats in (
+            meta.get("partitionToWriteStats") or {}
+        ).items():
+            for st in wstats:
+                by_path[st["path"]] = (
+                    st.get("numWrites"),
+                    st.get("fileSizeInBytes"),
+                )
+    agg: dict[str | None, list] = {}
+    for part, _fid, _instant, path in hudi_file_slices(table_path, as_of):
+        rel = os.path.relpath(path, table_path).replace(os.sep, "/")
+        n, b = by_path.get(rel, (None, None))
+        agg.setdefault(part or None, []).append((n, b))
+    rows = []
+    for key in sorted(agg, key=lambda k: (k is None, k or "")):
+        members = agg[key]
+        counts = [n for n, _ in members]
+        sizes = [b for _, b in members]
+        rows.append(
+            (
+                key,
+                len(members),
+                sum(counts) if all(c is not None for c in counts) else None,
+                sum(sizes) if all(s is not None for s in sizes) else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "`partition` string, `n_slices` long, `n_rows` long, "
+        "`total_bytes` long",
+    )
+
+
+# ------------------------------------------------------- merge-on-read
+#
+# MERGE_ON_READ completes the trio's MoR story next to Delta's deletion
+# vectors and Iceberg's position/equality deletes: an upsert appends a
+# small LOG FILE to each touched file group instead of rewriting its
+# base parquet — O(delta) write cost — and readers merge base + logs by
+# record key, latest instant wins. Log files follow the spec's SLICE
+# MODEL (named into their file group + base instant, visible only when
+# their deltacommit completes) but their payload is a standard Avro
+# OBJECT CONTAINER written by this repo's pure-stdlib codec
+# (sources/avro.py), NOT Hudi's HoodieLogFormat binary block framing —
+# tables written by Apache Hudi's own MoR writer are detected and
+# raise rather than mis-read (the honest interop boundary; CoW tables
+# remain fully readable either way).
+
+_LOG_RE = re.compile(
+    r"^\.(?P<fid>[^_]+)_(?P<base>\d+)\.log\.(?P<ver>\d+)_(?P<instant>\d+)$"
+)
+_MOR_OP = "_hudi_op"  # log-record column: 'u' upsert, 'd' delete
+_MOR_INSTANT = "_hudi_instant"
+
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def _mor_avro_schema(schema) -> dict:
+    """Avro record schema for log rows: every user field as a
+    [null, T] union plus the op/instant bookkeeping fields."""
+    fields = [
+        {"name": _MOR_OP, "type": "string"},
+        {"name": _MOR_INSTANT, "type": "string"},
+    ]
+    for f in schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        if t is None:
+            raise NotImplementedError(
+                f"hudi_mor: column {f.name!r} has type "
+                f"{f.dataType.simpleString()!r} — log rows support "
+                f"{sorted(set(_SPARK_TO_AVRO))}"
+            )
+        fields.append({"name": f.name, "type": ["null", t]})
+    return {"type": "record", "name": "hudi_log_row", "fields": fields}
+
+
+def _log_files(
+    table_path: str, as_of: str | None = None
+) -> dict[tuple[str, str, str], list[tuple[str, str]]]:
+    """(partition, fileId, baseInstant) -> [(instant, abs_path)]
+    ordered by instant, for every log file whose deltacommit completed
+    at or before ``as_of``. A ``.log.`` file NOT in this dialect's
+    naming raises — it was written by Hudi's own MoR writer, whose
+    HoodieLogFormat framing this reader does not speak."""
+    commits = _completed(table_path, as_of)
+    out: dict[tuple[str, str, str], list[tuple[str, str]]] = {}
+    for rel in _fs.walk_files(table_path):
+        name = rel.rsplit("/", 1)[-1]
+        if ".log." not in name:
+            continue
+        if rel.split("/")[0] == HOODIE_DIR:
+            continue
+        m = _LOG_RE.match(name)
+        if not m:
+            raise NotImplementedError(
+                f"hudi_mor: log file {name!r} is not in this module's "
+                "Avro-container dialect (HoodieLogFormat binary blocks "
+                "from Hudi's own writers are not supported)"
+            )
+        if m.group("instant") not in commits:
+            continue  # uncommitted/raced log: invisible
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        key = (part, m.group("fid"), m.group("base"))
+        out.setdefault(key, []).append(
+            (m.group("instant"), os.path.join(table_path, rel))
+        )
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def _read_mor(
+    spark: SparkSession,
+    table_path: str,
+    as_of: str,
+    keep_meta: bool,
+) -> DataFrame:
+    """Merged snapshot of a MERGE_ON_READ table: base slices overlaid
+    with their committed log rows, per-identity latest instant wins,
+    deletes drop. Groups WITHOUT logs stream straight through — only
+    logged groups pay the merge window (MoR's read economics)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from dataset_grouper_spark.sources.avro import read_avro
+
+    props = _table_props(table_path)
+    record_key = props["hoodie.table.recordkey.fields"]
+    slices = hudi_file_slices(table_path, as_of)
+    if not slices:
+        raise ValueError(
+            f"read_hudi: no completed file slices at as_of={as_of!r}"
+        )
+    logs = _log_files(table_path, as_of)
+    logged_paths, clean_paths, log_paths = [], [], []
+    for part, fid, instant, path in slices:
+        entries = logs.get((part, fid, instant))
+        if entries:
+            logged_paths.append(path)
+            log_paths.extend(p for _i, p in entries)
+        else:
+            clean_paths.append(path)
+    frames = []
+    user_cols: list[str] | None = None
+    if clean_paths:
+        clean = spark.read.parquet(*clean_paths)
+        user_cols = [c for c in clean.columns if c not in META_COLS]
+        frames.append(clean if keep_meta else clean.drop(*META_COLS))
+    if logged_paths:
+        base = spark.read.parquet(*logged_paths)
+        if user_cols is None:
+            user_cols = [c for c in base.columns if c not in META_COLS]
+        logdf = read_avro(spark, log_paths)
+        merged = (
+            base.select(
+                *META_COLS,
+                F.lit("u").alias(_MOR_OP),
+                F.col("_hoodie_commit_time").alias(_MOR_INSTANT),
+                *user_cols,
+            )
+            .unionByName(
+                logdf.select(
+                    F.lit("").alias("_hoodie_commit_time"),
+                    F.lit("").alias("_hoodie_commit_seqno"),
+                    F.col(record_key)
+                    .cast("string")
+                    .alias("_hoodie_record_key"),
+                    F.lit("").alias("_hoodie_partition_path"),
+                    F.lit("").alias("_hoodie_file_name"),
+                    F.col(_MOR_OP),
+                    F.col(_MOR_INSTANT),
+                    *user_cols,
+                )
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_hoodie_record_key").orderBy(
+                        F.desc(_MOR_INSTANT)
+                    )
+                ),
+            )
+            .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))
+        )
+        keep = (META_COLS + user_cols) if keep_meta else user_cols
+        frames.append(merged.select(*keep))
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _touched_group_map(spark: SparkSession, table_path: str):
+    """(identity -> live file group) probe shared by the MoR writers:
+    returns (tagged df with __k, group frame (__k, __part, __fid,
+    __base)) using one planning-scale scan of current base slices."""
+    slices = hudi_file_slices(table_path)
+    if not slices:
+        return None, None
+    paths = [p for _pt, _f, _i, p in slices]
+    fid_of = {}
+    for part, fid, instant, p in slices:
+        fid_of[os.path.basename(p)] = (part, fid, instant)
+    current = spark.read.parquet(*paths).select(
+        F.col("_hoodie_record_key").alias("__k"),
+        F.element_at(
+            F.split(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"),
+                    r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+",
+                    "/",
+                ),
+                "/",
+            ),
+            -1,
+        ).alias("__f"),
+    )
+    rows = [(f, part, fid, base) for f, (part, fid, base) in fid_of.items()]
+    fmap = spark.createDataFrame(
+        rows, "`__f` string, `__part` string, `__fid` string, `__base` string"
+    )
+    groups = current.join(F.broadcast(fmap), "__f").select(
+        "__k", "__part", "__fid", "__base"
+    )
+    return groups, slices
+
+
+def _mor_write_logs(
+    rows: DataFrame,
+    table_path: str,
+    instant: str,
+    avro_schema: dict,
+    user_cols: list[str],
+) -> dict[str, list[dict]]:
+    """Write one log file per touched file group, executor-side
+    (applyInPandas task per group), through compat.fs. Returns
+    partitionToWriteStats entries for the deltacommit."""
+    import pandas as pd
+
+    def write_group(key, pdf):
+        from dataset_grouper_spark.sources.avro import write_avro_file
+
+        part_rel, fid, base = key
+        cols = [_MOR_OP, _MOR_INSTANT] + user_cols
+        recs = []
+        for row in pdf[cols].to_dict("records"):
+            for k, v in list(row.items()):
+                if v is not None and hasattr(v, "item"):
+                    row[k] = v.item()
+                if isinstance(row[k], float) and row[k] != row[k]:
+                    row[k] = None
+            recs.append(row)
+        n = len(pdf)
+        ver = 1
+        name = f".{fid}_{base}.log.{ver}_{instant}"
+        rel = os.path.join(part_rel, name) if part_rel else name
+        dst = os.path.join(table_path, rel)
+        write_avro_file(dst, avro_schema, recs)
+        return pd.DataFrame(
+            [
+                {
+                    "part": part_rel,
+                    "fileId": fid,
+                    "path": rel,
+                    "numWrites": n,
+                    "size": _fs.file_size(dst),
+                }
+            ]
+        )
+
+    out = rows.groupBy("__part", "__fid", "__base").applyInPandas(
+        write_group,
+        "`part` string, `fileId` string, `path` string, "
+        "`numWrites` long, `size` long",
+    )
+    stats: dict[str, list[dict]] = {}
+    for r in out.collect():  # bounded by touched-group count
+        stats.setdefault(r["part"], []).append(
+            {
+                "fileId": r["fileId"],
+                "path": r["path"],
+                "numWrites": r["numWrites"],
+                "fileSizeInBytes": r["size"],
+            }
+        )
+    return stats
+
+
+def hudi_mor_upsert(
+    spark: SparkSession, df: DataFrame, table_path: str
+) -> str:
+    """MERGE_ON_READ upsert: rows matching a live identity land as log
+    rows APPENDED to their file group — O(delta) write, no base file
+    rewritten (contrast :func:`hudi_upsert`'s CoW group rewrite);
+    unmatched rows open new base file groups. One deltacommit instant
+    covers both. ``df`` must be identity-unique, like the CoW path."""
+    props = _table_props(table_path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError(
+            "hudi_mor_upsert: table is not MERGE_ON_READ (create it "
+            "with hudi_insert(..., table_type='MERGE_ON_READ'))"
+        )
+    record_key = props["hoodie.table.recordkey.fields"]
+    part_cols = (
+        props.get("hoodie.table.partition.fields", "").split(",")
+        if props.get("hoodie.table.partition.fields")
+        else []
+    )
+    if record_key not in df.columns:
+        raise ValueError(
+            f"hudi_mor_upsert: record key {record_key!r} not in frame"
+        )
+    user_cols = list(df.columns)
+    tagged = df.withColumn("__k", F.col(record_key).cast("string"))
+    if (
+        tagged.groupBy("__k").count().filter(F.col("count") > 1)
+        .limit(1).count() > 0
+    ):
+        raise ValueError("hudi_mor_upsert: source has duplicate keys")
+    instant = _next_instant(table_path)
+    groups, slices = _touched_group_map(spark, table_path)
+    stats: dict[str, list[dict]] = {}
+    if groups is not None:
+        matched = tagged.join(groups, "__k")
+        log_rows = matched.select(
+            F.lit("u").alias(_MOR_OP),
+            F.lit(instant).alias(_MOR_INSTANT),
+            "__part",
+            "__fid",
+            "__base",
+            *user_cols,
+        )
+        stats = _mor_write_logs(
+            log_rows,
+            table_path,
+            instant,
+            _mor_avro_schema(df.schema),
+            user_cols,
+        )
+        inserts = tagged.join(groups, "__k", "left_anti").select(*user_cols)
+    else:
+        inserts = df
+    if inserts.limit(1).count() > 0:
+        istats = _stage_and_place(
+            _with_meta(inserts, record_key, part_cols, instant),
+            table_path,
+            part_cols,
+            instant,
+        )
+        for k, v in istats.items():
+            stats.setdefault(k, []).extend(v)
+    return _commit(table_path, instant, "UPSERT", stats, action="deltacommit")
+
+
+def hudi_mor_delete(
+    spark: SparkSession, keys_df: DataFrame, table_path: str
+) -> str:
+    """MERGE_ON_READ delete-by-key: a log row with op='d' per matched
+    identity — O(deleted keys), no base file touched. Unmatched keys
+    are ignored (SQL DELETE semantics)."""
+    props = _table_props(table_path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError("hudi_mor_delete: table is not MERGE_ON_READ")
+    record_key = props["hoodie.table.recordkey.fields"]
+    if record_key not in keys_df.columns:
+        raise ValueError(
+            f"hudi_mor_delete: record key {record_key!r} not in frame"
+        )
+    instant = _next_instant(table_path)
+    groups, _slices = _touched_group_map(spark, table_path)
+    if groups is None:
+        raise ValueError("hudi_mor_delete: table has no completed slices")
+    # full schema from the newest base slice so delete rows carry every
+    # column (null except the key) under one log schema per table
+    sample = read_hudi(spark, table_path, keep_meta=False).limit(0)
+    user_cols = list(sample.columns)
+    tagged = keys_df.select(
+        F.col(record_key).cast("string").alias("__k"),
+        F.col(record_key).alias("__key_typed"),
+    ).distinct()
+    matched = tagged.join(groups, "__k")
+    log_rows = matched.select(
+        F.lit("d").alias(_MOR_OP),
+        F.lit(instant).alias(_MOR_INSTANT),
+        "__part",
+        "__fid",
+        "__base",
+        *[
+            F.col("__key_typed").alias(c)
+            if c == record_key
+            else F.lit(None).cast(sample.schema[c].dataType).alias(c)
+            for c in user_cols
+        ],
+    )
+    stats = _mor_write_logs(
+        log_rows,
+        table_path,
+        instant,
+        _mor_avro_schema(sample.schema),
+        user_cols,
+    )
+    return _commit(table_path, instant, "DELETE", stats, action="deltacommit")
+
+
+def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
+    """Compaction: materialize every LOGGED file group's merged rows
+    into a new base slice (same fileId, new commit instant), after
+    which reads touch no log files — the spec's compaction contract.
+    Unlogged groups are untouched; returns None when nothing to do.
+    Old logs stay bound to the superseded base instant (time travel to
+    pre-compaction instants still merges them) until a cleaner prunes
+    them."""
+    props = _table_props(table_path)
+    record_key = props["hoodie.table.recordkey.fields"]
+    part_cols = (
+        props.get("hoodie.table.partition.fields", "").split(",")
+        if props.get("hoodie.table.partition.fields")
+        else []
+    )
+    slices = hudi_file_slices(table_path)
+    logs = _log_files(table_path)
+    if not any((part, fid, base) in logs for part, fid, base, _p in slices):
+        return None
+    instant = _next_instant(table_path)
+    stats: dict[str, list[dict]] = {}
+    # rewrite each LOGGED group from its own base + logs — group count
+    # is planning-scale, each merge is O(group + its logs)
+    from pyspark.sql import Window
+
+    from dataset_grouper_spark.sources.avro import read_avro
+
+    for part, fid, base, path in slices:
+        entries = logs.get((part, fid, base))
+        if not entries:
+            continue
+        basedf = spark.read.parquet(path)
+        user_cols = [c for c in basedf.columns if c not in META_COLS]
+        logdf = read_avro(spark, [p for _i, p in entries])
+        merged = (
+            basedf.select(
+                F.col("_hoodie_record_key").alias("__k"),
+                F.col("_hoodie_commit_time").alias(_MOR_INSTANT),
+                F.lit("u").alias(_MOR_OP),
+                *user_cols,
+            )
+            .unionByName(
+                logdf.select(
+                    F.col(record_key).cast("string").alias("__k"),
+                    F.col(_MOR_INSTANT),
+                    F.col(_MOR_OP),
+                    *user_cols,
+                )
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("__k").orderBy(F.desc(_MOR_INSTANT))
+                ),
+            )
+            .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))
+            .select(*user_cols)
+            .coalesce(1)
+        )
+        gstats = _stage_and_place(
+            _with_meta(merged, record_key, part_cols, instant),
+            table_path,
+            part_cols,
+            instant,
+            fid_for_dir=lambda _d, fid=fid: fid,
+        )
+        for k, v in gstats.items():
+            stats.setdefault(k, []).extend(v)
+    return _commit(table_path, instant, "COMPACT", stats)

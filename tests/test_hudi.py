@@ -171,9 +171,121 @@ def test_validation_and_gates(spark, tmp_path):
             ),
             t,
         )
-    # MOR tables gate honestly
+    # a MoR table with no log files reads as its base slices (r8: MoR
+    # is now a real read path, not a gate)
     props = os.path.join(t, ".hoodie", "hoodie.properties")
     body = open(props).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
     open(props, "w").write(body)
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+    assert [tuple(r) for r in hudi.read_hudi(spark, t).collect()] == [
+        (1, "a")
+    ]
+    # unknown table types still gate honestly
+    open(props, "w").write(
+        body.replace("MERGE_ON_READ", "SOMETHING_ELSE")
+    )
+    with pytest.raises(NotImplementedError, match="SOMETHING_ELSE"):
         hudi.read_hudi(spark, t)
+
+
+# ---------------------------------------------------------- MoR + meta
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string").coalesce(1)
+
+
+def test_hudi_partitions_metadata(spark, tmp_path):
+    t = str(tmp_path / "hparts")
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "c")],
+        "id long, lang string, v string",
+    ).coalesce(1)
+    hudi.hudi_insert(spark, df, t, record_key="id", partition_by=["lang"])
+    rows = {
+        r["partition"]: (r["n_slices"], r["n_rows"])
+        for r in hudi.hudi_partitions(spark, t).collect()
+    }
+    assert rows == {"lang=en": (1, 2), "lang=de": (1, 1)}
+    # unpartitioned: one NULL row
+    t2 = str(tmp_path / "hparts2")
+    hudi.hudi_insert(spark, _mk(spark, [(1, "a"), (2, "b")]), t2,
+                     record_key="id")
+    r2 = hudi.hudi_partitions(spark, t2).collect()
+    assert len(r2) == 1 and r2[0]["partition"] is None
+    assert r2[0]["n_rows"] == 2
+
+
+def test_mor_upsert_appends_log_not_base(spark, tmp_path):
+    t = str(tmp_path / "mor1")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    bases_before = {p for _pt, _f, _i, p in hudi.hudi_file_slices(t)}
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(2, "B"), (9, "z")]), t)
+    # updated key lands in a LOG; base files of touched groups unchanged
+    bases_after = {p for _pt, _f, _i, p in hudi.hudi_file_slices(t)}
+    assert bases_before <= bases_after  # old bases still live
+    assert hudi._log_files(t)  # a log file exists and is committed
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (9, "z")]
+
+
+def test_mor_delete_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "mor2")
+    i1 = hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a"), (2, "b")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(1, "A")]), t)
+    hudi.hudi_mor_delete(spark, _mk(spark, [(2, "x")]).select("id"), t)
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "A")]
+    # time travel: before any log, the insert snapshot
+    got1 = sorted(
+        tuple(r) for r in hudi.read_hudi(spark, t, as_of=i1).collect()
+    )
+    assert got1 == [(1, "a"), (2, "b")]
+
+
+def test_mor_compaction_folds_logs(spark, tmp_path):
+    t = str(tmp_path / "mor3")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a"), (2, "b")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(2, "B"), (5, "e")]), t)
+    before = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    inst = hudi.hudi_compact(spark, t)
+    assert inst is not None
+    after = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert after == before == [(1, "a"), (2, "B"), (5, "e")]
+    # compaction superseded the logged base: the live slice set has no
+    # group whose (fid, instant) still binds a log file
+    logs = hudi._log_files(t)
+    live = {(f, i) for _p, f, i, _pa in hudi.hudi_file_slices(t)}
+    assert not any((f, b) in live for (_pt, f, b) in logs)
+    # idempotent: nothing left to compact
+    assert hudi.hudi_compact(spark, t) is None
+
+
+def test_mor_foreign_log_framing_raises(spark, tmp_path):
+    t = str(tmp_path / "mor4")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    # a HoodieLogFormat-style name (writeToken with dashes) must raise,
+    # not be silently ignored
+    part, fid, base, path = hudi.hudi_file_slices(t)[0]
+    foreign = os.path.join(t, f".{fid}_{base}.log.1_0-21-31")
+    with open(foreign, "w") as f:
+        f.write("#HUDI#")
+    with pytest.raises(NotImplementedError, match="HoodieLogFormat"):
+        hudi.read_hudi(spark, t)
+
+
+def test_mor_upsert_requires_mor_table(spark, tmp_path):
+    t = str(tmp_path / "mor5")
+    hudi.hudi_insert(spark, _mk(spark, [(1, "a")]), t, record_key="id")
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        hudi.hudi_mor_upsert(spark, _mk(spark, [(1, "b")]), t)

@@ -5460,6 +5460,54 @@ def q_streaming_hudi_sink_partitioned(
     )
 
 
+def q_hudi_clean_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi retention lifecycle (hudi_clean — the vacuum twin of
+    delta_vacuum / iceberg_remove_orphans): a single-group CoW table
+    takes an upsert (new slice, same fileId), clean reaps EXACTLY the
+    one superseded base slice, and the surviving snapshot must still
+    hash-match the merged oracle. Stage 1 carries the removed-file
+    count — a clean that reaps a live file or misses the stale one
+    fails closed-form."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import (
+        hudi_clean,
+        hudi_insert,
+        hudi_upsert,
+        read_hudi,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_clean_"), "tbl")
+    hudi_insert(spark, docs.coalesce(1), table, record_key="doc_id")
+    hudi_upsert(
+        spark,
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 7
+        ),
+        table,
+    )
+    removed = hudi_clean(table)
+    snapshot = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("stage", F.lit(0))
+    )
+    audit = spark.createDataFrame(
+        [("__removed__", len(removed), None, 1)],
+        "lang string, n long, sum_chars long, stage int",
+    )
+    return snapshot.unionByName(audit).select(
+        "stage", "lang", "n", "sum_chars"
+    )
+
+
 def q_open_table_dispatch(spark: SparkSession, sf: str) -> DataFrame:
     """Unified table entry point (sources.open_table): the SAME corpus
     split five ways — plain parquet, a hand-less Delta log
@@ -7161,6 +7209,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hudi_sink_partitioned": (
             q_streaming_hudi_sink_partitioned
         ),
+        "hudi_clean_roundtrip": q_hudi_clean_roundtrip,
     }
 
 
@@ -7232,6 +7281,7 @@ _QUERY_ORDER: list[str] = [
     "hudi_mor_read",
     "hudi_partitions",
     "streaming_hudi_sink_partitioned",
+    "hudi_clean_roundtrip",
     "group_counts_rollup",
     "pipeline_c4_style",
     "chunk_tokens_documents",
@@ -8598,6 +8648,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(n_chars) AS BIGINT)
             FROM merged GROUP BY lang
+        """,
+        "hudi_clean_roundtrip": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+                                 ELSE n_chars END) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, '__removed__', 1, NULL
         """,
         "hudi_partitions": """
             SELECT 'lang=' || lang AS partition,

@@ -1074,3 +1074,55 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
         for k, v in gstats.items():
             stats.setdefault(k, []).extend(v)
     return _commit(table_path, instant, "COMPACT", stats)
+
+
+def hudi_clean(table_path: str, dry_run: bool = False) -> list[str]:
+    """CLEAN: physically delete files the LATEST snapshot does not
+    serve — superseded base slices (older slices of rewritten or
+    compacted file groups), every file of replacecommit-replaced
+    groups, and MoR log files whose base slice is superseded. The
+    retention twin of ``delta_vacuum`` / ``iceberg_remove_orphans``,
+    applied on the explicit call rather than a clock. Time travel to
+    cleaned instants then raises (their files are gone) — the standard
+    retention trade, stated like ``delta_truncate_log``'s.
+
+    Files of UNCOMMITTED instants are never touched: they belong to an
+    in-flight writer (the commit-race loser already cleans its own).
+    Completed timeline markers stay (planning metadata, kilobytes).
+    A ``<instant>.clean`` marker records what was removed. Returns the
+    table-relative paths removed (or that WOULD be, with ``dry_run``)."""
+    commits = _completed(table_path)
+    live = {
+        path: (part, fid, instant)
+        for part, fid, instant, path in hudi_file_slices(table_path)
+    }
+    live_keys = {(part, fid, base) for part, fid, base in live.values()}
+    doomed: list[str] = []
+    for part, fid, instant, path in _base_files(table_path):
+        if instant not in commits:
+            continue  # in-flight or raced: not ours to reap
+        if path not in live:
+            doomed.append(
+                os.path.relpath(path, table_path).replace(os.sep, "/")
+            )
+    for (part, fid, base), entries in _log_files(table_path).items():
+        if (part, fid, base) in live_keys:
+            continue  # logs still serving the live slice
+        for _instant, path in entries:
+            doomed.append(
+                os.path.relpath(path, table_path).replace(os.sep, "/")
+            )
+    doomed.sort()
+    if dry_run or not doomed:
+        return doomed
+    for rel in doomed:
+        _fs.remove(os.path.join(table_path, rel))
+    instant = _next_instant(table_path)
+    hp = _hoodie_path(table_path)
+    for suffix in ("clean.requested", "clean.inflight"):
+        _fs.write_text(os.path.join(hp, f"{instant}.{suffix}"), "{}")
+    _fs.write_text(
+        os.path.join(hp, f"{instant}.clean"),
+        json.dumps({"deleted": doomed}),
+    )
+    return doomed

@@ -289,3 +289,47 @@ def test_mor_upsert_requires_mor_table(spark, tmp_path):
     hudi.hudi_insert(spark, _mk(spark, [(1, "a")]), t, record_key="id")
     with pytest.raises(ValueError, match="MERGE_ON_READ"):
         hudi.hudi_mor_upsert(spark, _mk(spark, [(1, "b")]), t)
+
+
+def test_hudi_clean_removes_superseded_slices(spark, tmp_path):
+    t = str(tmp_path / "hclean")
+    pre = hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a"), (2, "b")]), t, record_key="id"
+    )
+    hudi.hudi_upsert(spark, _mk(spark, [(2, "B")]), t)
+    # dry run names exactly the superseded base slice
+    doomed = hudi.hudi_clean(t, dry_run=True)
+    assert len(doomed) == 1 and pre in doomed[0]
+    removed = hudi.hudi_clean(t)
+    assert removed == doomed
+    # latest snapshot unaffected; time travel to the cleaned instant
+    # now has no slices
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "a"), (2, "B")]
+    with pytest.raises(ValueError, match="no completed file slices"):
+        hudi.read_hudi(spark, t, as_of=pre)
+    # a clean marker landed on the timeline; nothing left to clean
+    assert any(a == "clean" for _t, a, s in hudi.hudi_timeline(t))
+    assert hudi.hudi_clean(t) == []
+
+
+def test_hudi_clean_reaps_compacted_logs(spark, tmp_path):
+    t = str(tmp_path / "hclean2")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a"), (2, "b")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(2, "B")]), t)
+    hudi.hudi_compact(spark, t)
+    doomed = hudi.hudi_clean(t, dry_run=True)
+    # the pre-compaction base AND its log are both superseded
+    assert len(doomed) == 2
+    assert any(".log." in d for d in doomed)
+    hudi.hudi_clean(t)
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "a"), (2, "B")]
+    # never reaps uncommitted files (in-flight writer protection)
+    stray = os.path.join(t, "deadbeef_0-0-0_99990101000000000.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"x")
+    assert hudi.hudi_clean(t, dry_run=True) == []

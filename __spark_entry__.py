@@ -5508,6 +5508,70 @@ def q_hudi_clean_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_convert_tables_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only table conversion (sources/convert.py — the
+    XTable/UniForm shape): the SAME corpus lands once per source
+    format, is re-exposed in the target format by writing ONLY new
+    metadata referencing the shared parquet files (zero data
+    movement), and each converted view must hash-match the plain
+    corpus oracle. Stage 0 = Delta->Iceberg, 1 = Iceberg->Delta,
+    2 = Hudi->Delta (the _hoodie_* meta columns projected away by the
+    Delta scan schema)."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.convert import (
+        convert_delta_to_iceberg,
+        convert_hudi_to_delta,
+        convert_iceberg_to_delta,
+    )
+    from dataset_grouper_spark.sources.delta import delta_append, read_delta
+    from dataset_grouper_spark.sources.hudi import hudi_insert
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="convert_rt_")
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    d1 = os.path.join(root, "d1")
+    delta_append(spark, docs.coalesce(2), d1)
+    convert_delta_to_iceberg(spark, d1, os.path.join(root, "i1"))
+    s0 = (
+        read_iceberg(spark, os.path.join(root, "i1"))
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    i2 = os.path.join(root, "i2")
+    iceberg_append(spark, docs.coalesce(2), i2)
+    convert_iceberg_to_delta(spark, i2, os.path.join(root, "d2"))
+    s1 = (
+        read_delta(spark, os.path.join(root, "d2"))
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    h3 = os.path.join(root, "h3")
+    hudi_insert(spark, docs.coalesce(2), h3, record_key="doc_id")
+    convert_hudi_to_delta(spark, h3, os.path.join(root, "d3"))
+    s2 = (
+        read_delta(spark, os.path.join(root, "d3"))
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(2))
+    )
+    return s0.unionByName(s1).unionByName(s2).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
 def q_open_table_dispatch(spark: SparkSession, sf: str) -> DataFrame:
     """Unified table entry point (sources.open_table): the SAME corpus
     split five ways — plain parquet, a hand-less Delta log
@@ -7210,6 +7274,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_streaming_hudi_sink_partitioned
         ),
         "hudi_clean_roundtrip": q_hudi_clean_roundtrip,
+        "convert_tables_roundtrip": q_convert_tables_roundtrip,
     }
 
 
@@ -7282,6 +7347,7 @@ _QUERY_ORDER: list[str] = [
     "hudi_partitions",
     "streaming_hudi_sink_partitioned",
     "hudi_clean_roundtrip",
+    "convert_tables_roundtrip",
     "group_counts_rollup",
     "pipeline_c4_style",
     "chunk_tokens_documents",
@@ -8648,6 +8714,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(n_chars) AS BIGINT)
             FROM merged GROUP BY lang
+        """,
+        "convert_tables_roundtrip": """
+            SELECT s.stage, d.lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d.doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS stage) s
+            GROUP BY s.stage, d.lang
         """,
         "hudi_clean_roundtrip": """
             SELECT 0 AS stage, lang,

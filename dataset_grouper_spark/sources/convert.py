@@ -1,0 +1,397 @@
+"""Metadata-only table conversion between Delta, Iceberg and Hudi.
+
+The XTable/UniForm idea: all three formats ultimately describe "these
+parquet files are the table", so a table can be EXPOSED in another
+format by writing new METADATA that references the SAME data files —
+zero data movement, planning-scale cost, exactly what a 100 TB corpus
+needs when one consumer speaks Delta and another Iceberg. (The
+reference has no table-format layer at all; this extends the engine's
+lakehouse interop story.)
+
+Semantics and honest gates:
+
+* The conversion is a SNAPSHOT export: the target metadata describes
+  the source's CURRENT live file set. Later writes to the source do
+  not propagate (re-run to refresh); writes to the target through its
+  own format create target-only state. Data files are shared by
+  absolute path — delete the source's files and the target breaks,
+  like any shallow clone.
+* Delta -> Iceberg gates on deletion vectors, column mapping and
+  partitioned layouts (Delta keeps partition columns OUTSIDE the data
+  files; an Iceberg reader of those files would lose the column).
+* Iceberg -> Delta gates on live position/equality deletes (a Delta
+  snapshot cannot reference them without rewriting); identity-
+  partitioned Iceberg tables convert fine — their source columns live
+  INSIDE the data files, the Delta side just reads them as regular
+  columns (no partition pruning on the target, stated honestly).
+* Hudi -> Delta requires a CoW-resolvable snapshot (no un-compacted
+  MoR logs); the ``_hoodie_*`` meta columns stay in the files and are
+  projected away by the Delta reader's explicit scan schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+from dataset_grouper_spark.compat import fs as _fs
+
+_ICE_TO_SPARK = {
+    "long": "long",
+    "int": "integer",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _delta_schema_json(fields: list[tuple[str, str]]) -> str:
+    """Delta schemaString from (name, spark_type_simple) pairs."""
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _abs_under(table_path: str, rel_or_abs: str) -> str:
+    if os.path.isabs(rel_or_abs) or _fs.is_uri(rel_or_abs):
+        return rel_or_abs
+    return os.path.join(table_path, rel_or_abs)
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    with _fs.open_random(path) as f:
+        return pq.ParquetFile(f).metadata.num_rows
+
+
+def convert_delta_to_iceberg(
+    spark: SparkSession, delta_path: str, iceberg_path: str
+) -> int:
+    """Expose a Delta table's current snapshot as a NEW Iceberg table
+    at ``iceberg_path`` referencing the same parquet files (absolute
+    paths). Returns the Iceberg snapshot id."""
+    from dataset_grouper_spark.sources import iceberg as ice
+    from dataset_grouper_spark.sources.avro import write_avro_file
+    from dataset_grouper_spark.sources.delta import (
+        _latest_version,
+        _physical_names,
+        _replay,
+        _table_abs,
+    )
+
+    latest = _latest_version(delta_path)
+    if latest is None:
+        raise FileNotFoundError(f"empty Delta log: {delta_path}")
+    adds, meta = _replay(spark, delta_path, latest)
+    if list(meta.get("partitionColumns") or []):
+        raise NotImplementedError(
+            "convert_delta_to_iceberg: partitioned Delta tables keep "
+            "partition columns outside the data files — an Iceberg "
+            "reader of the shared files would lose them; rewrite "
+            "through iceberg_append instead"
+        )
+    phys = _physical_names(meta)
+    if any(phys[n] != n for n in phys):
+        raise NotImplementedError(
+            "convert_delta_to_iceberg: column-mapped Delta tables "
+            "store physical col-<id> names the Iceberg schema would "
+            "not resolve"
+        )
+    if any(a.get("deletionVector") for a in adds.values()):
+        raise NotImplementedError(
+            "convert_delta_to_iceberg: live deletion vectors cannot "
+            "be referenced by Iceberg metadata — run delta_optimize "
+            "(DV purge) first"
+        )
+    schema = json.loads(meta["schemaString"])
+    fields = [
+        {
+            "id": i + 1,
+            "name": f["name"],
+            "required": False,
+            "type": ice._iceberg_type(
+                f["type"] if isinstance(f["type"], str) else ""
+            ),
+        }
+        for i, f in enumerate(schema["fields"])
+    ]
+    table_abs = _table_abs(delta_path)
+    entries = []
+    for rel, a in sorted(adds.items()):
+        path = _abs_under(table_abs, rel)
+        n = None
+        if a.get("stats"):
+            try:
+                n = int(json.loads(a["stats"]).get("numRecords"))
+            except (TypeError, ValueError):
+                n = None
+        if n is None:
+            n = _parquet_row_count(path)  # planning-scale footer read
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": int(a.get("size") or 0),
+                    "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+    mdir = os.path.join(iceberg_path, "metadata")
+    if _fs.is_dir(mdir) and any(
+        n.endswith(".metadata.json") for n in _fs.listdir(mdir)
+    ):
+        raise FileExistsError(
+            f"convert_delta_to_iceberg: {iceberg_path} is already an "
+            "Iceberg table"
+        )
+    _fs.makedirs(mdir)
+    ice_meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": iceberg_path,
+        "current-snapshot-id": None,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [],
+        "properties": {"converted-from": f"delta@v{latest}"},
+    }
+    mpath = os.path.join(mdir, f"m-1-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, ice._MANIFEST_SCHEMA, entries)
+    return ice._commit_snapshot(
+        iceberg_path,
+        ice_meta,
+        1,
+        mpath,
+        content=0,
+        summary={"operation": "convert", "source": "delta"},
+    )
+
+
+def convert_iceberg_to_delta(
+    spark: SparkSession, iceberg_path: str, delta_path: str
+) -> int:
+    """Expose an Iceberg table's current snapshot as a NEW Delta table
+    at ``delta_path`` referencing the same parquet files (absolute
+    add paths — legal per the Delta spec, the shallow-clone shape).
+    Returns the Delta version (0)."""
+    from dataset_grouper_spark.sources import iceberg as ice
+    from dataset_grouper_spark.sources.delta import (
+        _log_path,
+        _write_commit,
+        delta_versions,
+    )
+
+    meta = ice._load_metadata(iceberg_path)
+    if meta.get("current-snapshot-id") is None:
+        raise FileNotFoundError(
+            f"convert_iceberg_to_delta: {iceberg_path} has no snapshot"
+        )
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    files, delete_files, _dn, eq_deletes = ice._live_files(
+        iceberg_path, snap
+    )
+    if delete_files or eq_deletes:
+        raise NotImplementedError(
+            "convert_iceberg_to_delta: live position/equality deletes "
+            "cannot be referenced by Delta metadata — compact "
+            "(iceberg_rewrite_data_files) first"
+        )
+    cur_schema = next(
+        s
+        for s in meta.get("schemas") or []
+        if s.get("schema-id") == meta.get("current-schema-id", 0)
+    )
+    fields = []
+    for f in cur_schema["fields"]:
+        t = f["type"]
+        spark_t = _ICE_TO_SPARK.get(t if isinstance(t, str) else "")
+        if spark_t is None:
+            raise NotImplementedError(
+                f"convert_iceberg_to_delta: column {f['name']!r} type "
+                f"{t!r} has no Delta mapping here"
+            )
+        fields.append((f["name"], spark_t))
+    log = _log_path(delta_path)
+    try:
+        if delta_versions(delta_path):
+            raise FileExistsError(
+                f"convert_iceberg_to_delta: {delta_path} is already a "
+                "Delta table"
+            )
+    except FileNotFoundError:
+        pass
+    _fs.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _delta_schema_json(fields),
+                "partitionColumns": [],
+                "configuration": {
+                    "converted-from": f"iceberg@{snap['snapshot-id']}"
+                },
+                "createdTime": 0,
+            }
+        },
+    ]
+    # entry-level record counts come back through the manifest walk in
+    # _live_files' inputs; re-walk the manifest for them (planning KB)
+    from dataset_grouper_spark.sources.avro import read_avro_file
+
+    counts: dict[str, int] = {}
+    ml = ice._localize(snap["manifest-list"])
+    if not ice._is_abs(ml):
+        ml = os.path.join(iceberg_path, ml)
+    _s, manifests = read_avro_file(ml)
+    for m in manifests:
+        mp = ice._localize(m["manifest_path"])
+        if not ice._is_abs(mp):
+            mp = os.path.join(iceberg_path, mp)
+        _s2, es = read_avro_file(mp)
+        for e in es:
+            if e.get("status", 0) == 2:
+                continue
+            d = e["data_file"]
+            counts[d["file_path"]] = int(d.get("record_count") or 0)
+    for path, _seq in sorted(files):
+        stats = {"numRecords": counts.get(path)}
+        if not _fs.is_uri(path):
+            path = os.path.abspath(path)
+        actions.append(
+            {
+                "add": {
+                    "path": path,  # absolute: shallow-clone shape
+                    "partitionValues": {},
+                    "size": _fs.file_size(path),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    _write_commit(log, 0, actions)
+    return 0
+
+
+def convert_hudi_to_delta(
+    spark: SparkSession, hudi_path: str, delta_path: str
+) -> int:
+    """Expose a Hudi table's current CoW-resolvable snapshot as a NEW
+    Delta table referencing the live base files. The ``_hoodie_*``
+    meta columns stay inside the shared files; the Delta reader's
+    explicit scan schema projects them away. Gates on un-compacted
+    MoR logs (their deltas exist only under merge semantics)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from dataset_grouper_spark.sources.delta import (
+        _log_path,
+        _write_commit,
+        delta_versions,
+    )
+    from dataset_grouper_spark.sources.hudi import (
+        META_COLS,
+        _log_files,
+        hudi_file_slices,
+    )
+
+    slices = hudi_file_slices(hudi_path)
+    if not slices:
+        raise FileNotFoundError(
+            f"convert_hudi_to_delta: no completed slices in {hudi_path}"
+        )
+    live = {(part, fid, base) for part, fid, base, _p in slices}
+    if any(k in live for k in _log_files(hudi_path)):
+        raise NotImplementedError(
+            "convert_hudi_to_delta: table has un-compacted MoR log "
+            "files — run hudi_compact first (a Delta snapshot cannot "
+            "express log-merge semantics)"
+        )
+    newest = max(slices, key=lambda s: s[2])[3]
+    with _fs.open_random(newest) as f:
+        arrow = pq.read_schema(f)
+    # Delta schema JSON speaks the protocol's own names, not Spark's
+    # simpleString aliases (int64 must render 'long', not 'bigint')
+    to_delta = {
+        "bigint": "long", "int": "integer", "smallint": "short",
+        "tinyint": "byte",
+    }
+    fields = []
+    for n in arrow.names:
+        if n in META_COLS:
+            continue
+        s = from_arrow_type(arrow.field(n).type).simpleString()
+        fields.append((n, to_delta.get(s, s)))
+    log = _log_path(delta_path)
+    try:
+        if delta_versions(delta_path):
+            raise FileExistsError(
+                f"convert_hudi_to_delta: {delta_path} is already a "
+                "Delta table"
+            )
+    except FileNotFoundError:
+        pass
+    _fs.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _delta_schema_json(fields),
+                "partitionColumns": [],
+                "configuration": {"converted-from": "hudi"},
+                "createdTime": 0,
+            }
+        },
+    ]
+    for _part, _fid, _instant, path in slices:
+        if not _fs.is_uri(path):
+            path = os.path.abspath(path)
+        actions.append(
+            {
+                "add": {
+                    "path": path,
+                    "partitionValues": {},
+                    "size": _fs.file_size(path),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": _parquet_row_count(path)}
+                    ),
+                }
+            }
+        )
+    _write_commit(log, 0, actions)
+    return 0

@@ -1,0 +1,144 @@
+"""Metadata-only table conversion (sources/convert.py): the same
+parquet files exposed through another format's metadata — zero data
+movement, shallow-clone semantics, honest gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_grouper_spark.sources import convert, delta, hudi, iceberg
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_to_iceberg_shares_files(spark, tmp_path):
+    d = str(tmp_path / "dtbl")
+    i = str(tmp_path / "itbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(1)
+    delta.delta_append(spark, df, d)
+    delta.delta_append(
+        spark,
+        spark.createDataFrame([(4, "d")], "id long, v string").coalesce(1),
+        d,
+    )
+    snap = convert.convert_delta_to_iceberg(spark, d, i)
+    assert _rows(iceberg.read_iceberg(spark, i)) == _rows(
+        delta.read_delta(spark, d)
+    )
+    # genuinely zero-copy: no data files under the target
+    import os
+
+    assert not os.path.isdir(os.path.join(i, "data"))
+    # record counts rode over from Delta stats (manifest metadata)
+    parts = iceberg.iceberg_partitions(spark, i).collect()
+    assert sum(r["n_rows"] for r in parts) == 4
+    # the target is a full Iceberg table: its own appends work
+    iceberg.iceberg_append(
+        spark,
+        spark.createDataFrame([(9, "z")], "id long, v string").coalesce(1),
+        i,
+    )
+    assert len(_rows(iceberg.read_iceberg(spark, i))) == 5
+    # ...and do NOT leak back into the Delta source
+    assert len(_rows(delta.read_delta(spark, d))) == 4
+    assert snap == 1
+
+
+def test_delta_to_iceberg_gates(spark, tmp_path):
+    d = str(tmp_path / "dtbl2")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1)
+    delta.delta_append(spark, df, d)
+    delta.delta_delete_where(spark, d, F.col("id") == 1)
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        convert.convert_delta_to_iceberg(
+            spark, d, str(tmp_path / "itbl2")
+        )
+    dp = str(tmp_path / "dtbl3")
+    delta.delta_append(
+        spark,
+        spark.createDataFrame(
+            [(1, "en"), (2, "de")], "id long, lang string"
+        ),
+        dp,
+        partition_by=["lang"],
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        convert.convert_delta_to_iceberg(
+            spark, dp, str(tmp_path / "itbl3")
+        )
+
+
+def test_iceberg_to_delta_shares_files(spark, tmp_path):
+    i = str(tmp_path / "itbl4")
+    d = str(tmp_path / "dtbl4")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(1)
+    iceberg.iceberg_append(spark, df, i)
+    convert.convert_iceberg_to_delta(spark, i, d)
+    assert _rows(delta.read_delta(spark, d)) == _rows(
+        iceberg.read_iceberg(spark, i)
+    )
+    # numRecords stats rode over: delta_partitions sums exactly
+    parts = delta.delta_partitions(spark, d).collect()
+    assert sum(r["n_rows"] for r in parts) == 3
+    # live MoR deletes gate
+    iceberg.iceberg_delete_where(spark, i, F.col("id") == 2)
+    with pytest.raises(NotImplementedError, match="deletes"):
+        convert.convert_iceberg_to_delta(spark, i, str(tmp_path / "d5"))
+
+
+def test_iceberg_identity_partitioned_to_delta(spark, tmp_path):
+    i = str(tmp_path / "itbl6")
+    d = str(tmp_path / "dtbl6")
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en")], "id long, lang string"
+    ).coalesce(1)
+    iceberg.iceberg_append(spark, df, i, partition_spec=[("lang", "identity")])
+    convert.convert_iceberg_to_delta(spark, i, d)
+    # identity partitions: source columns live IN the files, so the
+    # Delta view reads them as plain columns
+    assert _rows(delta.read_delta(spark, d)) == _rows(df)
+
+
+def test_hudi_to_delta_shares_files(spark, tmp_path):
+    h = str(tmp_path / "htbl7")
+    d = str(tmp_path / "dtbl7")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1)
+    hudi.hudi_insert(spark, df, h, record_key="id")
+    hudi.hudi_upsert(
+        spark,
+        spark.createDataFrame([(2, "B")], "id long, v string").coalesce(1),
+        h,
+    )
+    convert.convert_hudi_to_delta(spark, h, d)
+    # _hoodie_* meta columns projected away by the Delta scan schema
+    got = delta.read_delta(spark, d)
+    assert sorted(got.columns) == ["id", "v"]
+    assert _rows(got) == [(1, "a"), (2, "B")]
+
+
+def test_hudi_mor_logs_gate_conversion(spark, tmp_path):
+    h = str(tmp_path / "htbl8")
+    df = spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1)
+    hudi.hudi_insert(
+        spark, df, h, record_key="id", table_type="MERGE_ON_READ"
+    )
+    hudi.hudi_mor_upsert(
+        spark,
+        spark.createDataFrame([(1, "A")], "id long, v string").coalesce(1),
+        h,
+    )
+    with pytest.raises(NotImplementedError, match="MoR log"):
+        convert.convert_hudi_to_delta(spark, h, str(tmp_path / "d8"))
+    # after compaction the conversion goes through
+    hudi.hudi_compact(spark, h)
+    convert.convert_hudi_to_delta(spark, h, str(tmp_path / "d8"))
+    assert _rows(delta.read_delta(spark, str(tmp_path / "d8"))) == [(1, "A")]

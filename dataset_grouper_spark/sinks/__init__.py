@@ -33,6 +33,29 @@ DATA_DIR = "data"
 BUCKET_COL = "bucket_id"
 
 
+def _local_serving_path(path: str) -> str:
+    """The partitioned/bucketed serving layouts stage rewrites in
+    sibling dirs and SWAP them with directory renames — the same
+    atomic-rename primitive Spark streaming checkpoints require.
+    ``file://`` URIs resolve to their local path; rename-incapable
+    backends (s3://, gs://) raise up front instead of failing halfway
+    through a shutil deep inside a rewrite. Keep serving layouts on a
+    local/HDFS-style mount; the lakehouse formats (Delta/Iceberg/Hudi)
+    are the object-store-native storage tier."""
+    from dataset_grouper_spark.compat import fs as _cfs
+
+    if not _cfs.is_uri(path):
+        return path
+    if path.startswith("file://"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    raise NotImplementedError(
+        f"serving layout at {path!r}: backend has no atomic directory "
+        "rename (the swap primitive) — use a local or HDFS-style path"
+    )
+
+
 def bucket_expr(num_buckets: int) -> Column:
     """Deterministic bucket of a group id — engine-portable (crc32 of
     the utf-8 bytes, mod buckets), so ANY reader can recompute the
@@ -105,6 +128,7 @@ def append_partitioned(
     least one file per touched group, so periodically run
     :func:`compact_partitioned` to restore bounded file counts.
     """
+    path = _local_serving_path(path)
     keyed = keys.with_group_key(df, key)
     _require_layout(df.sparkSession, path, "append_partitioned")
     data_path = f"{path}/{DATA_DIR}"
@@ -180,6 +204,7 @@ def compact_partitioned(
     via a metastore pointer instead. Returns
     ``{"files_before", "files_after", "groups", "rows"}``.
     """
+    path = _local_serving_path(path)
     import shutil
 
     from pyspark.sql import Window
@@ -371,6 +396,7 @@ def upsert_partitioned(
     gap with a metadata-pointer commit; on a filesystem layout the
     honest contract is per-group atomicity, whole-upsert resumability.
     """
+    path = _local_serving_path(path)
     import os
     import shutil
 
@@ -479,6 +505,7 @@ def upsert_bucketed(
     is a distributed merge (old rows whose bucket wasn't touched +
     staged counts) — no collect of group counts, no dataset rescan.
     """
+    path = _local_serving_path(path)
     import shutil
 
     from pyspark.sql import Window
@@ -594,6 +621,7 @@ def delete_partitioned(
     removed outright.  GDPR-style erasure ("delete user X everywhere")
     is this op with a key predicate; retention TTL is this op with a
     time predicate."""
+    path = _local_serving_path(path)
     import os
     import shutil
 
@@ -738,6 +766,7 @@ def vacuum_partitioned(path: str) -> dict:
     compact's rename-aside, or a fully-written temp) is the only copy
     — it is RESTORED to ``data/``, never deleted.  Only after data/
     exists are leftovers removed."""
+    path = _local_serving_path(path)
     import os
     import shutil
 
@@ -782,6 +811,7 @@ def write_partitioned(
     (high cardinality). Both write a ``_group_index`` summary so
     the loader lists groups without scanning data.
     """
+    path = _local_serving_path(path)
     keyed = keys.with_group_key(df, key)
     if limit is not None:
         if order_col is None:

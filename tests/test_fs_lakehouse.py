@@ -259,3 +259,35 @@ def test_iceberg_metadata_walk_on_mock_filesystem(mock_fs):
     loaded = iceberg._load_metadata(t)
     assert loaded["table-uuid"] == "u"
     assert iceberg._metadata_files(t) == [mdir + "/v1.metadata.json"]
+
+
+def test_matview_state_uri_contract(spark, tmp_path):
+    """file:// matview state resolves locally; rename-incapable
+    backends raise up front instead of losing swap atomicity."""
+    from dataset_grouper_spark.operators import matview
+
+    t = "file://" + str(tmp_path / "mv")
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "id long, g string")
+    matview.create_materialized_sums(df, ["g"], {"n": F.lit(1)}, t)
+    assert matview.refresh_materialized_sums(
+        spark, df, ["g"], {"n": F.lit(1)}, t
+    )
+    got = spark.read.parquet(str(tmp_path / "mv")).collect()
+    assert got[0]["n"] == 4
+    with pytest.raises(NotImplementedError, match="atomic directory"):
+        matview.create_materialized_sums(
+            df, ["g"], {"n": F.lit(1)}, "s3://bucket/mv"
+        )
+
+
+def test_serving_layout_uri_contract(spark, tmp_path):
+    from dataset_grouper_spark import sinks
+
+    t = "file://" + str(tmp_path / "serve")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, g string, v string"
+    )
+    sinks.write_partitioned(df, F.col("g"), t)
+    assert spark.read.parquet(str(tmp_path / "serve") + "/data").count() == 2
+    with pytest.raises(NotImplementedError, match="atomic directory"):
+        sinks.write_partitioned(df, F.col("g"), "s3://bucket/serve")

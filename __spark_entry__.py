@@ -5572,6 +5572,68 @@ def q_convert_tables_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sync_delta_iceberg_mirror(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous Delta->Iceberg mirroring (sources/convert.py
+    sync_delta_to_iceberg — the UniForm shape): half the corpus lands
+    in Delta and converts; the other half appends on the Delta side in
+    two commits and ONE incremental sync appends exactly the new files
+    to the Iceberg mirror (O(new files) metadata, zero copies). The
+    mirror read must hash-match the full corpus; its first snapshot
+    must still serve only the pre-sync half (stage 1)."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.convert import (
+        convert_delta_to_iceberg,
+        sync_delta_to_iceberg,
+    )
+    from dataset_grouper_spark.sources.delta import delta_append
+    from dataset_grouper_spark.sources.iceberg import read_iceberg
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="sync_mirror_")
+    d = os.path.join(root, "d")
+    i = os.path.join(root, "i")
+    delta_append(spark, docs.filter(F.col("doc_id") % 2 == 0).coalesce(1), d)
+    convert_delta_to_iceberg(spark, d, i)
+    delta_append(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)
+        ).coalesce(1),
+        d,
+    )
+    delta_append(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 != 0)
+        ).coalesce(1),
+        d,
+    )
+    sync_delta_to_iceberg(spark, d, i)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    full = (
+        read_iceberg(spark, i)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    pre = (
+        read_iceberg(spark, i, snapshot_id=1)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return full.unionByName(pre).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
 def q_open_table_dispatch(spark: SparkSession, sf: str) -> DataFrame:
     """Unified table entry point (sources.open_table): the SAME corpus
     split five ways — plain parquet, a hand-less Delta log
@@ -7275,6 +7337,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "hudi_clean_roundtrip": q_hudi_clean_roundtrip,
         "convert_tables_roundtrip": q_convert_tables_roundtrip,
+        "sync_delta_iceberg_mirror": q_sync_delta_iceberg_mirror,
     }
 
 
@@ -7348,6 +7411,7 @@ _QUERY_ORDER: list[str] = [
     "streaming_hudi_sink_partitioned",
     "hudi_clean_roundtrip",
     "convert_tables_roundtrip",
+    "sync_delta_iceberg_mirror",
     "group_counts_rollup",
     "pipeline_c4_style",
     "chunk_tokens_documents",
@@ -8714,6 +8778,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(n_chars) AS BIGINT)
             FROM merged GROUP BY lang
+        """,
+        "sync_delta_iceberg_mirror": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
         """,
         "convert_tables_roundtrip": """
             SELECT s.stage, d.lang,

@@ -395,3 +395,209 @@ def convert_hudi_to_delta(
         )
     _write_commit(log, 0, actions)
     return 0
+
+
+def convert_hudi_to_iceberg(
+    spark: SparkSession, hudi_path: str, iceberg_path: str
+) -> int:
+    """Expose a Hudi table's CoW-resolvable snapshot as a NEW Iceberg
+    table referencing the live base files (Hudi->Delta's twin; the
+    ``_hoodie_*`` columns stay in the files — Iceberg's schema simply
+    does not declare them, and the reader's projection skips them).
+    Gates on un-compacted MoR logs."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from dataset_grouper_spark.sources import iceberg as ice
+    from dataset_grouper_spark.sources.avro import write_avro_file
+    from dataset_grouper_spark.sources.hudi import (
+        META_COLS,
+        _log_files,
+        hudi_file_slices,
+    )
+
+    slices = hudi_file_slices(hudi_path)
+    if not slices:
+        raise FileNotFoundError(
+            f"convert_hudi_to_iceberg: no completed slices in {hudi_path}"
+        )
+    live = {(part, fid, base) for part, fid, base, _p in slices}
+    if any(k in live for k in _log_files(hudi_path)):
+        raise NotImplementedError(
+            "convert_hudi_to_iceberg: table has un-compacted MoR log "
+            "files — run hudi_compact first"
+        )
+    newest = max(slices, key=lambda s: s[2])[3]
+    with _fs.open_random(newest) as f:
+        arrow = pq.read_schema(f)
+    fields = []
+    fid = 0
+    for n in arrow.names:
+        if n in META_COLS:
+            continue
+        fid += 1
+        fields.append(
+            {
+                "id": fid,
+                "name": n,
+                "required": False,
+                "type": ice._iceberg_type(
+                    from_arrow_type(arrow.field(n).type).simpleString()
+                ),
+            }
+        )
+    mdir = os.path.join(iceberg_path, "metadata")
+    if _fs.is_dir(mdir) and any(
+        n.endswith(".metadata.json") for n in _fs.listdir(mdir)
+    ):
+        raise FileExistsError(
+            f"convert_hudi_to_iceberg: {iceberg_path} is already an "
+            "Iceberg table"
+        )
+    _fs.makedirs(mdir)
+    entries = []
+    for _part, _f, _instant, path in slices:
+        if not _fs.is_uri(path):
+            path = os.path.abspath(path)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": _parquet_row_count(path),
+                    "file_size_in_bytes": _fs.file_size(path),
+                    "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+    ice_meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": iceberg_path,
+        "current-snapshot-id": None,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [],
+        "properties": {"converted-from": "hudi"},
+    }
+    mpath = os.path.join(mdir, f"m-1-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, ice._MANIFEST_SCHEMA, entries)
+    return ice._commit_snapshot(
+        iceberg_path,
+        ice_meta,
+        1,
+        mpath,
+        content=0,
+        summary={"operation": "convert", "source": "hudi"},
+    )
+
+
+def sync_delta_to_iceberg(
+    spark: SparkSession, delta_path: str, iceberg_path: str
+) -> int | None:
+    """INCREMENTAL refresh of a Delta->Iceberg conversion (the UniForm
+    shape: the Iceberg view continuously mirrors the Delta table):
+    files the Delta snapshot added since the last sync append as a new
+    Iceberg snapshot referencing them — O(new files) metadata, zero
+    data movement. Returns the new snapshot id, or None when already
+    in sync.
+
+    Append-only contract, enforced: if the Delta side REMOVED a file
+    the Iceberg view still references (delete/optimize/restore), the
+    mirror cannot be expressed as an append and raises — re-run
+    :func:`convert_delta_to_iceberg` into a fresh location (or compact
+    the target) instead of silently serving dropped rows."""
+    from dataset_grouper_spark.sources import iceberg as ice
+    from dataset_grouper_spark.sources.avro import write_avro_file
+    from dataset_grouper_spark.sources.delta import (
+        _latest_version,
+        _replay,
+        _table_abs,
+    )
+
+    latest = _latest_version(delta_path)
+    if latest is None:
+        raise FileNotFoundError(f"empty Delta log: {delta_path}")
+    adds, meta = _replay(spark, delta_path, latest)
+    if any(a.get("deletionVector") for a in adds.values()):
+        raise NotImplementedError(
+            "sync_delta_to_iceberg: live deletion vectors — purge first"
+        )
+    table_abs = _table_abs(delta_path)
+    want = {}
+    for rel, a in adds.items():
+        want[_abs_under(table_abs, rel)] = a
+    ice_meta = ice._load_metadata(iceberg_path)
+    snap = next(
+        s
+        for s in ice_meta["snapshots"]
+        if s["snapshot-id"] == ice_meta["current-snapshot-id"]
+    )
+    have_files, _d, _n, _e = ice._live_files(iceberg_path, snap)
+    have = {p for p, _seq in have_files}
+    dropped = sorted(have - set(want))
+    if dropped:
+        raise ValueError(
+            f"sync_delta_to_iceberg: the Delta table no longer "
+            f"references {len(dropped)} file(s) the Iceberg mirror "
+            f"serves (first: {dropped[0]!r}) — a remove cannot sync "
+            "as an append; re-convert to a fresh location"
+        )
+    new = sorted(set(want) - have)
+    if not new:
+        return None
+    entries = []
+    for path in new:
+        a = want[path]
+        n = None
+        if a.get("stats"):
+            try:
+                n = int(json.loads(a["stats"]).get("numRecords"))
+            except (TypeError, ValueError):
+                n = None
+        if n is None:
+            n = _parquet_row_count(path)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": int(a.get("size") or 0),
+                    "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+    mdir = os.path.join(iceberg_path, "metadata")
+    snap_id = (
+        max(s["snapshot-id"] for s in ice_meta["snapshots"]) + 1
+    )
+    mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, ice._MANIFEST_SCHEMA, entries)
+    return ice._commit_snapshot(
+        iceberg_path,
+        ice_meta,
+        snap_id,
+        mpath,
+        content=0,
+        summary={
+            "operation": "sync",
+            "source": "delta",
+            "source-version": str(latest),
+        },
+    )

@@ -142,3 +142,44 @@ def test_hudi_mor_logs_gate_conversion(spark, tmp_path):
     hudi.hudi_compact(spark, h)
     convert.convert_hudi_to_delta(spark, h, str(tmp_path / "d8"))
     assert _rows(delta.read_delta(spark, str(tmp_path / "d8"))) == [(1, "A")]
+
+
+def test_hudi_to_iceberg_shares_files(spark, tmp_path):
+    h = str(tmp_path / "htbl9")
+    i = str(tmp_path / "itbl9")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1)
+    hudi.hudi_insert(spark, df, h, record_key="id")
+    convert.convert_hudi_to_iceberg(spark, h, i)
+    got = iceberg.read_iceberg(spark, i)
+    assert sorted(got.columns) == ["id", "v"]
+    assert _rows(got) == [(1, "a"), (2, "b")]
+
+
+def test_sync_delta_to_iceberg_incremental(spark, tmp_path):
+    d = str(tmp_path / "dsync")
+    i = str(tmp_path / "isync")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, v string"
+    ).coalesce(1)
+    delta.delta_append(spark, mk([(1, "a")]), d)
+    convert.convert_delta_to_iceberg(spark, d, i)
+    # nothing new: no-op
+    assert convert.sync_delta_to_iceberg(spark, d, i) is None
+    # two appends on the Delta side, one sync: ONLY the new files land
+    delta.delta_append(spark, mk([(2, "b")]), d)
+    delta.delta_append(spark, mk([(3, "c")]), d)
+    snap = convert.sync_delta_to_iceberg(spark, d, i)
+    assert snap == 2
+    assert _rows(iceberg.read_iceberg(spark, i)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # the mirror keeps its own history: snapshot 1 is still the
+    # original converted file set
+    assert _rows(iceberg.read_iceberg(spark, i, snapshot_id=1)) == [(1, "a")]
+    # a Delta-side remove breaks the append-only mirror contract loudly
+    delta.delta_delete_where(spark, d, F.col("id") == 1)
+    delta.delta_optimize(spark, d)  # purge the DV by rewrite
+    with pytest.raises((ValueError, NotImplementedError)):
+        convert.sync_delta_to_iceberg(spark, d, i)

@@ -732,6 +732,11 @@ def _read_mor(
 
     props = _table_props(table_path)
     record_key = props["hoodie.table.recordkey.fields"]
+    part_cols = (
+        props.get("hoodie.table.partition.fields", "").split(",")
+        if props.get("hoodie.table.partition.fields")
+        else []
+    )
     slices = hudi_file_slices(table_path, as_of)
     if not slices:
         raise ValueError(
@@ -771,7 +776,12 @@ def _read_mor(
                     F.col(record_key)
                     .cast("string")
                     .alias("_hoodie_record_key"),
-                    F.lit("").alias("_hoodie_partition_path"),
+                    # partition path from the row's own partition
+                    # columns — identity is NON-GLOBAL (key, partition),
+                    # same as the CoW upsert's index semantics
+                    _part_path_col(part_cols).alias(
+                        "_hoodie_partition_path"
+                    ),
                     F.lit("").alias("_hoodie_file_name"),
                     F.col(_MOR_OP),
                     F.col(_MOR_INSTANT),
@@ -781,9 +791,9 @@ def _read_mor(
             .withColumn(
                 "_rn",
                 F.row_number().over(
-                    Window.partitionBy("_hoodie_record_key").orderBy(
-                        F.desc(_MOR_INSTANT)
-                    )
+                    Window.partitionBy(
+                        "_hoodie_record_key", "_hoodie_partition_path"
+                    ).orderBy(F.desc(_MOR_INSTANT))
                 ),
             )
             .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))
@@ -914,21 +924,28 @@ def hudi_mor_upsert(
             f"hudi_mor_upsert: record key {record_key!r} not in frame"
         )
     user_cols = list(df.columns)
-    tagged = df.withColumn("__k", F.col(record_key).cast("string"))
+    tagged = df.withColumns(
+        {
+            "__k": F.col(record_key).cast("string"),
+            "__p": _part_path_col(part_cols),
+        }
+    )
     if (
-        tagged.groupBy("__k").count().filter(F.col("count") > 1)
+        tagged.groupBy("__k", "__p").count().filter(F.col("count") > 1)
         .limit(1).count() > 0
     ):
-        raise ValueError("hudi_mor_upsert: source has duplicate keys")
+        raise ValueError("hudi_mor_upsert: source has duplicate identities")
     instant = _next_instant(table_path)
     groups, slices = _touched_group_map(spark, table_path)
     stats: dict[str, list[dict]] = {}
     if groups is not None:
-        matched = tagged.join(groups, "__k")
+        # non-global index: (key, partition) identity, CoW-parity
+        groups = groups.withColumnRenamed("__part", "__p")
+        matched = tagged.join(groups, ["__k", "__p"])
         log_rows = matched.select(
             F.lit("u").alias(_MOR_OP),
             F.lit(instant).alias(_MOR_INSTANT),
-            "__part",
+            F.col("__p").alias("__part"),
             "__fid",
             "__base",
             *user_cols,
@@ -940,7 +957,9 @@ def hudi_mor_upsert(
             _mor_avro_schema(df.schema),
             user_cols,
         )
-        inserts = tagged.join(groups, "__k", "left_anti").select(*user_cols)
+        inserts = tagged.join(groups, ["__k", "__p"], "left_anti").select(
+            *user_cols
+        )
     else:
         inserts = df
     if inserts.limit(1).count() > 0:
@@ -965,9 +984,21 @@ def hudi_mor_delete(
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise ValueError("hudi_mor_delete: table is not MERGE_ON_READ")
     record_key = props["hoodie.table.recordkey.fields"]
+    part_cols = (
+        props.get("hoodie.table.partition.fields", "").split(",")
+        if props.get("hoodie.table.partition.fields")
+        else []
+    )
     if record_key not in keys_df.columns:
         raise ValueError(
             f"hudi_mor_delete: record key {record_key!r} not in frame"
+        )
+    missing = [c for c in part_cols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(
+            f"hudi_mor_delete: non-global index — the key frame must "
+            f"carry the partition columns {missing} to name the "
+            "(key, partition) identities to delete"
         )
     instant = _next_instant(table_path)
     groups, _slices = _touched_group_map(spark, table_path)
@@ -979,18 +1010,25 @@ def hudi_mor_delete(
     user_cols = list(sample.columns)
     tagged = keys_df.select(
         F.col(record_key).cast("string").alias("__k"),
+        _part_path_col(part_cols).alias("__p"),
         F.col(record_key).alias("__key_typed"),
+        *[F.col(c).alias(f"__pv_{c}") for c in part_cols],
     ).distinct()
-    matched = tagged.join(groups, "__k")
+    groups = groups.withColumnRenamed("__part", "__p")
+    matched = tagged.join(groups, ["__k", "__p"])
     log_rows = matched.select(
         F.lit("d").alias(_MOR_OP),
         F.lit(instant).alias(_MOR_INSTANT),
-        "__part",
+        F.col("__p").alias("__part"),
         "__fid",
         "__base",
         *[
             F.col("__key_typed").alias(c)
             if c == record_key
+            # partition columns carry their REAL values: the read-side
+            # identity (key, partition path) is derived from them
+            else F.col(f"__pv_{c}").alias(c)
+            if c in part_cols
             else F.lit(None).cast(sample.schema[c].dataType).alias(c)
             for c in user_cols
         ],

@@ -333,3 +333,45 @@ def test_hudi_clean_reaps_compacted_logs(spark, tmp_path):
     with open(stray, "wb") as f:
         f.write(b"x")
     assert hudi.hudi_clean(t, dry_run=True) == []
+
+
+def test_mor_partitioned_nonglobal_identity(spark, tmp_path):
+    """MoR identity is (key, partition), matching the CoW upsert's
+    non-global index: updating (1, en) must not touch (1, de), and a
+    delete must name its partition."""
+    t = str(tmp_path / "mor_part")
+    df = spark.createDataFrame(
+        [(1, "en", "x"), (1, "de", "y"), (2, "en", "z")],
+        "id long, lang string, v string",
+    ).coalesce(1)
+    hudi.hudi_insert(
+        spark, df, t, record_key="id", partition_by=["lang"],
+        table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "en", "X!")], "id long, lang string, v string"
+        ).coalesce(1),
+        t,
+    )
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "de", "y"), (1, "en", "X!"), (2, "en", "z")]
+    # delete requires the partition columns (non-global index)
+    with pytest.raises(ValueError, match="partition columns"):
+        hudi.hudi_mor_delete(
+            spark,
+            spark.createDataFrame([(1,)], "id long"),
+            t,
+        )
+    hudi.hudi_mor_delete(
+        spark,
+        spark.createDataFrame([(1, "en")], "id long, lang string"),
+        t,
+    )
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "de", "y"), (2, "en", "z")]
+    # compaction preserves the partitioned merge
+    hudi.hudi_compact(spark, t)
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "de", "y"), (2, "en", "z")]

@@ -49,7 +49,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession

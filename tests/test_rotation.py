@@ -59,3 +59,32 @@ def test_readme_query_count_is_current():
         f"README query count is stale; update it to {n}"
     )
     assert f"{n - 1} of {n} are" in readme
+
+
+def test_rotation_green_semantics():
+    """The tool's 'green' predicate: hash-green rows count, failed or
+    error rows do not, and rows-only queries count on a recorded
+    spark_rows."""
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "err": None}
+    bad_hash = dict(ok, hash_match=False)
+    errored = dict(ok, err="boom")
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5, "err": "no_oracle"}
+    rows_only_dead = dict(rows_only, spark_rows=None)
+    assert rotation._green(ok)
+    assert not rotation._green(bad_hash)
+    assert not rotation._green(errored)
+    assert rotation._green(rows_only)
+    assert not rotation._green(rows_only_dead)
+
+
+def test_rotation_order_policy():
+    """Never-green first (registry order), then stalest-first."""
+    import unittest.mock as mock
+
+    names = ["a", "b", "c", "d"]
+    with mock.patch.object(
+        rotation, "last_green_rounds", return_value={"b": 7, "d": 4}
+    ):
+        assert rotation.compute_order(names) == ["a", "c", "d", "b"]

@@ -375,3 +375,35 @@ def test_mor_partitioned_nonglobal_identity(spark, tmp_path):
     hudi.hudi_compact(spark, t)
     got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
     assert got == [(1, "de", "y"), (2, "en", "z")]
+
+
+def test_mor_multiple_logs_latest_instant_wins(spark, tmp_path):
+    """A file group carrying SEVERAL log files must merge them in
+    instant order — the newest upsert of a key wins across logs, a
+    delete in a later log beats an earlier upsert, and a re-upsert
+    after a delete resurrects the key."""
+    t = str(tmp_path / "mor_multi")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "v0"), (2, "v0"), (3, "v0")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(1, "v1"), (2, "v1")]), t)
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(1, "v2")]), t)
+    hudi.hudi_mor_delete(spark, _mk(spark, [(2, "x")]).select("id"), t)
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(2, "v3")]), t)  # resurrect
+    # four logs on one group
+    logs = hudi._log_files(t)
+    assert sum(len(v) for v in logs.values()) == 4
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "v2"), (2, "v3"), (3, "v0")]
+    # time travel threads the same ordering at each instant
+    tl = [ts for ts, a, s in hudi.hudi_timeline(t)
+          if s == "completed" and a in ("commit", "deltacommit")]
+    tl.sort()
+    assert sorted(
+        tuple(r) for r in hudi.read_hudi(spark, t, as_of=tl[3]).collect()
+    ) == [(1, "v2"), (3, "v0")]  # post-delete, pre-resurrect
+    # compaction folds all four logs into one new slice, same result
+    hudi.hudi_compact(spark, t)
+    got2 = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got2 == got

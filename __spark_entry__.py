@@ -7343,56 +7343,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
-    "rolling_window_events",
-    "quality_quarantine_documents",
-    "audio_g711_features",
-    "kmv_distinct_events",
-    "triangle_suppliers",
-    "bfs_suppliers",
-    "entity_match_customers",
-    "entity_clusters_customers",
-    "scd2_user_events",
-    "scd2_apply_events",
-    "spatial_radius_pairs",
-    "avro_roundtrip",
-    "orc_roundtrip",
-    "iceberg_time_travel",
-    "delta_change_feed",
-    "delta_restore_timestamp",
-    "hudi_upsert_roundtrip",
-    "open_table_dispatch",
-    "delta_time_travel",
-    "tfrecord_gzip_roundtrip",
-    "tpch_q19_disjunctive_revenue",
-    "group_counts_cube",
-    "tpch_q22_global_sales",
-    "tpch_q10_returned_items",
-    "tpch_q21_waiting_supplier",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "embedding_centroids",
-    "topn_per_group_events",
-    "value_histogram_events",
-    "value_correlation_events",
-    "zorder_layout_roundtrip",
-    "tpch_q8_market_share",
-    "tpch_q12_priority_shipping",
-    "pivot_lang_by_source",
-    "upsert_roundtrip",
-    "jsonl_roundtrip",
-    "csv_roundtrip",
-    "unpivot_lang_counts",
-    "docs_except_intersect",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "tpch_q9_product_profit",
-    "tpch_q20_excess_suppliers",
-    "chunk_sliding_documents",
-    "equidepth_events",
-    "lm_score_documents",
-    "drift_documents",
-    "weighted_sample_documents",
-    "bpe_token_counts_documents",
     "contrastive_negatives_documents",
     "lm_tiered_documents",
     "vocab_index_documents",
@@ -7548,6 +7498,56 @@ _QUERY_ORDER: list[str] = [
     "delta_zorder_skipping",
     "iceberg_partitioned_write",
     "delta_merge_roundtrip",
+    "rolling_window_events",
+    "quality_quarantine_documents",
+    "audio_g711_features",
+    "kmv_distinct_events",
+    "triangle_suppliers",
+    "bfs_suppliers",
+    "entity_match_customers",
+    "entity_clusters_customers",
+    "scd2_user_events",
+    "scd2_apply_events",
+    "spatial_radius_pairs",
+    "avro_roundtrip",
+    "orc_roundtrip",
+    "iceberg_time_travel",
+    "delta_change_feed",
+    "delta_restore_timestamp",
+    "hudi_upsert_roundtrip",
+    "open_table_dispatch",
+    "delta_time_travel",
+    "tfrecord_gzip_roundtrip",
+    "tpch_q19_disjunctive_revenue",
+    "group_counts_cube",
+    "tpch_q22_global_sales",
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_supplier",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "embedding_centroids",
+    "topn_per_group_events",
+    "value_histogram_events",
+    "value_correlation_events",
+    "zorder_layout_roundtrip",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_shipping",
+    "pivot_lang_by_source",
+    "upsert_roundtrip",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "unpivot_lang_counts",
+    "docs_except_intersect",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q9_product_profit",
+    "tpch_q20_excess_suppliers",
+    "chunk_sliding_documents",
+    "equidepth_events",
+    "lm_score_documents",
+    "drift_documents",
+    "weighted_sample_documents",
+    "bpe_token_counts_documents",
 ]
 # --- END GENERATED _QUERY_ORDER ---
 

@@ -79,6 +79,63 @@ def test_rotation_green_semantics():
     assert not rotation._green(rows_only_dead)
 
 
+def test_boundary_proof_manifest():
+    """VERDICT r8 'What's wrong' #1: an untracked CORRECTNESS file the
+    driver drops AFTER the final commit must not change the computed
+    order — history is pinned by the committed manifest, and only
+    ``--update`` (the round-start ritual) repins it."""
+    import json
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        os.mkdir(os.path.join(tmp, "tools"))
+        # committed state: one history file, pinned by the manifest
+        shutil.copy(
+            os.path.join(REPO, "CORRECTNESS_r01.json"),
+            os.path.join(tmp, "CORRECTNESS_r01.json"),
+        )
+        rotation.refresh_manifest(tmp)
+        before = rotation.last_green_rounds(tmp)
+        # driver drops a new, untracked record at the round boundary
+        with open(os.path.join(tmp, "CORRECTNESS_r99.json"), "w") as f:
+            json.dump(
+                {"zz_new": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None}}, f
+            )
+        assert rotation.last_green_rounds(tmp) == before, (
+            "unpinned CORRECTNESS file leaked into the rotation input"
+        )
+        # the ritual repins and the new record takes effect
+        rotation.refresh_manifest(tmp)
+        after = rotation.last_green_rounds(tmp)
+        assert after["zz_new"] == 99
+
+
+def test_manifest_pins_current_history():
+    """The committed manifest must list exactly the CORRECTNESS files
+    tracked at commit time (the ritual keeps this current)."""
+    import glob
+    import json
+
+    with open(os.path.join(REPO, "tools", "rotation_manifest.json")) as f:
+        pinned = set(json.load(f)["correctness_files"])
+    tracked = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    }
+    # Pinned ⊆ present always; present-but-unpinned is only legal for
+    # a file newer than every pinned one (the boundary artifact).
+    assert pinned <= tracked
+    extra = tracked - pinned
+    if extra:
+        newest_pinned = max(pinned)
+        assert all(n > newest_pinned for n in extra), (
+            f"stale manifest: run python tools/rotation.py --update "
+            f"(unpinned: {sorted(extra)})"
+        )
+
+
 def test_rotation_order_policy():
     """Never-green first (registry order), then stalest-first."""
     import unittest.mock as mock

@@ -5,7 +5,12 @@ round.  Hand-maintained ordering comments failed to keep the rotation
 honest twice (r6, r7 verdicts), so the order is now computed from the
 committed record itself:
 
-* read every ``CORRECTNESS_r*.json`` in the repo root;
+* read the ``CORRECTNESS_r*.json`` files pinned in the committed
+  manifest ``tools/rotation_manifest.json`` (``--update`` refreshes the
+  manifest to every such file present, so the round-start ritual picks
+  up the driver's new record; files the driver drops *untracked after*
+  the last commit cannot silently shift the committed order — VERDICT
+  r8 "What's wrong" #1);
 * a query's *last green round* is the newest round whose record shows
   ``rows_match & schema_match & hash_match`` with no ``err`` (for
   rows-only queries — ``err == "no_oracle"`` — a recorded non-null
@@ -69,10 +74,45 @@ def _green(rec: dict) -> bool:
     )
 
 
+def _manifest_path(repo: str = REPO) -> str:
+    return os.path.join(repo, "tools", "rotation_manifest.json")
+
+
+def history_files(repo: str = REPO) -> list[str]:
+    """CORRECTNESS files to consult, pinned by the committed manifest.
+
+    Falls back to a repo-root glob when no manifest exists (first run /
+    legacy checkouts).  Manifest entries that have since been deleted
+    are skipped rather than erroring.
+    """
+    manifest = _manifest_path(repo)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            names = json.load(f)["correctness_files"]
+        return [
+            p
+            for p in (os.path.join(repo, n) for n in sorted(names))
+            if os.path.exists(p)
+        ]
+    return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+
+
+def refresh_manifest(repo: str = REPO) -> list[str]:
+    """Repin the manifest to every CORRECTNESS file currently present."""
+    names = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    )
+    with open(_manifest_path(repo), "w") as f:
+        json.dump({"correctness_files": names}, f, indent=1)
+        f.write("\n")
+    return names
+
+
 def last_green_rounds(repo: str = REPO) -> dict[str, int]:
     """Map query name -> newest round with a green driver row."""
     out: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in history_files(repo):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -130,6 +170,7 @@ def main() -> int:
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
     if args.update:
+        refresh_manifest()
         changed = update_entry_file()
         print("updated" if changed else "already current")
         return 0

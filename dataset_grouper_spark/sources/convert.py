@@ -520,6 +520,7 @@ def sync_delta_to_iceberg(
     from dataset_grouper_spark.sources.avro import write_avro_file
     from dataset_grouper_spark.sources.delta import (
         _latest_version,
+        _physical_names,
         _replay,
         _table_abs,
     )
@@ -528,6 +529,23 @@ def sync_delta_to_iceberg(
     if latest is None:
         raise FileNotFoundError(f"empty Delta log: {delta_path}")
     adds, meta = _replay(spark, delta_path, latest)
+    # the same expressibility gates convert_delta_to_iceberg enforces —
+    # the Delta table can GROW these properties between syncs (enable
+    # column mapping, repartition), and appending such files would give
+    # the Iceberg reader parquet columns its schema cannot resolve
+    if list(meta.get("partitionColumns") or []):
+        raise NotImplementedError(
+            "sync_delta_to_iceberg: partitioned Delta tables keep "
+            "partition columns outside the data files — an Iceberg "
+            "reader of the shared files would lose them"
+        )
+    phys = _physical_names(meta)
+    if any(phys[n] != n for n in phys):
+        raise NotImplementedError(
+            "sync_delta_to_iceberg: column-mapped Delta tables store "
+            "physical col-<id> names the Iceberg schema would not "
+            "resolve"
+        )
     if any(a.get("deletionVector") for a in adds.values()):
         raise NotImplementedError(
             "sync_delta_to_iceberg: live deletion vectors — purge first"

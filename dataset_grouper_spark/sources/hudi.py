@@ -181,6 +181,29 @@ def hudi_file_slices(
         cur = best.get((part, fid))
         if cur is None or instant > cur[0]:
             best[(part, fid)] = (instant, path)
+    if as_of is not None:
+        # Time travel must not silently SHRINK: a clean that reaped a
+        # group's only base slice at/before as_of used to just drop
+        # that group from the snapshot (listing-based discovery skips
+        # missing files). The commit metadata itself says which file
+        # groups the as_of snapshot should serve — any of them with no
+        # surviving base file means the slice was cleaned, so raise
+        # like the hudi_clean docstring promises.
+        expected: set[tuple[str, str]] = set()
+        for _ts, meta in commits.items():
+            for part, wstats in (
+                meta.get("partitionToWriteStats") or {}
+            ).items():
+                for w in wstats:
+                    expected.add((part, w["fileId"]))
+        missing = expected - replaced - set(best)
+        if missing:
+            raise ValueError(
+                f"read_hudi: time travel to as_of={as_of!r} needs file "
+                f"slices a clean has removed — file groups with no "
+                f"surviving base file at that instant: "
+                f"{sorted(missing)[:5]}"
+            )
     return sorted(
         (part, fid, instant, path)
         for (part, fid), (instant, path) in best.items()
@@ -339,6 +362,16 @@ def _stage_and_place(
     return stats
 
 
+def _claim_instant(table_path: str, instant: str, action: str) -> None:
+    """Exclusive, action-agnostic claim of ``instant``: the single
+    serialization point for every completed-marker write (commits,
+    deltacommits, cleans). Raises FileExistsError when another writer
+    already owns the instant, whatever its action."""
+    claim = os.path.join(_hoodie_path(table_path), f".{instant}.claim")
+    with _fs.open_create(claim) as f:
+        f.write(action.encode())
+
+
 def _commit(
     table_path: str,
     instant: str,
@@ -354,15 +387,21 @@ def _commit(
         "partitionToWriteStats": stats,
         "operationType": operation,
     }
-    # completed marker is the atomic claim: exclusive create. Losing
-    # the race means ANOTHER writer completed this instant — our
-    # already-placed base files carry the same instant time and would
-    # be attributed to the winner's commit on every later read, so
-    # delete them before surfacing the conflict (mirrors the
-    # hudi_lite streaming writer's abort cleanup).
+    # The atomic claim is an exclusive create of an ACTION-AGNOSTIC
+    # marker (.{instant}.claim): two writers racing on the same instant
+    # with DIFFERENT actions (hudi_upsert's 'commit' vs
+    # hudi_mor_upsert's 'deltacommit', compaction vs a streaming
+    # insert) would both win an action-NAMED exclusive create, leaving
+    # two completed commits sharing one instant time and each other's
+    # files cross-attributed on later reads. Losing the claim means
+    # ANOTHER writer owns this instant — our already-placed base files
+    # carry the same instant time and would be attributed to the
+    # winner's commit on every later read, so delete them before
+    # surfacing the conflict (mirrors the hudi_lite streaming writer's
+    # abort cleanup). The dotfile name keeps the claim invisible to
+    # hudi_timeline's introspection.
     try:
-        with _fs.open_create(os.path.join(hp, f"{instant}.{action}")) as f:
-            f.write(json.dumps(body).encode())
+        _claim_instant(table_path, instant, action)
     except FileExistsError:
         for wstats in stats.values():
             for w in wstats:
@@ -374,6 +413,8 @@ def _commit(
             f"hudi: lost the commit race at instant {instant} — placed "
             "files were removed; re-run against the new table state"
         )
+    # claim won: the completed-marker write is race-free by construction
+    _fs.write_text(os.path.join(hp, f"{instant}.{action}"), json.dumps(body))
     return instant
 
 
@@ -1159,6 +1200,9 @@ def hudi_clean(table_path: str, dry_run: bool = False) -> list[str]:
     hp = _hoodie_path(table_path)
     for suffix in ("clean.requested", "clean.inflight"):
         _fs.write_text(os.path.join(hp, f"{instant}.{suffix}"), "{}")
+    # serialize on the same action-agnostic claim the writers use —
+    # a clean racing a commit on one instant must not interleave
+    _claim_instant(table_path, instant, "clean")
     _fs.write_text(
         os.path.join(hp, f"{instant}.clean"),
         json.dumps({"deleted": doomed}),

@@ -183,3 +183,63 @@ def test_sync_delta_to_iceberg_incremental(spark, tmp_path):
     delta.delta_optimize(spark, d)  # purge the DV by rewrite
     with pytest.raises((ValueError, NotImplementedError)):
         convert.sync_delta_to_iceberg(spark, d, i)
+
+
+def test_sync_gates_match_convert_gates(spark, tmp_path):
+    """ADVICE r8: sync_delta_to_iceberg must enforce the SAME
+    expressibility gates as convert_delta_to_iceberg — a partitioned
+    or column-mapped Delta table cannot append into a flat Iceberg
+    mirror without the reader losing/mistyping columns."""
+    import json
+    import os
+
+    # partitioned Delta table: gate fires before any Iceberg IO
+    dp = str(tmp_path / "dsync_part")
+    delta.delta_append(
+        spark,
+        spark.createDataFrame([(1, "en"), (2, "de")], "id long, lang string"),
+        dp,
+        partition_by=["lang"],
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        convert.sync_delta_to_iceberg(spark, dp, str(tmp_path / "i_nope"))
+
+    # column-mapped Delta table (hand-rolled log, physical col-* names)
+    dm = str(tmp_path / "dsync_mapped")
+    log = os.path.join(dm, "_delta_log")
+    os.makedirs(log)
+    schema = {
+        "type": "struct",
+        "fields": [{
+            "name": "id", "type": "long", "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaa",
+            },
+        }],
+    }
+    meta = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-00000000sync",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    spark.createDataFrame([(1,)], "`col-aaa` long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dm, "_stage"))
+    import glob as _glob
+    import shutil as _shutil
+
+    src = _glob.glob(os.path.join(dm, "_stage", "part-*.parquet"))[0]
+    _shutil.move(src, os.path.join(dm, "f0.parquet"))
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps(meta) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        convert.sync_delta_to_iceberg(spark, dm, str(tmp_path / "i_nope2"))

@@ -421,3 +421,21 @@ def test_bipartite_knn_cap_plan_broadcasts_hot_keys(spark):
     out = graph.bipartite_knn(df, "g", "m", 2, max_right_fanout=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bipartite_knn_uncapped_streams_no_adjacency_buffer(spark):
+    """ADVICE r8: with no fanout cap the adjacency-list plan would
+    buffer an entire hot key's partner set in one task (collect_set ->
+    OOM on a pathological key). The uncapped path must take the
+    join-based plan, which streams any fanout through shuffles."""
+    from dataset_grouper_spark.plans import plan_text
+
+    df = spark.createDataFrame(BIPARTITE, "g: long, m: long")
+    uncapped = graph.bipartite_knn(df, "g", "m", 2)
+    capped = graph.bipartite_knn(df, "g", "m", 2, max_right_fanout=100)
+    assert "collect_set" not in plan_text(uncapped, "simple")
+    assert "collect_set" in plan_text(capped, "simple")
+    # same answer from both plans on a fixture no cap actually drops
+    got_u = {(r["src"], r["dst"]) for r in uncapped.collect()}
+    got_c = {(r["src"], r["dst"]) for r in capped.collect()}
+    assert got_u == got_c == _brute_knn(BIPARTITE, 2)

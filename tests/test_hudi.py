@@ -303,10 +303,10 @@ def test_hudi_clean_removes_superseded_slices(spark, tmp_path):
     removed = hudi.hudi_clean(t)
     assert removed == doomed
     # latest snapshot unaffected; time travel to the cleaned instant
-    # now has no slices
+    # raises, naming the cleaned-slice cause (ADVICE r8)
     got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
     assert got == [(1, "a"), (2, "B")]
-    with pytest.raises(ValueError, match="no completed file slices"):
+    with pytest.raises(ValueError, match="clean has removed"):
         hudi.read_hudi(spark, t, as_of=pre)
     # a clean marker landed on the timeline; nothing left to clean
     assert any(a == "clean" for _t, a, s in hudi.hudi_timeline(t))
@@ -407,3 +407,50 @@ def test_mor_multiple_logs_latest_instant_wins(spark, tmp_path):
     hudi.hudi_compact(spark, t)
     got2 = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
     assert got2 == got
+
+
+def test_clean_then_time_travel_partial_raises(spark, tmp_path):
+    """ADVICE r8 (medium): after a clean, time travel to an instant
+    whose slice for SOME group was reaped must raise — not silently
+    serve the surviving groups as a shrunken snapshot."""
+    t = str(tmp_path / "hclean3")
+    i1 = hudi.hudi_insert(spark, _mk(spark, [(1, "a")]), t, record_key="id")
+    hudi.hudi_insert(spark, _mk(spark, [(2, "b")]), t, record_key="id")
+    # rewrite ONLY group 1's slice, then reap the superseded file
+    hudi.hudi_upsert(spark, _mk(spark, [(1, "A")]), t)
+    removed = hudi.hudi_clean(t)
+    assert len(removed) == 1 and i1 in removed[0]
+    # latest snapshot intact
+    assert _rows(spark, t) == [(1, "A"), (2, "b")]
+    # as_of=i1: group 2 did not exist yet; group 1's slice is gone.
+    # The old listing-based discovery returned [] rows for group 1 and
+    # nothing else -> here EVERY expected group is missing, but the
+    # dedicated message must name the cleaned-slice cause.
+    with pytest.raises(ValueError, match="clean has removed"):
+        hudi.read_hudi(spark, t, as_of=i1)
+    # the partial-shrink case proper: i2 expects BOTH groups; group 2
+    # survives, group 1's i1 slice is cleaned -> raise, never 1 row
+    i2 = sorted(ts for ts, a, s in hudi.hudi_timeline(t) if s == "completed")[1]
+    with pytest.raises(ValueError, match="clean has removed"):
+        hudi.read_hudi(spark, t, as_of=i2)
+
+
+def test_commit_race_cross_action_aborts(spark, tmp_path):
+    """ADVICE r8: two writers racing one instant with DIFFERENT
+    actions must not both complete — the claim is action-agnostic."""
+    t = str(tmp_path / "hrace")
+    hudi.hudi_insert(spark, _mk(spark, [(1, "a")]), t, record_key="id")
+    nxt = hudi._next_instant(t)
+    # a rival writer (different action) already owns the next instant
+    hudi._claim_instant(t, nxt, "deltacommit")
+    with pytest.raises(RuntimeError, match="lost the commit race"):
+        hudi.hudi_upsert(spark, _mk(spark, [(1, "A")]), t)
+    # the loser's placed files were removed: no base file at the
+    # contested instant, table still serves the original rows
+    assert not any(
+        inst == nxt for _p, _f, inst, _path in hudi._base_files(t)
+    )
+    assert _rows(spark, t) == [(1, "a")]
+    # same-action races still lose the claim too
+    with pytest.raises(FileExistsError):
+        hudi._claim_instant(t, nxt, "deltacommit")

@@ -132,18 +132,24 @@ def table_format(path: str) -> str:
     markers: 'delta' (``_delta_log/``), 'hudi' (``.hoodie/``),
     'iceberg' (``metadata/*.metadata.json``), 'snapshots' (this
     engine's ``_snapshots/`` manifest store), else 'parquet' (raw
-    files / directory). Marker checks are purely local metadata — no
-    data is read."""
-    if os.path.isdir(os.path.join(path, "_delta_log")):
+    files / directory). Marker checks are a handful of metadata stat /
+    list calls — no data is read — routed through compat.fs so
+    dispatch works on any registered filesystem URI
+    (``s3://``/``gs://``/``hdfs://``/``file://``), not just a POSIX
+    mount (reference analogue: data_loaders.py:116-122 reads any tf.io
+    filesystem)."""
+    from dataset_grouper_spark.compat import fs as _fs
+
+    if _fs.is_dir(_fs.join(path, "_delta_log")):
         return "delta"
-    if os.path.isdir(os.path.join(path, ".hoodie")):
+    if _fs.is_dir(_fs.join(path, ".hoodie")):
         return "hudi"
-    mdir = os.path.join(path, "metadata")
-    if os.path.isdir(mdir) and any(
-        n.endswith(".metadata.json") for n in os.listdir(mdir)
+    mdir = _fs.join(path, "metadata")
+    if _fs.is_dir(mdir) and any(
+        n.endswith(".metadata.json") for n in _fs.listdir(mdir)
     ):
         return "iceberg"
-    if os.path.isdir(os.path.join(path, "_snapshots")):
+    if _fs.is_dir(_fs.join(path, "_snapshots")):
         return "snapshots"
     return "parquet"
 

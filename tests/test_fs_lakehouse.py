@@ -291,3 +291,61 @@ def test_serving_layout_uri_contract(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "serve") + "/data").count() == 2
     with pytest.raises(NotImplementedError, match="atomic directory"):
         sinks.write_partitioned(df, F.col("g"), "s3://bucket/serve")
+
+
+def test_open_table_dispatch_over_file_uri(spark, tmp_path):
+    """VERDICT r8 task 2: the unified open_table/table_format entry
+    point must dispatch on a filesystem URI, not only a POSIX mount —
+    the last lakehouse door that only opened locally. Real tables,
+    every path spelled file://."""
+    from dataset_grouper_spark import sources
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, v string"
+    ).coalesce(1)
+    d = _uri(tmp_path, "disp_d")
+    delta.delta_append(spark, mk([(1, "a")]), d)
+    h = _uri(tmp_path, "disp_h")
+    hudi.hudi_insert(spark, mk([(2, "b")]), h, record_key="id")
+    i = _uri(tmp_path, "disp_i")
+    iceberg.iceberg_append(spark, mk([(3, "c")]), i)
+    s = _uri(tmp_path, "disp_s")
+    snap.snapshot_write(mk([(4, "d")]), s)
+    p = _uri(tmp_path, "disp_p")
+    mk([(5, "e")]).write.parquet(p)
+    expect = {
+        d: ("delta", (1, "a")),
+        h: ("hudi", (2, "b")),
+        i: ("iceberg", (3, "c")),
+        s: ("snapshots", (4, "d")),
+        p: ("parquet", (5, "e")),
+    }
+    for path, (fmt, row) in expect.items():
+        assert sources.table_format(path) == fmt, path
+        got = [
+            (r["id"], r["v"])
+            for r in sources.open_table(spark, path).collect()
+        ]
+        assert got == [row], path
+
+
+def test_table_format_sniff_on_mock_filesystem(mock_fs):
+    """Format sniffing is marker-only metadata: it must work against a
+    backend with no local fast path at all, without reading data."""
+    from dataset_grouper_spark import sources
+
+    fs.makedirs("mock://fd/_delta_log")
+    fs.makedirs("mock://fh/.hoodie")
+    fs.makedirs("mock://fi/metadata")
+    fs.write_text("mock://fi/metadata/v1.metadata.json", "{}")
+    fs.makedirs("mock://fs/_snapshots")
+    fs.makedirs("mock://fp")
+    fs.write_bytes("mock://fp/part-0.parquet", b"PAR1")
+    # a metadata/ dir WITHOUT *.metadata.json is not Iceberg
+    fs.makedirs("mock://fx/metadata")
+    assert sources.table_format("mock://fd") == "delta"
+    assert sources.table_format("mock://fh") == "hudi"
+    assert sources.table_format("mock://fi") == "iceberg"
+    assert sources.table_format("mock://fs") == "snapshots"
+    assert sources.table_format("mock://fp") == "parquet"
+    assert sources.table_format("mock://fx") == "parquet"

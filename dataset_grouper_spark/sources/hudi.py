@@ -30,15 +30,19 @@ Iceberg manifest walks); data moves only through ``spark.read.parquet``
 (full pushdown/pruning). Upsert cost is O(touched file groups), never
 O(table) — the CoW economics the Delta merge path already proves.
 
-MERGE_ON_READ is supported for tables this module writes: upserts/
-deletes append per-file-group LOG FILES (deltacommit instants, spec
-slice model) merged at read, compaction folds them into new base
-slices. Honest interop gate: the log payload is a standard Avro
-object container from ``sources/avro.py``, NOT Hudi's HoodieLogFormat
-binary block framing — a foreign MoR table's logs are detected by
-name and raise rather than mis-read (CoW tables from any writer
-remain fully readable). Instant times are a monotonic counter in the
-Hudi timestamp shape, not wall clock (deterministic replays).
+MERGE_ON_READ is supported: upserts/deletes append per-file-group LOG
+FILES (deltacommit instants, spec slice model) merged at read,
+compaction folds them into new base slices. TWO log dialects are
+read, distinguished by a magic sniff: this module's own Avro object
+containers, and Hudi's HoodieLogFormat binary block framing
+(``sources/hudi_log.py`` — AVRO_DATA / v3 DELETE / rollback COMMAND
+blocks, corrupt-block recovery), so MoR tables written by Hudi's own
+writers merge through the same path. Remaining honest gates live in
+``hudi_log``: HFILE/PARQUET/CDC data blocks and pre-v3 (Kryo) delete
+payloads raise by name; delete-block ``orderingVal`` is ignored —
+ordering is (instant, block seq), this engine's commit-time
+semantics. Instant times are a monotonic counter in the Hudi
+timestamp shape, not wall clock (deterministic replays).
 """
 
 from __future__ import annotations
@@ -53,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_grouper_spark.compat import fs as _fs
+from dataset_grouper_spark.sources import hudi_log
 
 HOODIE_DIR = ".hoodie"
 META_COLS = [
@@ -224,9 +229,9 @@ def read_hudi(
     props = _table_props(table_path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype == "MERGE_ON_READ":
-        # merged base+log snapshot — this module's Avro-container log
-        # dialect only; foreign HoodieLogFormat logs raise inside
-        # _log_files rather than mis-read
+        # merged base+log snapshot — both log dialects (this module's
+        # Avro containers and real HoodieLogFormat block framing);
+        # unrecognizable log files raise inside _log_files
         return _read_mor(spark, table_path, as_of, keep_meta)
     if ttype != "COPY_ON_WRITE":
         raise NotImplementedError(
@@ -683,6 +688,11 @@ def hudi_partitions(
 _LOG_RE = re.compile(
     r"^\.(?P<fid>[^_]+)_(?P<base>\d+)\.log\.(?P<ver>\d+)_(?P<instant>\d+)$"
 )
+# Hudi's own writers: .{fileId}_{baseCommit}.log.{version}_{writeToken}
+# (the trailing writeToken is task-attempt bookkeeping and optional)
+_FOREIGN_LOG_RE = re.compile(
+    r"^\.(?P<fid>.+)_(?P<base>\d+)\.log\.(?P<ver>\d+)(_(?P<token>.+))?$"
+)
 _MOR_OP = "_hudi_op"  # log-record column: 'u' upsert, 'd' delete
 _MOR_INSTANT = "_hudi_instant"
 
@@ -723,11 +733,18 @@ def _mor_avro_schema(schema) -> dict:
 def _log_files(
     table_path: str, as_of: str | None = None
 ) -> dict[tuple[str, str, str], list[tuple[str, str]]]:
-    """(partition, fileId, baseInstant) -> [(instant, abs_path)]
-    ordered by instant, for every log file whose deltacommit completed
-    at or before ``as_of``. A ``.log.`` file NOT in this dialect's
-    naming raises — it was written by Hudi's own MoR writer, whose
-    HoodieLogFormat framing this reader does not speak."""
+    """(partition, fileId, baseInstant) -> [(instant, abs_path)] for
+    every log file visible at ``as_of``. Two dialects are read
+    (distinguished by a 6-byte magic sniff, a metadata-scale touch):
+
+    * this module's Avro-container logs — the filename carries the
+      deltacommit instant, which gates visibility here;
+    * Hudi's own HoodieLogFormat binary block framing
+      (``sources.hudi_log``) — instants ride in BLOCK headers, so the
+      file lists with instant ``""`` and the block scanner filters
+      against the completed timeline at decode time.
+
+    A ``.log.`` file matching neither raises rather than mis-reads."""
     commits = _completed(table_path, as_of)
     out: dict[tuple[str, str, str], list[tuple[str, str]]] = {}
     for rel in _fs.walk_files(table_path):
@@ -736,23 +753,138 @@ def _log_files(
             continue
         if rel.split("/")[0] == HOODIE_DIR:
             continue
-        m = _LOG_RE.match(name)
-        if not m:
-            raise NotImplementedError(
-                f"hudi_mor: log file {name!r} is not in this module's "
-                "Avro-container dialect (HoodieLogFormat binary blocks "
-                "from Hudi's own writers are not supported)"
-            )
-        if m.group("instant") not in commits:
-            continue  # uncommitted/raced log: invisible
+        path = os.path.join(table_path, rel)
         part = rel.rsplit("/", 1)[0] if "/" in rel else ""
-        key = (part, m.group("fid"), m.group("base"))
-        out.setdefault(key, []).append(
-            (m.group("instant"), os.path.join(table_path, rel))
+        m = _LOG_RE.match(name)
+        if m is not None and not hudi_log.is_hoodie_log(path):
+            if m.group("instant") not in commits:
+                continue  # uncommitted/raced log: invisible
+            key = (part, m.group("fid"), m.group("base"))
+            out.setdefault(key, []).append((m.group("instant"), path))
+            continue
+        fm = _FOREIGN_LOG_RE.match(name)
+        if fm is not None and hudi_log.is_hoodie_log(path):
+            key = (part, fm.group("fid"), fm.group("base"))
+            out.setdefault(key, []).append(("", path))
+            continue
+        raise NotImplementedError(
+            f"hudi_mor: log file {name!r} is neither this module's "
+            "Avro-container dialect nor HoodieLogFormat block framing"
         )
     for v in out.values():
         v.sort()
     return out
+
+
+_MOR_SEQ = "_hudi_seq"  # block position: later blocks of one instant win
+
+
+def _py_str(v):
+    """Python-side twin of Spark's cast-to-string, for identity parts
+    decoded from log payloads (keys/partitions are strings or ints in
+    practice; bool/bytes normalized defensively)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def _log_rows_df(
+    spark: SparkSession,
+    paths: list[str],
+    user_schema,
+    record_key: str,
+    completed: set[str],
+) -> DataFrame:
+    """Distributed decode of MoR log files of EITHER dialect into rows
+    ``[_MOR_OP, _MOR_INSTANT, _MOR_SEQ, __mor_key, __mor_part,
+    *user_cols]`` — one executor task per file, Arrow-batched, the
+    same shards→tasks layout as ``read_avro``.
+
+    ``__mor_key``/``__mor_part`` are set only when the log record is
+    itself authoritative about identity (HoodieLogFormat records
+    carrying ``_hoodie_*`` meta fields; delete-block keys); otherwise
+    null, and the caller derives identity from the user columns in
+    Spark exactly as the base side does — so this engine's own logs
+    merge byte-identically to before."""
+    import pandas as pd
+
+    names = [f.name for f in user_schema.fields]
+    cols = [_MOR_OP, _MOR_INSTANT, _MOR_SEQ, "__mor_key", "__mor_part"]
+    ddl = ", ".join(
+        [
+            f"`{_MOR_OP}` string",
+            f"`{_MOR_INSTANT}` string",
+            f"`{_MOR_SEQ}` int",
+            "`__mor_key` string",
+            "`__mor_part` string",
+        ]
+        + [f"`{f.name}` {f.dataType.simpleString()}" for f in user_schema.fields]
+    )
+    completed = frozenset(completed)
+    shards = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], len(paths)),
+        "shard string",
+    )
+
+    def decode(pdf_iter):
+        from dataset_grouper_spark.sources import hudi_log as hl
+        from dataset_grouper_spark.sources.avro import read_avro_file
+
+        for pdf in pdf_iter:
+            for path in pdf["shard"]:
+                rows = []
+                if hl.is_hoodie_log(path):
+                    for op, instant, seq, rec in hl.read_log_records(
+                        path, completed
+                    ):
+                        if op == "d":
+                            # delete block: identity only, no user row
+                            rows.append(
+                                {
+                                    _MOR_OP: op,
+                                    _MOR_INSTANT: instant,
+                                    _MOR_SEQ: seq,
+                                    "__mor_key": rec.get("recordKey"),
+                                    "__mor_part": rec.get("partitionPath")
+                                    or "",
+                                    **{n: None for n in names},
+                                }
+                            )
+                        else:
+                            rows.append(
+                                {
+                                    _MOR_OP: op,
+                                    _MOR_INSTANT: instant,
+                                    _MOR_SEQ: seq,
+                                    "__mor_key": _py_str(
+                                        rec.get("_hoodie_record_key")
+                                    ),
+                                    "__mor_part": rec.get(
+                                        "_hoodie_partition_path"
+                                    ),
+                                    **{n: rec.get(n) for n in names},
+                                }
+                            )
+                else:
+                    _schema, recs = read_avro_file(path)
+                    for rec in recs:
+                        rows.append(
+                            {
+                                _MOR_OP: rec[_MOR_OP],
+                                _MOR_INSTANT: rec[_MOR_INSTANT],
+                                _MOR_SEQ: 0,
+                                "__mor_key": None,
+                                "__mor_part": None,
+                                **{n: rec.get(n) for n in names},
+                            }
+                        )
+                yield pd.DataFrame(rows, columns=cols + names)
+
+    return shards.mapInPandas(decode, ddl)
 
 
 def _read_mor(
@@ -768,8 +900,6 @@ def _read_mor(
     from functools import reduce
 
     from pyspark.sql import Window
-
-    from dataset_grouper_spark.sources.avro import read_avro
 
     props = _table_props(table_path)
     record_key = props["hoodie.table.recordkey.fields"]
@@ -802,30 +932,40 @@ def _read_mor(
         base = spark.read.parquet(*logged_paths)
         if user_cols is None:
             user_cols = [c for c in base.columns if c not in META_COLS]
-        logdf = read_avro(spark, log_paths)
+        logdf = _log_rows_df(
+            spark,
+            log_paths,
+            base.select(*user_cols).schema,
+            record_key,
+            set(_completed(table_path, as_of)),
+        )
         merged = (
             base.select(
                 *META_COLS,
                 F.lit("u").alias(_MOR_OP),
                 F.col("_hoodie_commit_time").alias(_MOR_INSTANT),
+                F.lit(0).alias(_MOR_SEQ),
                 *user_cols,
             )
             .unionByName(
                 logdf.select(
                     F.lit("").alias("_hoodie_commit_time"),
                     F.lit("").alias("_hoodie_commit_seqno"),
-                    F.col(record_key)
-                    .cast("string")
-                    .alias("_hoodie_record_key"),
-                    # partition path from the row's own partition
-                    # columns — identity is NON-GLOBAL (key, partition),
-                    # same as the CoW upsert's index semantics
-                    _part_path_col(part_cols).alias(
-                        "_hoodie_partition_path"
-                    ),
+                    # log-carried identity wins (foreign meta fields /
+                    # delete-block keys); else derive from the row's
+                    # own columns — identity is NON-GLOBAL (key,
+                    # partition), same as the CoW upsert's index
+                    F.coalesce(
+                        F.col("__mor_key"),
+                        F.col(record_key).cast("string"),
+                    ).alias("_hoodie_record_key"),
+                    F.coalesce(
+                        F.col("__mor_part"), _part_path_col(part_cols)
+                    ).alias("_hoodie_partition_path"),
                     F.lit("").alias("_hoodie_file_name"),
                     F.col(_MOR_OP),
                     F.col(_MOR_INSTANT),
+                    F.col(_MOR_SEQ),
                     *user_cols,
                 )
             )
@@ -834,7 +974,7 @@ def _read_mor(
                 F.row_number().over(
                     Window.partitionBy(
                         "_hoodie_record_key", "_hoodie_partition_path"
-                    ).orderBy(F.desc(_MOR_INSTANT))
+                    ).orderBy(F.desc(_MOR_INSTANT), F.desc(_MOR_SEQ))
                 ),
             )
             .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))
@@ -1109,26 +1249,36 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
     # is planning-scale, each merge is O(group + its logs)
     from pyspark.sql import Window
 
-    from dataset_grouper_spark.sources.avro import read_avro
-
+    completed = set(_completed(table_path))
     for part, fid, base, path in slices:
         entries = logs.get((part, fid, base))
         if not entries:
             continue
         basedf = spark.read.parquet(path)
         user_cols = [c for c in basedf.columns if c not in META_COLS]
-        logdf = read_avro(spark, [p for _i, p in entries])
+        logdf = _log_rows_df(
+            spark,
+            [p for _i, p in entries],
+            basedf.select(*user_cols).schema,
+            record_key,
+            completed,
+        )
         merged = (
             basedf.select(
                 F.col("_hoodie_record_key").alias("__k"),
                 F.col("_hoodie_commit_time").alias(_MOR_INSTANT),
+                F.lit(0).alias(_MOR_SEQ),
                 F.lit("u").alias(_MOR_OP),
                 *user_cols,
             )
             .unionByName(
                 logdf.select(
-                    F.col(record_key).cast("string").alias("__k"),
+                    F.coalesce(
+                        F.col("__mor_key"),
+                        F.col(record_key).cast("string"),
+                    ).alias("__k"),
                     F.col(_MOR_INSTANT),
+                    F.col(_MOR_SEQ),
                     F.col(_MOR_OP),
                     *user_cols,
                 )
@@ -1136,7 +1286,9 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
             .withColumn(
                 "_rn",
                 F.row_number().over(
-                    Window.partitionBy("__k").orderBy(F.desc(_MOR_INSTANT))
+                    Window.partitionBy("__k").orderBy(
+                        F.desc(_MOR_INSTANT), F.desc(_MOR_SEQ)
+                    )
                 ),
             )
             .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))

@@ -31,6 +31,7 @@ from dataset_grouper_spark.operators import linkage as linkage_ops
 from dataset_grouper_spark.operators import scd as scd_ops
 from dataset_grouper_spark.operators import spatial as spatial_ops
 from dataset_grouper_spark.operators import regress as regress_ops
+from dataset_grouper_spark.operators import spandedup as spandedup_ops
 from dataset_grouper_spark.operators import group_counts as gc
 from dataset_grouper_spark.operators import packing
 from dataset_grouper_spark.sources import read_table
@@ -1282,6 +1283,39 @@ def q_line_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
         "n_removed",
         F.octet_length("_ml_clean").alias("clean_len"),
         F.md5(F.col("_ml_clean")).alias("clean_md5"),
+    )
+
+
+def q_span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-span dedup, the Lee et al. 2022 ExactSubstr
+    mode (operators/spandedup.py): token spans >= 8 tokens occurring
+    more than once anywhere in the corpus are REMOVED from every
+    occurrence but the corpus-global first. Returns every doc with its
+    rebuilt text and removal count — one mis-kept or mis-dropped token
+    anywhere hash-mismatches. Two shuffles (gram agg + equijoin), no
+    all-pairs; the gram agg is partial-aggregatable so hot boilerplate
+    never serializes into one task."""
+    from dataset_grouper_spark.operators import spandedup
+
+    return spandedup.remove_duplicate_spans(
+        read_table(spark, sf, "documents"), "doc_id", "text", k=8
+    )
+
+
+def q_dup_spans_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal duplicated-span report (the audit face of
+    q_span_dedup_documents): inclusive token ranges per document that
+    exact-substring dedup would remove, overlapping windows merged by
+    a gaps-and-islands pass."""
+    from dataset_grouper_spark.operators import spandedup
+
+    out = spandedup.duplicate_spans(
+        read_table(spark, sf, "documents"), "doc_id", "text", k=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
     )
 
 
@@ -7087,6 +7121,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     progressive JPEG, WebP lossless, gzip TFRecords.
         "streaming_matview_sums": q_streaming_matview_sums,
         "line_dedup_documents": q_line_dedup_documents,
+        "span_dedup_documents": q_span_dedup_documents,
+        "dup_spans_documents": q_dup_spans_documents,
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
         "audio_flac_features": q_audio_flac_features,
@@ -7343,6 +7379,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
+    "span_dedup_documents",
+    "dup_spans_documents",
     "contrastive_negatives_documents",
     "lm_tiered_documents",
     "vocab_index_documents",
@@ -7810,6 +7848,12 @@ def oracle_sql() -> dict[str, str]:
             "doc_id",
             min_docs=LINE_DEDUP_MIN_DOCS,
             min_len=10,
+        ),
+        "span_dedup_documents": spandedup_ops.remove_duplicate_spans_sql(
+            "documents", "doc_id", "text", k=8
+        ),
+        "dup_spans_documents": spandedup_ops.duplicate_spans_sql(
+            "documents", "doc_id", "text", k=8
         ),
         "ols_chars_documents": regress_ops.ols_fit2_sql(
             """(SELECT n_chars,

@@ -251,19 +251,26 @@ def bipartite_knn(
     from pyspark.sql import Window
 
     raw = df.select(F.col(left).alias("_l"), F.col(right).alias("_r")).na.drop()
+    # dedup (left, right) FIRST: map-side partial dedup shrinks every
+    # downstream shuffle to the distinct-pair count (lineitem-shaped
+    # inputs repeat each pair many times), and turns the fanout screen
+    # into a plain count (r9 perf: the edge build dominated the graph
+    # queries' cold cost — this removes the count_distinct expand and
+    # ~7x of shuffled rows at sf0.1)
+    d = raw.distinct()
     if max_right_fanout is not None:
-        # screen the over-cap keys FIRST (countDistinct is buffer-safe
-        # for any fanout; the over-cap set is pathological-by-
-        # definition, so a broadcast anti-join removes it without
-        # re-shuffling the projection — VERDICT r7 task 4), so the
-        # collect_set below is provably bounded by the cap.
+        # screen the over-cap keys FIRST (a count aggregate is
+        # buffer-safe for any fanout; the over-cap set is
+        # pathological-by-definition, so a broadcast anti-join removes
+        # it without re-shuffling the projection — VERDICT r7 task 4),
+        # so the collect_list below is provably bounded by the cap.
         hot = (
-            raw.groupBy("_l")
-            .agg(F.count_distinct("_r").alias("_fan"))
+            d.groupBy("_l")
+            .agg(F.count(F.lit(1)).alias("_fan"))
             .filter(F.col("_fan") > max_right_fanout)
             .select("_l")
         )
-        raw = raw.join(F.broadcast(hot), "_l", "left_anti")
+        d = d.join(F.broadcast(hot), "_l", "left_anti")
         # adjacency-list wedge generation: ONE aggregation builds each
         # left key's (deduped, sorted, cap-bounded) partner array, and
         # the f*(f-1)/2 projection pairs explode from it in-task — no
@@ -271,10 +278,10 @@ def bipartite_knn(
         # all; the textbook pair-enumeration plan for bounded
         # adjacency lists). Sound ONLY because the cap bounds every
         # per-key buffer (VERDICT r8 ADVICE: uncapped keys take the
-        # join plan below).
+        # join plan below). collect_list suffices — input is distinct.
         pairs = (
-            raw.groupBy("_l")
-            .agg(F.sort_array(F.collect_set("_r")).alias("_rs"))
+            d.groupBy("_l")
+            .agg(F.sort_array(F.collect_list("_r")).alias("_rs"))
             .select(
                 F.explode(
                     F.expr(
@@ -290,9 +297,8 @@ def bipartite_knn(
         )
     else:
         # no cap -> no bounded-buffer guarantee: stream the projection
-        # through a distinct + self-equijoin on the left key, which
-        # shuffles but never holds a key's full partner set in memory.
-        d = raw.distinct()
+        # through a self-equijoin on the left key, which shuffles but
+        # never holds a key's full partner set in memory.
         pairs = (
             d.select("_l", F.col("_r").alias("u"))
             .join(d.select("_l", F.col("_r").alias("v")), "_l")

@@ -433,8 +433,8 @@ def test_bipartite_knn_uncapped_streams_no_adjacency_buffer(spark):
     df = spark.createDataFrame(BIPARTITE, "g: long, m: long")
     uncapped = graph.bipartite_knn(df, "g", "m", 2)
     capped = graph.bipartite_knn(df, "g", "m", 2, max_right_fanout=100)
-    assert "collect_set" not in plan_text(uncapped, "simple")
-    assert "collect_set" in plan_text(capped, "simple")
+    assert "collect_list" not in plan_text(uncapped, "simple")
+    assert "collect_list" in plan_text(capped, "simple")
     # same answer from both plans on a fixture no cap actually drops
     got_u = {(r["src"], r["dst"]) for r in uncapped.collect()}
     got_c = {(r["src"], r["dst"]) for r in capped.collect()}

@@ -10,6 +10,7 @@ value-hashing).
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -5411,6 +5412,115 @@ def q_hudi_mor_read(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hudi_log_format_read(spark: SparkSession, sf: str) -> DataFrame:
+    """MoR merge over a log written in REAL HoodieLogFormat block
+    framing (sources/hudi_log.py — the r8 interop gap, closed in r9):
+    bulk-insert the corpus as one MoR file group, then append a
+    foreign-framed log carrying two AVRO_DATA blocks at one instant
+    (the later block supersedes the earlier for shared keys — block
+    sequence ordering) plus a v3 Avro DELETE block, complete the
+    deltacommit, and read the merged snapshot before AND after
+    compaction folds the foreign log into a new base slice. Both reads
+    hash-check against a closed-form CASE twin, so a framing mis-parse,
+    a lost block, wrong same-instant ordering, or a resurrected delete
+    fails. The foreign rows are a BOUNDED fixed set (doc_id < 40):
+    the driver-side block encoding is O(40), planning-scale."""
+    import tempfile
+
+    from dataset_grouper_spark.sources import hudi_log
+    from dataset_grouper_spark.sources.hudi import (
+        _next_instant,
+        hudi_compact,
+        hudi_file_slices,
+        hudi_insert,
+        read_hudi,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_logfmt_"), "tbl")
+    hudi_insert(
+        spark,
+        docs.coalesce(1),
+        table,
+        record_key="doc_id",
+        table_type="MERGE_ON_READ",
+    )
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+        ],
+    }
+
+    def recs(rows, bump):
+        return [
+            {
+                "_hoodie_record_key": str(r["doc_id"]),
+                "_hoodie_partition_path": "",
+                "doc_id": r["doc_id"],
+                "lang": r["lang"],
+                "n_chars": r["n_chars"] + bump,
+            }
+            for r in rows
+        ]
+
+    small = docs.filter(F.col("doc_id") < 40).collect()  # bounded: <= 40
+    up5 = recs([r for r in small if r["doc_id"] % 5 == 0], 500)
+    up10 = recs([r for r in small if r["doc_id"] % 10 == 0], 700)
+    dels = [
+        {"recordKey": str(r["doc_id"]), "partitionPath": ""}
+        for r in small
+        if r["doc_id"] % 9 == 0
+    ]
+    _part, fid, base, _path = hudi_file_slices(table)[0]
+    di = _next_instant(table)
+    hudi_log.write_log_file(
+        os.path.join(table, f".{fid}_{base}.log.1_0-1-0"),
+        [
+            hudi_log.encode_avro_data_block(up5, schema, di),
+            hudi_log.encode_avro_data_block(up10, schema, di),
+            hudi_log.encode_delete_block(dels, di),
+        ],
+    )
+    hp = os.path.join(table, ".hoodie")
+    from dataset_grouper_spark.compat import fs as _hfs
+
+    for suffix in ("deltacommit.requested", "deltacommit.inflight"):
+        _hfs.write_text(os.path.join(hp, f"{di}.{suffix}"), "{}")
+    _hfs.write_text(
+        os.path.join(hp, f"{di}.deltacommit"),
+        json.dumps({"partitionToWriteStats": {}, "operationType": "UPSERT"}),
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    merged = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    hudi_compact(spark, table)
+    compacted = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return merged.unionByName(compacted).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
 def q_hudi_partitions(spark: SparkSession, sf: str) -> DataFrame:
     """Hudi per-partition planning view (hudi_partitions — the twin of
     delta_partitions/iceberg_partitions): a lang-partitioned CoW table
@@ -7387,6 +7497,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 additions: Hudi MERGE_ON_READ lifecycle, per-partition
         #     planning view, partitioned exactly-once hudi_lite sink
         "hudi_mor_read": q_hudi_mor_read,
+        "hudi_log_format_read": q_hudi_log_format_read,
         "hudi_partitions": q_hudi_partitions,
         "streaming_hudi_sink_partitioned": (
             q_streaming_hudi_sink_partitioned
@@ -7415,6 +7526,7 @@ _QUERY_ORDER: list[str] = [
     "asof_tolerance_events",
     "grouping_sets_lineitem",
     "hudi_mor_read",
+    "hudi_log_format_read",
     "hudi_partitions",
     "streaming_hudi_sink_partitioned",
     "hudi_clean_roundtrip",
@@ -8830,6 +8942,29 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
                             ELSE n_chars END AS n_chars
                 FROM documents WHERE doc_id % 13 <> 0
+            )
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM merged GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM merged GROUP BY lang
+        """,
+        "hudi_log_format_read": """
+            WITH merged AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id < 40 AND doc_id % 10 = 0
+                              THEN n_chars + 700
+                            WHEN doc_id < 40 AND doc_id % 5 = 0
+                              THEN n_chars + 500
+                            ELSE n_chars END AS n_chars
+                FROM documents
+                WHERE NOT (doc_id < 40 AND doc_id % 9 = 0)
             )
             SELECT 0 AS stage, lang,
                    CAST(count(*) AS BIGINT) AS n,

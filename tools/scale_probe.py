@@ -1,0 +1,170 @@
+"""10x scale probe (VERDICT r8 task 6): measure the heaviest queries
+at sf0.1 AND at a replicated sf1, and report the scaling exponent.
+
+The 100 TB posture has so far been argued from plan shape; this tool
+makes it measured. It synthesizes an sf1 dataset by replicating sf0.1
+ten times with key-space offsets (cardinalities scale like the data:
+customers/orders/parts/suppliers/docs/users all 10x; nation/region
+stay fixed like TPC-H). Document texts get a per-replica token suffix
+so replication does NOT plant artificial cross-replica duplicates —
+dedup queries see constant duplicate density, the way a real 10x
+corpus would.
+
+Usage::
+
+    python tools/scale_probe.py            # build (if absent) + run
+    python tools/scale_probe.py --rebuild  # force dataset rebuild
+
+Writes BENCH_sf1.json: per-query cold seconds at both scales plus the
+log10 scaling exponent (1.0 = linear). The probe list is the heavy
+tier from the r8 verdict's audit table plus the r9 additions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".scratch", "sf1")
+REPLICAS = 10
+
+PROBE = [
+    # graph pair + pagerank (lineitem-derived)
+    "triangle_suppliers",
+    "bfs_suppliers",
+    "pagerank_partsupp",
+    # entity resolution (customer)
+    "entity_match_customers",
+    "entity_clusters_customers",
+    # dedup tier (documents)
+    "minhash_lsh_candidates",
+    "neardup_clusters_documents",
+    "line_dedup_documents",
+    "span_dedup_documents",
+    # lakehouse lifecycle + streaming sources/sinks
+    "compaction_roundtrip",
+    "hudi_mor_read",
+    "streaming_iceberg_source",
+    "streaming_delta_sink_partitioned",
+    # join-heavy TPC-H + a cheap scan as the fixed-cost calibrator
+    "tpch_q9_product_profit",
+    "tpch_q1_pricing_summary",
+]
+
+
+def _offsets(tbl, cols):
+    """Per-column offset = max+1, so replica keyspaces never collide."""
+    import pyarrow.compute as pc
+
+    return {c: pc.max(tbl[c]).as_py() + 1 for c in cols}
+
+
+def build_sf1() -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST, exist_ok=True)
+    key_cols = {
+        "customer": ["c_custkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "part": ["p_partkey"],
+        "supplier": ["s_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    for name in ["region", "nation"]:
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(DST, f"{name}.parquet"),
+        )
+    for name, cols in key_cols.items():
+        tbl = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        offs = _offsets(tbl, cols)
+        parts = []
+        for r in range(REPLICAS):
+            t = tbl
+            for c in cols:
+                t = t.set_column(
+                    t.schema.get_field_index(c),
+                    c,
+                    pc.add(t[c], pa.scalar(r * offs[c], type=t[c].type)),
+                )
+            if name == "documents" and r > 0:
+                # suffix every token so replicas are NOT near-dups of
+                # each other: duplicate density stays constant at 10x
+                texts = pc.replace_substring_regex(
+                    t["text"], pattern=r"(\S+)", replacement=rf"\1_r{r}"
+                )
+                t = t.set_column(
+                    t.schema.get_field_index("text"), "text", texts
+                )
+                t = t.set_column(
+                    t.schema.get_field_index("n_chars"),
+                    "n_chars",
+                    pc.cast(pc.utf8_length(texts), pa.int64()),
+                )
+            parts.append(t)
+        out = pa.concat_tables(parts)
+        pq.write_table(
+            out, os.path.join(DST, f"{name}.parquet"), row_group_size=200_000
+        )
+        print(f"built {name}: {out.num_rows} rows", file=sys.stderr)
+
+
+def main() -> int:
+    if "--rebuild" in sys.argv and os.path.isdir(DST):
+        shutil.rmtree(DST)
+    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+        build_sf1()
+
+    import __spark_entry__ as entrymod
+    from dataset_grouper_spark.cache import release_intermediates
+    from dataset_grouper_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    queries = entrymod.queries()
+    out: dict[str, dict] = {}
+    for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", DST)]:
+        for name in PROBE:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.perf_counter() - t0, 3)
+            out.setdefault(name, {})[sf_name] = dt
+            release_intermediates()
+            entrymod._KNN_EDGE_CACHE.clear()
+            print(f"{sf_name} {name}: {dt}s", file=sys.stderr)
+    import math
+
+    for name, rec in out.items():
+        rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        # exponent e such that time ~ data^e (10x data step)
+        rec["exponent"] = round(math.log10(max(rec["ratio"], 0.01)), 2)
+    line = json.dumps(
+        {"replicas": REPLICAS, "probe": out, "note": "cold one-pass"}
+    )
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1025,13 +1025,43 @@ def _mor_write_logs(
     instant: str,
     avro_schema: dict,
     user_cols: list[str],
+    record_key: str | None = None,
+    log_format: str = "avro_container",
 ) -> dict[str, list[dict]]:
     """Write one log file per touched file group, executor-side
     (applyInPandas task per group), through compat.fs. Returns
-    partitionToWriteStats entries for the deltacommit."""
+    partitionToWriteStats entries for the deltacommit.
+
+    ``log_format='hoodie'`` emits REAL HoodieLogFormat block framing
+    (``sources.hudi_log``): upsert rows as one AVRO_DATA block whose
+    records carry the ``_hoodie_record_key``/``_hoodie_partition_path``
+    meta fields real Hudi readers expect, delete rows as one v3 Avro
+    DELETE block — a table written this way merges in Hudi's own MoR
+    readers. The default keeps this engine's Avro-container dialect."""
     import pandas as pd
 
+    if log_format not in ("avro_container", "hoodie"):
+        raise ValueError(
+            "log_format must be 'avro_container' or 'hoodie', got "
+            f"{log_format!r}"
+        )
+    # hoodie framing: instant rides block headers, op rides block type
+    hoodie_schema = {
+        "type": "record",
+        "name": avro_schema.get("name", "hudi_log_row"),
+        "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+        ]
+        + [
+            f
+            for f in avro_schema["fields"]
+            if f["name"] not in (_MOR_OP, _MOR_INSTANT)
+        ],
+    }
+
     def write_group(key, pdf):
+        from dataset_grouper_spark.sources import hudi_log
         from dataset_grouper_spark.sources.avro import write_avro_file
 
         part_rel, fid, base = key
@@ -1049,7 +1079,37 @@ def _mor_write_logs(
         name = f".{fid}_{base}.log.{ver}_{instant}"
         rel = os.path.join(part_rel, name) if part_rel else name
         dst = os.path.join(table_path, rel)
-        write_avro_file(dst, avro_schema, recs)
+        if log_format == "hoodie":
+            ups, dels = [], []
+            for row in recs:
+                if row[_MOR_OP] == "d":
+                    dels.append(
+                        {
+                            "recordKey": _py_str(row[record_key]),
+                            "partitionPath": part_rel,
+                        }
+                    )
+                else:
+                    rec = {
+                        k: v
+                        for k, v in row.items()
+                        if k not in (_MOR_OP, _MOR_INSTANT)
+                    }
+                    rec["_hoodie_record_key"] = _py_str(row[record_key])
+                    rec["_hoodie_partition_path"] = part_rel
+                    ups.append(rec)
+            blocks = []
+            if ups:
+                blocks.append(
+                    hudi_log.encode_avro_data_block(
+                        ups, hoodie_schema, instant
+                    )
+                )
+            if dels:
+                blocks.append(hudi_log.encode_delete_block(dels, instant))
+            hudi_log.write_log_file(dst, blocks)
+        else:
+            write_avro_file(dst, avro_schema, recs)
         return pd.DataFrame(
             [
                 {
@@ -1081,13 +1141,18 @@ def _mor_write_logs(
 
 
 def hudi_mor_upsert(
-    spark: SparkSession, df: DataFrame, table_path: str
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    log_format: str = "avro_container",
 ) -> str:
     """MERGE_ON_READ upsert: rows matching a live identity land as log
     rows APPENDED to their file group — O(delta) write, no base file
     rewritten (contrast :func:`hudi_upsert`'s CoW group rewrite);
     unmatched rows open new base file groups. One deltacommit instant
-    covers both. ``df`` must be identity-unique, like the CoW path."""
+    covers both. ``df`` must be identity-unique, like the CoW path.
+    ``log_format='hoodie'`` writes the logs in real HoodieLogFormat
+    block framing (readable by Hudi's own MoR readers)."""
     props = _table_props(table_path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise ValueError(
@@ -1137,6 +1202,8 @@ def hudi_mor_upsert(
             instant,
             _mor_avro_schema(df.schema),
             user_cols,
+            record_key=record_key,
+            log_format=log_format,
         )
         inserts = tagged.join(groups, ["__k", "__p"], "left_anti").select(
             *user_cols
@@ -1156,11 +1223,16 @@ def hudi_mor_upsert(
 
 
 def hudi_mor_delete(
-    spark: SparkSession, keys_df: DataFrame, table_path: str
+    spark: SparkSession,
+    keys_df: DataFrame,
+    table_path: str,
+    log_format: str = "avro_container",
 ) -> str:
     """MERGE_ON_READ delete-by-key: a log row with op='d' per matched
     identity — O(deleted keys), no base file touched. Unmatched keys
-    are ignored (SQL DELETE semantics)."""
+    are ignored (SQL DELETE semantics). ``log_format='hoodie'`` writes
+    a real HoodieLogFormat v3 DELETE block instead of the
+    Avro-container dialect."""
     props = _table_props(table_path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise ValueError("hudi_mor_delete: table is not MERGE_ON_READ")
@@ -1220,6 +1292,8 @@ def hudi_mor_delete(
         instant,
         _mor_avro_schema(sample.schema),
         user_cols,
+        record_key=record_key,
+        log_format=log_format,
     )
     return _commit(table_path, instant, "DELETE", stats, action="deltacommit")
 

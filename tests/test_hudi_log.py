@@ -243,3 +243,82 @@ def test_unrecognizable_log_file_still_raises(spark, tmp_path):
         f.write("not a log")
     with pytest.raises(NotImplementedError, match="neither"):
         hudi.read_hudi(spark, t)
+
+
+def test_mor_writer_emits_real_hoodie_framing(spark, tmp_path):
+    """log_format='hoodie': this engine's OWN MoR writes come out in
+    real HoodieLogFormat block framing — meta-field-carrying AVRO_DATA
+    blocks and v3 DELETE blocks — and merge back identically."""
+    import glob as _glob
+
+    t = str(tmp_path / "mor_hoodie_out")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(
+        spark, _mk(spark, [(2, "B!"), (9, "new")]), t, log_format="hoodie"
+    )
+    hudi.hudi_mor_delete(
+        spark, _mk(spark, [(3, "x")]).select("id"), t, log_format="hoodie"
+    )
+    logs = sorted(_glob.glob(os.path.join(t, ".*.log.*")))
+    assert logs, "no log files written"
+    kinds = []
+    for p in logs:
+        assert hudi_log.is_hoodie_log(p), p
+        for b in hudi_log.read_log_blocks(p):
+            kinds.append(b["type"])
+            if b["type"] == "AVRO_DATA_BLOCK":
+                recs = hudi_log.decode_avro_data_block(b)
+                assert all("_hoodie_record_key" in r for r in recs)
+    assert "AVRO_DATA_BLOCK" in kinds and "DELETE_BLOCK" in kinds
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "a"), (2, "B!"), (9, "new")]
+    # compaction folds the self-written hoodie-framed logs too
+    assert hudi.hudi_compact(spark, t) is not None
+    got2 = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got2 == [(1, "a"), (2, "B!"), (9, "new")]
+
+
+def test_mor_hoodie_framing_partitioned_identity(spark, tmp_path):
+    """Partitioned MoR + hoodie framing: the delete block's
+    partitionPath names the (key, partition) identity, so deleting
+    (1, en) must not touch (1, de)."""
+    t = str(tmp_path / "mor_hoodie_part")
+    df = spark.createDataFrame(
+        [(1, "en", "x"), (1, "de", "y"), (2, "en", "z")],
+        "id long, lang string, v string",
+    ).coalesce(1)
+    hudi.hudi_insert(
+        spark, df, t, record_key="id",
+        partition_by=["lang"], table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, "en", "Z!")], "id long, lang string, v string"
+        ),
+        t,
+        log_format="hoodie",
+    )
+    hudi.hudi_mor_delete(
+        spark,
+        spark.createDataFrame([(1, "en")], "id long, lang string"),
+        t,
+        log_format="hoodie",
+    )
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "de", "y"), (2, "en", "Z!")]
+
+
+def test_mor_writer_rejects_unknown_log_format(spark, tmp_path):
+    t = str(tmp_path / "mor_badfmt")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    with pytest.raises(ValueError, match="log_format"):
+        hudi.hudi_mor_upsert(
+            spark, _mk(spark, [(1, "b")]), t, log_format="parquet"
+        )

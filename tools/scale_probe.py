@@ -99,6 +99,24 @@ def build_sf1() -> None:
                     c,
                     pc.add(t[c], pa.scalar(r * offs[c], type=t[c].type)),
                 )
+            if name == "customer" and r > 0:
+                # names literally encode the key (Customer#%09d): remap
+                # them with the offset key, else replicas plant 10
+                # exact-duplicate names and the ER queries measure an
+                # artifact instead of block-size growth
+                keys = t["c_custkey"].to_pylist()
+                t = t.set_column(
+                    t.schema.get_field_index("c_name"),
+                    "c_name",
+                    pa.array([f"Customer#{k:09d}" for k in keys]),
+                )
+            if name == "supplier" and r > 0:
+                keys = t["s_suppkey"].to_pylist()
+                t = t.set_column(
+                    t.schema.get_field_index("s_name"),
+                    "s_name",
+                    pa.array([f"Supplier#{k:09d}" for k in keys]),
+                )
             if name == "documents" and r > 0:
                 # suffix every token so replicas are NOT near-dups of
                 # each other: duplicate density stays constant at 10x
@@ -121,11 +139,55 @@ def build_sf1() -> None:
         print(f"built {name}: {out.num_rows} rows", file=sys.stderr)
 
 
+def entity_fix_probe() -> int:
+    """Measure the documented fix for the one superlinear probe entry:
+    entity matching with max_block_size engaged (the operator's
+    drop-and-audit cap) at BOTH scales. Appends to BENCH_sf1.json."""
+    import __spark_entry__ as entrymod
+    from dataset_grouper_spark.operators import linkage
+    from dataset_grouper_spark.session import get_spark
+    from dataset_grouper_spark.sources import read_table
+
+    spark = get_spark("scale_probe_fix")
+    spark.sparkContext.setLogLevel("ERROR")
+    rec: dict[str, float] = {}
+    for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", DST)]:
+        cust = read_table(spark, sf_dir, "customer")
+        t0 = time.perf_counter()
+        pairs = linkage.blocked_pairs(
+            cust,
+            "c_custkey",
+            entrymod._customer_blocks(),
+            max_block_size=400,
+        )
+        linkage.match_pairs(
+            cust, pairs, "c_custkey", "c_name", entrymod.ER_MAX_DIST
+        ).write.format("noop").mode("overwrite").save()
+        rec[sf_name] = round(time.perf_counter() - t0, 3)
+        print(f"{sf_name} entity_match_capped400: {rec[sf_name]}s",
+              file=sys.stderr)
+    import math
+
+    rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+    rec["exponent"] = round(math.log10(max(rec["ratio"], 0.01)), 2)
+    path = os.path.join(REPO, "BENCH_sf1.json")
+    with open(path) as f:
+        data = json.load(f)
+    data["probe"]["entity_match_capped400"] = rec
+    with open(path, "w") as f:
+        json.dump(data, f)
+        f.write("\n")
+    print(json.dumps(rec))
+    return 0
+
+
 def main() -> int:
     if "--rebuild" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)
     if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
         build_sf1()
+    if "--entity-fix" in sys.argv:
+        return entity_fix_probe()
 
     import __spark_entry__ as entrymod
     from dataset_grouper_spark.cache import release_intermediates

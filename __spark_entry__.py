@@ -1303,6 +1303,26 @@ def q_span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_span_dedup_incremental_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ExactSubstr ingest (spandedup.
+    remove_duplicate_spans_against): the doc_id%4==0 slice arrives as
+    a NEW batch and is cleaned against the already-ingested rest of
+    the corpus — batch spans >= 8 tokens that exist anywhere in the
+    corpus (or repeat within the batch, non-first) are removed. The
+    corpus contributes only its distinct gram set; it never
+    self-joins, so ingest is O(batch + corpus scan)."""
+    from dataset_grouper_spark.operators import spandedup
+
+    docs = read_table(spark, sf, "documents")
+    return spandedup.remove_duplicate_spans_against(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        "doc_id",
+        "text",
+        k=8,
+    )
+
+
 def q_dup_spans_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal duplicated-span report (the audit face of
     q_span_dedup_documents): inclusive token ranges per document that
@@ -7252,6 +7272,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_matview_sums": q_streaming_matview_sums,
         "line_dedup_documents": q_line_dedup_documents,
         "span_dedup_documents": q_span_dedup_documents,
+        "span_dedup_incremental_documents": q_span_dedup_incremental_documents,
         "dup_spans_documents": q_dup_spans_documents,
         "ols_chars_documents": q_ols_chars_documents,
         "audio_adpcm_features": q_audio_adpcm_features,
@@ -7511,6 +7532,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
     "span_dedup_documents",
+    "span_dedup_incremental_documents",
     "dup_spans_documents",
     "contrastive_negatives_documents",
     "lm_tiered_documents",
@@ -7983,6 +8005,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_dedup_documents": spandedup_ops.remove_duplicate_spans_sql(
             "documents", "doc_id", "text", k=8
+        ),
+        "span_dedup_incremental_documents": (
+            spandedup_ops.remove_duplicate_spans_against_sql(
+                "(SELECT * FROM documents WHERE doc_id % 4 = 0)",
+                "(SELECT * FROM documents WHERE doc_id % 4 <> 0)",
+                "doc_id",
+                "text",
+                k=8,
+            )
         ),
         "dup_spans_documents": spandedup_ops.duplicate_spans_sql(
             "documents", "doc_id", "text", k=8

@@ -175,6 +175,69 @@ def remove_duplicate_spans(
     ``clean_text`` is the surviving tokens single-space joined (the
     tokenizer normalizes whitespace), possibly empty."""
     dup = _dup_windows(df, id_col, text_col, k, max_anchor_freq, hash_grams)
+    return _rebuild_without(df, dup, id_col, text_col, k)
+
+
+def remove_duplicate_spans_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_anchor_freq: int | None = None,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Incremental ExactSubstr (the ingest shape, twin of
+    ``dedup.minhash_dedup_against``): clean a NEW batch against an
+    EXISTING corpus. A batch span >= k tokens is removed when its
+    k-grams appear anywhere in the corpus (the corpus copy always
+    survives — it is already ingested) or when it repeats within the
+    batch and is not the batch-first occurrence. The corpus is only
+    ever scanned for its gram set — it never self-joins, so ingest
+    cost is O(batch grams + corpus scan), never O(corpus^2).
+    ``max_anchor_freq`` drops corpus grams above the cap from
+    matching (boilerplate guard, drop-and-audit like the batch path).
+    Returns the batch as ``(id_col, clean_text, removed_tokens)``."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-token span is a stopword)")
+    bw = _windows(batch, id_col, text_col, k, hash_grams)
+    cg = _windows(corpus, id_col, text_col, k, hash_grams).groupBy(
+        "_gram"
+    ).agg(F.count(F.lit(1)).alias("_cfreq"))
+    if max_anchor_freq is not None:
+        cg = cg.filter(F.col("_cfreq") <= max_anchor_freq)
+    hit_corpus = bw.join(cg.select("_gram"), "_gram", "left_semi").select(
+        "_doc", "_pos"
+    )
+    counts = (
+        bw.groupBy("_gram")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(
+                F.col("_doc").cast("long") * _POS_BASE + F.col("_pos")
+            ).alias("_canon"),
+        )
+        .filter(F.col("_cnt") >= 2)
+    )
+    if max_anchor_freq is not None:
+        counts = counts.filter(F.col("_cnt") <= max_anchor_freq)
+    hit_batch = (
+        bw.join(counts, "_gram")
+        .filter(
+            F.col("_doc").cast("long") * _POS_BASE + F.col("_pos")
+            != F.col("_canon")
+        )
+        .select("_doc", "_pos")
+    )
+    dup = hit_corpus.unionByName(hit_batch)
+    return _rebuild_without(batch, dup, id_col, text_col, k)
+
+
+def _rebuild_without(
+    df: DataFrame, dup: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Rebuild every document of ``df`` with the token positions
+    covered by ``dup``'s (_doc, _pos) k-windows removed."""
     covered = dup.select(
         "_doc",
         F.explode(
@@ -287,6 +350,84 @@ def remove_duplicate_spans_sql(
     """DuckDB twin of :func:`remove_duplicate_spans` (no anchor cap)."""
     return f"""
         WITH {_windows_sql(table_sql, id_col, text_col, k)},
+        covered AS (
+          SELECT DISTINCT _doc, unnest(range(_pos, _pos + {k})) AS _tp
+          FROM dup
+        ),
+        tokpos AS (
+          SELECT _doc, unnest(range(0, len(_t))) AS _tp, _t FROM toks
+        ),
+        kept AS (
+          SELECT t._doc,
+                 string_agg(t._t[t._tp + 1], ' ' ORDER BY t._tp)
+                   AS clean_text,
+                 count(*) AS _kept
+          FROM tokpos t LEFT JOIN covered c
+            ON t._doc = c._doc AND t._tp = c._tp
+          WHERE c._doc IS NULL
+          GROUP BY t._doc
+        )
+        SELECT toks._doc AS {id_col},
+               COALESCE(kept.clean_text, '') AS clean_text,
+               CAST(len(toks._t) - COALESCE(kept._kept, 0) AS BIGINT)
+                 AS removed_tokens
+        FROM toks LEFT JOIN kept ON toks._doc = kept._doc
+    """
+
+
+def remove_duplicate_spans_against_sql(
+    batch_sql: str,
+    corpus_sql: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> str:
+    """DuckDB twin of :func:`remove_duplicate_spans_against`
+    (no anchor cap)."""
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS _doc,
+                 string_split_regex(trim({text_col}), '\\s+') AS _t
+          FROM {batch_sql}
+        ),
+        g2 AS (
+          SELECT _doc,
+                 unnest(range(0, greatest(len(_t) - {k} + 1, 0))) AS _pos,
+                 _t
+          FROM toks
+        ),
+        grams AS (
+          SELECT _doc, _pos,
+                 array_to_string(_t[_pos + 1 : _pos + {k}], ' ') AS _gram
+          FROM g2
+        ),
+        ctoks AS (
+          SELECT string_split_regex(trim({text_col}), '\\s+') AS _t
+          FROM {corpus_sql}
+        ),
+        cg2 AS (
+          SELECT unnest(range(0, greatest(len(_t) - {k} + 1, 0))) AS _pos,
+                 _t
+          FROM ctoks
+        ),
+        cgrams AS (
+          SELECT DISTINCT array_to_string(_t[_pos + 1 : _pos + {k}], ' ')
+                   AS _gram
+          FROM cg2
+        ),
+        cnt AS (
+          SELECT _gram, count(*) AS _c,
+                 min(_doc * {_POS_BASE} + _pos) AS _canon
+          FROM grams GROUP BY _gram HAVING count(*) >= 2
+        ),
+        dup AS (
+          SELECT g._doc, g._pos
+          FROM grams g JOIN cgrams USING (_gram)
+          UNION
+          SELECT g._doc, g._pos
+          FROM grams g JOIN cnt USING (_gram)
+          WHERE g._doc * {_POS_BASE} + g._pos <> cnt._canon
+        ),
         covered AS (
           SELECT DISTINCT _doc, unnest(range(_pos, _pos + {k})) AS _tp
           FROM dup

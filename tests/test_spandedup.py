@@ -144,3 +144,81 @@ def test_k_validation(spark):
         spandedup.remove_duplicate_spans(
             _df(spark), "doc_id", "text", k=1
         ).collect()
+
+
+def _brute_against(batch, corpus, k, cap=None):
+    """Reference: corpus grams always win; batch-internal dups keep
+    the batch-first occurrence."""
+    from collections import defaultdict
+
+    cg = defaultdict(int)
+    for _d, t in corpus:
+        toks = t.split()
+        for i in range(len(toks) - k + 1):
+            cg[" ".join(toks[i : i + k])] += 1
+    cgrams = {
+        g for g, n in cg.items() if cap is None or n <= cap
+    }
+    toks = {d: t.split() for d, t in batch}
+    occ = defaultdict(list)
+    for d, t in toks.items():
+        for i in range(len(t) - k + 1):
+            occ[" ".join(t[i : i + k])].append(d * B + i)
+    covered = defaultdict(set)
+    for g, keys in occ.items():
+        hits = set()
+        if g in cgrams:
+            hits.update(keys)
+        if len(keys) >= 2 and (cap is None or len(keys) <= cap):
+            canon = min(keys)
+            hits.update(kk for kk in keys if kk != canon)
+        for key in hits:
+            d, i = divmod(key, B)
+            covered[d].update(range(i, i + k))
+    out = {}
+    for d, t in toks.items():
+        keep = [tok for i, tok in enumerate(t) if i not in covered[d]]
+        out[d] = (" ".join(keep), len(t) - len(keep))
+    return out
+
+
+def test_incremental_against_matches_bruteforce(spark):
+    k = 6
+    corpus = [
+        (100, "c0 c1 alpha beta gamma delta epsilon zeta c2"),
+        (101, "c3 c4 c5 c6 c7 c8"),
+    ]
+    batch = [
+        # span exists in corpus -> removed here (corpus copy survives)
+        (0, "b0 b1 alpha beta gamma delta epsilon zeta b2"),
+        # batch-internal duplicate: doc 1 keeps it, doc 2 loses it
+        (1, "x0 one two three four five six x1"),
+        (2, "y0 y1 one two three four five six"),
+        # clean doc
+        (3, "q0 q1 q2 q3 q4 q5 q6"),
+    ]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["removed_tokens"])
+        for r in spandedup.remove_duplicate_spans_against(
+            _df(spark, batch), _df(spark, corpus), "doc_id", "text", k=k
+        ).collect()
+    }
+    assert got == _brute_against(batch, corpus, k)
+    assert got[0][1] == 6 and "alpha" not in got[0][0]
+    assert got[1][1] == 0 and got[2][1] == 6
+    assert got[3][1] == 0
+
+
+def test_incremental_corpus_cap_drops_boilerplate(spark):
+    k = 6
+    corpus = [(100 + i, "hot span of six whole toks") for i in range(5)]
+    batch = [(0, "b0 hot span of six whole toks b1")]
+    capped = spandedup.remove_duplicate_spans_against(
+        _df(spark, batch), _df(spark, corpus), "doc_id", "text",
+        k=k, max_anchor_freq=3,
+    ).collect()[0]
+    assert capped["removed_tokens"] == 0  # freq 5 > cap 3: dropped
+    uncapped = spandedup.remove_duplicate_spans_against(
+        _df(spark, batch), _df(spark, corpus), "doc_id", "text", k=k
+    ).collect()[0]
+    assert uncapped["removed_tokens"] == 6

@@ -5541,6 +5541,68 @@ def q_hudi_log_format_read(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hudi_rollback_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi ROLLBACK lifecycle (sources/hudi.py hudi_rollback): insert
+    the corpus, upsert a slice (n_chars+1000 for doc_id%7==0), ROLL
+    the upsert BACK (its rewritten slices physically deleted, timeline
+    marker recorded), then prove the table is intact and writable: a
+    different upsert (n_chars+500 for doc_id%11==0) lands on top.
+    Stage 0 reads after rollback (must equal the ORIGINAL corpus —
+    a rollback that leaves the upsert's slice or drops a group
+    hash-mismatches); stage 1 reads after the new upsert."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import (
+        hudi_insert,
+        hudi_rollback,
+        hudi_upsert,
+        read_hudi,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_rb_"), "tbl")
+    hudi_insert(
+        spark, docs.repartition(4, "doc_id"), table, record_key="doc_id"
+    )
+    hudi_upsert(
+        spark,
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ),
+        table,
+    )
+    hudi_rollback(table)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    after_rb = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    hudi_upsert(
+        spark,
+        docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 500
+        ),
+        table,
+    )
+    after_up = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return after_rb.unionByName(after_up).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
 def q_hudi_partitions(spark: SparkSession, sf: str) -> DataFrame:
     """Hudi per-partition planning view (hudi_partitions — the twin of
     delta_partitions/iceberg_partitions): a lang-partitioned CoW table
@@ -7519,6 +7581,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     planning view, partitioned exactly-once hudi_lite sink
         "hudi_mor_read": q_hudi_mor_read,
         "hudi_log_format_read": q_hudi_log_format_read,
+        "hudi_rollback_roundtrip": q_hudi_rollback_roundtrip,
         "hudi_partitions": q_hudi_partitions,
         "streaming_hudi_sink_partitioned": (
             q_streaming_hudi_sink_partitioned
@@ -7549,6 +7612,7 @@ _QUERY_ORDER: list[str] = [
     "grouping_sets_lineitem",
     "hudi_mor_read",
     "hudi_log_format_read",
+    "hudi_rollback_roundtrip",
     "hudi_partitions",
     "streaming_hudi_sink_partitioned",
     "hudi_clean_roundtrip",
@@ -8985,6 +9049,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(n_chars) AS BIGINT)
             FROM merged GROUP BY lang
+        """,
+        "hudi_rollback_roundtrip": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(CASE WHEN doc_id % 11 = 0
+                                 THEN n_chars + 500
+                                 ELSE n_chars END) AS BIGINT)
+            FROM documents GROUP BY lang
         """,
         "hudi_log_format_read": """
             WITH merged AS (

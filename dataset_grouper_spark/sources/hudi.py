@@ -1381,6 +1381,59 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
     return _commit(table_path, instant, "COMPACT", stats)
 
 
+def hudi_rollback(table_path: str, instant: str | None = None) -> list[str]:
+    """ROLLBACK the LATEST completed write instant (Hudi's rollback
+    action): physically delete the base/log files that instant's
+    partitionToWriteStats recorded, drop its completed marker, and
+    record a ``<ts>.rollback`` timeline marker at a fresh instant —
+    after which reads serve the previous snapshot. Only the latest
+    completed commit/deltacommit/replacecommit may roll back: undoing
+    a middle instant would corrupt later slices built on top of it
+    (pass ``instant`` to assert which one you expect to undo).
+
+    Refuses when a CLEAN has already reaped the previous snapshot's
+    slices (rolling back would leave file groups with no base file) —
+    the same detection the as_of read path uses. Returns the
+    table-relative paths removed."""
+    commits = _completed(table_path)
+    if not commits:
+        raise ValueError(f"hudi_rollback: no completed instants: {table_path}")
+    latest = max(commits)
+    if instant is not None and str(instant) != latest:
+        raise ValueError(
+            f"hudi_rollback: only the latest completed instant "
+            f"({latest}) may roll back, got {instant!r}"
+        )
+    if len(commits) > 1:
+        # raises loudly when cleaned slices make the previous snapshot
+        # unservable (hudi_file_slices' expected-group check)
+        hudi_file_slices(table_path, as_of=str(int(latest) - 1))
+    meta = commits[latest]
+    action = meta["__action"]
+    removed: list[str] = []
+    for _part, wstats in (meta.get("partitionToWriteStats") or {}).items():
+        for w in wstats:
+            try:
+                _fs.remove(os.path.join(table_path, w["path"]))
+                removed.append(w["path"])
+            except FileNotFoundError:
+                pass
+    hp = _hoodie_path(table_path)
+    _fs.remove(os.path.join(hp, f"{latest}.{action}"))
+    ri = _next_instant(table_path)
+    for suffix in ("rollback.requested", "rollback.inflight"):
+        _fs.write_text(os.path.join(hp, f"{ri}.{suffix}"), "{}")
+    _claim_instant(table_path, ri, "rollback")
+    _fs.write_text(
+        os.path.join(hp, f"{ri}.rollback"),
+        json.dumps(
+            {"rolledBackInstant": latest, "action": action,
+             "deleted": sorted(removed)}
+        ),
+    )
+    return sorted(removed)
+
+
 def hudi_clean(table_path: str, dry_run: bool = False) -> list[str]:
     """CLEAN: physically delete files the LATEST snapshot does not
     serve — superseded base slices (older slices of rewritten or

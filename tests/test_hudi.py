@@ -456,3 +456,48 @@ def test_commit_race_cross_action_aborts(spark, tmp_path):
     # same-action races still lose the claim too
     with pytest.raises(FileExistsError):
         hudi._claim_instant(t, nxt, "deltacommit")
+
+
+def test_rollback_latest_commit(spark, tmp_path):
+    t = str(tmp_path / "hrb")
+    i1 = hudi.hudi_insert(spark, _mk(spark, [(1, "a"), (2, "b")]), t, "id")
+    hudi.hudi_upsert(spark, _mk(spark, [(2, "B!"), (9, "new")]), t)
+    removed = hudi.hudi_rollback(t)
+    # the upsert's rewritten slice AND its new group are gone
+    assert len(removed) == 2
+    assert _rows(spark, t) == [(1, "a"), (2, "b")]
+    # rollback landed on the timeline; time travel to i1 still works
+    assert any(a == "rollback" for _ts, a, _s in hudi.hudi_timeline(t))
+    assert _rows(spark, t, as_of=i1) == [(1, "a"), (2, "b")]
+    # only-latest guard
+    hudi.hudi_upsert(spark, _mk(spark, [(1, "A")]), t)
+    with pytest.raises(ValueError, match="latest completed"):
+        hudi.hudi_rollback(t, instant=i1)
+
+
+def test_rollback_mor_deltacommit_and_refusal_after_clean(spark, tmp_path):
+    t = str(tmp_path / "hrb2")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a"), (2, "b")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(2, "B!")]), t)
+    removed = hudi.hudi_rollback(t)
+    assert len(removed) == 1 and ".log." in removed[0]
+    assert _rows(spark, t) == [(1, "a"), (2, "b")]
+    # now: upsert + clean reaps the pre-upsert slice -> rollback of the
+    # upsert would leave the group with no base file; must refuse
+    hudi.hudi_upsert(spark, _mk(spark, [(1, "A")]), t)
+    hudi.hudi_clean(t)
+    with pytest.raises(ValueError, match="clean has removed"):
+        hudi.hudi_rollback(t)
+    assert _rows(spark, t) == [(1, "A"), (2, "b")]
+
+
+def test_rollback_first_insert_empties_table(spark, tmp_path):
+    t = str(tmp_path / "hrb3")
+    hudi.hudi_insert(spark, _mk(spark, [(1, "a")]), t, "id")
+    removed = hudi.hudi_rollback(t)
+    assert len(removed) == 1
+    with pytest.raises(ValueError, match="no completed file slices"):
+        hudi.read_hudi(spark, t)

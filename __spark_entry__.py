@@ -5880,6 +5880,70 @@ def q_sync_delta_iceberg_mirror(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sync_iceberg_delta_mirror(spark: SparkSession, sf: str) -> DataFrame:
+    """The REVERSE mirror (sources/convert.py sync_iceberg_to_delta):
+    half the corpus lands in Iceberg and converts to a Delta view; the
+    other half appends on the Iceberg side in two snapshots and ONE
+    incremental sync appends exactly the new files to the Delta mirror
+    (O(new files) metadata, zero copies). The mirror read must
+    hash-match the full corpus; version 0 must still serve only the
+    pre-sync half (stage 1)."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.convert import (
+        convert_iceberg_to_delta,
+        sync_iceberg_to_delta,
+    )
+    from dataset_grouper_spark.sources.delta import read_delta
+    from dataset_grouper_spark.sources.iceberg import iceberg_append
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="sync_mirror_rev_")
+    i = os.path.join(root, "i")
+    d = os.path.join(root, "d")
+    iceberg_append(
+        spark, docs.filter(F.col("doc_id") % 2 == 0).coalesce(1), i
+    )
+    convert_iceberg_to_delta(spark, i, d)
+    iceberg_append(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)
+        ).coalesce(1),
+        i,
+    )
+    iceberg_append(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 != 0)
+        ).coalesce(1),
+        i,
+    )
+    sync_iceberg_to_delta(spark, i, d)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    full = (
+        read_delta(spark, d)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    pre = (
+        read_delta(spark, d, version=0)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return full.unionByName(pre).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
 def q_open_table_dispatch(spark: SparkSession, sf: str) -> DataFrame:
     """Unified table entry point (sources.open_table): the SAME corpus
     split five ways — plain parquet, a hand-less Delta log
@@ -7589,6 +7653,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_clean_roundtrip": q_hudi_clean_roundtrip,
         "convert_tables_roundtrip": q_convert_tables_roundtrip,
         "sync_delta_iceberg_mirror": q_sync_delta_iceberg_mirror,
+        "sync_iceberg_delta_mirror": q_sync_iceberg_delta_mirror,
     }
 
 
@@ -7618,6 +7683,7 @@ _QUERY_ORDER: list[str] = [
     "hudi_clean_roundtrip",
     "convert_tables_roundtrip",
     "sync_delta_iceberg_mirror",
+    "sync_iceberg_delta_mirror",
     "group_counts_rollup",
     "pipeline_c4_style",
     "chunk_tokens_documents",
@@ -9089,6 +9155,19 @@ def oracle_sql() -> dict[str, str]:
             FROM merged GROUP BY lang
         """,
         "sync_delta_iceberg_mirror": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+        """,
+        "sync_iceberg_delta_mirror": """
             SELECT 0 AS stage, lang,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,

@@ -619,3 +619,115 @@ def sync_delta_to_iceberg(
             "source-version": str(latest),
         },
     )
+
+
+def sync_iceberg_to_delta(
+    spark: SparkSession, iceberg_path: str, delta_path: str
+) -> int | None:
+    """INCREMENTAL refresh of an Iceberg->Delta conversion — the
+    reverse mirror of :func:`sync_delta_to_iceberg`: data files new
+    Iceberg snapshots added since the last sync land as one Delta
+    append commit referencing them (absolute add paths, shallow-clone
+    shape) — O(new files) metadata, zero data movement. Returns the
+    new Delta version, or None when already in sync.
+
+    Append-only contract, enforced: live position/equality deletes on
+    the Iceberg side (or files the Delta mirror references that the
+    Iceberg snapshot no longer serves — expire+rewrite, DELETE) cannot
+    be expressed as a Delta append and raise; re-run
+    :func:`convert_iceberg_to_delta` into a fresh location instead of
+    silently serving dropped rows."""
+    from dataset_grouper_spark.sources import iceberg as ice
+    from dataset_grouper_spark.sources.avro import read_avro_file
+    from dataset_grouper_spark.sources.delta import (
+        _latest_version,
+        _log_path,
+        _replay,
+        _table_abs,
+        _write_commit,
+    )
+
+    meta = ice._load_metadata(iceberg_path)
+    if meta.get("current-snapshot-id") is None:
+        raise FileNotFoundError(
+            f"sync_iceberg_to_delta: {iceberg_path} has no snapshot"
+        )
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    try:
+        latest = _latest_version(delta_path)
+    except FileNotFoundError:
+        latest = None
+    if latest is None:
+        raise FileNotFoundError(
+            f"sync_iceberg_to_delta: {delta_path} is not a Delta table "
+            "(run convert_iceberg_to_delta first)"
+        )
+    files, delete_files, _dn, eq_deletes = ice._live_files(
+        iceberg_path, snap
+    )
+    if delete_files or eq_deletes:
+        raise NotImplementedError(
+            "sync_iceberg_to_delta: live position/equality deletes — "
+            "compact (iceberg_rewrite_data_files) first"
+        )
+    adds, _dmeta = _replay(spark, delta_path, latest)
+    table_abs = _table_abs(delta_path)
+    have = {_abs_under(table_abs, rel) for rel in adds}
+
+    def _abs_ice(path: str) -> str:
+        path = ice._localize(path)
+        if not ice._is_abs(path):
+            path = os.path.join(iceberg_path, path)
+        return path if _fs.is_uri(path) else os.path.abspath(path)
+
+    want = {_abs_ice(p) for p, _seq in files}
+    dropped = sorted(have - want)
+    if dropped:
+        raise ValueError(
+            f"sync_iceberg_to_delta: the Iceberg table no longer "
+            f"serves {len(dropped)} file(s) the Delta mirror references "
+            f"(first: {dropped[0]!r}) — a remove cannot sync as an "
+            "append; re-convert to a fresh location"
+        )
+    new = sorted(want - have)
+    if not new:
+        return None
+    # entry-level record counts from the manifest walk (planning KB)
+    counts: dict[str, int] = {}
+    ml = ice._localize(snap["manifest-list"])
+    if not ice._is_abs(ml):
+        ml = os.path.join(iceberg_path, ml)
+    _s, manifests = read_avro_file(ml)
+    for m in manifests:
+        mp = ice._localize(m["manifest_path"])
+        if not ice._is_abs(mp):
+            mp = os.path.join(iceberg_path, mp)
+        _s2, es = read_avro_file(mp)
+        for e in es:
+            if e.get("status", 0) == 2:
+                continue
+            d = e["data_file"]
+            counts[_abs_ice(d["file_path"])] = int(
+                d.get("record_count") or 0
+            )
+    actions = []
+    for path in new:
+        actions.append(
+            {
+                "add": {
+                    "path": path,
+                    "partitionValues": {},
+                    "size": _fs.file_size(path),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": counts.get(path)}),
+                }
+            }
+        )
+    version = latest + 1
+    _write_commit(_log_path(delta_path), version, actions)
+    return version

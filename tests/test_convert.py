@@ -243,3 +243,35 @@ def test_sync_gates_match_convert_gates(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(NotImplementedError, match="column-mapped"):
         convert.sync_delta_to_iceberg(spark, dm, str(tmp_path / "i_nope2"))
+
+
+def test_sync_iceberg_to_delta_incremental(spark, tmp_path):
+    i = str(tmp_path / "isync2")
+    d = str(tmp_path / "dsync2")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, v string"
+    ).coalesce(1)
+    iceberg.iceberg_append(spark, mk([(1, "a")]), i)
+    convert.convert_iceberg_to_delta(spark, i, d)
+    assert convert.sync_iceberg_to_delta(spark, i, d) is None
+    # two Iceberg appends, one sync: only the new files land, as ONE
+    # new Delta version
+    iceberg.iceberg_append(spark, mk([(2, "b")]), i)
+    iceberg.iceberg_append(spark, mk([(3, "c")]), i)
+    v = convert.sync_iceberg_to_delta(spark, i, d)
+    assert v == 1
+    assert _rows(delta.read_delta(spark, d)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # the mirror keeps its own history
+    assert _rows(delta.read_delta(spark, d, version=0)) == [(1, "a")]
+    # stats rode over: numRecords per referenced file
+    parts = delta.delta_partitions(spark, d).collect()
+    assert sum(r["n_rows"] for r in parts) == 3
+    # an Iceberg-side delete breaks the append-only mirror loudly
+    iceberg.iceberg_delete_where(spark, i, F.col("id") == 2)
+    with pytest.raises((ValueError, NotImplementedError)):
+        convert.sync_iceberg_to_delta(spark, i, d)
+    # not-a-mirror guard
+    with pytest.raises(FileNotFoundError, match="not a Delta table"):
+        convert.sync_iceberg_to_delta(spark, i, str(tmp_path / "nope"))

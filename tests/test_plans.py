@@ -186,3 +186,27 @@ def test_cube_single_exchange(spark):
     df = e.q_group_counts_cube(spark, SF)
     # grouping-set expansion is map-side; one exchange for the agg
     assert count_exchanges(df) == 1
+
+
+def test_span_dedup_plan_quality(spark):
+    """r9 exact-substring dedup: pure Catalyst — no Python in the hot
+    path, no cartesian, gram counting partial-aggregatable (an agg,
+    never a per-gram window sort)."""
+    df = e.q_span_dedup_documents(spark, SF)
+    txt = plan_text(df, "simple")
+    assert_no_cartesian(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    # the gram count/canonical agg keeps its map-side partial phase
+    assert "partial_count" in txt or "HashAggregate" in txt
+
+
+def test_span_dedup_incremental_corpus_never_self_joins(spark):
+    """The corpus side contributes ONE aggregated gram-set scan; the
+    batch side carries the only other gram scans. No cartesian, no
+    Python."""
+    df = e.q_span_dedup_incremental_documents(spark, SF)
+    txt = plan_text(df, "simple")
+    assert_no_cartesian(df)
+    assert "BatchEvalPython" not in txt
+    # join structure: corpus grams arrive via a left-semi equijoin
+    assert "LeftSemi" in txt

@@ -2113,6 +2113,49 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-ingest exact-substring dedup (streaming/spandedup
+    .py): documents arrive as a 3-file stream (doc_id%3 per batch,
+    one micro-batch each), every batch is span-cleaned against the
+    snapshot corpus store's ORIGINAL texts and appended as an atomic
+    tagged epoch. Storing originals makes sequential ingest EXACTLY
+    global precedence-ordered ExactSubstr under (batch, doc, pos), so
+    the DuckDB twin is ONE query with a composite canonical key — the
+    full per-doc cleaned text, removal count, and arrival epoch all
+    hash-check."""
+    import tempfile
+
+    from dataset_grouper_spark.streaming.spandedup import (
+        read_clean_corpus,
+        streaming_span_dedup,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="ssd_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    store = tempfile.mkdtemp(prefix="ssd_store_")
+    ckpt = tempfile.mkdtemp(prefix="ssd_ck_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    with _stream_shuffle_partitions(spark):
+        q = streaming_span_dedup(
+            stream, store, ckpt, "doc_id", "text", k=8
+        )
+        _drain_stream(q)
+    return read_clean_corpus(spark, store).select(
+        "doc_id",
+        "clean_text",
+        "removed_tokens",
+        F.col("_epoch").cast("int").alias("epoch"),
+    )
+
+
 def q_streaming_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-STREAM interval attribution: purchases and clicks as two
     watermarked streams, inner-joined on user with the click bounded to
@@ -7375,6 +7418,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "streaming_incremental_dedup": q_streaming_incremental_dedup,
+        "streaming_span_dedup_documents": q_streaming_span_dedup_documents,
         "multimodal_gif_pixels": q_multimodal_gif_pixels,
         "multimodal_jpeg_pixels": q_multimodal_jpeg_pixels,
         # --- tier A continued (r6 late additions): matview_refresh
@@ -7659,6 +7703,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
+    "streaming_span_dedup_documents",
     "span_dedup_documents",
     "span_dedup_incremental_documents",
     "dup_spans_documents",
@@ -8623,6 +8668,61 @@ def oracle_sql() -> dict[str, str]:
         # survivor-store twin: the admitted set must equal the global
         # distinct-text set regardless of micro-batch order. Byte
         # lengths on both sides (octet_length / strlen).
+        "streaming_span_dedup_documents": """
+            WITH toks AS (
+              SELECT doc_id, doc_id % 3 AS b,
+                     string_split_regex(trim(text), '\\s+') AS _t
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, b,
+                     unnest(range(0, greatest(len(_t) - 8 + 1, 0))) AS _pos,
+                     _t
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, b, _pos,
+                     array_to_string(_t[_pos + 1 : _pos + 8], ' ') AS _gram
+              FROM g2
+            ),
+            cnt AS (
+              SELECT _gram,
+                     min(b * 1000000000000 + doc_id * 1000000 + _pos)
+                       AS _canon
+              FROM grams GROUP BY _gram HAVING count(*) >= 2
+            ),
+            dup AS (
+              SELECT g.doc_id, g._pos
+              FROM grams g JOIN cnt USING (_gram)
+              WHERE g.b * 1000000000000 + g.doc_id * 1000000 + g._pos
+                    <> cnt._canon
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id,
+                     unnest(range(_pos, _pos + 8)) AS _tp
+              FROM dup
+            ),
+            tokpos AS (
+              SELECT doc_id, unnest(range(0, len(_t))) AS _tp, _t
+              FROM toks
+            ),
+            kept AS (
+              SELECT t.doc_id,
+                     string_agg(t._t[t._tp + 1], ' ' ORDER BY t._tp)
+                       AS clean_text,
+                     count(*) AS _kept
+              FROM tokpos t LEFT JOIN covered c
+                ON t.doc_id = c.doc_id AND t._tp = c._tp
+              WHERE c.doc_id IS NULL
+              GROUP BY t.doc_id
+            )
+            SELECT toks.doc_id,
+                   COALESCE(kept.clean_text, '') AS clean_text,
+                   CAST(len(toks._t) - COALESCE(kept._kept, 0) AS BIGINT)
+                     AS removed_tokens,
+                   CAST(toks.doc_id % 3 AS INT) AS epoch
+            FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
+        """,
         "streaming_incremental_dedup": """
             WITH d AS (SELECT DISTINCT text FROM documents)
             SELECT CAST(count(*) AS BIGINT) AS n_survivors,

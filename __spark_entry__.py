@@ -5584,6 +5584,56 @@ def q_hudi_log_format_read(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hudi_changes_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi incremental (CDC) read (sources/hudi.py read_hudi_changes
+    — the trio member next to delta_change_feed /
+    iceberg_incremental): on a MERGE_ON_READ table the log rows ARE
+    the change stream. Insert the corpus, log-upsert doc_id%7
+    (n_chars+1000), log-delete doc_id%13, then read every change
+    after the initial insert: upserts surface as update_postimage
+    rows, deletes as identity-only delete rows — one phantom or
+    missing change hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import (
+        hudi_insert,
+        hudi_mor_delete,
+        hudi_mor_upsert,
+        read_hudi_changes,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_cdc_"), "tbl")
+    i1 = hudi_insert(
+        spark,
+        docs.repartition(4, "doc_id"),
+        table,
+        record_key="doc_id",
+        table_type="MERGE_ON_READ",
+    )
+    hudi_mor_upsert(
+        spark,
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ),
+        table,
+    )
+    hudi_mor_delete(
+        spark,
+        docs.filter(F.col("doc_id") % 13 == 0).select("doc_id"),
+        table,
+    )
+    return read_hudi_changes(spark, table, starting_instant=i1).select(
+        F.col("_change_type").alias("change"),
+        F.col("_change_key").alias("change_key"),
+        "doc_id",
+        "lang",
+        "n_chars",
+    )
+
+
 def q_hudi_rollback_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Hudi ROLLBACK lifecycle (sources/hudi.py hudi_rollback): insert
     the corpus, upsert a slice (n_chars+1000 for doc_id%7==0), ROLL
@@ -7690,6 +7740,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_mor_read": q_hudi_mor_read,
         "hudi_log_format_read": q_hudi_log_format_read,
         "hudi_rollback_roundtrip": q_hudi_rollback_roundtrip,
+        "hudi_changes_cdc": q_hudi_changes_cdc,
         "hudi_partitions": q_hudi_partitions,
         "streaming_hudi_sink_partitioned": (
             q_streaming_hudi_sink_partitioned
@@ -7723,6 +7774,7 @@ _QUERY_ORDER: list[str] = [
     "hudi_mor_read",
     "hudi_log_format_read",
     "hudi_rollback_roundtrip",
+    "hudi_changes_cdc",
     "hudi_partitions",
     "streaming_hudi_sink_partitioned",
     "hudi_clean_roundtrip",
@@ -9215,6 +9267,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(n_chars) AS BIGINT)
             FROM merged GROUP BY lang
+        """,
+        "hudi_changes_cdc": """
+            SELECT 'update_postimage' AS change,
+                   CAST(doc_id AS VARCHAR) AS change_key,
+                   doc_id, lang,
+                   CAST(n_chars + 1000 AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'delete', CAST(doc_id AS VARCHAR), doc_id,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+            FROM documents WHERE doc_id % 13 = 0
         """,
         "hudi_rollback_roundtrip": """
             SELECT 0 AS stage, lang,

@@ -501,3 +501,47 @@ def test_rollback_first_insert_empties_table(spark, tmp_path):
     assert len(removed) == 1
     with pytest.raises(ValueError, match="no completed file slices"):
         hudi.read_hudi(spark, t)
+
+
+def test_read_hudi_changes_mor_cdc(spark, tmp_path):
+    """Incremental trio symmetry: MoR log rows ARE the CDC stream."""
+    t = str(tmp_path / "hcdc")
+    i1 = hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi.hudi_mor_upsert(spark, _mk(spark, [(2, "B!"), (9, "new")]), t)
+    hudi.hudi_mor_delete(spark, _mk(spark, [(3, "x")]).select("id"), t)
+    ch = hudi.read_hudi_changes(spark, t, starting_instant=i1)
+    got = sorted(
+        (r["_change_type"], r["_change_key"], r["id"], r["v"])
+        for r in ch.collect()
+    )
+    assert got == [
+        ("delete", "3", 3, None),
+        ("insert", "9", 9, "new"),       # new group opened by the upsert
+        ("update_postimage", "2", 2, "B!"),
+    ]
+    # compaction is a logical no-op for CDC
+    c = hudi.hudi_compact(spark, t)
+    after = hudi.read_hudi_changes(spark, t, starting_instant=i1)
+    assert sorted(
+        (r["_change_type"], r["_change_key"]) for r in after.collect()
+    ) == [("delete", "3"), ("insert", "9"), ("update_postimage", "2")]
+    assert c is not None
+    # empty range
+    assert hudi.read_hudi_changes(spark, t, starting_instant=c).count() == 0
+
+
+def test_read_hudi_changes_cow_contract(spark, tmp_path):
+    t = str(tmp_path / "hcdc2")
+    i1 = hudi.hudi_insert(spark, _mk(spark, [(1, "a")]), t, "id")
+    hudi.hudi_insert(spark, _mk(spark, [(2, "b")]), t, "id")
+    ch = hudi.read_hudi_changes(spark, t, starting_instant=i1)
+    assert sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in ch.collect()
+    ) == [("insert", 2, "b")]
+    # a CoW upsert rewrites slices: append-only honesty
+    hudi.hudi_upsert(spark, _mk(spark, [(1, "A")]), t)
+    with pytest.raises(ValueError, match="UPSERT"):
+        hudi.read_hudi_changes(spark, t, starting_instant=i1).collect()

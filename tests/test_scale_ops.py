@@ -367,3 +367,41 @@ def test_compact_partitioned_at_scale(spark, tmp_path):
     idx = {r.group_id: r.num_examples for r in pds.group_index().collect()}
     assert len(idx) == 1000 and all(v == 1000 for v in idx.values())
     assert pds.group("7").count() == 1000
+
+
+@pytest.mark.slow
+def test_span_dedup_at_8x_documents_with_hot_boilerplate(spark):
+    """40k docs (8x sf0.1), every 4th doc carrying the SAME planted
+    boilerplate sentence: the gram aggregation must stay
+    partial-aggregated (no per-gram window sort to detonate on the
+    10k-occurrence anchor) and the cap must bound the join. Asserts
+    both the uncapped run (boilerplate removed everywhere but the
+    global first) and the capped run (boilerplate ignored)."""
+    from dataset_grouper_spark.operators import spandedup
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    big = _replicate(docs, 8, "doc_id", 1_000_000_000 // 8)
+    boiler = "terms of service apply to all content on this site"
+    big = big.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    n = big.count()
+    assert n == 40_000
+    uncapped = spandedup.remove_duplicate_spans(
+        big, "doc_id", "text", k=8, hash_grams=True
+    )
+    removed = uncapped.agg(F.sum("removed_tokens")).collect()[0][0]
+    # ~10k boilerplate carriers x (>=9 tokens of planted span) minus
+    # the single surviving canonical copy
+    assert removed >= 9 * (n // 4 - 1)
+    capped = spandedup.remove_duplicate_spans(
+        big, "doc_id", "text", k=8, hash_grams=True,
+        max_anchor_freq=100,
+    )
+    removed_capped = capped.agg(F.sum("removed_tokens")).collect()[0][0]
+    assert removed_capped < removed  # the hot anchor was dropped
+    assert capped.count() == n

@@ -4034,7 +4034,10 @@ KNN_FANOUT_CAP = 256  # >> max suppliers-per-part at any tested sf
 # detonating the projection join quadratically, not to trim real data
 
 
-_KNN_EDGE_CACHE: dict[tuple[int, str], tuple] = {}
+from collections import OrderedDict
+
+_KNN_EDGE_CACHE: "OrderedDict[tuple[int, str], tuple]" = OrderedDict()
+_KNN_EDGE_CACHE_MAX = 4
 
 
 def _supplier_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
@@ -4059,11 +4062,19 @@ def _supplier_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
     # value so its id() cannot be recycled while the entry lives. A
     # plain persist() (NOT cache.persist) so bench's per-query
     # release_intermediates() does not evict it between the pair.
-    # n*K rows — kilobytes resident.
+    # n*K rows — kilobytes resident; bounded + unpersisted on
+    # eviction so a long-lived process cycling sessions/scale
+    # factors cannot accumulate dead sessions or stranded blocks.
     key = (id(spark), sf)
     cached = _KNN_EDGE_CACHE.get(key)
     if cached is not None:
         return cached[1]
+    while len(_KNN_EDGE_CACHE) >= _KNN_EDGE_CACHE_MAX:
+        _, (_, old) = _KNN_EDGE_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # evicted session may already be stopped
     li = read_table(spark, sf, "lineitem")
     edges = graph.bipartite_knn(
         li, "l_partkey", "l_suppkey", KNN_GRAPH_K,
@@ -4071,6 +4082,17 @@ def _supplier_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
     ).persist()
     _KNN_EDGE_CACHE[key] = (spark, edges)
     return edges
+
+
+def _knn_cache_clear() -> None:
+    """Unpersist + drop every cached edge list (tools needing true
+    cold re-measurement call this instead of clearing the dict)."""
+    while _KNN_EDGE_CACHE:
+        _, (_, edges) = _KNN_EDGE_CACHE.popitem()
+        try:
+            edges.unpersist()
+        except Exception:
+            pass
 
 
 def _supplier_knn_edges_sql() -> str:
@@ -8739,14 +8761,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             cnt AS (
               SELECT _gram,
-                     min(b * 1000000000000 + doc_id * 1000000 + _pos)
+                     min(struct_pack(b := b, d := doc_id, p := _pos))
                        AS _canon
               FROM grams GROUP BY _gram HAVING count(*) >= 2
             ),
             dup AS (
               SELECT g.doc_id, g._pos
               FROM grams g JOIN cnt USING (_gram)
-              WHERE g.b * 1000000000000 + g.doc_id * 1000000 + g._pos
+              WHERE struct_pack(b := g.b, d := g.doc_id, p := g._pos)
                     <> cnt._canon
             ),
             covered AS (

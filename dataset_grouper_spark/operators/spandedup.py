@@ -41,7 +41,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_POS_BASE = 1_000_000  # canonical-occurrence key: doc_id * base + pos
+# The canonical occurrence of a gram is the MINIMUM (doc, pos) under
+# struct (lexicographic) ordering — any orderable id type works, and
+# there is no packed-integer key to alias on million-token documents.
 
 
 def _windows(
@@ -84,10 +86,8 @@ def _dup_windows(
         wins.groupBy("_gram")
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
-            # global first occurrence — partial-aggregatable min
-            F.min(
-                F.col("_doc").cast("long") * _POS_BASE + F.col("_pos")
-            ).alias("_canon"),
+            # global first occurrence — partial-aggregatable struct min
+            F.min(F.struct("_doc", "_pos")).alias("_canon"),
         )
         .filter(F.col("_cnt") >= 2)
     )
@@ -95,10 +95,7 @@ def _dup_windows(
         counts = counts.filter(F.col("_cnt") <= max_anchor_freq)
     return (
         wins.join(counts, "_gram")
-        .filter(
-            F.col("_doc").cast("long") * _POS_BASE + F.col("_pos")
-            != F.col("_canon")
-        )
+        .filter(F.struct("_doc", "_pos") != F.col("_canon"))
         .select("_doc", "_pos")
     )
 
@@ -213,9 +210,7 @@ def remove_duplicate_spans_against(
         bw.groupBy("_gram")
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
-            F.min(
-                F.col("_doc").cast("long") * _POS_BASE + F.col("_pos")
-            ).alias("_canon"),
+            F.min(F.struct("_doc", "_pos")).alias("_canon"),
         )
         .filter(F.col("_cnt") >= 2)
     )
@@ -223,10 +218,7 @@ def remove_duplicate_spans_against(
         counts = counts.filter(F.col("_cnt") <= max_anchor_freq)
     hit_batch = (
         bw.join(counts, "_gram")
-        .filter(
-            F.col("_doc").cast("long") * _POS_BASE + F.col("_pos")
-            != F.col("_canon")
-        )
+        .filter(F.struct("_doc", "_pos") != F.col("_canon"))
         .select("_doc", "_pos")
     )
     dup = hit_corpus.unionByName(hit_batch)
@@ -304,13 +296,13 @@ def _windows_sql(table_sql: str, id_col: str, text_col: str, k: int) -> str:
         ),
         cnt AS (
           SELECT _gram, count(*) AS _c,
-                 min(_doc * {_POS_BASE} + _pos) AS _canon
+                 min(struct_pack(d := _doc, p := _pos)) AS _canon
           FROM grams GROUP BY _gram HAVING count(*) >= 2
         ),
         dup AS (
           SELECT g._doc, g._pos
           FROM grams g JOIN cnt USING (_gram)
-          WHERE g._doc * {_POS_BASE} + g._pos <> cnt._canon
+          WHERE struct_pack(d := g._doc, p := g._pos) <> cnt._canon
         )"""
 
 
@@ -417,7 +409,7 @@ def remove_duplicate_spans_against_sql(
         ),
         cnt AS (
           SELECT _gram, count(*) AS _c,
-                 min(_doc * {_POS_BASE} + _pos) AS _canon
+                 min(struct_pack(d := _doc, p := _pos)) AS _canon
           FROM grams GROUP BY _gram HAVING count(*) >= 2
         ),
         dup AS (
@@ -426,7 +418,7 @@ def remove_duplicate_spans_against_sql(
           UNION
           SELECT g._doc, g._pos
           FROM grams g JOIN cnt USING (_gram)
-          WHERE g._doc * {_POS_BASE} + g._pos <> cnt._canon
+          WHERE struct_pack(d := g._doc, p := g._pos) <> cnt._canon
         ),
         covered AS (
           SELECT DISTINCT _doc, unnest(range(_pos, _pos + {k})) AS _tp

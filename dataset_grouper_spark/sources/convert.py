@@ -675,6 +675,37 @@ def sync_iceberg_to_delta(
             "compact (iceberg_rewrite_data_files) first"
         )
     adds, _dmeta = _replay(spark, delta_path, latest)
+    # expressibility gate, mirror of the forward sync's (r9 review):
+    # the Iceberg schema can GROW between syncs (ADD COLUMN, rename,
+    # retype) while the Delta mirror's pinned schemaString cannot —
+    # appending such files would silently drop/misread the changed
+    # columns on every mirror scan
+    cur_schema = next(
+        s
+        for s in meta.get("schemas") or []
+        if s.get("schema-id") == meta.get("current-schema-id", 0)
+    )
+    want_fields = []
+    for f in cur_schema["fields"]:
+        t = f["type"]
+        spark_t = _ICE_TO_SPARK.get(t if isinstance(t, str) else "")
+        if spark_t is None:
+            raise NotImplementedError(
+                f"sync_iceberg_to_delta: column {f['name']!r} type "
+                f"{t!r} has no Delta mapping here"
+            )
+        want_fields.append((f["name"], spark_t))
+    mirror_fields = [
+        (f["name"], f["type"])
+        for f in json.loads(_dmeta["schemaString"])["fields"]
+    ]
+    if mirror_fields != want_fields:
+        raise NotImplementedError(
+            f"sync_iceberg_to_delta: the Iceberg schema changed since "
+            f"conversion (mirror {mirror_fields} vs current "
+            f"{want_fields}) — a schema change cannot sync as a bare "
+            "append; re-convert to a fresh location"
+        )
     table_abs = _table_abs(delta_path)
     have = {_abs_under(table_abs, rel) for rel in adds}
 

@@ -831,6 +831,8 @@ def _log_rows_df(
     )
 
     def decode(pdf_iter):
+        import re as _re
+
         from dataset_grouper_spark.sources import hudi_log as hl
         from dataset_grouper_spark.sources.avro import read_avro_file
 
@@ -838,9 +840,20 @@ def _log_rows_df(
             for path in pdf["shard"]:
                 rows = []
                 if hl.is_hoodie_log(path):
+                    # Hudi rolls a group's log over by size within one
+                    # instant (.log.1 then .log.2): later FILES must
+                    # supersede earlier ones, so the file's version
+                    # number seeds the block-sequence ordering (r9
+                    # review: per-file seq restarting at 0 let the
+                    # earlier rollover win ties)
+                    vm = _re.search(
+                        r"\.log\.(\d+)", path.rsplit("/", 1)[-1]
+                    )
+                    seq_base = (int(vm.group(1)) if vm else 0) * 1_000_000
                     for op, instant, seq, rec in hl.read_log_records(
                         path, completed
                     ):
+                        seq = seq_base + seq
                         if op == "d":
                             # delete block: identity only, no user row
                             rows.append(
@@ -1589,22 +1602,44 @@ def hudi_clean(table_path: str, dry_run: bool = False) -> list[str]:
     for (part, fid, base), entries in _log_files(table_path).items():
         if (part, fid, base) in live_keys:
             continue  # logs still serving the live slice
-        for _instant, path in entries:
+        for instant, path in entries:
+            if instant == "":
+                # HoodieLogFormat file: visibility is PER BLOCK, so
+                # the filename gate that keeps this loop away from
+                # our dialect's uncommitted logs does not apply — a
+                # file carrying ANY block of a not-yet-completed
+                # instant belongs to an in-flight writer and is not
+                # ours to reap (r9 review; the in-flight-writer
+                # protection this docstring promises)
+                insts = {
+                    b.get("header", {}).get("INSTANT_TIME")
+                    for b in hudi_log.read_log_blocks(path)
+                    if b["type"] != "CORRUPT_BLOCK"
+                }
+                if any(i not in commits for i in insts if i):
+                    continue
             doomed.append(
                 os.path.relpath(path, table_path).replace(os.sep, "/")
             )
     doomed.sort()
     if dry_run or not doomed:
         return doomed
-    for rel in doomed:
-        _fs.remove(os.path.join(table_path, rel))
-    instant = _next_instant(table_path)
+    # claim an instant BEFORE deleting anything: losing the claim race
+    # must never leave deletions recorded in no timeline marker (r9
+    # review — the old order deleted first and let a raced claim
+    # escape as a raw FileExistsError)
     hp = _hoodie_path(table_path)
+    instant = _next_instant(table_path)
+    while True:
+        try:
+            _claim_instant(table_path, instant, "clean")
+            break
+        except FileExistsError:
+            instant = str(int(instant) + 1)
     for suffix in ("clean.requested", "clean.inflight"):
         _fs.write_text(os.path.join(hp, f"{instant}.{suffix}"), "{}")
-    # serialize on the same action-agnostic claim the writers use —
-    # a clean racing a commit on one instant must not interleave
-    _claim_instant(table_path, instant, "clean")
+    for rel in doomed:
+        _fs.remove(os.path.join(table_path, rel))
     _fs.write_text(
         os.path.join(hp, f"{instant}.clean"),
         json.dumps({"deleted": doomed}),

@@ -122,23 +122,6 @@ DELETE_LIST_SCHEMA = {
 # ---------------------------------------------------------------- framing
 
 
-def _read_meta_map(buf: io.BytesIO) -> dict[str, str]:
-    (count,) = struct.unpack(">i", buf.read(4))
-    out: dict[str, str] = {}
-    for _ in range(count):
-        ordinal, length = struct.unpack(">ii", buf.read(8))
-        raw = buf.read(length)
-        if len(raw) != length:
-            raise ValueError("hudi_log: truncated metadata map")
-        key = (
-            HEADER_TYPES[ordinal]
-            if 0 <= ordinal < len(HEADER_TYPES)
-            else f"UNKNOWN_{ordinal}"
-        )
-        out[key] = raw.decode("utf-8")
-    return out
-
-
 def _write_meta_map(meta: dict[str, str]) -> bytes:
     out = bytearray(struct.pack(">i", len(meta)))
     for key, value in meta.items():
@@ -182,26 +165,52 @@ def read_log_blocks(path_or_bytes) -> list[dict]:
     return blocks
 
 
+def _parse_meta_map_at(data: bytes, pos: int) -> tuple[dict, int]:
+    (count,) = struct.unpack_from(">i", data, pos)
+    pos += 4
+    out: dict[str, str] = {}
+    for _ in range(count):
+        ordinal, length = struct.unpack_from(">ii", data, pos)
+        pos += 8
+        if pos + length > len(data) or length < 0:
+            raise ValueError("hudi_log: truncated metadata map")
+        key = (
+            HEADER_TYPES[ordinal]
+            if 0 <= ordinal < len(HEADER_TYPES)
+            else f"UNKNOWN_{ordinal}"
+        )
+        out[key] = data[pos : pos + length].decode("utf-8")
+        pos += length
+    return out, pos
+
+
 def _parse_block_at(data: bytes, start: int) -> tuple[dict, int]:
-    buf = io.BytesIO(data[start:])
-    if buf.read(6) != MAGIC:
+    # offset-based parse: only the header/content/footer slices this
+    # block owns are ever copied — a B-block file is O(file), not
+    # O(B * file) tail copies (r9 review)
+    if data[start : start + 6] != MAGIC:
         raise ValueError("hudi_log: bad magic")
-    (block_size,) = struct.unpack(">q", buf.read(8))
-    version, type_ordinal = struct.unpack(">ii", buf.read(8))
+    pos = start + 6
+    (block_size,) = struct.unpack_from(">q", data, pos)
+    pos += 8
+    version, type_ordinal = struct.unpack_from(">ii", data, pos)
+    pos += 8
     if not 0 <= type_ordinal < len(BLOCK_TYPES):
         raise ValueError(f"hudi_log: bad block type ordinal {type_ordinal}")
-    header = _read_meta_map(buf)
-    (content_len,) = struct.unpack(">q", buf.read(8))
-    content = buf.read(content_len)
-    if len(content) != content_len:
+    header, pos = _parse_meta_map_at(data, pos)
+    (content_len,) = struct.unpack_from(">q", data, pos)
+    pos += 8
+    if content_len < 0 or pos + content_len > len(data):
         raise ValueError("hudi_log: truncated content")
-    footer = _read_meta_map(buf)
-    (total_len,) = struct.unpack(">q", buf.read(8))
-    end = start + buf.tell()
+    content = data[pos : pos + content_len]
+    pos += content_len
+    footer, pos = _parse_meta_map_at(data, pos)
+    (total_len,) = struct.unpack_from(">q", data, pos)
+    pos += 8
     # verify both length fields — framing must be self-consistent
-    if total_len != buf.tell():
+    if total_len != pos - start:
         raise ValueError("hudi_log: reverse pointer mismatch")
-    if block_size != buf.tell() - 6 - 8:
+    if block_size != pos - start - 6 - 8:
         raise ValueError("hudi_log: block size mismatch")
     return (
         {
@@ -211,7 +220,7 @@ def _parse_block_at(data: bytes, start: int) -> tuple[dict, int]:
             "footer": footer,
             "content": content,
         },
-        end,
+        pos,
     )
 
 

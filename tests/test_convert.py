@@ -275,3 +275,22 @@ def test_sync_iceberg_to_delta_incremental(spark, tmp_path):
     # not-a-mirror guard
     with pytest.raises(FileNotFoundError, match="not a Delta table"):
         convert.sync_iceberg_to_delta(spark, i, str(tmp_path / "nope"))
+
+
+def test_sync_iceberg_to_delta_schema_drift_gate(spark, tmp_path):
+    """r9 review: an Iceberg-side ADD COLUMN between syncs cannot land
+    as a bare append — the mirror's pinned schema would silently drop
+    the new column."""
+    i = str(tmp_path / "isync3")
+    d = str(tmp_path / "dsync3")
+    mk = lambda rows, ddl: spark.createDataFrame(rows, ddl).coalesce(1)
+    iceberg.iceberg_append(spark, mk([(1, "a")], "id long, v string"), i)
+    convert.convert_iceberg_to_delta(spark, i, d)
+    iceberg.iceberg_append(
+        spark,
+        mk([(2, "b", 7)], "id long, v string, extra long"),
+        i,
+        merge_schema=True,
+    )
+    with pytest.raises(NotImplementedError, match="schema changed"):
+        convert.sync_iceberg_to_delta(spark, i, d)

@@ -322,3 +322,66 @@ def test_mor_writer_rejects_unknown_log_format(spark, tmp_path):
         hudi.hudi_mor_upsert(
             spark, _mk(spark, [(1, "b")]), t, log_format="parquet"
         )
+
+
+def test_same_instant_log_rollover_later_file_wins(spark, tmp_path):
+    """r9 review: Hudi rolls a group's log by size within one instant
+    (.log.1 then .log.2, same writeToken) — the later FILE's write for
+    a key must supersede the earlier file's."""
+    t = str(tmp_path / "mor_rollover")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    part, fid, base, _path = hudi.hudi_file_slices(t)[0]
+    di = hudi._next_instant(t)
+    hudi_log.write_log_file(
+        os.path.join(t, f".{fid}_{base}.log.1_0-1-0"),
+        [hudi_log.encode_avro_data_block(
+            [_foreign_rec("1", 1, "FIRST")], FOREIGN_SCHEMA, di)],
+    )
+    hudi_log.write_log_file(
+        os.path.join(t, f".{fid}_{base}.log.2_0-1-0"),
+        [hudi_log.encode_avro_data_block(
+            [_foreign_rec("1", 1, "SECOND")], FOREIGN_SCHEMA, di)],
+    )
+    _complete_deltacommit(t, di)
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "SECOND")]
+    # compaction folds with the same ordering
+    hudi.hudi_compact(spark, t)
+    got2 = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got2 == [(1, "SECOND")]
+
+
+def test_clean_spares_uncommitted_foreign_log(spark, tmp_path):
+    """r9 review: a HoodieLogFormat file carrying an uncommitted block
+    belongs to an in-flight writer — clean must not reap it even when
+    its base slice is superseded."""
+    t = str(tmp_path / "mor_clean_foreign")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    part, fid, base, _path = hudi.hudi_file_slices(t)[0]
+    # an in-flight foreign writer's log: block instant NOT completed
+    ghost = str(int(hudi._next_instant(t)) + 50)
+    log_rel = f".{fid}_{base}.log.1_0-9-9"
+    hudi_log.write_log_file(
+        os.path.join(t, log_rel),
+        [hudi_log.encode_avro_data_block(
+            [_foreign_rec("1", 1, "GHOST")], FOREIGN_SCHEMA, ghost)],
+    )
+    # supersede the base slice so the group's old slice becomes doomed
+    hudi.hudi_upsert(spark, _mk(spark, [(1, "A")]), t)
+    doomed = hudi.hudi_clean(t, dry_run=True)
+    assert all(log_rel not in d for d in doomed), doomed
+    hudi.hudi_clean(t)
+    assert os.path.exists(os.path.join(t, log_rel))
+    # once the block's instant completes, the (now superseded-slice)
+    # log becomes reapable
+    _complete_deltacommit(t, ghost)
+    # the ghost deltacommit upserts id=1 on the OLD base slice which is
+    # superseded; clean may now reap its log
+    doomed2 = hudi.hudi_clean(t, dry_run=True)
+    assert any(log_rel in d for d in doomed2)

@@ -5,7 +5,7 @@ import pytest
 
 from dataset_grouper_spark.operators import spandedup
 
-B = spandedup._POS_BASE
+B = 1_000_000  # brute-force packed key (test ids are small ints)
 
 
 def _brute_remove(rows, k, cap=None):
@@ -222,3 +222,22 @@ def test_incremental_corpus_cap_drops_boilerplate(spark):
         _df(spark, batch), _df(spark, corpus), "doc_id", "text", k=k
     ).collect()[0]
     assert uncapped["removed_tokens"] == 6
+
+
+def test_string_doc_ids_supported(spark):
+    """r9 review: the canonical key is a struct min, not a numeric
+    cast — string ids must dedup, not silently no-op (a long cast of
+    'doc-1' is NULL, which used to void every removal)."""
+    rows = [
+        ("doc-b", "x0 x1 alpha beta gamma delta epsilon zeta"),
+        ("doc-a", "alpha beta gamma delta epsilon zeta y0 y1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in spandedup.remove_duplicate_spans(
+            df, "doc_id", "text", k=6
+        ).collect()
+    }
+    # 'doc-a' < 'doc-b': the lexicographically-first doc keeps the span
+    assert got == {"doc-a": 0, "doc-b": 6}

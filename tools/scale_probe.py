@@ -211,7 +211,7 @@ def main() -> int:
             dt = round(time.perf_counter() - t0, 3)
             out.setdefault(name, {})[sf_name] = dt
             release_intermediates()
-            entrymod._KNN_EDGE_CACHE.clear()
+            entrymod._knn_cache_clear()
             print(f"{sf_name} {name}: {dt}s", file=sys.stderr)
     import math
 

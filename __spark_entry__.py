@@ -2130,12 +2130,25 @@ def q_streaming_span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
         streaming_span_dedup,
     )
 
+    import glob as _glob
+    import os as _os
+
     docs = read_table(spark, sf, "documents").select("doc_id", "text")
     src = tempfile.mkdtemp(prefix="ssd_src_")
     for i in range(3):
         docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
             f"{src}/b{i}"
         )
+    # Pin batch ORDER explicitly: the file stream source orders new
+    # files by mtime (path only breaks ties), and the oracle's
+    # epoch = doc_id%3 assumption needs b0 < b1 < b2. Coarse-mtime
+    # filesystems could otherwise flip it (r9 review) — force strictly
+    # increasing, well-separated mtimes per batch.
+    base = _os.path.getmtime(src)
+    for i in range(3):
+        for p in _glob.glob(f"{src}/b{i}/*.parquet"):
+            t = base + 60.0 * (i + 1)
+            _os.utime(p, (t, t))
     store = tempfile.mkdtemp(prefix="ssd_store_")
     ckpt = tempfile.mkdtemp(prefix="ssd_ck_")
     stream = (
@@ -7776,56 +7789,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
-    "streaming_span_dedup_documents",
-    "span_dedup_documents",
-    "span_dedup_incremental_documents",
-    "dup_spans_documents",
-    "contrastive_negatives_documents",
-    "lm_tiered_documents",
-    "vocab_index_documents",
-    "temperature_mix_documents",
-    "delete_roundtrip",
-    "token_shards_documents",
-    "dp_group_counts_documents",
-    "dp_group_sums_events",
-    "dp_group_counts_geo_documents",
-    "gif_frame_meta",
-    "group_entropy_events",
-    "asof_tolerance_events",
-    "grouping_sets_lineitem",
-    "hudi_mor_read",
-    "hudi_log_format_read",
-    "hudi_rollback_roundtrip",
-    "hudi_changes_cdc",
-    "hudi_partitions",
-    "streaming_hudi_sink_partitioned",
-    "hudi_clean_roundtrip",
-    "convert_tables_roundtrip",
-    "sync_delta_iceberg_mirror",
-    "sync_iceberg_delta_mirror",
-    "group_counts_rollup",
-    "pipeline_c4_style",
-    "chunk_tokens_documents",
-    "approx_distinct_users",
-    "sessionize_events",
-    "sample_documents",
-    "repetition_documents",
-    "json_props_events",
-    "text_hashed_cosine_pairs",
-    "moving_avg_events",
-    "stratified_sample_documents",
-    "neardup_clusters_documents",
-    "dedup_exact_documents",
-    "dedup_exact_survivors",
-    "embedding_neardup_clusters",
-    "pack_sequences_documents",
-    "tpch_q18_large_orders",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q5_local_supplier",
-    "tpch_q14_promo_revenue",
-    "key_skew_events",
-    "embedding_cosine_pairs",
     "salted_join_revenue",
     "simhash_documents",
     "multimodal_image_meta",
@@ -7989,6 +7952,56 @@ _QUERY_ORDER: list[str] = [
     "drift_documents",
     "weighted_sample_documents",
     "bpe_token_counts_documents",
+    "streaming_span_dedup_documents",
+    "span_dedup_documents",
+    "span_dedup_incremental_documents",
+    "dup_spans_documents",
+    "contrastive_negatives_documents",
+    "lm_tiered_documents",
+    "vocab_index_documents",
+    "temperature_mix_documents",
+    "delete_roundtrip",
+    "token_shards_documents",
+    "dp_group_counts_documents",
+    "dp_group_sums_events",
+    "dp_group_counts_geo_documents",
+    "gif_frame_meta",
+    "group_entropy_events",
+    "asof_tolerance_events",
+    "grouping_sets_lineitem",
+    "group_counts_rollup",
+    "pipeline_c4_style",
+    "chunk_tokens_documents",
+    "approx_distinct_users",
+    "sessionize_events",
+    "sample_documents",
+    "repetition_documents",
+    "json_props_events",
+    "text_hashed_cosine_pairs",
+    "moving_avg_events",
+    "stratified_sample_documents",
+    "neardup_clusters_documents",
+    "dedup_exact_documents",
+    "dedup_exact_survivors",
+    "embedding_neardup_clusters",
+    "pack_sequences_documents",
+    "tpch_q18_large_orders",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q5_local_supplier",
+    "tpch_q14_promo_revenue",
+    "key_skew_events",
+    "embedding_cosine_pairs",
+    "hudi_mor_read",
+    "hudi_log_format_read",
+    "hudi_rollback_roundtrip",
+    "hudi_changes_cdc",
+    "hudi_partitions",
+    "streaming_hudi_sink_partitioned",
+    "hudi_clean_roundtrip",
+    "convert_tables_roundtrip",
+    "sync_delta_iceberg_mirror",
+    "sync_iceberg_delta_mirror",
 ]
 # --- END GENERATED _QUERY_ORDER ---
 

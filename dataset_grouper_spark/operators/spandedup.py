@@ -113,6 +113,30 @@ def anchor_frequencies(
     )
 
 
+def _require_unique_ids(df: DataFrame, id_col: str, where: str) -> None:
+    """Fail fast on a non-unique ``id_col``: the span rebuild groups
+    exploded tokens by document id, so two documents sharing an id
+    would silently interleave their token streams into one corrupted
+    ``clean_text`` (equal ``(_doc, _tp)`` keys make the rebuild's
+    array_sort order nondeterministic — r9 review). One column-pruned
+    aggregate probe, bounded to the first offender."""
+    dup = (
+        df.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{where}: id_col {id_col!r} must uniquely identify each "
+            f"document — value {dup[0][0]!r} appears {dup[0][1]} times; "
+            "deduplicate ids upstream or key by a unique column "
+            "(pass check_unique_ids=False only when uniqueness is "
+            "already guaranteed by the caller)"
+        )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -120,11 +144,17 @@ def duplicate_spans(
     k: int = 8,
     max_anchor_freq: int | None = None,
     hash_grams: bool = False,
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """Maximal duplicated token spans per document:
     ``(id_col, span_start, span_end)`` — inclusive token positions of
     each maximal run covered by non-canonical repeated k-gram windows
-    (gaps-and-islands merge over window starts)."""
+    (gaps-and-islands merge over window starts).
+
+    ``id_col`` must be unique per document (span merges group by it);
+    verified up front unless ``check_unique_ids=False``."""
+    if check_unique_ids:
+        _require_unique_ids(df, id_col, "duplicate_spans")
     dup = _dup_windows(df, id_col, text_col, k, max_anchor_freq, hash_grams)
     w = (
         Window.partitionBy("_doc")
@@ -165,12 +195,18 @@ def remove_duplicate_spans(
     k: int = 8,
     max_anchor_freq: int | None = None,
     hash_grams: bool = False,
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """Lee et al. removal: every occurrence of a duplicated >=k-token
     span is deleted except the corpus-global first. Returns every
     input document as ``(id_col, clean_text, removed_tokens)`` —
     ``clean_text`` is the surviving tokens single-space joined (the
-    tokenizer normalizes whitespace), possibly empty."""
+    tokenizer normalizes whitespace), possibly empty.
+
+    ``id_col`` must be unique per document (the rebuild groups tokens
+    by it); verified up front unless ``check_unique_ids=False``."""
+    if check_unique_ids:
+        _require_unique_ids(df, id_col, "remove_duplicate_spans")
     dup = _dup_windows(df, id_col, text_col, k, max_anchor_freq, hash_grams)
     return _rebuild_without(df, dup, id_col, text_col, k)
 
@@ -183,6 +219,7 @@ def remove_duplicate_spans_against(
     k: int = 8,
     max_anchor_freq: int | None = None,
     hash_grams: bool = False,
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """Incremental ExactSubstr (the ingest shape, twin of
     ``dedup.minhash_dedup_against``): clean a NEW batch against an
@@ -194,9 +231,18 @@ def remove_duplicate_spans_against(
     cost is O(batch grams + corpus scan), never O(corpus^2).
     ``max_anchor_freq`` drops corpus grams above the cap from
     matching (boilerplate guard, drop-and-audit like the batch path).
-    Returns the batch as ``(id_col, clean_text, removed_tokens)``."""
+    Returns the batch as ``(id_col, clean_text, removed_tokens)``.
+
+    Batch ``id_col`` must be unique per document (the rebuild groups
+    tokens by it); verified up front unless ``check_unique_ids=False``
+    (duplicate CORPUS ids are harmless — the corpus contributes only
+    its gram set)."""
     if k < 2:
         raise ValueError("k must be >= 2 (a 1-token span is a stopword)")
+    if check_unique_ids:
+        _require_unique_ids(
+            batch, id_col, "remove_duplicate_spans_against"
+        )
     bw = _windows(batch, id_col, text_col, k, hash_grams)
     cg = _windows(corpus, id_col, text_col, k, hash_grams).groupBy(
         "_gram"

@@ -792,17 +792,38 @@ def _py_str(v):
     return str(v)
 
 
+def _log_version(path: str) -> tuple[int, str]:
+    m = re.search(r"\.log\.(\d+)", path.rsplit("/", 1)[-1])
+    return (int(m.group(1)) if m else 0, path)
+
+
+def _group_log_paths(paths: list[str]) -> list[list[str]]:
+    """Group log-file paths by FILE GROUP (everything before the
+    ``.log.<version>`` suffix) with each group's rollover files ordered
+    by version — the unit Hudi's scanner decodes as ONE block stream,
+    so a rollback COMMAND_BLOCK in ``.log.2`` can invalidate blocks in
+    ``.log.1`` (r9 review)."""
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        key = p.rsplit(".log.", 1)[0] if ".log." in p else p
+        groups.setdefault(key, []).append(p)
+    return [
+        sorted(v, key=_log_version) for _k, v in sorted(groups.items())
+    ]
+
+
 def _log_rows_df(
     spark: SparkSession,
-    paths: list[str],
+    path_groups: list[list[str]],
     user_schema,
     record_key: str,
     completed: set[str],
 ) -> DataFrame:
     """Distributed decode of MoR log files of EITHER dialect into rows
     ``[_MOR_OP, _MOR_INSTANT, _MOR_SEQ, __mor_key, __mor_part,
-    *user_cols]`` — one executor task per file, Arrow-batched, the
-    same shards→tasks layout as ``read_avro``.
+    *user_cols]`` — one executor task per FILE GROUP (its ordered
+    rollover files decoded as one block stream, Hudi's scanner unit),
+    Arrow-batched, the same shards→tasks layout as ``read_avro``.
 
     ``__mor_key``/``__mor_part`` are set only when the log record is
     itself authoritative about identity (HoodieLogFormat records
@@ -825,35 +846,31 @@ def _log_rows_df(
         + [f"`{f.name}` {f.dataType.simpleString()}" for f in user_schema.fields]
     )
     completed = frozenset(completed)
+    encoded = ["\x00".join(sorted(g, key=_log_version)) for g in path_groups]
     shards = spark.createDataFrame(
-        spark.sparkContext.parallelize([(p,) for p in paths], len(paths)),
+        spark.sparkContext.parallelize(
+            [(s,) for s in encoded], len(encoded)
+        ),
         "shard string",
     )
 
     def decode(pdf_iter):
-        import re as _re
-
         from dataset_grouper_spark.sources import hudi_log as hl
         from dataset_grouper_spark.sources.avro import read_avro_file
 
         for pdf in pdf_iter:
-            for path in pdf["shard"]:
+            for shard in pdf["shard"]:
+                paths = shard.split("\x00")
                 rows = []
-                if hl.is_hoodie_log(path):
-                    # Hudi rolls a group's log over by size within one
-                    # instant (.log.1 then .log.2): later FILES must
-                    # supersede earlier ones, so the file's version
-                    # number seeds the block-sequence ordering (r9
-                    # review: per-file seq restarting at 0 let the
-                    # earlier rollover win ties)
-                    vm = _re.search(
-                        r"\.log\.(\d+)", path.rsplit("/", 1)[-1]
-                    )
-                    seq_base = (int(vm.group(1)) if vm else 0) * 1_000_000
-                    for op, instant, seq, rec in hl.read_log_records(
-                        path, completed
+                hoodie = [p for p in paths if hl.is_hoodie_log(p)]
+                if hoodie:
+                    # one ordered stream per file group: global block
+                    # position IS the supersedence order (later
+                    # rollover files scan after earlier ones), and
+                    # rollback COMMAND_BLOCKs apply across files
+                    for op, instant, seq, rec in (
+                        hl.read_log_stream_records(hoodie, completed)
                     ):
-                        seq = seq_base + seq
                         if op == "d":
                             # delete block: identity only, no user row
                             rows.append(
@@ -882,7 +899,9 @@ def _log_rows_df(
                                     **{n: rec.get(n) for n in names},
                                 }
                             )
-                else:
+                for path in paths:
+                    if path in hoodie:
+                        continue
                     _schema, recs = read_avro_file(path)
                     for rec in recs:
                         rows.append(
@@ -927,12 +946,13 @@ def _read_mor(
             f"read_hudi: no completed file slices at as_of={as_of!r}"
         )
     logs = _log_files(table_path, as_of)
-    logged_paths, clean_paths, log_paths = [], [], []
+    logged_paths, clean_paths, log_groups = [], [], []
     for part, fid, instant, path in slices:
         entries = logs.get((part, fid, instant))
         if entries:
             logged_paths.append(path)
-            log_paths.extend(p for _i, p in entries)
+            # one file group's logs = one ordered decode stream
+            log_groups.append([p for _i, p in entries])
         else:
             clean_paths.append(path)
     frames = []
@@ -947,7 +967,7 @@ def _read_mor(
             user_cols = [c for c in base.columns if c not in META_COLS]
         logdf = _log_rows_df(
             spark,
-            log_paths,
+            log_groups,
             base.select(*user_cols).schema,
             record_key,
             set(_completed(table_path, as_of)),
@@ -1345,7 +1365,7 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
         user_cols = [c for c in basedf.columns if c not in META_COLS]
         logdf = _log_rows_df(
             spark,
-            [p for _i, p in entries],
+            [[p for _i, p in entries]],
             basedf.select(*user_cols).schema,
             record_key,
             completed,
@@ -1490,7 +1510,11 @@ def read_hudi_changes(
             )
         if log_paths:
             logdf = _log_rows_df(
-                spark, log_paths, user_schema, record_key, {ts}
+                spark,
+                _group_log_paths(log_paths),
+                user_schema,
+                record_key,
+                {ts},
             )
             frames.append(
                 logdf.select(
@@ -1519,10 +1543,13 @@ def read_hudi_changes(
 
 def hudi_rollback(table_path: str, instant: str | None = None) -> list[str]:
     """ROLLBACK the LATEST completed write instant (Hudi's rollback
-    action): physically delete the base/log files that instant's
-    partitionToWriteStats recorded, drop its completed marker, and
-    record a ``<ts>.rollback`` timeline marker at a fresh instant —
-    after which reads serve the previous snapshot. Only the latest
+    action): claim a fresh rollback instant, drop the target's
+    completed marker and record the ``<ts>.rollback`` timeline marker,
+    THEN physically delete the base/log files its partitionToWriteStats
+    recorded (invalidate-before-delete: a crash mid-deletion degrades
+    to invisible orphan files, never a completed instant with files
+    partially missing) — after which reads serve the previous
+    snapshot. Only the latest
     completed commit/deltacommit/replacecommit may roll back: undoing
     a middle instant would corrupt later slices built on top of it
     (pass ``instant`` to assert which one you expect to undo).
@@ -1546,28 +1573,60 @@ def hudi_rollback(table_path: str, instant: str | None = None) -> list[str]:
         hudi_file_slices(table_path, as_of=str(int(latest) - 1))
     meta = commits[latest]
     action = meta["__action"]
-    removed: list[str] = []
-    for _part, wstats in (meta.get("partitionToWriteStats") or {}).items():
-        for w in wstats:
-            try:
-                _fs.remove(os.path.join(table_path, w["path"]))
-                removed.append(w["path"])
-            except FileNotFoundError:
-                pass
+    doomed = sorted(
+        w["path"]
+        for _part, wstats in (meta.get("partitionToWriteStats") or {}).items()
+        for w in wstats
+    )
     hp = _hoodie_path(table_path)
-    _fs.remove(os.path.join(hp, f"{latest}.{action}"))
+    # Claim the rollback instant BEFORE the destructive phase: a writer
+    # committing between the latest=max(commits) read above and the
+    # deletions below would turn this into a rollback of a MIDDLE
+    # instant — exactly what the only-latest guard forbids — corrupting
+    # slices the newer commit built on. The claim serializes us against
+    # every completed-marker writer; re-verifying latest under it
+    # closes the window.
     ri = _next_instant(table_path)
     for suffix in ("rollback.requested", "rollback.inflight"):
         _fs.write_text(os.path.join(hp, f"{ri}.{suffix}"), "{}")
     _claim_instant(table_path, ri, "rollback")
+    if max(_completed(table_path)) != latest:
+        for name in (
+            f"{ri}.rollback.requested",
+            f"{ri}.rollback.inflight",
+            f".{ri}.claim",
+        ):
+            try:
+                _fs.remove(os.path.join(hp, name))
+            except FileNotFoundError:
+                pass
+        raise RuntimeError(
+            f"hudi_rollback: instant {latest} is no longer the latest "
+            "completed instant (a writer committed concurrently); only "
+            "the latest instant may roll back — re-run against the new "
+            "table state"
+        )
+    # Invalidate BEFORE deleting: drop the completed marker and record
+    # the .rollback marker first, so a crash mid-deletion degrades to
+    # invisible orphan files (the instant is already off the completed
+    # timeline) rather than a completed instant whose files are
+    # partially gone — a silently inconsistent mixed snapshot.
+    _fs.remove(os.path.join(hp, f"{latest}.{action}"))
     _fs.write_text(
         os.path.join(hp, f"{ri}.rollback"),
         json.dumps(
             {"rolledBackInstant": latest, "action": action,
-             "deleted": sorted(removed)}
+             "deleted": doomed}
         ),
     )
-    return sorted(removed)
+    removed: list[str] = []
+    for path in doomed:
+        try:
+            _fs.remove(os.path.join(table_path, path))
+            removed.append(path)
+        except FileNotFoundError:
+            pass
+    return removed
 
 
 def hudi_clean(table_path: str, dry_run: bool = False) -> list[str]:

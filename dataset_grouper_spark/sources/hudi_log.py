@@ -347,49 +347,68 @@ def write_log_file(path: str, block_bytes: list[bytes]) -> None:
 # ------------------------------------------------------------ scanning
 
 
-def read_log_records(
-    path_or_bytes, completed: set[str] | None = None
+def read_log_stream_records(
+    sources, completed: set[str] | None = None
 ) -> list[tuple[str, str, int, dict]]:
-    """Scan one log file -> ``(op, instant, seq, record)`` tuples in
-    block order, applying Hudi's log-scanner rules:
+    """Scan the ORDERED log files of ONE file group as a single block
+    stream -> ``(op, instant, seq, record)`` tuples, applying Hudi's
+    log-scanner rules:
 
     * blocks whose INSTANT_TIME is not in ``completed`` are invisible
       (an uncommitted / failed write's leftovers);
     * a rollback COMMAND_BLOCK drops every earlier block of its
-      TARGET_INSTANT_TIME;
+      TARGET_INSTANT_TIME — ACROSS files: Hudi's scanner reads a file
+      group's whole log stream, so a rollback block that landed in a
+      rollover file (``.log.2``) must invalidate target blocks written
+      to ``.log.1`` (single-file application let rolled-back records
+      resurrect on foreign tables — r9 review);
     * CORRUPT regions are skipped;
     * DELETE_BLOCK rows surface as op='d' records carrying
       ``recordKey``/``partitionPath``.
 
-    ``seq`` is the block's position in the file — later blocks of the
-    same instant supersede earlier ones for the same key downstream.
+    ``seq`` is the block's position in the whole stream — later blocks
+    (including later rollover files, scanned after earlier ones)
+    supersede earlier ones for the same key downstream.
     """
     out: list[tuple[str, str, int, dict]] = []
-    for seq, block in enumerate(read_log_blocks(path_or_bytes)):
-        btype = block["type"]
-        if btype == "CORRUPT_BLOCK":
-            continue
-        instant = block.get("header", {}).get("INSTANT_TIME", "")
-        if btype == "COMMAND_BLOCK":
-            target = block["header"].get("TARGET_INSTANT_TIME")
-            if target:
-                out = [t for t in out if t[1] != target]
-            continue
-        if completed is not None and instant not in completed:
-            continue
-        if btype == "AVRO_DATA_BLOCK":
-            for rec in decode_avro_data_block(block):
-                out.append(("u", instant, seq, rec))
-        elif btype == "DELETE_BLOCK":
-            for d in decode_delete_block(block):
-                out.append(("d", instant, seq, dict(d)))
-        else:
-            raise NotImplementedError(
-                f"hudi_log: {btype} payloads are not supported (data "
-                "blocks: AVRO_DATA_BLOCK; HFILE/PARQUET/CDC blocks "
-                "need their respective readers)"
-            )
+    seq = -1
+    for src in sources:
+        for block in read_log_blocks(src):
+            seq += 1
+            btype = block["type"]
+            if btype == "CORRUPT_BLOCK":
+                continue
+            instant = block.get("header", {}).get("INSTANT_TIME", "")
+            if btype == "COMMAND_BLOCK":
+                target = block["header"].get("TARGET_INSTANT_TIME")
+                if target:
+                    out = [t for t in out if t[1] != target]
+                continue
+            if completed is not None and instant not in completed:
+                continue
+            if btype == "AVRO_DATA_BLOCK":
+                for rec in decode_avro_data_block(block):
+                    out.append(("u", instant, seq, rec))
+            elif btype == "DELETE_BLOCK":
+                for d in decode_delete_block(block):
+                    out.append(("d", instant, seq, dict(d)))
+            else:
+                raise NotImplementedError(
+                    f"hudi_log: {btype} payloads are not supported "
+                    "(data blocks: AVRO_DATA_BLOCK; HFILE/PARQUET/CDC "
+                    "blocks need their respective readers)"
+                )
     return out
+
+
+def read_log_records(
+    path_or_bytes, completed: set[str] | None = None
+) -> list[tuple[str, str, int, dict]]:
+    """Single-file convenience wrapper over
+    ``read_log_stream_records`` (one log file == a one-file stream).
+    For a file group with rollover files, pass the ordered list to the
+    stream variant so cross-file rollback blocks apply."""
+    return read_log_stream_records([path_or_bytes], completed)
 
 
 def is_hoodie_log(path: str) -> bool:

@@ -57,7 +57,14 @@ def ingest_span_batch(
 ) -> None:
     """Clean + commit ONE epoch into the snapshot corpus store.
     Idempotent per epoch (module docstring). Exposed so crash-replay
-    tests can drive it directly."""
+    tests can drive it directly.
+
+    ``id_col`` must be unique per document WITHIN the batch — the
+    span rebuild groups tokens by it; the delegated spandedup call
+    fails fast on a violation (r9 review). Ids recurring ACROSS
+    epochs are harmless to correctness (the corpus side contributes
+    only its gram set) but make ``read_clean_corpus`` return one row
+    per (id, epoch)."""
     spark = batch.sparkSession
     has_store = bool(snap.snapshot_versions(store_path))
     if has_store:

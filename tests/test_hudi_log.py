@@ -94,6 +94,25 @@ def test_rollback_command_block_drops_target_instant():
     assert [(i, r["id"]) for _op, i, _s, r in recs] == [("101", 1)]
 
 
+def test_rollback_block_applies_across_stream_files():
+    """r9 review: Hudi's scanner reads a file group's whole log stream,
+    so a rollback COMMAND_BLOCK that landed in a rollover file (.log.2)
+    must invalidate target blocks written to .log.1."""
+    f1 = hudi_log.encode_avro_data_block(
+        [{"id": 1, "v": "BAD"}, {"id": 2, "v": "GHOST"}], SCHEMA, "101"
+    )
+    f2 = hudi_log.encode_rollback_block(
+        "102", target_instant="101"
+    ) + hudi_log.encode_avro_data_block(
+        [{"id": 1, "v": "GOOD"}], SCHEMA, "101"
+    )
+    recs = hudi_log.read_log_stream_records([f1, f2], completed={"101"})
+    assert [(r["id"], r["v"]) for _op, _i, _s, r in recs] == [(1, "GOOD")]
+    # single-file scan of f1 alone (the wrapper) still sees its blocks
+    solo = hudi_log.read_log_records(f1, completed={"101"})
+    assert [r["id"] for _op, _i, _s, r in solo] == [1, 2]
+
+
 def test_uncommitted_blocks_invisible():
     b1 = hudi_log.encode_avro_data_block([{"id": 1, "v": "a"}], SCHEMA, "101")
     b2 = hudi_log.encode_avro_data_block([{"id": 2, "v": "b"}], SCHEMA, "999")
@@ -352,6 +371,43 @@ def test_same_instant_log_rollover_later_file_wins(spark, tmp_path):
     hudi.hudi_compact(spark, t)
     got2 = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
     assert got2 == [(1, "SECOND")]
+
+
+def test_cross_file_rollback_no_resurrection(spark, tmp_path):
+    """r9 review end-to-end: a failed task attempt's blocks in .log.1,
+    rolled back by a COMMAND_BLOCK in .log.2 (rollover), must not
+    resurrect records absent from the retry — the whole group's log
+    files decode as one ordered stream."""
+    t = str(tmp_path / "mor_xfile_rb")
+    hudi.hudi_insert(
+        spark, _mk(spark, [(1, "a")]), t,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    part, fid, base, _path = hudi.hudi_file_slices(t)[0]
+    di = hudi._next_instant(t)
+    # attempt 1 (rolled back) wrote keys 1 AND 2; the retry wrote only 1
+    hudi_log.write_log_file(
+        os.path.join(t, f".{fid}_{base}.log.1_0-1-0"),
+        [hudi_log.encode_avro_data_block(
+            [_foreign_rec("1", 1, "BAD"), _foreign_rec("2", 2, "GHOST")],
+            FOREIGN_SCHEMA, di)],
+    )
+    hudi_log.write_log_file(
+        os.path.join(t, f".{fid}_{base}.log.2_0-1-0"),
+        [
+            hudi_log.encode_rollback_block(str(int(di) + 1), di),
+            hudi_log.encode_avro_data_block(
+                [_foreign_rec("1", 1, "GOOD")], FOREIGN_SCHEMA, di
+            ),
+        ],
+    )
+    _complete_deltacommit(t, di)
+    got = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got == [(1, "GOOD")]
+    # compaction folds through the same stream semantics
+    hudi.hudi_compact(spark, t)
+    got2 = sorted(tuple(r) for r in hudi.read_hudi(spark, t).collect())
+    assert got2 == [(1, "GOOD")]
 
 
 def test_clean_spares_uncommitted_foreign_log(spark, tmp_path):

@@ -224,6 +224,52 @@ def test_incremental_corpus_cap_drops_boilerplate(spark):
     assert uncapped["removed_tokens"] == 6
 
 
+def test_duplicate_ids_fail_fast(spark):
+    """r9 review: a non-unique id_col would silently interleave two
+    documents' token streams into one corrupted clean_text — the
+    public entry points must refuse up front."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (1, "p q r s t u v w"),
+        (2, "x0 x1 x2 x3 x4 x5 x6 x7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (
+        spandedup.remove_duplicate_spans,
+        spandedup.duplicate_spans,
+    ):
+        with pytest.raises(ValueError, match="must uniquely identify"):
+            fn(df, "doc_id", "text", k=4)
+    with pytest.raises(ValueError, match="must uniquely identify"):
+        spandedup.remove_duplicate_spans_against(
+            df, _df(spark), "doc_id", "text", k=4
+        )
+    # duplicate CORPUS ids are harmless (gram set only) and a caller
+    # that guarantees uniqueness can opt out of the probe
+    ok = spandedup.remove_duplicate_spans_against(
+        spark.createDataFrame(
+            [(9, "m0 m1 m2 m3 m4 m5 m6")], "doc_id long, text string"
+        ),
+        df,
+        "doc_id",
+        "text",
+        k=4,
+    ).collect()
+    assert len(ok) == 1
+    assert (
+        spandedup.remove_duplicate_spans(
+            spark.createDataFrame(
+                [(9, "m0 m1 m2 m3 m4 m5 m6")], "doc_id long, text string"
+            ),
+            "doc_id",
+            "text",
+            k=4,
+            check_unique_ids=False,
+        ).count()
+        == 1
+    )
+
+
 def test_string_doc_ids_supported(spark):
     """r9 review: the canonical key is a struct min, not a numeric
     cast — string ids must dedup, not silently no-op (a long cast of

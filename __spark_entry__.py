@@ -3919,6 +3919,15 @@ BFS_MAX_HOPS = 4
 
 ER_MAX_DIST = 2
 ER_NAME_PREFIX = 17
+# Drop-and-audit block cap, ENGAGED in the contract queries (r9
+# verdict's one scale-killer): the (nation, segment) pass's 125-value
+# key grows block size linearly with data — candidate pairs then grow
+# quadratically (measured 47.9x at 10x data uncapped; 0.46x ratio with
+# the cap). Blocks above the cap are dropped before the pair join and
+# recall falls back to the name-prefix pass, whose block size is
+# scale-constant. At sf<=0.1 no block reaches the cap, so capped and
+# uncapped results are identical there.
+ER_MAX_BLOCK = 400
 
 
 def q_scd2_user_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -4018,11 +4027,16 @@ def q_entity_match_customers(spark: SparkSession, sf: str) -> DataFrame:
     (two passes, unioned + deduped — never all-pairs) scored with
     JVM-side levenshtein on the name, kept at edit distance <= 2 with
     a normalized similarity. levenshtein is built into BOTH engines,
-    so the score itself is the cross-engine contract."""
+    so the score itself is the cross-engine contract. max_block_size
+    is ENGAGED (mirrored in the DuckDB twin): oversized blocks from
+    the non-scaling (nation, segment) pass drop rather than detonate
+    quadratically at scale — see ER_MAX_BLOCK."""
     from dataset_grouper_spark.operators import linkage
 
     cust = read_table(spark, sf, "customer")
-    pairs = linkage.blocked_pairs(cust, "c_custkey", _customer_blocks())
+    pairs = linkage.blocked_pairs(
+        cust, "c_custkey", _customer_blocks(), max_block_size=ER_MAX_BLOCK
+    )
     return linkage.match_pairs(
         cust, pairs, "c_custkey", "c_name", ER_MAX_DIST
     )
@@ -4033,12 +4047,18 @@ def q_entity_clusters_customers(spark: SparkSession, sf: str) -> DataFrame:
     connected components → every customer labeled with its entity id
     (min record id of the match-graph component; singletons are their
     own entity). The three-stage ER shape every metadata-dedup pass in
-    a training-data pipeline runs before corpus mixing."""
+    a training-data pipeline runs before corpus mixing. max_block_size
+    ENGAGED, mirrored in the twin — see ER_MAX_BLOCK."""
     from dataset_grouper_spark.operators import linkage
 
     cust = read_table(spark, sf, "customer")
     return linkage.resolve_entities(
-        cust, "c_custkey", "c_name", _customer_blocks(), ER_MAX_DIST
+        cust,
+        "c_custkey",
+        "c_name",
+        _customer_blocks(),
+        ER_MAX_DIST,
+        max_block_size=ER_MAX_BLOCK,
     )
 
 
@@ -9778,12 +9798,14 @@ def oracle_sql() -> dict[str, str]:
         "entity_match_customers": linkage_ops.match_pairs_sql(
             "customer", "c_custkey", "c_name",
             _CUSTOMER_BLOCKS_SQL, ER_MAX_DIST,
+            max_block_size=ER_MAX_BLOCK,
         ),
         "entity_clusters_customers": f"""
             WITH RECURSIVE m AS (
               SELECT id_a, id_b FROM ({linkage_ops.match_pairs_sql(
                 "customer", "c_custkey", "c_name",
                 _CUSTOMER_BLOCKS_SQL, ER_MAX_DIST,
+                max_block_size=ER_MAX_BLOCK,
               )})
             ),
             e AS (

@@ -192,14 +192,19 @@ def match_pairs_sql(
     text_col: str,
     block_exprs: list[list[str]],
     max_dist: int,
+    max_block_size: int | None = None,
 ) -> str:
     """DuckDB twin of blocked_pairs ∘ match_pairs: per-pass block
     self-joins unioned + deduped, levenshtein + threshold + normalized
-    similarity. Normalization uses ``length()`` (CHARACTER count) on
-    both engines. Exactness caveat: DuckDB's ``levenshtein`` counts
-    BYTE edits while Spark's counts CHARACTER edits, so the twin is
-    exact on ASCII text only (multi-byte characters inflate the DuckDB
-    distance); the registered oracle queries run on ASCII keys."""
+    similarity. ``max_block_size`` mirrors ``blocked_pairs``' cap —
+    blocks larger than it are dropped BEFORE the pair join (a window
+    count over the pass's key tuple), so capped Spark and DuckDB
+    results stay hash-identical. Normalization uses ``length()``
+    (CHARACTER count) on both engines. Exactness caveat: DuckDB's
+    ``levenshtein`` counts BYTE edits while Spark's counts CHARACTER
+    edits, so the twin is exact on ASCII text only (multi-byte
+    characters inflate the DuckDB distance); the registered oracle
+    queries run on ASCII keys."""
     passes = []
     for keys in block_exprs:
         null_guard = " AND ".join(
@@ -209,13 +214,23 @@ def match_pairs_sql(
         proj = ", ".join(
             f"{k} AS __k{i}" for i, k in enumerate(keys)
         )
+        cap_col = ""
+        cap_pred = ""
+        if max_block_size is not None:
+            part_by = ", ".join(f"__k{i}" for i in range(len(keys)))
+            cap_col = (
+                f", COUNT(*) OVER (PARTITION BY {part_by}) AS __bn"
+            )
+            # both sides share the block, one side's size check suffices
+            cap_pred = f" AND a.__bn <= {int(max_block_size)}"
         passes.append(
             f"""SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
-            FROM (SELECT {id_col}, {proj} FROM {table}
-                  WHERE {null_guard}) a
+            FROM (SELECT * {cap_col}
+                  FROM (SELECT {id_col}, {proj} FROM {table}
+                        WHERE {null_guard})) a
             JOIN (SELECT {id_col}, {proj} FROM {table}
                   WHERE {null_guard}) b
-              ON {on} AND a.{id_col} < b.{id_col}"""
+              ON {on} AND a.{id_col} < b.{id_col}{cap_pred}"""
         )
     union = " UNION ".join(passes)  # UNION dedups across passes
     return f"""

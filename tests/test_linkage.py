@@ -149,6 +149,61 @@ def test_match_pairs_sql_twin_agrees(spark):
     assert got == want
 
 
+def test_match_pairs_sql_twin_agrees_with_cap(spark):
+    """r9 verdict task 1: the SQL twin must mirror max_block_size so
+    capped contract queries stay hash-identical cross-engine. The hot
+    (city, segment) block exceeds the cap and is dropped on BOTH
+    engines; the name-prefix pass still recovers its pairs."""
+    rows = [
+        # 4-record hot block (cap 3): attribute pass drops it
+        (1, "Alice", "metro", "A"),
+        (2, "Alicf", "metro", "A"),
+        (3, "Zed", "metro", "A"),
+        (4, "Zee", "metro", "A"),
+        # small block survives the cap
+        (5, "Bob", "rural", "B"),
+        (6, "Bop", "rural", "B"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    blocks = [["city", "segment"], [F.substring("name", 1, 2)]]
+    cand = linkage.blocked_pairs(df, "id", blocks, max_block_size=3)
+    got = {
+        (r["id_a"], r["id_b"], r["dist"], r["similarity"])
+        for r in linkage.match_pairs(df, cand, "id", "name", 2).collect()
+    }
+    # Alice/Alicf via the 'Al' prefix block; Zed/Zee via 'Ze'; Bob/Bop
+    # via both passes — the hot attribute block's drop loses nothing
+    # the prefix pass doesn't recover here
+    assert {(a, b) for a, b, _d, _s in got} == {(1, 2), (3, 4), (5, 6)}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(
+            "(%d, '%s', '%s', '%s')" % r for r in rows
+        )
+        + ") v(id, name, city, segment)"
+    )
+    want = {
+        tuple(r)
+        for r in con.sql(
+            linkage.match_pairs_sql(
+                "t",
+                "id",
+                "name",
+                [["city", "segment"], ["substring(name, 1, 2)"]],
+                2,
+                max_block_size=3,
+            )
+        ).fetchall()
+    }
+    assert got == want
+    # uncapped, the hot block's cross pair set is larger (sanity that
+    # the cap actually bit): Zed/Zee at dist 2 appear either way, but
+    # the candidate count shrinks
+    uncapped = linkage.blocked_pairs(df, "id", blocks).count()
+    assert uncapped > cand.count()
+
+
 def test_block_key_injective_on_separator_bytes(spark):
     # a separator-concat block key would collide ('x\x1f', 'y') with
     # ('x', '\x1fy'); the struct key must NOT pair them

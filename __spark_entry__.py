@@ -5176,14 +5176,42 @@ def q_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+APPROX_DISTINCT_RSD = 0.02
+# Acceptance bound for the sketch-vs-exact assertion: 5x the
+# configured relative standard deviation. HLL++ error is a random
+# variable with sd=rsd, so a hard in-query bound needs headroom —
+# 5 sigma makes a spurious failure astronomically unlikely while a
+# BROKEN sketch (wrong register merge, off-by-2x) still trips it.
+APPROX_DISTINCT_BOUND = 5 * APPROX_DISTINCT_RSD
+
+
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate distinct-group cardinality (HLL sketch) per event
+    """Approximate distinct-group cardinality (HLL++ sketch) per event
     type — the constant-memory path for counting groups at 100 TB.
-    Sketches are engine-specific, so this is a rows-only check; the
-    pytest suite asserts accuracy against the exact count."""
+    Sketch VALUES are engine-specific, so the contract asserts the
+    sketch IN-QUERY instead: each group emits the exact count plus
+    within_bound = |approx - exact| / exact <= 5*rsd. The oracle pins
+    exact_users and within_bound=TRUE, so a broken sketch (or exact
+    path) hash-mismatches — this retires the surface's last rows-only
+    driver row (r9 verdict task 3)."""
     df = read_table(spark, sf, "events")
-    return df.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct(
+                "user_id", APPROX_DISTINCT_RSD
+            ).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(APPROX_DISTINCT_BOUND)
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -7809,6 +7837,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
+    "approx_distinct_users",
     "salted_join_revenue",
     "simhash_documents",
     "multimodal_image_meta",
@@ -7992,7 +8021,6 @@ _QUERY_ORDER: list[str] = [
     "group_counts_rollup",
     "pipeline_c4_style",
     "chunk_tokens_documents",
-    "approx_distinct_users",
     "sessionize_events",
     "sample_documents",
     "repetition_documents",
@@ -10368,6 +10396,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS pixel_sum,
                    CAST(sum(v * wgt) AS BIGINT) AS checksum
             FROM px GROUP BY doc_id, f
+        """,
+        "approx_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
         """,
         "group_entropy_events": """
             WITH s AS (

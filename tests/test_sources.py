@@ -38,11 +38,11 @@ def test_events_stream_shares_the_batch_ts_contract(spark):
     assert stream.columns == read_table(spark, SF, "events").columns
 
 
-# rows-only by necessity: seeded-Python-shuffle cohort order / HLL
-# sketch values are not SQL-expressible
+# rows-only by necessity: seeded-Python-shuffle cohort order is not
+# SQL-expressible (approx_distinct_users graduated to a hash oracle in
+# r10 — the sketch is asserted in-query against the exact count)
 ROWS_ONLY = {
     "group_stream",
-    "approx_distinct_users",
 }
 
 

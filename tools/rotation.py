@@ -61,11 +61,15 @@ def _load_entry():
     return mod
 
 
-def _green(rec: dict) -> bool:
+def _green(rec: dict, has_oracle: bool = False) -> bool:
     if rec.get("err") == "no_oracle":
         # rows-only query: the driver recorded that it ran and returned
         # a row count — the strongest signal such a query can get.
-        return rec.get("spark_rows") is not None
+        # But if the query HAS an oracle NOW (it graduated from
+        # rows-only), old no_oracle rows are weaker evidence than the
+        # hash check it can get today: treat it as not-yet-green so it
+        # rotates into the window for its first hash verification.
+        return rec.get("spark_rows") is not None and not has_oracle
     return (
         bool(rec.get("rows_match"))
         and bool(rec.get("schema_match"))
@@ -109,8 +113,13 @@ def refresh_manifest(repo: str = REPO) -> list[str]:
     return names
 
 
-def last_green_rounds(repo: str = REPO) -> dict[str, int]:
-    """Map query name -> newest round with a green driver row."""
+def last_green_rounds(
+    repo: str = REPO, oracled: set[str] | None = None
+) -> dict[str, int]:
+    """Map query name -> newest round with a green driver row.
+    ``oracled`` names queries that currently carry an oracle twin —
+    for those, rows-only (no_oracle) records do not count as green."""
+    oracled = oracled or set()
     out: dict[str, int] = {}
     for path in history_files(repo):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -120,16 +129,18 @@ def last_green_rounds(repo: str = REPO) -> dict[str, int]:
         with open(path) as f:
             data = json.load(f)
         for name, rec in data.items():
-            if isinstance(rec, dict) and _green(rec):
+            if isinstance(rec, dict) and _green(rec, name in oracled):
                 out[name] = max(out.get(name, 0), rnd)
     return out
 
 
 def compute_order(registry_names: list[str] | None = None) -> list[str]:
     """Full rotation order over the current query registry."""
+    entry = _load_entry()
     if registry_names is None:
-        registry_names = list(_load_entry()._query_registry().keys())
-    greens = last_green_rounds()
+        registry_names = list(entry._query_registry().keys())
+    oracled = set(entry.oracle_sql().keys())
+    greens = last_green_rounds(oracled=oracled)
     idx = {n: i for i, n in enumerate(registry_names)}
 
     def key(name: str):

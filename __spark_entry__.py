@@ -5994,6 +5994,62 @@ def q_convert_tables_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FOREIGN_FIXTURES = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "foreign",
+)
+
+
+def q_foreign_lakehouse_fixtures(spark: SparkSession, sf: str) -> DataFrame:
+    """COMMITTED foreign-engine golden fixtures (r9 verdict task 2,
+    tools/make_foreign_fixtures.py): four KB-scale tables hand-built
+    to the published specs in the exact layout/metadata shape the real
+    engines emit — Spark-Delta 3.x (commitInfo riders, stats JSON
+    strings, partition column absent from data files), Spark-Iceberg
+    v2 (full manifest stats block, file_sequence_number, field
+    summaries), Hudi 0.14 CoW (17-digit instants, UUID file ids, write
+    tokens, full writeStats, a foreign .clean) and MoR (HoodieLogFormat
+    log under a deltacommit). Each is read through open_table; the
+    oracle is the LITERAL expected row set, so a reader that only
+    understands its own writer's dialect hash-mismatches here. sf is
+    unused: the fixtures are the committed bytes themselves."""
+    from functools import reduce
+
+    from dataset_grouper_spark.sources import open_table
+
+    frames = [
+        open_table(
+            spark, os.path.join(_FOREIGN_FIXTURES, sub)
+        ).select(F.lit(sub).alias("fmt"), "id", "txt", "lang")
+        for sub in ("delta", "iceberg", "hudi_cow", "hudi_mor")
+    ]
+    return reduce(DataFrame.unionByName, frames)
+
+
+_FOREIGN_ORACLE_ROWS = [
+    ("delta", 1, "alpha", "en"),
+    ("delta", 2, "bravo", "en"),
+    ("delta", 3, "charlie", "en"),
+    ("delta", 6, "foxtrot", "de"),
+    ("delta", 7, "golf", "de"),
+    ("iceberg", 1, "alpha", "en"),
+    ("iceberg", 2, "bravo", "en"),
+    ("iceberg", 3, "charlie", "en"),
+    ("iceberg", 4, "delta", "de"),
+    ("iceberg", 5, "echo", "de"),
+    ("iceberg", 8, "hotel", "en"),
+    ("iceberg", 9, "india", "en"),
+    ("hudi_cow", 1, "ALPHA!", "en"),
+    ("hudi_cow", 2, "bravo", "en"),
+    ("hudi_cow", 3, "charlie", "en"),
+    ("hudi_cow", 4, "delta", "de"),
+    ("hudi_cow", 5, "echo", "de"),
+    ("hudi_mor", 1, "alpha", "en"),
+    ("hudi_mor", 2, "BRAVO!", "en"),
+    ("hudi_mor", 9, "juliett", "en"),
+]
+
+
 def q_sync_delta_iceberg_mirror(spark: SparkSession, sf: str) -> DataFrame:
     """Continuous Delta->Iceberg mirroring (sources/convert.py
     sync_delta_to_iceberg — the UniForm shape): half the corpus lands
@@ -7830,6 +7886,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "hudi_clean_roundtrip": q_hudi_clean_roundtrip,
         "convert_tables_roundtrip": q_convert_tables_roundtrip,
+        "foreign_lakehouse_fixtures": q_foreign_lakehouse_fixtures,
         "sync_delta_iceberg_mirror": q_sync_delta_iceberg_mirror,
         "sync_iceberg_delta_mirror": q_sync_iceberg_delta_mirror,
     }
@@ -7838,6 +7895,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
     "approx_distinct_users",
+    "foreign_lakehouse_fixtures",
     "salted_join_revenue",
     "simhash_documents",
     "multimodal_image_meta",
@@ -9426,6 +9484,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT)
             FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
         """,
+        # the committed foreign fixtures' expected content IS the
+        # oracle: literal rows, engine-independent
+        "foreign_lakehouse_fixtures": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{f}', CAST({i} AS BIGINT), '{t}', '{g}')"
+                for f, i, t, g in _FOREIGN_ORACLE_ROWS
+            )
+            + ") v(fmt, id, txt, lang)"
+        ),
         "convert_tables_roundtrip": """
             SELECT s.stage, d.lang,
                    CAST(count(*) AS BIGINT) AS n,

@@ -102,6 +102,31 @@ def main() -> None:
     if dst:
         with open(dst, "w") as f:
             f.write(line + "\n")
+    sys.stdout.flush()
+    # LAST line = a compact record that survives the driver's bounded
+    # tail capture (r9's full line overflowed it: parsed null). Keeps
+    # the driver-contract keys; "queries" holds the top-25 by cold
+    # seconds, the full per-query dict lives in the line above and in
+    # the committed PERF artifact.
+    top = dict(
+        sorted(cold.items(), key=lambda kv: -kv[1])[:25]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(cold.values()), 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(cold),
+                "value_warm": round(sum(warm.values()), 3),
+                "queries": {k: round(v, 1) for k, v in top.items()},
+                "note": "compact tail record: queries=top-25 cold; "
+                "full per-query cold+warm JSON precedes this line "
+                "and is committed as PERF_r{N}_full.json",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

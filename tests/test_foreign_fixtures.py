@@ -1,0 +1,227 @@
+"""Foreign-engine golden fixtures (VERDICT r9 task 2).
+
+Every green lakehouse row before r10 round-tripped THIS engine's own
+writers. The committed fixtures under ``tests/fixtures/foreign/`` are
+hand-assembled to the published specs in the exact layout and metadata
+shape the REAL engines emit (Spark-Delta 3.x, Spark-Iceberg/pyiceberg
+v2, Hudi 0.14 CoW+MoR) — see ``tools/make_foreign_fixtures.py`` for
+the field-by-field inventory of what each fixture carries that this
+repo's own writers never produce (commitInfo riders, stats JSON
+strings, data files missing the partition column, full manifest stats
+blocks, file_sequence_number, UUID file ids, write tokens, foreign
+.clean instants, archived/ residents, HoodieLogFormat logs, ...).
+
+Rows are PINNED literally: these tests prove the readers' claimed
+spec compliance against byte-committed foreign layouts, not against a
+write-then-read of our own dialect. The runtime half builds the
+absolute-``file://``-URI + v2-position-delete Iceberg variant (those
+must embed the table's runtime location, so they cannot be committed)
+into tmp and pins it too.
+"""
+
+import os
+
+import pytest
+
+from dataset_grouper_spark.sources import open_table, table_format
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "foreign")
+
+DELTA = os.path.join(FIX, "delta")
+ICE = os.path.join(FIX, "iceberg")
+COW = os.path.join(FIX, "hudi_cow")
+MOR = os.path.join(FIX, "hudi_mor")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fixture_sniffing():
+    assert table_format(DELTA) == "delta"
+    assert table_format(ICE) == "iceberg"
+    assert table_format(COW) == "hudi"
+    assert table_format(MOR) == "hudi"
+
+
+def test_delta_foreign_latest(spark):
+    # commit 1 overwrote the de partition (remove+add); partition
+    # column restored from partitionValues (absent from data files)
+    df = open_table(spark, DELTA)
+    assert sorted(df.columns) == ["id", "lang", "txt"]
+    assert _rows(df) == [
+        (1, "alpha", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+        (6, "foxtrot", "de"),
+        (7, "golf", "de"),
+    ]
+
+
+def test_delta_foreign_time_travel(spark):
+    df = open_table(spark, DELTA, version=0)
+    assert _rows(df) == [
+        (1, "alpha", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+    ]
+
+
+def test_delta_foreign_stats_skipping(spark):
+    # add.stats written as Spark-Delta's embedded JSON string drive
+    # file skipping; results stay exact (pair with the row filter)
+    from dataset_grouper_spark.sources.delta import read_delta
+
+    df = read_delta(spark, DELTA, skip_filters=[("id", ">=", 6)])
+    assert _rows(df.filter("id >= 6")) == [
+        (6, "foxtrot", "de"),
+        (7, "golf", "de"),
+    ]
+
+
+def test_iceberg_foreign_latest(spark):
+    df = open_table(spark, ICE)
+    assert _rows(df) == [
+        (1, "alpha", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+        (8, "hotel", "en"),
+        (9, "india", "en"),
+    ]
+
+
+def test_iceberg_foreign_snapshot_travel(spark):
+    df = open_table(spark, ICE, snapshot_id=4910972762596521298)
+    assert _rows(df) == [
+        (1, "alpha", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+    ]
+
+
+def test_iceberg_foreign_partition_and_bound_pruning(spark):
+    # identity-partition pruning from the foreign manifests' partition
+    # structs (file-level == row-level for identity transforms)
+    df = open_table(spark, ICE, partition_filter={"lang": "de"})
+    assert _rows(df) == [(4, "delta", "de"), (5, "echo", "de")]
+    # Appendix-D lower/upper bounds in the foreign stats block drive
+    # file skipping: only the id>=8 file survives planning
+    df2 = open_table(spark, ICE, skip_filters=[("id", ">=", 8)])
+    assert _rows(df2.filter("id >= 8")) == [
+        (8, "hotel", "en"),
+        (9, "india", "en"),
+    ]
+    assert df2.count() == 2  # the other files' envelopes disprove
+
+
+def test_iceberg_foreign_absolute_uris_and_position_deletes(
+    spark, tmp_path
+):
+    """Runtime half: real engines store absolute file:// URIs and v2
+    position-delete parquet embedding the table location — build that
+    shape in tmp and pin it (id=2 deleted at snapshot 3)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from make_foreign_fixtures import build_iceberg
+
+    t = str(tmp_path / "ice_abs")
+    os.makedirs(t)
+    build_iceberg(t, absolute=True, with_deletes=True)
+    df = open_table(spark, t)
+    assert _rows(df) == [
+        (1, "alpha", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+        (8, "hotel", "en"),
+        (9, "india", "en"),
+    ]
+    # pre-delete snapshot still shows id=2
+    df1 = open_table(spark, t, snapshot_id=6395864198392318822)
+    assert (2, "bravo", "en") in _rows(df1)
+
+
+def test_hudi_cow_foreign_latest_and_travel(spark):
+    from dataset_grouper_spark.sources.hudi import hudi_timeline
+
+    df = open_table(spark, COW)
+    assert _rows(df) == [
+        (1, "ALPHA!", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+    ]
+    # time travel to the first 17-digit instant: pre-upsert slice
+    df1 = open_table(spark, COW, as_of="20240315103000123")
+    assert _rows(df1) == [
+        (1, "alpha", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+    ]
+    # the foreign .clean instant (Avro payload) is listed on the
+    # timeline and never parsed by the read path
+    tl = hudi_timeline(COW)
+    assert ("20240315110000789", "clean", "completed") in tl
+
+
+def test_hudi_cow_foreign_meta_columns(spark):
+    df = open_table(spark, COW, keep_meta=True)
+    metas = {
+        r["_hoodie_record_key"]: r["_hoodie_commit_time"]
+        for r in df.collect()
+    }
+    assert metas["1"] == "20240315104501456"  # rewritten slice
+    assert metas["4"] == "20240315103000123"
+
+
+def test_hudi_mor_foreign_log_merge(spark):
+    # base (1,2,3) + HoodieLogFormat log: upsert 2, insert 9, delete 3
+    df = open_table(spark, MOR)
+    assert _rows(df) == [
+        (1, "alpha", "en"),
+        (2, "BRAVO!", "en"),
+        (9, "juliett", "en"),
+    ]
+    # pre-log instant: the base slice alone
+    df1 = open_table(spark, MOR, as_of="20240315103000123")
+    assert _rows(df1) == [
+        (1, "alpha", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+    ]
+
+
+def test_hudi_mor_foreign_compaction_folds_the_log(spark, tmp_path):
+    """Compacting the COPY of a foreign MoR table folds the foreign
+    log through the same stream semantics and re-reads identically."""
+    import shutil
+
+    from dataset_grouper_spark.sources import hudi
+
+    t = str(tmp_path / "mor_copy")
+    shutil.copytree(MOR, t)
+    before = _rows(open_table(spark, t))
+    assert hudi.hudi_compact(spark, t) is not None
+    assert _rows(open_table(spark, t)) == before
+
+
+def test_fixtures_stay_kb_scale():
+    total = sum(
+        os.path.getsize(os.path.join(d, f))
+        for sub in (DELTA, ICE, COW, MOR)
+        for d, _s, fs in os.walk(sub)
+        for f in fs
+    )
+    assert total < 200_000, f"foreign fixtures grew to {total} bytes"

@@ -6032,6 +6032,8 @@ _FOREIGN_ORACLE_ROWS = [
     ("delta", 3, "charlie", "en"),
     ("delta", 6, "foxtrot", "de"),
     ("delta", 7, "golf", "de"),
+    ("delta", 10, "kilo", "en"),
+    ("delta", 11, "lima", "en"),
     ("iceberg", 1, "alpha", "en"),
     ("iceberg", 2, "bravo", "en"),
     ("iceberg", 3, "charlie", "en"),

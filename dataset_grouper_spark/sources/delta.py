@@ -122,6 +122,34 @@ def _latest_version(table_path: str) -> int | None:
     return best
 
 
+def _arrow_rows(tbl) -> list[dict]:
+    """``Table.to_pylist`` with parquet MAP columns normalized to
+    dicts. Foreign (Spark-Delta) checkpoints type ``partitionValues``
+    / ``tags`` / ``configuration`` as parquet MAPs, which pyarrow
+    surfaces as lists of (key, value) tuples — the sessionless replay
+    path must see the same dict shape the JSON commits carry."""
+    import pyarrow as pa
+
+    def conv(value, typ):
+        if value is None:
+            return None
+        if pa.types.is_map(typ):
+            return {k: conv(v, typ.item_type) for k, v in value}
+        if pa.types.is_struct(typ):
+            return {
+                f.name: conv(value.get(f.name), f.type) for f in typ
+            }
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return [conv(v, typ.value_type) for v in value]
+        return value
+
+    schema = tbl.schema
+    return [
+        {f.name: conv(row.get(f.name), f.type) for f in schema}
+        for row in tbl.to_pylist()
+    ]
+
+
 def _replay(spark: SparkSession | None, table_path: str, version: int):
     """Active files + metadata at ``version``: checkpoint state (if
     any) then the JSON commits after it, newest action per path wins.
@@ -140,7 +168,7 @@ def _replay(spark: SparkSession | None, table_path: str, version: int):
             import pyarrow.parquet as pq
 
             with _fs.open_random(cp_file) as f:
-                cp_rows = pq.read_table(f).to_pylist()
+                cp_rows = _arrow_rows(pq.read_table(f))
         else:
             cp_rows = [
                 row.asDict(recursive=True)

@@ -44,18 +44,25 @@ def test_fixture_sniffing():
     assert table_format(MOR) == "hudi"
 
 
+DELTA_LATEST = [
+    (1, "alpha", "en"),
+    (2, "bravo", "en"),
+    (3, "charlie", "en"),
+    (6, "foxtrot", "de"),
+    (7, "golf", "de"),
+    (10, "kilo", "en"),
+    (11, "lima", "en"),
+]
+
+
 def test_delta_foreign_latest(spark):
-    # commit 1 overwrote the de partition (remove+add); partition
-    # column restored from partitionValues (absent from data files)
+    # commit 1 overwrote the de partition (remove+add); replay runs
+    # from the foreign MAP-typed checkpoint at v1 plus the v2 JSON
+    # tail; partition column restored from partitionValues (absent
+    # from data files)
     df = open_table(spark, DELTA)
     assert sorted(df.columns) == ["id", "lang", "txt"]
-    assert _rows(df) == [
-        (1, "alpha", "en"),
-        (2, "bravo", "en"),
-        (3, "charlie", "en"),
-        (6, "foxtrot", "de"),
-        (7, "golf", "de"),
-    ]
+    assert _rows(df) == DELTA_LATEST
 
 
 def test_delta_foreign_time_travel(spark):
@@ -78,7 +85,43 @@ def test_delta_foreign_stats_skipping(spark):
     assert _rows(df.filter("id >= 6")) == [
         (6, "foxtrot", "de"),
         (7, "golf", "de"),
+        (10, "kilo", "en"),
+        (11, "lima", "en"),
     ]
+    # the en0 file (ids 1-3) is disproved by its stats envelope
+    from dataset_grouper_spark.sources.delta import delta_skip_plan
+
+    kept, total = delta_skip_plan(spark, DELTA, [("id", ">=", 6)])
+    assert total == 3 and len(kept) == 2
+
+
+def test_delta_foreign_checkpoint_replay(spark, tmp_path):
+    """Replay must run from the foreign MAP-typed checkpoint: a copy
+    whose pre-checkpoint JSON commits are gone (the truncated-log
+    state real tables reach after retention) still serves the latest
+    snapshot; travel to the truncated versions raises."""
+    import shutil
+
+    t = str(tmp_path / "delta_truncated")
+    shutil.copytree(DELTA, t)
+    for v in (0, 1):
+        os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    assert _rows(open_table(spark, t)) == DELTA_LATEST
+    with pytest.raises(ValueError, match="missing commits"):
+        open_table(spark, t, version=0).collect()
+
+
+def test_delta_foreign_checkpoint_sessionless_replay():
+    """The delta_lite planning path replays WITHOUT a SparkSession
+    (pyarrow): parquet MAP columns (partitionValues et al) must
+    normalize to dicts, not pyarrow's tuple lists."""
+    from dataset_grouper_spark.sources.delta import _replay
+
+    adds, meta = _replay(None, DELTA, 2)
+    assert len(adds) == 3
+    pvs = {a["partitionValues"]["lang"] for a in adds.values()}
+    assert pvs == {"en", "de"}
+    assert meta["partitionColumns"] == ["lang"]
 
 
 def test_iceberg_foreign_latest(spark):

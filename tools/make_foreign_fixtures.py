@@ -224,6 +224,161 @@ def build_delta(root: str) -> None:
             for a in actions:
                 f.write(json.dumps(a, separators=(",", ":")) + "\n")
 
+    # classic Spark-Delta CHECKPOINT at version 1 + _last_checkpoint:
+    # parquet MAP-typed partitionValues/tags/configuration (pyarrow
+    # surfaces maps as tuple lists — a reader that only understands
+    # its own JSON-inferred struct checkpoints fails here), a retained
+    # remove tombstone, and a txn high-water row
+    import pyarrow as pa
+
+    map_ss = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", map_ss),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("tags", map_ss),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("extendedFileMetadata", pa.bool_()),
+            ("partitionValues", map_ss),
+            ("size", pa.int64()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct(
+                [("provider", pa.string()), ("options", map_ss)]
+            )),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_ss),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    protocol_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
+    cp_schema = pa.schema(
+        [
+            ("txn", txn_t),
+            ("add", add_t),
+            ("remove", remove_t),
+            ("metaData", meta_t),
+            ("protocol", protocol_t),
+        ]
+    )
+
+    def cp_add(path, lang, size, st):
+        return {
+            "path": path,
+            "partitionValues": {"lang": lang},
+            "size": size,
+            "modificationTime": 1710500060000,
+            "dataChange": False,
+            "stats": st,
+            "tags": {},
+        }
+
+    cp_rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "4e5f6071-8293-a4b5-c6d7-e8f90a1b2c3d",
+                "name": None,
+                "description": None,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": ["lang"],
+                "configuration": {},
+                "createdTime": 1710499999000,
+            }
+        },
+        {"add": cp_add(en0, "en", sz_en0, stats(3, 1, 3))},
+        {"add": cp_add(de1, "de", sz_de1, stats(2, 6, 7))},
+        {
+            # expired-file tombstone, retained in the checkpoint
+            "remove": {
+                "path": de0,
+                "deletionTimestamp": 1710500060000,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": {"lang": "de"},
+                "size": sz_de0,
+            }
+        },
+        {"txn": {"appId": "etl-ingest", "version": 7,
+                 "lastUpdated": 1710500060000}},
+    ]
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pylist(cp_rows, schema=cp_schema),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+        compression="snappy",
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(cp_rows)}, f)
+
+    # JSON tail after the checkpoint: one more en file at version 2
+    en2 = "lang=en/part-00000-3d4e5f60-7182-93a4-b5c6-d7e8f90a1b2c-c000.snappy.parquet"
+    sz_en2 = _write_parquet(
+        os.path.join(root, en2), {"id": [10, 11], "txt": ["kilo", "lima"]}
+    )
+    c2 = [
+        {
+            "commitInfo": {
+                "timestamp": 1710500120000,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append",
+                                        "partitionBy": '["lang"]'},
+                "readVersion": 1,
+                "isolationLevel": "Serializable",
+                "isBlindAppend": True,
+                "operationMetrics": {"numFiles": "1",
+                                     "numOutputRows": "2",
+                                     "numOutputBytes": str(sz_en2)},
+                "engineInfo": "Apache-Spark/3.5.1 Delta-Lake/3.1.0",
+                "txnId": "607182a3-93a4-b5c6-d7e8-f90a1b2c3d4e",
+            }
+        },
+        {
+            "txn": {"appId": "etl-ingest", "version": 8,
+                    "lastUpdated": 1710500120000}
+        },
+        {
+            "add": {
+                "path": en2,
+                "partitionValues": {"lang": "en"},
+                "size": sz_en2,
+                "modificationTime": 1710500120000,
+                "dataChange": True,
+                "stats": stats(2, 10, 11),
+            }
+        },
+    ]
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as f:
+        for a in c2:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
 
 # ------------------------------------------------------------- Iceberg
 

@@ -53,6 +53,11 @@ PROBE = [
     "hudi_mor_read",
     "streaming_iceberg_source",
     "streaming_delta_sink_partitioned",
+    # foreachBatch dedup family: state grows with the corpus — the
+    # exactly-once snapshot-store scan is the superlinear risk the r9
+    # probe never measured (r9 verdict task 4)
+    "streaming_incremental_dedup",
+    "streaming_span_dedup_documents",
     # join-heavy TPC-H + a cheap scan as the fixed-cost calibrator
     "tpch_q9_product_profit",
     "tpch_q1_pricing_summary",

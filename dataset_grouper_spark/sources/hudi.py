@@ -80,7 +80,10 @@ def _hoodie_path(table_path: str) -> str:
 def hudi_timeline(table_path: str) -> list[tuple[str, str, str]]:
     """Every timeline instant as (instantTime, action, state) with
     state in requested/inflight/completed — the DESCRIBE-TIMELINE
-    introspection."""
+    introspection. Hudi 1.x (table version 8) names completed markers
+    ``<requestedTime>_<completionTime>.<action>``; the instant time
+    reported (and matched against base-file names, which carry the
+    REQUESTED time) is the first token."""
     hp = _hoodie_path(table_path)
     if not _fs.is_dir(hp):
         raise FileNotFoundError(f"not a Hudi table (no .hoodie): {table_path}")
@@ -89,11 +92,24 @@ def hudi_timeline(table_path: str) -> list[tuple[str, str, str]]:
         if name == "hoodie.properties" or name.startswith("."):
             continue
         parts = name.split(".")
-        if len(parts) == 2:  # <ts>.commit -> completed
-            out.append((parts[0], parts[1], "completed"))
+        if len(parts) == 2:  # <ts>[_<completionTs>].commit -> completed
+            out.append((parts[0].split("_")[0], parts[1], "completed"))
         elif len(parts) == 3 and parts[2] in ("requested", "inflight"):
             out.append((parts[0], parts[1], parts[2]))
     return out
+
+
+def _completed_marker(hp: str, ts: str, action: str) -> str:
+    """Path of the completed marker for instant ``ts`` — either this
+    engine's / Hudi 0.x's ``<ts>.<action>`` or Hudi 1.x's
+    ``<ts>_<completionTime>.<action>``."""
+    p = os.path.join(hp, f"{ts}.{action}")
+    if _fs.exists(p):
+        return p
+    for name in _fs.listdir(hp):
+        if name.startswith(f"{ts}_") and name.endswith(f".{action}"):
+            return os.path.join(hp, name)
+    raise FileNotFoundError(f"no completed {action} marker for {ts}")
 
 
 def _completed(table_path: str, as_of: str | None = None) -> dict[str, dict]:
@@ -110,7 +126,15 @@ def _completed(table_path: str, as_of: str | None = None) -> dict[str, dict]:
             continue
         if as_of is not None and ts > str(as_of):
             continue
-        meta = json.loads(_fs.read_text(os.path.join(hp, f"{ts}.{action}")))
+        raw = _fs.read_text(_completed_marker(hp, ts, action))
+        try:
+            meta = json.loads(raw) if raw.strip() else {}
+        except json.JSONDecodeError as exc:
+            raise NotImplementedError(
+                f"hudi: completed {action} metadata at instant {ts} is "
+                "not JSON (Hudi 1.x serializes some completed metadata "
+                "as Avro) — this reader decodes the JSON dialect"
+            ) from exc
         meta["__action"] = action
         out[ts] = meta
     return out
@@ -1611,7 +1635,7 @@ def hudi_rollback(table_path: str, instant: str | None = None) -> list[str]:
     # invisible orphan files (the instant is already off the completed
     # timeline) rather than a completed instant whose files are
     # partially gone — a silently inconsistent mixed snapshot.
-    _fs.remove(os.path.join(hp, f"{latest}.{action}"))
+    _fs.remove(_completed_marker(hp, latest, action))
     _fs.write_text(
         os.path.join(hp, f"{ri}.rollback"),
         json.dumps(

@@ -229,6 +229,51 @@ def test_hudi_cow_foreign_meta_columns(spark):
     assert metas["4"] == "20240315103000123"
 
 
+def test_hudi_1x_completed_instant_naming(spark, tmp_path):
+    """Hudi 1.x (table version 8) names completed markers
+    <requestedTime>_<completionTime>.<action>; the reader must key
+    instants on the REQUESTED time (base-file names carry it) and
+    still find the metadata payload."""
+    import shutil
+
+    from dataset_grouper_spark.sources import hudi
+
+    t = str(tmp_path / "cow_v8")
+    shutil.copytree(COW, t)
+    hp = os.path.join(t, ".hoodie")
+    for ts, done in [
+        ("20240315103000123", "20240315103001000"),
+        ("20240315104501456", "20240315104502000"),
+    ]:
+        os.rename(
+            os.path.join(hp, f"{ts}.commit"),
+            os.path.join(hp, f"{ts}_{done}.commit"),
+        )
+    df = open_table(spark, t)
+    assert _rows(df) == [
+        (1, "ALPHA!", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+    ]
+    # time travel keys on the requested time
+    assert (1, "alpha", "en") in _rows(
+        open_table(spark, t, as_of="20240315103000123")
+    )
+    tl = hudi.hudi_timeline(t)
+    assert ("20240315103000123", "commit", "completed") in tl
+    # an Avro-serialized completed payload (1.x for some actions)
+    # raises the honest gate instead of a JSON traceback
+    with open(
+        os.path.join(hp, "20240315104501456_20240315104502000.commit"),
+        "wb",
+    ) as f:
+        f.write(b"Obj\x01binary-avro-here")
+    with pytest.raises(NotImplementedError, match="not JSON"):
+        open_table(spark, t)
+
+
 def test_hudi_mor_foreign_log_merge(spark):
     # base (1,2,3) + HoodieLogFormat log: upsert 2, insert 9, delete 3
     df = open_table(spark, MOR)

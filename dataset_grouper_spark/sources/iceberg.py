@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import re
+from struct import error as struct_error
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -313,12 +314,88 @@ def _expected_partition(meta: dict, partition_filter: dict) -> dict:
     return expected
 
 
+def _transform_result_type(transform: str, src_type: str) -> str | None:
+    """Iceberg type of a partition field's VALUE under ``transform`` —
+    what the manifest-list field summaries' bound bytes encode. None
+    when unknown (no summary pruning on that field)."""
+    if transform == "identity" or transform.startswith("truncate["):
+        return src_type if isinstance(src_type, str) else None
+    if (
+        transform.startswith("bucket[")
+        or transform in ("year", "month", "day", "hour")
+    ):
+        return "int"
+    return None
+
+
+def _spec_summary_fields(meta: dict) -> list[tuple[str, str | None]]:
+    """Ordered (partition field name, result type) of the default
+    partition spec — the order the manifest-list ``partitions`` field
+    summaries are laid out in (spec: one summary per spec field, in
+    spec order)."""
+    by_id = {}
+    for s in meta.get("schemas") or []:
+        for f in s.get("fields", []):
+            by_id[f["id"]] = f["type"]
+    specs = meta.get("partition-specs") or []
+    want = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in specs if s.get("spec-id") == want),
+        specs[0] if specs else {"fields": []},
+    )
+    out = []
+    for f in spec.get("fields", []):
+        src = by_id.get(f.get("source-id"))
+        out.append(
+            (
+                f["name"],
+                _transform_result_type(
+                    f.get("transform", "identity"),
+                    src if isinstance(src, str) else "",
+                ),
+            )
+        )
+    return out
+
+
+def _summaries_allow(
+    summaries: list, expected: dict, spec_summary: list
+) -> bool:
+    """MANIFEST-level pruning from the manifest-list ``partitions``
+    field summaries: skip a manifest (never even open its Avro) when a
+    filtered partition field's expected value falls outside the
+    summary's [lower_bound, upper_bound]. Conservative on every
+    unknown: missing summaries, undecodable types, or absent bounds
+    keep the manifest. At planning scale this is the difference
+    between opening thousands of manifest files and opening the
+    handful whose envelope admits the filter."""
+    for i, (fname, rtype) in enumerate(spec_summary):
+        if fname not in expected or rtype is None or i >= len(summaries):
+            continue
+        s = summaries[i] or {}
+        want = expected[fname]
+        try:
+            lo_raw, hi_raw = s.get("lower_bound"), s.get("upper_bound")
+            if lo_raw is not None:
+                lo = _bound_deser(bytes(lo_raw), rtype)
+                if lo is not None and want < lo:
+                    return False
+            if hi_raw is not None:
+                hi = _bound_deser(bytes(hi_raw), rtype)
+                if hi is not None and want > hi:
+                    return False
+        except (TypeError, ValueError, struct_error):
+            continue  # undecodable summary: stay conservative
+    return True
+
+
 def _live_files(
     table_path: str,
     snapshot: dict,
     partition_filter: dict | None = None,
     skip: list | None = None,
     field_types: dict | None = None,
+    spec_summary: list | None = None,
 ) -> tuple[
     list[tuple[str, int]], list[str], int | None, list[tuple[str, int, list]]
 ]:
@@ -340,6 +417,12 @@ def _live_files(
     delete_rows: int | None = 0
     eq_deletes: list[tuple[str, int, list]] = []
     for m in manifests:
+        if partition_filter and spec_summary:
+            summaries = m.get("partitions")
+            if summaries and not _summaries_allow(
+                summaries, partition_filter, spec_summary
+            ):
+                continue  # whole manifest excluded by its envelope
         is_delete_manifest = m.get("content", 0) == 1
         mseq = m.get("sequence_number") or 0
         mp = _localize(m["manifest_path"])
@@ -587,7 +670,12 @@ def read_iceberg(
             skip.append((f["id"], op, value))
             field_types[f["id"]] = f["type"]
     data_seqs, delete_files, delete_rows, eq_deletes = _live_files(
-        table_path, snaps[snapshot_id], expected, skip, field_types
+        table_path,
+        snaps[snapshot_id],
+        expected,
+        skip,
+        field_types,
+        spec_summary=_spec_summary_fields(meta) if expected else None,
     )
     if not data_seqs:
         return spark.createDataFrame([], ddl)

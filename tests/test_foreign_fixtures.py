@@ -19,6 +19,7 @@ must embed the table's runtime location, so they cannot be committed)
 into tmp and pins it too.
 """
 
+import json
 import os
 
 import pytest
@@ -161,6 +162,49 @@ def test_iceberg_foreign_partition_and_bound_pruning(spark):
         (9, "india", "en"),
     ]
     assert df2.count() == 2  # the other files' envelopes disprove
+
+
+def test_iceberg_manifest_level_pruning_skips_unopened_manifests(
+    spark, tmp_path
+):
+    """Planning-scale pruning: a manifest whose manifest-LIST field
+    summaries exclude the filter must never be OPENED (at 100 TB the
+    difference between touching thousands of manifest Avros and a
+    handful). Proven with a poison manifest-list row pointing at a
+    manifest file that does not exist, with bounds [fr, fr]: a
+    lang='de' read must succeed (row pruned by its envelope), and the
+    same read without summaries would have to open it and die."""
+    import shutil
+
+    from dataset_grouper_spark.sources.avro import (
+        read_avro_file,
+        write_avro_file,
+    )
+
+    t = str(tmp_path / "ice_poison")
+    shutil.copytree(ICE, t)
+    meta = json.load(open(os.path.join(t, "metadata", "v2.metadata.json")))
+    snap = max(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    ml_rel = snap["manifest-list"]
+    ml = os.path.join(t, ml_rel)
+    schema, rows = read_avro_file(ml)
+    poison = dict(rows[0])
+    poison["manifest_path"] = "metadata/does-not-exist-m9.avro"
+    poison["partitions"] = [
+        {
+            "contains_null": False,
+            "contains_nan": False,
+            "lower_bound": b"fr",
+            "upper_bound": b"fr",
+        }
+    ]
+    write_avro_file(ml, schema, rows + [poison])
+    df = open_table(spark, t, partition_filter={"lang": "de"})
+    assert _rows(df) == [(4, "delta", "de"), (5, "echo", "de")]
+    # a filter the poison row's envelope ADMITS must open it and fail
+    # loudly (conservative: pruning never hides a broken table)
+    with pytest.raises(Exception, match="does-not-exist|No such file"):
+        open_table(spark, t, partition_filter={"lang": "fr"}).collect()
 
 
 def test_iceberg_foreign_absolute_uris_and_position_deletes(

@@ -6029,7 +6029,7 @@ def q_foreign_lakehouse_fixtures(spark: SparkSession, sf: str) -> DataFrame:
 _FOREIGN_ORACLE_ROWS = [
     ("delta", 1, "alpha", "en"),
     ("delta", 2, "bravo", "en"),
-    ("delta", 3, "charlie", "en"),
+    # id=3 is masked by the foreign 'u'-storage deletion vector
     ("delta", 6, "foxtrot", "de"),
     ("delta", 7, "golf", "de"),
     ("delta", 10, "kilo", "en"),

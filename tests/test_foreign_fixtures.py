@@ -48,7 +48,7 @@ def test_fixture_sniffing():
 DELTA_LATEST = [
     (1, "alpha", "en"),
     (2, "bravo", "en"),
-    (3, "charlie", "en"),
+    # id=3 masked by the commit-3 deletion vector
     (6, "foxtrot", "de"),
     (7, "golf", "de"),
     (10, "kilo", "en"),
@@ -58,12 +58,20 @@ DELTA_LATEST = [
 
 def test_delta_foreign_latest(spark):
     # commit 1 overwrote the de partition (remove+add); replay runs
-    # from the foreign MAP-typed checkpoint at v1 plus the v2 JSON
-    # tail; partition column restored from partitionValues (absent
-    # from data files)
+    # from the foreign MAP-typed checkpoint at v1 plus the JSON tail;
+    # partition column restored from partitionValues (absent from the
+    # data files); commit 3's 'u'-storage deletion vector (Z85 uuid
+    # sidecar, roaring bitmap) masks id=3 without rewriting the file
     df = open_table(spark, DELTA)
     assert sorted(df.columns) == ["id", "lang", "txt"]
     assert _rows(df) == DELTA_LATEST
+
+
+def test_delta_foreign_deletion_vector_travel(spark):
+    # pre-DV version still serves the masked row from the SAME file
+    df2 = open_table(spark, DELTA, version=2)
+    assert (3, "charlie", "en") in _rows(df2)
+    assert len(_rows(df2)) == len(DELTA_LATEST) + 1
 
 
 def test_delta_foreign_time_travel(spark):

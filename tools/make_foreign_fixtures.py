@@ -379,6 +379,74 @@ def build_delta(root: str) -> None:
         for a in c2:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
 
+    # commit 3: Spark-Delta merge-on-read DELETE — the en0 file stays,
+    # a 'u'-storage deletion-vector sidecar (Z85 uuid payload, roaring
+    # bitmap framing) masks position 2 (id=3), with the real protocol
+    # upgrade action (readerFeatures deletionVectors)
+    import uuid as uuid_mod
+
+    from dataset_grouper_spark.sources import roaring as R
+
+    dv_uuid = uuid_mod.UUID("8293a4b5-c6d7-e8f9-0a1b-2c3d4e5f6071")
+    offset, size, card = R.dv_file_write(
+        os.path.join(root, f"deletion_vector_{dv_uuid}.bin"), [2]
+    )
+    dv_desc = {
+        "storageType": "u",
+        "pathOrInlineDv": R.z85_encode(dv_uuid.bytes),
+        "offset": offset,
+        "sizeInBytes": size,
+        "cardinality": card,
+    }
+    c3 = [
+        {
+            "commitInfo": {
+                "timestamp": 1710500180000,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": '["(id = 3)"]'},
+                "readVersion": 2,
+                "isolationLevel": "Serializable",
+                "isBlindAppend": False,
+                "operationMetrics": {"numDeletedRows": "1",
+                                     "numDeletionVectorsAdded": "1"},
+                "engineInfo": "Apache-Spark/3.5.1 Delta-Lake/3.1.0",
+                "txnId": "718293b4-a4b5-c6d7-e8f9-0a1b2c3d4e5f",
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "remove": {
+                "path": en0,
+                "deletionTimestamp": 1710500180000,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": {"lang": "en"},
+                "size": sz_en0,
+            }
+        },
+        {
+            "add": {
+                "path": en0,
+                "partitionValues": {"lang": "en"},
+                "size": sz_en0,
+                "modificationTime": 1710500000000,
+                "dataChange": True,
+                "stats": stats(3, 1, 3),
+                "deletionVector": dv_desc,
+            }
+        },
+    ]
+    with open(os.path.join(log, f"{3:020d}.json"), "w") as f:
+        for a in c3:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
 
 # ------------------------------------------------------------- Iceberg
 

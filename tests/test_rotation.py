@@ -77,6 +77,10 @@ def test_rotation_green_semantics():
     assert not rotation._green(errored)
     assert rotation._green(rows_only)
     assert not rotation._green(rows_only_dead)
+    # r10: a query that GRADUATED to an oracle must not coast on old
+    # rows-only records — it re-verifies under its new hash check
+    assert not rotation._green(rows_only, has_oracle=True)
+    assert rotation._green(ok, has_oracle=True)
 
 
 def test_boundary_proof_manifest():

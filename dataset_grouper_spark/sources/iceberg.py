@@ -624,6 +624,7 @@ def read_iceberg(
                 f"(have {sorted(meta.get('refs') or {})})"
             )
         snapshot_id = entry.get("snapshot-id")
+    explicit_pin = snapshot_id is not None  # time travel / tag read
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     if snapshot_id is None or snapshot_id not in snaps:
@@ -634,13 +635,21 @@ def read_iceberg(
     schemas = meta.get("schemas") or (
         [meta["schema"]] if meta.get("schema") else []
     )
-    # time travel must read with the SNAPSHOT's schema (schema
-    # evolution otherwise silently nulls renamed/added columns in old
-    # snapshots); fall back to the table's current schema when the
-    # snapshot entry predates schema-id tracking
-    want_id = snaps[snapshot_id].get("schema-id")
-    if want_id is None:
+    # TIME TRAVEL (explicit snapshot/tag) reads with the SNAPSHOT's
+    # schema (evolution otherwise silently nulls renamed/added columns
+    # in old snapshots). A LATEST read uses the table's CURRENT schema
+    # — metadata-only evolution (ALTER TABLE ADD COLUMN bumps
+    # current-schema-id with NO new snapshot, the foreign-engine norm)
+    # must widen the next read, with old files NULL-backfilled. Each
+    # path falls back to the other when its id is untracked.
+    if explicit_pin:
+        want_id = snaps[snapshot_id].get("schema-id")
+        if want_id is None:
+            want_id = meta.get("current-schema-id")
+    else:
         want_id = meta.get("current-schema-id")
+        if want_id is None:
+            want_id = snaps[snapshot_id].get("schema-id")
     schema = next(
         (s for s in schemas if s.get("schema-id") == want_id), schemas[-1]
     )

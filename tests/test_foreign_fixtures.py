@@ -245,6 +245,42 @@ def test_iceberg_foreign_absolute_uris_and_position_deletes(
     assert (2, "bravo", "en") in _rows(df1)
 
 
+def test_iceberg_foreign_schema_evolution_backfill(spark, tmp_path):
+    """Foreign metadata with a NEWER schema (current-schema-id=1
+    adding a column no data file carries): the reader must project the
+    current schema and NULL-backfill old files — the additive
+    evolution shape every long-lived foreign table reaches."""
+    import shutil
+
+    t = str(tmp_path / "ice_evo")
+    shutil.copytree(ICE, t)
+    mdir = os.path.join(t, "metadata")
+    meta = json.load(open(os.path.join(mdir, "v2.metadata.json")))
+    old = meta["schemas"][0]
+    meta["schemas"].append(
+        {
+            "type": "struct",
+            "schema-id": 1,
+            "fields": old["fields"]
+            + [
+                {"id": 4, "name": "score", "required": False,
+                 "type": "long"}
+            ],
+        }
+    )
+    meta["current-schema-id"] = 1
+    meta["last-column-id"] = 4
+    with open(os.path.join(mdir, "v3.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("3")
+    df = open_table(spark, t)
+    assert df.columns == ["id", "txt", "lang", "score"]
+    rows = df.collect()
+    assert len(rows) == 7
+    assert all(r["score"] is None for r in rows)
+
+
 def test_hudi_cow_foreign_latest_and_travel(spark):
     from dataset_grouper_spark.sources.hudi import hudi_timeline
 

@@ -145,9 +145,11 @@ def build_sf1() -> None:
 
 
 def entity_fix_probe() -> int:
-    """Measure the documented fix for the one superlinear probe entry:
-    entity matching with max_block_size engaged (the operator's
-    drop-and-audit cap) at BOTH scales. Appends to BENCH_sf1.json."""
+    """Measure entity matching with max_block_size engaged at BOTH
+    scales. Since r10 the CONTRACT queries engage the cap themselves
+    (ER_MAX_BLOCK=400 mirrored into the DuckDB twins), so the main
+    probe list already measures this shape; kept as the standalone
+    A/B lever. Appends to BENCH_sf1.json."""
     import __spark_entry__ as entrymod
     from dataset_grouper_spark.operators import linkage
     from dataset_grouper_spark.session import get_spark

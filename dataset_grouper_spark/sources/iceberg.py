@@ -577,6 +577,44 @@ def _apply_equality_deletes(
     return keyed.drop("__seq")
 
 
+def resolve_iceberg_snapshot(table_path: str, timestamp_ms: int) -> int:
+    """Snapshot id current AT ``timestamp_ms`` (epoch millis) — the
+    newest snapshot whose commit time is <= the instant (Spark's
+    ``TIMESTAMP AS OF`` / Iceberg's ``snapshot-log`` resolution).
+    Resolves through the metadata's ``snapshot-log`` when present
+    (the spec's authoritative (timestamp, snapshot) history — it
+    survives rewrites of the snapshots list), else falls back to the
+    retained snapshots' own ``timestamp-ms``. Raises when the instant
+    predates all retained history."""
+    meta = _load_metadata(table_path)
+    log = meta.get("snapshot-log") or [
+        {"timestamp-ms": s.get("timestamp-ms", 0),
+         "snapshot-id": s["snapshot-id"]}
+        for s in meta.get("snapshots") or []
+    ]
+    retained = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    best = None
+    for entry in sorted(log, key=lambda e: e.get("timestamp-ms", 0)):
+        if entry.get("timestamp-ms", 0) <= timestamp_ms:
+            best = entry
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"iceberg: no snapshot at or before {timestamp_ms} "
+            "(instant predates the table's history)"
+        )
+    if best["snapshot-id"] not in retained:
+        # the snapshot CURRENT at that instant was expired — serving an
+        # older retained one would silently misrepresent the time
+        raise ValueError(
+            f"iceberg: snapshot {best['snapshot-id']} (current at "
+            f"{timestamp_ms}) has been expired — its state is "
+            "unrecoverable"
+        )
+    return best["snapshot-id"]
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
@@ -584,11 +622,14 @@ def read_iceberg(
     partition_filter: dict | None = None,
     skip_filters: list | None = None,
     ref: str | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at ``snapshot_id`` (default: current) —
     the pinned file set that snapshot's manifests declare live.
     ``ref`` reads at a named tag/branch from the ``refs`` map
-    (:func:`iceberg_set_ref`), exclusive with ``snapshot_id``. Data
+    (:func:`iceberg_set_ref`); ``timestamp_ms`` is TIMESTAMP AS OF
+    (resolved via :func:`resolve_iceberg_snapshot`); the three pins
+    are mutually exclusive. Data
     files carry every column (identity partitions included), so the
     result is one parquet scan with the table schema.
 
@@ -612,6 +653,13 @@ def read_iceberg(
     keyed by exact data-file path."""
     meta = _load_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if timestamp_ms is not None:
+        if snapshot_id is not None or ref is not None:
+            raise ValueError(
+                "iceberg: timestamp_ms is exclusive with "
+                "snapshot_id/ref"
+            )
+        snapshot_id = resolve_iceberg_snapshot(table_path, timestamp_ms)
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError(

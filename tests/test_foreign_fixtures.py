@@ -245,6 +245,55 @@ def test_iceberg_foreign_absolute_uris_and_position_deletes(
     assert (2, "bravo", "en") in _rows(df1)
 
 
+def test_iceberg_timestamp_as_of(spark):
+    """TIMESTAMP AS OF resolution via the foreign metadata's
+    snapshot-log: between the two commits -> snapshot 1; after ->
+    snapshot 2; before history -> raises."""
+    from dataset_grouper_spark.sources.iceberg import (
+        resolve_iceberg_snapshot,
+    )
+
+    t1, t2 = 1710500000000, 1710500060000
+    assert resolve_iceberg_snapshot(ICE, t1 + 1) == 4910972762596521298
+    assert resolve_iceberg_snapshot(ICE, t2 + 99) == 6395864198392318822
+    df = open_table(spark, ICE, timestamp_ms=t1 + 30000)
+    assert len(_rows(df)) == 5
+    with pytest.raises(ValueError, match="predates"):
+        resolve_iceberg_snapshot(ICE, t1 - 1)
+    with pytest.raises(ValueError, match="exclusive"):
+        open_table(
+            spark, ICE, timestamp_ms=t1, snapshot_id=4910972762596521298
+        )
+
+
+def test_iceberg_timestamp_as_of_expired_raises(tmp_path):
+    """The snapshot current at the instant was expired: resolving must
+    raise, never silently serve an older retained snapshot."""
+    import shutil
+
+    from dataset_grouper_spark.sources.iceberg import (
+        resolve_iceberg_snapshot,
+    )
+
+    t = str(tmp_path / "ice_exp")
+    shutil.copytree(ICE, t)
+    mp = os.path.join(t, "metadata", "v2.metadata.json")
+    meta = json.load(open(mp))
+    # expire snapshot 1 from the retained list; snapshot-log keeps it
+    meta["snapshots"] = [
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] != 4910972762596521298
+    ]
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="expired"):
+        resolve_iceberg_snapshot(t, 1710500000001)
+    # instants at/after the retained snapshot still resolve
+    assert (
+        resolve_iceberg_snapshot(t, 1710500060000)
+        == 6395864198392318822
+    )
+
+
 def test_iceberg_foreign_schema_evolution_backfill(spark, tmp_path):
     """Foreign metadata with a NEWER schema (current-schema-id=1
     adding a column no data file carries): the reader must project the

@@ -161,8 +161,10 @@ def open_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     or a plain parquet scan
     — so pipeline code can take a path and not care which system wrote
     it. ``kwargs`` pass through to the underlying reader (``version=``
-    for delta/snapshots, ``snapshot_id=``/``partition_filter=`` for
-    iceberg, ``as_of=`` for hudi)."""
+    / ``timestamp=`` for delta/snapshots, ``snapshot_id=`` /
+    ``timestamp_ms=`` / ``ref=`` / ``partition_filter=`` /
+    ``skip_filters=`` for iceberg, ``as_of=`` / ``keep_meta=`` for
+    hudi)."""
     fmt = table_format(path)
     if fmt == "delta":
         from dataset_grouper_spark.sources.delta import read_delta

@@ -294,6 +294,123 @@ def test_iceberg_timestamp_as_of_expired_raises(tmp_path):
     )
 
 
+def test_iceberg_v1_format_minimal_metadata(spark, tmp_path):
+    """format-version 1 tables (older pyiceberg/Spark writers): the
+    singular 'schema' key, no sequence numbers anywhere, manifest
+    entries without 'content'/'file_sequence_number', minimal
+    manifest-list fields. The reader must serve them (sequence 0
+    semantics per spec)."""
+    from dataset_grouper_spark.sources.avro import write_avro_file
+
+    t = str(tmp_path / "ice_v1")
+    os.makedirs(os.path.join(t, "metadata"))
+    os.makedirs(os.path.join(t, "data"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": [1, 2], "txt": ["a", "b"]}),
+        os.path.join(t, "data", "f1.parquet"),
+    )
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    write_avro_file(
+        os.path.join(t, "metadata", "m0.avro"),
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 99,
+                "data_file": {
+                    "file_path": "data/f1.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(t, "data", "f1.parquet")
+                    ),
+                },
+            }
+        ],
+    )
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"],
+             "default": None},
+        ],
+    }
+    write_avro_file(
+        os.path.join(t, "metadata", "snap-99-1-x.avro"),
+        ml_schema,
+        [
+            {
+                "manifest_path": "metadata/m0.avro",
+                "manifest_length": os.path.getsize(
+                    os.path.join(t, "metadata", "m0.avro")
+                ),
+                "partition_spec_id": 0,
+                "added_snapshot_id": 99,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": "00000000-1111-2222-3333-444444444444",
+        "location": t,
+        "last-updated-ms": 1710500000000,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "txt", "required": False,
+                 "type": "string"},
+            ],
+        },
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": 99,
+        "snapshots": [
+            {
+                "snapshot-id": 99,
+                "timestamp-ms": 1710500000000,
+                "manifest-list": "metadata/snap-99-1-x.avro",
+            }
+        ],
+    }
+    with open(
+        os.path.join(t, "metadata", "v1.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f)
+    df = open_table(spark, t)
+    assert _rows(df) == [(1, "a"), (2, "b")]
+
+
 def test_iceberg_foreign_schema_evolution_backfill(spark, tmp_path):
     """Foreign metadata with a NEWER schema (current-schema-id=1
     adding a column no data file carries): the reader must project the

@@ -559,6 +559,27 @@ def test_hudi_mor_foreign_compaction_folds_the_log(spark, tmp_path):
     assert _rows(open_table(spark, t)) == before
 
 
+def test_hudi_lite_batch_reads_foreign_cow(spark):
+    """The registered hudi_lite format's batch reader serves the same
+    snapshot read_hudi does — on the committed FOREIGN fixture (UUID
+    file ids, write tokens, 17-digit instants)."""
+    from dataset_grouper_spark.streaming.hudi_source import (
+        HudiLiteDataSource,
+    )
+
+    spark.dataSource.register(HudiLiteDataSource)
+    df = (
+        spark.read.format("hudi_lite").option("path", COW).load()
+    )
+    assert _rows(df.select("id", "txt", "lang")) == [
+        (1, "ALPHA!", "en"),
+        (2, "bravo", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+    ]
+
+
 def test_fixtures_stay_kb_scale():
     total = sum(
         os.path.getsize(os.path.join(d, f))

@@ -580,6 +580,19 @@ def test_hudi_lite_batch_reads_foreign_cow(spark):
     ]
 
 
+def test_iceberg_lite_batch_reads_foreign_table(spark):
+    """The registered iceberg_lite format's batch reader serves the
+    committed foreign v2 fixture (full stats block manifests)."""
+    from dataset_grouper_spark.streaming.iceberg_source import (
+        IcebergLiteDataSource,
+    )
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    df = spark.read.format("iceberg_lite").option("path", ICE).load()
+    assert len(_rows(df)) == 7
+    assert (4, "delta", "de") in _rows(df)
+
+
 def test_fixtures_stay_kb_scale():
     total = sum(
         os.path.getsize(os.path.join(d, f))

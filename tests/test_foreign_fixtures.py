@@ -580,6 +580,24 @@ def test_hudi_lite_batch_reads_foreign_cow(spark):
     ]
 
 
+def test_delta_lite_batch_gates_on_foreign_dv_table(spark):
+    """The delta_lite batch reader's DV gate must fire on the FOREIGN
+    fixture too (its latest version carries a deletion vector) —
+    pointing users at read_delta, which applies DVs."""
+    from dataset_grouper_spark.streaming.delta_source import (
+        DeltaLiteDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    with pytest.raises(Exception, match="deletion vector"):
+        (
+            spark.read.format("delta_lite")
+            .option("path", DELTA)
+            .load()
+            .collect()
+        )
+
+
 def test_iceberg_lite_batch_reads_foreign_table(spark):
     """The registered iceberg_lite format's batch reader serves the
     committed foreign v2 fixture (full stats block manifests)."""

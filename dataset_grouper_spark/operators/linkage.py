@@ -102,6 +102,42 @@ def blocked_pairs(
     return out.distinct()
 
 
+def block_sizes(
+    df: DataFrame,
+    blocking_keys: list[list[Column | str]],
+) -> DataFrame:
+    """Audit frame for ``max_block_size`` (the drop-and-audit twin of
+    ``spandedup.anchor_frequencies``): per blocking pass, every block
+    key tuple with its record count, largest first — run it to size
+    the cap and to see exactly which blocks a cap drops. Columns:
+    ``(pass_idx, block, n_records)`` with ``block`` as the key tuple
+    rendered to JSON (a display frame, not a join input)."""
+    frames = []
+    for i, keys in enumerate(blocking_keys):
+        cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+        keyed = df.select(
+            F.struct(
+                *[c.alias(f"_k{j}") for j, c in enumerate(cols)]
+            ).alias("_bk"),
+            F.greatest(
+                F.lit(False), *[c.isNull() for c in cols]
+            ).alias("_nullkey"),
+        ).filter(~F.col("_nullkey"))
+        frames.append(
+            keyed.groupBy("_bk")
+            .agg(F.count(F.lit(1)).alias("n_records"))
+            .select(
+                F.lit(i).alias("pass_idx"),
+                F.to_json(F.col("_bk")).alias("block"),
+                "n_records",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy(F.desc("n_records"), "pass_idx", "block")
+
+
 def match_pairs(
     df: DataFrame,
     pairs: DataFrame,

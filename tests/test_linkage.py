@@ -204,6 +204,27 @@ def test_match_pairs_sql_twin_agrees_with_cap(spark):
     assert uncapped > cand.count()
 
 
+def test_block_sizes_audit_frame(spark):
+    rows = [
+        (1, "Alice", "metro", "A"),
+        (2, "Alicf", "metro", "A"),
+        (3, "Zed", "metro", "A"),
+        (4, "Bob", "rural", "B"),
+        (5, None, None, "B"),  # NULL keys never block, never audited
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    audit = linkage.block_sizes(
+        df, [["city", "segment"], [F.substring("name", 1, 2)]]
+    ).collect()
+    assert audit[0]["pass_idx"] == 0 and audit[0]["n_records"] == 3
+    by_pass = {}
+    for r in audit:
+        by_pass.setdefault(r["pass_idx"], []).append(r["n_records"])
+    assert sorted(by_pass[0]) == [1, 3]      # metro/A=3, rural/B=1
+    # name-prefix pass: 'Al'x2, 'Ze', 'Bo' (NULL name dropped)
+    assert sorted(by_pass[1]) == [1, 1, 2]
+
+
 def test_block_key_injective_on_separator_bytes(spark):
     # a separator-concat block key would collide ('x\x1f', 'y') with
     # ('x', '\x1fy'); the struct key must NOT pair them

@@ -422,6 +422,15 @@ def build_delta(root: str) -> None:
             }
         },
         {
+            # newer Spark-Delta rider action: must be tolerated, not
+            # understood
+            "domainMetadata": {
+                "domain": "delta.universalFormat",
+                "configuration": "{}",
+                "removed": False,
+            }
+        },
+        {
             "remove": {
                 "path": en0,
                 "deletionTimestamp": 1710500180000,

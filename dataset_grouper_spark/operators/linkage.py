@@ -40,6 +40,32 @@ from dataset_grouper_spark.cache import defer_release, persist_tracked
 from dataset_grouper_spark.functions.hashing import round_even
 
 
+def _block_keyed(
+    df: DataFrame, keys: list[Column | str], extra: list[Column]
+) -> DataFrame:
+    """One blocking pass's keyed frame: ``_bk`` = a STRUCT of the key
+    expressions (struct equality is per-field equality — injective on
+    the key tuple, matching the oracle's per-column equi-join), with
+    NULL-keyed rows dropped (a NULL never equi-joins: an absent
+    attribute is evidence of nothing — struct equality would otherwise
+    treat NULL fields as equal). The SINGLE definition of the keying
+    contract, shared by the pair join and the audit frame."""
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return (
+        df.select(
+            *extra,
+            F.struct(
+                *[c.alias(f"_k{j}") for j, c in enumerate(cols)]
+            ).alias("_bk"),
+            F.greatest(
+                F.lit(False), *[c.isNull() for c in cols]
+            ).alias("_nullkey"),
+        )
+        .filter(~F.col("_nullkey"))
+        .drop("_nullkey")
+    )
+
+
 def blocked_pairs(
     df: DataFrame,
     id_col: str,
@@ -61,27 +87,7 @@ def blocked_pairs(
     """
     frames = []
     for i, keys in enumerate(blocking_keys):
-        cols = [
-            F.col(k) if isinstance(k, str) else k for k in keys
-        ]
-        # block key = a STRUCT of the key expressions: struct equality
-        # is per-field equality, which is injective on the key tuple
-        # (a separator-concat string key would collide distinct tuples
-        # whose values contain the separator) and matches the oracle's
-        # per-column equi-join semantics exactly
-        keyed = df.select(
-            F.col(id_col).alias("_id"),
-            F.struct(
-                *[c.alias(f"_k{j}") for j, c in enumerate(cols)]
-            ).alias("_bk"),
-            # NULL in ANY key disables blocking for the pass (struct
-            # equality treats NULL fields as equal, which would block
-            # ('a', NULL) with ('a', NULL) — an absent attribute is
-            # evidence of nothing, so track nullness explicitly)
-            F.greatest(
-                F.lit(False), *[c.isNull() for c in cols]
-            ).alias("_nullkey"),
-        ).filter(~F.col("_nullkey"))
+        keyed = _block_keyed(df, keys, [F.col(id_col).alias("_id")])
         if max_block_size is not None:
             sizes = keyed.groupBy("_bk").agg(
                 F.count(F.lit(1)).alias("_bn")
@@ -114,15 +120,7 @@ def block_sizes(
     rendered to JSON (a display frame, not a join input)."""
     frames = []
     for i, keys in enumerate(blocking_keys):
-        cols = [F.col(k) if isinstance(k, str) else k for k in keys]
-        keyed = df.select(
-            F.struct(
-                *[c.alias(f"_k{j}") for j, c in enumerate(cols)]
-            ).alias("_bk"),
-            F.greatest(
-                F.lit(False), *[c.isNull() for c in cols]
-            ).alias("_nullkey"),
-        ).filter(~F.col("_nullkey"))
+        keyed = _block_keyed(df, keys, [])
         frames.append(
             keyed.groupBy("_bk")
             .agg(F.count(F.lit(1)).alias("n_records"))

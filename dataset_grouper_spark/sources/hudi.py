@@ -823,17 +823,17 @@ def _log_version(path: str) -> tuple[int, str]:
 
 def _group_log_paths(paths: list[str]) -> list[list[str]]:
     """Group log-file paths by FILE GROUP (everything before the
-    ``.log.<version>`` suffix) with each group's rollover files ordered
-    by version — the unit Hudi's scanner decodes as ONE block stream,
-    so a rollback COMMAND_BLOCK in ``.log.2`` can invalidate blocks in
-    ``.log.1`` (r9 review)."""
+    ``.log.<version>`` suffix) — the unit Hudi's scanner decodes as
+    ONE block stream, so a rollback COMMAND_BLOCK in ``.log.2`` can
+    invalidate blocks in ``.log.1`` (r9 review). Within-group version
+    ORDER is applied in exactly one place — ``_log_rows_df``'s shard
+    encoding — so every caller's groups decode identically whether
+    pre-sorted or not."""
     groups: dict[str, list[str]] = {}
     for p in paths:
         key = p.rsplit(".log.", 1)[0] if ".log." in p else p
         groups.setdefault(key, []).append(p)
-    return [
-        sorted(v, key=_log_version) for _k, v in sorted(groups.items())
-    ]
+    return [v for _k, v in sorted(groups.items())]
 
 
 def _log_rows_df(
@@ -1603,32 +1603,68 @@ def hudi_rollback(table_path: str, instant: str | None = None) -> list[str]:
         for w in wstats
     )
     hp = _hoodie_path(table_path)
-    # Claim the rollback instant BEFORE the destructive phase: a writer
-    # committing between the latest=max(commits) read above and the
-    # deletions below would turn this into a rollback of a MIDDLE
-    # instant — exactly what the only-latest guard forbids — corrupting
-    # slices the newer commit built on. The claim serializes us against
-    # every completed-marker writer; re-verifying latest under it
-    # closes the window.
-    ri = _next_instant(table_path)
-    for suffix in ("rollback.requested", "rollback.inflight"):
-        _fs.write_text(os.path.join(hp, f"{ri}.{suffix}"), "{}")
-    _claim_instant(table_path, ri, "rollback")
-    if max(_completed(table_path)) != latest:
+    # Claim the rollback instant BEFORE the destructive phase, then
+    # re-verify under it: a writer that COMPLETED between the
+    # latest=max(commits) read above and here would turn this into a
+    # rollback of a MIDDLE instant — exactly what the only-latest
+    # guard forbids. Claims are per-instant exclusive creates, NOT a
+    # table lock, so additionally refuse when the timeline shows a
+    # not-yet-completed NEWER instant: that is a writer mid-commit
+    # (its markers land before its data), and deleting the base files
+    # its slices build on would corrupt the snapshot it is about to
+    # complete. (A writer that has not yet written its .requested
+    # marker remains invisible — like Hudi itself, true multi-writer
+    # tables need an external lock provider; this check closes every
+    # window a marker makes visible. Stale crash leftovers trip it
+    # too: remove them, or wait, then re-run.)
+
+    def _abort_markers(ri_: str) -> None:
         for name in (
-            f"{ri}.rollback.requested",
-            f"{ri}.rollback.inflight",
-            f".{ri}.claim",
+            f"{ri_}.rollback.requested",
+            f"{ri_}.rollback.inflight",
+            f".{ri_}.claim",
         ):
             try:
                 _fs.remove(os.path.join(hp, name))
             except FileNotFoundError:
                 pass
+
+    ri = _next_instant(table_path)
+    for suffix in ("rollback.requested", "rollback.inflight"):
+        _fs.write_text(os.path.join(hp, f"{ri}.{suffix}"), "{}")
+    try:
+        _claim_instant(table_path, ri, "rollback")
+    except FileExistsError:
+        _abort_markers(ri)
+        raise RuntimeError(
+            f"hudi_rollback: lost the claim race at instant {ri} "
+            "(another writer owns it); re-run against the new table "
+            "state"
+        ) from None
+    completed_now = _completed(table_path)
+    if max(completed_now) != latest:
+        _abort_markers(ri)
         raise RuntimeError(
             f"hudi_rollback: instant {latest} is no longer the latest "
             "completed instant (a writer committed concurrently); only "
             "the latest instant may roll back — re-run against the new "
             "table state"
+        )
+    inflight = [
+        ts
+        for ts, _a, state in hudi_timeline(table_path)
+        if state != "completed"
+        and ts not in completed_now
+        and ts != ri
+        and ts > latest
+    ]
+    if inflight:
+        _abort_markers(ri)
+        raise RuntimeError(
+            f"hudi_rollback: in-flight writer markers at instant(s) "
+            f"{sorted(set(inflight))} — a concurrent commit may build "
+            "on the files this rollback would delete; wait for it (or "
+            "remove stale crash leftovers) and re-run"
         )
     # Invalidate BEFORE deleting: drop the completed marker and record
     # the .rollback marker first, so a crash mid-deletion degrades to

@@ -274,23 +274,40 @@ def _transform_value(transform: str, value, src_type: str):
     return None  # void / unknown transforms never prune
 
 
-def _expected_partition(meta: dict, partition_filter: dict) -> dict:
-    """Translate a {column: raw value} filter into the {partition
-    field name: transformed value} pairs a matching file must carry,
-    via the table's default partition spec. Columns the spec does not
-    cover fall back to identity matching on the raw column name (the
-    minimal-metadata path older tables use)."""
-    schemas = meta.get("schemas") or []
-    by_id = {}
+def _schema_fields_by_id(meta: dict) -> dict:
+    """field id -> (name, type) across every schema entry (singular
+    legacy ``schema`` included) — the shared resolver for partition
+    spec interpretation."""
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    by_id: dict = {}
     for s in schemas:
         for f in s.get("fields", []):
             by_id[f["id"]] = (f["name"], f["type"])
+    return by_id
+
+
+def _default_spec(meta: dict) -> tuple[int, dict]:
+    """(default spec id, spec dict) — shared by filter translation and
+    manifest-summary interpretation so the two can never drift."""
     specs = meta.get("partition-specs") or []
     want_spec = meta.get("default-spec-id", 0)
     spec = next(
         (s for s in specs if s.get("spec-id") == want_spec),
         specs[0] if specs else {"fields": []},
     )
+    return want_spec, spec
+
+
+def _expected_partition(meta: dict, partition_filter: dict) -> dict:
+    """Translate a {column: raw value} filter into the {partition
+    field name: transformed value} pairs a matching file must carry,
+    via the table's default partition spec. Columns the spec does not
+    cover fall back to identity matching on the raw column name (the
+    minimal-metadata path older tables use)."""
+    by_id = _schema_fields_by_id(meta)
+    _spec_id, spec = _default_spec(meta)
     expected: dict = {}
     covered: set[str] = set()
     for f in spec.get("fields", []):
@@ -328,24 +345,21 @@ def _transform_result_type(transform: str, src_type: str) -> str | None:
     return None
 
 
-def _spec_summary_fields(meta: dict) -> list[tuple[str, str | None]]:
-    """Ordered (partition field name, result type) of the default
-    partition spec — the order the manifest-list ``partitions`` field
-    summaries are laid out in (spec: one summary per spec field, in
-    spec order)."""
-    by_id = {}
-    for s in meta.get("schemas") or []:
-        for f in s.get("fields", []):
-            by_id[f["id"]] = f["type"]
-    specs = meta.get("partition-specs") or []
-    want = meta.get("default-spec-id", 0)
-    spec = next(
-        (s for s in specs if s.get("spec-id") == want),
-        specs[0] if specs else {"fields": []},
-    )
+def _spec_summary_fields(
+    meta: dict,
+) -> tuple[int, list[tuple[str, str | None]]]:
+    """(default spec id, ordered (partition field name, result type))
+    of the default partition spec — the order the manifest-list
+    ``partitions`` field summaries are laid out in (spec: one summary
+    per spec field, in spec order). The spec ID rides along because a
+    manifest written under a DIFFERENT spec lays its summaries out in
+    THAT spec's order/types — interpreting them under the default spec
+    would prune wrongly, so callers only prune same-spec manifests."""
+    by_id = _schema_fields_by_id(meta)
+    spec_id, spec = _default_spec(meta)
     out = []
     for f in spec.get("fields", []):
-        src = by_id.get(f.get("source-id"))
+        src = by_id.get(f.get("source-id"), (None, None))[1]
         out.append(
             (
                 f["name"],
@@ -355,7 +369,7 @@ def _spec_summary_fields(meta: dict) -> list[tuple[str, str | None]]:
                 ),
             )
         )
-    return out
+    return spec_id, out
 
 
 def _summaries_allow(
@@ -395,7 +409,7 @@ def _live_files(
     partition_filter: dict | None = None,
     skip: list | None = None,
     field_types: dict | None = None,
-    spec_summary: list | None = None,
+    spec_summary: tuple[int, list] | None = None,
 ) -> tuple[
     list[tuple[str, int]], list[str], int | None, list[tuple[str, int, list]]
 ]:
@@ -418,9 +432,18 @@ def _live_files(
     eq_deletes: list[tuple[str, int, list]] = []
     for m in manifests:
         if partition_filter and spec_summary:
+            spec_id, summary_fields = spec_summary
             summaries = m.get("partitions")
-            if summaries and not _summaries_allow(
-                summaries, partition_filter, spec_summary
+            # summaries are laid out in the WRITING spec's field
+            # order/types: only interpret (and prune on) manifests
+            # written under the default spec we translated the filter
+            # through — older-spec manifests stay conservatively kept
+            if (
+                summaries
+                and m.get("partition_spec_id", 0) == spec_id
+                and not _summaries_allow(
+                    summaries, partition_filter, summary_fields
+                )
             ):
                 continue  # whole manifest excluded by its envelope
         is_delete_manifest = m.get("content", 0) == 1

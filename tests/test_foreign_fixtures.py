@@ -213,6 +213,16 @@ def test_iceberg_manifest_level_pruning_skips_unopened_manifests(
     # loudly (conservative: pruning never hides a broken table)
     with pytest.raises(Exception, match="does-not-exist|No such file"):
         open_table(spark, t, partition_filter={"lang": "fr"}).collect()
+    # a manifest written under a DIFFERENT partition spec lays its
+    # summaries out in THAT spec's order/types — its envelope must
+    # never prune under the default spec's interpretation, so the
+    # excluding-bounds poison row with a foreign spec id is OPENED
+    # (and fails loudly on the missing file) instead of being skipped
+    foreign_spec = dict(poison)
+    foreign_spec["partition_spec_id"] = 7
+    write_avro_file(ml, schema, rows + [foreign_spec])
+    with pytest.raises(Exception, match="does-not-exist|No such file"):
+        open_table(spark, t, partition_filter={"lang": "de"}).collect()
 
 
 def test_iceberg_foreign_absolute_uris_and_position_deletes(

@@ -23,6 +23,7 @@ from dataset_grouper_spark.functions import featurize, textanalysis, textstats
 from dataset_grouper_spark.functions import bpe as bpe_fns
 from dataset_grouper_spark.functions import lm as lm_fns
 from dataset_grouper_spark.functions import sketches as sketches_fns
+from dataset_grouper_spark.functions import bloom
 from dataset_grouper_spark.functions import hashing, quality, vocab
 from dataset_grouper_spark.operators import profile as profile_ops
 from dataset_grouper_spark.operators import sessions as sessions_ops
@@ -1245,6 +1246,33 @@ def q_fingerprint_screen_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
     new = fresh.unionByName(plants)
     out = dedup.fingerprint_screen_against(new, existing, "text")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_bloom_screen_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-memory Bloom-filter ingest screen: same batch shape as
+    the fingerprint screen (fresh docs + planted corpus replays) but
+    the corpus membership sketch is a true m-bit Bloom filter —
+    distributed numpy bitset build with a bounded tree merge, probe as
+    a broadcast + vectorized pandas_udf, NO per-key broadcast growth.
+    num_bits is deliberately small (2^14 against ~thousands of corpus
+    texts at sf0.1) so BOTH paths carry rows: real misses skip the
+    corpus join, hits (true replays + forced false positives) go
+    through the exact 128-bit anti join. Output is row-identical to
+    the unscreened anti join — the oracle IS that anti join — so a
+    false negative (dropped fresh row) or admitted replay anywhere
+    hash-mismatches."""
+    df = read_table(spark, sf, "documents")
+    existing = df.filter("doc_id % 4 != 0")
+    fresh = df.filter("doc_id % 4 = 0")
+    plants = existing.filter("doc_id % 9 = 0").withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    new = fresh.unionByName(plants)
+    out = bloom.bloom_screen_against(new, existing, "text", num_bits=1 << 14)
     return out.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_survivors"),
         F.sum("doc_id").alias("sum_ids"),
@@ -7649,6 +7677,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
+        "bloom_screen_dedup_documents": q_bloom_screen_dedup_documents,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -7896,6 +7925,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
+    "bloom_screen_dedup_documents",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8330,6 +8360,26 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id + 1000000, source, text FROM documents
                 WHERE doc_id % 5 != 0 AND doc_id % 7 = 0
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_survivors,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM newb n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM existing e WHERE e.text = n.text
+            )
+            GROUP BY source
+        """,
+        "bloom_screen_dedup_documents": """
+            WITH existing AS (
+                SELECT * FROM documents WHERE doc_id % 4 != 0
+            ),
+            newb AS (
+                SELECT doc_id, source, text FROM documents
+                WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, source, text FROM documents
+                WHERE doc_id % 4 != 0 AND doc_id % 9 = 0
             )
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_survivors,

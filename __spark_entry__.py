@@ -4391,6 +4391,39 @@ def q_tfrecord_gzip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return q_tfrecord_roundtrip(spark, sf, _suffix=".gz")
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset tar-shard lifecycle: documents become tar shards
+    (one sample per doc: `{doc_id}.txt` text + `.cls` lang + `.src`
+    source, deterministic bytes), written by one applyInPandas task
+    per shard, then streamed back by one task per shard and
+    re-aggregated per extension — member count, byte total, an
+    order-insensitive md5 content checksum, and distinct sample keys.
+    The DuckDB twin recomputes all four straight from the documents
+    table, so a dropped member, a corrupted byte, or a key collision
+    anywhere in the tar codec hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources import webdataset as wds
+
+    df = read_table(spark, sf, "documents")
+    dst = tempfile.mkdtemp(prefix="wds_rt_")
+    manifest = wds.write_webdataset(
+        df, dst, "doc_id",
+        {"text": "txt", "lang": "cls", "source": "src"}, num_shards=4,
+    )
+    manifest.count()  # action: materialize the shards before listing
+    long = wds.read_webdataset(spark, dst)
+    return long.groupBy("ext").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.length("data")).cast("long").alias("n_bytes"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("data")), 1, 9), 16, 10)
+            .cast("long")
+        ).cast("long").alias("content_checksum"),
+        F.countDistinct("key").cast("long").alias("n_keys"),
+    )
+
+
 GS_SEED = 7
 GS_BATCH = 2
 GS_SKIP_COHORTS = 1
@@ -7678,6 +7711,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_events": q_value_percentiles_events,
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "bloom_screen_dedup_documents": q_bloom_screen_dedup_documents,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -7926,6 +7960,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
     "bloom_screen_dedup_documents",
+    "webdataset_roundtrip",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8389,6 +8424,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM existing e WHERE e.text = n.text
             )
             GROUP BY source
+        """,
+        "webdataset_roundtrip": """
+            WITH m AS (
+                SELECT doc_id, 'txt' AS ext, text AS v FROM documents
+                UNION ALL
+                SELECT doc_id, 'cls', lang FROM documents
+                UNION ALL
+                SELECT doc_id, 'src', source FROM documents
+            )
+            SELECT ext,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(strlen(v)) AS BIGINT) AS n_bytes,
+                   CAST(sum(('0x' || substr(md5(v), 1, 9))::BIGINT)
+                        AS BIGINT) AS content_checksum,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
+            FROM m WHERE v IS NOT NULL
+            GROUP BY ext
         """,
         "incremental_dedup_documents": oracles.minhash_against_sql(
             "documents", "text", "doc_id", INCR_NEW_FILTER,

@@ -38,6 +38,7 @@ and part of the beyond-reference multimodal tier.
 
 from __future__ import annotations
 
+import gzip
 import io
 import json
 import tarfile
@@ -71,6 +72,7 @@ def write_webdataset(
     columns: dict,
     num_shards: int = 8,
     prefix: str = "shard",
+    compression: str = "none",
 ) -> DataFrame:
     """Write ``df`` as WebDataset tar shards under ``path``.
 
@@ -81,12 +83,19 @@ def write_webdataset(
     ``(shard, path, n_samples, n_bytes)`` — an action has NOT run yet;
     collecting/writing the manifest is what executes the job.
 
+    ``compression='gzip'`` emits ``.tar.gz`` shards (the common
+    shipping form); the gzip stream is built with ``mtime=0`` so
+    compressed shards stay byte-reproducible like the plain ones.
+
     Keys must be unique (two rows with one key would interleave into a
     malformed sample); enforced per shard with a cheap duplicate check
     that raises rather than corrupting the archive.
     """
     if not columns:
         raise ValueError("columns mapping must not be empty")
+    if compression not in ("none", "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
+    suffix = ".tar.gz" if compression == "gzip" else ".tar"
     fs.makedirs(path)
     cols = dict(columns)
     key = key_col
@@ -107,7 +116,7 @@ def write_webdataset(
                 f"webdataset: duplicate sample key {dup!r} in shard "
                 f"{shard}; keys must be unique"
             )
-        dst = f"{path.rstrip('/')}/{prefix}-{shard:06d}.tar"
+        dst = f"{path.rstrip('/')}/{prefix}-{shard:06d}{suffix}"
         buf = io.BytesIO()
         sample_keys = pdf["_key"].tolist()
         col_values = {c: pdf[c].tolist() for c in cols}
@@ -129,6 +138,13 @@ def write_webdataset(
                     info.uname = info.gname = ""
                     tar.addfile(info, io.BytesIO(data))
         raw = buf.getvalue()
+        if compression == "gzip":
+            zbuf = io.BytesIO()
+            with gzip.GzipFile(
+                fileobj=zbuf, mode="wb", mtime=0
+            ) as gz:
+                gz.write(raw)
+            raw = zbuf.getvalue()
         with fs.open_write(dst) as out:
             out.write(raw)
         return pd.DataFrame(
@@ -152,16 +168,23 @@ def write_webdataset(
 
 
 def read_webdataset(
-    spark: SparkSession, path: str, pattern: str = "*.tar"
+    spark: SparkSession, path: str, pattern: str = None
 ) -> DataFrame:
     """Read WebDataset shards into long form ``(key, ext, data, shard)``.
 
     The driver lists shard files (a metadata touch); tasks stream one
-    tar each — ``tarfile`` mode ``r|`` over the compat/fs reader, so a
-    1 GB shard costs a task its streaming buffer, not 1 GB of memory.
+    tar each — ``tarfile`` mode ``r|*`` over the compat/fs reader
+    (compression auto-detected from the stream), so a 1 GB shard costs
+    a task its streaming buffer, not 1 GB of memory.
     """
     files = sorted(
-        f for f in fs.listdir(path) if _glob_match(f, pattern)
+        f
+        for f in fs.listdir(path)
+        if (
+            _glob_match(f, pattern)
+            if pattern
+            else (f.endswith(".tar") or f.endswith(".tar.gz"))
+        )
     )
     paths = [f"{path.rstrip('/')}/{name}" for name in files]
     if not paths:
@@ -178,7 +201,7 @@ def read_webdataset(
                 keys, exts, datas = [], [], []
                 shard_name = shard_path.rsplit("/", 1)[-1]
                 with fs.open_read(shard_path) as raw:
-                    with tarfile.open(fileobj=raw, mode="r|") as tar:
+                    with tarfile.open(fileobj=raw, mode="r|*") as tar:
                         for member in tar:
                             if not member.isfile():
                                 continue

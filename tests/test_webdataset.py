@@ -116,3 +116,29 @@ class TestSpecConformance:
             ).first()[0]
             assert r.shard == f"shard-{expect:06d}.tar"
             break  # one spot check is enough; full set covered above
+
+
+class TestGzip:
+    def test_gzip_roundtrip_and_determinism(self, spark, tmp_path):
+        a, b = tmp_path / "a", tmp_path / "b"
+        for dst in (a, b):
+            wds.write_webdataset(
+                _df(spark), str(dst), "doc_id",
+                {"text": "txt", "blob": "bin"},
+                num_shards=2, compression="gzip",
+            ).collect()
+        shards = sorted(p.name for p in a.glob("*.tar.gz"))
+        assert len(shards) == 2
+        for name in shards:
+            assert (a / name).read_bytes() == (b / name).read_bytes()
+        long = wds.read_webdataset(spark, str(a))
+        samples = wds.webdataset_samples(long, ["txt", "bin"])
+        got = {r.key: bytes(r.txt) for r in samples.collect()}
+        assert len(got) == 40 and got["3"] == b"text body 3"
+
+    def test_bad_compression_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="unsupported compression"):
+            wds.write_webdataset(
+                _df(spark), str(tmp_path), "doc_id", {"text": "txt"},
+                compression="zstd",
+            )

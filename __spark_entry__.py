@@ -6113,6 +6113,64 @@ _FOREIGN_ORACLE_ROWS = [
 ]
 
 
+def q_sync_hudi_delta_mirror(spark: SparkSession, sf: str) -> DataFrame:
+    """The third mirror direction (sources/convert.py
+    sync_hudi_to_delta) — and the only one that mirrors REPLACEMENT:
+    even docs land in Hudi and convert to a Delta view; one Hudi
+    upsert then both REWRITES existing file groups (every doc_id%6==0
+    row gets n_chars+1000) and inserts the odd docs, and ONE
+    incremental sync expresses all of it as a single Delta commit
+    (remove superseded base files + add new slices — O(changed
+    groups) metadata, zero copies). The mirror read must hash-match
+    the post-upsert corpus (stage 0) while Delta version 0 still
+    serves the pre-sync state (stage 1)."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.convert import (
+        convert_hudi_to_delta,
+        sync_hudi_to_delta,
+    )
+    from dataset_grouper_spark.sources.delta import read_delta
+    from dataset_grouper_spark.sources.hudi import hudi_insert, hudi_upsert
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="sync_mirror_hudi_")
+    h = os.path.join(root, "h")
+    d = os.path.join(root, "d")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    hudi_insert(spark, base.coalesce(1), h, record_key="doc_id")
+    convert_hudi_to_delta(spark, h, d)
+    batch = (
+        base.filter(F.col("doc_id") % 6 == 0)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+        .unionByName(docs.filter(F.col("doc_id") % 2 == 1))
+    )
+    hudi_upsert(spark, batch.coalesce(1), h)
+    sync_hudi_to_delta(spark, h, d)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    full = (
+        read_delta(spark, d)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    pre = (
+        read_delta(spark, d, version=0)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return full.unionByName(pre).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
 def q_sync_delta_iceberg_mirror(spark: SparkSession, sf: str) -> DataFrame:
     """Continuous Delta->Iceberg mirroring (sources/convert.py
     sync_delta_to_iceberg — the UniForm shape): half the corpus lands
@@ -7712,6 +7770,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_screen_documents": q_fingerprint_screen_documents,
         "bloom_screen_dedup_documents": q_bloom_screen_dedup_documents,
         "webdataset_roundtrip": q_webdataset_roundtrip,
+        "sync_hudi_delta_mirror": q_sync_hudi_delta_mirror,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -7961,6 +8020,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERY_ORDER: list[str] = [
     "bloom_screen_dedup_documents",
     "webdataset_roundtrip",
+    "sync_hudi_delta_mirror",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8424,6 +8484,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM existing e WHERE e.text = n.text
             )
             GROUP BY source
+        """,
+        "sync_hudi_delta_mirror": """
+            WITH base AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 2 = 0
+            ),
+            post AS (
+                SELECT doc_id, lang, n_chars FROM base
+                WHERE doc_id % 6 != 0
+                UNION ALL
+                SELECT doc_id, lang, n_chars + 1000 FROM base
+                WHERE doc_id % 6 = 0
+                UNION ALL
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 2 = 1
+            )
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM post GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM base GROUP BY lang
         """,
         "webdataset_roundtrip": """
             WITH m AS (

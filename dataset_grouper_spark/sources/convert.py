@@ -762,3 +762,138 @@ def sync_iceberg_to_delta(
     version = latest + 1
     _write_commit(_log_path(delta_path), version, actions)
     return version
+
+
+def sync_hudi_to_delta(
+    spark: SparkSession, hudi_path: str, delta_path: str
+) -> int | None:
+    """INCREMENTAL refresh of a Hudi->Delta conversion — and the one
+    mirror direction that can express REPLACEMENT, not just appends:
+    a Hudi upsert supersedes a file group's base file with a newer
+    slice, and a Delta commit states exactly that natively (``remove``
+    of the old base file + ``add`` of the new one, atomically in one
+    version). So unlike the append-only Delta<->Iceberg syncs, which
+    must raise when the source dropped a file, this mirror follows
+    Hudi inserts AND upserts: O(changed file groups) metadata, zero
+    data movement, the mirror's history gaining one Delta version per
+    sync (time travel to pre-sync versions keeps serving the old
+    slices — they are tombstoned, not deleted). Returns the new Delta
+    version, or None when already in sync.
+
+    Honest gates, mirroring :func:`convert_hudi_to_delta`:
+    un-compacted MoR log files (their deltas exist only under merge
+    semantics — run ``hudi_compact`` first) and base-file schema
+    changes since conversion (the mirror's pinned schemaString cannot
+    resolve them; re-convert instead)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from dataset_grouper_spark.sources.delta import (
+        _latest_version,
+        _log_path,
+        _replay,
+        _table_abs,
+        _write_commit,
+    )
+    from dataset_grouper_spark.sources.hudi import (
+        META_COLS,
+        _log_files,
+        hudi_file_slices,
+    )
+
+    slices = hudi_file_slices(hudi_path)
+    if not slices:
+        raise FileNotFoundError(
+            f"sync_hudi_to_delta: no completed slices in {hudi_path}"
+        )
+    live = {(part, fid, base) for part, fid, base, _p in slices}
+    if any(k in live for k in _log_files(hudi_path)):
+        raise NotImplementedError(
+            "sync_hudi_to_delta: table has un-compacted MoR log files "
+            "— run hudi_compact first (a Delta snapshot cannot express "
+            "log-merge semantics)"
+        )
+    try:
+        latest = _latest_version(delta_path)
+    except FileNotFoundError:
+        latest = None
+    if latest is None:
+        raise FileNotFoundError(
+            f"sync_hudi_to_delta: {delta_path} is not a Delta table "
+            "(run convert_hudi_to_delta first)"
+        )
+    adds, dmeta = _replay(spark, delta_path, latest)
+    table_abs = _table_abs(delta_path)
+
+    def _abs(p: str) -> str:
+        return p if _fs.is_uri(p) else os.path.abspath(p)
+
+    # mirror add paths were written absolute by the converter, but key
+    # removes by the EXACT stored path so a replay pops them
+    stored_by_abs = {
+        _abs_under(table_abs, rel): rel for rel in adds
+    }
+    want = {_abs(path): None for _pt, _fid, _ins, path in slices}
+    # schema gate (the Hudi table can evolve between syncs; the
+    # mirror's schemaString is pinned at conversion time)
+    newest = max(slices, key=lambda s: s[2])[3]
+    with _fs.open_random(newest) as f:
+        arrow = pq.read_schema(f)
+    to_delta = {
+        "bigint": "long", "int": "integer", "smallint": "short",
+        "tinyint": "byte",
+    }
+    want_fields = []
+    for n in arrow.names:
+        if n in META_COLS:
+            continue
+        s = from_arrow_type(arrow.field(n).type).simpleString()
+        want_fields.append((n, to_delta.get(s, s)))
+    mirror_fields = [
+        (f["name"], f["type"])
+        for f in json.loads(dmeta["schemaString"])["fields"]
+    ]
+    if mirror_fields != want_fields:
+        raise NotImplementedError(
+            f"sync_hudi_to_delta: the Hudi base-file schema changed "
+            f"since conversion (mirror {mirror_fields} vs current "
+            f"{want_fields}); re-convert to a fresh location"
+        )
+    removed = sorted(set(stored_by_abs) - set(want))
+    new = sorted(set(want) - set(stored_by_abs))
+    if not removed and not new:
+        return None
+    actions = []
+    for path in removed:
+        rel = stored_by_abs[path]
+        old_add = adds[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "dataChange": True,
+                    "deletionTimestamp": 0,
+                    "partitionValues": old_add.get("partitionValues")
+                    or {},
+                }
+            }
+        )
+    for path in new:
+        actions.append(
+            {
+                "add": {
+                    "path": path,
+                    "partitionValues": {},
+                    "size": _fs.file_size(path),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": _parquet_row_count(path)}
+                    ),
+                }
+            }
+        )
+    version = latest + 1
+    _write_commit(_log_path(delta_path), version, actions)
+    return version

@@ -294,3 +294,58 @@ def test_sync_iceberg_to_delta_schema_drift_gate(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="schema changed"):
         convert.sync_iceberg_to_delta(spark, i, d)
+
+
+def test_sync_hudi_to_delta_mirrors_upserts_and_inserts(spark, tmp_path):
+    h = str(tmp_path / "htbl_sync")
+    d = str(tmp_path / "dtbl_sync")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(1)
+    hudi.hudi_insert(spark, df, h, record_key="id")
+    convert.convert_hudi_to_delta(spark, h, d)
+    assert _rows(delta.read_delta(spark, d)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # upsert replaces the file group's base file AND inserts a new key
+    hudi.hudi_upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, "B"), (9, "z")], "id long, v string"
+        ).coalesce(1),
+        h,
+    )
+    v = convert.sync_hudi_to_delta(spark, h, d)
+    assert v == 1
+    assert _rows(delta.read_delta(spark, d)) == [
+        (1, "a"), (2, "B"), (3, "c"), (9, "z")
+    ]
+    # time travel: version 0 still serves the pre-sync slice
+    assert _rows(delta.read_delta(spark, d, version=0)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # idempotent when in sync
+    assert convert.sync_hudi_to_delta(spark, h, d) is None
+
+
+def test_sync_hudi_to_delta_gates(spark, tmp_path):
+    h = str(tmp_path / "htbl_sync_g")
+    df = spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1)
+    hudi.hudi_insert(
+        spark, df, h, record_key="id", table_type="MERGE_ON_READ"
+    )
+    d = str(tmp_path / "dtbl_sync_g")
+    convert.convert_hudi_to_delta(spark, h, d)
+    hudi.hudi_mor_upsert(
+        spark,
+        spark.createDataFrame([(1, "A")], "id long, v string").coalesce(1),
+        h,
+    )
+    with pytest.raises(NotImplementedError, match="MoR log"):
+        convert.sync_hudi_to_delta(spark, h, d)
+    hudi.hudi_compact(spark, h)
+    assert convert.sync_hudi_to_delta(spark, h, d) == 1
+    assert _rows(delta.read_delta(spark, d)) == [(1, "A")]
+    # not-a-mirror gate
+    with pytest.raises(FileNotFoundError, match="not a Delta table"):
+        convert.sync_hudi_to_delta(spark, h, str(tmp_path / "nope"))

@@ -6591,6 +6591,56 @@ def q_iceberg_equality_delete(spark: SparkSession, sf: str) -> DataFrame:
     return final.unionByName(before).select("stage", "lang", "n", "sum_ids")
 
 
+def q_iceberg_dv_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v3 DELETION VECTORS (sources/iceberg.py
+    iceberg_dv_delete + sources/puffin.py): append the corpus across
+    multiple data files, v2-position-delete one slice (doc_id%11==3),
+    then DV-delete another (doc_id%7==0) — one real Puffin file per
+    touched data file (spec blob framing: magic D1D33964, portable
+    roaring64, BE CRC-32), manifest entries carrying
+    referenced_data_file + ranged-read coordinates, format-version
+    bumped to 3. The read must compose BOTH delete generations in one
+    anti-join (stage 0); stage 1 time-travels to the pre-DV snapshot
+    where only the v2 deletes apply. A mis-decoded bitmap, a wrong
+    ordinal, or a missed composition anywhere hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_delete_where,
+        iceberg_dv_delete,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="iceberg_dv_") + "/tbl"
+    iceberg_append(spark, docs.repartition(3), table)
+    pre_dv = iceberg_delete_where(spark, table, "doc_id % 11 = 3")
+    iceberg_dv_delete(spark, table, "doc_id % 7 = 0")
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    final = (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    mid = (
+        read_iceberg(spark, table, snapshot_id=pre_dv)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return final.unionByName(mid).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
 def q_iceberg_gdpr_compose(spark: SparkSession, sf: str) -> DataFrame:
     """Position deletes STACKED ON equality deletes (sources/iceberg.py
     iceberg_delete_where over a table carrying equality deletes — the
@@ -7771,6 +7821,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen_dedup_documents": q_bloom_screen_dedup_documents,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "sync_hudi_delta_mirror": q_sync_hudi_delta_mirror,
+        "iceberg_dv_delete": q_iceberg_dv_delete,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -8021,6 +8072,7 @@ _QUERY_ORDER: list[str] = [
     "bloom_screen_dedup_documents",
     "webdataset_roundtrip",
     "sync_hudi_delta_mirror",
+    "iceberg_dv_delete",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8484,6 +8536,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM existing e WHERE e.text = n.text
             )
             GROUP BY source
+        """,
+        "iceberg_dv_delete": """
+            WITH live AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 11 != 3
+            )
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM live WHERE doc_id % 7 != 0
+            GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM live GROUP BY lang
         """,
         "sync_hudi_delta_mirror": """
             WITH base AS (

@@ -466,13 +466,40 @@ def _live_files(
                 continue  # column-bound skipping: envelopes disprove
             content = df.get("content", 1 if is_delete_manifest else 0)
             fmt = (df.get("file_format") or "PARQUET").upper()
+            p = _localize(df["file_path"])
+            if not _is_abs(p):
+                p = os.path.join(table_path, p)
+            if fmt == "PUFFIN" and content == 1:
+                # v3 deletion vector: one Puffin blob of deleted row
+                # ordinals for ONE data file; the manifest entry
+                # carries the ranged-read coordinates so the scan
+                # never parses the Puffin footer (spec fast path)
+                ref = df.get("referenced_data_file")
+                if not ref:
+                    raise ValueError(
+                        "iceberg: PUFFIN delete entry without "
+                        "referenced_data_file"
+                    )
+                delete_files.append(
+                    {
+                        "puffin": p,
+                        "offset": int(df.get("content_offset") or 0),
+                        "size": int(
+                            df.get("content_size_in_bytes") or 0
+                        ),
+                        "referenced": ref,
+                    }
+                )
+                rc = df.get("record_count") or 0
+                if rc > 0 and delete_rows is not None:
+                    delete_rows += rc
+                else:
+                    delete_rows = None
+                continue
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg: file format {fmt} not supported"
                 )
-            p = _localize(df["file_path"])
-            if not _is_abs(p):
-                p = os.path.join(table_path, p)
             eseq = e.get("sequence_number")
             seq = mseq if eseq is None else eseq  # spec: ADDED inherits
             if content == 0:
@@ -506,6 +533,21 @@ def _norm_path(c: Column) -> Column:
     return F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
 
 
+_NORM_RE = None
+
+
+def _norm_path_py(p: str) -> str:
+    """Python-side twin of :func:`_norm_path` (the DV decode runs in
+    plain Python workers where Column expressions don't exist)."""
+    global _NORM_RE
+    if _NORM_RE is None:
+        import re
+
+        _NORM_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+")
+    p = _NORM_RE.sub("/", p)
+    return p if p.startswith("/") else "/" + p
+
+
 def _apply_position_deletes(
     spark: SparkSession,
     keyed: DataFrame,
@@ -517,14 +559,59 @@ def _apply_position_deletes(
     they come from the hidden ``_metadata`` struct); tags are kept so
     the equality-delete pass can compose after this one. Broadcasts
     only when manifest stats BOUND the delete rows (no probe job —
-    stats are free at plan time)."""
-    dels = (
-        spark.read.parquet(*delete_files)
-        .select(
-            _norm_path(F.col("file_path")).alias("__fp"),
-            F.col("pos").cast("long").alias("__pos"),
+    stats are free at plan time).
+
+    ``delete_files`` mixes two delete shapes: plain strings are v2
+    parquet position-delete files (scanned as data); dicts are v3
+    DELETION VECTORS — Puffin-stored roaring bitmaps, decoded by one
+    ranged executor-side read per vector in a ``mapInPandas`` fan-out
+    (one task per DV, never a driver loop) and exploded into the same
+    ``(__fp, __pos)`` shape, so the two generations compose in one
+    anti-join."""
+    parquet_dels = [d for d in delete_files if isinstance(d, str)]
+    dvs = [d for d in delete_files if isinstance(d, dict)]
+    parts = []
+    if parquet_dels:
+        parts.append(
+            spark.read.parquet(*parquet_dels).select(
+                _norm_path(F.col("file_path")).alias("__fp"),
+                F.col("pos").cast("long").alias("__pos"),
+            )
         )
-    )
+    if dvs:
+        desc = spark.createDataFrame(
+            [
+                (d["puffin"], d["offset"], d["size"], d["referenced"])
+                for d in dvs
+            ],
+            "`puffin` string, `offset` long, `size` long, "
+            "`referenced` string",
+        ).repartition(min(len(dvs), 64))
+
+        def _decode(it):
+            import pandas as pd
+
+            from dataset_grouper_spark.sources import puffin as _pf
+
+            for pdf in it:
+                for pth, off, sz, ref in zip(
+                    pdf["puffin"], pdf["offset"], pdf["size"],
+                    pdf["referenced"],
+                ):
+                    pos = _pf.read_dv(pth, int(off), int(sz))
+                    yield pd.DataFrame(
+                        {
+                            "__fp": [_norm_path_py(ref)] * len(pos),
+                            "__pos": pd.Series(pos, dtype="int64"),
+                        }
+                    )
+
+        parts.append(
+            desc.mapInPandas(_decode, "`__fp` string, `__pos` long")
+        )
+    dels = parts[0]
+    for extra in parts[1:]:
+        dels = dels.unionByName(extra)
     if delete_rows is not None and delete_rows <= _DELETE_BROADCAST_ROWS:
         dels = F.broadcast(dels)
     return keyed.join(dels, ["__fp", "__pos"], "left_anti")
@@ -842,6 +929,46 @@ _MANIFEST_SCHEMA = {
                                 },
                             },
                         ],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+# v3 deletion-vector manifest entries add three data_file fields
+# (referenced_data_file, content_offset, content_size_in_bytes — spec
+# "Deletion vectors"). A SEPARATE schema, not new fields on
+# _MANIFEST_SCHEMA: Avro manifests are self-describing (readers decode
+# by the file-embedded schema), so DV manifests can carry the wider
+# record while every other writer keeps the v2 shape untouched.
+_MANIFEST_SCHEMA_DV = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2dv",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                    },
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
                     },
                 ],
             },
@@ -1650,6 +1777,190 @@ def iceberg_delete_where(
     mpath = os.path.join(mdir, f"d-{snap_id}-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, _MANIFEST_SCHEMA, entries)
     return _commit_snapshot(table_path, meta, snap_id, mpath, content=1)
+
+
+def iceberg_dv_delete(
+    spark: SparkSession, table_path: str, condition
+) -> int:
+    """Merge-on-read DELETE via v3 DELETION VECTORS: every current row
+    matching ``condition`` is marked in a Puffin-stored roaring bitmap
+    — ONE vector per touched data file, written executor-side by the
+    task that owns the file's positions (an ``applyInPandas`` group
+    per file: at 100 TB thousands of touched files emit their vectors
+    in parallel, the driver only collects one descriptor row each).
+    Against parquet position-delete files (v2, :func:`iceberg_delete_
+    where`) the economics shift from O(deleted rows) parquet to a
+    bitmap that stores a million dense ordinals in a few KB, and the
+    read side replaces a delete-file scan with one ranged read per
+    vector.
+
+    Spec fidelity: blobs are ``deletion-vector-v1`` in real Puffin
+    files (framing, magic ``D1D33964``, portable 64-bit roaring, BE
+    CRC-32 — sources/puffin.py); manifest entries carry
+    ``referenced_data_file`` + ``content_offset`` /
+    ``content_size_in_bytes`` matching the Puffin footer exactly, and
+    the commit advances the table to ``format-version`` 3 (DVs are a
+    v3 feature). The spec's one-DV-per-file invariant is enforced as
+    an honest gate: deleting from a file that already carries a DV
+    raises (the merge/maintenance path) rather than silently stacking
+    a second vector a real reader would not apply. Composes with v2
+    position deletes and equality deletes already on the table — the
+    predicate runs on the same composed scan reads serve, so
+    already-dead rows never re-mark and re-runs are no-ops. Returns
+    the new snapshot id (current id unchanged when nothing matches).
+    """
+    import uuid as _uuid
+
+    import pandas as pd
+
+    meta = _load_metadata(table_path)
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is None:
+        raise ValueError("iceberg_dv_delete: table has no snapshots")
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    data_seqs, delete_files, delete_rows, eq_deletes = _live_files(
+        table_path, snaps[cur_id]
+    )
+    data_files = [p for p, _ in data_seqs]
+    if not data_files:
+        return cur_id
+    schemas = meta.get("schemas") or []
+    schema = next(
+        (
+            s
+            for s in schemas
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        schemas[-1] if schemas else None,
+    )
+    ddl = ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}"
+        for f in schema["fields"]
+    )
+    scan = spark.read.schema(ddl).parquet(*data_files)
+    keyed = scan.withColumns(
+        {
+            "__fp": _norm_path(F.col("_metadata.file_path")),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    if delete_files:
+        keyed = _apply_position_deletes(
+            spark, keyed, delete_files, delete_rows
+        )
+    if eq_deletes:
+        keyed = _apply_equality_deletes(
+            spark, keyed, data_seqs, eq_deletes, schema
+        )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    path_map = spark.createDataFrame(
+        [(p if p.startswith("/") else "/" + p, p) for p in data_files],
+        "`__fp` string, `file_path` string",
+    )
+    hits = (
+        keyed.filter(cond)
+        .select(F.col("__fp"), F.col("__pos").alias("pos"))
+        .join(F.broadcast(path_map), "__fp")
+        .select("file_path", "pos")
+    )
+    snap_id = max(snaps) + 1
+    ddir = os.path.join(table_path, "data")
+
+    def _write_dv(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dataset_grouper_spark.sources import puffin as _pf
+
+        fp = pdf["file_path"].iloc[0]
+        pos = sorted(set(int(x) for x in pdf["pos"]))
+        dst = os.path.join(
+            ddir, f"dv-{snap_id}-{_uuid.uuid4().hex}.puffin"
+        )
+        spans = _pf.write_puffin(
+            dst,
+            [
+                (
+                    _pf.DV_BLOB_TYPE,
+                    _pf.dv_blob_encode(pos),
+                    {
+                        "referenced-data-file": fp,
+                        "cardinality": str(len(pos)),
+                    },
+                )
+            ],
+        )
+        off, ln = spans[0]
+        return pd.DataFrame(
+            {
+                "file_path": [fp],
+                "puffin_path": [dst],
+                "content_offset": [off],
+                "content_size": [ln],
+                "cardinality": [len(pos)],
+                "file_size": [_fs.file_size(dst)],
+            }
+        )
+
+    descs = (
+        hits.groupBy("file_path")
+        .applyInPandas(
+            _write_dv,
+            schema=(
+                "file_path string, puffin_path string, "
+                "content_offset long, content_size long, "
+                "cardinality long, file_size long"
+            ),
+        )
+        .collect()  # bounded: one row per TOUCHED file (planning scale)
+    )
+    if not descs:
+        return cur_id
+    already = {
+        d["referenced"]
+        for d in delete_files
+        if isinstance(d, dict)
+    }
+    clash = sorted(r.file_path for r in descs if r.file_path in already)
+    if clash:
+        # written-but-uncommitted puffin files are invisible orphans
+        # (snapshot never formed); remove them eagerly anyway
+        for r in descs:
+            _fs.remove(r.puffin_path)
+        raise NotImplementedError(
+            f"iceberg_dv_delete: {len(clash)} touched file(s) already "
+            f"carry a deletion vector (first: {clash[0]!r}) — the "
+            "spec allows ONE DV per data file; run compaction "
+            "(iceberg_rewrite_data_files) first"
+        )
+    entries = []
+    for r in descs:
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": r.puffin_path,
+                    "file_format": "PUFFIN",
+                    "record_count": r.cardinality,
+                    "file_size_in_bytes": r.file_size,
+                    "referenced_data_file": r.file_path,
+                    "content_offset": r.content_offset,
+                    "content_size_in_bytes": r.content_size,
+                },
+            }
+        )
+    mdir = os.path.join(table_path, "metadata")
+    mpath = os.path.join(mdir, f"d-{snap_id}-{_uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, _MANIFEST_SCHEMA_DV, entries)
+    meta["format-version"] = 3  # DVs are an Iceberg v3 feature
+    return _commit_snapshot(
+        table_path,
+        meta,
+        snap_id,
+        mpath,
+        content=1,
+        summary={"operation": "delete", "deletion-vectors": "true"},
+    )
 
 
 def iceberg_delete_values(

@@ -1,0 +1,148 @@
+"""Iceberg v3 deletion vectors: Puffin codec + DV delete lifecycle."""
+
+import json
+import struct
+import zlib
+
+import pytest
+
+from dataset_grouper_spark.sources import iceberg, puffin
+
+
+class TestPuffinCodec:
+    def test_dv_blob_roundtrip(self):
+        pos = [0, 1, 5, 100_000, (3 << 32) + 7]
+        blob = puffin.dv_blob_encode(pos)
+        assert puffin.dv_blob_decode(blob) == sorted(pos)
+        # spec framing: BE length, magic D1 D3 39 64, BE CRC-32
+        (length,) = struct.unpack_from(">i", blob, 0)
+        assert blob[4:8] == bytes([0xD1, 0xD3, 0x39, 0x64])
+        (crc,) = struct.unpack_from(">I", blob, 4 + length)
+        assert crc == zlib.crc32(blob[4 : 4 + length])
+
+    def test_dv_blob_crc_and_magic_guards(self):
+        blob = bytearray(puffin.dv_blob_encode([1, 2, 3]))
+        bad = bytearray(blob)
+        bad[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC-32"):
+            puffin.dv_blob_decode(bytes(bad))
+        bad = bytearray(blob)
+        bad[4] = 0x00
+        with pytest.raises(ValueError, match="magic"):
+            puffin.dv_blob_decode(bytes(bad))
+
+    def test_puffin_file_structure_and_footer(self, tmp_path):
+        p = str(tmp_path / "x.puffin")
+        b1 = puffin.dv_blob_encode([1, 2])
+        b2 = puffin.dv_blob_encode([9])
+        spans = puffin.write_puffin(
+            p,
+            [
+                (puffin.DV_BLOB_TYPE, b1, {"referenced-data-file": "a"}),
+                (puffin.DV_BLOB_TYPE, b2, {"referenced-data-file": "b"}),
+            ],
+            properties={"created-by": "test"},
+        )
+        raw = open(p, "rb").read()
+        assert raw[:4] == b"PFA1" and raw[-4:] == b"PFA1"
+        meta = puffin.read_puffin_footer(p)
+        assert [b["type"] for b in meta["blobs"]] == [
+            puffin.DV_BLOB_TYPE
+        ] * 2
+        # footer offsets == returned spans == manifest coordinates
+        for blob_meta, (off, ln) in zip(meta["blobs"], spans):
+            assert (blob_meta["offset"], blob_meta["length"]) == (off, ln)
+        assert puffin.read_dv(p, *spans[0]) == [1, 2]
+        assert puffin.read_dv(p, *spans[1]) == [9]
+        assert meta["properties"] == {"created-by": "test"}
+
+    def test_footer_is_valid_json_payload(self, tmp_path):
+        p = str(tmp_path / "y.puffin")
+        puffin.write_puffin(
+            p, [(puffin.DV_BLOB_TYPE, puffin.dv_blob_encode([4]), {})]
+        )
+        raw = open(p, "rb").read()
+        (size,) = struct.unpack_from("<i", raw, len(raw) - 12)
+        payload = raw[len(raw) - 12 - size : len(raw) - 12]
+        assert json.loads(payload)  # plain uncompressed JSON
+
+
+class TestDvDelete:
+    def _table(self, spark, tmp_path, name, rows=None):
+        path = str(tmp_path / name)
+        df = spark.createDataFrame(
+            rows
+            or [(i, f"v{i}", "en" if i % 2 == 0 else "de")
+                for i in range(10)],
+            "id long, v string, lang string",
+        )
+        iceberg.iceberg_append(spark, df.coalesce(2), path)
+        return path
+
+    def test_dv_delete_roundtrip(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "t1")
+        sid = iceberg.iceberg_dv_delete(spark, t, "id % 3 = 0")
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [i for i in range(10) if i % 3 != 0]
+        meta = iceberg._load_metadata(t)
+        assert meta["format-version"] == 3
+        assert meta["current-snapshot-id"] == sid
+
+    def test_dv_delete_noop_returns_current(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "t2")
+        before = iceberg._load_metadata(t)["current-snapshot-id"]
+        assert iceberg.iceberg_dv_delete(spark, t, "id > 999") == before
+
+    def test_dv_rerun_is_noop_and_second_file_gate(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "t3")
+        iceberg.iceberg_dv_delete(spark, t, "id = 4")
+        # re-run of the same predicate: already-dead rows can't match
+        before = iceberg._load_metadata(t)["current-snapshot-id"]
+        assert iceberg.iceberg_dv_delete(spark, t, "id = 4") == before
+        # a second DV on the SAME file must gate (spec: one DV/file)
+        with pytest.raises(NotImplementedError, match="ONE DV per"):
+            iceberg.iceberg_dv_delete(spark, t, "id = 6")
+
+    def test_dv_composes_with_v2_position_deletes(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "t4")
+        iceberg.iceberg_delete_where(spark, t, "id = 1")  # v2 parquet
+        iceberg.iceberg_dv_delete(spark, t, "id = 2")  # v3 DV
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [0, 3, 4, 5, 6, 7, 8, 9]
+
+    def test_dv_composes_with_equality_deletes(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "t5")
+        keys = spark.createDataFrame([("de",)], "lang string")
+        iceberg.iceberg_delete_values(spark, keys, t)
+        iceberg.iceberg_dv_delete(spark, t, "id = 0")
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [2, 4, 6, 8]
+
+    def test_time_travel_before_dv(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "t6")
+        meta = iceberg._load_metadata(t)
+        pre = meta["current-snapshot-id"]
+        iceberg.iceberg_dv_delete(spark, t, "id < 5")
+        full = iceberg.read_iceberg(spark, t, snapshot_id=pre)
+        assert full.count() == 10
+        assert iceberg.read_iceberg(spark, t).count() == 5
+
+    def test_compaction_clears_dv_then_new_dv_allowed(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path, "t7")
+        iceberg.iceberg_dv_delete(spark, t, "id = 3")
+        iceberg.iceberg_rewrite_data_files(spark, t)
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+        # the rewritten files carry no DVs: a fresh DV delete works
+        iceberg.iceberg_dv_delete(spark, t, "id = 5")
+        assert iceberg.read_iceberg(spark, t).count() == 8

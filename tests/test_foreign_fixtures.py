@@ -629,3 +629,40 @@ def test_fixtures_stay_kb_scale():
         for f in fs
     )
     assert total < 200_000, f"foreign fixtures grew to {total} bytes"
+
+
+def test_iceberg_runtime_foreign_v3_deletion_vector(spark, tmp_path):
+    """Runtime half, v3: a foreign-flavored Puffin DV (Trino-style
+    footer riders, full-stats DV manifest entry, format-version 3
+    upgrade over live v2 position deletes). id=2 falls to the v2
+    delete, id=8 to the DV; the pre-DV snapshot still serves id=8."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from make_foreign_fixtures import build_iceberg
+
+    t = str(tmp_path / "ice_dv")
+    os.makedirs(t)
+    build_iceberg(t, absolute=True, with_deletes=True, with_dv=True)
+    df = open_table(spark, t)
+    assert _rows(df) == [
+        (1, "alpha", "en"),
+        (3, "charlie", "en"),
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+        (9, "india", "en"),
+    ]
+    # pre-DV snapshot: only the v2 position delete applies
+    df3 = open_table(spark, t, snapshot_id=8123451122334455667)
+    assert (8, "hotel", "en") in _rows(df3)
+    # the sidecar really is a Puffin file with foreign rider props
+    from dataset_grouper_spark.sources import puffin
+
+    import glob as _glob
+
+    (pf,) = _glob.glob(os.path.join(t, "data", "lang=en", "*.puffin"))
+    meta = puffin.read_puffin_footer(pf)
+    assert meta["properties"]["created-by"].startswith("Trino")
+    assert meta["blobs"][0]["type"] == "deletion-vector-v1"

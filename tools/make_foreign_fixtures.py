@@ -556,6 +556,37 @@ _ICE_MANIFEST_ENTRY = {
     ],
 }
 
+# v3 deletion-vector manifest entry: the same full stats block PLUS
+# the three DV fields real v3 writers add (spec "Deletion vectors")
+_ICE_DATA_FILE_DV = {
+    "type": "record",
+    "name": "r2dv",
+    "fields": [dict(f) for f in _ICE_DATA_FILE["fields"]]
+    + [
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "default": None, "field-id": 143},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None, "field-id": 144},
+        {"name": "content_size_in_bytes", "type": ["null", "long"],
+         "default": None, "field-id": 145},
+    ],
+}
+
+_ICE_MANIFEST_ENTRY_DV = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": _ICE_DATA_FILE_DV, "field-id": 2},
+    ],
+}
+
 _ICE_FIELD_SUMMARY = {
     "type": "array",
     "items": {
@@ -623,7 +654,8 @@ def _ice_stats(n_rows: int, lo: int, hi: int, sizes: dict) -> dict:
 
 
 def build_iceberg(
-    root: str, absolute: bool = False, with_deletes: bool = False
+    root: str, absolute: bool = False, with_deletes: bool = False,
+    with_dv: bool = False,
 ) -> None:
     """Spark-Iceberg/pyiceberg v2 shaped table: 2 snapshots, identity
     partition on lang (source column kept in the data, per spec).
@@ -631,7 +663,12 @@ def build_iceberg(
     — requires a fixed root, so it is the runtime-test mode);
     ``with_deletes`` adds a third snapshot with a v2 POSITION delete
     manifest (runtime-only: its delete parquet embeds absolute
-    paths)."""
+    paths); ``with_dv`` (requires with_deletes) adds a FOURTH
+    snapshot with an Iceberg v3 DELETION VECTOR — a real Puffin file
+    whose footer carries foreign rider properties, a DV manifest with
+    the full stats block plus the three v3 fields, and the metadata
+    upgraded to format-version 3 (the realistic v2->v3 upgrade shape:
+    old position deletes stay valid for files without DVs)."""
     from dataset_grouper_spark.sources.avro import write_avro_file
 
     meta = os.path.join(root, "metadata")
@@ -831,8 +868,94 @@ def build_iceberg(
         current = snap3
         last_seq = 3
 
+    fmt_version = 2
+    if with_dv:
+        if not with_deletes:
+            raise ValueError("with_dv requires with_deletes")
+        from dataset_grouper_spark.sources import puffin as _pf
+
+        snap4 = 9234561233445566778
+        # DV on en1, position 0 => id=8 disappears; en0 keeps its v2
+        # position delete (spec upgrade rule: one delete technology
+        # per file, both valid side by side in an upgraded table)
+        dv0 = "data/lang=en/00003-0-dv-b5c6d7e8-f90a-1b2c-3d4e-5f6071829304.puffin"
+        ref = loc(en1) if absolute else os.path.join(root, en1)
+        spans = _pf.write_puffin(
+            os.path.join(root, dv0),
+            [
+                (
+                    _pf.DV_BLOB_TYPE,
+                    _pf.dv_blob_encode([0]),
+                    {
+                        "referenced-data-file": ref,
+                        "cardinality": "1",
+                        # foreign rider property a reader must ignore
+                        "trino-engine-epoch": "467",
+                        "__snapshot_id": snap4,
+                        "__sequence_number": 4,
+                    },
+                )
+            ],
+            properties={"created-by": "Trino version 467"},
+        )
+        off, ln = spans[0]
+        mdv = "metadata/b5c6d7e8-1b2c-3d4e-5f60-718293a4b5c6-m0.avro"
+        write_avro_file(
+            os.path.join(root, mdv),
+            _ICE_MANIFEST_ENTRY_DV,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": loc(dv0),
+                        "file_format": "PUFFIN",
+                        "partition": {"lang": "en"},
+                        "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(root, dv0)
+                        ),
+                        **_ice_stats(1, 8, 8, {1: 32, 2: 32, 3: 32}),
+                        "equality_ids": None,
+                        "referenced_data_file": ref,
+                        "content_offset": off,
+                        "content_size_in_bytes": ln,
+                    },
+                }
+            ],
+        )
+        ml4 = "metadata/snap-9234561233445566778-1-d7e8f90a-2c3d-4e5f-6071-82939aa4b5c6.avro"
+        write_avro_file(
+            os.path.join(root, ml4),
+            _ICE_MANIFEST_FILE,
+            [
+                mf(m0, 0, 1, snap1, 2, 5),
+                mf(m1, 0, 2, snap2, 1, 2),
+                mf(md, 1, 3, snap3, 1, 1),
+                mf(mdv, 1, 4, snap4, 1, 1),
+            ],
+        )
+        snapshots.append(
+            {
+                "snapshot-id": snap4,
+                "parent-snapshot-id": snap3,
+                "timestamp-ms": 1710500180000,
+                "sequence-number": 4,
+                "summary": {"operation": "delete", "added-dvs": "1",
+                            "removed-position-deletes": "0"},
+                "manifest-list": loc(ml4),
+                "schema-id": 0,
+            }
+        )
+        current = snap4
+        last_seq = 4
+        fmt_version = 3
+
     meta_json = {
-        "format-version": 2,
+        "format-version": fmt_version,
         "table-uuid": "d7e8f90a-2c3d-4e5f-6071-82939aa4b5c6",
         # the reader plans from the path it is GIVEN; location is a
         # rider (kept foreign-realistic, not checkout-dependent)

@@ -2632,6 +2632,187 @@ def iceberg_rewrite_data_files(
     )
 
 
+def iceberg_remove_dangling_deletes(
+    spark: SparkSession, table_path: str
+) -> int | None:
+    """REMOVE DANGLING DELETES (the maintenance half Iceberg's
+    rewrite action runs after compaction): drop every delete entry
+    that can no longer affect any live data file — position-delete
+    parquet whose referenced paths are all dead, v3 deletion vectors
+    whose referenced file is dead, and equality deletes whose sequence
+    number no live data file precedes (``seq < dseq`` can never hold
+    again). Compaction leaves exactly these behind by design (its
+    docstring says so): they are CORRECTNESS-inert, but every future
+    scan still decodes them, ``delete_rows`` planning bounds stay
+    inflated, and conservative delete gates (the ``*_lite`` sources,
+    the conversion syncs) stay raised forever on a table whose deletes
+    are actually all applied. Cost: one planning-scale metadata walk
+    plus one read of each delete parquet's ``file_path`` column
+    (KB-scale files by construction). Commits ONE combined delete
+    manifest carrying the surviving entries with their original
+    sequence numbers pinned explicitly (carry-over keeps data
+    manifests untouched). Returns the new snapshot id, or None when
+    nothing dangles."""
+    import uuid as _uuid
+
+    meta = _load_metadata(table_path)
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is None:
+        raise ValueError(
+            "iceberg_remove_dangling_deletes: table has no snapshots"
+        )
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == cur_id
+    )
+    data_seqs, _dfs, _dr, _eq = _live_files(table_path, snap)
+    live_paths = {_norm_path_py(p) for p, _ in data_seqs}
+    min_live_seq = min((s for _, s in data_seqs), default=None)
+    ml = _localize(snap["manifest-list"])
+    if not _is_abs(ml):
+        ml = os.path.join(table_path, ml)
+    _s, manifests = read_avro_file(ml)
+    survivors: list[dict] = []
+    dropped = 0
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
+        mseq = m.get("sequence_number") or 0
+        mp = _localize(m["manifest_path"])
+        if not _is_abs(mp):
+            mp = os.path.join(table_path, mp)
+        _s2, entries = read_avro_file(mp)
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            df_rec = e["data_file"]
+            eseq = e.get("sequence_number")
+            seq = mseq if eseq is None else eseq
+            p = _localize(df_rec["file_path"])
+            if not _is_abs(p):
+                p = os.path.join(table_path, p)
+            fmt = (df_rec.get("file_format") or "PARQUET").upper()
+            content = df_rec.get("content", 1)
+            alive = True
+            if fmt == "PUFFIN":
+                ref = df_rec.get("referenced_data_file") or ""
+                alive = _norm_path_py(ref) in live_paths
+            elif content == 1:  # position-delete parquet: read refs
+                import pyarrow.parquet as pq
+
+                with _fs.open_random(p) as f:
+                    refs = (
+                        pq.read_table(f, columns=["file_path"])
+                        .column("file_path")
+                        .to_pylist()
+                    )
+                alive = any(
+                    _norm_path_py(r) in live_paths for r in set(refs)
+                )
+            else:  # equality delete: inert once no live file precedes
+                alive = min_live_seq is not None and min_live_seq < seq
+            if alive:
+                survivors.append(
+                    {
+                        "status": 0,  # EXISTING carry-over
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": seq,  # pin explicitly
+                        "data_file": {
+                            "content": content,
+                            "file_path": df_rec["file_path"],
+                            "file_format": df_rec.get("file_format")
+                            or "PARQUET",
+                            "record_count": df_rec.get("record_count")
+                            or 0,
+                            "file_size_in_bytes": df_rec.get(
+                                "file_size_in_bytes"
+                            )
+                            or 0,
+                            "referenced_data_file": df_rec.get(
+                                "referenced_data_file"
+                            ),
+                            "content_offset": df_rec.get(
+                                "content_offset"
+                            ),
+                            "content_size_in_bytes": df_rec.get(
+                                "content_size_in_bytes"
+                            ),
+                        },
+                    }
+                )
+            else:
+                dropped += 1
+    if not dropped:
+        return None
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    mdir = os.path.join(table_path, "metadata")
+    mpath = os.path.join(mdir, f"dd-{snap_id}-{_uuid.uuid4().hex}.avro")
+    # DV-wide schema covers both shapes (extra fields null for parquet
+    # delete entries); equality_ids are not carried because equality
+    # entries only survive with their ids — re-read them
+    dv_schema = _MANIFEST_SCHEMA_DV
+    if any(
+        s["data_file"]["content"] == 2 for s in survivors
+    ):
+        # equality entries need their equality_ids preserved: widen
+        dv_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": _MANIFEST_SCHEMA_DV["fields"][:-1]
+            + [
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2dd",
+                        "fields": _MANIFEST_SCHEMA_DV["fields"][-1][
+                            "type"
+                        ]["fields"]
+                        + [
+                            {
+                                "name": "equality_ids",
+                                "type": [
+                                    "null",
+                                    {"type": "array", "items": "int"},
+                                ],
+                            }
+                        ],
+                    },
+                }
+            ],
+        }
+    # re-attach equality ids (and default them null otherwise)
+    if dv_schema is not _MANIFEST_SCHEMA_DV:
+        by_path = {}
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
+            mp = _localize(m["manifest_path"])
+            if not _is_abs(mp):
+                mp = os.path.join(table_path, mp)
+            _s3, entries = read_avro_file(mp)
+            for e in entries:
+                by_path[e["data_file"]["file_path"]] = e[
+                    "data_file"
+                ].get("equality_ids")
+        for s in survivors:
+            s["data_file"]["equality_ids"] = by_path.get(
+                s["data_file"]["file_path"]
+            )
+    write_avro_file(mpath, dv_schema, survivors)
+    return _commit_snapshot(
+        table_path,
+        meta,
+        snap_id,
+        mpath,
+        content=1,
+        summary={
+            "operation": "replace",
+            "removed-dangling-deletes": str(dropped),
+        },
+        carry_content={0},
+    )
+
+
 def _snapshots_by_sequence(meta: dict) -> list[dict]:
     """Retained snapshots sorted by data sequence number (monotone per
     spec v2; 0 for pre-v2 entries)."""

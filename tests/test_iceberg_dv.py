@@ -146,3 +146,131 @@ class TestDvDelete:
         # the rewritten files carry no DVs: a fresh DV delete works
         iceberg.iceberg_dv_delete(spark, t, "id = 5")
         assert iceberg.read_iceberg(spark, t).count() == 8
+
+
+class TestRemoveDanglingDeletes:
+    def test_dangling_dv_and_position_deletes_drop_after_compaction(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "dd1")
+        df = spark.createDataFrame(
+            [(i, f"v{i}", "en") for i in range(12)],
+            "id long, v string, lang string",
+        )
+        iceberg.iceberg_append(spark, df.coalesce(2), t)
+        iceberg.iceberg_delete_where(spark, t, "id = 1")
+        iceberg.iceberg_dv_delete(spark, t, "id = 2")
+        # full compaction applies both; the delete entries now dangle
+        iceberg.iceberg_rewrite_data_files(spark, t, min_input_files=1)
+        meta = iceberg._load_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _d, dels, _r, eq = iceberg._live_files(t, snap)
+        assert dels  # compaction leaves the inert entries by design
+        sid = iceberg.iceberg_remove_dangling_deletes(spark, t)
+        assert sid is not None
+        meta = iceberg._load_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid
+        )
+        data, dels, _r, eq = iceberg._live_files(t, snap)
+        assert dels == [] and eq == []
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [0, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+        # idempotent
+        assert iceberg.iceberg_remove_dangling_deletes(spark, t) is None
+
+    def test_live_deletes_survive(self, spark, tmp_path):
+        t = str(tmp_path / "dd2")
+        df = spark.createDataFrame(
+            [(i, f"v{i}", "en") for i in range(8)],
+            "id long, v string, lang string",
+        )
+        iceberg.iceberg_append(spark, df.coalesce(1), t)
+        iceberg.iceberg_dv_delete(spark, t, "id = 3")
+        # nothing was compacted: the DV still governs its live file
+        assert iceberg.iceberg_remove_dangling_deletes(spark, t) is None
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [0, 1, 2, 4, 5, 6, 7]
+
+    def test_equality_delete_survives_compaction_by_sequence_math(
+        self, spark, tmp_path
+    ):
+        """Rewritten files take the MAX bin data sequence (rewrite
+        docstring), so an equality delete with a HIGHER sequence still
+        governs them per spec ordering — it is not provably dangling
+        and must survive (re-applying it is a no-op: the values are
+        already gone). This is the same conservative rule real
+        Iceberg's removeDanglingDeletes applies."""
+        t = str(tmp_path / "dd3")
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(6)],
+            "id long, lang string",
+        )
+        iceberg.iceberg_append(spark, df.coalesce(1), t)
+        keys = spark.createDataFrame([("de",)], "lang string")
+        iceberg.iceberg_delete_values(spark, keys, t)
+        iceberg.iceberg_rewrite_data_files(spark, t, min_input_files=1)
+        assert iceberg.iceberg_remove_dangling_deletes(spark, t) is None
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [0, 2, 4]
+
+    def test_equality_delete_straddling_new_data_survives(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "dd4")
+        a = spark.createDataFrame(
+            [(1, "de"), (2, "en")], "id long, lang string"
+        )
+        iceberg.iceberg_append(spark, a.coalesce(1), t)
+        keys = spark.createDataFrame([("de",)], "lang string")
+        iceberg.iceberg_delete_values(spark, keys, t)
+        # NEW data after the delete: file seq > delete seq, delete is
+        # inert for it BUT still governs the old file — must survive
+        b = spark.createDataFrame(
+            [(9, "de")], "id long, lang string"
+        )
+        iceberg.iceberg_append(spark, b.coalesce(1), t)
+        assert iceberg.iceberg_remove_dangling_deletes(spark, t) is None
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [2, 9]
+
+    def test_mixed_cleanup_preserves_live_equality_ids(
+        self, spark, tmp_path
+    ):
+        """A dangling DV and a LIVE equality delete in one cleanup:
+        the rewritten combined manifest must preserve the surviving
+        entry's equality_ids or the read would stop applying it."""
+        t = str(tmp_path / "dd5")
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(8)],
+            "id long, lang string",
+        )
+        iceberg.iceberg_append(spark, df.coalesce(1), t)
+        iceberg.iceberg_dv_delete(spark, t, "id = 0")
+        iceberg.iceberg_rewrite_data_files(spark, t, min_input_files=1)
+        # eq delete AFTER compaction: governs the rewritten file
+        keys = spark.createDataFrame([("de",)], "lang string")
+        iceberg.iceberg_delete_values(spark, keys, t)
+        sid = iceberg.iceberg_remove_dangling_deletes(spark, t)
+        assert sid is not None  # the DV dangled
+        meta = iceberg._load_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid
+        )
+        _d, dels, _r, eq = iceberg._live_files(t, snap)
+        assert dels == [] and len(eq) == 1 and eq[0][2]  # ids intact
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [2, 4, 6]

@@ -7039,6 +7039,45 @@ def q_delta_table_history(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_delta_bloom_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-file Bloom point-lookup index (sources/delta_bloom.py —
+    Delta's 'Bloom filter index' feature re-expressed on the engine's
+    own primitives): documents land in a multi-file Delta table, ONE
+    distributed scan builds a per-file bitset sidecar on doc_id
+    (Catalyst xxhash64 double hashing shared by build and probe), and
+    point reads route through `read_delta(bloom_point=...)` — a
+    sidecar miss proves a file can't hold the needle, so an unsorted
+    table answers point lookups by opening only true hits plus rare
+    false positives. The oracle is the literal probed rows: a false
+    NEGATIVE anywhere (a wrongly-pruned file dropping a real row)
+    hash-mismatches; absent probes must return zero rows through the
+    same path."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import delta_append, read_delta
+    from dataset_grouper_spark.sources.delta_bloom import (
+        delta_build_bloom_index,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    t = tempfile.mkdtemp(prefix="delta_bloom_") + "/tbl"
+    delta_append(spark, docs.repartition(8, "doc_id"), t)
+    delta_build_bloom_index(spark, t, "doc_id", num_bits=1 << 22)
+    probes = [3, 17, 101, 999_999_937]  # the last one exists nowhere
+    frames = [
+        read_delta(spark, t, bloom_point=("doc_id", p))
+        .filter(F.col("doc_id") == p)
+        .select("doc_id", "lang", "source", "n_chars")
+        for p in probes
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def q_delta_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
     """Delta DATA SKIPPING + OPTIMIZE ZORDER BY (sources/delta.py
     _file_stats / delta_skip_plan / delta_optimize(zorder_by=)): the
@@ -7822,6 +7861,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "sync_hudi_delta_mirror": q_sync_hudi_delta_mirror,
         "iceberg_dv_delete": q_iceberg_dv_delete,
+        "delta_bloom_skipping": q_delta_bloom_skipping,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -8073,6 +8113,7 @@ _QUERY_ORDER: list[str] = [
     "webdataset_roundtrip",
     "sync_hudi_delta_mirror",
     "iceberg_dv_delete",
+    "delta_bloom_skipping",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8536,6 +8577,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM existing e WHERE e.text = n.text
             )
             GROUP BY source
+        """,
+        "delta_bloom_skipping": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (3, 17, 101, 999999937)
         """,
         "iceberg_dv_delete": """
             WITH live AS (

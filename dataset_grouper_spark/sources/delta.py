@@ -343,6 +343,7 @@ def read_delta(
     version: int | None = None,
     timestamp: float | None = None,
     skip_filters=None,
+    bloom_point=None,
 ) -> DataFrame:
     """Read a Delta table at ``version`` (default: latest) — the pinned
     snapshot a Delta reader contract guarantees: exactly the files the
@@ -359,6 +360,12 @@ def read_delta(
     file-level pruning, NOT a row filter: pair it with the matching
     ``.filter()`` for exact results (same contract as Iceberg's
     ``partition_filter``).
+
+    ``bloom_point=(col, value)`` prunes through the per-file Bloom
+    point-lookup index when one was built
+    (:func:`dataset_grouper_spark.sources.delta_bloom.
+    delta_build_bloom_index`) — the point-predicate complement to the
+    envelope skipping above; same file-level-only contract.
 
     Partitioned tables come back with their partition columns restored
     from the log's ``partitionValues`` and cast to the schema's types;
@@ -390,6 +397,27 @@ def read_delta(
             for rel, a in adds.items()
             if _add_may_match(a, skip_filters, part_cols, phys_map)
         }
+    if bloom_point is not None:
+        # per-file Bloom point-lookup index (sources/delta_bloom.py):
+        # a sidecar miss PROVES the file holds no matching row; files
+        # without a sidecar stay (advisory index, never wrong). Pair
+        # with the matching .filter() — file pruning, not a row filter.
+        from dataset_grouper_spark.sources.delta_bloom import (
+            delta_bloom_prune,
+        )
+
+        ptype = next(
+            (
+                f.dataType.simpleString()
+                for f in schema.fields
+                if f.name == bloom_point[0]
+            ),
+            None,
+        )
+        adds = delta_bloom_prune(
+            spark, table_path, adds, bloom_point[0], bloom_point[1],
+            probe_type=ptype,
+        )
     if not adds:
         return spark.createDataFrame([], schema)
     table_abs = _table_abs(table_path)

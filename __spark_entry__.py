@@ -3682,6 +3682,59 @@ def q_streaming_delta_sink_partitioned(
     )
 
 
+def q_streaming_webdataset_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingestion into WebDataset tar shards, exactly-once
+    per epoch (streaming/webdataset_sink.py): documents arrive as a
+    3-file stream (one micro-batch each); every epoch writes its own
+    deterministic shard set under epoch=<id>/ and commits an
+    _epochs/<id>.json marker strictly after the bytes land — replays
+    no-op on the marker, torn epochs stay invisible to the committed-
+    epoch reader. Read back through the one-task-per-shard streamed
+    tar reads and re-aggregate per extension; the DuckDB twin
+    recomputes counts, byte totals and md5 content checksums straight
+    from the documents table, so a duplicated epoch, dropped sample,
+    or corrupted member anywhere in the tar codec hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.streaming.webdataset_sink import (
+        read_webdataset_epochs,
+        stream_webdataset_sink,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = tempfile.mkdtemp(prefix="swds_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    ckpt = tempfile.mkdtemp(prefix="swds_ck_")
+    out = os.path.join(tempfile.mkdtemp(prefix="swds_out_"), "wds")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    with _stream_shuffle_partitions(spark):
+        _drain_stream(
+            stream_webdataset_sink(
+                stream, out, "doc_id",
+                {"text": "txt", "lang": "cls"}, ckpt, num_shards=2,
+            )
+        )
+    long = read_webdataset_epochs(spark, out)
+    return long.groupBy("ext").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.length("data")).cast("long").alias("n_bytes"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("data")), 1, 9), 16, 10)
+            .cast("long")
+        ).cast("long").alias("content_checksum"),
+        F.countDistinct("key").cast("long").alias("n_keys"),
+    )
+
+
 def q_streaming_iceberg_sink_partitioned(
     spark: SparkSession, sf: str
 ) -> DataFrame:
@@ -7862,6 +7915,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_hudi_delta_mirror": q_sync_hudi_delta_mirror,
         "iceberg_dv_delete": q_iceberg_dv_delete,
         "delta_bloom_skipping": q_delta_bloom_skipping,
+        "streaming_webdataset_sink": q_streaming_webdataset_sink,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -8114,6 +8168,7 @@ _QUERY_ORDER: list[str] = [
     "sync_hudi_delta_mirror",
     "iceberg_dv_delete",
     "delta_bloom_skipping",
+    "streaming_webdataset_sink",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8581,6 +8636,21 @@ def oracle_sql() -> dict[str, str]:
         "delta_bloom_skipping": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE doc_id IN (3, 17, 101, 999999937)
+        """,
+        "streaming_webdataset_sink": """
+            WITH m AS (
+                SELECT doc_id, 'txt' AS ext, text AS v FROM documents
+                UNION ALL
+                SELECT doc_id, 'cls', lang FROM documents
+            )
+            SELECT ext,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(strlen(v)) AS BIGINT) AS n_bytes,
+                   CAST(sum(('0x' || substr(md5(v), 1, 9))::BIGINT)
+                        AS BIGINT) AS content_checksum,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
+            FROM m WHERE v IS NOT NULL
+            GROUP BY ext
         """,
         "iceberg_dv_delete": """
             WITH live AS (

@@ -131,7 +131,8 @@ def table_format(path: str) -> str:
     """Sniff what kind of table lives at ``path`` from its on-disk
     markers: 'delta' (``_delta_log/``), 'hudi' (``.hoodie/``),
     'iceberg' (``metadata/*.metadata.json``), 'snapshots' (this
-    engine's ``_snapshots/`` manifest store), else 'parquet' (raw
+    engine's ``_snapshots/`` manifest store), 'webdataset'
+    (``*.tar``/``*.tar.gz`` shards), else 'parquet' (raw
     files / directory). Marker checks are a handful of metadata stat /
     list calls — no data is read — routed through compat.fs so
     dispatch works on any registered filesystem URI
@@ -151,6 +152,14 @@ def table_format(path: str) -> str:
         return "iceberg"
     if _fs.is_dir(_fs.join(path, "_snapshots")):
         return "snapshots"
+    try:
+        names = _fs.listdir(path)
+    except (FileNotFoundError, NotADirectoryError):
+        names = []
+    if names and any(
+        n.endswith(".tar") or n.endswith(".tar.gz") for n in names
+    ):
+        return "webdataset"
     return "parquet"
 
 
@@ -182,6 +191,12 @@ def open_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         from dataset_grouper_spark.sinks.snapshots import read_snapshot
 
         return read_snapshot(spark, path, **kwargs)
+    if fmt == "webdataset":
+        from dataset_grouper_spark.sources.webdataset import (
+            read_webdataset,
+        )
+
+        return read_webdataset(spark, path, **kwargs)
     if kwargs:
         raise TypeError(
             f"open_table: plain parquet takes no reader kwargs, got "

@@ -142,3 +142,16 @@ class TestGzip:
                 _df(spark), str(tmp_path), "doc_id", {"text": "txt"},
                 compression="zstd",
             )
+
+
+class TestOpenTableDispatch:
+    def test_sniff_and_dispatch(self, spark, tmp_path):
+        from dataset_grouper_spark.sources import open_table, table_format
+
+        wds.write_webdataset(
+            _df(spark, n=10), str(tmp_path), "doc_id", {"text": "txt"},
+            num_shards=1,
+        ).collect()
+        assert table_format(str(tmp_path)) == "webdataset"
+        long = open_table(spark, str(tmp_path))
+        assert long.count() == 10

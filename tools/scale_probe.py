@@ -61,6 +61,11 @@ PROBE = [
     # join-heavy TPC-H + a cheap scan as the fixed-cost calibrator
     "tpch_q9_product_profit",
     "tpch_q1_pricing_summary",
+    # r10 additions: fixed-memory bloom screen (bitset build scans the
+    # corpus once; the screen must stay ~linear) and the tar-shard
+    # lifecycle (shard write + streamed read both scale with bytes)
+    "bloom_screen_dedup_documents",
+    "webdataset_roundtrip",
 ]
 
 

@@ -6694,6 +6694,47 @@ def q_iceberg_dv_delete(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_iceberg_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE (sources/iceberg.py
+    iceberg_enable_row_lineage + read_iceberg(row_ids=True)): evens
+    land sorted in one file, lineage is enabled (the retrofit assigns
+    first_row_id in file order), odds append afterwards (ids continue
+    from next-row-id), then a deletion-vector delete knocks out every
+    doc_id%5==0 row. The read exposes _row_id = first_row_id +
+    ordinal; the DuckDB twin recomputes every id with row_number()
+    arithmetic — so an id that shifts after the delete (the exact
+    bug lineage exists to prevent), a wrong retrofit order, or a
+    next-row-id gap hash-mismatches."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_dv_delete,
+        iceberg_enable_row_lineage,
+        read_iceberg,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    table = tempfile.mkdtemp(prefix="iceberg_rl_") + "/tbl"
+    evens = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    iceberg_append(spark, evens, table)
+    iceberg_enable_row_lineage(table)
+    odds = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    iceberg_append(spark, odds, table)
+    iceberg_dv_delete(spark, table, "doc_id % 5 = 0")
+    return read_iceberg(spark, table, row_ids=True).select(
+        "doc_id", "lang", F.col("_row_id").cast("long").alias("row_id")
+    )
+
+
 def q_iceberg_gdpr_compose(spark: SparkSession, sf: str) -> DataFrame:
     """Position deletes STACKED ON equality deletes (sources/iceberg.py
     iceberg_delete_where over a table carrying equality deletes — the
@@ -7916,6 +7957,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_dv_delete": q_iceberg_dv_delete,
         "delta_bloom_skipping": q_delta_bloom_skipping,
         "streaming_webdataset_sink": q_streaming_webdataset_sink,
+        "iceberg_row_lineage": q_iceberg_row_lineage,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -8169,6 +8211,7 @@ _QUERY_ORDER: list[str] = [
     "iceberg_dv_delete",
     "delta_bloom_skipping",
     "streaming_webdataset_sink",
+    "iceberg_row_lineage",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8651,6 +8694,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
             FROM m WHERE v IS NOT NULL
             GROUP BY ext
+        """,
+        "iceberg_row_lineage": """
+            WITH evens AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rid
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            odds AS (
+                SELECT doc_id, lang,
+                       (SELECT count(*) FROM evens)
+                       + row_number() OVER (ORDER BY doc_id) - 1 AS rid
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            allr AS (
+                SELECT * FROM evens UNION ALL SELECT * FROM odds
+            )
+            SELECT doc_id, lang, CAST(rid AS BIGINT) AS row_id
+            FROM allr WHERE doc_id % 5 != 0
         """,
         "iceberg_dv_delete": """
             WITH live AS (

@@ -733,6 +733,7 @@ def read_iceberg(
     skip_filters: list | None = None,
     ref: str | None = None,
     timestamp_ms: int | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at ``snapshot_id`` (default: current) —
     the pinned file set that snapshot's manifests declare live.
@@ -848,7 +849,7 @@ def read_iceberg(
         return spark.createDataFrame([], ddl)
     files = [p for p, _ in data_seqs]
     data = spark.read.schema(ddl).parquet(*files)
-    if not (delete_files or eq_deletes):
+    if not (delete_files or eq_deletes or row_ids):
         return data
     # tag ONCE on the raw scan (the hidden _metadata struct is only
     # addressable there), then compose both delete passes on the tags
@@ -866,6 +867,28 @@ def read_iceberg(
     if eq_deletes:
         keyed = _apply_equality_deletes(
             spark, keyed, data_seqs, eq_deletes, schema
+        )
+    if row_ids:
+        # v3 ROW LINEAGE: _row_id = the file's first_row_id + the
+        # row's ordinal (spec "Row Lineage"). Deletes compose for
+        # free — dead rows vanish, survivors keep their ids, which is
+        # the stability contract lineage exists for. The per-file map
+        # is planning-scale and broadcasts.
+        frids = _first_row_ids(table_path, snaps[snapshot_id])
+        if frids is None:
+            raise ValueError(
+                "read_iceberg(row_ids=True): row lineage is not "
+                "enabled on this table — run "
+                "iceberg_enable_row_lineage first"
+            )
+        fmap = spark.createDataFrame(
+            [(_norm_path_py(p), fid) for p, fid in frids.items()],
+            "`__fp` string, `__frid` long",
+        )
+        keyed = keyed.join(F.broadcast(fmap), "__fp", "left")
+        return keyed.select(
+            *cols,
+            (F.col("__frid") + F.col("__pos")).alias("_row_id"),
         )
     return keyed.select(*cols)
 
@@ -922,6 +945,73 @@ _MANIFEST_SCHEMA = {
                                 "items": {
                                     "type": "record",
                                     "name": "k_v_upper",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+# v3 row lineage: data entries gain first_row_id; a file's row N has
+# _row_id = first_row_id + N (spec "Row Lineage"). Same separate-
+# schema pattern as the DV manifests below.
+_MANIFEST_SCHEMA_LINEAGE = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2rl",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "first_row_id", "type": ["null", "long"]},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k_v_lower_rl",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k_v_upper_rl",
                                     "fields": [
                                         {"name": "key", "type": "int"},
                                         {"name": "value", "type": "bytes"},
@@ -1540,6 +1630,20 @@ def iceberg_append(
                 }
             )
     shutil.rmtree(stage, ignore_errors=True)
+    if "next-row-id" in meta:
+        # v3 row lineage: every new file takes the next id block in
+        # the (deterministic, sorted-stage) order entries were built
+        if partition_spec:
+            raise NotImplementedError(
+                "iceberg_append: row lineage on partitioned tables "
+                "not wired"
+            )
+        cur = int(meta["next-row-id"])
+        for e in entries:
+            e["data_file"]["first_row_id"] = cur
+            cur += int(e["data_file"]["record_count"])
+        meta["next-row-id"] = cur
+        manifest_schema = _MANIFEST_SCHEMA_LINEAGE
     mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, manifest_schema, entries)
     return _commit_snapshot(
@@ -2319,6 +2423,12 @@ def iceberg_rewrite_data_files(
     if small_file_bytes is None:
         small_file_bytes = target_file_bytes // 2
     meta = _load_metadata(table_path)
+    if "next-row-id" in meta:
+        raise NotImplementedError(
+            "iceberg_rewrite_data_files: table has row lineage "
+            "enabled — rewriting files while PRESERVING row ids "
+            "(spec lineage inheritance) is not implemented"
+        )
     cur_id = meta.get("current-snapshot-id")
     if cur_id is None:
         raise ValueError("iceberg_rewrite_data_files: table has no snapshots")
@@ -2630,6 +2740,174 @@ def iceberg_rewrite_data_files(
         },
         carry_content={1},
     )
+
+
+def _first_row_ids(table_path: str, snap: dict) -> dict | None:
+    """Per-live-data-file ``first_row_id`` from the snapshot's data
+    manifests (a planning-scale walk), or None when any live data
+    entry lacks one (lineage not enabled / partially enabled)."""
+    ml = _localize(snap["manifest-list"])
+    if not _is_abs(ml):
+        ml = os.path.join(table_path, ml)
+    _s, manifests = read_avro_file(ml)
+    out: dict[str, int] = {}
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        mp = _localize(m["manifest_path"])
+        if not _is_abs(mp):
+            mp = os.path.join(table_path, mp)
+        _s2, entries = read_avro_file(mp)
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                continue
+            fid = df_rec.get("first_row_id")
+            if fid is None:
+                return None
+            p = _localize(df_rec["file_path"])
+            if not _is_abs(p):
+                p = os.path.join(table_path, p)
+            out[p] = int(fid)
+    return out
+
+
+def iceberg_enable_row_lineage(table_path: str) -> int | None:
+    """Enable v3 ROW LINEAGE on an existing table: every live data
+    file gets a ``first_row_id`` (assigned in file_path order — the
+    deterministic retrofit), the table records ``next-row-id`` for
+    future appends, and format-version advances to 3. After this, a
+    row's durable identity is ``first_row_id + ordinal``:
+    :func:`read_iceberg` exposes it as ``_row_id``, appends keep
+    assigning from ``next-row-id``, and deletes never renumber
+    survivors — the property CDC and training-data provenance need.
+    One metadata commit: a combined data manifest re-declaring the
+    live set with ids (original sequence numbers pinned), delete
+    manifests carried untouched. Returns the new snapshot id, or None
+    when lineage is already enabled.
+
+    Honest gates: partitioned tables (the retrofit would drop their
+    partition structs from the rewritten manifest — not wired) and
+    compaction on lineage tables (iceberg_rewrite_data_files raises:
+    rewriting files while PRESERVING ids is the spec's lineage
+    inheritance, not implemented here)."""
+    import uuid as _uuid
+
+    meta = _load_metadata(table_path)
+    if "next-row-id" in meta:
+        return None
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is None:
+        # empty table: enabling is pure metadata (appends assign ids)
+        meta["next-row-id"] = 0
+        meta["format-version"] = 3
+        _bump_metadata(table_path, meta, "iceberg_enable_row_lineage")
+        return None
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    if spec.get("fields"):
+        raise NotImplementedError(
+            "iceberg_enable_row_lineage: partitioned tables not wired "
+            "(the manifest retrofit would drop partition structs)"
+        )
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == cur_id
+    )
+    ml = _localize(snap["manifest-list"])
+    if not _is_abs(ml):
+        ml = os.path.join(table_path, ml)
+    _s, manifests = read_avro_file(ml)
+    live = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        mseq = m.get("sequence_number") or 0
+        mp = _localize(m["manifest_path"])
+        if not _is_abs(mp):
+            mp = os.path.join(table_path, mp)
+        _s2, entries = read_avro_file(mp)
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                continue
+            eseq = e.get("sequence_number")
+            live.append((mseq if eseq is None else eseq, df_rec))
+    live.sort(key=lambda t: t[1]["file_path"])
+    next_id = 0
+    out_entries = []
+    for seq, df_rec in live:
+        out_entries.append(
+            {
+                "status": 0,  # EXISTING
+                "snapshot_id": None,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": df_rec["file_path"],
+                    "file_format": df_rec.get("file_format") or "PARQUET",
+                    "record_count": df_rec.get("record_count") or 0,
+                    "file_size_in_bytes": df_rec.get(
+                        "file_size_in_bytes"
+                    )
+                    or 0,
+                    "first_row_id": next_id,
+                    "equality_ids": df_rec.get("equality_ids"),
+                    "lower_bounds": df_rec.get("lower_bounds"),
+                    "upper_bounds": df_rec.get("upper_bounds"),
+                },
+            }
+        )
+        next_id += int(df_rec.get("record_count") or 0)
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    mdir = os.path.join(table_path, "metadata")
+    mpath = os.path.join(mdir, f"rl-{snap_id}-{_uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, _MANIFEST_SCHEMA_LINEAGE, out_entries)
+    meta["next-row-id"] = next_id
+    meta["format-version"] = 3
+    return _commit_snapshot(
+        table_path,
+        meta,
+        snap_id,
+        mpath,
+        content=0,
+        summary={"operation": "replace", "row-lineage": "enabled"},
+        carry_content={1},
+    )
+
+
+def _bump_metadata(table_path: str, meta: dict, who: str) -> None:
+    """Claim the next metadata version for a metadata-only change
+    (the expire-snapshots idiom, shared)."""
+    mdir = os.path.join(table_path, "metadata")
+    versions = [
+        int(n[1:].split(".")[0])
+        for n in _fs.listdir(mdir)
+        if n.endswith(".metadata.json")
+        and n.startswith("v")
+        and n[1:].split(".")[0].isdigit()
+    ]
+    v = max(versions, default=0) + 1
+    try:
+        with _fs.open_create(
+            os.path.join(mdir, f"v{v}.metadata.json")
+        ) as f:
+            f.write(json.dumps(meta).encode())
+    except FileExistsError:
+        raise RuntimeError(
+            f"{who}: lost the metadata-version race — re-run against "
+            "the winner's metadata"
+        )
+    _fs.write_text(os.path.join(mdir, "version-hint.text"), str(v))
 
 
 def iceberg_remove_dangling_deletes(

@@ -6735,6 +6735,46 @@ def q_iceberg_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_delta_row_tracking(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta ROW TRACKING (sources/delta.py delta_enable_row_tracking
+    + read_delta(row_ids=True)) — the Delta-side twin of
+    iceberg_row_lineage: evens land sorted, the retrofit assigns
+    baseRowId per file in add-path order with the high watermark in
+    the spec's delta.rowTracking domainMetadata, odds append
+    afterwards taking the next id block atomically, and a
+    deletion-vector DELETE knocks out every doc_id%5==0 row. _row_id
+    = baseRowId + ordinal must survive the delete unrenumbered; the
+    twin recomputes every id with row_number() arithmetic."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_delete_where,
+        delta_enable_row_tracking,
+        read_delta,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    t = tempfile.mkdtemp(prefix="delta_rt_") + "/tbl"
+    evens = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    delta_append(spark, evens, t)
+    delta_enable_row_tracking(spark, t)
+    odds = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    delta_append(spark, odds, t)
+    delta_delete_where(spark, t, "doc_id % 5 = 0")
+    return read_delta(spark, t, row_ids=True).select(
+        "doc_id", "lang", F.col("_row_id").cast("long").alias("row_id")
+    )
+
+
 def q_iceberg_gdpr_compose(spark: SparkSession, sf: str) -> DataFrame:
     """Position deletes STACKED ON equality deletes (sources/iceberg.py
     iceberg_delete_where over a table carrying equality deletes — the
@@ -7958,6 +7998,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_bloom_skipping": q_delta_bloom_skipping,
         "streaming_webdataset_sink": q_streaming_webdataset_sink,
         "iceberg_row_lineage": q_iceberg_row_lineage,
+        "delta_row_tracking": q_delta_row_tracking,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -8212,6 +8253,7 @@ _QUERY_ORDER: list[str] = [
     "delta_bloom_skipping",
     "streaming_webdataset_sink",
     "iceberg_row_lineage",
+    "delta_row_tracking",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8694,6 +8736,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys
             FROM m WHERE v IS NOT NULL
             GROUP BY ext
+        """,
+        "delta_row_tracking": """
+            WITH evens AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rid
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            odds AS (
+                SELECT doc_id, lang,
+                       (SELECT count(*) FROM evens)
+                       + row_number() OVER (ORDER BY doc_id) - 1 AS rid
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            allr AS (
+                SELECT * FROM evens UNION ALL SELECT * FROM odds
+            )
+            SELECT doc_id, lang, CAST(rid AS BIGINT) AS row_id
+            FROM allr WHERE doc_id % 5 != 0
         """,
         "iceberg_row_lineage": """
             WITH evens AS (

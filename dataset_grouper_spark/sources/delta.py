@@ -320,6 +320,142 @@ def _apply_dvs(
     )
 
 
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _domain_metadata(
+    spark: SparkSession | None, table_path: str, version: int
+) -> dict[str, dict]:
+    """Latest ``domainMetadata`` action per domain at ``version`` —
+    checkpoint rows first, then the JSON tail (same bounded-replay
+    shape as :func:`_replay`); a ``removed`` tombstone drops its
+    domain."""
+    log = _log_path(table_path)
+    out: dict[str, dict] = {}
+    ckpt = _latest_checkpoint(table_path, version)
+    start = 0
+    if ckpt is not None:
+        cp_version, cp_file = ckpt
+        start = cp_version + 1
+        import pyarrow.parquet as pq
+
+        with _fs.open_random(cp_file) as f:
+            for d in _arrow_rows(pq.read_table(f)):
+                dm = d.get("domainMetadata")
+                if dm and dm.get("domain"):
+                    out[dm["domain"]] = dm
+    for v in [
+        v for v in delta_versions(table_path) if start <= v <= version
+    ]:
+        for line in _read_commit_lines(log, v):
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            dm = a.get("domainMetadata")
+            if dm and dm.get("domain"):
+                if dm.get("removed"):
+                    out.pop(dm["domain"], None)
+                else:
+                    out[dm["domain"]] = dm
+    return out
+
+
+def _row_tracking_watermark(
+    spark: SparkSession | None, table_path: str, version: int
+) -> int | None:
+    """The row-tracking high watermark (highest assigned row id), or
+    None when row tracking is not enabled."""
+    dm = _domain_metadata(spark, table_path, version).get(
+        ROW_TRACKING_DOMAIN
+    )
+    if dm is None:
+        return None
+    conf = json.loads(dm.get("configuration") or "{}")
+    return int(conf.get("rowIdHighWaterMark", -1))
+
+
+def delta_enable_row_tracking(
+    spark: SparkSession, table_path: str
+) -> int | None:
+    """Enable Delta ROW TRACKING (the protocol's ``rowTracking``
+    writer feature): every live file gets a ``baseRowId`` (assigned
+    in add-path order — the deterministic retrofit) and the table
+    records its high watermark in the spec's
+    ``delta.rowTracking`` domainMetadata. A row's durable identity is
+    then ``baseRowId + ordinal``: :func:`read_delta` exposes it as
+    ``_row_id``, appends keep assigning fresh id blocks, and
+    deletion-vector deletes never renumber survivors (the DV
+    delete path re-adds files wholesale, baseRowId riding along).
+    One commit: protocol upgrade + domainMetadata + dataChange=false
+    re-adds. Returns the committed version, or None when already
+    enabled.
+
+    Honest gates: file-rewriting operations on row-tracked tables
+    (OPTIMIZE, MERGE, RESTORE) raise — preserving ids through a
+    rewrite is the spec's row-id materialization path, not
+    implemented here. Single-writer assumption for id assignment:
+    the blind-append retry rebases the version, not the id block."""
+    latest = _latest_version(table_path)
+    if latest is None:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    if _row_tracking_watermark(spark, table_path, latest) is not None:
+        return None
+    adds, meta = _replay(spark, table_path, latest)
+    table_abs = _table_abs(table_path)
+    cur = 0
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["domainMetadata", "rowTracking"],
+            }
+        }
+    ]
+    for rel in sorted(adds):
+        a = dict(adds[rel])
+        st = json.loads(a.get("stats") or "{}")
+        n = st.get("numRecords")
+        if n is None:
+            from dataset_grouper_spark.sources.convert import (
+                _parquet_row_count,
+            )
+
+            n = _parquet_row_count(os.path.join(table_abs, rel))
+        a["baseRowId"] = cur
+        a["dataChange"] = False
+        cur += int(n)
+        actions.append({"add": a})
+    actions.insert(
+        1,
+        {
+            "domainMetadata": {
+                "domain": ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": cur - 1}
+                ),
+                "removed": False,
+            }
+        },
+    )
+    version = latest + 1
+    _write_commit(_log_path(table_path), version, actions)
+    return version
+
+
+def _gate_row_tracking(
+    spark: SparkSession, table_path: str, version: int, op: str
+) -> None:
+    """File-rewriting operations cannot yet PRESERVE row ids (the
+    spec's row-id materialization); raise rather than silently
+    renumbering rows on a row-tracked table."""
+    if _row_tracking_watermark(spark, table_path, version) is not None:
+        raise NotImplementedError(
+            f"{op}: table has row tracking enabled — rewriting files "
+            "while preserving row ids is not implemented"
+        )
+
+
 def _physical_names(meta: dict) -> dict[str, str]:
     """logical -> physical column names. Tables with column mapping
     (``delta.columnMapping.mode`` = name/id — mandatory once a column
@@ -344,6 +480,7 @@ def read_delta(
     timestamp: float | None = None,
     skip_filters=None,
     bloom_point=None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Read a Delta table at ``version`` (default: latest) — the pinned
     snapshot a Delta reader contract guarantees: exactly the files the
@@ -429,10 +566,13 @@ def read_delta(
     out_cols = [f.name for f in schema.fields]
     phys = _physical_names(meta)
 
+    want_tags = bool(dv_adds) or row_ids
+
     def tag(df: DataFrame) -> DataFrame:
-        # DV application keys off the scan's own file/row-ordinal
-        # metadata — attach them at scan time, before any projection
-        if not dv_adds:
+        # DV application (and row-id materialization) key off the
+        # scan's own file/row-ordinal metadata — attach them at scan
+        # time, before any projection
+        if not want_tags:
             return df
         return df.withColumns(
             {
@@ -441,7 +581,7 @@ def read_delta(
             }
         )
 
-    tags = ["__fp", "__pos"] if dv_adds else []
+    tags = ["__fp", "__pos"] if want_tags else []
     sel_cols = out_cols + tags
 
     def unmap(df: DataFrame, logical_names: list[str]) -> DataFrame:
@@ -497,9 +637,39 @@ def read_delta(
                 df = df.withColumn(c, lit)
             frames.append(df.select(sel_cols))
         result = reduce(DataFrame.unionByName, frames)
+    if row_ids:
+        # ROW TRACKING: _row_id = the file's baseRowId + the row's
+        # ordinal; deletes compose (dead rows vanish, survivors keep
+        # their ids). Computed BEFORE DV application — identity does
+        # not depend on what else died.
+        missing = [rel for rel, a in adds.items() if "baseRowId" not in a]
+        if missing:
+            raise ValueError(
+                "read_delta(row_ids=True): row tracking is not enabled "
+                f"(first file without baseRowId: {missing[0]!r}) — run "
+                "delta_enable_row_tracking first"
+            )
+        fmap = spark.createDataFrame(
+            [
+                (
+                    _norm_abs(os.path.join(table_abs, rel)),
+                    int(a["baseRowId"]),
+                )
+                for rel, a in adds.items()
+            ],
+            "`__fp` string, `__brid` long",
+        )
+        result = (
+            result.join(F.broadcast(fmap), "__fp", "left")
+            .withColumn("_row_id", F.col("__brid") + F.col("__pos"))
+            .drop("__brid")
+        )
+        out_cols = out_cols + ["_row_id"]
     if dv_adds:
         dv_frame, total = _dv_positions_frame(spark, table_path, dv_adds)
         result = _apply_dvs(result, dv_frame, total, out_cols)
+    elif row_ids:
+        result = result.select(*out_cols)
     return result
 
 
@@ -685,6 +855,19 @@ def delta_append(
             }
         )
     shutil.rmtree(stage, ignore_errors=True)
+    rt_hwm = (
+        _row_tracking_watermark(spark, table_path, latest)
+        if exists
+        else None
+    )
+    if rt_hwm is not None:
+        # row tracking: each new file takes the next baseRowId block;
+        # the advanced watermark rides the SAME commit (atomic)
+        cur = rt_hwm + 1
+        for a in adds:
+            st = json.loads(a["add"].get("stats") or "{}")
+            a["add"]["baseRowId"] = cur
+            cur += int(st.get("numRecords") or 0)
     actions = []
     if not exists:
         actions.append(
@@ -705,6 +888,18 @@ def delta_append(
     if evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
     actions.extend(adds)
+    if rt_hwm is not None:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": cur - 1}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     actions.extend(extra_actions or [])
     version = (latest + 1) if exists else 0
     for _ in range(max_retries):
@@ -1059,6 +1254,14 @@ def delta_checkpoint(spark: SparkSession, table_path: str) -> int:
         {"txn": {"appId": app, "version": v, "lastUpdated": 0}}
         for app, v in sorted(_all_txns(spark, table_path).items())
     ]
+    # spec: checkpoints must carry live domainMetadata — the row-
+    # tracking watermark (and any other domain) survives log truncation
+    rows += [
+        {"domainMetadata": dm}
+        for _d, dm in sorted(
+            _domain_metadata(spark, table_path, target).items()
+        )
+    ]
     cp = spark.read.json(
         spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
     )
@@ -1307,6 +1510,7 @@ def delta_optimize(
     target = _latest_version(table_path)
     if target is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
+    _gate_row_tracking(spark, table_path, target, "delta_optimize")
     adds, meta = _replay(spark, table_path, target)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
@@ -1531,6 +1735,7 @@ def delta_restore(
     latest = _latest_version(table_path)
     if latest is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
+    _gate_row_tracking(spark, table_path, latest, "delta_restore")
     want_adds, want_meta = _replay(spark, table_path, version)
     cur_adds, cur_meta = _replay(spark, table_path, latest)
     table_abs = _table_abs(table_path)
@@ -1769,6 +1974,7 @@ def delta_merge(
     target = _latest_version(table_path)
     if target is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
+    _gate_row_tracking(spark, table_path, target, "delta_merge")
     adds, meta = _replay(spark, table_path, target)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])

@@ -1,0 +1,104 @@
+"""Delta row tracking: baseRowId retrofit, append blocks, _row_id."""
+
+import pytest
+
+from dataset_grouper_spark.sources import delta
+
+
+def _ids(df):
+    return {r.id: r._row_id for r in df.collect()}
+
+
+def _sorted1(df, col="id"):
+    return df.repartition(1).sortWithinPartitions(col)
+
+
+class TestRowTracking:
+    def test_enable_append_read(self, spark, tmp_path):
+        t = str(tmp_path / "rt1")
+        a = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        v = delta.delta_enable_row_tracking(spark, t)
+        assert v == 1
+        got = _ids(delta.read_delta(spark, t, row_ids=True))
+        assert got == {i: i for i in range(5)}
+        # idempotent
+        assert delta.delta_enable_row_tracking(spark, t) is None
+        # appends take the next id block, watermark rides the commit
+        b = spark.createDataFrame(
+            [(10 + i, "x") for i in range(3)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(b), t)
+        got = _ids(delta.read_delta(spark, t, row_ids=True))
+        assert got == {**{i: i for i in range(5)}, 10: 5, 11: 6, 12: 7}
+        hwm = delta._row_tracking_watermark(
+            spark, t, delta._latest_version(t)
+        )
+        assert hwm == 7
+
+    def test_dv_delete_never_renumbers(self, spark, tmp_path):
+        t = str(tmp_path / "rt2")
+        a = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        delta.delta_enable_row_tracking(spark, t)
+        delta.delta_delete_where(spark, t, "id IN (2, 5)")
+        got = _ids(delta.read_delta(spark, t, row_ids=True))
+        assert got == {i: i for i in range(8) if i not in (2, 5)}
+
+    def test_read_without_enable_raises(self, spark, tmp_path):
+        t = str(tmp_path / "rt3")
+        delta.delta_append(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+        )
+        with pytest.raises(ValueError, match="row tracking is not"):
+            delta.read_delta(spark, t, row_ids=True).collect()
+
+    def test_rewrite_ops_gate(self, spark, tmp_path):
+        t = str(tmp_path / "rt4")
+        delta.delta_append(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, v string"
+            ).repartition(2),
+            t,
+        )
+        delta.delta_enable_row_tracking(spark, t)
+        with pytest.raises(NotImplementedError, match="row tracking"):
+            delta.delta_optimize(spark, t)
+        with pytest.raises(NotImplementedError, match="row tracking"):
+            delta.delta_restore(spark, t, 0)
+        with pytest.raises(NotImplementedError, match="row tracking"):
+            delta.delta_merge(
+                spark,
+                spark.createDataFrame([(1, "A")], "id long, v string"),
+                t,
+                on=["id"],
+            )
+
+    def test_watermark_survives_checkpoint_truncate(self, spark, tmp_path):
+        t = str(tmp_path / "rt5")
+        a = spark.createDataFrame(
+            [(i, "a") for i in range(4)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        delta.delta_enable_row_tracking(spark, t)
+        delta.delta_checkpoint(spark, t)
+        delta.delta_truncate_log(t)
+        hwm = delta._row_tracking_watermark(
+            spark, t, delta._latest_version(t) or 1
+        )
+        assert hwm == 3
+        # ids still read correctly from checkpoint state
+        got = _ids(delta.read_delta(spark, t, row_ids=True))
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+        # and a post-truncation append continues the block
+        b = spark.createDataFrame([(9, "b")], "id long, v string")
+        delta.delta_append(spark, _sorted1(b), t)
+        got = _ids(delta.read_delta(spark, t, row_ids=True))
+        assert got[9] == 4

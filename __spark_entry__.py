@@ -6224,6 +6224,61 @@ def q_sync_hudi_delta_mirror(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sync_hudi_iceberg_mirror(spark: SparkSession, sf: str) -> DataFrame:
+    """The FOURTH mirror direction (sources/convert.py
+    sync_hudi_to_iceberg): same corpus shape as the Hudi->Delta
+    mirror, but the upsert lands in Iceberg as a REPLACE snapshot
+    whose one manifest re-declares the live set (superseded base
+    files absent — the compaction-commit shape), proving replacement
+    is expressible on the Iceberg side too. Stage 0 = post-upsert
+    mirror read, stage 1 = time travel to the conversion snapshot."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.convert import (
+        convert_hudi_to_iceberg,
+        sync_hudi_to_iceberg,
+    )
+    from dataset_grouper_spark.sources.hudi import hudi_insert, hudi_upsert
+    from dataset_grouper_spark.sources.iceberg import read_iceberg
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="sync_mirror_hi_")
+    h = os.path.join(root, "h")
+    i = os.path.join(root, "i")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    hudi_insert(spark, base.coalesce(1), h, record_key="doc_id")
+    pre = convert_hudi_to_iceberg(spark, h, i)
+    batch = (
+        base.filter(F.col("doc_id") % 6 == 0)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+        .unionByName(docs.filter(F.col("doc_id") % 2 == 1))
+    )
+    hudi_upsert(spark, batch.coalesce(1), h)
+    sync_hudi_to_iceberg(spark, h, i)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    ]
+    full = (
+        read_iceberg(spark, i)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    prev = (
+        read_iceberg(spark, i, snapshot_id=pre)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return full.unionByName(prev).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
 def q_sync_delta_iceberg_mirror(spark: SparkSession, sf: str) -> DataFrame:
     """Continuous Delta->Iceberg mirroring (sources/convert.py
     sync_delta_to_iceberg — the UniForm shape): half the corpus lands
@@ -7999,6 +8054,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_webdataset_sink": q_streaming_webdataset_sink,
         "iceberg_row_lineage": q_iceberg_row_lineage,
         "delta_row_tracking": q_delta_row_tracking,
+        "sync_hudi_iceberg_mirror": q_sync_hudi_iceberg_mirror,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_webp_pixels": q_multimodal_webp_pixels,
         # --- tier B continued (r6 lakehouse batch): change feed,
@@ -8254,6 +8310,7 @@ _QUERY_ORDER: list[str] = [
     "streaming_webdataset_sink",
     "iceberg_row_lineage",
     "delta_row_tracking",
+    "sync_hudi_iceberg_mirror",
     "approx_distinct_users",
     "foreign_lakehouse_fixtures",
     "salted_join_revenue",
@@ -8790,6 +8847,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(n_chars) AS BIGINT)
             FROM live GROUP BY lang
+        """,
+        "sync_hudi_iceberg_mirror": """
+            WITH base AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 2 = 0
+            ),
+            post AS (
+                SELECT doc_id, lang, n_chars FROM base
+                WHERE doc_id % 6 != 0
+                UNION ALL
+                SELECT doc_id, lang, n_chars + 1000 FROM base
+                WHERE doc_id % 6 = 0
+                UNION ALL
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 2 = 1
+            )
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM post GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM base GROUP BY lang
         """,
         "sync_hudi_delta_mirror": """
             WITH base AS (

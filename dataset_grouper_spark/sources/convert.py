@@ -897,3 +897,180 @@ def sync_hudi_to_delta(
     version = latest + 1
     _write_commit(_log_path(delta_path), version, actions)
     return version
+
+
+def sync_hudi_to_iceberg(
+    spark: SparkSession, hudi_path: str, iceberg_path: str
+) -> int | None:
+    """INCREMENTAL refresh of a Hudi->Iceberg conversion — the fourth
+    mirror direction, and proof the append-only gates elsewhere are a
+    choice, not a limit: Iceberg CAN express a Hudi upsert, as a
+    REPLACE snapshot whose single manifest re-declares the live set
+    (superseded base files simply absent, exactly how compaction's
+    commit drops rewritten files). Pure inserts take the cheaper
+    append shape (one ADDED-only manifest, previous manifests carried,
+    O(new files)); upserts pay one O(live files) manifest rewrite —
+    planning-scale either way, zero data movement. Returns the new
+    snapshot id, or None when in sync.
+
+    Honest gates: un-compacted MoR logs (hudi_compact first) and a
+    base-file schema that drifted from the conversion-time Iceberg
+    schema (re-convert)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from dataset_grouper_spark.sources import iceberg as ice
+    from dataset_grouper_spark.sources.avro import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from dataset_grouper_spark.sources.hudi import (
+        META_COLS,
+        _log_files,
+        hudi_file_slices,
+    )
+
+    slices = hudi_file_slices(hudi_path)
+    if not slices:
+        raise FileNotFoundError(
+            f"sync_hudi_to_iceberg: no completed slices in {hudi_path}"
+        )
+    live = {(part, fid, base) for part, fid, base, _p in slices}
+    if any(k in live for k in _log_files(hudi_path)):
+        raise NotImplementedError(
+            "sync_hudi_to_iceberg: table has un-compacted MoR log "
+            "files — run hudi_compact first"
+        )
+    meta = ice._load_metadata(iceberg_path)
+    if meta.get("current-snapshot-id") is None:
+        raise FileNotFoundError(
+            f"sync_hudi_to_iceberg: {iceberg_path} has no snapshot "
+            "(run convert_hudi_to_iceberg first)"
+        )
+    # schema drift gate, mirroring the other syncs
+    newest = max(slices, key=lambda s: s[2])[3]
+    with _fs.open_random(newest) as f:
+        arrow = pq.read_schema(f)
+    want_fields = [
+        (n, ice._iceberg_type(
+            from_arrow_type(arrow.field(n).type).simpleString()
+        ))
+        for n in arrow.names
+        if n not in META_COLS
+    ]
+    cur_schema = next(
+        s
+        for s in meta.get("schemas") or []
+        if s.get("schema-id") == meta.get("current-schema-id", 0)
+    )
+    have_fields = [(f["name"], f["type"]) for f in cur_schema["fields"]]
+    if have_fields != want_fields:
+        raise NotImplementedError(
+            f"sync_hudi_to_iceberg: the Hudi base-file schema changed "
+            f"since conversion (mirror {have_fields} vs current "
+            f"{want_fields}); re-convert to a fresh location"
+        )
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    have_files, _d, _n, _e = ice._live_files(iceberg_path, snap)
+    # entry-level stats of the current mirror (record counts / sizes
+    # carried through the replace without re-reading footers)
+    stats: dict[str, tuple[int, int, int]] = {}
+    ml = ice._localize(snap["manifest-list"])
+    if not ice._is_abs(ml):
+        ml = os.path.join(iceberg_path, ml)
+    _s, manifests = read_avro_file(ml)
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        mseq = m.get("sequence_number") or 0
+        mp = ice._localize(m["manifest_path"])
+        if not ice._is_abs(mp):
+            mp = os.path.join(iceberg_path, mp)
+        _s2, es = read_avro_file(mp)
+        for e in es:
+            if e.get("status", 0) == 2:
+                continue
+            d = e["data_file"]
+            eseq = e.get("sequence_number")
+            stats[d["file_path"]] = (
+                mseq if eseq is None else eseq,
+                int(d.get("record_count") or 0),
+                int(d.get("file_size_in_bytes") or 0),
+            )
+    have = {p for p, _seq in have_files}
+
+    def _abs(p: str) -> str:
+        return p if _fs.is_uri(p) else os.path.abspath(p)
+
+    want = {_abs(p) for _pt, _f, _i, p in slices}
+    removed = sorted(have - want)
+    new = sorted(want - have)
+    if not removed and not new:
+        return None
+
+    def _entry(path, status, seq):
+        if path in stats:
+            _seq0, n, size = stats[path]
+        else:
+            n = _parquet_row_count(path)
+            size = _fs.file_size(path)
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": size,
+                "equality_ids": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    mdir = os.path.join(iceberg_path, "metadata")
+    mpath = os.path.join(mdir, f"sy-{snap_id}-{uuid.uuid4().hex}.avro")
+    if removed:
+        # REPLACE: one manifest = the full live set; carried files
+        # keep their original sequence numbers, new ones inherit
+        entries = [
+            _entry(p, 0, stats[p][0]) for p in sorted(have & want)
+        ] + [_entry(p, 1, None) for p in new]
+        write_avro_file(mpath, ice._MANIFEST_SCHEMA, entries)
+        return ice._commit_snapshot(
+            iceberg_path,
+            meta,
+            snap_id,
+            mpath,
+            content=0,
+            summary={
+                "operation": "sync-replace",
+                "source": "hudi",
+                "replaced-files": str(len(removed)),
+                "added-files": str(len(new)),
+            },
+            carry_content={1},
+        )
+    # pure insert: O(new files) append, previous manifests carried
+    entries = [_entry(p, 1, None) for p in new]
+    write_avro_file(mpath, ice._MANIFEST_SCHEMA, entries)
+    return ice._commit_snapshot(
+        iceberg_path,
+        meta,
+        snap_id,
+        mpath,
+        content=0,
+        summary={
+            "operation": "sync",
+            "source": "hudi",
+            "added-files": str(len(new)),
+        },
+    )

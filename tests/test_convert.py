@@ -349,3 +349,69 @@ def test_sync_hudi_to_delta_gates(spark, tmp_path):
     # not-a-mirror gate
     with pytest.raises(FileNotFoundError, match="not a Delta table"):
         convert.sync_hudi_to_delta(spark, h, str(tmp_path / "nope"))
+
+
+def test_sync_hudi_to_iceberg_upserts_and_inserts(spark, tmp_path):
+    h = str(tmp_path / "htbl_sync_i")
+    i = str(tmp_path / "itbl_sync_i")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(1)
+    hudi.hudi_insert(spark, df, h, record_key="id")
+    convert.convert_hudi_to_iceberg(spark, h, i)
+    assert _rows(iceberg.read_iceberg(spark, i)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    pre = iceberg._load_metadata(i)["current-snapshot-id"]
+    # upsert: replaces the file group AND inserts a new key
+    hudi.hudi_upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, "B"), (9, "z")], "id long, v string"
+        ).coalesce(1),
+        h,
+    )
+    sid = convert.sync_hudi_to_iceberg(spark, h, i)
+    assert sid is not None
+    assert _rows(iceberg.read_iceberg(spark, i)) == [
+        (1, "a"), (2, "B"), (3, "c"), (9, "z")
+    ]
+    # the pre-sync snapshot still time-travels to the old slice
+    assert _rows(iceberg.read_iceberg(spark, i, snapshot_id=pre)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # idempotent when in sync
+    assert convert.sync_hudi_to_iceberg(spark, h, i) is None
+    # pure insert (a brand-new key) takes the append shape
+    hudi.hudi_upsert(
+        spark,
+        spark.createDataFrame([(20, "t")], "id long, v string")
+        .coalesce(1),
+        h,
+    )
+    assert convert.sync_hudi_to_iceberg(spark, h, i) is not None
+    assert (20, "t") in _rows(iceberg.read_iceberg(spark, i))
+
+
+def test_sync_hudi_to_iceberg_gates(spark, tmp_path):
+    h = str(tmp_path / "htbl_sync_ig")
+    df = spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1)
+    hudi.hudi_insert(
+        spark, df, h, record_key="id", table_type="MERGE_ON_READ"
+    )
+    i = str(tmp_path / "itbl_sync_ig")
+    convert.convert_hudi_to_iceberg(spark, h, i)
+    hudi.hudi_mor_upsert(
+        spark,
+        spark.createDataFrame([(1, "A")], "id long, v string").coalesce(1),
+        h,
+    )
+    with pytest.raises(NotImplementedError, match="MoR log"):
+        convert.sync_hudi_to_iceberg(spark, h, i)
+    hudi.hudi_compact(spark, h)
+    assert convert.sync_hudi_to_iceberg(spark, h, i) is not None
+    assert _rows(iceberg.read_iceberg(spark, i)) == [(1, "A")]
+    with pytest.raises(
+        FileNotFoundError, match="no snapshot|not an Iceberg table"
+    ):
+        convert.sync_hudi_to_iceberg(spark, h, str(tmp_path / "nope2"))

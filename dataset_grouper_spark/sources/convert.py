@@ -71,6 +71,47 @@ def _abs_under(table_path: str, rel_or_abs: str) -> str:
     return os.path.join(table_path, rel_or_abs)
 
 
+def _abs_path(p: str) -> str:
+    """Data files are shared by path: URIs pass through, local paths
+    absolutize (every converter/sync keys file identity on this)."""
+    return p if _fs.is_uri(p) else os.path.abspath(p)
+
+
+_SPARK_TO_DELTA = {
+    "bigint": "long", "int": "integer", "smallint": "short",
+    "tinyint": "byte",
+}
+
+
+def _hudi_base_fields(slices, to: str) -> list[tuple[str, str]]:
+    """(name, type) fields of the newest base file's parquet schema,
+    ``_hoodie_*`` meta columns dropped, types mapped into the target
+    dialect (``to`` = 'delta' | 'iceberg'). ONE shared reading of the
+    schema for the converter and both syncs, so the syncs' drift gates
+    can never disagree with the conversion that created the mirror."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from dataset_grouper_spark.sources.hudi import META_COLS
+
+    newest = max(slices, key=lambda s: s[2])[3]
+    with _fs.open_random(newest) as f:
+        arrow = pq.read_schema(f)
+    out = []
+    for n in arrow.names:
+        if n in META_COLS:
+            continue
+        s = from_arrow_type(arrow.field(n).type).simpleString()
+        if to == "delta":
+            out.append((n, _SPARK_TO_DELTA.get(s, s)))
+        else:
+            from dataset_grouper_spark.sources import iceberg as ice
+
+            out.append((n, ice._iceberg_type(s)))
+    return out
+
+
 def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
@@ -311,17 +352,12 @@ def convert_hudi_to_delta(
     meta columns stay inside the shared files; the Delta reader's
     explicit scan schema projects them away. Gates on un-compacted
     MoR logs (their deltas exist only under merge semantics)."""
-    import pyarrow.parquet as pq
-
-    from pyspark.sql.pandas.types import from_arrow_type
-
     from dataset_grouper_spark.sources.delta import (
         _log_path,
         _write_commit,
         delta_versions,
     )
     from dataset_grouper_spark.sources.hudi import (
-        META_COLS,
         _log_files,
         hudi_file_slices,
     )
@@ -338,21 +374,9 @@ def convert_hudi_to_delta(
             "files — run hudi_compact first (a Delta snapshot cannot "
             "express log-merge semantics)"
         )
-    newest = max(slices, key=lambda s: s[2])[3]
-    with _fs.open_random(newest) as f:
-        arrow = pq.read_schema(f)
     # Delta schema JSON speaks the protocol's own names, not Spark's
     # simpleString aliases (int64 must render 'long', not 'bigint')
-    to_delta = {
-        "bigint": "long", "int": "integer", "smallint": "short",
-        "tinyint": "byte",
-    }
-    fields = []
-    for n in arrow.names:
-        if n in META_COLS:
-            continue
-        s = from_arrow_type(arrow.field(n).type).simpleString()
-        fields.append((n, to_delta.get(s, s)))
+    fields = _hudi_base_fields(slices, "delta")
     log = _log_path(delta_path)
     try:
         if delta_versions(delta_path):
@@ -785,10 +809,6 @@ def sync_hudi_to_delta(
     semantics — run ``hudi_compact`` first) and base-file schema
     changes since conversion (the mirror's pinned schemaString cannot
     resolve them; re-convert instead)."""
-    import pyarrow.parquet as pq
-
-    from pyspark.sql.pandas.types import from_arrow_type
-
     from dataset_grouper_spark.sources.delta import (
         _latest_version,
         _log_path,
@@ -797,7 +817,6 @@ def sync_hudi_to_delta(
         _write_commit,
     )
     from dataset_grouper_spark.sources.hudi import (
-        META_COLS,
         _log_files,
         hudi_file_slices,
     )
@@ -825,31 +844,15 @@ def sync_hudi_to_delta(
         )
     adds, dmeta = _replay(spark, delta_path, latest)
     table_abs = _table_abs(delta_path)
-
-    def _abs(p: str) -> str:
-        return p if _fs.is_uri(p) else os.path.abspath(p)
-
     # mirror add paths were written absolute by the converter, but key
     # removes by the EXACT stored path so a replay pops them
     stored_by_abs = {
         _abs_under(table_abs, rel): rel for rel in adds
     }
-    want = {_abs(path): None for _pt, _fid, _ins, path in slices}
+    want = {_abs_path(path): None for _pt, _fid, _ins, path in slices}
     # schema gate (the Hudi table can evolve between syncs; the
     # mirror's schemaString is pinned at conversion time)
-    newest = max(slices, key=lambda s: s[2])[3]
-    with _fs.open_random(newest) as f:
-        arrow = pq.read_schema(f)
-    to_delta = {
-        "bigint": "long", "int": "integer", "smallint": "short",
-        "tinyint": "byte",
-    }
-    want_fields = []
-    for n in arrow.names:
-        if n in META_COLS:
-            continue
-        s = from_arrow_type(arrow.field(n).type).simpleString()
-        want_fields.append((n, to_delta.get(s, s)))
+    want_fields = _hudi_base_fields(slices, "delta")
     mirror_fields = [
         (f["name"], f["type"])
         for f in json.loads(dmeta["schemaString"])["fields"]
@@ -916,17 +919,12 @@ def sync_hudi_to_iceberg(
     Honest gates: un-compacted MoR logs (hudi_compact first) and a
     base-file schema that drifted from the conversion-time Iceberg
     schema (re-convert)."""
-    import pyarrow.parquet as pq
-
-    from pyspark.sql.pandas.types import from_arrow_type
-
     from dataset_grouper_spark.sources import iceberg as ice
     from dataset_grouper_spark.sources.avro import (
         read_avro_file,
         write_avro_file,
     )
     from dataset_grouper_spark.sources.hudi import (
-        META_COLS,
         _log_files,
         hudi_file_slices,
     )
@@ -949,16 +947,7 @@ def sync_hudi_to_iceberg(
             "(run convert_hudi_to_iceberg first)"
         )
     # schema drift gate, mirroring the other syncs
-    newest = max(slices, key=lambda s: s[2])[3]
-    with _fs.open_random(newest) as f:
-        arrow = pq.read_schema(f)
-    want_fields = [
-        (n, ice._iceberg_type(
-            from_arrow_type(arrow.field(n).type).simpleString()
-        ))
-        for n in arrow.names
-        if n not in META_COLS
-    ]
+    want_fields = _hudi_base_fields(slices, "iceberg")
     cur_schema = next(
         s
         for s in meta.get("schemas") or []
@@ -1003,11 +992,7 @@ def sync_hudi_to_iceberg(
                 int(d.get("file_size_in_bytes") or 0),
             )
     have = {p for p, _seq in have_files}
-
-    def _abs(p: str) -> str:
-        return p if _fs.is_uri(p) else os.path.abspath(p)
-
-    want = {_abs(p) for _pt, _f, _i, p in slices}
+    want = {_abs_path(p) for _pt, _f, _i, p in slices}
     removed = sorted(have - want)
     new = sorted(want - have)
     if not removed and not new:

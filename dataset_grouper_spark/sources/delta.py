@@ -323,6 +323,65 @@ def _apply_dvs(
 ROW_TRACKING_DOMAIN = "delta.rowTracking"
 
 
+def _current_protocol(table_path: str, version: int) -> dict:
+    """The table's governing protocol action at ``version`` —
+    checkpoint row first, then the JSON tail, latest wins (the same
+    bounded-replay shape as everything else)."""
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    log = _log_path(table_path)
+    ckpt = _latest_checkpoint(table_path, version)
+    start = 0
+    if ckpt is not None:
+        cp_version, cp_file = ckpt
+        start = cp_version + 1
+        import pyarrow.parquet as pq
+
+        with _fs.open_random(cp_file) as f:
+            try:
+                rows = _arrow_rows(
+                    pq.read_table(f, columns=["protocol"])
+                )
+            except Exception:
+                f.seek(0)
+                rows = _arrow_rows(pq.read_table(f))
+        for d in rows:
+            if d.get("protocol"):
+                proto = d["protocol"]
+    for v in [
+        v for v in delta_versions(table_path) if start <= v <= version
+    ]:
+        for line in _read_commit_lines(log, v):
+            if line.strip():
+                a = json.loads(line)
+                if "protocol" in a:
+                    proto = a["protocol"]
+    return proto
+
+
+def _merged_protocol(current: dict, want: dict) -> dict:
+    """Upgrade ``current`` to support ``want`` WITHOUT clobbering:
+    versions take the max, feature lists union — so enabling row
+    tracking on a deletion-vector table (or vice versa) keeps BOTH
+    features declared for external readers."""
+    out = {
+        "minReaderVersion": max(
+            int(current.get("minReaderVersion") or 1),
+            int(want.get("minReaderVersion") or 1),
+        ),
+        "minWriterVersion": max(
+            int(current.get("minWriterVersion") or 2),
+            int(want.get("minWriterVersion") or 2),
+        ),
+    }
+    for key in ("readerFeatures", "writerFeatures"):
+        feats = sorted(
+            set(current.get(key) or []) | set(want.get(key) or [])
+        )
+        if feats:
+            out[key] = feats
+    return out
+
+
 def _domain_metadata(
     spark: SparkSession | None, table_path: str, version: int
 ) -> dict[str, dict]:
@@ -340,7 +399,16 @@ def _domain_metadata(
         import pyarrow.parquet as pq
 
         with _fs.open_random(cp_file) as f:
-            for d in _arrow_rows(pq.read_table(f)):
+            # project just the domainMetadata column — a checkpoint's
+            # add rows (stats JSON per live file) are the bulk of it,
+            # and this runs on every append/gate of a tracked table
+            try:
+                rows = _arrow_rows(
+                    pq.read_table(f, columns=["domainMetadata"])
+                )
+            except Exception:  # checkpoint written without the column
+                rows = []
+            for d in rows:
                 dm = d.get("domainMetadata")
                 if dm and dm.get("domain"):
                     out[dm["domain"]] = dm
@@ -405,11 +473,14 @@ def delta_enable_row_tracking(
     cur = 0
     actions = [
         {
-            "protocol": {
-                "minReaderVersion": 1,
-                "minWriterVersion": 7,
-                "writerFeatures": ["domainMetadata", "rowTracking"],
-            }
+            "protocol": _merged_protocol(
+                _current_protocol(table_path, latest),
+                {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["domainMetadata", "rowTracking"],
+                },
+            )
         }
     ]
     for rel in sorted(adds):
@@ -556,6 +627,14 @@ def read_delta(
             probe_type=ptype,
         )
     if not adds:
+        if row_ids:
+            # schema contract: _row_id is present even when pruning
+            # (or emptiness) planned zero files
+            from pyspark.sql.types import LongType
+
+            schema = StructType(
+                list(schema.fields) + [StructField("_row_id", LongType())]
+            )
         return spark.createDataFrame([], schema)
     table_abs = _table_abs(table_path)
     dv_adds = [
@@ -1125,12 +1204,15 @@ def delta_delete_where(
         return target
     actions = [
         {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
-            }
+            "protocol": _merged_protocol(
+                _current_protocol(table_path, target),
+                {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                },
+            )
         }
     ]
     for d in changed:
@@ -1239,15 +1321,12 @@ def delta_checkpoint(spark: SparkSession, table_path: str) -> int:
         )
     target = max(versions)
     adds, meta = _replay(spark, table_path, target)
-    # latest protocol action across the log (default: reader 1 / writer 2)
-    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    # latest protocol action — checkpoint-aware (_current_protocol):
+    # after a truncate the JSON tail may hold NO protocol action, and
+    # defaulting would falsify an upgraded table's protocol (row
+    # tracking / deletion vectors) in the new checkpoint
+    protocol = _current_protocol(table_path, target)
     log = _log_path(table_path)
-    for v in versions:
-        for line in _read_commit_lines(log, v):
-            if line.strip():
-                a = json.loads(line)
-                if "protocol" in a:
-                    protocol = a["protocol"]
     rows = [{"protocol": protocol}, {"metaData": meta}]
     rows += [{"add": a} for a in adds.values()]
     rows += [

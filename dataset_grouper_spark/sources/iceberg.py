@@ -846,6 +846,9 @@ def read_iceberg(
         spec_summary=_spec_summary_fields(meta) if expected else None,
     )
     if not data_seqs:
+        if row_ids:
+            # schema contract: _row_id present even on an empty plan
+            ddl = ddl + ", `_row_id` bigint"
         return spark.createDataFrame([], ddl)
     files = [p for p, _ in data_seqs]
     data = spark.read.schema(ddl).parquet(*files)
@@ -1824,9 +1827,10 @@ def iceberg_delete_where(
         )
     cond = F.expr(condition) if isinstance(condition, str) else condition
     # manifest-declared path for each scanned file (broadcast map:
-    # one row per live data file — planning-scale, not data-scale)
+    # one row per live data file — planning-scale, not data-scale);
+    # scheme-aware keys, or URI-backed tables silently no-op
     path_map = spark.createDataFrame(
-        [(p if p.startswith("/") else "/" + p, p) for p in data_files],
+        [(_norm_path_py(p), p) for p in data_files],
         "`__fp` string, `file_path` string",
     )
     hits = (
@@ -1846,6 +1850,7 @@ def iceberg_delete_where(
 
     snap_id = max(snaps) + 1
     entries = []
+    _fs.makedirs(os.path.join(table_path, "data"))  # converted tables
     for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
         nrows = pq.ParquetFile(src).metadata.num_rows
         if nrows == 0:
@@ -1957,8 +1962,11 @@ def iceberg_dv_delete(
             spark, keyed, data_seqs, eq_deletes, schema
         )
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    # scheme-aware keys (_norm_path_py): on a URI-backed table a
+    # naive '/'+p key would never match the scan's normalized
+    # _metadata path and the delete would silently no-op
     path_map = spark.createDataFrame(
-        [(p if p.startswith("/") else "/" + p, p) for p in data_files],
+        [(_norm_path_py(p), p) for p in data_files],
         "`__fp` string, `file_path` string",
     )
     hits = (
@@ -1969,6 +1977,7 @@ def iceberg_dv_delete(
     )
     snap_id = max(snaps) + 1
     ddir = os.path.join(table_path, "data")
+    _fs.makedirs(ddir)  # converted tables may have metadata/ only
 
     def _write_dv(pdf: pd.DataFrame) -> pd.DataFrame:
         from dataset_grouper_spark.sources import puffin as _pf

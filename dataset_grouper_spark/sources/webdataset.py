@@ -116,6 +116,14 @@ def write_webdataset(
                 f"webdataset: duplicate sample key {dup!r} in shard "
                 f"{shard}; keys must be unique"
             )
+        dotted = pdf["_key"].str.contains(".", regex=False)
+        if dotted.any():
+            bad = pdf["_key"][dotted].iloc[0]
+            raise ValueError(
+                f"webdataset: sample key {bad!r} contains '.' — the "
+                "spec splits member names at the FIRST dot, so a "
+                "dotted key would shear the sample on read"
+            )
         dst = f"{path.rstrip('/')}/{prefix}-{shard:06d}{suffix}"
         buf = io.BytesIO()
         sample_keys = pdf["_key"].tolist()
@@ -206,11 +214,18 @@ def read_webdataset(
                             if not member.isfile():
                                 continue
                             name = member.name
-                            base, _, ext = name.rpartition(".")
-                            if not base:
-                                base, ext = name, ""
-                            keys.append(base)
-                            exts.append(ext)
+                            # spec keying: split the BASENAME at its
+                            # FIRST dot — '0017.seg.png' is sample
+                            # '0017' with extension 'seg.png' (a
+                            # last-dot split would shear one sample
+                            # of a foreign shard into two)
+                            dirname, _, fname = name.rpartition("/")
+                            base, dot, ext = fname.partition(".")
+                            key = (
+                                f"{dirname}/{base}" if dirname else base
+                            )
+                            keys.append(key)
+                            exts.append(ext if dot else "")
                             datas.append(tar.extractfile(member).read())
                 yield pd.DataFrame(
                     {

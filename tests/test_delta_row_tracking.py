@@ -102,3 +102,72 @@ class TestRowTracking:
         delta.delta_append(spark, _sorted1(b), t)
         got = _ids(delta.read_delta(spark, t, row_ids=True))
         assert got[9] == 4
+
+    def test_protocol_merges_not_clobbers(self, spark, tmp_path):
+        """Review finding: enabling row tracking on a DV table (and
+        vice versa) must UNION protocol features, not overwrite —
+        else external readers see DV adds without the deletionVectors
+        feature declared."""
+        t = str(tmp_path / "rt6")
+        a = spark.createDataFrame(
+            [(i, "a") for i in range(6)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        delta.delta_delete_where(spark, t, "id = 1")  # DV protocol
+        delta.delta_enable_row_tracking(spark, t)
+        proto = delta._current_protocol(t, delta._latest_version(t))
+        assert proto["minReaderVersion"] == 3
+        assert proto["minWriterVersion"] == 7
+        assert "deletionVectors" in proto.get("readerFeatures", [])
+        assert set(proto["writerFeatures"]) >= {
+            "deletionVectors", "domainMetadata", "rowTracking"
+        }
+        # the other order: DV delete AFTER enabling keeps rowTracking
+        t2 = str(tmp_path / "rt7")
+        delta.delta_append(spark, _sorted1(a), t2)
+        delta.delta_enable_row_tracking(spark, t2)
+        delta.delta_delete_where(spark, t2, "id = 1")
+        proto = delta._current_protocol(t2, delta._latest_version(t2))
+        assert "rowTracking" in proto["writerFeatures"]
+        assert "deletionVectors" in proto["writerFeatures"]
+        # and both tables still read correctly with row ids
+        got = _ids(delta.read_delta(spark, t2, row_ids=True))
+        assert got == {i: i for i in range(6) if i != 1}
+
+    def test_checkpoint_preserves_protocol_after_truncate(
+        self, spark, tmp_path
+    ):
+        """Review finding: a checkpoint written after log truncation
+        must carry the upgraded protocol, not the default."""
+        t = str(tmp_path / "rt8")
+        a = spark.createDataFrame(
+            [(i, "a") for i in range(4)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        delta.delta_enable_row_tracking(spark, t)
+        delta.delta_checkpoint(spark, t)
+        delta.delta_truncate_log(t)
+        delta.delta_append(
+            spark,
+            _sorted1(spark.createDataFrame(
+                [(9, "b")], "id long, v string"
+            )),
+            t,
+        )
+        # second checkpoint: JSON tail has NO protocol action
+        delta.delta_checkpoint(spark, t)
+        proto = delta._current_protocol(t, delta._latest_version(t))
+        assert proto["minWriterVersion"] == 7
+        assert "rowTracking" in proto["writerFeatures"]
+
+    def test_empty_prune_keeps_row_id_column(self, spark, tmp_path):
+        t = str(tmp_path / "rt9")
+        a = spark.createDataFrame(
+            [(i, "a") for i in range(4)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        delta.delta_enable_row_tracking(spark, t)
+        got = delta.read_delta(
+            spark, t, row_ids=True, skip_filters=[("id", ">", 999)]
+        )
+        assert "_row_id" in got.columns and got.count() == 0

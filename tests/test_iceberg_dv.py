@@ -274,3 +274,43 @@ class TestRemoveDanglingDeletes:
             r.id for r in iceberg.read_iceberg(spark, t).collect()
         )
         assert got == [2, 4, 6]
+
+
+class TestReviewRegressions:
+    def test_dv_delete_on_converted_table_and_uri_paths(
+        self, spark, tmp_path
+    ):
+        """Review findings: (a) converted tables have no data/ dir —
+        the DV write must create it; (b) URI-backed tables (file://
+        manifests) need scheme-aware path-map keys or the delete
+        silently no-ops."""
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "tools")
+        )
+        from make_foreign_fixtures import build_iceberg
+
+        t = str(tmp_path / "ice_uri_dv")
+        os.makedirs(t)
+        build_iceberg(t, absolute=True)  # file:// URIs, metadata/ only
+        before = iceberg.read_iceberg(spark, t).count()
+        sid = iceberg.iceberg_dv_delete(spark, t, "id = 4")
+        assert sid is not None
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert 4 not in got and len(got) == before - 1
+
+    def test_row_lineage_empty_plan_keeps_column(self, spark, tmp_path):
+        t = str(tmp_path / "rl_empty")
+        df = spark.createDataFrame(
+            [(1, "a")], "id long, v string"
+        ).coalesce(1)
+        iceberg.iceberg_append(spark, df, t)
+        iceberg.iceberg_enable_row_lineage(t)
+        got = iceberg.read_iceberg(
+            spark, t, row_ids=True, skip_filters=[("id", ">", 99)]
+        )
+        assert "_row_id" in got.columns and got.count() == 0

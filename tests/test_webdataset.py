@@ -155,3 +155,43 @@ class TestOpenTableDispatch:
         assert table_format(str(tmp_path)) == "webdataset"
         long = open_table(spark, str(tmp_path))
         assert long.count() == 10
+
+
+class TestSpecKeying:
+    def test_foreign_multi_part_extensions_group_at_first_dot(
+        self, spark, tmp_path
+    ):
+        """Review finding: the spec splits member names at the FIRST
+        dot — '0017.seg.png' + '0017.jpg' are ONE sample."""
+        import io
+        import tarfile
+
+        p = tmp_path / "foreign.tar"
+        with tarfile.open(p, "w") as tar:
+            for name, data in [
+                ("0017.seg.png", b"MASK"),
+                ("0017.jpg", b"IMG"),
+                ("0018.jpg", b"IMG2"),
+            ]:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+        long = wds.read_webdataset(spark, str(tmp_path))
+        rows = {(r.key, r.ext): bytes(r.data) for r in long.collect()}
+        assert rows == {
+            ("0017", "seg.png"): b"MASK",
+            ("0017", "jpg"): b"IMG",
+            ("0018", "jpg"): b"IMG2",
+        }
+        samples = wds.webdataset_samples(long, ["jpg", "seg.png"])
+        assert samples.count() == 2
+
+    def test_dotted_sample_keys_refused(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("a.b", "x")], "doc_id string, text string"
+        )
+        with pytest.raises(Exception, match="contains '.'"):
+            wds.write_webdataset(
+                df, str(tmp_path), "doc_id", {"text": "txt"},
+                num_shards=1,
+            ).collect()

@@ -8302,56 +8302,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
-    "bloom_screen_dedup_documents",
-    "webdataset_roundtrip",
-    "sync_hudi_delta_mirror",
-    "iceberg_dv_delete",
-    "delta_bloom_skipping",
-    "streaming_webdataset_sink",
-    "iceberg_row_lineage",
-    "delta_row_tracking",
-    "sync_hudi_iceberg_mirror",
-    "approx_distinct_users",
-    "foreign_lakehouse_fixtures",
-    "salted_join_revenue",
-    "simhash_documents",
-    "multimodal_image_meta",
-    "multimodal_image_headers",
-    "ngram_jaccard_pairs",
-    "dup_ngram_fraction_documents",
-    "asof_purchase_click_events",
-    "funnel_events",
-    "retention_events",
-    "group_profile_events",
-    "url_canonicalize_documents",
-    "vocabulary_documents",
-    "tfidf_top_terms_documents",
-    "cap_per_source_documents",
-    "split_by_group_documents",
-    "text_analysis_documents",
-    "group_counts_events_by_user",
-    "group_counts_documents_by_source",
-    "group_counts_lineitem_by_flag",
-    "group_counts_tensors",
-    "format_group_counts",
-    "key_random_lineitem",
-    "key_url_domain",
-    "key_dirichlet_embeddings",
-    "pack_bytecap_documents",
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "tpch_q3_unshipped_orders",
-    "group_stream",
-    "tpch_q4_order_priority",
-    "multimodal_resize_png",
-    "multimodal_resize_pixels",
-    "multimodal_embed_pixels",
-    "lsh_topk_embeddings",
-    "ivf_topk_embeddings",
-    "ivf_index_topk_embeddings",
-    "minhash_lsh_candidates",
-    "pipeline_ingest_style",
-    "interval_attribution_events",
     "streaming_windowed_counts",
     "streaming_session_windows",
     "streaming_stateful_counts",
@@ -8525,6 +8475,56 @@ _QUERY_ORDER: list[str] = [
     "convert_tables_roundtrip",
     "sync_delta_iceberg_mirror",
     "sync_iceberg_delta_mirror",
+    "bloom_screen_dedup_documents",
+    "webdataset_roundtrip",
+    "sync_hudi_delta_mirror",
+    "iceberg_dv_delete",
+    "delta_bloom_skipping",
+    "streaming_webdataset_sink",
+    "iceberg_row_lineage",
+    "delta_row_tracking",
+    "sync_hudi_iceberg_mirror",
+    "approx_distinct_users",
+    "salted_join_revenue",
+    "simhash_documents",
+    "multimodal_image_meta",
+    "multimodal_image_headers",
+    "ngram_jaccard_pairs",
+    "dup_ngram_fraction_documents",
+    "asof_purchase_click_events",
+    "funnel_events",
+    "retention_events",
+    "group_profile_events",
+    "url_canonicalize_documents",
+    "vocabulary_documents",
+    "tfidf_top_terms_documents",
+    "cap_per_source_documents",
+    "split_by_group_documents",
+    "text_analysis_documents",
+    "group_counts_events_by_user",
+    "group_counts_documents_by_source",
+    "group_counts_lineitem_by_flag",
+    "group_counts_tensors",
+    "format_group_counts",
+    "key_random_lineitem",
+    "key_url_domain",
+    "key_dirichlet_embeddings",
+    "pack_bytecap_documents",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_unshipped_orders",
+    "group_stream",
+    "tpch_q4_order_priority",
+    "multimodal_resize_png",
+    "multimodal_resize_pixels",
+    "multimodal_embed_pixels",
+    "lsh_topk_embeddings",
+    "ivf_topk_embeddings",
+    "ivf_index_topk_embeddings",
+    "minhash_lsh_candidates",
+    "pipeline_ingest_style",
+    "interval_attribution_events",
+    "foreign_lakehouse_fixtures",
 ]
 # --- END GENERATED _QUERY_ORDER ---
 

@@ -156,9 +156,16 @@ def table_format(path: str) -> str:
         names = _fs.listdir(path)
     except (FileNotFoundError, NotADirectoryError):
         names = []
-    if names and any(
+    has_tar = any(
         n.endswith(".tar") or n.endswith(".tar.gz") for n in names
-    ):
+    )
+    # a stray tarball (backup, export) inside a parquet dataset dir
+    # must not misroute the whole directory into the tar reader —
+    # only sniff webdataset when NO parquet markers sit alongside
+    has_parquet = any(
+        n.endswith(".parquet") or n.startswith("part-") for n in names
+    )
+    if has_tar and not has_parquet:
         return "webdataset"
     return "parquet"
 

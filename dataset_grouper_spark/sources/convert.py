@@ -986,7 +986,14 @@ def sync_hudi_to_iceberg(
                 continue
             d = e["data_file"]
             eseq = e.get("sequence_number")
-            stats[d["file_path"]] = (
+            # key by the SAME localized/absolutized form _live_files
+            # puts into `have` — a mirror whose manifests store
+            # file:// URIs or relative paths would otherwise KeyError
+            # on every carried file in the REPLACE path
+            sp = ice._localize(d["file_path"])
+            if not ice._is_abs(sp):
+                sp = os.path.join(iceberg_path, sp)
+            stats[sp] = (
                 mseq if eseq is None else eseq,
                 int(d.get("record_count") or 0),
                 int(d.get("file_size_in_bytes") or 0),
@@ -1027,7 +1034,11 @@ def sync_hudi_to_iceberg(
         # REPLACE: one manifest = the full live set; carried files
         # keep their original sequence numbers, new ones inherit
         entries = [
-            _entry(p, 0, stats[p][0]) for p in sorted(have & want)
+            # carried files keep their sequence number; a file somehow
+            # absent from the stats walk (defensive) gets seq 0 — the
+            # mirror carries no equality deletes, so 0 is inert
+            _entry(p, 0, stats[p][0] if p in stats else 0)
+            for p in sorted(have & want)
         ] + [_entry(p, 1, None) for p in new]
         write_avro_file(mpath, ice._MANIFEST_SCHEMA, entries)
         return ice._commit_snapshot(

@@ -945,8 +945,21 @@ def delta_append(
         cur = rt_hwm + 1
         for a in adds:
             st = json.loads(a["add"].get("stats") or "{}")
+            n = st.get("numRecords")
+            if n is None:
+                # a stats-less add MUST NOT take a zero-width block —
+                # the next file's row ids would overlap it, corrupting
+                # the _row_id identity contract; mirror the
+                # enable-row-tracking path: count from the footer
+                from dataset_grouper_spark.sources.convert import (
+                    _parquet_row_count,
+                )
+
+                n = _parquet_row_count(
+                    os.path.join(table_path, a["add"]["path"])
+                )
             a["add"]["baseRowId"] = cur
-            cur += int(st.get("numRecords") or 0)
+            cur += int(n)
     actions = []
     if not exists:
         actions.append(

@@ -2026,12 +2026,24 @@ def iceberg_dv_delete(
     )
     if not descs:
         return cur_id
+    # manifests often store referenced_data_file as a file:// URI (or
+    # table-relative path) while data_files are localized absolutes —
+    # normalize BOTH sides or the one-DV-per-file gate silently misses
+    # and a second vector stacks on an already-vectored file
+    def _ref_key(p: str) -> str:
+        p = _localize(p)
+        if not _is_abs(p):
+            p = os.path.join(table_path, p)
+        return _norm_path_py(p)
+
     already = {
-        d["referenced"]
+        _ref_key(d["referenced"])
         for d in delete_files
         if isinstance(d, dict)
     }
-    clash = sorted(r.file_path for r in descs if r.file_path in already)
+    clash = sorted(
+        r.file_path for r in descs if _ref_key(r.file_path) in already
+    )
     if clash:
         # written-but-uncommitted puffin files are invisible orphans
         # (snapshot never formed); remove them eagerly anyway

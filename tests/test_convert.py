@@ -415,3 +415,62 @@ def test_sync_hudi_to_iceberg_gates(spark, tmp_path):
         FileNotFoundError, match="no snapshot|not an Iceberg table"
     ):
         convert.sync_hudi_to_iceberg(spark, h, str(tmp_path / "nope2"))
+
+
+def test_sync_hudi_to_iceberg_uri_manifests(spark, tmp_path):
+    """ADVICE r10: the REPLACE path keyed carried-stats by RAW manifest
+    file_path while have/want used localized absolutes — a mirror whose
+    manifests store file:// URIs raised KeyError instead of syncing.
+    Rewrite the mirror's manifest to the file:// dialect, then sync an
+    upsert that carries one file group and replaces another."""
+    from dataset_grouper_spark.sources.avro import (
+        read_avro_file,
+        write_avro_file,
+    )
+
+    h = str(tmp_path / "htbl_sync_uri")
+    i = str(tmp_path / "itbl_sync_uri")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    hudi.hudi_insert(spark, a.coalesce(1), h, record_key="id")
+    # second file group (second commit) that the upsert will NOT touch
+    hudi.hudi_upsert(
+        spark,
+        spark.createDataFrame([(7, "g")], "id long, v string").coalesce(1),
+        h,
+    )
+    convert.convert_hudi_to_iceberg(spark, h, i)
+    meta = iceberg._load_metadata(i)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    ml = snap["manifest-list"]
+    _s, manifests = read_avro_file(ml)
+    # rewrite every data manifest's file_path to the file:// dialect
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        _s2, es = read_avro_file(m["manifest_path"])
+        for e in es:
+            fp = e["data_file"]["file_path"]
+            if not fp.startswith("file://"):
+                e["data_file"]["file_path"] = "file://" + fp
+        write_avro_file(
+            m["manifest_path"], iceberg._MANIFEST_SCHEMA, es
+        )
+    # sanity: the URI-dialect mirror still reads
+    assert _rows(iceberg.read_iceberg(spark, i)) == [
+        (1, "a"), (2, "b"), (7, "g")
+    ]
+    # upsert replaces group {1,2}; group {7} is CARRIED (stats lookup)
+    hudi.hudi_upsert(
+        spark,
+        spark.createDataFrame([(2, "B")], "id long, v string").coalesce(1),
+        h,
+    )
+    sid = convert.sync_hudi_to_iceberg(spark, h, i)
+    assert sid is not None
+    assert _rows(iceberg.read_iceberg(spark, i)) == [
+        (1, "a"), (2, "B"), (7, "g")
+    ]

@@ -171,3 +171,30 @@ class TestRowTracking:
             spark, t, row_ids=True, skip_filters=[("id", ">", 999)]
         )
         assert "_row_id" in got.columns and got.count() == 0
+
+    def test_stats_less_add_never_zero_width_block(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r10: an add action lacking stats took a zero-width
+        baseRowId block, so the NEXT file's row ids overlapped it —
+        the append path must fall back to the parquet footer count
+        like delta_enable_row_tracking does."""
+        t = str(tmp_path / "rt_nostats")
+        a = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(4)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        delta.delta_enable_row_tracking(spark, t)
+        # simulate a writer that emits no stats (allowed by the spec)
+        monkeypatch.setattr(delta, "_file_stats", lambda *_a: None)
+        b = spark.createDataFrame(
+            [(10, "x"), (11, "y")], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(b), t)
+        c = spark.createDataFrame([(20, "z")], "id long, v string")
+        delta.delta_append(spark, _sorted1(c), t)
+        got = _ids(delta.read_delta(spark, t, row_ids=True))
+        # every row id unique; the two stats-less files got real-width
+        # blocks: 4 original + 2 + 1 = 7 distinct ids, watermark 6
+        assert len(set(got.values())) == 7
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 10: 4, 11: 5, 20: 6}

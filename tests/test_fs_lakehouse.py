@@ -349,3 +349,17 @@ def test_table_format_sniff_on_mock_filesystem(mock_fs):
     assert sources.table_format("mock://fs") == "snapshots"
     assert sources.table_format("mock://fp") == "parquet"
     assert sources.table_format("mock://fx") == "parquet"
+    # tar shards alone -> webdataset; but a STRAY tarball (backup,
+    # export) inside a parquet dataset dir must NOT misroute the
+    # directory into the tar reader (ADVICE r10)
+    fs.makedirs("mock://fw")
+    fs.write_bytes("mock://fw/shard-00000.tar", b"x")
+    assert sources.table_format("mock://fw") == "webdataset"
+    fs.makedirs("mock://fpt")
+    fs.write_bytes("mock://fpt/part-0.parquet", b"PAR1")
+    fs.write_bytes("mock://fpt/backup.tar.gz", b"x")
+    assert sources.table_format("mock://fpt") == "parquet"
+    fs.makedirs("mock://fqt")
+    fs.write_bytes("mock://fqt/data.parquet", b"PAR1")
+    fs.write_bytes("mock://fqt/export.tar", b"x")
+    assert sources.table_format("mock://fqt") == "parquet"

@@ -303,6 +303,38 @@ class TestReviewRegressions:
         )
         assert 4 not in got and len(got) == before - 1
 
+    def test_one_dv_per_file_gate_sees_uri_refs(self, spark, tmp_path):
+        """ADVICE r10: the clash check compared raw manifest
+        referenced_data_file (a file:// URI on foreign tables) against
+        localized absolute paths, so a second DV silently stacked on a
+        file already carrying one — deleted rows would resurrect for a
+        spec-compliant external reader. Both sides must normalize."""
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "tools")
+        )
+        from make_foreign_fixtures import build_iceberg
+
+        t = str(tmp_path / "ice_uri_dv_gate")
+        os.makedirs(t)
+        # file:// manifests; id=8's file already carries a DV
+        build_iceberg(t, absolute=True, with_deletes=True, with_dv=True)
+        with pytest.raises(NotImplementedError, match="ONE DV per"):
+            iceberg.iceberg_dv_delete(spark, t, "id = 9")
+        # the gate must roll back its orphan puffin: still exactly one
+        import glob as _glob
+
+        dvs = _glob.glob(os.path.join(t, "data", "**", "*.puffin"),
+                         recursive=True)
+        assert len(dvs) == 1
+        # and the table still reads exactly as before the attempt
+        got = sorted(
+            r.id for r in iceberg.read_iceberg(spark, t).collect()
+        )
+        assert got == [1, 3, 4, 5, 9]
+
     def test_row_lineage_empty_plan_keeps_column(self, spark, tmp_path):
         t = str(tmp_path / "rl_empty")
         df = spark.createDataFrame(

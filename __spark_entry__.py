@@ -1883,6 +1883,24 @@ def q_embedding_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TARGET, SEMDEDUP_PROBE = 64, 2
+
+
+def q_semdedup_cells_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Cell-blocked SemDeDup (VERDICT r10 task 1) — the CORPUS-SCALE
+    embedding near-dup tier: coarse-quantize into deterministic flat
+    cells (ivf_topk_flat's hash-sampled scheme), exact tile join only
+    WITHIN each cell (probe=2 boundary rider), connected components.
+    O(n * cell_size) work instead of the exact variant's O(n^2) —
+    the plan that survives 100x data."""
+    df = read_table(spark, sf, "embeddings")
+    return similarity.embedding_neardup_clusters(
+        df, "embedding", "vec_id", EMB_NEARDUP_T,
+        num_cells="auto", probe=SEMDEDUP_PROBE,
+        target_cell_rows=SEMDEDUP_TARGET,
+    )
+
+
 def q_winnow_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS) over documents —
     Karp-Rabin kernel, one narrow Catalyst projection. The cascade is
@@ -8219,6 +8237,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "embedding_neardup_clusters": q_embedding_neardup_clusters,
+        "semdedup_cells_embeddings": q_semdedup_cells_embeddings,
         "pack_sequences_documents": q_pack_sequences_documents,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
@@ -8302,6 +8321,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
+    "semdedup_cells_embeddings",
     "streaming_windowed_counts",
     "streaming_session_windows",
     "streaming_stateful_counts",
@@ -9271,6 +9291,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.vec_id, COALESCE(c.component, v.vec_id) AS cluster_id
             FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id
         """,
+        "semdedup_cells_embeddings": oracles.semdedup_cells_sql(
+            "embeddings", "embedding", "vec_id",
+            EMB_NEARDUP_T, "auto", SEMDEDUP_PROBE,
+            target_cell_rows=SEMDEDUP_TARGET,
+        ),
         "winnow_fingerprints_documents": textanalysis.winnow_fingerprints_sql(
             "documents", "text", "doc_id", 8, 4
         ),

@@ -226,6 +226,202 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_cells(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    num_cells: int | None = None,
+    probe: int = 1,
+    round_digits: int = 6,
+    target_block_rows: int = 4096,
+    target_cell_rows: int = 4096,
+) -> DataFrame:
+    """Cell-blocked near-duplicate pairs — the corpus-scale SemDeDup
+    edge generator (Abbas et al. 2023, §3: dedup WITHIN coarse
+    clusters, never across the whole corpus).
+
+    The exact triangle join (:func:`cosine_pairs`) is O(n^2) work by
+    construction — 100x data = 10,000x compute. This variant first
+    coarse-quantizes every vector into one of ``num_cells`` cells
+    (the deterministic hash-sampled flat quantizer shared with
+    ``ivf_topk_flat`` — no ML fit, reproducible in any SQL engine),
+    then runs the exact blocked tile join only WITHIN each cell. With
+    cells sized to a target occupancy the work is
+    O(n * cell_size) — linear in the corpus, embarrassingly parallel
+    across cells — instead of O(n^2).
+
+    Recall contract: a pair is emitted iff the two vectors share at
+    least one of their ``probe`` nearest cells (argmin L2, ties to the
+    smaller centroid id) AND their cosine >= ``threshold``. ``probe=1``
+    is the published SemDeDup shape (within-cluster only; near-dups
+    straddling a cell boundary are missed — acceptable because
+    near-identical vectors quantize together almost surely).
+    ``probe=2`` adds each vector's second-nearest cell as a boundary
+    rider, catching straddlers at 2x replication. Each found pair is
+    emitted exactly once (canonical cell = the smallest shared cell).
+
+    ``num_cells=None`` (the corpus-scale default) derives the cell
+    count from a distributed count at a ``target_cell_rows`` occupancy
+    — CELLS SCALE WITH THE CORPUS, so within-cell work stays
+    O(n * target_cell_rows) = linear at any n. A FIXED ``num_cells``
+    keeps within-cell work at O(n^2 / C): fine for bounded corpora,
+    quadratic again at 100x — pass it only when the cell count is part
+    of an external contract. ``probe`` is clamped to the derived cell
+    count in auto mode (a corpus smaller than one cell degrades to the
+    exact join).
+
+    Scale shape: one broadcast of ``num_cells`` centroid rows against
+    the corpus, one groupBy to pick each vector's probe cells
+    (map-side partial agg), per-cell counts as a tiny broadcast, then
+    the same triangle tile join as ``cosine_pairs`` keyed by
+    (cell, block-pair) — no task ever holds more than ~2 *
+    ``target_block_rows`` vectors, hot cells spread across their own
+    block triangle. Any change to the pairing contract must be
+    mirrored in the DuckDB twin (``oracles.semdedup_cells_sql``).
+    """
+    import math
+
+    import pandas as pd
+
+    if probe < 1:
+        raise ValueError(
+            f"cosine_pairs_cells: probe must be >= 1, got {probe}"
+        )
+    if num_cells is None:
+        n = df.count()
+        num_cells = max(1, math.ceil(n / target_cell_rows))
+        probe = min(probe, num_cells)
+    elif probe > num_cells:
+        raise ValueError(
+            f"cosine_pairs_cells: probe must be in [1, num_cells], got "
+            f"{probe} with num_cells={num_cells}"
+        )
+    cents = _flat_centroids(df, vec_col, id_col, num_cells)
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    # each vector's `probe` nearest cells in ONE map-side-combinable
+    # aggregation (collect_list is num_cells structs per row — tiny);
+    # first(_vec) rides the same shuffle, saving the re-join
+    per_row = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", _dist2(F.col("_vec"), F.col("_cent_v")))
+        .groupBy("_id")
+        .agg(
+            F.first("_vec").alias("_vec"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_d2"), F.col("_cent_id")))
+                ),
+                1,
+                probe,
+            ).alias("_top"),
+        )
+        .select(
+            "_id",
+            "_vec",
+            F.transform(F.col("_top"), lambda s: s["_cent_id"]).alias(
+                "_cells"
+            ),
+        )
+    )
+    exploded = per_row.select(
+        "_id", "_vec", "_cells", F.explode("_cells").alias("_cell")
+    )
+    # per-cell block count: num_cells rows, broadcast back
+    cell_b = exploded.groupBy("_cell").agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count("*") / F.lit(target_block_rows)),
+        )
+        .cast("int")
+        .alias("_B")
+    )
+    blocked = exploded.join(F.broadcast(cell_b), "_cell").withColumn(
+        "_blk",
+        F.pmod(F.xxhash64(F.col("_id")), F.col("_B")).cast("int"),
+    )
+    a_side = blocked.select(
+        "_cell",
+        "_id",
+        "_vec",
+        "_cells",
+        F.col("_blk").alias("_pi"),
+        F.explode(
+            F.sequence(F.col("_blk"), F.col("_B") - F.lit(1))
+        ).alias("_pj"),
+        F.lit(0).alias("_side"),
+    )
+    b_side = blocked.select(
+        "_cell",
+        "_id",
+        "_vec",
+        "_cells",
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_pi"),
+        F.col("_blk").alias("_pj"),
+        F.lit(1).alias("_side"),
+    )
+    multi = probe > 1
+
+    def tile(key, pdf):
+        cell, pi, pj = key
+        a = pdf[pdf["_side"] == 0]
+        bb = pdf[pdf["_side"] == 1]
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": []}
+        ).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if a.empty or bb.empty:
+            return empty
+        a_ids = a["_id"].to_numpy(dtype="int64")
+        b_ids = bb["_id"].to_numpy(dtype="int64")
+        a_mat = np.array(list(a["_vec"]), dtype="float64")
+        b_mat = np.array(list(bb["_vec"]), dtype="float64")
+        sims = np.round(
+            (a_mat @ b_mat.T)
+            / np.outer(
+                np.linalg.norm(a_mat, axis=1),
+                np.linalg.norm(b_mat, axis=1),
+            ),
+            round_digits,
+        )
+        mask = sims >= threshold
+        if pi == pj:
+            mask &= a_ids[:, None] < b_ids[None, :]
+            ai, bi = np.nonzero(mask)
+            id_a, id_b = a_ids[ai], b_ids[bi]
+        else:
+            ai, bi = np.nonzero(mask)
+            x, y = a_ids[ai], b_ids[bi]
+            id_a, id_b = np.minimum(x, y), np.maximum(x, y)
+        cos = sims[ai, bi]
+        if multi and len(ai):
+            # multi-probe: a pair sharing >1 cell appears in each —
+            # emit only in its canonical (smallest shared) cell, so
+            # every found pair surfaces exactly once with no
+            # dedup shuffle downstream
+            a_cells = list(a["_cells"])
+            b_cells = list(bb["_cells"])
+            keep = np.fromiter(
+                (
+                    min(set(a_cells[i]) & set(b_cells[j])) == cell
+                    for i, j in zip(ai, bi)
+                ),
+                dtype=bool,
+                count=len(ai),
+            )
+            id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("_cell", "_pi", "_pj")
+        .applyInPandas(tile, schema="id_a long, id_b long, cosine double")
+    )
+
+
 def cosine_topk_blocked(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1018,6 +1214,9 @@ def embedding_neardup_clusters(
     threshold: float,
     num_blocks: int | None = None,
     max_iter: int = 50,
+    num_cells: int | str | None = None,
+    probe: int = 1,
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """Semantic (embedding-cosine) near-duplicate clustering — the
     SemDeDup-style dedup tier (Abbas et al. 2023): vectors whose cosine
@@ -1026,20 +1225,39 @@ def embedding_neardup_clusters(
     component; untouched vectors are their own singleton). Keep
     ``cluster_id == id`` rows for the survivor set.
 
-    Scale shape: edges come from the blocked triangle tile join
-    (``cosine_pairs`` — no driver collect, no all-pairs shuffle), the
-    closure from min-label propagation (one join+agg per round, raises
-    on non-convergence). At very high thresholds the duplicate graph is
-    clique-shaped, so rounds = 2-3. The returned frame is backed by a
-    lineage-truncated checkpoint: consume it (collect/write) BEFORE
-    calling ``cache.release_intermediates()`` — afterwards it can
-    neither be read nor recomputed.
+    Scale shape: with ``num_cells`` set (the CORPUS-SCALE mode, and
+    what any run beyond a few hundred thousand vectors should use)
+    edges come from the cell-blocked tile join
+    (:func:`cosine_pairs_cells` — O(n * cell_size) work, the published
+    SemDeDup within-cluster contract; ``probe=2`` adds a boundary
+    rider). With ``num_cells=None`` (default, exact mode for small n /
+    verification) edges come from the global blocked triangle tile
+    join (``cosine_pairs`` — exact but O(n^2) work by construction).
+    The closure is min-label propagation either way (one join+agg per
+    round, raises on non-convergence). At very high thresholds the
+    duplicate graph is clique-shaped, so rounds = 2-3. The returned
+    frame is backed by a lineage-truncated checkpoint: consume it
+    (collect/write) BEFORE calling ``cache.release_intermediates()``
+    — afterwards it can neither be read nor recomputed.
     """
     from dataset_grouper_spark.operators.dedup import connected_components
 
-    edges = cosine_pairs(
-        df, vec_col, id_col, threshold, num_blocks=num_blocks
-    )
+    if num_cells is not None:
+        edges = cosine_pairs_cells(
+            df,
+            vec_col,
+            id_col,
+            threshold,
+            # "auto": derive the cell count from the corpus size so the
+            # work stays linear at any scale (the corpus-scale setting)
+            None if num_cells == "auto" else num_cells,
+            probe=probe,
+            target_cell_rows=target_cell_rows,
+        )
+    else:
+        edges = cosine_pairs(
+            df, vec_col, id_col, threshold, num_blocks=num_blocks
+        )
     comp = connected_components(
         edges.select("id_a", "id_b"), "id_a", "id_b", max_iter
     ).select(

@@ -305,6 +305,76 @@ def ivf_topk_flat_sql(
     """
 
 
+def semdedup_cells_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    num_cells: int | str,
+    probe: int,
+    round_digits: int = 6,
+    target_cell_rows: int = 4096,
+) -> str:
+    """Twin of similarity.embedding_neardup_clusters(num_cells=...):
+    hash-sampled flat centroids (same scheme as ivf_topk_flat_sql),
+    each vector's `probe` nearest cells, candidate pairs = pairs
+    sharing a cell, exact cosine edge filter, recursive-CTE connected
+    components, singletons labeling themselves. ``num_cells="auto"``
+    mirrors the Spark side's count-derived cell count (ceil(n /
+    target_cell_rows), probe clamped to it)."""
+    h = md5_long_sql("CAST(_id AS VARCHAR)")
+    if num_cells == "auto":
+        limit = (
+            "(SELECT GREATEST(1, CAST(ceil(count(*) / "
+            f"CAST({target_cell_rows} AS DOUBLE)) AS BIGINT)) "
+            f"FROM {table})"
+        )
+        probe_expr = f"LEAST({probe}, (SELECT count(*) FROM cents))"
+    else:
+        limit = str(int(num_cells))
+        probe_expr = str(int(probe))
+    return f"""
+      WITH RECURSIVE n AS (
+        SELECT {id_col} AS _id, {_dbl(vec_col)} AS v FROM {table}
+      ),
+      cents AS (
+        SELECT _id AS cent_id, v AS cent_v FROM n
+        ORDER BY {h}, _id LIMIT {limit}
+      ),
+      asg AS (
+        SELECT _id, cell FROM (
+          SELECT n._id, ct.cent_id AS cell,
+                 row_number() OVER (PARTITION BY n._id
+                   ORDER BY list_distance(n.v, ct.cent_v), ct.cent_id) AS r
+          FROM n CROSS JOIN cents ct
+        ) WHERE r <= {probe_expr}
+      ),
+      cand AS (
+        SELECT DISTINCT x._id AS id_a, y._id AS id_b
+        FROM asg x JOIN asg y ON x.cell = y.cell AND x._id < y._id
+      ),
+      e0 AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN n a ON a._id = c.id_a
+        JOIN n b ON b._id = c.id_b
+        WHERE {_cos('a.v', 'b.v', round_digits)} >= {threshold}
+      ),
+      e AS (
+        SELECT id_a AS a, id_b AS b FROM e0
+        UNION SELECT id_b, id_a FROM e0
+      ),
+      reach(id, lbl) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id
+      ),
+      comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+      SELECT v.{id_col}, COALESCE(c.component, v.{id_col}) AS cluster_id
+      FROM {table} v LEFT JOIN comp c ON v.{id_col} = c.id
+    """
+
+
 def exact_dedup_sql(table: str, content_col: str, id_col: str, keep_cols: str) -> str:
     return f"""
       WITH ranked AS (

@@ -58,7 +58,14 @@ def test_readme_query_count_is_current():
     assert f"`queries()` ({n} operator queries" in readme, (
         f"README query count is stale; update it to {n}"
     )
-    assert f"{n - 1} of {n} are" in readme
+    # VERDICT r10 #6: pin the twin count the same way — every query
+    # must carry a DuckDB oracle, and the README must say so
+    assert len(entry.oracle_sql()) == n, (
+        "a query is missing its DuckDB twin"
+    )
+    assert f"DuckDB twins for all {n}" in readme, (
+        f"README twin count is stale; update it to {n}"
+    )
 
 
 def test_rotation_green_semantics():

@@ -640,3 +640,159 @@ def test_cosine_topk_blocked_empty_queries(spark):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_cosine_pairs_cells_full_probe_equals_exact(vecs):
+    # probe == num_cells puts every vector in every cell: the cell
+    # variant must then equal the exact triangle join EXACTLY — and
+    # each pair must surface exactly once (canonical-cell dedup)
+    df, _ = vecs
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs(
+            df, "embedding", "vec_id", 0.3, num_blocks=3
+        ).collect()
+    }
+    rows = similarity.cosine_pairs_cells(
+        df, "embedding", "vec_id", 0.3, num_cells=4, probe=4,
+        target_block_rows=16,
+    ).collect()
+    got = [(r.id_a, r.id_b, r.cosine) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == exact
+
+
+def test_cosine_pairs_cells_single_cell_equals_exact(vecs):
+    df, _ = vecs
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs(
+            df, "embedding", "vec_id", 0.3
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, num_cells=1
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_cosine_pairs_cells_probe1_subset_and_planted(vecs):
+    # probe=1 (published SemDeDup shape): a SUBSET of the exact pair
+    # set; near-identical vectors quantize into the same cell, so the
+    # planted dup (0, 59) must be found
+    df, _ = vecs
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs(
+            df, "embedding", "vec_id", 0.3
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, num_cells=6
+        ).collect()
+    }
+    assert got <= exact
+    assert any(a == 0 and b == 59 for a, b, _c in got)
+    # probe=2 rider can only ADD boundary pairs, still a subset
+    got2 = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, num_cells=6, probe=2
+        ).collect()
+    }
+    assert got <= got2 <= exact
+
+
+def test_cosine_pairs_cells_probe_validation(vecs):
+    df, _ = vecs
+    with pytest.raises(ValueError, match="probe"):
+        similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, num_cells=4, probe=0
+        )
+    with pytest.raises(ValueError, match="probe"):
+        similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, num_cells=4, probe=5
+        )
+
+
+def test_cosine_pairs_cells_never_collects_corpus(vecs, monkeypatch):
+    # 100 TB guard: plan construction must not pull rows to the driver
+    # (per-cell block counts ride a broadcast JOIN, not a collect)
+    df, _ = vecs
+    cls = _patchable_df_class()
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side corpus materialization")
+
+    monkeypatch.setattr(cls, "collect", boom)
+    monkeypatch.setattr(cls, "toPandas", boom)
+    plan = similarity.cosine_pairs_cells(
+        df, "embedding", "vec_id", 0.9, num_cells=4
+    )
+    assert "id_a" in plan.columns
+
+
+def test_embedding_neardup_clusters_cell_mode(spark):
+    # the corpus-scale mode: near-identical vectors land in one cell,
+    # so the planted clusters still resolve; singletons label selves
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.95, 0.3, 0.05]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in similarity.embedding_neardup_clusters(
+            df, "embedding", "vec_id", 0.9, num_cells=3, probe=2
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == 3
+    assert got[5] == 5
+
+
+def test_cosine_pairs_cells_auto_sizing(vecs):
+    # auto mode (num_cells=None): cells derive from a distributed
+    # count at target_cell_rows occupancy — the corpus-scale setting.
+    # 60 vectors at the default target -> 1 cell -> exact; at
+    # target 16 -> 4 cells -> a subset with probe clamped sanely
+    df, _ = vecs
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs(
+            df, "embedding", "vec_id", 0.3
+        ).collect()
+    }
+    auto_one = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3
+        ).collect()
+    }
+    assert auto_one == exact
+    sub = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, probe=2,
+            target_cell_rows=16,
+        ).collect()
+    }
+    assert sub <= exact
+    assert any(a == 0 and b == 59 for a, b, _c in sub)
+    # probe clamps to the derived cell count instead of raising
+    assert (
+        similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, probe=99,
+            target_cell_rows=4096,
+        ).count()
+        == len(exact)
+    )

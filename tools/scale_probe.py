@@ -66,6 +66,13 @@ PROBE = [
     # lifecycle (shard write + streamed read both scale with bytes)
     "bloom_screen_dedup_documents",
     "webdataset_roundtrip",
+    # r11: the exact all-pairs cosine family — O(n^2) BY CONTRACT
+    # (expect exponent ~2: quantified honestly, the way r9 did for
+    # ER) — and the cell-blocked SemDeDup that replaces it at corpus
+    # scale (auto-sized cells; expect exponent ~1)
+    "text_hashed_cosine_pairs",
+    "embedding_neardup_clusters",
+    "semdedup_cells_embeddings",
 ]
 
 

@@ -6153,7 +6153,19 @@ def q_foreign_lakehouse_fixtures(spark: SparkSession, sf: str) -> DataFrame:
         open_table(
             spark, os.path.join(_FOREIGN_FIXTURES, sub)
         ).select(F.lit(sub).alias("fmt"), "id", "txt", "lang")
-        for sub in ("delta", "iceberg", "hudi_cow", "hudi_mor")
+        for sub in (
+            "delta",
+            "iceberg",
+            "hudi_cow",
+            "hudi_mor",
+            # r11 nasty combinations (VERDICT r10 task 4): column
+            # mapping + DV + parquet checkpoint in ONE Delta table
+            # (the DV descriptor lives in the checkpoint struct), and
+            # a MoR log whose rollback COMMAND_BLOCK sits in a .log.2
+            # rollover file (cross-file invalidation)
+            "delta_cm",
+            "hudi_mor_rollover",
+        )
     ]
     return reduce(DataFrame.unionByName, frames)
 
@@ -6181,6 +6193,20 @@ _FOREIGN_ORACLE_ROWS = [
     ("hudi_mor", 1, "alpha", "en"),
     ("hudi_mor", 2, "BRAVO!", "en"),
     ("hudi_mor", 9, "juliett", "en"),
+    # delta_cm: column mapping (physical col-<uuid> names) + a
+    # 'u'-storage DV (kills id=2) + a parquet checkpoint carrying BOTH
+    ("delta_cm", 1, "alpha", "en"),
+    ("delta_cm", 3, "charlie", "en"),
+    ("delta_cm", 4, "delta", "de"),
+    ("delta_cm", 5, "echo", "de"),
+    ("delta_cm", 8, "hotel", "en"),
+    ("delta_cm", 9, "india", "en"),
+    # hudi_mor_rollover: failed T3 blocks in .log.1 must be killed by
+    # the rollback COMMAND_BLOCK living in .log.2 — same surviving
+    # rows as hudi_mor, or the rollback leaked
+    ("hudi_mor_rollover", 1, "alpha", "en"),
+    ("hudi_mor_rollover", 2, "BRAVO!", "en"),
+    ("hudi_mor_rollover", 9, "juliett", "en"),
 ]
 
 

@@ -624,8 +624,8 @@ def test_iceberg_lite_batch_reads_foreign_table(spark):
 def test_fixtures_stay_kb_scale():
     total = sum(
         os.path.getsize(os.path.join(d, f))
-        for sub in (DELTA, ICE, COW, MOR)
-        for d, _s, fs in os.walk(sub)
+        for sub in os.listdir(FIX)
+        for d, _s, fs in os.walk(os.path.join(FIX, sub))
         for f in fs
     )
     assert total < 200_000, f"foreign fixtures grew to {total} bytes"
@@ -666,3 +666,119 @@ def test_iceberg_runtime_foreign_v3_deletion_vector(spark, tmp_path):
     meta = puffin.read_puffin_footer(pf)
     assert meta["properties"]["created-by"].startswith("Trino")
     assert meta["blobs"][0]["type"] == "deletion-vector-v1"
+
+
+# ---------------- r11 nasty combinations (VERDICT r10 task 4) -------
+
+DELTA_CM = os.path.join(FIX, "delta_cm")
+MOR_ROLLOVER = os.path.join(FIX, "hudi_mor_rollover")
+
+
+def test_delta_cm_dv_checkpoint_combination(spark):
+    """Column mapping (name mode) + 'u'-storage DV + parquet
+    checkpoint in ONE committed table — the DV descriptor lives
+    INSIDE the checkpoint's add struct, the data files and
+    partitionValues keys carry physical col-<uuid> names, and the JSON
+    tail continues past the checkpoint."""
+    assert table_format(DELTA_CM) == "delta"
+    df = open_table(spark, DELTA_CM)
+    # logical names restored from the column-mapping metadata
+    assert df.columns == ["id", "txt", "lang"]
+    assert _rows(df) == [
+        (1, "alpha", "en"),
+        (3, "charlie", "en"),  # id=2 fell to the checkpointed DV
+        (4, "delta", "de"),
+        (5, "echo", "de"),
+        (8, "hotel", "en"),
+        (9, "india", "en"),
+    ]
+    # time travel to v0 (before the DV): id=2 alive again
+    v0 = open_table(spark, DELTA_CM, version=0)
+    assert (2, "bravo", "en") in _rows(v0)
+    # the checkpoint really is the replay source for v1+: its add
+    # struct carries the DV descriptor
+    import pyarrow.parquet as pq
+
+    cp = pq.read_table(
+        os.path.join(
+            DELTA_CM, "_delta_log", f"{1:020d}.checkpoint.parquet"
+        )
+    ).to_pylist()
+    dv_adds = [
+        r["add"]
+        for r in cp
+        if r.get("add") and r["add"].get("deletionVector")
+        and r["add"]["deletionVector"].get("storageType")
+    ]
+    assert len(dv_adds) == 1
+    assert dv_adds[0]["deletionVector"]["storageType"] == "u"
+
+
+def test_hudi_mor_rollover_rollback(spark):
+    """The cross-file rollback case hudi.py:827/:894 claims: a failed
+    T3 upsert's AVRO_DATA block sits in .log.1, the rollback
+    COMMAND_BLOCK in the .log.2 ROLLOVER — the scanner must apply it
+    across files or T3's records resurrect."""
+    import glob as _glob
+
+    from dataset_grouper_spark.sources import hudi_log
+
+    assert table_format(MOR_ROLLOVER) == "hudi"
+    logs = sorted(
+        _glob.glob(os.path.join(MOR_ROLLOVER, "lang=en", ".*.log.*")),
+        key=lambda p: int(p.rsplit(".log.", 1)[1].split("_")[0]),
+    )
+    assert len(logs) == 2 and ".log.2" in logs[1]
+    # unit pin, NO completed-instant filter: the command block ALONE
+    # must kill T3 — and reading only .log.1 (no command block) must
+    # still see it, proving the kill is cross-file, not coincidental
+    stream = hudi_log.read_log_stream_records(logs, completed=None)
+    assert not any("SHOULD_NOT_SURVIVE" in str(r[3]) for r in stream)
+    only1 = hudi_log.read_log_stream_records([logs[0]], completed=None)
+    assert any("SHOULD_NOT_SURVIVE" in str(r[3]) for r in only1)
+    # runtime: the merged view equals the plain hudi_mor fixture's
+    assert _rows(open_table(spark, MOR_ROLLOVER)) == [
+        (1, "alpha", "en"),
+        (2, "BRAVO!", "en"),
+        (9, "juliett", "en"),
+    ]
+
+
+def test_iceberg_runtime_foreign_v3_dv_plus_row_lineage(
+    spark, tmp_path
+):
+    """Runtime half, v3 DV + ROW LINEAGE together: every data entry
+    carries first_row_id (spec field-id 142), metadata records
+    next-row-id, and the deletes (v2 position delete on en0, DV on
+    en1) must never renumber survivors."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from make_foreign_fixtures import build_iceberg
+
+    from dataset_grouper_spark.sources.iceberg import read_iceberg
+
+    t = str(tmp_path / "ice_dv_rl")
+    os.makedirs(t)
+    build_iceberg(
+        t, absolute=True, with_deletes=True, with_dv=True,
+        with_lineage=True,
+    )
+    df = read_iceberg(spark, t, row_ids=True)
+    got = sorted(
+        (r.id, r.txt, r.lang, r._row_id) for r in df.collect()
+    )
+    assert got == [
+        (1, "alpha", "en", 0),
+        (3, "charlie", "en", 2),   # _row_id 1 (id=2) fell to v2 delete
+        (4, "delta", "de", 3),
+        (5, "echo", "de", 4),
+        (9, "india", "en", 6),     # _row_id 5 (id=8) fell to the DV
+    ]
+    meta = json.load(
+        open(os.path.join(t, "metadata", "v2.metadata.json"))
+    )
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 7

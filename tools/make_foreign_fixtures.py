@@ -457,6 +457,344 @@ def build_delta(root: str) -> None:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
 
 
+def build_delta_cm(root: str) -> None:
+    """The nasty combination (VERDICT r10 task 4): COLUMN MAPPING
+    (name mode) + a DELETION VECTOR + a PARQUET CHECKPOINT in one
+    Delta table — and the DV descriptor lives INSIDE the checkpoint's
+    add struct, so the reader must decode 'u'-storage DVs out of
+    parquet map/struct rows while renaming physical->logical columns.
+
+    Shape (Spark-Delta 3.x with delta.columnMapping.mode=name):
+    - data files store PHYSICAL column names (col-<uuid>), partition
+      dirs and add.partitionValues keys are physical too;
+    - protocol is reader 3 / writer 7 with BOTH features;
+    - v0 create, v1 DELETE adding the DV, checkpoint AT v1 (+
+      _last_checkpoint), v2 JSON append after the checkpoint.
+
+    Expected logical rows after replay: (1,alpha,en) (3,charlie,en)
+    (4,delta,de) (5,echo,de) (8,hotel,en) (9,india,en) — id=2 falls to
+    the DV.
+    """
+    import uuid as uuid_mod
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataset_grouper_spark.sources import roaring as R
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    # physical names, spec-style col-<uuid>
+    p_id = "col-7a8b9c0d-1e2f-3041-5263-748596a7b8c9"
+    p_txt = "col-8b9c0d1e-2f30-4152-6374-8596a7b8c9d0"
+    p_lang = "col-9c0d1e2f-3041-5263-7485-96a7b8c9d0e1"
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": p_id}},
+                {"name": "txt", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": p_txt}},
+                {"name": "lang", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 3,
+                              "delta.columnMapping.physicalName": p_lang}},
+            ],
+        },
+        separators=(",", ":"),
+    )
+    meta_action = {
+        "id": "0d1e2f30-4152-6374-8596-a7b8c9d0e1f2",
+        "name": None,
+        "description": None,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": ["lang"],
+        "configuration": {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": "3",
+        },
+        "createdTime": 1710600000000,
+    }
+    protocol_action = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping", "deletionVectors"],
+        "writerFeatures": ["columnMapping", "deletionVectors"],
+    }
+    en0 = (
+        f"{p_lang}=en/part-00000-1e2f3041-5263-7485-96a7-b8c9d0e1f203"
+        "-c000.snappy.parquet"
+    )
+    de0 = (
+        f"{p_lang}=de/part-00000-2f304152-6374-8596-a7b8-c9d0e1f20314"
+        "-c000.snappy.parquet"
+    )
+    en1 = (
+        f"{p_lang}=en/part-00000-30415263-7485-96a7-b8c9-d0e1f2031425"
+        "-c000.snappy.parquet"
+    )
+    # data files carry PHYSICAL names (the column-mapping contract)
+    sz_en0 = _write_parquet(
+        os.path.join(root, en0),
+        {p_id: [1, 2, 3], p_txt: ["alpha", "bravo", "charlie"]},
+    )
+    sz_de0 = _write_parquet(
+        os.path.join(root, de0),
+        {p_id: [4, 5], p_txt: ["delta", "echo"]},
+    )
+    sz_en1 = _write_parquet(
+        os.path.join(root, en1),
+        {p_id: [8, 9], p_txt: ["hotel", "india"]},
+    )
+
+    def stats(n, lo, hi):
+        # stats keys are PHYSICAL under column mapping (footer names)
+        return json.dumps(
+            {
+                "numRecords": n,
+                "minValues": {p_id: lo},
+                "maxValues": {p_id: hi},
+                "nullCount": {p_id: 0, p_txt: 0},
+            },
+            separators=(",", ":"),
+        )
+
+    c0 = [
+        {
+            "commitInfo": {
+                "timestamp": 1710600000000,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "ErrorIfExists",
+                    "partitionBy": '["lang"]',
+                },
+                "isolationLevel": "Serializable",
+                "isBlindAppend": True,
+                "operationMetrics": {
+                    "numFiles": "2",
+                    "numOutputRows": "5",
+                    "numOutputBytes": str(sz_en0 + sz_de0),
+                },
+                "engineInfo": "Apache-Spark/3.5.1 Delta-Lake/3.1.0",
+                "txnId": "41526374-8596-a7b8-c9d0-e1f203142536",
+            }
+        },
+        {"protocol": protocol_action},
+        {"metaData": meta_action},
+        {
+            "add": {
+                "path": en0,
+                "partitionValues": {p_lang: "en"},
+                "size": sz_en0,
+                "modificationTime": 1710600000000,
+                "dataChange": True,
+                "stats": stats(3, 1, 3),
+            }
+        },
+        {
+            "add": {
+                "path": de0,
+                "partitionValues": {p_lang: "de"},
+                "size": sz_de0,
+                "modificationTime": 1710600000000,
+                "dataChange": True,
+                "stats": stats(2, 4, 5),
+            }
+        },
+    ]
+    # v1: DELETE id=2 via a 'u'-storage deletion vector on en0
+    dv_uuid = uuid_mod.UUID("52637485-96a7-b8c9-d0e1-f20314253647")
+    offset, size, card = R.dv_file_write(
+        os.path.join(root, f"deletion_vector_{dv_uuid}.bin"), [1]
+    )
+    dv_desc = {
+        "storageType": "u",
+        "pathOrInlineDv": R.z85_encode(dv_uuid.bytes),
+        "offset": offset,
+        "sizeInBytes": size,
+        "cardinality": card,
+    }
+    c1 = [
+        {
+            "commitInfo": {
+                "timestamp": 1710600060000,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": '["(id = 2)"]'},
+                "readVersion": 0,
+                "isolationLevel": "Serializable",
+                "isBlindAppend": False,
+                "operationMetrics": {
+                    "numDeletedRows": "1",
+                    "numDeletionVectorsAdded": "1",
+                },
+                "engineInfo": "Apache-Spark/3.5.1 Delta-Lake/3.1.0",
+                "txnId": "63748596-a7b8-c9d0-e1f2-031425364758",
+            }
+        },
+        {
+            "remove": {
+                "path": en0,
+                "deletionTimestamp": 1710600060000,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": {p_lang: "en"},
+                "size": sz_en0,
+            }
+        },
+        {
+            "add": {
+                "path": en0,
+                "partitionValues": {p_lang: "en"},
+                "size": sz_en0,
+                "modificationTime": 1710600000000,
+                "dataChange": True,
+                "stats": stats(3, 1, 3),
+                "deletionVector": dv_desc,
+            }
+        },
+    ]
+    for v, actions in [(0, c0), (1, c1)]:
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+    # checkpoint AT v1: the live adds (one carrying the DV descriptor
+    # as a parquet STRUCT), protocol WITH feature lists, column-mapped
+    # metaData — the full combination in one parquet file
+    map_ss = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", map_ss),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("tags", map_ss),
+            ("deletionVector", dv_t),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("extendedFileMetadata", pa.bool_()),
+            ("partitionValues", map_ss),
+            ("size", pa.int64()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct(
+                [("provider", pa.string()), ("options", map_ss)]
+            )),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_ss),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    protocol_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    cp_schema = pa.schema(
+        [
+            ("add", add_t),
+            ("remove", remove_t),
+            ("metaData", meta_t),
+            ("protocol", protocol_t),
+        ]
+    )
+    cp_rows = [
+        {"protocol": protocol_action},
+        {"metaData": meta_action},
+        {
+            "add": {
+                "path": en0,
+                "partitionValues": {p_lang: "en"},
+                "size": sz_en0,
+                "modificationTime": 1710600000000,
+                "dataChange": False,
+                "stats": stats(3, 1, 3),
+                "tags": {},
+                "deletionVector": dv_desc,
+            }
+        },
+        {
+            "add": {
+                "path": de0,
+                "partitionValues": {p_lang: "de"},
+                "size": sz_de0,
+                "modificationTime": 1710600000000,
+                "dataChange": False,
+                "stats": stats(2, 4, 5),
+                "tags": {},
+                "deletionVector": None,
+            }
+        },
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(cp_rows, schema=cp_schema),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+        compression="snappy",
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(cp_rows)}, f)
+    # v2: JSON append after the checkpoint
+    c2 = [
+        {
+            "commitInfo": {
+                "timestamp": 1710600120000,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append",
+                                        "partitionBy": '["lang"]'},
+                "readVersion": 1,
+                "isolationLevel": "Serializable",
+                "isBlindAppend": True,
+                "operationMetrics": {"numFiles": "1",
+                                     "numOutputRows": "2",
+                                     "numOutputBytes": str(sz_en1)},
+                "engineInfo": "Apache-Spark/3.5.1 Delta-Lake/3.1.0",
+                "txnId": "74859607-b8c9-d0e1-f203-142536475869",
+            }
+        },
+        {
+            "add": {
+                "path": en1,
+                "partitionValues": {p_lang: "en"},
+                "size": sz_en1,
+                "modificationTime": 1710600120000,
+                "dataChange": True,
+                "stats": stats(2, 8, 9),
+            }
+        },
+    ]
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as f:
+        for a in c2:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+
 # ------------------------------------------------------------- Iceberg
 
 
@@ -587,6 +925,33 @@ _ICE_MANIFEST_ENTRY_DV = {
     ],
 }
 
+# v3 row-lineage data entry: the same full stats block PLUS
+# first_row_id (spec "Row Lineage", field-id 142)
+_ICE_DATA_FILE_RL = {
+    "type": "record",
+    "name": "r2rl",
+    "fields": [dict(f) for f in _ICE_DATA_FILE["fields"]]
+    + [
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 142},
+    ],
+}
+
+_ICE_MANIFEST_ENTRY_RL = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": _ICE_DATA_FILE_RL, "field-id": 2},
+    ],
+}
+
 _ICE_FIELD_SUMMARY = {
     "type": "array",
     "items": {
@@ -655,7 +1020,7 @@ def _ice_stats(n_rows: int, lo: int, hi: int, sizes: dict) -> dict:
 
 def build_iceberg(
     root: str, absolute: bool = False, with_deletes: bool = False,
-    with_dv: bool = False,
+    with_dv: bool = False, with_lineage: bool = False,
 ) -> None:
     """Spark-Iceberg/pyiceberg v2 shaped table: 2 snapshots, identity
     partition on lang (source column kept in the data, per spec).
@@ -668,7 +1033,13 @@ def build_iceberg(
     whose footer carries foreign rider properties, a DV manifest with
     the full stats block plus the three v3 fields, and the metadata
     upgraded to format-version 3 (the realistic v2->v3 upgrade shape:
-    old position deletes stay valid for files without DVs)."""
+    old position deletes stay valid for files without DVs);
+    ``with_lineage`` (VERDICT r10 task 4: DV + ROW LINEAGE together)
+    stamps every data entry with ``first_row_id`` (spec field-id 142,
+    en0=0 de0=3 en1=5) and records ``next-row-id``=7 — deletes must
+    never renumber survivors, so with the v2 delete killing (en0,1)
+    and the DV killing (en1,0) the surviving ``_row_id``s are
+    0,2,3,4,6."""
     from dataset_grouper_spark.sources.avro import write_avro_file
 
     meta = os.path.join(root, "metadata")
@@ -694,6 +1065,9 @@ def build_iceberg(
     def loc(rel: str) -> str:
         return f"file://{root}/{rel}" if absolute else rel
 
+    # v3 row lineage: per-file first_row_id in file-creation order
+    frid = {en0: 0, de0: 3, en1: 5}
+
     def entry(path, n, lo, hi, lang, seq):
         return {
             "status": 1,
@@ -711,13 +1085,19 @@ def build_iceberg(
                     n, lo, hi, {1: 64, 2: 96, 3: 48}
                 ),
                 "equality_ids": None,
+                **(
+                    {"first_row_id": frid[path]} if with_lineage else {}
+                ),
             },
         }
 
+    entry_schema = (
+        _ICE_MANIFEST_ENTRY_RL if with_lineage else _ICE_MANIFEST_ENTRY
+    )
     m0 = "metadata/829a93a4-b5c6-d7e8-f90a-1b2c3d4e5f60-m0.avro"
     write_avro_file(
         os.path.join(root, m0),
-        _ICE_MANIFEST_ENTRY,
+        entry_schema,
         [
             entry(en0, 3, 1, 3, "en", 1),
             entry(de0, 2, 4, 5, "de", 1),
@@ -726,7 +1106,7 @@ def build_iceberg(
     m1 = "metadata/93a4a4b5-c6d7-e8f9-0a1b-2c3d4e5f6071-m0.avro"
     write_avro_file(
         os.path.join(root, m1),
-        _ICE_MANIFEST_ENTRY,
+        entry_schema,
         [entry(en1, 2, 8, 9, "en", 2)],
     )
 
@@ -869,6 +1249,8 @@ def build_iceberg(
         last_seq = 3
 
     fmt_version = 2
+    if with_lineage:
+        fmt_version = 3  # row lineage is a v3 feature
     if with_dv:
         if not with_deletes:
             raise ValueError("with_dv requires with_deletes")
@@ -956,6 +1338,7 @@ def build_iceberg(
 
     meta_json = {
         "format-version": fmt_version,
+        **({"next-row-id": 7} if with_lineage else {}),
         "table-uuid": "d7e8f90a-2c3d-4e5f-6071-82939aa4b5c6",
         # the reader plans from the path it is GIVEN; location is a
         # rider (kept foreign-realistic, not checkout-dependent)
@@ -1190,10 +1573,21 @@ def build_hudi_cow(root: str) -> None:
             f.write("{}")
 
 
-def build_hudi_mor(root: str) -> None:
+def build_hudi_mor(
+    root: str, with_rollover_rollback: bool = False
+) -> None:
     """Hudi 0.14 MoR shape: base slice + a real HoodieLogFormat log
     (AVRO_DATA upsert with meta fields, v3 DELETE block) under a
-    deltacommit, real ``.{fid}_{base}.log.1_{token}`` naming."""
+    deltacommit, real ``.{fid}_{base}.log.1_{token}`` naming.
+
+    ``with_rollover_rollback`` (VERDICT r10 task 4) builds the exact
+    cross-file case hudi.py:827/:894 claims to handle: a FAILED T3
+    upsert's AVRO_DATA block appended to ``.log.1``, then the rollback
+    COMMAND_BLOCK (T4, TARGET_INSTANT_TIME=T3) written to a
+    ``.log.2`` ROLLOVER file — the scanner must apply the command
+    block across files or the rolled-back records resurrect. Timeline
+    realism: T3 has no completed instant (its pending files were
+    removed by the rollback) and T4 is a completed ``.rollback``."""
     from dataset_grouper_spark.sources import hudi_log
 
     hp = os.path.join(root, ".hoodie")
@@ -1239,18 +1633,35 @@ def build_hudi_mor(root: str) -> None:
         }
 
     log_rel = f"lang=en/.{FID_EN}_{T1}.log.1_0-9-31"
-    hudi_log.write_log_file(
-        os.path.join(root, log_rel),
-        [
+    blocks = [
+        hudi_log.encode_avro_data_block(
+            [rec("2", 2, "BRAVO!"), rec("9", 9, "juliett")],
+            schema, T2,
+        ),
+        hudi_log.encode_delete_block(
+            [{"recordKey": "3", "partitionPath": "lang=en"}], T2
+        ),
+    ]
+    if with_rollover_rollback:
+        # a FAILED T3 upsert's leftovers in .log.1: one record that
+        # corrupts an existing key, one phantom insert — both must
+        # vanish once the rollover command block applies
+        t3 = "20240315110000789"
+
+        def rec3(key, id_, txt):
+            r = rec(key, id_, txt)
+            r["_hoodie_commit_time"] = t3
+            r["_hoodie_commit_seqno"] = f"{t3}_0_{id_}"
+            return r
+
+        blocks.append(
             hudi_log.encode_avro_data_block(
-                [rec("2", 2, "BRAVO!"), rec("9", 9, "juliett")],
-                schema, T2,
-            ),
-            hudi_log.encode_delete_block(
-                [{"recordKey": "3", "partitionPath": "lang=en"}], T2
-            ),
-        ],
-    )
+                [rec3("9", 9, "SHOULD_NOT_SURVIVE"),
+                 rec3("5", 5, "phantom")],
+                schema, t3,
+            )
+        )
+    hudi_log.write_log_file(os.path.join(root, log_rel), blocks)
     log_size = os.path.getsize(os.path.join(root, log_rel))
     st = _hudi_write_stats(
         "lang=en", FID_EN, log_rel, T1, 3, log_size, updates=1
@@ -1258,6 +1669,33 @@ def build_hudi_mor(root: str) -> None:
     st["totalLogRecords"] = 3
     st["totalLogBlocks"] = 2
     _hudi_commit(hp, T2, "deltacommit", {"lang=en": [st]}, "UPSERT")
+    if with_rollover_rollback:
+        # rollback COMMAND_BLOCK in a ROLLOVER file (.log.2) — the
+        # cross-file application unit; plus the completed .rollback
+        # timeline instant real Hudi leaves behind
+        t3 = "20240315110000789"
+        t4 = "20240315113000021"
+        log2_rel = f"lang=en/.{FID_EN}_{T1}.log.2_0-13-47"
+        hudi_log.write_log_file(
+            os.path.join(root, log2_rel),
+            [hudi_log.encode_rollback_block(t4, t3)],
+        )
+        for suffix in ("rollback.requested", "rollback.inflight"):
+            with open(os.path.join(hp, f"{t4}.{suffix}"), "w") as f:
+                f.write("{}")
+        with open(os.path.join(hp, f"{t4}.rollback"), "w") as f:
+            json.dump(
+                {
+                    "startRollbackTime": t4,
+                    "timeTakenInMillis": 142,
+                    "totalFilesDeleted": 0,
+                    "commitsRollback": [t3],
+                    "instantsRollback": [
+                        {"commitTime": t3, "action": "deltacommit"}
+                    ],
+                },
+                f,
+            )
 
 
 def main() -> int:
@@ -1266,6 +1704,11 @@ def main() -> int:
         ("iceberg", build_iceberg),
         ("hudi_cow", build_hudi_cow),
         ("hudi_mor", build_hudi_mor),
+        ("delta_cm", build_delta_cm),
+        (
+            "hudi_mor_rollover",
+            lambda d: build_hudi_mor(d, with_rollover_rollback=True),
+        ),
     ]:
         dst = os.path.join(FIXDIR, sub)
         if os.path.isdir(dst):

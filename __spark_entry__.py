@@ -4659,6 +4659,26 @@ def q_text_hashed_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_cosine_cells_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The TEXT-side cell-blocked scale path (VERDICT r10 task 1):
+    hashed-TF vectors -> auto-sized flat cells -> exact pairing only
+    WITHIN cells (probe-2 boundary rider). Same exact math per pair as
+    q_text_hashed_cosine_pairs, O(n * cell) total work instead of
+    O(n^2) — the variant a 100 TB text-dedup run uses. The vector
+    frame is persisted once (tiny: dim doubles per doc) so the cell
+    sizing count and the pair join share one featurization pass."""
+    from dataset_grouper_spark.cache import persist_tracked
+
+    df = read_table(spark, sf, "documents")
+    vecs = persist_tracked(
+        featurize.hashed_tf(df, "text", "doc_id", TF_DIM, normalize=False)
+    )
+    return similarity.cosine_pairs_cells(
+        vecs, "vector", "doc_id", TF_COSINE_T,
+        probe=SEMDEDUP_PROBE, target_cell_rows=SEMDEDUP_TARGET,
+    )
+
+
 def q_moving_avg_events(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user analytic window: 3-event moving average and running
     max of value in time order (capabilities the reference lacks
@@ -8257,6 +8277,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "json_props_events": q_json_props_events,
         "text_hashed_cosine_pairs": q_text_hashed_cosine_pairs,
+        "text_cosine_cells_documents": q_text_cosine_cells_documents,
         "moving_avg_events": q_moving_avg_events,
         "stratified_sample_documents": q_stratified_sample_documents,
         "neardup_clusters_documents": q_neardup_clusters_documents,
@@ -8347,6 +8368,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
+    "text_cosine_cells_documents",
     "semdedup_cells_embeddings",
     "streaming_windowed_counts",
     "streaming_session_windows",
@@ -11353,6 +11375,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_hashed_cosine_pairs": featurize.sparse_cosine_sql(
             "documents", "text", "doc_id", TF_DIM, TF_COSINE_T
+        ),
+        "text_cosine_cells_documents": oracles.cosine_pairs_cells_sql(
+            featurize.hashed_tf_dense_sql(
+                "documents", "text", "doc_id", TF_DIM
+            ),
+            "n",  # auto cell count derives from the VECTOR frame
+            TF_COSINE_T, "auto", SEMDEDUP_PROBE,
+            target_cell_rows=SEMDEDUP_TARGET,
         ),
         "moving_avg_events": """
             SELECT user_id, event_id,

@@ -144,3 +144,36 @@ def sparse_cosine_sql(
       FROM dots JOIN norms x ON id_a = x._id JOIN norms y ON id_b = y._id
       WHERE round_even(d / (x.n * y.n), 6) >= {threshold}
     """
+
+
+def hashed_tf_dense_sql(
+    table: str, text_col: str, id_col: str, dim: int
+) -> str:
+    """CTE BODY (not a full statement) producing ``(_id, v)`` — the
+    dense hashed-TF count vector as a double list, the DuckDB twin of
+    :func:`hashed_tf` with ``normalize=False``. Docs with zero tokens
+    drop out, exactly like the Spark side's explode. Plugs into
+    ``oracles.cosine_pairs_cells_sql``'s ``n_body``."""
+    from dataset_grouper_spark.oracles import md5_long_sql
+
+    stripped = (
+        f"regexp_replace(coalesce({text_col}, ''), "
+        "'^\\s+|\\s+$', '', 'g')"
+    )
+    h = md5_long_sql("tok")
+    terms = ", ".join(
+        f"coalesce(CAST(map_extract(m, {i})[1] AS DOUBLE), 0)"
+        for i in range(dim)
+    )
+    return f"""
+        SELECT _id, [{terms}] AS v FROM (
+          SELECT _id, map(list(bucket), list(cnt)) AS m FROM (
+            SELECT _id, ({h}) % {dim} AS bucket, count(*) AS cnt
+            FROM (
+              SELECT {id_col} AS _id,
+                     unnest(string_split({stripped}, ' ')) AS tok
+              FROM {table}
+            ) GROUP BY _id, bucket
+          ) GROUP BY _id
+        )
+    """

@@ -305,6 +305,75 @@ def ivf_topk_flat_sql(
     """
 
 
+def _cells_ctes(
+    n_body: str,
+    count_from: str,
+    num_cells: int | str,
+    probe: int,
+    target_cell_rows: int,
+) -> str:
+    """Shared cell-construction CTE chain (``n`` -> ``cents`` ->
+    ``asg`` -> ``cand``) for the cosine_pairs_cells twins. ``n_body``
+    must yield ``(_id, v double list)``; ``count_from`` is the
+    relation whose row count drives the "auto" cell count (must match
+    the Spark side's ``df.count()``)."""
+    h = md5_long_sql("CAST(_id AS VARCHAR)")
+    if num_cells == "auto":
+        limit = (
+            "(SELECT GREATEST(1, CAST(ceil(count(*) / "
+            f"CAST({target_cell_rows} AS DOUBLE)) AS BIGINT)) "
+            f"FROM {count_from})"
+        )
+        probe_expr = f"LEAST({probe}, (SELECT count(*) FROM cents))"
+    else:
+        limit = str(int(num_cells))
+        probe_expr = str(int(probe))
+    return f"""
+      n AS ({n_body}),
+      cents AS (
+        SELECT _id AS cent_id, v AS cent_v FROM n
+        ORDER BY {h}, _id LIMIT {limit}
+      ),
+      asg AS (
+        SELECT _id, cell FROM (
+          SELECT n._id, ct.cent_id AS cell,
+                 row_number() OVER (PARTITION BY n._id
+                   ORDER BY list_distance(n.v, ct.cent_v), ct.cent_id) AS r
+          FROM n CROSS JOIN cents ct
+        ) WHERE r <= {probe_expr}
+      ),
+      cand AS (
+        SELECT DISTINCT x._id AS id_a, y._id AS id_b
+        FROM asg x JOIN asg y ON x.cell = y.cell AND x._id < y._id
+      )"""
+
+
+def cosine_pairs_cells_sql(
+    n_body: str,
+    count_from: str,
+    threshold: float,
+    num_cells: int | str,
+    probe: int,
+    round_digits: int = 6,
+    target_cell_rows: int = 4096,
+) -> str:
+    """Twin of similarity.cosine_pairs_cells over an arbitrary
+    ``(_id, v)`` vector CTE body: emits ``(id_a, id_b, cosine)`` for
+    every cell-sharing pair above threshold."""
+    cells = _cells_ctes(
+        n_body, count_from, num_cells, probe, target_cell_rows
+    )
+    return f"""
+      WITH {cells}
+      SELECT c.id_a, c.id_b,
+             {_cos('a.v', 'b.v', round_digits)} AS cosine
+      FROM cand c
+      JOIN n a ON a._id = c.id_a
+      JOIN n b ON b._id = c.id_b
+      WHERE {_cos('a.v', 'b.v', round_digits)} >= {threshold}
+    """
+
+
 def semdedup_cells_sql(
     table: str,
     vec_col: str,
@@ -322,37 +391,15 @@ def semdedup_cells_sql(
     components, singletons labeling themselves. ``num_cells="auto"``
     mirrors the Spark side's count-derived cell count (ceil(n /
     target_cell_rows), probe clamped to it)."""
-    h = md5_long_sql("CAST(_id AS VARCHAR)")
-    if num_cells == "auto":
-        limit = (
-            "(SELECT GREATEST(1, CAST(ceil(count(*) / "
-            f"CAST({target_cell_rows} AS DOUBLE)) AS BIGINT)) "
-            f"FROM {table})"
-        )
-        probe_expr = f"LEAST({probe}, (SELECT count(*) FROM cents))"
-    else:
-        limit = str(int(num_cells))
-        probe_expr = str(int(probe))
+    cells = _cells_ctes(
+        f"SELECT {id_col} AS _id, {_dbl(vec_col)} AS v FROM {table}",
+        table,
+        num_cells,
+        probe,
+        target_cell_rows,
+    )
     return f"""
-      WITH RECURSIVE n AS (
-        SELECT {id_col} AS _id, {_dbl(vec_col)} AS v FROM {table}
-      ),
-      cents AS (
-        SELECT _id AS cent_id, v AS cent_v FROM n
-        ORDER BY {h}, _id LIMIT {limit}
-      ),
-      asg AS (
-        SELECT _id, cell FROM (
-          SELECT n._id, ct.cent_id AS cell,
-                 row_number() OVER (PARTITION BY n._id
-                   ORDER BY list_distance(n.v, ct.cent_v), ct.cent_id) AS r
-          FROM n CROSS JOIN cents ct
-        ) WHERE r <= {probe_expr}
-      ),
-      cand AS (
-        SELECT DISTINCT x._id AS id_a, y._id AS id_b
-        FROM asg x JOIN asg y ON x.cell = y.cell AND x._id < y._id
-      ),
+      WITH RECURSIVE {cells},
       e0 AS (
         SELECT c.id_a, c.id_b
         FROM cand c

@@ -73,6 +73,7 @@ PROBE = [
     "text_hashed_cosine_pairs",
     "embedding_neardup_clusters",
     "semdedup_cells_embeddings",
+    "text_cosine_cells_documents",
 ]
 
 

@@ -170,19 +170,18 @@ def cosine_pairs(
         F.col(vec_col).alias("_vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
     )
-    a_side = blocked.select(
+    # ONE explode enumerates both tile sides (see _tile_sides) — the
+    # former a-side/b-side union recomputed the upstream plan twice
+    sides = blocked.select(
         "_id",
         "_vec",
-        F.col("_blk").alias("_pi"),
-        F.explode(F.sequence(F.col("_blk"), F.lit(B - 1))).alias("_pj"),
-        F.lit(0).alias("_side"),
-    )
-    b_side = blocked.select(
+        F.explode(_tile_sides(F.col("_blk"), F.lit(B))).alias("_p"),
+    ).select(
         "_id",
         "_vec",
-        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_pi"),
-        F.col("_blk").alias("_pj"),
-        F.lit(1).alias("_side"),
+        F.col("_p._pi").alias("_pi"),
+        F.col("_p._pj").alias("_pj"),
+        F.col("_p._side").alias("_side"),
     )
 
     def tile(key, pdf):
@@ -219,10 +218,8 @@ def cosine_pairs(
             id_a, id_b = np.minimum(x, y), np.maximum(x, y)
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bi]})
 
-    return (
-        a_side.unionByName(b_side)
-        .groupBy("_pi", "_pj")
-        .applyInPandas(tile, schema="id_a long, id_b long, cosine double")
+    return sides.groupBy("_pi", "_pj").applyInPandas(
+        tile, schema="id_a long, id_b long, cosine double"
     )
 
 
@@ -273,12 +270,19 @@ def cosine_pairs_cells(
 
     Scale shape: one broadcast of ``num_cells`` centroid rows against
     the corpus, one groupBy to pick each vector's probe cells
-    (map-side partial agg), per-cell counts as a tiny broadcast, then
-    the same triangle tile join as ``cosine_pairs`` keyed by
-    (cell, block-pair) — no task ever holds more than ~2 *
-    ``target_block_rows`` vectors, hot cells spread across their own
-    block triangle. Any change to the pairing contract must be
-    mirrored in the DuckDB twin (``oracles.semdedup_cells_sql``).
+    (map-side partial agg) — PERSISTED, so the per-cell counts and the
+    tile sides read the assignment once instead of recomputing the
+    cross-join aggregation per consumer (the .explain audit showed 4
+    recomputes without it; the cached frame is one (id, vec, cells)
+    row per vector, disk-spillable) — per-cell counts as a tiny
+    broadcast, then the same triangle tile join as ``cosine_pairs``
+    keyed by (cell, block-pair), both tile sides generated in ONE
+    explode. No task ever holds more than ~2 * ``target_block_rows``
+    vectors; hot cells spread across their own block triangle. Any
+    change to the pairing contract must be mirrored in the DuckDB twin
+    (``oracles.semdedup_cells_sql``). The returned frame reads the
+    tracked cache: consume it before
+    ``cache.release_intermediates()``.
     """
     import math
 
@@ -297,6 +301,8 @@ def cosine_pairs_cells(
             f"cosine_pairs_cells: probe must be in [1, num_cells], got "
             f"{probe} with num_cells={num_cells}"
         )
+    from dataset_grouper_spark.cache import persist_tracked
+
     cents = _flat_centroids(df, vec_col, id_col, num_cells)
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
@@ -304,7 +310,7 @@ def cosine_pairs_cells(
     # each vector's `probe` nearest cells in ONE map-side-combinable
     # aggregation (collect_list is num_cells structs per row — tiny);
     # first(_vec) rides the same shuffle, saving the re-join
-    per_row = (
+    per_row = persist_tracked(
         base.crossJoin(F.broadcast(cents))
         .withColumn("_d2", _dist2(F.col("_vec"), F.col("_cent_v")))
         .groupBy("_id")
@@ -342,25 +348,20 @@ def cosine_pairs_cells(
         "_blk",
         F.pmod(F.xxhash64(F.col("_id")), F.col("_B")).cast("int"),
     )
-    a_side = blocked.select(
+    sides = blocked.select(
         "_cell",
         "_id",
         "_vec",
         "_cells",
-        F.col("_blk").alias("_pi"),
-        F.explode(
-            F.sequence(F.col("_blk"), F.col("_B") - F.lit(1))
-        ).alias("_pj"),
-        F.lit(0).alias("_side"),
-    )
-    b_side = blocked.select(
+        F.explode(_tile_sides(F.col("_blk"), F.col("_B"))).alias("_p"),
+    ).select(
         "_cell",
         "_id",
         "_vec",
         "_cells",
-        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_pi"),
-        F.col("_blk").alias("_pj"),
-        F.lit(1).alias("_side"),
+        F.col("_p._pi").alias("_pi"),
+        F.col("_p._pj").alias("_pj"),
+        F.col("_p._side").alias("_side"),
     )
     multi = probe > 1
 
@@ -415,11 +416,30 @@ def cosine_pairs_cells(
             id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
 
-    return (
-        a_side.unionByName(b_side)
-        .groupBy("_cell", "_pi", "_pj")
-        .applyInPandas(tile, schema="id_a long, id_b long, cosine double")
+    return sides.groupBy("_cell", "_pi", "_pj").applyInPandas(
+        tile, schema="id_a long, id_b long, cosine double"
     )
+
+
+def _tile_sides(blk: Column, b: Column) -> Column:
+    """Array of (_pi, _pj, _side) structs enumerating every triangle
+    tile a row participates in: side A of pairs ``(blk, j >= blk)``
+    and side B of ``(i <= blk, blk)`` — the diagonal tile gets the row
+    on BOTH sides. One explode of this array replaces the
+    a-side/b-side union, halving upstream recomputation."""
+    a = F.transform(
+        F.sequence(blk, b - F.lit(1)),
+        lambda j: F.struct(
+            blk.alias("_pi"), j.alias("_pj"), F.lit(0).alias("_side")
+        ),
+    )
+    bb = F.transform(
+        F.sequence(F.lit(0), blk),
+        lambda i: F.struct(
+            i.alias("_pi"), blk.alias("_pj"), F.lit(1).alias("_side")
+        ),
+    )
+    return F.concat(a, bb)
 
 
 def cosine_topk_blocked(

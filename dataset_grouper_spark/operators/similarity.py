@@ -268,15 +268,15 @@ def cosine_pairs_cells(
     count in auto mode (a corpus smaller than one cell degrades to the
     exact join).
 
-    Scale shape: one broadcast of ``num_cells`` centroid rows against
-    the corpus, one groupBy to pick each vector's probe cells
-    (map-side partial agg) — PERSISTED, so the per-cell counts and the
-    tile sides read the assignment once instead of recomputing the
-    cross-join aggregation per consumer (the .explain audit showed 4
-    recomputes without it; the cached frame is one (id, vec, cells)
-    row per vector, disk-spillable) — per-cell counts as a tiny
+    Scale shape: cell assignment is ONE Arrow-vectorized map over the
+    corpus (the C centroid rows — planning-scale, one per cell — are
+    broadcast as a numpy matrix; each batch computes its distances in
+    BLAS), PERSISTED so the per-cell counts and the tile sides read
+    the assignment once (the .explain audit showed 4 recomputes
+    without it; the cached frame is one (id, vec, cells) row per
+    vector, disk-spillable). Per-cell counts come back as a tiny
     broadcast, then the same triangle tile join as ``cosine_pairs``
-    keyed by (cell, block-pair), both tile sides generated in ONE
+    runs keyed by (cell, block-pair), both tile sides generated in ONE
     explode. No task ever holds more than ~2 * ``target_block_rows``
     vectors; hot cells spread across their own block triangle. Any
     change to the pairing contract must be mirrored in the DuckDB twin
@@ -307,29 +307,60 @@ def cosine_pairs_cells(
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     )
-    # each vector's `probe` nearest cells in ONE map-side-combinable
-    # aggregation (collect_list is num_cells structs per row — tiny);
-    # first(_vec) rides the same shuffle, saving the re-join
-    per_row = persist_tracked(
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("_d2", _dist2(F.col("_vec"), F.col("_cent_v")))
-        .groupBy("_id")
-        .agg(
-            F.first("_vec").alias("_vec"),
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_d2"), F.col("_cent_id")))
-                ),
-                1,
-                probe,
-            ).alias("_top"),
+    # assignment as ONE vectorized map over the corpus: the C centroid
+    # rows are a bounded planning-scale collect (same policy as every
+    # other guarded collect in this repo — one row per CELL, never per
+    # data row), broadcast as a numpy matrix, and each Arrow batch
+    # computes its (batch x C) distance matrix in BLAS. No n x C
+    # intermediate rows, no assignment shuffle. Two slower designs
+    # died in the 10x probe: the exploded crossJoin+groupBy shuffled
+    # n*C wide rows (exponent 1.31), and a Catalyst higher-order-
+    # function rewrite kept the explosion out but HOFs are
+    # CodegenFallback — 4e8 interpreted ops measured ~90s where BLAS
+    # takes <1s. Tie semantics match the DuckDB twin: centroid
+    # columns sit in cent_id order and the stable argsort breaks
+    # equal distances toward the smaller cent_id. Broadcast bytes =
+    # C * dim * 8 (~50 MB at 1e5 cells); corpora needing more cells
+    # want a two-level coarse quantizer.
+    cent_rows = cents.collect()  # bounded: one row per cell
+    spark = df.sparkSession
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
         )
-        .select(
-            "_id",
-            "_vec",
-            F.transform(F.col("_top"), lambda s: s["_cent_id"]).alias(
-                "_cells"
-            ),
+    cent_rows.sort(key=lambda r: r["_cent_id"])
+    cent_ids = np.array(
+        [r["_cent_id"] for r in cent_rows], dtype="int64"
+    )
+    cmat = np.array([r["_cent_v"] for r in cent_rows], dtype="float64")
+    bc = spark.sparkContext.broadcast((cent_ids, cmat))
+    k = min(probe, len(cent_rows))
+
+    def _cells_of_fn(vecs):
+        import pandas as pd
+
+        ids, cm = bc.value
+        out = []
+        arr = np.array(list(vecs), dtype="float64")
+        # chunk so the (chunk x C x dim) difference tensor stays
+        # bounded (~64 MB) whatever the cell count; the direct
+        # (v - c)^2 form is kept (NOT the v^2+c^2-2vc BLAS identity)
+        # because near-duplicate corpora put vectors at ~zero distance
+        # from a centroid, where the expanded form's cancellation
+        # error could flip the argmin vs the oracle
+        step = max(32, min(1024, (64 << 20) // max(1, cm.size * 8)))
+        for lo in range(0, len(arr), step):
+            chunk = arr[lo : lo + step]
+            d2 = ((chunk[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+            out.extend(ids[row].tolist() for row in idx)
+        return pd.Series(out)
+
+    _cells_of = F.pandas_udf(_cells_of_fn, "array<long>")
+
+    per_row = persist_tracked(
+        base.select(
+            "_id", "_vec", _cells_of(F.col("_vec")).alias("_cells")
         )
     )
     exploded = per_row.select(
@@ -401,18 +432,28 @@ def cosine_pairs_cells(
         if multi and len(ai):
             # multi-probe: a pair sharing >1 cell appears in each —
             # emit only in its canonical (smallest shared) cell, so
-            # every found pair surfaces exactly once with no
-            # dedup shuffle downstream
-            a_cells = list(a["_cells"])
-            b_cells = list(bb["_cells"])
-            keep = np.fromiter(
-                (
-                    min(set(a_cells[i]) & set(b_cells[j])) == cell
-                    for i, j in zip(ai, bi)
-                ),
-                dtype=bool,
-                count=len(ai),
+            # every found pair surfaces exactly once with no dedup
+            # shuffle downstream. Vectorized: pad each side's cell
+            # list to a (rows, probe) matrix with side-distinct
+            # sentinels (so padding never matches padding), then the
+            # min over element-wise-equal entries is the smallest
+            # shared cell.
+            def pad(series, fill):
+                lists = list(series)
+                width = max(len(c) for c in lists)
+                m = np.full((len(lists), width), fill, dtype="int64")
+                for r, c in enumerate(lists):
+                    m[r, : len(c)] = c
+                return m
+
+            big = np.iinfo("int64").max
+            am = pad(a["_cells"], -1)[ai]
+            bm = pad(bb["_cells"], -2)[bi]
+            eq = am[:, :, None] == bm[:, None, :]
+            shared_min = np.where(eq, am[:, :, None], big).min(
+                axis=(1, 2)
             )
+            keep = shared_min == cell
             id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
 

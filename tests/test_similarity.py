@@ -721,20 +721,30 @@ def test_cosine_pairs_cells_probe_validation(vecs):
 
 
 def test_cosine_pairs_cells_never_collects_corpus(vecs, monkeypatch):
-    # 100 TB guard: plan construction must not pull rows to the driver
-    # (per-cell block counts ride a broadcast JOIN, not a collect)
+    # 100 TB guard: the ONLY driver-side pull during plan construction
+    # is the bounded centroid collect (one row per CELL — planning
+    # scale); per-cell block counts ride a broadcast JOIN, and the
+    # corpus itself never reaches the driver
     df, _ = vecs
     cls = _patchable_df_class()
+    orig = cls.collect
+    sizes = []
+
+    def spy(self, *a, **k):
+        rows = orig(self, *a, **k)
+        sizes.append(len(rows))
+        return rows
 
     def boom(self, *a, **k):
         raise AssertionError("driver-side corpus materialization")
 
-    monkeypatch.setattr(cls, "collect", boom)
+    monkeypatch.setattr(cls, "collect", spy)
     monkeypatch.setattr(cls, "toPandas", boom)
     plan = similarity.cosine_pairs_cells(
         df, "embedding", "vec_id", 0.9, num_cells=4
     )
     assert "id_a" in plan.columns
+    assert sizes == [4], f"unexpected driver pulls: {sizes}"
 
 
 def test_embedding_neardup_clusters_cell_mode(spark):

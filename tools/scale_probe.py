@@ -209,6 +209,7 @@ def main() -> int:
     if "--entity-fix" in sys.argv:
         return entity_fix_probe()
 
+    import bench as benchmod
     import __spark_entry__ as entrymod
     from dataset_grouper_spark.cache import release_intermediates
     from dataset_grouper_spark.session import get_spark
@@ -222,6 +223,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     out: dict[str, dict] = {}
+    # the same machine-speed calibrators bench.py embeds (r11): a
+    # probe window whose per-tier calibrators disagree had its load
+    # change mid-run — exponents from it are attribution-unsafe
+    cals = {"start": benchmod._calibrate(spark, SRC)}
     for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", DST)]:
         for name in PROBE:
             t0 = time.perf_counter()
@@ -233,6 +238,7 @@ def main() -> int:
             release_intermediates()
             entrymod._knn_cache_clear()
             print(f"{sf_name} {name}: {dt}s", file=sys.stderr)
+        cals["after_" + sf_name] = benchmod._calibrate(spark, SRC)
     import math
 
     for name, rec in out.items():
@@ -240,7 +246,13 @@ def main() -> int:
         # exponent e such that time ~ data^e (10x data step)
         rec["exponent"] = round(math.log10(max(rec["ratio"], 0.01)), 2)
     line = json.dumps(
-        {"replicas": REPLICAS, "probe": out, "note": "cold one-pass"}
+        {
+            "replicas": REPLICAS,
+            "probe": out,
+            "calibrators": cals,
+            "calibrator_ref": benchmod.CALIBRATOR_REF,
+            "note": "cold one-pass",
+        }
     )
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
         f.write(line + "\n")

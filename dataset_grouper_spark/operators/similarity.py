@@ -260,12 +260,19 @@ def cosine_pairs_cells(
 
     ``num_cells=None`` (the corpus-scale default) derives the cell
     count from a distributed count at a ``target_cell_rows`` occupancy
-    — CELLS SCALE WITH THE CORPUS, so within-cell work stays
-    O(n * target_cell_rows) = linear at any n. A FIXED ``num_cells``
-    keeps within-cell work at O(n^2 / C): fine for bounded corpora,
-    quadratic again at 100x — pass it only when the cell count is part
-    of an external contract. ``probe`` is clamped to the derived cell
-    count in auto mode (a corpus smaller than one cell degrades to the
+    — CELLS SCALE WITH THE CORPUS, so the within-cell PAIRING work
+    stays O(n * target_cell_rows). The cost accounting is honest about
+    its second term: assignment is n x C BLAS distance evaluations,
+    which with C = n/target is O(n^2 * dim / target) FLOPs — the same
+    asymptotic the published SemDeDup pays for its k-means assignment
+    (they size K with the corpus too). The BLAS constant keeps it
+    cheap through ~1e5 cells (the broadcast-matrix bound documented
+    below); past that a two-level coarse quantizer is the known fix
+    and this single-level implementation is the wrong tool. A FIXED
+    ``num_cells`` makes assignment linear but within-cell pairing
+    O(n^2 / C) — pass it only when the cell count is part of an
+    external contract. ``probe`` is clamped to the derived cell count
+    in auto mode (a corpus smaller than one cell degrades to the
     exact join).
 
     Scale shape: cell assignment is ONE Arrow-vectorized map over the

@@ -8368,56 +8368,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
-    "text_cosine_cells_documents",
-    "semdedup_cells_embeddings",
-    "streaming_windowed_counts",
-    "streaming_session_windows",
-    "streaming_stateful_counts",
-    "streaming_dedup_distinct",
-    "streaming_attribution_events",
-    "streaming_attribution_outer",
-    "snapshot_time_travel",
-    "bpe_merges_documents",
-    "pagerank_partsupp",
-    "compaction_roundtrip",
-    "audio_features_wav",
-    "audio_resample_wav",
-    "video_frame_sample",
-    "tpch_q7_nation_volume",
-    "bucketed_colocated_join",
-    "streaming_iceberg_sink",
-    "iceberg_stats_skipping",
-    "gapfill_daily_events",
-    "resample_linear_events",
-    "iceberg_compaction",
-    "delta_table_history",
-    "streaming_iceberg_source",
-    "iceberg_schema_evolution",
-    "table_diff_versions",
-    "tfrecord_roundtrip",
-    "partitioned_roundtrip",
-    "gopher_quality_documents",
-    "ngram_counts_documents",
-    "pii_redact_documents",
-    "winnow_fingerprints_documents",
-    "clean_text_documents",
-    "cms_user_counts_events",
-    "contamination_documents",
-    "incremental_dedup_documents",
-    "cosine_topk_embeddings",
-    "streaming_incremental_dedup",
-    "multimodal_gif_pixels",
-    "multimodal_jpeg_pixels",
-    "matview_refresh_documents",
-    "matview_join_refresh",
-    "k_anonymize_customers",
-    "l_diversity_documents",
-    "audio_frame_energy",
-    "streaming_matview_sums",
-    "line_dedup_documents",
-    "ols_chars_documents",
-    "audio_adpcm_features",
-    "audio_flac_features",
     "iceberg_mor_delete",
     "delta_mor_delete",
     "hll_distinct_events",
@@ -8593,6 +8543,56 @@ _QUERY_ORDER: list[str] = [
     "pipeline_ingest_style",
     "interval_attribution_events",
     "foreign_lakehouse_fixtures",
+    "tfrecord_roundtrip",
+    "partitioned_roundtrip",
+    "gopher_quality_documents",
+    "ngram_counts_documents",
+    "pii_redact_documents",
+    "winnow_fingerprints_documents",
+    "clean_text_documents",
+    "cms_user_counts_events",
+    "contamination_documents",
+    "incremental_dedup_documents",
+    "cosine_topk_embeddings",
+    "streaming_incremental_dedup",
+    "multimodal_gif_pixels",
+    "multimodal_jpeg_pixels",
+    "matview_refresh_documents",
+    "matview_join_refresh",
+    "k_anonymize_customers",
+    "l_diversity_documents",
+    "audio_frame_energy",
+    "streaming_matview_sums",
+    "line_dedup_documents",
+    "ols_chars_documents",
+    "audio_adpcm_features",
+    "audio_flac_features",
+    "streaming_iceberg_sink",
+    "iceberg_stats_skipping",
+    "gapfill_daily_events",
+    "resample_linear_events",
+    "iceberg_compaction",
+    "delta_table_history",
+    "streaming_iceberg_source",
+    "iceberg_schema_evolution",
+    "table_diff_versions",
+    "text_cosine_cells_documents",
+    "semdedup_cells_embeddings",
+    "streaming_windowed_counts",
+    "streaming_session_windows",
+    "streaming_stateful_counts",
+    "streaming_dedup_distinct",
+    "streaming_attribution_events",
+    "streaming_attribution_outer",
+    "snapshot_time_travel",
+    "bpe_merges_documents",
+    "pagerank_partsupp",
+    "compaction_roundtrip",
+    "audio_features_wav",
+    "audio_resample_wav",
+    "video_frame_sample",
+    "tpch_q7_nation_volume",
+    "bucketed_colocated_join",
 ]
 # --- END GENERATED _QUERY_ORDER ---
 

@@ -1901,6 +1901,52 @@ def q_semdedup_cells_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# two-level quantizer contract (VERDICT r11 task 1): target 8 rows/cell
+# forces the derived cell count past the 4-cell tier threshold at every
+# driver scale (n >= 33 rows -> C = ceil(n/8) > 4), so these queries
+# always exercise the TWO-LEVEL path while the static SQL twins encode
+# the same two-level contract unconditionally
+TWOLEVEL_TARGET, TWOLEVEL_THRESHOLD, TWOLEVEL_COARSE_PROBE = 8, 4, 2
+
+
+def q_semdedup_twolevel_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level cell-blocked SemDeDup (VERDICT r11 task 1) — the
+    100 TB-scale assignment path: only ceil(sqrt(C)) coarse centroids
+    are ever broadcast; fine centroids resolve their coarse home
+    distributedly; vectors meet only their probed coarse cells' fine
+    centroids in a salted cogroup. Assignment FLOPs n*sqrt(C)*(1 +
+    coarse_probe) instead of the single-level n*C — no broadcast or
+    per-task working set grows with the corpus. Cell target forced
+    tiny here so the two-level tier engages at driver scales."""
+    df = read_table(spark, sf, "embeddings")
+    return similarity.embedding_neardup_clusters(
+        df, "embedding", "vec_id", EMB_NEARDUP_T,
+        num_cells="auto", probe=SEMDEDUP_PROBE,
+        target_cell_rows=TWOLEVEL_TARGET,
+        two_level_threshold=TWOLEVEL_THRESHOLD,
+        coarse_probe=TWOLEVEL_COARSE_PROBE,
+    )
+
+
+def q_text_cosine_twolevel_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level cell-blocked text near-dup pairs (VERDICT r11 task 1)
+    — hashed-TF vectors through the same two-level coarse quantizer as
+    q_semdedup_twolevel_embeddings, emitting the within-cell cosine
+    pairs directly (the edge tier a text-dedup pipeline consumes)."""
+    from dataset_grouper_spark.cache import persist_tracked
+
+    df = read_table(spark, sf, "documents")
+    vecs = persist_tracked(
+        featurize.hashed_tf(df, "text", "doc_id", TF_DIM, normalize=False)
+    )
+    return similarity.cosine_pairs_cells(
+        vecs, "vector", "doc_id", TF_COSINE_T,
+        probe=SEMDEDUP_PROBE, target_cell_rows=TWOLEVEL_TARGET,
+        two_level_threshold=TWOLEVEL_THRESHOLD,
+        coarse_probe=TWOLEVEL_COARSE_PROBE,
+    )
+
+
 def q_winnow_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS) over documents —
     Karp-Rabin kernel, one narrow Catalyst projection. The cascade is
@@ -8285,6 +8331,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_survivors": q_dedup_exact_survivors,
         "embedding_neardup_clusters": q_embedding_neardup_clusters,
         "semdedup_cells_embeddings": q_semdedup_cells_embeddings,
+        "semdedup_twolevel_embeddings": q_semdedup_twolevel_embeddings,
+        "text_cosine_twolevel_documents": q_text_cosine_twolevel_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
@@ -8368,6 +8416,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
+    "semdedup_twolevel_embeddings",
+    "text_cosine_twolevel_documents",
     "iceberg_mor_delete",
     "delta_mor_delete",
     "hll_distinct_events",
@@ -9343,6 +9393,12 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", "embedding", "vec_id",
             EMB_NEARDUP_T, "auto", SEMDEDUP_PROBE,
             target_cell_rows=SEMDEDUP_TARGET,
+        ),
+        "semdedup_twolevel_embeddings": oracles.semdedup_cells_sql(
+            "embeddings", "embedding", "vec_id",
+            EMB_NEARDUP_T, "auto", SEMDEDUP_PROBE,
+            target_cell_rows=TWOLEVEL_TARGET,
+            two_level=True, coarse_probe=TWOLEVEL_COARSE_PROBE,
         ),
         "winnow_fingerprints_documents": textanalysis.winnow_fingerprints_sql(
             "documents", "text", "doc_id", 8, 4
@@ -11383,6 +11439,15 @@ def oracle_sql() -> dict[str, str]:
             "n",  # auto cell count derives from the VECTOR frame
             TF_COSINE_T, "auto", SEMDEDUP_PROBE,
             target_cell_rows=SEMDEDUP_TARGET,
+        ),
+        "text_cosine_twolevel_documents": oracles.cosine_pairs_cells_sql(
+            featurize.hashed_tf_dense_sql(
+                "documents", "text", "doc_id", TF_DIM
+            ),
+            "n",
+            TF_COSINE_T, "auto", SEMDEDUP_PROBE,
+            target_cell_rows=TWOLEVEL_TARGET,
+            two_level=True, coarse_probe=TWOLEVEL_COARSE_PROBE,
         ),
         "moving_avg_events": """
             SELECT user_id, event_id,

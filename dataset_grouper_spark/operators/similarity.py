@@ -233,6 +233,9 @@ def cosine_pairs_cells(
     round_digits: int = 6,
     target_block_rows: int = 4096,
     target_cell_rows: int = 4096,
+    two_level_threshold: int = 20_000,
+    coarse_probe: int = 2,
+    target_assign_rows: int = 65_536,
 ) -> DataFrame:
     """Cell-blocked near-duplicate pairs — the corpus-scale SemDeDup
     edge generator (Abbas et al. 2023, §3: dedup WITHIN coarse
@@ -261,14 +264,29 @@ def cosine_pairs_cells(
     ``num_cells=None`` (the corpus-scale default) derives the cell
     count from a distributed count at a ``target_cell_rows`` occupancy
     — CELLS SCALE WITH THE CORPUS, so the within-cell PAIRING work
-    stays O(n * target_cell_rows). The cost accounting is honest about
-    its second term: assignment is n x C BLAS distance evaluations,
-    which with C = n/target is O(n^2 * dim / target) FLOPs — the same
-    asymptotic the published SemDeDup pays for its k-means assignment
-    (they size K with the corpus too). The BLAS constant keeps it
-    cheap through ~1e5 cells (the broadcast-matrix bound documented
-    below); past that a two-level coarse quantizer is the known fix
-    and this single-level implementation is the wrong tool. A FIXED
+    stays O(n * target_cell_rows). Assignment is tiered on the cell
+    count: up to ``two_level_threshold`` cells the SINGLE-LEVEL
+    quantizer broadcasts all C centroids and pays n x C BLAS distance
+    evaluations — with C = n/target that is O(n^2 * dim / target)
+    FLOPs, cheap through ~1e5 cells but the wrong tool past it. Above
+    the threshold the TWO-LEVEL quantizer engages: the first
+    ceil(sqrt(C)) centroids (in the same hash order — a PREFIX of the
+    fine set, so both levels share one deterministic contract) become
+    coarse cells; every fine centroid is assigned to its nearest
+    coarse cell (distributed, broadcast = sqrt(C) x dim only); every
+    vector probes its ``coarse_probe`` nearest coarse cells and takes
+    its ``probe`` nearest FINE cells among the fine centroids living
+    under those coarse cells (salted cogroup — no task ever sees more
+    than ~``target_assign_rows`` vectors x that coarse cell's fine
+    centroids). Assignment FLOPs drop from n x C to
+    n x sqrt(C) x (1 + coarse_probe) and NO broadcast grows with C —
+    the scale bound the single-level path documented is gone. The
+    two-level argmin is approximate by contract (a vector whose true
+    nearest fine cell hides under an unprobed coarse cell gets its
+    best PROBED cell — the standard IVF trade); the DuckDB twin
+    (``oracles`` two-level mode) implements the identical contract,
+    so it is oracle-exact, and near-identical vectors still quantize
+    together almost surely, which is all SemDeDup needs. A FIXED
     ``num_cells`` makes assignment linear but within-cell pairing
     O(n^2 / C) — pass it only when the cell count is part of an
     external contract. ``probe`` is clamped to the derived cell count
@@ -314,62 +332,171 @@ def cosine_pairs_cells(
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     )
-    # assignment as ONE vectorized map over the corpus: the C centroid
-    # rows are a bounded planning-scale collect (same policy as every
-    # other guarded collect in this repo — one row per CELL, never per
-    # data row), broadcast as a numpy matrix, and each Arrow batch
-    # computes its (batch x C) distance matrix in BLAS. No n x C
-    # intermediate rows, no assignment shuffle. Two slower designs
-    # died in the 10x probe: the exploded crossJoin+groupBy shuffled
-    # n*C wide rows (exponent 1.31), and a Catalyst higher-order-
-    # function rewrite kept the explosion out but HOFs are
-    # CodegenFallback — 4e8 interpreted ops measured ~90s where BLAS
-    # takes <1s. Tie semantics match the DuckDB twin: centroid
-    # columns sit in cent_id order and the stable argsort breaks
-    # equal distances toward the smaller cent_id. Broadcast bytes =
-    # C * dim * 8 (~50 MB at 1e5 cells); corpora needing more cells
-    # want a two-level coarse quantizer.
-    cent_rows = cents.collect()  # bounded: one row per cell
     spark = df.sparkSession
-    if not cent_rows:
-        return spark.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
+    if num_cells <= two_level_threshold:
+        # SINGLE-LEVEL assignment, one vectorized map over the corpus:
+        # the C centroid rows are a bounded planning-scale collect
+        # (same policy as every other guarded collect in this repo —
+        # one row per CELL, never per data row), broadcast as a numpy
+        # matrix, and each Arrow batch computes its (batch x C)
+        # distance matrix in BLAS. No n x C intermediate rows, no
+        # assignment shuffle. Two slower designs died in the 10x
+        # probe: the exploded crossJoin+groupBy shuffled n*C wide
+        # rows (exponent 1.31), and a Catalyst higher-order-function
+        # rewrite kept the explosion out but HOFs are CodegenFallback
+        # — 4e8 interpreted ops measured ~90s where BLAS takes <1s.
+        # Tie semantics match the DuckDB twin: centroid columns sit
+        # in cent_id order and the stable argsort breaks equal
+        # distances toward the smaller cent_id. Broadcast bytes =
+        # C * dim * 8 (~50 MB at the 1e5-cell threshold); past the
+        # threshold the two-level branch below takes over.
+        cent_rows = cents.collect()  # bounded: one row per cell
+        if not cent_rows:
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        bc = _centroid_broadcast(spark, cent_rows)
+        k = min(probe, len(cent_rows))
+        per_row = persist_tracked(
+            base.select(
+                "_id",
+                "_vec",
+                _nearest_cells_udf(bc, k)(F.col("_vec")).alias("_cells"),
+            )
         )
-    cent_rows.sort(key=lambda r: r["_cent_id"])
-    cent_ids = np.array(
-        [r["_cent_id"] for r in cent_rows], dtype="int64"
-    )
-    cmat = np.array([r["_cent_v"] for r in cent_rows], dtype="float64")
-    bc = spark.sparkContext.broadcast((cent_ids, cmat))
-    k = min(probe, len(cent_rows))
-
-    def _cells_of_fn(vecs):
-        import pandas as pd
-
-        ids, cm = bc.value
-        out = []
-        arr = np.array(list(vecs), dtype="float64")
-        # chunk so the (chunk x C x dim) difference tensor stays
-        # bounded (~64 MB) whatever the cell count; the direct
-        # (v - c)^2 form is kept (NOT the v^2+c^2-2vc BLAS identity)
-        # because near-duplicate corpora put vectors at ~zero distance
-        # from a centroid, where the expanded form's cancellation
-        # error could flip the argmin vs the oracle
-        step = max(32, min(1024, (64 << 20) // max(1, cm.size * 8)))
-        for lo in range(0, len(arr), step):
-            chunk = arr[lo : lo + step]
-            d2 = ((chunk[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
-            out.extend(ids[row].tolist() for row in idx)
-        return pd.Series(out)
-
-    _cells_of = F.pandas_udf(_cells_of_fn, "array<long>")
-
-    per_row = persist_tracked(
-        base.select(
-            "_id", "_vec", _cells_of(F.col("_vec")).alias("_cells")
+    else:
+        # TWO-LEVEL assignment: only the ceil(sqrt(C)) coarse
+        # centroids — a PREFIX of the fine set in the same (md5, id)
+        # order, so both levels share one deterministic contract —
+        # are ever collected/broadcast. Fine centroids get their
+        # coarse home distributedly (C x sqrt(C) BLAS over the cents
+        # frame); vectors probe their coarse_probe nearest coarse
+        # cells (n x sqrt(C) BLAS), then meet ONLY their probed
+        # coarse cells' fine centroids in a salted cogroup whose
+        # per-task working set is bounded by target_assign_rows
+        # vectors x that cell's fine centroids. The global
+        # probe-nearest merge over the per-coarse-cell winners is one
+        # groupBy: per-group top-probe always contains the global
+        # top-probe. Tie law everywhere: (distance, cent_id) — the
+        # fine matrix is sorted by cent_id inside each task and the
+        # stable argsort breaks equal distances toward the smaller
+        # id, exactly the DuckDB twin's ORDER BY list_distance,
+        # cent_id.
+        n_coarse = max(1, math.ceil(math.sqrt(num_cells)))
+        coarse_rows = _flat_centroids(
+            df, vec_col, id_col, n_coarse
+        ).collect()  # bounded: ~sqrt(C) rows
+        if not coarse_rows:
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        bc_co = _centroid_broadcast(spark, coarse_rows)
+        kco = min(coarse_probe, len(coarse_rows))
+        k = min(probe, num_cells)
+        _coarse_of = _nearest_cells_udf(bc_co, kco)
+        f2c = cents.select(
+            "_cent_id",
+            "_cent_v",
+            F.element_at(_coarse_of(F.col("_cent_v")), 1).alias("_co"),
         )
-    )
+        vpro = persist_tracked(
+            base.select(
+                "_id",
+                "_vec",
+                F.explode(_coarse_of(F.col("_vec"))).alias("_co"),
+            )
+        )
+        # per-coarse-cell vector counts -> salt fan-out, tiny
+        # broadcast (one row per NON-EMPTY probed coarse cell); fine
+        # centroids replicate across their cell's salts so every
+        # (cell, salt) bucket sees the full fine set it must rank
+        co_cnt = vpro.groupBy("_co").agg(
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.count("*") / F.lit(target_assign_rows)),
+            )
+            .cast("int")
+            .alias("_S")
+        )
+        vpro_s = vpro.join(F.broadcast(co_cnt), "_co").withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("_id")), F.col("_S")).cast("int"),
+        )
+        f2c_s = f2c.join(F.broadcast(co_cnt), "_co").select(
+            "_co",
+            "_cent_id",
+            "_cent_v",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_S") - F.lit(1))
+            ).alias("_salt"),
+        )
+        id_t = base.schema["_id"].dataType.simpleString()
+        vec_t = base.schema["_vec"].dataType.simpleString()
+
+        def fine_assign(left, right):
+            import pandas as pd
+
+            if left.empty or right.empty:
+                return pd.DataFrame(
+                    {"_id": [], "_vec": [], "_cell": [], "_d2": []}
+                )
+            r = right.sort_values("_cent_id")
+            fids = r["_cent_id"].to_numpy(dtype="int64")
+            fmat = np.array(list(r["_cent_v"]), dtype="float64")
+            kk = min(k, len(fids))
+            vecs_list = list(left["_vec"])
+            lid = left["_id"].to_numpy()
+            arr = np.array(vecs_list, dtype="float64")
+            ids_out, cell_out, d2_out, vec_out = [], [], [], []
+            # same chunk bound + direct (v - c)^2 form as the
+            # single-level UDF (cancellation-safe near zero distance)
+            step = max(
+                32, min(1024, (64 << 20) // max(1, fmat.size * 8))
+            )
+            for lo in range(0, len(arr), step):
+                chunk = arr[lo : lo + step]
+                d2 = ((chunk[:, None, :] - fmat[None, :, :]) ** 2).sum(
+                    -1
+                )
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                rows = np.repeat(np.arange(len(chunk)), idx.shape[1])
+                cols = idx.ravel()
+                ids_out.append(lid[lo + rows])
+                cell_out.append(fids[cols])
+                d2_out.append(d2[rows, cols])
+                vec_out.extend(vecs_list[lo + i] for i in rows)
+            return pd.DataFrame(
+                {
+                    "_id": np.concatenate(ids_out),
+                    "_vec": vec_out,
+                    "_cell": np.concatenate(cell_out),
+                    "_d2": np.concatenate(d2_out),
+                }
+            )
+
+        cand_cells = (
+            vpro_s.groupBy("_co", "_salt")
+            .cogroup(f2c_s.groupBy("_co", "_salt"))
+            .applyInPandas(
+                fine_assign,
+                schema=(
+                    f"_id {id_t}, _vec {vec_t}, _cell long, _d2 double"
+                ),
+            )
+        )
+        top = F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_d2"), F.col("_cell")))
+            ),
+            1,
+            k,
+        )
+        per_row = persist_tracked(
+            cand_cells.groupBy("_id").agg(
+                F.first("_vec").alias("_vec"),
+                F.transform(top, lambda s: s["_cell"]).alias("_cells"),
+            )
+        )
     exploded = per_row.select(
         "_id", "_vec", "_cells", F.explode("_cells").alias("_cell")
     )
@@ -912,6 +1039,45 @@ def _flat_centroids(
     )
 
 
+def _centroid_broadcast(spark, cent_rows):
+    """Broadcast collected ``(_cent_id, _cent_v)`` rows as (ids,
+    matrix) numpy pair, rows sorted by cent_id so a stable argsort
+    over the matrix's distance columns breaks ties toward the smaller
+    centroid id (the oracle's ORDER BY list_distance, cent_id)."""
+    cent_rows = sorted(cent_rows, key=lambda r: r["_cent_id"])
+    ids = np.array([r["_cent_id"] for r in cent_rows], dtype="int64")
+    mat = np.array([r["_cent_v"] for r in cent_rows], dtype="float64")
+    return spark.sparkContext.broadcast((ids, mat))
+
+
+def _nearest_cells_udf(bc, k: int):
+    """Arrow-vectorized argmin-k over a broadcast centroid matrix:
+    array<long> of the k nearest centroid ids per input vector, ties
+    to the smaller id (stable argsort over id-ordered columns). Each
+    batch chunks so the (chunk x C x dim) difference tensor stays
+    bounded (~64 MB) whatever the cell count; the direct (v - c)^2
+    form is kept (NOT the v^2+c^2-2vc BLAS identity) because
+    near-duplicate corpora put vectors at ~zero distance from a
+    centroid, where the expanded form's cancellation error could flip
+    the argmin vs the oracle."""
+
+    def fn(vecs):
+        import pandas as pd
+
+        ids, cm = bc.value
+        out = []
+        arr = np.array(list(vecs), dtype="float64")
+        step = max(32, min(1024, (64 << 20) // max(1, cm.size * 8)))
+        for lo in range(0, len(arr), step):
+            chunk = arr[lo : lo + step]
+            d2 = ((chunk[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+            out.extend(ids[row].tolist() for row in idx)
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "array<long>")
+
+
 def _assign_cells(
     corpus: DataFrame, vec_col: str, id_col: str, cents: DataFrame
 ) -> DataFrame:
@@ -1285,6 +1451,8 @@ def embedding_neardup_clusters(
     num_cells: int | str | None = None,
     probe: int = 1,
     target_cell_rows: int = 4096,
+    two_level_threshold: int = 20_000,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """Semantic (embedding-cosine) near-duplicate clustering — the
     SemDeDup-style dedup tier (Abbas et al. 2023): vectors whose cosine
@@ -1321,6 +1489,8 @@ def embedding_neardup_clusters(
             None if num_cells == "auto" else num_cells,
             probe=probe,
             target_cell_rows=target_cell_rows,
+            two_level_threshold=two_level_threshold,
+            coarse_probe=coarse_probe,
         )
     else:
         edges = cosine_pairs(

@@ -9,6 +9,8 @@ an execution path of the engine.
 
 from __future__ import annotations
 
+import math
+
 from dataset_grouper_spark.functions.hashing import (
     MERSENNE31,
     md5_long_sql,
@@ -311,12 +313,26 @@ def _cells_ctes(
     num_cells: int | str,
     probe: int,
     target_cell_rows: int,
+    two_level: bool = False,
+    coarse_probe: int = 2,
 ) -> str:
     """Shared cell-construction CTE chain (``n`` -> ``cents`` ->
     ``asg`` -> ``cand``) for the cosine_pairs_cells twins. ``n_body``
     must yield ``(_id, v double list)``; ``count_from`` is the
     relation whose row count drives the "auto" cell count (must match
-    the Spark side's ``df.count()``)."""
+    the Spark side's ``df.count()``).
+
+    ``two_level=True`` mirrors the Spark side's two-level coarse
+    quantizer (similarity.cosine_pairs_cells past
+    ``two_level_threshold``): the first ceil(sqrt(C)) centroids in
+    the SAME (md5, id) order become coarse cells; each fine centroid
+    is assigned to its nearest coarse cell (ties to the smaller coarse
+    id); each vector takes its ``probe`` nearest FINE cells among the
+    fine centroids of its ``coarse_probe`` nearest coarse cells. The
+    caller must only use this when the Spark side's derived cell
+    count exceeds its threshold at EVERY scale the query runs at —
+    the SQL chain is static while the Spark tier switch is a runtime
+    comparison."""
     h = md5_long_sql("CAST(_id AS VARCHAR)")
     if num_cells == "auto":
         limit = (
@@ -325,21 +341,76 @@ def _cells_ctes(
             f"FROM {count_from})"
         )
         probe_expr = f"LEAST({probe}, (SELECT count(*) FROM cents))"
+        # coarse count = ceil(sqrt(C)) with C the DERIVED cell count
+        # (not count(cents)): mirrors the Spark side, which sizes the
+        # coarse level from num_cells before ever materializing cents
+        coarse_limit = (
+            "(SELECT GREATEST(1, CAST(ceil(sqrt(ceil(count(*) / "
+            f"CAST({target_cell_rows} AS DOUBLE)))) AS BIGINT)) "
+            f"FROM {count_from})"
+        )
     else:
         limit = str(int(num_cells))
         probe_expr = str(int(probe))
-    return f"""
+        coarse_limit = str(
+            max(1, math.ceil(math.sqrt(int(num_cells))))
+        )
+    cents = f"""
       n AS ({n_body}),
       cents AS (
         SELECT _id AS cent_id, v AS cent_v FROM n
         ORDER BY {h}, _id LIMIT {limit}
-      ),
+      )"""
+    if not two_level:
+        return f"""{cents},
       asg AS (
         SELECT _id, cell FROM (
           SELECT n._id, ct.cent_id AS cell,
                  row_number() OVER (PARTITION BY n._id
                    ORDER BY list_distance(n.v, ct.cent_v), ct.cent_id) AS r
           FROM n CROSS JOIN cents ct
+        ) WHERE r <= {probe_expr}
+      ),
+      cand AS (
+        SELECT DISTINCT x._id AS id_a, y._id AS id_b
+        FROM asg x JOIN asg y ON x.cell = y.cell AND x._id < y._id
+      )"""
+    hc = md5_long_sql("CAST(cent_id AS VARCHAR)")
+    coarse_probe_expr = (
+        f"LEAST({int(coarse_probe)}, (SELECT count(*) FROM coarse))"
+    )
+    return f"""{cents},
+      coarse AS (
+        SELECT cent_id AS co_id, cent_v AS co_v FROM (
+          SELECT cent_id, cent_v,
+                 row_number() OVER (ORDER BY {hc}, cent_id) AS r
+          FROM cents
+        ) WHERE r <= {coarse_limit}
+      ),
+      f2c AS (
+        SELECT cent_id, cent_v, co_id FROM (
+          SELECT c.cent_id, c.cent_v, co.co_id,
+                 row_number() OVER (PARTITION BY c.cent_id
+                   ORDER BY list_distance(c.cent_v, co.co_v), co.co_id) AS r
+          FROM cents c CROSS JOIN coarse co
+        ) WHERE r = 1
+      ),
+      vpro AS (
+        SELECT _id, co_id FROM (
+          SELECT n._id, co.co_id,
+                 row_number() OVER (PARTITION BY n._id
+                   ORDER BY list_distance(n.v, co.co_v), co.co_id) AS r
+          FROM n CROSS JOIN coarse co
+        ) WHERE r <= {coarse_probe_expr}
+      ),
+      asg AS (
+        SELECT _id, cell FROM (
+          SELECT p._id, f.cent_id AS cell,
+                 row_number() OVER (PARTITION BY p._id
+                   ORDER BY list_distance(nn.v, f.cent_v), f.cent_id) AS r
+          FROM vpro p
+          JOIN f2c f ON f.co_id = p.co_id
+          JOIN n nn ON nn._id = p._id
         ) WHERE r <= {probe_expr}
       ),
       cand AS (
@@ -356,12 +427,16 @@ def cosine_pairs_cells_sql(
     probe: int,
     round_digits: int = 6,
     target_cell_rows: int = 4096,
+    two_level: bool = False,
+    coarse_probe: int = 2,
 ) -> str:
     """Twin of similarity.cosine_pairs_cells over an arbitrary
     ``(_id, v)`` vector CTE body: emits ``(id_a, id_b, cosine)`` for
-    every cell-sharing pair above threshold."""
+    every cell-sharing pair above threshold. ``two_level`` mirrors
+    the two-level coarse quantizer (see ``_cells_ctes``)."""
     cells = _cells_ctes(
-        n_body, count_from, num_cells, probe, target_cell_rows
+        n_body, count_from, num_cells, probe, target_cell_rows,
+        two_level=two_level, coarse_probe=coarse_probe,
     )
     return f"""
       WITH {cells}
@@ -383,6 +458,8 @@ def semdedup_cells_sql(
     probe: int,
     round_digits: int = 6,
     target_cell_rows: int = 4096,
+    two_level: bool = False,
+    coarse_probe: int = 2,
 ) -> str:
     """Twin of similarity.embedding_neardup_clusters(num_cells=...):
     hash-sampled flat centroids (same scheme as ivf_topk_flat_sql),
@@ -390,13 +467,16 @@ def semdedup_cells_sql(
     sharing a cell, exact cosine edge filter, recursive-CTE connected
     components, singletons labeling themselves. ``num_cells="auto"``
     mirrors the Spark side's count-derived cell count (ceil(n /
-    target_cell_rows), probe clamped to it)."""
+    target_cell_rows), probe clamped to it). ``two_level`` mirrors
+    the two-level coarse quantizer (see ``_cells_ctes``)."""
     cells = _cells_ctes(
         f"SELECT {id_col} AS _id, {_dbl(vec_col)} AS v FROM {table}",
         table,
         num_cells,
         probe,
         target_cell_rows,
+        two_level=two_level,
+        coarse_probe=coarse_probe,
     )
     return f"""
       WITH RECURSIVE {cells},

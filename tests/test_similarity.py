@@ -806,3 +806,124 @@ def test_cosine_pairs_cells_auto_sizing(vecs):
         ).count()
         == len(exact)
     )
+
+
+# ---- two-level coarse quantizer (VERDICT r11 task 1) ----
+
+
+def _twolevel(df, threshold=0.3, **kw):
+    kw.setdefault("num_cells", 12)
+    kw.setdefault("probe", 2)
+    kw.setdefault("two_level_threshold", 4)
+    kw.setdefault("coarse_probe", 2)
+    return similarity.cosine_pairs_cells(
+        df, "embedding", "vec_id", threshold, **kw
+    )
+
+
+def test_twolevel_full_coarse_probe_equals_single_level(vecs):
+    # coarse_probe >= coarse count means every vector sees EVERY fine
+    # centroid as a candidate, so the two-level argmin degenerates to
+    # the single-level exact argmin — results must match exactly
+    df, _ = vecs
+    single = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, num_cells=12, probe=2
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in _twolevel(df, coarse_probe=12).collect()
+    }
+    assert got == single
+
+
+def test_twolevel_subset_of_exact_and_planted_dup(vecs):
+    df, _ = vecs
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs(
+            df, "embedding", "vec_id", 0.3
+        ).collect()
+    }
+    got = {(r.id_a, r.id_b, r.cosine) for r in _twolevel(df).collect()}
+    assert got <= exact
+    assert any(a == 0 and b == 59 for a, b, _c in got)
+
+
+def test_twolevel_salting_invariant(vecs):
+    # forcing many salt buckets (7 rows per assignment task) must not
+    # change the result: per-group top-probe winners merge to the same
+    # global top-probe whatever the bucketing
+    df, _ = vecs
+    wide = {(r.id_a, r.id_b, r.cosine) for r in _twolevel(df).collect()}
+    salted = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in _twolevel(df, target_assign_rows=7).collect()
+    }
+    assert salted == wide
+
+
+def test_twolevel_pair_emitted_once(vecs):
+    df, _ = vecs
+    got = [(r.id_a, r.id_b) for r in _twolevel(df).collect()]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+
+
+def test_twolevel_never_collects_corpus(vecs, monkeypatch):
+    # 100 TB guard: the ONLY driver-side pull is the bounded COARSE
+    # centroid collect (ceil(sqrt(C)) rows) — neither the corpus nor
+    # the C fine centroids ever reach the driver
+    df, _ = vecs
+    cls = _patchable_df_class()
+    orig = cls.collect
+    sizes = []
+
+    def spy(self, *a, **k):
+        rows = orig(self, *a, **k)
+        sizes.append(len(rows))
+        return rows
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side corpus materialization")
+
+    monkeypatch.setattr(cls, "collect", spy)
+    monkeypatch.setattr(cls, "toPandas", boom)
+    plan = _twolevel(df, num_cells=16, coarse_probe=2)
+    assert "id_a" in plan.columns
+    assert sizes == [4], f"unexpected driver pulls: {sizes}"
+
+
+def test_twolevel_auto_mode_engages_past_threshold(vecs):
+    # auto cell count 60/8 = 8 cells > threshold 4: the two-level tier
+    # must engage (observable as the sqrt-C coarse collect) and still
+    # find the planted dup
+    df, _ = vecs
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.3, probe=2,
+            target_cell_rows=8, two_level_threshold=4, coarse_probe=2,
+        ).collect()
+    }
+    assert (0, 59) in got
+
+
+def test_twolevel_neardup_clusters_passthrough(spark):
+    # embedding_neardup_clusters forwards the two-level knobs; planted
+    # dup pair must land in one cluster, ids preserved
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((40, 8))
+    m[39] = m[7] + 1e-4
+    rows = [(i, [float(x) for x in m[i]]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    out = similarity.embedding_neardup_clusters(
+        df, "embedding", "vec_id", 0.99, num_cells="auto", probe=2,
+        target_cell_rows=4, two_level_threshold=4, coarse_probe=2,
+    )
+    lab = {r.vec_id: r.cluster_id for r in out.collect()}
+    assert len(lab) == 40
+    assert lab[39] == lab[7] == 7

@@ -6865,10 +6865,13 @@ def q_iceberg_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
     land sorted in one file, lineage is enabled (the retrofit assigns
     first_row_id in file order), odds append afterwards (ids continue
     from next-row-id), then a deletion-vector delete knocks out every
-    doc_id%5==0 row. The read exposes _row_id = first_row_id +
-    ordinal; the DuckDB twin recomputes every id with row_number()
-    arithmetic — so an id that shifts after the delete (the exact
-    bug lineage exists to prevent), a wrong retrofit order, or a
+    doc_id%5==0 row, then the table is COMPACTED (r12: the
+    lineage-preserving rewrite materializes _row_id physically in the
+    merged file, first_row_id = null in its manifest entry). The read
+    exposes _row_id = coalesce(materialized, first_row_id + ordinal);
+    the DuckDB twin recomputes every id with row_number() arithmetic
+    — so an id that shifts after the delete OR the rewrite (the exact
+    bugs lineage exists to prevent), a wrong retrofit order, or a
     next-row-id gap hash-mismatches."""
     import tempfile
 
@@ -6876,6 +6879,7 @@ def q_iceberg_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
         iceberg_append,
         iceberg_dv_delete,
         iceberg_enable_row_lineage,
+        iceberg_rewrite_data_files,
         read_iceberg,
     )
 
@@ -6895,6 +6899,7 @@ def q_iceberg_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
     )
     iceberg_append(spark, odds, table)
     iceberg_dv_delete(spark, table, "doc_id % 5 = 0")
+    iceberg_rewrite_data_files(spark, table, min_input_files=2)
     return read_iceberg(spark, table, row_ids=True).select(
         "doc_id", "lang", F.col("_row_id").cast("long").alias("row_id")
     )
@@ -6906,16 +6911,20 @@ def q_delta_row_tracking(spark: SparkSession, sf: str) -> DataFrame:
     iceberg_row_lineage: evens land sorted, the retrofit assigns
     baseRowId per file in add-path order with the high watermark in
     the spec's delta.rowTracking domainMetadata, odds append
-    afterwards taking the next id block atomically, and a
-    deletion-vector DELETE knocks out every doc_id%5==0 row. _row_id
-    = baseRowId + ordinal must survive the delete unrenumbered; the
-    twin recomputes every id with row_number() arithmetic."""
+    afterwards taking the next id block atomically, a
+    deletion-vector DELETE knocks out every doc_id%5==0 row, and the
+    table is OPTIMIZE-compacted (r12: the id-preserving rewrite
+    materializes _row_id physically in the merged file). _row_id =
+    coalesce(materialized, baseRowId + ordinal) must survive both the
+    delete and the rewrite unrenumbered; the twin recomputes every id
+    with row_number() arithmetic."""
     import tempfile
 
     from dataset_grouper_spark.sources.delta import (
         delta_append,
         delta_delete_where,
         delta_enable_row_tracking,
+        delta_optimize,
         read_delta,
     )
 
@@ -6935,6 +6944,7 @@ def q_delta_row_tracking(spark: SparkSession, sf: str) -> DataFrame:
     )
     delta_append(spark, odds, t)
     delta_delete_where(spark, t, "doc_id % 5 = 0")
+    delta_optimize(spark, t)
     return read_delta(spark, t, row_ids=True).select(
         "doc_id", "lang", F.col("_row_id").cast("long").alias("row_id")
     )

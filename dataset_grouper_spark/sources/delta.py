@@ -48,7 +48,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from dataset_grouper_spark.compat import fs as _fs
 
@@ -458,10 +458,12 @@ def delta_enable_row_tracking(
     re-adds. Returns the committed version, or None when already
     enabled.
 
-    Honest gates: file-rewriting operations on row-tracked tables
-    (OPTIMIZE, MERGE, RESTORE) raise — preserving ids through a
-    rewrite is the spec's row-id materialization path, not
-    implemented here. Single-writer assumption for id assignment:
+    OPTIMIZE composes: :func:`delta_optimize` preserves ids by
+    materializing a physical ``_row_id`` column in rewritten files
+    (the spec's row-id materialization — explicit ids beat baseRowId
+    + ordinal on read). Honest gates that remain: MERGE and RESTORE
+    on row-tracked tables raise (their rewrites are not yet
+    id-preserving). Single-writer assumption for id assignment:
     the blind-append retry rebases the version, not the id block."""
     latest = _latest_version(table_path)
     if latest is None:
@@ -630,8 +632,6 @@ def read_delta(
         if row_ids:
             # schema contract: _row_id is present even when pruning
             # (or emptiness) planned zero files
-            from pyspark.sql.types import LongType
-
             schema = StructType(
                 list(schema.fields) + [StructField("_row_id", LongType())]
             )
@@ -661,6 +661,11 @@ def read_delta(
         )
 
     tags = ["__fp", "__pos"] if want_tags else []
+    if row_ids:
+        # compacted files MATERIALIZE _row_id physically (the spec's
+        # row-id materialization on rewrite); older files lack the
+        # column and read null, falling back to baseRowId + ordinal
+        tags = tags + ["_row_id"]
     sel_cols = out_cols + tags
 
     def unmap(df: DataFrame, logical_names: list[str]) -> DataFrame:
@@ -671,6 +676,9 @@ def read_delta(
             *[F.col(t) for t in tags],
         )
 
+    rid_field = (
+        [StructField("_row_id", LongType(), True)] if row_ids else []
+    )
     if not part_cols:
         paths = [os.path.join(table_abs, a["path"]) for a in adds.values()]
         scan_schema = StructType(
@@ -678,6 +686,7 @@ def read_delta(
                 StructField(phys[f.name], f.dataType, True)
                 for f in schema.fields
             ]
+            + rid_field
         )
         result = unmap(
             tag(spark.read.schema(scan_schema).parquet(*paths)), out_cols
@@ -688,6 +697,7 @@ def read_delta(
         data_fields = [f for f in schema.fields if f.name not in part_cols]
         data_schema = StructType(
             [StructField(phys[f.name], f.dataType, True) for f in data_fields]
+            + rid_field
         )
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
@@ -717,10 +727,11 @@ def read_delta(
             frames.append(df.select(sel_cols))
         result = reduce(DataFrame.unionByName, frames)
     if row_ids:
-        # ROW TRACKING: _row_id = the file's baseRowId + the row's
-        # ordinal; deletes compose (dead rows vanish, survivors keep
-        # their ids). Computed BEFORE DV application — identity does
-        # not depend on what else died.
+        # ROW TRACKING: _row_id = the file's materialized _row_id
+        # column when present (OPTIMIZE-compacted files), else
+        # baseRowId + the row's ordinal; deletes compose (dead rows
+        # vanish, survivors keep their ids). Computed BEFORE DV
+        # application — identity does not depend on what else died.
         missing = [rel for rel, a in adds.items() if "baseRowId" not in a]
         if missing:
             raise ValueError(
@@ -740,7 +751,12 @@ def read_delta(
         )
         result = (
             result.join(F.broadcast(fmap), "__fp", "left")
-            .withColumn("_row_id", F.col("__brid") + F.col("__pos"))
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"), F.col("__brid") + F.col("__pos")
+                ),
+            )
             .drop("__brid")
         )
         out_cols = out_cols + ["_row_id"]
@@ -1602,7 +1618,16 @@ def delta_optimize(
     target = _latest_version(table_path)
     if target is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
-    _gate_row_tracking(spark, table_path, target, "delta_optimize")
+    # ROW-TRACKED tables compact id-preservingly (the spec's row-id
+    # materialization on rewrite): every surviving row's id is
+    # resolved (materialized column if present, else baseRowId +
+    # ordinal) and written into the output files as a physical
+    # _row_id column; new adds still take fresh baseRowId blocks
+    # (every add on a tracked table carries one — the materialized
+    # column wins on read) and the advanced watermark rides the same
+    # commit.
+    rt_hwm = _row_tracking_watermark(spark, table_path, target)
+    tracked = rt_hwm is not None
     adds, meta = _replay(spark, table_path, target)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
@@ -1646,23 +1671,55 @@ def delta_optimize(
         if not picked:
             continue
         paths = [os.path.join(table_abs, a["path"]) for a in picked]
-        scan = spark.read.schema(scan_schema).parquet(*paths)
+        read_schema = (
+            StructType(
+                list(scan_schema.fields)
+                + [StructField("_row_id", LongType(), True)]
+            )
+            if tracked
+            else scan_schema
+        )
+        scan = spark.read.schema(read_schema).parquet(*paths)
         dv_adds = [
             (os.path.join(table_abs, a["path"]), a["deletionVector"])
             for a in picked
             if a.get("deletionVector")
         ]
-        if dv_adds:
-            keyed = scan.withColumns(
+        out_fields = [f.name for f in read_schema.fields]
+        if tracked or dv_adds:
+            scan = scan.withColumns(
                 {
                     "__fp": _norm_path(F.col("_metadata.file_path")),
                     "__pos": F.col("_metadata.row_index"),
                 }
             )
-            dv_frame, total = _dv_positions_frame(spark, table_path, dv_adds)
-            scan = _apply_dvs(
-                keyed, dv_frame, total, [f.name for f in scan_schema.fields]
+        if tracked:
+            bmap = spark.createDataFrame(
+                [
+                    (
+                        _norm_abs(os.path.join(table_abs, a["path"])),
+                        int(a["baseRowId"]),
+                    )
+                    for a in picked
+                ],
+                "`__fp` string, `__brid` long",
             )
+            scan = (
+                scan.join(F.broadcast(bmap), "__fp", "left")
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col("_row_id"),
+                        F.col("__brid") + F.col("__pos"),
+                    ),
+                )
+                .drop("__brid")
+            )
+        if dv_adds:
+            dv_frame, total = _dv_positions_frame(spark, table_path, dv_adds)
+            scan = _apply_dvs(scan, dv_frame, total, out_fields)
+        elif tracked:
+            scan = scan.select(*out_fields)
         live_bytes = sum(int(a.get("size") or 0) for a in picked)
         n_out = max(1, -(-live_bytes // target_file_bytes))
         stage = tempfile.mkdtemp(prefix="_delta_optimize_")
@@ -1737,6 +1794,38 @@ def delta_optimize(
         actions.extend(new_adds)
     if not actions:
         return None
+    if tracked:
+        # every add on a row-tracked table carries a baseRowId (the
+        # spec invariant the reader checks); compacted files' rows
+        # answer from their materialized column, so these fresh
+        # blocks are never observed — but the watermark advances
+        # atomically with them all the same
+        cur = rt_hwm + 1
+        for act in actions:
+            a = act.get("add")
+            if a is None:
+                continue
+            st = json.loads(a.get("stats") or "{}")
+            n = st.get("numRecords")
+            if n is None:
+                from dataset_grouper_spark.sources.convert import (
+                    _parquet_row_count,
+                )
+
+                n = _parquet_row_count(os.path.join(table_abs, a["path"]))
+            a["baseRowId"] = cur
+            cur += int(n)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": cur - 1}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     version = target + 1
     try:
         _write_commit(_log_path(table_path), version, actions)

@@ -851,12 +851,20 @@ def read_iceberg(
             ddl = ddl + ", `_row_id` bigint"
         return spark.createDataFrame([], ddl)
     files = [p for p, _ in data_seqs]
-    data = spark.read.schema(ddl).parquet(*files)
+    scan_ddl = ddl
+    if row_ids:
+        # compacted files MATERIALIZE _row_id as a physical column
+        # (spec "Row Lineage": rewritten rows must carry explicit ids
+        # — position inheritance no longer holds); files that never
+        # went through a rewrite lack the column and read as null,
+        # falling back to first_row_id + ordinal below
+        scan_ddl = ddl + ", `_row_id` bigint"
+    data = spark.read.schema(scan_ddl).parquet(*files)
     if not (delete_files or eq_deletes or row_ids):
         return data
     # tag ONCE on the raw scan (the hidden _metadata struct is only
     # addressable there), then compose both delete passes on the tags
-    cols = data.columns
+    cols = [c for c in data.columns if c != "_row_id"]
     keyed = data.withColumns(
         {
             "__fp": _norm_path(F.col("_metadata.file_path")),
@@ -872,18 +880,19 @@ def read_iceberg(
             spark, keyed, data_seqs, eq_deletes, schema
         )
     if row_ids:
-        # v3 ROW LINEAGE: _row_id = the file's first_row_id + the
-        # row's ordinal (spec "Row Lineage"). Deletes compose for
-        # free — dead rows vanish, survivors keep their ids, which is
-        # the stability contract lineage exists for. The per-file map
-        # is planning-scale and broadcasts.
-        frids = _first_row_ids(table_path, snaps[snapshot_id])
-        if frids is None:
+        # v3 ROW LINEAGE: _row_id = the file's materialized _row_id
+        # column when present (compacted files), else first_row_id +
+        # the row's ordinal (spec "Row Lineage" inheritance). Deletes
+        # compose for free — dead rows vanish, survivors keep their
+        # ids, which is the stability contract lineage exists for.
+        # The per-file map is planning-scale and broadcasts.
+        if "next-row-id" not in meta:
             raise ValueError(
                 "read_iceberg(row_ids=True): row lineage is not "
                 "enabled on this table — run "
                 "iceberg_enable_row_lineage first"
             )
+        frids = _first_row_ids(table_path, snaps[snapshot_id])
         fmap = spark.createDataFrame(
             [(_norm_path_py(p), fid) for p, fid in frids.items()],
             "`__fp` string, `__frid` long",
@@ -891,7 +900,9 @@ def read_iceberg(
         keyed = keyed.join(F.broadcast(fmap), "__fp", "left")
         return keyed.select(
             *cols,
-            (F.col("__frid") + F.col("__pos")).alias("_row_id"),
+            F.coalesce(
+                F.col("_row_id"), F.col("__frid") + F.col("__pos")
+            ).alias("_row_id"),
         )
     return keyed.select(*cols)
 
@@ -2444,12 +2455,14 @@ def iceberg_rewrite_data_files(
     if small_file_bytes is None:
         small_file_bytes = target_file_bytes // 2
     meta = _load_metadata(table_path)
-    if "next-row-id" in meta:
-        raise NotImplementedError(
-            "iceberg_rewrite_data_files: table has row lineage "
-            "enabled — rewriting files while PRESERVING row ids "
-            "(spec lineage inheritance) is not implemented"
-        )
+    # v3 ROW LINEAGE tables compact id-preservingly (spec "Row
+    # Lineage"): every input row's id is resolved (materialized
+    # column if present, else first_row_id + ordinal) and WRITTEN
+    # into the output files as a physical _row_id column; new manifest
+    # entries carry first_row_id = null (explicit ids win over
+    # inheritance on read), kept entries keep theirs, and next-row-id
+    # does not advance — a rewrite mints no identities.
+    lineage = "next-row-id" in meta
     cur_id = meta.get("current-snapshot-id")
     if cur_id is None:
         raise ValueError("iceberg_rewrite_data_files: table has no snapshots")
@@ -2555,9 +2568,18 @@ def iceberg_rewrite_data_files(
     binned_paths = [r["path"] for b in bins for r in b]
     binned = set(binned_paths)
 
+    scan_ddl = ddl + ", `_row_id` bigint" if lineage else ddl
+    fmap = None
+    if lineage:
+        frids = _first_row_ids(table_path, snap)
+        fmap = spark.createDataFrame(
+            [(_norm_path_py(p), fid) for p, fid in frids.items()],
+            "`__fp` string, `__frid` long",
+        )
+
     def scan_of(paths: list[str]):
         s = (
-            spark.read.schema(ddl)
+            spark.read.schema(scan_ddl)
             .parquet(*paths)
             .withColumn(
                 "__fp", _norm_path(F.col("_metadata.file_path"))
@@ -2576,6 +2598,20 @@ def iceberg_rewrite_data_files(
                 [(p, sq) for p, sq in data_seqs if p in pset],
                 eq_deletes,
                 schema,
+            )
+        if lineage:
+            # resolve every surviving row's durable id BEFORE the
+            # rewrite loses file/ordinal identity
+            s = (
+                s.join(F.broadcast(fmap), "__fp", "left")
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col("_row_id"),
+                        F.col("__frid") + F.col("__pos"),
+                    ),
+                )
+                .drop("__frid")
             )
         return s
 
@@ -2674,6 +2710,10 @@ def iceberg_rewrite_data_files(
                 "lower_bounds": lo_b,
                 "upper_bounds": hi_b,
             }
+            if lineage:
+                # null = "this file materializes its own _row_id
+                # column"; explicit ids beat inheritance on read
+                rec["first_row_id"] = None
             if isinstance(partition, dict):
                 rec["partition"] = partition
             new_entries.append(
@@ -2700,6 +2740,8 @@ def iceberg_rewrite_data_files(
         "lower_bounds",
         "upper_bounds",
     ]
+    if lineage:
+        df_fields.append("first_row_id")
     kept_entries = []
     for rec in live:
         if rec["path"] in binned:
@@ -2717,7 +2759,9 @@ def iceberg_rewrite_data_files(
             }
         )
 
-    manifest_schema = _MANIFEST_SCHEMA
+    manifest_schema = (
+        _MANIFEST_SCHEMA_LINEAGE if lineage else _MANIFEST_SCHEMA
+    )
     if any_partition:
         spec_entry = next(
             (
@@ -2763,15 +2807,18 @@ def iceberg_rewrite_data_files(
     )
 
 
-def _first_row_ids(table_path: str, snap: dict) -> dict | None:
+def _first_row_ids(table_path: str, snap: dict) -> dict:
     """Per-live-data-file ``first_row_id`` from the snapshot's data
-    manifests (a planning-scale walk), or None when any live data
-    entry lacks one (lineage not enabled / partially enabled)."""
+    manifests (a planning-scale walk). A None value means the file
+    MATERIALIZES its own ``_row_id`` column (it was produced by a
+    lineage-preserving rewrite) — the reader falls back to the
+    physical column for such files. Callers gate "lineage enabled at
+    all" on the table metadata's ``next-row-id``, not on this map."""
     ml = _localize(snap["manifest-list"])
     if not _is_abs(ml):
         ml = os.path.join(table_path, ml)
     _s, manifests = read_avro_file(ml)
-    out: dict[str, int] = {}
+    out: dict[str, int | None] = {}
     for m in manifests:
         if m.get("content", 0) != 0:
             continue
@@ -2786,12 +2833,10 @@ def _first_row_ids(table_path: str, snap: dict) -> dict | None:
             if df_rec.get("content", 0) != 0:
                 continue
             fid = df_rec.get("first_row_id")
-            if fid is None:
-                return None
             p = _localize(df_rec["file_path"])
             if not _is_abs(p):
                 p = os.path.join(table_path, p)
-            out[p] = int(fid)
+            out[p] = None if fid is None else int(fid)
     return out
 
 
@@ -2809,11 +2854,12 @@ def iceberg_enable_row_lineage(table_path: str) -> int | None:
     manifests carried untouched. Returns the new snapshot id, or None
     when lineage is already enabled.
 
-    Honest gates: partitioned tables (the retrofit would drop their
-    partition structs from the rewritten manifest — not wired) and
-    compaction on lineage tables (iceberg_rewrite_data_files raises:
-    rewriting files while PRESERVING ids is the spec's lineage
-    inheritance, not implemented here)."""
+    Honest gate: partitioned tables (the retrofit would drop their
+    partition structs from the rewritten manifest — not wired).
+    Compaction composes: ``iceberg_rewrite_data_files`` preserves ids
+    by materializing a physical ``_row_id`` column in rewritten files
+    (spec lineage inheritance — explicit ids beat first_row_id +
+    ordinal on read)."""
     import uuid as _uuid
 
     meta = _load_metadata(table_path)

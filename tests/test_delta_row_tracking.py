@@ -60,6 +60,8 @@ class TestRowTracking:
             delta.read_delta(spark, t, row_ids=True).collect()
 
     def test_rewrite_ops_gate(self, spark, tmp_path):
+        # MERGE/RESTORE remain gated (their rewrites are not yet
+        # id-preserving); OPTIMIZE composes — tested separately below
         t = str(tmp_path / "rt4")
         delta.delta_append(
             spark,
@@ -70,8 +72,6 @@ class TestRowTracking:
         )
         delta.delta_enable_row_tracking(spark, t)
         with pytest.raises(NotImplementedError, match="row tracking"):
-            delta.delta_optimize(spark, t)
-        with pytest.raises(NotImplementedError, match="row tracking"):
             delta.delta_restore(spark, t, 0)
         with pytest.raises(NotImplementedError, match="row tracking"):
             delta.delta_merge(
@@ -80,6 +80,53 @@ class TestRowTracking:
                 t,
                 on=["id"],
             )
+
+    def test_optimize_preserves_row_ids(self, spark, tmp_path):
+        # spec row-id materialization: OPTIMIZE writes _row_id as a
+        # physical column; read = coalesce(materialized, baseRowId +
+        # ordinal); watermark advances with the new adds' blocks
+        t = str(tmp_path / "rt_opt")
+        a = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        delta.delta_enable_row_tracking(spark, t)
+        b = spark.createDataFrame(
+            [(10 + i, "x") for i in range(4)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(b), t)
+        delta.delta_delete_where(spark, t, "id IN (1, 11)")
+        before = _ids(delta.read_delta(spark, t, row_ids=True))
+        v = delta.delta_optimize(spark, t)
+        assert v is not None
+        assert _ids(delta.read_delta(spark, t, row_ids=True)) == before
+        # watermark advanced past the rewritten file's fresh block
+        hwm = delta._row_tracking_watermark(
+            spark, t, delta._latest_version(t)
+        )
+        assert hwm >= 9
+        # append after OPTIMIZE mints fresh non-overlapping ids
+        c = spark.createDataFrame([(100, "c")], "id long, v string")
+        delta.delta_append(spark, _sorted1(c), t)
+        got = _ids(delta.read_delta(spark, t, row_ids=True))
+        assert got[100] > 9
+        assert len(set(got.values())) == len(got)
+        # RE-optimize over already-materialized + fresh files
+        v2 = delta.delta_optimize(spark, t)
+        if v2 is not None:
+            assert _ids(delta.read_delta(spark, t, row_ids=True)) == got
+
+    def test_optimize_zorder_preserves_row_ids(self, spark, tmp_path):
+        t = str(tmp_path / "rt_z")
+        a = spark.createDataFrame(
+            [(i, i * 7 % 13) for i in range(32)], "id long, k long"
+        )
+        delta.delta_append(spark, _sorted1(a), t)
+        delta.delta_enable_row_tracking(spark, t)
+        before = _ids(delta.read_delta(spark, t, row_ids=True))
+        v = delta.delta_optimize(spark, t, zorder_by=("id", "k"))
+        assert v is not None
+        assert _ids(delta.read_delta(spark, t, row_ids=True)) == before
 
     def test_watermark_survives_checkpoint_truncate(self, spark, tmp_path):
         t = str(tmp_path / "rt5")

@@ -66,17 +66,40 @@ class TestRowLineage:
         )
         with pytest.raises(NotImplementedError, match="partitioned"):
             iceberg.iceberg_enable_row_lineage(t)
-        # lineage table: compaction gates
-        t2 = str(tmp_path / "rl5")
-        iceberg.iceberg_append(
-            spark,
-            spark.createDataFrame([(1, "a")], "id long, v string")
-            .coalesce(1),
-            t2,
+
+    def test_compaction_preserves_row_ids(self, spark, tmp_path):
+        # v3 lineage-preserving rewrite: compacted files materialize
+        # _row_id physically (first_row_id = null in the manifest);
+        # read = coalesce(materialized, first_row_id + ordinal)
+        t = str(tmp_path / "rl_cp")
+        a = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).repartition(1).sortWithinPartitions("id")
+        iceberg.iceberg_append(spark, a, t)
+        iceberg.iceberg_enable_row_lineage(t)
+        b = spark.createDataFrame(
+            [(10 + i, "x") for i in range(4)], "id long, v string"
+        ).repartition(1).sortWithinPartitions("id")
+        iceberg.iceberg_append(spark, b, t)
+        iceberg.iceberg_dv_delete(spark, t, "id IN (1, 11)")
+        before = _ids(iceberg.read_iceberg(spark, t, row_ids=True))
+        sid = iceberg.iceberg_rewrite_data_files(
+            spark, t, min_input_files=2
         )
-        iceberg.iceberg_enable_row_lineage(t2)
-        with pytest.raises(NotImplementedError, match="lineage"):
-            iceberg.iceberg_rewrite_data_files(spark, t2)
+        assert sid is not None
+        assert _ids(iceberg.read_iceberg(spark, t, row_ids=True)) == before
+        # next-row-id untouched: a rewrite mints no identities
+        assert iceberg._load_metadata(t)["next-row-id"] == 10
+        # append after compaction continues the block
+        c = spark.createDataFrame(
+            [(100, "c")], "id long, v string"
+        ).coalesce(1)
+        iceberg.iceberg_append(spark, c, t)
+        got = _ids(iceberg.read_iceberg(spark, t, row_ids=True))
+        assert got[100] == 10
+        # RE-compacting already-materialized files keeps ids again
+        iceberg.iceberg_rewrite_data_files(spark, t, min_input_files=2)
+        assert _ids(iceberg.read_iceberg(spark, t, row_ids=True)) == got
 
     def test_enable_on_empty_table(self, spark, tmp_path):
         t = str(tmp_path / "rl6")

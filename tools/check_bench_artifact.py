@@ -33,6 +33,24 @@ def main() -> int:
         if missing or extra:
             ok = False
             print(f"{key}: missing={missing} extra={extra}")
+    # VERDICT r11 task 3: the round-close artifact must carry the
+    # calibrator trio (incl. sustained) AND the same-code A/B geomean
+    # so the judge never re-derives code-vs-drift by hand
+    for key in ("calibrator_start", "calibrator_end", "drift"):
+        if key not in art:
+            ok = False
+            print(f"missing field: {key}")
+    for side in ("calibrator_start", "calibrator_end"):
+        if "sustained" not in (art.get(side) or {}):
+            ok = False
+            print(f"{side}: missing the sustained calibrator")
+    if art.get("ab_vs_prev") is None:
+        ok = False
+        print(
+            "ab_vs_prev absent/null: run bench.py with the "
+            "tools/ab_prev_commit.txt pin in place "
+            f"(ab_error={art.get('ab_error')!r})"
+        )
     print("OK: artifact covers all"
           f" {len(want)} queries" if ok else "DRIFT — rerun bench.py")
     return 0 if ok else 1

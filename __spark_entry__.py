@@ -5865,6 +5865,154 @@ def q_hudi_log_format_read(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hudi_ordering_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi precombine/orderingVal semantics (VERDICT r11 task 4,
+    sources/hudi.py _mor_order): a MoR table declaring
+    hoodie.table.precombine.field=evt merges by EVENT TIME — largest
+    orderingVal wins, commit order only breaks ties. Base rows carry
+    evt=(doc_id%7)*100; a first deltacommit upserts every doc_id%5==0
+    (<40) to evt=1000 (+500 chars); a LATER deltacommit carries
+    OUT-OF-ORDER rows for doc_id%10==0 at evt=900 (+700 chars) — they
+    must LOSE to the earlier commit's evt=1000 rows (a commit-time
+    merge yields +700, hash-mismatch) — plus a DELETE block at
+    orderingVal=950 for doc_id%9==0 (kills only rows whose winning
+    evt < 950: the %5==0 overlap survives) and a DELETE with NO
+    orderingVal for doc_id%11==3 (null loses to any event-timed row —
+    never deletes; Hudi's sentinel behavior). Read before and after
+    compaction: both stages ride the same merge law."""
+    import tempfile
+
+    from dataset_grouper_spark.sources import hudi_log
+    from dataset_grouper_spark.sources.hudi import (
+        _next_instant,
+        hudi_compact,
+        hudi_file_slices,
+        hudi_insert,
+        read_hudi,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).withColumn("evt", (F.col("doc_id") % 7).cast("long") * 100)
+    table = os.path.join(tempfile.mkdtemp(prefix="hudi_ord_"), "tbl")
+    hudi_insert(
+        spark,
+        docs.coalesce(1),
+        table,
+        record_key="doc_id",
+        table_type="MERGE_ON_READ",
+        precombine_field="evt",
+    )
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+            {"name": "evt", "type": ["null", "long"]},
+        ],
+    }
+
+    def recs(rows, bump, evt):
+        return [
+            {
+                "_hoodie_record_key": str(r["doc_id"]),
+                "_hoodie_partition_path": "",
+                "doc_id": r["doc_id"],
+                "lang": r["lang"],
+                "n_chars": r["n_chars"] + bump,
+                "evt": evt,
+            }
+            for r in rows
+        ]
+
+    small = docs.filter(F.col("doc_id") < 40).collect()  # bounded: <= 40
+    _part, fid, base, _path = hudi_file_slices(table)[0]
+    from dataset_grouper_spark.compat import fs as _hfs
+
+    hp = os.path.join(table, ".hoodie")
+
+    def commit(di):
+        for sfx in ("deltacommit.requested", "deltacommit.inflight"):
+            _hfs.write_text(os.path.join(hp, f"{di}.{sfx}"), "{}")
+        _hfs.write_text(
+            os.path.join(hp, f"{di}.deltacommit"),
+            json.dumps(
+                {"partitionToWriteStats": {}, "operationType": "UPSERT"}
+            ),
+        )
+
+    di1 = _next_instant(table)
+    hudi_log.write_log_file(
+        os.path.join(table, f".{fid}_{base}.log.1_0-1-0"),
+        [
+            hudi_log.encode_avro_data_block(
+                recs([r for r in small if r["doc_id"] % 5 == 0], 500, 1000),
+                schema,
+                di1,
+            )
+        ],
+    )
+    commit(di1)
+    di2 = _next_instant(table)
+    hudi_log.write_log_file(
+        os.path.join(table, f".{fid}_{base}.log.2_0-1-0"),
+        [
+            hudi_log.encode_avro_data_block(
+                recs([r for r in small if r["doc_id"] % 10 == 0], 700, 900),
+                schema,
+                di2,
+            ),
+            hudi_log.encode_delete_block(
+                [
+                    {
+                        "recordKey": str(r["doc_id"]),
+                        "partitionPath": "",
+                        "orderingVal": 950,
+                    }
+                    for r in small
+                    if r["doc_id"] % 9 == 0
+                ],
+                di2,
+            ),
+            hudi_log.encode_delete_block(
+                [
+                    {"recordKey": str(r["doc_id"]), "partitionPath": ""}
+                    for r in small
+                    if r["doc_id"] % 11 == 3
+                ],
+                di2,
+            ),
+        ],
+    )
+    commit(di2)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("evt").alias("sum_evt"),
+    ]
+    merged = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(0))
+    )
+    hudi_compact(spark, table)
+    compacted = (
+        read_hudi(spark, table)
+        .groupBy("lang")
+        .agg(*agg)
+        .withColumn("stage", F.lit(1))
+    )
+    return merged.unionByName(compacted).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars", "sum_evt"
+    )
+
+
 def q_hudi_changes_cdc(spark: SparkSession, sf: str) -> DataFrame:
     """Hudi incremental (CDC) read (sources/hudi.py read_hudi_changes
     — the trio member next to delta_change_feed /
@@ -8410,6 +8558,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     planning view, partitioned exactly-once hudi_lite sink
         "hudi_mor_read": q_hudi_mor_read,
         "hudi_log_format_read": q_hudi_log_format_read,
+        "hudi_ordering_merge": q_hudi_ordering_merge,
         "hudi_rollback_roundtrip": q_hudi_rollback_roundtrip,
         "hudi_changes_cdc": q_hudi_changes_cdc,
         "hudi_partitions": q_hudi_partitions,
@@ -8428,6 +8577,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERY_ORDER: list[str] = [
     "semdedup_twolevel_embeddings",
     "text_cosine_twolevel_documents",
+    "hudi_ordering_merge",
     "iceberg_mor_delete",
     "delta_mor_delete",
     "hll_distinct_events",
@@ -10177,6 +10327,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(n_chars) AS BIGINT)
             FROM merged GROUP BY lang
+        """,
+        "hudi_ordering_merge": """
+            WITH eff AS (
+                -- event-time winner per key: the %5 upsert (evt 1000)
+                -- beats both the base row and the LATER commit's
+                -- out-of-order %10 upsert (evt 900); elsewhere base
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id < 40 AND doc_id % 5 = 0
+                              THEN n_chars + 500
+                            ELSE n_chars END AS n_chars,
+                       CASE WHEN doc_id < 40 AND doc_id % 5 = 0
+                              THEN 1000
+                            ELSE (doc_id % 7) * 100 END AS evt
+                FROM documents
+            ),
+            live AS (
+                -- delete @orderingVal 950 kills only winners whose
+                -- evt < 950; the null-orderingVal delete (%11==3)
+                -- loses to any event-timed row and never applies
+                SELECT * FROM eff
+                WHERE NOT (doc_id < 40 AND doc_id % 9 = 0 AND evt < 950)
+            )
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(evt) AS BIGINT) AS sum_evt
+            FROM live GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT),
+                   CAST(sum(evt) AS BIGINT)
+            FROM live GROUP BY lang
         """,
         "sync_delta_iceberg_mirror": """
             SELECT 0 AS stage, lang,

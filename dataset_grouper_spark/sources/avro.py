@@ -133,14 +133,43 @@ def _read_value(buf: io.BytesIO, schema):
     raise ValueError(f"avro: unsupported type {t!r}")
 
 
+def _union_branch_matches(bt, v) -> bool:
+    """Python-type match for a non-null union branch — needed by
+    MULTI-branch unions (e.g. HoodieDeleteRecord.orderingVal's
+    null|string|int|long|float|double|bytes|boolean): first-non-null
+    selection would encode an int under the string branch."""
+    if bt == "string":
+        return isinstance(v, str)
+    if bt in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if bt in ("float", "double"):
+        return isinstance(v, float)
+    if bt == "boolean":
+        return isinstance(v, bool)
+    if bt == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    return True  # records/arrays/maps/enums: structural, first wins
+
+
 def _write_value(out: bytearray, schema, v) -> None:
     if isinstance(schema, list):  # union: pick the branch by value
+        if v is not None:
+            for i, branch in enumerate(schema):
+                bt = branch if isinstance(branch, str) else branch["type"]
+                if bt != "null" and _union_branch_matches(bt, v):
+                    _write_varint(out, i)
+                    _write_value(out, branch, v)
+                    return
         for i, branch in enumerate(schema):
             bt = branch if isinstance(branch, str) else branch["type"]
             if v is None and bt == "null":
                 _write_varint(out, i)
                 return
             if v is not None and bt != "null":
+                # typed pass found nothing: keep the historical
+                # first-non-null fallback (2-branch unions, widened
+                # numerics) rather than failing a write that used to
+                # succeed
                 _write_varint(out, i)
                 _write_value(out, branch, v)
                 return

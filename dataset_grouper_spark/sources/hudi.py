@@ -39,10 +39,14 @@ containers, and Hudi's HoodieLogFormat binary block framing
 blocks, corrupt-block recovery), so MoR tables written by Hudi's own
 writers merge through the same path. Remaining honest gates live in
 ``hudi_log``: HFILE/PARQUET/CDC data blocks and pre-v3 (Kryo) delete
-payloads raise by name; delete-block ``orderingVal`` is ignored —
-ordering is (instant, block seq), this engine's commit-time
-semantics. Instant times are a monotonic counter in the Hudi
-timestamp shape, not wall clock (deterministic replays).
+payloads raise by name. Merge semantics (r12): tables declaring
+``hoodie.table.precombine.field`` resolve same-key rows by EVENT-TIME
+ordering — largest orderingVal wins (upsert rows read it from their
+precombine column, delete blocks from their payload's numeric
+``orderingVal``), (instant, block seq) breaking ties; without the
+property the law stays this engine's original commit-time ordering.
+Instant times are a monotonic counter in the Hudi timestamp shape,
+not wall clock (deterministic replays).
 """
 
 from __future__ import annotations
@@ -278,6 +282,7 @@ def _write_properties(
     record_key: str,
     partition_by,
     table_type: str = "COPY_ON_WRITE",
+    precombine: str | None = None,
 ):
     hp = _hoodie_path(table_path)
     _fs.makedirs(hp)
@@ -291,6 +296,8 @@ def _write_properties(
         "hoodie.table.recordkey.fields=" + record_key,
         "hoodie.datasource.write.hive_style_partitioning=true",
     ]
+    if precombine:
+        lines.append("hoodie.table.precombine.field=" + precombine)
     if partition_by:
         lines.append(
             "hoodie.table.partition.fields=" + ",".join(partition_by)
@@ -454,14 +461,23 @@ def hudi_insert(
     record_key: str,
     partition_by: list[str] | None = None,
     table_type: str = "COPY_ON_WRITE",
+    precombine_field: str | None = None,
 ) -> str:
     """INSERT (bulk) into a Hudi CoW table, creating it (timeline +
     hoodie.properties) when absent. New rows open NEW file groups;
     existing groups are untouched — use :func:`hudi_upsert` for
-    update semantics. Returns the completed instant time."""
+    update semantics. ``precombine_field`` declares the table's
+    event-time ordering column (hoodie.table.precombine.field): MoR
+    merge then resolves same-key rows by LARGEST orderingVal first,
+    commit order only as tiebreak. Returns the completed instant
+    time."""
     part_cols = list(partition_by or [])
     if record_key not in df.columns:
         raise ValueError(f"hudi_insert: record key {record_key!r} not in frame")
+    if precombine_field and precombine_field not in df.columns:
+        raise ValueError(
+            f"hudi_insert: precombine field {precombine_field!r} not in frame"
+        )
     if _fs.is_dir(_hoodie_path(table_path)):
         props = _table_props(table_path)
         want = props.get("hoodie.table.recordkey.fields")
@@ -480,7 +496,9 @@ def hudi_insert(
                 f"{have_parts}, call passed {part_cols}"
             )
     _fs.makedirs(table_path)
-    _write_properties(table_path, record_key, part_cols, table_type)
+    _write_properties(
+        table_path, record_key, part_cols, table_type, precombine_field
+    )
     instant = _next_instant(table_path)
     stats = _stage_and_place(
         _with_meta(df, record_key, part_cols, instant),
@@ -801,6 +819,33 @@ def _log_files(
 
 
 _MOR_SEQ = "_hudi_seq"  # block position: later blocks of one instant win
+_MOR_ORD = "_hudi_ord"  # event-time orderingVal (precombine) — when the
+# table declares hoodie.table.precombine.field, the LARGEST value wins
+# per key and (instant, seq) only break ties; null loses to any
+# non-null (Hudi's own sentinel-0 behavior for positive event times)
+
+
+def _mor_order(precombine_active: bool) -> list:
+    """The per-identity supersedence order of the MoR merge window,
+    shared by the snapshot read and compaction so both resolve the
+    same winners: EVENT_TIME ordering (orderingVal desc, nulls last)
+    when the table declares a precombine field, then commit-time
+    (instant desc, block seq desc) as tiebreak — COMMIT_TIME only is
+    the law when no precombine is declared (byte-identical to the
+    pre-r12 behavior)."""
+    order = [F.desc(_MOR_INSTANT), F.desc(_MOR_SEQ)]
+    if precombine_active:
+        order.insert(0, F.desc_nulls_last(_MOR_ORD))
+    return order
+
+
+def _precombine_col(props: dict, user_cols: list[str]) -> str | None:
+    """The declared precombine field, when it exists among the user
+    columns (a declared-but-absent field degrades to commit-time —
+    the honest fallback, not an error, matching a schema that evolved
+    the column away)."""
+    pc = props.get("hoodie.table.precombine.field")
+    return pc if pc and pc in user_cols else None
 
 
 def _py_str(v):
@@ -858,7 +903,14 @@ def _log_rows_df(
     import pandas as pd
 
     names = [f.name for f in user_schema.fields]
-    cols = [_MOR_OP, _MOR_INSTANT, _MOR_SEQ, "__mor_key", "__mor_part"]
+    cols = [
+        _MOR_OP,
+        _MOR_INSTANT,
+        _MOR_SEQ,
+        "__mor_key",
+        "__mor_part",
+        "__mor_ord",
+    ]
     ddl = ", ".join(
         [
             f"`{_MOR_OP}` string",
@@ -866,6 +918,9 @@ def _log_rows_df(
             f"`{_MOR_SEQ}` int",
             "`__mor_key` string",
             "`__mor_part` string",
+            # delete-block orderingVal (numeric members of the spec's
+            # union; non-numeric -> null -> commit-time tiebreak)
+            "`__mor_ord` double",
         ]
         + [f"`{f.name}` {f.dataType.simpleString()}" for f in user_schema.fields]
     )
@@ -896,7 +951,18 @@ def _log_rows_df(
                         hl.read_log_stream_records(hoodie, completed)
                     ):
                         if op == "d":
-                            # delete block: identity only, no user row
+                            # delete block: identity only, no user
+                            # row; its orderingVal (numeric union
+                            # members only) joins the event-time
+                            # merge when the table declares a
+                            # precombine field
+                            ov = rec.get("orderingVal")
+                            ordv = (
+                                float(ov)
+                                if isinstance(ov, (int, float))
+                                and not isinstance(ov, bool)
+                                else None
+                            )
                             rows.append(
                                 {
                                     _MOR_OP: op,
@@ -905,6 +971,7 @@ def _log_rows_df(
                                     "__mor_key": rec.get("recordKey"),
                                     "__mor_part": rec.get("partitionPath")
                                     or "",
+                                    "__mor_ord": ordv,
                                     **{n: None for n in names},
                                 }
                             )
@@ -920,6 +987,9 @@ def _log_rows_df(
                                     "__mor_part": rec.get(
                                         "_hoodie_partition_path"
                                     ),
+                                    # upsert rows carry the precombine
+                                    # column among their user columns
+                                    "__mor_ord": None,
                                     **{n: rec.get(n) for n in names},
                                 }
                             )
@@ -935,6 +1005,7 @@ def _log_rows_df(
                                 _MOR_SEQ: 0,
                                 "__mor_key": None,
                                 "__mor_part": None,
+                                "__mor_ord": None,
                                 **{n: rec.get(n) for n in names},
                             }
                         )
@@ -996,12 +1067,22 @@ def _read_mor(
             record_key,
             set(_completed(table_path, as_of)),
         )
+        pc = _precombine_col(props, user_cols)
+        base_ord = (
+            F.col(pc).cast("double") if pc else F.lit(None).cast("double")
+        )
+        log_ord = (
+            F.coalesce(F.col("__mor_ord"), F.col(pc).cast("double"))
+            if pc
+            else F.lit(None).cast("double")
+        )
         merged = (
             base.select(
                 *META_COLS,
                 F.lit("u").alias(_MOR_OP),
                 F.col("_hoodie_commit_time").alias(_MOR_INSTANT),
                 F.lit(0).alias(_MOR_SEQ),
+                base_ord.alias(_MOR_ORD),
                 *user_cols,
             )
             .unionByName(
@@ -1023,6 +1104,7 @@ def _read_mor(
                     F.col(_MOR_OP),
                     F.col(_MOR_INSTANT),
                     F.col(_MOR_SEQ),
+                    log_ord.alias(_MOR_ORD),
                     *user_cols,
                 )
             )
@@ -1031,7 +1113,7 @@ def _read_mor(
                 F.row_number().over(
                     Window.partitionBy(
                         "_hoodie_record_key", "_hoodie_partition_path"
-                    ).orderBy(F.desc(_MOR_INSTANT), F.desc(_MOR_SEQ))
+                    ).orderBy(*_mor_order(pc is not None))
                 ),
             )
             .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))
@@ -1394,12 +1476,22 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
             record_key,
             completed,
         )
+        pc = _precombine_col(props, user_cols)
+        base_ord = (
+            F.col(pc).cast("double") if pc else F.lit(None).cast("double")
+        )
+        log_ord = (
+            F.coalesce(F.col("__mor_ord"), F.col(pc).cast("double"))
+            if pc
+            else F.lit(None).cast("double")
+        )
         merged = (
             basedf.select(
                 F.col("_hoodie_record_key").alias("__k"),
                 F.col("_hoodie_commit_time").alias(_MOR_INSTANT),
                 F.lit(0).alias(_MOR_SEQ),
                 F.lit("u").alias(_MOR_OP),
+                base_ord.alias(_MOR_ORD),
                 *user_cols,
             )
             .unionByName(
@@ -1411,6 +1503,7 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
                     F.col(_MOR_INSTANT),
                     F.col(_MOR_SEQ),
                     F.col(_MOR_OP),
+                    log_ord.alias(_MOR_ORD),
                     *user_cols,
                 )
             )
@@ -1418,7 +1511,7 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
                 "_rn",
                 F.row_number().over(
                     Window.partitionBy("__k").orderBy(
-                        F.desc(_MOR_INSTANT), F.desc(_MOR_SEQ)
+                        *_mor_order(pc is not None)
                     )
                 ),
             )

@@ -104,3 +104,27 @@ def test_unsupported_codec_gated(tmp_path):
     p = os.path.join(str(tmp_path), "t.avro")
     with pytest.raises(ValueError):
         A.write_avro_file(p, SCHEMA, RECS, codec="snappy")
+
+
+def test_union_branch_selection_is_typed():
+    """Multi-branch unions (HoodieDeleteRecord.orderingVal) must
+    encode under the branch matching the VALUE's type — first-non-null
+    selection wrote ints under the string branch and crashed."""
+    import io
+
+    from dataset_grouper_spark.sources.avro import _read_value, _write_value
+
+    union = [
+        "null", "string", "int", "long", "float", "double",
+        "bytes", "boolean",
+    ]
+    for v in (None, "s", 7, 7_000_000_000, 2.5, b"\x01\x02", True):
+        out = bytearray()
+        _write_value(out, union, v)
+        got = _read_value(io.BytesIO(bytes(out)), union)
+        if isinstance(v, bytes):
+            assert bytes(got) == v
+        else:
+            assert got == v and type(got) is type(v) or (
+                isinstance(v, int) and isinstance(got, int)
+            )

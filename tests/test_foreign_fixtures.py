@@ -782,3 +782,41 @@ def test_iceberg_runtime_foreign_v3_dv_plus_row_lineage(
     )
     assert meta["format-version"] == 3
     assert meta["next-row-id"] == 7
+
+
+MOR_ORDERING = os.path.join(FIX, "hudi_mor_ordering")
+
+
+def test_hudi_mor_ordering_event_time_merge(spark):
+    """hoodie.table.precombine.field (VERDICT r11 task 4): event-time
+    ordering decides the merge — the T3 commit carries an OLDER
+    evt_ts for id 1 (must lose to T2's), a delete with orderingVal
+    below id 2's evt_ts (must not delete), and one above id 3's
+    (deletes). A commit-time merge yields the wrong winner on all
+    three."""
+    assert table_format(MOR_ORDERING) == "hudi"
+    df = open_table(spark, MOR_ORDERING)
+    rows = sorted(
+        (r.id, r.evt_ts, r.txt) for r in df.collect()
+    )
+    assert rows == [(1, 300, "NEWEST"), (2, 250, "bravo")]
+
+
+def test_hudi_mor_ordering_compaction_agrees(spark, tmp_path):
+    """Compaction resolves the SAME event-time winners as the
+    snapshot read (both ride _mor_order), so the folded base slice
+    reads identically."""
+    import shutil as _sh
+
+    from dataset_grouper_spark.sources.hudi import hudi_compact, read_hudi
+
+    t = str(tmp_path / "mor_ord")
+    _sh.copytree(MOR_ORDERING, t)
+    before = sorted(
+        (r.id, r.evt_ts, r.txt) for r in read_hudi(spark, t).collect()
+    )
+    assert hudi_compact(spark, t) is not None
+    after = sorted(
+        (r.id, r.evt_ts, r.txt) for r in read_hudi(spark, t).collect()
+    )
+    assert after == before == [(1, 300, "NEWEST"), (2, 250, "bravo")]

@@ -1698,6 +1698,120 @@ def build_hudi_mor(
             )
 
 
+def build_hudi_mor_ordering(root: str) -> None:
+    """Hudi MoR table with ``hoodie.table.precombine.field`` and
+    OUT-OF-ORDER upserts (VERDICT r11 task 4) — the Flink/Spark-CDC
+    shape where event time, not commit time, decides merge winners:
+
+    * base T1: id 1 (evt_ts 100), id 2 (evt_ts 250), id 3 (evt_ts 50);
+    * ``.log.1`` at T2: upsert id 1 -> evt_ts 300 "NEWEST";
+    * ``.log.2`` at T3 (LATER commit): upsert id 1 -> evt_ts 200
+      "late-old" (older event time — must LOSE to the T2 row), a
+      DELETE with orderingVal 150 for id 2 (below its evt_ts 250 —
+      must NOT delete), and a DELETE with orderingVal 400 for id 3
+      (above its evt_ts 50 — deletes).
+
+    Expected merge: {1: (300, "NEWEST"), 2: (250, "bravo")} — a
+    commit-time merge would wrongly yield id 1 = "late-old" and
+    wrongly drop id 2."""
+    from dataset_grouper_spark.sources import hudi_log
+
+    hp = os.path.join(root, ".hoodie")
+    os.makedirs(os.path.join(hp, "archived"), exist_ok=True)
+    with open(os.path.join(hp, "hoodie.properties"), "w") as f:
+        f.write(
+            _HOODIE_PROPS.format(name="foreign_mor_ord",
+                                 ttype="MERGE_ON_READ")
+            + "hoodie.table.precombine.field=evt_ts\n"
+        )
+    name = f"{FID_EN}_0-4-11_{T1}.parquet"
+    rel = f"lang=en/{name}"
+    ids, ets, txts = [1, 2, 3], [100, 250, 50], ["alpha", "bravo", "charlie"]
+    size = _write_parquet(
+        os.path.join(root, rel),
+        {
+            "_hoodie_commit_time": [T1] * 3,
+            "_hoodie_commit_seqno": [f"{T1}_7_{i}" for i in range(3)],
+            "_hoodie_record_key": [str(i) for i in ids],
+            "_hoodie_partition_path": ["lang=en"] * 3,
+            "_hoodie_file_name": [name] * 3,
+            "id": ids,
+            "evt_ts": ets,
+            "txt": txts,
+            "lang": ["en"] * 3,
+        },
+    )
+    _hudi_commit(
+        hp, T1, "deltacommit",
+        {"lang=en": [_hudi_write_stats("lang=en", FID_EN, rel, "null",
+                                       3, size)]},
+        "INSERT",
+    )
+    schema = {
+        "type": "record",
+        "name": "foreign_record",
+        "fields": [
+            {"name": "_hoodie_commit_time", "type": ["null", "string"]},
+            {"name": "_hoodie_commit_seqno", "type": ["null", "string"]},
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "_hoodie_file_name", "type": ["null", "string"]},
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "evt_ts", "type": ["null", "long"]},
+            {"name": "txt", "type": ["null", "string"]},
+            {"name": "lang", "type": ["null", "string"]},
+        ],
+    }
+
+    def rec(instant, id_, evt_ts, txt):
+        return {
+            "_hoodie_commit_time": instant,
+            "_hoodie_commit_seqno": f"{instant}_0_{id_}",
+            "_hoodie_record_key": str(id_),
+            "_hoodie_partition_path": "lang=en",
+            "_hoodie_file_name": "",
+            "id": id_,
+            "evt_ts": evt_ts,
+            "txt": txt,
+            "lang": "en",
+        }
+
+    log1 = f"lang=en/.{FID_EN}_{T1}.log.1_0-9-31"
+    hudi_log.write_log_file(
+        os.path.join(root, log1),
+        [hudi_log.encode_avro_data_block(
+            [rec(T2, 1, 300, "NEWEST")], schema, T2)],
+    )
+    st1 = _hudi_write_stats(
+        "lang=en", FID_EN, log1, T1, 1,
+        os.path.getsize(os.path.join(root, log1)), updates=1,
+    )
+    st1["totalLogRecords"] = 1
+    st1["totalLogBlocks"] = 1
+    _hudi_commit(hp, T2, "deltacommit", {"lang=en": [st1]}, "UPSERT")
+    log2 = f"lang=en/.{FID_EN}_{T1}.log.2_0-13-47"
+    hudi_log.write_log_file(
+        os.path.join(root, log2),
+        [
+            hudi_log.encode_avro_data_block(
+                [rec(T3, 1, 200, "late-old")], schema, T3),
+            hudi_log.encode_delete_block(
+                [{"recordKey": "2", "partitionPath": "lang=en",
+                  "orderingVal": 150}], T3),
+            hudi_log.encode_delete_block(
+                [{"recordKey": "3", "partitionPath": "lang=en",
+                  "orderingVal": 400}], T3),
+        ],
+    )
+    st2 = _hudi_write_stats(
+        "lang=en", FID_EN, log2, T1, 3,
+        os.path.getsize(os.path.join(root, log2)), updates=3,
+    )
+    st2["totalLogRecords"] = 3
+    st2["totalLogBlocks"] = 3
+    _hudi_commit(hp, T3, "deltacommit", {"lang=en": [st2]}, "UPSERT")
+
+
 def main() -> int:
     for sub, builder in [
         ("delta", build_delta),
@@ -1709,6 +1823,7 @@ def main() -> int:
             "hudi_mor_rollover",
             lambda d: build_hudi_mor(d, with_rollover_rollback=True),
         ),
+        ("hudi_mor_ordering", build_hudi_mor_ordering),
     ]:
         dst = os.path.join(FIXDIR, sub)
         if os.path.isdir(dst):

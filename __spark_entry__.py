@@ -7060,18 +7060,22 @@ def q_delta_row_tracking(spark: SparkSession, sf: str) -> DataFrame:
     baseRowId per file in add-path order with the high watermark in
     the spec's delta.rowTracking domainMetadata, odds append
     afterwards taking the next id block atomically, a
-    deletion-vector DELETE knocks out every doc_id%5==0 row, and the
+    deletion-vector DELETE knocks out every doc_id%5==0 row, the
     table is OPTIMIZE-compacted (r12: the id-preserving rewrite
-    materializes _row_id physically in the merged file). _row_id =
-    coalesce(materialized, baseRowId + ordinal) must survive both the
-    delete and the rewrite unrenumbered; the twin recomputes every id
-    with row_number() arithmetic."""
+    materializes _row_id physically in the merged file), and a MERGE
+    updates lang='xx' for surviving doc_id%7==1 rows (r12: updates
+    INHERIT the matched row's id — stable row ids under DML). _row_id
+    = coalesce(materialized, baseRowId + ordinal) must survive the
+    delete, the rewrite, AND the merge unrenumbered; the twin
+    recomputes every id with row_number() arithmetic and a CASE for
+    the merged lang."""
     import tempfile
 
     from dataset_grouper_spark.sources.delta import (
         delta_append,
         delta_delete_where,
         delta_enable_row_tracking,
+        delta_merge,
         delta_optimize,
         read_delta,
     )
@@ -7093,6 +7097,14 @@ def q_delta_row_tracking(spark: SparkSession, sf: str) -> DataFrame:
     delta_append(spark, odds, t)
     delta_delete_where(spark, t, "doc_id % 5 = 0")
     delta_optimize(spark, t)
+    delta_merge(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 7 == 1) & (F.col("doc_id") % 5 != 0)
+        ).withColumn("lang", F.lit("xx")),
+        t,
+        on=["doc_id"],
+    )
     return read_delta(spark, t, row_ids=True).select(
         "doc_id", "lang", F.col("_row_id").cast("long").alias("row_id")
     )
@@ -9087,7 +9099,10 @@ def oracle_sql() -> dict[str, str]:
             allr AS (
                 SELECT * FROM evens UNION ALL SELECT * FROM odds
             )
-            SELECT doc_id, lang, CAST(rid AS BIGINT) AS row_id
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 1 THEN 'xx' ELSE lang END
+                     AS lang,
+                   CAST(rid AS BIGINT) AS row_id
             FROM allr WHERE doc_id % 5 != 0
         """,
         "iceberg_row_lineage": """

@@ -458,13 +458,14 @@ def delta_enable_row_tracking(
     re-adds. Returns the committed version, or None when already
     enabled.
 
-    OPTIMIZE composes: :func:`delta_optimize` preserves ids by
-    materializing a physical ``_row_id`` column in rewritten files
-    (the spec's row-id materialization — explicit ids beat baseRowId
-    + ordinal on read). Honest gates that remain: MERGE and RESTORE
-    on row-tracked tables raise (their rewrites are not yet
-    id-preserving). Single-writer assumption for id assignment:
-    the blind-append retry rebases the version, not the id block."""
+    Every file-rewriting operation composes (r12): OPTIMIZE and MERGE
+    preserve ids by materializing a physical ``_row_id`` column in
+    rewritten files (the spec's row-id materialization — explicit ids
+    beat baseRowId + ordinal on read; MERGE updates inherit the
+    matched row's id), and RESTORE re-references files with their
+    original id assignment (fresh blocks only for pre-enablement
+    files). Single-writer assumption for id assignment: the
+    blind-append retry rebases the version, not the id block."""
     latest = _latest_version(table_path)
     if latest is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
@@ -514,19 +515,6 @@ def delta_enable_row_tracking(
     version = latest + 1
     _write_commit(_log_path(table_path), version, actions)
     return version
-
-
-def _gate_row_tracking(
-    spark: SparkSession, table_path: str, version: int, op: str
-) -> None:
-    """File-rewriting operations cannot yet PRESERVE row ids (the
-    spec's row-id materialization); raise rather than silently
-    renumbering rows on a row-tracked table."""
-    if _row_tracking_watermark(spark, table_path, version) is not None:
-        raise NotImplementedError(
-            f"{op}: table has row tracking enabled — rewriting files "
-            "while preserving row ids is not implemented"
-        )
 
 
 def _physical_names(meta: dict) -> dict[str, str]:
@@ -1912,11 +1900,19 @@ def delta_restore(
     target lacks, adds for target files the current state lacks —
     O(changed files), zero data movement (restored files are
     re-referenced, not copied). Raises if the target version's files
-    were already vacuumed away."""
+    were already vacuumed away.
+
+    ROW-TRACKED tables restore id-stably (r12): restore moves no data
+    — re-added files carry whatever baseRowId (and materialized
+    _row_id columns) they had at the target version, so ids are
+    exactly the target version's. Files from BEFORE row tracking was
+    enabled lack a baseRowId; those get a fresh block from the
+    never-regressing watermark in the same commit (the reader's
+    every-add-has-one invariant)."""
     latest = _latest_version(table_path)
     if latest is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
-    _gate_row_tracking(spark, table_path, latest, "delta_restore")
+    rt_hwm = _row_tracking_watermark(spark, table_path, latest)
     want_adds, want_meta = _replay(spark, table_path, version)
     cur_adds, cur_meta = _replay(spark, table_path, latest)
     table_abs = _table_abs(table_path)
@@ -1957,6 +1953,41 @@ def delta_restore(
             actions.append({"add": re_add})
     if not actions:
         return latest
+    if rt_hwm is not None:
+        # pre-enablement files restored onto a tracked table need a
+        # fresh block; everything else keeps the target version's id
+        # assignment — the watermark only ever advances
+        cur = rt_hwm + 1
+        bumped = False
+        for act in actions:
+            a = act.get("add")
+            if a is None or "baseRowId" in a:
+                continue
+            st = json.loads(a.get("stats") or "{}")
+            n = st.get("numRecords")
+            if n is None:
+                from dataset_grouper_spark.sources.convert import (
+                    _parquet_row_count,
+                )
+
+                n = _parquet_row_count(
+                    os.path.join(_table_abs(table_path), a["path"])
+                )
+            a["baseRowId"] = cur
+            cur += int(n)
+            bumped = True
+        if bumped:
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": ROW_TRACKING_DOMAIN,
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": cur - 1}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
     new_version = latest + 1
     try:
         _write_commit(_log_path(table_path), new_version, actions)
@@ -2144,6 +2175,13 @@ def delta_merge(
     file), and every remove/add carries its partition values —
     inserts may open brand-new partitions.
 
+    ROW-TRACKED tables merge id-preservingly (r12, the spec's stable
+    row ids under DML): surviving rows in rewritten files keep their
+    resolved id materialized; an UPDATE (source row matching a key)
+    inherits the matched row's id — the smallest matched id when the
+    key was not unique in the target, deterministic; pure inserts get
+    fresh ids via the new file's baseRowId block.
+
     Last-writer-wins within ``source`` is NOT resolved here: source
     must be key-unique (enforced with one cheap count, fails loudly
     otherwise)."""
@@ -2155,7 +2193,8 @@ def delta_merge(
     target = _latest_version(table_path)
     if target is None:
         raise FileNotFoundError(f"empty Delta log: {table_path}")
-    _gate_row_tracking(spark, table_path, target, "delta_merge")
+    rt_hwm = _row_tracking_watermark(spark, table_path, target)
+    tracked = rt_hwm is not None
     adds, meta = _replay(spark, table_path, target)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
@@ -2192,24 +2231,31 @@ def delta_merge(
             ]
         )
 
+    rid_field = (
+        [StructField("_row_id", LongType(), True)] if tracked else []
+    )
     if not paths:
         # empty active set: a merge is a pure insert
         scan = spark.createDataFrame([], schema).withColumns(
             {
                 "__fp": F.lit(None).cast("string"),
                 "__pos": F.lit(None).cast("long"),
+                **(
+                    {"_row_id": F.lit(None).cast("long")}
+                    if tracked
+                    else {}
+                ),
             }
         )
     elif not part_cols:
-        read_schema = (
-            StructType(
-                [
-                    StructField(phys[f.name], f.dataType, True)
-                    for f in schema.fields
-                ]
-            )
-            if mapped
-            else schema
+        read_schema = StructType(
+            [
+                StructField(
+                    phys[f.name] if mapped else f.name, f.dataType, True
+                )
+                for f in schema.fields
+            ]
+            + rid_field
         )
         scan = unmap(
             spark.read.schema(read_schema)
@@ -2230,6 +2276,7 @@ def delta_merge(
                 )
                 for f in data_fields
             ]
+            + rid_field
         )
         types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
@@ -2258,8 +2305,48 @@ def delta_merge(
                     else F.lit(raw).cast(types[c])
                 )
                 gdf = gdf.withColumn(c, lit)
-            frames.append(gdf.select(*names, "__fp", "__pos"))
+            frames.append(
+                gdf.select(
+                    *names,
+                    "__fp",
+                    "__pos",
+                    *(["_row_id"] if tracked else []),
+                )
+            )
         scan = reduce(DataFrame.unionByName, frames)
+    rid_tail = ["_row_id"] if tracked else []
+    if tracked:
+        # resolve every current row's durable id BEFORE the merge
+        # loses file/ordinal identity (materialized column wins,
+        # else baseRowId + ordinal — the read path's law)
+        missing_b = [
+            rel for rel, a in adds.items() if "baseRowId" not in a
+        ]
+        if missing_b:
+            raise ValueError(
+                "delta_merge: row tracking enabled but file lacks "
+                f"baseRowId: {missing_b[0]!r}"
+            )
+        bmap = spark.createDataFrame(
+            [
+                (
+                    _norm_abs(os.path.join(table_abs, rel)),
+                    int(a["baseRowId"]),
+                )
+                for rel, a in adds.items()
+            ],
+            "`__fp` string, `__brid` long",
+        )
+        scan = (
+            scan.join(F.broadcast(bmap), "__fp", "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"), F.col("__brid") + F.col("__pos")
+                ),
+            )
+            .drop("__brid")
+        )
     dv_adds = [
         (os.path.join(table_abs, a["path"]), a["deletionVector"])
         for a in adds.values()
@@ -2267,7 +2354,9 @@ def delta_merge(
     ]
     if dv_adds:
         dv_frame, total = _dv_positions_frame(spark, table_path, dv_adds)
-        scan = _apply_dvs(scan, dv_frame, total, [*names, "__fp", "__pos"])
+        scan = _apply_dvs(
+            scan, dv_frame, total, [*names, "__fp", "__pos", *rid_tail]
+        )
 
     keys = source.select(*on)
     # touched files: planning-scale collect (bounded by file count)
@@ -2284,22 +2373,38 @@ def delta_merge(
     touched_rel = sorted(abs_to_rel[p] for p in touched)
 
     stage = tempfile.mkdtemp(prefix="_delta_merge_")
+    src_out = source
+    if tracked:
+        # an UPDATE inherits the matched row's id (smallest matched id
+        # when the target key was not unique — deterministic); pure
+        # inserts stay null and inherit the new file's baseRowId +
+        # ordinal on read
+        touched_scan = (
+            scan.filter(F.col("__fp").isin(touched)) if touched else scan
+        )
+        old_ids = (
+            touched_scan.join(keys, on, "left_semi")
+            .groupBy(*on)
+            .agg(F.min("_row_id").alias("_row_id"))
+        )
+        src_out = source.join(old_ids, on, "left")
     if touched:
         survivors = (
             scan.filter(F.col("__fp").isin(touched))
             .join(keys, on, "left_anti")
-            .select(*names)
+            .select(*names, *rid_tail)
         )
-        rewritten = survivors.unionByName(source)
+        rewritten = survivors.unionByName(src_out)
         n_out = max(1, len(touched_rel))
     else:
-        rewritten = source
+        rewritten = src_out
         n_out = 1
     if mapped:
         # rewritten/insert files carry PHYSICAL names, like every
-        # other file in a column-mapped table
+        # other file in a column-mapped table (_row_id is a reserved
+        # physical name, never mapped)
         rewritten = rewritten.select(
-            *[F.col(n).alias(phys[n]) for n in names]
+            *[F.col(n).alias(phys[n]) for n in names], *rid_tail
         )
     stage_parts = [phys[c] for c in part_cols] if mapped else part_cols
     writer = (
@@ -2367,6 +2472,37 @@ def delta_merge(
             }
         )
     shutil.rmtree(stage, ignore_errors=True)
+    if tracked:
+        # every add carries a fresh baseRowId block (the reader's
+        # invariant); survivors/updates answer from their materialized
+        # column, inserts inherit from the block — and the advanced
+        # watermark rides the same commit
+        cur = rt_hwm + 1
+        for act in actions:
+            a = act.get("add")
+            if a is None:
+                continue
+            st = json.loads(a.get("stats") or "{}")
+            n = st.get("numRecords")
+            if n is None:
+                from dataset_grouper_spark.sources.convert import (
+                    _parquet_row_count,
+                )
+
+                n = _parquet_row_count(os.path.join(table_abs, a["path"]))
+            a["baseRowId"] = cur
+            cur += int(n)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": cur - 1}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     version = target + 1
     try:
         _write_commit(_log_path(table_path), version, actions)

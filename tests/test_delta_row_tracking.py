@@ -59,27 +59,66 @@ class TestRowTracking:
         with pytest.raises(ValueError, match="row tracking is not"):
             delta.read_delta(spark, t, row_ids=True).collect()
 
-    def test_rewrite_ops_gate(self, spark, tmp_path):
-        # MERGE/RESTORE remain gated (their rewrites are not yet
-        # id-preserving); OPTIMIZE composes — tested separately below
-        t = str(tmp_path / "rt4")
-        delta.delta_append(
-            spark,
-            spark.createDataFrame(
-                [(1, "a"), (2, "b")], "id long, v string"
-            ).repartition(2),
-            t,
+    def test_merge_preserves_and_mints_row_ids(self, spark, tmp_path):
+        # spec stable-row-id DML: survivors keep their ids, UPDATES
+        # inherit the matched row's id, pure INSERTS mint fresh ids
+        # from the new file's baseRowId block
+        t = str(tmp_path / "rt_mrg")
+        a = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
         )
+        delta.delta_append(spark, _sorted1(a), t)
         delta.delta_enable_row_tracking(spark, t)
-        with pytest.raises(NotImplementedError, match="row tracking"):
-            delta.delta_restore(spark, t, 0)
-        with pytest.raises(NotImplementedError, match="row tracking"):
-            delta.delta_merge(
-                spark,
-                spark.createDataFrame([(1, "A")], "id long, v string"),
-                t,
-                on=["id"],
-            )
+        before = _ids(delta.read_delta(spark, t, row_ids=True))
+        src = spark.createDataFrame(
+            [(2, "UPDATED"), (100, "fresh")], "id long, v string"
+        )
+        v = delta.delta_merge(spark, src, t, on=["id"])
+        assert v is not None
+        got = delta.read_delta(spark, t, row_ids=True)
+        ids = _ids(got)
+        vals = {r.id: r.v for r in got.collect()}
+        # survivors untouched, the update INHERITED id 2's row id
+        for i in range(6):
+            assert ids[i] == before[i]
+        assert vals[2] == "UPDATED"
+        # the insert minted a fresh id above the old watermark
+        assert ids[100] > max(before.values())
+        assert len(set(ids.values())) == len(ids)
+        # a second merge over the merged (materialized) file again
+        v2 = delta.delta_merge(
+            spark,
+            spark.createDataFrame([(2, "AGAIN")], "id long, v string"),
+            t,
+            on=["id"],
+        )
+        ids2 = _ids(delta.read_delta(spark, t, row_ids=True))
+        assert ids2 == ids
+
+    def test_restore_is_id_stable(self, spark, tmp_path):
+        t = str(tmp_path / "rt_rst")
+        a = spark.createDataFrame(
+            [(i, "a") for i in range(4)], "id long, v string"
+        )
+        delta.delta_append(spark, _sorted1(a), t)          # v0
+        delta.delta_enable_row_tracking(spark, t)          # v1
+        before = _ids(delta.read_delta(spark, t, row_ids=True))
+        b = spark.createDataFrame([(9, "b")], "id long, v string")
+        delta.delta_append(spark, _sorted1(b), t)          # v2
+        delta.delta_delete_where(spark, t, "id = 1")       # v3
+        # restore to v1 (tracked, pre-append): original ids exactly
+        delta.delta_restore(spark, t, 1)
+        assert _ids(delta.read_delta(spark, t, row_ids=True)) == before
+        # restore to v0 (PRE-enablement files): fresh ids minted, the
+        # watermark never regresses, reads stay consistent
+        delta.delta_restore(spark, t, 0)
+        got = _ids(delta.read_delta(spark, t, row_ids=True))
+        assert set(got) == {0, 1, 2, 3}
+        assert len(set(got.values())) == 4
+        hwm = delta._row_tracking_watermark(
+            spark, t, delta._latest_version(t)
+        )
+        assert hwm >= max(got.values())
 
     def test_optimize_preserves_row_ids(self, spark, tmp_path):
         # spec row-id materialization: OPTIMIZE writes _row_id as a

@@ -74,6 +74,11 @@ PROBE = [
     "embedding_neardup_clusters",
     "semdedup_cells_embeddings",
     "text_cosine_cells_documents",
+    # r12: the TWO-LEVEL quantizer tier (forced past its threshold at
+    # every scale) — the sqrt(C)-broadcast salted-cogroup assignment
+    # must keep the family sublinear with the n x C term gone
+    "semdedup_twolevel_embeddings",
+    "text_cosine_twolevel_documents",
 ]
 
 

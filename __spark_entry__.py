@@ -6379,6 +6379,10 @@ def q_foreign_lakehouse_fixtures(spark: SparkSession, sf: str) -> DataFrame:
             # rollover file (cross-file invalidation)
             "delta_cm",
             "hudi_mor_rollover",
+            # r12: event-time precombine merge — a commit-time reader
+            # hash-mismatches on all three rows (wrong winner for id
+            # 1, wrongly-deleted id 2, resurrected id 3)
+            "hudi_mor_ordering",
         )
     ]
     return reduce(DataFrame.unionByName, frames)
@@ -6421,6 +6425,11 @@ _FOREIGN_ORACLE_ROWS = [
     ("hudi_mor_rollover", 1, "alpha", "en"),
     ("hudi_mor_rollover", 2, "BRAVO!", "en"),
     ("hudi_mor_rollover", 9, "juliett", "en"),
+    # hudi_mor_ordering: precombine event-time merge — the later
+    # commit's older-evt row loses, the low-orderingVal delete does
+    # not apply, the high one does
+    ("hudi_mor_ordering", 1, "NEWEST", "en"),
+    ("hudi_mor_ordering", 2, "bravo", "en"),
 ]
 
 

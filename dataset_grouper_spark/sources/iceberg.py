@@ -1292,14 +1292,49 @@ def _transform_column(col: str, transform: str, src_type: str):
     raise ValueError(f"iceberg_append: unknown transform {transform!r}")
 
 
-def _partition_manifest_schema(spec_fields, value_types) -> dict:
+def _default_spec_value_types(meta: dict, schema: dict):
+    """(spec_entry, value_types) for the table's default partition
+    spec — the Avro value type per partition field, derived from the
+    source column type and the transform. Shared by every writer that
+    re-declares partitioned manifest entries."""
+    spec_entry = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    src_types = {f["name"]: f["type"] for f in schema["fields"]}
+    value_types = {}
+    for f in spec_entry["fields"]:
+        src_t = src_types.get(by_id.get(f.get("source-id")), "string")
+        t = f.get("transform", "identity")
+        if t == "identity":
+            value_types[f["name"]] = (
+                "string" if src_t == "string" else "long"
+            )
+        elif t.startswith("truncate[") and src_t == "string":
+            value_types[f["name"]] = "string"
+        else:
+            value_types[f["name"]] = "long"
+    return spec_entry, value_types
+
+
+def _partition_manifest_schema(
+    spec_fields, value_types, lineage: bool = False
+) -> dict:
     """_MANIFEST_SCHEMA with a typed ``partition`` record spliced into
     data_file — Avro needs concrete field types, and they vary per
     table; readers are fine because Avro containers are
-    self-describing."""
+    self-describing. ``lineage=True`` splices into the row-lineage
+    variant (entries carry ``first_row_id``)."""
     import copy
 
-    schema = copy.deepcopy(_MANIFEST_SCHEMA)
+    schema = copy.deepcopy(
+        _MANIFEST_SCHEMA_LINEAGE if lineage else _MANIFEST_SCHEMA
+    )
     part_record = {
         "type": "record",
         "name": "r_partition",
@@ -1646,18 +1681,21 @@ def iceberg_append(
     shutil.rmtree(stage, ignore_errors=True)
     if "next-row-id" in meta:
         # v3 row lineage: every new file takes the next id block in
-        # the (deterministic, sorted-stage) order entries were built
-        if partition_spec:
-            raise NotImplementedError(
-                "iceberg_append: row lineage on partitioned tables "
-                "not wired"
-            )
+        # the (deterministic, sorted-stage) order entries were built;
+        # partitioned manifests splice first_row_id next to their
+        # typed partition record (r12 — the gate is gone)
         cur = int(meta["next-row-id"])
         for e in entries:
             e["data_file"]["first_row_id"] = cur
             cur += int(e["data_file"]["record_count"])
         meta["next-row-id"] = cur
-        manifest_schema = _MANIFEST_SCHEMA_LINEAGE
+        manifest_schema = (
+            _partition_manifest_schema(
+                spec_entry["fields"], value_types, lineage=True
+            )
+            if partition_spec
+            else _MANIFEST_SCHEMA_LINEAGE
+        )
     mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, manifest_schema, entries)
     return _commit_snapshot(
@@ -2763,30 +2801,9 @@ def iceberg_rewrite_data_files(
         _MANIFEST_SCHEMA_LINEAGE if lineage else _MANIFEST_SCHEMA
     )
     if any_partition:
-        spec_entry = next(
-            (
-                s
-                for s in meta.get("partition-specs") or []
-                if s.get("spec-id") == meta.get("default-spec-id", 0)
-            ),
-            {"fields": []},
-        )
-        by_id = {f["id"]: f["name"] for f in schema["fields"]}
-        src_types = {f["name"]: f["type"] for f in schema["fields"]}
-        value_types = {}
-        for f in spec_entry["fields"]:
-            src_t = src_types.get(by_id.get(f.get("source-id")), "string")
-            t = f.get("transform", "identity")
-            if t == "identity":
-                value_types[f["name"]] = (
-                    "string" if src_t == "string" else "long"
-                )
-            elif t.startswith("truncate[") and src_t == "string":
-                value_types[f["name"]] = "string"
-            else:
-                value_types[f["name"]] = "long"
+        spec_entry, value_types = _default_spec_value_types(meta, schema)
         manifest_schema = _partition_manifest_schema(
-            spec_entry["fields"], value_types
+            spec_entry["fields"], value_types, lineage=lineage
         )
 
     mdir = os.path.join(table_path, "metadata")
@@ -2854,12 +2871,12 @@ def iceberg_enable_row_lineage(table_path: str) -> int | None:
     manifests carried untouched. Returns the new snapshot id, or None
     when lineage is already enabled.
 
-    Honest gate: partitioned tables (the retrofit would drop their
-    partition structs from the rewritten manifest — not wired).
-    Compaction composes: ``iceberg_rewrite_data_files`` preserves ids
-    by materializing a physical ``_row_id`` column in rewritten files
-    (spec lineage inheritance — explicit ids beat first_row_id +
-    ordinal on read)."""
+    Partitioned tables retrofit too (r12): the rewritten manifest
+    keeps each entry's typed partition struct, spliced next to
+    first_row_id. Compaction composes: ``iceberg_rewrite_data_files``
+    preserves ids by materializing a physical ``_row_id`` column in
+    rewritten files (spec lineage inheritance — explicit ids beat
+    first_row_id + ordinal on read)."""
     import uuid as _uuid
 
     meta = _load_metadata(table_path)
@@ -2872,19 +2889,19 @@ def iceberg_enable_row_lineage(table_path: str) -> int | None:
         meta["format-version"] = 3
         _bump_metadata(table_path, meta, "iceberg_enable_row_lineage")
         return None
-    spec = next(
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    schema = next(
         (
             s
-            for s in meta.get("partition-specs") or []
-            if s.get("spec-id") == meta.get("default-spec-id", 0)
+            for s in schemas
+            if s.get("schema-id") == meta.get("current-schema-id")
         ),
-        {"fields": []},
+        schemas[-1] if schemas else {"fields": []},
     )
-    if spec.get("fields"):
-        raise NotImplementedError(
-            "iceberg_enable_row_lineage: partitioned tables not wired "
-            "(the manifest retrofit would drop partition structs)"
-        )
+    spec, value_types = _default_spec_value_types(meta, schema)
+    partitioned = bool(spec.get("fields"))
     snap = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == cur_id
     )
@@ -2913,32 +2930,43 @@ def iceberg_enable_row_lineage(table_path: str) -> int | None:
     next_id = 0
     out_entries = []
     for seq, df_rec in live:
+        rec = {
+            "content": 0,
+            "file_path": df_rec["file_path"],
+            "file_format": df_rec.get("file_format") or "PARQUET",
+            "record_count": df_rec.get("record_count") or 0,
+            "file_size_in_bytes": df_rec.get("file_size_in_bytes")
+            or 0,
+            "first_row_id": next_id,
+            "equality_ids": df_rec.get("equality_ids"),
+            "lower_bounds": df_rec.get("lower_bounds"),
+            "upper_bounds": df_rec.get("upper_bounds"),
+        }
+        if partitioned:
+            # the retrofit keeps each entry's partition struct — the
+            # reason partitioned tables used to gate here (r12)
+            rec["partition"] = df_rec.get("partition")
         out_entries.append(
             {
                 "status": 0,  # EXISTING
                 "snapshot_id": None,
                 "sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": df_rec["file_path"],
-                    "file_format": df_rec.get("file_format") or "PARQUET",
-                    "record_count": df_rec.get("record_count") or 0,
-                    "file_size_in_bytes": df_rec.get(
-                        "file_size_in_bytes"
-                    )
-                    or 0,
-                    "first_row_id": next_id,
-                    "equality_ids": df_rec.get("equality_ids"),
-                    "lower_bounds": df_rec.get("lower_bounds"),
-                    "upper_bounds": df_rec.get("upper_bounds"),
-                },
+                "data_file": rec,
             }
         )
         next_id += int(df_rec.get("record_count") or 0)
     snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     mdir = os.path.join(table_path, "metadata")
     mpath = os.path.join(mdir, f"rl-{snap_id}-{_uuid.uuid4().hex}.avro")
-    write_avro_file(mpath, _MANIFEST_SCHEMA_LINEAGE, out_entries)
+    write_avro_file(
+        mpath,
+        _partition_manifest_schema(
+            spec["fields"], value_types, lineage=True
+        )
+        if partitioned
+        else _MANIFEST_SCHEMA_LINEAGE,
+        out_entries,
+    )
     meta["next-row-id"] = next_id
     meta["format-version"] = 3
     return _commit_snapshot(

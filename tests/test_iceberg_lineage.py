@@ -54,18 +54,49 @@ class TestRowLineage:
         with pytest.raises(ValueError, match="row lineage is not"):
             iceberg.read_iceberg(spark, t, row_ids=True).collect()
 
-    def test_gates(self, spark, tmp_path):
-        # partitioned table: enabling gates
+    def test_partitioned_lineage_end_to_end(self, spark, tmp_path):
+        # r12: the partitioned gate is gone — the retrofit keeps each
+        # manifest entry's typed partition struct next to
+        # first_row_id, appends keep assigning blocks, deletes never
+        # renumber, compaction materializes, and partition pruning
+        # still works on the lineage manifests
         t = str(tmp_path / "rl4")
         df = spark.createDataFrame(
-            [(1, "en"), (2, "de")], "id long, lang string"
-        )
+            [(1, "en"), (2, "de"), (3, "en"), (4, "de")],
+            "id long, lang string",
+        ).repartition(1).sortWithinPartitions("id")
         iceberg.iceberg_append(
-            spark, df.coalesce(1), t,
-            partition_spec=[("lang", "identity")],
+            spark, df, t, partition_spec=[("lang", "identity")],
         )
-        with pytest.raises(NotImplementedError, match="partitioned"):
-            iceberg.iceberg_enable_row_lineage(t)
+        sid = iceberg.iceberg_enable_row_lineage(t)
+        assert sid is not None
+        got = _ids(iceberg.read_iceberg(spark, t, row_ids=True))
+        assert sorted(got) == [1, 2, 3, 4]
+        assert sorted(got.values()) == [0, 1, 2, 3]
+        before = dict(got)
+        # partitioned append on a lineage table (the old append gate)
+        b = spark.createDataFrame(
+            [(10, "en")], "id long, lang string"
+        ).coalesce(1)
+        iceberg.iceberg_append(
+            spark, b, t, partition_spec=[("lang", "identity")],
+        )
+        got = _ids(iceberg.read_iceberg(spark, t, row_ids=True))
+        assert got[10] == 4 and all(got[k] == v for k, v in before.items())
+        # deletes never renumber
+        iceberg.iceberg_dv_delete(spark, t, "id = 3")
+        mid = _ids(iceberg.read_iceberg(spark, t, row_ids=True))
+        assert mid == {k: v for k, v in got.items() if k != 3}
+        # compaction preserves ids per partition
+        iceberg.iceberg_rewrite_data_files(spark, t, min_input_files=2)
+        assert _ids(iceberg.read_iceberg(spark, t, row_ids=True)) == mid
+        # partition pruning still reads the lineage manifests
+        en = iceberg.read_iceberg(
+            spark, t, partition_filter={"lang": "en"}, row_ids=True
+        )
+        assert {r.id: r._row_id for r in en.collect()} == {
+            k: v for k, v in mid.items() if k in (1, 10)
+        }
 
     def test_compaction_preserves_row_ids(self, spark, tmp_path):
         # v3 lineage-preserving rewrite: compacted files materialize

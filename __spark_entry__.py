@@ -5760,15 +5760,18 @@ def q_hudi_log_format_read(spark: SparkSession, sf: str) -> DataFrame:
     """MoR merge over a log written in REAL HoodieLogFormat block
     framing (sources/hudi_log.py — the r8 interop gap, closed in r9):
     bulk-insert the corpus as one MoR file group, then append a
-    foreign-framed log carrying two AVRO_DATA blocks at one instant
-    (the later block supersedes the earlier for shared keys — block
-    sequence ordering) plus a v3 Avro DELETE block, complete the
-    deltacommit, and read the merged snapshot before AND after
-    compaction folds the foreign log into a new base slice. Both reads
-    hash-check against a closed-form CASE twin, so a framing mis-parse,
-    a lost block, wrong same-instant ordering, or a resurrected delete
-    fails. The foreign rows are a BOUNDED fixed set (doc_id < 40):
-    the driver-side block encoding is O(40), planning-scale."""
+    foreign-framed log carrying an AVRO_DATA block and (r12) a
+    PARQUET_DATA block at one instant (the later block supersedes the
+    earlier for shared keys — block sequence ordering; real Hudi
+    writes parquet blocks under
+    hoodie.logfile.data.block.format=parquet) plus a v3 Avro DELETE
+    block, complete the deltacommit, and read the merged snapshot
+    before AND after compaction folds the foreign log into a new base
+    slice. Both reads hash-check against a closed-form CASE twin, so a
+    framing mis-parse, a lost block, wrong same-instant ordering, a
+    parquet-payload mis-decode, or a resurrected delete fails. The
+    foreign rows are a BOUNDED fixed set (doc_id < 40): the
+    driver-side block encoding is O(40), planning-scale."""
     import tempfile
 
     from dataset_grouper_spark.sources import hudi_log
@@ -5829,7 +5832,7 @@ def q_hudi_log_format_read(spark: SparkSession, sf: str) -> DataFrame:
         os.path.join(table, f".{fid}_{base}.log.1_0-1-0"),
         [
             hudi_log.encode_avro_data_block(up5, schema, di),
-            hudi_log.encode_avro_data_block(up10, schema, di),
+            hudi_log.encode_parquet_data_block(up10, schema, di),
             hudi_log.encode_delete_block(dels, di),
         ],
     )

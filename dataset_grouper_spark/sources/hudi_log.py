@@ -306,6 +306,60 @@ def encode_avro_data_block(
     return _frame_block("AVRO_DATA_BLOCK", header, bytes(body))
 
 
+def decode_parquet_data_block(block: dict) -> list[dict]:
+    """PARQUET_DATA_BLOCK content -> list of record dicts. Real Hudi
+    (hoodie.logfile.data.block.format=parquet) serializes records as
+    one complete parquet file's bytes inside the block — decoded here
+    with pyarrow, no framing beyond the parquet footer itself."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(io.BytesIO(bytes(block["content"])))
+    return table.to_pylist()
+
+
+def encode_parquet_data_block(
+    records: list[dict], avro_schema: dict, instant: str
+) -> bytes:
+    """Frame one PARQUET_DATA_BLOCK: records written as a complete
+    parquet file (pyarrow), the Avro schema string riding the SCHEMA
+    header exactly like the AVRO_DATA_BLOCK's."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _AVRO_TO_ARROW = {
+        "string": pa.string(),
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "bytes": pa.binary(),
+    }
+
+    def arrow_type(t):
+        if isinstance(t, list):  # union: first non-null branch
+            t = next(b for b in t if b != "null")
+        return _AVRO_TO_ARROW[t if isinstance(t, str) else t["type"]]
+
+    fields = [
+        pa.field(f["name"], arrow_type(f["type"]))
+        for f in avro_schema["fields"]
+    ]
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.Table.from_pylist(records, schema=pa.schema(fields)), buf
+    )
+    header = {
+        "INSTANT_TIME": instant,
+        "SCHEMA": json.dumps(avro_schema, separators=(",", ":")),
+    }
+    return _frame_block("PARQUET_DATA_BLOCK", header, buf.getvalue())
+
+
 def encode_delete_block(
     deletes: list[dict], instant: str, payload_version: int = 3
 ) -> bytes:
@@ -389,14 +443,18 @@ def read_log_stream_records(
             if btype == "AVRO_DATA_BLOCK":
                 for rec in decode_avro_data_block(block):
                     out.append(("u", instant, seq, rec))
+            elif btype == "PARQUET_DATA_BLOCK":
+                for rec in decode_parquet_data_block(block):
+                    out.append(("u", instant, seq, rec))
             elif btype == "DELETE_BLOCK":
                 for d in decode_delete_block(block):
                     out.append(("d", instant, seq, dict(d)))
             else:
                 raise NotImplementedError(
                     f"hudi_log: {btype} payloads are not supported "
-                    "(data blocks: AVRO_DATA_BLOCK; HFILE/PARQUET/CDC "
-                    "blocks need their respective readers)"
+                    "(data blocks: AVRO_DATA_BLOCK / "
+                    "PARQUET_DATA_BLOCK; HFILE/CDC blocks need their "
+                    "respective readers)"
                 )
     return out
 

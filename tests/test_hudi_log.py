@@ -441,3 +441,43 @@ def test_clean_spares_uncommitted_foreign_log(spark, tmp_path):
     # superseded; clean may now reap its log
     doomed2 = hudi.hudi_clean(t, dry_run=True)
     assert any(log_rel in d for d in doomed2)
+
+
+def test_parquet_data_block_roundtrip():
+    """PARQUET_DATA_BLOCK (real Hudi's
+    hoodie.logfile.data.block.format=parquet): records framed as one
+    parquet file inside the block round-trip exactly, and the stream
+    scanner surfaces them as upserts alongside avro blocks."""
+    from dataset_grouper_spark.sources import hudi_log as hl
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "txt", "type": ["null", "string"]},
+            {"name": "score", "type": ["null", "double"]},
+        ],
+    }
+    recs = [
+        {"id": 1, "txt": "a", "score": 0.5},
+        {"id": 2, "txt": None, "score": -1.25},
+    ]
+    blk = hl.encode_parquet_data_block(recs, schema, "20240101000000000")
+    parsed = hl.read_log_blocks(blk)
+    assert len(parsed) == 1
+    assert parsed[0]["type"] == "PARQUET_DATA_BLOCK"
+    assert hl.decode_parquet_data_block(parsed[0]) == recs
+    # stream composition: parquet upserts + avro delete in one file
+    stream = hl.read_log_stream_records(
+        [
+            blk
+            + hl.encode_delete_block(
+                [{"recordKey": "1", "partitionPath": ""}],
+                "20240101000000001",
+            )
+        ],
+        completed=None,
+    )
+    ops = [(op, r.get("id") or r.get("recordKey")) for op, _i, _s, r in stream]
+    assert ops == [("u", 1), ("u", 2), ("d", "1")]

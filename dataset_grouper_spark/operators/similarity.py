@@ -437,8 +437,18 @@ def cosine_pairs_cells(
             import pandas as pd
 
             if left.empty or right.empty:
+                # a probed coarse cell can have ZERO fine members
+                # (e.g. duplicate coarse centroids tie-break to one
+                # id): dtype-pinned empty frame — a default float64
+                # _vec column would fail Arrow's list<float>
+                # conversion (caught by the 10x probe, r12)
                 return pd.DataFrame(
-                    {"_id": [], "_vec": [], "_cell": [], "_d2": []}
+                    {
+                        "_id": pd.Series([], dtype="int64"),
+                        "_vec": pd.Series([], dtype="object"),
+                        "_cell": pd.Series([], dtype="int64"),
+                        "_d2": pd.Series([], dtype="float64"),
+                    }
                 )
             r = right.sort_values("_cent_id")
             fids = r["_cent_id"].to_numpy(dtype="int64")

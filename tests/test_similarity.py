@@ -927,3 +927,27 @@ def test_twolevel_neardup_clusters_passthrough(spark):
     lab = {r.vec_id: r.cluster_id for r in out.collect()}
     assert len(lab) == 40
     assert lab[39] == lab[7] == 7
+
+
+def test_twolevel_empty_coarse_cell(spark):
+    # duplicate vectors among the coarse centroids tie-break every
+    # fine assignment to the smallest id, leaving the other coarse
+    # cells EMPTY — vectors probing an empty cell must not crash the
+    # cogroup (r12: the dtype-pinned empty frame; a default float64
+    # _vec column failed Arrow's list<float> conversion) and pairing
+    # must still find every duplicate pair within the occupied cell
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(12)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.001, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_cells(
+            df, "embedding", "vec_id", 0.99, num_cells=14, probe=2,
+            two_level_threshold=4, coarse_probe=2,
+        ).collect()
+    }
+    # all 12 identical vectors pair up; the planted near-dup too
+    assert (100, 101) in got
+    assert {(a, b) for a in range(12) for b in range(a + 1, 12)} <= got

@@ -3,28 +3,32 @@
 
 The burst calibrators in bench.py under-measure sustained drift on
 this shared VM (PERF.md "Calibrator lesson"), so the definitive
-code-vs-machine instrument is this A/B: run a fixed 10-query subset
+code-vs-machine instrument is this A/B: a fixed 10-query subset timed
 under the CURRENT tree and under a git worktree at the prior
-round-close commit, in BOTH orders (head-first then prev-first) so
-page-cache / JIT / thermal bias cancels, and report the geometric
-mean of head/prev per-query ratios. ~1.0 = same speed; the committed
-artifact totals may still differ by machine drift, which this number
-factors out.
+round-close commit, and the geometric mean of head/prev per-query
+ratios reported. ~1.0 = same speed; committed artifact totals may
+still differ by machine drift, which this number factors out.
 
-Each of the four measurement passes is its OWN subprocess with its
-own Spark session — the two trees must never share a JVM or a Python
-module cache. The runner mode (``--run``) is invoked from the HEAD
-copy of this file for both sides; the repo dir argument decides which
-code gets imported.
+Protocol (v2, r12): QUERY-LEVEL interleaving. The r12 close window
+showed pass-granularity A/B cannot cancel this VM's minutes-scale
+load oscillation — byte-identical code measured ratio 0.2x-3.4x per
+query across ~5-minute passes, while an interleaved probe of the
+worst "regression" showed parity. So both trees now keep a
+LONG-LIVED runner session alive (own subprocess each, the HEAD copy
+of this file serving both), and each query is timed back-to-back in
+the two trees twice, alternating which side goes first (head,prev
+then prev,head) so adjacency cancels load within each pair and the
+order swap cancels first-mover bias. Per-query ratio = geomean of the
+two paired ratios; final = geomean over queries.
 
 Usage::
 
     python tools/ab_check.py            # human + JSON line
     python tools/ab_check.py --json     # JSON line only
-    python tools/ab_check.py --run REPO SF_DIR q1,q2,...   # internal
+    python tools/ab_check.py --serve REPO SF_DIR   # internal runner
 
 The prior round-close commit is pinned in ``tools/ab_prev_commit.txt``
-(updated as part of each round-close ritual). bench.py shells out to
+(updated as part of each round-start ritual). bench.py shells out to
 this tool and embeds the result as ``ab_vs_prev`` in the artifact.
 """
 
@@ -58,9 +62,10 @@ AB_QUERIES = [
 ]
 
 
-def _run_side(repo: str, sf_dir: str, names: list[str]) -> None:
-    """Runner mode: time each named query once (cold) in the given
-    repo's code, print one JSON line {name: seconds}."""
+def _serve(repo: str, sf_dir: str) -> None:
+    """Runner mode: boot one session over ``repo``'s code, then answer
+    ``<query-name>`` lines on stdin with ``ABTIME <name> <sec>`` (or
+    ``ABSKIP <name>`` when the registry lacks it) until EOF/EXIT."""
     sys.path.insert(0, repo)
     import importlib.util
 
@@ -84,42 +89,68 @@ def _run_side(repo: str, sf_dir: str, names: list[str]) -> None:
         lambda it: it, "id long"
     ).count()
     qs = entry.queries()
-    out: dict[str, float] = {}
-    for name in names:
+    print("ABREADY", flush=True)
+    for line in sys.stdin:
+        name = line.strip()
+        if not name or name == "EXIT":
+            break
         fn = qs.get(name)
         if fn is None:
+            print(f"ABSKIP {name}", flush=True)
             continue
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
         release_intermediates()
-    print("ABRESULT " + json.dumps(out))
+        print(f"ABTIME {name} {dt:.3f}", flush=True)
     spark.stop()
 
 
-def _subprocess_side(repo: str, sf_dir: str) -> dict[str, float]:
-    cmd = [
-        sys.executable,
-        os.path.abspath(__file__),  # HEAD copy of the runner, always
-        "--run",
-        repo,
-        sf_dir,
-        ",".join(AB_QUERIES),
-    ]
-    proc = subprocess.run(
-        cmd, cwd=repo, capture_output=True, text=True, timeout=3600
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("ABRESULT "):
-            return json.loads(line[len("ABRESULT "):])
-    raise RuntimeError(
-        f"ab runner produced no result for {repo}: "
-        f"rc={proc.returncode} stderr_tail={proc.stderr[-500:]!r}"
-    )
+class _Runner:
+    def __init__(self, repo: str, sf_dir: str):
+        self.proc = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),  # HEAD copy, always
+                "--serve",
+                repo,
+                sf_dir,
+            ],
+            cwd=repo,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        self._expect("ABREADY")
+
+    def _expect(self, prefix: str) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError("ab runner died")
+            if line.startswith(prefix) or line.startswith("ABSKIP"):
+                return line.strip()
+
+    def time(self, name: str) -> float | None:
+        self.proc.stdin.write(name + "\n")
+        self.proc.stdin.flush()
+        resp = self._expect("ABTIME")
+        if resp.startswith("ABSKIP"):
+            return None
+        return float(resp.split()[2])
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
 
 
 def run_ab(sf_dir: str) -> dict:
-    """Orchestrate the four passes; returns the artifact fragment."""
+    """Orchestrate the interleaved A/B; returns the artifact fragment."""
     if not os.path.exists(PIN):
         raise FileNotFoundError(f"no prev-commit pin at {PIN}")
     prev = open(PIN).read().strip()
@@ -131,32 +162,57 @@ def run_ab(sf_dir: str) -> dict:
         check=True,
         capture_output=True,
     )
+    ratios: dict[str, float] = {}
+    raw: dict[str, dict] = {}
+    skipped: list[str] = []
     try:
-        head_first = {
-            "head": _subprocess_side(REPO, sf_dir),
-            "prev": _subprocess_side(wt, sf_dir),
-        }
-        prev_first = {
-            "prev": _subprocess_side(wt, sf_dir),
-            "head": _subprocess_side(REPO, sf_dir),
-        }
+        head = _Runner(REPO, sf_dir)
+        prev_r = _Runner(wt, sf_dir)
+        try:
+            for q in AB_QUERIES:
+                pair_ratios = []
+                samples = {"head": [], "prev": []}
+                ok = True
+                # rep 0: head first; rep 1: prev first — adjacency
+                # cancels load within the pair, the swap cancels
+                # first-mover bias
+                for order in (("head", "prev"), ("prev", "head")):
+                    t = {}
+                    for side in order:
+                        r = head if side == "head" else prev_r
+                        dt = r.time(q)
+                        if dt is None:
+                            ok = False
+                            break
+                        t[side] = dt
+                    if not ok:
+                        break
+                    samples["head"].append(t["head"])
+                    samples["prev"].append(t["prev"])
+                    pair_ratios.append(t["head"] / max(t["prev"], 1e-9))
+                if not ok:
+                    skipped.append(q)
+                    continue
+                ratios[q] = round(
+                    math.exp(
+                        sum(math.log(r) for r in pair_ratios)
+                        / len(pair_ratios)
+                    ),
+                    3,
+                )
+                raw[q] = {
+                    "head": [round(x, 3) for x in samples["head"]],
+                    "prev": [round(x, 3) for x in samples["prev"]],
+                }
+        finally:
+            head.close()
+            prev_r.close()
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", wt],
             cwd=REPO,
             capture_output=True,
         )
-    shared = (
-        set(head_first["head"])
-        & set(head_first["prev"])
-        & set(prev_first["head"])
-        & set(prev_first["prev"])
-    )
-    ratios = {}
-    for q in sorted(shared):
-        r1 = head_first["head"][q] / max(head_first["prev"][q], 1e-9)
-        r2 = prev_first["head"][q] / max(prev_first["prev"][q], 1e-9)
-        ratios[q] = round(math.sqrt(r1 * r2), 3)
     geo = (
         round(
             math.exp(
@@ -171,15 +227,14 @@ def run_ab(sf_dir: str) -> dict:
         "ab_vs_prev": geo,
         "ab_prev_commit": prev,
         "ab_ratios": ratios,
-        "ab_skipped": sorted(set(AB_QUERIES) - shared),
-        "ab_head_first": head_first,
-        "ab_prev_first": prev_first,
+        "ab_skipped": skipped,
+        "ab_samples": raw,
     }
 
 
 def main() -> None:
-    if len(sys.argv) >= 2 and sys.argv[1] == "--run":
-        _run_side(sys.argv[2], sys.argv[3], sys.argv[4].split(","))
+    if len(sys.argv) >= 2 and sys.argv[1] == "--serve":
+        _serve(sys.argv[2], sys.argv[3])
         return
     sf_dir = os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"

@@ -164,3 +164,22 @@ class TestRowLineage:
             spark, t, skip_filters=[("id", "<", 50)]
         )
         assert got.count() == 100  # file-level: only file A survives
+
+
+    def test_zorder_rewrite_preserves_row_ids(self, spark, tmp_path):
+        # the SORT-strategy rewrite (zorder_by) rides the same
+        # lineage-preserving scan: every live file is rewritten along
+        # the curve, ids materialize, survivors keep them
+        t = str(tmp_path / "rl_z")
+        a = spark.createDataFrame(
+            [(i, i * 7 % 13) for i in range(64)], "id long, k long"
+        ).repartition(1).sortWithinPartitions("id")
+        iceberg.iceberg_append(spark, a, t)
+        iceberg.iceberg_enable_row_lineage(t)
+        iceberg.iceberg_dv_delete(spark, t, "id % 9 = 0")
+        before = _ids(iceberg.read_iceberg(spark, t, row_ids=True))
+        sid = iceberg.iceberg_rewrite_data_files(
+            spark, t, zorder_by=("id", "k")
+        )
+        assert sid is not None
+        assert _ids(iceberg.read_iceberg(spark, t, row_ids=True)) == before

@@ -5879,9 +5879,16 @@ def q_hudi_ordering_merge(spark: SparkSession, sf: str) -> DataFrame:
     must LOSE to the earlier commit's evt=1000 rows (a commit-time
     merge yields +700, hash-mismatch) — plus a DELETE block at
     orderingVal=950 for doc_id%9==0 (kills only rows whose winning
-    evt < 950: the %5==0 overlap survives) and a DELETE with NO
-    orderingVal for doc_id%11==3 (null loses to any event-timed row —
-    never deletes; Hudi's sentinel behavior). Read before and after
+    evt < 950: the %5==0 overlap survives), a DELETE with NO
+    orderingVal for doc_id%11==3 (DeleteRecord's NATURAL-ORDER
+    default: applies unconditionally by commit order — Hudi's
+    merged-log-scanner sentinel-0 behavior, hudi.py _mor_winners), a
+    second natural-order DELETE (orderingVal=0) for doc_id%20==0
+    that kills even evt=1000 winners, and a data block written AFTER
+    it re-upserting doc_id%40==0 at evt=5 (+900 chars) — the reborn
+    row survives because event-time competition restarts past a
+    natural-order delete (it also outlives the seq-earlier 950
+    delete the sentinel swallowed). Read before and after
     compaction: both stages ride the same merge law."""
     import tempfile
 
@@ -5987,6 +5994,23 @@ def q_hudi_ordering_merge(spark: SparkSession, sf: str) -> DataFrame:
                     for r in small
                     if r["doc_id"] % 11 == 3
                 ],
+                di2,
+            ),
+            hudi_log.encode_delete_block(
+                [
+                    {
+                        "recordKey": str(r["doc_id"]),
+                        "partitionPath": "",
+                        "orderingVal": 0,
+                    }
+                    for r in small
+                    if r["doc_id"] % 20 == 0
+                ],
+                di2,
+            ),
+            hudi_log.encode_avro_data_block(
+                recs([r for r in small if r["doc_id"] % 40 == 0], 900, 5),
+                schema,
                 di2,
             ),
         ],
@@ -8599,56 +8623,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
-    "semdedup_twolevel_embeddings",
-    "text_cosine_twolevel_documents",
-    "hudi_ordering_merge",
-    "iceberg_mor_delete",
-    "delta_mor_delete",
-    "hll_distinct_events",
-    "quality_checks_documents",
-    "streaming_delta_sink",
-    "streaming_delta_sink_partitioned",
-    "streaming_iceberg_sink_partitioned",
-    "value_percentiles_events",
-    "fingerprint_screen_documents",
-    "multimodal_jpeg_progressive",
-    "multimodal_webp_pixels",
-    "delta_checkpoint_roundtrip",
-    "delta_column_mapping",
-    "delta_column_mapping_merge",
-    "iceberg_partition_pruning",
-    "delta_optimize_vacuum",
-    "delta_schema_evolution",
-    "iceberg_equality_delete",
-    "iceberg_gdpr_compose",
-    "iceberg_retention",
-    "streaming_delta_source",
-    "streaming_hudi_source",
-    "streaming_hudi_sink",
-    "delta_zorder_skipping",
-    "iceberg_partitioned_write",
-    "delta_merge_roundtrip",
-    "rolling_window_events",
-    "quality_quarantine_documents",
-    "audio_g711_features",
-    "kmv_distinct_events",
-    "triangle_suppliers",
-    "bfs_suppliers",
-    "entity_match_customers",
-    "entity_clusters_customers",
-    "scd2_user_events",
-    "scd2_apply_events",
-    "spatial_radius_pairs",
-    "avro_roundtrip",
-    "orc_roundtrip",
-    "iceberg_time_travel",
-    "delta_change_feed",
-    "delta_restore_timestamp",
-    "hudi_upsert_roundtrip",
-    "open_table_dispatch",
-    "delta_time_travel",
-    "tfrecord_gzip_roundtrip",
-    "tpch_q19_disjunctive_revenue",
     "group_counts_cube",
     "tpch_q22_global_sales",
     "tpch_q10_returned_items",
@@ -8827,6 +8801,56 @@ _QUERY_ORDER: list[str] = [
     "video_frame_sample",
     "tpch_q7_nation_volume",
     "bucketed_colocated_join",
+    "iceberg_mor_delete",
+    "delta_mor_delete",
+    "hll_distinct_events",
+    "quality_checks_documents",
+    "streaming_delta_sink",
+    "streaming_delta_sink_partitioned",
+    "streaming_iceberg_sink_partitioned",
+    "value_percentiles_events",
+    "fingerprint_screen_documents",
+    "multimodal_jpeg_progressive",
+    "multimodal_webp_pixels",
+    "delta_checkpoint_roundtrip",
+    "delta_column_mapping",
+    "delta_column_mapping_merge",
+    "iceberg_partition_pruning",
+    "delta_optimize_vacuum",
+    "delta_schema_evolution",
+    "iceberg_equality_delete",
+    "iceberg_gdpr_compose",
+    "iceberg_retention",
+    "streaming_delta_source",
+    "streaming_hudi_source",
+    "streaming_hudi_sink",
+    "delta_zorder_skipping",
+    "iceberg_partitioned_write",
+    "delta_merge_roundtrip",
+    "rolling_window_events",
+    "quality_quarantine_documents",
+    "audio_g711_features",
+    "kmv_distinct_events",
+    "triangle_suppliers",
+    "bfs_suppliers",
+    "entity_match_customers",
+    "entity_clusters_customers",
+    "scd2_user_events",
+    "scd2_apply_events",
+    "spatial_radius_pairs",
+    "avro_roundtrip",
+    "orc_roundtrip",
+    "iceberg_time_travel",
+    "delta_change_feed",
+    "delta_restore_timestamp",
+    "hudi_upsert_roundtrip",
+    "open_table_dispatch",
+    "delta_time_travel",
+    "tfrecord_gzip_roundtrip",
+    "tpch_q19_disjunctive_revenue",
+    "semdedup_twolevel_embeddings",
+    "text_cosine_twolevel_documents",
+    "hudi_ordering_merge",
 ]
 # --- END GENERATED _QUERY_ORDER ---
 
@@ -10357,24 +10381,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hudi_ordering_merge": """
             WITH eff AS (
-                -- event-time winner per key: the %5 upsert (evt 1000)
-                -- beats both the base row and the LATER commit's
-                -- out-of-order %10 upsert (evt 900); elsewhere base
+                -- event-time winner per key: the %40 rebirth (written
+                -- after the natural-order delete) carries evt 5; the
+                -- %5 upsert (evt 1000) beats both the base row and
+                -- the LATER commit's out-of-order %10 upsert (evt
+                -- 900); elsewhere base
                 SELECT doc_id, lang,
-                       CASE WHEN doc_id < 40 AND doc_id % 5 = 0
+                       CASE WHEN doc_id < 40 AND doc_id % 40 = 0
+                              THEN n_chars + 900
+                            WHEN doc_id < 40 AND doc_id % 5 = 0
                               THEN n_chars + 500
                             ELSE n_chars END AS n_chars,
-                       CASE WHEN doc_id < 40 AND doc_id % 5 = 0
+                       CASE WHEN doc_id < 40 AND doc_id % 40 = 0
+                              THEN 5
+                            WHEN doc_id < 40 AND doc_id % 5 = 0
                               THEN 1000
                             ELSE (doc_id % 7) * 100 END AS evt
                 FROM documents
             ),
             live AS (
-                -- delete @orderingVal 950 kills only winners whose
-                -- evt < 950; the null-orderingVal delete (%11==3)
-                -- loses to any event-timed row and never applies
+                -- natural-order deletes (null/0 orderingVal: %11==3,
+                -- %20==0) apply unconditionally by commit order —
+                -- only the %40 rebirth written after them survives;
+                -- the @950 event-time delete kills winners whose
+                -- evt < 950 (never the rebirth: that delete sits
+                -- seq-before the sentinel that swallowed it)
                 SELECT * FROM eff
-                WHERE NOT (doc_id < 40 AND doc_id % 9 = 0 AND evt < 950)
+                WHERE NOT (doc_id < 40 AND (
+                          doc_id % 11 = 3
+                       OR (doc_id % 20 = 0 AND doc_id % 40 <> 0)
+                       OR (doc_id % 9 = 0 AND doc_id % 40 <> 0
+                           AND evt < 950)))
             )
             SELECT 0 AS stage, lang,
                    CAST(count(*) AS BIGINT) AS n,

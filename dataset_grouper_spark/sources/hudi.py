@@ -821,8 +821,11 @@ def _log_files(
 _MOR_SEQ = "_hudi_seq"  # block position: later blocks of one instant win
 _MOR_ORD = "_hudi_ord"  # event-time orderingVal (precombine) — when the
 # table declares hoodie.table.precombine.field, the LARGEST value wins
-# per key and (instant, seq) only break ties; null loses to any
-# non-null (Hudi's own sentinel-0 behavior for positive event times)
+# per key and (instant, seq) only break ties. Deletes with NO
+# orderingVal (or the DeleteRecord default 0) are NATURAL-ORDER
+# deletes: Hudi's merged-log scanner applies them unconditionally by
+# commit order, so they kill every earlier version of the key and
+# event-time competition restarts after them (_mor_winners).
 
 
 def _mor_order(precombine_active: bool) -> list:
@@ -832,11 +835,69 @@ def _mor_order(precombine_active: bool) -> list:
     when the table declares a precombine field, then commit-time
     (instant desc, block seq desc) as tiebreak — COMMIT_TIME only is
     the law when no precombine is declared (byte-identical to the
-    pre-r12 behavior)."""
+    pre-r12 behavior). Natural-order deletes are handled BEFORE this
+    sort by ``_mor_winners``'s pre-filter."""
     order = [F.desc(_MOR_INSTANT), F.desc(_MOR_SEQ)]
     if precombine_active:
         order.insert(0, F.desc_nulls_last(_MOR_ORD))
     return order
+
+
+def _mor_winners(df: DataFrame, key_cols: list[str],
+                 precombine_active: bool) -> DataFrame:
+    """Resolve the MoR merge window to its per-identity WINNER rows
+    (op 'u' only) — one shared law for the snapshot read, compaction,
+    and the streaming source. ``df`` carries ``key_cols`` +
+    ``_MOR_OP/_MOR_INSTANT/_MOR_SEQ/_MOR_ORD`` + payload columns.
+
+    Event-time tables get Hudi's two-tier delete semantics: a delete
+    whose orderingVal is NULL or exactly 0 (the DeleteRecord default)
+    is a NATURAL-ORDER delete — the merged-log scanner applies it
+    unconditionally in commit/seq order, so every strictly-earlier
+    version of the key dies and only rows written after it (which it
+    then loses to, carrying null event time) can resurrect the key.
+    Event-timed deletes (orderingVal != 0) compete in the ordinary
+    orderingVal-desc sort: they kill only winners with a smaller
+    event time. Reference parity: dataset_grouper has no lakehouse
+    formats; semantics follow Hudi's HoodieMergedLogRecordScanner /
+    DeleteRecord (orderingVal 0 == natural order)."""
+    from pyspark.sql import Window
+
+    if precombine_active:
+        is_nat_del = (F.col(_MOR_OP) == "d") & (
+            F.col(_MOR_ORD).isNull() | (F.col(_MOR_ORD) == 0.0)
+        )
+        pos = F.struct(F.col(_MOR_INSTANT), F.col(_MOR_SEQ))
+        nat = F.max(F.when(is_nat_del, pos)).over(
+            Window.partitionBy(*key_cols)
+        )
+        df = (
+            df.withColumn("__nat_del", nat)
+            .filter(
+                F.col("__nat_del").isNull() | (pos >= F.col("__nat_del"))
+            )
+            # the sentinel itself competes with NULL event time: any
+            # later-written row beats it, else the key stays deleted
+            .withColumn(
+                _MOR_ORD,
+                F.when(is_nat_del, F.lit(None).cast("double")).otherwise(
+                    F.col(_MOR_ORD)
+                ),
+            )
+            .drop("__nat_del")
+        )
+    return (
+        df.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(
+                    *_mor_order(precombine_active)
+                )
+            ),
+        )
+        .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))
+        .drop("_rn")
+    )
 
 
 def _precombine_col(props: dict, user_cols: list[str]) -> str | None:
@@ -1108,15 +1169,11 @@ def _read_mor(
                     *user_cols,
                 )
             )
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(
-                        "_hoodie_record_key", "_hoodie_partition_path"
-                    ).orderBy(*_mor_order(pc is not None))
-                ),
-            )
-            .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))
+        )
+        merged = _mor_winners(
+            merged,
+            ["_hoodie_record_key", "_hoodie_partition_path"],
+            pc is not None,
         )
         keep = (META_COLS + user_cols) if keep_meta else user_cols
         frames.append(merged.select(*keep))
@@ -1507,15 +1564,9 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
                     *user_cols,
                 )
             )
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("__k").orderBy(
-                        *_mor_order(pc is not None)
-                    )
-                ),
-            )
-            .filter((F.col("_rn") == 1) & (F.col(_MOR_OP) == "u"))
+        )
+        merged = (
+            _mor_winners(merged, ["__k"], pc is not None)
             .select(*user_cols)
             .coalesce(1)
         )

@@ -793,13 +793,19 @@ def test_hudi_mor_ordering_event_time_merge(spark):
     evt_ts for id 1 (must lose to T2's), a delete with orderingVal
     below id 2's evt_ts (must not delete), and one above id 3's
     (deletes). A commit-time merge yields the wrong winner on all
-    three."""
+    three. r13 (ADVICE): id 4's delete carries orderingVal 0 —
+    DeleteRecord's NATURAL-ORDER default — so it applies by commit
+    order and kills the evt_ts-500 base row; the data block written
+    AFTER the sentinel re-inserts id 4 at evt_ts 10, which survives
+    (event-time competition restarts past a natural-order delete)."""
     assert table_format(MOR_ORDERING) == "hudi"
     df = open_table(spark, MOR_ORDERING)
     rows = sorted(
         (r.id, r.evt_ts, r.txt) for r in df.collect()
     )
-    assert rows == [(1, 300, "NEWEST"), (2, 250, "bravo")]
+    assert rows == [
+        (1, 300, "NEWEST"), (2, 250, "bravo"), (4, 10, "reborn")
+    ]
 
 
 def test_hudi_mor_ordering_compaction_agrees(spark, tmp_path):
@@ -819,4 +825,6 @@ def test_hudi_mor_ordering_compaction_agrees(spark, tmp_path):
     after = sorted(
         (r.id, r.evt_ts, r.txt) for r in read_hudi(spark, t).collect()
     )
-    assert after == before == [(1, 300, "NEWEST"), (2, 250, "bravo")]
+    assert after == before == [
+        (1, 300, "NEWEST"), (2, 250, "bravo"), (4, 10, "reborn")
+    ]

@@ -1703,17 +1703,26 @@ def build_hudi_mor_ordering(root: str) -> None:
     OUT-OF-ORDER upserts (VERDICT r11 task 4) — the Flink/Spark-CDC
     shape where event time, not commit time, decides merge winners:
 
-    * base T1: id 1 (evt_ts 100), id 2 (evt_ts 250), id 3 (evt_ts 50);
+    * base T1: id 1 (evt_ts 100), id 2 (evt_ts 250), id 3 (evt_ts 50),
+      id 4 (evt_ts 500);
     * ``.log.1`` at T2: upsert id 1 -> evt_ts 300 "NEWEST";
     * ``.log.2`` at T3 (LATER commit): upsert id 1 -> evt_ts 200
       "late-old" (older event time — must LOSE to the T2 row), a
       DELETE with orderingVal 150 for id 2 (below its evt_ts 250 —
-      must NOT delete), and a DELETE with orderingVal 400 for id 3
-      (above its evt_ts 50 — deletes).
+      must NOT delete), a DELETE with orderingVal 400 for id 3
+      (above its evt_ts 50 — deletes), a DELETE with orderingVal 0
+      for id 4 (DeleteRecord's NATURAL-ORDER default: applies
+      unconditionally by commit order, killing the evt_ts-500 base
+      row an event-time compare would keep), then a data block
+      re-upserting id 4 -> evt_ts 10 "reborn" (written AFTER the
+      sentinel, so it survives — event-time competition restarts
+      past a natural-order delete).
 
-    Expected merge: {1: (300, "NEWEST"), 2: (250, "bravo")} — a
-    commit-time merge would wrongly yield id 1 = "late-old" and
-    wrongly drop id 2."""
+    Expected merge: {1: (300, "NEWEST"), 2: (250, "bravo"),
+    4: (10, "reborn")} — a commit-time merge would wrongly yield
+    id 1 = "late-old" and wrongly drop id 2; treating the sentinel
+    delete as event-time 0 would wrongly resurrect id 4's base row
+    (evt_ts 500)."""
     from dataset_grouper_spark.sources import hudi_log
 
     hp = os.path.join(root, ".hoodie")
@@ -1726,25 +1735,29 @@ def build_hudi_mor_ordering(root: str) -> None:
         )
     name = f"{FID_EN}_0-4-11_{T1}.parquet"
     rel = f"lang=en/{name}"
-    ids, ets, txts = [1, 2, 3], [100, 250, 50], ["alpha", "bravo", "charlie"]
+    ids, ets, txts = (
+        [1, 2, 3, 4],
+        [100, 250, 50, 500],
+        ["alpha", "bravo", "charlie", "delta"],
+    )
     size = _write_parquet(
         os.path.join(root, rel),
         {
-            "_hoodie_commit_time": [T1] * 3,
-            "_hoodie_commit_seqno": [f"{T1}_7_{i}" for i in range(3)],
+            "_hoodie_commit_time": [T1] * 4,
+            "_hoodie_commit_seqno": [f"{T1}_7_{i}" for i in range(4)],
             "_hoodie_record_key": [str(i) for i in ids],
-            "_hoodie_partition_path": ["lang=en"] * 3,
-            "_hoodie_file_name": [name] * 3,
+            "_hoodie_partition_path": ["lang=en"] * 4,
+            "_hoodie_file_name": [name] * 4,
             "id": ids,
             "evt_ts": ets,
             "txt": txts,
-            "lang": ["en"] * 3,
+            "lang": ["en"] * 4,
         },
     )
     _hudi_commit(
         hp, T1, "deltacommit",
         {"lang=en": [_hudi_write_stats("lang=en", FID_EN, rel, "null",
-                                       3, size)]},
+                                       4, size)]},
         "INSERT",
     )
     schema = {
@@ -1801,14 +1814,19 @@ def build_hudi_mor_ordering(root: str) -> None:
             hudi_log.encode_delete_block(
                 [{"recordKey": "3", "partitionPath": "lang=en",
                   "orderingVal": 400}], T3),
+            hudi_log.encode_delete_block(
+                [{"recordKey": "4", "partitionPath": "lang=en",
+                  "orderingVal": 0}], T3),
+            hudi_log.encode_avro_data_block(
+                [rec(T3, 4, 10, "reborn")], schema, T3),
         ],
     )
     st2 = _hudi_write_stats(
-        "lang=en", FID_EN, log2, T1, 3,
-        os.path.getsize(os.path.join(root, log2)), updates=3,
+        "lang=en", FID_EN, log2, T1, 5,
+        os.path.getsize(os.path.join(root, log2)), updates=5,
     )
-    st2["totalLogRecords"] = 3
-    st2["totalLogBlocks"] = 3
+    st2["totalLogRecords"] = 5
+    st2["totalLogBlocks"] = 5
     _hudi_commit(hp, T3, "deltacommit", {"lang=en": [st2]}, "UPSERT")
 
 

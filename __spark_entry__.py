@@ -7801,6 +7801,104 @@ def q_streaming_hudi_source(spark: SparkSession, sf: str) -> DataFrame:
     return a.unionByName(b).select("stage", "lang", "n", "sum_ids")
 
 
+def q_streaming_hudi_mor_source(spark: SparkSession, sf: str) -> DataFrame:
+    """hudi_lite MERGE_ON_READ streaming source, mode=cdc
+    (streaming/hudi_source.py, VERDICT r12 task 1): tail a MoR CDC
+    table through the registered format. The table takes the corpus
+    as its base (deltacommit walk starts at instant 0), a log UPSERT
+    (doc_id%7 -> n_chars+1000), a log DELETE block (doc_id%13), and a
+    COMPACTION; the stream drains with availableNow — upsert log rows
+    surface as 'update_postimage', delete markers as 'delete'
+    (identity-carrying, other columns null), base files as 'insert',
+    and the compaction contributes NOTHING (logically no change). A
+    second upsert (doc_id%11 -> n_chars+5000) lands after the first
+    drain and the stream RESUMES from its own checkpoint — exactly
+    the new deltacommit, no replays (a replay or a phantom compaction
+    row hash-mismatches the oracle). Keys the delete already removed
+    (%11 AND %13) re-enter as NEW file groups — 'insert' change rows,
+    which the oracle distinguishes from the postimages. Deletes ride the avro-container
+    dialect, so they keep their stored record key column
+    (read_hudi_changes parity, pinned by
+    test_cdc_tail_matches_batch_changes)."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.hudi import (
+        hudi_compact,
+        hudi_insert,
+        hudi_mor_delete,
+        hudi_mor_upsert,
+    )
+    from dataset_grouper_spark.streaming.hudi_source import (
+        HudiLiteDataSource,
+    )
+
+    try:
+        spark.dataSource.register(HudiLiteDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="hudi_mor_src_")
+    table = os.path.join(base, "tbl")
+    hudi_insert(
+        spark,
+        docs.repartition(2, "doc_id"),
+        table,
+        record_key="doc_id",
+        table_type="MERGE_ON_READ",
+    )
+    hudi_mor_upsert(
+        spark,
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ),
+        table,
+    )
+    hudi_mor_delete(
+        spark, docs.filter(F.col("doc_id") % 13 == 0).select("doc_id"),
+        table,
+    )
+    hudi_compact(spark, table)
+
+    def run(sink, ckpt):
+        q = (
+            spark.readStream.format("hudi_lite")
+            .option("path", table)
+            .option("mode", "cdc")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+
+    sink, ckpt = os.path.join(base, "a"), os.path.join(base, "ckpt_a")
+    with _stream_shuffle_partitions(spark):
+        run(sink, ckpt)
+        hudi_mor_upsert(
+            spark,
+            docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+                "n_chars", F.col("n_chars") + 5000
+            ),
+            table,
+        )
+        run(sink, ckpt)  # resume: exactly the new deltacommit
+    return (
+        spark.read.parquet(sink)
+        .groupBy(F.col("_change_type").alias("ct"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("ct", "lang", "n", "sum_ids", "sum_chars")
+    )
+
+
 def q_streaming_hudi_sink(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingestion into a Hudi CoW table through the
     hudi_lite FORMAT, exactly-once per epoch: each micro-batch is one
@@ -8387,6 +8485,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_retention": q_iceberg_retention,
         "streaming_delta_source": q_streaming_delta_source,
         "streaming_hudi_source": q_streaming_hudi_source,
+        "streaming_hudi_mor_source": q_streaming_hudi_mor_source,
         "streaming_hudi_sink": q_streaming_hudi_sink,
         "delta_zorder_skipping": q_delta_zorder_skipping,
         "iceberg_partitioned_write": q_iceberg_partitioned_write,
@@ -8623,6 +8722,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
+    "streaming_hudi_mor_source",
     "group_counts_cube",
     "tpch_q22_global_sales",
     "tpch_q10_returned_items",
@@ -10298,6 +10398,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+        """,
+        "streaming_hudi_mor_source": """
+            WITH chg AS (
+                SELECT 'insert' AS ct, lang, doc_id, n_chars
+                FROM documents
+                UNION ALL
+                SELECT 'update_postimage', lang, doc_id, n_chars + 1000
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT 'delete', CAST(NULL AS VARCHAR), doc_id,
+                       CAST(NULL AS BIGINT)
+                FROM documents WHERE doc_id % 13 = 0
+                UNION ALL
+                -- the second upsert runs AFTER compaction: %13 keys
+                -- are gone from every base slice, so re-upserting a
+                -- deleted %11*%13 key opens a NEW file group — an
+                -- 'insert' change row, not a postimage
+                SELECT 'update_postimage', lang, doc_id, n_chars + 5000
+                FROM documents WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0
+                UNION ALL
+                SELECT 'insert', lang, doc_id, n_chars + 5000
+                FROM documents WHERE doc_id % 11 = 0 AND doc_id % 13 = 0
+            )
+            SELECT ct, lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM chg GROUP BY ct, lang
         """,
         "streaming_hudi_sink": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n,

@@ -40,6 +40,22 @@ def to_grid(col: Column, lo: float, hi: float, bits: int) -> Column:
     return F.greatest(F.least(scaled, F.lit(cells - 1)), F.lit(0))
 
 
+def to_grid_cols(
+    col: Column, lo: Column, hi: Column, bits: int
+) -> Column:
+    """:func:`to_grid` with the bounds carried in COLUMNS — the
+    single-job z-order rewrite joins each partition bin's min/max back
+    onto its rows and grids every row against its OWN bin's envelope,
+    so one range-partitioned write replaces a per-bin driver loop
+    (VERDICT r12 task 2). Same math as the scalar form: span clamps
+    at 1e-9, values at/above ``hi`` fold into the top cell, nulls
+    propagate."""
+    cells = 1 << bits
+    span = F.greatest(hi - lo, F.lit(1e-9))
+    scaled = F.floor((col - lo) / span * cells).cast("long")
+    return F.greatest(F.least(scaled, F.lit(cells - 1)), F.lit(0))
+
+
 def interleave_bits(a: Column, b: Column, bits: int) -> Column:
     """Morton code of two grid coordinates (each in ``[0, 2^bits)``):
     bit i of ``a`` lands at position 2i+1, bit i of ``b`` at 2i.

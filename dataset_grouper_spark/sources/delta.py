@@ -1560,6 +1560,200 @@ def resolve_delta_version(table_path: str, timestamp: float) -> int:
     return max(eligible)
 
 
+def _zorder_rewrite_actions(
+    spark: SparkSession,
+    table_path: str,
+    table_abs: str,
+    groups: dict,
+    scan_schema,
+    phys: dict,
+    tracked: bool,
+    target_file_bytes: int,
+    zorder_by: tuple[str, str],
+) -> list[dict]:
+    """OPTIMIZE ZORDER as ONE distributed job across every partition
+    bin (VERDICT r12 task 2): all bins' files scan together under a
+    broadcast ``__fp -> __bin`` map, per-bin grid bounds come from a
+    single ``groupBy("__bin")`` aggregate joined back broadcast, each
+    row Morton-codes against its OWN bin's envelope
+    (``to_grid_cols``), and one range exchange on ``(__bin, __z)`` +
+    ``partitionBy("__bin")`` writes every bin's clustered files. Job
+    count is O(1), not O(bins) — the previous shape launched a
+    4-scalar bounds job AND a write job PER bin, serializing
+    2×(bins) job launches on the driver; a table with thousands of
+    partitions would crawl on scheduler overhead alone. DV
+    materialization and row-id inheritance ride the same single scan,
+    exactly as on the bin-pack path."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from dataset_grouper_spark.sinks.zorder import (
+        interleave_bits,
+        to_grid_cols,
+    )
+
+    bins = [
+        groups[key]
+        for key in sorted(
+            groups, key=lambda k: tuple((v is None, v or "") for v in k)
+        )
+        if groups[key]
+    ]
+    if not bins:
+        return []
+    read_schema = (
+        StructType(
+            list(scan_schema.fields)
+            + [StructField("_row_id", LongType(), True)]
+        )
+        if tracked
+        else scan_schema
+    )
+    out_fields = [f.name for f in read_schema.fields]
+    all_paths, fp_bin, dv_adds = [], [], []
+    for i, b in enumerate(bins):
+        for a in b:
+            p = os.path.join(table_abs, a["path"])
+            all_paths.append(p)
+            fp_bin.append((_norm_abs(p), i))
+            if a.get("deletionVector"):
+                dv_adds.append((p, a["deletionVector"]))
+    scan = (
+        spark.read.schema(read_schema)
+        .parquet(*all_paths)
+        .withColumns(
+            {
+                "__fp": _norm_path(F.col("_metadata.file_path")),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    fp_bin, "`__fp` string, `__bin` int"
+                )
+            ),
+            "__fp",
+        )
+    )
+    if tracked:
+        bmap = spark.createDataFrame(
+            [
+                (
+                    _norm_abs(os.path.join(table_abs, a["path"])),
+                    int(a["baseRowId"]),
+                )
+                for b in bins
+                for a in b
+            ],
+            "`__fp` string, `__brid` long",
+        )
+        scan = (
+            scan.join(F.broadcast(bmap), "__fp", "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"), F.col("__brid") + F.col("__pos")
+                ),
+            )
+            .drop("__brid")
+        )
+    if dv_adds:
+        dv_frame, total = _dv_positions_frame(spark, table_path, dv_adds)
+        scan = _apply_dvs(scan, dv_frame, total, out_fields + ["__bin"])
+    else:
+        scan = scan.select(*out_fields, "__bin")
+    ca, cb = (phys.get(c, c) for c in zorder_by)
+    bounds = scan.groupBy("__bin").agg(
+        F.min(F.col(ca).cast("double")).alias("__alo"),
+        F.max(F.col(ca).cast("double")).alias("__ahi"),
+        F.min(F.col(cb).cast("double")).alias("__blo"),
+        F.max(F.col(cb).cast("double")).alias("__bhi"),
+    )
+    bits = 8
+    z = interleave_bits(
+        to_grid_cols(
+            F.col(ca),
+            F.coalesce(F.col("__alo"), F.lit(0.0)),
+            F.coalesce(F.col("__ahi"), F.lit(0.0)),
+            bits,
+        ),
+        to_grid_cols(
+            F.col(cb),
+            F.coalesce(F.col("__blo"), F.lit(0.0)),
+            F.coalesce(F.col("__bhi"), F.lit(0.0)),
+            bits,
+        ),
+        bits,
+    )
+    n_out = sum(
+        max(
+            1,
+            -(
+                -sum(int(a.get("size") or 0) for a in b)
+                // target_file_bytes
+            ),
+        )
+        for b in bins
+    )
+    stage = tempfile.mkdtemp(prefix="_delta_optimize_z_")
+    (
+        scan.join(F.broadcast(bounds), "__bin")
+        .withColumn("__z", z)
+        .select(*out_fields, "__bin", "__z")
+        .repartitionByRange(n_out, "__bin", "__z")
+        .sortWithinPartitions("__bin", "__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy("__bin")
+        .parquet(stage)
+    )
+    actions: list[dict] = []
+    for i, b in enumerate(bins):
+        pv = b[0].get("partitionValues") or {}
+        for src in sorted(
+            _glob.glob(os.path.join(stage, f"__bin={i}", "part-*.parquet"))
+        ):
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue  # empty range-boundary partition
+            rel = f"part-{uuid.uuid4().hex}.parquet"
+            _fs.move(src, os.path.join(table_abs, rel))
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": _fs.file_size(
+                            os.path.join(table_abs, rel)
+                        ),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                        "stats": _file_stats(
+                            os.path.join(table_abs, rel),
+                            scan_schema.fields,
+                        ),
+                    }
+                }
+            )
+        for a in b:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "dataChange": False,
+                        "deletionTimestamp": 0,
+                        "partitionValues": a.get("partitionValues") or {},
+                    }
+                }
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    return actions
+
+
 def delta_optimize(
     spark: SparkSession,
     table_path: str,
@@ -1635,25 +1829,28 @@ def delta_optimize(
         [StructField(phys[f.name], f.dataType, True) for f in data_fields]
     )
 
-    actions: list[dict] = []
+    if zorder_by:
+        # re-layout: every file of every bin participates, ONE
+        # distributed job for the whole table (helper above)
+        actions = _zorder_rewrite_actions(
+            spark, table_path, table_abs, groups, scan_schema, phys,
+            tracked, target_file_bytes, zorder_by,
+        )
+    else:
+        actions = []
     for key in sorted(
-        groups, key=lambda k: tuple((v is None, v or "") for v in k)
+        () if zorder_by else groups,
+        key=lambda k: tuple((v is None, v or "") for v in k),
     ):
         members = groups[key]
-        if zorder_by:
-            # re-layout: every file participates, not just small ones
-            picked = list(members)
-        else:
-            picked = [
-                a
-                for a in members
-                if a.get("deletionVector")
-                or int(a.get("size") or 0) < small_file_bytes
-            ]
-        if (
-            not zorder_by
-            and len(picked) < 2
-            and not any(a.get("deletionVector") for a in picked)
+        picked = [
+            a
+            for a in members
+            if a.get("deletionVector")
+            or int(a.get("size") or 0) < small_file_bytes
+        ]
+        if len(picked) < 2 and not any(
+            a.get("deletionVector") for a in picked
         ):
             continue
         if not picked:
@@ -1711,38 +1908,7 @@ def delta_optimize(
         live_bytes = sum(int(a.get("size") or 0) for a in picked)
         n_out = max(1, -(-live_bytes // target_file_bytes))
         stage = tempfile.mkdtemp(prefix="_delta_optimize_")
-        if zorder_by:
-            from dataset_grouper_spark.sinks.zorder import (
-                interleave_bits,
-                to_grid,
-            )
-
-            ca, cb = (phys.get(c, c) for c in zorder_by)
-            bounds = scan.agg(
-                F.min(ca), F.max(ca), F.min(cb), F.max(cb)
-            ).collect()[0]
-            lo_a, hi_a, lo_b, hi_b = (
-                float(bounds[0] or 0),
-                float(bounds[1] or 0),
-                float(bounds[2] or 0),
-                float(bounds[3] or 0),
-            )
-            bits = 8
-            z = interleave_bits(
-                to_grid(F.col(ca), lo_a, max(hi_a, lo_a + 1e-9), bits),
-                to_grid(F.col(cb), lo_b, max(hi_b, lo_b + 1e-9), bits),
-                bits,
-            )
-            (
-                scan.withColumn("__z", z)
-                .repartitionByRange(n_out, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-                .write.mode("overwrite")
-                .parquet(stage)
-            )
-        else:
-            scan.repartition(n_out).write.mode("overwrite").parquet(stage)
+        scan.repartition(n_out).write.mode("overwrite").parquet(stage)
         pv = picked[0].get("partitionValues") or {}
         new_adds = []
         for src in sorted(_glob.glob(os.path.join(stage, "part-*.parquet"))):

@@ -2678,44 +2678,84 @@ def iceberg_rewrite_data_files(
             .parquet(stage)
         )
     else:
-        # sort-strategy rewrite: one z-clustered range exchange per
-        # partition bin; outputs sized at ~target_file_bytes
+        # sort-strategy rewrite as ONE distributed job across every
+        # bin (VERDICT r12 task 2): a broadcast __fp->__bin map, one
+        # groupBy("__bin") bounds aggregate joined back broadcast,
+        # per-row Morton codes against the row's OWN bin envelope
+        # (to_grid_cols), one range exchange on (__bin, __z) +
+        # partitionBy("__bin"). Job count O(1), not the previous
+        # 2×(bins) per-bin bounds+write launches — a table with
+        # thousands of partitions would crawl on scheduler overhead.
         from dataset_grouper_spark.sinks.zorder import (
             interleave_bits,
-            to_grid,
+            to_grid_cols,
         )
 
-        ca, cb = zorder_by
-        for i, b in enumerate(bins):
-            s = scan_of([r["path"] for r in b]).drop("__fp", "__pos")
-            bounds = s.agg(
-                F.min(ca), F.max(ca), F.min(cb), F.max(cb)
-            ).collect()[0]
-            lo_a, hi_a, lo_b, hi_b = (
-                float(bounds[0] or 0),
-                float(bounds[1] or 0),
-                float(bounds[2] or 0),
-                float(bounds[3] or 0),
-            )
-            bits = 8
-            z = interleave_bits(
-                to_grid(F.col(ca), lo_a, max(hi_a, lo_a + 1e-9), bits),
-                to_grid(F.col(cb), lo_b, max(hi_b, lo_b + 1e-9), bits),
-                bits,
-            )
-            bin_bytes = sum(
-                int(r["data_file"].get("file_size_in_bytes") or 0)
+        bin_map = spark.createDataFrame(
+            [
+                (
+                    r["path"]
+                    if r["path"].startswith("/")
+                    else "/" + r["path"],
+                    i,
+                )
+                for i, b in enumerate(bins)
                 for r in b
+            ],
+            "`__fp` string, `__bin` int",
+        )
+        s = (
+            scan_of(binned_paths)
+            .join(F.broadcast(bin_map), "__fp")
+            .drop("__fp", "__pos")
+        )
+        ca, cb = zorder_by
+        bounds = s.groupBy("__bin").agg(
+            F.min(F.col(ca).cast("double")).alias("__alo"),
+            F.max(F.col(ca).cast("double")).alias("__ahi"),
+            F.min(F.col(cb).cast("double")).alias("__blo"),
+            F.max(F.col(cb).cast("double")).alias("__bhi"),
+        )
+        bits = 8
+        z = interleave_bits(
+            to_grid_cols(
+                F.col(ca),
+                F.coalesce(F.col("__alo"), F.lit(0.0)),
+                F.coalesce(F.col("__ahi"), F.lit(0.0)),
+                bits,
+            ),
+            to_grid_cols(
+                F.col(cb),
+                F.coalesce(F.col("__blo"), F.lit(0.0)),
+                F.coalesce(F.col("__bhi"), F.lit(0.0)),
+                bits,
+            ),
+            bits,
+        )
+        n_out = sum(
+            max(
+                1,
+                -(
+                    -sum(
+                        int(r["data_file"].get("file_size_in_bytes") or 0)
+                        for r in b
+                    )
+                    // target_file_bytes
+                ),
             )
-            n_out = max(1, -(-bin_bytes // target_file_bytes))
-            (
-                s.withColumn("__z", z)
-                .repartitionByRange(n_out, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-                .write.mode("overwrite")
-                .parquet(os.path.join(stage, f"__bin={i}"))
-            )
+            for b in bins
+        )
+        (
+            s.join(F.broadcast(bounds), "__bin")
+            .withColumn("__z", z)
+            .drop("__alo", "__ahi", "__blo", "__bhi")
+            .repartitionByRange(n_out, "__bin", "__z")
+            .sortWithinPartitions("__bin", "__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .partitionBy("__bin")
+            .parquet(stage)
+        )
 
     snap_id = max(snaps) + 1
     new_entries = []

@@ -3870,6 +3870,194 @@ def q_streaming_iceberg_sink_partitioned(
     )
 
 
+def q_streaming_iceberg_sink_bucketed(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """BUCKET-partitioned streaming sink through the registered
+    iceberg_lite format (r13, VERDICT r12 task 3): the table is
+    created by ``iceberg_append(partition_spec=[('doc_id',
+    'bucket[8]')])``, then the rest of the corpus streams in through
+    ``writeStream.format("iceberg_lite")`` — the factory resolves the
+    NON-IDENTITY spec, write tasks compute each row's bucket with the
+    spec's murmur3 (``_transform_value``, the same function read-side
+    pruning uses), and the manifest carries the exact partition
+    struct ``iceberg_append`` would commit. Replayed from a fresh
+    checkpoint with the same appId: every epoch no-ops (a replay
+    doubles counts and hash-mismatches). Stage 0 = whole table by
+    lang; stage 1 = a bucket-pruned point lookup over an
+    API-written row (manifest pruning asserted in-query)."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.iceberg import (
+        _expected_partition,
+        _live_files,
+        _load_metadata,
+        iceberg_append,
+        read_iceberg,
+    )
+    from dataset_grouper_spark.streaming.iceberg_source import (
+        IcebergLiteDataSource,
+    )
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="bice_tbl_"), "tbl")
+    iceberg_append(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        table,
+        partition_spec=[("doc_id", "bucket[8]")],
+    )
+    src = tempfile.mkdtemp(prefix="bice_src_")
+    for i in range(2):
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 2 * i + 1)
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    def drain(ckpt_dir: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, n_chars long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.format("iceberg_lite")
+            .option("path", table)
+            .option("epochAppId", "dg-bucket-ice")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+
+    with _stream_shuffle_partitions(spark):
+        drain(tempfile.mkdtemp(prefix="bice_ck1_"))
+        drain(tempfile.mkdtemp(prefix="bice_ck2_"))  # replay: no-ops
+    meta = _load_metadata(table)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    # bucket pruning must prune the stream-written files too: the
+    # filter translates through the spec ({'doc_id': 1} ->
+    # {'doc_id_bucket': murmur3-bucket(1)}), as read_iceberg does
+    pruned, _d, _r, _e = _live_files(
+        table, snap, _expected_partition(meta, {"doc_id": 1})
+    )
+    full, _d2, _r2, _e2 = _live_files(table, snap)
+    assert pruned and len(pruned) < len(full), "bucket pruning must prune"
+    whole = (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("stage", F.lit(0))
+    )
+    point = (
+        read_iceberg(spark, table, partition_filter={"doc_id": 1})
+        .filter(F.col("doc_id") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("stage", F.lit(1))
+    )
+    return whole.unionByName(point).select(
+        "stage", "lang", "n", "sum_ids", "sum_chars"
+    )
+
+
+def q_delta_cm_format_write(spark: SparkSession, sf: str) -> DataFrame:
+    """delta_lite writes on a COLUMN-MAPPED table (r13, VERDICT r12
+    task 3; streaming/delta_source.py): the corpus lives in a
+    name-mapped table (physical col-1/col-2/col-3), a batch
+    ``df.write.format("delta_lite")`` appends doc_id%3==0 shifted by
+    +1000000 (files staged under PHYSICAL names — a logical-named
+    file reads back all-NULL and hash-mismatches), and a streaming
+    append lands doc_id%5==0 shifted by +2000000 through the same
+    staging with the txn epoch guard (drained twice from one
+    checkpoint: the replay must no-op). Read back through BOTH
+    halves: stage 0 aggregates ``read_delta``, stage 1 the registered
+    batch reader — they must agree with each other and the oracle."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.delta import read_delta
+    from dataset_grouper_spark.streaming.delta_source import (
+        DeltaLiteDataSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaLiteDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    table = _column_mapped_docs_table(spark, sf)
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .write.format("delta_lite")
+        .mode("append")
+        .option("path", table)
+        .save()
+    )
+    src = tempfile.mkdtemp(prefix="cmdw_src_")
+    (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .coalesce(1)
+        .write.parquet(f"{src}/b0")
+    )
+    ckpt = tempfile.mkdtemp(prefix="cmdw_ck_")
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.format("delta_lite")
+            .option("path", table)
+            .option("txnAppId", "dg-cm-delta")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+
+    with _stream_shuffle_partitions(spark):
+        drain()
+        drain()  # replay from the same checkpoint: txn guard no-ops
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+    ]
+    a = (
+        read_delta(spark, table)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(0))
+    )
+    b = (
+        spark.read.format("delta_lite")
+        .option("path", table)
+        .load()
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(1))
+    )
+    return a.unionByName(b).select(
+        "stage", "lang", "n", "sum_ids", "text_bytes"
+    )
+
+
 def q_streaming_iceberg_sink(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingestion into an ICEBERG table, exactly-once per
     epoch (streaming/iceberg_sink.py): documents arrive as a 3-file
@@ -8486,6 +8674,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_delta_source": q_streaming_delta_source,
         "streaming_hudi_source": q_streaming_hudi_source,
         "streaming_hudi_mor_source": q_streaming_hudi_mor_source,
+        "streaming_iceberg_sink_bucketed": q_streaming_iceberg_sink_bucketed,
+        "delta_cm_format_write": q_delta_cm_format_write,
         "streaming_hudi_sink": q_streaming_hudi_sink,
         "delta_zorder_skipping": q_delta_zorder_skipping,
         "iceberg_partitioned_write": q_iceberg_partitioned_write,
@@ -8723,6 +8913,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
     "streaming_hudi_mor_source",
+    "streaming_iceberg_sink_bucketed",
+    "delta_cm_format_write",
     "group_counts_cube",
     "tpch_q22_global_sales",
     "tpch_q10_returned_items",
@@ -10398,6 +10590,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(doc_id) AS BIGINT)
             FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+        """,
+        "streaming_iceberg_sink_bucketed": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id = 1 GROUP BY lang
+        """,
+        "delta_cm_format_write": """
+            WITH tbl AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, text, lang
+                FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM tbl GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(strlen(text)) AS BIGINT)
+            FROM tbl GROUP BY lang
         """,
         "streaming_hudi_mor_source": """
             WITH chg AS (

@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from dataset_grouper_spark.compat import fs as _fs
 
@@ -383,17 +383,33 @@ def _pv_string(value) -> str | None:
     )
 
 
-def _write_task_files(path, iterator, part_cols, drop_part_cols=True):
+def _write_task_files(
+    path, iterator, part_cols, drop_part_cols=True, rename=None
+):
     """Executor-side staging shared by the delta_lite batch and stream
     writers: stream this task's Arrow batches into ONE parquet file
     per distinct partition tuple (unpartitioned: exactly one file).
     Partition columns live OUTSIDE the data files, Delta-style, their
     values in the returned messages. Upstream should repartition by
     the partition columns so a task sees few distinct tuples — the
-    same discipline as any partitioned write at 100 TB."""
+    same discipline as any partitioned write at 100 TB.
+
+    ``rename`` (logical -> physical, r13) writes COLUMN-MAPPED
+    tables: data files land under the stable ``col-<n>`` physical
+    names from the field metadata (a logical-named file in a mapped
+    table reads back all-NULL — the failure mapping exists to
+    prevent) and partitionValues keys go physical, the
+    ``delta_append`` convention."""
     import uuid
 
     import pyarrow.parquet as pq
+
+    def _renamed(batch):
+        if not rename:
+            return batch
+        return batch.rename_columns(
+            [rename.get(n, n) for n in batch.schema.names]
+        )
 
     _fs.makedirs(path)
     if not part_cols:
@@ -401,6 +417,7 @@ def _write_task_files(path, iterator, part_cols, drop_part_cols=True):
         dst = os.path.join(path, rel)
         writer = None
         for batch in iterator:
+            batch = _renamed(batch)
             if writer is None:
                 writer = pq.ParquetWriter(_fs.open_write(dst), batch.schema)
             writer.write_batch(batch)
@@ -426,7 +443,7 @@ def _write_task_files(path, iterator, part_cols, drop_part_cols=True):
             key_arrays, names=list(part_cols)
         ).to_pandas()
         groups = key_df.groupby(part_cols, dropna=False, sort=False)
-        data = (
+        data = _renamed(
             batch.drop_columns(part_cols) if drop_part_cols else batch
         )
         for tup, idx in groups.indices.items():
@@ -440,7 +457,7 @@ def _write_task_files(path, iterator, part_cols, drop_part_cols=True):
                     pass
                 if v is not None and hasattr(v, "item"):
                     v = v.item()  # numpy scalar -> python
-                pv[c] = _pv_string(v)
+                pv[(rename or {}).get(c, c)] = _pv_string(v)
             k = tuple(sorted(pv.items()))
             if k not in writers:
                 rel = f"part-{uuid.uuid4().hex}.parquet"
@@ -486,8 +503,15 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
     ``add.partitionValues`` — exactly the layout
     ``sources.delta.delta_append(partition_by=...)`` commits.
 
-    Honest gates: schema must match an existing table, and
-    column-mapped tables raise (their files need PHYSICAL names)."""
+    COLUMN-MAPPED tables (r13, VERDICT r12 task 3) write correctly:
+    the factory resolves the logical->physical map driver-side, write
+    tasks stage files under the stable ``col-<n>`` PHYSICAL names
+    with physical partitionValues keys (the ``delta_append``
+    convention), stats are keyed physical, and commit() re-checks the
+    table's mapping so a concurrent re-map fails loudly instead of
+    committing wrong-named files.
+
+    Honest gate: schema must match an existing table."""
 
     def __init__(
         self,
@@ -495,11 +519,17 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
         overwrite: bool,
         schema: StructType,
         part_cols: list[str] | None = None,
+        phys: dict[str, str] | None = None,
     ):
         self.path = os.path.abspath(path)
         self.overwrite = overwrite
         self.schema = schema
         self.part_cols = list(part_cols or [])
+        # logical -> physical for columns whose names differ (empty on
+        # unmapped and new tables)
+        self.phys = {
+            k: v for k, v in (phys or {}).items() if k != v
+        }
         missing = [c for c in self.part_cols if c not in schema.names]
         if missing:
             raise ValueError(
@@ -508,7 +538,9 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
             )
 
     def write(self, iterator):
-        return _write_task_files(self.path, iterator, self.part_cols)
+        return _write_task_files(
+            self.path, iterator, self.part_cols, rename=self.phys
+        )
 
     def _cleanup(self, messages):
         for m in messages:
@@ -594,11 +626,19 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                     "option or make it match)"
                 )
             phys = _physical_names(meta)
-            if any(phys[f.name] != f.name for f in have.fields):
+            now = {
+                f.name: phys[f.name]
+                for f in have.fields
+                if phys[f.name] != f.name
+            }
+            if now != self.phys:
+                # the mapping this writer staged files under no longer
+                # matches the table (re-mapped mid-write): committing
+                # would register wrong-named files that read all-NULL
                 self._cleanup(messages)
-                raise NotImplementedError(
-                    "delta_lite write: column-mapped tables need "
-                    "physical-name writes"
+                raise RuntimeError(
+                    "delta_lite write: the table's column mapping "
+                    "changed during the write — re-run"
                 )
             version = latest + 1
             if self.overwrite:
@@ -616,7 +656,11 @@ class _DeltaLiteArrowWriter(DataSourceArrowWriter):
                         }
                     )
         stats_fields = [
-            f for f in self.schema.fields if f.name not in self.part_cols
+            StructField(
+                self.phys.get(f.name, f.name), f.dataType, True
+            )
+            for f in self.schema.fields
+            if f.name not in self.part_cols
         ]
         for rel, pv in files:
             dst = os.path.join(self.path, rel)
@@ -668,11 +712,15 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
         schema: StructType,
         app_id: str,
         part_cols: list[str] | None = None,
+        phys: dict[str, str] | None = None,
     ):
         self.path = os.path.abspath(path)
         self.schema = schema
         self.app_id = app_id
         self.part_cols = list(part_cols or [])
+        self.phys = {
+            k: v for k, v in (phys or {}).items() if k != v
+        }
         missing = [c for c in self.part_cols if c not in schema.names]
         if missing:
             raise ValueError(
@@ -681,7 +729,8 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
             )
 
     # per-task staging + uncommitted-file cleanup, shared with the
-    # batch writer (same contract: one file per partition tuple)
+    # batch writer (same contract: one file per partition tuple,
+    # column-mapped tables staged under physical names)
     write = _DeltaLiteArrowWriter.write
     _cleanup = _DeltaLiteArrowWriter._cleanup
 
@@ -690,6 +739,8 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
             _file_stats,
             _latest_version,
             _log_path,
+            _physical_names,
+            _replay,
         )
 
         log = _log_path(self.path)
@@ -702,6 +753,16 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
             if last is not None and batchId <= last:
                 self._cleanup(messages)  # replayed epoch: no-op
                 return
+            _adds, meta = _replay(None, self.path, latest)
+            phys = _physical_names(meta)
+            now = {k: v for k, v in phys.items() if k != v}
+            if now != self.phys:
+                self._cleanup(messages)
+                raise RuntimeError(
+                    "delta_lite stream write: the table's column "
+                    "mapping changed during the stream — restart the "
+                    "query"
+                )
         files = sorted(
             (rel, pv)
             for m in messages
@@ -746,7 +807,11 @@ class _DeltaLiteStreamArrowWriter(DataSourceStreamArrowWriter):
             }
         )
         stats_fields = [
-            f for f in self.schema.fields if f.name not in self.part_cols
+            StructField(
+                self.phys.get(f.name, f.name), f.dataType, True
+            )
+            for f in self.schema.fields
+            if f.name not in self.part_cols
         ]
         for rel, pv in files:
             dst = os.path.join(self.path, rel)
@@ -847,21 +912,23 @@ class DeltaLiteDataSource(DataSource):
             return _DeltaLitePushdownReader(self._path())
         return _DeltaLiteBatchReader(self._path())
 
-    def _write_part_cols(self) -> list[str]:
-        """Partition columns for a write: an existing table's
-        partitioning is authoritative (honored automatically); a new
-        table takes ``.option("partitionBy", "a,b")``. A declared
-        option that contradicts an existing table fails in commit()."""
+    def _write_conf(self) -> tuple[list[str], dict[str, str]]:
+        """(partition columns, logical->physical map) for a write: an
+        existing table's partitioning and column mapping are
+        authoritative; a new table takes
+        ``.option("partitionBy", "a,b")`` and no mapping. A declared
+        option that contradicts an existing table fails here; commit()
+        re-checks both against the then-current log."""
         opt = self.options.get("partitionBy")
         declared = (
             [c.strip() for c in opt.split(",") if c.strip()] if opt else []
         )
         try:
-            _adds, _schema, table_parts, _phys, _v = _table_state(
+            _adds, _schema, table_parts, phys, _v = _table_state(
                 self._path()
             )
         except (FileNotFoundError, OSError):
-            return declared
+            return declared, {}
         if declared and declared != table_parts:
             raise ValueError(
                 f"delta_lite write: partitionBy option {declared} "
@@ -869,17 +936,19 @@ class DeltaLiteDataSource(DataSource):
                 f"{table_parts} (an existing table's partitioning is "
                 "honored automatically; drop the option)"
             )
-        return table_parts
+        return table_parts, dict(phys)
 
     def writer(self, schema, overwrite):
+        parts, phys = self._write_conf()
         return _DeltaLiteArrowWriter(
-            self._path(), overwrite, schema, self._write_part_cols()
+            self._path(), overwrite, schema, parts, phys
         )
 
     def streamWriter(self, schema, overwrite):
         app = self.options.get("txnAppId") or "delta_lite_stream"
+        parts, phys = self._write_conf()
         return _DeltaLiteStreamArrowWriter(
-            self._path(), schema, app, self._write_part_cols()
+            self._path(), schema, app, parts, phys
         )
 
     def streamReader(self, schema):

@@ -3975,6 +3975,63 @@ def q_streaming_iceberg_sink_bucketed(
     )
 
 
+def q_convert_cm_delta_to_iceberg(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """COLUMN-MAPPED Delta -> Iceberg conversion via name mapping
+    (r13, VERDICT r12 task 4; sources/convert.py + iceberg.py
+    _name_mapping_extras): the corpus lives in a name-mapped Delta
+    table (physical col-1/col-2/col-3 parquet names),
+    ``convert_delta_to_iceberg`` exposes the SAME files as an Iceberg
+    table with ``schema.name-mapping.default`` (the spec's Column
+    Projection rule) — zero data rewritten — and ``read_iceberg``
+    coalesces the mapped scan back to logical names (a reader that
+    scans logical names only returns all-NULL and hash-mismatches).
+    Stage 0 = the converted snapshot; stage 1 = after a CM
+    delta_append (+1000000 ids, physical-named file) mirrored over by
+    ``sync_delta_to_iceberg`` — the incremental mirror rides the same
+    mapping."""
+    import tempfile
+
+    from dataset_grouper_spark.sources.convert import (
+        convert_delta_to_iceberg,
+        sync_delta_to_iceberg,
+    )
+    from dataset_grouper_spark.sources.delta import delta_append
+    from dataset_grouper_spark.sources.iceberg import read_iceberg
+
+    table = _column_mapped_docs_table(spark, sf)
+    ice = os.path.join(tempfile.mkdtemp(prefix="cmconv_"), "ice")
+    convert_delta_to_iceberg(spark, table, ice)
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+    ]
+    a = (
+        read_iceberg(spark, ice)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(0))
+    )
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    delta_append(
+        spark,
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        ),
+        table,
+    )
+    assert sync_delta_to_iceberg(spark, table, ice) is not None
+    b = (
+        read_iceberg(spark, ice)
+        .groupBy("lang").agg(*agg).withColumn("stage", F.lit(1))
+    )
+    return a.unionByName(b).select(
+        "stage", "lang", "n", "sum_ids", "text_bytes"
+    )
+
+
 def q_delta_cm_format_write(spark: SparkSession, sf: str) -> DataFrame:
     """delta_lite writes on a COLUMN-MAPPED table (r13, VERDICT r12
     task 3; streaming/delta_source.py): the corpus lives in a
@@ -8676,6 +8733,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hudi_mor_source": q_streaming_hudi_mor_source,
         "streaming_iceberg_sink_bucketed": q_streaming_iceberg_sink_bucketed,
         "delta_cm_format_write": q_delta_cm_format_write,
+        "convert_cm_delta_to_iceberg": q_convert_cm_delta_to_iceberg,
         "streaming_hudi_sink": q_streaming_hudi_sink,
         "delta_zorder_skipping": q_delta_zorder_skipping,
         "iceberg_partitioned_write": q_iceberg_partitioned_write,
@@ -8915,6 +8973,7 @@ _QUERY_ORDER: list[str] = [
     "streaming_hudi_mor_source",
     "streaming_iceberg_sink_bucketed",
     "delta_cm_format_write",
+    "convert_cm_delta_to_iceberg",
     "group_counts_cube",
     "tpch_q22_global_sales",
     "tpch_q10_returned_items",
@@ -10603,6 +10662,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT),
                    CAST(sum(n_chars) AS BIGINT)
             FROM documents WHERE doc_id = 1 GROUP BY lang
+        """,
+        "convert_cm_delta_to_iceberg": """
+            SELECT 0 AS stage, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 1, lang,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(strlen(text)) AS BIGINT)
+            FROM (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang
+                FROM documents WHERE doc_id % 4 = 0
+            ) GROUP BY lang
         """,
         "delta_cm_format_write": """
             WITH tbl AS (

@@ -146,12 +146,13 @@ def convert_delta_to_iceberg(
             "through iceberg_append instead"
         )
     phys = _physical_names(meta)
-    if any(phys[n] != n for n in phys):
-        raise NotImplementedError(
-            "convert_delta_to_iceberg: column-mapped Delta tables "
-            "store physical col-<id> names the Iceberg schema would "
-            "not resolve"
-        )
+    # COLUMN-MAPPED Delta (r13, VERDICT r12 task 4): the shared files
+    # store physical col-<n> names — resolved WITHOUT rewriting data
+    # via the Iceberg spec's name mapping
+    # (schema.name-mapping.default, "Column Projection"): each field
+    # id lists the physical name its files carry, and read_iceberg
+    # coalesces the mapped scan back to logical names
+    mapped = {n: phys[n] for n in phys if phys[n] != n}
     if any(a.get("deletionVector") for a in adds.values()):
         raise NotImplementedError(
             "convert_delta_to_iceberg: live deletion vectors cannot "
@@ -208,6 +209,17 @@ def convert_delta_to_iceberg(
             "Iceberg table"
         )
     _fs.makedirs(mdir)
+    props = {"converted-from": f"delta@v{latest}"}
+    if mapped:
+        props["schema.name-mapping.default"] = json.dumps(
+            [
+                {
+                    "field-id": f["id"],
+                    "names": [mapped.get(f["name"], f["name"])],
+                }
+                for f in fields
+            ]
+        )
     ice_meta = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
@@ -218,7 +230,7 @@ def convert_delta_to_iceberg(
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
         "snapshots": [],
-        "properties": {"converted-from": f"delta@v{latest}"},
+        "properties": props,
     }
     mpath = os.path.join(mdir, f"m-1-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, ice._MANIFEST_SCHEMA, entries)
@@ -563,13 +575,6 @@ def sync_delta_to_iceberg(
             "partition columns outside the data files — an Iceberg "
             "reader of the shared files would lose them"
         )
-    phys = _physical_names(meta)
-    if any(phys[n] != n for n in phys):
-        raise NotImplementedError(
-            "sync_delta_to_iceberg: column-mapped Delta tables store "
-            "physical col-<id> names the Iceberg schema would not "
-            "resolve"
-        )
     if any(a.get("deletionVector") for a in adds.values()):
         raise NotImplementedError(
             "sync_delta_to_iceberg: live deletion vectors — purge first"
@@ -579,6 +584,31 @@ def sync_delta_to_iceberg(
     for rel, a in adds.items():
         want[_abs_under(table_abs, rel)] = a
     ice_meta = ice._load_metadata(iceberg_path)
+    # COLUMN-MAPPED Delta (r13): allowed iff the mirror's name mapping
+    # (written by convert_delta_to_iceberg) covers every differing
+    # physical name — a table that enabled/changed mapping AFTER the
+    # conversion would hand the Iceberg reader parquet columns its
+    # mapping cannot resolve, so that still raises
+    phys = _physical_names(meta)
+    mapped = {n: phys[n] for n in phys if phys[n] != n}
+    if mapped:
+        ice_schemas = ice_meta.get("schemas") or []
+        ice_schema = next(
+            (
+                s
+                for s in ice_schemas
+                if s.get("schema-id") == ice_meta.get("current-schema-id")
+            ),
+            ice_schemas[-1] if ice_schemas else {"fields": []},
+        )
+        nm = ice._name_mapping_extras(ice_meta, ice_schema)
+        if any(nm.get(n) != p for n, p in mapped.items()):
+            raise NotImplementedError(
+                "sync_delta_to_iceberg: the Delta table's column "
+                "mapping is not covered by the mirror's "
+                "schema.name-mapping.default — re-run "
+                "convert_delta_to_iceberg into a fresh location"
+            )
     snap = next(
         s
         for s in ice_meta["snapshots"]

@@ -725,6 +725,38 @@ def resolve_iceberg_snapshot(table_path: str, timestamp_ms: int) -> int:
     return best["snapshot-id"]
 
 
+def _name_mapping_extras(meta: dict, schema: dict) -> dict[str, str]:
+    """logical field name -> ALTERNATE physical parquet column name
+    from the table's ``schema.name-mapping.default`` property — the
+    Iceberg spec's "Column Projection" rule for data files written
+    without field ids (here: files shared from a COLUMN-MAPPED Delta
+    table by ``convert_delta_to_iceberg``, which store ``col-<n>``
+    physical names). Only names that differ from the schema name are
+    returned; absent/invalid mappings resolve to {} (no behavior
+    change for ordinary tables)."""
+    raw = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if not raw:
+        return {}
+    try:
+        mapping = json.loads(raw)
+    except (TypeError, ValueError):
+        return {}
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    out: dict[str, str] = {}
+    for m in mapping:
+        logical = by_id.get(m.get("field-id"))
+        if logical is None:
+            continue
+        alt = next(
+            (n for n in (m.get("names") or []) if n != logical), None
+        )
+        if alt:
+            out[logical] = alt
+    return out
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
@@ -851,26 +883,57 @@ def read_iceberg(
             ddl = ddl + ", `_row_id` bigint"
         return spark.createDataFrame([], ddl)
     files = [p for p, _ in data_seqs]
+    # name mapping (converted column-mapped Delta files): scan BOTH
+    # the logical and the mapped physical names — each file populates
+    # whichever it has (parquet by-name resolution nulls the other) —
+    # then coalesce per column, so mixed tables (shared physical-name
+    # files + later logical-name appends) read in ONE scan
+    nm = _name_mapping_extras(meta, schema)
+    type_of = {
+        f["name"]: _spark_type(f["type"]) for f in schema["fields"]
+    }
     scan_ddl = ddl
+    if nm:
+        scan_ddl = scan_ddl + ", " + ", ".join(
+            f"`{p}` {type_of[l]}" for l, p in nm.items()
+        )
     if row_ids:
         # compacted files MATERIALIZE _row_id as a physical column
         # (spec "Row Lineage": rewritten rows must carry explicit ids
         # — position inheritance no longer holds); files that never
         # went through a rewrite lack the column and read as null,
         # falling back to first_row_id + ordinal below
-        scan_ddl = ddl + ", `_row_id` bigint"
+        scan_ddl = scan_ddl + ", `_row_id` bigint"
     data = spark.read.schema(scan_ddl).parquet(*files)
     if not (delete_files or eq_deletes or row_ids):
+        if nm:
+            return data.select(
+                *[
+                    F.coalesce(F.col(n), F.col(nm[n])).alias(n)
+                    if n in nm
+                    else F.col(n)
+                    for n in (f["name"] for f in schema["fields"])
+                ]
+            )
         return data
     # tag ONCE on the raw scan (the hidden _metadata struct is only
     # addressable there), then compose both delete passes on the tags
-    cols = [c for c in data.columns if c != "_row_id"]
+    cols = [f["name"] for f in schema["fields"]]
     keyed = data.withColumns(
         {
             "__fp": _norm_path(F.col("_metadata.file_path")),
             "__pos": F.col("_metadata.row_index"),
         }
     )
+    if nm:
+        # resolve mapped columns BEFORE delete application so
+        # equality deletes compare real values, not nulls
+        keyed = keyed.withColumns(
+            {
+                logical: F.coalesce(F.col(logical), F.col(p))
+                for logical, p in nm.items()
+            }
+        ).drop(*nm.values())
     if delete_files:
         keyed = _apply_position_deletes(
             spark, keyed, delete_files, delete_rows

@@ -185,11 +185,110 @@ def test_sync_delta_to_iceberg_incremental(spark, tmp_path):
         convert.sync_delta_to_iceberg(spark, d, i)
 
 
+def _mapped_delta_table(spark, path, rows=((1, "a"), (2, "b"))):
+    """Hand-rolled column-mapped Delta table: metaData at v0 maps
+    id->col-aaa / v->col-bbb (name mode), one physical-named file."""
+    import glob as _glob
+    import json
+    import os
+    import shutil as _shutil
+
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id", "type": "long", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa",
+                },
+            },
+            {
+                "name": "v", "type": "string", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-bbb",
+                },
+            },
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-00000000sync",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    spark.createDataFrame(
+        list(rows), "`col-aaa` long, `col-bbb` string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_stage")
+    )
+    src = _glob.glob(os.path.join(path, "_stage", "part-*.parquet"))[0]
+    size = os.path.getsize(src)
+    _shutil.move(src, os.path.join(path, "f0.parquet"))
+    _shutil.rmtree(os.path.join(path, "_stage"))
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps(meta) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": size,
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+    return path
+
+
+def test_convert_column_mapped_via_name_mapping(spark, tmp_path):
+    """r13 (VERDICT r12 task 4): a column-mapped Delta table converts
+    WITHOUT rewriting data — the Iceberg metadata carries
+    schema.name-mapping.default (spec "Column Projection") so the
+    shared physical col-<n> parquet names resolve to logical, and a
+    later logical-named iceberg_append mixes in the same scan."""
+    import json
+    import os
+
+    from dataset_grouper_spark.sources import iceberg as ice
+
+    dm = _mapped_delta_table(spark, str(tmp_path / "dm"))
+    ip = str(tmp_path / "im")
+    convert.convert_delta_to_iceberg(spark, dm, ip)
+    meta = ice._load_metadata(ip)
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {tuple(m["names"]) for m in nm} == {("col-aaa",), ("col-bbb",)}
+    got = ice.read_iceberg(spark, ip)
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+    # incremental sync keeps working: new CM delta file mirrors over
+    delta.delta_append(
+        spark,
+        spark.createDataFrame([(5, "e")], "id long, v string"),
+        dm,
+    )
+    assert convert.sync_delta_to_iceberg(spark, dm, ip) is not None
+    assert sorted(
+        tuple(r) for r in ice.read_iceberg(spark, ip).collect()
+    ) == [(1, "a"), (2, "b"), (5, "e")]
+    # mixed table: a logical-named append reads in the same scan
+    # (after this the mirror is a superset — no further syncs)
+    ice.iceberg_append(
+        spark,
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        ip,
+    )
+    assert sorted(
+        tuple(r) for r in ice.read_iceberg(spark, ip).collect()
+    ) == [(1, "a"), (2, "b"), (5, "e"), (9, "z")]
+
+
 def test_sync_gates_match_convert_gates(spark, tmp_path):
-    """ADVICE r8: sync_delta_to_iceberg must enforce the SAME
-    expressibility gates as convert_delta_to_iceberg — a partitioned
-    or column-mapped Delta table cannot append into a flat Iceberg
-    mirror without the reader losing/mistyping columns."""
+    """ADVICE r8 (narrowed r13): sync_delta_to_iceberg must enforce
+    the SAME expressibility gates as convert_delta_to_iceberg — a
+    partitioned Delta table cannot append into a flat Iceberg mirror,
+    and a Delta table whose column mapping is NOT covered by the
+    mirror's name mapping (mapping enabled AFTER an unmapped convert)
+    would hand the reader unresolvable parquet names."""
     import json
     import os
 
@@ -204,45 +303,49 @@ def test_sync_gates_match_convert_gates(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="partitioned"):
         convert.sync_delta_to_iceberg(spark, dp, str(tmp_path / "i_nope"))
 
-    # column-mapped Delta table (hand-rolled log, physical col-* names)
-    dm = str(tmp_path / "dsync_mapped")
-    log = os.path.join(dm, "_delta_log")
-    os.makedirs(log)
+    # mapping enabled AFTER the conversion: the mirror has no name
+    # mapping for the new physical names — sync must raise
+    du = str(tmp_path / "dsync_late")
+    delta.delta_append(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        du,
+    )
+    iu = str(tmp_path / "i_late")
+    convert.convert_delta_to_iceberg(spark, du, iu)
     schema = {
         "type": "struct",
-        "fields": [{
-            "name": "id", "type": "long", "nullable": True,
-            "metadata": {
-                "delta.columnMapping.id": 1,
-                "delta.columnMapping.physicalName": "col-aaa",
+        "fields": [
+            {
+                "name": "id", "type": "long", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-xxx",
+                },
             },
-        }],
+            {
+                "name": "v", "type": "string", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-yyy",
+                },
+            },
+        ],
     }
-    meta = {
-        "metaData": {
-            "id": "00000000-0000-0000-0000-00000000sync",
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(schema),
-            "partitionColumns": [],
-            "configuration": {"delta.columnMapping.mode": "name"},
-        }
-    }
-    spark.createDataFrame([(1,)], "`col-aaa` long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(dm, "_stage"))
-    import glob as _glob
-    import shutil as _shutil
-
-    src = _glob.glob(os.path.join(dm, "_stage", "part-*.parquet"))[0]
-    _shutil.move(src, os.path.join(dm, "f0.parquet"))
-    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
-        f.write(json.dumps(meta) + "\n")
-        f.write(json.dumps({"add": {
-            "path": "f0.parquet", "partitionValues": {}, "size": 1,
-            "modificationTime": 0, "dataChange": True,
-        }}) + "\n")
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        convert.sync_delta_to_iceberg(spark, dm, str(tmp_path / "i_nope2"))
+    with open(
+        os.path.join(du, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({
+            "metaData": {
+                "id": "00000000-0000-0000-0000-00000000late",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        }) + "\n")
+    with pytest.raises(NotImplementedError, match="name-mapping"):
+        convert.sync_delta_to_iceberg(spark, du, iu)
 
 
 def test_sync_iceberg_to_delta_incremental(spark, tmp_path):

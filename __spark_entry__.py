@@ -11,6 +11,7 @@ value-hashing).
 from __future__ import annotations
 
 import json
+import math
 import os
 from collections.abc import Callable
 
@@ -1907,6 +1908,17 @@ def q_semdedup_cells_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 # always exercise the TWO-LEVEL path while the static SQL twins encode
 # the same two-level contract unconditionally
 TWOLEVEL_TARGET, TWOLEVEL_THRESHOLD, TWOLEVEL_COARSE_PROBE = 8, 4, 2
+# INVARIANT (ADVICE r12): the static two_level=True SQL twins stay
+# hash-consistent with Spark's runtime tier switch only because
+# coarse_probe >= ceil(sqrt(threshold)) — just past the threshold the
+# coarse level has <= ceil(sqrt(C)) cells and probing all of them
+# makes the two-level argmin degenerate to the exact single-level
+# argmin, so BOTH tiers produce identical assignments at small C.
+# Bumping TWOLEVEL_THRESHOLD without raising TWOLEVEL_COARSE_PROBE
+# would hash-mismatch only at small scales; enforce it here.
+assert TWOLEVEL_COARSE_PROBE >= math.ceil(
+    math.sqrt(TWOLEVEL_THRESHOLD)
+), "two-level twins: coarse_probe must cover ceil(sqrt(threshold))"
 
 
 def q_semdedup_twolevel_embeddings(spark: SparkSession, sf: str) -> DataFrame:

@@ -431,7 +431,6 @@ def cosine_pairs_cells(
             ).alias("_salt"),
         )
         id_t = base.schema["_id"].dataType.simpleString()
-        vec_t = base.schema["_vec"].dataType.simpleString()
 
         def fine_assign(left, right):
             import pandas as pd
@@ -439,13 +438,13 @@ def cosine_pairs_cells(
             if left.empty or right.empty:
                 # a probed coarse cell can have ZERO fine members
                 # (e.g. duplicate coarse centroids tie-break to one
-                # id): dtype-pinned empty frame — a default float64
-                # _vec column would fail Arrow's list<float>
-                # conversion (caught by the 10x probe, r12)
+                # id): dtype-pinned empty frame. _id inherits the
+                # cogroup frame's own dtype (left["_id"].iloc[:0]) so
+                # string-keyed corpora don't ride an int64->string
+                # zero-row conversion (ADVICE r12)
                 return pd.DataFrame(
                     {
-                        "_id": pd.Series([], dtype="int64"),
-                        "_vec": pd.Series([], dtype="object"),
+                        "_id": left["_id"].iloc[:0],
                         "_cell": pd.Series([], dtype="int64"),
                         "_d2": pd.Series([], dtype="float64"),
                     }
@@ -454,10 +453,9 @@ def cosine_pairs_cells(
             fids = r["_cent_id"].to_numpy(dtype="int64")
             fmat = np.array(list(r["_cent_v"]), dtype="float64")
             kk = min(k, len(fids))
-            vecs_list = list(left["_vec"])
             lid = left["_id"].to_numpy()
-            arr = np.array(vecs_list, dtype="float64")
-            ids_out, cell_out, d2_out, vec_out = [], [], [], []
+            arr = np.array(list(left["_vec"]), dtype="float64")
+            ids_out, cell_out, d2_out = [], [], []
             # same chunk bound + direct (v - c)^2 form as the
             # single-level UDF (cancellation-safe near zero distance)
             step = max(
@@ -474,24 +472,25 @@ def cosine_pairs_cells(
                 ids_out.append(lid[lo + rows])
                 cell_out.append(fids[cols])
                 d2_out.append(d2[rows, cols])
-                vec_out.extend(vecs_list[lo + i] for i in rows)
             return pd.DataFrame(
                 {
                     "_id": np.concatenate(ids_out),
-                    "_vec": vec_out,
                     "_cell": np.concatenate(cell_out),
                     "_d2": np.concatenate(d2_out),
                 }
             )
 
+        # the cogroup emits ONLY (_id, _cell, _d2) — shipping _vec
+        # here would copy each vector up to coarse_probe x probe
+        # times through the dominant shuffle (ADVICE r12); the
+        # payload re-joins ONCE from the persisted base after the
+        # per-id top-k merge
         cand_cells = (
             vpro_s.groupBy("_co", "_salt")
             .cogroup(f2c_s.groupBy("_co", "_salt"))
             .applyInPandas(
                 fine_assign,
-                schema=(
-                    f"_id {id_t}, _vec {vec_t}, _cell long, _d2 double"
-                ),
+                schema=f"_id {id_t}, _cell long, _d2 double",
             )
         )
         top = F.slice(
@@ -501,11 +500,11 @@ def cosine_pairs_cells(
             1,
             k,
         )
+        assigned = cand_cells.groupBy("_id").agg(
+            F.transform(top, lambda s: s["_cell"]).alias("_cells")
+        )
         per_row = persist_tracked(
-            cand_cells.groupBy("_id").agg(
-                F.first("_vec").alias("_vec"),
-                F.transform(top, lambda s: s["_cell"]).alias("_cells"),
-            )
+            base.select("_id", "_vec").join(assigned, "_id")
         )
     exploded = per_row.select(
         "_id", "_vec", "_cells", F.explode("_cells").alias("_cell")

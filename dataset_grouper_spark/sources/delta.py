@@ -442,6 +442,27 @@ def _row_tracking_watermark(
     return int(conf.get("rowIdHighWaterMark", -1))
 
 
+def _check_materialized_row_id_col(meta: dict) -> None:
+    """Honest interop gate (ADVICE r12): the Delta spec records the
+    materialized row-id column name in table config
+    (``delta.rowTracking.materializedRowIdColumnName``). This
+    engine's readers and rewriters use the fixed physical column
+    ``_row_id`` (and :func:`delta_enable_row_tracking` records that
+    choice in the config); a row-tracked table OPTIMIZEd by a writer
+    that chose a different name would silently serve wrong ids
+    through the baseRowId+ordinal fallback — raise loudly instead."""
+    name = (meta.get("configuration") or {}).get(
+        "delta.rowTracking.materializedRowIdColumnName", "_row_id"
+    )
+    if name != "_row_id":
+        raise NotImplementedError(
+            f"delta row tracking: this table materializes row ids "
+            f"under {name!r}; this engine reads/writes the fixed "
+            "column '_row_id' — re-materialize or read through an "
+            "engine that honors the configured name"
+        )
+
+
 def delta_enable_row_tracking(
     spark: SparkSession, table_path: str
 ) -> int | None:
@@ -512,6 +533,15 @@ def delta_enable_row_tracking(
             }
         },
     )
+    # record the materialized-column choice in table config (the
+    # spec's delta.rowTracking.materializedRowIdColumnName) so other
+    # engines resolve this table's rewritten files correctly — and
+    # _check_materialized_row_id_col gates the reverse direction
+    new_meta = {k: v for k, v in meta.items() if not k.startswith("__")}
+    conf = dict(new_meta.get("configuration") or {})
+    conf["delta.rowTracking.materializedRowIdColumnName"] = "_row_id"
+    new_meta["configuration"] = conf
+    actions.insert(2, {"metaData": new_meta})
     version = latest + 1
     _write_commit(_log_path(table_path), version, actions)
     return version
@@ -653,6 +683,7 @@ def read_delta(
         # compacted files MATERIALIZE _row_id physically (the spec's
         # row-id materialization on rewrite); older files lack the
         # column and read null, falling back to baseRowId + ordinal
+        _check_materialized_row_id_col(meta)
         tags = tags + ["_row_id"]
     sel_cols = out_cols + tags
 
@@ -1815,6 +1846,8 @@ def delta_optimize(
     part_cols = list(meta.get("partitionColumns") or [])
     phys = _physical_names(meta)
     table_abs = _table_abs(table_path)
+    if tracked:
+        _check_materialized_row_id_col(meta)
 
     groups: dict[tuple, list[dict]] = {}
     for a in adds.values():
@@ -2081,6 +2114,8 @@ def delta_restore(
     rt_hwm = _row_tracking_watermark(spark, table_path, latest)
     want_adds, want_meta = _replay(spark, table_path, version)
     cur_adds, cur_meta = _replay(spark, table_path, latest)
+    if rt_hwm is not None:
+        _check_materialized_row_id_col(cur_meta)
     table_abs = _table_abs(table_path)
     missing = [
         rel
@@ -2366,6 +2401,8 @@ def delta_merge(
     part_cols = list(meta.get("partitionColumns") or [])
     phys = _physical_names(meta)
     mapped = any(phys[f.name] != f.name for f in schema.fields)
+    if tracked:
+        _check_materialized_row_id_col(meta)
     names = [f.name for f in schema.fields]
     if source.columns != names:
         raise ValueError(

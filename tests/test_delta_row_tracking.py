@@ -284,3 +284,58 @@ class TestRowTracking:
         # blocks: 4 original + 2 + 1 = 7 distinct ids, watermark 6
         assert len(set(got.values())) == 7
         assert got == {0: 0, 1: 1, 2: 2, 3: 3, 10: 4, 11: 5, 20: 6}
+
+
+def test_materialized_row_id_column_name_gate(spark, tmp_path):
+    """ADVICE r12: the spec records the materialized row-id column in
+    delta.rowTracking.materializedRowIdColumnName. Enablement writes
+    the key (interop: other engines resolve our rewritten files);
+    a table configured with a DIFFERENT name raises loudly instead of
+    silently serving baseRowId+ordinal fallback ids."""
+    import json
+    import os
+
+    from dataset_grouper_spark.sources.delta import (
+        delta_append,
+        delta_enable_row_tracking,
+        read_delta,
+    )
+
+    t = str(tmp_path / "rt")
+    delta_append(
+        spark, spark.createDataFrame([(1,), (2,)], "id long"), t
+    )
+    delta_enable_row_tracking(spark, t)
+    log = os.path.join(t, "_delta_log")
+    latest = sorted(
+        n for n in os.listdir(log) if n.endswith(".json")
+    )[-1]
+    conf = None
+    with open(os.path.join(log, latest)) as f:
+        for line in f:
+            a = json.loads(line)
+            if "metaData" in a:
+                conf = a["metaData"]["configuration"]
+    assert (
+        conf["delta.rowTracking.materializedRowIdColumnName"]
+        == "_row_id"
+    )
+    assert sorted(
+        r._row_id for r in read_delta(spark, t, row_ids=True).collect()
+    ) == [0, 1]
+    # foreign choice of name: loud gate, not wrong ids
+    meta = json.loads(
+        [
+            line
+            for line in open(os.path.join(log, latest))
+            if "metaData" in json.loads(line)
+        ][0]
+    )["metaData"]
+    meta["configuration"][
+        "delta.rowTracking.materializedRowIdColumnName"
+    ] = "row_id_col_7"
+    nxt = int(latest.split(".")[0]) + 1
+    with open(os.path.join(log, f"{nxt:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": meta}) + "\n")
+    with pytest.raises(NotImplementedError, match="row_id_col_7"):
+        read_delta(spark, t, row_ids=True).collect()

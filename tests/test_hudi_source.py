@@ -456,3 +456,35 @@ class TestMorStream:
             spark.read.format("hudi_lite").option("path", t).option(
                 "mode", "cdc"
             ).load().collect()
+
+    def test_cdc_foreign_hoodie_log_dialect(self, registered, tmp_path):
+        """The CDC stream decodes REAL HoodieLogFormat block framing
+        too (the foreign ordering fixture's logs): T1's base files
+        surface as inserts, each data block row as a postimage, and
+        every DELETE_BLOCK row — event-timed or natural-order — as an
+        identity-carrying delete. The stream is a change LOG, so all
+        three deletes surface regardless of which ones the merged
+        snapshot applies."""
+        import shutil as _sh
+
+        spark = registered
+        t = str(tmp_path / "ord")
+        _sh.copytree(os.path.join(FIX, "hudi_mor_ordering"), t)
+        ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+        self._drain(spark, t, ckpt, out, mode="cdc")
+        rows = spark.read.parquet(out)
+        assert rows.count() == 10  # 4 inserts + 3 postimages + 3 dels
+        assert sorted(
+            r._change_key
+            for r in rows.filter("_change_type = 'delete'").collect()
+        ) == ["2", "3", "4"]
+        post = {
+            (r._change_key, r.txt)
+            for r in rows.filter(
+                "_change_type = 'update_postimage'"
+            ).collect()
+        }
+        assert post == {
+            ("1", "NEWEST"), ("1", "late-old"), ("4", "reborn")
+        }
+        assert rows.filter("_change_type = 'insert'").count() == 4

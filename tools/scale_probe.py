@@ -206,6 +206,75 @@ def entity_fix_probe() -> int:
     return 0
 
 
+def twolevel_prod_probe() -> int:
+    """r13 (VERDICT r12 task 5): the two-level quantizer at a
+    PRODUCTION-SHAPED cell count. The driver queries force the tier
+    with threshold=4 at toy scale; here ``target_cell_rows=1``
+    derives C = n cells — 5,000 at sf0.1 and 50,000 at sf1, the top
+    scale past the DEFAULT ``two_level_threshold`` (2e4) — with the
+    DEFAULT ``coarse_probe``/``target_assign_rows``, so the sqrt(C)
+    coarse broadcast (~224 rows at sf1) and the salted-cogroup
+    fan-out run at real C. Both scales pin ``two_level_threshold``
+    low so the pair measures one code path. Per-task working set is
+    bounded BY CONSTRUCTION at target_assign_rows vectors x that
+    coarse cell's fine members (the salt fan-out enforces it); the
+    rec records the derived C/sqrt(C) so the bound is auditable.
+    Appends probe row 'text_cosine_twolevel_prodcells' to
+    BENCH_sf1.json."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from dataset_grouper_spark.cache import release_intermediates
+    from dataset_grouper_spark.functions import featurize
+    from dataset_grouper_spark.operators import similarity
+    from dataset_grouper_spark.session import get_spark
+    from dataset_grouper_spark.sources import read_table
+
+    spark = get_spark("scale_probe_twolevel")
+    spark.sparkContext.setLogLevel("ERROR")
+    rec: dict = {}
+    cells: dict = {}
+    for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", DST)]:
+        docs = read_table(spark, sf_dir, "documents")
+        n = docs.count()
+        vecs = featurize.hashed_tf(
+            docs, "text", "doc_id", entrymod.TF_DIM, normalize=False
+        )
+        t0 = time.perf_counter()
+        similarity.cosine_pairs_cells(
+            vecs,
+            "vector",
+            "doc_id",
+            entrymod.TF_COSINE_T,
+            probe=entrymod.SEMDEDUP_PROBE,
+            target_cell_rows=1,  # C = n: 5e3 -> 5e4 cells
+            two_level_threshold=1000,  # both scales on the tier
+        ).write.format("noop").mode("overwrite").save()
+        rec[sf_name] = round(time.perf_counter() - t0, 3)
+        cells[sf_name] = {
+            "rows": n,
+            "cells": n,
+            "n_coarse": math.ceil(math.sqrt(n)),
+        }
+        release_intermediates()
+        print(
+            f"{sf_name} twolevel_prodcells (C={n}): {rec[sf_name]}s",
+            file=sys.stderr,
+        )
+    rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+    rec["exponent"] = round(math.log10(max(rec["ratio"], 0.01)), 2)
+    rec["shape"] = cells
+    path = os.path.join(REPO, "BENCH_sf1.json")
+    with open(path) as f:
+        data = json.load(f)
+    data["probe"]["text_cosine_twolevel_prodcells"] = rec
+    with open(path, "w") as f:
+        json.dump(data, f)
+        f.write("\n")
+    print(json.dumps(rec))
+    return 0
+
+
 def main() -> int:
     if "--rebuild" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)
@@ -213,6 +282,8 @@ def main() -> int:
         build_sf1()
     if "--entity-fix" in sys.argv:
         return entity_fix_probe()
+    if "--twolevel-prod" in sys.argv:
+        return twolevel_prod_probe()
 
     import bench as benchmod
     import __spark_entry__ as entrymod

@@ -6714,6 +6714,11 @@ _FOREIGN_ORACLE_ROWS = [
     # not apply, the high one does
     ("hudi_mor_ordering", 1, "NEWEST", "en"),
     ("hudi_mor_ordering", 2, "bravo", "en"),
+    # id 4: a natural-order (orderingVal 0) delete kills the base row
+    # by commit order, then a LATER data block re-inserts the key —
+    # the rebirth row survives (event-time competition restarts past
+    # a natural-order delete)
+    ("hudi_mor_ordering", 4, "reborn", "en"),
 ]
 
 

@@ -306,9 +306,23 @@ def bipartite_knn(
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-    sym = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("n"))
-    )
+    # symmetrize by EXPLODING each counted pair into both directions —
+    # NOT a self-union: unionByName(pairs, pairs.swapped) duplicates
+    # the whole pair-build subtree in the physical plan (scan, distinct,
+    # hot screen, wedge explode, pair count — all executed twice; r13
+    # plan audit), while a Generate over the counted pairs runs it once.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v"), F.col("n")),
+                F.struct(
+                    F.col("v").alias("u"),
+                    F.col("u").alias("v"),
+                    F.col("n"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v", "_e.n")
     w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("v"))
     return (
         sym.withColumn("_rank", F.row_number().over(w))
@@ -540,34 +554,47 @@ def bfs_distances(
         .distinct()
     )
     spark = edges.sparkSession
-    seen = _truncate_lineage(
-        spark.createDataFrame(
-            [(source, 0)], schema="node long, dist int"
-        )
-    )
-    frontier = seen
-    prev_frames = [seen]
-    for hop in range(1, max_hops + 1):
-        reached = (
-            sym.join(frontier, sym["s"] == frontier["node"])
-            .select(F.col("d").alias("node"))
-            .distinct()
-        )
-        new = _truncate_lineage(
-            reached.join(seen, "node", "left_anti").withColumn(
-                "dist", F.lit(hop)
+    m = sym.count()
+    # scope the loop's shuffle width to the GRAPH size, the pagerank
+    # idiom: each round shuffles O(frontier), so session-default width
+    # (32-200) is pure per-task overhead on small graphs; big graphs
+    # keep the session width (r13: 2 jobs/round -> 1, see below).
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(2, min(default_parts, m // 250_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        frontier = _truncate_lineage(
+            spark.createDataFrame(
+                [(source, 0)], schema="node long, dist int"
             )
         )
-        if new.count() == 0:
-            break
-        nxt = _truncate_lineage(seen.unionByName(new))
-        nxt.count()
-        for f in prev_frames:
-            _release_truncated(f)
-        prev_frames = [new, nxt]
-        seen, frontier = nxt, new
+        # `seen` stays a UNION of the per-hop checkpointed frontiers
+        # (each a flat in-memory scan), so a round materializes ONLY
+        # its new frontier — one job/round, not two, and no O(seen)
+        # union rewrite per round (r13; results identical).
+        seen_frames = [frontier]
+        seen = frontier
+        for hop in range(1, max_hops + 1):
+            reached = (
+                sym.join(frontier, sym["s"] == frontier["node"])
+                .select(F.col("d").alias("node"))
+                .distinct()
+            )
+            new = _truncate_lineage(
+                reached.join(seen, "node", "left_anti").withColumn(
+                    "dist", F.lit(hop)
+                )
+            )
+            if new.count() == 0:
+                _release_truncated(new)
+                break
+            seen_frames.append(new)
+            seen = seen.unionByName(new)
+            frontier = new
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
     defer_release(
-        lambda frames=tuple(prev_frames): [
+        lambda frames=tuple(seen_frames): [
             _release_truncated(f) for f in frames
         ]
     )

@@ -210,7 +210,8 @@ def compact_partitioned(
     from pyspark.sql import Window
 
     data_path = f"{path}/{DATA_DIR}"
-    meta = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}").first()
+    idx_df = spark.read.parquet(f"{path}/{GROUP_INDEX_DIR}")
+    meta = idx_df.first()
     if meta is not None and meta.layout != "partitioned":
         raise ValueError(
             "compact_partitioned handles layout='partitioned'; the "
@@ -267,43 +268,28 @@ def compact_partitioned(
     shutil.move(data_path, retiring)
     shutil.move(tmp_path, data_path)
     shutil.rmtree(retiring)
-    written = spark.read.parquet(data_path).withColumn(
-        keys.GROUP_COL, F.col(keys.GROUP_COL).cast("string")
+    # compaction moves rows between FILES, never between groups: the
+    # sidecar index (group -> num_examples) is invariant, so it carries
+    # over untouched — no post-rewrite data scan, no index rewrite (the
+    # old code re-read every rewritten row just to recount what the
+    # maintained index already says; r13). files_after comes from the
+    # same filesystem walk as files_before, and rows/groups from an agg
+    # of the tiny index frame.
+    files_after = sum(
+        1
+        for _, _, fs in os.walk(data_path)
+        for f in fs
+        if f.endswith(".parquet")
     )
-    # ONE post-rewrite pass serves both the sidecar index and the
-    # returned stats: per-group (rows, files) is the index content,
-    # and the totals are an agg of that tiny frame (the old code
-    # scanned the rewritten data twice)
-    per_group = (
-        written.select(
-            keys.GROUP_COL, F.input_file_name().alias("_f")
-        )
-        .groupBy(keys.GROUP_COL)
-        .agg(
-            F.count(F.lit(1)).alias("num_examples"),
-            F.countDistinct("_f").alias("_nf"),
-        )
-        .cache()
-    )
-    (
-        per_group.select(keys.GROUP_COL, "num_examples")
-        .withColumn("layout", F.lit("partitioned"))
-        .withColumn("num_buckets", F.lit(0))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/{GROUP_INDEX_DIR}")
-    )
-    stats = per_group.agg(
-        F.sum("_nf").alias("nf"),
+    stats = idx_df.agg(
         F.count(F.lit(1)).alias("ng"),
         F.sum("num_examples").alias("nr"),
     ).first()
-    per_group.unpersist()
     return {
         "files_before": files_before,
-        "files_after": int(stats.nf),
+        "files_after": files_after,
         "groups": int(stats.ng),
-        "rows": int(stats.nr),
+        "rows": int(stats.nr or 0),
     }
 
 

@@ -335,12 +335,17 @@ def _stage_and_place(
     part_cols: list[str],
     instant: str,
     fid_for_dir=None,
+    fid_col: str | None = None,
 ) -> dict[str, list[dict]]:
     """Stage ``df_meta`` (meta columns attached) through partitionBy
     and move each staged file into the table as a base file. Returns
     partitionToWriteStats. ``fid_for_dir`` maps a partition rel-dir to
     a FIXED fileId (rewrites keep their file group); new groups get
-    fresh ids."""
+    fresh ids. ``fid_col`` (r13) names a column carrying each row's
+    fileId: it joins the staged partitionBy (so it never lands in the
+    data files) and each staged ``fid_col=<fid>`` directory places as
+    that file group — the single-job alternative to one
+    ``fid_for_dir`` write per group."""
     import shutil
     import tempfile
 
@@ -352,21 +357,26 @@ def _stage_and_place(
     # does not strip the real columns from the files
     helpers = {f"__hp_{c}": F.col(c).cast("string") for c in part_cols}
     writer = df_meta.withColumns(helpers).write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*helpers.keys())
+    stage_parts = list(helpers.keys()) + ([fid_col] if fid_col else [])
+    if stage_parts:
+        writer = writer.partitionBy(*stage_parts)
     writer.parquet(stage)
     pattern = (
-        os.path.join(stage, *["*"] * len(part_cols), "part-*.parquet")
-        if part_cols
+        os.path.join(stage, *["*"] * len(stage_parts), "part-*.parquet")
+        if stage_parts
         else os.path.join(stage, "part-*.parquet")
     )
     stats: dict[str, list[dict]] = {}
     for src in sorted(glob.glob(pattern)):
         rel_dir = os.path.relpath(os.path.dirname(src), stage)
         rel_dir = "" if rel_dir == "." else rel_dir.replace(os.sep, "/")
-        rel_dir = rel_dir.replace("__hp_", "")
         fid = None
-        if fid_for_dir is not None:
+        if fid_col:
+            head, _sep, leaf = rel_dir.rpartition("/")
+            fid = leaf.split("=", 1)[1]
+            rel_dir = head
+        rel_dir = rel_dir.replace("__hp_", "")
+        if fid is None and fid_for_dir is not None:
             fid = fid_for_dir(rel_dir)
         if fid is None:
             fid = uuid.uuid4().hex[:20]
@@ -509,6 +519,28 @@ def hudi_insert(
     return _commit(table_path, instant, "INSERT", stats)
 
 
+def _fid_expr():
+    """fileId of each scanned row, parsed in-frame from its base file
+    name (``<fid>_<token>_<instant>.parquet``; fid is hex, no ``_``) —
+    lets one distributed job group rows by their file group without a
+    per-group driver loop."""
+    return F.regexp_extract(
+        F.element_at(
+            F.split(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"),
+                    r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+",
+                    "/",
+                ),
+                "/",
+            ),
+            -1,
+        ),
+        r"^([^_]+)_",
+        1,
+    )
+
+
 def _part_path_col(part_cols: list[str]):
     if not part_cols:
         return F.lit("")
@@ -576,72 +608,52 @@ def hudi_upsert(
         return _commit(table_path, instant, "UPSERT", stats)
     # touched groups: one planning-scale pass — which slices hold a
     # matched (key, partition) identity (the same O(touched files)
-    # collect budget as delta_merge's probe)
+    # collect budget as delta_merge's probe). Each row's fileId comes
+    # straight off its file name, in-frame.
     current = spark.read.parquet(*[p for ps in by_group.values() for p in ps])
     idents = tagged.select("__k", "__p").distinct()
-    touched_parts = {
-        (r["_hoodie_partition_path"], r["__f"])
-        for r in current.withColumn(
-            "__f",
-            F.element_at(
-                F.split(
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"),
-                        r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+",
-                        "/",
-                    ),
-                    "/",
-                ),
-                -1,
-            ),
-        )
-        .join(
+    cur_fid = current.withColumn("__fid", _fid_expr())
+    touched_groups = {
+        (r["_hoodie_partition_path"], r["__fid"])
+        for r in cur_fid.join(
             idents,
             (F.col("_hoodie_record_key") == idents["__k"])
             & (F.col("_hoodie_partition_path") == idents["__p"]),
             "left_semi",
         )
-        .select("_hoodie_partition_path", "__f")
+        .select("_hoodie_partition_path", "__fid")
         .distinct()
         .collect()
     }
-    touched_groups = {
-        (tp, _BASE_RE.match(tf).group("fid")) for tp, tf in touched_parts
-    }
-    # rewrite each touched group separately so the new slice keeps its
-    # fileId (per-group single-partition write; touched-group count is
-    # planning-scale)
-    for (part, fid), gpaths in sorted(by_group.items()):
-        if (part, fid) not in touched_groups:
-            continue
-        gold = (
-            spark.read.parquet(*gpaths)
-            .select(
-                *user_cols,
-                F.col("_hoodie_record_key").alias("__k"),
-                F.col("_hoodie_partition_path").alias("__p"),
-            )
-            .join(idents, ["__k", "__p"], "left_anti")
-            .select(*user_cols)
-        )
-        gkeys = (
-            spark.read.parquet(*gpaths)
-            .select(
-                F.col("_hoodie_record_key").alias("__k"),
-                F.col("_hoodie_partition_path").alias("__p"),
-            )
-            .distinct()
-        )
-        upd = tagged.join(gkeys, ["__k", "__p"], "left_semi").select(
-            *user_cols
-        )
-        merged = gold.unionByName(upd).coalesce(1)
+    if touched_groups:
+        # ONE distributed rewrite of every touched group (r13; the old
+        # per-group driver loop launched ~3 jobs per group, serialized):
+        # survivors anti-join the upsert identities, updates attach
+        # their group's fileId from the key -> group map, and a hash
+        # repartition on the fileId keeps each group whole in one task
+        # so the staged fid_col partitionBy emits exactly ONE base file
+        # per group under its EXISTING fileId.
+        touched_fids = sorted({f for _p, f in touched_groups})
+        cur_t = cur_fid.filter(F.col("__fid").isin(touched_fids))
+        gold = cur_t.join(
+            idents,
+            (F.col("_hoodie_record_key") == idents["__k"])
+            & (F.col("_hoodie_partition_path") == idents["__p"]),
+            "left_anti",
+        ).select(*user_cols, "__fid")
+        gkeys = cur_t.select(
+            F.col("_hoodie_record_key").alias("__k"),
+            F.col("_hoodie_partition_path").alias("__p"),
+            "__fid",
+        ).distinct()
+        upd = tagged.join(gkeys, ["__k", "__p"]).select(*user_cols, "__fid")
+        merged = gold.unionByName(upd).repartition(F.col("__fid"))
         gstats = _stage_and_place(
             _with_meta(merged, record_key, part_cols, instant),
             table_path,
             part_cols,
             instant,
-            fid_for_dir=lambda _d, fid=fid: fid,
+            fid_col="__fid",
         )
         for k, v in gstats.items():
             stats.setdefault(k, []).extend(v)
@@ -948,6 +960,7 @@ def _log_rows_df(
     user_schema,
     record_key: str,
     completed: set[str],
+    fids: list[str] | None = None,
 ) -> DataFrame:
     """Distributed decode of MoR log files of EITHER dialect into rows
     ``[_MOR_OP, _MOR_INSTANT, _MOR_SEQ, __mor_key, __mor_part,
@@ -971,6 +984,7 @@ def _log_rows_df(
         "__mor_key",
         "__mor_part",
         "__mor_ord",
+        "__mor_fid",
     ]
     ddl = ", ".join(
         [
@@ -982,11 +996,19 @@ def _log_rows_df(
             # delete-block orderingVal (numeric members of the spec's
             # union; non-numeric -> null -> commit-time tiebreak)
             "`__mor_ord` double",
+            # file group of the log stream, when the caller passes
+            # ``fids`` (compaction writes winners back per group)
+            "`__mor_fid` string",
         ]
         + [f"`{f.name}` {f.dataType.simpleString()}" for f in user_schema.fields]
     )
     completed = frozenset(completed)
-    encoded = ["\x00".join(sorted(g, key=_log_version)) for g in path_groups]
+    encoded = [
+        (fids[i] if fids else "")
+        + "\x01"
+        + "\x00".join(sorted(g, key=_log_version))
+        for i, g in enumerate(path_groups)
+    ]
     shards = spark.createDataFrame(
         spark.sparkContext.parallelize(
             [(s,) for s in encoded], len(encoded)
@@ -1000,7 +1022,9 @@ def _log_rows_df(
 
         for pdf in pdf_iter:
             for shard in pdf["shard"]:
-                paths = shard.split("\x00")
+                fid, _sep, joined = shard.partition("\x01")
+                fid = fid or None
+                paths = joined.split("\x00")
                 rows = []
                 hoodie = [p for p in paths if hl.is_hoodie_log(p)]
                 if hoodie:
@@ -1033,6 +1057,7 @@ def _log_rows_df(
                                     "__mor_part": rec.get("partitionPath")
                                     or "",
                                     "__mor_ord": ordv,
+                                    "__mor_fid": fid,
                                     **{n: None for n in names},
                                 }
                             )
@@ -1051,6 +1076,7 @@ def _log_rows_df(
                                     # upsert rows carry the precombine
                                     # column among their user columns
                                     "__mor_ord": None,
+                                    "__mor_fid": fid,
                                     **{n: rec.get(n) for n in names},
                                 }
                             )
@@ -1067,6 +1093,7 @@ def _log_rows_df(
                                 "__mor_key": None,
                                 "__mor_part": None,
                                 "__mor_ord": None,
+                                "__mor_fid": fid,
                                 **{n: rec.get(n) for n in names},
                             }
                         )
@@ -1511,74 +1538,79 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
     )
     slices = hudi_file_slices(table_path)
     logs = _log_files(table_path)
-    if not any((part, fid, base) in logs for part, fid, base, _p in slices):
+    logged = [
+        (part, fid, base, path, logs[(part, fid, base)])
+        for part, fid, base, path in slices
+        if (part, fid, base) in logs
+    ]
+    if not logged:
         return None
     instant = _next_instant(table_path)
-    stats: dict[str, list[dict]] = {}
-    # rewrite each LOGGED group from its own base + logs — group count
-    # is planning-scale, each merge is O(group + its logs)
-    from pyspark.sql import Window
-
     completed = set(_completed(table_path))
-    for part, fid, base, path in slices:
-        entries = logs.get((part, fid, base))
-        if not entries:
-            continue
-        basedf = spark.read.parquet(path)
-        user_cols = [c for c in basedf.columns if c not in META_COLS]
-        logdf = _log_rows_df(
-            spark,
-            [[p for _i, p in entries]],
-            basedf.select(*user_cols).schema,
-            record_key,
-            completed,
+    # ONE distributed merge-and-rewrite of every logged group (r13; the
+    # old per-group driver loop launched a read+merge+stage job trio
+    # per group): bases carry their fileId in-frame off the file name,
+    # log rows carry their stream's fileId from the shard encoding,
+    # winners resolve per (fileId, key) — identical to the per-group
+    # merge because rows never cross groups — and a hash repartition on
+    # the fileId lets the staged fid_col partitionBy emit each group's
+    # new base slice under its EXISTING fileId in one write.
+    basedf = spark.read.parquet(*[p for _pt, _f, _b, p, _e in logged])
+    user_cols = [c for c in basedf.columns if c not in META_COLS]
+    logdf = _log_rows_df(
+        spark,
+        [[p for _i, p in entries] for *_ids, entries in logged],
+        basedf.select(*user_cols).schema,
+        record_key,
+        completed,
+        fids=[fid for _pt, fid, _b, _p, _e in logged],
+    )
+    pc = _precombine_col(props, user_cols)
+    base_ord = (
+        F.col(pc).cast("double") if pc else F.lit(None).cast("double")
+    )
+    log_ord = (
+        F.coalesce(F.col("__mor_ord"), F.col(pc).cast("double"))
+        if pc
+        else F.lit(None).cast("double")
+    )
+    merged = (
+        basedf.select(
+            F.col("_hoodie_record_key").alias("__k"),
+            F.col("_hoodie_commit_time").alias(_MOR_INSTANT),
+            F.lit(0).alias(_MOR_SEQ),
+            F.lit("u").alias(_MOR_OP),
+            base_ord.alias(_MOR_ORD),
+            _fid_expr().alias("__fid"),
+            *user_cols,
         )
-        pc = _precombine_col(props, user_cols)
-        base_ord = (
-            F.col(pc).cast("double") if pc else F.lit(None).cast("double")
-        )
-        log_ord = (
-            F.coalesce(F.col("__mor_ord"), F.col(pc).cast("double"))
-            if pc
-            else F.lit(None).cast("double")
-        )
-        merged = (
-            basedf.select(
-                F.col("_hoodie_record_key").alias("__k"),
-                F.col("_hoodie_commit_time").alias(_MOR_INSTANT),
-                F.lit(0).alias(_MOR_SEQ),
-                F.lit("u").alias(_MOR_OP),
-                base_ord.alias(_MOR_ORD),
+        .unionByName(
+            logdf.select(
+                F.coalesce(
+                    F.col("__mor_key"),
+                    F.col(record_key).cast("string"),
+                ).alias("__k"),
+                F.col(_MOR_INSTANT),
+                F.col(_MOR_SEQ),
+                F.col(_MOR_OP),
+                log_ord.alias(_MOR_ORD),
+                F.col("__mor_fid").alias("__fid"),
                 *user_cols,
             )
-            .unionByName(
-                logdf.select(
-                    F.coalesce(
-                        F.col("__mor_key"),
-                        F.col(record_key).cast("string"),
-                    ).alias("__k"),
-                    F.col(_MOR_INSTANT),
-                    F.col(_MOR_SEQ),
-                    F.col(_MOR_OP),
-                    log_ord.alias(_MOR_ORD),
-                    *user_cols,
-                )
-            )
         )
-        merged = (
-            _mor_winners(merged, ["__k"], pc is not None)
-            .select(*user_cols)
-            .coalesce(1)
-        )
-        gstats = _stage_and_place(
-            _with_meta(merged, record_key, part_cols, instant),
-            table_path,
-            part_cols,
-            instant,
-            fid_for_dir=lambda _d, fid=fid: fid,
-        )
-        for k, v in gstats.items():
-            stats.setdefault(k, []).extend(v)
+    )
+    merged = (
+        _mor_winners(merged, ["__fid", "__k"], pc is not None)
+        .select(*user_cols, "__fid")
+        .repartition(F.col("__fid"))
+    )
+    stats = _stage_and_place(
+        _with_meta(merged, record_key, part_cols, instant),
+        table_path,
+        part_cols,
+        instant,
+        fid_col="__fid",
+    )
     return _commit(table_path, instant, "COMPACT", stats)
 
 

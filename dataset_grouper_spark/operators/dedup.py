@@ -419,6 +419,12 @@ def _release_truncated(df: DataFrame) -> None:
         pass  # private API drifted — ContextCleaner reclaims on GC
 
 
+# plain min-label rounds before the loop escalates to pointer
+# shortcutting: covers the clique-shaped graphs (diameter 1-2) on the
+# cheap rounds, bounds everything else at ~3 + log2(diameter) rounds
+_CC_ESCALATE_AFTER = 3
+
+
 def _cc_min_label_loop(
     edges: DataFrame,
     src: str,
@@ -428,10 +434,20 @@ def _cc_min_label_loop(
     name: str,
 ) -> DataFrame:
     """Shared min-label-propagation loop; ``jump=True`` adds pointer
-    shortcutting. Per round: 1-2 shuffle joins + one agg; the driver
-    sees only the 1-row convergence count; each round's labels are
-    lineage-truncated and the previous round's partitions released, so
-    storage stays bounded at two label tables."""
+    shortcutting from round 1. Per round: 1-2 shuffle joins + one agg;
+    the driver sees only the 1-row convergence count; each round's
+    labels are lineage-truncated and the previous round's partitions
+    released, so storage stays bounded at two label tables.
+
+    With ``jump=False`` the loop AUTO-ESCALATES to pointer shortcutting
+    after ``_CC_ESCALATE_AFTER`` non-converged rounds (r13): clique
+    near-dup graphs still converge on the cheap 1-join rounds, but a
+    chain-shaped graph (measured: embedding near-dup at bench scale has
+    diameter ~17, costing 17 x ~6 scheduler-bound jobs) switches to
+    O(log diameter) rounds instead of O(diameter). Shortcutting only
+    tightens labels (monotone), and convergence is checked on the
+    combined step, so the fixpoint — component = min id — is the same
+    by either route."""
     # persist the RAW edge list before symmetrizing: the union reads its
     # input twice, and edges is typically an expensive pair join (LSH
     # bucket join, blocked cosine tiles) that must not execute twice
@@ -446,7 +462,7 @@ def _cc_min_label_loop(
     )
     prev = labels
     changed = 0
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
@@ -459,7 +475,7 @@ def _cc_min_label_loop(
                 F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
             ).alias("label"),
         )
-        if jump:
+        if jump or _round >= _CC_ESCALATE_AFTER:
             # shortcut: l(v) <- min(l(v), l(l(v))). l is monotone
             # non-increasing, so jumping can only tighten labels.
             l2 = labels.select(

@@ -43,6 +43,22 @@ def test_connected_components_raises_when_unconverged(spark):
     assert got == {i: 0 for i in range(8)}
 
 
+def test_connected_components_escalates_on_long_chains(spark):
+    # path graph 0-1-...-40: diameter 40. Plain min-label needs ~40
+    # rounds; the r13 auto-escalation to pointer shortcutting after
+    # _CC_ESCALATE_AFTER rounds must resolve it within ~3 + 2*log2(40)
+    # rounds — max_iter=16 converges ONLY if escalation engages, and
+    # the labels must equal the plain fixpoint (component = min id)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a: long, id_b: long"
+    )
+    got = {
+        r.id: r.component
+        for r in dedup.connected_components(edges, max_iter=16).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
 def test_connected_components_releases_round_caches(spark):
     # per-round persisted label frames must be unpersisted as rounds
     # advance — only sym + the final labels frame may remain cached
@@ -163,7 +179,10 @@ def test_minhash_dedup_against_screens_near_dups(spark):
 
 def test_connected_components_jump_long_chain(spark):
     # path graph of 120 nodes (diameter 119): pointer jumping must
-    # converge in <= 25 rounds where plain propagation (50) raises
+    # converge in <= 25 rounds; plain propagation with a round budget
+    # below the escalation threshold still raises (r13: beyond that
+    # budget plain CC auto-escalates and converges too — see
+    # test_connected_components_escalates_on_long_chains)
     import pytest
 
     edges = spark.createDataFrame(
@@ -175,7 +194,7 @@ def test_connected_components_jump_long_chain(spark):
     }
     assert got == {i: 0 for i in range(120)}
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(edges, max_iter=50)
+        dedup.connected_components(edges, max_iter=3)
 
 
 def test_connected_components_jump_matches_plain(spark):

@@ -8987,56 +8987,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- BEGIN GENERATED _QUERY_ORDER (tools/rotation.py --update) ---
 _QUERY_ORDER: list[str] = [
-    "streaming_hudi_mor_source",
-    "streaming_iceberg_sink_bucketed",
-    "delta_cm_format_write",
-    "convert_cm_delta_to_iceberg",
-    "group_counts_cube",
-    "tpch_q22_global_sales",
-    "tpch_q10_returned_items",
-    "tpch_q21_waiting_supplier",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "embedding_centroids",
-    "topn_per_group_events",
-    "value_histogram_events",
-    "value_correlation_events",
-    "zorder_layout_roundtrip",
-    "tpch_q8_market_share",
-    "tpch_q12_priority_shipping",
-    "pivot_lang_by_source",
-    "upsert_roundtrip",
-    "jsonl_roundtrip",
-    "csv_roundtrip",
-    "unpivot_lang_counts",
-    "docs_except_intersect",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "tpch_q9_product_profit",
-    "tpch_q20_excess_suppliers",
-    "chunk_sliding_documents",
-    "equidepth_events",
-    "lm_score_documents",
-    "drift_documents",
-    "weighted_sample_documents",
-    "bpe_token_counts_documents",
-    "streaming_span_dedup_documents",
-    "span_dedup_documents",
-    "span_dedup_incremental_documents",
-    "dup_spans_documents",
-    "contrastive_negatives_documents",
-    "lm_tiered_documents",
-    "vocab_index_documents",
-    "temperature_mix_documents",
-    "delete_roundtrip",
-    "token_shards_documents",
-    "dp_group_counts_documents",
-    "dp_group_sums_events",
-    "dp_group_counts_geo_documents",
-    "gif_frame_meta",
-    "group_entropy_events",
-    "asof_tolerance_events",
-    "grouping_sets_lineitem",
     "group_counts_rollup",
     "pipeline_c4_style",
     "chunk_tokens_documents",
@@ -9219,6 +9169,56 @@ _QUERY_ORDER: list[str] = [
     "semdedup_twolevel_embeddings",
     "text_cosine_twolevel_documents",
     "hudi_ordering_merge",
+    "streaming_span_dedup_documents",
+    "span_dedup_documents",
+    "span_dedup_incremental_documents",
+    "dup_spans_documents",
+    "streaming_hudi_mor_source",
+    "streaming_iceberg_sink_bucketed",
+    "delta_cm_format_write",
+    "convert_cm_delta_to_iceberg",
+    "group_counts_cube",
+    "tpch_q22_global_sales",
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_supplier",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "embedding_centroids",
+    "topn_per_group_events",
+    "value_histogram_events",
+    "value_correlation_events",
+    "zorder_layout_roundtrip",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_shipping",
+    "pivot_lang_by_source",
+    "upsert_roundtrip",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "unpivot_lang_counts",
+    "docs_except_intersect",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q9_product_profit",
+    "tpch_q20_excess_suppliers",
+    "chunk_sliding_documents",
+    "equidepth_events",
+    "lm_score_documents",
+    "drift_documents",
+    "weighted_sample_documents",
+    "bpe_token_counts_documents",
+    "contrastive_negatives_documents",
+    "lm_tiered_documents",
+    "vocab_index_documents",
+    "temperature_mix_documents",
+    "delete_roundtrip",
+    "token_shards_documents",
+    "dp_group_counts_documents",
+    "dp_group_sums_events",
+    "dp_group_counts_geo_documents",
+    "gif_frame_meta",
+    "group_entropy_events",
+    "asof_tolerance_events",
+    "grouping_sets_lineitem",
 ]
 # --- END GENERATED _QUERY_ORDER ---
 

@@ -247,11 +247,39 @@ def main() -> None:
     # LAST line = a compact record that survives the driver's bounded
     # tail capture (r9's full line overflowed it: parsed null). Keeps
     # the driver-contract keys; "queries" holds the top-25 by cold
-    # seconds, the full per-query dict lives in the line above and in
-    # the committed PERF artifact.
+    # seconds UNION the previous round's reported tail (r14, VERDICT
+    # r13 task 4: additions-only — a query that fell OUT of the top-25
+    # because it got FASTER was being misreported as dropped; carrying
+    # the prior round's names keeps every mover comparable). The full
+    # per-query dict lives in the line above and in the committed PERF
+    # artifact.
     top = dict(
         sorted(cold.items(), key=lambda kv: -kv[1])[:25]
     )
+    try:
+        import glob
+
+        bench_files = glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*.json",
+            )
+        )
+        rounds = [
+            (int(m.group(1)), p)
+            for p in bench_files
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+        ]
+        if rounds:
+            with open(max(rounds)[1]) as f:
+                prev_tail = (json.load(f).get("parsed") or {}).get(
+                    "queries"
+                ) or {}
+            for prev_name in sorted(prev_tail):
+                if prev_name in cold and prev_name not in top:
+                    top[prev_name] = cold[prev_name]
+    except Exception:
+        pass  # tail enrichment is best-effort; the top-25 still emits
     print(
         json.dumps(
             {

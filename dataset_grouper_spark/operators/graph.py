@@ -554,45 +554,40 @@ def bfs_distances(
         .distinct()
     )
     spark = edges.sparkSession
-    m = sym.count()
-    # scope the loop's shuffle width to the GRAPH size, the pagerank
-    # idiom: each round shuffles O(frontier), so session-default width
-    # (32-200) is pure per-task overhead on small graphs; big graphs
-    # keep the session width (r13: 2 jobs/round -> 1, see below).
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = max(2, min(default_parts, m // 250_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        frontier = _truncate_lineage(
-            spark.createDataFrame(
-                [(source, 0)], schema="node long, dist int"
+    # Shuffle width is left to AQE coalescing (session conf stays
+    # untouched — r14: the r13 scoped-width conf mutation leaked the
+    # narrow width to any concurrent query on the session, and its
+    # sym.count() sizing probe cost a job per call; the CC loop's r13
+    # experiment showed AQE already coalesces these tiny per-round
+    # shuffles at least as well as explicit scoping).
+    frontier = _truncate_lineage(
+        spark.createDataFrame(
+            [(source, 0)], schema="node long, dist int"
+        )
+    )
+    # `seen` stays a UNION of the per-hop checkpointed frontiers
+    # (each a flat in-memory scan), so a round materializes ONLY
+    # its new frontier — one job/round, not two, and no O(seen)
+    # union rewrite per round (r13; results identical).
+    seen_frames = [frontier]
+    seen = frontier
+    for hop in range(1, max_hops + 1):
+        reached = (
+            sym.join(frontier, sym["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        new = _truncate_lineage(
+            reached.join(seen, "node", "left_anti").withColumn(
+                "dist", F.lit(hop)
             )
         )
-        # `seen` stays a UNION of the per-hop checkpointed frontiers
-        # (each a flat in-memory scan), so a round materializes ONLY
-        # its new frontier — one job/round, not two, and no O(seen)
-        # union rewrite per round (r13; results identical).
-        seen_frames = [frontier]
-        seen = frontier
-        for hop in range(1, max_hops + 1):
-            reached = (
-                sym.join(frontier, sym["s"] == frontier["node"])
-                .select(F.col("d").alias("node"))
-                .distinct()
-            )
-            new = _truncate_lineage(
-                reached.join(seen, "node", "left_anti").withColumn(
-                    "dist", F.lit(hop)
-                )
-            )
-            if new.count() == 0:
-                _release_truncated(new)
-                break
-            seen_frames.append(new)
-            seen = seen.unionByName(new)
-            frontier = new
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
+        if new.count() == 0:
+            _release_truncated(new)
+            break
+        seen_frames.append(new)
+        seen = seen.unionByName(new)
+        frontier = new
     defer_release(
         lambda frames=tuple(seen_frames): [
             _release_truncated(f) for f in frames

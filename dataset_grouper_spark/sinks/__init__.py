@@ -273,21 +273,22 @@ def compact_partitioned(
     # over untouched — no post-rewrite data scan, no index rewrite (the
     # old code re-read every rewritten row just to recount what the
     # maintained index already says; r13). files_after comes from the
-    # same filesystem walk as files_before, and rows/groups from an agg
-    # of the tiny index frame.
-    files_after = sum(
-        1
-        for _, _, fs in os.walk(data_path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    # write contract itself, not a post-rewrite filesystem walk (r14:
+    # a driver-side os.walk is O(files) single-threaded — millions of
+    # entries at 100 TB): the repartition on (group, _subfile) keeps
+    # each target-row chunk whole in one task and maxRecordsPerFile
+    # rolls at the target, so every group lands exactly
+    # ceil(rows / target) files — an agg over the tiny index frame
+    # (pinned against a physical walk in
+    # tests/test_loader.py::test_compact_files_after_matches_walk).
     stats = idx_df.agg(
         F.count(F.lit(1)).alias("ng"),
         F.sum("num_examples").alias("nr"),
+        F.sum(F.ceil(F.col("num_examples") / F.lit(target))).alias("nf"),
     ).first()
     return {
         "files_before": files_before,
-        "files_after": files_after,
+        "files_after": int(stats.nf or 0),
         "groups": int(stats.ng),
         "rows": int(stats.nr or 0),
     }

@@ -633,8 +633,17 @@ def hudi_upsert(
         # repartition on the fileId keeps each group whole in one task
         # so the staged fid_col partitionBy emits exactly ONE base file
         # per group under its EXISTING fileId.
+        # membership via a BROADCAST LEFT SEMI join, not an isin
+        # literal: a single upsert can touch 10^4-10^6 file groups at
+        # production scale, and a million-element In() predicate blows
+        # up analysis/codegen, while the broadcast relation keeps the
+        # plan O(1) in the touched-group count (r14; the driver
+        # already holds the set from the planning-scale collect).
         touched_fids = sorted({f for _p, f in touched_groups})
-        cur_t = cur_fid.filter(F.col("__fid").isin(touched_fids))
+        fid_frame = spark.createDataFrame(
+            [(f,) for f in touched_fids], "__fid string"
+        ).coalesce(1)  # local list; default parallelism splits it 32 ways
+        cur_t = cur_fid.join(F.broadcast(fid_frame), "__fid", "left_semi")
         gold = cur_t.join(
             idents,
             (F.col("_hoodie_record_key") == idents["__k"])

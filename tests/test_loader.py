@@ -233,3 +233,32 @@ def test_compact_partitioned_merges_append_fragments(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucketed"):
         sinks.compact_partitioned(spark, bpath)
+
+
+def test_compact_files_after_matches_walk(spark, tmp_path):
+    """files_after is derived from the index contract
+    (sum of ceil(rows/target) per group — r14, no post-rewrite driver
+    walk); pin it against a physical filesystem walk on UNEVEN group
+    sizes so chunk collisions inside write tasks are exercised."""
+    import os
+
+    path = str(tmp_path / "uneven")
+    # group sizes 1, 7, 20, 21, 40 -> ceil(n/7) = 1, 1, 3, 3, 6
+    rows, rid = [], 0
+    for g, n in (("a", 1), ("b", 7), ("c", 20), ("d", 21), ("e", 40)):
+        for _ in range(n):
+            rows.append((rid, g, f"t{rid}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "id: long, k: string, text: string")
+    sinks.write_partitioned(df, keys.by_feature("k"), path, order_col="id")
+    stats = sinks.compact_partitioned(
+        spark, path, target_rows_per_file=7, order_col="id"
+    )
+    walked = sum(
+        1
+        for _, _, fs in os.walk(f"{path}/data")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert stats["files_after"] == walked == 1 + 1 + 3 + 3 + 6
+    assert PartitionedDataset(spark, path).dataframe().count() == 89

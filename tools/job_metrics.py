@@ -25,7 +25,19 @@ def _counts(spark):
         j = jobs.apply(i)
         nstages += j.stageIds().size()
         ntasks += j.numCompletedTasks()
-    return njobs, nstages, ntasks, 0
+    # shuffle bytes written, summed over completed stages (r14: the
+    # drift-immune instrument for shuffle-codec / shuffle-volume
+    # claims — wall-clock on this host cannot be trusted, bytes can).
+    # stageList's trailing params have Scala defaults py4j cannot
+    # apply implicitly; fetch them via the $default$N accessors.
+    wbytes = 0
+    defaults = [
+        getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+    ]
+    stages = store.stageList(None, *defaults)
+    for i in range(stages.size()):
+        wbytes += stages.apply(i).shuffleWriteBytes()
+    return njobs, nstages, ntasks, wbytes
 
 
 def main() -> int:

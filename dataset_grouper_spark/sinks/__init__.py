@@ -234,6 +234,31 @@ def compact_partitioned(
     ordc = F.col(order_col) if order_col else F.monotonically_increasing_id()
     w = Window.partitionBy(keys.GROUP_COL).orderBy(ordc)
     target = max(1, int(target_rows_per_file))
+    # planned output-file count, from the maintained index (tiny agg;
+    # compaction never moves rows between groups, so the index is
+    # authoritative): every group lands exactly ceil(rows/target)
+    # files — reused below as files_after
+    plan = idx_df.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("num_examples").alias("nr"),
+        F.sum(F.ceil(F.col("num_examples") / F.lit(target))).alias("nf"),
+    ).first()
+    files_planned = int(plan.nf or 0)
+    # EXPLICIT rewrite width (r14): a bare repartition(cols) lets AQE
+    # size the exchange by BYTES, which on a file-count-bound rewrite
+    # collapses to one task writing every output file sequentially
+    # (measured: 1 task x 7.2s writing all 500 files at bench scale).
+    # Write parallelism must track the FILE count: one task per
+    # planned file, capped by the session's scale-derived shuffle
+    # width (the 100 TB cap — at cluster scale AQE could never exceed
+    # that width anyway, it only coalesces below it).
+    width = max(
+        1,
+        min(
+            files_planned or 1,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        ),
+    )
     out = (
         df.withColumn(
             "_subfile",
@@ -241,7 +266,7 @@ def compact_partitioned(
                 "int"
             ),
         )
-        .repartition(F.col(keys.GROUP_COL), F.col("_subfile"))
+        .repartition(width, F.col(keys.GROUP_COL), F.col("_subfile"))
         .drop("_subfile")
     )
     if order_col:
@@ -278,19 +303,14 @@ def compact_partitioned(
     # entries at 100 TB): the repartition on (group, _subfile) keeps
     # each target-row chunk whole in one task and maxRecordsPerFile
     # rolls at the target, so every group lands exactly
-    # ceil(rows / target) files — an agg over the tiny index frame
-    # (pinned against a physical walk in
+    # ceil(rows / target) files — the `plan` agg above (pinned against
+    # a physical walk in
     # tests/test_loader.py::test_compact_files_after_matches_walk).
-    stats = idx_df.agg(
-        F.count(F.lit(1)).alias("ng"),
-        F.sum("num_examples").alias("nr"),
-        F.sum(F.ceil(F.col("num_examples") / F.lit(target))).alias("nf"),
-    ).first()
     return {
         "files_before": files_before,
-        "files_after": int(stats.nf or 0),
-        "groups": int(stats.ng),
-        "rows": int(stats.nr or 0),
+        "files_after": files_planned,
+        "groups": int(plan.ng),
+        "rows": int(plan.nr or 0),
     }
 
 

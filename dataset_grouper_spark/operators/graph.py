@@ -57,7 +57,6 @@ def pagerank(
     # NULL endpoints are dropped: a NULL never equi-joins, so it would
     # silently become a rank-absorbing phantom node (and the SQL twin's
     # NOT IN would go empty-set on a NULL source)
-    spark = edges.sparkSession
     ep = persist_tracked(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).na.drop()
     )
@@ -70,71 +69,77 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     m = ep.count()
-    # scope the loop's shuffle width to the GRAPH size: 6 rounds x
-    # several exchanges at the session default (e.g. 32-200 partitions)
-    # is pure per-task overhead for a small graph — measured 18.5s ->
-    # ~4s at 210k edges. Big graphs keep the session width. Same
-    # scoped-conf idiom as the streaming oracle compilation (PERF.md).
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Loop-shuffle width scoped to the GRAPH size — but per-PLAN
+    # (r14), not by mutating the session conf (the r13 conf mutation
+    # leaked the narrow width to any concurrent query on the same
+    # session): the two persisted loop inputs are hash-partitioned
+    # ONCE at `parts` on their join keys, the checkpointed rank table
+    # inherits that partitioning through every round, and the single
+    # explicit repartition(parts, d) before the contribution agg both
+    # sets the agg width and leaves the result co-partitioned with
+    # `flagged` for the rank-update join — so a round runs exactly ONE
+    # exchange, where the session-width plan ran three.
+    default_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     parts = max(2, min(default_parts, (n + m) // 250_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        outdeg = ep.groupBy("s").agg(F.count(F.lit(1)).alias("_od"))
-        # fold the 1/outdeg weight INTO the edge list once — per round
-        # that's one join saved (the loop body is the cost center)
-        ew = persist_tracked(
-            ep.join(outdeg, "s").select(
-                "s", "d", (F.lit(1.0) / F.col("_od")).alias("_w")
+    outdeg = ep.groupBy("s").agg(F.count(F.lit(1)).alias("_od"))
+    # fold the 1/outdeg weight INTO the edge list once — per round
+    # that's one join saved (the loop body is the cost center)
+    ew = persist_tracked(
+        ep.join(outdeg, "s")
+        .select("s", "d", (F.lit(1.0) / F.col("_od")).alias("_w"))
+        .repartition(parts, "s")
+    )
+    # dangling is a STATIC property of the graph: flag it once on
+    # the node table; the per-round mass is then a filter+agg over
+    # ranks, not an anti-join
+    flagged = persist_tracked(
+        nodes.join(
+            outdeg, nodes["node"] == outdeg["s"], "left"
+        )
+        .select(
+            "node", F.col("_od").isNull().alias("_dangling")
+        )
+        .repartition(parts, "node")
+    )
+    ranks = _truncate_lineage(
+        flagged.withColumn("rank", F.lit(1.0 / n))
+    )
+    prev = ranks
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, F.col("s") == ranks["node"])
+            .select("d", "rank", "_w")  # project before the exchange
+            .groupBy("d")  # partial agg ships one row per (task, d)
+            .agg(F.sum(F.col("rank") * F.col("_w")).alias("_contrib"))
+        )
+        # dangling mass, spread uniformly — a 1-row frame broadcast
+        # into the same lazy plan
+        dang = ranks.filter(F.col("_dangling")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
+        step = (
+            flagged.join(contrib, flagged["node"] == contrib["d"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "_dangling",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_contrib"), F.lit(0.0))
+                        + F.col("_dang") / n
+                    )
+                ).alias("rank"),
             )
         )
-        # dangling is a STATIC property of the graph: flag it once on
-        # the node table; the per-round mass is then a filter+agg over
-        # ranks, not an anti-join
-        flagged = persist_tracked(
-            nodes.join(
-                outdeg, nodes["node"] == outdeg["s"], "left"
-            ).select(
-                "node", F.col("_od").isNull().alias("_dangling")
-            )
-        )
-        ranks = _truncate_lineage(
-            flagged.withColumn("rank", F.lit(1.0 / n))
-        )
-        prev = ranks
-        for _ in range(iterations):
-            contrib = (
-                ew.join(ranks, F.col("s") == ranks["node"])
-                .groupBy("d")
-                .agg(F.sum(F.col("rank") * F.col("_w")).alias("_contrib"))
-            )
-            # dangling mass, spread uniformly — a 1-row frame broadcast
-            # into the same lazy plan
-            dang = ranks.filter(F.col("_dangling")).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
-            )
-            step = (
-                flagged.join(contrib, flagged["node"] == contrib["d"], "left")
-                .crossJoin(F.broadcast(dang))
-                .select(
-                    "node",
-                    "_dangling",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("_contrib"), F.lit(0.0))
-                            + F.col("_dang") / n
-                        )
-                    ).alias("rank"),
-                )
-            )
-            step = _truncate_lineage(step)
-            step.count()  # materialize: one job per round, flat lineage
-            _release_truncated(prev)
-            prev = step
-            ranks = step
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
+        step = _truncate_lineage(step)
+        step.count()  # materialize: one job per round, flat lineage
+        _release_truncated(prev)
+        prev = step
+        ranks = step
     defer_release(lambda df=prev: _release_truncated(df))
     return ranks.select("node", "rank")
 

@@ -284,9 +284,25 @@ def bipartite_knn(
         # adjacency lists). Sound ONLY because the cap bounds every
         # per-key buffer (VERDICT r8 ADVICE: uncapped keys take the
         # join plan below). collect_list suffices — input is distinct.
+        # The wedge explode's work is QUADRATIC in each key's fanout
+        # while its input is a few bytes per key — AQE sizes the
+        # adjacency exchange by BYTES and coalesces it to 2-3
+        # partitions, serializing the f*(f-1)/2 pair generation on a
+        # couple of cores (measured: 8.7M wedges from a 3.8 MB input
+        # ran 3 tasks x 2.6 s; r14). Spread the tiny aggregated rows
+        # round-robin across the session width before exploding —
+        # the extra exchange moves kilobytes, the explode then runs
+        # fully parallel.
+        expl_width = max(
+            2,
+            int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            ),
+        )
         pairs = (
             d.groupBy("_l")
             .agg(F.sort_array(F.collect_list("_r")).alias("_rs"))
+            .repartition(expl_width)
             .select(
                 F.explode(
                     F.expr(

@@ -48,6 +48,18 @@ def get_spark(
         # let Python data sources (delta_lite) receive pushed filters
         # for file-level skipping; Spark 4.1 defaults this OFF
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # shuffle/spill codec (guide §2.3): parameterized, LOCAL
+        # DEFAULT UNCHANGED (lz4) so bench numbers stay comparable
+        # across rounds. On a real cluster set
+        # SPARK_GRAFT_IO_CODEC=zstd: measured shuffle-bytes-written on
+        # the 5 heaviest-shuffle queries drop 32-65% (r14,
+        # OPTIMIZATION_r14.md table) — bytes that cross NICs at 100 TB
+        # but are free on local disk, which is why local wall-clock
+        # (+3-10% CPU) cannot justify flipping the default here.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

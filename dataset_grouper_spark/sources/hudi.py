@@ -656,7 +656,21 @@ def hudi_upsert(
             "__fid",
         ).distinct()
         upd = tagged.join(gkeys, ["__k", "__p"]).select(*user_cols, "__fid")
-        merged = gold.unionByName(upd).repartition(F.col("__fid"))
+        # explicit rewrite width (r14): one base file per touched
+        # group, so parallelism tracks the GROUP count, capped at the
+        # session's scale-derived shuffle width — a bare
+        # repartition(col) lets AQE byte-size the exchange and
+        # serialize a many-small-groups rewrite onto a few tasks.
+        ups_width = max(
+            1,
+            min(
+                len(touched_fids),
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+            ),
+        )
+        merged = gold.unionByName(upd).repartition(
+            ups_width, F.col("__fid")
+        )
         gstats = _stage_and_place(
             _with_meta(merged, record_key, part_cols, instant),
             table_path,
@@ -1608,10 +1622,24 @@ def hudi_compact(spark: SparkSession, table_path: str) -> str | None:
             )
         )
     )
+    # explicit rewrite width (r14, same fix as compact_partitioned):
+    # the rewrite emits one base file per logged group, so its
+    # parallelism must track the GROUP count — a bare repartition(col)
+    # lets AQE size the exchange by bytes and serialize a
+    # many-small-groups compaction onto a few tasks. Capped by the
+    # session's scale-derived shuffle width (AQE could never exceed it
+    # anyway — it only coalesces below the initial width).
+    cmp_width = max(
+        1,
+        min(
+            len(logged),
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        ),
+    )
     merged = (
         _mor_winners(merged, ["__fid", "__k"], pc is not None)
         .select(*user_cols, "__fid")
-        .repartition(F.col("__fid"))
+        .repartition(cmp_width, F.col("__fid"))
     )
     stats = _stage_and_place(
         _with_meta(merged, record_key, part_cols, instant),

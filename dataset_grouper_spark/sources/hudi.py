@@ -639,10 +639,17 @@ def hudi_upsert(
         # up analysis/codegen, while the broadcast relation keeps the
         # plan O(1) in the touched-group count (r14; the driver
         # already holds the set from the planning-scale collect).
+        # built via pandas so the local relation ships as ARROW and
+        # evaluates JVM-side: a plain createDataFrame(list) makes a
+        # pickled-row RDD whose every materialization (once per
+        # broadcast build) pays serial Python-worker round-trips —
+        # measured ~4 s per upsert vs ~0.3 s through Arrow (r14).
+        import pandas as _pd
+
         touched_fids = sorted({f for _p, f in touched_groups})
         fid_frame = spark.createDataFrame(
-            [(f,) for f in touched_fids], "__fid string"
-        ).coalesce(1)  # local list; default parallelism splits it 32 ways
+            _pd.DataFrame({"__fid": touched_fids})
+        )
         cur_t = cur_fid.join(F.broadcast(fid_frame), "__fid", "left_semi")
         gold = cur_t.join(
             idents,

@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.localrel import local_frame
+
 GROUP_COL = "group_id"
 GROUP_BYTES_COL = "group_key_bytes"
 
@@ -198,7 +200,7 @@ def dirichlet(
             hi = 1.0 if g == num_groups - 1 else float(cum[lbl, g])
             rows.append((lbl, g, lo, hi))
             lo = hi
-    intervals = spark.createDataFrame(
+    intervals = local_frame(spark, 
         rows, "label_key int, dp_group int, cum_lo double, cum_hi double"
     )
     u = uniform01(id_col)

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataset_grouper_spark.cache import defer_release, persist_tracked
+from dataset_grouper_spark.localrel import local_frame
 
 from dataset_grouper_spark.functions.hashing import (
     MERSENNE31,
@@ -1016,7 +1017,7 @@ def fingerprint_screen_against(
             exact_dedup_against(maybe, existing, content_col)
         )
     spark = new.sparkSession
-    local = spark.createDataFrame(probe, fps.schema)
+    local = local_frame(spark, probe, fps.schema)
     fps.unpersist()
     tagged = new.withColumn(
         "_fp", md5_long(F.col(content_col))

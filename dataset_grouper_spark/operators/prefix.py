@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.localrel import local_frame
+
 CUM_COL = "_cum"
 
 
@@ -68,7 +70,7 @@ def running_sum(
         offsets[pid] = acc
         acc += t or 0
     spark = df.sparkSession
-    off = spark.createDataFrame(
+    off = local_frame(spark, 
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
     return (

@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from dataset_grouper_spark.localrel import local_frame
+
 from dataset_grouper_spark.compat import fs as _fs
 
 _LOG_DIR = "_delta_log"
@@ -274,7 +276,7 @@ def _dv_positions_frame(
                 int(desc.get("sizeInBytes") or 0),
             )
         )
-    meta_df = spark.createDataFrame(
+    meta_df = local_frame(spark, 
         rows,
         "`data_path` string, `storage` string, `payload` string, "
         "`offset` int, `size` int",
@@ -758,7 +760,7 @@ def read_delta(
                 f"(first file without baseRowId: {missing[0]!r}) — run "
                 "delta_enable_row_tracking first"
             )
-        fmap = spark.createDataFrame(
+        fmap = local_frame(spark, 
             [
                 (
                     _norm_abs(os.path.join(table_abs, rel)),
@@ -1186,7 +1188,7 @@ def delta_delete_where(
                 int(dv.get("sizeInBytes") or 0),
             )
         )
-    path_map = spark.createDataFrame(
+    path_map = local_frame(spark, 
         map_rows,
         "`__fp` string, `rel` string, `dv_storage` string, "
         "`dv_payload` string, `dv_offset` int, `dv_size` int",
@@ -1664,7 +1666,7 @@ def _zorder_rewrite_actions(
         )
         .join(
             F.broadcast(
-                spark.createDataFrame(
+                local_frame(spark, 
                     fp_bin, "`__fp` string, `__bin` int"
                 )
             ),
@@ -1672,7 +1674,7 @@ def _zorder_rewrite_actions(
         )
     )
     if tracked:
-        bmap = spark.createDataFrame(
+        bmap = local_frame(spark, 
             [
                 (
                     _norm_abs(os.path.join(table_abs, a["path"])),
@@ -1912,7 +1914,7 @@ def delta_optimize(
                 }
             )
         if tracked:
-            bmap = spark.createDataFrame(
+            bmap = local_frame(spark, 
                 [
                     (
                         _norm_abs(os.path.join(table_abs, a["path"])),
@@ -2530,7 +2532,7 @@ def delta_merge(
                 "delta_merge: row tracking enabled but file lacks "
                 f"baseRowId: {missing_b[0]!r}"
             )
-        bmap = spark.createDataFrame(
+        bmap = local_frame(spark, 
             [
                 (
                     _norm_abs(os.path.join(table_abs, rel)),
@@ -2764,7 +2766,7 @@ def delta_partitions(
                 sum(b for _, b in members),
             )
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "`partition` string, `n_files` long, `n_rows` long, "
         "`total_bytes` long",
@@ -2832,7 +2834,7 @@ def delta_history(spark: SparkSession, table_path: str) -> DataFrame:
         "`data_change` boolean, `has_dv` boolean, `has_txn` boolean, "
         "`bytes_added` long, `checkpoint` boolean"
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [tuple(r[k] for k in (
             "version", "n_adds", "n_removes", "data_change", "has_dv",
             "has_txn", "bytes_added", "checkpoint",

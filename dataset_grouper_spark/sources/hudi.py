@@ -60,6 +60,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.localrel import local_frame
+
 from dataset_grouper_spark.compat import fs as _fs
 from dataset_grouper_spark.sources import hudi_log
 
@@ -747,7 +749,7 @@ def hudi_partitions(
                 sum(sizes) if all(s is not None for s in sizes) else None,
             )
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "`partition` string, `n_slices` long, `n_rows` long, "
         "`total_bytes` long",
@@ -1263,7 +1265,7 @@ def _touched_group_map(spark: SparkSession, table_path: str):
         ).alias("__f"),
     )
     rows = [(f, part, fid, base) for f, (part, fid, base) in fid_of.items()]
-    fmap = spark.createDataFrame(
+    fmap = local_frame(spark, 
         rows, "`__f` string, `__part` string, `__fid` string, `__base` string"
     )
     groups = current.join(F.broadcast(fmap), "__f").select(

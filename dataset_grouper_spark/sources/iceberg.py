@@ -59,6 +59,8 @@ from struct import error as struct_error
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.localrel import local_frame
+
 from dataset_grouper_spark.compat import fs as _fs
 from dataset_grouper_spark.sources.avro import read_avro_file, write_avro_file
 
@@ -579,7 +581,7 @@ def _apply_position_deletes(
             )
         )
     if dvs:
-        desc = spark.createDataFrame(
+        desc = local_frame(spark, 
             [
                 (d["puffin"], d["offset"], d["size"], d["referenced"])
                 for d in dvs
@@ -640,7 +642,7 @@ def _apply_equality_deletes(
     literals. Nothing driver-side touches data rows."""
     by_id = {f["id"]: f["name"] for f in schema["fields"]}
     types = {f["name"]: _spark_type(f["type"]) for f in schema["fields"]}
-    seq_map = spark.createDataFrame(
+    seq_map = local_frame(spark, 
         [(p if p.startswith("/") else "/" + p, s) for p, s in data_files],
         "`__fp` string, `__seq` long",
     )
@@ -956,7 +958,7 @@ def read_iceberg(
                 "iceberg_enable_row_lineage first"
             )
         frids = _first_row_ids(table_path, snaps[snapshot_id])
-        fmap = spark.createDataFrame(
+        fmap = local_frame(spark, 
             [(_norm_path_py(p), fid) for p, fid in frids.items()],
             "`__fp` string, `__frid` long",
         )
@@ -1941,7 +1943,7 @@ def iceberg_delete_where(
     # manifest-declared path for each scanned file (broadcast map:
     # one row per live data file — planning-scale, not data-scale);
     # scheme-aware keys, or URI-backed tables silently no-op
-    path_map = spark.createDataFrame(
+    path_map = local_frame(spark, 
         [(_norm_path_py(p), p) for p in data_files],
         "`__fp` string, `file_path` string",
     )
@@ -2077,7 +2079,7 @@ def iceberg_dv_delete(
     # scheme-aware keys (_norm_path_py): on a URI-backed table a
     # naive '/'+p key would never match the scan's normalized
     # _metadata path and the delete would silently no-op
-    path_map = spark.createDataFrame(
+    path_map = local_frame(spark, 
         [(_norm_path_py(p), p) for p in data_files],
         "`__fp` string, `file_path` string",
     )
@@ -2673,7 +2675,7 @@ def iceberg_rewrite_data_files(
     fmap = None
     if lineage:
         frids = _first_row_ids(table_path, snap)
-        fmap = spark.createDataFrame(
+        fmap = local_frame(spark, 
             [(_norm_path_py(p), fid) for p, fid in frids.items()],
             "`__fp` string, `__frid` long",
         )
@@ -2718,7 +2720,7 @@ def iceberg_rewrite_data_files(
 
     stage = tempfile.mkdtemp(prefix="_ice_rw_stage_")
     if zorder_by is None:
-        bin_map = spark.createDataFrame(
+        bin_map = local_frame(spark, 
             [
                 (
                     r["path"]
@@ -2754,7 +2756,7 @@ def iceberg_rewrite_data_files(
             to_grid_cols,
         )
 
-        bin_map = spark.createDataFrame(
+        bin_map = local_frame(spark, 
             [
                 (
                     r["path"]
@@ -3425,7 +3427,7 @@ def iceberg_history(spark: SparkSession, table_path: str) -> DataFrame:
             meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
         )
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "`snapshot_id` long, `sequence_number` long, `schema_id` long, "
         "`is_current` boolean",
@@ -3478,7 +3480,7 @@ def iceberg_files(
                     else None,
                 )
             )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "`file_path` string, `content` int, `sequence_number` long, "
         "`record_count` long, `file_size_in_bytes` long, "

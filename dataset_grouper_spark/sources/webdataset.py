@@ -47,6 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_grouper_spark.localrel import local_frame
+
 from dataset_grouper_spark.compat import fs
 
 __all__ = ["write_webdataset", "read_webdataset", "webdataset_samples"]
@@ -199,7 +201,7 @@ def read_webdataset(
         return spark.createDataFrame(
             [], "key string, ext string, data binary, shard string"
         )
-    files_df = spark.createDataFrame(
+    files_df = local_frame(spark, 
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
 
